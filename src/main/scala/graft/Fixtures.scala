@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Collection, Graft}
+import graft.model._
+
+/**
+ * Maps the driver's TPC-H-ish testdata (/root/testdata/sf*, see TESTDATA.md)
+ * onto weaviate-style collections so every SURVEY §2 operator has a
+ * deterministic test bed (FIXTURES.md §6):
+ *  - `orders.o_custkey` / `customer.c_nationkey` / `nation.n_regionkey` play
+ *    cross-references (beacon → target class),
+ *  - `embeddings.embedding` is the named vector ("default"; "rev" is a second
+ *    named vector for multi-target search),
+ *  - `documents.text` is the BM25 corpus; `docvec` joins documents+embeddings
+ *    into one collection with both text and a vector (hybrid search bed),
+ *  - `customer.geo` is a deterministic synthetic geoCoordinates struct,
+ *  - `documents.maybe_src` is a deterministic nullable column (IsNull bed).
+ */
+object Fixtures {
+
+  def spark(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]"): SparkSession = {
+    val s = SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private val cache = scala.collection.mutable.Map.empty[String, Graft]
+
+  def graft(spark: SparkSession, dir: String): Graft =
+    cache.getOrElseUpdate(dir, build(spark, dir))
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  private def build(spark: SparkSession, dir: String): Graft = {
+    import PropType._
+    val g = new Graft(spark)
+
+    g.register(CollectionSchema("Region", "r_regionkey", Seq(
+      Property("r_name", Text))), t(spark, dir, "region"))
+
+    g.register(CollectionSchema("Nation", "n_nationkey", Seq(
+      Property("n_name", Text),
+      Property("n_regionkey", Ref, refTarget = Some("Region")))), t(spark, dir, "nation"))
+
+    // deterministic synthetic geo coordinates derived from the key
+    val customer = t(spark, dir, "customer")
+      .withColumn("geo", struct(
+        (((col("c_custkey") * 7) % 17000) / 100.0 - 85.0).as("lat"),
+        (((col("c_custkey") * 13) % 35000) / 100.0 - 175.0).as("lon")))
+    g.register(CollectionSchema("Customer", "c_custkey", Seq(
+      Property("c_name", Text),
+      Property("c_nationkey", Ref, refTarget = Some("Nation")),
+      Property("c_acctbal", Number),
+      Property("c_mktsegment", Text, Tokenization.Field),
+      Property("geo", Geo))), customer)
+
+    g.register(CollectionSchema("Supplier", "s_suppkey", Seq(
+      Property("s_name", Text),
+      Property("s_nationkey", Ref, refTarget = Some("Nation")),
+      Property("s_acctbal", Number))), t(spark, dir, "supplier"))
+
+    g.register(CollectionSchema("Part", "p_partkey", Seq(
+      Property("p_name", Text),
+      Property("p_brand", Text, Tokenization.Field),
+      Property("p_type", Text, Tokenization.Field),
+      Property("p_size", Int),
+      Property("p_retailprice", Number))), t(spark, dir, "part"))
+
+    g.register(CollectionSchema("Order", "o_orderkey", Seq(
+      Property("o_custkey", Ref, refTarget = Some("Customer")),
+      Property("o_orderstatus", Text, Tokenization.Field),
+      Property("o_totalprice", Number),
+      Property("o_orderdate", Date),
+      Property("o_orderpriority", Text, Tokenization.Field))), t(spark, dir, "orders"))
+
+    // surrogate unique id (l_orderkey, l_linenumber) → single orderable key
+    val lineitem = t(spark, dir, "lineitem")
+      .withColumn("l_id", col("l_orderkey") * 10 + col("l_linenumber"))
+      .withColumn("is_high", col("l_quantity") > 25.0)
+    g.register(CollectionSchema("Lineitem", "l_id", Seq(
+      Property("l_orderkey", Ref, refTarget = Some("Order")),
+      Property("l_partkey", Ref, refTarget = Some("Part")),
+      Property("l_suppkey", Ref, refTarget = Some("Supplier")),
+      Property("l_linenumber", Int),
+      Property("l_quantity", Number),
+      Property("l_extendedprice", Number),
+      Property("l_discount", Number),
+      Property("l_tax", Number),
+      Property("l_returnflag", Text, Tokenization.Field),
+      Property("l_linestatus", Text, Tokenization.Field),
+      Property("l_shipdate", Date),
+      Property("is_high", Bool))), lineitem)
+
+    // deterministic nullable column for IsNull coverage
+    val documents = t(spark, dir, "documents")
+      .withColumn("maybe_src",
+        when(col("source") === "src13", lit(null).cast("string")).otherwise(col("source")))
+    g.register(CollectionSchema("Document", "doc_id", Seq(
+      Property("text", Text, Tokenization.Word),
+      Property("lang", Text, Tokenization.Field),
+      Property("source", Text, Tokenization.Field),
+      Property("maybe_src", Text, Tokenization.Field),
+      Property("n_chars", Int))), documents)
+
+    val embeddings = t(spark, dir, "embeddings")
+      .withColumn("rev", reverse(col("embedding")))
+    g.register(CollectionSchema("Embedding", "vec_id", Seq(
+      Property("label", Int)),
+      vectors = Map("default" -> "embedding", "rev" -> "rev"),
+      defaultVector = Some("default")), embeddings)
+
+    // documents ⋈ embeddings: one collection with text + vector (hybrid bed)
+    val docvec = documents.join(embeddings.select(col("vec_id"), col("embedding")),
+      documents("doc_id") === col("vec_id"), "inner").drop("vec_id")
+    g.register(CollectionSchema("DocVec", "doc_id", Seq(
+      Property("text", Text, Tokenization.Word),
+      Property("lang", Text, Tokenization.Field),
+      Property("source", Text, Tokenization.Field),
+      Property("n_chars", Int)),
+      vectors = Map("default" -> "embedding"),
+      defaultVector = Some("default")), docvec)
+
+    g.register(CollectionSchema("Event", "event_id", Seq(
+      Property("ts", Date),
+      Property("user_id", Int),
+      Property("event_type", Text, Tokenization.Field),
+      Property("value", Number),
+      Property("props", Text, Tokenization.Word))), events(spark, dir))
+
+    g
+  }
+
+  /**
+   * events.ts is parquet TIMESTAMP(NANOS) — Spark timestamps are µs, so read
+   * nanos as long and truncate (SURVEY §7.3 flags the ns-precision issue; the
+   * raw long column is kept as `ts_nanos` for full-fidelity comparisons).
+   */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+      .withColumn("ts_nanos", col("ts"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** The anchor query vector for near-X queries: the embedding of `vec_id`. */
+  def anchorVector(g: Graft, vecId: Long): Array[Float] = {
+    val c = g.collection("Embedding")
+    c.df.filter(col("vec_id") === vecId).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+  }
+}

@@ -1,0 +1,201 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import org.apache.spark.sql.graft.VectorFunctions
+import graft.model._
+import graft.text.Tokenize
+
+/**
+ * Compiles a `Where` clause tree into Catalyst predicates.
+ *
+ * The reference resolves each leaf to a roaring doc-ID bitmap and combines with
+ * AND/OR/NOT (adapters/repos/db/inverted/searcher.go:163-200,
+ * prop_value_pairs.go:60-130). Here each leaf becomes a `Column` predicate, so
+ * Catalyst pushes comparisons into the parquet scan (PushedFilters) and the
+ * boolean combinators are free — this is the idiomatic-Spark translation of
+ * the bitmap algebra, and it scales: predicate pushdown + column pruning work
+ * at any data size without materializing ID sets.
+ *
+ * Cross-reference path clauses (path = [refProp, TargetClass, ...tail]) cannot
+ * be a pure Column — they compile to a semi-join against the target collection
+ * (reference: searcher_ref_filter.go). `compile` therefore rewrites each ref
+ * leaf into a boolean column derived from a (broadcast when small) left join,
+ * then the rest of the tree composes as plain predicates, preserving arbitrary
+ * nesting (Not over ref clauses included).
+ */
+final class FilterCompiler(resolve: String => Collection) {
+
+  /** Apply `where` to the collection's DataFrame, returning the filtered frame. */
+  def apply(df: DataFrame, schema: CollectionSchema, where: Where): DataFrame = {
+    val (prepared, col) = compile(df, schema, where, 0)
+    prepared.filter(col).drop(prepared.columns.filter(_.startsWith("__ref_match_")): _*)
+  }
+
+  /** Compile to (possibly ref-join-augmented DataFrame, predicate Column). */
+  private def compile(df: DataFrame, schema: CollectionSchema, w: Where, depth: Int): (DataFrame, Column) =
+    w.op match {
+      case WhereOp.And =>
+        w.operands.foldLeft((df, lit(true))) { case ((d, c), o) =>
+          val (d2, c2) = compile(d, schema, o, depth); (d2, c && c2)
+        }
+      case WhereOp.Or =>
+        w.operands.foldLeft((df, lit(false))) { case ((d, c), o) =>
+          val (d2, c2) = compile(d, schema, o, depth); (d2, c || c2)
+        }
+      case WhereOp.Not =>
+        val (d2, c2) = compile(df, schema, w.operands.head, depth)
+        (d2, !c2)
+      case _ if isRefPath(schema, w.path) =>
+        compileRefLeaf(df, schema, w, depth)
+      case _ =>
+        (df, leaf(schema, w))
+    }
+
+  /** Is this path descending through a cref property into another collection? */
+  private def isRefPath(schema: CollectionSchema, path: Seq[String]): Boolean =
+    path.length >= 2 && schema.property(path.head).exists(_.dataType == PropType.Ref)
+
+  /**
+   * Ref leaf: run the tail filter on the target collection, semi-join ids back,
+   * expose as a boolean helper column (so Not/Or still compose).
+   * Ref-count filter (valueInt on the ref prop itself, path length 1) is
+   * handled in `leaf` via size().
+   */
+  private def compileRefLeaf(df: DataFrame, schema: CollectionSchema, w: Where, depth: Int): (DataFrame, Column) = {
+    require(depth < 3, "nested-ref depth limit (reference: QueryNestedRefLimit)")
+    val refProp = schema.property(w.path.head).get
+    val target = resolve(refProp.refTarget.getOrElse(w.path(1)))
+    val tail = w.copy(path = w.path.drop(2))
+    val (tPrepared, tCol) = compile(target.df, target.schema, tail, depth + 1)
+    val matchingIds = tPrepared.filter(tCol)
+      .select(col(target.schema.idColumn).alias("__target_id")).distinct()
+    val flag = s"__ref_match_${df.columns.count(_.startsWith("__ref_match_"))}"
+    // left join against matching target ids; hit => flag true. Small dimension
+    // sides broadcast automatically via AQE; the join key is the FK column.
+    val joined = df.join(
+        matchingIds.withColumn("__hit", lit(true)),
+        df(refProp.name) === col("__target_id"), "left")
+      .withColumn(flag, coalesce(col("__hit"), lit(false)))
+      .drop("__target_id", "__hit")
+    (joined, col(flag))
+  }
+
+  /** Pure-column leaf compilation. */
+  def leaf(schema: CollectionSchema, w: Where): Column = {
+    import FilterValue._
+    val path = w.path
+    // len(prop) pseudo-path (reference: searcher.go:945-970)
+    val LenRe = "len\\((.+)\\)".r
+    path.head match {
+      case LenRe(p) =>
+        val prop = schema.property(p)
+        val lenCol = prop.map(_.dataType) match {
+          case Some(PropType.Arr(_)) => size(col(p))
+          case _                     => length(col(p))
+        }
+        return cmp(w.op, lenCol, w.value.get, None)
+      case _ => ()
+    }
+    val c = path.foldLeft(Option.empty[Column]) {
+      case (None, p)      => Some(col(p))
+      case (Some(acc), p) => Some(acc.getField(p))
+    }.get
+    val prop = if (path.length == 1) schema.property(path.head) else None
+
+    w.op match {
+      case WhereOp.IsNull =>
+        val BoolV(wantNull) = w.value.get: @unchecked
+        if (wantNull) c.isNull else c.isNotNull
+      case WhereOp.Like =>
+        val TextV(pattern) = w.value.get: @unchecked
+        // `?` = one char, `*` = any run; anchored both ends (reference: inverted/like_regexp.go:41-58)
+        val regex = "^" + java.util.regex.Pattern.quote(pattern)
+          .replace("?", "\\E.\\Q").replace("*", "\\E.*\\Q") + "$"
+        c.rlike(regex)
+      case WhereOp.WithinGeoRange =>
+        val GeoRangeV(lat, lon, meters) = w.value.get: @unchecked
+        VectorFunctions.haversineMeters(
+          c.getField("lat").cast("double"), c.getField("lon").cast("double"),
+          lit(lat), lit(lon)) <= lit(meters)
+      case WhereOp.ContainsAny | WhereOp.ContainsAll | WhereOp.ContainsNone =>
+        contains(w.op, c, w.value.get, prop)
+      case op =>
+        cmp(op, c, w.value.get, prop)
+    }
+  }
+
+  /** Equality on tokenized text matches per-token (reference: searcher.go:869). */
+  private def textTokenMatch(c: Column, prop: Option[Property], v: String): Column = {
+    val mode = prop.map(_.tokenization).getOrElse(Tokenization.Word)
+    val qToks = Tokenize.queryTokens(mode, v)
+    if (qToks.isEmpty) lit(false)
+    else qToks.map(t => array_contains(Tokenize(mode)(c), t)).reduce(_ && _)
+  }
+
+  private def isTokenizedText(prop: Option[Property]): Boolean =
+    prop.exists(p => p.dataType == PropType.Text && p.tokenization != Tokenization.Field)
+
+  private def cmp(op: WhereOp, c: Column, v: FilterValue, prop: Option[Property]): Column = {
+    import FilterValue._
+    val value: Column = v match {
+      case IntV(x)    => lit(x)
+      case NumberV(x) => lit(x)
+      case TextV(x)   => lit(x)
+      case BoolV(x)   => lit(x)
+      case DateV(x)   => lit(x)
+      case other      => throw new IllegalArgumentException(s"unsupported cmp value $other")
+    }
+    op match {
+      case WhereOp.Equal =>
+        v match {
+          case TextV(s) if isTokenizedText(prop) => textTokenMatch(c, prop, s)
+          case _ => c === value
+        }
+      case WhereOp.NotEqual =>
+        v match {
+          case TextV(s) if isTokenizedText(prop) => !textTokenMatch(c, prop, s)
+          case _ => c =!= value
+        }
+      case WhereOp.GreaterThan      => c > value
+      case WhereOp.GreaterThanEqual => c >= value
+      case WhereOp.LessThan         => c < value
+      case WhereOp.LessThanEqual    => c <= value
+      case other => throw new IllegalArgumentException(s"unsupported op $other")
+    }
+  }
+
+  /**
+   * Contains* (reference: filters.go:36-38; desugar searcher.go:1253-1455):
+   * on array props it is set overlap/superset; on scalar props Any = IN-list,
+   * All = every value equals (useful only with 1 value), None = NOT IN
+   * *including null rows* (reference treats None as complement incl. nulls).
+   * On tokenized text, values match per-token.
+   */
+  private def contains(op: WhereOp, c: Column, v: FilterValue, prop: Option[Property]): Column = {
+    import FilterValue._
+    val ListV(vs) = v: @unchecked
+    val lits = vs.map {
+      case IntV(x) => lit(x); case NumberV(x) => lit(x); case TextV(x) => lit(x)
+      case BoolV(x) => lit(x); case DateV(x) => lit(x)
+      case other => throw new IllegalArgumentException(s"bad contains value $other")
+    }
+    val isArrayProp = prop.exists(_.dataType.isInstanceOf[PropType.Arr])
+    val tokenized = isTokenizedText(prop)
+    def one(value: Column, raw: FilterValue): Column =
+      if (isArrayProp) array_contains(c, value)
+      else if (tokenized) raw match {
+        case TextV(s) => textTokenMatch(c, prop, s)
+        case _        => c === value
+      }
+      else c === value
+    val per = lits.zip(vs).map { case (l, raw) => one(l, raw) }
+    op match {
+      case WhereOp.ContainsAny  => per.reduce(_ || _)
+      case WhereOp.ContainsAll  => per.reduce(_ && _)
+      case WhereOp.ContainsNone => coalesce(!per.reduce(_ || _), lit(true))
+      case other => throw new IllegalArgumentException(s"$other")
+    }
+  }
+}

@@ -1,0 +1,190 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model._
+import graft.operators._
+
+/**
+ * Engine facade: collection registry + the Get/Aggregate execution pipeline
+ * (the Spark translation of usecases/traverser/explorer.go:135-210 — leg
+ * dispatch, pagination defaults, post-processing order).
+ *
+ * Pipeline: tenant prune → where filter → search leg (vector | bm25 | hybrid |
+ * plain) → sort → result-group-by → cursor/offset/limit → projection.
+ * Everything stays one lazily-composed DataFrame, so Catalyst sees the whole
+ * plan (filter pushdown into the scan, TopK for order+limit, broadcast for
+ * ref joins).
+ */
+final class Graft(val spark: SparkSession) {
+
+  private var collections: Map[String, Collection] = Map.empty
+  private lazy val filterCompiler = new FilterCompiler(collection)
+
+  def register(c: Collection): Graft = { collections += c.name -> c; this }
+  def register(schema: CollectionSchema, df: DataFrame): Graft =
+    register(Collection(schema, df))
+  def collection(name: String): Collection =
+    collections.getOrElse(name, throw new IllegalArgumentException(s"unknown collection $name"))
+
+  def get(params: GetParams): DataFrame = {
+    val c = collection(params.collection)
+    val id = c.schema.idColumn
+
+    // tenant routing = partition pruning (reference: index.go:2233)
+    val tenanted = (params.tenant, c.schema.tenantColumn) match {
+      case (Some(t), Some(tc)) => c.df.filter(col(tc) === lit(t))
+      case _                   => c.df
+    }
+    val filtered = params.where match {
+      case Some(w) => filterCompiler(tenanted, c.schema, w)
+      case None    => tenanted
+    }
+
+    val limit = params.pagination.map(p => p.offset + p.limit)
+      .orElse(params.cursor.map(_.limit))
+
+    // overfetch when grouping needs a deeper candidate pool
+    // (reference: explorer groupBy pool = groups * objectsPerGroup)
+    val fetchLimit = (params.groupBy, limit) match {
+      case (Some(g), Some(l)) => Some(math.max(l, g.groups * g.objectsPerGroup))
+      case (_, l)             => l
+    }
+
+    val legCount = Seq(params.nearVector, params.nearObject, params.bm25, params.hybrid)
+      .count(_.isDefined)
+    require(legCount <= 1, "at most one search leg (nearX | bm25 | hybrid)")
+
+    // threshold-only nearX with no explicit pagination = SearchByVectorDistance
+    // (unlimited radius search, reference: shard_read.go:674-700)
+    def nearLimit(hasThreshold: Boolean): Option[Int] =
+      if (hasThreshold && params.pagination.isEmpty && params.cursor.isEmpty) None
+      else fetchLimit.orElse(Some(defaultLimit))
+
+    val searched: DataFrame =
+      params.nearVector.map { nv =>
+        VectorSearch.nearVector(c, nv, nv.metric,
+          nearLimit(nv.distance.orElse(nv.certainty).isDefined), Some(filtered))
+      }.orElse(params.nearObject.map { no =>
+        VectorSearch.nearObject(c, no, no.metric,
+          nearLimit(no.distance.orElse(no.certainty).isDefined), Some(filtered))
+      }).orElse(params.bm25.map { kw =>
+        Bm25Search.search(c, kw, fetchLimit.getOrElse(defaultLimit), Some(filtered))
+      }).orElse(params.hybrid.map { h =>
+        HybridSearch.search(c, h, h.metric, fetchLimit.getOrElse(defaultLimit), filtered = Some(filtered))
+      }).getOrElse(filtered)
+
+    val isSearch = legCount > 0
+
+    // autocut on the search score/distance curve (reference: index.go:2309-2313)
+    val afterAutocut = (params.autocut, isSearch) match {
+      case (Some(n), true) =>
+        val scoreCol =
+          if (params.nearVector.isDefined || params.nearObject.isDefined) -col(VectorSearch.DistanceCol)
+          else if (params.bm25.isDefined) col(Bm25Search.ScoreCol)
+          else col(HybridSearch.ScoreCol)
+        HybridSearch.autocut(searched, scoreCol, col(id), n)
+      case _ => searched
+    }
+
+    // explicit sort overrides search order (reference: sorter/, index.go:2293-2307)
+    val sorted: DataFrame =
+      if (params.sort.nonEmpty) {
+        val keys = params.sort.map { s =>
+          val cc = s.path.foldLeft(Option.empty[Column]) {
+            case (None, p) => Some(resolveSortCol(c, p))
+            case (Some(acc), p) => Some(acc.getField(p))
+          }.get
+          if (s.desc) cc.desc else cc.asc
+        } :+ col(id).asc // total order for determinism
+        afterAutocut.orderBy(keys: _*)
+      } else if (isSearch) afterAutocut
+      else params.cursor match {
+        case Some(cur) =>
+          val after = cur.after.map(a => afterAutocut.filter(col(id) > lit(a))).getOrElse(afterAutocut)
+          after.orderBy(col(id).asc)
+        case None => afterAutocut.orderBy(col(id).asc) // default uuid order (index.go:2303-2307)
+      }
+
+    val groupedOrSorted = params.groupBy match {
+      case Some(g) =>
+        val rankCol = "__rank"
+        val rankOrder: Seq[Column] =
+          if (params.nearVector.isDefined || params.nearObject.isDefined)
+            Seq(col(VectorSearch.DistanceCol).asc, col(id).asc)
+          else if (params.bm25.isDefined) Seq(col(Bm25Search.ScoreCol).desc, col(id).asc)
+          else if (params.hybrid.isDefined) Seq(col(HybridSearch.ScoreCol).desc, col(id).asc)
+          else Seq(col(id).asc)
+        val ranked = sorted.withColumn(rankCol,
+          row_number().over(org.apache.spark.sql.expressions.Window.orderBy(rankOrder: _*)))
+        val isArr = c.schema.property(g.property).exists(_.dataType.isInstanceOf[PropType.Arr])
+        ResultGroupBy(ranked, rankCol, g.property, g.groups, g.objectsPerGroup, isArr)
+          .orderBy(col("group_index").asc, col("group_hit_rank").asc)
+      case None => sorted
+    }
+
+    val paged = params.pagination match {
+      case Some(p) if p.offset > 0 => groupedOrSorted.offset(p.offset).limit(p.limit)
+      case Some(p)                 => groupedOrSorted.limit(p.limit)
+      case None => params.cursor match {
+        case Some(cur) => groupedOrSorted.limit(cur.limit)
+        case None      => groupedOrSorted
+      }
+    }
+
+    project(c, params, paged)
+  }
+
+  def aggregate(params: AggregateParams): DataFrame = {
+    val c = collection(params.collection)
+    val tenanted = (params.tenant, c.schema.tenantColumn) match {
+      case (Some(t), Some(tc)) => c.df.filter(col(tc) === lit(t))
+      case _                   => c.df
+    }
+    val filtered = params.where match {
+      case Some(w) => Some(filterCompiler(tenanted, c.schema, w))
+      case None    => if (tenanted eq c.df) None else Some(tenanted)
+    }
+    // objectLimit + nearX/hybrid: aggregate over top-N search hits
+    // (reference: aggregator/hybrid.go:27-67, vector_search.go)
+    val scoped: Option[DataFrame] = (params.nearVector, params.hybrid, params.objectLimit) match {
+      case (Some(nv), _, lim) =>
+        Some(VectorSearch.nearVector(c, nv, nv.metric, lim, filtered))
+      case (_, Some(h), Some(lim)) =>
+        Some(HybridSearch.search(c, h, h.metric, lim, filtered = filtered))
+      case _ => filtered
+    }
+    Aggregations.run(c, params, scoped)
+  }
+
+  /** Projection + _additional decoration (reference: search_get.proto:77-110). */
+  private def project(c: Collection, params: GetParams, df: DataFrame): DataFrame = {
+    if (params.properties.isEmpty && params.additional.isEmpty) df
+    else {
+      val id = c.schema.idColumn
+      val props = if (params.properties.nonEmpty) params.properties
+                  else c.schema.properties.map(_.name).filter(df.columns.contains)
+      val additional: Seq[Column] = params.additional.toSeq.sorted.flatMap {
+        case "id" => Some(col(id).as("_id"))
+        case "distance" if df.columns.contains(VectorSearch.DistanceCol) => Some(col(VectorSearch.DistanceCol))
+        case "certainty" if df.columns.contains(VectorSearch.DistanceCol) =>
+          Some((lit(1.0) - col(VectorSearch.DistanceCol) / 2.0).as(VectorSearch.CertaintyCol))
+        case "score" if df.columns.contains(Bm25Search.ScoreCol) => Some(col(Bm25Search.ScoreCol))
+        case "score" if df.columns.contains(HybridSearch.ScoreCol) => Some(col(HybridSearch.ScoreCol).as("_score"))
+        case "vector" => c.schema.vectors.values.headOption.map(v => col(v).as("_vector"))
+        case _ => None
+      }
+      val groupCols = Seq("group_value", "group_index", "group_hit_rank")
+        .filter(df.columns.contains).map(col)
+      df.select((props.map(col) ++ additional ++ groupCols): _*)
+    }
+  }
+
+  private def resolveSortCol(c: Collection, p: String): Column = p match {
+    case "_id" => col(c.schema.idColumn)
+    case other => col(other)
+  }
+
+  private val defaultLimit = 25 // reference: QueryDefaults.LimitGraphQL
+}

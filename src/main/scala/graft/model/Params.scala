@@ -1,0 +1,142 @@
+package graft.model
+
+/**
+ * Logical query IR — mirrors weaviate's `dto.GetParams`
+ * (reference: entities/dto/dto.go:49-71) and `aggregation.Params`
+ * (reference: entities/aggregation/params.go:25-42). The planner composes
+ * DataFrame operations from these case classes; rewrites (overfetch, fusion,
+ * strategy choice) happen on this IR in plain Scala so they are unit-testable.
+ */
+
+/** Distance metrics (reference: adapters/repos/db/vector/hnsw/distancer, entities/additional/distance.go). */
+sealed abstract class Metric(val name: String)
+object Metric {
+  case object Cosine    extends Metric("cosine")      // 1 - cos(a,b)
+  case object Dot       extends Metric("dot")         // -dot(a,b)
+  case object L2Squared extends Metric("l2-squared")
+  case object Manhattan extends Metric("manhattan")
+  case object Hamming   extends Metric("hamming")
+}
+
+/** nearVector (reference: entities/searchparams/retrieval.go:33-39). */
+final case class NearVector(
+    vector: Array[Float],
+    metric: Metric = Metric.Cosine,
+    distance: Option[Double] = None,   // max distance threshold
+    certainty: Option[Double] = None,  // cosine only: certainty = 1 - d/2
+    targetVectors: Seq[String] = Nil,
+    combination: TargetCombination = TargetCombination.Minimum)
+
+/** nearObject: kNN by another object's vector (reference: retrieval.go:128-135). */
+final case class NearObject(
+    id: Any,
+    metric: Metric = Metric.Cosine,
+    distance: Option[Double] = None,
+    certainty: Option[Double] = None,
+    targetVectors: Seq[String] = Nil)
+
+/** Multi-target combination modes (reference: entities/dto/dto.go:30-48). */
+sealed trait TargetCombination
+object TargetCombination {
+  case object Minimum extends TargetCombination
+  case object Sum     extends TargetCombination
+  case object Average extends TargetCombination
+  final case class ManualWeights(weights: Map[String, Double]) extends TargetCombination
+  final case class RelativeScore(weights: Map[String, Double]) extends TargetCombination
+}
+
+/** BM25 searchOperator (reference: retrieval.go:41-48). */
+sealed trait SearchOperator
+object SearchOperator {
+  final case class Or(minimumMatch: Int = 1) extends SearchOperator
+  case object AndOp extends SearchOperator
+}
+
+/** BM25/BM25F keyword ranking (reference: entities/searchparams/retrieval.go:54-65). */
+final case class Bm25(
+    query: String,
+    properties: Seq[String] = Nil,            // empty = all searchable text props; "prop^2" boosts
+    searchOperator: SearchOperator = SearchOperator.Or(1),
+    k1: Double = 1.2,                         // defaults: usecases/config/config_handler.go:57-58
+    b: Double = 0.75)
+
+/** Fusion algorithms (reference: usecases/traverser/hybrid/hybrid_fusion.go). */
+sealed trait FusionType
+object FusionType {
+  case object Ranked        extends FusionType // RRF: sum w/(60+rank)
+  case object RelativeScore extends FusionType // min-max normalized weighted sum (default)
+}
+
+/** hybrid (reference: retrieval.go:111-126, explorer_hybrid.go:37-120). */
+final case class Hybrid(
+    query: String,
+    vector: Option[Array[Float]] = None,      // dense leg; None => no dense leg
+    metric: Metric = Metric.Cosine,
+    alpha: Double = 0.75,                     // 0 = pure keyword, 1 = pure vector
+    fusionType: FusionType = FusionType.RelativeScore,
+    properties: Seq[String] = Nil,
+    maxVectorDistance: Option[Double] = None, // dense-leg cutoff (retrieval.go:120-121)
+    targetVectors: Seq[String] = Nil)
+
+/** sort (reference: entities/filters/sort.go:15-18). */
+final case class SortBy(path: Seq[String], desc: Boolean = false)
+object SortBy {
+  def asc(p: String): SortBy  = SortBy(p.split('/').toSeq, desc = false)
+  def desc(p: String): SortBy = SortBy(p.split('/').toSeq, desc = true)
+}
+
+/** limit/offset (reference: entities/filters/pagination.go). */
+final case class Pagination(offset: Int = 0, limit: Int = 25)
+
+/** keyset pagination (reference: entities/filters/cursor.go:14-37). */
+final case class Cursor(after: Option[Any], limit: Int)
+
+/** result grouping for searches (reference: searchparams groupBy + shard_group_by.go:29-208). */
+final case class GroupByParams(property: String, groups: Int, objectsPerGroup: Int)
+
+/** The Get query (reference: dto.GetParams). Exactly one search leg may be set. */
+final case class GetParams(
+    collection: String,
+    where: Option[Where] = None,
+    nearVector: Option[NearVector] = None,
+    nearObject: Option[NearObject] = None,
+    bm25: Option[Bm25] = None,
+    hybrid: Option[Hybrid] = None,
+    sort: Seq[SortBy] = Nil,
+    pagination: Option[Pagination] = None,
+    cursor: Option[Cursor] = None,
+    groupBy: Option[GroupByParams] = None,
+    properties: Seq[String] = Nil,            // empty = all declared props
+    additional: Set[String] = Set.empty,      // "id","distance","certainty","score","vector",...
+    tenant: Option[String] = None,
+    autocut: Option[Int] = None)
+
+// --- Aggregations (reference: entities/aggregation/params.go) ---
+
+sealed abstract class Aggregator(val name: String)
+object Aggregator {
+  case object Count   extends Aggregator("count")
+  case object Sum     extends Aggregator("sum")
+  case object Mean    extends Aggregator("mean")
+  case object Median  extends Aggregator("median")
+  case object Mode    extends Aggregator("mode")
+  case object Minimum extends Aggregator("minimum")
+  case object Maximum extends Aggregator("maximum")
+  case object TotalTrue       extends Aggregator("totalTrue")
+  case object TotalFalse      extends Aggregator("totalFalse")
+  case object PercentageTrue  extends Aggregator("percentageTrue")
+  case object PercentageFalse extends Aggregator("percentageFalse")
+  final case class TopOccurrences(limit: Int = 5) extends Aggregator("topOccurrences")
+}
+
+final case class AggregateParams(
+    collection: String,
+    groupBy: Option[Seq[String]] = None,      // property path; arrays explode into groups
+    properties: Map[String, Seq[Aggregator]] = Map.empty,
+    includeMetaCount: Boolean = false,
+    where: Option[Where] = None,
+    nearVector: Option[NearVector] = None,
+    hybrid: Option[Hybrid] = None,
+    objectLimit: Option[Int] = None,          // scope aggs to top-N search hits (params.go:32-41)
+    limit: Option[Int] = None,                // cap number of groups
+    tenant: Option[String] = None)

@@ -1,0 +1,74 @@
+package graft.model
+
+/**
+ * Collection schema model — the WHAT of weaviate's class/property system
+ * (reference: entities/models/class.go:32-72, entities/schema/data_types.go:27-72).
+ *
+ * A collection maps to one parquet/Delta-backed DataFrame whose columns are the
+ * declared properties plus engine metadata (`id`, vectors, timestamps, tenant).
+ * Schemas are dynamic per collection, so the engine is DataFrame-based, not
+ * typed-Dataset-based.
+ */
+sealed abstract class PropType(val name: String)
+object PropType {
+  case object Text          extends PropType("text")
+  case object Int           extends PropType("int")       // int64
+  case object Number        extends PropType("number")    // float64
+  case object Bool          extends PropType("boolean")
+  case object Date          extends PropType("date")      // RFC3339; engine keeps TimestampType (+ optional ns column)
+  case object Uuid          extends PropType("uuid")
+  case object Geo           extends PropType("geoCoordinates") // struct<lat:double,lon:double>
+  case object Blob          extends PropType("blob")      // BinaryType — multimodal payloads
+  case object Obj           extends PropType("object")    // nested StructType
+  case object Ref           extends PropType("cref")      // id(s) of target collection
+  case class Arr(elem: PropType) extends PropType(s"${elem.name}[]")
+}
+
+/**
+ * Tokenization modes for text properties
+ * (reference: entities/models/property.go:160-186, entities/tokenizer/tokenizer.go:228-279).
+ */
+sealed abstract class Tokenization(val name: String)
+object Tokenization {
+  case object Word       extends Tokenization("word")        // alphanumeric runs, lowercased
+  case object Lowercase  extends Tokenization("lowercase")   // whitespace split, lowercased
+  case object Whitespace extends Tokenization("whitespace")  // whitespace split, case kept
+  case object Field      extends Tokenization("field")       // whole value, trimmed
+  case object Trigram    extends Tokenization("trigram")     // sliding 3-grams of lowercased text
+}
+
+/** One declared property of a collection. */
+final case class Property(
+    name: String,
+    dataType: PropType,
+    tokenization: Tokenization = Tokenization.Word,
+    // which collection a cref points at (reference: beacon URIs, refcache/resolver.go:51)
+    refTarget: Option[String] = None,
+    indexFilterable: Boolean = true,
+    indexSearchable: Boolean = true)
+
+/**
+ * A collection ("class"). `idColumn` plays the role of weaviate's uuid primary
+ * key (any orderable unique column works — keyset pagination and tie-breaking
+ * order by it). `vectors` maps named-vector name → DataFrame column holding
+ * array<float> (reference: entities/models/class.go VectorConfig).
+ */
+final case class CollectionSchema(
+    name: String,
+    idColumn: String,
+    properties: Seq[Property],
+    vectors: Map[String, String] = Map.empty,
+    defaultVector: Option[String] = None,
+    tenantColumn: Option[String] = None) {
+
+  private val byName: Map[String, Property] = properties.map(p => p.name -> p).toMap
+  def property(name: String): Option[Property] = byName.get(name)
+
+  def vectorColumn(target: Option[String]): String = {
+    val key = target.orElse(defaultVector).getOrElse(
+      vectors.keys.headOption.getOrElse(
+        throw new IllegalArgumentException(s"collection $name has no vectors")))
+    vectors.getOrElse(key,
+      throw new IllegalArgumentException(s"collection $name has no vector named $key"))
+  }
+}

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Collection
+import graft.model._
+import graft.text.Tokenize
+
+/**
+ * BM25 / BM25F keyword ranking (reference: inverted/bm25_searcher.go;
+ * scoring math inverted/terms/terms.go:67-72 for idf and :241-249 for tf;
+ * defaults k1=1.2 b=0.75 usecases/config/config_handler.go:57-58).
+ *
+ *   idf(t) = ln(1 + (N - n_t + 0.5) / (n_t + 0.5))
+ *   tf(t)  = f / (f + k1 * (1 - b + b * len/avgLen))
+ *   score  = Σ_t idf(t) * tf(t) * propBoost
+ *
+ * Spark-first design: query terms are *literals*, so per-term term-frequency
+ * is a codegen'd array expression over the tokenized property — no explode, no
+ * shuffle on the docs side. Corpus stats (N, avgLen, per-term doc frequency)
+ * are a handful of scalars computed with one aggregate pass and folded into
+ * the scoring expression as literals. Top-k then runs as
+ * TakeOrderedAndProject. The reference's WAND/BlockMax pruning
+ * (bm25_searcher_block.go) is an inverted-index physical trick; the Spark
+ * equivalent at 100 TB is per-partition max-impact stats for partition
+ * pruning — at current scale the scan+TopK plan is already shuffle-minimal
+ * (only k rows per partition move).
+ *
+ * For repeated querying at scale, `Postings.build` materializes a postings
+ * table (term → doc list with tf) that turns each query into a broadcast
+ * semi-join instead of a full scan.
+ */
+object Bm25Search {
+
+  val ScoreCol = "_score"
+
+  final case class PropSpec(name: String, boost: Double)
+
+  /** Parse "prop^2" boost syntax (reference: searchparams retrieval.go BM25 properties). */
+  def parseProps(props: Seq[String]): Seq[PropSpec] = props.map { p =>
+    p.split('^') match {
+      case Array(n, b) => PropSpec(n, b.toDouble)
+      case Array(n)    => PropSpec(n, 1.0)
+    }
+  }
+
+  /**
+   * Score `base` (already where-filtered — reference applies the filter as an
+   * allowlist before scoring, shard_read.go:536-550) against the query.
+   * Returns rows containing >=1 query term (searchOperator Or) or all terms
+   * (And), with `_score`. IDF statistics come from the *unfiltered* collection
+   * (matching the reference, whose postings/idf are collection-wide).
+   */
+  def score(c: Collection, params: Bm25, base: Option[DataFrame] = None): DataFrame = {
+    val df = base.getOrElse(c.df)
+    val specs =
+      if (params.properties.nonEmpty) parseProps(params.properties)
+      else c.schema.properties.filter(p => p.dataType == PropType.Text && p.indexSearchable)
+        .map(p => PropSpec(p.name, 1.0))
+    require(specs.nonEmpty, s"bm25: no searchable text properties on ${c.name}")
+
+    // per-prop token arrays + per-prop query-token sets under that prop's tokenization
+    val propTok: Seq[(PropSpec, Tokenization)] = specs.map { s =>
+      s -> c.schema.property(s.name).map(_.tokenization).getOrElse(Tokenization.Word)
+    }
+    val queryTerms: Seq[String] =
+      propTok.flatMap { case (_, mode) => Tokenize.queryTokens(mode, params.query) }.distinct
+    require(queryTerms.nonEmpty, "bm25: empty query after tokenization")
+
+    // one aggregate pass over the (unfiltered) collection for stats:
+    // N, avgLen per prop, docFreq per (term, prop-any) — folded to literals.
+    val tokenized = propTok.zipWithIndex.foldLeft(c.df) { case (d, ((spec, mode), i)) =>
+      d.withColumn(s"__tok_$i", Tokenize(mode)(col(spec.name)))
+    }
+    val statAggs: Seq[Column] =
+      Seq(count(lit(1)).as("N")) ++
+      propTok.indices.map(i => avg(size(col(s"__tok_$i"))).as(s"avgLen_$i")) ++
+      queryTerms.zipWithIndex.map { case (t, ti) =>
+        // doc frequency: docs where ANY scored prop contains t (BM25F treats
+        // the document as one bag for idf)
+        sum(propTok.indices.map(i => array_contains(col(s"__tok_$i"), t))
+          .reduce[Column](_ || _).cast("long")).as(s"df_$ti")
+      }
+    val stats = tokenized.agg(statAggs.head, statAggs.tail: _*).head()
+    val bigN = stats.getAs[Long]("N").toDouble
+    val avgLen = propTok.indices.map(i => math.max(stats.getAs[Double](s"avgLen_$i"), 1e-9))
+    val docFreq = queryTerms.indices.map(i => stats.getAs[Long](s"df_$i").toDouble)
+
+    val scoredBase = propTok.zipWithIndex.foldLeft(df) { case (d, ((spec, mode), i)) =>
+      d.withColumn(s"__tok_$i", Tokenize(mode)(col(spec.name)))
+    }
+
+    def termFreq(i: Int, t: String): Column =
+      size(filter(col(s"__tok_$i"), x => x === lit(t))).cast("double")
+
+    val perTermScore: Seq[Column] = queryTerms.zipWithIndex.map { case (t, ti) =>
+      val n = docFreq(ti)
+      val idf = math.log(1.0 + (bigN - n + 0.5) / (n + 0.5))
+      val perProp = propTok.zipWithIndex.map { case ((spec, _), i) =>
+        val f = termFreq(i, t)
+        val len = size(col(s"__tok_$i")).cast("double")
+        val norm = lit(params.k1) * (lit(1.0 - params.b) + lit(params.b) * len / lit(avgLen(i)))
+        val tf = f / (f + norm)
+        tf * lit(idf) * lit(spec.boost)
+      }
+      coalesce(perProp.reduce(_ + _), lit(0.0))
+    }
+    val matchedTerms: Column = queryTerms.zipWithIndex.map { case (t, _) =>
+      propTok.indices.map(i => coalesce(array_contains(col(s"__tok_$i"), t), lit(false)))
+        .reduce[Column](_ || _).cast("int")
+    }.reduce(_ + _)
+
+    val minMatch = params.searchOperator match {
+      case SearchOperator.AndOp  => queryTerms.size
+      case SearchOperator.Or(m)  => math.max(1, m)
+    }
+    scoredBase
+      .withColumn(ScoreCol, perTermScore.reduce(_ + _))
+      .withColumn("__matched", matchedTerms)
+      .filter(col("__matched") >= minMatch)
+      .drop((propTok.indices.map(i => s"__tok_$i") :+ "__matched"): _*)
+  }
+
+  /** Top-k keyword search with deterministic id tie-break. */
+  def search(c: Collection, params: Bm25, limit: Int, base: Option[DataFrame] = None): DataFrame =
+    score(c, params, base)
+      .orderBy(col(ScoreCol).desc, col(c.schema.idColumn).asc)
+      .limit(limit)
+}

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Search-result grouping (reference: adapters/repos/db/shard_group_by.go:29-208):
+ * walk hits in rank order, open a group per distinct property value (up to
+ * `groups` groups, first-seen order), keep at most `objectsPerGroup` hits per
+ * group; array-valued properties join every element's group.
+ *
+ * The greedy stream semantics are order-equivalent to: rank hits; rank groups
+ * by their best (minimum) hit rank; keep top `groups` groups and the first
+ * `objectsPerGroup` hits within each — expressible with two window functions
+ * over the (bounded, top-k) search result, no driver loop.
+ */
+object ResultGroupBy {
+
+  /**
+   * @param ranked   search results already ordered/bounded (top-k frame)
+   * @param rankCol  ascending rank column name (1 = best)
+   * @param property group-by property (arrays exploded by caller)
+   */
+  def apply(ranked: DataFrame, rankCol: String, property: String,
+            groups: Int, objectsPerGroup: Int, explodeArrays: Boolean = false): DataFrame = {
+    val base = if (explodeArrays) ranked.withColumn("__gval", explode(col(property)))
+               else ranked.withColumn("__gval", col(property))
+    val wInGroup = Window.partitionBy(col("__gval")).orderBy(col(rankCol).asc)
+    val wGroups = Window.partitionBy().orderBy(col("__gmin").asc)
+    base
+      .withColumn("__rn_in_group", row_number().over(wInGroup))
+      .withColumn("__gmin", min(col(rankCol)).over(Window.partitionBy(col("__gval"))))
+      .withColumn("__gidx", dense_rank().over(wGroups))
+      .filter(col("__gidx") <= groups && col("__rn_in_group") <= objectsPerGroup)
+      .withColumnRenamed("__gval", "group_value")
+      .withColumnRenamed("__gidx", "group_index")
+      .withColumnRenamed("__rn_in_group", "group_hit_rank")
+      .drop("__gmin")
+  }
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Collection
+import org.apache.spark.sql.graft.VectorFunctions
+import graft.model._
+
+/**
+ * nearVector / nearObject execution (reference: shard_read.go:612-796;
+ * params entities/searchparams/retrieval.go:33-39).
+ *
+ * Spark-first design: the brute-force scan is a codegen'd distance expression
+ * over the vector column followed by `ORDER BY dist LIMIT k`, which Spark
+ * executes as TakeOrderedAndProject — per-partition bounded heaps, only
+ * k rows per partition cross the final exchange. That is exactly the
+ * shard-fanout + merge topology of the reference (index.go:2342-2436) and it
+ * scales linearly with executors. Index-accelerated probing (IVF) lives in
+ * graft.ann and is chosen by the planner when the collection has an index
+ * table (the analogue of the reference's flatSearchCutoff decision,
+ * entities/vectorindex/hnsw/config.go:34-39).
+ */
+object VectorSearch {
+
+  val DistanceCol = "_distance"
+  val CertaintyCol = "_certainty"
+
+  /** Score a frame with a distance column for one query vector. */
+  def withDistance(
+      df: DataFrame,
+      vectorCol: String,
+      query: Array[Float],
+      metric: Metric,
+      outCol: String = DistanceCol): DataFrame = {
+    val qLit = lit(query).cast("array<float>")
+    df.withColumn(outCol, VectorFunctions.distance(metric)(col(vectorCol), qLit))
+  }
+
+  /**
+   * Full nearVector over a collection: multi-target combination, threshold,
+   * deterministic top-k (ties broken by id — matches the reference's uuid
+   * tie-break in shard_combine_multi_target.go:85-88).
+   * limit None => SearchByVectorDistance semantics (unlimited, threshold only,
+   * reference: shard_read.go:674-700).
+   */
+  def nearVector(
+      c: Collection,
+      params: NearVector,
+      metric: Metric,
+      limit: Option[Int],
+      filtered: Option[DataFrame] = None): DataFrame = {
+    val base = filtered.getOrElse(c.df)
+    val targets: Seq[String] =
+      if (params.targetVectors.nonEmpty) params.targetVectors
+      else Seq(c.schema.defaultVector.getOrElse(c.schema.vectors.keys.head))
+
+    val scored =
+      if (targets.size == 1) {
+        withDistance(base, c.schema.vectors(targets.head), params.vector, metric)
+      } else {
+        // multi-target: one distance column per target, then combine
+        // (reference: shard_read.go:655-752, CombineMultiTargetResults)
+        val perTarget = targets.zipWithIndex.foldLeft(base) { case (d, (t, i)) =>
+          withDistance(d, c.schema.vectors(t), params.vector, metric, s"__d$i")
+        }
+        val dcols = targets.indices.map(i => col(s"__d$i"))
+        val combined: Column = params.combination match {
+          case TargetCombination.Minimum => dcols.reduce((a, b) => least(a, b))
+          case TargetCombination.Sum     => dcols.reduce(_ + _)
+          case TargetCombination.Average => dcols.reduce(_ + _) / dcols.size
+          case TargetCombination.ManualWeights(ws) =>
+            targets.zipWithIndex.map { case (t, i) => col(s"__d$i") * lit(ws.getOrElse(t, 1.0)) }.reduce(_ + _)
+          case TargetCombination.RelativeScore(ws) =>
+            // min-max normalize each target's distances before weighting
+            targets.zipWithIndex.map { case (t, i) =>
+              val d = col(s"__d$i")
+              val mn = min(d).over(); val mx = max(d).over()
+              when(mx === mn, lit(0.0)).otherwise((d - mn) / (mx - mn)) * lit(ws.getOrElse(t, 1.0))
+            }.reduce(_ + _)
+        }
+        perTarget.withColumn(DistanceCol, combined).drop(targets.indices.map(i => s"__d$i"): _*)
+      }
+
+    val threshold: Option[Double] =
+      params.distance.orElse(params.certainty.map(ct => 2.0 * (1.0 - ct))) // certainty = 1 - d/2
+    val cut = threshold.map(t => scored.filter(col(DistanceCol) <= t)).getOrElse(scored)
+    limit match {
+      case Some(k) => cut.orderBy(col(DistanceCol).asc, col(c.schema.idColumn).asc).limit(k)
+      case None    => cut.orderBy(col(DistanceCol).asc, col(c.schema.idColumn).asc)
+    }
+  }
+
+  /** nearObject: look up the anchor object's vector, then nearVector
+   * (reference: retrieval.go:128-135, near_params_vector.go). */
+  def nearObject(
+      c: Collection,
+      params: NearObject,
+      metric: Metric,
+      limit: Option[Int],
+      filtered: Option[DataFrame] = None): DataFrame = {
+    val vecCol = c.schema.vectorColumn(params.targetVectors.headOption)
+    val anchor = c.df.filter(col(c.schema.idColumn) === lit(params.id))
+      .select(col(vecCol)).head(1)
+    require(anchor.nonEmpty, s"nearObject: id ${params.id} not found in ${c.name}")
+    val vec = anchor.head.getSeq[Float](0).toArray
+    nearVector(c, NearVector(vec, metric, params.distance, params.certainty, params.targetVectors),
+      metric, limit, filtered)
+  }
+}

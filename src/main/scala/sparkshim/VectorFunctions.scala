@@ -1,0 +1,250 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+import graft.model.Metric
+
+/**
+ * Vector distance kernels as native Catalyst expressions with whole-stage
+ * codegen — the Spark analogue of weaviate's SIMD distancers
+ * (reference: adapters/repos/db/vector/hnsw/distancer/{cosine_dist.go,
+ * dot_product.go,l2.go,manhattan.go,hamming.go}; metric set
+ * entities/vectorindex/common). Inputs are `array<float>` columns; math is
+ * double-precision; the generated code is a tight primitive loop inside
+ * WholeStageCodegen (no boxing, no UDF serialization).
+ *
+ * Scale note: at 100 TB a brute-force distance scan is embarrassingly
+ * parallel — per-partition TopK (TakeOrderedAndProject) means only k rows per
+ * partition cross the shuffle to the driver-side final heap.
+ */
+abstract class VectorDistance extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  /** Java source for the accumulation loop body; sees `n`, `a`, `b`, writes `acc`. */
+  protected def loopBody(a: String, b: String): String
+  protected def finish(acc: Double): Double = acc
+  protected def finishCode(acc: String): String = acc
+
+  protected def dist(x: ArrayData, y: ArrayData): Double
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    dist(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |double $acc = 0.0;
+         |${loopBody(a, b).replace("ACC", acc).replace("N", n)}
+         |${ev.value} = ${finishCode(acc)};
+       """.stripMargin
+    })
+}
+
+/** l2-squared (reference: distancer/l2.go). */
+case class L2SquaredDistance(left: Expression, right: Expression) extends VectorDistance {
+  override def prettyName: String = "l2_squared"
+  protected def loopBody(a: String, b: String): String =
+    s"""for (int i = 0; i < N; i++) {
+       |  double d = (double) $a.getFloat(i) - (double) $b.getFloat(i);
+       |  ACC += d * d;
+       |}""".stripMargin
+  protected def dist(x: ArrayData, y: ArrayData): Double = {
+    var acc = 0.0; var i = 0; val n = x.numElements()
+    while (i < n) { val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble; acc += d * d; i += 1 }
+    acc
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** cosine distance = 1 - cos(a,b) (reference: distancer/cosine_dist.go). */
+case class CosineDistance(left: Expression, right: Expression) extends VectorDistance {
+  override def prettyName: String = "cosine_distance"
+  protected def loopBody(a: String, b: String): String =
+    s"""double dot = 0.0, na = 0.0, nb = 0.0;
+       |for (int i = 0; i < N; i++) {
+       |  double x = (double) $a.getFloat(i); double y = (double) $b.getFloat(i);
+       |  dot += x * y; na += x * x; nb += y * y;
+       |}
+       |ACC = (na == 0.0 || nb == 0.0) ? 1.0 : 1.0 - dot / Math.sqrt(na * nb);""".stripMargin
+  protected def dist(x: ArrayData, y: ArrayData): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0; val n = x.numElements()
+    while (i < n) {
+      val a = x.getFloat(i).toDouble; val b = y.getFloat(i).toDouble
+      dot += a * b; na += a * a; nb += b * b; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 1.0 else 1.0 - dot / math.sqrt(na * nb)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** negative dot product (reference: distancer/dot_product.go — more similar = smaller). */
+case class DotDistance(left: Expression, right: Expression) extends VectorDistance {
+  override def prettyName: String = "dot_distance"
+  protected def loopBody(a: String, b: String): String =
+    s"""for (int i = 0; i < N; i++) {
+       |  ACC += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+       |}""".stripMargin
+  override protected def finishCode(acc: String): String = s"-$acc"
+  protected def dist(x: ArrayData, y: ArrayData): Double = {
+    var acc = 0.0; var i = 0; val n = x.numElements()
+    while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    -acc
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** manhattan / L1 (reference: distancer/manhattan.go). */
+case class ManhattanDistance(left: Expression, right: Expression) extends VectorDistance {
+  override def prettyName: String = "manhattan_distance"
+  protected def loopBody(a: String, b: String): String =
+    s"""for (int i = 0; i < N; i++) {
+       |  ACC += Math.abs((double) $a.getFloat(i) - (double) $b.getFloat(i));
+       |}""".stripMargin
+  protected def dist(x: ArrayData, y: ArrayData): Double = {
+    var acc = 0.0; var i = 0; val n = x.numElements()
+    while (i < n) { acc += math.abs(x.getFloat(i).toDouble - y.getFloat(i).toDouble); i += 1 }
+    acc
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** hamming: count of differing positions (reference: distancer/hamming.go). */
+case class HammingDistance(left: Expression, right: Expression) extends VectorDistance {
+  override def prettyName: String = "hamming_distance"
+  protected def loopBody(a: String, b: String): String =
+    s"""for (int i = 0; i < N; i++) {
+       |  if ($a.getFloat(i) != $b.getFloat(i)) ACC += 1.0;
+       |}""".stripMargin
+  protected def dist(x: ArrayData, y: ArrayData): Double = {
+    var acc = 0.0; var i = 0; val n = x.numElements()
+    while (i < n) { if (x.getFloat(i) != y.getFloat(i)) acc += 1.0; i += 1 }
+    acc
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/**
+ * Haversine distance in meters between (lat1,lon1) and (lat2,lon2) — powers
+ * WithinGeoRange (reference: vector/hnsw/distancer/geo_spatial.go:19-41;
+ * filter filters.go:33). Uses the same formula/earth radius as the reference.
+ */
+case class HaversineMeters(
+    lat1: Expression, lon1: Expression, lat2: Expression, lon2: Expression)
+  extends QuaternaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq.fill(4)(DoubleType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def first: Expression = lat1
+  override def second: Expression = lon1
+  override def third: Expression = lat2
+  override def fourth: Expression = lon2
+  override def prettyName: String = "haversine_meters"
+
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    HaversineMeters.compute(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[Double], d.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) =>
+      s"org.apache.spark.sql.graft.HaversineMeters.compute($a, $b, $c, $d)")
+
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression, d: Expression) = copy(a, b, c, d)
+}
+
+object HaversineMeters {
+  private val EarthRadiusMeters = 6371000.0
+  /** Called from generated code — must stay public static-reachable. */
+  def compute(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+    val dLat = math.toRadians(lat2 - lat1)
+    val dLon = math.toRadians(lon2 - lon1)
+    val a = math.sin(dLat / 2) * math.sin(dLat / 2) +
+      math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) *
+        math.sin(dLon / 2) * math.sin(dLon / 2)
+    2 * EarthRadiusMeters * math.asin(math.min(1.0, math.sqrt(a)))
+  }
+}
+
+/**
+ * MaxSim late interaction for multi-vector (ColBERT-style) embeddings:
+ * score = Σ_i max_j (q_i · d_j); returned as a *distance* (negated) to keep
+ * smaller-is-better ordering (reference: shard_read.go:687-698,
+ * vector/multivector/). Inputs: array<array<float>> query and doc.
+ */
+case class MaxSimDistance(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(ArrayType(FloatType)), ArrayType(ArrayType(FloatType)))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "maxsim_distance"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val q = l.asInstanceOf[ArrayData]; val d = r.asInstanceOf[ArrayData]
+    var score = 0.0
+    var i = 0
+    val nq = q.numElements(); val nd = d.numElements()
+    while (i < nq) {
+      val qi = q.getArray(i)
+      val dim = qi.numElements()
+      var best = Double.NegativeInfinity
+      var j = 0
+      while (j < nd) {
+        val dj = d.getArray(j)
+        var dot = 0.0; var k = 0
+        while (k < dim) { dot += qi.getFloat(k).toDouble * dj.getFloat(k).toDouble; k += 1 }
+        if (dot > best) best = dot
+        j += 1
+      }
+      if (nd > 0) score += best
+      i += 1
+    }
+    -score
+  }
+
+  // Interpreted eval only (nested-loop over nested arrays); still sits inside a
+  // codegen stage via the fallback path. Hot-loop codegen is a later milestone.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val expr = ctx.addReferenceObj("maxsim", this, classOf[MaxSimDistance].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""${ev.value} = (double) (Double) $expr.nullSafeEval($a, $b);""")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** Column-level API over the kernels. */
+object VectorFunctions {
+  private def c(e: Expression): Column = ExpressionUtils.column(e)
+  private def x(col: Column): Expression = ExpressionUtils.expression(col)
+
+  def l2Squared(a: Column, b: Column): Column = c(L2SquaredDistance(x(a), x(b)))
+  def cosineDistance(a: Column, b: Column): Column = c(CosineDistance(x(a), x(b)))
+  def dotDistance(a: Column, b: Column): Column = c(DotDistance(x(a), x(b)))
+  def manhattan(a: Column, b: Column): Column = c(ManhattanDistance(x(a), x(b)))
+  def hamming(a: Column, b: Column): Column = c(HammingDistance(x(a), x(b)))
+  def maxSim(q: Column, d: Column): Column = c(MaxSimDistance(x(q), x(d)))
+  def haversineMeters(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
+    c(HaversineMeters(x(lat1), x(lon1), x(lat2), x(lon2)))
+
+  def distance(metric: Metric)(a: Column, b: Column): Column = metric match {
+    case Metric.Cosine    => cosineDistance(a, b)
+    case Metric.Dot       => dotDistance(a, b)
+    case Metric.L2Squared => l2Squared(a, b)
+    case Metric.Manhattan => manhattan(a, b)
+    case Metric.Hamming   => hamming(a, b)
+  }
+
+  /** certainty = 1 - d/2, cosine only (reference: entities/additional/distance.go:14-30). */
+  def certaintyFromDistance(d: Column): Column =
+    org.apache.spark.sql.functions.lit(1.0) - d / 2.0
+}
