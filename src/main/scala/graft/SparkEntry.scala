@@ -44,27 +44,27 @@ object SparkEntry {
    * assume aliases `e` (embeddings row) and `q` (the qv row) and compute in
    * DOUBLE (DuckDB's list_distance & co are float32 — would diverge from our
    * double-precision kernels). */
-  private def sqlQv(vecId: Long): String =
+  private[graft] def sqlQv(vecId: Long): String =
     s"qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = $vecId)"
 
-  private def sqlL2(a: String, b: String): String =
+  private[graft] def sqlL2(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a)+1), i -> " +
     s"power(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE), 2)))"
 
   /** L2 squared against the element-reversed `a` (the "rev" named vector). */
-  private def sqlL2Rev(a: String, b: String): String =
+  private[graft] def sqlL2Rev(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a)+1), i -> " +
     s"power(CAST($a[len($a)+1-i] AS DOUBLE) - CAST($b[i] AS DOUBLE), 2)))"
 
-  private def sqlDot(a: String, b: String): String =
+  private[graft] def sqlDot(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
-  private def sqlCosine(a: String, b: String): String =
+  private[graft] def sqlCosine(a: String, b: String): String =
     s"(1.0 - ${sqlDot(a, b)} / sqrt(${sqlDot(a, a)} * ${sqlDot(b, b)}))"
 
   /** DuckDB BM25 oracle over documents.text (word tokenization), mirroring
    * Bm25Search exactly: same idf/tf formulas, same term order, double math. */
-  private def sqlBm25(terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): (String, String) = {
+  private[graft] def sqlBm25(terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): (String, String) = {
     val fCols = terms.zipWithIndex.map { case (t, i) =>
       s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS f$i" }.mkString(", ")
     val dfCols = terms.zipWithIndex.map { case (t, i) =>
@@ -84,7 +84,9 @@ object SparkEntry {
 
   // --- the query inventory --------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = base ++ SparkEntryExt.queries
+
+  private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // §2.2 filters: And + numeric/date ranges + (field-tokenized) text equal
     "q_filter_and_range" -> ((s, dir) => {
@@ -361,7 +363,9 @@ object SparkEntry {
 
   // --- DuckDB oracle SQL ----------------------------------------------------
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = baseOracle ++ SparkEntryExt.oracleSql
+
+  private def baseOracle: Map[String, String] = Map(
     "q_filter_and_range" ->
       """SELECT l_orderkey, l_linenumber FROM lineitem
         |WHERE l_returnflag = 'R' AND l_quantity > 30 AND l_shipdate < TIMESTAMP '1995-06-17'

@@ -1,0 +1,407 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Graft
+import graft.model._
+import graft.operators._
+import graft.pipeline._
+
+/**
+ * Query inventory, part 2: hybrid relativeScore, autocut, objectLimit-scoped
+ * aggregation, Explore, boost, the training-pipeline operators (dedup ×4,
+ * text analysis ×3, sessionization, kNN classification, ref2vec, multimodal
+ * stub). Same determinism rules as SparkEntry.
+ */
+object SparkEntryExt {
+
+  private def g(spark: SparkSession, dir: String): Graft = Fixtures.graft(spark, dir)
+
+  /** embeddings ∪ exact copies (vec_id % 50 == 0 → vec_id+1000000). */
+  private def embWithPlantedDups(g: Graft): DataFrame = {
+    val emb = g.collection("Embedding").df.select(col("vec_id"), col("embedding"))
+    emb.unionByName(emb.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §2.5 hybrid relativeScoreFusion (the default fusion since 1.24)
+    "q_hybrid_relative" -> ((s, dir) => {
+      val gg = g(s, dir)
+      gg.get(GetParams("DocVec",
+        hybrid = Some(Hybrid("spark join stream", vector = Some(Fixtures.anchorVector(gg, 7L)),
+          metric = Metric.Cosine, alpha = 0.6, fusionType = FusionType.RelativeScore)),
+        pagination = Some(Pagination(limit = 15)),
+        properties = Seq("doc_id"),
+        additional = Set("score")))
+        .select(col("doc_id"), round(col("_score"), 4).as("score"))
+    }),
+
+    // §2.5 autocut (reference algorithm: extrema of score-vs-rank curve)
+    "q_autocut" -> ((s, dir) => {
+      g(s, dir).get(GetParams("Document",
+        bm25 = Some(Bm25("spark join", properties = Seq("text"))),
+        autocut = Some(1),
+        pagination = Some(Pagination(limit = 30)),
+        properties = Seq("doc_id"),
+        additional = Set("score")))
+        .select(col("doc_id"), round(col("_score"), 4).as("score"))
+    }),
+
+    // §2.6 objectLimit-scoped aggregation (aggregate over top-N vector hits)
+    "q_agg_objectlimit" -> ((s, dir) => {
+      val gg = g(s, dir)
+      gg.aggregate(AggregateParams("Embedding",
+        properties = Map("label" -> Seq(
+          Aggregator.Count, Aggregator.Mean, Aggregator.Minimum, Aggregator.Maximum)),
+        includeMetaCount = true,
+        nearVector = Some(NearVector(Fixtures.anchorVector(gg, 5L), metric = Metric.L2Squared)),
+        objectLimit = Some(100)))
+        .select(col("meta_count"), col("label_count"),
+          round(col("label_mean"), 4).as("label_mean"),
+          col("label_minimum").as("label_min"), col("label_maximum").as("label_max"))
+    }),
+
+    // §2.7 Explore: cross-collection kNN returning beacons
+    "q_explore" -> ((s, dir) => {
+      val gg = g(s, dir)
+      Explore(gg, Seq("DocVec", "Embedding"), Fixtures.anchorVector(gg, 7L), Metric.Cosine, 10)
+        .select(col("class_name"), col("beacon_id"), round(col("distance"), 4).as("distance"))
+    }),
+
+    // §2.5 boost: soft rerank of a BM25 pool by filter-match + log1p property
+    "q_boost" -> ((s, dir) => {
+      val gg = g(s, dir)
+      val pool = Bm25Search.search(gg.collection("Document"), Bm25("spark join", Seq("text")), 50)
+      Boost.rescore(pool, col(Bm25Search.ScoreCol), Seq(
+          Boost.FilterMatch(col("lang") === "en", 0.5),
+          Boost.PropertyValue(col("n_chars"), Some("log1p"), 1.0)), 0.3)
+        .orderBy(col("_boosted_score").desc, col("doc_id").asc)
+        .select(col("doc_id"), round(col("_boosted_score"), 4).as("boosted"))
+    }),
+
+    // pipeline: exact dedup (hash-groupBy, canonical = min id)
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(Fixtures.events(s, dir), Seq(col("user_id"), col("event_type")), col("event_id"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // pipeline: MinHash-LSH near-dup detection (bucket → exact-Jaccard verify).
+    // The documents table carries natural near-duplicates; no SQL oracle
+    // (xxhash64 signatures aren't expressible in DuckDB) — recall vs brute
+    // force is asserted in DedupSpec instead.
+    "q_dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashDuplicates(g(s, dir).collection("Document").df, col("doc_id"), col("text"),
+          shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.7)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // pipeline: bucketed n-gram Jaccard dedup (exact within source buckets)
+    "q_dedup_jaccard" -> ((s, dir) => {
+      val docs = g(s, dir).collection("Document").df
+      Dedup.ngramJaccardDuplicates(docs, col("doc_id"), col("text"), Seq(col("source")),
+          shingleSize = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // pipeline: SimHash near-dup (no SQL oracle: xxhash64 not in DuckDB)
+    "q_dedup_simhash" -> ((s, dir) => {
+      val docs = g(s, dir).collection("Document").df.select(col("doc_id"), col("text"))
+      Dedup.simhashDuplicates(docs, col("doc_id"), col("text"), maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // pipeline: embedding cosine near-dup via hyperplane LSH + exact verify
+    "q_dedup_embed" -> ((s, dir) => {
+      Dedup.embeddingDuplicates(embWithPlantedDups(g(s, dir)), col("vec_id"), col("embedding"),
+          dim = 64, planes = 16, maxCosineDistance = 0.05)
+        .select(col("id_a"), col("id_b"), round(abs(col("dist")), 4).as("dist"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // pipeline: text quality features (one scan, pure column math)
+    "q_text_stats" -> ((s, dir) => {
+      g(s, dir).collection("Document").df.select(
+        col("doc_id"),
+        TextAnalysis.tokenCountWhitespace(col("text")).cast("long").as("ws_tokens"),
+        TextAnalysis.tokenCountBpeIsh(col("text")).as("bpe_tokens"),
+        round(TextAnalysis.punctRatio(col("text")), 4).as("punct_ratio"),
+        round(TextAnalysis.stopwordRatio(col("text")), 4).as("stopword_ratio"),
+        round(TextAnalysis.meanTokenLen(col("text")), 4).as("mean_token_len"),
+        round(TextAnalysis.qualityScore(col("text")), 4).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // pipeline: stopword-profile language ID
+    "q_text_langid" -> ((s, dir) => {
+      g(s, dir).collection("Document").df
+        .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // pipeline: document fingerprint (md5 of normalized tokens)
+    "q_text_fingerprint" -> ((s, dir) => {
+      g(s, dir).collection("Document").df
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // pipeline: sessionization (30-min gap) over the events stream table
+    "q_sessionize" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("us").asc, col("event_id").asc)
+      val ev = Fixtures.events(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      val marked = ev.withColumn("__new",
+        when(lag(col("us"), 1).over(w).isNull ||
+             col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1).otherwise(0))
+      val sess = marked.withColumn("__sess",
+        sum(col("__new")).over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      sess.groupBy(col("user_id"), col("__sess")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), max(col("cnt")).as("max_session_events"))
+        .orderBy(col("user_id"))
+    }),
+
+    // pipeline: kNN classification (majority label of 5 nearest neighbours)
+    "q_classify_knn" -> ((s, dir) => {
+      val emb = g(s, dir).collection("Embedding").df
+      val probes = emb.filter(col("vec_id") % 100 === 0)
+      Classify.knn(emb, col("vec_id"), col("embedding"), col("label"),
+          probes, col("vec_id"), col("embedding"), k = 5)
+        .orderBy(col("probe_id"))
+    }),
+
+    // pipeline: ref2vec-centroid (mean vector per group)
+    "q_ref2vec" -> ((s, dir) => {
+      Ref2Vec.centroid(g(s, dir).collection("DocVec").df, col("lang"), col("embedding"))
+        .select(col("group").as("lang"),
+          round(element_at(col("centroid"), 1), 4).as("dim0"),
+          round(element_at(col("centroid"), 2), 4).as("dim1"))
+        .orderBy(col("lang"))
+    }),
+
+    // pipeline: multimodal binary-column plumbing (stub decode — no codec in
+    // this environment; deterministic fake features, real schema/batching)
+    "q_multimodal_stub" -> ((s, dir) => {
+      val ev = Fixtures.events(s, dir).withColumn("payload", col("props").cast("binary"))
+      Multimodal.extractFeatures(ev, col("payload"), dim = 8)
+        .select(col("event_id"),
+          round(element_at(col("features"), 1).cast("double"), 4).as("feat0"))
+        .orderBy(col("event_id"))
+    }),
+
+    // §2.3 MMR diversity re-selection (driver-side over bounded pool, like ref)
+    "q_mmr" -> ((s, dir) => {
+      val gg = g(s, dir)
+      val pool = gg.get(GetParams("Embedding",
+        nearObject = Some(NearObject(7L, metric = Metric.Cosine)),
+        pagination = Some(Pagination(limit = 50))))
+      Mmr.rerank(pool.withColumn("rel", lit(1.0) - col("_distance") / 2.0),
+          "vec_id", "embedding", "rel", lambda = 0.7, k = 10)
+        .select(col("id").as("vec_id"), col("mmr_rank").cast("long").as("mmr_rank"),
+          round(col("mmr_score"), 4).as("mmr_score"))
+    })
+  )
+
+  import SparkEntry.{sqlQv, sqlL2, sqlCosine, sqlBm25}
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_hybrid_relative" -> {
+      val (ctes, _) = sqlBm25(Seq("spark", "join", "stream"))
+      s"""WITH $ctes,
+         |sparse0 AS (SELECT doc_id, score_exact FROM scored WHERE terms_matched >= 1
+         |            ORDER BY score_exact DESC, doc_id ASC LIMIT 100),
+         |sparse AS (SELECT doc_id, CASE WHEN max(score_exact) OVER () = min(score_exact) OVER () THEN 1.0
+         |             ELSE (score_exact - min(score_exact) OVER ()) / (max(score_exact) OVER () - min(score_exact) OVER ()) END AS sn
+         |           FROM sparse0),
+         |${sqlQv(7)},
+         |densed AS (SELECT d.doc_id, 1.0 - ${sqlCosine("e.embedding", "q.v")} / 2.0 AS sc
+         |           FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id CROSS JOIN qv q
+         |           ORDER BY sc DESC, d.doc_id ASC LIMIT 100),
+         |dense AS (SELECT doc_id, CASE WHEN max(sc) OVER () = min(sc) OVER () THEN 1.0
+         |            ELSE (sc - min(sc) OVER ()) / (max(sc) OVER () - min(sc) OVER ()) END AS dn
+         |          FROM densed),
+         |fused AS (SELECT coalesce(s.doc_id, d.doc_id) AS doc_id,
+         |                 coalesce(s.sn * 0.4, 0.0) + coalesce(d.dn * 0.6, 0.0) AS score_f
+         |          FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id)
+         |SELECT doc_id, round(score_f, 4) AS score FROM fused
+         |ORDER BY score_f DESC, doc_id ASC LIMIT 15""".stripMargin
+    },
+
+    "q_autocut" -> {
+      val (ctes, _) = sqlBm25(Seq("spark", "join"))
+      s"""WITH $ctes,
+         |top AS (SELECT doc_id, score_exact FROM scored WHERE terms_matched >= 1
+         |        ORDER BY score_exact DESC, doc_id ASC LIMIT 30),
+         |t1 AS (SELECT doc_id, score_exact,
+         |         row_number() OVER (ORDER BY score_exact DESC, doc_id ASC) - 1 AS i,
+         |         count(*) OVER () AS n,
+         |         first_value(score_exact) OVER (ORDER BY score_exact DESC, doc_id ASC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS y0,
+         |         last_value(score_exact) OVER (ORDER BY score_exact DESC, doc_id ASC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS yl
+         |       FROM top),
+         |t2 AS (SELECT *, CASE WHEN n <= 1 OR yl = y0 THEN 0.0
+         |         ELSE (score_exact - y0) / (yl - y0) - CAST(i AS DOUBLE) / (n - 1) END AS diff FROM t1),
+         |t3 AS (SELECT *, lag(diff, 1) OVER (ORDER BY i) AS dp, lag(diff, 2) OVER (ORDER BY i) AS dp2,
+         |              lead(diff, 1) OVER (ORDER BY i) AS dn FROM t2),
+         |t4 AS (SELECT *, CASE WHEN i = 0 THEN 0
+         |         WHEN i = n - 1 THEN CASE WHEN diff > dp AND diff > coalesce(dp2, dp) THEN 1 ELSE 0 END
+         |         ELSE CASE WHEN diff > dp AND diff > dn THEN 1 ELSE 0 END END AS ext FROM t3),
+         |t5 AS (SELECT *, sum(ext) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS extcum FROM t4),
+         |t6 AS (SELECT *, min(CASE WHEN ext = 1 AND extcum >= 1 THEN i END) OVER () AS cutat FROM t5)
+         |SELECT doc_id, round(score_exact, 4) AS score FROM t6
+         |WHERE cutat IS NULL OR i < cutat ORDER BY i""".stripMargin
+    },
+
+    "q_agg_objectlimit" ->
+      s"""WITH ${sqlQv(5)},
+         |d AS (SELECT e.vec_id, e.label, ${sqlL2("e.embedding", "q.v")} AS dist
+         |      FROM embeddings e CROSS JOIN qv q),
+         |top AS (SELECT * FROM d ORDER BY dist ASC, vec_id ASC LIMIT 100)
+         |SELECT count(*) AS meta_count, count(label) AS label_count,
+         |       round(avg(label), 4) AS label_mean,
+         |       min(label) AS label_min, max(label) AS label_max
+         |FROM top""".stripMargin,
+
+    "q_explore" ->
+      s"""WITH ${sqlQv(7)},
+         |legs AS (
+         |  SELECT 'DocVec' AS class_name, CAST(d.doc_id AS VARCHAR) AS beacon_id,
+         |         ${sqlCosine("e.embedding", "q.v")} AS d_exact
+         |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id CROSS JOIN qv q
+         |  UNION ALL
+         |  SELECT 'Embedding', CAST(e.vec_id AS VARCHAR), ${sqlCosine("e.embedding", "q.v")}
+         |  FROM embeddings e CROSS JOIN qv q)
+         |SELECT class_name, beacon_id, round(d_exact, 4) AS distance FROM legs
+         |ORDER BY d_exact ASC, class_name ASC, beacon_id ASC LIMIT 10""".stripMargin,
+
+    "q_boost" -> {
+      val (ctes, _) = sqlBm25(Seq("spark", "join"))
+      s"""WITH $ctes,
+         |top AS (SELECT doc_id, score_exact FROM scored WHERE terms_matched >= 1
+         |        ORDER BY score_exact DESC, doc_id ASC LIMIT 50),
+         |j AS (SELECT t.doc_id, t.score_exact, d.lang, d.n_chars FROM top t JOIN documents d USING (doc_id)),
+         |n1 AS (SELECT *,
+         |  CASE WHEN max(score_exact) OVER () = min(score_exact) OVER () THEN 1.0
+         |    ELSE (score_exact - min(score_exact) OVER ()) / (max(score_exact) OVER () - min(score_exact) OVER ()) END AS pnorm,
+         |  CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END * 0.5 AS fb,
+         |  ln(1 + greatest(CAST(n_chars AS DOUBLE), 0)) AS lv FROM j),
+         |n2 AS (SELECT *,
+         |  CASE WHEN max(lv) OVER () = min(lv) OVER () THEN 1.0
+         |    ELSE (lv - min(lv) OVER ()) / (max(lv) OVER () - min(lv) OVER ()) END * 1.0 AS pvb FROM n1)
+         |SELECT doc_id, round(pnorm * 0.7 + (fb + pvb) * 0.3, 4) AS boosted FROM n2
+         |ORDER BY (pnorm * 0.7 + (fb + pvb) * 0.3) DESC, doc_id ASC""".stripMargin
+    },
+
+    "q_dedup_exact" ->
+      """SELECT user_id, event_type, min(event_id) AS canonical_id, count(*) AS dup_count
+        |FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
+
+    // exact oracle: same-source pairs with shingle-set Jaccard ≥ 0.5 (the
+    // engine's bucketed candidate space is identical by construction)
+    "q_dedup_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN len(toks) < 3 THEN list_distinct([array_to_string(toks, ' ')])
+        |    ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS s
+        |  FROM t),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jac
+        |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM pairs
+        |WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    // planted-pair oracle (same argument; copies are bit-identical → dist 0,
+    // natural pairs all ≥ 0.3 cosine distance)
+    "q_dedup_embed" ->
+      """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, 0.0 AS dist
+        |FROM embeddings WHERE vec_id % 50 = 0 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS ws_tokens,
+        |  CAST(list_sum(list_transform(
+        |    regexp_extract_all(lower(text), '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]'),
+        |    p -> CAST(ceil(len(p) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_tokens,
+        |  round(CASE WHEN len(regexp_replace(text, '\s+', '', 'g')) = 0 THEN 0.0
+        |    ELSE CAST(len(regexp_replace(text, '[\p{L}\p{N}\s]+', '', 'g')) AS DOUBLE)
+        |       / len(regexp_replace(text, '\s+', '', 'g')) END, 4) AS punct_ratio,
+        |  round(CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE CAST(len(list_filter(toks, x -> list_contains(['a','an','and','are','as','at','be','but','by','for','if','in','into','is','it','no','not','of','on','or','such','that','the','their','then','there','these','they','this','to','was','will','with'], x))) AS DOUBLE) / len(toks) END, 4) AS stopword_ratio,
+        |  round(CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / len(toks) END, 4) AS mean_token_len,
+        |  round((least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+        |       + greatest(1.0 - (CASE WHEN len(regexp_replace(text, '\s+', '', 'g')) = 0 THEN 0.0
+        |           ELSE CAST(len(regexp_replace(text, '[\p{L}\p{N}\s]+', '', 'g')) AS DOUBLE)
+        |              / len(regexp_replace(text, '\s+', '', 'g')) END) * 4.0, 0.0)
+        |       + least((CASE WHEN len(toks) = 0 THEN 0.0
+        |           ELSE CAST(len(list_filter(toks, x -> list_contains(['a','an','and','are','as','at','be','but','by','for','if','in','into','is','it','no','not','of','on','or','such','that','the','their','then','there','these','they','this','to','was','will','with'], x))) AS DOUBLE) / len(toks) END) * 10.0, 1.0)) / 3.0, 4) AS quality
+        |FROM (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_text_langid" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |h AS (SELECT doc_id,
+        |  CAST(list_contains(toks,'der') AS INT) + CAST(list_contains(toks,'die') AS INT) + CAST(list_contains(toks,'und') AS INT) + CAST(list_contains(toks,'das') AS INT) + CAST(list_contains(toks,'ist') AS INT) + CAST(list_contains(toks,'nicht') AS INT) + CAST(list_contains(toks,'ein') AS INT) + CAST(list_contains(toks,'mit') AS INT) AS h_de,
+        |  CAST(list_contains(toks,'the') AS INT) + CAST(list_contains(toks,'a') AS INT) + CAST(list_contains(toks,'and') AS INT) + CAST(list_contains(toks,'of') AS INT) + CAST(list_contains(toks,'to') AS INT) + CAST(list_contains(toks,'is') AS INT) + CAST(list_contains(toks,'in') AS INT) + CAST(list_contains(toks,'that') AS INT) AS h_en,
+        |  CAST(list_contains(toks,'el') AS INT) + CAST(list_contains(toks,'la') AS INT) + CAST(list_contains(toks,'de') AS INT) + CAST(list_contains(toks,'los') AS INT) + CAST(list_contains(toks,'las') AS INT) + CAST(list_contains(toks,'que') AS INT) + CAST(list_contains(toks,'y') AS INT) + CAST(list_contains(toks,'es') AS INT) AS h_es,
+        |  CAST(list_contains(toks,'le') AS INT) + CAST(list_contains(toks,'la') AS INT) + CAST(list_contains(toks,'les') AS INT) + CAST(list_contains(toks,'et') AS INT) + CAST(list_contains(toks,'des') AS INT) + CAST(list_contains(toks,'que') AS INT) + CAST(list_contains(toks,'est') AS INT) + CAST(list_contains(toks,'une') AS INT) AS h_fr
+        |FROM t)
+        |SELECT doc_id, CASE
+        |  WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+        |  WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+        |  WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+        |  ELSE 'fr' END AS lang_pred
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id, md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |m AS (SELECT user_id, event_id, us,
+        |  CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+        |         OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+        |       THEN 1 ELSE 0 END AS newsess FROM e),
+        |m2 AS (SELECT user_id, sum(newsess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |         ROWS UNBOUNDED PRECEDING) AS sess FROM m),
+        |c AS (SELECT user_id, sess, count(*) AS cnt FROM m2 GROUP BY user_id, sess)
+        |SELECT user_id, count(*) AS n_sessions, CAST(max(cnt) AS BIGINT) AS max_session_events
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_classify_knn" ->
+      s"""WITH probes AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id % 100 = 0),
+         |pairs AS (
+         |  SELECT p.probe_id, e.vec_id, e.label, ${sqlL2("e.embedding", "p.pv")} AS dist
+         |  FROM embeddings e CROSS JOIN probes p WHERE e.vec_id <> p.probe_id),
+         |top AS (SELECT * FROM (
+         |  SELECT probe_id, vec_id, label,
+         |         row_number() OVER (PARTITION BY probe_id ORDER BY dist ASC, vec_id ASC) AS rnk
+         |  FROM pairs) WHERE rnk <= 5),
+         |v AS (SELECT probe_id, label, count(*) AS votes FROM top GROUP BY probe_id, label),
+         |pick AS (SELECT probe_id, label, votes,
+         |         row_number() OVER (PARTITION BY probe_id ORDER BY votes DESC, label ASC) AS rn FROM v)
+         |SELECT probe_id, label AS predicted_label, votes FROM pick WHERE rn = 1 ORDER BY probe_id""".stripMargin,
+
+    "q_ref2vec" ->
+      """SELECT d.lang,
+        |  round(avg(CAST(e.embedding[1] AS DOUBLE)), 4) AS dim0,
+        |  round(avg(CAST(e.embedding[2] AS DOUBLE)), 4) AS dim1
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+  )
+}

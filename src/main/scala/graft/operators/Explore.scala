@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.engine.Graft
+import graft.model.{Metric, NearVector}
+
+/**
+ * Explore: kNN across *all* collections at once, returning (class, id,
+ * distance) beacons (reference: usecases/traverser/traverser_explore_concepts.go:23,
+ * db/search.go:231-295). Spark shape: per-collection distance scan + TopK,
+ * unionByName, re-sort — each leg stays embarrassingly parallel and only k
+ * rows per collection reach the final merge.
+ */
+object Explore {
+
+  def apply(g: Graft, collections: Seq[String], vector: Array[Float],
+            metric: Metric, limit: Int): DataFrame = {
+    val legs = collections.map { name =>
+      val c = g.collection(name)
+      VectorSearch.nearVector(c, NearVector(vector, metric), metric, Some(limit))
+        .select(
+          lit(name).as("class_name"),
+          col(c.schema.idColumn).cast("string").as("beacon_id"),
+          col(VectorSearch.DistanceCol).as("distance"))
+    }
+    legs.reduce(_ unionByName _)
+      .orderBy(col("distance").asc, col("class_name").asc, col("beacon_id").asc)
+      .limit(limit)
+  }
+}

@@ -104,27 +104,38 @@ object HybridSearch {
   }
 
   /**
-   * autocut: cut the ranked list at the Nth "jump" of the normalized
-   * score-vs-rank curve (reference: entities/autocut/autocut.go:14-51).
-   * Window-based: a jump is a rank where the normalized score drop from the
-   * previous rank exceeds 1/len; keep everything before the Nth jump.
+   * autocut — faithful port of the reference algorithm
+   * (entities/autocut/autocut.go:14-51): over the ranked score curve, let
+   * ynorm_i = (y_i − y_0)/(y_last − y_0), diff_i = ynorm_i − i/(n−1); count
+   * local maxima of diff (last element compares against i−1 and i−2); cut
+   * *before* the cutOff-th extremum; no such extremum → keep everything.
+   * Expressed entirely with window functions over the bounded top-k frame.
    */
   def autocut(ranked: DataFrame, scoreCol: Column, id: Column, cuts: Int): DataFrame = {
     val w = Window.orderBy(scoreCol.desc, id.asc)
-    val wAll = Window.partitionBy()
-    val withStats = ranked
-      .withColumn("__rank", row_number().over(w))
+    val wAll = Window.partitionBy().orderBy(scoreCol.desc, id.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val base = ranked
+      .withColumn("__i", row_number().over(w) - 1)
       .withColumn("__n", count(lit(1)).over(wAll))
-      .withColumn("__mx", max(scoreCol).over(wAll))
-      .withColumn("__mn", min(scoreCol).over(wAll))
-    val sNorm = when(col("__mx") === col("__mn"), lit(1.0))
-      .otherwise((scoreCol - col("__mn")) / (col("__mx") - col("__mn")))
-    val prevNorm = lag(sNorm, 1).over(w)
-    val isJump = when(col("__rank") === 1, lit(0))
-      .otherwise((coalesce(prevNorm - sNorm, lit(0.0)) > lit(1.0) / col("__n")).cast("int"))
-    withStats
-      .withColumn("__jumps", sum(isJump).over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      .filter(col("__jumps") < cuts)
-      .drop("__rank", "__n", "__mx", "__mn", "__jumps")
+      .withColumn("__y0", first(scoreCol).over(wAll))
+      .withColumn("__yl", last(scoreCol).over(wAll))
+    val ynorm = (scoreCol - col("__y0")) / (col("__yl") - col("__y0"))
+    val diffed = base.withColumn("__diff",
+      when(col("__n") <= 1 || col("__yl") === col("__y0"), lit(0.0))
+        .otherwise(ynorm - col("__i").cast("double") / (col("__n") - 1)))
+    val d = col("__diff")
+    val dPrev = lag(d, 1).over(w); val dPrev2 = lag(d, 2).over(w); val dNext = lead(d, 1).over(w)
+    val isExt = when(col("__i") === 0, lit(0))
+      .when(col("__i") === col("__n") - 1,
+        (d > dPrev && d > coalesce(dPrev2, dPrev)).cast("int"))
+      .otherwise((d > dPrev && d > dNext).cast("int"))
+    val marked = diffed
+      .withColumn("__ext", isExt)
+      .withColumn("__extCum", sum(col("__ext")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val cutAt = min(when(col("__ext") === 1 && col("__extCum") >= cuts, col("__i"))).over(wAll)
+    marked.withColumn("__cut", cutAt)
+      .filter(col("__cut").isNull || col("__i") < col("__cut"))
+      .drop("__i", "__n", "__y0", "__yl", "__diff", "__ext", "__extCum", "__cut")
   }
 }

@@ -1,0 +1,34 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Metric
+import graft.operators.KnnJoin
+
+/**
+ * kNN classification as a batch job (reference: usecases/classification/
+ * classifier.go:229-300, adapters/repos/db/classification.go:33-120): assign
+ * each unlabeled object the majority label among its k nearest labeled
+ * neighbours; ties break to the smallest label (the reference's winner pick is
+ * map-iteration-unordered — we pin a total order for reproducibility).
+ */
+object Classify {
+
+  /** @return (probe_id, predicted_label, votes) one row per probe. */
+  def knn(
+      labeled: DataFrame, labeledId: Column, labeledVec: Column, labelCol: Column,
+      probes: DataFrame, probeId: Column, probeVec: Column,
+      k: Int, metric: Metric = Metric.L2Squared): DataFrame = {
+    val neighbours = KnnJoin(labeled, labeledId, labeledVec,
+      probes, probeId, probeVec, k, metric)
+    val withLabels = neighbours.join(
+      labeled.select(labeledId.as("data_id"), labelCol.as("label")), Seq("data_id"))
+    val votes = withLabels.groupBy(col("probe_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("votes").desc, col("label").asc)
+    votes.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("probe_id"), col("label").as("predicted_label"), col("votes"))
+  }
+}

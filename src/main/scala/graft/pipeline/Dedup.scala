@@ -1,0 +1,199 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import org.apache.spark.sql.graft.VectorFunctions
+import graft.text.Tokenize
+
+/**
+ * Deduplication operators for large-scale training-data pipelines. These are
+ * engine extensions beyond the weaviate surface (the reference has no dedup;
+ * its nearest notion is vector similarity, §2.3), designed around the two
+ * patterns that survive 100 TB:
+ *
+ *  1. *bucket → verify*: a cheap deterministic signature shuffles candidate
+ *     rows into small buckets (one `groupBy`), exact verification runs only
+ *     inside buckets — total work is Σ bucket², never N².
+ *  2. *signature-as-column*: signatures (minhash arrays, simhash bits, band
+ *     keys) are codegen'd column expressions, so signature computation is a
+ *     single scan with no UDF boxing and no driver involvement.
+ *
+ * All hashing is seeded xxhash64 — deterministic across runs/partitions.
+ */
+object Dedup {
+
+  /** Exact dedup: group by key columns, keep the smallest id as canonical.
+   * Returns one row per group with `dup_count` (= group size). */
+  def exact(df: DataFrame, keys: Seq[Column], idCol: Column): DataFrame =
+    df.groupBy(keys: _*)
+      .agg(min(idCol).as("canonical_id"), count(lit(1)).as("dup_count"))
+
+  /** Exact *content* dedup on normalized text (word tokens joined). */
+  def exactText(df: DataFrame, textCol: Column, idCol: Column): DataFrame =
+    exact(df.withColumn("__fp", md5(concat_ws(" ", Tokenize.word(textCol)))),
+      Seq(col("__fp")), idCol)
+
+  // --- MinHash + LSH ---------------------------------------------------------
+
+  /** k seeded minhash values over a token-shingle array (word n-grams). */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { seed =>
+      array_min(transform(shingles, s => xxhash64(s, lit(seed))))
+    }: _*)
+
+  /** LSH band keys: split the signature into `bands` rows of `rowsPerBand`,
+   * hash each band. Two docs sharing any band key become candidates. */
+  def bandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      xxhash64(concat_ws(",",
+        slice(signature, b * rowsPerBand + 1, rowsPerBand)), lit(b))
+    }: _*)
+
+  /** Exact Jaccard similarity of two token arrays (as sets). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, lit(1.0)).otherwise(inter / uni)
+  }
+
+  /**
+   * MinHash-LSH near-duplicate pairs: shingle → minhash → band → bucket-join →
+   * exact-Jaccard verify. Returns (id_a, id_b, jaccard) with id_a < id_b and
+   * jaccard ≥ threshold.
+   *
+   * Scale shape: the only shuffle is the groupBy on band key; candidate
+   * verification is per-bucket. With b bands of r rows the detection
+   * probability of a pair with Jaccard s is 1-(1-s^r)^b (the standard LSH
+   * S-curve); defaults (32 bands × 4 rows) catch s ≥ 0.8 with p > 0.99.
+   */
+  def minhashDuplicates(
+      df: DataFrame, idCol: Column, textCol: Column,
+      shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val toks = df.select(idCol.as("__id"), Tokenize.word(textCol).as("__toks"))
+      .withColumn("__shingles", array_distinct(Tokenize.tokenNgrams(col("__toks"), shingleSize)))
+      .filter(size(col("__shingles")) > 0)
+    val sigs = toks
+      .withColumn("__sig", minhashSignature(col("__shingles"), numHashes))
+      .withColumn("__band", explode(bandKeys(col("__sig"), bands, rowsPerBand)))
+      .select(col("__id"), col("__shingles"), col("__band"))
+    val pairs = sigs.as("a").join(sigs.as("b"),
+        col("a.__band") === col("b.__band") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.__shingles").as("__sa"), col("b.__shingles").as("__sb"))
+      .dropDuplicates("id_a", "id_b")
+    pairs
+      .withColumn("jaccard", jaccard(col("__sa"), col("__sb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // --- SimHash ---------------------------------------------------------------
+
+  /**
+   * 64-bit SimHash of a token array as a single column expression: per bit,
+   * sum +1/-1 votes from each token's xxhash64; bit set iff the sum is
+   * positive. Near-dup iff hamming(simhash) ≤ k.
+   */
+  def simhash(tokens: Column): Column = {
+    val hashes = transform(tokens, t => xxhash64(t))
+    (0 until 64).map { bit =>
+      val vote = aggregate(hashes, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, bit).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << bit)).otherwise(lit(0L))
+    }.reduce[Column]((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /**
+   * SimHash near-duplicate pairs: bucket by the 4 16-bit chunks of the
+   * signature (a pair within hamming ≤ 3 must agree on ≥1 chunk — pigeonhole),
+   * verify hamming inside buckets.
+   */
+  def simhashDuplicates(
+      df: DataFrame, idCol: Column, textCol: Column,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(idCol.as("__id"), simhash(Tokenize.word(textCol)).as("__sig"))
+      .withColumn("__chunk", explode(array((0 until 4).map { c =>
+        struct(lit(c).as("c"), shiftright(col("__sig"), c * 16).bitwiseAND(0xFFFFL).as("v"))
+      }: _*)))
+    val pairs = sigs.as("a").join(sigs.as("b"),
+        col("a.__chunk") === col("b.__chunk") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.__sig").as("__siga"), col("b.__sig").as("__sigb"))
+      .dropDuplicates("id_a", "id_b")
+    pairs
+      .withColumn("hamming", hamming64(col("__siga"), col("__sigb")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  // --- n-gram Jaccard (bucketed) --------------------------------------------
+
+  /** Jaccard near-dup pairs within explicit buckets (e.g. same source):
+   * exact verify, candidate space bounded by bucket sizes. */
+  def ngramJaccardDuplicates(
+      df: DataFrame, idCol: Column, textCol: Column, bucketCols: Seq[Column],
+      shingleSize: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val toks = df.select((bucketCols :+ idCol.as("__id") :+
+      array_distinct(Tokenize.tokenNgrams(Tokenize.word(textCol), shingleSize)).as("__sh")): _*)
+    val names = bucketCols.indices.map(i => s"__b$i")
+    val renamed = names.zip(bucketCols.indices).foldLeft(toks) { case (d, (n, i)) =>
+      d.withColumnRenamed(d.columns(i), n)
+    }
+    val joinCond = names.map(n => col(s"a.$n") === col(s"b.$n")).reduce(_ && _) &&
+      col("a.__id") < col("b.__id")
+    renamed.as("a").join(renamed.as("b"), joinCond)
+      .withColumn("jaccard", jaccard(col("a.__sh"), col("b.__sh")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"), col("jaccard"))
+  }
+
+  // --- embedding cosine near-dup --------------------------------------------
+
+  /**
+   * Random-hyperplane LSH over embeddings: `planes` deterministic (hash-
+   * derived) hyperplanes → sign-bit signature → bucket-join → exact cosine
+   * verify. Pairs at distance ~0 always share the signature, so exact
+   * duplicates are never missed; the probabilistic miss rate applies only
+   * near the threshold (standard SimHash-for-cosine guarantee).
+   */
+  def embeddingDuplicates(
+      df: DataFrame, idCol: Column, vecCol: Column,
+      dim: Int, planes: Int = 16, maxCosineDistance: Double = 0.05): DataFrame = {
+    // deterministic pseudo-random hyperplanes from a hash sequence
+    val hp: Array[Array[Double]] = Array.tabulate(planes, dim) { (p, d) =>
+      val h = scala.util.hashing.MurmurHash3.productHash((p, d, 42))
+      (h.toDouble / Int.MaxValue) // in [-1, 1]
+    }
+    def sigOf(vec: Column): Column = (0 until planes).map { p =>
+      val dot = aggregate(
+        zip_with(vec, typedLit(hp(p).toSeq), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce[Column]((a, b) => a.bitwiseOR(b))
+    val sigs = df.select(idCol.as("__id"), vecCol.as("__vec"))
+      .withColumn("__sig", sigOf(col("__vec")))
+    sigs.as("a").join(sigs.as("b"),
+        col("a.__sig") === col("b.__sig") && col("a.__id") < col("b.__id"))
+      .withColumn("dist", VectorFunctions.cosineDistance(col("a.__vec"), col("b.__vec")))
+      .filter(col("dist") <= maxCosineDistance)
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"), col("dist"))
+  }
+
+  /** Brute-force oracle for the LSH paths (test-scale only): all pairs below
+   * the threshold. */
+  def embeddingDuplicatesBruteForce(
+      df: DataFrame, idCol: Column, vecCol: Column, maxCosineDistance: Double): DataFrame = {
+    val s = df.select(idCol.as("__id"), vecCol.as("__vec"))
+    s.as("a").join(s.as("b"), col("a.__id") < col("b.__id"))
+      .withColumn("dist", VectorFunctions.cosineDistance(col("a.__vec"), col("b.__vec")))
+      .filter(col("dist") <= maxCosineDistance)
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"), col("dist"))
+  }
+}
