@@ -108,7 +108,7 @@ object Dedup {
   }
 
   /** Hamming distance between two 64-bit simhashes. */
-  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("long")
 
   /**
    * SimHash near-duplicate pairs: bucket by the 4 16-bit chunks of the

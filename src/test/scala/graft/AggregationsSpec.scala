@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Graft
+import graft.model._
+import graft.operators.Aggregations
+
+class AggregationsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val g: Graft = {
+    val gg = new Graft(spark)
+    val df = Seq(
+      (1L, "tech", 10.0, true), (2L, "tech", 20.0, true), (3L, "tech", 30.0, false),
+      (4L, "food", 5.0, false), (5L, "food", 5.0, true))
+      .toDF("id", "sector", "price", "listed")
+    gg.register(CollectionSchema("Company", "id", Seq(
+      Property("sector", PropType.Text, Tokenization.Field),
+      Property("price", PropType.Number),
+      Property("listed", PropType.Bool))), df)
+    gg
+  }
+
+  test("grouped numeric aggregations") {
+    val out = g.aggregate(AggregateParams("Company",
+      groupBy = Some(Seq("sector")),
+      properties = Map("price" -> Seq(Aggregator.Sum, Aggregator.Mean, Aggregator.Median))))
+      .collect().map(r => r.getAs[String]("groupedBy_value") ->
+        (r.getAs[Double]("price_sum"), r.getAs[Double]("price_mean"), r.getAs[Double]("price_median"))).toMap
+    assert(out("tech") == ((60.0, 20.0, 20.0)))
+    assert(out("food") == ((10.0, 5.0, 5.0)))
+  }
+
+  test("boolean aggregations") {
+    val out = g.aggregate(AggregateParams("Company",
+      properties = Map("listed" -> Seq(
+        Aggregator.TotalTrue, Aggregator.PercentageTrue)))).head()
+    assert(out.getAs[Long]("listed_totalTrue") == 3L)
+    assert(math.abs(out.getAs[Double]("listed_percentageTrue") - 0.6) < 1e-12)
+  }
+
+  test("deterministic exact mode (ties -> smallest value)") {
+    val df = Seq((1, 1), (1, 2), (1, 2), (1, 3), (1, 3)).toDF("g", "v")
+    val m = Aggregations.modeExact(df, Seq(col("g")), col("v")).head().getAs[Int]("mode")
+    assert(m == 2) // 2 and 3 both occur twice; smallest wins
+  }
+
+  test("topOccurrences ranks by count desc then value asc") {
+    val df = Seq("a", "a", "b", "b", "c").map(Tuple1(_)).toDF("v")
+    val rows = Aggregations.topOccurrences(df, Nil, col("v"), 2)
+      .orderBy($"rank").collect().map(r => (r.getAs[String]("value"), r.getAs[Long]("occurs")))
+    assert(rows.toSeq == Seq(("a", 2L), ("b", 2L)))
+  }
+
+  test("filtered aggregation scopes all aggregators") {
+    val out = g.aggregate(AggregateParams("Company",
+      where = Some(Where.eqText("sector", "tech")),
+      properties = Map("price" -> Seq(Aggregator.Count, Aggregator.Maximum)))).head()
+    assert(out.getAs[Long]("price_count") == 3L)
+    assert(out.getAs[Double]("price_maximum") == 30.0)
+  }
+
+  test("meta count only") {
+    val out = g.aggregate(AggregateParams("Company", includeMetaCount = true)).head()
+    assert(out.getAs[Long]("meta_count") == 5L)
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Dedup
+import graft.text.Tokenize
+
+class DedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+    .select($"doc_id", $"text")
+
+  /** Brute-force shingle-Jaccard ground truth (test scale only). */
+  private def bruteforcePairs(threshold: Double): Set[(Long, Long)] = {
+    val sh = docs.select($"doc_id".as("id"),
+      array_distinct(Tokenize.tokenNgrams(Tokenize.word($"text"), 3)).as("sh"))
+    sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
+      .withColumn("j", Dedup.jaccard(col("a.sh"), col("b.sh")))
+      .filter($"j" >= threshold)
+      .select(col("a.id"), col("b.id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("minhash-LSH finds exactly the brute-force near-dup pairs (recall 1 here)") {
+    val got = Dedup.minhashDuplicates(docs, $"doc_id", $"text",
+        shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.7)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = bruteforcePairs(0.7)
+    assert(want.nonEmpty, "testdata should contain planted near-dups")
+    assert(got == want) // verify step removes false positives; LSH recall is 1 at s≈0.9
+  }
+
+  test("exact text dedup groups identical copies") {
+    val withCopy = docs.unionByName(
+      docs.filter($"doc_id" === 8).select(($"doc_id" + 5000).as("doc_id"), $"text"))
+    val groups = Dedup.exactText(withCopy, $"text", $"doc_id")
+      .filter($"dup_count" > 1).collect()
+    assert(groups.exists(r => r.getAs[Long]("canonical_id") == 8L && r.getAs[Long]("dup_count") == 2L))
+  }
+
+  test("simhash: identical copies at hamming 0; detected as dups") {
+    val withCopy = docs.limit(50).unionByName(
+      docs.filter($"doc_id" === 8).select(($"doc_id" + 5000).as("doc_id"), $"text"))
+    val pairs = Dedup.simhashDuplicates(withCopy, $"doc_id", $"text", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 == 8L && p._2 == 5008L && p._3 == 0L))
+  }
+
+  test("embedding LSH dedup matches brute force on planted copies") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").select($"vec_id", $"embedding")
+    val uni = emb.unionByName(emb.filter($"vec_id" % 50 === 0)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding"))
+    val got = Dedup.embeddingDuplicates(uni, $"vec_id", $"embedding", dim = 64,
+        planes = 16, maxCosineDistance = 0.05)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Dedup.embeddingDuplicatesBruteForce(uni, $"vec_id", $"embedding", 0.05)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty && got == want)
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model._
+import graft.operators.Mmr
+import graft.pipeline.{Classify, Ref2Vec, TextAnalysis}
+
+/** End-to-end engine behaviours on the sf0.001 fixtures. */
+class EngineSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val g = Fixtures.graft(spark, sf)
+
+  test("nearVector top-k is ordered and self-first for nearObject") {
+    val rows = g.get(GetParams("Embedding",
+      nearObject = Some(NearObject(7L, metric = Metric.L2Squared)),
+      pagination = Some(Pagination(limit = 5)),
+      properties = Seq("vec_id"), additional = Set("distance"))).collect()
+    assert(rows.head.getAs[Long]("vec_id") == 7L)
+    assert(rows.head.getAs[Double]("_distance") == 0.0)
+    val dists = rows.map(_.getAs[Double]("_distance")).toSeq
+    assert(dists == dists.sorted)
+  }
+
+  test("distance threshold bounds results (certainty round-trip)") {
+    val rows = g.get(GetParams("Embedding",
+      nearObject = Some(NearObject(3L, metric = Metric.Cosine, certainty = Some(0.62))),
+      properties = Seq("vec_id"), additional = Set("distance", "certainty"))).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("_distance") <= 2 * (1 - 0.62) + 1e-12))
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("_certainty") - (1 - r.getAs[Double]("_distance") / 2)) < 1e-12)
+    }
+  }
+
+  test("hybrid pure-vector and pure-keyword degenerate cases") {
+    val vOnly = g.get(GetParams("DocVec",
+      hybrid = Some(Hybrid("", vector = Some(Fixtures.anchorVector(g, 7L)), alpha = 1.0)),
+      pagination = Some(Pagination(limit = 5)), properties = Seq("doc_id")))
+    assert(vOnly.count() == 5)
+    val kOnly = g.get(GetParams("DocVec",
+      hybrid = Some(Hybrid("spark join", alpha = 0.0)),
+      pagination = Some(Pagination(limit = 5)), properties = Seq("doc_id")))
+    assert(kOnly.count() == 5)
+  }
+
+  test("cursor pagination walks without overlap") {
+    val page1 = g.get(GetParams("Order", cursor = Some(Cursor(None, 10)),
+      properties = Seq("o_orderkey"))).collect().map(_.getLong(0))
+    val page2 = g.get(GetParams("Order", cursor = Some(Cursor(Some(page1.last), 10)),
+      properties = Seq("o_orderkey"))).collect().map(_.getLong(0))
+    assert(page1.length == 10 && page2.length == 10)
+    assert(page1.toSet.intersect(page2.toSet).isEmpty)
+    assert(page2.min > page1.max)
+  }
+
+  test("multi-target Minimum combination = least of per-target distances") {
+    val rows = g.get(GetParams("Embedding",
+      nearVector = Some(NearVector(Fixtures.anchorVector(g, 11L), metric = Metric.L2Squared,
+        targetVectors = Seq("default", "rev"), combination = TargetCombination.Minimum)),
+      pagination = Some(Pagination(limit = 3)),
+      properties = Seq("vec_id"), additional = Set("distance"))).collect()
+    assert(rows.head.getAs[Long]("vec_id") == 11L) // self via default target
+  }
+
+  test("MMR: first pick is most relevant, selection is diverse") {
+    val pool = g.get(GetParams("Embedding",
+      nearObject = Some(NearObject(7L, metric = Metric.Cosine)),
+      pagination = Some(Pagination(limit = 20))))
+      .withColumn("rel", lit(1.0) - col("_distance") / 2.0)
+    val out = Mmr.rerank(pool, "vec_id", "embedding", "rel", lambda = 0.5, k = 5).collect()
+    assert(out.length == 5)
+    assert(out.head.getAs[Long]("id") == 7L)
+  }
+
+  test("kNN classification predicts the probe's own label region") {
+    val emb = g.collection("Embedding").df
+    val probes = emb.filter($"vec_id" === 7L)
+    val out = Classify.knn(emb, $"vec_id", $"embedding", $"label",
+      probes, $"vec_id", $"embedding", k = 5).head()
+    assert(out.getAs[Long]("votes") >= 1L)
+  }
+
+  test("ref2vec centroid has the vector dimension") {
+    val c = Ref2Vec.centroid(g.collection("DocVec").df, $"lang", $"embedding").head()
+    assert(c.getSeq[Double](1).length == 64)
+  }
+
+  test("language ID is deterministic and from the profile set") {
+    val langs = g.collection("Document").df
+      .select(TextAnalysis.languageId($"text").as("l")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("de", "en", "es", "fr")))
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Collection, Graft}
+import graft.model._
+
+class FilterCompilerSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val g: Graft = {
+    val gg = new Graft(spark)
+    val people = Seq(
+      (1L, "Alice Smith", 30L, 4.5, "engineering", Seq("scala", "spark"), 10L),
+      (2L, "Bob Jones", 25L, 3.2, "marketing", Seq("ads"), 20L),
+      (3L, "Carol Smith", 35L, 4.9, "engineering", Seq("spark", "sql"), 10L),
+      (4L, "Dave Brown", 40L, 2.0, "sales", Seq.empty[String], 30L))
+      .toDF("id", "name", "age", "rating", "dept", "tags", "city_id")
+      .withColumn("nickname", when($"id" === 4, lit(null).cast("string")).otherwise($"name"))
+    gg.register(CollectionSchema("Person", "id", Seq(
+      Property("name", PropType.Text, Tokenization.Word),
+      Property("age", PropType.Int),
+      Property("rating", PropType.Number),
+      Property("dept", PropType.Text, Tokenization.Field),
+      Property("tags", PropType.Arr(PropType.Text)),
+      Property("nickname", PropType.Text, Tokenization.Field),
+      Property("city_id", PropType.Ref, refTarget = Some("City")))), people)
+    val cities = Seq((10L, "Berlin", 3600000L), (20L, "Paris", 2100000L), (30L, "Rome", 2800000L))
+      .toDF("cid", "cname", "pop")
+    gg.register(CollectionSchema("City", "cid", Seq(
+      Property("cname", PropType.Text, Tokenization.Field),
+      Property("pop", PropType.Int))), cities)
+    gg
+  }
+
+  private def ids(w: Where): Seq[Long] =
+    g.get(GetParams("Person", where = Some(w), properties = Seq("id")))
+      .collect().map(_.getLong(0)).toSeq.sorted
+
+  test("tokenized text Equal matches per-token") {
+    assert(ids(Where.eqText("name", "smith")) == Seq(1L, 3L))
+    assert(ids(Where.eqText("name", "Alice Smith")) == Seq(1L)) // all tokens required
+  }
+
+  test("numeric range + And") {
+    assert(ids(Where.and(Where.geInt("age", 30L), Where.gtNum("rating", 4.0))) == Seq(1L, 3L))
+  }
+
+  test("Or / Not compose") {
+    assert(ids(Where.or(Where.eqText("dept", "sales"), Where.ltInt("age", 26L))) == Seq(2L, 4L))
+    assert(ids(Where.not(Where.eqText("dept", "engineering"))) == Seq(2L, 4L))
+  }
+
+  test("Like wildcards ? and *") {
+    assert(ids(Where.like("name", "*Smith")) == Seq(1L, 3L))
+    assert(ids(Where.like("dept", "?ales")) == Seq(4L))
+  }
+
+  test("IsNull both polarities") {
+    assert(ids(Where.isNull("nickname")) == Seq(4L))
+    assert(ids(Where.isNull("nickname", v = false)) == Seq(1L, 2L, 3L))
+  }
+
+  test("ContainsAny / ContainsAll / ContainsNone on arrays") {
+    assert(ids(Where.containsAnyText("tags", Seq("spark", "ads"))) == Seq(1L, 2L, 3L))
+    assert(ids(Where.containsAllText("tags", Seq("spark", "sql"))) == Seq(3L))
+    assert(ids(Where.containsNoneText("tags", Seq("spark"))) == Seq(2L, 4L))
+  }
+
+  test("len() pseudo-path on text and arrays") {
+    assert(ids(Where.gtInt("len(tags)", 1L)) == Seq(1L, 3L))
+    assert(ids(Where.gtInt("len(name)", 10L)) == Seq(1L, 3L)) // "Alice Smith"=11, "Carol Smith"=11
+  }
+
+  test("cross-reference filter (semi-join) and Not over it") {
+    val berlinOnly = Where(WhereOp.GreaterThan, Seq("city_id", "City", "pop"),
+      Some(FilterValue.IntV(3000000L)))
+    assert(ids(berlinOnly) == Seq(1L, 3L))
+    assert(ids(Where.not(berlinOnly)) == Seq(2L, 4L))
+  }
+
+  test("ref filter composes with plain predicate under Or") {
+    val refLeaf = Where(WhereOp.Equal, Seq("city_id", "City", "cname"),
+      Some(FilterValue.TextV("Paris")))
+    assert(ids(Where.or(refLeaf, Where.eqText("dept", "sales"))) == Seq(2L, 4L))
+  }
+}
