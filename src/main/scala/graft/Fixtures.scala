@@ -44,7 +44,7 @@ object Fixtures {
 
   private def build(spark: SparkSession, dir: String): Graft = {
     import PropType._
-    val g = new Graft(spark)
+    val g = new Graft(spark).withEmbedder(hashEmbedder(64))
 
     g.register(CollectionSchema("Region", "r_regionkey", Seq(
       Property("r_name", Text))), t(spark, dir, "region"))
@@ -131,6 +131,15 @@ object Fixtures {
       vectors = Map("default" -> "embedding"),
       defaultVector = Some("default")), docvec)
 
+    // multi-tenant view of events: event_type plays the tenant key, so
+    // tenant routing = partition pruning on that column (reference: index.go:2233)
+    g.register(CollectionSchema("EventTenant", "event_id", Seq(
+      Property("ts", Date),
+      Property("user_id", Int),
+      Property("value", Number),
+      Property("props", Text, Tokenization.Word)),
+      tenantColumn = Some("event_type")), events(spark, dir))
+
     g.register(CollectionSchema("Event", "event_id", Seq(
       Property("ts", Date),
       Property("user_id", Int),
@@ -151,6 +160,19 @@ object Fixtures {
     t(spark, dir, "events")
       .withColumn("ts_nanos", col("ts"))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Deterministic stand-in vectorizer for nearText (real deployments plug a
+   * model; reference treats the vectorizer as a module — modules/text2vec-*):
+   * token-hash-bucketed bag-of-words, L2-normalized. */
+  def hashEmbedder(dim: Int): String => Array[Float] = { text =>
+    val v = new Array[Float](dim)
+    "[\\p{L}\\p{N}]+".r.findAllIn(text.toLowerCase).foreach { tok =>
+      val h = scala.util.hashing.MurmurHash3.stringHash(tok, 42)
+      v(math.floorMod(h, dim)) += (if ((h >> 16 & 1) == 0) 1.0f else -1.0f)
+    }
+    val norm = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+    if (norm > 0) v.map(_ / norm) else v
   }
 
   /** The anchor query vector for near-X queries: the embedding of `vec_id`. */

@@ -69,14 +69,16 @@ object SparkEntry {
       s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS f$i" }.mkString(", ")
     val dfCols = terms.zipWithIndex.map { case (t, i) =>
       s"CAST(sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df$i" }.mkString(", ")
-    val score = terms.zipWithIndex.map { case (_, i) =>
+    val termExprs = terms.indices.map { i =>
       s"(ln(1.0 + (n_docs - df$i + 0.5) / (df$i + 0.5)) * (f$i / (f$i + $k1 * (${1.0 - b} + $b * dl / avgdl))))"
-    }.mkString(" + ")
+    }
+    val score = termExprs.mkString(" + ")
+    val contribCols = termExprs.zipWithIndex.map { case (e, i) => s"$e AS c$i" }.mkString(", ")
     val tok =
       s"""tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
          |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(CAST(len(toks) AS DOUBLE)) AS avgdl, $dfCols FROM tok),
          |feat AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, $fCols FROM tok),
-         |scored AS (SELECT doc_id, ($score) AS score_exact, ${terms.indices.map(i => s"f$i").mkString(" + ")} AS nmatch,
+         |scored AS (SELECT doc_id, ($score) AS score_exact, $contribCols, ${terms.indices.map(i => s"f$i").mkString(" + ")} AS nmatch,
          |           ${terms.indices.map(i => s"CASE WHEN f$i > 0 THEN 1 ELSE 0 END").mkString(" + ")} AS terms_matched
          |           FROM feat CROSS JOIN stats)""".stripMargin
     (tok, score)

@@ -195,6 +195,39 @@ object SparkEntryExt {
         .orderBy(col("event_id"))
     }),
 
+    // §2.3 nearText: concepts -> embedder -> centroid ± moveTo/moveAwayFrom
+    // (deterministic hash embedder stands in for the vectorizer module; no
+    // SQL oracle — MurmurHash isn't expressible in DuckDB)
+    "q_neartext" -> ((s, dir) => {
+      g(s, dir).get(GetParams("DocVec",
+        nearText = Some(NearText(Seq("spark join stream"),
+          moveTo = Some(MoveParams(Seq("window batch"), force = 0.6)),
+          moveAwayFrom = Some(MoveParams(Seq("error slow"), force = 0.4)))),
+        pagination = Some(Pagination(limit = 10)),
+        properties = Seq("doc_id")))
+        .orderBy(col("doc_id"))
+    }),
+
+    // §1.1 multi-tenancy: tenant key = physical partition, pruned at scan
+    "q_tenant" -> ((s, dir) => {
+      g(s, dir).get(GetParams("EventTenant",
+        tenant = Some("click"),
+        where = Some(Where.gtNum("value", 50.0)),
+        properties = Seq("event_id")))
+        .orderBy(col("event_id"))
+    }),
+
+    // §2.4 explainScore: per-term BM25 contribution breakdown
+    "q_bm25_explain" -> ((s, dir) => {
+      val gg = g(s, dir)
+      Bm25Search.score(gg.collection("Document"), Bm25("spark join", Seq("text")), explain = true)
+        .orderBy(col(Bm25Search.ScoreCol).desc, col("doc_id").asc)
+        .limit(10)
+        .select(col("doc_id"), round(col(Bm25Search.ScoreCol), 4).as("score"),
+          round(col(Bm25Search.explainCol("spark")), 4).as("c_spark"),
+          round(col(Bm25Search.explainCol("join")), 4).as("c_join"))
+    }),
+
     // §2.3 MMR diversity re-selection (driver-side over bounded pool, like ref)
     "q_mmr" -> ((s, dir) => {
       val gg = g(s, dir)
@@ -211,6 +244,20 @@ object SparkEntryExt {
   import SparkEntry.{sqlQv, sqlL2, sqlCosine, sqlBm25}
 
   def oracleSql: Map[String, String] = Map(
+
+    "q_tenant" ->
+      """SELECT event_id FROM events WHERE event_type = 'click' AND value > 50
+        |ORDER BY event_id""".stripMargin,
+
+    "q_bm25_explain" -> {
+      val (ctes, _) = sqlBm25(Seq("spark", "join"))
+      s"""WITH $ctes
+         |SELECT doc_id, round(score_exact, 4) AS score,
+         |       round(c0, 4) AS c_spark, round(c1, 4) AS c_join
+         |FROM scored WHERE terms_matched >= 1
+         |ORDER BY score_exact DESC, doc_id ASC LIMIT 10""".stripMargin
+    },
+
 
     "q_hybrid_relative" -> {
       val (ctes, _) = sqlBm25(Seq("spark", "join", "stream"))

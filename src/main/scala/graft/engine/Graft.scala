@@ -22,6 +22,22 @@ final class Graft(val spark: SparkSession) {
   private var collections: Map[String, Collection] = Map.empty
   private lazy val filterCompiler = new FilterCompiler(collection)
 
+  /** Module hook: text → embedding (reference: modules/text2vec-*; the engine
+   * treats the vectorizer as pluggable, like weaviate's module registry). */
+  private var embedder: Option[String => Array[Float]] = None
+  def withEmbedder(e: String => Array[Float]): Graft = { embedder = Some(e); this }
+
+  /** Resolve nearText into a nearVector (concept centroid ± moves —
+   * reference: near_params_vector.go + searcher_movements.go). */
+  private def resolveNearText(nt: NearText): NearVector = {
+    val embed = embedder.getOrElse(
+      throw new IllegalStateException("nearText requires a registered embedder (withEmbedder)"))
+    var v = Movements.centroid(nt.concepts.map(embed))
+    nt.moveTo.foreach(m => v = Movements.moveTo(v, Movements.centroid(m.concepts.map(embed)), m.force))
+    nt.moveAwayFrom.foreach(m => v = Movements.moveAwayFrom(v, Movements.centroid(m.concepts.map(embed)), m.force))
+    NearVector(v, nt.metric, nt.distance, nt.certainty, nt.targetVectors)
+  }
+
   def register(c: Collection): Graft = { collections += c.name -> c; this }
   def register(schema: CollectionSchema, df: DataFrame): Graft =
     register(Collection(schema, df))
@@ -52,8 +68,8 @@ final class Graft(val spark: SparkSession) {
       case (_, l)             => l
     }
 
-    val legCount = Seq(params.nearVector, params.nearObject, params.bm25, params.hybrid)
-      .count(_.isDefined)
+    val legCount = Seq(params.nearVector, params.nearObject, params.nearText,
+      params.bm25, params.hybrid).count(_.isDefined)
     require(legCount <= 1, "at most one search leg (nearX | bm25 | hybrid)")
 
     // threshold-only nearX with no explicit pagination = SearchByVectorDistance
@@ -69,6 +85,10 @@ final class Graft(val spark: SparkSession) {
       }.orElse(params.nearObject.map { no =>
         VectorSearch.nearObject(c, no, no.metric,
           nearLimit(no.distance.orElse(no.certainty).isDefined), Some(filtered))
+      }).orElse(params.nearText.map { nt =>
+        val nv = resolveNearText(nt)
+        VectorSearch.nearVector(c, nv, nv.metric,
+          nearLimit(nv.distance.orElse(nv.certainty).isDefined), Some(filtered))
       }).orElse(params.bm25.map { kw =>
         Bm25Search.search(c, kw, fetchLimit.getOrElse(defaultLimit), Some(filtered))
       }).orElse(params.hybrid.map { h =>
@@ -81,7 +101,8 @@ final class Graft(val spark: SparkSession) {
     val afterAutocut = (params.autocut, isSearch) match {
       case (Some(n), true) =>
         val scoreCol =
-          if (params.nearVector.isDefined || params.nearObject.isDefined) -col(VectorSearch.DistanceCol)
+          if (params.nearVector.isDefined || params.nearObject.isDefined ||
+              params.nearText.isDefined) -col(VectorSearch.DistanceCol)
           else if (params.bm25.isDefined) col(Bm25Search.ScoreCol)
           else col(HybridSearch.ScoreCol)
         HybridSearch.autocut(searched, scoreCol, col(id), n)
@@ -111,7 +132,8 @@ final class Graft(val spark: SparkSession) {
       case Some(g) =>
         val rankCol = "__rank"
         val rankOrder: Seq[Column] =
-          if (params.nearVector.isDefined || params.nearObject.isDefined)
+          if (params.nearVector.isDefined || params.nearObject.isDefined ||
+              params.nearText.isDefined)
             Seq(col(VectorSearch.DistanceCol).asc, col(id).asc)
           else if (params.bm25.isDefined) Seq(col(Bm25Search.ScoreCol).desc, col(id).asc)
           else if (params.hybrid.isDefined) Seq(col(HybridSearch.ScoreCol).desc, col(id).asc)

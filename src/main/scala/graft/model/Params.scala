@@ -35,6 +35,22 @@ final case class NearObject(
     certainty: Option[Double] = None,
     targetVectors: Seq[String] = Nil)
 
+/** nearText move parameters (reference: usecases/modulecomponents/arguments/
+ * nearText/param.go:145; movement math searcher_movements.go). */
+final case class MoveParams(concepts: Seq[String], force: Double)
+
+/** nearText: concepts → embedding (via the engine's registered embedder) →
+ * kNN, with moveTo/moveAwayFrom concept arithmetic
+ * (reference: retrieval.go:137-160). */
+final case class NearText(
+    concepts: Seq[String],
+    metric: Metric = Metric.Cosine,
+    distance: Option[Double] = None,
+    certainty: Option[Double] = None,
+    moveTo: Option[MoveParams] = None,
+    moveAwayFrom: Option[MoveParams] = None,
+    targetVectors: Seq[String] = Nil)
+
 /** Multi-target combination modes (reference: entities/dto/dto.go:30-48). */
 sealed trait TargetCombination
 object TargetCombination {
@@ -100,6 +116,7 @@ final case class GetParams(
     where: Option[Where] = None,
     nearVector: Option[NearVector] = None,
     nearObject: Option[NearObject] = None,
+    nearText: Option[NearText] = None,
     bm25: Option[Bm25] = None,
     hybrid: Option[Hybrid] = None,
     sort: Seq[SortBy] = Nil,

@@ -52,7 +52,11 @@ object Bm25Search {
    * (And), with `_score`. IDF statistics come from the *unfiltered* collection
    * (matching the reference, whose postings/idf are collection-wide).
    */
-  def score(c: Collection, params: Bm25, base: Option[DataFrame] = None): DataFrame = {
+  /** Per-term contribution column name for explainScore. */
+  def explainCol(term: String): String = s"_exp_$term"
+
+  def score(c: Collection, params: Bm25, base: Option[DataFrame] = None,
+            explain: Boolean = false): DataFrame = {
     val df = base.getOrElse(c.df)
     val specs =
       if (params.properties.nonEmpty) parseProps(params.properties)
@@ -115,11 +119,17 @@ object Bm25Search {
       case SearchOperator.AndOp  => queryTerms.size
       case SearchOperator.Or(m)  => math.max(1, m)
     }
-    scoredBase
+    val scored = scoredBase
       .withColumn(ScoreCol, perTermScore.reduce(_ + _))
       .withColumn("__matched", matchedTerms)
       .filter(col("__matched") >= minMatch)
-      .drop((propTok.indices.map(i => s"__tok_$i") :+ "__matched"): _*)
+    // explainScore: per-term score breakdown (reference: index.go:2266-2291)
+    val explained =
+      if (!explain) scored
+      else queryTerms.zip(perTermScore).foldLeft(scored) { case (d, (t, sc)) =>
+        d.withColumn(explainCol(t), sc)
+      }
+    explained.drop((propTok.indices.map(i => s"__tok_$i") :+ "__matched"): _*)
   }
 
   /** Top-k keyword search with deterministic id tie-break. */
