@@ -228,6 +228,33 @@ object SparkEntryExt {
           round(col(Bm25Search.explainCol("join")), 4).as("c_join"))
     }),
 
+    // §2.7 legacy group{closest,merge}: greedy single-link clustering of the
+    // ranked pool by normalized vector distance (driver-side like reference;
+    // no SQL oracle for the iterative clustering)
+    "q_group_legacy" -> ((s, dir) => {
+      val gg = g(s, dir)
+      val pool = gg.get(GetParams("DocVec",
+        nearObject = Some(NearObject(7L, metric = Metric.Cosine)),
+        pagination = Some(Pagination(limit = 30)),
+        properties = Seq("doc_id", "lang", "n_chars"),
+        additional = Set("vector")))
+      MergeGrouper.group(pool, "_vector", force = 0.35, MergeGrouper.Merge)
+        .select(round(col("doc_id"), 4).as("doc_id_mean"), col("lang"),
+          round(col("n_chars"), 4).as("n_chars_mean"), col("group_size"))
+    }),
+
+    // §2.3 PQ quantized first-pass + exact rescore (no SQL oracle: KMeans
+    // codebooks; recall asserted in GrouperAndPqSpec)
+    "q_pq_search" -> ((s, dir) => {
+      val gg = g(s, dir)
+      val emb = gg.collection("Embedding").df
+      val pq = graft.ann.ProductQuantizer.train(emb, "embedding", m = 8, k = 16)
+      val encoded = emb.withColumn("code", pq.encode(col("embedding")))
+      pq.search(encoded, "vec_id", "code", "embedding",
+          Fixtures.anchorVector(gg, 7L), topK = 10, rescoreFactor = 8)
+        .select(col("vec_id"), round(col("_distance"), 4).as("dist"))
+    }),
+
     // §2.3 MMR diversity re-selection (driver-side over bounded pool, like ref)
     "q_mmr" -> ((s, dir) => {
       val gg = g(s, dir)
