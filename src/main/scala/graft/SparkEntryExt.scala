@@ -228,6 +228,15 @@ object SparkEntryExt {
           round(col(Bm25Search.explainCol("join")), 4).as("c_join"))
     }),
 
+    // §2.4 BM25 via the materialized postings table (same math as q_bm25's
+    // scan path — the oracle is the identical BM25 formula in SQL)
+    "q_bm25_postings" -> ((s, dir) => {
+      val gg = g(s, dir)
+      val idx = Postings.build(gg.collection("Document"), "text")
+      Postings.search(idx, "spark join stream window", 20)
+        .select(col("doc_id"), round(col(Bm25Search.ScoreCol), 4).as("score"))
+    }),
+
     // §2.7 legacy group{closest,merge}: greedy single-link clustering of the
     // ranked pool by normalized vector distance (driver-side like reference;
     // no SQL oracle for the iterative clustering)
@@ -271,6 +280,15 @@ object SparkEntryExt {
   import SparkEntry.{sqlQv, sqlL2, sqlCosine, sqlBm25}
 
   def oracleSql: Map[String, String] = Map(
+
+    "q_bm25_postings" -> {
+      val (ctes, _) = sqlBm25(Seq("spark", "join", "stream", "window"))
+      s"""WITH $ctes
+         |SELECT doc_id, round(score_exact, 4) AS score FROM scored
+         |WHERE terms_matched >= 1
+         |ORDER BY score_exact DESC, doc_id ASC LIMIT 20""".stripMargin
+    },
+
 
     "q_tenant" ->
       """SELECT event_id FROM events WHERE event_type = 'click' AND value > 50
