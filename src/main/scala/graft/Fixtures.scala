@@ -138,7 +138,8 @@ object Fixtures {
       Property("user_id", Int),
       Property("value", Number),
       Property("props", Text, Tokenization.Word)),
-      tenantColumn = Some("event_type")), events(spark, dir))
+      tenantColumn = Some("event_type"),
+      creationTimeColumn = Some("ts_nanos")), events(spark, dir))
 
     g.register(CollectionSchema("Event", "event_id", Seq(
       Property("ts", Date),

@@ -237,6 +237,30 @@ object SparkEntryExt {
         .select(col("doc_id"), round(col(Bm25Search.ScoreCol), 4).as("score"))
     }),
 
+    // §2.3 filtered vector search: where-allowlist + kNN (the reference's
+    // filtered-search path, shard_read.go:536-550 / ACORN decision)
+    "q_near_filtered" -> ((s, dir) => {
+      g(s, dir).get(GetParams("Embedding",
+        where = Some(Where.containsAnyInt("label", Seq(1L, 2L, 3L))),
+        nearObject = Some(NearObject(7L, metric = Metric.L2Squared)),
+        pagination = Some(Pagination(limit = 10)),
+        properties = Seq("vec_id", "label"),
+        additional = Set("distance")))
+        .select(col("vec_id"), col("label"), round(col("_distance"), 4).as("dist"))
+    }),
+
+    // §2.2 metadata pseudo-prop filters: _id range + _creationTimeUnix
+    "q_meta_filter" -> ((s, dir) => {
+      g(s, dir).get(GetParams("EventTenant",
+        tenant = Some("view"),
+        where = Some(Where.and(
+          Where(WhereOp.GreaterThan, Seq("_id"), Some(FilterValue.IntV(5000L))),
+          Where(WhereOp.LessThan, Seq("_creationTimeUnix"),
+            Some(FilterValue.IntV(1705000000000000000L))))), // epoch ns
+        properties = Seq("event_id")))
+        .orderBy(col("event_id"))
+    }),
+
     // §2.7 legacy group{closest,merge}: greedy single-link clustering of the
     // ranked pool by normalized vector distance (driver-side like reference;
     // no SQL oracle for the iterative clustering)
@@ -280,6 +304,20 @@ object SparkEntryExt {
   import SparkEntry.{sqlQv, sqlL2, sqlCosine, sqlBm25}
 
   def oracleSql: Map[String, String] = Map(
+
+    "q_near_filtered" ->
+      s"""WITH ${sqlQv(7)},
+         |d AS (SELECT e.vec_id, e.label, ${sqlL2("e.embedding", "q.v")} AS dist
+         |      FROM embeddings e CROSS JOIN qv q WHERE e.label IN (1, 2, 3))
+         |SELECT vec_id, label, round(dist, 4) AS dist FROM d
+         |ORDER BY d.dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "q_meta_filter" ->
+      """SELECT event_id FROM events
+        |WHERE event_type = 'view' AND event_id > 5000
+        |  AND epoch_ns(ts) < 1705000000000000000
+        |ORDER BY event_id""".stripMargin,
+
 
     "q_bm25_postings" -> {
       val (ctes, _) = sqlBm25(Seq("spark", "join", "stream", "window"))

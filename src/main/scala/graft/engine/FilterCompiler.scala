@@ -98,8 +98,17 @@ final class FilterCompiler(resolve: String => Collection) {
         return cmp(w.op, lenCol, w.value.get, None)
       case _ => ()
     }
+    // metadata pseudo-props (reference: searcher.go:789-816)
+    def root(name: String): Column = name match {
+      case "_id" => col(schema.idColumn)
+      case "_creationTimeUnix" => col(schema.creationTimeColumn.getOrElse(
+        throw new IllegalArgumentException(s"${schema.name} has no creation-time column")))
+      case "_lastUpdateTimeUnix" => col(schema.updateTimeColumn.getOrElse(
+        throw new IllegalArgumentException(s"${schema.name} has no update-time column")))
+      case other => col(other)
+    }
     val c = path.foldLeft(Option.empty[Column]) {
-      case (None, p)      => Some(col(p))
+      case (None, p)      => Some(root(p))
       case (Some(acc), p) => Some(acc.getField(p))
     }.get
     val prop = if (path.length == 1) schema.property(path.head) else None

@@ -59,7 +59,11 @@ final case class CollectionSchema(
     properties: Seq[Property],
     vectors: Map[String, String] = Map.empty,
     defaultVector: Option[String] = None,
-    tenantColumn: Option[String] = None) {
+    tenantColumn: Option[String] = None,
+    // `_creationTimeUnix` / `_lastUpdateTimeUnix` pseudo-props resolve to
+    // these columns (reference: searcher.go:816 metadata filters)
+    creationTimeColumn: Option[String] = None,
+    updateTimeColumn: Option[String] = None) {
 
   private val byName: Map[String, Property] = properties.map(p => p.name -> p).toMap
   def property(name: String): Option[Property] = byName.get(name)
