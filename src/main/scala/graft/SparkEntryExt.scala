@@ -288,6 +288,35 @@ object SparkEntryExt {
         .select(col("vec_id"), round(col("_distance"), 4).as("dist"))
     }),
 
+    // §2.10 true Structured Streaming execution: events parquet replayed as a
+    // file stream, watermarked tumbling-window aggregation, complete-mode
+    // memory sink drained synchronously — the batch oracle must agree
+    // exactly (same windows, same counts/sums)
+    "q_stream_window" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = Fixtures.events(s, dir).select(col("event_id"), col("ts_nanos").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props")).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet") // file source needs a dir
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+      val name = s"stream_out_${System.identityHashCode(agg)}"
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      s.table(name)
+        .select(col("w.start").cast("string").as("window_start"), col("event_type"),
+          col("n"), round(col("sv"), 4).as("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
     // §2.3 MMR diversity re-selection (driver-side over bounded pool, like ref)
     "q_mmr" -> ((s, dir) => {
       val gg = g(s, dir)
@@ -304,6 +333,12 @@ object SparkEntryExt {
   import SparkEntry.{sqlQv, sqlL2, sqlCosine, sqlBm25}
 
   def oracleSql: Map[String, String] = Map(
+
+    "q_stream_window" ->
+      """SELECT CAST(make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS VARCHAR) AS window_start,
+        |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
 
     "q_near_filtered" ->
       s"""WITH ${sqlQv(7)},
