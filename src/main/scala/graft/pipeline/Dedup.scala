@@ -85,6 +85,7 @@ object Dedup {
     val toks = df.select(idCol.as("__id"), Tokenize.word(textCol).as("__toks"))
       .withColumn("__shingles", array_distinct(Tokenize.tokenNgrams(col("__toks"), shingleSize)))
       .filter(size(col("__shingles")) > 0)
+      .withColumn("__shh", transform(col("__shingles"), x => xxhash64(x)))
       // the shingle table feeds signature build AND pair verification — one
       // materialization, not one per consumer (at warehouse scale this is a
       // persisted signature side-table)
@@ -109,15 +110,18 @@ object Dedup {
         col("a.__band") === col("b.__band") && col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    verifyJaccard(candidates, toks.select(col("__id"), col("__shingles")), threshold)
+    verifyJaccard(candidates, toks.select(col("__id"), col("__shh")), threshold)
   }
 
-  /** Join shingle sets onto (id_a, id_b) candidates and keep pairs ≥ t. */
+  /** Join shingle-hash sets onto (id_a, id_b) candidates and keep pairs ≥ t.
+   * Verification intersects 64-bit hash arrays instead of shingle strings —
+   * identical Jaccard up to xxhash64 collisions (~2⁻⁶⁴ per pair) at a
+   * fraction of the comparison cost. */
   private def verifyJaccard(candidates: DataFrame, shingleTable: DataFrame,
                             threshold: Double): DataFrame =
     candidates
-      .join(shingleTable.select(col("__id").as("id_a"), col("__shingles").as("__sa")), "id_a")
-      .join(shingleTable.select(col("__id").as("id_b"), col("__shingles").as("__sb")), "id_b")
+      .join(shingleTable.select(col("__id").as("id_a"), col("__shh").as("__sa")), "id_a")
+      .join(shingleTable.select(col("__id").as("id_b"), col("__shh").as("__sb")), "id_b")
       .withColumn("jaccard", jaccard(col("__sa"), col("__sb")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -153,8 +157,18 @@ object Dedup {
   def simhashDuplicates(
       df: DataFrame, idCol: Column, textCol: Column,
       maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(idCol.as("__id"), transform(Tokenize.word(textCol), t => xxhash64(t)).as("__h"))
-      .select(col("__id"), simhashFromHashes(col("__h")).as("__sig"))
+    // per-bit votes as explode + conditional-sum aggregates (codegen'd with
+    // map-side combine) instead of 64 interpreted HOF folds
+    val exploded = df.select(idCol.as("__id"), explode(Tokenize.word(textCol)).as("__t"))
+      .withColumn("__h", xxhash64(col("__t")))
+    val voteCols = (0 until 64).map { bit =>
+      sum(when(shiftright(col("__h"), bit).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"__v$bit")
+    }
+    val votes = exploded.groupBy(col("__id")).agg(voteCols.head, voteCols.tail: _*)
+    val sigCol = (0 until 64).map { bit =>
+      when(col(s"__v$bit") > 0, lit(1L << bit)).otherwise(lit(0L))
+    }.reduce[Column]((a, b) => a.bitwiseOR(b))
+    val sigs = votes.select(col("__id"), sigCol.as("__sig"))
       .withColumn("__chunk", explode(array((0 until 4).map { c =>
         struct(lit(c).as("c"), shiftright(col("__sig"), c * 16).bitwiseAND(0xFFFFL).as("v"))
       }: _*)))
@@ -192,22 +206,21 @@ object Dedup {
         idCol.as("__id") :+
         array_distinct(Tokenize.tokenNgrams(Tokenize.word(textCol), shingleSize)).as("__sh")): _*)
       .filter(size(col("__sh")) > 0)
+      .withColumn("__shh", transform(col("__sh"), x => xxhash64(x)))
       // consumed by frequency pass, prefix pass and verification — persist
       // so the (interpreted HOF) shingle construction runs once
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // canonical prefix ordering by shingle hash: prefix filtering only needs
-    // a globally-consistent total order, so ordering by xxhash64 avoids the
-    // frequency-count pass, its join, and the per-doc ranking window — three
-    // shuffles gone. (Rare-first ordering would shrink candidates further;
-    // hash order is uniform, which is already collision-light.)
+    // a globally-consistent total order, so sorting (hash, shingle) structs
+    // *inside the array* picks each doc's prefix with zero shuffles — no
+    // frequency pass, no per-doc ranking window. (Rare-first ordering would
+    // shrink candidates further; hash order is uniform already.)
     val prefixLen = (size(col("__sh")) - ceil(size(col("__sh")) * threshold) + 1).cast("int")
-    val wDoc = Window.partitionBy(col("__id")).orderBy(xxhash64(col("__s")).asc, col("__s").asc)
+    val hashed = transform(col("__sh"), x => struct(xxhash64(x).as("h"), x.as("s")))
+    val prefixArr = transform(slice(array_sort(hashed), lit(1), prefixLen), x => x.getField("s"))
     val prefixes = toks
-      .withColumn("__plen", prefixLen)
-      .withColumn("__s", explode(col("__sh")))
-      .withColumn("__rn", row_number().over(wDoc))
-      .filter(col("__rn") <= col("__plen"))
+      .withColumn("__s", explode(prefixArr))
       .select((bNames.map(col) :+ col("__id") :+ col("__s")): _*)
 
     val joinCond = (bNames.map(n => col(s"a.$n") === col(s"b.$n")) :+
@@ -215,8 +228,7 @@ object Dedup {
     val candidates = prefixes.as("a").join(prefixes.as("b"), joinCond)
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    verifyJaccard(candidates,
-      toks.select(col("__id"), col("__sh").as("__shingles")), threshold)
+    verifyJaccard(candidates, toks.select(col("__id"), col("__shh")), threshold)
   }
 
   // --- embedding cosine near-dup --------------------------------------------
