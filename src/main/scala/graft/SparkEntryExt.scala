@@ -278,6 +278,20 @@ object SparkEntryExt {
         .orderBy(col("event_id"))
     }),
 
+    // §2.1/§3.1 cross-reference resolution: expand the cref into the target
+    // object's properties (broadcast join on the target id)
+    "q_ref_resolve" -> ((s, dir) => {
+      g(s, dir).get(GetParams("Order",
+        where = Some(Where.gtNum("o_totalprice", 450000.0)),
+        properties = Seq("o_orderkey", "o_totalprice"),
+        resolveRefs = Seq("o_custkey")))
+        .select(col("o_orderkey"),
+          round(col("o_totalprice"), 4).as("o_totalprice"),
+          col("o_custkey_resolved.c_name").as("c_name"),
+          col("o_custkey_resolved.c_mktsegment").as("c_mktsegment"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // §2.7 legacy group{closest,merge}: greedy single-link clustering of the
     // ranked pool by normalized vector distance (driver-side like reference;
     // no SQL oracle for the iterative clustering)
@@ -348,6 +362,13 @@ object SparkEntryExt {
   import SparkEntry.{sqlQv, sqlL2, sqlCosine, sqlBm25}
 
   def oracleSql: Map[String, String] = Map(
+
+    "q_ref_resolve" ->
+      """SELECT o.o_orderkey, round(o.o_totalprice, 4) AS o_totalprice,
+        |       c.c_name, c.c_mktsegment
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_totalprice > 450000 ORDER BY o.o_orderkey""".stripMargin,
+
 
     "q_stream_window" ->
       """SELECT CAST(make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS VARCHAR) AS window_start,

@@ -155,8 +155,28 @@ final class Graft(val spark: SparkSession) {
       }
     }
 
-    project(c, params, paged)
+    project(c, params, resolveRefs(c, params, paged))
   }
+
+  /**
+   * Cross-reference resolution: expand cref properties into structs of the
+   * target object's properties (reference: refcache/resolver.go:51 — the
+   * post-search beacon lookup fan-out; here a broadcast hash join keyed on
+   * the target id, one join per resolved ref property).
+   */
+  private def resolveRefs(c: Collection, params: GetParams, df: DataFrame): DataFrame =
+    params.resolveRefs.foldLeft(df) { (d, refName) =>
+      val refProp = c.schema.property(refName).getOrElse(
+        throw new IllegalArgumentException(s"unknown ref property $refName"))
+      require(refProp.dataType == PropType.Ref, s"$refName is not a cref property")
+      val target = collection(refProp.refTarget.get)
+      val targetCols = struct(target.schema.properties.map(p => col(p.name)): _*)
+      val lookup = target.df.select(
+        col(target.schema.idColumn).as("__ref_target_id"),
+        targetCols.as(s"${refName}_resolved"))
+      d.join(broadcast(lookup), d(refName) === col("__ref_target_id"), "left")
+        .drop("__ref_target_id")
+    }
 
   def aggregate(params: AggregateParams): DataFrame = {
     val c = collection(params.collection)
@@ -199,7 +219,9 @@ final class Graft(val spark: SparkSession) {
       }
       val groupCols = Seq("group_value", "group_index", "group_hit_rank")
         .filter(df.columns.contains).map(col)
-      df.select((props.map(col) ++ additional ++ groupCols): _*)
+      val resolvedCols = params.resolveRefs.map(r => s"${r}_resolved")
+        .filter(df.columns.contains).map(col)
+      df.select((props.map(col) ++ additional ++ resolvedCols ++ groupCols): _*)
     }
   }
 

@@ -125,6 +125,7 @@ final case class GetParams(
     groupBy: Option[GroupByParams] = None,
     properties: Seq[String] = Nil,            // empty = all declared props
     additional: Set[String] = Set.empty,      // "id","distance","certainty","score","vector",...
+    resolveRefs: Seq[String] = Nil,           // cref props to expand into structs
     tenant: Option[String] = None,
     autocut: Option[Int] = None)
 
