@@ -21,6 +21,9 @@ import graft.model.{FusionType, Metric, NearVector, Hybrid => HybridParams}
 object HybridSearch {
 
   val ScoreCol = "_hybrid_score"
+  /** Original-leg score carried for tie-breaking (reference: hybrid_fusion.go:68-79 —
+   * |Δscore| < 1e-7 falls back to SecondarySortValue desc, then id). */
+  val SecondaryCol = "_secondary"
   private val RrfK = 60.0 // reference: hybrid_fusion.go rankedFusion constant
 
   def search(
@@ -52,17 +55,22 @@ object HybridSearch {
       case (Some(s), Some(d)) =>
         fuse(s, d, id, params.fusionType, 1.0 - params.alpha, params.alpha)
       case (Some(s), None) =>
-        s.withColumn(ScoreCol, col("__s_sparse") * (1.0 - params.alpha)).drop("__s_sparse")
+        s.withColumn(ScoreCol, col("__s_sparse") * (1.0 - params.alpha))
+          .withColumn(SecondaryCol, col("__s_sparse")).drop("__s_sparse")
       case (None, Some(d)) =>
-        d.withColumn(ScoreCol, col("__s_dense") * params.alpha).drop("__s_dense")
+        d.withColumn(ScoreCol, col("__s_dense") * params.alpha)
+          .withColumn(SecondaryCol, col("__s_dense")).drop("__s_dense")
       case (None, None) =>
         throw new IllegalArgumentException("hybrid: neither query nor vector leg")
     }
 
-    val ranked = fused.orderBy(col(ScoreCol).desc, col(id).asc).limit(limit)
+    val ranked = fused
+      .orderBy(col(ScoreCol).desc, col(SecondaryCol).desc_nulls_last, col(id).asc)
+      .limit(limit)
     // decorate back with the collection's columns (ids are unique)
     ranked.join(filtered.getOrElse(c.df), Seq(id), "inner")
-      .orderBy(col(ScoreCol).desc, col(id).asc)
+      .orderBy(col(ScoreCol).desc, col(SecondaryCol).desc_nulls_last, col(id).asc)
+      .drop(SecondaryCol)
   }
 
   /**
@@ -80,12 +88,13 @@ object HybridSearch {
           row_number().over(Window.orderBy(col("__s_sparse").desc, col(id).asc)))
         val rd = dense.withColumn("__r_dense",
           row_number().over(Window.orderBy(col("__s_dense").desc, col(id).asc)))
-        rs.select(col(id), col("__r_sparse"))
-          .join(rd.select(col(id), col("__r_dense")), Seq(id), "full_outer")
+        rs.select(col(id), col("__r_sparse"), col("__s_sparse"))
+          .join(rd.select(col(id), col("__r_dense"), col("__s_dense")), Seq(id), "full_outer")
           .withColumn(ScoreCol,
             coalesce(lit(wSparse) / (lit(RrfK) + col("__r_sparse")), lit(0.0)) +
             coalesce(lit(wDense) / (lit(RrfK) + col("__r_dense")), lit(0.0)))
-          .drop("__r_sparse", "__r_dense")
+          .withColumn(SecondaryCol, coalesce(col("__s_sparse"), col("__s_dense")))
+          .drop("__r_sparse", "__r_dense", "__s_sparse", "__s_dense")
       case FusionType.RelativeScore =>
         def norm(df: DataFrame, scoreCol: String): DataFrame = {
           val w = Window.partitionBy()
@@ -94,12 +103,14 @@ object HybridSearch {
             when(mx === mn, lit(1.0)).otherwise((col(scoreCol) - mn) / (mx - mn))
           })
         }
-        norm(sparse, "__s_sparse").select(col(id), col("__s_sparse_n"))
-          .join(norm(dense, "__s_dense").select(col(id), col("__s_dense_n")), Seq(id), "full_outer")
+        norm(sparse, "__s_sparse").select(col(id), col("__s_sparse_n"), col("__s_sparse"))
+          .join(norm(dense, "__s_dense").select(col(id), col("__s_dense_n"), col("__s_dense")),
+            Seq(id), "full_outer")
           .withColumn(ScoreCol,
             coalesce(col("__s_sparse_n") * wSparse, lit(0.0)) +
             coalesce(col("__s_dense_n") * wDense, lit(0.0)))
-          .drop("__s_sparse_n", "__s_dense_n")
+          .withColumn(SecondaryCol, coalesce(col("__s_sparse"), col("__s_dense")))
+          .drop("__s_sparse_n", "__s_dense_n", "__s_sparse", "__s_dense")
     }
   }
 

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+import graft.model.FusionType
+import graft.operators.HybridSearch
+
+/**
+ * relativeScoreFusion parity with the reference's own test matrix
+ * (usecases/traverser/hybrid/fusion_test.go TestFusionRelativeScore — the
+ * two-leg cases; scores asserted to 1e-4 like the reference).
+ */
+class FusionParitySpec extends SparkSpecBase {
+
+  private def leg(scores: Seq[Double], colName: String) = {
+    val schema = StructType(Seq(StructField("id", LongType), StructField(colName, DoubleType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(scores.zipWithIndex.map { case (s, i) => Row(i.toLong, s) }, 1),
+      schema)
+  }
+
+  private def run(w1: Double, w2: Double, l1: Seq[Double], l2: Seq[Double]): Seq[(Long, Double)] =
+    HybridSearch.fuse(leg(l1, "__s_sparse"), leg(l2, "__s_dense"), "id",
+        FusionType.RelativeScore, w1, w2)
+      .orderBy(col(HybridSearch.ScoreCol).desc,
+        col(HybridSearch.SecondaryCol).desc_nulls_last, col("id").asc)
+      .collect().map(r => (r.getLong(0), r.getAs[Double](HybridSearch.ScoreCol))).toSeq
+
+  // (weights, leg1 scores, leg2 scores, expected order, expected scores)
+  private val cases: Seq[((Double, Double), Seq[Double], Seq[Double], Seq[Long], Seq[Double])] = Seq(
+    ((0.5, 0.5), Seq(1, 2, 3), Seq(0, 1, 2), Seq(2, 1, 0), Seq(1, 0.5, 0)),
+    ((0.5, 0.5), Seq(0, 2, 0.1), Seq(0, 0.2, 2), Seq(1, 2, 0), Seq(0.55, 0.525, 0)),
+    ((0.75, 0.25), Seq(0.5, 0.5, 0), Seq(0, 0.01, 0.001), Seq(1, 0, 2), Seq(1, 0.75, 0.025)),
+    ((0.75, 0.25), Nil, Nil, Nil, Nil),
+    ((0.75, 0.25), Seq(1), Nil, Seq(0), Seq(0.75)),
+    ((0.75, 0.25), Nil, Seq(1), Seq(0), Seq(0.25)),
+    ((0.75, 0.25), Seq(1, 2), Nil, Seq(1, 0), Seq(0.75, 0)),
+    ((0.75, 0.25), Nil, Seq(1, 2), Seq(1, 0), Seq(0.25, 0)),
+    ((0.75, 0.25), Seq(1, 1), Seq(1, 2), Seq(1, 0), Seq(1, 0.75)),
+    ((0.75, 0.25), Seq(1, 2, 3, 4), Seq(1, 2, 3), Seq(3, 2, 1, 0), Seq(0.75, 0.75, 0.375, 0)))
+
+  test("relativeScoreFusion matches the reference fusion_test.go matrix") {
+    for ((((w1, w2), l1, l2, expOrder, expScores), i) <- cases.zipWithIndex) {
+      val got = run(w1, w2, l1, l2)
+      assert(got.map(_._1) == expOrder, s"case $i order: got ${got.map(_._1)} want $expOrder")
+      got.map(_._2).zip(expScores).foreach { case (g, e) =>
+        assert(math.abs(g - e) < 1e-4, s"case $i score: got $g want $e")
+      }
+    }
+  }
+}
