@@ -42,6 +42,17 @@ object Aggregations {
     }
   }
 
+  /** Schema-lookup aggregators `type` / `pointingTo` — answered from the
+   * collection schema without scanning (reference: params.go:118,148-150;
+   * the count-star-style fast path of SURVEY §4). */
+  def typeInfo(c: Collection): org.apache.spark.sql.DataFrame = {
+    val spark = c.df.sparkSession
+    import spark.implicits._
+    c.schema.properties.map { p =>
+      (p.name, p.dataType.name, p.refTarget.getOrElse(""))
+    }.toDF("property", "type", "pointingTo")
+  }
+
   /** Columns for one flat aggregation row; names are `<prop>_<agg>`. */
   private def buildAggs(c: Collection, params: AggregateParams): Seq[Column] = {
     val metaCount: Seq[Column] =
@@ -68,20 +79,11 @@ object Aggregations {
     case Aggregator.TopOccurrences(n) => topOccurrencesAgg(c, n)
   }).as(alias)
 
-  /** mode = value of the (count,value)-max pair; implemented as a single-pass
-   * max over struct(count DESC → via max of (cnt, -?)) — needs value counts, so
-   * use a map-side count via count_if per value is impossible generically; use
-   * the classic trick: max_by over a pre-counted subframe is done in SQL form
-   * instead. Here: collect value counts with a window-free approach —
-   * `mode` over sorted struct. */
-  def deterministicMode(c: Column): Column = {
-    // max(struct(cnt, negated-orderable-value)) can't negate strings; instead:
-    // sort_array(collect_list(...)) is unbounded. Use Spark's mode(col, false)
-    // then rely on... not deterministic. So: aggregate to map via
-    // map_from_entries of counts isn't an agg. Pragmatic: use built-in `mode`
-    // for the engine API; t2 queries use the two-phase variant below.
-    mode(c)
-  }
+  /** Single-pass mode via the built-in aggregate. Ties are engine-dependent
+   * here; callers that need the deterministic tie-break (highest count, then
+   * smallest value — e.g. every t2 query) use `modeExact` below, which pins
+   * a total order at the cost of a second aggregation phase. */
+  def deterministicMode(c: Column): Column = mode(c)
 
   /** Exact deterministic mode as a two-phase plan (groupBy value → argmax). */
   def modeExact(df: DataFrame, groupCols: Seq[Column], valueCol: Column): DataFrame = {
@@ -99,10 +101,12 @@ object Aggregations {
     // `topOccurrences` below. As an agg column we approximate with
     // slice(sort by count of collected values) — implemented via
     // higher-order functions over collect_list (bounded by distinct values).
+    // sort key = (-occurs, value) ascending ⇒ occurs desc, value asc on ties
     val counts = transform(
       array_distinct(collect_list(c)),
-      v => struct(size(filter(collect_list(c), x => x === v)).as("occurs"), v.as("value")))
-    slice(reverse(array_sort(counts)), 1, n)
+      v => struct((-size(filter(collect_list(c), x => x === v))).as("neg"), v.as("value")))
+    transform(slice(array_sort(counts), 1, n),
+      s => struct((-s.getField("neg")).as("occurs"), s.getField("value").as("value")))
   }
 
   /** Two-phase topOccurrences: one row per (group, value) with rank ≤ n. */

@@ -61,6 +61,19 @@ class AggregationsSpec extends SparkSpecBase {
     assert(out.getAs[Double]("price_maximum") == 30.0)
   }
 
+  test("type / pointingTo are schema lookups (no scan)") {
+    val info = Aggregations.typeInfo(g.collection("Company"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(info == Set(("sector", "text", ""), ("price", "number", ""), ("listed", "boolean", "")))
+  }
+
+  test("topOccurrences as a single agg column (array<struct>)") {
+    val out = g.aggregate(AggregateParams("Company",
+      properties = Map("sector" -> Seq(Aggregator.TopOccurrences(2))))).head()
+    val top = out.getSeq[org.apache.spark.sql.Row](out.fieldIndex("sector_topOccurrences"))
+    assert(top.map(r => (r.getString(1), r.getInt(0))) == Seq(("tech", 3), ("food", 2)))
+  }
+
   test("meta count only") {
     val out = g.aggregate(AggregateParams("Company", includeMetaCount = true)).head()
     assert(out.getAs[Long]("meta_count") == 5L)
