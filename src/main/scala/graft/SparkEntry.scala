@@ -521,21 +521,22 @@ object SparkEntry {
       val (ctes, _) = sqlBm25(terms)
       s"""WITH $ctes,
          |sparse AS (
-         |  SELECT doc_id, row_number() OVER (ORDER BY score_exact DESC, doc_id ASC) AS r
+         |  SELECT doc_id, score_exact, row_number() OVER (ORDER BY score_exact DESC, doc_id ASC) AS r
          |  FROM (SELECT * FROM scored WHERE terms_matched >= 1 ORDER BY score_exact DESC, doc_id ASC LIMIT 100)),
          |${sqlQv(7)},
          |densed AS (
          |  SELECT d.doc_id, ${sqlCosine("e.embedding", "q.v")} AS dist
          |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id CROSS JOIN qv q),
          |dense AS (
-         |  SELECT doc_id, row_number() OVER (ORDER BY dist ASC, doc_id ASC) AS r
+         |  SELECT doc_id, 1.0 - dist / 2.0 AS sdense, row_number() OVER (ORDER BY dist ASC, doc_id ASC) AS r
          |  FROM (SELECT * FROM densed ORDER BY dist ASC, doc_id ASC LIMIT 100)),
          |fused AS (
          |  SELECT coalesce(s.doc_id, de.doc_id) AS doc_id,
-         |         coalesce(0.5 / (60 + s.r), 0.0) + coalesce(0.5 / (60 + de.r), 0.0) AS score_exact
+         |         coalesce(0.5 / (60 + s.r), 0.0) + coalesce(0.5 / (60 + de.r), 0.0) AS score_exact,
+         |         coalesce(s.score_exact, de.sdense) AS secondary
          |  FROM sparse s FULL OUTER JOIN dense de ON s.doc_id = de.doc_id)
          |SELECT doc_id, round(score_exact, 4) AS score FROM fused
-         |ORDER BY score_exact DESC, doc_id ASC LIMIT 15""".stripMargin
+         |ORDER BY score_exact DESC, secondary DESC, doc_id ASC LIMIT 15""".stripMargin
     },
 
     "q1_tpch" ->

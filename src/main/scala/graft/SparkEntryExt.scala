@@ -418,21 +418,22 @@ object SparkEntryExt {
       s"""WITH $ctes,
          |sparse0 AS (SELECT doc_id, score_exact FROM scored WHERE terms_matched >= 1
          |            ORDER BY score_exact DESC, doc_id ASC LIMIT 100),
-         |sparse AS (SELECT doc_id, CASE WHEN max(score_exact) OVER () = min(score_exact) OVER () THEN 1.0
+         |sparse AS (SELECT doc_id, score_exact, CASE WHEN max(score_exact) OVER () = min(score_exact) OVER () THEN 1.0
          |             ELSE (score_exact - min(score_exact) OVER ()) / (max(score_exact) OVER () - min(score_exact) OVER ()) END AS sn
          |           FROM sparse0),
          |${sqlQv(7)},
          |densed AS (SELECT d.doc_id, 1.0 - ${sqlCosine("e.embedding", "q.v")} / 2.0 AS sc
          |           FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id CROSS JOIN qv q
          |           ORDER BY sc DESC, d.doc_id ASC LIMIT 100),
-         |dense AS (SELECT doc_id, CASE WHEN max(sc) OVER () = min(sc) OVER () THEN 1.0
+         |dense AS (SELECT doc_id, sc, CASE WHEN max(sc) OVER () = min(sc) OVER () THEN 1.0
          |            ELSE (sc - min(sc) OVER ()) / (max(sc) OVER () - min(sc) OVER ()) END AS dn
          |          FROM densed),
          |fused AS (SELECT coalesce(s.doc_id, d.doc_id) AS doc_id,
-         |                 coalesce(s.sn * 0.4, 0.0) + coalesce(d.dn * 0.6, 0.0) AS score_f
+         |                 coalesce(s.sn * 0.4, 0.0) + coalesce(d.dn * 0.6, 0.0) AS score_f,
+         |                 coalesce(s.score_exact, d.sc) AS secondary
          |          FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id)
          |SELECT doc_id, round(score_f, 4) AS score FROM fused
-         |ORDER BY score_f DESC, doc_id ASC LIMIT 15""".stripMargin
+         |ORDER BY score_f DESC, secondary DESC, doc_id ASC LIMIT 15""".stripMargin
     },
 
     "q_autocut" -> {
