@@ -38,10 +38,10 @@ object Dedup {
   // --- MinHash + LSH ---------------------------------------------------------
 
   /**
-   * k minhash values over a token-shingle array (word n-grams). One string
-   * hash per shingle (the expensive part), then k cheap affine+xorshift
-   * mixes of that 64-bit value — the standard universal-hash family trick,
-   * ~k× cheaper than k full string hashes.
+   * k minhash values over a shingle array as a single column expression
+   * (column-API form; `minhashDuplicates` uses the faster explode +
+   * hash-aggregate shape). One hash per shingle, then k cheap fixed-width
+   * re-hashes — the universal-hash-family trick.
    */
   def minhashSignature(shingles: Column, numHashes: Int): Column = {
     val base = transform(shingles, s => xxhash64(s))
