@@ -27,6 +27,22 @@ class PostingsSpec extends SparkSpecBase {
     }
   }
 
+  test("block-max pruned search (WAND analogue) is exact vs unpruned") {
+    val g = Fixtures.graft(spark, sf)
+    val c = g.collection("Document")
+    val idx = Postings.build(c, "text", buckets = 16)
+    for (q <- Seq("spark join stream", "window dup", "table hash merge sort")) {
+      val full = Postings.search(idx, q, 15)
+        .select(col("doc_id"), col(Bm25Search.ScoreCol))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val pruned = Postings.searchPruned(idx, q, 15)
+        .select(col("doc_id"), col(Bm25Search.ScoreCol))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(full.map(_._1) == pruned.map(_._1), s"doc order differs for '$q'")
+      full.zip(pruned).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) < 1e-9) }
+    }
+  }
+
   test("postings And-operator matches scan path") {
     val g = Fixtures.graft(spark, sf)
     val c = g.collection("Document")
