@@ -35,6 +35,18 @@ object SparkEntryExt {
   private def postingsFor(gg: Graft, dir: String): graft.operators.PostingsIndex =
     postingsCache.getOrElseUpdate(dir, Postings.build(gg.collection("Document"), "text"))
 
+  // IVF index over Embedding.default, persisted partitionBy(__centroid) so
+  // probing is parquet partition pruning (SURVEY §4; IvfIndex scaladoc).
+  // defaultNprobe = nlist ⇒ full probe ⇒ bit-exact vs the brute-force oracle;
+  // AnnSpec covers the approximate low-nprobe regime (recall ≥ 0.9).
+  private val ivfCache = scala.collection.mutable.Map.empty[String, graft.ann.IvfIndex]
+  private def ivfFor(gg: Graft, dir: String): graft.ann.IvfIndex =
+    ivfCache.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+      graft.ann.IvfIndex.build(gg.collection("Embedding").df, "vec_id", "embedding",
+        nlist = 8, defaultNprobe = 8, persistPath = Some(path))
+    })
+
   /** embeddings ∪ exact copies (vec_id % 50 == 0 → vec_id+1000000). */
   private def embWithPlantedDups(g: Graft): DataFrame = {
     val emb = g.collection("Embedding").df.select(col("vec_id"), col("embedding"))
@@ -254,6 +266,21 @@ object SparkEntryExt {
         .select(col("doc_id"), round(col(Bm25Search.ScoreCol), 4).as("score"))
     }),
 
+    // §2.3 ANN-index-served nearVector: Graft.get routes through the
+    // registered IVF index (planner = IvfIndex.searchOrScan); full probe here
+    // keeps it exact so the brute-force SQL oracle hash-matches, while the
+    // probed plan reads centroid partitions (pruning asserted in AnnSpec)
+    "q_near_ivf" -> ((s, dir) => {
+      val gg = g(s, dir)
+      gg.registerIndex("Embedding", "default", ivfFor(gg, dir))
+      gg.get(GetParams("Embedding",
+        nearVector = Some(NearVector(Fixtures.anchorVector(gg, 13L), metric = Metric.L2Squared)),
+        pagination = Some(Pagination(limit = 12)),
+        properties = Seq("vec_id"),
+        additional = Set("distance")))
+        .select(col("vec_id"), round(col("_distance"), 4).as("dist"))
+    }),
+
     // §2.3 filtered vector search: where-allowlist + kNN (the reference's
     // filtered-search path, shard_read.go:536-550 / ACORN decision)
     "q_near_filtered" -> ((s, dir) => {
@@ -375,6 +402,13 @@ object SparkEntryExt {
         |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+
+    "q_near_ivf" ->
+      s"""WITH ${sqlQv(13)},
+         |d AS (SELECT e.vec_id, ${sqlL2("e.embedding", "q.v")} AS dist
+         |      FROM embeddings e CROSS JOIN qv q)
+         |SELECT vec_id, round(dist, 4) AS dist FROM d
+         |ORDER BY d.dist ASC, vec_id ASC LIMIT 12""".stripMargin,
 
     "q_near_filtered" ->
       s"""WITH ${sqlQv(7)},

@@ -1,11 +1,10 @@
 package graft.ann
 
 import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.linalg.{Vector => MlVector, Vectors}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import org.apache.spark.sql.graft.VectorFunctions
 import graft.engine.Collection
 import graft.model.{Metric, NearVector}
 import graft.operators.VectorSearch
@@ -18,21 +17,25 @@ import graft.operators.VectorSearch
  *
  * Build: MLlib KMeans learns `nlist` coarse centroids (the quantizer —
  * analogous to the PQ codebook training in the reference's
- * compressionhelpers); every row is assigned its nearest centroid once, and
- * the assignment is persisted *partitioned by centroid id*.
+ * compressionhelpers); every row is assigned its `replicas` nearest centroids
+ * (replicas > 1 is the multi-probe recall lever for near-uniform data: the
+ * probed candidate set is a strict superset of the replicas=1 set), and the
+ * assignment is persisted `partitionBy("__centroid")` when `persistPath` is
+ * given, so probing is genuine parquet partition pruning.
  *
  * Search: the query ranks centroids driver-side (nlist is tiny), then scans
- * only the `nprobe` best partitions — at 100 TB this is partition pruning on
- * the parquet layout: reading nprobe/nlist of the data instead of all of it.
- * Exact distance + TopK inside the probed subset gives the usual IVF recall
- * (tunable via nprobe; recall ≥ 0.9 asserted in AnnSpec mirroring the
- * reference's compress_recall_test.go:144).
+ * only the `nprobe` best partitions — at 100 TB this reads nprobe/nlist of
+ * the data instead of all of it. Exact distance + TopK inside the probed
+ * subset gives the usual IVF recall (tunable via nprobe; recall ≥ 0.9
+ * asserted in AnnSpec mirroring the reference's compress_recall_test.go:144).
  */
 final case class IvfIndex(
     centroids: Array[(Int, Array[Double])],
-    assigned: DataFrame, // original columns + __centroid
+    assigned: DataFrame, // original columns + __centroid (replicated rows when replicas > 1)
     vecCol: String,
-    idCol: String) {
+    idCol: String,
+    replicas: Int = 1,
+    defaultNprobe: Int = 1) {
 
   /** Rank centroids by distance to the query (driver-side, nlist entries). */
   def rankCentroids(query: Array[Float]): Array[Int] = {
@@ -48,7 +51,10 @@ final case class IvfIndex(
   def search(query: Array[Float], k: Int, metric: Metric, nprobe: Int): DataFrame = {
     val probes = rankCentroids(query).take(nprobe).toSeq
     val subset = assigned.filter(col("__centroid").isin(probes: _*))
-    VectorSearch.withDistance(subset, vecCol, query, metric)
+    // replicated assignments can surface the same row from several probed
+    // lists — deduplicate on id (rows are identical apart from __centroid)
+    val deduped = if (replicas > 1) subset.dropDuplicates(Seq(idCol)) else subset
+    VectorSearch.withDistance(deduped, vecCol, query, metric)
       .orderBy(col(VectorSearch.DistanceCol).asc, col(idCol).asc)
       .limit(k)
       .drop("__centroid")
@@ -57,38 +63,76 @@ final case class IvfIndex(
 
 object IvfIndex {
 
-  /** Train the coarse quantizer and assign every row to a centroid. */
+  /**
+   * Train the coarse quantizer and assign every row to its `replicas` nearest
+   * centroids. With `persistPath` the assignment is written
+   * `partitionBy("__centroid")` and read back, so `__centroid` becomes a
+   * physical partition column and probing prunes partitions at the source.
+   */
   def build(df: DataFrame, idCol: String, vecCol: String,
-            nlist: Int, seed: Long = 42L): IvfIndex = {
-    val spark = df.sparkSession
-    import spark.implicits._
+            nlist: Int, seed: Long = 42L, replicas: Int = 1,
+            defaultNprobe: Int = 1,
+            persistPath: Option[String] = None): IvfIndex = {
+    require(replicas >= 1 && replicas <= nlist, "replicas must be in [1, nlist]")
     val toMl = udf((v: Seq[Float]) => Vectors.dense(v.map(_.toDouble).toArray))
     val withFeatures = df.withColumn("__features", toMl(col(vecCol)))
     val model = new KMeans()
       .setK(nlist).setSeed(seed).setMaxIter(20)
       .setFeaturesCol("__features").setPredictionCol("__centroid")
       .fit(withFeatures)
-    val assigned = model.transform(withFeatures).drop("__features")
-      // 100 TB layout: persist partitioned by __centroid so probing nprobe
-      // lists is partition pruning, not a full scan
-      .repartition(col("__centroid"))
-    val cents = model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
-    IvfIndex(cents, assigned, vecCol, idCol)
+    val centers: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
+    val bcCenters = df.sparkSession.sparkContext.broadcast(centers)
+    val r = replicas
+    // top-r nearest centroids per row, one pass, no per-row shuffle blowup
+    val nearestR = udf { (v: Seq[Float]) =>
+      val cs = bcCenters.value
+      val ds = Array.tabulate(cs.length) { ci =>
+        val c = cs(ci); var d = 0.0; var i = 0
+        while (i < c.length) { val t = c(i) - v(i); d += t * t; i += 1 }
+        (ci, d)
+      }
+      ds.sortBy(_._2).take(r).map(_._1)
+    }
+    val assigned0 = df.withColumn("__centroid", explode(nearestR(col(vecCol))))
+    val assigned = persistPath match {
+      case Some(p) =>
+        // 100 TB layout: one directory per posting list; isin(probes) becomes
+        // PartitionFilters on the scan (asserted in AnnSpec)
+        assigned0.write.mode("overwrite").partitionBy("__centroid").parquet(p)
+        df.sparkSession.read.parquet(p)
+      case None =>
+        assigned0.repartition(col("__centroid"))
+    }
+    val cents = centers.zipWithIndex.map { case (c, i) => (i, c) }
+    IvfIndex(cents, assigned, vecCol, idCol, replicas, defaultNprobe)
   }
 
   /**
    * Planner choice (the analogue of the reference's flatSearchCutoff/ACORN
-   * decision, entities/vectorindex/hnsw/config.go:34-39): brute-force the
-   * filtered set when a `where` filter keeps it small; otherwise probe the
-   * index. `filteredCountHint` plays the role of the allowlist cardinality.
+   * decision, entities/vectorindex/hnsw/config.go:34-39): the index serves
+   * plain top-k on its own vector column; everything else — where-filtered
+   * search (allowlist brute force), distance/certainty thresholds (radius
+   * semantics need every row), multi-target combinations, unlimited search —
+   * falls back to the brute-force scan, exactly like the reference brute-forces
+   * small allowlists instead of walking the graph.
    */
   def searchOrScan(c: Collection, index: Option[IvfIndex], params: NearVector,
-                   k: Int, nprobe: Int, filtered: Option[DataFrame],
+                   limit: Option[Int], filtered: Option[DataFrame],
+                   nprobe: Option[Int] = None,
                    filteredCountHint: Option[Long] = None,
                    flatSearchCutoff: Long = 40000L): DataFrame = {
-    val useIndex = index.isDefined && filtered.isEmpty &&
-      filteredCountHint.forall(_ >= flatSearchCutoff)
-    if (useIndex) index.get.search(params.vector, k, params.metric, nprobe)
-    else VectorSearch.nearVector(c, params, params.metric, Some(k), filtered)
+    val hasThreshold = params.distance.orElse(params.certainty).isDefined
+    val servesTarget = index.exists { ix =>
+      val targets =
+        if (params.targetVectors.nonEmpty) params.targetVectors
+        else c.schema.defaultVector.toSeq
+      targets.size == 1 && c.schema.vectors.get(targets.head).contains(ix.vecCol)
+    }
+    val useIndex = servesTarget && filtered.isEmpty && !hasThreshold &&
+      limit.isDefined && filteredCountHint.forall(_ >= flatSearchCutoff)
+    if (useIndex)
+      index.get.search(params.vector, limit.get, params.metric,
+        nprobe.getOrElse(index.get.defaultNprobe))
+    else VectorSearch.nearVector(c, params, params.metric, limit, filtered)
   }
 }

@@ -44,6 +44,14 @@ final class Graft(val spark: SparkSession) {
   def collection(name: String): Collection =
     collections.getOrElse(name, throw new IllegalArgumentException(s"unknown collection $name"))
 
+  /** Attach a batch-built ANN index to a named vector (reference: per-shard
+   * vector index registry; planner choice in IvfIndex.searchOrScan). */
+  def registerIndex(collectionName: String, vectorName: String, idx: graft.ann.IvfIndex): Graft = {
+    val c = collection(collectionName)
+    collections += collectionName -> c.copy(vectorIndexes = c.vectorIndexes + (vectorName -> idx))
+    this
+  }
+
   def get(params: GetParams): DataFrame = {
     val c = collection(params.collection)
     val id = c.schema.idColumn
@@ -78,17 +86,26 @@ final class Graft(val spark: SparkSession) {
       if (hasThreshold && params.pagination.isEmpty && params.cursor.isEmpty) None
       else fetchLimit.orElse(Some(defaultLimit))
 
+    // where/tenant filtering present ⇒ allowlist brute force; otherwise the
+    // planner may probe a registered ANN index (IvfIndex.searchOrScan — the
+    // flatSearchCutoff/ACORN analogue)
+    val hasFilter = !(filtered eq c.df)
+    def vectorLeg(nv: NearVector): DataFrame = {
+      val idx =
+        if (nv.targetVectors.size > 1) None
+        else nv.targetVectors.headOption.orElse(c.schema.defaultVector)
+          .flatMap(c.vectorIndexes.get)
+      graft.ann.IvfIndex.searchOrScan(c, idx, nv,
+        nearLimit(nv.distance.orElse(nv.certainty).isDefined),
+        if (hasFilter) Some(filtered) else None)
+    }
+
     val searched: DataFrame =
-      params.nearVector.map { nv =>
-        VectorSearch.nearVector(c, nv, nv.metric,
-          nearLimit(nv.distance.orElse(nv.certainty).isDefined), Some(filtered))
-      }.orElse(params.nearObject.map { no =>
-        VectorSearch.nearObject(c, no, no.metric,
-          nearLimit(no.distance.orElse(no.certainty).isDefined), Some(filtered))
-      }).orElse(params.nearText.map { nt =>
-        val nv = resolveNearText(nt)
-        VectorSearch.nearVector(c, nv, nv.metric,
-          nearLimit(nv.distance.orElse(nv.certainty).isDefined), Some(filtered))
+      params.nearVector.map(vectorLeg)
+        .orElse(params.nearObject.map { no =>
+          vectorLeg(VectorSearch.resolveNearObject(c, no))
+        }).orElse(params.nearText.map { nt =>
+        vectorLeg(resolveNearText(nt))
       }).orElse(params.bm25.map { kw =>
         Bm25Search.search(c, kw, fetchLimit.getOrElse(defaultLimit), Some(filtered))
       }).orElse(params.hybrid.map { h =>

@@ -19,8 +19,9 @@ import graft.text.Tokenize
  * Spark-first design: query terms are *literals*, so per-term term-frequency
  * is a codegen'd array expression over the tokenized property — no explode, no
  * shuffle on the docs side. Corpus stats (N, avgLen, per-term doc frequency)
- * are a handful of scalars computed with one aggregate pass and folded into
- * the scoring expression as literals. Top-k then runs as
+ * are built ONCE per (collection, props) into a cached dictionary side table
+ * (see CorpusStats); each query folds its own terms' stats into the scoring
+ * expression as literals. Top-k then runs as
  * TakeOrderedAndProject. The reference's WAND/BlockMax pruning
  * (bm25_searcher_block.go) is an inverted-index physical trick; the Spark
  * equivalent at 100 TB is per-partition max-impact stats for partition
@@ -36,6 +37,51 @@ object Bm25Search {
   val ScoreCol = "_score"
 
   final case class PropSpec(name: String, boost: Double)
+
+  /**
+   * Cached corpus statistics for one (collection, scored-props) pair — the
+   * Spark analogue of the reference's persistent prop-length tracker + term
+   * dictionary (inverted/prop_length_tracker.go, terms/terms.go:67-72).
+   * Built ONCE with a single tokenize pass, then every query resolves its few
+   * terms' doc-frequencies from the persisted dictionary table instead of
+   * re-scanning the corpus. At 100 TB this is the difference between one
+   * offline stats build and a full extra scan per query.
+   */
+  private final case class CorpusStats(n: Double, avgLens: IndexedSeq[Double], termDf: DataFrame)
+
+  private val statsCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, Seq[String]), CorpusStats]
+
+  /** Drop cached stats (tests / collection mutation). */
+  def invalidateStats(): Unit = {
+    statsCache.values.foreach(_.termDf.unpersist())
+    statsCache.clear()
+  }
+
+  private def corpusStats(c: Collection, propTok: Seq[(PropSpec, Tokenization)]): CorpusStats = {
+    val key = (System.identityHashCode(c.df), propTok.map { case (s, m) => s"${s.name}:${m.name}" })
+    statsCache.getOrElseUpdate(key, {
+      val tokenized = propTok.zipWithIndex.foldLeft(c.df.select(propTok.map { case (s, _) => col(s.name) }: _*)) {
+        case (d, ((spec, mode), i)) => d.withColumn(s"__tok_$i", Tokenize(mode)(col(spec.name)))
+      }
+      val statAggs: Seq[Column] =
+        Seq(count(lit(1)).as("N")) ++
+        propTok.indices.map(i => avg(size(col(s"__tok_$i"))).as(s"avgLen_$i"))
+      val statRow = tokenized.agg(statAggs.head, statAggs.tail: _*).head()
+      val n = statRow.getAs[Long]("N").toDouble
+      val avgLens = propTok.indices.map(i => math.max(statRow.getAs[Double](s"avgLen_$i"), 1e-9)).toIndexedSeq
+      // doc frequency dictionary: docs where ANY scored prop contains the term
+      // (BM25F treats the document as one bag for idf). Null token arrays
+      // contribute nothing — matching the three-valued || of the scan pass.
+      val empty = array().cast("array<string>")
+      val docTerms = array_distinct(concat(
+        propTok.indices.map(i => coalesce(col(s"__tok_$i"), empty)): _*))
+      val termDf = tokenized.select(explode(docTerms).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      CorpusStats(n, avgLens, termDf)
+    })
+  }
 
   /** Parse "prop^2" boost syntax (reference: searchparams retrieval.go BM25 properties). */
   def parseProps(props: Seq[String]): Seq[PropSpec] = props.map { p =>
@@ -72,24 +118,15 @@ object Bm25Search {
       propTok.flatMap { case (_, mode) => Tokenize.queryTokens(mode, params.query) }.distinct
     require(queryTerms.nonEmpty, "bm25: empty query after tokenization")
 
-    // one aggregate pass over the (unfiltered) collection for stats:
-    // N, avgLen per prop, docFreq per (term, prop-any) — folded to literals.
-    val tokenized = propTok.zipWithIndex.foldLeft(c.df) { case (d, ((spec, mode), i)) =>
-      d.withColumn(s"__tok_$i", Tokenize(mode)(col(spec.name)))
-    }
-    val statAggs: Seq[Column] =
-      Seq(count(lit(1)).as("N")) ++
-      propTok.indices.map(i => avg(size(col(s"__tok_$i"))).as(s"avgLen_$i")) ++
-      queryTerms.zipWithIndex.map { case (t, ti) =>
-        // doc frequency: docs where ANY scored prop contains t (BM25F treats
-        // the document as one bag for idf)
-        sum(propTok.indices.map(i => array_contains(col(s"__tok_$i"), t))
-          .reduce[Column](_ || _).cast("long")).as(s"df_$ti")
-      }
-    val stats = tokenized.agg(statAggs.head, statAggs.tail: _*).head()
-    val bigN = stats.getAs[Long]("N").toDouble
-    val avgLen = propTok.indices.map(i => math.max(stats.getAs[Double](s"avgLen_$i"), 1e-9))
-    val docFreq = queryTerms.indices.map(i => stats.getAs[Long](s"df_$i").toDouble)
+    // corpus stats come from the cached per-(collection, props) side tables —
+    // no per-query corpus pass; only the query's own terms are looked up.
+    val stats = corpusStats(c, propTok)
+    val bigN = stats.n
+    val avgLen = stats.avgLens
+    val dfLookup: Map[String, Double] = stats.termDf
+      .filter(col("term").isin(queryTerms: _*))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val docFreq = queryTerms.map(t => dfLookup.getOrElse(t, 0.0))
 
     val scoredBase = propTok.zipWithIndex.foldLeft(df) { case (d, ((spec, mode), i)) =>
       d.withColumn(s"__tok_$i", Tokenize(mode)(col(spec.name)))

@@ -91,20 +91,23 @@ object VectorSearch {
     }
   }
 
-  /** nearObject: look up the anchor object's vector, then nearVector
-   * (reference: retrieval.go:128-135, near_params_vector.go). */
+  /** Resolve a nearObject to a nearVector by looking up the anchor object's
+   * vector (reference: retrieval.go:128-135, near_params_vector.go). */
+  def resolveNearObject(c: Collection, params: NearObject): NearVector = {
+    val vecCol = c.schema.vectorColumn(params.targetVectors.headOption)
+    val anchor = c.df.filter(col(c.schema.idColumn) === lit(params.id))
+      .select(col(vecCol)).head(1)
+    require(anchor.nonEmpty, s"nearObject: id ${params.id} not found in ${c.name}")
+    NearVector(anchor.head.getSeq[Float](0).toArray, params.metric,
+      params.distance, params.certainty, params.targetVectors)
+  }
+
+  /** nearObject: anchor lookup then nearVector. */
   def nearObject(
       c: Collection,
       params: NearObject,
       metric: Metric,
       limit: Option[Int],
-      filtered: Option[DataFrame] = None): DataFrame = {
-    val vecCol = c.schema.vectorColumn(params.targetVectors.headOption)
-    val anchor = c.df.filter(col(c.schema.idColumn) === lit(params.id))
-      .select(col(vecCol)).head(1)
-    require(anchor.nonEmpty, s"nearObject: id ${params.id} not found in ${c.name}")
-    val vec = anchor.head.getSeq[Float](0).toArray
-    nearVector(c, NearVector(vec, metric, params.distance, params.certainty, params.targetVectors),
-      metric, limit, filtered)
-  }
+      filtered: Option[DataFrame] = None): DataFrame =
+    nearVector(c, resolveNearObject(c, params), metric, limit, filtered)
 }
