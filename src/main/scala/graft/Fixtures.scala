@@ -102,16 +102,22 @@ object Fixtures {
       Property("l_shipdate", Date),
       Property("is_high", Bool))), lineitem)
 
-    // deterministic nullable column for IsNull coverage
+    // deterministic nullable column for IsNull coverage; deterministic
+    // object[] column (1-3 {k,v} structs per doc) for nested-array filters
     val documents = t(spark, dir, "documents")
       .withColumn("maybe_src",
         when(col("source") === "src13", lit(null).cast("string")).otherwise(col("source")))
+      .withColumn("tags", expr(
+        "transform(sequence(0, CAST(doc_id % 3 AS INT)), i -> " +
+        "named_struct('k', concat('t', CAST((doc_id + i) % 5 AS STRING)), " +
+        "'v', (doc_id * (i + 1)) % 100))"))
     g.register(CollectionSchema("Document", "doc_id", Seq(
       Property("text", Text, Tokenization.Word),
       Property("lang", Text, Tokenization.Field),
       Property("source", Text, Tokenization.Field),
       Property("maybe_src", Text, Tokenization.Field),
-      Property("n_chars", Int))), documents)
+      Property("n_chars", Int),
+      Property("tags", Arr(Obj)))), documents)
 
     val embeddings = t(spark, dir, "embeddings")
       .withColumn("rev", reverse(col("embedding")))

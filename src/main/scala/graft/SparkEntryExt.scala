@@ -237,6 +237,31 @@ object SparkEntryExt {
         .orderBy(col("doc_id"))
     }),
 
+    // §2.2 correlated nested-object filter: both predicates must hold on the
+    // SAME tags[] element (reference: inverted/searcher_nested.go — And inside
+    // one object[] path is per-element, not per-document)
+    "q_filter_nested" -> ((s, dir) => {
+      g(s, dir).get(GetParams("Document",
+        where = Some(Where.and(
+          Where.eqText("tags/k", "t2"),
+          Where.gtInt("tags/v", 50))),
+        properties = Seq("doc_id")))
+        .orderBy(col("doc_id"))
+    }),
+
+    // §2.2 nested-object filters under Or/Not: each leaf is its own
+    // element-existential (uncorrelated), Not = "no element matches"
+    "q_filter_nested_mixed" -> ((s, dir) => {
+      g(s, dir).get(GetParams("Document",
+        where = Some(Where.and(
+          Where.or(
+            Where.eqText("tags/k", "t1"),
+            Where.gtInt("tags/v", 90)),
+          Where.not(Where.eqText("tags/k", "t4")))),
+        properties = Seq("doc_id")))
+        .orderBy(col("doc_id"))
+    }),
+
     // §1.1 multi-tenancy: tenant key = physical partition, pruned at scan
     "q_tenant" -> ((s, dir) => {
       g(s, dir).get(GetParams("EventTenant",
@@ -436,6 +461,26 @@ object SparkEntryExt {
     "q_tenant" ->
       """SELECT event_id FROM events WHERE event_type = 'click' AND value > 50
         |ORDER BY event_id""".stripMargin,
+
+    // the tags[] fixture is deterministic doc_id math, so the oracle inlines
+    // the same element formula inside list_filter lambdas (correlated = one
+    // lambda with the conjunction)
+    "q_filter_nested" ->
+      """SELECT doc_id FROM documents
+        |WHERE len(list_filter(range(0, CAST(doc_id % 3 AS INT) + 1),
+        |  i -> 't' || CAST((doc_id + i) % 5 AS VARCHAR) = 't2'
+        |       AND (doc_id * (i + 1)) % 100 > 50)) > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_filter_nested_mixed" ->
+      """SELECT doc_id FROM documents
+        |WHERE (len(list_filter(range(0, CAST(doc_id % 3 AS INT) + 1),
+        |         i -> 't' || CAST((doc_id + i) % 5 AS VARCHAR) = 't1')) > 0
+        |    OR len(list_filter(range(0, CAST(doc_id % 3 AS INT) + 1),
+        |         i -> (doc_id * (i + 1)) % 100 > 90)) > 0)
+        |  AND NOT len(list_filter(range(0, CAST(doc_id % 3 AS INT) + 1),
+        |        i -> 't' || CAST((doc_id + i) % 5 AS VARCHAR) = 't4')) > 0
+        |ORDER BY doc_id""".stripMargin,
 
     "q_bm25_explain" -> {
       val (ctes, _) = sqlBm25(Seq("spark", "join"))

@@ -37,9 +37,19 @@ final class FilterCompiler(resolve: String => Collection) {
   private def compile(df: DataFrame, schema: CollectionSchema, w: Where, depth: Int): (DataFrame, Column) =
     w.op match {
       case WhereOp.And =>
-        w.operands.foldLeft((df, lit(true))) { case ((d, c), o) =>
-          val (d2, c2) = compile(d, schema, o, depth); (d2, c && c2)
+        // Correlated nested-array semantics (reference: searcher_nested.go,
+        // prop_value_pairs_nested_recursive.go): sibling AND-predicates that
+        // descend into the SAME object[] property must match on the SAME array
+        // element, so they compile into ONE exists(arr, x -> p1 && p2 && ...).
+        val (nested, plain) = w.operands.partition(isNestedArrayLeaf(schema, _))
+        val correlated: Seq[Column] = nested.groupBy(_.path.head).toSeq.sortBy(_._1)
+          .map { case (head, ws) =>
+            exists(col(head), x => ws.map(elementPred(x, _)).reduce(_ && _))
+          }
+        val (d, c) = plain.foldLeft((df, lit(true))) { case ((d0, c0), o) =>
+          val (d2, c2) = compile(d0, schema, o, depth); (d2, c0 && c2)
         }
+        (d, correlated.foldLeft(c)(_ && _))
       case WhereOp.Or =>
         w.operands.foldLeft((df, lit(false))) { case ((d, c), o) =>
           val (d2, c2) = compile(d, schema, o, depth); (d2, c || c2)
@@ -49,9 +59,24 @@ final class FilterCompiler(resolve: String => Collection) {
         (d2, !c2)
       case _ if isRefPath(schema, w.path) =>
         compileRefLeaf(df, schema, w, depth)
+      case _ if isNestedArrayLeaf(schema, w) =>
+        // standalone nested leaf (or inside Or/Not): element-existential
+        (df, exists(col(w.path.head), x => elementPred(x, w)))
       case _ =>
         (df, leaf(schema, w))
     }
+
+  /** Leaf whose path descends into an `object[]` property (nested-array filter,
+   * reference: inverted/searcher_nested.go). */
+  private def isNestedArrayLeaf(schema: CollectionSchema, w: Where): Boolean =
+    w.operands.isEmpty && w.path.length >= 2 &&
+      schema.property(w.path.head).exists(_.dataType == PropType.Arr(PropType.Obj))
+
+  /** The leaf predicate applied to one array element (the lambda variable). */
+  private def elementPred(elem: Column, w: Where): Column = {
+    val c = w.path.tail.foldLeft(elem)(_.getField(_))
+    applyOp(c, w, None)
+  }
 
   /** Is this path descending through a cref property into another collection? */
   private def isRefPath(schema: CollectionSchema, path: Seq[String]): Boolean =
@@ -112,7 +137,12 @@ final class FilterCompiler(resolve: String => Collection) {
       case (Some(acc), p) => Some(acc.getField(p))
     }.get
     val prop = if (path.length == 1) schema.property(path.head) else None
+    applyOp(c, w, prop)
+  }
 
+  /** Dispatch the leaf operator onto an already-resolved column. */
+  private def applyOp(c: Column, w: Where, prop: Option[Property]): Column = {
+    import FilterValue._
     w.op match {
       case WhereOp.IsNull =>
         val BoolV(wantNull) = w.value.get: @unchecked

@@ -77,7 +77,7 @@ final class Graft(val spark: SparkSession) {
     }
 
     val legCount = Seq(params.nearVector, params.nearObject, params.nearText,
-      params.bm25, params.hybrid).count(_.isDefined)
+      params.nearMultiVector, params.bm25, params.hybrid).count(_.isDefined)
     require(legCount <= 1, "at most one search leg (nearX | bm25 | hybrid)")
 
     // threshold-only nearX with no explicit pagination = SearchByVectorDistance
@@ -106,6 +106,9 @@ final class Graft(val spark: SparkSession) {
           vectorLeg(VectorSearch.resolveNearObject(c, no))
         }).orElse(params.nearText.map { nt =>
         vectorLeg(resolveNearText(nt))
+      }).orElse(params.nearMultiVector.map { nmv =>
+        VectorSearch.nearMultiVector(c, nmv, fetchLimit.orElse(Some(defaultLimit)),
+          if (hasFilter) Some(filtered) else None)
       }).orElse(params.bm25.map { kw =>
         Bm25Search.search(c, kw, fetchLimit.getOrElse(defaultLimit), Some(filtered))
       }).orElse(params.hybrid.map { h =>
@@ -119,7 +122,8 @@ final class Graft(val spark: SparkSession) {
       case (Some(n), true) =>
         val scoreCol =
           if (params.nearVector.isDefined || params.nearObject.isDefined ||
-              params.nearText.isDefined) -col(VectorSearch.DistanceCol)
+              params.nearText.isDefined || params.nearMultiVector.isDefined)
+            -col(VectorSearch.DistanceCol)
           else if (params.bm25.isDefined) col(Bm25Search.ScoreCol)
           else col(HybridSearch.ScoreCol)
         HybridSearch.autocut(searched, scoreCol, col(id), n)
@@ -150,7 +154,7 @@ final class Graft(val spark: SparkSession) {
         val rankCol = "__rank"
         val rankOrder: Seq[Column] =
           if (params.nearVector.isDefined || params.nearObject.isDefined ||
-              params.nearText.isDefined)
+              params.nearText.isDefined || params.nearMultiVector.isDefined)
             Seq(col(VectorSearch.DistanceCol).asc, col(id).asc)
           else if (params.bm25.isDefined) Seq(col(Bm25Search.ScoreCol).desc, col(id).asc)
           else if (params.hybrid.isDefined) Seq(col(HybridSearch.ScoreCol).desc, col(id).asc)

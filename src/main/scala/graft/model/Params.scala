@@ -27,6 +27,14 @@ final case class NearVector(
     targetVectors: Seq[String] = Nil,
     combination: TargetCombination = TargetCombination.Minimum)
 
+/** Multi-vector (ColBERT-style) nearVector: the query is a bag of token
+ * vectors, the target named vector is `array<array<float>>`, ranking is
+ * MaxSim late interaction (reference: entities/dto/dto.go:73-90,
+ * shard_read.go:687-698, vector/multivector/). */
+final case class NearMultiVector(
+    vectors: Array[Array[Float]],
+    targetVectors: Seq[String] = Nil)
+
 /** nearObject: kNN by another object's vector (reference: retrieval.go:128-135). */
 final case class NearObject(
     id: Any,
@@ -117,6 +125,7 @@ final case class GetParams(
     nearVector: Option[NearVector] = None,
     nearObject: Option[NearObject] = None,
     nearText: Option[NearText] = None,
+    nearMultiVector: Option[NearMultiVector] = None,
     bm25: Option[Bm25] = None,
     hybrid: Option[Hybrid] = None,
     sort: Seq[SortBy] = Nil,

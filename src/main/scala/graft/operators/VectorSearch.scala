@@ -91,6 +91,29 @@ object VectorSearch {
     }
   }
 
+  /**
+   * Multi-vector (ColBERT) search: MaxSim late interaction between the query
+   * token bag and the document's `array<array<float>>` named vector
+   * (reference: shard_read.go:687-698, vector/multivector/). Same scan +
+   * TakeOrderedAndProject shape as nearVector — the MaxSim kernel is a
+   * codegen'd expression, so the token×token loop stays in-stage.
+   */
+  def nearMultiVector(
+      c: Collection,
+      params: NearMultiVector,
+      limit: Option[Int],
+      filtered: Option[DataFrame] = None): DataFrame = {
+    val base = filtered.getOrElse(c.df)
+    val vecCol = c.schema.vectorColumn(params.targetVectors.headOption)
+    val qLit = typedLit(params.vectors.map(_.toSeq).toSeq)
+    val scored = base.withColumn(DistanceCol,
+      org.apache.spark.sql.graft.VectorFunctions.maxSim(qLit, col(vecCol)))
+    limit match {
+      case Some(k) => scored.orderBy(col(DistanceCol).asc, col(c.schema.idColumn).asc).limit(k)
+      case None    => scored.orderBy(col(DistanceCol).asc, col(c.schema.idColumn).asc)
+    }
+  }
+
   /** Resolve a nearObject to a nearVector by looking up the anchor object's
    * vector (reference: retrieval.go:128-135, near_params_vector.go). */
   def resolveNearObject(c: Collection, params: NearObject): NearVector = {

@@ -212,13 +212,39 @@ case class MaxSimDistance(left: Expression, right: Expression)
     -score
   }
 
-  // Interpreted eval only (nested-loop over nested arrays); still sits inside a
-  // codegen stage via the fallback path. Hot-loop codegen is a later milestone.
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val expr = ctx.addReferenceObj("maxsim", this, classOf[MaxSimDistance].getName)
-    nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"""${ev.value} = (double) (Double) $expr.nullSafeEval($a, $b);""")
-  }
+  // Whole-stage codegen of the full MaxSim nested loop — the token×token dot
+  // products run as primitive Java inside the stage, no boxing or virtual
+  // calls (parity with the interpreted path asserted in VectorFunctionsSpec).
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nq = ctx.freshName("nq"); val nd = ctx.freshName("nd")
+      val score = ctx.freshName("score"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val k = ctx.freshName("k")
+      val qi = ctx.freshName("qi"); val dj = ctx.freshName("dj")
+      val best = ctx.freshName("best"); val dot = ctx.freshName("dot")
+      val dim = ctx.freshName("dim")
+      val arrayData = classOf[ArrayData].getName
+      s"""
+         |int $nq = $a.numElements();
+         |int $nd = $b.numElements();
+         |double $score = 0.0;
+         |for (int $i = 0; $i < $nq; $i++) {
+         |  $arrayData $qi = $a.getArray($i);
+         |  int $dim = $qi.numElements();
+         |  double $best = Double.NEGATIVE_INFINITY;
+         |  for (int $j = 0; $j < $nd; $j++) {
+         |    $arrayData $dj = $b.getArray($j);
+         |    double $dot = 0.0;
+         |    for (int $k = 0; $k < $dim; $k++) {
+         |      $dot += (double) $qi.getFloat($k) * (double) $dj.getFloat($k);
+         |    }
+         |    if ($dot > $best) $best = $dot;
+         |  }
+         |  if ($nd > 0) $score += $best;
+         |}
+         |${ev.value} = -$score;
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 

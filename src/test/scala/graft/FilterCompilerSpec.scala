@@ -17,6 +17,14 @@ class FilterCompilerSpec extends SparkSpecBase {
       (4L, "Dave Brown", 40L, 2.0, "sales", Seq.empty[String], 30L))
       .toDF("id", "name", "age", "rating", "dept", "tags", "city_id")
       .withColumn("nickname", when($"id" === 4, lit(null).cast("string")).otherwise($"name"))
+      // object[] bed for correlated nested-array filters: id 1 has a single
+      // element satisfying BOTH (k=a, v=9); id 2 satisfies k=a and v>8 only on
+      // DIFFERENT elements — the correlated And must reject it
+      .withColumn("exps", expr("""CASE
+        | WHEN id = 1 THEN array(named_struct('k','a','v',9L), named_struct('k','b','v',1L))
+        | WHEN id = 2 THEN array(named_struct('k','a','v',2L), named_struct('k','b','v',9L))
+        | WHEN id = 3 THEN array(named_struct('k','c','v',5L))
+        | ELSE slice(array(named_struct('k','x','v',0L)), 1, 0) END""".stripMargin))
     gg.register(CollectionSchema("Person", "id", Seq(
       Property("name", PropType.Text, Tokenization.Word),
       Property("age", PropType.Int),
@@ -24,6 +32,7 @@ class FilterCompilerSpec extends SparkSpecBase {
       Property("dept", PropType.Text, Tokenization.Field),
       Property("tags", PropType.Arr(PropType.Text)),
       Property("nickname", PropType.Text, Tokenization.Field),
+      Property("exps", PropType.Arr(PropType.Obj)),
       Property("city_id", PropType.Ref, refTarget = Some("City")))), people)
     val cities = Seq((10L, "Berlin", 3600000L), (20L, "Paris", 2100000L), (30L, "Rome", 2800000L))
       .toDF("cid", "cname", "pop")
@@ -77,6 +86,17 @@ class FilterCompilerSpec extends SparkSpecBase {
       Some(FilterValue.IntV(3000000L)))
     assert(ids(berlinOnly) == Seq(1L, 3L))
     assert(ids(Where.not(berlinOnly)) == Seq(2L, 4L))
+  }
+
+  test("correlated nested-array And matches same element only") {
+    val corr = Where.and(Where.eqText("exps/k", "a"), Where.gtInt("exps/v", 8L))
+    assert(ids(corr) == Seq(1L)) // id 2 satisfies the legs on different elements
+    // uncorrelated (separate Or legs) still sees both elements
+    assert(ids(Where.or(Where.eqText("exps/k", "a"), Where.gtInt("exps/v", 8L))) == Seq(1L, 2L))
+    // Not over a nested leaf = no element matches
+    assert(ids(Where.not(Where.eqText("exps/k", "a"))) == Seq(3L, 4L))
+    // nested leaf composes with a plain predicate under And
+    assert(ids(Where.and(Where.eqText("exps/k", "b"), Where.geInt("age", 30L))) == Seq(1L))
   }
 
   test("ref filter composes with plain predicate under Or") {
