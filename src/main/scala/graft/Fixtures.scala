@@ -126,6 +126,15 @@ object Fixtures {
       vectors = Map("default" -> "embedding", "rev" -> "rev"),
       defaultVector = Some("default")), embeddings)
 
+    // multi-vector (ColBERT) bed: each object carries a 2-token bag
+    // [embedding, reverse(embedding)] as array<array<float>> (reference:
+    // entities/dto/dto.go:73-90 — multi-vectors are per-object [][]float32)
+    g.register(CollectionSchema("MVec", "vec_id", Seq(
+      Property("label", Int)),
+      vectors = Map("mvec" -> "mvec"),
+      defaultVector = Some("mvec")),
+      embeddings.withColumn("mvec", array(col("embedding"), col("rev"))))
+
     // documents ⋈ embeddings: one collection with text + vector (hybrid bed)
     val docvec = documents.join(embeddings.select(col("vec_id"), col("embedding")),
       documents("doc_id") === col("vec_id"), "inner").drop("vec_id")

@@ -117,13 +117,20 @@ object SparkEntryExt {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
-    // pipeline: MinHash-LSH near-dup detection (bucket → exact-Jaccard verify).
-    // The documents table carries natural near-duplicates; no SQL oracle
-    // (xxhash64 signatures aren't expressible in DuckDB) — recall vs brute
-    // force is asserted in DedupSpec instead.
+    // pipeline: MinHash-LSH near-dup detection (bucket → exact-Jaccard verify)
+    // over a bounded bed (natural near-dups among doc_id < 500, plus planted
+    // exact copies). 64 bands × 2 rows puts LSH detection at p ≈ 1 − 2e-19
+    // for j ≥ 0.7, and the verify step computes exact Jaccard, so the output
+    // equals the true qualifying-pair set — which the DuckDB oracle computes
+    // directly on string shingles (hash-set Jaccard ≡ string-set Jaccard up
+    // to xxhash64 collisions)
     "q_dedup_minhash" -> ((s, dir) => {
-      Dedup.minhashDuplicates(g(s, dir).collection("Document").df, col("doc_id"), col("text"),
-          shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.7)
+      val docs = g(s, dir).collection("Document").df
+        .filter(col("doc_id") < 500).select(col("doc_id"), col("text"))
+      val bed = docs.unionByName(docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.minhashDuplicates(bed, col("doc_id"), col("text"),
+          shingleSize = 3, numHashes = 128, bands = 64, threshold = 0.7)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -137,10 +144,17 @@ object SparkEntryExt {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // pipeline: SimHash near-dup (no SQL oracle: xxhash64 not in DuckDB)
+    // pipeline: SimHash near-dup over a planted bed. xxhash64 simhash isn't
+    // DuckDB-expressible, so the oracle is the planted qualifying pairs
+    // (exact copies ⇒ identical signature ⇒ pigeonhole bucket hit, hamming 0);
+    // the bed is chosen (verified at sf0.01/0.001) to contain no natural
+    // hamming ≤ 3 pair, and natural-data recall stays covered by DedupSpec
     "q_dedup_simhash" -> ((s, dir) => {
-      val docs = g(s, dir).collection("Document").df.select(col("doc_id"), col("text"))
-      Dedup.simhashDuplicates(docs, col("doc_id"), col("text"), maxHamming = 3)
+      val docs = g(s, dir).collection("Document").df
+        .filter(col("doc_id") % 17 === 3).select(col("doc_id"), col("text"))
+      val bed = docs.unionByName(docs.filter(col("doc_id") % 51 === 3)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.simhashDuplicates(bed, col("doc_id"), col("text"), maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -306,6 +320,20 @@ object SparkEntryExt {
         .select(col("vec_id"), round(col("_distance"), 4).as("dist"))
     }),
 
+    // §2.3 multi-vector (ColBERT) search end-to-end: 2-token query bag vs the
+    // MVec collection's array<array<float>> named vector, MaxSim ranking via
+    // the codegen'd kernel (reference: shard_read.go:687-698)
+    "q_near_multivec" -> ((s, dir) => {
+      val gg = g(s, dir)
+      gg.get(GetParams("MVec",
+        nearMultiVector = Some(NearMultiVector(Array(
+          Fixtures.anchorVector(gg, 9L), Fixtures.anchorVector(gg, 21L)))),
+        pagination = Some(Pagination(limit = 10)),
+        properties = Seq("vec_id"),
+        additional = Set("distance")))
+        .select(col("vec_id"), round(col("_distance"), 4).as("dist"))
+    }),
+
     // §2.3 filtered vector search: where-allowlist + kNN (the reference's
     // filtered-search path, shard_read.go:536-550 / ACORN decision)
     "q_near_filtered" -> ((s, dir) => {
@@ -411,7 +439,7 @@ object SparkEntryExt {
     })
   )
 
-  import SparkEntry.{sqlQv, sqlL2, sqlCosine, sqlBm25}
+  import SparkEntry.{sqlQv, sqlL2, sqlCosine, sqlBm25, sqlDot}
 
   def oracleSql: Map[String, String] = Map(
 
@@ -434,6 +462,18 @@ object SparkEntryExt {
          |      FROM embeddings e CROSS JOIN qv q)
          |SELECT vec_id, round(dist, 4) AS dist FROM d
          |ORDER BY d.dist ASC, vec_id ASC LIMIT 12""".stripMargin,
+
+    // MaxSim in list math: doc token bag is [e, reverse(e)], so per query
+    // token the max-dot is greatest(dot(q, e), dot(q, reverse(e)))
+    "q_near_multivec" ->
+      s"""WITH q1 AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 9),
+         |q2 AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 21),
+         |d AS (SELECT e.vec_id,
+         |  -(greatest(${sqlDot("e.embedding", "a.v")}, ${sqlDot("list_reverse(e.embedding)", "a.v")})
+         |  + greatest(${sqlDot("e.embedding", "b.v")}, ${sqlDot("list_reverse(e.embedding)", "b.v")})) AS dist
+         |  FROM embeddings e CROSS JOIN q1 a CROSS JOIN q2 b)
+         |SELECT vec_id, round(dist, 4) AS dist FROM d
+         |ORDER BY d.dist ASC, vec_id ASC LIMIT 10""".stripMargin,
 
     "q_near_filtered" ->
       s"""WITH ${sqlQv(7)},
@@ -584,6 +624,37 @@ object SparkEntryExt {
     "q_dedup_exact" ->
       """SELECT user_id, event_type, min(event_id) AS canonical_id, count(*) AS dup_count
         |FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
+
+    // true qualifying-pair set on the bounded bed: string-shingle Jaccard in
+    // list math (same shingle semantics as shingleHashes: <3 tokens → one
+    // whole-sequence shingle; empty-token docs excluded like the engine's
+    // size>0 filter)
+    "q_dedup_minhash" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+        |bed AS (SELECT doc_id, text FROM base
+        |        UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM base WHERE doc_id % 25 = 0),
+        |t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM bed),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(toks) < 3 THEN list_distinct([array_to_string(toks, ' ')])
+        |  ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS s
+        |  FROM t WHERE len(toks) > 0),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jac
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM pairs
+        |WHERE jac >= 0.7 ORDER BY id_a, id_b""".stripMargin,
+
+    // planted-pair oracle: exact copies have identical simhash (hamming 0)
+    // and share every pigeonhole chunk, so detection is certain; the bed has
+    // no natural hamming ≤ 3 pair (verified locally at both sf)
+    "q_dedup_simhash" ->
+      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, CAST(0 AS BIGINT) AS hamming
+        |FROM documents
+        |WHERE doc_id % 51 = 3 AND len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // exact oracle: same-source pairs with shingle-set Jaccard ≥ 0.5 (the
     // engine's bucketed candidate space is identical by construction)

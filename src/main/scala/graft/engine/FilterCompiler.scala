@@ -86,7 +86,7 @@ final class FilterCompiler(resolve: String => Collection) {
    * Ref leaf: run the tail filter on the target collection, semi-join ids back,
    * expose as a boolean helper column (so Not/Or still compose).
    * Ref-count filter (valueInt on the ref prop itself, path length 1) is
-   * handled in `leaf` via size().
+   * handled in `leaf` via refCount.
    */
   private def compileRefLeaf(df: DataFrame, schema: CollectionSchema, w: Where, depth: Int): (DataFrame, Column) = {
     require(depth < 3, "nested-ref depth limit (reference: QueryNestedRefLimit)")
@@ -97,13 +97,29 @@ final class FilterCompiler(resolve: String => Collection) {
     val matchingIds = tPrepared.filter(tCol)
       .select(col(target.schema.idColumn).alias("__target_id")).distinct()
     val flag = s"__ref_match_${df.columns.count(_.startsWith("__ref_match_"))}"
+    val isArrayRef = df.schema(refProp.name).dataType
+      .isInstanceOf[org.apache.spark.sql.types.ArrayType]
     // left join against matching target ids; hit => flag true. Small dimension
     // sides broadcast automatically via AQE; the join key is the FK column.
-    val joined = df.join(
-        matchingIds.withColumn("__hit", lit(true)),
-        df(refProp.name) === col("__target_id"), "left")
-      .withColumn(flag, coalesce(col("__hit"), lit(false)))
-      .drop("__target_id", "__hit")
+    val joined = if (!isArrayRef) {
+      df.join(
+          matchingIds.withColumn("__hit", lit(true)),
+          df(refProp.name) === col("__target_id"), "left")
+        .withColumn(flag, coalesce(col("__hit"), lit(false)))
+        .drop("__target_id", "__hit")
+    } else {
+      // multi-valued cref (beacon list): explode edges, equi-join on target
+      // id, fold back to a per-object any-match flag (one shuffle on the id —
+      // never a non-equi array_contains join)
+      val id = schema.idColumn
+      val hits = df.select(col(id), explode_outer(col(refProp.name)).as("__fk"))
+        .join(matchingIds.withColumn("__hit", lit(true)),
+          col("__fk") === col("__target_id"), "left")
+        .groupBy(col(id))
+        .agg(max(coalesce(col("__hit"), lit(false))).as(flag))
+      df.join(hits, Seq(id), "left")
+        .withColumn(flag, coalesce(col(flag), lit(false)))
+    }
     (joined, col(flag))
   }
 

@@ -27,7 +27,12 @@ abstract class VectorDistance extends BinaryExpression with ExpectsInputTypes {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
 
-  /** Java source for the accumulation loop body; sees `n`, `a`, `b`, writes `acc`. */
+  /** Java source for the accumulation loop body; sees `n`, `a`, `b`, writes
+   * `acc`. Placeholders N/ACC/I (and any helper vars the body declares with
+   * V-prefixed names) are rewritten to ctx.freshName'd identifiers — two
+   * distance expressions in one codegen stage (multi-target search, dedup
+   * verify joins) must not collide on local variable names, or the whole
+   * stage silently falls back to interpreted eval. */
   protected def loopBody(a: String, b: String): String
   protected def finish(acc: Double): Double = acc
   protected def finishCode(acc: String): String = acc
@@ -41,10 +46,19 @@ abstract class VectorDistance extends BinaryExpression with ExpectsInputTypes {
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      // helper locals some kernels declare (dot/na/nb/x/y/d); longest
+      // placeholders first, and V-prefixed ones before bare N/I
+      val renamed = Seq("VDOT" -> "dot", "VNA" -> "na", "VNB" -> "nb",
+          "VX" -> "x", "VY" -> "y", "VD" -> "d")
+        .foldLeft(loopBody(a, b)) {
+          case (body, (ph, base)) => body.replace(ph, ctx.freshName(base))
+        }
+        .replace("ACC", acc).replace("N", n).replace("I", i)
       s"""
          |int $n = $a.numElements();
          |double $acc = 0.0;
-         |${loopBody(a, b).replace("ACC", acc).replace("N", n)}
+         |$renamed
          |${ev.value} = ${finishCode(acc)};
        """.stripMargin
     })
@@ -54,9 +68,9 @@ abstract class VectorDistance extends BinaryExpression with ExpectsInputTypes {
 case class L2SquaredDistance(left: Expression, right: Expression) extends VectorDistance {
   override def prettyName: String = "l2_squared"
   protected def loopBody(a: String, b: String): String =
-    s"""for (int i = 0; i < N; i++) {
-       |  double d = (double) $a.getFloat(i) - (double) $b.getFloat(i);
-       |  ACC += d * d;
+    s"""for (int I = 0; I < N; I++) {
+       |  double VD = (double) $a.getFloat(I) - (double) $b.getFloat(I);
+       |  ACC += VD * VD;
        |}""".stripMargin
   protected def dist(x: ArrayData, y: ArrayData): Double = {
     var acc = 0.0; var i = 0; val n = x.numElements()
@@ -70,12 +84,12 @@ case class L2SquaredDistance(left: Expression, right: Expression) extends Vector
 case class CosineDistance(left: Expression, right: Expression) extends VectorDistance {
   override def prettyName: String = "cosine_distance"
   protected def loopBody(a: String, b: String): String =
-    s"""double dot = 0.0, na = 0.0, nb = 0.0;
-       |for (int i = 0; i < N; i++) {
-       |  double x = (double) $a.getFloat(i); double y = (double) $b.getFloat(i);
-       |  dot += x * y; na += x * x; nb += y * y;
+    s"""double VDOT = 0.0, VNA = 0.0, VNB = 0.0;
+       |for (int I = 0; I < N; I++) {
+       |  double VX = (double) $a.getFloat(I); double VY = (double) $b.getFloat(I);
+       |  VDOT += VX * VY; VNA += VX * VX; VNB += VY * VY;
        |}
-       |ACC = (na == 0.0 || nb == 0.0) ? 1.0 : 1.0 - dot / Math.sqrt(na * nb);""".stripMargin
+       |ACC = (VNA == 0.0 || VNB == 0.0) ? 1.0 : 1.0 - VDOT / Math.sqrt(VNA * VNB);""".stripMargin
   protected def dist(x: ArrayData, y: ArrayData): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0; val n = x.numElements()
     while (i < n) {
@@ -91,8 +105,8 @@ case class CosineDistance(left: Expression, right: Expression) extends VectorDis
 case class DotDistance(left: Expression, right: Expression) extends VectorDistance {
   override def prettyName: String = "dot_distance"
   protected def loopBody(a: String, b: String): String =
-    s"""for (int i = 0; i < N; i++) {
-       |  ACC += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+    s"""for (int I = 0; I < N; I++) {
+       |  ACC += (double) $a.getFloat(I) * (double) $b.getFloat(I);
        |}""".stripMargin
   override protected def finishCode(acc: String): String = s"-$acc"
   protected def dist(x: ArrayData, y: ArrayData): Double = {
@@ -107,8 +121,8 @@ case class DotDistance(left: Expression, right: Expression) extends VectorDistan
 case class ManhattanDistance(left: Expression, right: Expression) extends VectorDistance {
   override def prettyName: String = "manhattan_distance"
   protected def loopBody(a: String, b: String): String =
-    s"""for (int i = 0; i < N; i++) {
-       |  ACC += Math.abs((double) $a.getFloat(i) - (double) $b.getFloat(i));
+    s"""for (int I = 0; I < N; I++) {
+       |  ACC += Math.abs((double) $a.getFloat(I) - (double) $b.getFloat(I));
        |}""".stripMargin
   protected def dist(x: ArrayData, y: ArrayData): Double = {
     var acc = 0.0; var i = 0; val n = x.numElements()
@@ -122,8 +136,8 @@ case class ManhattanDistance(left: Expression, right: Expression) extends Vector
 case class HammingDistance(left: Expression, right: Expression) extends VectorDistance {
   override def prettyName: String = "hamming_distance"
   protected def loopBody(a: String, b: String): String =
-    s"""for (int i = 0; i < N; i++) {
-       |  if ($a.getFloat(i) != $b.getFloat(i)) ACC += 1.0;
+    s"""for (int I = 0; I < N; I++) {
+       |  if ($a.getFloat(I) != $b.getFloat(I)) ACC += 1.0;
        |}""".stripMargin
   protected def dist(x: ArrayData, y: ArrayData): Double = {
     var acc = 0.0; var i = 0; val n = x.numElements()

@@ -68,4 +68,32 @@ class VectorFunctionsSpec extends SparkSpecBase {
       assert(on == off)
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
+
+  test("two kernels in one codegen stage do not collide on locals") {
+    // regression: literal `int i` in generated loops made any stage with two
+    // distance expressions fail Janino compilation and silently fall back
+    val df = Seq((a, b)).toDF("a", "b")
+    val row = df.select(
+      l2Squared($"a", $"b").as("d1"), cosineDistance($"a", $"b").as("d2"),
+      dotDistance($"a", $"b").as("d3"), manhattan($"a", $"b").as("d4")).head()
+    assert(math.abs(row.getDouble(0) - 67.0) < 1e-12)
+    assert(math.abs(row.getDouble(2) - (-12.0)) < 1e-12)
+    assert(math.abs(row.getDouble(3) - 13.0) < 1e-12)
+  }
+
+  test("maxsim codegen matches interpreted eval (wholestage off)") {
+    val q = Array(Array(1.0f, 2.0f, -1.0f), Array(0.5f, -0.25f, 3.0f))
+    val doc = Array(Array(0.5f, 0.5f, 1.0f), Array(0.0f, 2.0f, -2.0f), Array(1.5f, 0.0f, 0.0f))
+    val df = Seq((q, doc)).toDF("q", "d")
+    val on = df.select(maxSim($"q", $"d")).head().getDouble(0)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val off = df.select(maxSim($"q", $"d")).head().getDouble(0)
+      assert(on == off)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    // empty doc bag contributes nothing instead of -inf
+    val emptyDoc = Seq((q, Array.empty[Array[Float]])).toDF("q", "d")
+      .select(maxSim($"q", $"d")).head().getDouble(0)
+    assert(emptyDoc == 0.0)
+  }
 }
