@@ -65,6 +65,30 @@ final class CollectionStore(val spark: SparkSession, val root: String,
     writeVersion(merged)
   }
 
+  /**
+   * BatchReferences: bulk edge append onto an array-valued cref property
+   * (reference: adapters/repos/db/batch.go:122 — reference batches are
+   * (from, refProp, to-beacon) triples). `edges` has two columns:
+   * the id column and `target` (the target collection id). New targets are
+   * appended set-wise (duplicates dropped); rows without new edges keep
+   * their list. One aggregate + one id-keyed join — a single shuffle.
+   */
+  def addReferences(refProp: String, edges: DataFrame): Unit = {
+    val id = schema.idColumn
+    require(schema.property(refProp).exists(_.dataType == graft.model.PropType.Ref),
+      s"$refProp is not a cref property")
+    val current = read()
+    val grouped = edges.groupBy(col(id))
+      .agg(collect_set(col("target")).as("__new_refs"))
+    val merged = current.join(grouped, Seq(id), "left")
+      .withColumn(refProp,
+        when(col("__new_refs").isNull, col(refProp))
+          .when(col(refProp).isNull, col("__new_refs"))
+          .otherwise(array_distinct(concat(col(refProp), col("__new_refs")))))
+      .drop("__new_refs")
+    writeVersion(merged)
+  }
+
   /** Delete by filter; dryRun returns the would-be-deleted count without
    * mutating (reference: batch.go:179, usecases/objects/batch_delete.go). */
   def deleteWhere(where: Where,
