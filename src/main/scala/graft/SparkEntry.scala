@@ -344,21 +344,19 @@ object SparkEntry {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
-    // kNN join: for each probe (vec_id % 100 == 0), its 3 nearest neighbours
+    // kNN join: for each probe (vec_id % 100 == 0), its 3 nearest neighbours.
+    // IVF-bucketed join (probes and data equi-joined on shared centroids) at
+    // full probe, so the result is exact and the brute-force SQL oracle
+    // hash-matches; the pruned-nprobe regime is covered by KnnJoinSpec
     "q_knn_join" -> ((s, dir) => {
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val gg = g(s, dir)
+      val emb = gg.collection("Embedding").df
       val probes = emb.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
-      val joined = emb.crossJoin(broadcast(probes))
-        .filter(col("vec_id") =!= col("probe_id"))
-        .withColumn("dist",
-          org.apache.spark.sql.graft.VectorFunctions.l2Squared(col("embedding"), col("probe_vec")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("probe_id")).orderBy(col("dist").asc, col("vec_id").asc)
-      joined.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("probe_id"), col("rank").cast("long").as("rank"), col("vec_id").as("neighbor_id"),
-          round(col("dist"), 4).as("dist"))
+      KnnJoin.bucketed(SparkEntryExt.ivfFor(gg, dir),
+          probes, col("vec_id"), col("embedding"),
+          k = 3, metric = Metric.L2Squared, nprobe = 8)
+        .select(col("probe_id"), col("rank").cast("long").as("rank"),
+          col("data_id").as("neighbor_id"), round(col("dist"), 4).as("dist"))
         .orderBy(col("probe_id"), col("rank"))
     })
   )

@@ -40,7 +40,7 @@ object SparkEntryExt {
   // defaultNprobe = nlist ⇒ full probe ⇒ bit-exact vs the brute-force oracle;
   // AnnSpec covers the approximate low-nprobe regime (recall ≥ 0.9).
   private val ivfCache = scala.collection.mutable.Map.empty[String, graft.ann.IvfIndex]
-  private def ivfFor(gg: Graft, dir: String): graft.ann.IvfIndex =
+  private[graft] def ivfFor(gg: Graft, dir: String): graft.ann.IvfIndex =
     ivfCache.getOrElseUpdate(dir, {
       val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString
       graft.ann.IvfIndex.build(gg.collection("Embedding").df, "vec_id", "embedding",
@@ -211,11 +211,14 @@ object SparkEntryExt {
     }),
 
     // pipeline: kNN classification (majority label of 5 nearest neighbours)
+    // via the IVF-bucketed neighbour join (full probe ⇒ exact, oracle-checked)
     "q_classify_knn" -> ((s, dir) => {
-      val emb = g(s, dir).collection("Embedding").df
+      val gg = g(s, dir)
+      val emb = gg.collection("Embedding").df
       val probes = emb.filter(col("vec_id") % 100 === 0)
       Classify.knn(emb, col("vec_id"), col("embedding"), col("label"),
-          probes, col("vec_id"), col("embedding"), k = 5)
+          probes, col("vec_id"), col("embedding"), k = 5,
+          index = Some(ivfFor(gg, dir)), nprobe = Some(8))
         .orderBy(col("probe_id"))
     }),
 

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.graft.VectorFunctions
+import graft.ann.IvfIndex
 import graft.model.Metric
 
 /**
@@ -13,12 +14,16 @@ import graft.model.Metric
  * usecases/classification/classifier.go:229-300) and similarity-search
  * pipelines.
  *
- * Scale shape: probes broadcast (they are the small side by construction);
- * distances evaluate as a codegen'd expression inside the scan task; per-probe
- * TopK is a window over (probe, dist) — the only shuffle is on probe_id, and
- * only candidate rows that survive `range` pruning (when a threshold is given)
- * enter it. For probe sets too large to broadcast, the IVF path
- * (graft.ann.IvfIndex) bounds the candidate space first.
+ * Two physical strategies:
+ *  - `apply` (brute force): probes broadcast against a full data scan —
+ *    O(N × P) distance evaluations. Exact; right only for small probe sets.
+ *  - `bucketed` (IVF): probes and data share the index's coarse centroids, the
+ *    join is an equi-join on `__centroid`, so each probe only meets the data
+ *    rows in its `nprobe` nearest posting lists — O(Σ_c |data_c| × |probes_c|),
+ *    a nprobe/nlist fraction of the brute-force work, and with a persisted
+ *    index the data side is parquet-partition-pruned. This is the similarity-
+ *    join shape that survives 100 TB. Exact when nprobe = nlist; recall vs
+ *    nprobe asserted in KnnJoinSpec (mirroring AnnSpec's IVF recall bar).
  */
 object KnnJoin {
 
@@ -32,7 +37,58 @@ object KnnJoin {
     val joined = d.crossJoin(broadcast(p))
       .filter(if (excludeSelf) col("data_id") =!= col("probe_id") else lit(true))
       .withColumn("dist", VectorFunctions.distance(metric)(col("__dv"), col("__pv")))
-    val cut = maxDistance.map(t => joined.filter(col("dist") <= t)).getOrElse(joined)
+    topK(joined, k, maxDistance)
+  }
+
+  /**
+   * IVF-bucketed kNN join: each probe is replicated to its `nprobe` nearest
+   * centroids (driver-broadcast centroid table, codegen-adjacent UDF), then
+   * equi-joined with the index's centroid-assigned data. The candidate set per
+   * probe is exactly the union of its probed posting lists — the same
+   * candidate space IvfIndex.search scans for a single query, vectorized
+   * across the whole probe relation.
+   *
+   * Probes (replicated ×nprobe) broadcast: they are the small side by
+   * construction, and broadcasting keeps the big data side shuffle-free —
+   * a plain hash join keyed on nlist distinct centroids would funnel 100 TB
+   * into nlist partitions. Overlapping replicas (index.replicas > 1 and/or
+   * nprobe > 1) can surface a (probe, data) pair from several lists; pairs
+   * dedupe before ranking.
+   */
+  def bucketed(
+      index: IvfIndex,
+      probes: DataFrame, probeId: Column, probeVec: Column,
+      k: Int, metric: Metric, nprobe: Int,
+      excludeSelf: Boolean = true,
+      maxDistance: Option[Double] = None): DataFrame = {
+    val bcCenters = probes.sparkSession.sparkContext.broadcast(index.centroids)
+    val np = nprobe
+    val nearestP = udf { (v: Seq[Float]) =>
+      val cs = bcCenters.value
+      cs.map { case (cid, c) =>
+        var d = 0.0; var i = 0
+        while (i < c.length) { val t = c(i) - v(i); d += t * t; i += 1 }
+        (cid, d)
+      }.sortBy(_._2).take(np).map(_._1)
+    }
+    val p = probes.select(probeId.as("probe_id"), probeVec.as("__pv"))
+      .withColumn("__centroid", explode(nearestP(col("__pv"))))
+    val d = index.assigned.select(
+      col(index.idCol).as("data_id"), col(index.vecCol).as("__dv"), col("__centroid"))
+    val joined = d.join(broadcast(p), Seq("__centroid"))
+      .filter(if (excludeSelf) col("data_id") =!= col("probe_id") else lit(true))
+      .withColumn("dist", VectorFunctions.distance(metric)(col("__dv"), col("__pv")))
+    // same pair via several probed/replicated lists → keep one (dist identical)
+    val deduped =
+      if (np > 1 || index.replicas > 1)
+        joined.groupBy(col("probe_id"), col("data_id")).agg(min(col("dist")).as("dist"))
+      else joined
+    topK(deduped, k, maxDistance)
+  }
+
+  /** Range cut + per-probe bounded rank (the only shuffle keys on probe_id). */
+  private def topK(pairs: DataFrame, k: Int, maxDistance: Option[Double]): DataFrame = {
+    val cut = maxDistance.map(t => pairs.filter(col("dist") <= t)).getOrElse(pairs)
     val w = Window.partitionBy(col("probe_id")).orderBy(col("dist").asc, col("data_id").asc)
     cut.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.ann.IvfIndex
 import graft.model.Metric
 import graft.operators.KnnJoin
 
@@ -16,13 +17,21 @@ import graft.operators.KnnJoin
  */
 object Classify {
 
-  /** @return (probe_id, predicted_label, votes) one row per probe. */
+  /** @return (probe_id, predicted_label, votes) one row per probe.
+   * With `index` (an IvfIndex over the labeled set's vector column) the
+   * neighbour search is the IVF-bucketed join — the scale path; without it,
+   * brute force (correct for small probe sets only). */
   def knn(
       labeled: DataFrame, labeledId: Column, labeledVec: Column, labelCol: Column,
       probes: DataFrame, probeId: Column, probeVec: Column,
-      k: Int, metric: Metric = Metric.L2Squared): DataFrame = {
-    val neighbours = KnnJoin(labeled, labeledId, labeledVec,
-      probes, probeId, probeVec, k, metric)
+      k: Int, metric: Metric = Metric.L2Squared,
+      index: Option[IvfIndex] = None, nprobe: Option[Int] = None): DataFrame = {
+    val neighbours = index match {
+      case Some(ix) => KnnJoin.bucketed(ix, probes, probeId, probeVec, k, metric,
+        nprobe.getOrElse(ix.defaultNprobe))
+      case None => KnnJoin(labeled, labeledId, labeledVec,
+        probes, probeId, probeVec, k, metric)
+    }
     val withLabels = neighbours.join(
       labeled.select(labeledId.as("data_id"), labelCol.as("label")), Seq("data_id"))
     val votes = withLabels.groupBy(col("probe_id"), col("label"))
