@@ -111,13 +111,21 @@ object Fixtures {
         "transform(sequence(0, CAST(doc_id % 3 AS INT)), i -> " +
         "named_struct('k', concat('t', CAST((doc_id + i) % 5 AS STRING)), " +
         "'v', (doc_id * (i + 1)) % 100))"))
+      // multi-edge cref bed (beacon list, Document → Document): 1-3 links,
+      // every 10th doc has none (null) — exercises ref-count + array-ref filters
+      .withColumn("links",
+        when(col("doc_id") % 10 === 0, lit(null).cast("array<bigint>"))
+          .otherwise(expr(
+            "transform(sequence(1, CAST(doc_id % 3 AS INT) + 1), " +
+            "i -> CAST((doc_id * i * 37) % 500 AS BIGINT))")))
     g.register(CollectionSchema("Document", "doc_id", Seq(
       Property("text", Text, Tokenization.Word),
       Property("lang", Text, Tokenization.Field),
       Property("source", Text, Tokenization.Field),
       Property("maybe_src", Text, Tokenization.Field),
       Property("n_chars", Int),
-      Property("tags", Arr(Obj)))), documents)
+      Property("tags", Arr(Obj)),
+      Property("links", Ref, refTarget = Some("Document")))), documents)
 
     val embeddings = t(spark, dir, "embeddings")
       .withColumn("rev", reverse(col("embedding")))

@@ -279,6 +279,37 @@ object SparkEntryExt {
         .orderBy(col("doc_id"))
     }),
 
+    // §2.2 ref-count filter: valueInt on a multi-edge cref = number of
+    // outgoing edges (reference: inverted/searcher.go:694); null list = 0
+    "q_ref_count" -> ((s, dir) => {
+      g(s, dir).get(GetParams("Document",
+        where = Some(Where.and(
+          Where.geInt("links", 2L),
+          Where.not(Where.eqInt("links", 3L)))),
+        properties = Seq("doc_id")))
+        .orderBy(col("doc_id"))
+    }),
+
+    // §2.2 scalar-FK guard: Int Equal on a SCALAR ref column is FK equality,
+    // not edge count (count semantics are array-cref-specific)
+    "q_ref_fk_equal" -> ((s, dir) => {
+      g(s, dir).get(GetParams("Order",
+        where = Some(Where.eqInt("o_custkey", 101L)),
+        properties = Seq("o_orderkey")))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // §2.2 array-cref path filter (beacon-list semi-join) composed with Not:
+    // docs linking to at least one German doc, themselves not German
+    "q_ref_filter_array" -> ((s, dir) => {
+      g(s, dir).get(GetParams("Document",
+        where = Some(Where.and(
+          Where.eqText("links/Document/lang", "de"),
+          Where.not(Where.eqText("lang", "de")))),
+        properties = Seq("doc_id")))
+        .orderBy(col("doc_id"))
+    }),
+
     // §1.1 multi-tenancy: tenant key = physical partition, pruned at scan
     "q_tenant" -> ((s, dir) => {
       g(s, dir).get(GetParams("EventTenant",
@@ -504,6 +535,32 @@ object SparkEntryExt {
     "q_tenant" ->
       """SELECT event_id FROM events WHERE event_type = 'click' AND value > 50
         |ORDER BY event_id""".stripMargin,
+
+    // links[] is deterministic doc_id math (see Fixtures), inlined here;
+    // coalesce(len, 0) mirrors the engine's null-list = 0 edges
+    "q_ref_count" ->
+      """WITH l AS (SELECT doc_id,
+        |  coalesce(len(CASE WHEN doc_id % 10 = 0 THEN NULL
+        |    ELSE list_transform(range(1, CAST(doc_id % 3 AS INT) + 2),
+        |      i -> (doc_id * i * 37) % 500) END), 0) AS n_links
+        |  FROM documents)
+        |SELECT doc_id FROM l WHERE n_links >= 2 AND NOT n_links = 3
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_ref_fk_equal" ->
+      """SELECT o_orderkey FROM orders WHERE o_custkey = 101
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_ref_filter_array" ->
+      """SELECT d.doc_id FROM documents d
+        |WHERE EXISTS (
+        |  SELECT 1 FROM documents t WHERE t.lang = 'de' AND list_contains(
+        |    CASE WHEN d.doc_id % 10 = 0 THEN NULL
+        |      ELSE list_transform(range(1, CAST(d.doc_id % 3 AS INT) + 2),
+        |        i -> (d.doc_id * i * 37) % 500) END,
+        |    t.doc_id))
+        |  AND NOT d.lang = 'de'
+        |ORDER BY d.doc_id""".stripMargin,
 
     // the tags[] fixture is deterministic doc_id math, so the oracle inlines
     // the same element formula inside list_filter lambdas (correlated = one

@@ -62,26 +62,27 @@ final class FilterCompiler(resolve: String => Collection) {
       case _ if isNestedArrayLeaf(schema, w) =>
         // standalone nested leaf (or inside Or/Not): element-existential
         (df, exists(col(w.path.head), x => elementPred(x, w)))
-      case _ if isRefCountLeaf(schema, w) =>
-        (df, refCountPred(df, w))
+      case _ if isRefCountLeaf(df, schema, w) =>
+        (df, refCountPred(w))
       case _ =>
         (df, leaf(schema, w))
     }
 
-  /** valueInt directly on a ref prop = filter on the number of outgoing edges
-   * (reference: inverted/searcher.go:694). */
-  private def isRefCountLeaf(schema: CollectionSchema, w: Where): Boolean =
+  /** valueInt directly on a MULTI-EDGE (array-column) ref prop = filter on the
+   * number of outgoing edges (reference: inverted/searcher.go:694,
+   * extractReferenceCount — count semantics are specific to beacon lists).
+   * Scalar-FK ref columns keep plain value semantics: the reference's refs are
+   * beacons (never int-comparable), so an Int `Equal` on a scalar FK must mean
+   * "FK equals this id", not "edge count equals" — guarded by requiring the
+   * backing column to be ArrayType. */
+  private def isRefCountLeaf(df: DataFrame, schema: CollectionSchema, w: Where): Boolean =
     w.path.length == 1 && w.value.exists(_.isInstanceOf[FilterValue.IntV]) &&
-      schema.property(w.path.head).exists(_.dataType == PropType.Ref)
+      schema.property(w.path.head).exists(_.dataType == PropType.Ref) &&
+      df.schema(w.path.head).dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]
 
-  private def refCountPred(df: DataFrame, w: Where): Column = {
-    val c = col(w.path.head)
-    val cnt = df.schema(w.path.head).dataType match {
-      case _: org.apache.spark.sql.types.ArrayType => coalesce(size(c), lit(0))
-      case _ => when(c.isNull, lit(0)).otherwise(lit(1)) // scalar FK: 0|1 edges
-    }
-    cmp(w.op, cnt.cast("long"), w.value.get, None)
-  }
+  /** Edge count of a beacon list; null list = 0 edges (reference complement). */
+  private def refCountPred(w: Where): Column =
+    cmp(w.op, coalesce(size(col(w.path.head)), lit(0)).cast("long"), w.value.get, None)
 
   /** Leaf whose path descends into an `object[]` property (nested-array filter,
    * reference: inverted/searcher_nested.go). */

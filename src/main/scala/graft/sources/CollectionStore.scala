@@ -72,12 +72,24 @@ final class CollectionStore(val spark: SparkSession, val root: String,
    * the id column and `target` (the target collection id). New targets are
    * appended set-wise (duplicates dropped); rows without new edges keep
    * their list. One aggregate + one id-keyed join — a single shuffle.
+   *
+   * Only multi-edge (array-column) cref props accept reference batches —
+   * scalar FKs are single-valued and mutate via merge/upsert instead.
+   *
+   * @return (edges applied, edges dropped because their source id is absent) —
+   *         the reference's batch.go reports per-object errors for unknown
+   *         sources; we surface the dropped count instead of silently losing
+   *         them in the join.
    */
-  def addReferences(refProp: String, edges: DataFrame): Unit = {
+  def addReferences(refProp: String, edges: DataFrame): (Long, Long) = {
     val id = schema.idColumn
     require(schema.property(refProp).exists(_.dataType == graft.model.PropType.Ref),
       s"$refProp is not a cref property")
     val current = read()
+    require(current.schema(refProp).dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType],
+      s"$refProp is a scalar FK — BatchReferences needs a multi-edge (array) cref")
+    val total = edges.count()
+    val applied = edges.join(current.select(col(id)), Seq(id), "left_semi").count()
     val grouped = edges.groupBy(col(id))
       .agg(collect_set(col("target")).as("__new_refs"))
     val merged = current.join(grouped, Seq(id), "left")
@@ -87,6 +99,7 @@ final class CollectionStore(val spark: SparkSession, val root: String,
           .otherwise(array_distinct(concat(col(refProp), col("__new_refs")))))
       .drop("__new_refs")
     writeVersion(merged)
+    (applied, total - applied)
   }
 
   /** Delete by filter; dryRun returns the would-be-deleted count without

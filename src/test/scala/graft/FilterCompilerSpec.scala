@@ -25,6 +25,12 @@ class FilterCompilerSpec extends SparkSpecBase {
         | WHEN id = 2 THEN array(named_struct('k','a','v',2L), named_struct('k','b','v',9L))
         | WHEN id = 3 THEN array(named_struct('k','c','v',5L))
         | ELSE slice(array(named_struct('k','x','v',0L)), 1, 0) END""".stripMargin))
+      // multi-edge cref bed: id 1 → {2,3}, id 2 → {3}, id 3 → empty, id 4 → null
+      .withColumn("friend_ids", expr("""CASE
+        | WHEN id = 1 THEN array(2L, 3L)
+        | WHEN id = 2 THEN array(3L)
+        | WHEN id = 3 THEN slice(array(0L), 1, 0)
+        | ELSE CAST(NULL AS ARRAY<BIGINT>) END""".stripMargin))
     gg.register(CollectionSchema("Person", "id", Seq(
       Property("name", PropType.Text, Tokenization.Word),
       Property("age", PropType.Int),
@@ -33,7 +39,8 @@ class FilterCompilerSpec extends SparkSpecBase {
       Property("tags", PropType.Arr(PropType.Text)),
       Property("nickname", PropType.Text, Tokenization.Field),
       Property("exps", PropType.Arr(PropType.Obj)),
-      Property("city_id", PropType.Ref, refTarget = Some("City")))), people)
+      Property("city_id", PropType.Ref, refTarget = Some("City")),
+      Property("friend_ids", PropType.Ref, refTarget = Some("Person")))), people)
     val cities = Seq((10L, "Berlin", 3600000L), (20L, "Paris", 2100000L), (30L, "Rome", 2800000L))
       .toDF("cid", "cname", "pop")
     gg.register(CollectionSchema("City", "cid", Seq(
@@ -103,5 +110,28 @@ class FilterCompilerSpec extends SparkSpecBase {
     val refLeaf = Where(WhereOp.Equal, Seq("city_id", "City", "cname"),
       Some(FilterValue.TextV("Paris")))
     assert(ids(Where.or(refLeaf, Where.eqText("dept", "sales"))) == Seq(2L, 4L))
+  }
+
+  test("ref-count filter on a multi-edge cref; null list counts 0") {
+    assert(ids(Where.geInt("friend_ids", 1L)) == Seq(1L, 2L))
+    assert(ids(Where.eqInt("friend_ids", 2L)) == Seq(1L))
+    // empty list and NULL list both have 0 edges (reference complement incl. nulls)
+    assert(ids(Where.eqInt("friend_ids", 0L)) == Seq(3L, 4L))
+    assert(ids(Where.not(Where.geInt("friend_ids", 1L))) == Seq(3L, 4L))
+  }
+
+  test("scalar-FK Int Equal means FK equality, not edge count") {
+    // everyone has exactly one city edge; count semantics would return nobody
+    assert(ids(Where.eqInt("city_id", 10L)) == Seq(1L, 3L))
+    assert(ids(Where.neInt("city_id", 10L)) == Seq(2L, 4L))
+  }
+
+  test("array-cref path filter (beacon-list semi-join) through And/Or/Not") {
+    val friendInEng = Where(WhereOp.Equal, Seq("friend_ids", "Person", "dept"),
+      Some(FilterValue.TextV("engineering")))
+    assert(ids(friendInEng) == Seq(1L, 2L))
+    assert(ids(Where.not(friendInEng)) == Seq(3L, 4L))
+    assert(ids(Where.and(friendInEng, Where.eqText("dept", "engineering"))) == Seq(1L))
+    assert(ids(Where.or(friendInEng, Where.eqText("dept", "sales"))) == Seq(1L, 2L, 4L))
   }
 }

@@ -46,6 +46,40 @@ class StoreAndStreamingSpec extends SparkSpecBase {
     assert(n == 2 && st.read().count() == 1)
   }
 
+  test("addReferences appends set-wise, dedupes, creates lists, reports drops") {
+    val dir = Files.createTempDirectory("graft-store").toString
+    val schema = CollectionSchema("Doc", "id", Seq(
+      Property("name", PropType.Text, Tokenization.Field),
+      Property("rel", PropType.Ref, refTarget = Some("Doc"))))
+    val st = new CollectionStore(spark, dir, schema)
+    st.init(Seq(
+      (1L, "a", Some(Seq(10L))),
+      (2L, "b", Some(Seq.empty[Long])),
+      (3L, "c", Option.empty[Seq[Long]])).toDF("id", "name", "rel"))
+    val (applied, dropped) = st.addReferences("rel", Seq(
+      (1L, 10L), // duplicate edge → set-wise no-op
+      (1L, 11L), // append
+      (3L, 12L), // first edge onto a null list
+      (99L, 13L) // unknown source → dropped, reported
+    ).toDF("id", "target"))
+    assert(applied == 3 && dropped == 1)
+    val out = st.read().orderBy($"id").collect()
+      .map(r => (r.getLong(0), Option(r.getSeq[Long](2)).map(_.sorted).orNull))
+    assert(out.toSeq == Seq((1L, Seq(10L, 11L)), (2L, Seq.empty[Long]), (3L, Seq(12L))))
+    assert(st.read().count() == 3) // no rows invented for unknown sources
+  }
+
+  test("addReferences rejects scalar-FK ref columns") {
+    val dir = Files.createTempDirectory("graft-store").toString
+    val schema = CollectionSchema("Doc", "id", Seq(
+      Property("rel", PropType.Ref, refTarget = Some("Doc"))))
+    val st = new CollectionStore(spark, dir, schema)
+    st.init(Seq((1L, 10L)).toDF("id", "rel"))
+    assertThrows[IllegalArgumentException] {
+      st.addReferences("rel", Seq((1L, 11L)).toDF("id", "target"))
+    }
+  }
+
   test("TTL expiry removes aged rows") {
     val st = freshStore()
     val now = java.time.Instant.parse("2024-06-01T00:00:00Z")
