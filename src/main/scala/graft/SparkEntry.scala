@@ -274,6 +274,21 @@ object SparkEntry {
         .select(col("vec_id"), round(col("_distance"), 4).as("dist"))
     }),
 
+    // §2.3 multi-target RelativeScore combination: pool = union of per-target
+    // top-k, min-max normalized per target OVER THE POOL, weighted sum
+    // (reference: shard_combine_multi_target.go:118-183 + hybrid_fusion.go)
+    "q_near_multitarget_rel" -> ((s, dir) => {
+      val gg = g(s, dir)
+      gg.get(GetParams("Embedding",
+        nearVector = Some(NearVector(Fixtures.anchorVector(gg, 11L), metric = Metric.L2Squared,
+          targetVectors = Seq("default", "rev"),
+          combination = TargetCombination.RelativeScore(Map("default" -> 0.7, "rev" -> 0.3)))),
+        pagination = Some(Pagination(limit = 10)),
+        properties = Seq("vec_id"),
+        additional = Set("distance")))
+        .select(col("vec_id"), round(col("_distance"), 4).as("dist"))
+    }),
+
     // §2.3 vector-search groupBy (greedy rank-order grouping)
     "q_group_near" -> ((s, dir) => {
       g(s, dir).get(GetParams("Embedding",
@@ -479,6 +494,23 @@ object SparkEntry {
          |      FROM embeddings e CROSS JOIN qv q)
          |SELECT vec_id, round(dist, 4) AS dist FROM d
          |ORDER BY d.dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "q_near_multitarget_rel" ->
+      s"""WITH ${sqlQv(11)},
+         |d AS (SELECT e.vec_id, ${sqlL2("e.embedding", "q.v")} AS d0,
+         |             ${sqlL2Rev("e.embedding", "q.v")} AS d1
+         |      FROM embeddings e CROSS JOIN qv q),
+         |t0 AS (SELECT vec_id FROM d ORDER BY d0 ASC, vec_id ASC LIMIT 10),
+         |t1 AS (SELECT vec_id FROM d ORDER BY d1 ASC, vec_id ASC LIMIT 10),
+         |pool AS (SELECT * FROM d
+         |         WHERE vec_id IN (SELECT vec_id FROM t0 UNION SELECT vec_id FROM t1)),
+         |stats AS (SELECT min(d0) AS mn0, max(d0) AS mx0, min(d1) AS mn1, max(d1) AS mx1 FROM pool),
+         |f AS (SELECT vec_id,
+         |        (CASE WHEN mx0 = mn0 THEN 0.7 ELSE (d0 - mn0) / (mx0 - mn0) * 0.7 END)
+         |      + (CASE WHEN mx1 = mn1 THEN 0.3 ELSE (d1 - mn1) / (mx1 - mn1) * 0.3 END) AS dist
+         |      FROM pool CROSS JOIN stats)
+         |SELECT vec_id, round(dist, 4) AS dist FROM f
+         |ORDER BY f.dist ASC, vec_id ASC LIMIT 10""".stripMargin,
 
     "q_group_near" ->
       s"""WITH ${sqlQv(11)},

@@ -55,12 +55,21 @@ object VectorSearch {
       if (params.targetVectors.nonEmpty) params.targetVectors
       else Seq(c.schema.defaultVector.getOrElse(c.schema.vectors.keys.head))
 
+    params.combination match {
+      case TargetCombination.RelativeScore(ws) if targets.size > 1 =>
+        return relativeScoreSearch(c, base, targets, ws, params, metric, limit)
+      case _ => ()
+    }
+
     val scored =
       if (targets.size == 1) {
         withDistance(base, c.schema.vectors(targets.head), params.vector, metric)
       } else {
         // multi-target: one distance column per target, then combine
-        // (reference: shard_read.go:655-752, CombineMultiTargetResults)
+        // (reference: shard_read.go:655-752, CombineMultiTargetResults).
+        // Scoring every row exactly (instead of the reference's union-of-
+        // candidate-lists + backfill) is the stronger guarantee the full scan
+        // affords — same formula, no candidate-generation misses.
         val perTarget = targets.zipWithIndex.foldLeft(base) { case (d, (t, i)) =>
           withDistance(d, c.schema.vectors(t), params.vector, metric, s"__d$i")
         }
@@ -71,13 +80,8 @@ object VectorSearch {
           case TargetCombination.Average => dcols.reduce(_ + _) / dcols.size
           case TargetCombination.ManualWeights(ws) =>
             targets.zipWithIndex.map { case (t, i) => col(s"__d$i") * lit(ws.getOrElse(t, 1.0)) }.reduce(_ + _)
-          case TargetCombination.RelativeScore(ws) =>
-            // min-max normalize each target's distances before weighting
-            targets.zipWithIndex.map { case (t, i) =>
-              val d = col(s"__d$i")
-              val mn = min(d).over(); val mx = max(d).over()
-              when(mx === mn, lit(0.0)).otherwise((d - mn) / (mx - mn)) * lit(ws.getOrElse(t, 1.0))
-            }.reduce(_ + _)
+          case TargetCombination.RelativeScore(_) => // targets.size == 1: nothing to normalize against
+            dcols.head
         }
         perTarget.withColumn(DistanceCol, combined).drop(targets.indices.map(i => s"__d$i"): _*)
       }
@@ -88,6 +92,56 @@ object VectorSearch {
     limit match {
       case Some(k) => cut.orderBy(col(DistanceCol).asc, col(c.schema.idColumn).asc).limit(k)
       case None    => cut.orderBy(col(DistanceCol).asc, col(c.schema.idColumn).asc)
+    }
+  }
+
+  /**
+   * RelativeScore multi-target combination, reference-faithful
+   * (shard_combine_multi_target.go:118-183 + hybrid_fusion.go:93-150): the
+   * candidate pool is the UNION of per-target bounded top-k lists, every pool
+   * member gets its exact distance for every target (the reference back-fills
+   * missing ids via VectorDistanceForQuery), each target min-max normalizes
+   * over that bounded pool, and the weighted sum ranks ascending. Degenerate
+   * per-target range (max == min) contributes the bare weight
+   * (hybrid_fusion.go:133-136).
+   *
+   * Scale shape: per-target top-k are parallel TakeOrderedAndProject scans
+   * (k rows per partition cross the exchange); pool min/max is a partial
+   * aggregate broadcast back — NO unpartitioned window anywhere, unlike the
+   * naive min().over() formulation this replaces.
+   */
+  private def relativeScoreSearch(
+      c: Collection, base: DataFrame, targets: Seq[String], ws: Map[String, Double],
+      params: NearVector, metric: Metric, limit: Option[Int]): DataFrame = {
+    val id = c.schema.idColumn
+    val scoredAll = targets.zipWithIndex.foldLeft(base) { case (d, (t, i)) =>
+      withDistance(d, c.schema.vectors(t), params.vector, metric, s"__d$i")
+    }
+    val pool = limit match {
+      case Some(k) =>
+        val ids = targets.indices.map { i =>
+          scoredAll.orderBy(col(s"__d$i").asc, col(id).asc).limit(k).select(col(id))
+        }.reduce(_ unionByName _).distinct()
+        scoredAll.join(broadcast(ids), Seq(id), "left_semi")
+      case None => scoredAll // unlimited: the pool is the whole collection
+    }
+    val aggs = targets.indices.flatMap(i =>
+      Seq(min(col(s"__d$i")).as(s"__mn$i"), max(col(s"__d$i")).as(s"__mx$i")))
+    val stats = pool.agg(aggs.head, aggs.tail: _*)
+    val combined = targets.zipWithIndex.map { case (t, i) =>
+      val d = col(s"__d$i"); val mn = col(s"__mn$i"); val mx = col(s"__mx$i")
+      val w = lit(ws.getOrElse(t, 1.0))
+      when(mx === mn, w).otherwise((d - mn) / (mx - mn) * w)
+    }.reduce(_ + _)
+    val fused = pool.crossJoin(broadcast(stats))
+      .withColumn(DistanceCol, combined)
+      .drop(targets.indices.flatMap(i => Seq(s"__d$i", s"__mn$i", s"__mx$i")): _*)
+    val threshold: Option[Double] =
+      params.distance.orElse(params.certainty.map(ct => 2.0 * (1.0 - ct)))
+    val cut = threshold.map(t => fused.filter(col(DistanceCol) <= t)).getOrElse(fused)
+    limit match {
+      case Some(k) => cut.orderBy(col(DistanceCol).asc, col(id).asc).limit(k)
+      case None    => cut.orderBy(col(DistanceCol).asc, col(id).asc)
     }
   }
 
