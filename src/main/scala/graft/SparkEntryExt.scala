@@ -460,6 +460,19 @@ object SparkEntryExt {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    // §2.7 plain-path groupBy (no search leg): pool bounded to
+    // groups × objectsPerGroup BEFORE the rank window (reference: explorer
+    // groupBy pool overfetch) — the window must never rank the whole
+    // collection through one task (plan shape asserted in EngineSpec)
+    "q_group_plain" -> ((s, dir) => {
+      g(s, dir).get(GetParams("Embedding",
+        groupBy = Some(GroupByParams("label", groups = 4, objectsPerGroup = 3)),
+        properties = Seq("vec_id")))
+        .select(col("group_index").cast("long").as("group_index"), col("group_value").as("label"),
+          col("group_hit_rank").cast("long").as("group_hit_rank"), col("vec_id"))
+        .orderBy(col("group_index"), col("group_hit_rank"))
+    }),
+
     // §2.3 MMR diversity re-selection (driver-side over bounded pool, like ref)
     "q_mmr" -> ((s, dir) => {
       val gg = g(s, dir)
@@ -476,6 +489,20 @@ object SparkEntryExt {
   import SparkEntry.{sqlQv, sqlL2, sqlCosine, sqlBm25, sqlDot}
 
   def oracleSql: Map[String, String] = Map(
+
+    "q_group_plain" ->
+      """WITH ranked AS (
+        |  SELECT vec_id, label, row_number() OVER (ORDER BY vec_id ASC) AS rnk
+        |  FROM embeddings),
+        |grouped AS (
+        |  SELECT vec_id, label, rnk,
+        |         row_number() OVER (PARTITION BY label ORDER BY rnk ASC) AS group_hit_rank,
+        |         min(rnk) OVER (PARTITION BY label) AS gmin
+        |  FROM (SELECT * FROM ranked ORDER BY rnk LIMIT 12)),
+        |idx AS (SELECT *, dense_rank() OVER (ORDER BY gmin ASC) AS group_index FROM grouped)
+        |SELECT group_index, label, group_hit_rank, vec_id FROM idx
+        |WHERE group_index <= 4 AND group_hit_rank <= 3
+        |ORDER BY group_index, group_hit_rank""".stripMargin,
 
     "q_ref_resolve" ->
       """SELECT o.o_orderkey, round(o.o_totalprice, 4) AS o_totalprice,

@@ -49,15 +49,39 @@ final case class IvfIndex(
 
   /** IVF search: probe the nprobe nearest centroid partitions, exact top-k. */
   def search(query: Array[Float], k: Int, metric: Metric, nprobe: Int): DataFrame = {
+    VectorSearch.withDistance(probedSubset(query, nprobe), vecCol, query, metric)
+      .orderBy(col(VectorSearch.DistanceCol).asc, col(idCol).asc)
+      .limit(k)
+      .drop("__centroid")
+  }
+
+  /**
+   * Filtered IVF search: probe the nprobe nearest centroid partitions, keep
+   * only rows whose id survives the where-filter (allowlist semi-join), exact
+   * top-k inside that intersection. This is the large-allowlist arm of the
+   * reference's flatSearchCutoff decision (vector/hnsw/flat_search.go:27 —
+   * brute-force the allowlist only when it is SMALL; otherwise walk the index
+   * and post-filter): at 100 TB a weak filter must not force a full scan.
+   * The data side stays parquet-partition-pruned; the allowlist join is keyed
+   * on the id column (no broadcast assumption — the allowlist is large by
+   * definition on this path).
+   */
+  def searchFiltered(query: Array[Float], k: Int, metric: Metric, nprobe: Int,
+                     allowIds: DataFrame): DataFrame = {
+    val allowed = probedSubset(query, nprobe)
+      .join(allowIds.select(col(idCol)), Seq(idCol), "left_semi")
+    VectorSearch.withDistance(allowed, vecCol, query, metric)
+      .orderBy(col(VectorSearch.DistanceCol).asc, col(idCol).asc)
+      .limit(k)
+      .drop("__centroid")
+  }
+
+  private def probedSubset(query: Array[Float], nprobe: Int): DataFrame = {
     val probes = rankCentroids(query).take(nprobe).toSeq
     val subset = assigned.filter(col("__centroid").isin(probes: _*))
     // replicated assignments can surface the same row from several probed
     // lists — deduplicate on id (rows are identical apart from __centroid)
-    val deduped = if (replicas > 1) subset.dropDuplicates(Seq(idCol)) else subset
-    VectorSearch.withDistance(deduped, vecCol, query, metric)
-      .orderBy(col(VectorSearch.DistanceCol).asc, col(idCol).asc)
-      .limit(k)
-      .drop("__centroid")
+    if (replicas > 1) subset.dropDuplicates(Seq(idCol)) else subset
   }
 }
 
@@ -110,11 +134,14 @@ object IvfIndex {
   /**
    * Planner choice (the analogue of the reference's flatSearchCutoff/ACORN
    * decision, entities/vectorindex/hnsw/config.go:34-39): the index serves
-   * plain top-k on its own vector column; everything else — where-filtered
-   * search (allowlist brute force), distance/certainty thresholds (radius
-   * semantics need every row), multi-target combinations, unlimited search —
-   * falls back to the brute-force scan, exactly like the reference brute-forces
-   * small allowlists instead of walking the graph.
+   * plain top-k on its own vector column; with a where-filter the decision
+   * follows the reference's flatSearchCutoff — a SMALL allowlist (count below
+   * the cutoff, or no count hint available) is brute-forced exactly like the
+   * reference brute-forces small allowlists instead of walking the graph,
+   * while a LARGE allowlist (weak filter) probes the index and intersects
+   * (searchFiltered), so a 99%-selectivity filter never forces a full scan.
+   * Thresholds (radius semantics need every row), multi-target combinations
+   * and unlimited search always take the brute-force scan.
    */
   def searchOrScan(c: Collection, index: Option[IvfIndex], params: NearVector,
                    limit: Option[Int], filtered: Option[DataFrame],
@@ -128,11 +155,16 @@ object IvfIndex {
         else c.schema.defaultVector.toSeq
       targets.size == 1 && c.schema.vectors.get(targets.head).contains(ix.vecCol)
     }
-    val useIndex = servesTarget && filtered.isEmpty && !hasThreshold &&
-      limit.isDefined && filteredCountHint.forall(_ >= flatSearchCutoff)
-    if (useIndex)
-      index.get.search(params.vector, limit.get, params.metric,
-        nprobe.getOrElse(index.get.defaultNprobe))
-    else VectorSearch.nearVector(c, params, params.metric, limit, filtered)
+    val indexable = servesTarget && !hasThreshold && limit.isDefined
+    (filtered, filteredCountHint) match {
+      case (None, _) if indexable =>
+        index.get.search(params.vector, limit.get, params.metric,
+          nprobe.getOrElse(index.get.defaultNprobe))
+      case (Some(allow), Some(n)) if indexable && n >= flatSearchCutoff =>
+        index.get.searchFiltered(params.vector, limit.get, params.metric,
+          nprobe.getOrElse(index.get.defaultNprobe), allow.select(col(index.get.idCol)))
+      case _ =>
+        VectorSearch.nearVector(c, params, params.metric, limit, filtered)
+    }
   }
 }

@@ -44,6 +44,12 @@ final class Graft(val spark: SparkSession) {
   def collection(name: String): Collection =
     collections.getOrElse(name, throw new IllegalArgumentException(s"unknown collection $name"))
 
+  /** flatSearchCutoff analogue (reference: entities/vectorindex/hnsw/
+   * config.go:34-39, default 40000): allowlists below this size are
+   * brute-forced; at or above it, filtered vector search probes the index. */
+  private var flatSearchCutoff: Long = 40000L
+  def withFlatSearchCutoff(n: Long): Graft = { flatSearchCutoff = n; this }
+
   /** Attach a batch-built ANN index to a named vector (reference: per-shard
    * vector index registry; planner choice in IvfIndex.searchOrScan). */
   def registerIndex(collectionName: String, vectorName: String, idx: graft.ann.IvfIndex): Graft = {
@@ -86,18 +92,27 @@ final class Graft(val spark: SparkSession) {
       if (hasThreshold && params.pagination.isEmpty && params.cursor.isEmpty) None
       else fetchLimit.orElse(Some(defaultLimit))
 
-    // where/tenant filtering present ⇒ allowlist brute force; otherwise the
-    // planner may probe a registered ANN index (IvfIndex.searchOrScan — the
-    // flatSearchCutoff/ACORN analogue)
+    // where/tenant filtering ⇒ selectivity decides: a small allowlist is
+    // brute-forced, a large one probes the registered ANN index and
+    // intersects (IvfIndex.searchOrScan — the flatSearchCutoff/ACORN
+    // analogue). The filtered count is one cheap aggregate over the filter
+    // columns only (at cluster scale: catalog/statistics estimate instead),
+    // and is only paid when an index could actually serve the query.
     val hasFilter = !(filtered eq c.df)
     def vectorLeg(nv: NearVector): DataFrame = {
       val idx =
         if (nv.targetVectors.size > 1) None
         else nv.targetVectors.headOption.orElse(c.schema.defaultVector)
           .flatMap(c.vectorIndexes.get)
+      val hint =
+        if (hasFilter && idx.isDefined && nv.distance.orElse(nv.certainty).isEmpty)
+          Some(filtered.count())
+        else None
       graft.ann.IvfIndex.searchOrScan(c, idx, nv,
         nearLimit(nv.distance.orElse(nv.certainty).isDefined),
-        if (hasFilter) Some(filtered) else None)
+        if (hasFilter) Some(filtered) else None,
+        filteredCountHint = hint,
+        flatSearchCutoff = flatSearchCutoff)
     }
 
     val searched: DataFrame =
@@ -159,7 +174,15 @@ final class Graft(val spark: SparkSession) {
           else if (params.bm25.isDefined) Seq(col(Bm25Search.ScoreCol).desc, col(id).asc)
           else if (params.hybrid.isDefined) Seq(col(HybridSearch.ScoreCol).desc, col(id).asc)
           else Seq(col(id).asc)
-        val ranked = sorted.withColumn(rankCol,
+        // Bound the rank pool BEFORE the global window (reference: explorer
+        // groupBy pool = groups × objectsPerGroup overfetch). Search legs are
+        // already fetchLimit-bounded, but the plain path (no search leg) would
+        // otherwise rank the entire collection through one window task; with
+        // the limit the pool arrives via TakeOrderedAndProject (k rows per
+        // partition cross the exchange) and the window sees ≤ pool rows.
+        val pool = fetchLimit.getOrElse(g.groups * g.objectsPerGroup)
+        val pooled = sorted.limit(pool) // sorted always carries a total order
+        val ranked = pooled.withColumn(rankCol,
           row_number().over(org.apache.spark.sql.expressions.Window.orderBy(rankOrder: _*)))
         val isArr = c.schema.property(g.property).exists(_.dataType.isInstanceOf[PropType.Arr])
         ResultGroupBy(ranked, rankCol, g.property, g.groups, g.objectsPerGroup, isArr)

@@ -80,8 +80,9 @@ object VectorSearch {
           case TargetCombination.Average => dcols.reduce(_ + _) / dcols.size
           case TargetCombination.ManualWeights(ws) =>
             targets.zipWithIndex.map { case (t, i) => col(s"__d$i") * lit(ws.getOrElse(t, 1.0)) }.reduce(_ + _)
-          case TargetCombination.RelativeScore(_) => // targets.size == 1: nothing to normalize against
-            dcols.head
+          case TargetCombination.RelativeScore(_) =>
+            throw new IllegalStateException(
+              "unreachable: multi-target RelativeScore is handled by relativeScoreSearch")
         }
         perTarget.withColumn(DistanceCol, combined).drop(targets.indices.map(i => s"__d$i"): _*)
       }

@@ -54,6 +54,56 @@ class AnnSpec extends SparkSpecBase {
     assert(recallAt(8) >= recallAt(2))
   }
 
+  test("weak filter probes the index (partition-pruned); strong filter brute-forces") {
+    import graft.engine.Graft
+    import graft.model._
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(16)(Array.fill(16)(rnd.nextGaussian()))
+    val rows = (0 until 2000).map { i =>
+      val c = centers(i % 16)
+      (i.toLong, c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq, (i % 20).toLong)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-filter").toString
+    val index = IvfIndex.build(emb, "vec_id", "embedding", nlist = 16,
+      defaultNprobe = 4, persistPath = Some(path))
+    val eng = new Graft(spark).withFlatSearchCutoff(150)
+    eng.register(CollectionSchema("E", "vec_id", Seq(Property("label", graft.model.PropType.Int)),
+      vectors = Map("default" -> "embedding"), defaultVector = Some("default")), emb)
+    eng.registerIndex("E", "default", index)
+    val q = rows(100)._2.toArray
+
+    // weak filter: keeps all 2000 rows >= cutoff 150 → index path. The scan of
+    // the persisted assignment must be partition-pruned to the probed lists.
+    val weak = eng.get(GetParams("E",
+      where = Some(Where.geInt("label", 0L)),
+      nearVector = Some(NearVector(q, Metric.L2Squared)),
+      pagination = Some(Pagination(limit = 10)),
+      properties = Seq("vec_id"), additional = Set("distance")))
+    val weakPlan = weak.queryExecution.executedPlan.toString
+    assert(weakPlan.contains("PartitionFilters: [__centroid"),
+      s"no __centroid partition filter in:\n$weakPlan")
+    val truth = VectorSearch.withDistance(emb, "embedding", q, Metric.L2Squared)
+      .orderBy(col(VectorSearch.DistanceCol).asc, $"vec_id".asc).limit(10)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val got = weak.select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(truth.intersect(got).size >= 9, s"filtered-index recall too low: $got vs $truth")
+
+    // strong filter: 100 matching rows < cutoff 150 → allowlist brute force,
+    // exact, and no centroid partition pruning in the plan.
+    val strong = eng.get(GetParams("E",
+      where = Some(Where.eqInt("label", 3L)),
+      nearVector = Some(NearVector(q, Metric.L2Squared)),
+      pagination = Some(Pagination(limit = 10)),
+      properties = Seq("vec_id"), additional = Set("distance")))
+    assert(!strong.queryExecution.executedPlan.toString.contains("__centroid"))
+    val truthStrong = VectorSearch.withDistance(emb.filter($"label" === 3L),
+        "embedding", q, Metric.L2Squared)
+      .orderBy(col(VectorSearch.DistanceCol).asc, $"vec_id".asc).limit(10)
+      .select($"vec_id").collect().map(_.getLong(0)).toSeq
+    assert(strong.select($"vec_id").collect().map(_.getLong(0)).toSeq == truthStrong)
+  }
+
   test("nprobe = nlist reproduces brute force exactly") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val index = IvfIndex.build(emb, "vec_id", "embedding", nlist = 8)

@@ -65,6 +65,21 @@ class EngineSpec extends SparkSpecBase {
     assert(rows.head.getAs[Long]("vec_id") == 11L) // self via default target
   }
 
+  test("plain-path groupBy bounds the rank pool (no unbounded global window)") {
+    val res = g.get(GetParams("Embedding",
+      groupBy = Some(GroupByParams("label", groups = 4, objectsPerGroup = 3)),
+      properties = Seq("vec_id")))
+    // pool = groups × objectsPerGroup = 12, ranked by id: groups appear in
+    // first-seen id order and no hit rank exceeds objectsPerGroup
+    val rows = res.collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Int]("group_hit_rank") <= 3))
+    assert(rows.map(_.getAs[Int]("group_index")).distinct.length <= 4)
+    // plan shape: the window input is a TakeOrderedAndProject (bounded pool),
+    // not a full scan — the scale guarantee this test exists for
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"pool not bounded:\n$plan")
+  }
+
   test("MMR: first pick is most relevant, selection is diverse") {
     val pool = g.get(GetParams("Embedding",
       nearObject = Some(NearObject(7L, metric = Metric.Cosine)),
