@@ -49,17 +49,33 @@ object Bm25Search {
    */
   private final case class CorpusStats(n: Double, avgLens: IndexedSeq[Double], termDf: DataFrame)
 
+  // Keyed by (collection name, df identity, scored props): the df identity
+  // distinguishes store versions (every CollectionStore.writeVersion produces
+  // a new df), the collection name is the eviction handle — writeVersion
+  // calls invalidateStats(name) so superseded versions' persisted termDf
+  // tables are released instead of leaking for the life of the session.
   private val statsCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, Seq[String]), CorpusStats]
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Seq[String]), CorpusStats]
 
-  /** Drop cached stats (tests / collection mutation). */
+  /** Drop cached stats for one collection (called on store mutation). */
+  def invalidateStats(collectionName: String): Unit =
+    statsCache.filterInPlace { case ((name, _, _), stats) =>
+      val keep = name != collectionName
+      if (!keep) stats.termDf.unpersist()
+      keep
+    }
+
+  /** Drop all cached stats (tests). */
   def invalidateStats(): Unit = {
     statsCache.values.foreach(_.termDf.unpersist())
     statsCache.clear()
   }
 
+  /** Visible for the lifecycle spec. */
+  private[graft] def cachedStatsKeys: Set[(String, Int, Seq[String])] = statsCache.keySet.toSet
+
   private def corpusStats(c: Collection, propTok: Seq[(PropSpec, Tokenization)]): CorpusStats = {
-    val key = (System.identityHashCode(c.df), propTok.map { case (s, m) => s"${s.name}:${m.name}" })
+    val key = (c.name, System.identityHashCode(c.df), propTok.map { case (s, m) => s"${s.name}:${m.name}" })
     statsCache.getOrElseUpdate(key, {
       val tokenized = propTok.zipWithIndex.foldLeft(c.df.select(propTok.map { case (s, _) => col(s.name) }: _*)) {
         case (d, ((spec, mode), i)) => d.withColumn(s"__tok_$i", Tokenize(mode)(col(spec.name)))

@@ -48,19 +48,34 @@ object KnnJoin {
    * candidate space IvfIndex.search scans for a single query, vectorized
    * across the whole probe relation.
    *
-   * Probes (replicated ×nprobe) broadcast: they are the small side by
-   * construction, and broadcasting keeps the big data side shuffle-free —
-   * a plain hash join keyed on nlist distinct centroids would funnel 100 TB
-   * into nlist partitions. Overlapping replicas (index.replicas > 1 and/or
-   * nprobe > 1) can surface a (probe, data) pair from several lists; pairs
-   * dedupe before ranking.
+   * Physical strategy for the join itself, decided by probe-relation size
+   * (`broadcastProbes` = None → Catalyst's stats estimate vs the 64 MB
+   * broadcast budget):
+   *  - SMALL probe set (classification queries): probes (replicated ×nprobe)
+   *    broadcast — keeps the big data side shuffle-free; a plain hash join
+   *    keyed on nlist distinct centroids would funnel 100 TB into nlist
+   *    partitions.
+   *  - LARGE probe set (pipeline-scale, e.g. corpus self-join semantic
+   *    dedup where probes == data): a salted shuffle hash join — the data
+   *    side is salted `hash(id) % saltBuckets` and probes are replicated to
+   *    every salt, so the join key space is nlist × saltBuckets and no
+   *    executor must hold the probe relation in memory (the previous
+   *    broadcast-only shape OOM'd exactly here).
+   * Overlapping replicas (index.replicas > 1 and/or nprobe > 1) can surface
+   * a (probe, data) pair from several lists; pairs dedupe before ranking.
+   * Quantizer note: centroid ranking is squared-L2 (the KMeans training
+   * space) regardless of `metric` — exact at full probe for any metric;
+   * in the pruned-nprobe regime recall is tuned for L2-like metrics
+   * (normalize vectors first for cosine, as the reference does).
    */
   def bucketed(
       index: IvfIndex,
       probes: DataFrame, probeId: Column, probeVec: Column,
       k: Int, metric: Metric, nprobe: Int,
       excludeSelf: Boolean = true,
-      maxDistance: Option[Double] = None): DataFrame = {
+      maxDistance: Option[Double] = None,
+      broadcastProbes: Option[Boolean] = None,
+      saltBuckets: Int = 8): DataFrame = {
     val bcCenters = probes.sparkSession.sparkContext.broadcast(index.centroids)
     val np = nprobe
     val nearestP = udf { (v: Seq[Float]) =>
@@ -75,7 +90,24 @@ object KnnJoin {
       .withColumn("__centroid", explode(nearestP(col("__pv"))))
     val d = index.assigned.select(
       col(index.idCol).as("data_id"), col(index.vecCol).as("__dv"), col("__centroid"))
-    val joined = d.join(broadcast(p), Seq("__centroid"))
+    val useBroadcast = broadcastProbes.getOrElse {
+      // stats-based estimate (no job): replicated probe bytes vs 64 MB budget
+      val bytes = probes.queryExecution.optimizedPlan.stats.sizeInBytes
+      bytes * np <= BigInt(64L * 1024 * 1024)
+    }
+    val joined0 =
+      if (useBroadcast) d.join(broadcast(p), Seq("__centroid"))
+      else {
+        val s = saltBuckets
+        val dS = d.withColumn("__salt", pmod(xxhash64(col("data_id")), lit(s.toLong)))
+        val pS = p.withColumn("__salt",
+          explode(array((0 until s).map(i => lit(i.toLong)): _*)))
+        // declare the shuffle-hash strategy: without the hint Catalyst would
+        // re-broadcast a "small-looking" probe estimate — the exact failure
+        // mode this path exists to avoid
+        dS.join(pS.hint("shuffle_hash"), Seq("__centroid", "__salt")).drop("__salt")
+      }
+    val joined = joined0
       .filter(if (excludeSelf) col("data_id") =!= col("probe_id") else lit(true))
       .withColumn("dist", VectorFunctions.distance(metric)(col("__dv"), col("__pv")))
     // same pair via several probed/replicated lists → keep one (dist identical)

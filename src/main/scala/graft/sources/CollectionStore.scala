@@ -88,18 +88,24 @@ final class CollectionStore(val spark: SparkSession, val root: String,
     val current = read()
     require(current.schema(refProp).dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType],
       s"$refProp is a scalar FK — BatchReferences needs a multi-edge (array) cref")
-    val total = edges.count()
-    val applied = edges.join(current.select(col(id)), Seq(id), "left_semi").count()
-    val grouped = edges.groupBy(col(id))
-      .agg(collect_set(col("target")).as("__new_refs"))
-    val merged = current.join(grouped, Seq(id), "left")
-      .withColumn(refProp,
-        when(col("__new_refs").isNull, col(refProp))
-          .when(col(refProp).isNull, col("__new_refs"))
-          .otherwise(array_distinct(concat(col(refProp), col("__new_refs")))))
-      .drop("__new_refs")
-    writeVersion(merged)
-    (applied, total - applied)
+    // cache the edge batch so the counted plan IS the merged plan (a
+    // non-deterministic edge source would otherwise diverge between the
+    // tally jobs and the rewrite)
+    val cached = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val total = cached.count()
+      val applied = cached.join(current.select(col(id)), Seq(id), "left_semi").count()
+      val grouped = cached.groupBy(col(id))
+        .agg(collect_set(col("target")).as("__new_refs"))
+      val merged = current.join(grouped, Seq(id), "left")
+        .withColumn(refProp,
+          when(col("__new_refs").isNull, col(refProp))
+            .when(col(refProp).isNull, col("__new_refs"))
+            .otherwise(array_distinct(concat(col(refProp), col("__new_refs")))))
+        .drop("__new_refs")
+      writeVersion(merged)
+      (applied, total - applied)
+    } finally cached.unpersist()
   }
 
   /** Delete by filter; dryRun returns the would-be-deleted count without
@@ -138,5 +144,8 @@ final class CollectionStore(val spark: SparkSession, val root: String,
     Files.write(tmp, next.toString.getBytes)
     Files.move(tmp, latestPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    // superseded version ⇒ its cached BM25 corpus stats (persisted termDf)
+    // are stale — evict them instead of leaking executor memory per mutation
+    graft.operators.Bm25Search.invalidateStats(schema.name)
   }
 }

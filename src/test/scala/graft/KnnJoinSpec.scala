@@ -74,6 +74,35 @@ class KnnJoinSpec extends SparkSpecBase {
     assert(brutePlan.contains("NestedLoop") || brutePlan.contains("Cartesian"))
   }
 
+  test("pipeline-scale self-join takes the salted shuffle path, exact at full probe") {
+    // probes == data (corpus self-join semantic dedup): the probe relation
+    // must NOT be broadcast — the salted shuffle hash join is the only shape
+    // that survives 100 TB on both sides
+    val self = KnnJoin.bucketed(index, clustered, $"vec_id", $"embedding",
+      k = 3, Metric.L2Squared, nprobe = 16, broadcastProbes = Some(false))
+    // assert on the pre-AQE physical plan (AQE may legally re-broadcast at
+    // this toy scale; the declared shape is what matters for the contract)
+    val plan = self.queryExecution.sparkPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"probe relation broadcast on the shuffle path:\n$plan")
+    assert(plan.contains("__salt") || plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      s"expected a salted shuffle join:\n$plan")
+    val brute = KnnJoin(clustered, $"vec_id", $"embedding",
+        clustered, $"vec_id", $"embedding", k = 3, Metric.L2Squared)
+      .select($"probe_id", $"rank", $"data_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val got = self.select($"probe_id", $"rank", $"data_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == brute)
+  }
+
+  test("auto strategy broadcasts small probe sets, shuffles huge ones") {
+    // small probe frame → stats estimate under the budget → broadcast
+    val small = KnnJoin.bucketed(index, probes, $"vec_id", $"embedding",
+      k = 3, Metric.L2Squared, nprobe = 4)
+    assert(small.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"))
+  }
+
   test("maxDistance range cut applies before ranking") {
     val all = KnnJoin.bucketed(index, probes, $"vec_id", $"embedding",
       k = 5, Metric.L2Squared, nprobe = 16)

@@ -80,6 +80,32 @@ class StoreAndStreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("BM25 stats cache: store mutation evicts and refreshes corpus stats") {
+    import graft.operators.Bm25Search
+    Bm25Search.invalidateStats()
+    val dir = Files.createTempDirectory("graft-store").toString
+    val schema = CollectionSchema("Bm25Life", "id", Seq(
+      Property("text", PropType.Text, Tokenization.Word)))
+    val st = new CollectionStore(spark, dir, schema)
+    st.init(Seq((1L, "spark joins data"), (2L, "stream of data")).toDF("id", "text"))
+
+    val s1 = Bm25Search.score(st.collection, Bm25("data", Seq("text")))
+      .select($"id", col(Bm25Search.ScoreCol)).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(Bm25Search.cachedStatsKeys.count(_._1 == "Bm25Life") == 1)
+
+    // mutation writes a new version → old stats must be evicted
+    st.upsert(Seq((3L, "more data rows"), (4L, "data data data")).toDF("id", "text"))
+    assert(Bm25Search.cachedStatsKeys.count(_._1 == "Bm25Life") == 0,
+      "stale stats survived the store mutation")
+
+    // re-query sees fresh stats: 'data' now matches 4 of 4 docs → different idf
+    val s2 = Bm25Search.score(st.collection, Bm25("data", Seq("text")))
+      .select($"id", col(Bm25Search.ScoreCol)).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s2.size == 4)
+    assert(math.abs(s1(1L) - s2(1L)) > 1e-9, "idf did not refresh after mutation")
+    assert(Bm25Search.cachedStatsKeys.count(_._1 == "Bm25Life") == 1)
+  }
+
   test("TTL expiry removes aged rows") {
     val st = freshStore()
     val now = java.time.Instant.parse("2024-06-01T00:00:00Z")
