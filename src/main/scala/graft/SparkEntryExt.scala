@@ -68,6 +68,73 @@ object SparkEntryExt {
         .select(col("doc_id"), round(col("_score"), 4).as("score"))
     }),
 
+    // §2.5 hybrid explicit weighted subsearches (reference: retrieval.go:
+    // 105-109 WeightedSearchResult): bm25 + two nearVector legs, each with
+    // its own weight, relativeScore fusion over the three legs
+    "q_hybrid_sub" -> ((s, dir) => {
+      val gg = g(s, dir)
+      gg.get(GetParams("DocVec",
+        hybrid = Some(Hybrid("", fusionType = FusionType.RelativeScore,
+          subSearches = Seq(
+            HybridSubSearch(0.5, bm25 = Some(Bm25("spark join", Seq("text")))),
+            HybridSubSearch(0.3, nearVector = Some(NearVector(Fixtures.anchorVector(gg, 7L), Metric.Cosine))),
+            HybridSubSearch(0.2, nearVector = Some(NearVector(Fixtures.anchorVector(gg, 13L), Metric.Cosine)))))),
+        pagination = Some(Pagination(limit = 15)),
+        properties = Seq("doc_id"),
+        additional = Set("score")))
+        .select(col("doc_id"), round(col("_score"), 4).as("score"))
+    }),
+
+    // §2.5 same three subsearch legs under rankedFusion (RRF over N legs)
+    "q_hybrid_sub_rrf" -> ((s, dir) => {
+      val gg = g(s, dir)
+      gg.get(GetParams("DocVec",
+        hybrid = Some(Hybrid("", fusionType = FusionType.Ranked,
+          subSearches = Seq(
+            HybridSubSearch(0.5, bm25 = Some(Bm25("spark join", Seq("text")))),
+            HybridSubSearch(0.3, nearVector = Some(NearVector(Fixtures.anchorVector(gg, 7L), Metric.Cosine))),
+            HybridSubSearch(0.2, nearVector = Some(NearVector(Fixtures.anchorVector(gg, 13L), Metric.Cosine)))))),
+        pagination = Some(Pagination(limit = 15)),
+        properties = Seq("doc_id"),
+        additional = Set("score")))
+        .select(col("doc_id"), round(col("_score"), 4).as("score"))
+    }),
+
+    // §2.5 hybrid + groupBy: fused ranked pool grouped greedily by lang
+    // (reference: usecases/traverser/hybrid_group_by.go)
+    "q_hybrid_group" -> ((s, dir) => {
+      val gg = g(s, dir)
+      gg.get(GetParams("DocVec",
+        hybrid = Some(Hybrid("spark join stream", vector = Some(Fixtures.anchorVector(gg, 7L)),
+          metric = Metric.Cosine, alpha = 0.6, fusionType = FusionType.RelativeScore)),
+        pagination = Some(Pagination(limit = 12)),
+        groupBy = Some(GroupByParams("lang", groups = 3, objectsPerGroup = 2)),
+        properties = Seq("doc_id")))
+        .select(col("group_index").cast("long").as("group_index"), col("group_value").as("lang"),
+          col("group_hit_rank").cast("long").as("group_hit_rank"), col("doc_id"))
+        .orderBy(col("group_index"), col("group_hit_rank"))
+    }),
+
+    // §2.7 sort null-ordering parity (reference handleNils,
+    // sorter/basic_comparators.go:371-382: nil = smallest → first on asc)
+    "q_sort_nulls" -> ((s, dir) => {
+      g(s, dir).get(GetParams("Document",
+        sort = Seq(SortBy.asc("maybe_src")),
+        pagination = Some(Pagination(limit = 40)),
+        properties = Seq("doc_id", "maybe_src")))
+    }),
+
+    // §2.7 array sort parity: elementwise compare, then by length
+    // (reference: sorter/basic_comparators.go:98-112); null lists first
+    "q_sort_array" -> ((s, dir) => {
+      g(s, dir).get(GetParams("Document",
+        sort = Seq(SortBy.asc("links")),
+        pagination = Some(Pagination(limit = 30)),
+        properties = Seq("doc_id", "links")))
+        .select(col("doc_id"), size(col("links")).cast("long").as("n_links"),
+          element_at(col("links"), 1).as("link0"))
+    }),
+
     // §2.5 autocut (reference algorithm: extrema of score-vs-rank curve)
     "q_autocut" -> ((s, dir) => {
       g(s, dir).get(GetParams("Document",
@@ -618,6 +685,106 @@ object SparkEntryExt {
          |ORDER BY score_exact DESC, doc_id ASC LIMIT 10""".stripMargin
     },
 
+
+    "q_hybrid_sub" -> {
+      val (ctes, _) = sqlBm25(Seq("spark", "join"))
+      s"""WITH $ctes,
+         |s0 AS (SELECT doc_id, score_exact AS s FROM scored WHERE terms_matched >= 1
+         |       ORDER BY score_exact DESC, doc_id ASC LIMIT 100),
+         |l0 AS (SELECT doc_id, s, CASE WHEN max(s) OVER () = min(s) OVER () THEN 1.0
+         |         ELSE (s - min(s) OVER ()) / (max(s) OVER () - min(s) OVER ()) END AS n FROM s0),
+         |qa AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 7),
+         |d1 AS (SELECT d.doc_id, 1.0 - ${sqlCosine("e.embedding", "q.v")} / 2.0 AS s
+         |       FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id CROSS JOIN qa q
+         |       ORDER BY s DESC, d.doc_id ASC LIMIT 100),
+         |l1 AS (SELECT doc_id, s, CASE WHEN max(s) OVER () = min(s) OVER () THEN 1.0
+         |         ELSE (s - min(s) OVER ()) / (max(s) OVER () - min(s) OVER ()) END AS n FROM d1),
+         |qb AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 13),
+         |d2 AS (SELECT d.doc_id, 1.0 - ${sqlCosine("e.embedding", "q.v")} / 2.0 AS s
+         |       FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id CROSS JOIN qb q
+         |       ORDER BY s DESC, d.doc_id ASC LIMIT 100),
+         |l2 AS (SELECT doc_id, s, CASE WHEN max(s) OVER () = min(s) OVER () THEN 1.0
+         |         ELSE (s - min(s) OVER ()) / (max(s) OVER () - min(s) OVER ()) END AS n FROM d2),
+         |f AS (SELECT coalesce(l0.doc_id, l1.doc_id, l2.doc_id) AS doc_id,
+         |             coalesce(l0.n * 0.5, 0.0) + coalesce(l1.n * 0.3, 0.0) + coalesce(l2.n * 0.2, 0.0) AS sc,
+         |             coalesce(l0.s, l1.s, l2.s) AS secondary
+         |      FROM l0 FULL OUTER JOIN l1 ON l0.doc_id = l1.doc_id
+         |              FULL OUTER JOIN l2 ON coalesce(l0.doc_id, l1.doc_id) = l2.doc_id)
+         |SELECT doc_id, round(sc, 4) AS score FROM f
+         |ORDER BY sc DESC, secondary DESC, doc_id ASC LIMIT 15""".stripMargin
+    },
+
+    "q_hybrid_sub_rrf" -> {
+      val (ctes, _) = sqlBm25(Seq("spark", "join"))
+      s"""WITH $ctes,
+         |s0 AS (SELECT doc_id, score_exact AS s FROM scored WHERE terms_matched >= 1
+         |       ORDER BY score_exact DESC, doc_id ASC LIMIT 100),
+         |l0 AS (SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS r FROM s0),
+         |qa AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 7),
+         |d1 AS (SELECT d.doc_id, 1.0 - ${sqlCosine("e.embedding", "q.v")} / 2.0 AS s
+         |       FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id CROSS JOIN qa q
+         |       ORDER BY s DESC, d.doc_id ASC LIMIT 100),
+         |l1 AS (SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS r FROM d1),
+         |qb AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 13),
+         |d2 AS (SELECT d.doc_id, 1.0 - ${sqlCosine("e.embedding", "q.v")} / 2.0 AS s
+         |       FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id CROSS JOIN qb q
+         |       ORDER BY s DESC, d.doc_id ASC LIMIT 100),
+         |l2 AS (SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS r FROM d2),
+         |f AS (SELECT coalesce(l0.doc_id, l1.doc_id, l2.doc_id) AS doc_id,
+         |             coalesce(0.5 / (60 + l0.r), 0.0) + coalesce(0.3 / (60 + l1.r), 0.0)
+         |               + coalesce(0.2 / (60 + l2.r), 0.0) AS sc,
+         |             coalesce(l0.s, l1.s, l2.s) AS secondary
+         |      FROM l0 FULL OUTER JOIN l1 ON l0.doc_id = l1.doc_id
+         |              FULL OUTER JOIN l2 ON coalesce(l0.doc_id, l1.doc_id) = l2.doc_id)
+         |SELECT doc_id, round(sc, 4) AS score FROM f
+         |ORDER BY sc DESC, secondary DESC, doc_id ASC LIMIT 15""".stripMargin
+    },
+
+    "q_hybrid_group" -> {
+      val (ctes, _) = sqlBm25(Seq("spark", "join", "stream"))
+      s"""WITH $ctes,
+         |sparse0 AS (SELECT doc_id, score_exact FROM scored WHERE terms_matched >= 1
+         |            ORDER BY score_exact DESC, doc_id ASC LIMIT 100),
+         |sparse AS (SELECT doc_id, score_exact, CASE WHEN max(score_exact) OVER () = min(score_exact) OVER () THEN 1.0
+         |             ELSE (score_exact - min(score_exact) OVER ()) / (max(score_exact) OVER () - min(score_exact) OVER ()) END AS sn
+         |           FROM sparse0),
+         |${sqlQv(7)},
+         |densed AS (SELECT d.doc_id, 1.0 - ${sqlCosine("e.embedding", "q.v")} / 2.0 AS sc
+         |           FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id CROSS JOIN qv q
+         |           ORDER BY sc DESC, d.doc_id ASC LIMIT 100),
+         |dense AS (SELECT doc_id, sc, CASE WHEN max(sc) OVER () = min(sc) OVER () THEN 1.0
+         |            ELSE (sc - min(sc) OVER ()) / (max(sc) OVER () - min(sc) OVER ()) END AS dn
+         |          FROM densed),
+         |fused AS (SELECT coalesce(s.doc_id, d.doc_id) AS doc_id,
+         |                 coalesce(s.sn * 0.4, 0.0) + coalesce(d.dn * 0.6, 0.0) AS score_f,
+         |                 coalesce(s.score_exact, d.sc) AS secondary
+         |          FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id),
+         |pool AS (SELECT f.doc_id, d.lang, f.score_f FROM fused f JOIN documents d USING (doc_id)
+         |         ORDER BY f.score_f DESC, f.secondary DESC, f.doc_id ASC LIMIT 12),
+         |ranked AS (SELECT doc_id, lang,
+         |             row_number() OVER (ORDER BY score_f DESC, doc_id ASC) AS rnk FROM pool),
+         |grouped AS (SELECT doc_id, lang, rnk,
+         |              row_number() OVER (PARTITION BY lang ORDER BY rnk ASC) AS group_hit_rank,
+         |              min(rnk) OVER (PARTITION BY lang) AS gmin FROM ranked),
+         |idx AS (SELECT *, dense_rank() OVER (ORDER BY gmin ASC) AS group_index FROM grouped)
+         |SELECT group_index, lang, group_hit_rank, doc_id FROM idx
+         |WHERE group_index <= 3 AND group_hit_rank <= 2
+         |ORDER BY group_index, group_hit_rank""".stripMargin
+    },
+
+    "q_sort_nulls" ->
+      """SELECT doc_id, CASE WHEN source = 'src13' THEN NULL ELSE source END AS maybe_src
+        |FROM documents
+        |ORDER BY maybe_src ASC NULLS FIRST, doc_id ASC LIMIT 40""".stripMargin,
+
+    "q_sort_array" ->
+      """WITH l AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 0 THEN NULL
+        |    ELSE list_transform(range(1, CAST(doc_id % 3 AS INT) + 2),
+        |      i -> (doc_id * i * 37) % 500) END AS links
+        |  FROM documents)
+        |SELECT doc_id, len(links) AS n_links, links[1] AS link0
+        |FROM l ORDER BY links ASC NULLS FIRST, doc_id ASC LIMIT 30""".stripMargin,
 
     "q_hybrid_relative" -> {
       val (ctes, _) = sqlBm25(Seq("spark", "join", "stream"))

@@ -127,7 +127,18 @@ final class Graft(val spark: SparkSession) {
       }).orElse(params.bm25.map { kw =>
         Bm25Search.search(c, kw, fetchLimit.getOrElse(defaultLimit), Some(filtered))
       }).orElse(params.hybrid.map { h =>
-        HybridSearch.search(c, h, h.metric, fetchLimit.getOrElse(defaultLimit), filtered = Some(filtered))
+        // nearText subsearches resolve through the embedder here (the module
+        // boundary), so the operator layer only ever sees vectors
+        val resolved =
+          if (h.subSearches.exists(_.nearText.isDefined))
+            h.copy(subSearches = h.subSearches.map { ss =>
+              ss.nearText match {
+                case Some(nt) => ss.copy(nearText = None, nearVector = Some(resolveNearText(nt)))
+                case None     => ss
+              }
+            })
+          else h
+        HybridSearch.search(c, resolved, resolved.metric, fetchLimit.getOrElse(defaultLimit), filtered = Some(filtered))
       }).getOrElse(filtered)
 
     val isSearch = legCount > 0
@@ -153,7 +164,12 @@ final class Graft(val spark: SparkSession) {
             case (None, p) => Some(resolveSortCol(c, p))
             case (Some(acc), p) => Some(acc.getField(p))
           }.get
-          if (s.desc) cc.desc else cc.asc
+          // null placement per the reference's handleNils
+          // (sorter/basic_comparators.go:371-382): nil compares as the
+          // SMALLEST value — first on asc, last on desc. These are Spark's
+          // defaults; spelled out so the parity is explicit and test-pinned
+          // (arrays compare elementwise then by length on both systems).
+          if (s.desc) cc.desc_nulls_last else cc.asc_nulls_first
         } :+ col(id).asc // total order for determinism
         afterAutocut.orderBy(keys: _*)
       } else if (isSearch) afterAutocut

@@ -91,7 +91,23 @@ object FusionType {
   case object RelativeScore extends FusionType // min-max normalized weighted sum (default)
 }
 
-/** hybrid (reference: retrieval.go:111-126, explorer_hybrid.go:37-120). */
+/** One explicit weighted hybrid sub-search leg (reference:
+ * entities/searchparams/retrieval.go:105-109 WeightedSearchResult; GraphQL
+ * assembly adapters/handlers/graphql/local/common_filters/hybrid.go:72-111 —
+ * each subsearch is bm25 | nearText | nearVector with its own weight).
+ * Exactly one of the three legs must be set. */
+final case class HybridSubSearch(
+    weight: Double,
+    bm25: Option[Bm25] = None,
+    nearVector: Option[NearVector] = None,
+    nearText: Option[NearText] = None) {
+  require(Seq(bm25, nearVector, nearText).count(_.isDefined) == 1,
+    "hybrid subsearch: exactly one of bm25 | nearVector | nearText")
+}
+
+/** hybrid (reference: retrieval.go:111-126, explorer_hybrid.go:37-120).
+ * When `subSearches` is non-empty it REPLACES the alpha-weighted
+ * query/vector legs (reference: common_filters/hybrid.go subsearch list). */
 final case class Hybrid(
     query: String,
     vector: Option[Array[Float]] = None,      // dense leg; None => no dense leg
@@ -100,7 +116,8 @@ final case class Hybrid(
     fusionType: FusionType = FusionType.RelativeScore,
     properties: Seq[String] = Nil,
     maxVectorDistance: Option[Double] = None, // dense-leg cutoff (retrieval.go:120-121)
-    targetVectors: Seq[String] = Nil)
+    targetVectors: Seq[String] = Nil,
+    subSearches: Seq[HybridSubSearch] = Nil)
 
 /** sort (reference: entities/filters/sort.go:15-18). */
 final case class SortBy(path: Seq[String], desc: Boolean = false)

@@ -36,32 +36,46 @@ object HybridSearch {
     val fetchN = math.max(limit, overfetch)
     val id = c.schema.idColumn
 
-    val sparse: Option[DataFrame] =
-      if (params.query.nonEmpty && params.alpha < 1.0)
-        Some(Bm25Search.search(c, graft.model.Bm25(params.query, params.properties), fetchN, filtered)
-          .select(col(id), col(Bm25Search.ScoreCol).as("__s_sparse")))
-      else None
+    def bm25Leg(kw: graft.model.Bm25): DataFrame =
+      Bm25Search.search(c, kw, fetchN, filtered)
+        .select(col(id), col(Bm25Search.ScoreCol).as("__s"))
 
-    val dense: Option[DataFrame] = params.vector.map { v =>
-      val nv = NearVector(v, metric, distance = params.maxVectorDistance,
-        targetVectors = params.targetVectors)
-      VectorSearch.nearVector(c, nv, metric, Some(fetchN), filtered)
+    def denseLeg(nv: NearVector): DataFrame =
+      VectorSearch.nearVector(c, nv, nv.metric, Some(fetchN), filtered)
         // dense leg fusion input: similarity-like score, higher = better
         // (reference hybrid/searcher.go converts distance to 1 - d/2)
-        .select(col(id), (lit(1.0) - col(VectorSearch.DistanceCol) / 2.0).as("__s_dense"))
-    }.filter(_ => params.alpha > 0.0)
+        .select(col(id), (lit(1.0) - col(VectorSearch.DistanceCol) / 2.0).as("__s"))
 
-    val fused: DataFrame = (sparse, dense) match {
-      case (Some(s), Some(d)) =>
-        fuse(s, d, id, params.fusionType, 1.0 - params.alpha, params.alpha)
-      case (Some(s), None) =>
-        s.withColumn(ScoreCol, col("__s_sparse") * (1.0 - params.alpha))
-          .withColumn(SecondaryCol, col("__s_sparse")).drop("__s_sparse")
-      case (None, Some(d)) =>
-        d.withColumn(ScoreCol, col("__s_dense") * params.alpha)
-          .withColumn(SecondaryCol, col("__s_dense")).drop("__s_dense")
-      case (None, None) =>
-        throw new IllegalArgumentException("hybrid: neither query nor vector leg")
+    // explicit weighted sub-searches replace the alpha legs (reference:
+    // retrieval.go:105-109 + common_filters/hybrid.go:72-111; nearText
+    // subsearches are resolved to nearVector by the engine facade)
+    val legs: Seq[(DataFrame, Double)] =
+      if (params.subSearches.nonEmpty)
+        params.subSearches.map { ss =>
+          val df = ss.bm25.map(bm25Leg)
+            .orElse(ss.nearVector.map(denseLeg))
+            .getOrElse(throw new IllegalArgumentException(
+              "hybrid subsearch: nearText must be resolved to nearVector before search"))
+          (df, ss.weight)
+        }
+      else {
+        val sparse =
+          if (params.query.nonEmpty && params.alpha < 1.0)
+            Some((bm25Leg(graft.model.Bm25(params.query, params.properties)), 1.0 - params.alpha))
+          else None
+        val dense = params.vector.filter(_ => params.alpha > 0.0).map { v =>
+          (denseLeg(NearVector(v, metric, distance = params.maxVectorDistance,
+            targetVectors = params.targetVectors)), params.alpha)
+        }
+        Seq(sparse, dense).flatten
+      }
+    require(legs.nonEmpty, "hybrid: neither query nor vector leg")
+
+    val fused: DataFrame = legs match {
+      case Seq((df, w)) => // pure-leg degenerate case: weighted raw score
+        df.withColumn(ScoreCol, col("__s") * w)
+          .withColumn(SecondaryCol, col("__s")).drop("__s")
+      case many => fuseMany(many, id, params.fusionType)
     }
 
     val ranked = fused
@@ -74,44 +88,58 @@ object HybridSearch {
   }
 
   /**
-   * Fuse two scored legs on the id column.
-   * rankedFusion: score = Σ w_leg / (60 + rank_leg)  (hybrid_fusion.go:22-81)
-   * relativeScore: min-max normalize each leg to [0,1], weighted sum
-   * (hybrid_fusion.go:93-182; default since 1.24).
+   * Fuse two scored legs on the id column (the classic alpha-weighted shape;
+   * delegates to fuseMany with legs ordered sparse-then-dense).
    */
   def fuse(
       sparse: DataFrame, dense: DataFrame, id: String,
-      fusion: FusionType, wSparse: Double, wDense: Double): DataFrame = {
-    fusion match {
-      case FusionType.Ranked =>
-        val rs = sparse.withColumn("__r_sparse",
-          row_number().over(Window.orderBy(col("__s_sparse").desc, col(id).asc)))
-        val rd = dense.withColumn("__r_dense",
-          row_number().over(Window.orderBy(col("__s_dense").desc, col(id).asc)))
-        rs.select(col(id), col("__r_sparse"), col("__s_sparse"))
-          .join(rd.select(col(id), col("__r_dense"), col("__s_dense")), Seq(id), "full_outer")
-          .withColumn(ScoreCol,
-            coalesce(lit(wSparse) / (lit(RrfK) + col("__r_sparse")), lit(0.0)) +
-            coalesce(lit(wDense) / (lit(RrfK) + col("__r_dense")), lit(0.0)))
-          .withColumn(SecondaryCol, coalesce(col("__s_sparse"), col("__s_dense")))
-          .drop("__r_sparse", "__r_dense", "__s_sparse", "__s_dense")
-      case FusionType.RelativeScore =>
-        def norm(df: DataFrame, scoreCol: String): DataFrame = {
-          val w = Window.partitionBy()
-          df.withColumn(s"${scoreCol}_n", {
-            val mn = min(col(scoreCol)).over(w); val mx = max(col(scoreCol)).over(w)
-            when(mx === mn, lit(1.0)).otherwise((col(scoreCol) - mn) / (mx - mn))
-          })
-        }
-        norm(sparse, "__s_sparse").select(col(id), col("__s_sparse_n"), col("__s_sparse"))
-          .join(norm(dense, "__s_dense").select(col(id), col("__s_dense_n"), col("__s_dense")),
-            Seq(id), "full_outer")
-          .withColumn(ScoreCol,
-            coalesce(col("__s_sparse_n") * wSparse, lit(0.0)) +
-            coalesce(col("__s_dense_n") * wDense, lit(0.0)))
-          .withColumn(SecondaryCol, coalesce(col("__s_sparse"), col("__s_dense")))
-          .drop("__s_sparse_n", "__s_dense_n", "__s_sparse", "__s_dense")
+      fusion: FusionType, wSparse: Double, wDense: Double): DataFrame =
+    fuseMany(Seq(
+      (sparse.withColumnRenamed("__s_sparse", "__s"), wSparse),
+      (dense.withColumnRenamed("__s_dense", "__s"), wDense)), id, fusion)
+
+  /**
+   * Fuse N weighted legs on the id column — each leg df is (id, __s) with a
+   * similarity-like score (higher = better), already bounded to its top-N
+   * frame (so every window below runs over ≤ fetchN rows).
+   * rankedFusion: score = Σ w_leg / (60 + rank_leg)  (hybrid_fusion.go:22-81)
+   * relativeScore: min-max normalize each leg to [0,1], weighted sum
+   * (hybrid_fusion.go:93-182; default since 1.24).
+   * SecondaryCol carries the first non-null raw leg score in leg order for
+   * tie-breaking (hybrid_fusion.go:68-79 SecondarySortValue).
+   */
+  def fuseMany(legs: Seq[(DataFrame, Double)], id: String, fusion: FusionType): DataFrame = {
+    require(legs.size >= 2, "fuseMany needs at least two legs")
+    val prepped: Seq[DataFrame] = legs.zipWithIndex.map { case ((df, _), i) =>
+      fusion match {
+        case FusionType.Ranked =>
+          df.withColumn(s"__r_$i",
+              row_number().over(Window.orderBy(col("__s").desc, col(id).asc)))
+            .select(col(id), col("__s").as(s"__s_$i"), col(s"__r_$i"))
+        case FusionType.RelativeScore =>
+          val w = Window.partitionBy() // bounded leg frame — cheap by design
+          val mn = min(col("__s")).over(w); val mx = max(col("__s")).over(w)
+          df.withColumn(s"__n_$i",
+              when(mx === mn, lit(1.0)).otherwise((col("__s") - mn) / (mx - mn)))
+            .select(col(id), col("__s").as(s"__s_$i"), col(s"__n_$i"))
+      }
     }
+    val joined = prepped.reduce((a, b) => a.join(b, Seq(id), "full_outer"))
+    val score: Column = fusion match {
+      case FusionType.Ranked =>
+        legs.indices.map(i =>
+          coalesce(lit(legs(i)._2) / (lit(RrfK) + col(s"__r_$i")), lit(0.0))).reduce(_ + _)
+      case FusionType.RelativeScore =>
+        legs.indices.map(i =>
+          coalesce(col(s"__n_$i") * legs(i)._2, lit(0.0))).reduce(_ + _)
+    }
+    val rankCols = fusion match {
+      case FusionType.Ranked        => legs.indices.map(i => s"__r_$i")
+      case FusionType.RelativeScore => legs.indices.map(i => s"__n_$i")
+    }
+    joined.withColumn(ScoreCol, score)
+      .withColumn(SecondaryCol, coalesce(legs.indices.map(i => col(s"__s_$i")): _*))
+      .drop((rankCols ++ legs.indices.map(i => s"__s_$i")): _*)
   }
 
   /**
