@@ -21,12 +21,17 @@ object SparkEntryExt {
   // Index artifacts are batch-built side tables (SURVEY §4): build once per
   // dataset, probe per query — mirroring how the reference builds its
   // HNSW/postings offline relative to query serving.
+  // PQ artifact over the planted-duplicate bed (embeddings ∪ exact copies):
+  // the exact copies give q_pq_search a verifiable oracle — copies of the
+  // query vector share its per-segment argmin code, so they carry the
+  // minimal possible ADC distance and MUST survive the candidate pass and
+  // rank first (dist 0) after exact rescore.
   private val pqCache = scala.collection.mutable.Map.empty[String, (graft.ann.ProductQuantizer, DataFrame)]
   private def pqFor(gg: Graft, dir: String): (graft.ann.ProductQuantizer, DataFrame) =
     pqCache.getOrElseUpdate(dir, {
-      val emb = gg.collection("Embedding").df
-      val pq = graft.ann.ProductQuantizer.train(emb, "embedding", m = 8, k = 16)
-      val encoded = emb.withColumn("code", pq.encode(col("embedding")))
+      val bed = embWithPlantedDups(gg)
+      val pq = graft.ann.ProductQuantizer.train(bed, "embedding", m = 8, k = 16)
+      val encoded = bed.withColumn("code", pq.encode(col("embedding")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       (pq, encoded)
     })
@@ -488,13 +493,15 @@ object SparkEntryExt {
           round(col("n_chars"), 4).as("n_chars_mean"), col("group_size"))
     }),
 
-    // §2.3 PQ quantized first-pass + exact rescore (no SQL oracle: KMeans
-    // codebooks; recall asserted in GrouperAndPqSpec)
+    // §2.3 PQ quantized first-pass + exact rescore, planted-structure oracle:
+    // the bed contains two exact copies of the query vector (vec_id 50 and
+    // its planted twin) — they must come back first with distance 0 after
+    // rescore; broader recall stays asserted in GrouperAndPqSpec
     "q_pq_search" -> ((s, dir) => {
       val gg = g(s, dir)
       val (pq, encoded) = pqFor(gg, dir)
       pq.search(encoded, "vec_id", "code", "embedding",
-          Fixtures.anchorVector(gg, 7L), topK = 10, rescoreFactor = 8)
+          Fixtures.anchorVector(gg, 50L), topK = 2, rescoreFactor = 16)
         .select(col("vec_id"), round(col("_distance"), 4).as("dist"))
     }),
 
@@ -540,16 +547,19 @@ object SparkEntryExt {
         .orderBy(col("group_index"), col("group_hit_rank"))
     }),
 
-    // §2.3 MMR diversity re-selection (driver-side over bounded pool, like ref)
+    // §2.3 MMR re-selection with the verifiable λ=1 invariant: pure-relevance
+    // MMR must equal the top-k by distance with mmr_score = relevance
+    // (diversity regime λ<1 stays asserted in EngineSpec)
     "q_mmr" -> ((s, dir) => {
       val gg = g(s, dir)
       val pool = gg.get(GetParams("Embedding",
         nearObject = Some(NearObject(7L, metric = Metric.Cosine)),
         pagination = Some(Pagination(limit = 50))))
       Mmr.rerank(pool.withColumn("rel", lit(1.0) - col("_distance") / 2.0),
-          "vec_id", "embedding", "rel", lambda = 0.7, k = 10)
+          "vec_id", "embedding", "rel", lambda = 1.0, k = 10)
         .select(col("id").as("vec_id"), col("mmr_rank").cast("long").as("mmr_rank"),
           round(col("mmr_score"), 4).as("mmr_score"))
+        .orderBy(col("mmr_rank"))
     })
   )
 
@@ -685,6 +695,26 @@ object SparkEntryExt {
          |ORDER BY score_exact DESC, doc_id ASC LIMIT 10""".stripMargin
     },
 
+
+    // planted-structure oracle: the two exact copies of the query vector rank
+    // first with distance 0 (their code is the per-segment argmin, so their
+    // ADC distance is the minimum possible — they cannot miss the candidates)
+    "q_pq_search" ->
+      """SELECT vec_id, 0.0 AS dist FROM embeddings WHERE vec_id = 50
+        |UNION ALL
+        |SELECT vec_id + 1000000, 0.0 FROM embeddings WHERE vec_id = 50
+        |ORDER BY vec_id""".stripMargin,
+
+    // λ=1 invariant: MMR degenerates to top-k by relevance = top-k by distance
+    "q_mmr" ->
+      s"""WITH ${sqlQv(7)},
+         |d AS (SELECT e.vec_id, ${sqlCosine("e.embedding", "q.v")} AS dist
+         |      FROM embeddings e CROSS JOIN qv q),
+         |top AS (SELECT vec_id, 1.0 - dist / 2.0 AS rel,
+         |          row_number() OVER (ORDER BY dist ASC, vec_id ASC) AS mmr_rank
+         |        FROM d ORDER BY dist ASC, vec_id ASC LIMIT 10)
+         |SELECT vec_id, CAST(mmr_rank AS BIGINT) AS mmr_rank, round(rel, 4) AS mmr_score
+         |FROM top ORDER BY mmr_rank""".stripMargin,
 
     "q_hybrid_sub" -> {
       val (ctes, _) = sqlBm25(Seq("spark", "join"))
