@@ -52,6 +52,16 @@ object SparkEntryExt {
         nlist = 8, defaultNprobe = 8, persistPath = Some(path))
     })
 
+  /** Pre-build every index side-table (IVF, PQ, postings) for a dataset —
+   * the bench harness calls this so per-query timings measure probe cost,
+   * not the offline build (which at scale is a separate batch job). */
+  private[graft] def prebuildIndexes(gg: Graft, dir: String): Unit = {
+    ivfFor(gg, dir).assigned.count()
+    pqFor(gg, dir)._2.count()
+    postingsFor(gg, dir)
+    ()
+  }
+
   /** embeddings ∪ exact copies (vec_id % 50 == 0 → vec_id+1000000). */
   private def embWithPlantedDups(g: Graft): DataFrame = {
     val emb = g.collection("Embedding").df.select(col("vec_id"), col("embedding"))

@@ -171,6 +171,17 @@ final class FilterCompiler(resolve: String => Collection) {
       case (Some(acc), p) => Some(acc.getField(p))
     }.get
     val prop = if (path.length == 1) schema.property(path.head) else None
+    // struct-typed properties (phoneNumber, object) are not directly
+    // comparable — the filter must descend into a subfield (reference:
+    // filters_validator.go rejects scalar operators on struct types; geo is
+    // the exception via WithinGeoRange)
+    prop.map(_.dataType).foreach {
+      case PropType.Phone | PropType.Obj if w.op != WhereOp.IsNull && w.op != WhereOp.WithinGeoRange =>
+        throw new IllegalArgumentException(
+          s"cannot apply ${w.op} directly to struct property '${path.head}' " +
+          s"(${prop.get.dataType.name}) — filter a subfield, e.g. ${path.head}/national")
+      case _ => ()
+    }
     applyOp(c, w, prop)
   }
 

@@ -18,6 +18,10 @@ object PropType {
   case object Date          extends PropType("date")      // RFC3339; engine keeps TimestampType (+ optional ns column)
   case object Uuid          extends PropType("uuid")
   case object Geo           extends PropType("geoCoordinates") // struct<lat:double,lon:double>
+  // struct<input,internationalFormatted,countryCode,national,nationalFormatted,valid,defaultCountry>
+  // (reference: entities/models/phone_number.go; data_types.go:27-72) —
+  // filters must descend into a subfield (e.g. phone/national)
+  case object Phone         extends PropType("phoneNumber")
   case object Blob          extends PropType("blob")      // BinaryType — multimodal payloads
   case object Obj           extends PropType("object")    // nested StructType
   case object Ref           extends PropType("cref")      // id(s) of target collection
@@ -35,6 +39,13 @@ object Tokenization {
   case object Whitespace extends Tokenization("whitespace")  // whitespace split, case kept
   case object Field      extends Tokenization("field")       // whole value, trimmed
   case object Trigram    extends Tokenization("trigram")     // sliding 3-grams of lowercased text
+  // CJK segmenter modes (reference: tokenizer.go:228-279) — declared so the
+  // dispatch fails LOUDLY rather than silently missing; they need
+  // dictionary-backed segmenters not shipped in this environment
+  case object Gse      extends Tokenization("gse")           // Chinese (gse)
+  case object GseCh    extends Tokenization("gse_ch")        // Chinese, char mode
+  case object KagomeJa extends Tokenization("kagome_ja")     // Japanese (kagome)
+  case object KagomeKr extends Tokenization("kagome_kr")     // Korean (kagome)
 }
 
 /** One declared property of a collection. */

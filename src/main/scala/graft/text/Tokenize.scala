@@ -52,12 +52,23 @@ object Tokenize {
       .otherwise(transform(sequence(lit(0), size(tokens) - n),
         i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
 
+  /** Declared-but-unavailable CJK modes fail loudly (reference mode set:
+   * tokenizer.go:228-279) instead of silently degrading to another mode. */
+  private def cjkUnavailable(mode: Tokenization): Nothing =
+    throw new UnsupportedOperationException(
+      s"tokenization '${mode.name}' requires a dictionary-backed CJK segmenter " +
+      "(reference: entities/tokenizer/tokenizer.go:228-279 — gse/kagome) which is " +
+      "not available in this environment; use 'word' (unicode letter runs) or " +
+      "register a segmenter UDF for this property")
+
   def apply(mode: Tokenization)(c: Column): Column = mode match {
     case Tokenization.Word       => word(c)
     case Tokenization.Lowercase  => lowercase(c)
     case Tokenization.Whitespace => whitespace(c)
     case Tokenization.Field      => field(c)
     case Tokenization.Trigram    => trigram(c)
+    case m @ (Tokenization.Gse | Tokenization.GseCh |
+              Tokenization.KagomeJa | Tokenization.KagomeKr) => cjkUnavailable(m)
   }
 
   /** Tokenize a query string on the driver with matching semantics. */
@@ -69,6 +80,8 @@ object Tokenize {
     case Tokenization.Trigram    =>
       val s = q.toLowerCase.replaceAll("\\s+", "")
       if (s.isEmpty) Nil else if (s.length < 3) Seq(s) else s.sliding(3).toSeq
+    case m @ (Tokenization.Gse | Tokenization.GseCh |
+              Tokenization.KagomeJa | Tokenization.KagomeKr) => cjkUnavailable(m)
   }
 
   /** English stopword preset (reference: inverted/stopwords/presets.go, `en`). */

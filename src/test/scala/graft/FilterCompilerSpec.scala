@@ -120,6 +120,27 @@ class FilterCompilerSpec extends SparkSpecBase {
     assert(ids(Where.not(Where.geInt("friend_ids", 1L))) == Seq(3L, 4L))
   }
 
+  test("phoneNumber: subfield filter works, direct struct filter fails loudly") {
+    val gg = new Graft(spark)
+    val rows = Seq(
+      (1L, "+4915112345678", "DE", "15112345678"),
+      (2L, "+14155550123", "US", "4155550123"),
+      (3L, "+4915198765432", "DE", "15198765432"))
+      .toDF("id", "input", "countryCode", "national")
+      .select($"id", struct($"input", $"countryCode", $"national").as("phone"))
+    gg.register(CollectionSchema("Contact", "id", Seq(
+      Property("phone", PropType.Phone))), rows)
+    val got = gg.get(GetParams("Contact",
+      where = Some(Where.eqText("phone/countryCode", "DE")),
+      properties = Seq("id"))).collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(1L, 3L))
+    val err = intercept[IllegalArgumentException] {
+      gg.get(GetParams("Contact",
+        where = Some(Where.eqText("phone", "+4915112345678")))).collect()
+    }
+    assert(err.getMessage.contains("subfield"))
+  }
+
   test("scalar-FK Int Equal means FK equality, not edge count") {
     // everyone has exactly one city edge; count semantics would return nobody
     assert(ids(Where.eqInt("city_id", 10L)) == Seq(1L, 3L))

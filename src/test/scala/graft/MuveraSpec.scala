@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ann.{Muvera, MuveraEncoder}
+import org.apache.spark.sql.graft.VectorFunctions
+import graft.operators.VectorSearch
+
+/**
+ * Muvera fixed-dim encoding vs exact MaxSim (reference:
+ * vector/multivector/muvera.go; recall bar mirrors compress_recall_test.go:144).
+ */
+class MuveraSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val dim = 16
+  private val rnd = new scala.util.Random(11)
+
+  /** 300 docs, each a bag of 2-5 token vectors drawn near one of 15 topic
+   * centers — the clustered-topic workload MaxSim search serves. */
+  private lazy val rows: Seq[(Long, Seq[Seq[Float]])] = {
+    val centers = Array.fill(15)(Array.fill(dim)(rnd.nextGaussian()))
+    (0 until 300).map { i =>
+      val c = centers(i % 15)
+      val n = 2 + rnd.nextInt(4)
+      val bag = Seq.fill(n)(c.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat).toSeq)
+      (i.toLong, bag)
+    }
+  }
+  private lazy val docs = rows.toDF("id", "mvec")
+
+  private lazy val enc = MuveraEncoder(ksim = 3, dproj = 8, reps = 6, dim = dim)
+  private lazy val encoded = Muvera.encodeDocs(docs, $"mvec", enc).cache()
+
+  private def query: Array[Array[Float]] = rows(7)._2.map(_.toArray).toArray
+
+  private def exactTop(k: Int): Seq[Long] = {
+    val qLit = typedLit(query.map(_.toSeq).toSeq)
+    docs.withColumn(VectorSearch.DistanceCol, VectorFunctions.maxSim(qLit, $"mvec"))
+      .orderBy(col(VectorSearch.DistanceCol).asc, $"id".asc).limit(k)
+      .select($"id").collect().map(_.getLong(0)).toSeq
+  }
+
+  test("query/doc encoding dot product approximates MaxSim ranking: recall@10 >= 0.9") {
+    val truth = exactTop(10).toSet
+    val got = Muvera.search(encoded, "id", "__muvera", "mvec", query, enc,
+        topK = 10, rescoreFactor = 8)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    val recall = truth.intersect(got).size.toDouble / truth.size
+    assert(recall >= 0.9, s"muvera recall $recall < 0.9 ($got vs $truth)")
+  }
+
+  test("rescore distances are the exact MaxSim values; full rescore = exact scan") {
+    // rescoreFactor covering the whole corpus makes the candidate pass a
+    // no-op, so the result must equal the brute-force MaxSim top-k exactly
+    val got = Muvera.search(encoded, "id", "__muvera", "mvec", query, enc,
+        topK = 10, rescoreFactor = 30)
+      .select($"id").collect().map(_.getLong(0)).toSeq
+    assert(got == exactTop(10))
+  }
+
+  test("encoding is deterministic and has the declared dimension") {
+    assert(enc.outDim == 6 * 8 * 8)
+    val e1 = enc.encodeDoc(query); val e2 = enc.encodeDoc(query)
+    assert(e1.toSeq == e2.toSeq && e1.length == enc.outDim)
+    // query and doc encodings differ (sum vs average + empty-cluster fill)
+    val q1 = enc.encodeQuery(query)
+    assert(q1.toSeq != e1.toSeq)
+  }
+}

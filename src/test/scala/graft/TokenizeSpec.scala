@@ -41,6 +41,20 @@ class TokenizeSpec extends SparkSpecBase {
     }
   }
 
+  test("CJK modes fail loudly (no silent fallback)") {
+    for (mode <- Seq(Tokenization.Gse, Tokenization.GseCh,
+                     Tokenization.KagomeJa, Tokenization.KagomeKr)) {
+      val colErr = intercept[UnsupportedOperationException] {
+        Tokenize(mode)(org.apache.spark.sql.functions.lit("中文テキスト"))
+      }
+      assert(colErr.getMessage.contains(mode.name) && colErr.getMessage.contains("segmenter"))
+      val qErr = intercept[UnsupportedOperationException] {
+        Tokenize.queryTokens(mode, "中文テキスト")
+      }
+      assert(qErr.getMessage.contains(mode.name))
+    }
+  }
+
   test("token n-grams (shingles)") {
     val sh = Seq(Seq("a", "b", "c", "d")).toDF("t")
       .select(Tokenize.tokenNgrams($"t", 3).as("x")).head().getSeq[String](0)
