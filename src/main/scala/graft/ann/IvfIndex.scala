@@ -105,19 +105,11 @@ object IvfIndex {
       .setFeaturesCol("__features").setPredictionCol("__centroid")
       .fit(withFeatures)
     val centers: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
-    val bcCenters = df.sparkSession.sparkContext.broadcast(centers)
-    val r = replicas
-    // top-r nearest centroids per row, one pass, no per-row shuffle blowup
-    val nearestR = udf { (v: Seq[Float]) =>
-      val cs = bcCenters.value
-      val ds = Array.tabulate(cs.length) { ci =>
-        val c = cs(ci); var d = 0.0; var i = 0
-        while (i < c.length) { val t = c(i) - v(i); d += t * t; i += 1 }
-        (ci, d)
-      }
-      ds.sortBy(_._2).take(r).map(_._1)
-    }
-    val assigned0 = df.withColumn("__centroid", explode(nearestR(col(vecCol))))
+    // top-r nearest centroids per row via the codegen'd kernel — one pass,
+    // centroid table rides in the serialized plan, no boxed UDF in the stage
+    val assigned0 = df.withColumn("__centroid",
+      explode(org.apache.spark.sql.graft.VectorFunctions
+        .nearestCentroids(col(vecCol), centers, replicas)))
     val assigned = persistPath match {
       case Some(p) =>
         // 100 TB layout: one directory per posting list; isin(probes) becomes

@@ -76,18 +76,13 @@ object KnnJoin {
       maxDistance: Option[Double] = None,
       broadcastProbes: Option[Boolean] = None,
       saltBuckets: Int = 8): DataFrame = {
-    val bcCenters = probes.sparkSession.sparkContext.broadcast(index.centroids)
     val np = nprobe
-    val nearestP = udf { (v: Seq[Float]) =>
-      val cs = bcCenters.value
-      cs.map { case (cid, c) =>
-        var d = 0.0; var i = 0
-        while (i < c.length) { val t = c(i) - v(i); d += t * t; i += 1 }
-        (cid, d)
-      }.sortBy(_._2).take(np).map(_._1)
-    }
+    // centroid ids equal their position in the table (IvfIndex.build zips
+    // with index); the assignment kernel is the codegen'd NearestCentroids
+    // expression — no per-row boxed UDF, no driver broadcast to manage
+    val centerArr: Array[Array[Double]] = index.centroids.sortBy(_._1).map(_._2)
     val p = probes.select(probeId.as("probe_id"), probeVec.as("__pv"))
-      .withColumn("__centroid", explode(nearestP(col("__pv"))))
+      .withColumn("__centroid", explode(VectorFunctions.nearestCentroids(col("__pv"), centerArr, np)))
     val d = index.assigned.select(
       col(index.idCol).as("data_id"), col(index.vecCol).as("__dv"), col("__centroid"))
     val useBroadcast = broadcastProbes.getOrElse {

@@ -27,8 +27,15 @@ object Classify {
       k: Int, metric: Metric = Metric.L2Squared,
       index: Option[IvfIndex] = None, nprobe: Option[Int] = None): DataFrame = {
     val neighbours = index match {
-      case Some(ix) => KnnJoin.bucketed(ix, probes, probeId, probeVec, k, metric,
-        nprobe.getOrElse(ix.defaultNprobe))
+      case Some(ix) =>
+        // the index must be built over THIS labeled frame's id/vector columns
+        // — an index over a different frame would silently drop neighbours at
+        // the label join below (fewer than k votes, no error)
+        require(ix.idCol == labeledId.toString && ix.vecCol == labeledVec.toString,
+          s"index columns (${ix.idCol}, ${ix.vecCol}) do not match the labeled " +
+          s"frame's ($labeledId, $labeledVec) — build the IvfIndex over `labeled`")
+        KnnJoin.bucketed(ix, probes, probeId, probeVec, k, metric,
+          nprobe.getOrElse(ix.defaultNprobe))
       case None => KnnJoin(labeled, labeledId, labeledVec,
         probes, probeId, probeVec, k, metric)
     }

@@ -1,0 +1,106 @@
+package graft.sources
+
+import org.apache.spark.sql.{Encoders, SaveMode, SparkSession}
+
+import graft.engine.{Collection, Graft}
+import graft.model._
+
+/**
+ * Class-level export / restore (reference: adapters/repos/db/export.go
+ * SnapshotShards + usecases/backup — a backup is the class's data files plus
+ * a schema descriptor, shipped to a backend (filesystem/S3/GCS/Azure), and
+ * restore re-creates the class from the descriptor + data).
+ *
+ * Spark-native shape: one directory per collection holding
+ *  - `data/` — the rows as parquet (partitioned by the tenant column when
+ *    the class is multi-tenant, so a restored collection keeps tenant
+ *    partition-pruning);
+ *  - `schema/` — a single-row JSON manifest of the CollectionSchema
+ *    (properties with types/tokenization/refTargets, named vectors, tenant
+ *    and timestamp columns).
+ * Any Hadoop-compatible URI works as the destination (s3a://…, gs://…,
+ * file:…) — the backend matrix the reference implements as four modules is
+ * the filesystem abstraction Spark already has.
+ */
+object Backup {
+
+  /** JSON-encodable schema manifest (PropType/Tokenization round-trip by name). */
+  private case class PropManifest(
+      name: String, dataType: String, tokenization: String,
+      refTarget: Option[String], indexFilterable: Boolean, indexSearchable: Boolean)
+  private case class SchemaManifest(
+      name: String, idColumn: String, properties: Seq[PropManifest],
+      vectors: Map[String, String], defaultVector: Option[String],
+      tenantColumn: Option[String], creationTimeColumn: Option[String],
+      updateTimeColumn: Option[String])
+
+  private def parsePropType(s: String): PropType = s match {
+    case arr if arr.endsWith("[]") => PropType.Arr(parsePropType(arr.dropRight(2)))
+    case "text" => PropType.Text
+    case "int" => PropType.Int
+    case "number" => PropType.Number
+    case "boolean" => PropType.Bool
+    case "date" => PropType.Date
+    case "uuid" => PropType.Uuid
+    case "geoCoordinates" => PropType.Geo
+    case "phoneNumber" => PropType.Phone
+    case "blob" => PropType.Blob
+    case "object" => PropType.Obj
+    case "cref" => PropType.Ref
+    case other => throw new IllegalArgumentException(s"unknown property type '$other'")
+  }
+
+  private def parseTokenization(s: String): Tokenization = s match {
+    case "word" => Tokenization.Word
+    case "lowercase" => Tokenization.Lowercase
+    case "whitespace" => Tokenization.Whitespace
+    case "field" => Tokenization.Field
+    case "trigram" => Tokenization.Trigram
+    case "gse" => Tokenization.Gse
+    case "gse_ch" => Tokenization.GseCh
+    case "kagome_ja" => Tokenization.KagomeJa
+    case "kagome_kr" => Tokenization.KagomeKr
+    case other => throw new IllegalArgumentException(s"unknown tokenization '$other'")
+  }
+
+  /** Export one collection (data + schema manifest) under `path`. */
+  def exportCollection(c: Collection, path: String): Unit = {
+    val spark = c.df.sparkSession
+    import spark.implicits._
+    val manifest = SchemaManifest(
+      c.schema.name, c.schema.idColumn,
+      c.schema.properties.map(p => PropManifest(
+        p.name, p.dataType.name, p.tokenization.name, p.refTarget,
+        p.indexFilterable, p.indexSearchable)),
+      c.schema.vectors, c.schema.defaultVector, c.schema.tenantColumn,
+      c.schema.creationTimeColumn, c.schema.updateTimeColumn)
+    Seq(manifest).toDS().coalesce(1).write.mode(SaveMode.Overwrite).json(s"$path/schema")
+    val writer = c.df.write.mode(SaveMode.Overwrite)
+    c.schema.tenantColumn.fold(writer)(tc => writer.partitionBy(tc)).parquet(s"$path/data")
+  }
+
+  /** Restore a collection exported by [[exportCollection]]. */
+  def restoreCollection(spark: SparkSession, path: String): Collection = {
+    val enc = Encoders.product[SchemaManifest]
+    val m = spark.read.schema(enc.schema).json(s"$path/schema").as[SchemaManifest](enc).head()
+    val schema = CollectionSchema(
+      m.name, m.idColumn,
+      m.properties.map(p => Property(p.name, parsePropType(p.dataType),
+        parseTokenization(p.tokenization), p.refTarget, p.indexFilterable, p.indexSearchable)),
+      m.vectors, m.defaultVector, m.tenantColumn, m.creationTimeColumn, m.updateTimeColumn)
+    Collection(schema, spark.read.parquet(s"$path/data"))
+  }
+
+  /** Export several collections under `root/<name>` (the reference's backup
+   * descriptor spans classes; include-list semantics like backup create). */
+  def backup(g: Graft, collections: Seq[String], root: String): Unit =
+    collections.foreach(n => exportCollection(g.collection(n), s"$root/$n"))
+
+  /** Restore every collection under `root` into the engine registry. */
+  def restore(g: Graft, root: String, collections: Seq[String]): Graft = {
+    collections.foreach { n =>
+      g.register(Backup.restoreCollection(g.spark, s"$root/$n"))
+    }
+    g
+  }
+}

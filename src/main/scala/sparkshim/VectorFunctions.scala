@@ -262,6 +262,69 @@ case class MaxSimDistance(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
+/**
+ * Top-`take` nearest coarse-quantizer centroids of a vector, squared-L2 in
+ * the KMeans training space (reference: the IVF/PQ cluster-assignment step of
+ * vector/compressionhelpers; our IvfIndex.build / KnnJoin.bucketed). The
+ * centroid table is a driver-side constant baked into the expression as a
+ * codegen reference object — nlist × dim doubles, ships with the serialized
+ * plan, no broadcast lifecycle to manage — and the argmin loop runs as
+ * primitive Java inside WholeStageCodegen (replaces the boxed per-row UDF).
+ * Ties rank the lower centroid id first (stable, matching sortBy).
+ */
+case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], take: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+  require(take >= 1 && take <= centroids.length, "take must be in [1, nlist]")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nearest_centroids"
+
+  override def nullSafeEval(v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      NearestCentroids.compute(v.asInstanceOf[ArrayData], centroids, take))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val gad = classOf[org.apache.spark.sql.catalyst.util.GenericArrayData].getName
+    val helper = NearestCentroids.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = new $gad($helper.compute($a, $cents, $take));")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object NearestCentroids {
+  /** Called from generated code — must stay public static-reachable. */
+  def compute(v: ArrayData, cents: Array[Array[Double]], take: Int): Array[Int] = {
+    val n = cents.length
+    val dists = new Array[Double](n)
+    var ci = 0
+    while (ci < n) {
+      val c = cents(ci)
+      var d = 0.0; var i = 0
+      while (i < c.length) { val t = c(i) - v.getFloat(i); d += t * t; i += 1 }
+      dists(ci) = d
+      ci += 1
+    }
+    // partial selection: O(nlist × take), take is small (nprobe/replicas)
+    val out = new Array[Int](take)
+    val used = new Array[Boolean](n)
+    var k = 0
+    while (k < take) {
+      var best = -1; var bestD = Double.PositiveInfinity
+      var i = 0
+      while (i < n) {
+        if (!used(i) && dists(i) < bestD) { bestD = dists(i); best = i }
+        i += 1
+      }
+      used(best) = true; out(k) = best
+      k += 1
+    }
+    out
+  }
+}
+
 /** Column-level API over the kernels. */
 object VectorFunctions {
   private def c(e: Expression): Column = ExpressionUtils.column(e)
@@ -273,6 +336,8 @@ object VectorFunctions {
   def manhattan(a: Column, b: Column): Column = c(ManhattanDistance(x(a), x(b)))
   def hamming(a: Column, b: Column): Column = c(HammingDistance(x(a), x(b)))
   def maxSim(q: Column, d: Column): Column = c(MaxSimDistance(x(q), x(d)))
+  def nearestCentroids(v: Column, centroids: Array[Array[Double]], take: Int): Column =
+    c(NearestCentroids(x(v), centroids, take))
   def haversineMeters(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
     c(HaversineMeters(x(lat1), x(lon1), x(lat2), x(lon2)))
 

@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Graft
+import graft.model._
+import graft.sources.Backup
+
+/** Class-level export/restore round-trip (reference: export.go SnapshotShards
+ * + usecases/backup — data files + schema descriptor, restore re-creates the
+ * class). */
+class BackupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("export + restore round-trips schema, data, and query behaviour") {
+    val g = new Graft(spark)
+    val df = Seq(
+      (1L, "spark joins data fast", "t-a", Seq(0.1f, 0.2f), "de"),
+      (2L, "stream of slow data", "t-b", Seq(0.9f, 0.1f), "en"),
+      (3L, "joins and windows", "t-a", Seq(0.4f, 0.4f), "en"))
+      .toDF("id", "text", "tag", "vec", "tenant")
+    val schema = CollectionSchema("Doc", "id", Seq(
+      Property("text", PropType.Text, Tokenization.Word),
+      Property("tag", PropType.Text, Tokenization.Field),
+      Property("tenant", PropType.Text, Tokenization.Field)),
+      vectors = Map("default" -> "vec"), defaultVector = Some("default"),
+      tenantColumn = Some("tenant"))
+    g.register(schema, df)
+
+    val root = Files.createTempDirectory("graft-backup").toString
+    Backup.backup(g, Seq("Doc"), root)
+
+    val g2 = Backup.restore(new Graft(spark), root, Seq("Doc"))
+    val restored = g2.collection("Doc")
+    assert(restored.schema == schema)
+    val before = df.orderBy($"id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val after = restored.df.orderBy(col("id")).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("text"))).toSeq
+    assert(after == before)
+
+    // tenant layout survives: restored data is partitioned by the tenant
+    // column, so tenant routing stays partition pruning
+    val pruned = g2.get(GetParams("Doc", tenant = Some("en"),
+      properties = Seq("id"))).collect().map(_.getLong(0)).sorted
+    assert(pruned.toSeq == Seq(2L, 3L))
+
+    // behaviour parity: tokenized filter + bm25 act identically on restored
+    val q = GetParams("Doc",
+      where = Some(Where.eqText("text", "data")),
+      bm25 = Some(Bm25("data joins", Seq("text"))),
+      pagination = Some(Pagination(limit = 5)),
+      properties = Seq("id"), additional = Set("score"))
+    val a = g.get(q).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = g2.get(q).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("restore rejects unknown type names loudly") {
+    val root = Files.createTempDirectory("graft-backup-bad").toString
+    Seq("""{"name":"X","idColumn":"id","properties":[{"name":"p","dataType":"mystery","tokenization":"word","indexFilterable":true,"indexSearchable":true}],"vectors":{}}""")
+      .toDF("value").coalesce(1).write.text(s"$root/schema")
+    Seq((1L, "x")).toDF("id", "p").write.parquet(s"$root/data")
+    val err = intercept[IllegalArgumentException] {
+      Backup.restoreCollection(spark, root)
+    }
+    assert(err.getMessage.contains("mystery"))
+  }
+}

@@ -96,4 +96,18 @@ class VectorFunctionsSpec extends SparkSpecBase {
       .select(maxSim($"q", $"d")).head().getDouble(0)
     assert(emptyDoc == 0.0)
   }
+
+  test("nearestCentroids: top-r ascending, lower id wins ties, codegen parity") {
+    val cents = Array(
+      Array(0.0, 0.0), Array(1.0, 0.0), Array(0.0, 1.0), Array(1.0, 0.0)) // 3 ties 1
+    val df = Seq(Tuple1(Array(0.9f, 0.1f))).toDF("v")
+    def run(): Seq[Int] =
+      df.select(nearestCentroids($"v", cents, 3).as("c")).head().getSeq[Int](0)
+    val on = run()
+    // nearest = centroid 1 (tie with 3 → lower id first), then 3, then 0
+    assert(on == Seq(1, 3, 0))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(run() == on)
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
 }
