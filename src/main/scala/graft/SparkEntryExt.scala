@@ -58,9 +58,22 @@ object SparkEntryExt {
   private[graft] def prebuildIndexes(gg: Graft, dir: String): Unit = {
     ivfFor(gg, dir).assigned.count()
     pqFor(gg, dir)._2.count()
+    bqFor(gg, dir).count()
     postingsFor(gg, dir)
     ()
   }
+
+  // BQ is training-free (the code IS the sign pattern), so the "build" is
+  // one codegen'd projection; the planted exact copies share the query's
+  // sign code bit-for-bit → hamming 0 = the global minimum → they MUST
+  // survive the candidate pass and rank first (dist 0) after exact rescore.
+  private val bqCache = scala.collection.mutable.Map.empty[String, DataFrame]
+  private def bqFor(gg: Graft, dir: String): DataFrame =
+    bqCache.getOrElseUpdate(dir, {
+      embWithPlantedDups(gg)
+        .withColumn("code", graft.ann.BinaryQuantizer.encode(col("embedding")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** embeddings ∪ exact copies (vec_id % 50 == 0 → vec_id+1000000). */
   private def embWithPlantedDups(g: Graft): DataFrame = {
@@ -515,6 +528,16 @@ object SparkEntryExt {
         .select(col("vec_id"), round(col("_distance"), 4).as("dist"))
     }),
 
+    // §2.3 binary quantization (flat-index BQ path): hamming-over-sign-codes
+    // first pass on the 32×-smaller code column, exact rescore on the
+    // candidates; same planted-copy oracle shape as q_pq_search
+    "q_bq_search" -> ((s, dir) => {
+      val gg = g(s, dir)
+      graft.ann.BinaryQuantizer.search(bqFor(gg, dir), "vec_id", "code", "embedding",
+          Fixtures.anchorVector(gg, 50L), topK = 2, rescoreFactor = 16)
+        .select(col("vec_id"), round(col("_distance"), 4).as("dist"))
+    }),
+
     // §2.10 true Structured Streaming execution: events parquet replayed as a
     // file stream, watermarked tumbling-window aggregation, complete-mode
     // memory sink drained synchronously — the batch oracle must agree
@@ -710,6 +733,12 @@ object SparkEntryExt {
     // first with distance 0 (their code is the per-segment argmin, so their
     // ADC distance is the minimum possible — they cannot miss the candidates)
     "q_pq_search" ->
+      """SELECT vec_id, 0.0 AS dist FROM embeddings WHERE vec_id = 50
+        |UNION ALL
+        |SELECT vec_id + 1000000, 0.0 FROM embeddings WHERE vec_id = 50
+        |ORDER BY vec_id""".stripMargin,
+
+    "q_bq_search" ->
       """SELECT vec_id, 0.0 AS dist FROM embeddings WHERE vec_id = 50
         |UNION ALL
         |SELECT vec_id + 1000000, 0.0 FROM embeddings WHERE vec_id = 50

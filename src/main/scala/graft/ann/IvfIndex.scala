@@ -35,7 +35,8 @@ final case class IvfIndex(
     vecCol: String,
     idCol: String,
     replicas: Int = 1,
-    defaultNprobe: Int = 1) {
+    defaultNprobe: Int = 1,
+    persistPath: Option[String] = None) {
 
   /** Rank centroids by distance to the query (driver-side, nlist entries). */
   def rankCentroids(query: Array[Float]): Array[Int] = {
@@ -74,6 +75,42 @@ final case class IvfIndex(
       .orderBy(col(VectorSearch.DistanceCol).asc, col(idCol).asc)
       .limit(k)
       .drop("__centroid")
+  }
+
+  /**
+   * Assign-only incremental update: new rows are assigned to the EXISTING
+   * trained centroids (the codegen'd NearestCentroids kernel) and appended to
+   * the index layout — no KMeans refit, no rewrite of the standing posting
+   * lists. This is the Spark shape of the reference's async vector-index
+   * queue (adapters/repos/db/vector_index_queue.go): ingest is decoupled
+   * from index *training*; only the cheap assignment runs per batch. At
+   * 100 TB a refit is an offline batch job (IvfIndex.build again); until
+   * then appended rows land in the right posting-list partition and are
+   * immediately probe-visible. Centroid drift under distribution shift is
+   * the caller's rebuild trigger, as with the reference's dynamic index
+   * (vector/dynamic/index.go).
+   */
+  def append(newRows: DataFrame): IvfIndex = {
+    val centers = centroids.sortBy(_._1).map(_._2)
+    val assigned0 = newRows.withColumn("__centroid",
+      explode(org.apache.spark.sql.graft.VectorFunctions
+        .nearestCentroids(col(vecCol), centers, replicas)))
+    persistPath match {
+      case Some(p) =>
+        // appends new files inside the existing __centroid=N directories;
+        // partition pruning on probe is untouched
+        assigned0.write.mode("append").partitionBy("__centroid").parquet(p)
+        copy(assigned = newRows.sparkSession.read.parquet(p))
+      case None =>
+        copy(assigned = assigned.unionByName(assigned0.repartition(col("__centroid"))))
+    }
+  }
+
+  /** Re-read the persisted layout (picks up appends from other writers,
+   * e.g. the streaming maintenance job). */
+  def reload(spark: org.apache.spark.sql.SparkSession): IvfIndex = {
+    require(persistPath.isDefined, "reload needs a persisted index layout")
+    copy(assigned = spark.read.parquet(persistPath.get))
   }
 
   private def probedSubset(query: Array[Float], nprobe: Int): DataFrame = {
@@ -120,7 +157,7 @@ object IvfIndex {
         assigned0.repartition(col("__centroid"))
     }
     val cents = centers.zipWithIndex.map { case (c, i) => (i, c) }
-    IvfIndex(cents, assigned, vecCol, idCol, replicas, defaultNprobe)
+    IvfIndex(cents, assigned, vecCol, idCol, replicas, defaultNprobe, persistPath)
   }
 
   /**

@@ -1,0 +1,41 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ann.IvfIndex
+
+/**
+ * Async vector-index maintenance — the Spark shape of the reference's
+ * vector-index queue (adapters/repos/db/vector_index_queue.go: writes enqueue
+ * vectors, a background worker drains the queue into the HNSW graph so ingest
+ * never blocks on index insertion). Here the queue is a Structured Streaming
+ * source (file drops, a Delta CDF, a Kafka topic), the worker is foreachBatch,
+ * and the "graph insert" is `IvfIndex.append` — an assign-only write into the
+ * centroid-partitioned layout. Checkpointing gives the same at-least-once
+ * drain semantics the reference's on-disk queue does; no KMeans refit happens
+ * on this path (training stays an offline batch job, exactly as the
+ * reference never re-trains its quantizer on the ingest path).
+ */
+object IndexMaintenance {
+
+  /**
+   * Drain `newRows` (a streaming DataFrame carrying the index's id + vector
+   * columns) into the persisted index layout. `Trigger.AvailableNow` makes
+   * it a catch-up maintenance pass; a processing-time trigger makes it the
+   * reference's continuously-running indexing worker.
+   */
+  def start(newRows: DataFrame, index: IvfIndex, checkpoint: String,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(index.persistPath.isDefined,
+      "index maintenance appends to the persisted layout — build the IvfIndex with persistPath")
+    newRows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        index.append(batch)
+        ()
+      }
+      .start()
+  }
+}

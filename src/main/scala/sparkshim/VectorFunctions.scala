@@ -325,6 +325,94 @@ object NearestCentroids {
   }
 }
 
+/**
+ * Binary-quantization encoder: sign bit per dimension packed into longs,
+ * bit set when the component is negative — bit-for-bit the reference's
+ * BQ code layout (compressionhelpers/binary_quantization.go:29-47: block =
+ * 64 dims, `if vec[i] < 0 { bits |= bit }`). ceil(d/64) longs per vector:
+ * 32× smaller than the float column, so the BQ first pass streams a tiny
+ * code column instead of the vectors.
+ */
+case class SignPack(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sign_pack"
+
+  override def nullSafeEval(v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      SignPack.pack(v.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val gad = classOf[org.apache.spark.sql.catalyst.util.GenericArrayData].getName
+    val helper = SignPack.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = new $gad($helper.pack($a));")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object SignPack {
+  /** Called from generated code — must stay public static-reachable. */
+  def pack(v: ArrayData): Array[Long] = {
+    val n = v.numElements()
+    val out = new Array[Long]((n + 63) >> 6)
+    var i = 0
+    while (i < n) {
+      if (v.getFloat(i) < 0f) out(i >> 6) |= (1L << (i & 63))
+      i += 1
+    }
+    out
+  }
+  /** Driver-side twin for query vectors. */
+  def pack(v: Array[Float]): Array[Long] = {
+    val out = new Array[Long]((v.length + 63) >> 6)
+    var i = 0
+    while (i < v.length) {
+      if (v(i) < 0f) out(i >> 6) |= (1L << (i & 63))
+      i += 1
+    }
+    out
+  }
+}
+
+/**
+ * Hamming distance between two packed bit codes (array<long>): popcount of
+ * the XOR, the reference's HammingBitwise over BQ codes
+ * (distancer/hamming.go bitwise variant; used by
+ * BinaryQuantizer.DistanceBetweenCompressedVectors). Tight primitive loop,
+ * Long.bitCount is an intrinsic.
+ */
+case class BitHammingDistance(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bit_hamming"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val x = l.asInstanceOf[ArrayData]; val y = r.asInstanceOf[ArrayData]
+    var acc = 0L; var i = 0; val n = x.numElements()
+    while (i < n) { acc += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i)); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = $a.numElements();
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
 /** Column-level API over the kernels. */
 object VectorFunctions {
   private def c(e: Expression): Column = ExpressionUtils.column(e)
@@ -338,6 +426,8 @@ object VectorFunctions {
   def maxSim(q: Column, d: Column): Column = c(MaxSimDistance(x(q), x(d)))
   def nearestCentroids(v: Column, centroids: Array[Array[Double]], take: Int): Column =
     c(NearestCentroids(x(v), centroids, take))
+  def signPack(v: Column): Column = c(SignPack(x(v)))
+  def bitHamming(a: Column, b: Column): Column = c(BitHammingDistance(x(a), x(b)))
   def haversineMeters(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
     c(HaversineMeters(x(lat1), x(lon1), x(lat2), x(lon2)))
 

@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ann.IvfIndex
+import graft.model.Metric
+import graft.streaming.IndexMaintenance
+
+/** Assign-only incremental IVF updates + the streaming maintenance job
+ * (reference: adapters/repos/db/vector_index_queue.go). */
+class IndexMaintenanceSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def clustered(n: Int, offset: Long, seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    val centers = Array.fill(8)(Array.fill(8)(rnd.nextGaussian()))
+    (0 until n).map { i =>
+      val c = centers(i % 8)
+      (offset + i, c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+  }
+
+  test("append: new rows land in probed posting lists, centroids unchanged") {
+    val path = Files.createTempDirectory("ivf-append").toString
+    val base = clustered(800, 0L, 7).toDF("vec_id", "embedding")
+    val ix0 = IvfIndex.build(base, "vec_id", "embedding", nlist = 8,
+      defaultNprobe = 8, persistPath = Some(path))
+    val before = ix0.assigned.count()
+
+    // plant an appended row identical to an existing vector: it must become
+    // the query's co-top-1 (distance 0) after append, proving probe visibility
+    val anchor = base.filter($"vec_id" === 5L).head().getSeq[Float](1)
+    val newRows = clustered(100, 10000L, 8).toDF("vec_id", "embedding")
+      .unionByName(Seq((99999L, anchor)).toDF("vec_id", "embedding"))
+    val ix1 = ix0.append(newRows)
+
+    assert(ix1.centroids.map(_._1).toSeq == ix0.centroids.map(_._1).toSeq)
+    assert(ix1.assigned.count() == before + 101)
+    val top = ix1.search(anchor.toArray, 2, Metric.L2Squared, nprobe = 1)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(top == Set(5L, 99999L), s"appended twin not probe-visible: $top")
+
+    // the appended layout must still partition-prune on probe
+    val plan = ix1.search(anchor.toArray, 2, Metric.L2Squared, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [__centroid"), s"no pruning in:\n$plan")
+  }
+
+  test("unpersisted append keeps search exact at full probe") {
+    val base = clustered(400, 0L, 9).toDF("vec_id", "embedding")
+    val ix0 = IvfIndex.build(base, "vec_id", "embedding", nlist = 4, defaultNprobe = 4)
+    val q = base.filter($"vec_id" === 11L).head().getSeq[Float](1).toArray
+    val ix1 = ix0.append(Seq((50000L, q.toSeq)).toDF("vec_id", "embedding"))
+    val top = ix1.search(q, 2, Metric.L2Squared, nprobe = 4)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(top == Set(11L, 50000L))
+  }
+
+  test("streaming maintenance drains file drops into the index layout") {
+    val path = Files.createTempDirectory("ivf-stream").toString
+    val inDir = Files.createTempDirectory("ivf-in").toString
+    val ckpt = Files.createTempDirectory("ivf-ckpt").toString
+
+    val base = clustered(800, 0L, 11).toDF("vec_id", "embedding")
+    val index = IvfIndex.build(base, "vec_id", "embedding", nlist = 8,
+      defaultNprobe = 8, persistPath = Some(path))
+    val before = index.assigned.count()
+
+    val anchor = base.filter($"vec_id" === 3L).head().getSeq[Float](1)
+    Seq((77777L, anchor)).toDF("vec_id", "embedding")
+      .write.mode("append").parquet(inDir)
+
+    val stream = spark.readStream
+      .schema(base.schema)
+      .option("maxFilesPerTrigger", 4)
+      .parquet(inDir)
+    val q = IndexMaintenance.start(stream, index, ckpt)
+    q.awaitTermination(60000)
+
+    val fresh = index.reload(spark)
+    assert(fresh.assigned.count() == before + 1)
+    val top = fresh.search(anchor.toArray, 2, Metric.L2Squared, nprobe = 1)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(top == Set(3L, 77777L), s"streamed row not probe-visible: $top")
+  }
+}
