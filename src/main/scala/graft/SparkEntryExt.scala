@@ -230,6 +230,20 @@ object SparkEntryExt {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // pipeline: duplicate clustering — minhash pairs → connected components
+    // via min-label propagation; cluster_id = smallest member, so the
+    // canonical keep-set is `id == cluster_id` (oracle: recursive-CTE
+    // transitive closure over the same exact-Jaccard pair relation)
+    "q_dedup_cluster" -> ((s, dir) => {
+      val docs = g(s, dir).collection("Document").df
+        .filter(col("doc_id") < 500).select(col("doc_id"), col("text"))
+      val bed = docs.unionByName(docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val pairs = Dedup.minhashDuplicates(bed, col("doc_id"), col("text"),
+        shingleSize = 3, numHashes = 128, bands = 64, threshold = 0.7)
+      Dedup.clusterPairs(pairs, col("id_a"), col("id_b")).orderBy(col("id"))
+    }),
+
     // pipeline: bucketed n-gram Jaccard dedup (exact within source buckets)
     "q_dedup_jaccard" -> ((s, dir) => {
       val docs = g(s, dir).collection("Document").df
@@ -969,6 +983,32 @@ object SparkEntryExt {
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM pairs
         |WHERE jac >= 0.7 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE base AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+        |bed AS (SELECT doc_id, text FROM base
+        |        UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM base WHERE doc_id % 25 = 0),
+        |t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM bed),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(toks) < 3 THEN list_distinct([array_to_string(toks, ' ')])
+        |  ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS s
+        |  FROM t WHERE len(toks) > 0),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.7),
+        |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |        UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM sym
+        |  UNION
+        |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+        |comp AS (
+        |  SELECT src AS id, least(src, min(dst)) AS cluster_id
+        |  FROM reach GROUP BY src)
+        |SELECT id, cluster_id FROM comp ORDER BY id""".stripMargin,
 
     // planted-pair oracle: exact copies have identical simhash (hamming 0)
     // and share every pigeonhole chunk, so detection is certain; the bed has

@@ -285,4 +285,54 @@ object Dedup {
       .filter(col("dist") <= maxCosineDistance)
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"), col("dist"))
   }
+
+  // --- Duplicate clustering --------------------------------------------------
+
+  /**
+   * Turn a duplicate-PAIR relation (what every *Duplicates operator above
+   * emits) into connected components — the step a real dedup pipeline needs
+   * before it can act: `cluster_id` = smallest member id, so "keep one per
+   * cluster" is the single predicate `id == cluster_id`.
+   *
+   * Algorithm: distributed min-label propagation. Each round every node takes
+   * the minimum label over itself and its neighbours (one shuffle join + one
+   * partial-aggregated groupBy — both scale-safe shapes), until a fixpoint.
+   * Rounds = component diameter; duplicate clusters are near-cliques by
+   * construction (pairwise similarity above a threshold), so diameter is
+   * small — typically 2–3 rounds. Lineage is truncated per round
+   * (localCheckpoint), otherwise the iterated plan grows without bound. The
+   * convergence probe is a count on the changed-labels frame — a distributed
+   * aggregate, not a collect.
+   *
+   * Returns (id, cluster_id) for every node that appears in `pairs`
+   * (singletons never enter a pair relation and are their own cluster by
+   * definition — callers need not materialize them).
+   */
+  def clusterPairs(pairs: DataFrame, aCol: Column, bCol: Column,
+                   maxIterations: Int = 20): DataFrame = {
+    val sym = pairs.select(aCol.cast("long").as("src"), bCol.cast("long").as("dst"))
+      .unionByName(pairs.select(bCol.cast("long").as("src"), aCol.cast("long").as("dst")))
+      .distinct()
+      .persist()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIterations) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("dst"), col("cluster_id").as("__nl")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("__nl")).as("__nbr_min"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("__nbr_min"), col("cluster_id"))).as("cluster_id"),
+          (col("__nbr_min") < col("cluster_id")).as("__changed"))
+        .localCheckpoint(true)
+      converged = next.filter(col("__changed")).limit(1).count() == 0L
+      labels = next.drop("__changed")
+      it += 1
+    }
+    sym.unpersist()
+    labels
+  }
 }

@@ -48,6 +48,24 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs.exists(p => p._1 == 8L && p._2 == 5008L && p._3 == 0L))
   }
 
+  test("clusterPairs: chains collapse to min-id components, disjoint stay apart") {
+    // a 6-node chain (diameter 5 — forces several propagation rounds), a
+    // triangle, and an isolated pair
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), // chain
+      (10L, 11L), (11L, 12L), (10L, 12L),               // triangle
+      (20L, 21L)                                        // pair
+    ).toDF("id_a", "id_b")
+    val got = Dedup.clusterPairs(pairs, $"id_a", $"id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((1L to 6L).forall(got(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(got(_) == 10L))
+    assert(Seq(20L, 21L).forall(got(_) == 20L))
+    assert(got.size == 11)
+    // keep-set predicate: exactly one survivor per cluster
+    assert(got.count { case (id, c) => id == c } == 3)
+  }
+
   test("embedding LSH dedup matches brute force on planted copies") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet").select($"vec_id", $"embedding")
     val uni = emb.unionByName(emb.filter($"vec_id" % 50 === 0)
