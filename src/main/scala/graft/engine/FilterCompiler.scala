@@ -62,11 +62,32 @@ final class FilterCompiler(resolve: String => Collection) {
       case _ if isNestedArrayLeaf(schema, w) =>
         // standalone nested leaf (or inside Or/Not): element-existential
         (df, exists(col(w.path.head), x => elementPred(x, w)))
+      case _ if isLenRefLeaf(schema, w) =>
+        (df, lenRefPred(df, w))
       case _ if isRefCountLeaf(df, schema, w) =>
         (df, refCountPred(w))
       case _ =>
         (df, leaf(schema, w))
     }
+
+  /** `len(ref)` — the LAYOUT-INDEPENDENT edge-count filter: explicit count
+   * semantics whether the cref is stored as a beacon array or a scalar FK
+   * (the int-on-ref heuristic below is array-only by design; this pseudo-path
+   * is the documented alternative for scalar layouts). */
+  private val LenOfRe = "len\\((.+)\\)".r
+  private def isLenRefLeaf(schema: CollectionSchema, w: Where): Boolean =
+    w.path.length == 1 && (w.path.head match {
+      case LenOfRe(p) => schema.property(p).exists(_.dataType == PropType.Ref)
+      case _          => false
+    })
+  private def lenRefPred(df: DataFrame, w: Where): Column = {
+    val LenOfRe(p) = w.path.head: @unchecked
+    val count = df.schema(p).dataType match {
+      case _: org.apache.spark.sql.types.ArrayType => coalesce(size(col(p)), lit(0))
+      case _ => when(col(p).isNull, lit(0)).otherwise(lit(1))
+    }
+    cmp(w.op, count.cast("long"), w.value.get, None)
+  }
 
   /** valueInt directly on a MULTI-EDGE (array-column) ref prop = filter on the
    * number of outgoing edges (reference: inverted/searcher.go:694,

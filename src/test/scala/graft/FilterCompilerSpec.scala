@@ -147,6 +147,16 @@ class FilterCompilerSpec extends SparkSpecBase {
     assert(ids(Where.neInt("city_id", 10L)) == Seq(2L, 4L))
   }
 
+  test("len(ref) is the layout-independent edge count on both backings") {
+    // array cref: size, with empty and null both counting 0
+    assert(ids(Where.geInt("len(friend_ids)", 1L)) == Seq(1L, 2L))
+    assert(ids(Where.eqInt("len(friend_ids)", 0L)) == Seq(3L, 4L))
+    assert(ids(Where.eqInt("len(friend_ids)", 2L)) == Seq(1L))
+    // scalar FK: 0/1 edge count — NOT string length, NOT FK-value compare
+    assert(ids(Where.eqInt("len(city_id)", 1L)) == Seq(1L, 2L, 3L, 4L))
+    assert(ids(Where.eqInt("len(city_id)", 0L)) == Seq.empty)
+  }
+
   test("array-cref path filter (beacon-list semi-join) through And/Or/Not") {
     val friendInEng = Where(WhereOp.Equal, Seq("friend_ids", "Person", "dept"),
       Some(FilterValue.TextV("engineering")))
