@@ -230,6 +230,40 @@ object SparkEntryExt {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // pipeline: benchmark decontamination — corpus docs sharing any word
+    // 5-gram with the benchmark set (GPT-3-style overlap check); bench gram
+    // hashes broadcast, corpus side is one scan + partial-agg count
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = g(s, dir).collection("Document").df
+      val bench = docs.filter(col("doc_id") % 97 === 5).select(col("text"))
+      Decontaminate.ngramOverlap(docs, col("doc_id"), col("text"), bench, col("text"), n = 5)
+        .select(col("id").as("doc_id"), col("overlap_grams"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // pipeline: stratified quota sampling — top-5 docs per language by
+    // quality score (partitioned window, no global funnel)
+    "q_curate_sample" -> ((s, dir) => {
+      val docs = g(s, dir).collection("Document").df
+        .withColumn("__q", TextAnalysis.qualityScore(col("text")))
+      Curate.stratifiedTopK(docs, Seq(col("lang")), col("__q"), col("doc_id"), k = 5)
+        .select(col("lang"), col("doc_id"),
+          col("sample_rank").cast("long").as("sample_rank"),
+          round(col("__q"), 4).as("quality"))
+        .orderBy(col("lang"), col("sample_rank"))
+    }),
+
+    // pipeline: token-budget packing — contiguous 2048-token bins per
+    // source shard (per-shard running total; packing never crosses shards)
+    "q_curate_pack" -> ((s, dir) => {
+      val docs = g(s, dir).collection("Document").df
+        .withColumn("__t", TextAnalysis.tokenCountWhitespace(col("text")))
+      Curate.packByTokenBudget(docs, Seq(col("source")), col("doc_id"), col("__t"), budget = 2048L)
+        .select(col("source"), col("doc_id"),
+          col("bin_offset").cast("long").as("bin_offset"), col("bin").cast("long").as("bin"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
     // pipeline: duplicate clustering — minhash pairs → connected components
     // via min-label propagation; cluster_id = smallest member, so the
     // canonical keep-set is `id == cluster_id` (oracle: recursive-CTE
@@ -983,6 +1017,45 @@ object SparkEntryExt {
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM pairs
         |WHERE jac >= 0.7 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |g AS (SELECT doc_id,
+        |  CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+        |  ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) END AS s
+        |  FROM t WHERE len(toks) > 0),
+        |b AS (SELECT list_distinct(flatten(list(s))) AS bs FROM g WHERE doc_id % 97 = 5),
+        |h AS (SELECT doc_id, len(list_intersect(s, bs)) AS o FROM g CROSS JOIN b)
+        |SELECT doc_id, CAST(o AS BIGINT) AS overlap_grams FROM h
+        |WHERE o > 0 ORDER BY doc_id""".stripMargin,
+
+    "q_curate_sample" ->
+      """WITH t AS (SELECT doc_id, lang, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |q AS (SELECT doc_id, lang,
+        |  (least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+        |   + greatest(1.0 - (CASE WHEN len(regexp_replace(text, '\s+', '', 'g')) = 0 THEN 0.0
+        |       ELSE CAST(len(regexp_replace(text, '[\p{L}\p{N}\s]+', '', 'g')) AS DOUBLE)
+        |          / len(regexp_replace(text, '\s+', '', 'g')) END) * 4.0, 0.0)
+        |   + least((CASE WHEN len(toks) = 0 THEN 0.0
+        |       ELSE CAST(len(list_filter(toks, x -> list_contains(['a','an','and','are','as','at','be','but','by','for','if','in','into','is','it','no','not','of','on','or','such','that','the','their','then','there','these','they','this','to','was','will','with'], x))) AS DOUBLE) / len(toks) END) * 10.0, 1.0)) / 3.0 AS qx
+        |  FROM t),
+        |r AS (SELECT doc_id, lang, qx,
+        |  row_number() OVER (PARTITION BY lang ORDER BY qx DESC, doc_id) AS rk FROM q)
+        |SELECT lang, doc_id, CAST(rk AS BIGINT) AS sample_rank, round(qx, 4) AS quality
+        |FROM r WHERE rk <= 5 ORDER BY lang, sample_rank""".stripMargin,
+
+    "q_curate_pack" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS nt
+        |  FROM documents),
+        |c AS (SELECT doc_id, source,
+        |  CAST(sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt AS BIGINT) AS off
+        |  FROM t)
+        |SELECT source, doc_id, off AS bin_offset,
+        |  CAST(floor(CAST(off AS DOUBLE) / 2048.0) AS BIGINT) AS bin
+        |FROM c ORDER BY source, doc_id""".stripMargin,
 
     "q_dedup_cluster" ->
       """WITH RECURSIVE base AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),

@@ -1,0 +1,53 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-curation operators for training-data pipelines (engine extensions
+ * beyond the weaviate surface): balance a corpus across strata while keeping
+ * the best documents, and pack documents into fixed token budgets for
+ * sequence building.
+ */
+object Curate {
+
+  /**
+   * Stratified quota sampling: the top `k` rows of every stratum by
+   * `order` (descending, id tie-break) — "keep the 100k highest-quality
+   * docs per language/source" in one pass. The window is PARTITIONED by the
+   * strata, so each stratum ranks inside its own hash partition — no global
+   * window, no single-task funnel; skewed strata are bounded by per-stratum
+   * output k, and rows beyond rank k never leave their partition.
+   * Returns the input columns + `sample_rank` (1-based within stratum).
+   */
+  def stratifiedTopK(df: DataFrame, strata: Seq[Column], order: Column,
+                     idCol: Column, k: Int): DataFrame =
+    df.withColumn("sample_rank",
+        row_number().over(Window.partitionBy(strata: _*).orderBy(order.desc, idCol.asc)))
+      .filter(col("sample_rank") <= k)
+
+  /**
+   * Token-budget packing: assign documents to training-sequence bins of
+   * `budget` tokens by contiguous fill in id order WITHIN each shard —
+   * bin = floor(exclusive-running-total / budget), so a document that
+   * straddles a boundary belongs to the bin where its first token lands
+   * (greedy contiguous packing; deterministic, no driver loop).
+   *
+   * The running total is a window partitioned by `shard` — packing is
+   * per-shard by design (real pipelines pack within a data shard and ship
+   * bins independently), because a single GLOBAL running total would funnel
+   * the corpus through one window task. Shard by whatever already
+   * partitions the data (source, date, hash-bucket of id).
+   * Returns the input columns + `bin` (0-based within shard) and
+   * `bin_offset` (the doc's starting token offset inside its shard).
+   */
+  def packByTokenBudget(df: DataFrame, shard: Seq[Column], idCol: Column,
+                        tokensCol: Column, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(shard: _*).orderBy(idCol.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("bin_offset", sum(tokensCol.cast("long")).over(w) - tokensCol.cast("long"))
+      .withColumn("bin", floor(col("bin_offset") / budget))
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Curate, Decontaminate}
+
+class CurateSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("stratifiedTopK: per-stratum quota, order + id tie-break, rank emitted") {
+    val df = Seq(
+      ("en", 1L, 0.9), ("en", 2L, 0.9), ("en", 3L, 0.5),
+      ("de", 4L, 0.7), ("de", 5L, 0.8)
+    ).toDF("lang", "id", "q")
+    val got = Curate.stratifiedTopK(df, Seq($"lang"), $"q", $"id", k = 2)
+      .select($"lang", $"id", $"sample_rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    // en: ids 1,2 tie on 0.9 → id asc breaks; de: 5 (0.8) then 4 (0.7)
+    assert(got == Set(("en", 1L, 1), ("en", 2L, 2), ("de", 5L, 1), ("de", 4L, 2)))
+  }
+
+  test("packByTokenBudget: contiguous fill per shard, straddlers keep start bin") {
+    val df = Seq(
+      ("s1", 1L, 600L), ("s1", 2L, 600L), ("s1", 3L, 600L), ("s1", 4L, 600L),
+      ("s2", 5L, 100L)
+    ).toDF("source", "id", "nt")
+    val got = Curate.packByTokenBudget(df, Seq($"source"), $"id", $"nt", budget = 1000L)
+      .select($"id", $"bin_offset", $"bin")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // offsets 0,600,1200,1800 → bins 0,0,1,1; doc 2 straddles 1000 but starts in bin 0
+    assert(got(1L) == ((0L, 0L)) && got(2L) == ((600L, 0L)))
+    assert(got(3L) == ((1200L, 1L)) && got(4L) == ((1800L, 1L)))
+    assert(got(5L) == ((0L, 0L))) // fresh running total per shard
+  }
+
+  test("decontaminate: planted benchmark copy flags with full overlap; clean doc does not") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven"),
+      (3L, "totally unrelated words nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val bench = Seq(Tuple1("alpha beta gamma delta epsilon zeta eta theta")).toDF("text")
+    val got = Decontaminate.ngramOverlap(corpus, $"doc_id", $"text", bench, $"text", n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.contains(1L) && got(1L) == 4L) // 8 tokens → 4 distinct 5-grams, all shared
+    assert(!got.contains(2L) && !got.contains(3L))
+  }
+
+  test("decontaminate: short docs (< n tokens) flag via the whole-text gram") {
+    val corpus = Seq((1L, "tiny doc"), (2L, "other thing")).toDF("doc_id", "text")
+    val bench = Seq(Tuple1("tiny doc")).toDF("text")
+    val got = Decontaminate.ngramOverlap(corpus, $"doc_id", $"text", bench, $"text", n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L))
+  }
+}
