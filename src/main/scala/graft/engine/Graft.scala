@@ -275,6 +275,14 @@ final class Graft(val spark: SparkSession) {
         case "score" if df.columns.contains(Bm25Search.ScoreCol) => Some(col(Bm25Search.ScoreCol))
         case "score" if df.columns.contains(HybridSearch.ScoreCol) => Some(col(HybridSearch.ScoreCol).as("_score"))
         case "vector" => c.schema.vectors.values.headOption.map(v => col(v).as("_vector"))
+        // metadata timestamps (reference: _additional { creationTimeUnix
+        // lastUpdateTimeUnix }, additional_properties.go) — only for
+        // collections that declare the columns, like the reference's
+        // indexTimestamps gate
+        case "creationTimeUnix" =>
+          c.schema.creationTimeColumn.map(t => col(t).as("_creationTimeUnix"))
+        case "lastUpdateTimeUnix" =>
+          c.schema.updateTimeColumn.map(t => col(t).as("_lastUpdateTimeUnix"))
         case _ => None
       }
       val groupCols = Seq("group_value", "group_index", "group_hit_rank")

@@ -310,8 +310,11 @@ object Dedup {
    */
   def clusterPairs(pairs: DataFrame, aCol: Column, bCol: Column,
                    maxIterations: Int = 20): DataFrame = {
-    val sym = pairs.select(aCol.cast("long").as("src"), bCol.cast("long").as("dst"))
-      .unionByName(pairs.select(bCol.cast("long").as("src"), aCol.cast("long").as("dst")))
+    // the pair relation is typically an expensive LSH pipeline — persist it
+    // BEFORE the symmetrizing union, which would otherwise evaluate it twice
+    val p = pairs.select(aCol.cast("long").as("src"), bCol.cast("long").as("dst")).persist()
+    val sym = p
+      .unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist()
     var labels = sym.select(col("src").as("id")).distinct()
@@ -333,6 +336,7 @@ object Dedup {
       it += 1
     }
     sym.unpersist()
+    p.unpersist()
     labels
   }
 }

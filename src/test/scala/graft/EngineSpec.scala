@@ -24,6 +24,24 @@ class EngineSpec extends SparkSpecBase {
     assert(dists == dists.sorted)
   }
 
+  test("_additional creationTimeUnix projects the declared timestamp column") {
+    val rows = g.get(GetParams("EventTenant",
+      tenant = Some("view"),
+      pagination = Some(Pagination(limit = 3)),
+      properties = Seq("event_id"),
+      additional = Set("id", "creationTimeUnix"))).collect()
+    assert(rows.nonEmpty)
+    assert(rows.head.schema.fieldNames.contains("_creationTimeUnix"))
+    assert(rows.forall(_.getAs[Long]("_creationTimeUnix") > 0L))
+    // an undeclared timestamp silently projects nothing (schema gate, like
+    // the reference's indexTimestamps)
+    val noTs = g.get(GetParams("Embedding",
+      pagination = Some(Pagination(limit = 1)),
+      properties = Seq("vec_id"),
+      additional = Set("lastUpdateTimeUnix"))).collect()
+    assert(!noTs.head.schema.fieldNames.contains("_lastUpdateTimeUnix"))
+  }
+
   test("distance threshold bounds results (certainty round-trip)") {
     val rows = g.get(GetParams("Embedding",
       nearObject = Some(NearObject(3L, metric = Metric.Cosine, certainty = Some(0.62))),
