@@ -230,6 +230,31 @@ object SparkEntryExt {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // pipeline FLAGSHIP: the full curation DAG in ONE declarative plan —
+    // decontaminate (drop docs overlapping the benchmark set) → exact dedup
+    // (keep the smallest doc per normalized-text fingerprint) → language ID
+    // → quality score → stratified top-3 per language. No materialization
+    // barriers: Catalyst sees the whole pipeline and fuses the scans.
+    "q_pipeline_curate" -> ((s, dir) => {
+      val docs = g(s, dir).collection("Document").df
+      val bench = docs.filter(col("doc_id") % 97 === 5).select(col("text"))
+      val contaminated = Decontaminate
+        .ngramOverlap(docs, col("doc_id"), col("text"), bench, col("text"), n = 5)
+        .select(col("id").as("doc_id"))
+      val canonical = Dedup.exactText(docs, col("text"), col("doc_id"))
+        .select(col("canonical_id").as("doc_id"))
+      val clean = docs
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .join(canonical, Seq("doc_id"), "left_semi")
+        .withColumn("lang_pred", TextAnalysis.languageId(col("text")))
+        .withColumn("__q", TextAnalysis.qualityScore(col("text")))
+      Curate.stratifiedTopK(clean, Seq(col("lang_pred")), col("__q"), col("doc_id"), k = 3)
+        .select(col("lang_pred"), col("doc_id"),
+          col("sample_rank").cast("long").as("sample_rank"),
+          round(col("__q"), 4).as("quality"))
+        .orderBy(col("lang_pred"), col("sample_rank"))
+    }),
+
     // pipeline: benchmark decontamination — corpus docs sharing any word
     // 5-gram with the benchmark set (GPT-3-style overlap check); bench gram
     // hashes broadcast, corpus side is one scan + partial-agg count
@@ -1017,6 +1042,44 @@ object SparkEntryExt {
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM pairs
         |WHERE jac >= 0.7 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_pipeline_curate" ->
+      """WITH t AS (SELECT doc_id, lang, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |g AS (SELECT doc_id,
+        |  CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+        |  ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) END AS s
+        |  FROM t WHERE len(toks) > 0),
+        |b AS (SELECT list_distinct(flatten(list(s))) AS bs FROM g WHERE doc_id % 97 = 5),
+        |contaminated AS (SELECT doc_id FROM g CROSS JOIN b WHERE len(list_intersect(s, bs)) > 0),
+        |canonical AS (SELECT min(doc_id) AS doc_id FROM t
+        |  GROUP BY md5(array_to_string(toks, ' '))),
+        |clean AS (SELECT t.doc_id, t.text, t.toks FROM t
+        |  WHERE t.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |    AND t.doc_id IN (SELECT doc_id FROM canonical)),
+        |lid AS (SELECT doc_id, text, toks,
+        |  CAST(list_contains(toks,'der') AS INT) + CAST(list_contains(toks,'die') AS INT) + CAST(list_contains(toks,'und') AS INT) + CAST(list_contains(toks,'das') AS INT) + CAST(list_contains(toks,'ist') AS INT) + CAST(list_contains(toks,'nicht') AS INT) + CAST(list_contains(toks,'ein') AS INT) + CAST(list_contains(toks,'mit') AS INT) AS h_de,
+        |  CAST(list_contains(toks,'the') AS INT) + CAST(list_contains(toks,'a') AS INT) + CAST(list_contains(toks,'and') AS INT) + CAST(list_contains(toks,'of') AS INT) + CAST(list_contains(toks,'to') AS INT) + CAST(list_contains(toks,'is') AS INT) + CAST(list_contains(toks,'in') AS INT) + CAST(list_contains(toks,'that') AS INT) AS h_en,
+        |  CAST(list_contains(toks,'el') AS INT) + CAST(list_contains(toks,'la') AS INT) + CAST(list_contains(toks,'de') AS INT) + CAST(list_contains(toks,'los') AS INT) + CAST(list_contains(toks,'las') AS INT) + CAST(list_contains(toks,'que') AS INT) + CAST(list_contains(toks,'y') AS INT) + CAST(list_contains(toks,'es') AS INT) AS h_es,
+        |  CAST(list_contains(toks,'le') AS INT) + CAST(list_contains(toks,'la') AS INT) + CAST(list_contains(toks,'les') AS INT) + CAST(list_contains(toks,'et') AS INT) + CAST(list_contains(toks,'des') AS INT) + CAST(list_contains(toks,'que') AS INT) + CAST(list_contains(toks,'est') AS INT) + CAST(list_contains(toks,'une') AS INT) AS h_fr
+        |  FROM clean),
+        |scored AS (SELECT doc_id,
+        |  CASE
+        |    WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+        |    WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+        |    WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+        |    ELSE 'fr' END AS lang_pred,
+        |  (least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+        |   + greatest(1.0 - (CASE WHEN len(regexp_replace(text, '\s+', '', 'g')) = 0 THEN 0.0
+        |       ELSE CAST(len(regexp_replace(text, '[\p{L}\p{N}\s]+', '', 'g')) AS DOUBLE)
+        |          / len(regexp_replace(text, '\s+', '', 'g')) END) * 4.0, 0.0)
+        |   + least((CASE WHEN len(toks) = 0 THEN 0.0
+        |       ELSE CAST(len(list_filter(toks, x -> list_contains(['a','an','and','are','as','at','be','but','by','for','if','in','into','is','it','no','not','of','on','or','such','that','the','their','then','there','these','they','this','to','was','will','with'], x))) AS DOUBLE) / len(toks) END) * 10.0, 1.0)) / 3.0 AS qx
+        |  FROM lid),
+        |r AS (SELECT doc_id, lang_pred, qx,
+        |  row_number() OVER (PARTITION BY lang_pred ORDER BY qx DESC, doc_id) AS rk FROM scored)
+        |SELECT lang_pred, doc_id, CAST(rk AS BIGINT) AS sample_rank, round(qx, 4) AS quality
+        |FROM r WHERE rk <= 3 ORDER BY lang_pred, sample_rank""".stripMargin,
 
     "q_decontaminate" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
