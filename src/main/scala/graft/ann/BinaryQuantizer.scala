@@ -35,22 +35,41 @@ object BinaryQuantizer {
   def encodeQuery(v: Array[Float]): Array[Long] = SignPack.pack(v)
 
   /**
-   * BQ first pass over `encoded` (must carry idCol, the packed code column,
-   * and the original vector column for rescore), exact top-k after rescore.
+   * BQ search over `encoded` (must carry idCol, the packed code column, and
+   * the original vector column for rescore), exact top-k after rescore.
    * Ties on hamming break by id ascending, so the candidate set is
    * deterministic; final ranking ties likewise.
+   *
+   * Two-phase so the first pass genuinely never touches the vectors: phase 1
+   * projects ONLY (id, code) — column pruning reaches the scan, so a parquet
+   * layout reads 32× fewer bytes — and TakeOrderedAndProject keeps
+   * `topK × rescoreFactor` rows per partition. The candidate ids (bounded,
+   * driver-side like the reference's rescore list) come back as an `isin`
+   * filter for phase 2, which re-reads id+vector WITH predicate pushdown
+   * (row-group min/max skipping) and computes exact distances on just the
+   * candidate set. This is the reference flat-index shape: hamming over
+   * in-memory codes, rescore fetches full vectors by id (flat/index.go).
    */
   def search(encoded: DataFrame, idCol: String, codeCol: String, vecCol: String,
              query: Array[Float], topK: Int, rescoreFactor: Int = 4,
              metric: Metric = Metric.L2Squared): DataFrame = {
     val qCode = encodeQuery(query)
-    val candidates = encoded
-      .withColumn("__bqh", VectorFunctions.bitHamming(col(codeCol), typedLit(qCode.toSeq)))
-      .orderBy(col("__bqh").asc, col(idCol).asc)
-      .limit(topK * rescoreFactor)
+    val candidateIds = firstPassIds(encoded, idCol, codeCol, qCode, topK * rescoreFactor)
+    val candidates = encoded.filter(col(idCol).isin(candidateIds: _*))
     VectorSearch.withDistance(candidates, vecCol, query, metric)
       .orderBy(col(VectorSearch.DistanceCol).asc, col(idCol).asc)
       .limit(topK)
-      .drop("__bqh")
   }
+
+  /** Phase-1 frame: hamming over (id, code) only — exposed for plan asserts. */
+  private[graft] def firstPass(encoded: DataFrame, idCol: String, codeCol: String,
+                               qCode: Array[Long], n: Int): DataFrame =
+    encoded.select(col(idCol), col(codeCol))
+      .withColumn("__bqh", VectorFunctions.bitHamming(col(codeCol), typedLit(qCode.toSeq)))
+      .orderBy(col("__bqh").asc, col(idCol).asc)
+      .limit(n)
+
+  private def firstPassIds(encoded: DataFrame, idCol: String, codeCol: String,
+                           qCode: Array[Long], n: Int): Seq[Any] =
+    firstPass(encoded, idCol, codeCol, qCode, n).select(col(idCol)).collect().map(_.get(0)).toSeq
 }

@@ -66,17 +66,23 @@ final case class ProductQuantizer(
   }
 
   /** PQ first pass over the encoded table, exact rescore of top candidates.
-   * `encoded` must carry idCol, the code column, and the original vector. */
+   * `encoded` must carry idCol, the code column, and the original vector.
+   * Two-phase like BinaryQuantizer.search: the ADC pass projects only
+   * (id, code) — column pruning keeps the float vectors out of the scan —
+   * and the bounded candidate ids come back as an `isin` pushdown filter
+   * for the exact-rescore fetch (the reference's rescore-on-full-vectors
+   * step, flat/index.go). */
   def search(encoded: DataFrame, idCol: String, codeCol: String, vecCol: String,
              query: Array[Float], topK: Int, rescoreFactor: Int = 4): DataFrame = {
-    val candidates = encoded
+    val candidateIds = encoded.select(col(idCol), col(codeCol))
       .withColumn("__adc", adcDistance(col(codeCol), query))
       .orderBy(col("__adc").asc, col(idCol).asc)
       .limit(topK * rescoreFactor)
+      .select(col(idCol)).collect().map(_.get(0)).toSeq
+    val candidates = encoded.filter(col(idCol).isin(candidateIds: _*))
     VectorSearch.withDistance(candidates, vecCol, query, Metric.L2Squared)
       .orderBy(col(VectorSearch.DistanceCol).asc, col(idCol).asc)
       .limit(topK)
-      .drop("__adc")
   }
 }
 

@@ -55,6 +55,28 @@ class BqSpec extends SparkSpecBase {
     assert(mean >= 0.9, s"mean recall $mean (${recalls.mkString(",")})")
   }
 
+  test("two-phase plan: first pass never reads the vector column; rescore pushes id filter") {
+    val path = java.nio.file.Files.createTempDirectory("bq-plan").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.withColumn("code", BinaryQuantizer.encode($"embedding"))
+      .write.mode("overwrite").parquet(path)
+    val encoded = spark.read.parquet(path)
+    val q = emb.filter($"vec_id" === 25L).head().getSeq[Float](1).toArray
+
+    // phase 1: the scan's ReadSchema must exclude the 32×-bigger vector column
+    val p1 = BinaryQuantizer.firstPass(encoded, "vec_id", "code",
+      BinaryQuantizer.encodeQuery(q), 40).queryExecution.executedPlan.toString
+    assert(p1.contains("ReadSchema") && !p1.contains("embedding"),
+      s"vector column not pruned from first pass:\n$p1")
+
+    // full search: correct results, and the rescore scan carries an In(vec_id)
+    // pushdown (row-group skipping on the candidate fetch)
+    val res = BinaryQuantizer.search(encoded, "vec_id", "code", "embedding", q, topK = 5)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(vec_id"), s"no id pushdown in rescore:\n$plan")
+    assert(res.select($"vec_id").collect().map(_.getLong(0)).head == 25L) // self first, dist 0
+  }
+
   test("BQ code column is ceil(d/64) longs") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val code = emb.limit(1).select(BinaryQuantizer.encode($"embedding").as("c"))
