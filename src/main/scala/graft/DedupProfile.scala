@@ -41,6 +41,17 @@ object DedupProfile {
       Dedup.ngramJaccardDuplicates(docs.withColumn("source", lit("x")), // worst case: one bucket
         col("doc_id"), col("text"), Seq(col("source")), 3, 0.8).count())
     println(s"[profile] jaccard(single-bucket worst case) pairs: $outJ")
+
+    // q_dedup_cluster shape: planted bed → minhash pairs → clusterPairs
+    val bedDocs = docs.filter(col("doc_id") < 500)
+    val bed = bedDocs.unionByName(bedDocs.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val pairs = Dedup.minhashDuplicates(bed, col("doc_id"), col("text"),
+      shingleSize = 3, numHashes = 128, bands = 64, threshold = 0.7)
+    println(s"[profile] cluster-bed pairs: ${timed("bed minhashDuplicates")(pairs.count())}")
+    val clustered = timed("clusterPairs")(
+      Dedup.clusterPairs(pairs, col("id_a"), col("id_b")).count())
+    println(s"[profile] clustered nodes: $clustered")
     spark.stop()
   }
 }

@@ -22,9 +22,24 @@ import graft.model.{CollectionSchema, Where}
  * at cluster scale a mutation is one shuffle (or none, if both sides are
  * bucketed by id); TTL/batch-delete are predicate rewrites that push down to
  * the scan.
+ *
+ * Physical layout (`clustered = true`, the default): each version is written
+ *  - `partitionBy(tenant)` when the schema is multi-tenant — tenant routing
+ *    becomes DIRECTORY pruning (the reference's tenant = shard,
+ *    index.go:2233), so a tenant-scoped query at 100 TB lists one
+ *    tenant's files instead of scanning all of them;
+ *  - range-clustered and sorted on the id column within files — every file
+ *    covers a narrow disjoint id range, so parquet row-group min/max
+ *    statistics turn Get-by-id / id-cursor pagination into file- and
+ *    row-group-skipping point reads instead of full scans (the LSM
+ *    segment's sorted-by-key property, adapters/repos/db/lsmkv, expressed
+ *    as parquet layout instead of an LSM tree).
+ * The clustering shuffle is the rewrite's cost — the same work an LSM
+ * compaction pays off-path, paid here at write time.
  */
 final class CollectionStore(val spark: SparkSession, val root: String,
-                            val schema: CollectionSchema) {
+                            val schema: CollectionSchema,
+                            val clustered: Boolean = true) {
 
   private def latestPath = Paths.get(root, "_latest")
 
@@ -136,9 +151,42 @@ final class CollectionStore(val spark: SparkSession, val root: String,
     n
   }
 
+  /** Drop superseded version directories, keeping the newest `keep` (the
+   * current version is always kept). Returns the number removed. This is the
+   * transaction-log/segment cleanup the reference's LSM compaction cycle does
+   * (adapters/repos/db/lsmkv compaction); without it a long-lived store leaks
+   * one full table copy per mutation. */
+  def vacuum(keep: Int = 1): Int = {
+    require(keep >= 1, "vacuum must keep at least the current version")
+    val cutoff = version - keep
+    val stale = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+") &&
+        f.getName.drop(1).toInt <= cutoff)
+    stale.foreach(deleteRecursively)
+    stale.length
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   private def writeVersion(df: DataFrame): Unit = {
     val next = version + 1
-    df.write.mode("overwrite").parquet(s"$root/v$next")
+    val id = schema.idColumn
+    val laidOut = (clustered, schema.tenantColumn) match {
+      case (true, Some(t)) =>
+        // one shuffle partition per tenant hash → one file per tenant
+        // directory; rows id-sorted within it for row-group pruning
+        df.repartition(col(t)).sortWithinPartitions(col(t), col(id))
+      case (true, None) =>
+        // disjoint id ranges per file → min/max stats prune point lookups
+        df.repartitionByRange(col(id)).sortWithinPartitions(col(id))
+      case _ => df
+    }
+    val writer = laidOut.write.mode("overwrite")
+    (if (clustered) schema.tenantColumn.fold(writer)(writer.partitionBy(_)) else writer)
+      .parquet(s"$root/v$next")
     val tmp = Paths.get(root, "_latest.tmp")
     Files.createDirectories(Paths.get(root))
     Files.write(tmp, next.toString.getBytes)
