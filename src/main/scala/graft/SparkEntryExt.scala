@@ -60,7 +60,15 @@ object SparkEntryExt {
     pqFor(gg, dir)._2.count()
     bqFor(gg, dir).count()
     postingsFor(gg, dir)
-    ()
+    // BM25 corpus stats (persisted termDf + length norms) are built lazily on
+    // the first scoring query per collection — warm BOTH text collections so
+    // the cost doesn't land on whichever bm25/hybrid query sorts first
+    // (round-6 lesson: q_hybrid_group was charged DocVec's stats build)
+    Seq("Document", "DocVec").foreach { cn =>
+      graft.operators.Bm25Search
+        .score(gg.collection(cn), graft.model.Bm25("warm", Seq("text")))
+        .limit(1).count()
+    }
   }
 
   // BQ is training-free (the code IS the sign pattern), so the "build" is
@@ -358,6 +366,32 @@ object SparkEntryExt {
     "q_text_fingerprint" -> ((s, dir) => {
       g(s, dir).collection("Document").df
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // pipeline: PII redaction — the corpus has no PII, so a planted span of
+    // email + IPv4 + phone is prepended; both sides apply the same
+    // RE2-compatible patterns (TextAnalysis.{Email,Ipv4,Phone}Pattern)
+    "q_text_redact" -> ((s, dir) => {
+      val bed = g(s, dir).collection("Document").df.filter(col("doc_id") < 200)
+        .select(col("doc_id"), concat(
+          lit("contact john.doe+spam@mail-host.org or 192.168.10.42 or +1 (415) 555-0133 :: "),
+          col("text")).as("text"))
+      bed.select(col("doc_id"), TextAnalysis.redactPii(col("text")).as("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // pipeline: Gopher/MassiveText repetition signals; every 7th doc planted
+    // as two duplicate lines (dup_line_frac 0.5, doubled bigram counts)
+    "q_text_repetition" -> ((s, dir) => {
+      val bed = g(s, dir).collection("Document").df.filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit("\n"), col("text")))
+            .otherwise(col("text")).as("text"))
+      TextAnalysis.repetitionStats(bed, col("doc_id"), col("text"))
+        .select(col("id").as("doc_id"), col("n_lines").cast("long").as("n_lines"),
+          round(col("dup_line_frac"), 4).as("dup_line_frac"),
+          round(col("top_bigram_frac"), 4).as("top_bigram_frac"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1221,6 +1255,33 @@ object SparkEntryExt {
     "q_text_fingerprint" ->
       """SELECT doc_id, md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    'contact john.doe+spam@mail-host.org or 192.168.10.42 or +1 (415) 555-0133 :: ' || text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b(\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g'),
+        |    '\+?(\d{1,3}[-. ])?\(?\d{2,4}\)?[-. ]\d{3,4}([-. ]\d{2,4})?\b', '[PHONE]', 'g') AS redacted
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+
+    "q_text_repetition" ->
+      """WITH bed AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN text || chr(10) || text ELSE text END AS text
+        |  FROM documents WHERE doc_id < 300),
+        |t AS (SELECT doc_id,
+        |  list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS ls,
+        |  regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM bed),
+        |bgl AS (SELECT doc_id, list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bgs
+        |  FROM t WHERE len(toks) >= 2),
+        |bg AS (SELECT doc_id, unnest(bgs) AS b FROM bgl),
+        |cnt AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, max(c) AS top, sum(c) AS total FROM cnt GROUP BY 1),
+        |ln AS (SELECT doc_id, len(ls) AS n_lines, len(list_distinct(ls)) AS nd FROM t)
+        |SELECT l.doc_id, CAST(l.n_lines AS BIGINT) AS n_lines,
+        |  round(CASE WHEN l.n_lines = 0 THEN 0.0 ELSE 1.0 - CAST(l.nd AS DOUBLE) / l.n_lines END, 4) AS dup_line_frac,
+        |  round(coalesce(CAST(a.top AS DOUBLE) / a.total, 0.0), 4) AS top_bigram_frac
+        |FROM ln l LEFT JOIN agg a USING (doc_id) ORDER BY l.doc_id""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),

@@ -310,15 +310,24 @@ object Dedup {
    */
   def clusterPairs(pairs: DataFrame, aCol: Column, bCol: Column,
                    maxIterations: Int = 20): DataFrame = {
-    // the pair relation is typically an expensive LSH pipeline — persist it
-    // BEFORE the symmetrizing union, which would otherwise evaluate it twice
-    val p = pairs.select(aCol.cast("long").as("src"), bCol.cast("long").as("dst")).persist()
+    // the pair relation is typically an expensive LSH pipeline — materialize
+    // it EAGERLY before the symmetrizing union: a lazy persist would let the
+    // union's two branches race in one stage, each recomputing the LSH plan
+    // before the other's cache entry lands (observed as a full duplicate
+    // evaluation in the bench profile)
+    val p = pairs.select(aCol.cast("long").as("src"), bCol.cast("long").as("dst"))
+      .localCheckpoint(true)
     val sym = p
       .unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id"))
+    // fused round 0: label(v) = min(v, min(neighbours)) in ONE groupBy —
+    // the node list and the first propagation round are the same aggregate,
+    // which for the near-clique components dedup produces (diameter ≤ 2)
+    // leaves only a confirmation round in the loop
+    var labels = sym.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("__nbr_min"))
+      .select(col("id"), least(col("id"), col("__nbr_min")).as("cluster_id"))
       .localCheckpoint(true)
     var converged = false
     var it = 0
@@ -336,7 +345,8 @@ object Dedup {
       it += 1
     }
     sym.unpersist()
-    p.unpersist()
+    // p's checkpoint blocks are released by the ContextCleaner once the
+    // RDD is unreferenced; labels carries no lineage onto them
     labels
   }
 }

@@ -84,4 +84,67 @@ object TextAnalysis {
 
   /** Stable document fingerprint: md5 of the normalized (word-token) text. */
   def fingerprint(text: Column): Column = md5(concat_ws(" ", Tokenize.word(text)))
+
+  // --- PII redaction ---------------------------------------------------------
+
+  /** Email/IPv4/phone patterns shared with redaction callers. Deliberately
+   * RE2-compatible (no lookaround, no backreferences) so an external system
+   * running RE2 — or a DuckDB oracle — applies the identical patterns. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val PhonePattern = "\\+?(\\d{1,3}[-. ])?\\(?\\d{2,4}\\)?[-. ]\\d{3,4}([-. ]\\d{2,4})?\\b"
+
+  /**
+   * PII scrubbing — the standard pre-training redaction pass (emails, IPv4
+   * addresses, phone-shaped number groups → typed placeholder tokens). Order
+   * matters: emails first (their dotted domains would otherwise feed the IP
+   * pattern), IPs before phones (dotted quads look like phone groups). Pure
+   * chained `regexp_replace` — one codegen'd projection, no UDF, linear scan
+   * at any scale.
+   */
+  def redactPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailPattern, "[EMAIL]")
+    val noIp = regexp_replace(noEmail, Ipv4Pattern, "[IP]")
+    regexp_replace(noIp, PhonePattern, "[PHONE]")
+  }
+
+  // --- Repetition filters ----------------------------------------------------
+
+  /**
+   * Repetition signals from the Gopher/MassiveText quality rules (Rae et al.
+   * 2021, "Scaling Language Models", table A1): documents dominated by
+   * repeated lines or by one recurring n-gram are boilerplate/spam and get
+   * filtered before training.
+   *
+   * Returns (id, n_lines, dup_line_frac, top_bigram_frac):
+   *  - `dup_line_frac`  = 1 − distinct(non-empty lines)/lines — per-row
+   *    array math, no shuffle;
+   *  - `top_bigram_frac` = occurrences of the most frequent word bigram /
+   *    total bigrams — explode + two partial-aggregated groupBys keyed on
+   *    (id, bigram) then (id): the only shuffles, both map-side combinable,
+   *    so the shape survives any corpus size.
+   */
+  def repetitionStats(df: org.apache.spark.sql.DataFrame,
+                      idCol: Column, textCol: Column): org.apache.spark.sql.DataFrame = {
+    val base = df.select(idCol.as("id"), textCol.as("__t"))
+      .withColumn("__lines",
+        filter(split(col("__t"), "\n"), l => length(trim(l)) > 0))
+      .withColumn("__toks", Tokenize.word(col("__t")))
+    val lineStats = base.select(col("id"),
+      size(col("__lines")).as("n_lines"),
+      size(array_distinct(col("__lines"))).as("__n_distinct"))
+    val bigrams = base
+      .filter(size(col("__toks")) >= 2) // tokenNgrams' short-doc fallback is not a bigram
+      .select(col("id"), explode(Tokenize.tokenNgrams(col("__toks"), 2)).as("__bg"))
+    val bgStats = bigrams.groupBy(col("id"), col("__bg")).count()
+      .groupBy(col("id"))
+      .agg(max(col("count")).as("__top"), sum(col("count")).as("__total"))
+    lineStats.join(bgStats, Seq("id"), "left")
+      .select(col("id"), col("n_lines"),
+        when(col("n_lines") === 0, lit(0.0))
+          .otherwise(lit(1.0) - col("__n_distinct").cast("double") / col("n_lines"))
+          .as("dup_line_frac"),
+        coalesce(col("__top").cast("double") / col("__total"), lit(0.0))
+          .as("top_bigram_frac"))
+  }
 }

@@ -32,6 +32,32 @@ object Ingest {
       .start()
 
   /**
+   * Streaming exact-dedup ingest: drop rows whose key (id, or a content
+   * fingerprint column computed upstream) already arrived within the
+   * watermark horizon — the streaming form of `Dedup.exact` for continuous
+   * corpus ingestion. `dropDuplicatesWithinWatermark` keeps the dedup state
+   * BOUNDED by the watermark (entries expire once the event-time horizon
+   * passes), so the job runs indefinitely at ingest scale; an unbounded
+   * `dropDuplicates` would accrete one state row per key forever.
+   */
+  def dedupIngest(spark: SparkSession, inDir: String, outDir: String,
+                  schema: StructType, checkpoint: String,
+                  keyCols: Seq[String], tsCol: String, watermark: String,
+                  maxFilesPerTrigger: Int = 4): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inDir)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+
+  /**
    * Windowed streaming aggregation with watermarking (the stream-query shape
    * the reference lacks but a 100 TB pipeline needs): counts/sums per
    * (window, key) with late-data tolerance.

@@ -130,6 +130,24 @@ class StoreAndStreamingSpec extends SparkSpecBase {
     assert(got.columns.contains("_ingested_at"))
   }
 
+  test("streaming dedup ingest drops duplicate keys within the watermark") {
+    val in = Files.createTempDirectory("graft-din").toString
+    val out = Files.createTempDirectory("graft-dout").toString
+    val cp = Files.createTempDirectory("graft-dcp").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    def ts(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
+    // duplicate ids 2 and 3 arrive across separate files (micro-batches)
+    val b1 = Seq((1L, "a", ts(0)), (2L, "b", ts(1)), (3L, "c", ts(2))).toDF("id", "v", "ts")
+    val b2 = Seq((2L, "b-dup", ts(3)), (3L, "c-dup", ts(4)), (4L, "d", ts(5))).toDF("id", "v", "ts")
+    b1.write.mode("append").parquet(in)
+    b2.write.mode("append").parquet(in)
+    val q = Ingest.dedupIngest(spark, in, out, b1.schema, cp,
+      keyCols = Seq("id"), tsCol = "ts", watermark = "1 hour", maxFilesPerTrigger = 1)
+    q.awaitTermination(60000)
+    val got = spark.read.parquet(out).select($"id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 2L, 3L, 4L), s"expected one row per id, got ${got.mkString(",")}")
+  }
+
   test("streaming windowed aggregation with watermark (memory sink)") {
     val ev = Fixtures.events(spark, "/root/testdata/sf0.001")
       .select($"ts", $"event_type", $"value")
