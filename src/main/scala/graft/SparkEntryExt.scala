@@ -623,6 +623,23 @@ object SparkEntryExt {
           round(col("n_chars"), 4).as("n_chars_mean"), col("group_size"))
     }),
 
+    // legacy grouping invariant oracle (same pattern as q_mmr's λ=1): with
+    // force = 0 no pair merges (NormalizedDistance < 0 is unsatisfiable), so
+    // Closest grouping is the identity on the ranked pool — group_size 1,
+    // rows = the cosine top-k, which DuckDB can rank exactly
+    "q_group_legacy0" -> ((s, dir) => {
+      val gg = g(s, dir)
+      val pool = gg.get(GetParams("DocVec",
+        nearObject = Some(NearObject(7L, metric = Metric.Cosine)),
+        pagination = Some(Pagination(limit = 20)),
+        properties = Seq("doc_id"),
+        additional = Set("vector", "distance")))
+      MergeGrouper.group(pool, "_vector", force = 0.0, MergeGrouper.Closest)
+        .select(col("doc_id"), col("group_size"),
+          round(col("_distance"), 4).as("distance"))
+        .orderBy(col("doc_id"))
+    }),
+
     // §2.3 PQ quantized first-pass + exact rescore, planted-structure oracle:
     // the bed contains two exact copies of the query vector (vec_id 50 and
     // its planted twin) — they must come back first with distance 0 after
@@ -850,6 +867,17 @@ object SparkEntryExt {
         |UNION ALL
         |SELECT vec_id + 1000000, 0.0 FROM embeddings WHERE vec_id = 50
         |ORDER BY vec_id""".stripMargin,
+
+    // force=0 invariant: no pair can merge, Closest grouping = identity on
+    // the ranked pool, which is the plain cosine top-k
+    "q_group_legacy0" ->
+      s"""WITH ${SparkEntry.sqlQv(7)},
+         |dv AS (SELECT d.doc_id, e.embedding FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+         |s AS (SELECT dv.doc_id, ${SparkEntry.sqlCosine("dv.embedding", "q.v")} AS dist
+         |      FROM dv CROSS JOIN qv q),
+         |top AS (SELECT doc_id, dist FROM s ORDER BY dist ASC, doc_id ASC LIMIT 20)
+         |SELECT doc_id, CAST(1 AS BIGINT) AS group_size, round(dist, 4) AS distance
+         |FROM top ORDER BY doc_id""".stripMargin,
 
     // λ=1 invariant: MMR degenerates to top-k by relevance = top-k by distance
     "q_mmr" ->

@@ -221,9 +221,30 @@ final class FilterCompiler(resolve: String => Collection) {
         c.rlike(regex)
       case WhereOp.WithinGeoRange =>
         val GeoRangeV(lat, lon, meters) = w.value.get: @unchecked
-        VectorFunctions.haversineMeters(
-          c.getField("lat").cast("double"), c.getField("lon").cast("double"),
-          lit(lat), lit(lon)) <= lit(meters)
+        val latC = c.getField("lat").cast("double")
+        val lonC = c.getField("lon").cast("double")
+        val exact = VectorFunctions.haversineMeters(
+          latC, lonC, lit(lat), lit(lon)) <= lit(meters)
+        // Bounding-box pre-filter: plain lat/lon range predicates that reach
+        // the parquet scan's row-group min/max stats — the haversine
+        // expression itself can never push down, so without the box a geo
+        // filter at 100 TB reads every row. The box is a strict superset of
+        // the circle (1° lat = 111.32 km; lon shrinks by cos(lat), bounded
+        // at the circle's most poleward latitude), so ANDing the exact
+        // haversine keeps results bit-identical. Degenerate geometries fall
+        // back conservatively: near-pole circles and antimeridian-crossing
+        // boxes drop the lon bound (lat bound still prunes).
+        val dLat = meters / 111320.0
+        val latBound = latC >= lit(lat - dLat) && latC <= lit(lat + dLat)
+        val maxAbsLat = math.abs(lat) + dLat
+        val lonBound =
+          if (maxAbsLat >= 89.0) None
+          else {
+            val dLon = meters / (111320.0 * math.cos(math.toRadians(maxAbsLat)))
+            if (lon - dLon < -180.0 || lon + dLon > 180.0) None
+            else Some(lonC >= lit(lon - dLon) && lonC <= lit(lon + dLon))
+          }
+        lonBound.foldLeft(latBound && exact)(_ && _)
       case WhereOp.ContainsAny | WhereOp.ContainsAll | WhereOp.ContainsNone =>
         contains(w.op, c, w.value.get, prop)
       case op =>

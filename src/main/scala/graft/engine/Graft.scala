@@ -58,6 +58,24 @@ final class Graft(val spark: SparkSession) {
     this
   }
 
+  /** Attach a muvera fixed-dim encoding to a multi-vector column (reference:
+   * adapters/repos/db/vector/multivector/muvera.go — the encoded column is a
+   * batch-built side artifact like the IVF assignment). Unfiltered
+   * nearMultiVector queries then run the cheap single-vector dot first pass +
+   * exact MaxSim rescore instead of full MaxSim on every row; filtered
+   * queries keep the exact scan (the filter already bounds the work). */
+  private val muveraIndexes =
+    scala.collection.mutable.Map.empty[(String, String), (graft.ann.MuveraEncoder, DataFrame)]
+  def registerMuvera(collectionName: String, vectorName: Option[String],
+                     enc: graft.ann.MuveraEncoder): Graft = {
+    val c = collection(collectionName)
+    val vecCol = c.schema.vectorColumn(vectorName)
+    val encoded = graft.ann.Muvera.encodeDocs(c.df, col(vecCol), enc)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    muveraIndexes += (collectionName, vecCol) -> ((enc, encoded))
+    this
+  }
+
   def get(params: GetParams): DataFrame = {
     val c = collection(params.collection)
     val id = c.schema.idColumn
@@ -122,8 +140,15 @@ final class Graft(val spark: SparkSession) {
         }).orElse(params.nearText.map { nt =>
         vectorLeg(resolveNearText(nt))
       }).orElse(params.nearMultiVector.map { nmv =>
-        VectorSearch.nearMultiVector(c, nmv, fetchLimit.orElse(Some(defaultLimit)),
-          if (hasFilter) Some(filtered) else None)
+        val vecCol = c.schema.vectorColumn(nmv.targetVectors.headOption)
+        muveraIndexes.get((c.name, vecCol)) match {
+          case Some((enc, encoded)) if !hasFilter =>
+            graft.ann.Muvera.search(encoded, id, "__muvera", vecCol, nmv.vectors, enc,
+              fetchLimit.getOrElse(defaultLimit))
+          case _ =>
+            VectorSearch.nearMultiVector(c, nmv, fetchLimit.orElse(Some(defaultLimit)),
+              if (hasFilter) Some(filtered) else None)
+        }
       }).orElse(params.bm25.map { kw =>
         Bm25Search.search(c, kw, fetchLimit.getOrElse(defaultLimit), Some(filtered))
       }).orElse(params.hybrid.map { h =>

@@ -151,6 +151,41 @@ final class CollectionStore(val spark: SparkSession, val root: String,
     n
   }
 
+  /**
+   * Schema evolution: add a property to the collection (reference:
+   * usecases/schema add-property — existing objects read the zero value).
+   * Rewrites the data once with the new column (`default`, typed null when
+   * omitted) and returns a store bound to the extended schema; this store
+   * instance keeps serving the old schema against the previous version.
+   */
+  def addProperty(p: graft.model.Property,
+                  default: Option[org.apache.spark.sql.Column] = None): CollectionStore = {
+    import graft.model.PropType
+    require(schema.property(p.name).isEmpty, s"property ${p.name} already exists")
+    def sparkType(t: PropType): org.apache.spark.sql.types.DataType = {
+      import org.apache.spark.sql.types._
+      t match {
+        case PropType.Text | PropType.Uuid => StringType
+        case PropType.Int                  => LongType
+        case PropType.Number               => DoubleType
+        case PropType.Bool                 => BooleanType
+        case PropType.Date                 => TimestampType
+        case PropType.Blob                 => BinaryType
+        case PropType.Geo =>
+          StructType(Seq(StructField("lat", DoubleType), StructField("lon", DoubleType)))
+        case PropType.Arr(e)               => ArrayType(sparkType(e))
+        case PropType.Ref                  => ArrayType(LongType)
+        case other => throw new IllegalArgumentException(
+          s"addProperty needs an explicit default column for type ${other.name}")
+      }
+    }
+    val d = default.getOrElse(lit(null).cast(sparkType(p.dataType)))
+    val extended = new CollectionStore(spark, root,
+      schema.copy(properties = schema.properties :+ p), clustered)
+    extended.writeVersion(read().withColumn(p.name, d))
+    extended
+  }
+
   /** Drop superseded version directories, keeping the newest `keep` (the
    * current version is always kept). Returns the number removed. This is the
    * transaction-log/segment cleanup the reference's LSM compaction cycle does

@@ -59,6 +59,37 @@ class MuveraSpec extends SparkSpecBase {
     assert(got == exactTop(10))
   }
 
+  test("engine path: registered muvera serves unfiltered nearMultiVector; filters stay exact") {
+    import graft.engine.Graft
+    import graft.model._
+    val schema = CollectionSchema("Mv", "id",
+      Seq(Property("flag", PropType.Int)),
+      vectors = Map("default" -> "mvec"), defaultVector = Some("default"))
+    val g = new Graft(spark).register(schema, docs.withColumn("flag", ($"id" % 2).cast("int")))
+      .registerMuvera("Mv", None, enc)
+    // unfiltered → muvera first pass + rescore; generous k makes it exact
+    val got = g.get(GetParams("Mv",
+      nearMultiVector = Some(NearMultiVector(query)),
+      pagination = Some(Pagination(limit = 10)),
+      properties = Seq("id"), additional = Set("distance")))
+      .select($"id").as[Long].collect().toSeq
+    val truth = exactTop(10)
+    assert(got.toSet.intersect(truth.toSet).size >= 9, s"engine muvera recall too low: $got vs $truth")
+    // filtered → exact MaxSim over the allowlist (muvera bypassed): parity
+    // with the brute-force path on the filtered frame is exact, not approx
+    val filteredGot = g.get(GetParams("Mv",
+      where = Some(Where.eqInt("flag", 1L)),
+      nearMultiVector = Some(NearMultiVector(query)),
+      pagination = Some(Pagination(limit = 5)),
+      properties = Seq("id"))).select($"id").as[Long].collect().toSeq
+    val qLit = typedLit(query.map(_.toSeq).toSeq)
+    val filteredTruth = docs.filter(($"id" % 2) === 1)
+      .withColumn(VectorSearch.DistanceCol, VectorFunctions.maxSim(qLit, $"mvec"))
+      .orderBy(col(VectorSearch.DistanceCol).asc, $"id".asc).limit(5)
+      .select($"id").as[Long].collect().toSeq
+    assert(filteredGot == filteredTruth)
+  }
+
   test("encoding is deterministic and has the declared dimension") {
     assert(enc.outDim == 6 * 8 * 8)
     val e1 = enc.encodeDoc(query); val e2 = enc.encodeDoc(query)

@@ -80,6 +80,22 @@ class StoreAndStreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("addProperty evolves the schema; existing rows read typed null / default") {
+    val st = freshStore()
+    st.init(Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "name", "qty"))
+    val st2 = st.addProperty(Property("score", PropType.Number))
+    assert(st2.schema.property("score").exists(_.dataType == PropType.Number))
+    val rows = st2.read().orderBy($"id").collect()
+    assert(rows.forall(_.isNullAt(rows.head.fieldIndex("score"))))
+    assert(st2.read().schema("score").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    val st3 = st2.addProperty(Property("tag", PropType.Text), Some(lit("seed")))
+    assert(st3.read().select($"tag").as[String].collect().forall(_ == "seed"))
+    // the un-evolved handle still serves, and duplicate names are rejected
+    assert(st.schema.property("score").isEmpty)
+    assertThrows[IllegalArgumentException](st3.addProperty(Property("tag", PropType.Text)))
+  }
+
   test("BM25 stats cache: store mutation evicts and refreshes corpus stats") {
     import graft.operators.Bm25Search
     Bm25Search.invalidateStats()

@@ -80,6 +80,20 @@ class StoreLayoutSpec extends SparkSpecBase {
         assert(hi1 < lo2, s"file id ranges overlap: hi=$hi1 vs next lo=$lo2")
       case _ => ()
     }
+
+    // the layout's payoff: an id point lookup pushes EqualTo into the scan
+    // and the disjoint sorted ranges let parquet skip every other row group —
+    // the scan emits only the matching group's rows, not the whole table
+    val lookup = st.read().filter($"id" === 700L)
+    val scan = lookup.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: FileSourceScanExec => f
+    }.getOrElse(fail("no file scan in plan"))
+    assert(scan.metadata("PushedFilters").contains("EqualTo(id,700)"),
+      s"id equality not pushed down: ${scan.metadata("PushedFilters")}")
+    assert(lookup.count() == 1)
+    val scanned = scan.metrics("numOutputRows").value
+    assert(scanned < 1000,
+      s"row-group stats skipped nothing: scan emitted $scanned of 1000 rows")
   }
 
   test("vacuum drops superseded versions, keeps the current") {
