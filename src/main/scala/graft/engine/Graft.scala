@@ -117,7 +117,7 @@ final class Graft(val spark: SparkSession) {
     // columns only (at cluster scale: catalog/statistics estimate instead),
     // and is only paid when an index could actually serve the query.
     val hasFilter = !(filtered eq c.df)
-    def vectorLeg(nv: NearVector): DataFrame = {
+    def vectorLeg(nv: NearVector, limitOverride: Option[Int] = None): DataFrame = {
       val idx =
         if (nv.targetVectors.size > 1) None
         else nv.targetVectors.headOption.orElse(c.schema.defaultVector)
@@ -127,14 +127,14 @@ final class Graft(val spark: SparkSession) {
           Some(filtered.count())
         else None
       graft.ann.IvfIndex.searchOrScan(c, idx, nv,
-        nearLimit(nv.distance.orElse(nv.certainty).isDefined),
+        limitOverride.orElse(nearLimit(nv.distance.orElse(nv.certainty).isDefined)),
         if (hasFilter) Some(filtered) else None,
         filteredCountHint = hint,
         flatSearchCutoff = flatSearchCutoff)
     }
 
     val searched: DataFrame =
-      params.nearVector.map(vectorLeg)
+      params.nearVector.map(nv => vectorLeg(nv))
         .orElse(params.nearObject.map { no =>
           vectorLeg(VectorSearch.resolveNearObject(c, no))
         }).orElse(params.nearText.map { nt =>
@@ -163,7 +163,9 @@ final class Graft(val spark: SparkSession) {
               }
             })
           else h
-        HybridSearch.search(c, resolved, resolved.metric, fetchLimit.getOrElse(defaultLimit), filtered = Some(filtered))
+        HybridSearch.search(c, resolved, resolved.metric, fetchLimit.getOrElse(defaultLimit),
+          filtered = Some(filtered),
+          denseSearch = Some((nv, n) => vectorLeg(nv, limitOverride = Some(n))))
       }).getOrElse(filtered)
 
     val isSearch = legCount > 0

@@ -32,7 +32,12 @@ object HybridSearch {
       metric: Metric,
       limit: Int,
       overfetch: Int = 100,
-      filtered: Option[DataFrame] = None): DataFrame = {
+      filtered: Option[DataFrame] = None,
+      // engine-injected dense search (NearVector, fetchN) → ranked frame with
+      // VectorSearch.DistanceCol — lets the hybrid dense leg route through the
+      // registered ANN index + filter-selectivity planner instead of always
+      // brute-forcing (reference: hybrid legs share the shard's vector index)
+      denseSearch: Option[(NearVector, Int) => DataFrame] = None): DataFrame = {
     val fetchN = math.max(limit, overfetch)
     val id = c.schema.idColumn
 
@@ -41,7 +46,8 @@ object HybridSearch {
         .select(col(id), col(Bm25Search.ScoreCol).as("__s"))
 
     def denseLeg(nv: NearVector): DataFrame =
-      VectorSearch.nearVector(c, nv, nv.metric, Some(fetchN), filtered)
+      denseSearch.map(f => f(nv, fetchN))
+        .getOrElse(VectorSearch.nearVector(c, nv, nv.metric, Some(fetchN), filtered))
         // dense leg fusion input: similarity-like score, higher = better
         // (reference hybrid/searcher.go converts distance to 1 - d/2)
         .select(col(id), (lit(1.0) - col(VectorSearch.DistanceCol) / 2.0).as("__s"))

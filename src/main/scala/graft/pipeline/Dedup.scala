@@ -106,6 +106,11 @@ object Dedup {
       // materialization, not one per consumer (at warehouse scale this is a
       // persisted signature side-table)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize BEFORE the multi-branch consumers: the band self-join and
+    // the two verification joins all scan this cache inside ONE job, and
+    // concurrently-scheduled branches would each recompute the shingle scan
+    // before any cache entry lands (see clusterPairs — same race)
+    toks.count()
     // Signature computation runs as explode → hash-aggregate rather than a
     // higher-order-function lambda: HOF lambdas evaluate interpreted per
     // element, while min()-of-hash aggregates stay inside whole-stage
@@ -183,7 +188,12 @@ object Dedup {
     val sigCol = (0 until 64).map { bit =>
       when(col(s"__v$bit") > 0, lit(1L << bit)).otherwise(lit(0L))
     }.reduce[Column]((a, b) => a.bitwiseOR(b))
-    val sigs = votes.select(col("__id"), sigCol.as("__sig"))
+    // materialize the signature table before the pigeonhole self-join: both
+    // join branches would otherwise re-run the 64-aggregate vote pass
+    val sigBase = votes.select(col("__id"), sigCol.as("__sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigBase.count()
+    val sigs = sigBase
       .withColumn("__chunk", explode(array((0 until 4).map { c =>
         struct(lit(c).as("c"), shiftright(col("__sig"), c * 16).bitwiseAND(0xFFFFL).as("v"))
       }: _*)))
@@ -222,8 +232,11 @@ object Dedup {
         array_sort(array_distinct(shingleHashes(Tokenize.word(textCol), shingleSize))).as("__shh")): _*)
       .filter(size(col("__shh")) > 0)
       // consumed by prefix pass and verification — persist so shingle
-      // construction runs once
+      // construction runs once; eager count: the prefix self-join's two
+      // branches scan this cache in one job and would otherwise race into
+      // duplicate shingle scans (same pattern as minhash/clusterPairs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    toks.count()
 
     // canonical prefix ordering: prefix filtering only needs a globally-
     // consistent total order, and the hashed shingle array is already sorted,
@@ -268,6 +281,9 @@ object Dedup {
     }.reduce[Column]((a, b) => a.bitwiseOR(b))
     val sigs = df.select(idCol.as("__id"), vecCol.as("__vec"))
       .withColumn("__sig", sigOf(col("__vec")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager: the bucket self-join's branches share this cache within one job
+    sigs.count()
     sigs.as("a").join(sigs.as("b"),
         col("a.__sig") === col("b.__sig") && col("a.__id") < col("b.__id"))
       .withColumn("dist", VectorFunctions.cosineDistance(col("a.__vec"), col("b.__vec")))

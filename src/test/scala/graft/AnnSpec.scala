@@ -104,6 +104,36 @@ class AnnSpec extends SparkSpecBase {
     assert(strong.select($"vec_id").collect().map(_.getLong(0)).toSeq == truthStrong)
   }
 
+  test("hybrid dense leg routes through a registered index (partition-pruned)") {
+    import graft.engine.Graft
+    import graft.model._
+    val rnd = new scala.util.Random(13)
+    val centers = Array.fill(16)(Array.fill(16)(rnd.nextGaussian()))
+    val rows = (0 until 1500).map { i =>
+      val c = centers(i % 16)
+      (i.toLong, s"token$i common words", c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val df = rows.toDF("vec_id", "text", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-hybrid").toString
+    val index = IvfIndex.build(df, "vec_id", "embedding", nlist = 16,
+      defaultNprobe = 4, persistPath = Some(path))
+    val eng = new Graft(spark)
+    eng.register(CollectionSchema("H", "vec_id",
+      Seq(Property("text", graft.model.PropType.Text, Tokenization.Word)),
+      vectors = Map("default" -> "embedding"), defaultVector = Some("default")), df)
+    eng.registerIndex("H", "default", index)
+    val q = rows(100)._3.toArray
+    val hybrid = eng.get(GetParams("H",
+      hybrid = Some(Hybrid("common", vector = Some(q), metric = Metric.L2Squared,
+        alpha = 0.7, fusionType = FusionType.Ranked)),
+      pagination = Some(Pagination(limit = 10)),
+      properties = Seq("vec_id"), additional = Set("score")))
+    val plan = hybrid.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [__centroid"),
+      s"hybrid dense leg did not probe the index:\n${plan.take(3000)}")
+    assert(hybrid.count() == 10)
+  }
+
   test("nprobe = nlist reproduces brute force exactly") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val index = IvfIndex.build(emb, "vec_id", "embedding", nlist = 8)
