@@ -276,10 +276,17 @@ final class Graft(val spark: SparkSession) {
       case None    => if (tenanted eq c.df) None else Some(tenanted)
     }
     // objectLimit + nearX/hybrid: aggregate over top-N search hits
-    // (reference: aggregator/hybrid.go:27-67, vector_search.go)
+    // (reference: aggregator/hybrid.go:27-67, vector_search.go). The vector
+    // scoping routes through the same index-aware planner as Get — an
+    // aggregation over the top-N of 100 TB must not brute-force the scan.
     val scoped: Option[DataFrame] = (params.nearVector, params.hybrid, params.objectLimit) match {
       case (Some(nv), _, lim) =>
-        Some(VectorSearch.nearVector(c, nv, nv.metric, lim, filtered))
+        val idx =
+          if (nv.targetVectors.size > 1) None
+          else nv.targetVectors.headOption.orElse(c.schema.defaultVector)
+            .flatMap(c.vectorIndexes.get)
+        Some(graft.ann.IvfIndex.searchOrScan(c, idx, nv, lim, filtered,
+          flatSearchCutoff = flatSearchCutoff))
       case (_, Some(h), Some(lim)) =>
         Some(HybridSearch.search(c, h, h.metric, lim, filtered = filtered))
       case _ => filtered
