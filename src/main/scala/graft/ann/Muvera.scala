@@ -156,17 +156,27 @@ object Muvera {
   def search(encoded: DataFrame, idCol: String, muveraCol: String, mvecCol: String,
              query: Array[Array[Float]], enc: MuveraEncoder,
              topK: Int, rescoreFactor: Int = 4): DataFrame = {
-    val qEnc = enc.encodeQuery(query)
-    val candidates = encoded
-      .withColumn("__mdist",
-        VectorFunctions.distance(Metric.Dot)(col(muveraCol), lit(qEnc).cast("array<float>")))
-      .orderBy(col("__mdist").asc, col(idCol).asc)
-      .limit(topK * rescoreFactor)
+    val candidateIds =
+      firstPass(encoded, idCol, muveraCol, enc.encodeQuery(query), topK * rescoreFactor)
+        .select(col(idCol)).collect().map(_.get(0)).toSeq
     val qLit = typedLit(query.map(_.toSeq).toSeq)
-    candidates
+    encoded.filter(col(idCol).isin(candidateIds: _*))
       .withColumn(VectorSearch.DistanceCol, VectorFunctions.maxSim(qLit, col(mvecCol)))
       .orderBy(col(VectorSearch.DistanceCol).asc, col(idCol).asc)
       .limit(topK)
-      .drop("__mdist", muveraCol)
+      .drop(muveraCol)
   }
+
+  /** Phase-1 frame: encoded-dot ranking over (id, encoding) ONLY — two-phase
+   * like BinaryQuantizer.search, so with a parquet-backed encoded table the
+   * first pass scans just the two columns (never the token bags) and the
+   * bounded candidate ids come back as an isin pushdown for the exact MaxSim
+   * rescore fetch. Exposed for plan asserts. */
+  private[graft] def firstPass(encoded: DataFrame, idCol: String, muveraCol: String,
+                               qEnc: Array[Float], n: Int): DataFrame =
+    encoded.select(col(idCol), col(muveraCol))
+      .withColumn("__mdist",
+        VectorFunctions.distance(Metric.Dot)(col(muveraCol), lit(qEnc).cast("array<float>")))
+      .orderBy(col("__mdist").asc, col(idCol).asc)
+      .limit(n)
 }

@@ -67,11 +67,22 @@ final class Graft(val spark: SparkSession) {
   private val muveraIndexes =
     scala.collection.mutable.Map.empty[(String, String), (graft.ann.MuveraEncoder, DataFrame)]
   def registerMuvera(collectionName: String, vectorName: Option[String],
-                     enc: graft.ann.MuveraEncoder): Graft = {
+                     enc: graft.ann.MuveraEncoder,
+                     persistPath: Option[String] = None): Graft = {
     val c = collection(collectionName)
     val vecCol = c.schema.vectorColumn(vectorName)
-    val encoded = graft.ann.Muvera.encodeDocs(c.df, col(vecCol), enc)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val computed = graft.ann.Muvera.encodeDocs(c.df, col(vecCol), enc)
+    // like IvfIndex.build's persistPath: at warehouse scale the encoded table
+    // is a parquet side artifact — the dot-product first pass then scans ONLY
+    // the (id, __muvera) columns via parquet column pruning, never the token
+    // bags; a memory persist is the test/interactive convenience path
+    val encoded = persistPath match {
+      case Some(p) =>
+        computed.write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+      case None =>
+        computed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     muveraIndexes += (collectionName, vecCol) -> ((enc, encoded))
     this
   }

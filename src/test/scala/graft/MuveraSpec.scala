@@ -59,6 +59,19 @@ class MuveraSpec extends SparkSpecBase {
     assert(got == exactTop(10))
   }
 
+  test("parquet-backed first pass scans only (id, encoding) — never the token bags") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-muvera").toString
+    encoded.write.mode("overwrite").parquet(dir)
+    val onDisk = spark.read.parquet(dir)
+    val fp = Muvera.firstPass(onDisk, "id", "__muvera", enc.encodeQuery(query), 40)
+    val scan = fp.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no file scan"))
+    val read = scan.metadata("ReadSchema")
+    assert(read.contains("__muvera") && !read.contains("mvec"),
+      s"first pass reads the token bags: $read")
+  }
+
   test("engine path: registered muvera serves unfiltered nearMultiVector; filters stay exact") {
     import graft.engine.Graft
     import graft.model._
@@ -66,7 +79,8 @@ class MuveraSpec extends SparkSpecBase {
       Seq(Property("flag", PropType.Int)),
       vectors = Map("default" -> "mvec"), defaultVector = Some("default"))
     val g = new Graft(spark).register(schema, docs.withColumn("flag", ($"id" % 2).cast("int")))
-      .registerMuvera("Mv", None, enc)
+      .registerMuvera("Mv", None, enc,
+        persistPath = Some(java.nio.file.Files.createTempDirectory("graft-muvera-reg").toString))
     // unfiltered → muvera first pass + rescore; generous k makes it exact
     val got = g.get(GetParams("Mv",
       nearMultiVector = Some(NearMultiVector(query)),
