@@ -160,6 +160,17 @@ object SparkEntryExt {
         properties = Seq("doc_id", "maybe_src")))
     }),
 
+    // §2.7 timestamp pseudo-path sort (reference: sorter/dataTypesHelper
+    // maps _creationTimeUnix onto the class's metadata timestamp) with
+    // tenant scope — newest first, id tie-break
+    "q_sort_meta" -> ((s, dir) => {
+      g(s, dir).get(GetParams("EventTenant",
+        tenant = Some("click"),
+        sort = Seq(SortBy.desc("_creationTimeUnix")),
+        pagination = Some(Pagination(limit = 15)),
+        properties = Seq("event_id", "user_id")))
+    }),
+
     // §2.7 array sort parity: elementwise compare, then by length
     // (reference: sorter/basic_comparators.go:98-112); null lists first
     "q_sort_array" -> ((s, dir) => {
@@ -980,6 +991,10 @@ object SparkEntryExt {
       """SELECT doc_id, CASE WHEN source = 'src13' THEN NULL ELSE source END AS maybe_src
         |FROM documents
         |ORDER BY maybe_src ASC NULLS FIRST, doc_id ASC LIMIT 40""".stripMargin,
+
+    "q_sort_meta" ->
+      """SELECT event_id, user_id FROM events WHERE event_type = 'click'
+        |ORDER BY epoch_ns(ts) DESC, event_id ASC LIMIT 15""".stripMargin,
 
     "q_sort_array" ->
       """WITH l AS (SELECT doc_id,

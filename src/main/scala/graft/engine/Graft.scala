@@ -340,6 +340,12 @@ final class Graft(val spark: SparkSession) {
 
   private def resolveSortCol(c: Collection, p: String): Column = p match {
     case "_id" => col(c.schema.idColumn)
+    // timestamp pseudo-paths (reference: sorter/dataTypesHelper maps the
+    // special names onto the object's metadata timestamps)
+    case "_creationTimeUnix" => col(c.schema.creationTimeColumn.getOrElse(
+      throw new IllegalArgumentException(s"${c.schema.name} has no creation-time column")))
+    case "_lastUpdateTimeUnix" => col(c.schema.updateTimeColumn.getOrElse(
+      throw new IllegalArgumentException(s"${c.schema.name} has no update-time column")))
     case other => col(other)
   }
 
