@@ -108,8 +108,13 @@ final class CollectionStore(val spark: SparkSession, val root: String,
     // tally jobs and the rewrite)
     val cached = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val total = cached.count()
-      val applied = cached.join(current.select(col(id)), Seq(id), "left_semi").count()
+      // one tally job for both counts: mark edges whose source exists, then
+      // count(all) + count(marked) in a single aggregate (was two jobs)
+      val marked = cached.join(
+        current.select(col(id), lit(1).as("__exists")), Seq(id), "left")
+      val tallies = marked.agg(
+        count(lit(1)).as("total"), count(col("__exists")).as("applied")).head()
+      val (total, applied) = (tallies.getLong(0), tallies.getLong(1))
       val grouped = cached.groupBy(col(id))
         .agg(collect_set(col("target")).as("__new_refs"))
       val merged = current.join(grouped, Seq(id), "left")
