@@ -91,6 +91,19 @@ final class Graft(val spark: SparkSession) {
     val c = collection(params.collection)
     val id = c.schema.idColumn
 
+    // after-cursor compatibility (reference: entities/filters/
+    // cursor_validator.go:23-49 — keyset pagination composes only with the
+    // id order it walks; offset/where/sort would silently break the walk)
+    params.cursor.foreach { cur =>
+      val offending = Seq(
+        if (params.pagination.exists(_.offset > 0)) Some("offset") else None,
+        if (params.where.isDefined) Some("where") else None,
+        if (params.sort.nonEmpty) Some("sort") else None).flatten
+      require(offending.isEmpty,
+        s"${offending.mkString(",")} cannot be set with after and limit parameters")
+      require(cur.limit >= 0, "limit parameter must be set")
+    }
+
     // tenant routing = partition pruning (reference: index.go:2233)
     val tenanted = (params.tenant, c.schema.tenantColumn) match {
       case (Some(t), Some(tc)) => c.df.filter(col(tc) === lit(t))

@@ -74,6 +74,16 @@ class EngineSpec extends SparkSpecBase {
     assert(page2.min > page1.max)
   }
 
+  test("cursor rejects offset/where/sort (reference cursor_validator)") {
+    val cur = Some(Cursor(Some(5L), 10))
+    assertThrows[IllegalArgumentException](g.get(GetParams("Order", cursor = cur,
+      sort = Seq(SortBy.asc("o_totalprice")), properties = Seq("o_orderkey"))))
+    assertThrows[IllegalArgumentException](g.get(GetParams("Order", cursor = cur,
+      where = Some(Where.gtNum("o_totalprice", 100.0)), properties = Seq("o_orderkey"))))
+    assertThrows[IllegalArgumentException](g.get(GetParams("Order", cursor = cur,
+      pagination = Some(Pagination(limit = 5, offset = 3)), properties = Seq("o_orderkey"))))
+  }
+
   test("multi-target Minimum combination = least of per-target distances") {
     val rows = g.get(GetParams("Embedding",
       nearVector = Some(NearVector(Fixtures.anchorVector(g, 11L), metric = Metric.L2Squared,
