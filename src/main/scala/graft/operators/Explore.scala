@@ -19,7 +19,10 @@ object Explore {
             metric: Metric, limit: Int): DataFrame = {
     val legs = collections.map { name =>
       val c = g.collection(name)
-      VectorSearch.nearVector(c, NearVector(vector, metric), metric, Some(limit))
+      // per-leg planner: a collection with a registered ANN index probes it
+      // (same searchOrScan as Get/hybrid); the rest scan exactly
+      val idx = c.schema.defaultVector.flatMap(c.vectorIndexes.get)
+      graft.ann.IvfIndex.searchOrScan(c, idx, NearVector(vector, metric), Some(limit), None)
         .select(
           lit(name).as("class_name"),
           col(c.schema.idColumn).cast("string").as("beacon_id"),
