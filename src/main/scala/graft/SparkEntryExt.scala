@@ -728,12 +728,38 @@ object SparkEntryExt {
         .select(col("id").as("vec_id"), col("mmr_rank").cast("long").as("mmr_rank"),
           round(col("mmr_score"), 4).as("mmr_score"))
         .orderBy(col("mmr_rank"))
+    }),
+
+    // §2.7 _additional { rerank(property, query) { score } }: filtered page
+    // (bounded by limit BEFORE rerank, reference provider_ranker.go) re-scored
+    // by the default lexical-overlap module stand-in and re-sorted desc
+    "q_rerank" -> ((s, dir) => {
+      g(s, dir).get(GetParams("Document",
+        where = Some(Where.eqText("source", "src7")),
+        pagination = Some(Pagination(limit = 40)),
+        properties = Seq("doc_id"),
+        additional = Set("rerank"),
+        rerank = Some(RerankParams("text", "spark join window merge batch"))))
+        .select(col("doc_id"), round(col(Rerank.ScoreCol), 4).as("score"))
     })
   )
 
   import SparkEntry.{sqlQv, sqlL2, sqlCosine, sqlBm25, sqlDot}
 
   def oracleSql: Map[String, String] = Map(
+
+    // page first (id order + limit), THEN score: rerank sees only the page
+    "q_rerank" -> {
+      val terms = Seq("spark", "join", "window", "merge", "batch")
+      val hits = terms.map(t =>
+        s"(CASE WHEN regexp_matches(lower(text), '\\b$t\\b') THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH page AS (
+         |  SELECT doc_id, text FROM documents WHERE source = 'src7'
+         |  ORDER BY doc_id ASC LIMIT 40)
+         |SELECT doc_id, round(($hits) / ${terms.size}.0, 4) AS score
+         |FROM page ORDER BY score DESC, doc_id ASC""".stripMargin
+    },
 
     "q_group_plain" ->
       """WITH ranked AS (

@@ -27,6 +27,12 @@ final class Graft(val spark: SparkSession) {
   private var embedder: Option[String => Array[Float]] = None
   def withEmbedder(e: String => Array[Float]): Graft = { embedder = Some(e); this }
 
+  /** Module hook: reranker scorer (reference: modules/reranker-* cross-encoder
+   * clients behind rank.ReRankerClient; default is the deterministic lexical
+   * stand-in — see Rerank scaladoc). */
+  private var reranker: Rerank.Scorer = Rerank.lexicalOverlap
+  def withReranker(r: Rerank.Scorer): Graft = { reranker = r; this }
+
   /** Resolve nearText into a nearVector (concept centroid ± moves —
    * reference: near_params_vector.go + searcher_movements.go). */
   private def resolveNearText(nt: NearText): NearVector = {
@@ -266,7 +272,21 @@ final class Graft(val spark: SparkSession) {
       }
     }
 
-    project(c, params, resolveRefs(c, params, paged))
+    // rerank runs over the POST-pagination page (reference:
+    // provider_ranker.go — an _additional property over the final result
+    // list), so its desc re-sort is bounded by `limit`, never the collection
+    val reranked = params.rerank match {
+      case Some(r) =>
+        val prop = c.schema.property(r.property).getOrElse(
+          throw new IllegalArgumentException(s"unknown rerank property ${r.property}"))
+        require(prop.dataType == PropType.Text,
+          s"rerank property ${r.property} must be text (reference: rank_result.go:49-57 " +
+          "extracts only string-valued properties)")
+        Rerank(paged, col(id), col(r.property), r.query, reranker)
+      case None => paged
+    }
+
+    project(c, params, resolveRefs(c, params, reranked))
   }
 
   /**
@@ -337,6 +357,7 @@ final class Graft(val spark: SparkSession) {
         // lastUpdateTimeUnix }, additional_properties.go) — only for
         // collections that declare the columns, like the reference's
         // indexTimestamps gate
+        case "rerank" if df.columns.contains(Rerank.ScoreCol) => Some(col(Rerank.ScoreCol))
         case "creationTimeUnix" =>
           c.schema.creationTimeColumn.map(t => col(t).as("_creationTimeUnix"))
         case "lastUpdateTimeUnix" =>

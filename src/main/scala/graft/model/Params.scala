@@ -135,6 +135,13 @@ final case class Cursor(after: Option[Any], limit: Int)
 /** result grouping for searches (reference: searchparams groupBy + shard_group_by.go:29-208). */
 final case class GroupByParams(property: String, groups: Int, objectsPerGroup: Int)
 
+/** `_additional { rerank(property:..., query:...) { score } }` — post-search
+ * re-scoring of the bounded result page via the engine's registered reranker
+ * module (reference: usecases/modulecomponents/additional/rank/
+ * rank_params_extractor.go — the two GraphQL arguments; rank_result.go:30-86
+ * for semantics). */
+final case class RerankParams(property: String, query: String)
+
 /** The Get query (reference: dto.GetParams). Exactly one search leg may be set. */
 final case class GetParams(
     collection: String,
@@ -153,7 +160,8 @@ final case class GetParams(
     additional: Set[String] = Set.empty,      // "id","distance","certainty","score","vector",...
     resolveRefs: Seq[String] = Nil,           // cref props to expand into structs
     tenant: Option[String] = None,
-    autocut: Option[Int] = None)
+    autocut: Option[Int] = None,
+    rerank: Option[RerankParams] = None)
 
 // --- Aggregations (reference: entities/aggregation/params.go) ---
 
