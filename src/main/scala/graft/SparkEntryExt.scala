@@ -207,6 +207,19 @@ object SparkEntryExt {
           col("label_minimum").as("label_min"), col("label_maximum").as("label_max"))
     }),
 
+    // §2.6 nearObject-scoped aggregation: the aggregate's nearX legs resolve
+    // to a vector exactly like Get's (reference: traverser_aggregate.go:60-105)
+    "q_agg_nearobject" -> ((s, dir) => {
+      g(s, dir).aggregate(AggregateParams("Embedding",
+        properties = Map("label" -> Seq(Aggregator.Count, Aggregator.Sum, Aggregator.Mean)),
+        includeMetaCount = true,
+        nearObject = Some(NearObject(9L, metric = Metric.L2Squared)),
+        objectLimit = Some(80)))
+        .select(col("meta_count"), col("label_count"),
+          col("label_sum").cast("long").as("label_sum"),
+          round(col("label_mean"), 4).as("label_mean"))
+    }),
+
     // §2.7 Explore: cross-collection kNN returning beacons
     "q_explore" -> ((s, dir) => {
       val gg = g(s, dir)
@@ -1088,6 +1101,16 @@ object SparkEntryExt {
          |SELECT count(*) AS meta_count, count(label) AS label_count,
          |       round(avg(label), 4) AS label_mean,
          |       min(label) AS label_min, max(label) AS label_max
+         |FROM top""".stripMargin,
+
+    "q_agg_nearobject" ->
+      s"""WITH ${sqlQv(9)},
+         |d AS (SELECT e.vec_id, e.label, ${sqlL2("e.embedding", "q.v")} AS dist
+         |      FROM embeddings e CROSS JOIN qv q),
+         |top AS (SELECT * FROM d ORDER BY dist ASC, vec_id ASC LIMIT 80)
+         |SELECT count(*) AS meta_count, count(label) AS label_count,
+         |       CAST(sum(label) AS BIGINT) AS label_sum,
+         |       round(avg(label), 4) AS label_mean
          |FROM top""".stripMargin,
 
     "q_explore" ->

@@ -292,8 +292,16 @@ final class Graft(val spark: SparkSession) {
   /**
    * Cross-reference resolution: expand cref properties into structs of the
    * target object's properties (reference: refcache/resolver.go:51 — the
-   * post-search beacon lookup fan-out; here a broadcast hash join keyed on
-   * the target id, one join per resolved ref property).
+   * post-search beacon lookup fan-out; here a hash join keyed on the target
+   * id, one join per resolved ref property).
+   *
+   * Join side choice mirrors KnnJoin.bucketed: the broadcast hint is only
+   * applied when Catalyst's stats estimate fits the 64 MB broadcast budget.
+   * Typical targets are dimension-sized (broadcast wins and the result side
+   * never shuffles), but a cref can point at another 100 TB fact collection —
+   * forcing broadcast there OOMs the driver, so large targets take a plain
+   * equi-join and AQE picks the shuffle strategy. The result side of a Get is
+   * usually limit-bounded anyway, so the shuffle is k rows vs the target.
    */
   private def resolveRefs(c: Collection, params: GetParams, df: DataFrame): DataFrame =
     params.resolveRefs.foldLeft(df) { (d, refName) =>
@@ -305,7 +313,10 @@ final class Graft(val spark: SparkSession) {
       val lookup = target.df.select(
         col(target.schema.idColumn).as("__ref_target_id"),
         targetCols.as(s"${refName}_resolved"))
-      d.join(broadcast(lookup), d(refName) === col("__ref_target_id"), "left")
+      val fits = lookup.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        BigInt(64L * 1024 * 1024)
+      val hinted = if (fits) broadcast(lookup) else lookup
+      d.join(hinted, d(refName) === col("__ref_target_id"), "left")
         .drop("__ref_target_id")
     }
 
@@ -323,7 +334,17 @@ final class Graft(val spark: SparkSession) {
     // (reference: aggregator/hybrid.go:27-67, vector_search.go). The vector
     // scoping routes through the same index-aware planner as Get — an
     // aggregation over the top-N of 100 TB must not brute-force the scan.
-    val scoped: Option[DataFrame] = (params.nearVector, params.hybrid, params.objectLimit) match {
+    // nearObject/nearText resolve to a vector exactly like Get's legs
+    // (reference: traverser_aggregate.go:60-105 resolves every nearX family
+    // before handing one vector to the aggregator).
+    val nearResolved: Option[NearVector] = params.nearVector
+      .orElse(params.nearObject.map(no => VectorSearch.resolveNearObject(c, no)))
+      .orElse(params.nearText.map(resolveNearText))
+    nearResolved.foreach { nv =>
+      require(params.objectLimit.isDefined || nv.distance.orElse(nv.certainty).isDefined,
+        "must provide certainty or objectLimit with vector search" /* traverser_aggregate.go:74 */)
+    }
+    val scoped: Option[DataFrame] = (nearResolved, params.hybrid, params.objectLimit) match {
       case (Some(nv), _, lim) =>
         val idx =
           if (nv.targetVectors.size > 1) None

@@ -188,6 +188,8 @@ final case class AggregateParams(
     includeMetaCount: Boolean = false,
     where: Option[Where] = None,
     nearVector: Option[NearVector] = None,
+    nearObject: Option[NearObject] = None,    // resolved like Get's legs (traverser_aggregate.go:60-105)
+    nearText: Option[NearText] = None,
     hybrid: Option[Hybrid] = None,
     objectLimit: Option[Int] = None,          // scope aggs to top-N search hits (params.go:32-41)
     limit: Option[Int] = None,                // cap number of groups

@@ -78,4 +78,34 @@ class AggregationsSpec extends SparkSpecBase {
     val out = g.aggregate(AggregateParams("Company", includeMetaCount = true)).head()
     assert(out.getAs[Long]("meta_count") == 5L)
   }
+
+  private lazy val gVec: Graft = {
+    val gg = new Graft(spark).withEmbedder(Fixtures.hashEmbedder(8))
+    val df = Seq(
+      (1L, 1L, Array(0.0f, 0.0f)), (2L, 2L, Array(0.1f, 0.0f)),
+      (3L, 3L, Array(0.2f, 0.0f)), (4L, 4L, Array(9.0f, 9.0f)))
+      .toDF("id", "label", "vec")
+    gg.register(graft.engine.Collection(CollectionSchema("Pt", "id", Seq(
+      Property("label", PropType.Int)),
+      vectors = Map("default" -> "vec"), defaultVector = Some("default")), df))
+  }
+
+  test("nearObject-scoped aggregation resolves the anchor's vector") {
+    val out = gVec.aggregate(AggregateParams("Pt",
+      properties = Map("label" -> Seq(Aggregator.Sum)),
+      includeMetaCount = true,
+      nearObject = Some(NearObject(1L, metric = Metric.L2Squared)),
+      objectLimit = Some(3))).head()
+    assert(out.getAs[Long]("meta_count") == 3L)
+    assert(out.getAs[Long]("label_sum") == 6L) // ids 1,2,3 — not the far point 4
+  }
+
+  test("vector-scoped aggregation without objectLimit or threshold fails loudly") {
+    val e = intercept[IllegalArgumentException] {
+      gVec.aggregate(AggregateParams("Pt",
+        properties = Map("label" -> Seq(Aggregator.Sum)),
+        nearObject = Some(NearObject(1L))))
+    }
+    assert(e.getMessage.contains("must provide certainty or objectLimit"))
+  }
 }

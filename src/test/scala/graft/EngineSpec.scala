@@ -108,6 +108,30 @@ class EngineSpec extends SparkSpecBase {
     assert(plan.contains("TakeOrderedAndProject"), s"pool not bounded:\n$plan")
   }
 
+  test("resolveRefs broadcasts dim-sized targets, not huge ones") {
+    import graft.engine.{Collection, Graft}
+    // small target → broadcast hint; huge-stats target → plain join (AQE
+    // picks the shuffle side) — forcing broadcast there OOMs at 100 TB
+    val facts = Seq((1L, 10L), (2L, 20L)).toDF("f_id", "ref")
+    val small = Seq((10L, "a"), (20L, "b")).toDF("t_id", "name")
+    val huge = spark.range(20000000L).select($"id".as("t_id"), concat(lit("n"), $"id").as("name"))
+    def engineWith(target: org.apache.spark.sql.DataFrame): Graft =
+      new Graft(spark)
+        .register(Collection(CollectionSchema("F", "f_id", Seq(
+          Property("ref", PropType.Ref, refTarget = Some("T")))), facts))
+        .register(Collection(CollectionSchema("T", "t_id", Seq(
+          Property("name", PropType.Text))), target))
+    def planOf(target: org.apache.spark.sql.DataFrame): String =
+      engineWith(target).get(GetParams("F",
+        pagination = Some(Pagination(limit = 2)),
+        properties = Seq("f_id"), resolveRefs = Seq("ref")))
+        .queryExecution.optimizedPlan.toString
+    assert(planOf(small).contains("strategy=broadcast"),
+      "small target should carry the broadcast hint")
+    assert(!planOf(huge).contains("strategy=broadcast"),
+      "huge target must not be forced broadcast")
+  }
+
   test("MMR: first pick is most relevant, selection is diverse") {
     val pool = g.get(GetParams("Embedding",
       nearObject = Some(NearObject(7L, metric = Metric.Cosine)),
