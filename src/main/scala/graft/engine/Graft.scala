@@ -50,6 +50,66 @@ final class Graft(val spark: SparkSession) {
   def collection(name: String): Collection =
     collections.getOrElse(name, throw new IllegalArgumentException(s"unknown collection $name"))
 
+  /**
+   * Tenant lifecycle registry (reference: usecases/schema/tenant.go —
+   * AddTenants/UpdateTenants/DeleteTenants/GetTenants; status semantics
+   * entities/models/tenant.go:34). Enforcement is OPT-IN per collection: once
+   * a collection has registered tenants, a Get/Aggregate against an unknown
+   * tenant fails "tenant not found" and against a non-ACTIVE one "tenant not
+   * active" (entities/errors/errors_multitenancy.go:19-20); collections that
+   * never register tenants keep the plain partition-filter behavior (the
+   * reference instead hard-requires tenant creation on multi-tenant classes —
+   * divergence documented here and pinned in TenantSpec).
+   */
+  private var tenantRegistry: Map[String, Map[String, TenantStatus]] = Map.empty
+
+  /** Create tenants; on create only ACTIVE or INACTIVE are allowed and the
+   * default is ACTIVE (tenant.go:34 usage rules). Existing same-name tenants
+   * are rejected like the reference's duplicate-tenant error. */
+  def addTenants(collectionName: String, ts: Seq[Tenant]): Graft = {
+    require(collection(collectionName).schema.tenantColumn.isDefined,
+      s"$collectionName is not multi-tenant (no tenant column declared)")
+    val cur = tenantRegistry.getOrElse(collectionName, Map.empty)
+    ts.foreach { t =>
+      require(t.activityStatus != TenantStatus.Offloaded,
+        s"tenant ${t.name}: on create only ACTIVE and INACTIVE are allowed")
+      require(!cur.contains(t.name), s"tenant ${t.name} already exists")
+    }
+    tenantRegistry += collectionName -> (cur ++ ts.map(t => t.name -> t.activityStatus))
+    this
+  }
+
+  /** Update activity status; the tenant must exist (tenant.go on-update rules —
+   * all three statuses allowed). */
+  def updateTenant(collectionName: String, name: String, status: TenantStatus): Graft = {
+    val cur = tenantRegistry.getOrElse(collectionName, Map.empty)
+    require(cur.contains(name), s"tenant not found: $name")
+    tenantRegistry += collectionName -> (cur + (name -> status))
+    this
+  }
+
+  def deleteTenants(collectionName: String, names: Seq[String]): Graft = {
+    val cur = tenantRegistry.getOrElse(collectionName, Map.empty)
+    tenantRegistry += collectionName -> (cur -- names)
+    this
+  }
+
+  /** GetTenants (reference: usecases/schema/tenant.go GetConsistentTenants). */
+  def tenants(collectionName: String): Seq[Tenant] =
+    tenantRegistry.getOrElse(collectionName, Map.empty)
+      .toSeq.sortBy(_._1).map { case (n, s) => Tenant(n, s) }
+
+  /** Registry gate for a query-addressed tenant. */
+  private def checkTenant(collectionName: String, tenant: Option[String]): Unit =
+    for {
+      t   <- tenant
+      reg <- tenantRegistry.get(collectionName) if reg.nonEmpty
+    } {
+      val status = reg.getOrElse(t,
+        throw new IllegalArgumentException(s"tenant not found: $t"))
+      require(status == TenantStatus.Active, s"tenant not active: $t")
+    }
+
   /** flatSearchCutoff analogue (reference: entities/vectorindex/hnsw/
    * config.go:34-39, default 40000): allowlists below this size are
    * brute-forced; at or above it, filtered vector search probes the index. */
@@ -110,7 +170,9 @@ final class Graft(val spark: SparkSession) {
       require(cur.limit >= 0, "limit parameter must be set")
     }
 
-    // tenant routing = partition pruning (reference: index.go:2233)
+    // tenant routing = partition pruning (reference: index.go:2233);
+    // lifecycle gate first (tenant not found / not active)
+    checkTenant(c.name, params.tenant)
     val tenanted = (params.tenant, c.schema.tenantColumn) match {
       case (Some(t), Some(tc)) => c.df.filter(col(tc) === lit(t))
       case _                   => c.df
@@ -322,6 +384,7 @@ final class Graft(val spark: SparkSession) {
 
   def aggregate(params: AggregateParams): DataFrame = {
     val c = collection(params.collection)
+    checkTenant(c.name, params.tenant)
     val tenanted = (params.tenant, c.schema.tenantColumn) match {
       case (Some(t), Some(tc)) => c.df.filter(col(tc) === lit(t))
       case _                   => c.df

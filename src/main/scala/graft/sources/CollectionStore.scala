@@ -191,6 +191,42 @@ final class CollectionStore(val spark: SparkSession, val root: String,
     extended
   }
 
+  /**
+   * Offload a tenant's partition directory out of the current version to
+   * `offloadRoot` (reference: modules/offload-s3 — a FROZEN/OFFLOADED
+   * tenant's shard moves to a remote cloud backend; the move here is a
+   * directory rename standing in for the S3 transfer, which is exactly the
+   * granularity the reference moves: one tenant = one shard directory).
+   * After offload the tenant's rows are invisible to `read()` — partition
+   * pruning sees no directory — without rewriting any other tenant's data.
+   * Mutations while offloaded would drop the tenant from the next version,
+   * so the engine must gate writes on tenant status (TenantSpec pins the
+   * read-side behavior).
+   */
+  def offloadTenant(tenant: String, offloadRoot: String): Unit = {
+    val src = tenantDir(tenant)
+    require(Files.exists(src), s"tenant $tenant has no partition directory in v$version")
+    val dst = Paths.get(offloadRoot, s"v$version-${src.getFileName}")
+    Files.createDirectories(Paths.get(offloadRoot))
+    Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Move an offloaded tenant's partition directory back into the current
+   * version (reference: ONLOADING — cloud → local hot storage). */
+  def onloadTenant(tenant: String, offloadRoot: String): Unit = {
+    val dst = tenantDir(tenant)
+    val src = Paths.get(offloadRoot, s"v$version-${dst.getFileName}")
+    require(Files.exists(src), s"tenant $tenant is not offloaded at $offloadRoot for v$version")
+    Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def tenantDir(tenant: String): java.nio.file.Path = {
+    val tc = schema.tenantColumn.getOrElse(
+      throw new IllegalArgumentException(s"${schema.name} is not multi-tenant"))
+    require(clustered, "tenant offload needs the clustered partitionBy(tenant) layout")
+    Paths.get(root, s"v$version", s"$tc=$tenant")
+  }
+
   /** Drop superseded version directories, keeping the newest `keep` (the
    * current version is always kept). Returns the number removed. This is the
    * transaction-log/segment cleanup the reference's LSM compaction cycle does

@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Collection, Graft}
+import graft.model._
+import graft.sources.CollectionStore
+
+/**
+ * Tenant lifecycle (reference: usecases/schema/tenant.go,
+ * entities/models/tenant.go:34, errors_multitenancy.go:19-20) and the
+ * store-level offload analogue (modules/offload-s3: one tenant = one shard
+ * directory moved wholesale).
+ */
+class TenantSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def engine: Graft = {
+    val df = Seq((1L, "a", "t0"), (2L, "b", "t0"), (3L, "c", "t1"))
+      .toDF("id", "name", "tenant")
+    new Graft(spark).register(Collection(CollectionSchema("MT", "id", Seq(
+      Property("name", PropType.Text, Tokenization.Field),
+      Property("tenant", PropType.Text, Tokenization.Field)),
+      tenantColumn = Some("tenant")), df))
+  }
+
+  test("status parse: modern names and deprecated HOT/COLD/FROZEN aliases") {
+    assert(TenantStatus.parse("hot") == TenantStatus.Active)
+    assert(TenantStatus.parse("COLD") == TenantStatus.Inactive)
+    assert(TenantStatus.parse("Frozen") == TenantStatus.Offloaded)
+    assert(TenantStatus.parse("ACTIVE") == TenantStatus.Active)
+    intercept[IllegalArgumentException](TenantStatus.parse("LUKEWARM"))
+  }
+
+  test("create defaults ACTIVE; OFFLOADED on create is rejected; dup rejected") {
+    val g = engine.addTenants("MT", Seq(Tenant("t0")))
+    assert(g.tenants("MT") == Seq(Tenant("t0", TenantStatus.Active)))
+    intercept[IllegalArgumentException](
+      g.addTenants("MT", Seq(Tenant("t2", TenantStatus.Offloaded))))
+    intercept[IllegalArgumentException](g.addTenants("MT", Seq(Tenant("t0"))))
+  }
+
+  test("non-multi-tenant collection rejects tenant creation") {
+    val g = new Graft(spark).register(Collection(
+      CollectionSchema("Plain", "id", Seq(Property("name", PropType.Text))),
+      Seq((1L, "x")).toDF("id", "name")))
+    intercept[IllegalArgumentException](g.addTenants("Plain", Seq(Tenant("t"))))
+  }
+
+  test("get gates on registry: unknown → not found, INACTIVE → not active") {
+    val g = engine.addTenants("MT", Seq(Tenant("t0"), Tenant("t1", TenantStatus.Inactive)))
+    // ACTIVE tenant serves
+    val rows = g.get(GetParams("MT", tenant = Some("t0"),
+      pagination = Some(Pagination(limit = 10)), properties = Seq("id"))).collect()
+    assert(rows.length == 2)
+    val notActive = intercept[IllegalArgumentException](
+      g.get(GetParams("MT", tenant = Some("t1"), pagination = Some(Pagination(limit = 1)))))
+    assert(notActive.getMessage.contains("tenant not active"))
+    val notFound = intercept[IllegalArgumentException](
+      g.get(GetParams("MT", tenant = Some("nope"), pagination = Some(Pagination(limit = 1)))))
+    assert(notFound.getMessage.contains("tenant not found"))
+    // aggregate takes the same gate
+    val aggGate = intercept[IllegalArgumentException](
+      g.aggregate(AggregateParams("MT", includeMetaCount = true, tenant = Some("t1"))))
+    assert(aggGate.getMessage.contains("tenant not active"))
+  }
+
+  test("update cycles status; reactivated tenant serves again; delete unregisters") {
+    val g = engine.addTenants("MT", Seq(Tenant("t0")))
+    g.updateTenant("MT", "t0", TenantStatus.Inactive)
+    intercept[IllegalArgumentException](
+      g.get(GetParams("MT", tenant = Some("t0"), pagination = Some(Pagination(limit = 1)))))
+    g.updateTenant("MT", "t0", TenantStatus.Active)
+    assert(g.get(GetParams("MT", tenant = Some("t0"),
+      pagination = Some(Pagination(limit = 10)))).count() == 2)
+    intercept[IllegalArgumentException](g.updateTenant("MT", "ghost", TenantStatus.Active))
+    // empty registry after delete → legacy pass-through behavior
+    g.deleteTenants("MT", Seq("t0"))
+    assert(g.tenants("MT").isEmpty)
+    assert(g.get(GetParams("MT", tenant = Some("t1"),
+      pagination = Some(Pagination(limit = 10)))).count() == 1)
+  }
+
+  test("unregistered collections keep plain tenant-filter behavior") {
+    val rows = engine.get(GetParams("MT", tenant = Some("t1"),
+      pagination = Some(Pagination(limit = 10)), properties = Seq("id"))).collect()
+    assert(rows.length == 1)
+  }
+
+  test("store offload moves the tenant directory out; onload restores it") {
+    val dir = Files.createTempDirectory("graft-tenant-store").toString
+    val off = Files.createTempDirectory("graft-tenant-offload").toString
+    val schema = CollectionSchema("MTS", "id", Seq(
+      Property("name", PropType.Text, Tokenization.Field),
+      Property("tenant", PropType.Text, Tokenization.Field)),
+      tenantColumn = Some("tenant"))
+    val st = new CollectionStore(spark, dir, schema)
+    st.init(Seq((1L, "a", "t0"), (2L, "b", "t1"), (3L, "c", "t1"))
+      .toDF("id", "name", "tenant"))
+
+    st.offloadTenant("t1", off)
+    // partition pruning sees no tenant=t1 directory → rows gone, t0 untouched
+    val after = st.read().select("id").as[Long].collect().toSet
+    assert(after == Set(1L))
+    assert(new java.io.File(off).listFiles().exists(_.getName.contains("tenant=t1")))
+
+    st.onloadTenant("t1", off)
+    val restored = st.read().select("id").as[Long].collect().toSet
+    assert(restored == Set(1L, 2L, 3L))
+    // offloading a tenant with no directory fails loudly
+    intercept[IllegalArgumentException](st.offloadTenant("ghost", off))
+  }
+}
