@@ -448,6 +448,35 @@ object SparkEntryExt {
         .orderBy(col("probe_id"))
     }),
 
+    // pipeline: zero-shot classification (reference: usecases/classification
+    // zeroshot — nearest label-prototype; pure map-side codegen'd argmin, no
+    // join/shuffle: the label set is class-name-sized by definition)
+    "q_classify_zeroshot" -> ((s, dir) => {
+      val emb = g(s, dir).collection("Embedding").df
+      val labels = emb.filter(col("vec_id") < 8)
+        .select(concat(lit("L"), col("vec_id")).as("lbl"), col("embedding"))
+      Classify.zeroShot(emb, col("vec_id"), col("embedding"),
+          labels, col("lbl"), col("embedding"), Metric.Cosine)
+        .select(col("probe_id"), col("predicted_label"),
+          round(col("dist"), 4).as("dist"))
+        .orderBy(col("probe_id"))
+    }),
+
+    // §2.3 nearImage/nearAudio/…: media payload → module embedding →
+    // nearVector (reference: search_get.proto:42-47; the stub module is the
+    // deterministic stand-in for multi2vec-bind/clip — the engine-side
+    // resolution path is the real thing being exercised)
+    "q_near_media" -> ((s, dir) => {
+      val gg = g(s, dir).withMediaEmbedder(Multimodal.stubEmbedder(64))
+      gg.get(GetParams("Embedding",
+        nearMedia = Some(NearMedia(MediaKind.Image, MediaQueryPayload,
+          metric = Metric.L2Squared)),
+        pagination = Some(Pagination(limit = 10)),
+        properties = Seq("vec_id"),
+        additional = Set("distance")))
+        .select(col("vec_id"), round(col("_distance"), 4).as("dist"))
+    }),
+
     // pipeline: ref2vec-centroid (mean vector per group)
     "q_ref2vec" -> ((s, dir) => {
       Ref2Vec.centroid(g(s, dir).collection("DocVec").df, col("lang"), col("embedding"))
@@ -759,7 +788,39 @@ object SparkEntryExt {
 
   import SparkEntry.{sqlQv, sqlL2, sqlCosine, sqlBm25, sqlDot}
 
+  /** Fixed media payload for q_near_media — both the Spark query and the
+   * oracle derive the query vector from it via the same stub module. */
+  private[graft] val MediaQueryPayload: Array[Byte] =
+    "graft-media-demo-payload".getBytes("UTF-8")
+
   def oracleSql: Map[String, String] = Map(
+
+    // zero-shot = 1-NN against the 8 label prototypes (cross join is 500×8
+    // here; the engine side never materializes it — map-side least())
+    "q_classify_zeroshot" ->
+      s"""WITH labels AS (
+         |  SELECT 'L' || CAST(vec_id AS VARCHAR) AS lbl, embedding AS lv
+         |  FROM embeddings WHERE vec_id < 8),
+         |d AS (SELECT e.vec_id AS probe_id, l.lbl,
+         |             ${sqlCosine("e.embedding", "l.lv")} AS dist
+         |      FROM embeddings e CROSS JOIN labels l),
+         |r AS (SELECT *, row_number() OVER (
+         |        PARTITION BY probe_id ORDER BY dist ASC, lbl ASC) AS rn FROM d)
+         |SELECT probe_id, lbl AS predicted_label, round(dist, 4) AS dist
+         |FROM r WHERE rn = 1 ORDER BY probe_id""".stripMargin,
+
+    // the stub media embedding is deterministic, so the oracle inlines the
+    // resolved query vector as a literal — the comparison then checks the
+    // whole nearMedia → nearVector → TopK path
+    "q_near_media" -> {
+      val qv = Multimodal.stubEmbedder(64)(MediaKind.Image, MediaQueryPayload)
+      val vlit = qv.map(f => s"CAST($f AS FLOAT)").mkString("[", ", ", "]")
+      s"""WITH qv AS (SELECT $vlit AS v),
+         |d AS (SELECT e.vec_id, ${sqlL2("e.embedding", "q.v")} AS dist
+         |      FROM embeddings e CROSS JOIN qv q)
+         |SELECT vec_id, round(dist, 4) AS dist FROM d
+         |ORDER BY d.dist ASC, vec_id ASC LIMIT 10""".stripMargin
+    },
 
     // page first (id order + limit), THEN score: rerank sees only the page
     "q_rerank" -> {

@@ -27,6 +27,24 @@ final class Graft(val spark: SparkSession) {
   private var embedder: Option[String => Array[Float]] = None
   def withEmbedder(e: String => Array[Float]): Graft = { embedder = Some(e); this }
 
+  /** Module hook: media payload → embedding (reference: modules/multi2vec-bind,
+   * multi2vec-clip — nearImage/nearAudio/… resolve through a multimodal
+   * vectorizer module; the engine never decodes media itself). */
+  private var mediaEmbedder: Option[(MediaKind, Array[Byte]) => Array[Float]] = None
+  def withMediaEmbedder(e: (MediaKind, Array[Byte]) => Array[Float]): Graft = {
+    mediaEmbedder = Some(e); this
+  }
+
+  /** Resolve nearImage/nearAudio/… into a nearVector through the registered
+   * multimodal module (reference: near_params_vector.go — every nearX family
+   * funnels into one vector before the index sees it). */
+  private def resolveNearMedia(nm: NearMedia): NearVector = {
+    val embed = mediaEmbedder.getOrElse(
+      throw new IllegalStateException(
+        s"near${nm.kind.name.capitalize} requires a registered media embedder (withMediaEmbedder)"))
+    NearVector(embed(nm.kind, nm.payload), nm.metric, nm.distance, nm.certainty, nm.targetVectors)
+  }
+
   /** Module hook: reranker scorer (reference: modules/reranker-* cross-encoder
    * clients behind rank.ReRankerClient; default is the deterministic lexical
    * stand-in — see Rerank scaladoc). */
@@ -193,7 +211,7 @@ final class Graft(val spark: SparkSession) {
     }
 
     val legCount = Seq(params.nearVector, params.nearObject, params.nearText,
-      params.nearMultiVector, params.bm25, params.hybrid).count(_.isDefined)
+      params.nearMedia, params.nearMultiVector, params.bm25, params.hybrid).count(_.isDefined)
     require(legCount <= 1, "at most one search leg (nearX | bm25 | hybrid)")
 
     // threshold-only nearX with no explicit pagination = SearchByVectorDistance
@@ -231,6 +249,8 @@ final class Graft(val spark: SparkSession) {
           vectorLeg(VectorSearch.resolveNearObject(c, no))
         }).orElse(params.nearText.map { nt =>
         vectorLeg(resolveNearText(nt))
+      }).orElse(params.nearMedia.map { nm =>
+        vectorLeg(resolveNearMedia(nm))
       }).orElse(params.nearMultiVector.map { nmv =>
         val vecCol = c.schema.vectorColumn(nmv.targetVectors.headOption)
         muveraIndexes.get((c.name, vecCol)) match {
@@ -267,7 +287,8 @@ final class Graft(val spark: SparkSession) {
       case (Some(n), true) =>
         val scoreCol =
           if (params.nearVector.isDefined || params.nearObject.isDefined ||
-              params.nearText.isDefined || params.nearMultiVector.isDefined)
+              params.nearText.isDefined || params.nearMedia.isDefined ||
+              params.nearMultiVector.isDefined)
             -col(VectorSearch.DistanceCol)
           else if (params.bm25.isDefined) col(Bm25Search.ScoreCol)
           else col(HybridSearch.ScoreCol)
@@ -304,7 +325,8 @@ final class Graft(val spark: SparkSession) {
         val rankCol = "__rank"
         val rankOrder: Seq[Column] =
           if (params.nearVector.isDefined || params.nearObject.isDefined ||
-              params.nearText.isDefined || params.nearMultiVector.isDefined)
+              params.nearText.isDefined || params.nearMedia.isDefined ||
+              params.nearMultiVector.isDefined)
             Seq(col(VectorSearch.DistanceCol).asc, col(id).asc)
           else if (params.bm25.isDefined) Seq(col(Bm25Search.ScoreCol).desc, col(id).asc)
           else if (params.hybrid.isDefined) Seq(col(HybridSearch.ScoreCol).desc, col(id).asc)
@@ -403,6 +425,7 @@ final class Graft(val spark: SparkSession) {
     val nearResolved: Option[NearVector] = params.nearVector
       .orElse(params.nearObject.map(no => VectorSearch.resolveNearObject(c, no)))
       .orElse(params.nearText.map(resolveNearText))
+      .orElse(params.nearMedia.map(resolveNearMedia))
     nearResolved.foreach { nv =>
       require(params.objectLimit.isDefined || nv.distance.orElse(nv.certainty).isDefined,
         "must provide certainty or objectLimit with vector search" /* traverser_aggregate.go:74 */)

@@ -59,6 +59,30 @@ final case class NearText(
     moveAwayFrom: Option[MoveParams] = None,
     targetVectors: Seq[String] = Nil)
 
+/** Media kinds for nearImage/nearAudio/… (reference: grpc/proto/v1/
+ * search_get.proto:42-47 — one base64-payload message per modality). */
+sealed abstract class MediaKind(val name: String)
+object MediaKind {
+  case object Image   extends MediaKind("image")
+  case object Audio   extends MediaKind("audio")
+  case object Video   extends MediaKind("video")
+  case object Depth   extends MediaKind("depth")
+  case object Thermal extends MediaKind("thermal")
+  case object Imu     extends MediaKind("imu")
+}
+
+/** nearImage/nearAudio/…: media payload → module embedding → kNN (reference:
+ * search_get.proto:42-47; modules/multi2vec-bind, multi2vec-clip). The engine
+ * only sees the payload and the registered media embedder — the same module
+ * boundary as nearText's vectorizer. */
+final case class NearMedia(
+    kind: MediaKind,
+    payload: Array[Byte],
+    metric: Metric = Metric.Cosine,
+    distance: Option[Double] = None,
+    certainty: Option[Double] = None,
+    targetVectors: Seq[String] = Nil)
+
 /** Multi-target combination modes (reference: entities/dto/dto.go:30-48). */
 sealed trait TargetCombination
 object TargetCombination {
@@ -149,6 +173,7 @@ final case class GetParams(
     nearVector: Option[NearVector] = None,
     nearObject: Option[NearObject] = None,
     nearText: Option[NearText] = None,
+    nearMedia: Option[NearMedia] = None,
     nearMultiVector: Option[NearMultiVector] = None,
     bm25: Option[Bm25] = None,
     hybrid: Option[Hybrid] = None,
@@ -190,6 +215,7 @@ final case class AggregateParams(
     nearVector: Option[NearVector] = None,
     nearObject: Option[NearObject] = None,    // resolved like Get's legs (traverser_aggregate.go:60-105)
     nearText: Option[NearText] = None,
+    nearMedia: Option[NearMedia] = None,
     hybrid: Option[Hybrid] = None,
     objectLimit: Option[Int] = None,          // scope aggs to top-N search hits (params.go:32-41)
     limit: Option[Int] = None,                // cap number of groups

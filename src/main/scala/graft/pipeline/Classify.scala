@@ -47,4 +47,41 @@ object Classify {
     votes.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .select(col("probe_id"), col("label").as("predicted_label"), col("votes"))
   }
+
+  /**
+   * Zero-shot classification (reference: usecases/classification/
+   * classifier_run.go zeroshot path — each unlabeled object gets the label of
+   * its single nearest neighbour among the label-source objects, whose vectors
+   * come from vectorizing the label names; no training data).
+   *
+   * Scale shape: the label set is bounded by the number of classes, so the
+   * candidates are collected driver-side and the argmin is ONE codegen'd
+   * `least()` over per-label distance structs — a pure map-side projection
+   * over the 100 TB data frame, no join, no shuffle, no window. Ties break
+   * (distance, label) ascending for reproducibility.
+   *
+   * @return (probe_id, predicted_label, dist) one row per data row.
+   */
+  def zeroShot(
+      data: DataFrame, dataId: Column, dataVec: Column,
+      labels: DataFrame, labelCol: Column, labelVec: Column,
+      metric: Metric = Metric.Cosine, maxLabels: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.graft.VectorFunctions
+    val labelRows = labels.select(labelCol.cast("string"), labelVec).collect()
+    require(labelRows.nonEmpty, "zeroShot: empty label set")
+    require(labelRows.length <= maxLabels,
+      s"zeroShot: ${labelRows.length} labels exceed maxLabels=$maxLabels — " +
+      "zero-shot label sets are class-name-sized; use knn for example-labeled data")
+    val candidates = labelRows.toSeq.map { r =>
+      val vec = typedLit(r.getSeq[Float](1).toArray)
+      struct(
+        VectorFunctions.distance(metric)(dataVec, vec).as("dist"),
+        lit(r.getString(0)).as("label"))
+    }
+    val best = if (candidates.size == 1) candidates.head else least(candidates: _*)
+    data.select(
+      dataId.as("probe_id"),
+      best.getField("label").as("predicted_label"),
+      best.getField("dist").as("dist"))
+  }
 }

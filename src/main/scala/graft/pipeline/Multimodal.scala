@@ -51,4 +51,24 @@ object Multimodal {
   def sampleFrameOffsets(durationMs: Column, n: Int): Column =
     transform(sequence(lit(0), lit(n - 1)),
       i => (durationMs * (i * 2 + 1)) / (2 * n))
+
+  /**
+   * STUB media embedder for `Graft.withMediaEmbedder` (reference treats
+   * multi2vec-bind/clip as pluggable modules): deterministic, L2-normalized
+   * fake embedding from the payload bytes — per-dimension MurmurHash3 of the
+   * payload with the dimension index as seed. Stands in for decode→model;
+   * real deployments register an actual multimodal vectorizer instead.
+   */
+  def stubEmbedder(dim: Int): (graft.model.MediaKind, Array[Byte]) => Array[Float] =
+    (kind, payload) => {
+      // fold the modality into the hash so image/audio payloads of equal
+      // bytes embed differently, like distinct model towers would
+      val seed0 = scala.util.hashing.MurmurHash3.stringHash(kind.name, 42)
+      val v = Array.tabulate(dim) { i =>
+        val h = scala.util.hashing.MurmurHash3.bytesHash(payload, seed0 ^ i)
+        ((math.floorMod(h, 2001) - 1000) / 1000.0).toFloat
+      }
+      val norm = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      if (norm > 0) v.map(_ / norm) else v
+    }
 }
