@@ -38,7 +38,11 @@ object Bench {
     // codegen / cache-population noise (observed ±30% between single runs on
     // an otherwise-idle box), the min approximates steady-state probe cost —
     // what a long-lived cluster session pays per query
+    // local-iteration convenience, mirroring Verify: SPARK_GRAFT_ONLY=q_a,q_b
+    // times a subset (the driver never sets it)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => only.forall(_.contains(kv._1)))
     def pass(): Map[String, Double] = names.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -207,6 +207,22 @@ object SparkEntryExt {
           col("label_minimum").as("label_min"), col("label_maximum").as("label_max"))
     }),
 
+    // §2.6 hybrid-scoped aggregation (reference: aggregator/hybrid.go:27-67 —
+    // aggregate over the top-N fused hybrid hits; requires objectLimit)
+    "q_agg_hybrid" -> ((s, dir) => {
+      val gg = g(s, dir)
+      gg.aggregate(AggregateParams("DocVec",
+        properties = Map("n_chars" -> Seq(
+          Aggregator.Count, Aggregator.Mean, Aggregator.Maximum)),
+        includeMetaCount = true,
+        hybrid = Some(Hybrid("spark join stream", vector = Some(Fixtures.anchorVector(gg, 7L)),
+          metric = Metric.Cosine, alpha = 0.5, fusionType = FusionType.Ranked)),
+        objectLimit = Some(15)))
+        .select(col("meta_count"), col("n_chars_count"),
+          round(col("n_chars_mean"), 4).as("n_chars_mean"),
+          col("n_chars_maximum").as("n_chars_max"))
+    }),
+
     // §2.6 nearObject-scoped aggregation: the aggregate's nearX legs resolve
     // to a vector exactly like Get's (reference: traverser_aggregate.go:60-105)
     "q_agg_nearobject" -> ((s, dir) => {
@@ -446,6 +462,33 @@ object SparkEntryExt {
           probes, col("vec_id"), col("embedding"), k = 5,
           index = Some(ivfFor(gg, dir)), nprobe = Some(8))
         .orderBy(col("probe_id"))
+    }),
+
+    // §2.7 _additional { generate } singleResult: per-row {prop} prompt
+    // templating through the generative module boundary (echo stand-in makes
+    // the assembled prompt the output — the templating is what's checked)
+    "q_generate_single" -> ((s, dir) => {
+      g(s, dir).get(GetParams("Document",
+        where = Some(Where.eqText("source", "src3")),
+        pagination = Some(Pagination(limit = 20)),
+        properties = Seq("doc_id"),
+        generate = Some(GenerateParams(singlePrompt =
+          Some("Summarize in {lang}: {text} [chars={n_chars}]")))))
+        .select(col("doc_id"), col(Generate.SingleCol).as("gen"))
+    }),
+
+    // §2.7 _additional { generate } groupedResult: ONE prompt from the whole
+    // page ({prop} from first result + sorted-key JSON of every result's
+    // selected properties), attached to the first row only
+    "q_generate_grouped" -> ((s, dir) => {
+      g(s, dir).get(GetParams("Document",
+        where = Some(Where.eqText("source", "src3")),
+        pagination = Some(Pagination(limit = 5)),
+        properties = Seq("doc_id"),
+        generate = Some(GenerateParams(
+          groupedTask = Some("Summarize these {lang} docs"),
+          groupedProperties = Seq("lang", "source")))))
+        .select(col("doc_id"), col(Generate.GroupedCol).as("gen"))
     }),
 
     // pipeline: zero-shot classification (reference: usecases/classification
@@ -794,6 +837,30 @@ object SparkEntryExt {
     "graft-media-demo-payload".getBytes("UTF-8")
 
   def oracleSql: Map[String, String] = Map(
+
+    // echo module ⇒ _generate is the templated prompt itself
+    "q_generate_single" ->
+      """SELECT doc_id,
+        |       'Summarize in ' || lang || ': ' || text ||
+        |       ' [chars=' || CAST(n_chars AS VARCHAR) || ']' AS gen
+        |FROM documents WHERE source = 'src3'
+        |ORDER BY doc_id ASC LIMIT 20""".stripMargin,
+
+    // grouped prompt = task ({lang} from the first page row) + ': ' + JSON
+    // array of each page row's {lang, source} (keys sorted), first row only
+    "q_generate_grouped" ->
+      """WITH page AS (
+        |  SELECT doc_id, lang, source, row_number() OVER (ORDER BY doc_id ASC) AS rn
+        |  FROM documents WHERE source = 'src3' ORDER BY doc_id ASC LIMIT 5),
+        |j AS (SELECT string_agg('{"lang":"' || lang || '","source":"' || source || '"}',
+        |                        ',' ORDER BY rn) AS arr,
+        |             min_by(lang, rn) AS first_lang FROM page)
+        |SELECT p.doc_id,
+        |       CASE WHEN p.rn = 1
+        |            THEN 'Summarize these ' || j.first_lang || ' docs: [' || j.arr || ']'
+        |       END AS gen
+        |FROM page p CROSS JOIN j
+        |ORDER BY p.doc_id ASC""".stripMargin,
 
     // zero-shot = 1-NN against the 8 label prototypes (cross join is 500×8
     // here; the engine side never materializes it — map-side least())
@@ -1163,6 +1230,33 @@ object SparkEntryExt {
          |       round(avg(label), 4) AS label_mean,
          |       min(label) AS label_min, max(label) AS label_max
          |FROM top""".stripMargin,
+
+    // same fused-RRF CTE as q_hybrid_rrf's oracle, aggregated over the top 15
+    "q_agg_hybrid" -> {
+      val (ctes, _) = sqlBm25(Seq("spark", "join", "stream"))
+      s"""WITH $ctes,
+         |sparse AS (
+         |  SELECT doc_id, score_exact, row_number() OVER (ORDER BY score_exact DESC, doc_id ASC) AS r
+         |  FROM (SELECT * FROM scored WHERE terms_matched >= 1 ORDER BY score_exact DESC, doc_id ASC LIMIT 100)),
+         |${sqlQv(7)},
+         |densed AS (
+         |  SELECT d.doc_id, ${sqlCosine("e.embedding", "q.v")} AS dist
+         |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id CROSS JOIN qv q),
+         |dense AS (
+         |  SELECT doc_id, 1.0 - dist / 2.0 AS sdense, row_number() OVER (ORDER BY dist ASC, doc_id ASC) AS r
+         |  FROM (SELECT * FROM densed ORDER BY dist ASC, doc_id ASC LIMIT 100)),
+         |fused AS (
+         |  SELECT coalesce(s.doc_id, de.doc_id) AS doc_id,
+         |         coalesce(0.5 / (60 + s.r), 0.0) + coalesce(0.5 / (60 + de.r), 0.0) AS score_exact,
+         |         coalesce(s.score_exact, de.sdense) AS secondary
+         |  FROM sparse s FULL OUTER JOIN dense de ON s.doc_id = de.doc_id),
+         |top AS (SELECT doc_id FROM fused
+         |        ORDER BY score_exact DESC, secondary DESC, doc_id ASC LIMIT 15)
+         |SELECT count(*) AS meta_count, count(d.n_chars) AS n_chars_count,
+         |       round(avg(d.n_chars), 4) AS n_chars_mean,
+         |       max(d.n_chars) AS n_chars_max
+         |FROM top t JOIN documents d ON t.doc_id = d.doc_id""".stripMargin
+    },
 
     "q_agg_nearobject" ->
       s"""WITH ${sqlQv(9)},

@@ -51,6 +51,12 @@ final class Graft(val spark: SparkSession) {
   private var reranker: Rerank.Scorer = Rerank.lexicalOverlap
   def withReranker(r: Rerank.Scorer): Graft = { reranker = r; this }
 
+  /** Module hook: generative client for `_additional { generate }`
+   * (reference: modules/generative-* behind GenerativeClient; default is the
+   * deterministic echo stand-in — see Generate scaladoc). */
+  private var generator: Generate.Client = Generate.echo
+  def withGenerator(g: Generate.Client): Graft = { generator = g; this }
+
   /** Resolve nearText into a nearVector (concept centroid ± moves —
    * reference: near_params_vector.go + searcher_movements.go). */
   private def resolveNearText(nt: NearText): NearVector = {
@@ -370,7 +376,43 @@ final class Graft(val spark: SparkSession) {
       case None => paged
     }
 
-    project(c, params, resolveRefs(c, params, reranked))
+    // generate (`_additional { generate }`) decorates the final page like
+    // rerank (reference: AdditionalPropertyFn over the result list)
+    val generated = params.generate match {
+      case Some(gp) =>
+        val single = gp.singlePrompt
+          .map(pr => Generate.single(reranked, pr, generateResolve(c), generator))
+          .getOrElse(reranked)
+        gp.groupedTask match {
+          case Some(task) =>
+            // the grouped prompt embeds EVERY result's properties and the
+            // client runs once driver-side — only a paginated page bounds it
+            require(params.pagination.isDefined || params.cursor.isDefined,
+              "generate.groupedTask requires a bounded page (set pagination or cursor)")
+            val names = if (gp.groupedProperties.nonEmpty) gp.groupedProperties
+                        else c.schema.properties.map(_.name)
+            Generate.grouped(single, col(id), task,
+              names.map(n => n -> generateResolve(c)(n)), generator)
+          case None => single
+        }
+      case None => reranked
+    }
+
+    project(c, params, resolveRefs(c, params, generated))
+  }
+
+  /** Property → prompt-text column for generate templating (reference:
+   * generate_result.go:140-180 getProperties — strings pass through, complex
+   * values JSON-marshal, primitives stringify). */
+  private def generateResolve(c: Collection)(name: String): Column = {
+    val p = c.schema.property(name).getOrElse(
+      throw new IllegalArgumentException(s"unknown generate property $name"))
+    p.dataType match {
+      case PropType.Text | PropType.Uuid                 => col(name)
+      case PropType.Obj | _: PropType.Arr | PropType.Geo
+         | PropType.Phone                                => to_json(col(name))
+      case _                                             => col(name).cast("string")
+    }
   }
 
   /**
@@ -471,7 +513,8 @@ final class Graft(val spark: SparkSession) {
           c.schema.updateTimeColumn.map(t => col(t).as("_lastUpdateTimeUnix"))
         case _ => None
       }
-      val groupCols = Seq("group_value", "group_index", "group_hit_rank")
+      val groupCols = (Seq("group_value", "group_index", "group_hit_rank")
+        ++ Seq(Generate.SingleCol, Generate.GroupedCol))
         .filter(df.columns.contains).map(col)
       val resolvedCols = params.resolveRefs.map(r => s"${r}_resolved")
         .filter(df.columns.contains).map(col)

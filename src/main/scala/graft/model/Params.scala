@@ -166,6 +166,18 @@ final case class GroupByParams(property: String, groups: Int, objectsPerGroup: I
  * for semantics). */
 final case class RerankParams(property: String, query: String)
 
+/** `_additional { generate }` — generative search / RAG (reference:
+ * usecases/modulecomponents/additional/generate/generate_params.go:15-18:
+ * `singleResult { prompt }` per result, `groupedResult { task properties }`
+ * once over all results). At least one of the two must be set. */
+final case class GenerateParams(
+    singlePrompt: Option[String] = None,
+    groupedTask: Option[String] = None,
+    groupedProperties: Seq[String] = Nil) {
+  require(singlePrompt.isDefined || groupedTask.isDefined,
+    "generate: set singlePrompt and/or groupedTask")
+}
+
 /** The Get query (reference: dto.GetParams). Exactly one search leg may be set. */
 final case class GetParams(
     collection: String,
@@ -186,7 +198,8 @@ final case class GetParams(
     resolveRefs: Seq[String] = Nil,           // cref props to expand into structs
     tenant: Option[String] = None,
     autocut: Option[Int] = None,
-    rerank: Option[RerankParams] = None)
+    rerank: Option[RerankParams] = None,
+    generate: Option[GenerateParams] = None)
 
 // --- Aggregations (reference: entities/aggregation/params.go) ---
 
