@@ -838,6 +838,24 @@ object SparkEntryExt {
 
   def oracleSql: Map[String, String] = Map(
 
+    // the hash embedder + movement math are deterministic, so the oracle
+    // inlines the RESOLVED query vector (centroid ± moveTo/moveAwayFrom) —
+    // same pattern as q_near_media; this checks the whole nearText →
+    // nearVector path including the reference's movement formulas
+    "q_neartext" -> {
+      val embed = Fixtures.hashEmbedder(64)
+      var qv = Movements.centroid(Seq(embed("spark join stream")))
+      qv = Movements.moveTo(qv, Movements.centroid(Seq(embed("window batch"))), 0.6)
+      qv = Movements.moveAwayFrom(qv, Movements.centroid(Seq(embed("error slow"))), 0.4)
+      val vlit = qv.map(f => s"CAST($f AS FLOAT)").mkString("[", ", ", "]")
+      s"""WITH qv AS (SELECT $vlit AS v),
+         |d AS (SELECT dv.doc_id, ${sqlCosine("e.embedding", "q.v")} AS dist
+         |      FROM documents dv JOIN embeddings e ON dv.doc_id = e.vec_id
+         |      CROSS JOIN qv q),
+         |top AS (SELECT doc_id FROM d ORDER BY dist ASC, doc_id ASC LIMIT 10)
+         |SELECT doc_id FROM top ORDER BY doc_id ASC""".stripMargin
+    },
+
     // echo module ⇒ _generate is the templated prompt itself
     "q_generate_single" ->
       """SELECT doc_id,
