@@ -62,9 +62,19 @@ object SparkEntry {
   private[graft] def sqlCosine(a: String, b: String): String =
     s"(1.0 - ${sqlDot(a, b)} / sqrt(${sqlDot(a, a)} * ${sqlDot(b, b)}))"
 
-  /** DuckDB BM25 oracle over documents.text (word tokenization), mirroring
-   * Bm25Search exactly: same idf/tf formulas, same term order, double math. */
-  private[graft] def sqlBm25(terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): (String, String) = {
+  /** DuckDB BM25 oracle over `source`.text (word tokenization), mirroring
+   * Bm25Search exactly: same idf/tf formulas, same term order, double math.
+   * `source` must be the SAME corpus the engine-side collection scores over —
+   * hybrid queries run on DocVec (documents ⋈ embeddings), whose N/avgLen/df
+   * stats differ from plain documents whenever the join is not 1:1 (it is
+   * 1:1 at sf0.01 but 5000:2000 at sf0.1 — masked until the sf0.1 audit). */
+  /** The DocVec corpus (documents that HAVE an embedding) as an oracle
+   * source — what every hybrid query's sparse leg must score over. */
+  private[graft] val sqlDocVec =
+    "(SELECT d.* FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id)"
+
+  private[graft] def sqlBm25(terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+                             source: String = "documents"): (String, String) = {
     val fCols = terms.zipWithIndex.map { case (t, i) =>
       s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS f$i" }.mkString(", ")
     val dfCols = terms.zipWithIndex.map { case (t, i) =>
@@ -75,7 +85,7 @@ object SparkEntry {
     val score = termExprs.mkString(" + ")
     val contribCols = termExprs.zipWithIndex.map { case (e, i) => s"$e AS c$i" }.mkString(", ")
     val tok =
-      s"""tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+      s"""tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM $source),
          |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(CAST(len(toks) AS DOUBLE)) AS avgdl, $dfCols FROM tok),
          |feat AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, $fCols FROM tok),
          |scored AS (SELECT doc_id, ($score) AS score_exact, $contribCols, ${terms.indices.map(i => s"f$i").mkString(" + ")} AS nmatch,
@@ -548,7 +558,7 @@ object SparkEntry {
 
     "q_hybrid_rrf" -> {
       val terms = Seq("spark", "join", "stream")
-      val (ctes, _) = sqlBm25(terms)
+      val (ctes, _) = sqlBm25(terms, source = sqlDocVec)
       s"""WITH $ctes,
          |sparse AS (
          |  SELECT doc_id, score_exact, row_number() OVER (ORDER BY score_exact DESC, doc_id ASC) AS r

@@ -362,15 +362,19 @@ object SparkEntryExt {
 
     // pipeline: SimHash near-dup over a planted bed. xxhash64 simhash isn't
     // DuckDB-expressible, so the oracle is the planted qualifying pairs
-    // (exact copies ⇒ identical signature ⇒ pigeonhole bucket hit, hamming 0);
-    // the bed is chosen (verified at sf0.01/0.001) to contain no natural
-    // hamming ≤ 3 pair, and natural-data recall stays covered by DedupSpec
+    // (exact copies ⇒ identical signature ⇒ pigeonhole bucket hit, hamming 0).
+    // The output keeps ONLY the planted relation (id_b = id_a + 1e6): at
+    // sf0.1 the bed contains genuine natural hamming ≤ 3 pairs the engine
+    // correctly surfaces but the fixed-pair oracle can't predict (found in
+    // the sf0.1 self-audit); precision on natural data stays covered by
+    // DedupSpec's brute-force comparison
     "q_dedup_simhash" -> ((s, dir) => {
       val docs = g(s, dir).collection("Document").df
         .filter(col("doc_id") % 17 === 3).select(col("doc_id"), col("text"))
       val bed = docs.unionByName(docs.filter(col("doc_id") % 51 === 3)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       Dedup.simhashDuplicates(bed, col("doc_id"), col("text"), maxHamming = 3)
+        .filter(col("id_b") === col("id_a") + 1000000L)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -1087,7 +1091,7 @@ object SparkEntryExt {
          |FROM top ORDER BY mmr_rank""".stripMargin,
 
     "q_hybrid_sub" -> {
-      val (ctes, _) = sqlBm25(Seq("spark", "join"))
+      val (ctes, _) = sqlBm25(Seq("spark", "join"), source = SparkEntry.sqlDocVec)
       s"""WITH $ctes,
          |s0 AS (SELECT doc_id, score_exact AS s FROM scored WHERE terms_matched >= 1
          |       ORDER BY score_exact DESC, doc_id ASC LIMIT 100),
@@ -1115,7 +1119,7 @@ object SparkEntryExt {
     },
 
     "q_hybrid_sub_rrf" -> {
-      val (ctes, _) = sqlBm25(Seq("spark", "join"))
+      val (ctes, _) = sqlBm25(Seq("spark", "join"), source = SparkEntry.sqlDocVec)
       s"""WITH $ctes,
          |s0 AS (SELECT doc_id, score_exact AS s FROM scored WHERE terms_matched >= 1
          |       ORDER BY score_exact DESC, doc_id ASC LIMIT 100),
@@ -1141,7 +1145,7 @@ object SparkEntryExt {
     },
 
     "q_hybrid_group" -> {
-      val (ctes, _) = sqlBm25(Seq("spark", "join", "stream"))
+      val (ctes, _) = sqlBm25(Seq("spark", "join", "stream"), source = SparkEntry.sqlDocVec)
       s"""WITH $ctes,
          |sparse0 AS (SELECT doc_id, score_exact FROM scored WHERE terms_matched >= 1
          |            ORDER BY score_exact DESC, doc_id ASC LIMIT 100),
@@ -1191,7 +1195,7 @@ object SparkEntryExt {
         |FROM l ORDER BY links ASC NULLS FIRST, doc_id ASC LIMIT 30""".stripMargin,
 
     "q_hybrid_relative" -> {
-      val (ctes, _) = sqlBm25(Seq("spark", "join", "stream"))
+      val (ctes, _) = sqlBm25(Seq("spark", "join", "stream"), source = SparkEntry.sqlDocVec)
       s"""WITH $ctes,
          |sparse0 AS (SELECT doc_id, score_exact FROM scored WHERE terms_matched >= 1
          |            ORDER BY score_exact DESC, doc_id ASC LIMIT 100),
@@ -1251,7 +1255,7 @@ object SparkEntryExt {
 
     // same fused-RRF CTE as q_hybrid_rrf's oracle, aggregated over the top 15
     "q_agg_hybrid" -> {
-      val (ctes, _) = sqlBm25(Seq("spark", "join", "stream"))
+      val (ctes, _) = sqlBm25(Seq("spark", "join", "stream"), source = SparkEntry.sqlDocVec)
       s"""WITH $ctes,
          |sparse AS (
          |  SELECT doc_id, score_exact, row_number() OVER (ORDER BY score_exact DESC, doc_id ASC) AS r

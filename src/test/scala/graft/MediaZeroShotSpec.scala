@@ -69,6 +69,15 @@ class MediaZeroShotSpec extends SparkSpecBase {
     assert(e.getMessage.contains("media embedder"))
   }
 
+  test("aggregate scopes to nearMedia top-N through the shared resolution path") {
+    val g = mediaGraft.withMediaEmbedder((_, _) => vec(1, 0, 0))
+    val out = g.aggregate(AggregateParams("M",
+      includeMetaCount = true,
+      nearMedia = Some(NearMedia(MediaKind.Image, Array[Byte](9))),
+      objectLimit = Some(2))).collect()
+    assert(out.head.getAs[Long]("meta_count") === 2L)
+  }
+
   test("nearMedia resolves through the module hook to a nearVector search") {
     val g = mediaGraft.withMediaEmbedder(Multimodal.stubEmbedder(3))
     val payload = "img-bytes".getBytes("UTF-8")
