@@ -53,8 +53,30 @@ final class CollectionStore(val spark: SparkSession, val root: String,
 
   def collection: Collection = Collection(schema, read())
 
+  /**
+   * Write-path vectorizer module (reference: usecases/objects/add.go —
+   * PutObject runs the class vectorizer before persisting; an explicitly
+   * provided vector wins over the module, matching weaviate's
+   * skip-if-vector-present rule). Configured per store like the class'
+   * `vectorizer` setting; rows whose `vecCol` is null/absent on write get
+   * `embed(textCol)`.
+   */
+  private var vectorizer: Option[(String, String, String => Array[Float])] = None
+  def withVectorizer(textCol: String, vecCol: String,
+                     embed: String => Array[Float]): this.type = {
+    vectorizer = Some((textCol, vecCol, embed)); this
+  }
+
+  private def vectorize(df: DataFrame): DataFrame = vectorizer match {
+    case Some((t, v, e)) =>
+      val u = udf(e)
+      if (!df.columns.contains(v)) df.withColumn(v, u(col(t)))
+      else df.withColumn(v, coalesce(col(v), u(col(t))))
+    case None => df
+  }
+
   /** Initialize / overwrite the whole table. */
-  def init(df: DataFrame): Unit = writeVersion(df)
+  def init(df: DataFrame): Unit = writeVersion(vectorize(df))
 
   /** Upsert whole objects by id (reference: crud.go:35 PutObject / batch.go:35
    * BatchPutObjects — last write wins on id collision). */
@@ -62,7 +84,7 @@ final class CollectionStore(val spark: SparkSession, val root: String,
     val id = schema.idColumn
     val current = read()
     val remaining = current.join(updates.select(col(id)), Seq(id), "left_anti")
-    writeVersion(remaining.unionByName(updates, allowMissingColumns = true))
+    writeVersion(remaining.unionByName(vectorize(updates), allowMissingColumns = true))
   }
 
   /** Partial update (PATCH) — only the columns present in `patch` (besides the
@@ -74,10 +96,24 @@ final class CollectionStore(val spark: SparkSession, val root: String,
     val patchCols = patch.columns.filterNot(_ == id)
     val renamed = patchCols.foldLeft(patch) { (d, c) => d.withColumnRenamed(c, s"__p_$c") }
     val joined = current.join(renamed, Seq(id), "left")
-    val merged = patchCols.foldLeft(joined) { (d, c) =>
+    // a PATCH that changes the vectorized text invalidates the stored vector
+    // — weaviate's merge re-vectorizes (usecases/objects/merge.go); an
+    // explicit vector in the same patch still wins (handled by the fold)
+    val needRevec = vectorizer.exists { case (t, v, _) =>
+      patchCols.contains(t) && !patchCols.contains(v) }
+    val flagged =
+      if (needRevec) joined.withColumn("__revec", col(s"__p_${vectorizer.get._1}").isNotNull)
+      else joined
+    val merged = patchCols.foldLeft(flagged) { (d, c) =>
       d.withColumn(c, coalesce(col(s"__p_$c"), col(c))).drop(s"__p_$c")
     }
-    writeVersion(merged)
+    val revectorized =
+      if (needRevec) {
+        val (t, v, e) = vectorizer.get
+        merged.withColumn(v, when(col("__revec"), udf(e).apply(col(t)))
+          .otherwise(col(v))).drop("__revec")
+      } else merged
+    writeVersion(revectorized)
   }
 
   /**

@@ -37,6 +37,35 @@ class StoreAndStreamingSpec extends SparkSpecBase {
     assert(out.toSeq == Seq((1L, "a", 99L), (2L, "b", 20L)))
   }
 
+  test("write-path vectorizer: PUT fills missing vectors, explicit vector wins, PATCH re-vectorizes") {
+    val embed: String => Array[Float] = s => Array(s.length.toFloat, 1f)
+    val dir = Files.createTempDirectory("graft-store").toString
+    val schema = CollectionSchema("V", "id", Seq(
+      Property("name", PropType.Text, Tokenization.Field)),
+      vectors = Map("default" -> "vec"), defaultVector = Some("default"))
+    val st = new CollectionStore(spark, dir, schema).withVectorizer("name", "vec", embed)
+
+    // init without a vector column → module computes it
+    st.init(Seq((1L, "abc"), (2L, "de")).toDF("id", "name"))
+    val v0 = st.read().orderBy($"id").collect().map(_.getSeq[Float](2).toSeq)
+    assert(v0.toSeq === Seq(Seq(3f, 1f), Seq(2f, 1f)))
+
+    // upsert: explicit vector wins (weaviate skips the module then);
+    // null vector → module fills
+    st.upsert(Seq((3L, "wxyz", Some(Seq(9f, 9f))), (4L, "hello", None))
+      .toDF("id", "name", "vec"))
+    val v1 = st.read().filter($"id" >= 3L).orderBy($"id").collect()
+      .map(_.getSeq[Float](2).toSeq)
+    assert(v1.toSeq === Seq(Seq(9f, 9f), Seq(5f, 1f)))
+
+    // PATCH that changes the vectorized text recomputes the stale vector,
+    // only for the patched rows
+    st.merge(Seq((1L, "abcdef")).toDF("id", "name"))
+    val v2 = st.read().orderBy($"id").collect().map(_.getSeq[Float](2).toSeq)
+    assert(v2.head === Seq(6f, 1f))   // re-vectorized
+    assert(v2(1) === Seq(2f, 1f))     // untouched row keeps its vector
+  }
+
   test("deleteWhere honors dryRun and filters") {
     val st = freshStore()
     st.init(Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("id", "name", "qty"))
