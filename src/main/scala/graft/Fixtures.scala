@@ -164,6 +164,15 @@ object Fixtures {
       tenantColumn = Some("event_type"),
       creationTimeColumn = Some("ts_nanos")), events(spark, dir))
 
+    // keyword search on the text collections serves from the postings
+    // inverted index (reference: BM25 is always index-served, BlockMax on by
+    // default — inverted/bm25_searcher.go:183-193); the engine builds the
+    // index lazily on the first keyword query against each dataset. The index
+    // covers ALL searchable text props (the reference's per-property posting
+    // lists), so any scored subset (`properties:` in the query) is servable.
+    g.registerPostings("Document", Seq("text", "lang", "source", "maybe_src"))
+    g.registerPostings("DocVec", Seq("text", "lang", "source"))
+
     g.register(CollectionSchema("Event", "event_id", Seq(
       Property("ts", Date),
       Property("user_id", Int),

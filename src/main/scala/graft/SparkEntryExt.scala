@@ -36,9 +36,10 @@ object SparkEntryExt {
       (pq, encoded)
     })
 
-  private val postingsCache = scala.collection.mutable.Map.empty[String, graft.operators.PostingsIndex]
+  // the engine's registered postings index (built lazily by the first
+  // keyword query; q_bm25_postings exercises the same artifact directly)
   private def postingsFor(gg: Graft, dir: String): graft.operators.PostingsIndex =
-    postingsCache.getOrElseUpdate(dir, Postings.build(gg.collection("Document"), "text"))
+    gg.postingsFor(gg.collection("Document")).get
 
   // IVF index over Embedding.default, persisted partitionBy(__centroid) so
   // probing is parquet partition pruning (SURVEY §4; IvfIndex scaladoc).
@@ -60,6 +61,7 @@ object SparkEntryExt {
     pqFor(gg, dir)._2.count()
     bqFor(gg, dir).count()
     postingsFor(gg, dir)
+    gg.postingsFor(gg.collection("DocVec"))
     // BM25 corpus stats (persisted termDf + length norms) are built lazily on
     // the first scoring query per collection — warm BOTH text collections so
     // the cost doesn't land on whichever bm25/hybrid query sorts first
@@ -637,7 +639,7 @@ object SparkEntryExt {
     "q_bm25_postings" -> ((s, dir) => {
       val gg = g(s, dir)
       val idx = postingsFor(gg, dir)
-      Postings.search(idx, "spark join stream window", 20)
+      Postings.search(idx, "spark join stream window", 20, props = Some(Seq("text")))
         .select(col("doc_id"), round(col(Bm25Search.ScoreCol), 4).as("score"))
     }),
 

@@ -57,9 +57,26 @@ final class Graft(val spark: SparkSession) {
   private var generator: Generate.Client = Generate.echo
   def withGenerator(g: Generate.Client): Graft = { generator = g; this }
 
+  /** Module hook: query spellchecker for nearText autocorrect (reference:
+   * entities/searchparams/retrieval.go `Autocorrect` flag; modules/
+   * text-spellcheck transforms the concepts before vectorization). */
+  private var spellchecker: Option[String => String] = None
+  def withSpellchecker(s: String => String): Graft = { spellchecker = Some(s); this }
+
   /** Resolve nearText into a nearVector (concept centroid ± moves —
    * reference: near_params_vector.go + searcher_movements.go). */
-  private def resolveNearText(nt: NearText): NearVector = {
+  private def resolveNearText(nt0: NearText): NearVector = {
+    // autocorrect runs on the raw concepts ahead of embedding, like the
+    // reference's spellcheck transformer (retrieval.go:158)
+    val nt =
+      if (!nt0.autocorrect) nt0
+      else {
+        val fix = spellchecker.getOrElse(throw new IllegalStateException(
+          "nearText.autocorrect requires a registered spellchecker (withSpellchecker)"))
+        nt0.copy(concepts = nt0.concepts.map(fix),
+          moveTo = nt0.moveTo.map(m => m.copy(concepts = m.concepts.map(fix))),
+          moveAwayFrom = nt0.moveAwayFrom.map(m => m.copy(concepts = m.concepts.map(fix))))
+      }
     val embed = embedder.getOrElse(
       throw new IllegalStateException("nearText requires a registered embedder (withEmbedder)"))
     var v = Movements.centroid(nt.concepts.map(embed))
@@ -146,6 +163,79 @@ final class Graft(val spark: SparkSession) {
     val c = collection(collectionName)
     collections += collectionName -> c.copy(vectorIndexes = c.vectorIndexes + (vectorName -> idx))
     this
+  }
+
+  /**
+   * Postings (inverted-index) registry for keyword search (reference: BM25 is
+   * ALWAYS served from the shard's inverted index there, with BlockMax WAND
+   * on by default — adapters/repos/db/inverted/bm25_searcher.go:183-193).
+   * A spec registration (props + buckets) builds lazily on the first keyword
+   * query and REBUILDS when the collection's store version changes (the
+   * async-indexing-queue analogue); a direct `PostingsIndex` registration is
+   * served while its `storeId` matches and falls back to the scan path when
+   * stale. Queries whose scored prop set doesn't match the index (or that
+   * need per-term explain columns) take the scan path too — the planner
+   * never serves a query the index can't answer exactly.
+   */
+  private val postingsIndexes =
+    scala.collection.concurrent.TrieMap.empty[String, PostingsIndex]
+  private var postingsSpecs: Map[String, (Seq[String], Int, Option[String])] = Map.empty
+
+  /** Register a lazily-built postings index spec (mirrors `registerIndex`). */
+  def registerPostings(collectionName: String, props: Seq[String],
+                       buckets: Int = 64, persistPath: Option[String] = None): Graft = {
+    val c = collection(collectionName)
+    props.foreach(p => require(c.schema.property(p).exists(_.dataType == PropType.Text),
+      s"postings: $p is not a text property of $collectionName"))
+    postingsSpecs += collectionName -> ((props, buckets, persistPath))
+    this
+  }
+
+  /** Register a prebuilt postings index (e.g. after `Postings.delta`). */
+  def registerPostings(collectionName: String, idx: PostingsIndex): Graft = {
+    postingsIndexes(collectionName) = idx
+    this
+  }
+
+  /** Current-version postings index for a collection, building/rebuilding
+   * from the registered spec when needed. */
+  private[graft] def postingsFor(c: Collection): Option[PostingsIndex] =
+    postingsIndexes.get(c.name)
+      .filter(_.storeId == System.identityHashCode(c.df))
+      .orElse(postingsSpecs.get(c.name).map { case (props, buckets, path) =>
+        val built = Postings.build(c, props, buckets, path)
+        postingsIndexes(c.name) = built
+        built
+      })
+
+  /**
+   * Keyword-search planner — the scan-vs-index strategy choice (the keyword
+   * mirror of `IvfIndex.searchOrScan`): serve from the registered postings
+   * index when its prop set matches the query's scored props; otherwise
+   * scan+score (Bm25Search). The where-filter becomes the allowlist semi-join
+   * before scoring either way (reference: shard_read.go:536-550). The index
+   * path returns (id, _score) so the page is decorated by a tiny
+   * hits ⋈ collection join (the reference's fetch-objects-by-docid step);
+   * at scale that join broadcasts the k hits and reads only the projected
+   * columns of the corpus — never tokenizes or scores it.
+   */
+  private def bm25Serve(c: Collection, kw: Bm25, fetchN: Int, filtered: DataFrame): DataFrame = {
+    val id = c.schema.idColumn
+    val specs =
+      if (kw.properties.nonEmpty) Bm25Search.parseProps(kw.properties)
+      else c.schema.properties.filter(p => p.dataType == PropType.Text && p.indexSearchable)
+        .map(p => Bm25Search.PropSpec(p.name, 1.0))
+    postingsFor(c).filter(idx => specs.map(_.name).toSet.subsetOf(idx.props.toSet)) match {
+      case Some(idx) =>
+        val allow = if (filtered eq c.df) None else Some(filtered.select(col(id)))
+        val hits = Postings.searchPruned(idx, kw.query, fetchN, kw.searchOperator,
+          kw.k1, kw.b, allowlist = allow,
+          boosts = specs.map(s => s.name -> s.boost).toMap,
+          props = Some(specs.map(_.name)))
+        hits.join(filtered, Seq(id), "inner")
+          .orderBy(col(Bm25Search.ScoreCol).desc, col(id).asc)
+      case None => Bm25Search.search(c, kw, fetchN, Some(filtered))
+    }
   }
 
   /** Attach a muvera fixed-dim encoding to a multi-vector column (reference:
@@ -268,7 +358,7 @@ final class Graft(val spark: SparkSession) {
               if (hasFilter) Some(filtered) else None)
         }
       }).orElse(params.bm25.map { kw =>
-        Bm25Search.search(c, kw, fetchLimit.getOrElse(defaultLimit), Some(filtered))
+        bm25Serve(c, kw, fetchLimit.getOrElse(defaultLimit), filtered)
       }).orElse(params.hybrid.map { h =>
         // nearText subsearches resolve through the embedder here (the module
         // boundary), so the operator layer only ever sees vectors
@@ -283,7 +373,8 @@ final class Graft(val spark: SparkSession) {
           else h
         HybridSearch.search(c, resolved, resolved.metric, fetchLimit.getOrElse(defaultLimit),
           filtered = Some(filtered),
-          denseSearch = Some((nv, n) => vectorLeg(nv, limitOverride = Some(n))))
+          denseSearch = Some((nv, n) => vectorLeg(nv, limitOverride = Some(n))),
+          sparseSearch = Some((kw, n) => bm25Serve(c, kw, n, filtered)))
       }).getOrElse(filtered)
 
     val isSearch = legCount > 0
@@ -472,6 +563,12 @@ final class Graft(val spark: SparkSession) {
       require(params.objectLimit.isDefined || nv.distance.orElse(nv.certainty).isDefined,
         "must provide certainty or objectLimit with vector search" /* traverser_aggregate.go:74 */)
     }
+    // hybrid gets the same gate: without objectLimit the aggregation would
+    // silently run unscoped over the whole filtered collection (reference:
+    // the hybrid aggregator always carries a bounded result list,
+    // aggregator/hybrid.go:27-67)
+    require(params.hybrid.isEmpty || params.objectLimit.isDefined,
+      "must provide objectLimit with hybrid search")
     val scoped: Option[DataFrame] = (nearResolved, params.hybrid, params.objectLimit) match {
       case (Some(nv), _, lim) =>
         val idx =
@@ -481,7 +578,18 @@ final class Graft(val spark: SparkSession) {
         Some(graft.ann.IvfIndex.searchOrScan(c, idx, nv, lim, filtered,
           flatSearchCutoff = flatSearchCutoff))
       case (_, Some(h), Some(lim)) =>
-        Some(HybridSearch.search(c, h, h.metric, lim, filtered = filtered))
+        // hybrid legs route through the same planners as Get's (postings for
+        // the sparse leg, registered ANN index for the dense leg)
+        Some(HybridSearch.search(c, h, h.metric, lim, filtered = filtered,
+          denseSearch = Some((nv, n) => {
+            val idx =
+              if (nv.targetVectors.size > 1) None
+              else nv.targetVectors.headOption.orElse(c.schema.defaultVector)
+                .flatMap(c.vectorIndexes.get)
+            graft.ann.IvfIndex.searchOrScan(c, idx, nv, Some(n), filtered,
+              flatSearchCutoff = flatSearchCutoff)
+          }),
+          sparseSearch = Some((kw, n) => bm25Serve(c, kw, n, filtered.getOrElse(c.df)))))
       case _ => filtered
     }
     Aggregations.run(c, params, scoped)

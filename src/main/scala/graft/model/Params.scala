@@ -57,7 +57,8 @@ final case class NearText(
     certainty: Option[Double] = None,
     moveTo: Option[MoveParams] = None,
     moveAwayFrom: Option[MoveParams] = None,
-    targetVectors: Seq[String] = Nil)
+    targetVectors: Seq[String] = Nil,
+    autocorrect: Boolean = false)         // spellcheck module hook (retrieval.go:152-160)
 
 /** Media kinds for nearImage/nearAudio/… (reference: grpc/proto/v1/
  * search_get.proto:42-47 — one base64-payload message per modality). */

@@ -37,12 +37,19 @@ object HybridSearch {
       // VectorSearch.DistanceCol — lets the hybrid dense leg route through the
       // registered ANN index + filter-selectivity planner instead of always
       // brute-forcing (reference: hybrid legs share the shard's vector index)
-      denseSearch: Option[(NearVector, Int) => DataFrame] = None): DataFrame = {
+      denseSearch: Option[(NearVector, Int) => DataFrame] = None,
+      // engine-injected keyword search (Bm25, fetchN) → frame carrying
+      // (id, Bm25Search.ScoreCol) — lets the sparse leg serve from the
+      // registered postings index instead of full-scan scoring (reference:
+      // the hybrid sparse leg IS the shard's inverted index,
+      // hybrid/searcher.go sparseSearch → bm25 objects search)
+      sparseSearch: Option[(graft.model.Bm25, Int) => DataFrame] = None): DataFrame = {
     val fetchN = math.max(limit, overfetch)
     val id = c.schema.idColumn
 
     def bm25Leg(kw: graft.model.Bm25): DataFrame =
-      Bm25Search.search(c, kw, fetchN, filtered)
+      sparseSearch.map(f => f(kw, fetchN))
+        .getOrElse(Bm25Search.search(c, kw, fetchN, filtered))
         .select(col(id), col(Bm25Search.ScoreCol).as("__s"))
 
     def denseLeg(nv: NearVector): DataFrame =
