@@ -157,6 +157,26 @@ final class Graft(val spark: SparkSession) {
   private var flatSearchCutoff: Long = 40000L
   def withFlatSearchCutoff(n: Long): Graft = { flatSearchCutoff = n; this }
 
+  /**
+   * Estimated row count of a filtered frame for the flatSearchCutoff
+   * decision. The reference reads this cardinality ~free from its filter
+   * bitmap popcount (inverted/searcher.go); the Spark analogues, in order:
+   * (1) Catalyst's stats rowCount when the optimized plan carries one (zero
+   * jobs); (2) a CAPPED count — count over limit(cutoff) — whose per-
+   * partition work stops at `cutoff` rows regardless of collection size, and
+   * whose result min(n, cutoff) is exactly enough to answer "at or above the
+   * cutoff?", the only question the planner asks. Never a full count of the
+   * filtered frame (the pre-r7 implementation scanned it once for the count
+   * and then possibly again for the brute-force search).
+   */
+  private[graft] def selectivityEstimate(filtered: DataFrame, idCol: String): Long =
+    filtered.queryExecution.optimizedPlan.stats.rowCount match {
+      case Some(rc) => rc.toLong
+      case None =>
+        val cap = math.min(flatSearchCutoff, Int.MaxValue.toLong).toInt
+        filtered.select(col(idCol)).limit(cap).count()
+    }
+
   /** Attach a batch-built ANN index to a named vector (reference: per-shard
    * vector index registry; planner choice in IvfIndex.searchOrScan). */
   def registerIndex(collectionName: String, vectorName: String, idx: graft.ann.IvfIndex): Graft = {
@@ -319,9 +339,9 @@ final class Graft(val spark: SparkSession) {
     // where/tenant filtering ⇒ selectivity decides: a small allowlist is
     // brute-forced, a large one probes the registered ANN index and
     // intersects (IvfIndex.searchOrScan — the flatSearchCutoff/ACORN
-    // analogue). The filtered count is one cheap aggregate over the filter
-    // columns only (at cluster scale: catalog/statistics estimate instead),
-    // and is only paid when an index could actually serve the query.
+    // analogue). The selectivity estimate is bounded work (stats or a
+    // cutoff-capped count — see selectivityEstimate), and is only paid when
+    // an index could actually serve the query.
     val hasFilter = !(filtered eq c.df)
     def vectorLeg(nv: NearVector, limitOverride: Option[Int] = None): DataFrame = {
       val idx =
@@ -330,7 +350,7 @@ final class Graft(val spark: SparkSession) {
           .flatMap(c.vectorIndexes.get)
       val hint =
         if (hasFilter && idx.isDefined && nv.distance.orElse(nv.certainty).isEmpty)
-          Some(filtered.count())
+          Some(selectivityEstimate(filtered, id))
         else None
       graft.ann.IvfIndex.searchOrScan(c, idx, nv,
         limitOverride.orElse(nearLimit(nv.distance.orElse(nv.certainty).isDefined)),

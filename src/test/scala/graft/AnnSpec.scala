@@ -104,6 +104,22 @@ class AnnSpec extends SparkSpecBase {
     assert(strong.select($"vec_id").collect().map(_.getLong(0)).toSeq == truthStrong)
   }
 
+  test("selectivity probe is bounded by the cutoff (no full count of the filtered frame)") {
+    import graft.engine.Graft
+    // stats path: a frame whose optimized plan carries a rowCount costs ZERO
+    // jobs (Range exposes rowCount in Catalyst stats)
+    val engA = new Graft(spark).withFlatSearchCutoff(100)
+    val ranged = spark.range(12345).toDF("id")
+    assert(engA.selectivityEstimate(ranged, "id") == 12345L)
+    // capped path: a filter without stats runs count-over-limit(cutoff), so
+    // the estimate is min(n, cutoff) — a full count would return n and this
+    // assert is exactly what fails if someone reverts to filtered.count()
+    val filtered = spark.range(5000).toDF("id").filter($"id" % 2 === 0) // 2500 rows
+    assert(engA.selectivityEstimate(filtered, "id") == 100L)
+    val engB = new Graft(spark).withFlatSearchCutoff(40000)
+    assert(engB.selectivityEstimate(filtered, "id") == 2500L)
+  }
+
   test("hybrid dense leg routes through a registered index (partition-pruned)") {
     import graft.engine.Graft
     import graft.model._
