@@ -56,12 +56,17 @@ object Generate {
     if (parts.isEmpty) lit(prompt) else concat(parts.toSeq: _*)
   }
 
-  /** singleResult: one generation per result row. */
+  /** singleResult: one generation per result row. A null prompt (null
+   * templated property) yields a null `_generate` WITHOUT invoking the client
+   * — the reference records a per-result error and a nil singleResult there
+   * (generative.go:96-99); Scala UDFs are not null-skipped for String args,
+   * so the guard lives inside the UDF. */
   def single(page: DataFrame, prompt: String, resolve: String => Column,
              client: Client): DataFrame = {
     val tpl = singlePromptColumn(prompt, resolve)
     if (client eq echo) page.withColumn(SingleCol, tpl)
-    else page.withColumn(SingleCol, udf(client).apply(tpl))
+    else page.withColumn(SingleCol,
+      udf((s: String) => if (s == null) null else client(s)).apply(tpl))
   }
 
   /**
@@ -79,9 +84,12 @@ object Generate {
       propCols.map { case (n, c) => c.cast("string").as(n) }: _*).collect()
     if (rows.isEmpty) return page.withColumn(GroupedCol, lit(null).cast("string"))
     val names = propCols.map(_._1)
+    // rows whose selected properties are ALL null drop out of the JSON array
+    // entirely — the reference filters empty Text maps before marshalling
+    // (generative.Texts → MakeTaskPrompt)
     val maps: Seq[Map[String, String]] = rows.toSeq.map { r =>
       names.flatMap(n => Option(r.getAs[String](n)).map(n -> _)).toMap
-    }
+    }.filter(_.nonEmpty)
     val m = Placeholder.matcher(task)
     val sb = new StringBuilder
     var last = 0

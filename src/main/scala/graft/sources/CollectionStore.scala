@@ -67,9 +67,15 @@ final class CollectionStore(val spark: SparkSession, val root: String,
     vectorizer = Some((textCol, vecCol, embed)); this
   }
 
+  /** Embed UDF with a null guard: a null text value yields a null vector
+   * instead of handing null to the module client (Scala UDFs are not
+   * null-skipped for String args). */
+  private def embedUdf(e: String => Array[Float]) =
+    udf((s: String) => if (s == null) null else e(s))
+
   private def vectorize(df: DataFrame): DataFrame = vectorizer match {
     case Some((t, v, e)) =>
-      val u = udf(e)
+      val u = embedUdf(e)
       if (!df.columns.contains(v)) df.withColumn(v, u(col(t)))
       else df.withColumn(v, coalesce(col(v), u(col(t))))
     case None => df
@@ -98,19 +104,24 @@ final class CollectionStore(val spark: SparkSession, val root: String,
     val joined = current.join(renamed, Seq(id), "left")
     // a PATCH that changes the vectorized text invalidates the stored vector
     // — weaviate's merge re-vectorizes (usecases/objects/merge.go); an
-    // explicit vector in the same patch still wins (handled by the fold)
-    val needRevec = vectorizer.exists { case (t, v, _) =>
-      patchCols.contains(t) && !patchCols.contains(v) }
+    // explicit vector still wins. The decision is PER-ROW, not per-patch: a
+    // patch frame may carry both columns with some rows supplying text only —
+    // those rows re-vectorize, rows that brought their own vector keep it.
+    val needRevec = vectorizer.exists { case (t, _, _) => patchCols.contains(t) }
     val flagged =
-      if (needRevec) joined.withColumn("__revec", col(s"__p_${vectorizer.get._1}").isNotNull)
-      else joined
+      if (needRevec) {
+        val (t, v, _) = vectorizer.get
+        val vecProvided =
+          if (patchCols.contains(v)) col(s"__p_$v").isNotNull else lit(false)
+        joined.withColumn("__revec", col(s"__p_$t").isNotNull && !vecProvided)
+      } else joined
     val merged = patchCols.foldLeft(flagged) { (d, c) =>
       d.withColumn(c, coalesce(col(s"__p_$c"), col(c))).drop(s"__p_$c")
     }
     val revectorized =
       if (needRevec) {
         val (t, v, e) = vectorizer.get
-        merged.withColumn(v, when(col("__revec"), udf(e).apply(col(t)))
+        merged.withColumn(v, when(col("__revec"), embedUdf(e).apply(col(t)))
           .otherwise(col(v))).drop("__revec")
       } else merged
     writeVersion(revectorized)

@@ -42,6 +42,19 @@ class GenerateSpec extends SparkSpecBase {
     assert(out.head.getString(1) === "GEN(2)")
   }
 
+  test("non-echo client is never invoked with a null prompt (null-guarded UDF)") {
+    // row 3's body is null → null prompt; an unguarded UDF would hand the
+    // client null and this client would NPE on p.length
+    val out = mkGraft.withGenerator(p => s"GEN(${p.length})")
+      .get(GetParams("D",
+        pagination = Some(Pagination(limit = 10)),
+        properties = Seq("id"),
+        generate = Some(GenerateParams(singlePrompt = Some("{body}")))))
+      .orderBy("id").collect()
+    assert(out.map(r => Option(r.getString(1))).toSeq ===
+      Seq(Some("GEN(10)"), Some("GEN(9)"), None))
+  }
+
   test("groupedResult: one prompt over the page, attached to the first row") {
     val out = mkGraft.get(GetParams("D",
       pagination = Some(Pagination(limit = 2)),
@@ -57,7 +70,7 @@ class GenerateSpec extends SparkSpecBase {
     assert(out(1).isNullAt(1))
   }
 
-  test("groupedResult omits null properties from the JSON, like the reference") {
+  test("groupedResult drops all-null rows from the JSON, like the reference") {
     val out = mkGraft.get(GetParams("D",
       pagination = Some(Pagination(limit = 3)),
       properties = Seq("id"),
@@ -65,8 +78,10 @@ class GenerateSpec extends SparkSpecBase {
         groupedTask = Some("t"),
         groupedProperties = Seq("body")))))
       .orderBy("id").collect()
+    // the third row's only selected property is null → its empty map is
+    // filtered out entirely (generative.Texts drops empty Text maps)
     assert(out(0).getString(1) ===
-      """t: [{"body":"alpha text"},{"body":"beta text"},{}]""")
+      """t: [{"body":"alpha text"},{"body":"beta text"}]""")
   }
 
   test("groupedResult without a bounded page fails loudly") {

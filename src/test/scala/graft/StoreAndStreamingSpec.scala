@@ -64,6 +64,29 @@ class StoreAndStreamingSpec extends SparkSpecBase {
     val v2 = st.read().orderBy($"id").collect().map(_.getSeq[Float](2).toSeq)
     assert(v2.head === Seq(6f, 1f))   // re-vectorized
     assert(v2(1) === Seq(2f, 1f))     // untouched row keeps its vector
+
+    // PATCH carrying BOTH columns decides per-row: a row with text but a null
+    // vector re-vectorizes; a row that brought its own vector keeps it
+    st.merge(Seq(
+      (2L, "defghi", Option.empty[Seq[Float]]),   // text-only → re-vectorize
+      (4L, "zz", Some(Seq(7f, 7f)))               // explicit vector wins
+    ).toDF("id", "name", "vec"))
+    val v3 = st.read().orderBy($"id").collect().map(_.getSeq[Float](2).toSeq)
+    assert(v3(1) === Seq(6f, 1f), "text-changed row must re-vectorize")
+    assert(v3(3) === Seq(7f, 7f), "explicit patch vector must win")
+  }
+
+  test("write-path vectorizer null-guards the module client (null text → null vector)") {
+    val embed: String => Array[Float] = s => Array(s.length.toFloat)
+    val dir = Files.createTempDirectory("graft-store").toString
+    val schema = CollectionSchema("V", "id", Seq(
+      Property("name", PropType.Text, Tokenization.Field)),
+      vectors = Map("default" -> "vec"), defaultVector = Some("default"))
+    val st = new CollectionStore(spark, dir, schema).withVectorizer("name", "vec", embed)
+    st.init(Seq((1L, "abc"), (2L, null.asInstanceOf[String])).toDF("id", "name"))
+    val rows = st.read().orderBy($"id").collect()
+    assert(rows(0).getSeq[Float](2) === Seq(3f))
+    assert(rows(1).isNullAt(2), "null text must yield a null vector, not an NPE")
   }
 
   test("deleteWhere honors dryRun and filters") {
