@@ -44,7 +44,12 @@ object Fixtures {
 
   private def build(spark: SparkSession, dir: String): Graft = {
     import PropType._
+    // the driver's declared queries include full-collection filter scans at
+    // any SF, so the harness raises the results cap (a deployment config,
+    // like the reference's QUERY_MAXIMUM_RESULTS env); the engine default
+    // stays 10000 and is spec-pinned
     val g = new Graft(spark).withEmbedder(hashEmbedder(64))
+      .withQueryMaximumResults(scala.Int.MaxValue)
 
     g.register(CollectionSchema("Region", "r_regionkey", Seq(
       Property("r_name", Text))), t(spark, dir, "region"))

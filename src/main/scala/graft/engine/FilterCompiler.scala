@@ -29,8 +29,160 @@ final class FilterCompiler(resolve: String => Collection) {
 
   /** Apply `where` to the collection's DataFrame, returning the filtered frame. */
   def apply(df: DataFrame, schema: CollectionSchema, where: Where): DataFrame = {
+    validate(schema, where)
     val (prepared, col) = compile(df, schema, where, 0)
     prepared.filter(col).drop(prepared.columns.filter(_.startsWith("__ref_match_")): _*)
+  }
+
+  // --- validation (reference: entities/filters/filters_validator.go) --------
+
+  private val comparisonOps: Set[WhereOp] = Set(WhereOp.Equal, WhereOp.NotEqual,
+    WhereOp.GreaterThan, WhereOp.GreaterThanEqual, WhereOp.LessThan, WhereOp.LessThanEqual)
+
+  private def valueName(v: FilterValue): String = v match {
+    case FilterValue.IntV(_)            => "valueInt"
+    case FilterValue.NumberV(_)         => "valueNumber"
+    case FilterValue.TextV(_)           => "valueText"
+    case FilterValue.BoolV(_)           => "valueBoolean"
+    case FilterValue.DateV(_)           => "valueDate"
+    case FilterValue.GeoRangeV(_, _, _) => "valueGeoRange"
+    case FilterValue.ListV(vs)          => vs.headOption.map(valueName).getOrElse("empty list")
+  }
+
+  private def expectedName(t: PropType): String = t match {
+    case PropType.Text | PropType.Uuid => "valueText"
+    case PropType.Int                  => "valueInt"
+    case PropType.Number               => "valueNumber"
+    case PropType.Bool                 => "valueBoolean"
+    case PropType.Date                 => "valueDate"
+    case PropType.Geo                  => "valueGeoRange"
+    case PropType.Arr(b)               => expectedName(b)
+    case other                         => other.name
+  }
+
+  private def valueMatches(t: PropType, v: FilterValue): Boolean = (t, v) match {
+    case (PropType.Arr(b), _)                             => valueMatches(b, v)
+    case (_, FilterValue.ListV(vs))                       => vs.nonEmpty && vs.forall(valueMatches(t, _))
+    case (PropType.Text | PropType.Uuid, FilterValue.TextV(_)) => true
+    case (PropType.Int, FilterValue.IntV(_))              => true
+    case (PropType.Number, FilterValue.NumberV(_))        => true
+    case (PropType.Bool, FilterValue.BoolV(_))            => true
+    case (PropType.Date, FilterValue.DateV(_))            => true
+    case _                                                => false
+  }
+
+  private def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
+
+  /**
+   * Type-vs-operator validation matrix (reference: entities/filters/
+   * filters_validator.go) — friendly, weaviate-shaped errors instead of
+   * downstream Spark analysis failures. Divergences from the reference,
+   * both forced by ids being schema-typed here instead of uuid-text:
+   * `_id` accepts valueInt as well as valueText; the timestamp pseudo-props
+   * accept valueInt (epoch) as well as valueDate/valueText.
+   */
+  private[graft] def validate(schema: CollectionSchema, w: Where): Unit = w.op match {
+    case WhereOp.And | WhereOp.Or =>
+      if (w.operands.isEmpty) fail(s"empty ${w.op.name}: at least one operand required")
+      w.operands.foreach(validate(schema, _))
+    case WhereOp.Not =>
+      if (w.operands.size != 1) fail("Not takes exactly one operand")
+      validate(schema, w.operands.head)
+    case op => validateLeaf(schema, w, op)
+  }
+
+  private val LenPathRe = "len\\((.+)\\)".r
+
+  private def validateLeaf(schema: CollectionSchema, w: Where, op: WhereOp): Unit = {
+    val v = w.value.getOrElse(fail(s"operator ${op.name} on ${w.path.mkString("/")}: value required"))
+    if (w.path.isEmpty) fail(s"operator ${op.name}: property path required")
+
+    // IsNull composes with ANY property type but requires a boolean value
+    // (filters_validator.go:119-124)
+    if (op == WhereOp.IsNull) {
+      if (!v.isInstanceOf[FilterValue.BoolV])
+        fail(s"operator IsNull requires a booleanValue, got ${valueName(v)} instead")
+      return
+    }
+
+    w.path.head match {
+      // property-length filter (filters_validator.go:127-143)
+      case LenPathRe(inner) =>
+        val iv = v match {
+          case FilterValue.IntV(x) => x
+          case other => fail(s"Filtering for property length requires valueInt, got ${valueName(other)} instead")
+        }
+        if (!comparisonOps.contains(op))
+          fail("Filtering for property length supports operators (not) equal and " +
+            s"greater/less than (equal), got ${op.name} instead")
+        if (iv < 0) fail(s"Can only filter for positive property length got $iv instead")
+        if (schema.property(inner).isEmpty && inner != schema.idColumn)
+          fail(s"no such prop with name '$inner' found in class '${schema.name}'")
+        return
+      // metadata pseudo-props (filters_validator.go:210-228)
+      case "_id" =>
+        if (!comparisonOps.contains(op))
+          fail(s"""using ["_id"]: operator ${op.name} is not supported on the id property""")
+        v match {
+          case FilterValue.TextV(_) | FilterValue.IntV(_) => ()
+          case other => fail(s"""using ["_id"] to filter by id: must use valueText or valueInt, got ${valueName(other)}""")
+        }
+        return
+      case p @ ("_creationTimeUnix" | "_lastUpdateTimeUnix") =>
+        if (!comparisonOps.contains(op))
+          fail(s"""using ["$p"]: operator ${op.name} is not supported on timestamps""")
+        v match {
+          case FilterValue.DateV(_) | FilterValue.TextV(_) | FilterValue.IntV(_) => ()
+          case other => fail(s"""using ["$p"] to filter by timestamp: must use valueDate, valueText or valueInt, got ${valueName(other)}""")
+        }
+        return
+      case _ => ()
+    }
+
+    val prop = schema.property(w.path.head).getOrElse(
+      if (w.path.head == schema.idColumn) Property(schema.idColumn, PropType.Uuid)
+      else fail(s"no such prop with name '${w.path.head}' found in class '${schema.name}'"))
+
+    prop.dataType match {
+      // cross-reference descent: validate the tail against the target class
+      // (validateClause recursion over the ref path)
+      case PropType.Ref if w.path.length >= 2 =>
+        val target = resolve(prop.refTarget.getOrElse(w.path(1)))
+        validate(target.schema, w.copy(path = w.path.drop(2)))
+      // directly on a ref prop only valueInt counts edges (filters_validator.go:150-161)
+      case PropType.Ref =>
+        if (!v.isInstanceOf[FilterValue.IntV] && !(v match {
+          case FilterValue.ListV(vs) => vs.forall(_.isInstanceOf[FilterValue.IntV])
+          case _ => false
+        }))
+          fail(s"""Property "${w.path.head}" is a ref prop to the class "${prop.refTarget.getOrElse("?")}". Only "valueInt" can be used on a ref prop directly to count the number of refs. Or did you mean to filter on a primitive prop of the referenced class? In this case make sure your path contains 3 elements in the form of [<propName>, <ClassNameOfReferencedClass>, <primitivePropOnClass>]""")
+      // nested object[] descent: sub-schemas are untyped here (PropType.Obj
+      // carries no fields), so element-level value typing is checked at
+      // execution; the structural rules still apply
+      case PropType.Arr(PropType.Obj) if w.path.length >= 2 => ()
+      case PropType.Obj if w.path.length >= 2 => ()
+      // geo: WithinGeoRange with a non-negative radius, and nothing else
+      // (the reference validates the GeoRange shape in filters.go)
+      case PropType.Geo =>
+        if (op != WhereOp.WithinGeoRange)
+          fail(s"operator ${op.name} is not supported on geoCoordinates property '${w.path.head}' — use WithinGeoRange (or IsNull)")
+        v match {
+          case FilterValue.GeoRangeV(_, _, d) =>
+            if (d < 0) fail(s"max distance must be non-negative, got $d")
+          case other => fail(s"WithinGeoRange requires valueGeoRange, got ${valueName(other)} instead")
+        }
+      case PropType.Phone | PropType.Obj => () // struct gate lives in leaf()
+      case t =>
+        if (op == WhereOp.WithinGeoRange)
+          fail(s"operator WithinGeoRange requires a geoCoordinates property, '${w.path.head}' is ${t.name}")
+        else if (op == WhereOp.Like) {
+          if (t != PropType.Text && t != PropType.Uuid && t != PropType.Arr(PropType.Text))
+            fail(s"operator Like is only supported on text properties, '${w.path.head}' is ${t.name}")
+          if (!v.isInstanceOf[FilterValue.TextV])
+            fail(s"operator Like requires valueText, got ${valueName(v)} instead")
+        } else if (!valueMatches(t, v))
+          fail(s"""data type filter cannot use "${valueName(v)}" on type "${t.name}", use "${expectedName(t)}" instead""")
+    }
   }
 
   /** Compile to (possibly ref-join-augmented DataFrame, predicate Column). */

@@ -157,6 +157,15 @@ final class Graft(val spark: SparkSession) {
   private var flatSearchCutoff: Long = 40000L
   def withFlatSearchCutoff(n: Long): Graft = { flatSearchCutoff = n; this }
 
+  /** QueryMaximumResults analogue (reference: adapters/repos/db/search.go
+   * getTotalLimit — offset+limit may not exceed QUERY_MAXIMUM_RESULTS,
+   * default 10000 in usecases/config/config_handler.go; requesting more is
+   * "query maximum results exceeded"). A limit-less Get is CLAMPED to the cap
+   * instead of returning the whole collection; distance/certainty radius
+   * searches bypass it like the reference's LimitFlagSearchByDist. */
+  private var queryMaximumResults: Long = 10000L
+  def withQueryMaximumResults(n: Long): Graft = { queryMaximumResults = n; this }
+
   /**
    * Estimated row count of a filtered frame for the flatSearchCutoff
    * decision. The reference reads this cardinality ~free from its filter
@@ -464,12 +473,28 @@ final class Graft(val spark: SparkSession) {
       case None => sorted
     }
 
+    // radius searches return every row inside the threshold — the reference's
+    // LimitFlagSearchByDist bypasses the results cap for them (search.go:57-59)
+    val radiusSearch = Seq(
+      params.nearVector.map(nv => nv.distance.orElse(nv.certainty).isDefined),
+      params.nearObject.map(no => no.distance.orElse(no.certainty).isDefined),
+      params.nearText.map(nt => nt.distance.orElse(nt.certainty).isDefined),
+      params.nearMedia.map(nm => nm.distance.orElse(nm.certainty).isDefined))
+      .flatten.exists(identity) && params.pagination.isEmpty && params.cursor.isEmpty
+
     val paged = params.pagination match {
-      case Some(p) if p.offset > 0 => groupedOrSorted.offset(p.offset).limit(p.limit)
-      case Some(p)                 => groupedOrSorted.limit(p.limit)
+      case Some(p) =>
+        require(p.offset.toLong + p.limit.toLong <= queryMaximumResults,
+          "query maximum results exceeded" /* search.go getTotalLimit */)
+        if (p.offset > 0) groupedOrSorted.offset(p.offset).limit(p.limit)
+        else groupedOrSorted.limit(p.limit)
       case None => params.cursor match {
-        case Some(cur) => groupedOrSorted.limit(cur.limit)
-        case None      => groupedOrSorted
+        case Some(cur) =>
+          require(cur.limit.toLong <= queryMaximumResults, "query maximum results exceeded")
+          groupedOrSorted.limit(cur.limit)
+        case None if radiusSearch                         => groupedOrSorted
+        case None if queryMaximumResults >= Int.MaxValue  => groupedOrSorted
+        case None => groupedOrSorted.limit(queryMaximumResults.toInt)
       }
     }
 

@@ -84,6 +84,40 @@ class EngineSpec extends SparkSpecBase {
       pagination = Some(Pagination(limit = 5, offset = 3)), properties = Seq("o_orderkey"))))
   }
 
+  test("QueryMaximumResults caps limit-less Get and rejects oversized pages") {
+    import graft.engine.{Collection, Graft}
+    val df = (1L to 50L).map(i => (i, s"row$i")).toDF("id", "name")
+    val eng = new Graft(spark).withQueryMaximumResults(20)
+    eng.register(Collection(CollectionSchema("C", "id", Seq(
+      Property("name", PropType.Text, Tokenization.Field))), df))
+    // limit-less Get clamps to the cap (reference: a query above
+    // QUERY_MAXIMUM_RESULTS cannot materialize)
+    assert(eng.get(GetParams("C")).count() == 20)
+    // explicit pages above the cap error like search.go getTotalLimit
+    val e = intercept[IllegalArgumentException] {
+      eng.get(GetParams("C", pagination = Some(Pagination(offset = 15, limit = 10))))
+    }
+    assert(e.getMessage.contains("query maximum results exceeded"))
+    intercept[IllegalArgumentException] {
+      eng.get(GetParams("C", cursor = Some(Cursor(None, 25))))
+    }
+    // in-cap pages unaffected
+    assert(eng.get(GetParams("C", pagination = Some(Pagination(limit = 20)))).count() == 20)
+  }
+
+  test("radius search bypasses the results cap (LimitFlagSearchByDist)") {
+    // 30 identical vectors, cap 10: a distance-threshold search must return
+    // all 30 (the reference exempts SearchByVectorDistance from the cap)
+    import graft.engine.{Collection, Graft}
+    val df = (1L to 30L).map(i => (i, Seq(1.0f, 0.0f))).toDF("id", "vec")
+    val eng = new Graft(spark).withQueryMaximumResults(10)
+    eng.register(Collection(CollectionSchema("R", "id", Nil,
+      vectors = Map("default" -> "vec"), defaultVector = Some("default")), df))
+    val out = eng.get(GetParams("R",
+      nearVector = Some(NearVector(Array(1.0f, 0.0f), Metric.L2Squared, distance = Some(0.5)))))
+    assert(out.count() == 30)
+  }
+
   test("multi-target Minimum combination = least of per-target distances") {
     val rows = g.get(GetParams("Embedding",
       nearVector = Some(NearVector(Fixtures.anchorVector(g, 11L), metric = Metric.L2Squared,

@@ -165,4 +165,52 @@ class FilterCompilerSpec extends SparkSpecBase {
     assert(ids(Where.and(friendInEng, Where.eqText("dept", "engineering"))) == Seq(1L))
     assert(ids(Where.or(friendInEng, Where.eqText("dept", "sales"))) == Seq(1L, 2L, 4L))
   }
+
+  test("validation matrix rejects invalid type/operator combos with friendly errors") {
+    import FilterValue._
+    // (clause, expected error fragment) — the type-vs-operator matrix of
+    // entities/filters/filters_validator.go
+    val cases: Seq[(Where, String)] = Seq(
+      Where.like("age", "3*")                          -> "only supported on text",
+      Where.eqText("age", "x")                         -> "use \"valueInt\" instead",
+      Where.eqInt("name", 3L)                          -> "use \"valueText\" instead",
+      Where.gtNum("age", 1.5)                          -> "use \"valueInt\" instead",
+      Where.gtInt("rating", 3L)                        -> "use \"valueNumber\" instead",
+      Where.eqBool("name", true)                       -> "use \"valueText\" instead",
+      Where(WhereOp.ContainsAny, Seq("age"),
+        Some(ListV(Seq(TextV("x")))))                  -> "use \"valueInt\" instead",
+      Where(WhereOp.IsNull, Seq("age"),
+        Some(IntV(1L)))                                -> "requires a booleanValue",
+      Where.gtInt("len(name)", -1L)                    -> "positive property length",
+      Where(WhereOp.Like, Seq("len(name)"),
+        Some(IntV(1L)))                                -> "property length supports operators",
+      Where(WhereOp.GreaterThan, Seq("len(name)"),
+        Some(NumberV(1.0)))                            -> "requires valueInt",
+      Where.gtInt("len(nope)", 1L)                     -> "no such prop",
+      Where.eqText("city_id", "Berlin")                -> "is a ref prop",
+      Where.eqText("nope", "x")                        -> "no such prop",
+      Where(WhereOp.WithinGeoRange, Seq("name"),
+        Some(GeoRangeV(1, 2, 3)))                      -> "requires a geoCoordinates property",
+      Where(WhereOp.Equal, Seq("_id"),
+        Some(BoolV(true)))                             -> "must use valueText or valueInt",
+      Where(WhereOp.Like, Seq("_id"),
+        Some(TextV("x*")))                             -> "not supported on the id property")
+    cases.foreach { case (w, frag) =>
+      val e = intercept[IllegalArgumentException] { ids(w) }
+      assert(e.getMessage.toLowerCase.contains(frag.toLowerCase),
+        s"for $w expected '$frag', got: ${e.getMessage}")
+    }
+    // invalid leaves are rejected inside compound trees too
+    val bad = Where.and(Where.eqText("dept", "engineering"), Where.like("age", "3*"))
+    intercept[IllegalArgumentException] { ids(bad) }
+    // geo: negative radius rejected; ref tail validated against the TARGET class
+    val g2 = Fixtures.graft(spark, "/root/testdata/sf0.001")
+    intercept[IllegalArgumentException] {
+      g2.get(GetParams("Customer",
+        where = Some(Where.withinGeoRange("geo", 1, 2, -5)), properties = Seq("c_custkey")))
+        .collect()
+    }
+    val refTail = intercept[IllegalArgumentException] { ids(Where.eqInt("city_id/City/cname", 1L)) }
+    assert(refTail.getMessage.contains("valueText"))
+  }
 }
