@@ -49,6 +49,7 @@ object Fixtures {
     // like the reference's QUERY_MAXIMUM_RESULTS env); the engine default
     // stays 10000 and is spec-pinned
     val g = new Graft(spark).withEmbedder(hashEmbedder(64))
+      .withSpellchecker(spellFix)
       .withQueryMaximumResults(scala.Int.MaxValue)
 
     g.register(CollectionSchema("Region", "r_regionkey", Seq(
@@ -211,6 +212,16 @@ object Fixtures {
     }
     val norm = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
     if (norm > 0) v.map(_ / norm) else v
+  }
+
+  /** Deterministic stand-in spellchecker for nearText autocorrect (reference:
+   * modules/text-spellcheck — the query transformer runs on the concepts
+   * before vectorization, entities/searchparams/retrieval.go:152-160):
+   * a fixed misspelling dictionary applied per whitespace token. */
+  val spellFix: String => String = { s =>
+    val dict = Map("sparrk" -> "spark", "joim" -> "join", "strem" -> "stream",
+      "windoww" -> "window", "batc" -> "batch")
+    s.split(' ').map(w => dict.getOrElse(w, w)).mkString(" ")
   }
 
   /** The anchor query vector for near-X queries: the embedding of `vec_id`. */

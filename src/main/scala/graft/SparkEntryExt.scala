@@ -92,6 +92,23 @@ object SparkEntryExt {
       .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
   }
 
+  // Muvera planted bed: UNIT-NORMALIZED 2-token bags [n, reverse(n)] over the
+  // planted-dup id space. Normalization makes the planted-copy oracle sound:
+  // every per-token max-dot is ≤ 1 with equality only on an identical vector,
+  // so an exact bag copy attains the globally minimal MaxSim distance −2.
+  private val muveraBedCache = scala.collection.mutable.Set.empty[String]
+  private def muveraBedFor(gg: Graft, dir: String): Unit =
+    if (!muveraBedCache.contains(dir)) {
+      val unit = embWithPlantedDups(gg).withColumn("n",
+        expr("transform(embedding, x -> CAST(x / sqrt(aggregate(embedding, 0D, (a, y) -> a + y * y)) AS FLOAT))"))
+      val bed = unit.select(col("vec_id"), array(col("n"), reverse(col("n"))).as("mvec"))
+      gg.register(CollectionSchema("MVecBed", "vec_id", Nil,
+        vectors = Map("mvec" -> "mvec"), defaultVector = Some("mvec")), bed)
+      gg.registerMuvera("MVecBed", None,
+        graft.ann.MuveraEncoder(ksim = 3, dproj = 8, reps = 6, dim = 64))
+      muveraBedCache += dir
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // §2.5 hybrid relativeScoreFusion (the default fusion since 1.24)
@@ -558,6 +575,19 @@ object SparkEntryExt {
         .orderBy(col("doc_id"))
     }),
 
+    // §2.3 nearText autocorrect: misspelled concepts run through the
+    // registered spellchecker module BEFORE embedding (reference:
+    // retrieval.go:152-160 Autocorrect; modules/text-spellcheck). The oracle
+    // embeds the CORRECTED text — if the engine skipped the spellcheck the
+    // vectors (and the result set) would differ.
+    "q_neartext_autocorrect" -> ((s, dir) => {
+      g(s, dir).get(GetParams("DocVec",
+        nearText = Some(NearText(Seq("sparrk joim strem"), autocorrect = true)),
+        pagination = Some(Pagination(limit = 10)),
+        properties = Seq("doc_id")))
+        .orderBy(col("doc_id"))
+    }),
+
     // §2.2 correlated nested-object filter: both predicates must hold on the
     // SAME tags[] element (reference: inverted/searcher_nested.go — And inside
     // one object[] path is per-element, not per-document)
@@ -672,6 +702,26 @@ object SparkEntryExt {
         .select(col("vec_id"), round(col("_distance"), 4).as("dist"))
     }),
 
+    // §2.3 muvera-served nearMultiVector through the ENGINE planner
+    // (registerMuvera → fixed-dim dot first pass + exact MaxSim rescore,
+    // Graft.get; reference vector/multivector/muvera.go): planted-copy
+    // oracle — the query IS vec 50's normalized bag, so vec 50 and its
+    // planted twin attain MaxSim distance −2 (the global minimum on a
+    // unit-normalized bed) and must come back as the top-2 after rescore
+    "q_near_muvera" -> ((s, dir) => {
+      val gg = g(s, dir)
+      muveraBedFor(gg, dir)
+      val q = gg.collection("MVecBed").df.filter(col("vec_id") === 50L)
+        .select(col("mvec")).head().getSeq[scala.collection.Seq[Float]](0)
+        .map(_.toArray).toArray
+      gg.get(GetParams("MVecBed",
+        nearMultiVector = Some(NearMultiVector(q)),
+        pagination = Some(Pagination(limit = 2)),
+        properties = Seq("vec_id"),
+        additional = Set("distance")))
+        .select(col("vec_id"), round(col("_distance"), 4).as("dist"))
+    }),
+
     // §2.3 filtered vector search: where-allowlist + kNN (the reference's
     // filtered-search path, shard_read.go:536-550 / ACORN decision)
     "q_near_filtered" -> ((s, dir) => {
@@ -740,6 +790,24 @@ object SparkEntryExt {
         .select(col("doc_id"), col("group_size"),
           round(col("_distance"), 4).as("distance"))
         .orderBy(col("doc_id"))
+    }),
+
+    // legacy MERGE grouping oracle twin #2 (planted-bed pattern): with
+    // force = 1e-6 single-link merges ONLY bit-identical vectors ((1−cos)/2
+    // < 1e-6 needs cos ≈ 1), so the grouping over the planted-dup bed is
+    // exactly "group by embedding value" — expressible in SQL. Exercises the
+    // real Merge math (numeric mean, group_size) unlike the force=0 twin.
+    "q_group_legacy_merge" -> ((s, dir) => {
+      val gg = g(s, dir)
+      val bed = embWithPlantedDups(gg)
+      val q = Fixtures.anchorVector(gg, 50L)
+      val pool = VectorSearch.withDistance(bed, "embedding", q, Metric.Cosine)
+        .orderBy(col(VectorSearch.DistanceCol).asc, col("vec_id").asc).limit(20)
+      MergeGrouper.group(pool, "embedding", force = 1e-6, MergeGrouper.Merge)
+        .select(round(col("vec_id"), 4).as("vec_id_mean"),
+          round(col(VectorSearch.DistanceCol), 4).as("dist"),
+          col("group_size"))
+        .orderBy(col("vec_id_mean"))
     }),
 
     // §2.3 PQ quantized first-pass + exact rescore, planted-structure oracle:
@@ -861,6 +929,47 @@ object SparkEntryExt {
          |top AS (SELECT doc_id FROM d ORDER BY dist ASC, doc_id ASC LIMIT 10)
          |SELECT doc_id FROM top ORDER BY doc_id ASC""".stripMargin
     },
+
+    // the spellchecker + embedder are deterministic modules, so the oracle
+    // inlines the vector of the CORRECTED concepts — an engine that skipped
+    // autocorrect would embed the misspelled text and mismatch
+    "q_neartext_autocorrect" -> {
+      val embed = Fixtures.hashEmbedder(64)
+      val qv = Movements.centroid(Seq(embed(Fixtures.spellFix("sparrk joim strem"))))
+      val vlit = qv.map(f => s"CAST($f AS FLOAT)").mkString("[", ", ", "]")
+      s"""WITH qv AS (SELECT $vlit AS v),
+         |d AS (SELECT dv.doc_id, ${sqlCosine("e.embedding", "q.v")} AS dist
+         |      FROM documents dv JOIN embeddings e ON dv.doc_id = e.vec_id
+         |      CROSS JOIN qv q),
+         |top AS (SELECT doc_id FROM d ORDER BY dist ASC, doc_id ASC LIMIT 10)
+         |SELECT doc_id FROM top ORDER BY doc_id ASC""".stripMargin
+    },
+
+    // planted-copy muvera oracle: on the unit-normalized bed the exact bag
+    // copies of the query (vec 50 and its twin) attain the global MaxSim
+    // minimum −2 and must be the top-2 after first-pass + rescore
+    "q_near_muvera" ->
+      """SELECT vec_id, -2.0 AS dist FROM embeddings WHERE vec_id = 50
+        |UNION ALL
+        |SELECT vec_id + 1000000, -2.0 FROM embeddings WHERE vec_id = 50
+        |ORDER BY vec_id""".stripMargin,
+
+    // force=1e-6 merges only bit-identical vectors ⇒ grouping ≡ GROUP BY the
+    // embedding value over the ranked pool — exact SQL for the Merge math
+    "q_group_legacy_merge" ->
+      s"""WITH ${sqlQv(50)},
+         |bed AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 50 = 0),
+         |d AS (SELECT b.vec_id, b.embedding, ${sqlCosine("b.embedding", "q.v")} AS dist
+         |      FROM bed b CROSS JOIN qv q),
+         |top AS (SELECT * FROM d ORDER BY dist ASC, vec_id ASC LIMIT 20),
+         |grp AS (SELECT embedding, avg(vec_id) AS id_mean, round(min(dist), 4) AS dist,
+         |               CAST(count(*) AS BIGINT) AS group_size
+         |        FROM top GROUP BY embedding)
+         |SELECT round(id_mean, 4) AS vec_id_mean, dist, group_size
+         |FROM grp ORDER BY id_mean""".stripMargin,
 
     // echo module ⇒ _generate is the templated prompt itself
     "q_generate_single" ->
