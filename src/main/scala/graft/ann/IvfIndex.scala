@@ -1,7 +1,6 @@
 package graft.ann
 
 import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -36,7 +35,8 @@ final case class IvfIndex(
     idCol: String,
     replicas: Int = 1,
     defaultNprobe: Int = 1,
-    persistPath: Option[String] = None) {
+    persistPath: Option[String] = None,
+    appendsSinceCheckpoint: Int = 0) {
 
   /** Rank centroids by distance to the query (driver-side, nlist entries). */
   def rankCentroids(query: Array[Float]): Array[Int] = {
@@ -102,7 +102,15 @@ final case class IvfIndex(
         assigned0.write.mode("append").partitionBy("__centroid").parquet(p)
         copy(assigned = newRows.sparkSession.read.parquet(p))
       case None =>
-        copy(assigned = assigned.unionByName(assigned0.repartition(col("__centroid"))))
+        // memory-arm lineage guard: every 8th append truncates the growing
+        // union chain (localCheckpoint), so a long-lived session appending in
+        // a loop never builds an ever-deeper plan; the persisted arm (the
+        // production path) re-reads parquet and has no lineage to grow
+        val merged = assigned.unionByName(assigned0.repartition(col("__centroid")))
+        if (appendsSinceCheckpoint >= 7)
+          copy(assigned = merged.localCheckpoint(), appendsSinceCheckpoint = 0)
+        else
+          copy(assigned = merged, appendsSinceCheckpoint = appendsSinceCheckpoint + 1)
     }
   }
 
@@ -135,8 +143,10 @@ object IvfIndex {
             defaultNprobe: Int = 1,
             persistPath: Option[String] = None): IvfIndex = {
     require(replicas >= 1 && replicas <= nlist, "replicas must be in [1, nlist]")
-    val toMl = udf((v: Seq[Float]) => Vectors.dense(v.map(_.toDouble).toArray))
-    val withFeatures = df.withColumn("__features", toMl(col(vecCol)))
+    // codegen'd array->vector featurization (build-time only, but no reason
+    // to pay a boxed UDF when ml.functions has the kernel)
+    val withFeatures = df.withColumn("__features",
+      org.apache.spark.ml.functions.array_to_vector(col(vecCol)))
     val model = new KMeans()
       .setK(nlist).setSeed(seed).setMaxIter(20)
       .setFeaturesCol("__features").setPredictionCol("__centroid")

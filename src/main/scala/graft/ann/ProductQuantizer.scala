@@ -1,7 +1,6 @@
 package graft.ann
 
 import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -93,10 +92,9 @@ object ProductQuantizer {
     val dim = df.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val segLen = dim / m
-    val toMl = udf((v: Seq[Float]) => Vectors.dense(v.map(_.toDouble).toArray))
     val books = (0 until m).map { s =>
       val sub = df.select(slice(col(vecCol), s * segLen + 1, segLen).as("seg"))
-        .withColumn("__features", toMl(col("seg")))
+        .withColumn("__features", org.apache.spark.ml.functions.array_to_vector(col("seg")))
       val model = new KMeans().setK(k).setSeed(seed + s).setMaxIter(20)
         .setFeaturesCol("__features").fit(sub)
       model.clusterCenters.map(_.toArray)

@@ -76,7 +76,13 @@ object Bm25Search {
 
   private def corpusStats(c: Collection, propTok: Seq[(PropSpec, Tokenization)]): CorpusStats = {
     val key = (c.name, System.identityHashCode(c.df), propTok.map { case (s, m) => s"${s.name}:${m.name}" })
-    statsCache.getOrElseUpdate(key, {
+    // fast path without a lock; build under a lock because TrieMap's
+    // getOrElseUpdate doesn't guarantee single evaluation — two concurrent
+    // first queries would both run the stats pass and the loser's persisted
+    // termDf would leak for the session
+    statsCache.get(key) match {
+      case Some(s) => s
+      case None => statsCache.synchronized { statsCache.getOrElseUpdate(key, {
       val tokenized = propTok.zipWithIndex.foldLeft(c.df.select(propTok.map { case (s, _) => col(s.name) }: _*)) {
         case (d, ((spec, mode), i)) => d.withColumn(s"__tok_$i", Tokenize(mode)(col(spec.name)))
       }
@@ -96,7 +102,8 @@ object Bm25Search {
         .groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       CorpusStats(n, avgLens, termDf)
-    })
+    }) }
+    }
   }
 
   /** Parse "prop^2" boost syntax (reference: searchparams retrieval.go BM25 properties). */
