@@ -50,10 +50,16 @@ object Bench {
     }.toMap
     val (p1, p2) = (pass(), pass())
     val results = names.map { case (name, _) => name -> math.min(p1(name), p2(name)) }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal rounding keeps the artifact line short (the r6 line was long
+    // enough to get head-truncated in capture); per-pass times make run-to-run
+    // variance visible IN the artifact instead of needing a re-bench to judge
+    def r3(x: Double): Double = math.rint(x * 1000) / 1000
+    def obj(m: Map[String, Double]): String =
+      names.map { case (n, _) => "\"" + n + "\":" + r3(m(n)) }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = if (results.nonEmpty) r3(results.map(_._2).sum) else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_p1":${obj(p1)},"queries_p2":${obj(p2)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -173,10 +173,12 @@ object Fixtures {
     // keyword search on the text collections serves from the postings
     // inverted index (reference: BM25 is always index-served, BlockMax on by
     // default — inverted/bm25_searcher.go:183-193); the engine builds the
-    // index lazily on the first keyword query against each dataset. The index
-    // covers ALL searchable text props (the reference's per-property posting
-    // lists), so any scored subset (`properties:` in the query) is servable.
-    g.registerPostings("Document", Seq("text", "lang", "source", "maybe_src"))
+    // index lazily on the first keyword query against each dataset. An index
+    // serves any scored SUBSET of its props (per-property posting lists) via
+    // a query-time df re-aggregation; an exact prop-set match uses the
+    // precomputed dictionary — so each index is sized to its workload:
+    // Document queries score only `text`, DocVec hybrids score all three.
+    g.registerPostings("Document", Seq("text"))
     g.registerPostings("DocVec", Seq("text", "lang", "source"))
 
     g.register(CollectionSchema("Event", "event_id", Seq(

@@ -166,6 +166,11 @@ final class Graft(val spark: SparkSession) {
   private var queryMaximumResults: Long = 10000L
   def withQueryMaximumResults(n: Long): Graft = { queryMaximumResults = n; this }
 
+  /** Corpus-size threshold below which engine keyword search skips the
+   * two-phase block-max pruning (see bm25Serve). */
+  private var postingsPruneCutoff: Long = 40000L
+  def withPostingsPruneCutoff(n: Long): Graft = { postingsPruneCutoff = n; this }
+
   /**
    * Estimated row count of a filtered frame for the flatSearchCutoff
    * decision. The reference reads this cardinality ~free from its filter
@@ -257,10 +262,20 @@ final class Graft(val spark: SparkSession) {
     postingsFor(c).filter(idx => specs.map(_.name).toSet.subsetOf(idx.props.toSet)) match {
       case Some(idx) =>
         val allow = if (filtered eq c.df) None else Some(filtered.select(col(id)))
-        val hits = Postings.searchPruned(idx, kw.query, fetchN, kw.searchOperator,
-          kw.k1, kw.b, allowlist = allow,
-          boosts = specs.map(s => s.name -> s.boost).toMap,
-          props = Some(specs.map(_.name)))
+        // block-max pruning pays when the postings scan is large: its two
+        // phases are extra driver round-trips, so a small corpus serves the
+        // single-pass scoring instead (the keyword mirror of the
+        // flatSearchCutoff decision; the reference's block stats are
+        // in-memory so its BlockMax is unconditionally on)
+        val boosts = specs.map(s => s.name -> s.boost).toMap
+        val hits =
+          if (idx.nDocs < postingsPruneCutoff)
+            Postings.search(idx, kw.query, fetchN, kw.searchOperator,
+              kw.k1, kw.b, allowlist = allow, boosts = boosts,
+              props = Some(specs.map(_.name)))
+          else Postings.searchPruned(idx, kw.query, fetchN, kw.searchOperator,
+            kw.k1, kw.b, allowlist = allow, boosts = boosts,
+            props = Some(specs.map(_.name)))
         hits.join(filtered, Seq(id), "inner")
           .orderBy(col(Bm25Search.ScoreCol).desc, col(id).asc)
       case None => Bm25Search.search(c, kw, fetchN, Some(filtered))

@@ -98,16 +98,36 @@ class PostingsSpec extends SparkSpecBase {
     assert(engineHits(served) == scan)
   }
 
-  test("engine serves a scored-prop SUBSET from the all-props index (per-property posting lists)") {
+  test("engine serves a scored-prop SUBSET from a wider index (per-property posting lists)") {
+    // DocVec's index covers (text, lang, source); scoring only `text` takes
+    // the subset path: df re-aggregated from the term-pruned postings
     val g = Fixtures.graft(spark, sf)
-    val served = g.get(GetParams("Document",
-      bm25 = Some(Bm25("src3 spark", properties = Seq("source", "text"))),
+    val served = g.get(GetParams("DocVec",
+      bm25 = Some(Bm25("spark join", properties = Seq("text"))),
       pagination = Some(Pagination(limit = 10)),
       properties = Seq("doc_id"), additional = Set("score")))
     assert(!served.queryExecution.executedPlan.toString.contains("__tok_"),
       "subset query should be index-served")
-    val scan = Bm25Search.search(g.collection("Document"),
-      Bm25("src3 spark", Seq("source", "text")), 10)
+    val scan = Bm25Search.search(g.collection("DocVec"),
+      Bm25("spark join", Seq("text")), 10)
+      .select(col("doc_id"), round(col(Bm25Search.ScoreCol), 9))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(engineHits(served) == scan)
+  }
+
+  test("engine pruned arm (large-corpus planner choice) keeps exact parity") {
+    // cutoff 0 forces the block-max pruned arm through the engine facade
+    val g0 = Fixtures.graft(spark, sf)
+    val eng = new graft.engine.Graft(spark).withPostingsPruneCutoff(0)
+    eng.register(g0.collection("Document"))
+    eng.registerPostings("Document", Seq("text"), buckets = 16)
+    val served = eng.get(GetParams("Document",
+      bm25 = Some(Bm25("spark join stream window", properties = Seq("text"))),
+      pagination = Some(Pagination(limit = 20)),
+      properties = Seq("doc_id"), additional = Set("score")))
+    assert(!served.queryExecution.executedPlan.toString.contains("__tok_"))
+    val scan = Bm25Search.search(g0.collection("Document"),
+      Bm25("spark join stream window", Seq("text")), 20)
       .select(col("doc_id"), round(col(Bm25Search.ScoreCol), 9))
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(engineHits(served) == scan)
