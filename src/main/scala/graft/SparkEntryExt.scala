@@ -677,10 +677,13 @@ object SparkEntryExt {
 
     // §2.4 explainScore: per-term BM25 contribution breakdown
     "q_bm25_explain" -> ((s, dir) => {
-      val gg = g(s, dir)
-      Bm25Search.score(gg.collection("Document"), Bm25("spark join", Seq("text")), explain = true)
-        .orderBy(col(Bm25Search.ScoreCol).desc, col("doc_id").asc)
-        .limit(10)
+      // through the ENGINE facade: `_additional { explainScore }` forces the
+      // scan/explain plan and projects the per-term _exp_* columns
+      g(s, dir).get(GetParams("Document",
+        bm25 = Some(Bm25("spark join", properties = Seq("text"))),
+        pagination = Some(Pagination(limit = 10)),
+        properties = Seq("doc_id"),
+        additional = Set("score", "explainScore")))
         .select(col("doc_id"), round(col(Bm25Search.ScoreCol), 4).as("score"),
           round(col(Bm25Search.explainCol("spark")), 4).as("c_spark"),
           round(col(Bm25Search.explainCol("join")), 4).as("c_join"))

@@ -233,14 +233,22 @@ final class Graft(val spark: SparkSession) {
 
   /** Current-version postings index for a collection, building/rebuilding
    * from the registered spec when needed. */
-  private[graft] def postingsFor(c: Collection): Option[PostingsIndex] =
-    postingsIndexes.get(c.name)
+  private[graft] def postingsFor(c: Collection): Option[PostingsIndex] = {
+    def current = postingsIndexes.get(c.name)
       .filter(_.storeId == System.identityHashCode(c.df))
-      .orElse(postingsSpecs.get(c.name).map { case (props, buckets, path) =>
-        val built = Postings.build(c, props, buckets, path)
-        postingsIndexes(c.name) = built
-        built
-      })
+    current.orElse(postingsSpecs.get(c.name).map { case (props, buckets, path) =>
+      // build under a lock so two concurrent first keyword queries don't
+      // both run the (expensive) build — same race class as Bm25Search's
+      // statsCache; the re-check inside the lock keeps it build-once
+      postingsIndexes.synchronized {
+        current.getOrElse {
+          val built = Postings.build(c, props, buckets, path)
+          postingsIndexes(c.name) = built
+          built
+        }
+      }
+    })
+  }
 
   /**
    * Keyword-search planner — the scan-vs-index strategy choice (the keyword
@@ -253,8 +261,16 @@ final class Graft(val spark: SparkSession) {
    * at scale that join broadcasts the k hits and reads only the projected
    * columns of the corpus — never tokenizes or scores it.
    */
-  private def bm25Serve(c: Collection, kw: Bm25, fetchN: Int, filtered: DataFrame): DataFrame = {
+  private def bm25Serve(c: Collection, kw: Bm25, fetchN: Int, filtered: DataFrame,
+                        explain: Boolean = false): DataFrame = {
     val id = c.schema.idColumn
+    // explainScore needs the per-term breakdown columns — the scan path is
+    // the explain plan (reference explains from the same scoring pass,
+    // index.go:2266-2291)
+    if (explain)
+      return Bm25Search.score(c, kw, Some(filtered), explain = true)
+        .orderBy(col(Bm25Search.ScoreCol).desc, col(id).asc)
+        .limit(fetchN)
     val specs =
       if (kw.properties.nonEmpty) Bm25Search.parseProps(kw.properties)
       else c.schema.properties.filter(p => p.dataType == PropType.Text && p.indexSearchable)
@@ -402,7 +418,8 @@ final class Graft(val spark: SparkSession) {
               if (hasFilter) Some(filtered) else None)
         }
       }).orElse(params.bm25.map { kw =>
-        bm25Serve(c, kw, fetchLimit.getOrElse(defaultLimit), filtered)
+        bm25Serve(c, kw, fetchLimit.getOrElse(defaultLimit), filtered,
+          explain = params.additional.contains("explainScore"))
       }).orElse(params.hybrid.map { h =>
         // nearText subsearches resolve through the embedder here (the module
         // boundary), so the operator layer only ever sees vectors
@@ -663,6 +680,10 @@ final class Graft(val spark: SparkSession) {
       val props = if (params.properties.nonEmpty) params.properties
                   else c.schema.properties.map(_.name).filter(df.columns.contains)
       val additional: Seq[Column] = params.additional.toSeq.sorted.flatMap {
+        // per-term BM25 contribution columns (reference: _additional
+        // explainScore, index.go:2266-2291); names are _exp_<term>
+        case "explainScore" =>
+          df.columns.filter(_.startsWith("_exp_")).sorted.map(col).toSeq
         case "id" => Some(col(id).as("_id"))
         case "distance" if df.columns.contains(VectorSearch.DistanceCol) => Some(col(VectorSearch.DistanceCol))
         case "certainty" if df.columns.contains(VectorSearch.DistanceCol) =>
