@@ -251,6 +251,26 @@ final class Graft(val spark: SparkSession) {
   }
 
   /**
+   * Apply an upsert/delete delta to the registered postings index without
+   * re-tokenizing the standing corpus (the async-indexing-queue drain —
+   * reference: writes enqueue, a background worker folds them into the
+   * inverted index). Call AFTER re-registering the collection's post-
+   * mutation view; the delta'd index adopts the new store version, so the
+   * next keyword query serves from it directly. A collection with only a
+   * lazy spec (no built index yet) is untouched — it rebuilds lazily.
+   */
+  def applyPostingsDelta(collectionName: String, changed: DataFrame,
+                         removedIds: Option[DataFrame] = None): Graft = {
+    val c = collection(collectionName)
+    postingsIndexes.synchronized {
+      postingsIndexes.get(collectionName).foreach { idx =>
+        postingsIndexes(collectionName) = Postings.delta(idx, c, changed, removedIds)
+      }
+    }
+    this
+  }
+
+  /**
    * Keyword-search planner — the scan-vs-index strategy choice (the keyword
    * mirror of `IvfIndex.searchOrScan`): serve from the registered postings
    * index when its prop set matches the query's scored props; otherwise

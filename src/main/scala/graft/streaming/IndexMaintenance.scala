@@ -38,4 +38,29 @@ object IndexMaintenance {
       }
       .start()
   }
+
+  /**
+   * Keyword-index maintenance — the inverted-index arm of the same queue:
+   * each batch is (1) durably upserted into the versioned store, (2) the
+   * engine's collection view re-registered onto the new version, (3) folded
+   * into the registered postings index via `Postings.delta` (only the batch
+   * rows are tokenized; stats re-aggregate from the merged side tables).
+   * Keyword queries between batches keep serving the pre-batch index;
+   * after a batch they serve the delta'd one — never a full rebuild on the
+   * ingest path, exactly the reference's async inverted-index flow.
+   */
+  def startPostings(newRows: DataFrame, store: graft.sources.CollectionStore,
+                    g: graft.engine.Graft, collectionName: String,
+                    checkpoint: String,
+                    trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    newRows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        store.upsert(batch)
+        g.register(store.collection)
+        g.applyPostingsDelta(collectionName, batch)
+        ()
+      }
+      .start()
 }

@@ -85,4 +85,60 @@ class IndexMaintenanceSpec extends SparkSpecBase {
       .select($"vec_id").collect().map(_.getLong(0)).toSet
     assert(top == Set(3L, 77777L), s"streamed row not probe-visible: $top")
   }
+
+  test("streaming postings maintenance: store upsert + delta'd index serve new docs") {
+    import graft.engine.Graft
+    import graft.model._
+    import graft.operators.Bm25Search
+    import graft.sources.CollectionStore
+
+    val storeDir = Files.createTempDirectory("post-store").toString
+    val inDir    = Files.createTempDirectory("post-in").toString
+    val ckpt     = Files.createTempDirectory("post-ckpt").toString
+
+    val schema = CollectionSchema("D", "id", Seq(
+      Property("body", PropType.Text, Tokenization.Word)))
+    val st = new CollectionStore(spark, storeDir, schema)
+    st.init(Seq(
+      (1L, "spark window join"), (2L, "table scan merge"),
+      (3L, "stream batch filter"), (4L, "row column order")).toDF("id", "body"))
+
+    val g = new Graft(spark).withPostingsPruneCutoff(0) // exercise the pruned arm
+    g.register(st.collection)
+    g.registerPostings("D", Seq("body"), buckets = 4)
+    def hits(): Seq[Long] = g.get(GetParams("D",
+      bm25 = Some(Bm25("zebra quill", properties = Seq("body"))),
+      pagination = Some(Pagination(limit = 10)),
+      properties = Seq("id"))).collect().map(_.getLong(0)).toSeq
+    // force the build; the probe terms match nothing yet
+    assert(hits().isEmpty)
+    val pre = g.get(GetParams("D",
+      bm25 = Some(Bm25("spark join", properties = Seq("body"))),
+      pagination = Some(Pagination(limit = 10)),
+      properties = Seq("id"))).count()
+    assert(pre > 0)
+
+    // drop two new docs (one replaces id 2) and drain the maintenance job
+    Seq((5L, "zebra quill fox"), (2L, "zebra merge"))
+      .toDF("id", "body").write.mode("append").parquet(inDir)
+    val stream = spark.readStream.schema(st.read().schema).parquet(inDir)
+    val q = IndexMaintenance.startPostings(stream, st, g, "D", ckpt)
+    q.awaitTermination(60000)
+
+    // the engine serves the NEW docs from the delta'd index (no rebuild) and
+    // scores match a fresh scan over the post-mutation corpus exactly
+    val got = g.get(GetParams("D",
+      bm25 = Some(Bm25("zebra quill", properties = Seq("body"))),
+      pagination = Some(Pagination(limit = 10)),
+      properties = Seq("id"), additional = Set("score")))
+    assert(!got.queryExecution.executedPlan.toString.contains("__tok_"),
+      "post-delta keyword query fell back to the scan path")
+    val gotRows = got.select($"id", org.apache.spark.sql.functions.round($"_score", 9))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val scan = Bm25Search.search(g.collection("D"), Bm25("zebra quill", Seq("body")), 10)
+      .select($"id", org.apache.spark.sql.functions.round(org.apache.spark.sql.functions.col(Bm25Search.ScoreCol), 9))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(gotRows == scan)
+    assert(gotRows.map(_._1).toSet == Set(5L, 2L), s"unexpected hits: $gotRows")
+  }
 }
