@@ -324,8 +324,11 @@ final class Graft(val spark: SparkSession) {
    * nearMultiVector queries then run the cheap single-vector dot first pass +
    * exact MaxSim rescore instead of full MaxSim on every row; filtered
    * queries keep the exact scan (the filter already bounds the work). */
+  // value carries the source df identity (store-version gate): a collection
+  // re-registered with new data must NOT be served stale encodings — the
+  // query falls back to the exact MaxSim scan until re-encoded
   private val muveraIndexes =
-    scala.collection.mutable.Map.empty[(String, String), (graft.ann.MuveraEncoder, DataFrame)]
+    scala.collection.mutable.Map.empty[(String, String), (graft.ann.MuveraEncoder, DataFrame, Int)]
   def registerMuvera(collectionName: String, vectorName: Option[String],
                      enc: graft.ann.MuveraEncoder,
                      persistPath: Option[String] = None): Graft = {
@@ -343,7 +346,8 @@ final class Graft(val spark: SparkSession) {
       case None =>
         computed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
-    muveraIndexes += (collectionName, vecCol) -> ((enc, encoded))
+    muveraIndexes += (collectionName, vecCol) ->
+      ((enc, encoded, System.identityHashCode(c.df)))
     this
   }
 
@@ -430,7 +434,8 @@ final class Graft(val spark: SparkSession) {
       }).orElse(params.nearMultiVector.map { nmv =>
         val vecCol = c.schema.vectorColumn(nmv.targetVectors.headOption)
         muveraIndexes.get((c.name, vecCol)) match {
-          case Some((enc, encoded)) if !hasFilter =>
+          case Some((enc, encoded, sid)) if !hasFilter &&
+              sid == System.identityHashCode(c.df) =>
             graft.ann.Muvera.search(encoded, id, "__muvera", vecCol, nmv.vectors, enc,
               fetchLimit.getOrElse(defaultLimit))
           case _ =>

@@ -104,6 +104,31 @@ class MuveraSpec extends SparkSpecBase {
     assert(filteredGot == filteredTruth)
   }
 
+  test("stale muvera encodings are NOT served after the collection changes version") {
+    import graft.engine.Graft
+    import graft.model._
+    val schema = CollectionSchema("Mv2", "id", Nil,
+      vectors = Map("default" -> "mvec"), defaultVector = Some("default"))
+    val g = new Graft(spark).register(schema, docs).registerMuvera("Mv2", None, enc)
+    // mutate the collection: drop the exact top-1 doc and re-register (a new
+    // store version). The stale encoded table still contains it — serving
+    // from it would resurrect the deleted doc.
+    val top1 = exactTop(1).head
+    g.register(schema, docs.filter($"id" =!= top1))
+    val got = g.get(GetParams("Mv2",
+      nearMultiVector = Some(NearMultiVector(query)),
+      pagination = Some(Pagination(limit = 10)),
+      properties = Seq("id"))).select($"id").as[Long].collect().toSeq
+    assert(!got.contains(top1), "stale muvera encoding served a deleted doc")
+    // version-gated fallback is the exact scan over the NEW collection
+    val qLit = typedLit(query.map(_.toSeq).toSeq)
+    val truth = docs.filter($"id" =!= top1)
+      .withColumn(VectorSearch.DistanceCol, VectorFunctions.maxSim(qLit, $"mvec"))
+      .orderBy(col(VectorSearch.DistanceCol).asc, $"id".asc).limit(10)
+      .select($"id").as[Long].collect().toSeq
+    assert(got == truth)
+  }
+
   test("encoding is deterministic and has the declared dimension") {
     assert(enc.outDim == 6 * 8 * 8)
     val e1 = enc.encodeDoc(query); val e2 = enc.encodeDoc(query)
