@@ -136,12 +136,22 @@ final class FilterCompiler(resolve: String => Collection) {
           case other => fail(s"""using ["$p"] to filter by timestamp: must use valueDate, valueText or valueInt, got ${valueName(other)}""")
         }
         return
+      // the raw id column addressed by name gets the same leniency as "_id":
+      // ids are schema-typed here (not uuid-text), so valueInt is as valid as
+      // valueText for them
+      case p if p == schema.idColumn && schema.property(p).isEmpty =>
+        if (!comparisonOps.contains(op))
+          fail(s"operator ${op.name} is not supported on the id property '$p'")
+        v match {
+          case FilterValue.TextV(_) | FilterValue.IntV(_) => ()
+          case other => fail(s"filtering by id: must use valueText or valueInt, got ${valueName(other)}")
+        }
+        return
       case _ => ()
     }
 
     val prop = schema.property(w.path.head).getOrElse(
-      if (w.path.head == schema.idColumn) Property(schema.idColumn, PropType.Uuid)
-      else fail(s"no such prop with name '${w.path.head}' found in class '${schema.name}'"))
+      fail(s"no such prop with name '${w.path.head}' found in class '${schema.name}'"))
 
     prop.dataType match {
       // cross-reference descent: validate the tail against the target class

@@ -172,6 +172,28 @@ final class Graft(val spark: SparkSession) {
   def withPostingsPruneCutoff(n: Long): Graft = { postingsPruneCutoff = n; this }
 
   /**
+   * Shared dense-leg planner: registered-index lookup + bounded selectivity
+   * hint + `IvfIndex.searchOrScan` — ONE implementation serving Get's nearX
+   * leg, both hybrid dense legs (Get and Aggregate) and objectLimit-scoped
+   * aggregation. These were copy-pasted before and drifted (the aggregate
+   * copies omitted the selectivity hint, so a filtered indexed search there
+   * could never take the index arm).
+   */
+  private def denseServe(c: Collection, nv: NearVector, limit: Option[Int],
+                         filtered: Option[DataFrame]): DataFrame = {
+    val idx =
+      if (nv.targetVectors.size > 1) None
+      else nv.targetVectors.headOption.orElse(c.schema.defaultVector)
+        .flatMap(c.vectorIndexes.get)
+    val hint =
+      if (filtered.isDefined && idx.isDefined && nv.distance.orElse(nv.certainty).isEmpty)
+        Some(selectivityEstimate(filtered.get, c.schema.idColumn))
+      else None
+    graft.ann.IvfIndex.searchOrScan(c, idx, nv, limit, filtered,
+      filteredCountHint = hint, flatSearchCutoff = flatSearchCutoff)
+  }
+
+  /**
    * Estimated row count of a filtered frame for the flatSearchCutoff
    * decision. The reference reads this cardinality ~free from its filter
    * bitmap popcount (inverted/searcher.go); the Spark analogues, in order:
@@ -225,9 +247,21 @@ final class Graft(val spark: SparkSession) {
     this
   }
 
+  /** Release a superseded index's cached side tables (postings is O(corpus)
+   * in memory on the non-persisted arm — replacing without unpersisting
+   * would leak one copy per store version). Idempotent; no-op for
+   * parquet-backed frames. */
+  private def releasePostings(idx: PostingsIndex): Unit = {
+    idx.postings.unpersist(); idx.docLens.unpersist()
+    idx.termDf.unpersist(); idx.maxImpact.unpersist()
+  }
+
   /** Register a prebuilt postings index (e.g. after `Postings.delta`). */
   def registerPostings(collectionName: String, idx: PostingsIndex): Graft = {
-    postingsIndexes(collectionName) = idx
+    postingsIndexes.synchronized {
+      postingsIndexes.get(collectionName).filterNot(_ eq idx).foreach(releasePostings)
+      postingsIndexes(collectionName) = idx
+    }
     this
   }
 
@@ -243,12 +277,22 @@ final class Graft(val spark: SparkSession) {
       postingsIndexes.synchronized {
         current.getOrElse {
           val built = Postings.build(c, props, buckets, path)
+          postingsIndexes.get(c.name).foreach(releasePostings) // stale version
           postingsIndexes(c.name) = built
           built
         }
       }
     })
   }
+
+  /** Can a registered (or registerable) postings index serve these scored
+   * props? Checked BEFORE `postingsFor` so a prop-mismatched query doesn't
+   * trigger the expensive lazy build of an index it can never use. */
+  private def postingsCanServe(c: Collection, wanted: Set[String]): Boolean =
+    postingsIndexes.get(c.name)
+      .filter(_.storeId == System.identityHashCode(c.df)).map(_.props)
+      .orElse(postingsSpecs.get(c.name).map(_._1))
+      .exists(ps => wanted.subsetOf(ps.toSet))
 
   /**
    * Apply an upsert/delete delta to the registered postings index without
@@ -295,7 +339,8 @@ final class Graft(val spark: SparkSession) {
       if (kw.properties.nonEmpty) Bm25Search.parseProps(kw.properties)
       else c.schema.properties.filter(p => p.dataType == PropType.Text && p.indexSearchable)
         .map(p => Bm25Search.PropSpec(p.name, 1.0))
-    postingsFor(c).filter(idx => specs.map(_.name).toSet.subsetOf(idx.props.toSet)) match {
+    (if (postingsCanServe(c, specs.map(_.name).toSet)) postingsFor(c) else None)
+      .filter(idx => specs.map(_.name).toSet.subsetOf(idx.props.toSet)) match {
       case Some(idx) =>
         val allow = if (filtered eq c.df) None else Some(filtered.select(col(id)))
         // block-max pruning pays when the postings scan is large: its two
@@ -346,8 +391,12 @@ final class Graft(val spark: SparkSession) {
       case None =>
         computed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
-    muveraIndexes += (collectionName, vecCol) ->
-      ((enc, encoded, System.identityHashCode(c.df)))
+    muveraIndexes.synchronized {
+      // replacing a registration releases the superseded persisted table
+      muveraIndexes.get((collectionName, vecCol)).foreach(_._2.unpersist())
+      muveraIndexes += (collectionName, vecCol) ->
+        ((enc, encoded, System.identityHashCode(c.df)))
+    }
     this
   }
 
@@ -407,21 +456,10 @@ final class Graft(val spark: SparkSession) {
     // cutoff-capped count — see selectivityEstimate), and is only paid when
     // an index could actually serve the query.
     val hasFilter = !(filtered eq c.df)
-    def vectorLeg(nv: NearVector, limitOverride: Option[Int] = None): DataFrame = {
-      val idx =
-        if (nv.targetVectors.size > 1) None
-        else nv.targetVectors.headOption.orElse(c.schema.defaultVector)
-          .flatMap(c.vectorIndexes.get)
-      val hint =
-        if (hasFilter && idx.isDefined && nv.distance.orElse(nv.certainty).isEmpty)
-          Some(selectivityEstimate(filtered, id))
-        else None
-      graft.ann.IvfIndex.searchOrScan(c, idx, nv,
+    def vectorLeg(nv: NearVector, limitOverride: Option[Int] = None): DataFrame =
+      denseServe(c, nv,
         limitOverride.orElse(nearLimit(nv.distance.orElse(nv.certainty).isDefined)),
-        if (hasFilter) Some(filtered) else None,
-        filteredCountHint = hint,
-        flatSearchCutoff = flatSearchCutoff)
-    }
+        if (hasFilter) Some(filtered) else None)
 
     val searched: DataFrame =
       params.nearVector.map(nv => vectorLeg(nv))
@@ -433,6 +471,16 @@ final class Graft(val spark: SparkSession) {
         vectorLeg(resolveNearMedia(nm))
       }).orElse(params.nearMultiVector.map { nmv =>
         val vecCol = c.schema.vectorColumn(nmv.targetVectors.headOption)
+        // a stale entry (collection re-registered with new data) is evicted
+        // and its persisted table released; the query falls back to the
+        // exact scan until re-encoded
+        muveraIndexes.synchronized {
+          muveraIndexes.get((c.name, vecCol)).foreach { case (_, enc0, sid) =>
+            if (sid != System.identityHashCode(c.df)) {
+              enc0.unpersist(); muveraIndexes.remove((c.name, vecCol))
+            }
+          }
+        }
         muveraIndexes.get((c.name, vecCol)) match {
           case Some((enc, encoded, sid)) if !hasFilter &&
               sid == System.identityHashCode(c.df) =>
@@ -673,24 +721,12 @@ final class Graft(val spark: SparkSession) {
       "must provide objectLimit with hybrid search")
     val scoped: Option[DataFrame] = (nearResolved, params.hybrid, params.objectLimit) match {
       case (Some(nv), _, lim) =>
-        val idx =
-          if (nv.targetVectors.size > 1) None
-          else nv.targetVectors.headOption.orElse(c.schema.defaultVector)
-            .flatMap(c.vectorIndexes.get)
-        Some(graft.ann.IvfIndex.searchOrScan(c, idx, nv, lim, filtered,
-          flatSearchCutoff = flatSearchCutoff))
+        Some(denseServe(c, nv, lim, filtered))
       case (_, Some(h), Some(lim)) =>
         // hybrid legs route through the same planners as Get's (postings for
-        // the sparse leg, registered ANN index for the dense leg)
+        // the sparse leg, registered ANN index + selectivity for the dense)
         Some(HybridSearch.search(c, h, h.metric, lim, filtered = filtered,
-          denseSearch = Some((nv, n) => {
-            val idx =
-              if (nv.targetVectors.size > 1) None
-              else nv.targetVectors.headOption.orElse(c.schema.defaultVector)
-                .flatMap(c.vectorIndexes.get)
-            graft.ann.IvfIndex.searchOrScan(c, idx, nv, Some(n), filtered,
-              flatSearchCutoff = flatSearchCutoff)
-          }),
+          denseSearch = Some((nv, n) => denseServe(c, nv, Some(n), filtered)),
           sparseSearch = Some((kw, n) => bm25Serve(c, kw, n, filtered.getOrElse(c.df)))))
       case _ => filtered
     }

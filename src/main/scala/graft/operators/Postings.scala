@@ -105,11 +105,18 @@ object Postings {
    */
   def delta(idx: PostingsIndex, c: Collection, changed: DataFrame,
             removedIds: Option[DataFrame] = None): PostingsIndex = {
+    // collapse duplicate ids within the batch (an at-least-once stream can
+    // carry two versions of a doc): without this, tf would SUM across both
+    // versions and docLens would fan out the scoring join. Which duplicate
+    // wins is arbitrary on an unordered DataFrame — collapse upstream
+    // (e.g. IndexMaintenance.startPostings materializes one winner for both
+    // the store and the index) when last-write-wins matters.
+    val changedU = changed.dropDuplicates(idx.idCol)
     val goneIds = {
-      val ch = changed.select(col(idx.idCol).as("__id"))
+      val ch = changedU.select(col(idx.idCol).as("__id"))
       removedIds.map(r => ch.unionByName(r.select(col(idx.idCol).as("__id")))).getOrElse(ch)
     }
-    val newToks = tokenize(Collection(c.schema, changed), idx.props)
+    val newToks = tokenize(Collection(c.schema, changedU), idx.props)
     val mergedPostings = idx.postings
       .join(goneIds, Seq("__id"), "left_anti")
       .unionByName(postingsOf(newToks, idx.props).withColumn("__bucket",

@@ -88,9 +88,14 @@ final class CollectionStore(val spark: SparkSession, val root: String,
    * BatchPutObjects — last write wins on id collision). */
   def upsert(updates: DataFrame): Unit = {
     val id = schema.idColumn
+    // the id is the primary key: a batch carrying the same id twice collapses
+    // to one row (DataFrames are unordered, so which duplicate wins is
+    // arbitrary — pre-collapse upstream for last-write-wins semantics);
+    // without this, both rows would land and the store would hold duplicates
+    val unique = updates.dropDuplicates(id)
     val current = read()
-    val remaining = current.join(updates.select(col(id)), Seq(id), "left_anti")
-    writeVersion(remaining.unionByName(vectorize(updates), allowMissingColumns = true))
+    val remaining = current.join(unique.select(col(id)), Seq(id), "left_anti")
+    writeVersion(remaining.unionByName(vectorize(unique), allowMissingColumns = true))
   }
 
   /** Partial update (PATCH) — only the columns present in `patch` (besides the

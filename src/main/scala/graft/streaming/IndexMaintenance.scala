@@ -57,9 +57,13 @@ object IndexMaintenance {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        store.upsert(batch)
+        // collapse duplicate ids ONCE and materialize, so the store and the
+        // index fold the SAME winner (two lazy evaluations of an unordered
+        // dropDuplicates could each pick a different row)
+        val unique = batch.dropDuplicates(store.schema.idColumn).localCheckpoint()
+        store.upsert(unique)
         g.register(store.collection)
-        g.applyPostingsDelta(collectionName, batch)
+        g.applyPostingsDelta(collectionName, unique)
         ()
       }
       .start()

@@ -200,6 +200,11 @@ class FilterCompilerSpec extends SparkSpecBase {
       assert(e.getMessage.toLowerCase.contains(frag.toLowerCase),
         s"for $w expected '$frag', got: ${e.getMessage}")
     }
+    // the RAW id column (not a declared property) accepts valueInt like
+    // "_id" — ids are schema-typed here, not uuid-text (review regression pin)
+    assert(ids(Where.eqInt("id", 1L)) == Seq(1L))
+    assert(ids(Where.gtInt("id", 2L)) == Seq(3L, 4L))
+    intercept[IllegalArgumentException] { ids(Where.like("id", "1*")) }
     // invalid leaves are rejected inside compound trees too
     val bad = Where.and(Where.eqText("dept", "engineering"), Where.like("age", "3*"))
     intercept[IllegalArgumentException] { ids(bad) }
