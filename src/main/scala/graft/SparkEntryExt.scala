@@ -752,6 +752,53 @@ object SparkEntryExt {
         .orderBy(col("doc_id"))
     }),
 
+    // §2.1 object TTL expiry through the store (reference:
+    // index_objects_ttl.go / usecases/object_ttl): rows older than the TTL
+    // relative to a fixed `now` are deleted; the oracle keeps the complement
+    "q_store_ttl" -> ((s, dir) => {
+      val ev = Fixtures.events(s, dir).select(col("event_id"), col("ts"),
+        col("event_type"))
+      val schema = CollectionSchema("EvStore", "event_id", Seq(
+        Property("ts", PropType.Date),
+        Property("event_type", PropType.Text, Tokenization.Field)))
+      val st = new graft.sources.CollectionStore(s,
+        java.nio.file.Files.createTempDirectory("graft-ttl").toString, schema)
+      st.init(ev)
+      // events span 2024-01-01..01-31; now = 01-31T00:00Z, ttl = 15 days
+      st.expireTtl("ts", ttlSeconds = 1296000L, nowEpochSeconds = 1706659200L)
+      st.read().select(col("event_id")).orderBy(col("event_id"))
+    }),
+
+    // §2.1 BatchReferences: set-wise edge append onto a beacon-list cref
+    // (reference: adapters/repos/db/batch.go:122) — first edge onto a null
+    // list, duplicate no-op, plain append, unknown-source drop; the oracle
+    // replays the same edge batch in list SQL
+    "q_store_refs" -> ((s, dir) => {
+      val gg = g(s, dir)
+      val docs = gg.collection("Document").df.select(col("doc_id"), col("links"))
+      val schema = CollectionSchema("LinkStore", "doc_id", Seq(
+        Property("links", PropType.Ref, refTarget = Some("LinkStore"))))
+      val st = new graft.sources.CollectionStore(s,
+        java.nio.file.Files.createTempDirectory("graft-refs").toString, schema)
+      st.init(docs)
+      val d = docs.select(col("doc_id"))
+      val edges = d.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), lit(42L).as("target"))                       // onto null
+        .unionByName(d.filter(col("doc_id") % 10 === 5)
+          .select(col("doc_id"), ((col("doc_id") * 37) % 500).as("target"))) // duplicate
+        .unionByName(d.filter(col("doc_id") % 10 === 3)
+          .select(col("doc_id"), lit(123L).as("target")))                   // append
+        .unionByName(d.limit(1).select(lit(99999999L).as("doc_id"),
+          lit(7L).as("target")))                                            // dropped
+      st.addReferences("links", edges)
+      // list rendered as a sorted CSV string — the compare layer hashes
+      // scalar values, not arrays
+      st.read().select(col("doc_id"),
+        concat_ws(",", transform(array_sort(col("links")), x => x.cast("string")))
+          .as("links"))
+        .orderBy(col("doc_id"))
+    }),
+
     // §2.1 backup: class-level export (data + schema manifest) and restore —
     // the restored rows must be bit-identical to the source collection
     "q_backup_roundtrip" -> ((s, dir) => {
@@ -1016,6 +1063,36 @@ object SparkEntryExt {
         |       FROM v1)
         |SELECT doc_id, lang, n_chars FROM v2 WHERE source <> 'src13'
         |ORDER BY doc_id""".stripMargin,
+
+    // keep = complement of expired (unix_timestamp floors to seconds =
+    // epoch_ns integer division)
+    "q_store_ttl" ->
+      """SELECT event_id FROM events
+        |WHERE epoch_ns(ts) // 1000000000 >= 1706659200 - 1296000
+        |ORDER BY event_id""".stripMargin,
+
+    // rebuild the deterministic links bed, replay the edge batch in list SQL
+    "q_store_refs" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN NULL
+        |         ELSE list_transform(range(1, CAST(doc_id % 3 AS INT) + 2),
+        |                             i -> (doc_id * i * 37) % 500) END AS links
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN doc_id % 10 = 0 THEN [CAST(42 AS BIGINT)]
+        |      WHEN doc_id % 10 = 5 THEN
+        |        CASE WHEN list_contains(links, (doc_id * 37) % 500) THEN links
+        |             ELSE list_append(links, (doc_id * 37) % 500) END
+        |      WHEN doc_id % 10 = 3 THEN
+        |        CASE WHEN list_contains(links, 123) THEN links
+        |             ELSE list_append(links, CAST(123 AS BIGINT)) END
+        |      ELSE links END AS links
+        |  FROM base)
+        |SELECT doc_id, array_to_string(list_sort(links), ',') AS links
+        |FROM v ORDER BY doc_id""".stripMargin,
 
     // export + restore must be the identity on the rows
     "q_backup_roundtrip" ->
