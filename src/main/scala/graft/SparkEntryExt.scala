@@ -92,6 +92,22 @@ object SparkEntryExt {
       .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
   }
 
+  // IVF append bed: independent persisted index (NOT ivfFor's — appending
+  // into that layout would corrupt q_near_ivf in the same session), one
+  // planted exact copy appended assign-only; cached across bench passes
+  private val ivfAppendCache = scala.collection.mutable.Map.empty[String, DataFrame]
+  private def ivfAppendFor(gg: Graft, dir: String): DataFrame =
+    ivfAppendCache.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files.createTempDirectory("graft-ivf-append").toString
+      val emb = gg.collection("Embedding").df
+      val idx0 = graft.ann.IvfIndex.build(emb, "vec_id", "embedding",
+        nlist = 8, defaultNprobe = 8, persistPath = Some(path))
+      val idx1 = idx0.append(
+        emb.filter(col("vec_id") === 13L).withColumn("vec_id", lit(5000000L)))
+      idx1.search(Fixtures.anchorVector(gg, 13L), 2, Metric.L2Squared, nprobe = 8)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   // postings-delta bed: build over Document, then delta-replace doc 3's text,
   // delete doc 11, append doc 3000000 — cached per dataset so bench's two
   // passes don't rebuild (the build is the offline job; the QUERY is the
@@ -810,6 +826,16 @@ object SparkEntryExt {
         .orderBy(col("doc_id"))
     }),
 
+    // §2.3 assign-only incremental IVF append (the async index-queue
+    // analogue): an appended exact copy of vec 13 must land in the probed
+    // posting list and tie the original at distance 0 — a stale or
+    // mis-assigned append cannot produce this pair
+    "q_ivf_append" -> ((s, dir) => {
+      val gg = g(s, dir)
+      ivfAppendFor(gg, dir)
+        .select(col("vec_id"), round(col("_distance"), 4).as("dist"))
+    }),
+
     // §2.4 postings incremental maintenance: build → delta (replace one doc's
     // text, delete one doc, append one new doc) → search. The oracle runs the
     // exact BM25 formula over the post-mutation corpus, so a delta that
@@ -1063,6 +1089,14 @@ object SparkEntryExt {
         |       FROM v1)
         |SELECT doc_id, lang, n_chars FROM v2 WHERE source <> 'src13'
         |ORDER BY doc_id""".stripMargin,
+
+    // planted-copy append oracle: full probe is exact, distance 0 is the
+    // global minimum, id tie-break orders original before the appended twin
+    "q_ivf_append" ->
+      """SELECT vec_id, 0.0 AS dist FROM embeddings WHERE vec_id = 13
+        |UNION ALL
+        |SELECT 5000000 AS vec_id, 0.0 FROM embeddings WHERE vec_id = 13
+        |ORDER BY vec_id""".stripMargin,
 
     // keep = complement of expired (unix_timestamp floors to seconds =
     // epoch_ns integer division)
