@@ -120,6 +120,37 @@ class AnnSpec extends SparkSpecBase {
     assert(engB.selectivityEstimate(filtered, "id") == 2500L)
   }
 
+  test("filtered objectLimit aggregation probes the index (weak filter, shared dense planner)") {
+    import graft.engine.Graft
+    import graft.model._
+    val rnd = new scala.util.Random(23)
+    val centers = Array.fill(16)(Array.fill(16)(rnd.nextGaussian()))
+    val rows = (0 until 2000).map { i =>
+      val c = centers(i % 16)
+      (i.toLong, c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq, (i % 20).toLong)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-agg").toString
+    val index = IvfIndex.build(emb, "vec_id", "embedding", nlist = 16,
+      defaultNprobe = 4, persistPath = Some(path))
+    val eng = new Graft(spark).withFlatSearchCutoff(150)
+    eng.register(CollectionSchema("E", "vec_id", Seq(Property("label", graft.model.PropType.Int)),
+      vectors = Map("default" -> "embedding"), defaultVector = Some("default")), emb)
+    eng.registerIndex("E", "default", index)
+    // weak filter (keeps all 2000 >= cutoff 150): the aggregate's dense leg
+    // must take the index arm — pre-fix, the aggregate planner dropped the
+    // selectivity hint and could never probe
+    val agg = eng.aggregate(AggregateParams("E",
+      properties = Map("label" -> Seq(Aggregator.Count)),
+      where = Some(Where.geInt("label", 0L)),
+      nearVector = Some(NearVector(rows(100)._2.toArray, Metric.L2Squared)),
+      objectLimit = Some(10)))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [__centroid"),
+      s"aggregate dense leg did not probe the index:\n${plan.take(2000)}")
+    assert(agg.count() >= 1)
+  }
+
   test("hybrid dense leg routes through a registered index (partition-pruned)") {
     import graft.engine.Graft
     import graft.model._
