@@ -263,15 +263,69 @@ object Postings {
   }
 
   /** BM25 scoring over the postings table — identical math to Bm25Search
-   * (idf = ln(1+(N−n+0.5)/(n+0.5)); tf saturation with k1/b). */
+   * (idf = ln(1+(N−n+0.5)/(n+0.5)); tf saturation with k1/b).
+   *
+   * Fully LAZY: unlike `searchPruned` (whose θ phase must materialize), this
+   * builds ONE plan — the per-term doc frequency joins in from the (tiny,
+   * broadcast) dictionary and idf is computed in the plan, so no driver jobs
+   * run at construction time and the search composes into larger DAGs
+   * (hybrid legs run inside one job instead of serializing driver phases).
+   * `Math.log` backs both the literal and codegen paths, so scores stay
+   * bit-identical to the scan path. */
   def search(idx: PostingsIndex, query: String, limit: Int,
              searchOperator: SearchOperator = SearchOperator.Or(1),
              k1: Double = 1.2, b: Double = 0.75,
              allowlist: Option[DataFrame] = None,
              boosts: Map[String, Double] = Map.empty,
              props: Option[Seq[String]] = None): DataFrame = {
-    val q = ctx(idx, query, searchOperator, props)
-    scored(idx, q, k1, b, allowlist, boosts, bucketFilter = None)
+    val active: Seq[Int] = props match {
+      case None => idx.props.indices
+      case Some(ps) =>
+        val missing = ps.filterNot(idx.props.contains)
+        require(missing.isEmpty, s"postings: props not in index: ${missing.mkString(",")}")
+        ps.map(idx.props.indexOf)
+    }
+    val terms = active.map(idx.tokenizations)
+      .flatMap(m => Tokenize.queryTokens(m, query)).distinct
+    require(terms.nonEmpty, "bm25: empty query after tokenization")
+    val minMatch = searchOperator match {
+      case SearchOperator.AndOp => terms.size
+      case SearchOperator.Or(m) => math.max(1, m)
+    }
+    // per-term df over the scored prop set: the precomputed dictionary for
+    // the full set, a term-pruned re-aggregation for a subset — either way a
+    // ≤|terms|-row frame, broadcast onto the postings rows
+    val dfTbl =
+      if (active == idx.props.indices) idx.termDf.filter(col("term").isin(terms: _*))
+      else idx.postings
+        .filter(col("term").isin(terms: _*) && col("__p").isin(active: _*))
+        .groupBy(col("term")).agg(countDistinct(col("__id")).cast("double").as("df"))
+    val idfCol = log(lit(1.0) +
+      (lit(idx.nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val satCol = active.foldLeft(lit(0.0)) { (acc, p) =>
+      val boost = boosts.getOrElse(idx.props(p), 1.0)
+      when(col("__p") === p,
+        lit(boost) * col("tf") / (col("tf") +
+          lit(k1) * (lit(1.0 - b) + lit(b) * col(s"__dl_$p") / lit(idx.avgLens(p)))))
+        .otherwise(acc)
+    }
+    val baseP =
+      if (active == idx.props.indices) idx.postings
+      else idx.postings.filter(col("__p").isin(active: _*))
+    val base0 = baseP.filter(col("term").isin(terms: _*))
+    val base = allowlist match {
+      case Some(ids) => base0.join(
+        ids.select(col(idx.idCol).as("__id")), Seq("__id"), "left_semi")
+      case None => base0
+    }
+    base.join(broadcast(dfTbl), "term")
+      .join(idx.docLens, "__id")
+      .withColumn("__contrib", idfCol * satCol)
+      .groupBy(col("__id"))
+      .agg(sum(col("__contrib")).as(Bm25Search.ScoreCol),
+        countDistinct(col("term")).as("__matched"))
+      .filter(col("__matched") >= minMatch)
+      .drop("__matched")
       .withColumnRenamed("__id", idx.idCol)
       .orderBy(col(Bm25Search.ScoreCol).desc, col(idx.idCol).asc)
       .limit(limit)
