@@ -815,6 +815,31 @@ object SparkEntryExt {
         .orderBy(col("doc_id"))
     }),
 
+    // §2.1 tenant offload/onload lifecycle through the store (reference:
+    // modules/offload-s3 — FROZEN tenant's partition moves to the offload
+    // backend and back): while offloaded the tenant is invisible to read()
+    // (snapshot taken EAGERLY — a lazy frame would see the onloaded files),
+    // after onload the collection is whole again
+    "q_tenant_offload" -> ((s, dir) => {
+      val ev = Fixtures.events(s, dir).select(col("event_id"), col("event_type"), col("value"))
+      val schema = CollectionSchema("EvT", "event_id", Seq(
+        Property("value", PropType.Number)), tenantColumn = Some("event_type"))
+      val st = new graft.sources.CollectionStore(s,
+        java.nio.file.Files.createTempDirectory("graft-offl").toString, schema)
+      st.init(ev)
+      val off = java.nio.file.Files.createTempDirectory("graft-offl-root").toString
+      st.offloadTenant("click", off)
+      val phase = st.read().groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n")).withColumn("phase", lit("offloaded"))
+      val snapshot = phase.collect().toSeq
+      st.onloadTenant("click", off)
+      val back = st.read().groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n")).withColumn("phase", lit("onloaded"))
+      s.createDataFrame(s.sparkContext.parallelize(snapshot, 1), back.schema)
+        .unionByName(back)
+        .orderBy(col("phase"), col("event_type"))
+    }),
+
     // §2.1 backup: class-level export (data + schema manifest) and restore —
     // the restored rows must be bit-identical to the source collection
     "q_backup_roundtrip" -> ((s, dir) => {
@@ -1127,6 +1152,15 @@ object SparkEntryExt {
         |  FROM base)
         |SELECT doc_id, array_to_string(list_sort(links), ',') AS links
         |FROM v ORDER BY doc_id""".stripMargin,
+
+    // offloaded = all tenants but click; onloaded = all tenants
+    "q_tenant_offload" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n, 'offloaded' AS phase
+        |FROM events WHERE event_type <> 'click' GROUP BY event_type
+        |UNION ALL
+        |SELECT event_type, CAST(count(*) AS BIGINT), 'onloaded'
+        |FROM events GROUP BY event_type
+        |ORDER BY phase, event_type""".stripMargin,
 
     // export + restore must be the identity on the rows
     "q_backup_roundtrip" ->
