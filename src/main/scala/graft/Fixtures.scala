@@ -124,8 +124,14 @@ object Fixtures {
           .otherwise(expr(
             "transform(sequence(1, CAST(doc_id % 3 AS INT) + 1), " +
             "i -> CAST((doc_id * i * 37) % 500 AS BIGINT))")))
+      // second Word-tokenized prop (first 4 words of text) — its terms
+      // overlap text's, so multi-prop BM25F queries exercise the cross-prop
+      // frequency/length merge (q_bm25f_multiprop; Bm25.scala header)
+      .withColumn("title",
+        concat_ws(" ", slice(_root_.graft.text.Tokenize.word(col("text")), 1, 4)))
     g.register(CollectionSchema("Document", "doc_id", Seq(
       Property("text", Text, Tokenization.Word),
+      Property("title", Text, Tokenization.Word),
       Property("lang", Text, Tokenization.Field),
       Property("source", Text, Tokenization.Field),
       Property("maybe_src", Text, Tokenization.Field),
@@ -177,8 +183,9 @@ object Fixtures {
     // serves any scored SUBSET of its props (per-property posting lists) via
     // a query-time df re-aggregation; an exact prop-set match uses the
     // precomputed dictionary — so each index is sized to its workload:
-    // Document queries score only `text`, DocVec hybrids score all three.
-    g.registerPostings("Document", Seq("text"))
+    // Document queries score `text` (a subset) or text+title (BM25F merge),
+    // DocVec hybrids score all three of its props.
+    g.registerPostings("Document", Seq("text", "title"))
     g.registerPostings("DocVec", Seq("text", "lang", "source"))
 
     g.register(CollectionSchema("Event", "event_id", Seq(

@@ -73,12 +73,27 @@ object SparkEntry {
   private[graft] val sqlDocVec =
     "(SELECT d.* FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id)"
 
+  /** Shared single-Word-prop BM25 oracle CTEs in the reference's scoring
+   * model (see operators/Bm25.scala header): `dl` is the DISTINCT token
+   * count, the pooled averagePropLength is the mean of the scored props'
+   * mean lengths. `fieldPropMeans` lists the mean lengths of additional
+   * Field-tokenized props in the scored set (each doc's field value is one
+   * token → mean 1.0 when every doc has the prop): they join the pooled
+   * average but can never match a Word-tokenized query term, so the
+   * per-term frequencies stay text-only (queries with properties=Nil score
+   * ALL searchable props — e.g. DocVec's text+lang+source). Query terms are
+   * assumed distinct here; duplicate-term boost has its own dedicated
+   * oracle (q_bm25f_multiprop). */
   private[graft] def sqlBm25(terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
-                             source: String = "documents"): (String, String) = {
+                             source: String = "documents",
+                             fieldPropMeans: Seq[Double] = Nil): (String, String) = {
     val fCols = terms.zipWithIndex.map { case (t, i) =>
       s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS f$i" }.mkString(", ")
     val dfCols = terms.zipWithIndex.map { case (t, i) =>
       s"CAST(sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df$i" }.mkString(", ")
+    val pooled =
+      if (fieldPropMeans.isEmpty) "avg(CAST(len(list_distinct(toks)) AS DOUBLE))"
+      else s"(avg(CAST(len(list_distinct(toks)) AS DOUBLE)) + ${fieldPropMeans.sum}) / ${1 + fieldPropMeans.size}"
     val termExprs = terms.indices.map { i =>
       s"(ln(1.0 + (n_docs - df$i + 0.5) / (df$i + 0.5)) * (f$i / (f$i + $k1 * (${1.0 - b} + $b * dl / avgdl))))"
     }
@@ -86,8 +101,8 @@ object SparkEntry {
     val contribCols = termExprs.zipWithIndex.map { case (e, i) => s"$e AS c$i" }.mkString(", ")
     val tok =
       s"""tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM $source),
-         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(CAST(len(toks) AS DOUBLE)) AS avgdl, $dfCols FROM tok),
-         |feat AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, $fCols FROM tok),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, $pooled AS avgdl, $dfCols FROM tok),
+         |feat AS (SELECT doc_id, CAST(len(list_distinct(toks)) AS DOUBLE) AS dl, $fCols FROM tok),
          |scored AS (SELECT doc_id, ($score) AS score_exact, $contribCols, ${terms.indices.map(i => s"f$i").mkString(" + ")} AS nmatch,
          |           ${terms.indices.map(i => s"CASE WHEN f$i > 0 THEN 1 ELSE 0 END").mkString(" + ")} AS terms_matched
          |           FROM feat CROSS JOIN stats)""".stripMargin
@@ -558,7 +573,9 @@ object SparkEntry {
 
     "q_hybrid_rrf" -> {
       val terms = Seq("spark", "join", "stream")
-      val (ctes, _) = sqlBm25(terms, source = sqlDocVec)
+      // properties=Nil scores ALL DocVec searchable props: lang+source are
+      // Field-tokenized (mean length 1.0) and join the pooled avgdl
+      val (ctes, _) = sqlBm25(terms, source = sqlDocVec, fieldPropMeans = Seq(1.0, 1.0))
       s"""WITH $ctes,
          |sparse AS (
          |  SELECT doc_id, score_exact, row_number() OVER (ORDER BY score_exact DESC, doc_id ASC) AS r

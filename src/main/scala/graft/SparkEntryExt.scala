@@ -705,6 +705,22 @@ object SparkEntryExt {
           round(col(Bm25Search.explainCol("join")), 4).as("c_join"))
     }),
 
+    // §2.4 multi-property BM25F with a non-1 boost and a repeated query
+    // term: the reference's cross-prop merge (boost folded into frequency,
+    // freq+distinct-len summed across props, ONE saturation with the pooled
+    // avg length, idf × duplicateTextBoost — bm25_searcher.go:825,950-951,
+    // 408-453,663; model pinned by Bm25fReferenceParitySpec). title's terms
+    // are a prefix-slice of text's, so merges actually occur. Served from
+    // the registered (text,title) postings index (full-set dictionary).
+    "q_bm25f_multiprop" -> ((s, dir) => {
+      g(s, dir).get(GetParams("Document",
+        bm25 = Some(Bm25("spark join spark", properties = Seq("title^1.5", "text"))),
+        pagination = Some(Pagination(limit = 20)),
+        properties = Seq("doc_id"),
+        additional = Set("score")))
+        .select(col("doc_id"), round(col("_score"), 4).as("score"))
+    }),
+
     // §2.4 BM25 via the materialized postings table (same math as q_bm25's
     // scan path — the oracle is the identical BM25 formula in SQL)
     "q_bm25_postings" -> ((s, dir) => {
@@ -1344,6 +1360,39 @@ object SparkEntryExt {
         |ORDER BY event_id""".stripMargin,
 
 
+    // full BM25F model in SQL: title = first-4-words slice of text (the same
+    // derivation as Fixtures), boost 1.5 multiplied into the raw frequency,
+    // per-term dl = Σ of the matching props' DISTINCT-token counts, pooled
+    // avgdl = mean of the two props' mean lengths, idf of 'spark' doubled
+    // (the query repeats it)
+    "q_bm25f_multiprop" -> {
+      val terms = Seq(("spark", 2), ("join", 1))
+      val termExprs = terms.zipWithIndex.map { case ((t, dup), i) =>
+        val f = s"(1.5 * len(list_filter(ttoks, x -> x = '$t')) + 1.0 * len(list_filter(toks, x -> x = '$t')))"
+        val dl = s"((CASE WHEN list_contains(ttoks, '$t') THEN dlti ELSE 0 END) + (CASE WHEN list_contains(toks, '$t') THEN dlt ELSE 0 END))"
+        s"""(CASE WHEN $f > 0 THEN $dup * ln(1.0 + (n_docs - df$i + 0.5) / (df$i + 0.5))
+           |  * $f / ($f + 1.2 * (0.25 + 0.75 * $dl / avgdl)) ELSE 0 END) AS c$i,
+           |(CASE WHEN $f > 0 THEN 1 ELSE 0 END) AS m$i""".stripMargin
+      }.mkString(", ")
+      val dfCols = terms.map(_._1).zipWithIndex.map { case (t, i) =>
+        s"CAST(sum(CASE WHEN list_contains(toks, '$t') OR list_contains(ttoks, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df$i"
+      }.mkString(", ")
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+         |         list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), 1, 4) AS ttoks
+         |  FROM documents),
+         |feat AS (SELECT doc_id, toks, ttoks,
+         |         CAST(len(list_distinct(toks)) AS DOUBLE) AS dlt,
+         |         CAST(len(list_distinct(ttoks)) AS DOUBLE) AS dlti FROM tok),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |          (avg(dlt) + avg(dlti)) / 2 AS avgdl, $dfCols FROM feat),
+         |scored AS (SELECT doc_id, $termExprs FROM feat CROSS JOIN stats)
+         |SELECT doc_id, round(c0 + c1, 4) AS score FROM scored
+         |WHERE m0 + m1 >= 1
+         |ORDER BY c0 + c1 DESC, doc_id ASC LIMIT 20""".stripMargin
+    },
+
     "q_bm25_postings" -> {
       val (ctes, _) = sqlBm25(Seq("spark", "join", "stream", "window"))
       s"""WITH $ctes
@@ -1505,7 +1554,7 @@ object SparkEntryExt {
     },
 
     "q_hybrid_group" -> {
-      val (ctes, _) = sqlBm25(Seq("spark", "join", "stream"), source = SparkEntry.sqlDocVec)
+      val (ctes, _) = sqlBm25(Seq("spark", "join", "stream"), source = SparkEntry.sqlDocVec, fieldPropMeans = Seq(1.0, 1.0))
       s"""WITH $ctes,
          |sparse0 AS (SELECT doc_id, score_exact FROM scored WHERE terms_matched >= 1
          |            ORDER BY score_exact DESC, doc_id ASC LIMIT 100),
@@ -1555,7 +1604,7 @@ object SparkEntryExt {
         |FROM l ORDER BY links ASC NULLS FIRST, doc_id ASC LIMIT 30""".stripMargin,
 
     "q_hybrid_relative" -> {
-      val (ctes, _) = sqlBm25(Seq("spark", "join", "stream"), source = SparkEntry.sqlDocVec)
+      val (ctes, _) = sqlBm25(Seq("spark", "join", "stream"), source = SparkEntry.sqlDocVec, fieldPropMeans = Seq(1.0, 1.0))
       s"""WITH $ctes,
          |sparse0 AS (SELECT doc_id, score_exact FROM scored WHERE terms_matched >= 1
          |            ORDER BY score_exact DESC, doc_id ASC LIMIT 100),
@@ -1615,7 +1664,7 @@ object SparkEntryExt {
 
     // same fused-RRF CTE as q_hybrid_rrf's oracle, aggregated over the top 15
     "q_agg_hybrid" -> {
-      val (ctes, _) = sqlBm25(Seq("spark", "join", "stream"), source = SparkEntry.sqlDocVec)
+      val (ctes, _) = sqlBm25(Seq("spark", "join", "stream"), source = SparkEntry.sqlDocVec, fieldPropMeans = Seq(1.0, 1.0))
       s"""WITH $ctes,
          |sparse AS (
          |  SELECT doc_id, score_exact, row_number() OVER (ORDER BY score_exact DESC, doc_id ASC) AS r

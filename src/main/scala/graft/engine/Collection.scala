@@ -13,10 +13,28 @@ import graft.model.CollectionSchema
  * `vectorIndexes` maps named-vector name → batch-built IVF side table
  * (reference: per-shard vector index registry, shard vectorIndexes map) —
  * the planner (IvfIndex.searchOrScan) probes it for plain top-k nearVector.
+ *
+ * `version` is the store-version gate for result-serving side artifacts
+ * (BM25 corpus stats, postings index, muvera encodings — the reference's
+ * shard version / segment generation): an index built at version V serves
+ * only while the collection still reports V. Monotonic per collection name:
+ * `CollectionStore` stamps its on-disk version number (0,1,2,…), ad-hoc
+ * constructions draw from a session-global counter in a disjoint range —
+ * unlike a `System.identityHashCode` gate, versions never collide after GC
+ * address reuse, and re-reading the same store version does NOT spuriously
+ * invalidate (VersioningSpec).
  */
 final case class Collection(
     schema: CollectionSchema,
     df: DataFrame,
-    vectorIndexes: Map[String, graft.ann.IvfIndex] = Map.empty) {
+    vectorIndexes: Map[String, graft.ann.IvfIndex] = Map.empty,
+    version: Long = Collection.nextVersion()) {
   def name: String = schema.name
+}
+
+object Collection {
+  // ad-hoc (non-store) collections start far above any CollectionStore disk
+  // version so the two numbering spaces can't collide for one name
+  private val counter = new java.util.concurrent.atomic.AtomicLong(1L << 40)
+  def nextVersion(): Long = counter.incrementAndGet()
 }

@@ -269,7 +269,7 @@ final class Graft(val spark: SparkSession) {
    * from the registered spec when needed. */
   private[graft] def postingsFor(c: Collection): Option[PostingsIndex] = {
     def current = postingsIndexes.get(c.name)
-      .filter(_.storeId == System.identityHashCode(c.df))
+      .filter(_.storeVersion == c.version)
     current.orElse(postingsSpecs.get(c.name).map { case (props, buckets, path) =>
       // build under a lock so two concurrent first keyword queries don't
       // both run the (expensive) build — same race class as Bm25Search's
@@ -290,7 +290,7 @@ final class Graft(val spark: SparkSession) {
    * trigger the expensive lazy build of an index it can never use. */
   private def postingsCanServe(c: Collection, wanted: Set[String]): Boolean =
     postingsIndexes.get(c.name)
-      .filter(_.storeId == System.identityHashCode(c.df)).map(_.props)
+      .filter(_.storeVersion == c.version).map(_.props)
       .orElse(postingsSpecs.get(c.name).map(_._1))
       .exists(ps => wanted.subsetOf(ps.toSet))
 
@@ -369,11 +369,12 @@ final class Graft(val spark: SparkSession) {
    * nearMultiVector queries then run the cheap single-vector dot first pass +
    * exact MaxSim rescore instead of full MaxSim on every row; filtered
    * queries keep the exact scan (the filter already bounds the work). */
-  // value carries the source df identity (store-version gate): a collection
-  // re-registered with new data must NOT be served stale encodings — the
-  // query falls back to the exact MaxSim scan until re-encoded
+  // value carries the source collection version (store-version gate): a
+  // collection re-registered with new data must NOT be served stale
+  // encodings — the query falls back to the exact MaxSim scan until
+  // re-encoded
   private val muveraIndexes =
-    scala.collection.mutable.Map.empty[(String, String), (graft.ann.MuveraEncoder, DataFrame, Int)]
+    scala.collection.mutable.Map.empty[(String, String), (graft.ann.MuveraEncoder, DataFrame, Long)]
   def registerMuvera(collectionName: String, vectorName: Option[String],
                      enc: graft.ann.MuveraEncoder,
                      persistPath: Option[String] = None): Graft = {
@@ -395,7 +396,7 @@ final class Graft(val spark: SparkSession) {
       // replacing a registration releases the superseded persisted table
       muveraIndexes.get((collectionName, vecCol)).foreach(_._2.unpersist())
       muveraIndexes += (collectionName, vecCol) ->
-        ((enc, encoded, System.identityHashCode(c.df)))
+        ((enc, encoded, c.version))
     }
     this
   }
@@ -476,14 +477,14 @@ final class Graft(val spark: SparkSession) {
         // exact scan until re-encoded
         muveraIndexes.synchronized {
           muveraIndexes.get((c.name, vecCol)).foreach { case (_, enc0, sid) =>
-            if (sid != System.identityHashCode(c.df)) {
+            if (sid != c.version) {
               enc0.unpersist(); muveraIndexes.remove((c.name, vecCol))
             }
           }
         }
         muveraIndexes.get((c.name, vecCol)) match {
           case Some((enc, encoded, sid)) if !hasFilter &&
-              sid == System.identityHashCode(c.df) =>
+              sid == c.version =>
             graft.ann.Muvera.search(encoded, id, "__muvera", vecCol, nmv.vectors, enc,
               fetchLimit.getOrElse(defaultLimit))
           case _ =>

@@ -8,35 +8,91 @@ import graft.model._
 import graft.text.Tokenize
 
 /**
- * BM25 / BM25F keyword ranking (reference: inverted/bm25_searcher.go;
- * scoring math inverted/terms/terms.go:67-72 for idf and :241-249 for tf;
- * defaults k1=1.2 b=0.75 usecases/config/config_handler.go:57-58).
+ * BM25 / BM25F keyword ranking with the reference's exact scoring model
+ * (reference: inverted/bm25_searcher.go; idf inverted/terms/terms.go:67-72;
+ * tf saturation terms/terms.go:241-249; defaults k1=1.2 b=0.75
+ * usecases/config/config_handler.go:57-58).
  *
- *   idf(t) = ln(1 + (N - n_t + 0.5) / (n_t + 0.5))
- *   tf(t)  = f / (f + k1 * (1 - b + b * len/avgLen))
- *   score  = Σ_t idf(t) * tf(t) * propBoost
+ * The reference's BM25F semantics, pinned here and asserted to its own test
+ * fixtures (adapters/repos/db/bm25f_test.go) by Bm25fReferenceParitySpec:
  *
- * Spark-first design: query terms are *literals*, so per-term term-frequency
- * is a codegen'd array expression over the tokenized property — no explode, no
- * shuffle on the docs side. Corpus stats (N, avgLen, per-term doc frequency)
- * are built ONCE per (collection, props) into a cached dictionary side table
- * (see CorpusStats); each query folds its own terms' stats into the scoring
- * expression as literals. Top-k then runs as
+ *  - Query terms are grouped by tokenization; a term scores ONLY the props
+ *    sharing its tokenization (bm25_searcher.go:386-443 — propNames are
+ *    assigned per tokenization key and each term request carries its own
+ *    group's props).
+ *  - Per (term, doc, prop): raw term frequency `f` with the property boost
+ *    multiplied IN (lsmkv decode folds the boost into Frequency,
+ *    terms/terms.go:49-61 FromKeyVal; boosts bm25_searcher.go:825), and the
+ *    property length `dl` = number of DISTINCT terms in the prop (the
+ *    analyzer tracks len(Items) — unique countables — as the prop length,
+ *    shard_write_inverted_lsm.go:251, inverted/analyzer.go:174-196).
+ *  - Frequencies AND prop lengths are SUMMED across the term's props per doc
+ *    before ONE saturation (bm25_searcher.go:950-951 merges PropLength and
+ *    Frequency across property posting lists). Props where the term does not
+ *    appear in the doc contribute nothing to either sum.
+ *  - One pooled averagePropLength for the whole query: the mean of the
+ *    scored props' per-prop mean lengths, with a missing prop counting as
+ *    mean 0 and a 0/NaN pool falling back to 40.0 (bm25_searcher.go:408-453).
+ *  - idf(t) = ln(1 + (N - n_t + 0.5)/(n_t + 0.5)) over the term's UNION doc
+ *    frequency within its prop group, multiplied by the number of times the
+ *    term occurs in the query (duplicateTextBoost, bm25_searcher.go:663,
+ *    :972 SetIdf(idf * duplicateBoost)).
+ *  - score(doc) = Σ_t idf(t) · F_t / (F_t + k1·(1 - b + b·DL_t/avgPool))
+ *    where F_t = Σ_p boost_p·f_{t,p} and DL_t = Σ_{p: f_{t,p}>0} dl_p.
+ *
+ * Spark-first design: query terms are *literals*, so per-term frequency is a
+ * codegen'd array expression over the tokenized property — no explode, no
+ * shuffle on the docs side. Corpus stats (N, per-prop mean lengths, per-term
+ * doc frequency) are built ONCE per (collection, props) into a cached
+ * dictionary side table (see CorpusStats); each query folds its own terms'
+ * stats into the scoring expression as literals. Top-k then runs as
  * TakeOrderedAndProject. The reference's WAND/BlockMax pruning
  * (bm25_searcher_block.go) is an inverted-index physical trick; the Spark
  * equivalent at 100 TB is per-partition max-impact stats for partition
- * pruning — at current scale the scan+TopK plan is already shuffle-minimal
- * (only k rows per partition move).
+ * pruning (see Postings.searchPruned) — at current scale the scan+TopK plan
+ * is already shuffle-minimal (only k rows per partition move).
  *
  * For repeated querying at scale, `Postings.build` materializes a postings
  * table (term → doc list with tf) that turns each query into a broadcast
- * semi-join instead of a full scan.
+ * semi-join instead of a full scan — same math to the last bit
+ * (PostingsParityProps).
  */
 object Bm25Search {
 
   val ScoreCol = "_score"
 
   final case class PropSpec(name: String, boost: Double)
+
+  /** One scoring term: the tokenization-group it belongs to (index into
+   * `groupsOf`'s result), the term string, and its duplicate count in the
+   * query (reference: AnalyzeAndCountDuplicates, bm25_searcher.go:663). */
+  final case class TermKey(group: Int, term: String, dup: Int)
+
+  /** Group prop indices by tokenization, first-appearance order (reference:
+   * propNamesByTokenization, bm25_searcher.go:386-443). */
+  def groupsOf(modes: Seq[Tokenization]): Seq[(Tokenization, Seq[Int])] = {
+    val order = scala.collection.mutable.LinkedHashMap.empty[Tokenization, Vector[Int]]
+    modes.zipWithIndex.foreach { case (m, i) =>
+      order(m) = order.getOrElse(m, Vector.empty) :+ i
+    }
+    order.toSeq
+  }
+
+  /** Per-group query terms with duplicate counts, first-occurrence order. */
+  def queryTermKeys(groups: Seq[(Tokenization, Seq[Int])], query: String): Seq[TermKey] =
+    groups.zipWithIndex.flatMap { case ((mode, _), g) =>
+      val toks = Tokenize.queryTokens(mode, query)
+      toks.distinct.map(t => TermKey(g, t, toks.count(_ == t)))
+    }
+
+  /** Pooled averagePropLength: mean of the scored props' mean lengths; 0 or
+   * NaN pools fall back to 40.0 (reference: bm25_searcher.go:408-453 — a
+   * propless mean is 0 but still "valid", only the final pool is guarded). */
+  def pooledAvgLen(propMeans: Seq[Double]): Double = {
+    val valid = propMeans.filterNot(_.isNaN)
+    val pool = if (valid.isEmpty) Double.NaN else valid.sum / valid.size
+    if (pool.isNaN || pool == 0.0) 40.0 else pool
+  }
 
   /**
    * Cached corpus statistics for one (collection, scored-props) pair — the
@@ -46,16 +102,22 @@ object Bm25Search {
    * terms' doc-frequencies from the persisted dictionary table instead of
    * re-scanning the corpus. At 100 TB this is the difference between one
    * offline stats build and a full extra scan per query.
+   *
+   * `propMeans(i)` = mean over docs (where prop i is non-null) of the number
+   * of DISTINCT terms in the prop; 0.0 when no doc has the prop (the
+   * reference's PropertyMean returns 0 for an untracked prop). `termDf` is
+   * keyed (__g, term): doc frequency within the term's tokenization group
+   * (union over the group's props — the merged posting list's length).
    */
-  private final case class CorpusStats(n: Double, avgLens: IndexedSeq[Double], termDf: DataFrame)
+  private final case class CorpusStats(n: Double, propMeans: IndexedSeq[Double], termDf: DataFrame)
 
-  // Keyed by (collection name, df identity, scored props): the df identity
-  // distinguishes store versions (every CollectionStore.writeVersion produces
-  // a new df), the collection name is the eviction handle — writeVersion
-  // calls invalidateStats(name) so superseded versions' persisted termDf
-  // tables are released instead of leaking for the life of the session.
+  // Keyed by (collection name, store version, scored props): the version
+  // distinguishes store generations (every CollectionStore.writeVersion and
+  // Graft.register produces a new one), the collection name is the eviction
+  // handle — writeVersion calls invalidateStats(name) so superseded versions'
+  // persisted termDf tables are released instead of leaking for the session.
   private val statsCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int, Seq[String]), CorpusStats]
+    scala.collection.concurrent.TrieMap.empty[(String, Long, Seq[String]), CorpusStats]
 
   /** Drop cached stats for one collection (called on store mutation). */
   def invalidateStats(collectionName: String): Unit =
@@ -72,10 +134,10 @@ object Bm25Search {
   }
 
   /** Visible for the lifecycle spec. */
-  private[graft] def cachedStatsKeys: Set[(String, Int, Seq[String])] = statsCache.keySet.toSet
+  private[graft] def cachedStatsKeys: Set[(String, Long, Seq[String])] = statsCache.keySet.toSet
 
   private def corpusStats(c: Collection, propTok: Seq[(PropSpec, Tokenization)]): CorpusStats = {
-    val key = (c.name, System.identityHashCode(c.df), propTok.map { case (s, m) => s"${s.name}:${m.name}" })
+    val key = (c.name, c.version, propTok.map { case (s, m) => s"${s.name}:${m.name}" })
     // fast path without a lock; build under a lock because TrieMap's
     // getOrElseUpdate doesn't guarantee single evaluation — two concurrent
     // first queries would both run the stats pass and the loser's persisted
@@ -83,25 +145,30 @@ object Bm25Search {
     statsCache.get(key) match {
       case Some(s) => s
       case None => statsCache.synchronized { statsCache.getOrElseUpdate(key, {
+      val groups = groupsOf(propTok.map(_._2))
       val tokenized = propTok.zipWithIndex.foldLeft(c.df.select(propTok.map { case (s, _) => col(s.name) }: _*)) {
         case (d, ((spec, mode), i)) => d.withColumn(s"__tok_$i", Tokenize(mode)(col(spec.name)))
       }
       val statAggs: Seq[Column] =
         Seq(count(lit(1)).as("N")) ++
-        propTok.indices.map(i => avg(size(col(s"__tok_$i"))).as(s"avgLen_$i"))
+        propTok.indices.map(i =>
+          coalesce(avg(size(array_distinct(col(s"__tok_$i")))), lit(0.0)).as(s"avgLen_$i"))
       val statRow = tokenized.agg(statAggs.head, statAggs.tail: _*).head()
       val n = statRow.getAs[Long]("N").toDouble
-      val avgLens = propTok.indices.map(i => math.max(statRow.getAs[Double](s"avgLen_$i"), 1e-9)).toIndexedSeq
-      // doc frequency dictionary: docs where ANY scored prop contains the term
-      // (BM25F treats the document as one bag for idf). Null token arrays
-      // contribute nothing — matching the three-valued || of the scan pass.
+      val propMeans = propTok.indices.map(i => statRow.getAs[Double](s"avgLen_$i")).toIndexedSeq
+      // doc-frequency dictionary per tokenization group: docs where ANY of
+      // the group's props contains the term (the reference's merged posting
+      // list length, bm25_searcher.go:950-963). Null token arrays contribute
+      // nothing.
       val empty = array().cast("array<string>")
-      val docTerms = array_distinct(concat(
-        propTok.indices.map(i => coalesce(col(s"__tok_$i"), empty)): _*))
-      val termDf = tokenized.select(explode(docTerms).as("term"))
-        .groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+      val termDf = groups.zipWithIndex.map { case ((_, propIdxs), g) =>
+        val docTerms = array_distinct(concat(
+          propIdxs.map(i => coalesce(col(s"__tok_$i"), empty)): _*))
+        tokenized.select(lit(g).as("__g"), explode(docTerms).as("term"))
+      }.reduce(_.unionByName(_))
+        .groupBy(col("__g"), col("term")).agg(count(lit(1)).cast("double").as("df"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      CorpusStats(n, avgLens, termDf)
+      CorpusStats(n, propMeans, termDf)
     }) }
     }
   }
@@ -114,16 +181,17 @@ object Bm25Search {
     }
   }
 
+  /** Per-term contribution column name for explainScore. */
+  def explainCol(term: String): String = s"_exp_$term"
+
   /**
    * Score `base` (already where-filtered — reference applies the filter as an
    * allowlist before scoring, shard_read.go:536-550) against the query.
    * Returns rows containing >=1 query term (searchOperator Or) or all terms
    * (And), with `_score`. IDF statistics come from the *unfiltered* collection
-   * (matching the reference, whose postings/idf are collection-wide).
+   * (matching the reference, whose postings/idf are collection-wide — a
+   * filtered-out doc still counts toward n, bm25_searcher.go:966-968).
    */
-  /** Per-term contribution column name for explainScore. */
-  def explainCol(term: String): String = s"_exp_$term"
-
   def score(c: Collection, params: Bm25, base: Option[DataFrame] = None,
             explain: Boolean = false): DataFrame = {
     val df = base.getOrElse(c.df)
@@ -133,63 +201,77 @@ object Bm25Search {
         .map(p => PropSpec(p.name, 1.0))
     require(specs.nonEmpty, s"bm25: no searchable text properties on ${c.name}")
 
-    // per-prop token arrays + per-prop query-token sets under that prop's tokenization
+    // per-prop token arrays + per-tokenization-group query terms
     val propTok: Seq[(PropSpec, Tokenization)] = specs.map { s =>
       s -> c.schema.property(s.name).map(_.tokenization).getOrElse(Tokenization.Word)
     }
-    val queryTerms: Seq[String] =
-      propTok.flatMap { case (_, mode) => Tokenize.queryTokens(mode, params.query) }.distinct
-    require(queryTerms.nonEmpty, "bm25: empty query after tokenization")
+    val groups = groupsOf(propTok.map(_._2))
+    val termKeys = queryTermKeys(groups, params.query)
+    require(termKeys.nonEmpty, "bm25: empty query after tokenization")
 
     // corpus stats come from the cached per-(collection, props) side tables —
     // no per-query corpus pass; only the query's own terms are looked up.
     val stats = corpusStats(c, propTok)
     val bigN = stats.n
-    val avgLen = stats.avgLens
-    val dfLookup: Map[String, Double] = stats.termDf
-      .filter(col("term").isin(queryTerms: _*))
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val docFreq = queryTerms.map(t => dfLookup.getOrElse(t, 0.0))
+    val avgPool = pooledAvgLen(propTok.indices.map(stats.propMeans))
+    val wanted = termKeys.map(_.term).distinct
+    val dfLookup: Map[(Int, String), Double] = stats.termDf
+      .filter(col("term").isin(wanted: _*))
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getDouble(2)).toMap
 
     val scoredBase = propTok.zipWithIndex.foldLeft(df) { case (d, ((spec, mode), i)) =>
       d.withColumn(s"__tok_$i", Tokenize(mode)(col(spec.name)))
+        .withColumn(s"__dl_$i", size(array_distinct(col(s"__tok_$i"))).cast("double"))
     }
 
     def termFreq(i: Int, t: String): Column =
       size(filter(col(s"__tok_$i"), x => x === lit(t))).cast("double")
 
-    val perTermScore: Seq[Column] = queryTerms.zipWithIndex.map { case (t, ti) =>
-      val n = docFreq(ti)
-      val idf = math.log(1.0 + (bigN - n + 0.5) / (n + 0.5))
-      val perProp = propTok.zipWithIndex.map { case ((spec, _), i) =>
-        val f = termFreq(i, t)
-        val len = size(col(s"__tok_$i")).cast("double")
-        val norm = lit(params.k1) * (lit(1.0 - params.b) + lit(params.b) * len / lit(avgLen(i)))
-        val tf = f / (f + norm)
-        tf * lit(idf) * lit(spec.boost)
-      }
-      coalesce(perProp.reduce(_ + _), lit(0.0))
+    // reference model: boost folds into the raw frequency, frequencies and
+    // prop lengths sum across the term's props, ONE saturation with the
+    // pooled average length (bm25_searcher.go:825,950-951,408-453)
+    val perTermScore: Seq[Column] = termKeys.map { case TermKey(g, t, dup) =>
+      val n = dfLookup.getOrElse((g, t), 0.0)
+      val idfDup = math.log(1.0 + (bigN - n + 0.5) / (n + 0.5)) * dup
+      val propIdxs = groups(g)._2
+      val freq = propIdxs.map { i =>
+        coalesce(lit(propTok(i)._1.boost) * termFreq(i, t), lit(0.0))
+      }.reduce(_ + _)
+      val dlSum = propIdxs.map { i =>
+        coalesce(when(termFreq(i, t) > 0, col(s"__dl_$i")), lit(0.0))
+      }.reduce(_ + _)
+      when(freq > 0,
+        lit(idfDup) * freq /
+          (freq + lit(params.k1) * (lit(1.0 - params.b) + lit(params.b) * dlSum / lit(avgPool))))
+        .otherwise(lit(0.0))
     }
-    val matchedTerms: Column = queryTerms.zipWithIndex.map { case (t, _) =>
-      propTok.indices.map(i => coalesce(array_contains(col(s"__tok_$i"), t), lit(false)))
+    val matchedTerms: Column = termKeys.map { case TermKey(g, t, _) =>
+      groups(g)._2.map(i => coalesce(array_contains(col(s"__tok_$i"), t), lit(false)))
         .reduce[Column](_ || _).cast("int")
     }.reduce(_ + _)
 
     val minMatch = params.searchOperator match {
-      case SearchOperator.AndOp  => queryTerms.size
+      case SearchOperator.AndOp  => termKeys.size
       case SearchOperator.Or(m)  => math.max(1, m)
     }
     val scored = scoredBase
       .withColumn(ScoreCol, perTermScore.reduce(_ + _))
       .withColumn("__matched", matchedTerms)
       .filter(col("__matched") >= minMatch)
-    // explainScore: per-term score breakdown (reference: index.go:2266-2291)
+    // explainScore: per-term score breakdown (reference: index.go:2266-2291).
+    // A term string appearing under two tokenizations gets a per-group suffix.
     val explained =
       if (!explain) scored
-      else queryTerms.zip(perTermScore).foldLeft(scored) { case (d, (t, sc)) =>
-        d.withColumn(explainCol(t), sc)
+      else {
+        val dupNames = termKeys.groupBy(_.term).filter(_._2.size > 1).keySet
+        termKeys.zip(perTermScore).foldLeft(scored) { case (d, (k, sc)) =>
+          val name = if (dupNames(k.term)) s"${explainCol(k.term)}__g${k.group}" else explainCol(k.term)
+          d.withColumn(name, sc)
+        }
       }
-    explained.drop((propTok.indices.map(i => s"__tok_$i") :+ "__matched"): _*)
+    explained.drop(
+      (propTok.indices.map(i => s"__tok_$i") ++ propTok.indices.map(i => s"__dl_$i")
+        :+ "__matched"): _*)
   }
 
   /** Top-k keyword search with deterministic id tie-break. */

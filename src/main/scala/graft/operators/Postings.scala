@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.engine.Collection
 import graft.model.{SearchOperator, Tokenization}
 import graft.text.Tokenize
+import Bm25Search.TermKey
 
 /**
  * Materialized BM25 postings — the batch-built side table replacing the
@@ -18,37 +19,44 @@ import graft.text.Tokenize
  * a pushdown-filtered read of a few term partitions joined back to doc
  * lengths. At 100 TB the postings table is partitioned/bucketed by term, so
  * a query reads only its terms' partitions — the Spark analogue of fetching
- * posting lists, with the same scoring math to the last bit.
+ * posting lists, with the same scoring math to the last bit
+ * (PostingsParityProps asserts postings ≡ scan on random corpora, including
+ * multi-prop boosted queries and null props).
  *
- * Multi-prop (BM25F) support mirrors the scan path: per-(term, doc, prop)
- * term frequencies, per-prop length norms, idf over the UNION doc frequency
- * (a doc counts once per term regardless of which prop contains it —
- * `Bm25Search.corpusStats` builds the identical dictionary).
+ * Scoring implements the reference's BM25F model exactly as `Bm25Search`
+ * does (see that file's header for the pinned semantics + provenance):
+ * boost folded into the raw frequency, frequency and DISTINCT-term prop
+ * length summed across the term's same-tokenization props per doc, ONE
+ * saturation with the pooled average prop length, idf over the group-union
+ * doc frequency × duplicate-query-term count.
  *
  * Block-max metadata stores (max_tf, min_dl) per (term, bucket, prop) rather
  * than a pre-saturated impact: tf-saturation is increasing in tf and
- * decreasing in dl, so sat(max_tf, min_dl) bounds every doc's contribution
- * for ANY query-time (k1, b) and ANY avgLen — which keeps pruning sound both
- * for non-default k1/b queries and after incremental appends shift avgLen
- * (the reference's per-block impact stats are rebuilt by segment compaction
- * instead, terms/terms_block.go).
+ * decreasing in dl, so sat(Σ_p boost·max_tf_p, min_p min_dl_p) bounds every
+ * doc's merged contribution for ANY query-time (k1, b) in the sane range and
+ * ANY pooled avgLen — which keeps pruning sound both for non-default k1/b
+ * queries and after incremental appends shift avgLen (the reference's
+ * per-block impact stats are rebuilt by segment compaction instead,
+ * terms/terms_block.go).
  */
 final case class PostingsIndex(
     props: Seq[String],
     tokenizations: Seq[Tokenization],
     postings: DataFrame,   // (term, __id, __p, tf, __bucket)
-    docLens: DataFrame,    // (__id, __dl_0 … __dl_{P-1})
-    termDf: DataFrame,     // (term, df) — union doc frequency (BM25F idf)
+    docLens: DataFrame,    // (__id, __dl_0 … __dl_{P-1}) — DISTINCT-term counts
+    termDf: DataFrame,     // (__g, term, df) — group-union doc frequency (BM25F idf)
     maxImpact: DataFrame,  // (term, __bucket, __p, max_tf, min_dl)
     nDocs: Long,
-    avgLens: IndexedSeq[Double],
+    propMeans: IndexedSeq[Double], // per-prop mean distinct-term count (0.0 if propless)
     idCol: String,
     buckets: Int,
-    /** Identity of the corpus DataFrame the index was built from — the store
-     * version gate: the engine serves from the index only while the
-     * collection still exposes the same df (mirrors `Bm25Search.statsCache`'s
-     * df-identity key). */
-    storeId: Int)
+    /** Store version the index was built from — the engine serves from the
+     * index only while the collection still reports the same version
+     * (mirrors `Bm25Search.statsCache`'s key; see Collection.version). */
+    storeVersion: Long) {
+  /** Prop indices grouped by tokenization (first-appearance order). */
+  lazy val groups: Seq[(Tokenization, Seq[Int])] = Bm25Search.groupsOf(tokenizations)
+}
 
 object Postings {
 
@@ -91,15 +99,23 @@ object Postings {
    * Incremental maintenance (the reference's async indexing queue analogue,
    * like `IvfIndex.append`): apply an upsert/delete delta without
    * re-tokenizing the standing corpus. Only the CHANGED rows are tokenized;
-   * the statistics tables (termDf, maxImpact, N, avgLen) are re-aggregated
+   * the statistics tables (termDf, maxImpact, N, propMeans) are re-aggregated
    * from the merged postings/docLens side tables — far smaller than the raw
    * text at any scale, and the only sound option for df/max/min under
    * replaced or deleted docs. Lineage is truncated per delta
    * (localCheckpoint) so a long-lived session applying many deltas doesn't
    * grow an ever-deeper plan.
    *
-   * @param c        the collection AFTER the mutation (its df identity
-   *                 becomes the new storeId, so the engine routes again)
+   * Concurrency note: the superseded index's cached frames are released
+   * eagerly here. A keyword query STILL STREAMING from the old index when the
+   * delta lands can fail mid-job (a localCheckpoint'd frame has no lineage to
+   * recompute from) — delta application and in-flight queries must not race.
+   * The engine's registration path (`Graft.applyPostingsDelta`) applies
+   * deltas under the registry lock between queries; callers driving `delta`
+   * directly (e.g. a streaming maintenance job) own that exclusion.
+   *
+   * @param c        the collection AFTER the mutation (its version becomes
+   *                 the new storeVersion, so the engine routes again)
    * @param changed  full rows of upserted (new or replaced) objects
    * @param removedIds ids of deleted objects (replaced ids need not be listed)
    */
@@ -139,9 +155,12 @@ object Postings {
     }: _*)
   }
 
+  /** Per-doc prop lengths = DISTINCT-term counts (reference: the prop length
+   * tracker stores len(Items) — unique countables — per doc,
+   * shard_write_inverted_lsm.go:251). */
   private def docLensOf(toks: DataFrame, props: Seq[String]): DataFrame =
     toks.select(col("__id") +: props.indices.map(i =>
-      size(col(s"__toks_$i")).cast("double").as(s"__dl_$i")): _*)
+      size(array_distinct(col(s"__toks_$i"))).cast("double").as(s"__dl_$i")): _*)
 
   /** (term, __id, __p, tf) without the bucket column. */
   private def postingsOf(toks: DataFrame, props: Seq[String]): DataFrame =
@@ -150,6 +169,12 @@ object Postings {
     }.reduce(_.unionByName(_))
       .groupBy(col("term"), col("__id"), col("__p"))
       .agg(count(lit(1)).cast("double").as("tf"))
+
+  /** `when`-chain mapping __p → its tokenization-group index. */
+  private def groupOfProp(groups: Seq[(Tokenization, Seq[Int])]): Column =
+    groups.zipWithIndex.foldLeft(lit(-1)) { case (acc, ((_, propIdxs), g)) =>
+      when(col("__p").isin(propIdxs: _*), lit(g)).otherwise(acc)
+    }
 
   /** Stats + block-max aggregation over prepared postings/docLens frames.
    * `postings` may or may not already carry __bucket (build adds it here;
@@ -161,14 +186,16 @@ object Postings {
       else postings0.withColumn("__bucket",
         pmod(xxhash64(col("__id")), lit(buckets)).cast("int")).cache()
     val statAggs: Seq[Column] =
-      Seq(count(lit(1)).as("n")) ++ props.indices.map(i => avg(col(s"__dl_$i")).as(s"avg_$i"))
+      Seq(count(lit(1)).as("n")) ++
+      props.indices.map(i => coalesce(avg(col(s"__dl_$i")), lit(0.0)).as(s"avg_$i"))
     val statRow = docLens.agg(statAggs.head, statAggs.tail: _*).head()
     val nDocs = statRow.getAs[Long]("n")
-    // same epsilon floor as Bm25Search.corpusStats — parity to the last bit
-    val avgLens = props.indices.map(i =>
-      math.max(Option(statRow.getAs[java.lang.Double](s"avg_$i")).map(_.toDouble).getOrElse(0.0), 1e-9))
-      .toIndexedSeq
-    val termDf = postings.groupBy(col("term"))
+    val propMeans = props.indices.map(i => statRow.getAs[Double](s"avg_$i")).toIndexedSeq
+    val modes = props.map(p => c.schema.property(p).map(_.tokenization).getOrElse(Tokenization.Word))
+    val groups = Bm25Search.groupsOf(modes)
+    // group-union doc frequency (the merged posting list's length per term)
+    val termDf = postings.withColumn("__g", groupOfProp(groups))
+      .groupBy(col("__g"), col("term"))
       .agg(countDistinct(col("__id")).cast("double").as("df")).cache()
     val dlOfProp = props.indices.foldLeft(lit(null).cast("double")) { (acc, i) =>
       when(col("__p") === i, col(s"__dl_$i")).otherwise(acc)
@@ -177,54 +204,130 @@ object Postings {
       .groupBy(col("term"), col("__bucket"), col("__p"))
       .agg(max(col("tf")).as("max_tf"), min(dlOfProp).as("min_dl"))
       .cache()
-    val modes = props.map(p => c.schema.property(p).map(_.tokenization).getOrElse(Tokenization.Word))
     PostingsIndex(props, modes, postings, docLens, termDf, maxImpact,
-      nDocs, avgLens, c.schema.idColumn, buckets,
-      System.identityHashCode(c.df))
+      nDocs, propMeans, c.schema.idColumn, buckets, c.version)
   }
 
   // --- query-time shared pieces ---------------------------------------------
 
-  /** `activeProps` = indices (into idx.props) of the props this query scores —
-   * the reference's per-property posting lists: ONE index over all searchable
-   * props serves any scored subset (bm25 `properties:`), because df/tf/len
-   * stats restrict to the subset at query time. */
+  /** Resolved query context. `activeByGroup` = for each tokenization group
+   * with ≥1 scored prop, the scored prop indices (into idx.props) — the
+   * reference's per-tokenization property lists: ONE index over all
+   * searchable props serves any scored subset (bm25 `properties:`), because
+   * df/tf/len stats restrict to the subset at query time. */
   private final case class QueryCtx(
-      terms: Seq[String], idf: Map[String, Double], minMatch: Int,
-      activeProps: Seq[Int])
+      termKeys: Seq[TermKey], idfDup: Map[(Int, String), Double], minMatch: Int,
+      activeByGroup: Map[Int, Seq[Int]], avgPool: Double, fullSet: Boolean)
 
-  private def ctx(idx: PostingsIndex, query: String, op: SearchOperator,
-                  props: Option[Seq[String]]): QueryCtx = {
-    val active: Seq[Int] = props match {
+  private def resolveActive(idx: PostingsIndex, props: Option[Seq[String]]): Seq[Int] =
+    props match {
       case None => idx.props.indices
       case Some(ps) =>
         val missing = ps.filterNot(idx.props.contains)
         require(missing.isEmpty, s"postings: props not in index: ${missing.mkString(",")}")
         ps.map(idx.props.indexOf)
     }
-    val terms = active.map(idx.tokenizations)
-      .flatMap(m => Tokenize.queryTokens(m, query)).distinct
-    require(terms.nonEmpty, "bm25: empty query after tokenization")
-    // doc frequency over the scored prop set (BM25F union-df). The full set
-    // reads the precomputed dictionary; a subset re-aggregates from the
-    // term-pruned postings — a job over only the query terms' posting rows,
-    // the same work the dictionary lookup does plus one tiny shuffle.
-    val dfs: Map[String, Double] = (if (active == idx.props.indices) {
-      idx.termDf.filter(col("term").isin(terms: _*))
+
+  private def termKeysOf(idx: PostingsIndex, active: Seq[Int], query: String): Seq[TermKey] =
+    idx.groups.zipWithIndex.flatMap { case ((mode, propIdxs), g) =>
+      if (propIdxs.intersect(active).isEmpty) Nil
+      else {
+        val toks = Tokenize.queryTokens(mode, query)
+        toks.distinct.map(t => TermKey(g, t, toks.count(_ == t)))
+      }
+    }
+
+  private def ctx(idx: PostingsIndex, query: String, op: SearchOperator,
+                  props: Option[Seq[String]]): QueryCtx = {
+    val active = resolveActive(idx, props)
+    val activeByGroup: Map[Int, Seq[Int]] = idx.groups.zipWithIndex.flatMap {
+      case ((_, propIdxs), g) =>
+        val in = propIdxs.intersect(active)
+        if (in.isEmpty) None else Some(g -> in)
+    }.toMap
+    val termKeys = termKeysOf(idx, active, query)
+    require(termKeys.nonEmpty, "bm25: empty query after tokenization")
+    // group-union doc frequency over the scored prop set. The full set reads
+    // the precomputed dictionary; a subset re-aggregates from the term-pruned
+    // postings — a job over only the query terms' posting rows, the same work
+    // the dictionary lookup does plus one tiny shuffle.
+    val fullSet = active.sorted == idx.props.indices
+    val dfs: Map[(Int, String), Double] = (if (fullSet) {
+      idx.termDf.filter(col("term").isin(termKeys.map(_.term).distinct: _*))
     } else {
-      idx.postings
-        .filter(col("term").isin(terms: _*) && col("__p").isin(active: _*))
-        .groupBy(col("term")).agg(countDistinct(col("__id")).cast("double").as("df"))
-    }).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val idf = terms.map { t =>
-      val n = dfs.getOrElse(t, 0.0)
-      t -> math.log(1.0 + (idx.nDocs - n + 0.5) / (n + 0.5))
+      queryRows(idx, termKeys, activeByGroup)
+        .groupBy(col("__g"), col("term"))
+        .agg(countDistinct(col("__id")).cast("double").as("df"))
+    }).collect().map(r => (r.getInt(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val idfDup = termKeys.map { k =>
+      val n = dfs.getOrElse((k.group, k.term), 0.0)
+      (k.group, k.term) ->
+        math.log(1.0 + (idx.nDocs - n + 0.5) / (n + 0.5)) * k.dup
     }.toMap
     val minMatch = op match {
-      case SearchOperator.AndOp => terms.size
+      case SearchOperator.AndOp => termKeys.size
       case SearchOperator.Or(m) => math.max(1, m)
     }
-    QueryCtx(terms, idf, minMatch, active)
+    val avgPool = Bm25Search.pooledAvgLen(
+      activeByGroup.values.flatten.toSeq.sorted.map(idx.propMeans))
+    QueryCtx(termKeys, idfDup, minMatch, activeByGroup, avgPool, fullSet)
+  }
+
+  /** The query's posting rows: term ∈ the group's terms AND __p ∈ the
+   * group's scored props, tagged with __g. A term only ever meets the props
+   * of ITS tokenization group (reference: per-tokenization term requests). */
+  private def queryRows(idx: PostingsIndex, termKeys: Seq[TermKey],
+                        activeByGroup: Map[Int, Seq[Int]]): DataFrame = {
+    val conds: Seq[Column] = activeByGroup.toSeq.sortBy(_._1).flatMap { case (g, ps) =>
+      val terms = termKeys.filter(_.group == g).map(_.term)
+      if (terms.isEmpty) None
+      else Some(col("term").isin(terms: _*) && col("__p").isin(ps: _*))
+    }
+    require(conds.nonEmpty, "bm25: no scored props carry query terms")
+    idx.postings.filter(conds.reduce(_ || _))
+      .withColumn("__g", groupOfProp(idx.groups))
+  }
+
+  /** Merge the query rows per (group, term, doc): boosted frequency and
+   * distinct-term prop length summed across the term's props (reference:
+   * bm25_searcher.go:950-951), then saturate once and sum per doc. Shared by
+   * the lazy and pruned paths; `idfExpr` supplies idf·dupBoost either as a
+   * literal `when`-chain (pruned path — stats already on the driver) or from
+   * a broadcast dictionary join (lazy path). */
+  private def mergeAndScore(idx: PostingsIndex, q: QueryCtx, k1: Double, b: Double,
+                            boosts: Map[String, Double], rows: DataFrame,
+                            idfJoin: Option[DataFrame]): DataFrame = {
+    val boostCol = idx.props.indices.foldLeft(lit(1.0)) { (acc, p) =>
+      when(col("__p") === p, lit(boosts.getOrElse(idx.props(p), 1.0))).otherwise(acc)
+    }
+    val dlOfProp = idx.props.indices.foldLeft(lit(null).cast("double")) { (acc, p) =>
+      when(col("__p") === p, col(s"__dl_$p")).otherwise(acc)
+    }
+    val merged = rows.join(idx.docLens, "__id")
+      .groupBy(col("__g"), col("term"), col("__id"))
+      .agg(sum(boostCol * col("tf")).as("__freq"), sum(dlOfProp).as("__dlsum"))
+    val withIdf = idfJoin match {
+      case Some(dict) => merged.join(broadcast(dict), Seq("__g", "term"))
+      case None =>
+        val idfLit = q.termKeys.foldLeft(lit(0.0)) { (acc, k) =>
+          when(col("__g") === k.group && col("term") === k.term,
+            lit(q.idfDup((k.group, k.term)))).otherwise(acc)
+        }
+        merged.withColumn("__idf", idfLit)
+    }
+    withIdf
+      // freq=0 (a zero boost) scores 0 rather than 0/0 — same guard as the
+      // scan path's when(freq > 0, …)
+      .withColumn("__contrib",
+        when(col("__freq") > 0,
+          col("__idf") * col("__freq") / (col("__freq") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("__dlsum") / lit(q.avgPool))))
+          .otherwise(lit(0.0)))
+      .groupBy(col("__id"))
+      .agg(sum(col("__contrib")).as(Bm25Search.ScoreCol),
+        count(lit(1)).as("__matched")) // rows are unique per (__g, term) here
+      .filter(col("__matched") >= q.minMatch)
+      .drop("__matched")
   }
 
   /** Per-doc scores over a (possibly bucket-restricted) postings subset:
@@ -232,38 +335,18 @@ object Postings {
   private def scored(idx: PostingsIndex, q: QueryCtx, k1: Double, b: Double,
                      allowlist: Option[DataFrame], boosts: Map[String, Double],
                      bucketFilter: Option[Seq[Int]]): DataFrame = {
-    val idfCol = q.terms.foldLeft(lit(0.0)) { (acc, t) =>
-      when(col("term") === t, lit(q.idf(t))).otherwise(acc)
-    }
-    val satCol = q.activeProps.foldLeft(lit(0.0)) { (acc, p) =>
-      val boost = boosts.getOrElse(idx.props(p), 1.0)
-      when(col("__p") === p,
-        lit(boost) * col("tf") / (col("tf") +
-          lit(k1) * (lit(1.0 - b) + lit(b) * col(s"__dl_$p") / lit(idx.avgLens(p)))))
-        .otherwise(acc)
-    }
-    val baseP =
-      if (q.activeProps == idx.props.indices) idx.postings
-      else idx.postings.filter(col("__p").isin(q.activeProps: _*))
-    val base0 = baseP.filter(col("term").isin(q.terms: _*))
-    val base1 = bucketFilter.map(bs => base0.filter(col("__bucket").isin(bs: _*))).getOrElse(base0)
+    val rows0 = queryRows(idx, q.termKeys, q.activeByGroup)
+    val rows1 = bucketFilter.map(bs => rows0.filter(col("__bucket").isin(bs: _*))).getOrElse(rows0)
     // where-filter = allowlist before scoring (reference shard_read.go:536-550)
-    val base = allowlist match {
-      case Some(ids) => base1.join(
+    val rows = allowlist match {
+      case Some(ids) => rows1.join(
         ids.select(col(idx.idCol).as("__id")), Seq("__id"), "left_semi")
-      case None => base1
+      case None => rows1
     }
-    base.join(idx.docLens, "__id")
-      .withColumn("__contrib", idfCol * satCol)
-      .groupBy(col("__id"))
-      .agg(sum(col("__contrib")).as(Bm25Search.ScoreCol),
-        countDistinct(col("term")).as("__matched"))
-      .filter(col("__matched") >= q.minMatch)
-      .drop("__matched")
+    mergeAndScore(idx, q, k1, b, boosts, rows, idfJoin = None)
   }
 
-  /** BM25 scoring over the postings table — identical math to Bm25Search
-   * (idf = ln(1+(N−n+0.5)/(n+0.5)); tf saturation with k1/b).
+  /** BM25 scoring over the postings table — identical math to Bm25Search.
    *
    * Fully LAZY: unlike `searchPruned` (whose θ phase must materialize), this
    * builds ONE plan — the per-term doc frequency joins in from the (tiny,
@@ -278,54 +361,45 @@ object Postings {
              allowlist: Option[DataFrame] = None,
              boosts: Map[String, Double] = Map.empty,
              props: Option[Seq[String]] = None): DataFrame = {
-    val active: Seq[Int] = props match {
-      case None => idx.props.indices
-      case Some(ps) =>
-        val missing = ps.filterNot(idx.props.contains)
-        require(missing.isEmpty, s"postings: props not in index: ${missing.mkString(",")}")
-        ps.map(idx.props.indexOf)
-    }
-    val terms = active.map(idx.tokenizations)
-      .flatMap(m => Tokenize.queryTokens(m, query)).distinct
-    require(terms.nonEmpty, "bm25: empty query after tokenization")
+    val active = resolveActive(idx, props)
+    val activeByGroup: Map[Int, Seq[Int]] = idx.groups.zipWithIndex.flatMap {
+      case ((_, propIdxs), g) =>
+        val in = propIdxs.intersect(active)
+        if (in.isEmpty) None else Some(g -> in)
+    }.toMap
+    val termKeys = termKeysOf(idx, active, query)
+    require(termKeys.nonEmpty, "bm25: empty query after tokenization")
     val minMatch = searchOperator match {
-      case SearchOperator.AndOp => terms.size
+      case SearchOperator.AndOp => termKeys.size
       case SearchOperator.Or(m) => math.max(1, m)
     }
-    // per-term df over the scored prop set: the precomputed dictionary for
-    // the full set, a term-pruned re-aggregation for a subset — either way a
-    // ≤|terms|-row frame, broadcast onto the postings rows
-    val dfTbl =
-      if (active == idx.props.indices) idx.termDf.filter(col("term").isin(terms: _*))
-      else idx.postings
-        .filter(col("term").isin(terms: _*) && col("__p").isin(active: _*))
-        .groupBy(col("term")).agg(countDistinct(col("__id")).cast("double").as("df"))
-    val idfCol = log(lit(1.0) +
-      (lit(idx.nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val satCol = active.foldLeft(lit(0.0)) { (acc, p) =>
-      val boost = boosts.getOrElse(idx.props(p), 1.0)
-      when(col("__p") === p,
-        lit(boost) * col("tf") / (col("tf") +
-          lit(k1) * (lit(1.0 - b) + lit(b) * col(s"__dl_$p") / lit(idx.avgLens(p)))))
-        .otherwise(acc)
+    val avgPool = Bm25Search.pooledAvgLen(
+      activeByGroup.values.flatten.toSeq.sorted.map(idx.propMeans))
+    // per-(group, term) df: the precomputed dictionary for the full set, a
+    // term-pruned re-aggregation for a subset — either way a ≤|terms|-row
+    // frame, broadcast onto the merged rows. Duplicate-query-term boost rides
+    // in as a literal `when`-chain over the (tiny) dictionary.
+    val fullSet = active.sorted == idx.props.indices
+    val dfTbl0 =
+      if (fullSet) idx.termDf.filter(col("term").isin(termKeys.map(_.term).distinct: _*))
+      else queryRows(idx, termKeys, activeByGroup)
+        .groupBy(col("__g"), col("term"))
+        .agg(countDistinct(col("__id")).cast("double").as("df"))
+    val dupCol = termKeys.foldLeft(lit(1.0)) { (acc, k) =>
+      when(col("__g") === k.group && col("term") === k.term, lit(k.dup.toDouble)).otherwise(acc)
     }
-    val baseP =
-      if (active == idx.props.indices) idx.postings
-      else idx.postings.filter(col("__p").isin(active: _*))
-    val base0 = baseP.filter(col("term").isin(terms: _*))
-    val base = allowlist match {
-      case Some(ids) => base0.join(
+    val dfTbl = dfTbl0.withColumn("__idf",
+      log(lit(1.0) + (lit(idx.nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+        * dupCol)
+      .select(col("__g"), col("term"), col("__idf"))
+    val rows0 = queryRows(idx, termKeys, activeByGroup)
+    val rows = allowlist match {
+      case Some(ids) => rows0.join(
         ids.select(col(idx.idCol).as("__id")), Seq("__id"), "left_semi")
-      case None => base0
+      case None => rows0
     }
-    base.join(broadcast(dfTbl), "term")
-      .join(idx.docLens, "__id")
-      .withColumn("__contrib", idfCol * satCol)
-      .groupBy(col("__id"))
-      .agg(sum(col("__contrib")).as(Bm25Search.ScoreCol),
-        countDistinct(col("term")).as("__matched"))
-      .filter(col("__matched") >= minMatch)
-      .drop("__matched")
+    val q = QueryCtx(termKeys, Map.empty, minMatch, activeByGroup, avgPool, fullSet)
+    mergeAndScore(idx, q, k1, b, boosts, rows, idfJoin = Some(dfTbl))
       .withColumnRenamed("__id", idx.idCol)
       .orderBy(col(Bm25Search.ScoreCol).desc, col(idx.idCol).asc)
       .limit(limit)
@@ -340,11 +414,14 @@ object Postings {
    * best-bounded bucket — a lower bound of the global kth score (an
    * allowlist or minimum-should-match filter only REMOVES candidates from
    * both phases equally, so θ stays a lower bound of the final kth). A doc
-   * in any bucket with upper bound Σ_{t,p} idf_t·boost_p·sat(max_tf, min_dl)
-   * < θ scores strictly below θ ≤ global-kth, so pruning that bucket cannot
-   * evict a true top-k member (strict inequality also survives ties). At
-   * 100 TB the bucket is a physical partition of the postings layout, so
-   * pruning skips whole partitions of every term's posting list.
+   * in any bucket scores Σ_t idf_t·sat(F_t, DL_t) with F_t ≤ Σ_p boost_p·
+   * max_tf_{t,p,bucket} and DL_t ≥ min_p min_dl_{t,p,bucket}; saturation is
+   * increasing in F and decreasing in DL (for k1 ≥ 0, 0 ≤ b ≤ 1, boosts ≥ 0),
+   * so a bucket whose bound Σ_t idf_t·sat(F̂_t, ĎL_t) < θ cannot hold a true
+   * top-k member (strict inequality also survives ties). Out-of-range k1/b
+   * or negative boosts break the monotonicity argument — those queries serve
+   * unpruned. At 100 TB the bucket is a physical partition of the postings
+   * layout, so pruning skips whole partitions of every term's posting list.
    */
   def searchPruned(idx: PostingsIndex, query: String, limit: Int,
                    searchOperator: SearchOperator = SearchOperator.Or(1),
@@ -352,20 +429,35 @@ object Postings {
                    allowlist: Option[DataFrame] = None,
                    boosts: Map[String, Double] = Map.empty,
                    props: Option[Seq[String]] = None): DataFrame = {
+    // pruning is proven sound only on the monotone parameter range
+    if (k1 < 0 || b < 0 || b > 1 || boosts.values.exists(_ < 0))
+      return search(idx, query, limit, searchOperator, k1, b, allowlist, boosts, props)
     val q = ctx(idx, query, searchOperator, props)
 
     // driver-side bucket bounds from the (tiny) block-max table
+    val impactConds: Seq[Column] = q.activeByGroup.toSeq.sortBy(_._1).flatMap { case (g, ps) =>
+      val terms = q.termKeys.filter(_.group == g).map(_.term)
+      if (terms.isEmpty) None
+      else Some(col("term").isin(terms: _*) && col("__p").isin(ps: _*))
+    }
+    val propToGroup: Map[Int, Int] = idx.groups.zipWithIndex.flatMap {
+      case ((_, propIdxs), g) => propIdxs.map(_ -> g)
+    }.toMap
     val bounds: Map[Int, Double] = idx.maxImpact
-      .filter(col("term").isin(q.terms: _*) && col("__p").isin(q.activeProps: _*))
+      .filter(impactConds.reduce(_ || _))
       .collect()
       .groupBy(_.getInt(1))
       .map { case (bkt, rows) =>
-        bkt -> rows.map { r =>
-          val p = r.getInt(2)
-          val maxTf = r.getDouble(3); val minDl = r.getDouble(4)
-          val boost = boosts.getOrElse(idx.props(p), 1.0)
-          q.idf(r.getString(0)) * boost *
-            maxTf / (maxTf + k1 * ((1.0 - b) + b * minDl / idx.avgLens(p)))
+        // merge the per-prop block stats per (group, term) — the same
+        // cross-prop merge the scorer does, applied to the extremes
+        bkt -> rows.groupBy(r => (propToGroup(r.getInt(2)), r.getString(0))).map {
+          case ((g, term), propRows) =>
+            val freqUpper = propRows.map { r =>
+              boosts.getOrElse(idx.props(r.getInt(2)), 1.0) * r.getDouble(3)
+            }.sum
+            val dlLower = propRows.map(_.getDouble(4)).min
+            q.idfDup((g, term)) * freqUpper /
+              (freqUpper + k1 * ((1.0 - b) + b * dlLower / q.avgPool))
         }.sum
       }
     def finish(d: DataFrame): DataFrame = d

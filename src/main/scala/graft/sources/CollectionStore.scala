@@ -51,7 +51,11 @@ final class CollectionStore(val spark: SparkSession, val root: String,
     spark.read.parquet(s"$root/v$version")
   }
 
-  def collection: Collection = Collection(schema, read())
+  // the on-disk version number IS the store-version gate: re-reading the
+  // same version yields the same Collection.version, so cached BM25 stats /
+  // postings / muvera artifacts built against it keep serving (no spurious
+  // rebuild), while any writeVersion bumps it and retires them
+  def collection: Collection = Collection(schema, read(), version = version.toLong)
 
   /**
    * Write-path vectorizer module (reference: usecases/objects/add.go —

@@ -2,14 +2,18 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.engine.{Collection, Graft}
+import graft.engine.Collection
 import graft.model._
 import graft.operators.Bm25Search
 
 class Bm25Spec extends SparkSpecBase {
   import spark.implicits._
 
-  // 4-doc corpus with hand-computable stats
+  // 4-doc corpus with hand-computable stats. Reference model (see Bm25.scala
+  // header): dl = DISTINCT term count, boost folds into the frequency,
+  // duplicate query terms multiply idf.
+  //   unique lengths: doc1=4, doc2=2 ("spark spark everywhere"), doc3=3,
+  //   doc4=3 ("fast water fast spark") → avgdl = 3.0
   private lazy val coll: Collection = {
     val df = Seq(
       (1L, "spark makes joins fast"),
@@ -33,17 +37,17 @@ class Bm25Spec extends SparkSpecBase {
 
   test("single-term scores match the closed formula") {
     val s = score("spark")
-    // N=4, avgdl=(4+3+3+4)/4=3.5, n_spark=3
-    assert(math.abs(s(1L) - bm25Ref(1, 4, 3, 4, 3.5)) < 1e-12)
-    assert(math.abs(s(2L) - bm25Ref(2, 3, 3, 4, 3.5)) < 1e-12)
-    assert(math.abs(s(4L) - bm25Ref(1, 4, 3, 4, 3.5)) < 1e-12)
+    // N=4, avgdl(unique)=3.0, n_spark=3
+    assert(math.abs(s(1L) - bm25Ref(1, 4, 3, 4, 3.0)) < 1e-12)
+    assert(math.abs(s(2L) - bm25Ref(2, 2, 3, 4, 3.0)) < 1e-12)
+    assert(math.abs(s(4L) - bm25Ref(1, 3, 3, 4, 3.0)) < 1e-12)
     assert(!s.contains(3L)) // no query term
   }
 
   test("multi-term scores sum per-term contributions") {
     val s = score("spark water")
-    val expected1 = bm25Ref(1, 4, 3, 4, 3.5) // spark only
-    val expected4 = bm25Ref(1, 4, 3, 4, 3.5) + bm25Ref(1, 4, 2, 4, 3.5)
+    val expected1 = bm25Ref(1, 4, 3, 4, 3.0) // spark only
+    val expected4 = bm25Ref(1, 3, 3, 4, 3.0) + bm25Ref(1, 3, 2, 4, 3.0)
     assert(math.abs(s(1L) - expected1) < 1e-12)
     assert(math.abs(s(4L) - expected4) < 1e-12)
     assert(s.contains(3L)) // matches "water"
@@ -59,15 +63,20 @@ class Bm25Spec extends SparkSpecBase {
     assert(s.keySet == Set(3L, 4L)) // doc3: water+ducks; doc4: spark+water
   }
 
-  test("repeated query terms don't double-count") {
-    assert(score("spark spark") == score("spark"))
+  test("repeated query terms multiply idf (duplicateTextBoost)") {
+    val s1 = score("spark")
+    val s2 = score("spark spark")
+    assert(s1.keySet == s2.keySet)
+    for ((k, v) <- s1) assert(math.abs(s2(k) - 2 * v) < 1e-12)
   }
 
-  test("property boost multiplies") {
-    val s1 = Bm25Search.score(coll, Bm25("spark", Seq("text")))
-      .select($"id", col(Bm25Search.ScoreCol)).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+  test("property boost folds into the raw frequency before saturation") {
+    // reference: lsmkv decode multiplies the boost into Frequency
+    // (bm25_searcher.go:825) — NOT a linear post-multiplier on the score
     val s2 = Bm25Search.score(coll, Bm25("spark", Seq("text^2")))
       .select($"id", col(Bm25Search.ScoreCol)).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    for ((k, v) <- s1) assert(math.abs(s2(k) - 2 * v) < 1e-12)
+    assert(math.abs(s2(1L) - bm25Ref(2, 4, 3, 4, 3.0)) < 1e-12)  // f=2·1
+    assert(math.abs(s2(2L) - bm25Ref(4, 2, 3, 4, 3.0)) < 1e-12)  // f=2·2
+    assert(math.abs(s2(4L) - bm25Ref(2, 3, 3, 4, 3.0)) < 1e-12)
   }
 }

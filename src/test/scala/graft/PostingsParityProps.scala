@@ -14,7 +14,9 @@ import graft.operators.{Bm25Search, Postings}
  * prop-subset serving and boosts) agrees with the literal-folded scan path on
  * random corpora and random queries — the bit-parity claim behind the
  * engine's scan-vs-index planner, tested adversarially rather than on a few
- * fixed queries. Result comparison is by the SET of (id, score@1e-9) with no
+ * fixed queries. Docs may carry NULL props (the scan path must score the
+ * remaining props, matching the postings path's no-rows semantics) and
+ * queries may repeat terms (duplicateTextBoost on both paths). Result comparison is by the SET of (id, score@1e-9) with no
  * limit cut, so fp near-ties cannot flake the ordering.
  */
 object PostingsParityProps extends Properties("PostingsParity") {
@@ -30,7 +32,7 @@ object PostingsParityProps extends Properties("PostingsParity") {
     "merge", "table", "row", "batch", "filter")
 
   private case class Case(
-      docs: List[(Long, String, String)],  // (id, body, tag)
+      docs: List[(Long, Option[String], Option[String])],  // (id, body, tag) — None = null prop
       query: String,
       op: SearchOperator,
       k1: Double, b: Double,
@@ -42,8 +44,12 @@ object PostingsParityProps extends Properties("PostingsParity") {
     docs  <- Gen.listOfN(n, for {
       len  <- Gen.choose(0, 8)
       toks <- Gen.listOfN(len, Gen.oneOf(vocab))
-      tag  <- Gen.oneOf(vocab)
-    } yield (toks.mkString(" "), tag))
+      // null props: a doc may lack body and/or tag — the scan path must score
+      // the non-null props normally (not null out the whole per-term sum),
+      // exactly like the postings path where a null prop simply has no rows
+      body <- Gen.frequency(4 -> Gen.const(Some(toks.mkString(" "))), 1 -> Gen.const(None))
+      tag  <- Gen.frequency(4 -> Gen.some(Gen.oneOf(vocab)), 1 -> Gen.const(None))
+    } yield (body, tag))
     qLen  <- Gen.choose(1, 4)
     q     <- Gen.listOfN(qLen, Gen.oneOf(vocab))
     and   <- Gen.oneOf(true, false)

@@ -181,8 +181,8 @@ class PostingsSpec extends SparkSpecBase {
     val fresh    = Postings.build(c1, Seq("text"), buckets = 16)
 
     assert(viaDelta.nDocs == fresh.nDocs)
-    viaDelta.avgLens.zip(fresh.avgLens).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
-    assert(viaDelta.storeId == System.identityHashCode(newDf))
+    viaDelta.propMeans.zip(fresh.propMeans).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+    assert(viaDelta.storeVersion == c1.version)
 
     for (q <- Seq("spark join stream", "replacement window", "fresh appended")) {
       val a = Postings.searchPruned(viaDelta, q, 15)
@@ -207,7 +207,7 @@ class PostingsSpec extends SparkSpecBase {
     val g = Fixtures.graft(spark, sf)
     val c = g.collection("Document")
     val idx = g.postingsFor(c).get
-    assert(idx.storeId == System.identityHashCode(c.df))
+    assert(idx.storeVersion == c.version)
     assert(g.postingsFor(c).get eq idx, "same store version must reuse the built index")
   }
 }
