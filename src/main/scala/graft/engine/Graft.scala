@@ -572,7 +572,7 @@ final class Graft(val spark: SparkSession) {
         val pool = fetchLimit.getOrElse(g.groups * g.objectsPerGroup)
         val pooled = sorted.limit(pool) // sorted always carries a total order
         val ranked = pooled.withColumn(rankCol,
-          row_number().over(org.apache.spark.sql.expressions.Window.orderBy(rankOrder: _*)))
+          row_number().over(graft.operators.BoundedWindow.ordered(rankOrder: _*)))
         val isArr = c.schema.property(g.property).exists(_.dataType.isInstanceOf[PropType.Arr])
         ResultGroupBy(ranked, rankCol, g.property, g.groups, g.objectsPerGroup, isArr)
           .orderBy(col("group_index").asc, col("group_hit_rank").asc)

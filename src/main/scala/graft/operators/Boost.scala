@@ -27,7 +27,7 @@ object Boost {
    * search score (higher = better). */
   def rescore(pool: DataFrame, primaryScore: Column, conditions: Seq[Condition],
               boostWeight: Double): DataFrame = {
-    val all = Window.partitionBy()
+    val all = BoundedWindow.all()
     def minMax(c: Column): Column = {
       val mn = min(c).over(all); val mx = max(c).over(all)
       when(mx === mn, lit(1.0)).otherwise((c - mn) / (mx - mn))

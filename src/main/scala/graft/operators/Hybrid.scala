@@ -127,10 +127,10 @@ object HybridSearch {
       fusion match {
         case FusionType.Ranked =>
           df.withColumn(s"__r_$i",
-              row_number().over(Window.orderBy(col("__s").desc, col(id).asc)))
+              row_number().over(BoundedWindow.ordered(col("__s").desc, col(id).asc)))
             .select(col(id), col("__s").as(s"__s_$i"), col(s"__r_$i"))
         case FusionType.RelativeScore =>
-          val w = Window.partitionBy() // bounded leg frame — cheap by design
+          val w = BoundedWindow.all() // bounded leg frame — cheap by design
           val mn = min(col("__s")).over(w); val mx = max(col("__s")).over(w)
           df.withColumn(s"__n_$i",
               when(mx === mn, lit(1.0)).otherwise((col("__s") - mn) / (mx - mn)))
@@ -164,9 +164,8 @@ object HybridSearch {
    * Expressed entirely with window functions over the bounded top-k frame.
    */
   def autocut(ranked: DataFrame, scoreCol: Column, id: Column, cuts: Int): DataFrame = {
-    val w = Window.orderBy(scoreCol.desc, id.asc)
-    val wAll = Window.partitionBy().orderBy(scoreCol.desc, id.asc)
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val w = BoundedWindow.ordered(scoreCol.desc, id.asc)
+    val wAll = BoundedWindow.orderedAll(scoreCol.desc, id.asc)
     val base = ranked
       .withColumn("__i", row_number().over(w) - 1)
       .withColumn("__n", count(lit(1)).over(wAll))

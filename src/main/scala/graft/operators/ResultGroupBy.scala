@@ -27,7 +27,7 @@ object ResultGroupBy {
     val base = if (explodeArrays) ranked.withColumn("__gval", explode(col(property)))
                else ranked.withColumn("__gval", col(property))
     val wInGroup = Window.partitionBy(col("__gval")).orderBy(col(rankCol).asc)
-    val wGroups = Window.partitionBy().orderBy(col("__gmin").asc)
+    val wGroups = BoundedWindow.ordered(col("__gmin").asc) // input is a ≤pool-row rank frame
     base
       .withColumn("__rn_in_group", row_number().over(wInGroup))
       .withColumn("__gmin", min(col(rankCol)).over(Window.partitionBy(col("__gval"))))
