@@ -28,3 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Suppress sbt's "[success] Total time..." trailer: the driver's bench
+// capture keeps a fixed-size tail of stdout, and the trailer would evict
+// ~76 chars of the benchmark's min-map line (exit code still signals status).
+Global / showSuccess := false

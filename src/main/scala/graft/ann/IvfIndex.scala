@@ -179,8 +179,12 @@ object IvfIndex {
    * reference brute-forces small allowlists instead of walking the graph,
    * while a LARGE allowlist (weak filter) probes the index and intersects
    * (searchFiltered), so a 99%-selectivity filter never forces a full scan.
-   * Thresholds (radius semantics need every row), multi-target combinations
-   * and unlimited search always take the brute-force scan.
+   * Multi-target combinations are index-served when EVERY requested target
+   * has a registered index on its vector column (multiTargetSearch below —
+   * the reference likewise requires an index per target, shard_read.go:
+   * 668-672 "index for target vector not found" is an error there).
+   * Thresholds (radius semantics need every row) and unlimited search always
+   * take the brute-force scan.
    */
   def searchOrScan(c: Collection, index: Option[IvfIndex], params: NearVector,
                    limit: Option[Int], filtered: Option[DataFrame],
@@ -188,13 +192,22 @@ object IvfIndex {
                    filteredCountHint: Option[Long] = None,
                    flatSearchCutoff: Long = 40000L): DataFrame = {
     val hasThreshold = params.distance.orElse(params.certainty).isDefined
+    val targets =
+      if (params.targetVectors.nonEmpty) params.targetVectors
+      else c.schema.defaultVector.toSeq
     val servesTarget = index.exists { ix =>
-      val targets =
-        if (params.targetVectors.nonEmpty) params.targetVectors
-        else c.schema.defaultVector.toSeq
       targets.size == 1 && c.schema.vectors.get(targets.head).contains(ix.vecCol)
     }
+    // per-target index resolution for the multi-target arm: all-or-nothing —
+    // a partially indexed target set falls back to the exact scan
+    val multiIdx: Option[Seq[IvfIndex]] =
+      if (targets.size > 1) {
+        val resolved = targets.map(t =>
+          c.vectorIndexes.get(t).filter(ix => c.schema.vectors.get(t).contains(ix.vecCol)))
+        if (resolved.forall(_.isDefined)) Some(resolved.map(_.get)) else None
+      } else None
     val indexable = servesTarget && !hasThreshold && limit.isDefined
+    val multiIndexable = multiIdx.isDefined && !hasThreshold && limit.isDefined
     (filtered, filteredCountHint) match {
       case (None, _) if indexable =>
         index.get.search(params.vector, limit.get, params.metric,
@@ -202,8 +215,49 @@ object IvfIndex {
       case (Some(allow), Some(n)) if indexable && n >= flatSearchCutoff =>
         index.get.searchFiltered(params.vector, limit.get, params.metric,
           nprobe.getOrElse(index.get.defaultNprobe), allow.select(col(index.get.idCol)))
+      case (None, _) if multiIndexable =>
+        multiTargetSearch(c, targets, multiIdx.get, params, limit.get, None, nprobe)
+      case (Some(allow), Some(n)) if multiIndexable && n >= flatSearchCutoff =>
+        multiTargetSearch(c, targets, multiIdx.get, params, limit.get, Some(allow), nprobe)
       case _ =>
         VectorSearch.nearVector(c, params, params.metric, limit, filtered)
     }
+  }
+
+  /**
+   * Multi-target search served from per-target index probes (reference:
+   * shard_read.go:655-752 — each target's own vector index is searched with
+   * the full limit in parallel — then CombineMultiTargetResults,
+   * shard_combine_multi_target.go:89-260 — union the candidate ids, backfill
+   * every pool member's distance for every target, combine, truncate).
+   *
+   * Spark shape: each per-target probe is a partition-pruned scan of that
+   * index's layout reading nprobe/nlist of the data (the per-target searches
+   * are independent branches of one lazy plan — Spark's scheduler runs their
+   * stages concurrently, the analogue of the reference's errgroup fan-out);
+   * the candidate union is ≤ targets×k FULL rows, which carry every vector
+   * column, so the backfill is a codegen'd distance expression over that
+   * bounded pool — no re-fetch of the collection, where the reference pays a
+   * VectorDistanceForQuery lookup per missing id. At 100 TB this replaces
+   * `targets` full scans with `targets` pruned probes + an O(targets·k)
+   * combine.
+   */
+  def multiTargetSearch(c: Collection, targets: Seq[String], idxs: Seq[IvfIndex],
+                        params: NearVector, k: Int, allow: Option[DataFrame],
+                        nprobe: Option[Int] = None): DataFrame = {
+    val idCol = idxs.head.idCol
+    val pool = targets.zip(idxs).map { case (_, ix) =>
+      val np = nprobe.getOrElse(ix.defaultNprobe)
+      val hits = allow match {
+        case Some(a) => ix.searchFiltered(params.vector, k, params.metric, np,
+          a.select(col(ix.idCol)))
+        case None => ix.search(params.vector, k, params.metric, np)
+      }
+      // keep the FULL candidate rows (the index layout is the original df +
+      // __centroid; search() already dropped __centroid) — they carry every
+      // target's vector column for the backfill step
+      hits.drop(VectorSearch.DistanceCol)
+    }.reduce(_ unionByName _).dropDuplicates(Seq(idCol))
+    VectorSearch.combineOverPool(c, pool, targets, params, Some(k))
   }
 }

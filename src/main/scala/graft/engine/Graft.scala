@@ -185,8 +185,16 @@ final class Graft(val spark: SparkSession) {
       if (nv.targetVectors.size > 1) None
       else nv.targetVectors.headOption.orElse(c.schema.defaultVector)
         .flatMap(c.vectorIndexes.get)
+    // multi-target combinations are index-served when EVERY target has its
+    // own registered index (IvfIndex.multiTargetSearch; reference
+    // shard_read.go:655-752) — the filtered arm needs the same selectivity
+    // hint as single-target for the flatSearchCutoff decision
+    val multiIndexed = nv.targetVectors.size > 1 &&
+      nv.targetVectors.forall(t => c.vectorIndexes.get(t)
+        .exists(ix => c.schema.vectors.get(t).contains(ix.vecCol)))
     val hint =
-      if (filtered.isDefined && idx.isDefined && nv.distance.orElse(nv.certainty).isEmpty)
+      if (filtered.isDefined && (idx.isDefined || multiIndexed) &&
+          nv.distance.orElse(nv.certainty).isEmpty)
         Some(selectivityEstimate(filtered.get, c.schema.idColumn))
       else None
     graft.ann.IvfIndex.searchOrScan(c, idx, nv, limit, filtered,

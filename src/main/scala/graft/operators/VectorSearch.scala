@@ -70,21 +70,9 @@ object VectorSearch {
         // Scoring every row exactly (instead of the reference's union-of-
         // candidate-lists + backfill) is the stronger guarantee the full scan
         // affords — same formula, no candidate-generation misses.
-        val perTarget = targets.zipWithIndex.foldLeft(base) { case (d, (t, i)) =>
-          withDistance(d, c.schema.vectors(t), params.vector, metric, s"__d$i")
-        }
-        val dcols = targets.indices.map(i => col(s"__d$i"))
-        val combined: Column = params.combination match {
-          case TargetCombination.Minimum => dcols.reduce((a, b) => least(a, b))
-          case TargetCombination.Sum     => dcols.reduce(_ + _)
-          case TargetCombination.Average => dcols.reduce(_ + _) / dcols.size
-          case TargetCombination.ManualWeights(ws) =>
-            targets.zipWithIndex.map { case (t, i) => col(s"__d$i") * lit(ws.getOrElse(t, 1.0)) }.reduce(_ + _)
-          case TargetCombination.RelativeScore(_) =>
-            throw new IllegalStateException(
-              "unreachable: multi-target RelativeScore is handled by relativeScoreSearch")
-        }
-        perTarget.withColumn(DistanceCol, combined).drop(targets.indices.map(i => s"__d$i"): _*)
+        val perTarget = foldDistances(base, c, targets, params.vector, metric)
+        perTarget.withColumn(DistanceCol, standardCombineCol(targets, params.combination))
+          .drop(targets.indices.map(i => s"__d$i"): _*)
       }
 
     val threshold: Option[Double] =
@@ -93,6 +81,63 @@ object VectorSearch {
     limit match {
       case Some(k) => cut.orderBy(col(DistanceCol).asc, col(c.schema.idColumn).asc).limit(k)
       case None    => cut.orderBy(col(DistanceCol).asc, col(c.schema.idColumn).asc)
+    }
+  }
+
+  /** One exact distance column per target: `__d0..__dn` over `base`. */
+  private def foldDistances(base: DataFrame, c: Collection, targets: Seq[String],
+      query: Array[Float], metric: Metric): DataFrame =
+    targets.zipWithIndex.foldLeft(base) { case (d, (t, i)) =>
+      withDistance(d, c.schema.vectors(t), query, metric, s"__d$i")
+    }
+
+  /** Combined-distance column over `__d{i}` for the non-pool combinations
+   * (reference: ResultContainerStandard.AddScores weights — Min takes the
+   * best list entry, Sum/Avg/Manual are weighted sums). */
+  private def standardCombineCol(targets: Seq[String], combination: TargetCombination): Column = {
+    val dcols = targets.indices.map(i => col(s"__d$i"))
+    combination match {
+      case TargetCombination.Minimum => dcols.reduce((a, b) => least(a, b))
+      case TargetCombination.Sum     => dcols.reduce(_ + _)
+      case TargetCombination.Average => dcols.reduce(_ + _) / dcols.size
+      case TargetCombination.ManualWeights(ws) =>
+        targets.zipWithIndex.map { case (t, i) => col(s"__d$i") * lit(ws.getOrElse(t, 1.0)) }.reduce(_ + _)
+      case TargetCombination.RelativeScore(_) =>
+        throw new IllegalStateException(
+          "unreachable: multi-target RelativeScore fuses over a candidate pool")
+    }
+  }
+
+  /**
+   * Exact combination over an EXPLICIT candidate pool — the backfill+combine
+   * step of the reference's CombineMultiTargetResults
+   * (shard_combine_multi_target.go:89-260): every pool member gets its exact
+   * distance for EVERY target, the combination runs over the pool only, and
+   * ranking truncates to the limit. Used by the per-target-index search arm
+   * (IvfIndex.multiTargetSearch), whose pool is the union of per-target
+   * candidate lists; the pool rows come from the index layout and carry all
+   * vector columns, so "backfill" is a codegen'd distance column — no
+   * re-fetch of the collection (the reference pays VectorDistanceForQuery
+   * per missing id instead). RelativeScore min-max normalizes each target
+   * over this pool, mirroring the reference's backfilled fusionInput (every
+   * pool id appears in every target's list before FusionRelativeScore runs).
+   */
+  def combineOverPool(c: Collection, pool: DataFrame, targets: Seq[String],
+      params: NearVector, limit: Option[Int]): DataFrame = {
+    val withD = foldDistances(pool, c, targets, params.vector, params.metric)
+    params.combination match {
+      case TargetCombination.RelativeScore(ws) =>
+        fuseRelative(c, withD, targets, ws, params, limit)
+      case comb =>
+        val scored = withD.withColumn(DistanceCol, standardCombineCol(targets, comb))
+          .drop(targets.indices.map(i => s"__d$i"): _*)
+        val threshold: Option[Double] =
+          params.distance.orElse(params.certainty.map(ct => 2.0 * (1.0 - ct)))
+        val cut = threshold.map(t => scored.filter(col(DistanceCol) <= t)).getOrElse(scored)
+        limit match {
+          case Some(k) => cut.orderBy(col(DistanceCol).asc, col(c.schema.idColumn).asc).limit(k)
+          case None    => cut.orderBy(col(DistanceCol).asc, col(c.schema.idColumn).asc)
+        }
     }
   }
 
@@ -126,6 +171,18 @@ object VectorSearch {
         scoredAll.join(broadcast(ids), Seq(id), "left_semi")
       case None => scoredAll // unlimited: the pool is the whole collection
     }
+    fuseRelative(c, pool, targets, ws, params, limit)
+  }
+
+  /** RelativeScore fuse over a pool that already carries `__d{i}` columns:
+   * per-target min-max over the pool (partial aggregate broadcast back),
+   * weighted sum, ascending rank. Degenerate per-target range (max == min)
+   * contributes the bare weight (hybrid_fusion.go:133-136). Shared by the
+   * full-scan pool (relativeScoreSearch) and the index-probe pool
+   * (combineOverPool). */
+  private def fuseRelative(c: Collection, pool: DataFrame, targets: Seq[String],
+      ws: Map[String, Double], params: NearVector, limit: Option[Int]): DataFrame = {
+    val id = c.schema.idColumn
     val aggs = targets.indices.flatMap(i =>
       Seq(min(col(s"__d$i")).as(s"__mn$i"), max(col(s"__d$i")).as(s"__mx$i")))
     val stats = pool.agg(aggs.head, aggs.tail: _*)

@@ -181,6 +181,92 @@ class AnnSpec extends SparkSpecBase {
     assert(hybrid.count() == 10)
   }
 
+  test("multi-target search is served by per-target index probes (pruned, no full scan, recall >= 0.9)") {
+    import graft.engine.Graft
+    import graft.model._
+    // two CORRELATED embeddings of the same object (e.g. title + body models
+    // sharing the cluster structure) — the workload multi-target search is
+    // for; per-target candidate generation would legitimately miss on
+    // adversarially independent targets, exactly as the reference's
+    // per-target HNSW searches would
+    val rnd = new scala.util.Random(99)
+    val centers = Array.fill(20)(Array.fill(16)(rnd.nextGaussian()))
+    val rows = (0 until 2000).map { i =>
+      val c = centers(i % 20)
+      val v = c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq
+      val v2 = c.map(x => (x * 0.8 + 0.05 * rnd.nextGaussian()).toFloat).toSeq
+      (i.toLong, v, v2)
+    }
+    val df = rows.toDF("vec_id", "emb", "rev")
+    val pathA = java.nio.file.Files.createTempDirectory("graft-mt-a").toString
+    val pathB = java.nio.file.Files.createTempDirectory("graft-mt-b").toString
+    val ixA = IvfIndex.build(df, "vec_id", "emb", nlist = 16, defaultNprobe = 6,
+      persistPath = Some(pathA))
+    val ixB = IvfIndex.build(df, "vec_id", "rev", nlist = 16, defaultNprobe = 6,
+      persistPath = Some(pathB))
+    val eng = new Graft(spark)
+    eng.register(CollectionSchema("M", "vec_id", Seq.empty,
+      vectors = Map("a" -> "emb", "b" -> "rev"), defaultVector = Some("a")), df)
+    eng.registerIndex("M", "a", ixA)
+    eng.registerIndex("M", "b", ixB)
+
+    def exactTop10(q: Array[Float]): Set[Long] = {
+      val d = VectorSearch.withDistance(
+        VectorSearch.withDistance(df, "emb", q, Metric.L2Squared, "__d0"),
+        "rev", q, Metric.L2Squared, "__d1")
+      d.withColumn("__d", col("__d0") + col("__d1"))
+        .orderBy(col("__d").asc, $"vec_id".asc).limit(10)
+        .select($"vec_id").collect().map(_.getLong(0)).toSet
+    }
+
+    val recalls = Seq(100, 700, 1300).map { i =>
+      val q = rows(i)._2.toArray
+      val got = eng.get(GetParams("M",
+        nearVector = Some(NearVector(q, Metric.L2Squared,
+          targetVectors = Seq("a", "b"), combination = TargetCombination.Sum)),
+        pagination = Some(Pagination(limit = 10)),
+        properties = Seq("vec_id"), additional = Set("distance")))
+      val plan = got.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [__centroid"),
+        s"multi-target search did not probe the indexes:\n${plan.take(3000)}")
+      assert(!plan.contains("LocalTableScan"),
+        s"multi-target index path scanned the base collection:\n${plan.take(3000)}")
+      val ids = got.select($"vec_id").collect().map(_.getLong(0)).toSet
+      exactTop10(q).intersect(ids).size / 10.0
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.9, s"multi-target recall $mean < 0.9 (per-query: ${recalls.mkString(",")})")
+
+    // RelativeScore combination takes the same index arm: pool = union of
+    // per-target probe top-k, min-max fuse over the pool
+    val rel = eng.get(GetParams("M",
+      nearVector = Some(NearVector(rows(100)._2.toArray, Metric.L2Squared,
+        targetVectors = Seq("a", "b"),
+        combination = TargetCombination.RelativeScore(Map("a" -> 0.7, "b" -> 0.3)))),
+      pagination = Some(Pagination(limit = 10)),
+      properties = Seq("vec_id"), additional = Set("distance")))
+    val relPlan = rel.queryExecution.executedPlan.toString
+    assert(relPlan.contains("PartitionFilters: [__centroid"),
+      s"RelativeScore multi-target did not probe the indexes:\n${relPlan.take(3000)}")
+    assert(rel.count() == 10)
+
+    // partial indexing (only one target has an index) falls back to the
+    // exact full scan — all-or-nothing, matching the reference's error-if-
+    // missing contract re-expressed as a planner fallback
+    val eng2 = new Graft(spark)
+    eng2.register(CollectionSchema("M2", "vec_id", Seq.empty,
+      vectors = Map("a" -> "emb", "b" -> "rev"), defaultVector = Some("a")), df)
+    eng2.registerIndex("M2", "a", ixA)
+    val q = rows(100)._2.toArray
+    val fallback = eng2.get(GetParams("M2",
+      nearVector = Some(NearVector(q, Metric.L2Squared,
+        targetVectors = Seq("a", "b"), combination = TargetCombination.Sum)),
+      pagination = Some(Pagination(limit = 10)),
+      properties = Seq("vec_id"), additional = Set("distance")))
+    assert(!fallback.queryExecution.executedPlan.toString.contains("__centroid"))
+    assert(fallback.select($"vec_id").collect().map(_.getLong(0)).toSet == exactTop10(q))
+  }
+
   test("nprobe = nlist reproduces brute force exactly") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val index = IvfIndex.build(emb, "vec_id", "embedding", nlist = 8)
