@@ -17,12 +17,14 @@ import graft.model.CollectionSchema
  * `version` is the store-version gate for result-serving side artifacts
  * (BM25 corpus stats, postings index, muvera encodings — the reference's
  * shard version / segment generation): an index built at version V serves
- * only while the collection still reports V. Monotonic per collection name:
- * `CollectionStore` stamps its on-disk version number (0,1,2,…), ad-hoc
- * constructions draw from a session-global counter in a disjoint range —
- * unlike a `System.identityHashCode` gate, versions never collide after GC
- * address reuse, and re-reading the same store version does NOT spuriously
- * invalidate (VersioningSpec).
+ * only while the collection still reports V. `CollectionStore` stamps its
+ * on-disk version number salted with a per-store lineage nonce (so two
+ * stores sharing a name, or a recreated root, never alias each other's
+ * versions); ad-hoc constructions draw from a session-global counter in a
+ * disjoint range — unlike a `System.identityHashCode` gate, versions never
+ * collide after GC address reuse, and re-reading the same store version does
+ * NOT spuriously invalidate (PostingsSpec "registered prebuilt index goes
+ * stale with the store version" + "store re-open serves the same version").
  */
 final case class Collection(
     schema: CollectionSchema,

@@ -338,7 +338,9 @@ final class Graft(val spark: SparkSession) {
     val id = c.schema.idColumn
     // explainScore needs the per-term breakdown columns — the scan path is
     // the explain plan (reference explains from the same scoring pass,
-    // index.go:2266-2291)
+    // index.go:2266-2291); PostingsSpec "explainScore (scan path) matches
+    // the postings-served _score" pins that the two paths agree and that the
+    // per-term columns sum to _score
     if (explain)
       return Bm25Search.score(c, kw, Some(filtered), explain = true)
         .orderBy(col(Bm25Search.ScoreCol).desc, col(id).asc)

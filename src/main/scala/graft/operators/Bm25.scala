@@ -173,12 +173,22 @@ object Bm25Search {
     }
   }
 
-  /** Parse "prop^2" boost syntax (reference: searchparams retrieval.go BM25 properties). */
-  def parseProps(props: Seq[String]): Seq[PropSpec] = props.map { p =>
-    p.split('^') match {
-      case Array(n, b) => PropSpec(n, b.toDouble)
-      case Array(n)    => PropSpec(n, 1.0)
+  /** Parse "prop^2" boost syntax (reference: searchparams retrieval.go BM25
+   * properties). Duplicate names are rejected up front: the scan path would
+   * tokenize (and sum) the prop once per occurrence while the postings path
+   * dedups via its `__p isin` filter with last-wins boosts — the two paths
+   * would silently diverge on e.g. ["text^2","text"]. */
+  def parseProps(props: Seq[String]): Seq[PropSpec] = {
+    val specs = props.map { p =>
+      p.split('^') match {
+        case Array(n, b) => PropSpec(n, b.toDouble)
+        case Array(n)    => PropSpec(n, 1.0)
+      }
     }
+    val dups = specs.groupBy(_.name).filter(_._2.size > 1).keys.toSeq.sorted
+    require(dups.isEmpty,
+      s"bm25: property listed more than once: ${dups.mkString(", ")}")
+    specs
   }
 
   /** Per-term contribution column name for explainScore. */

@@ -456,7 +456,13 @@ object Postings {
               boosts.getOrElse(idx.props(r.getInt(2)), 1.0) * r.getDouble(3)
             }.sum
             val dlLower = propRows.map(_.getDouble(4)).min
-            q.idfDup((g, term)) * freqUpper /
+            // a zero frequency upper bound (every scored prop boosted to 0)
+            // contributes nothing — mirrors the scorer's when(freq > 0)
+            // guard; without it k1 == 0 makes the ratio 0/0 = NaN, which
+            // poisons the bucket's summed bound and wrongly prunes docs
+            // whose score comes from the other terms
+            if (freqUpper == 0.0) 0.0
+            else q.idfDup((g, term)) * freqUpper /
               (freqUpper + k1 * ((1.0 - b) + b * dlLower / q.avgPool))
         }.sum
       }

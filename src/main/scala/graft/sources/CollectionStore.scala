@@ -51,11 +51,33 @@ final class CollectionStore(val spark: SparkSession, val root: String,
     spark.read.parquet(s"$root/v$version")
   }
 
+  /** Per-store lineage nonce, drawn once from the session-global counter and
+   * kept in `_store_id` inside the root: two stores sharing a collection
+   * name (different roots), or a root deleted and recreated in-session, both
+   * produce small disk versions (0,1,2,…) — without the salt their
+   * (name, version) cache keys would alias and statsCache/postings/muvera
+   * gates could serve artifacts built from the other lineage's data. */
+  private def storeId: Long = {
+    val p = Paths.get(root, "_store_id")
+    if (Files.exists(p)) new String(Files.readAllBytes(p)).trim.toLong
+    else {
+      Files.createDirectories(Paths.get(root))
+      val id = Collection.nextVersion()
+      try Files.write(p, id.toString.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      new String(Files.readAllBytes(p)).trim.toLong
+    }
+  }
+
   // the on-disk version number IS the store-version gate: re-reading the
   // same version yields the same Collection.version, so cached BM25 stats /
   // postings / muvera artifacts built against it keep serving (no spurious
-  // rebuild), while any writeVersion bumps it and retires them
-  def collection: Collection = Collection(schema, read(), version = version.toLong)
+  // rebuild), while any writeVersion bumps it and retires them. The disk
+  // number is salted with the per-store nonce into a range (≥ 2^60) disjoint
+  // from ad-hoc Collection versions (2^40 + counter).
+  def collection: Collection =
+    Collection(schema, read(), version = (storeId << 20) + version.toLong)
 
   /**
    * Write-path vectorizer module (reference: usecases/objects/add.go —

@@ -210,4 +210,145 @@ class PostingsSpec extends SparkSpecBase {
     assert(idx.storeVersion == c.version)
     assert(g.postingsFor(c).get eq idx, "same store version must reuse the built index")
   }
+
+  test("store re-open serves the same version; distinct roots and recreated roots never alias") {
+    import graft.sources.CollectionStore
+    import graft.model.{CollectionSchema, Property, PropType, Tokenization}
+    import spark.implicits._
+    val schema = CollectionSchema("SameName", "id",
+      Seq(Property("t", PropType.Text, Tokenization.Word)))
+    val dirA = java.nio.file.Files.createTempDirectory("graft-ver-a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-ver-b").toString
+    val stA = new CollectionStore(spark, dirA, schema)
+    stA.init(Seq((1L, "alpha body")).toDF("id", "t"))
+    // re-reading the same store version does NOT invalidate: a second
+    // CollectionStore on the SAME root reports the identical version, so
+    // cached stats/postings/muvera artifacts keyed on it keep serving
+    val v1 = stA.collection.version
+    assert(new CollectionStore(spark, dirA, schema).collection.version == v1)
+    assert(stA.collection.version == v1)
+    // a DIFFERENT store with the same collection name (own root) is its own
+    // lineage: same disk version number (0), distinct Collection.version
+    val stB = new CollectionStore(spark, dirB, schema)
+    stB.init(Seq((1L, "beta body")).toDF("id", "t"))
+    assert(stB.collection.version != v1,
+      "two stores sharing a collection name alias each other's cache keys")
+    // a root deleted and recreated is a NEW lineage even at disk version 0
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    rmTree(java.nio.file.Paths.get(dirA))
+    val stA2 = new CollectionStore(spark, dirA, schema)
+    stA2.init(Seq((1L, "gamma body")).toDF("id", "t"))
+    assert(stA2.collection.version != v1,
+      "recreated root reuses the old lineage's versions")
+    // and a version bump still invalidates within one lineage
+    stA2.upsert(Seq((2L, "delta body")).toDF("id", "t"))
+    assert(stA2.collection.version != stB.collection.version)
+  }
+
+  test("pruned bound survives k1=0 with a zero-boost prop (no NaN poisoning)") {
+    // DocVec postings cover (text, lang, source); boost lang to 0 and set
+    // k1 = 0: a bucket where a query term appears only in `lang` has a zero
+    // frequency upper bound, and 0/0 would poison that bucket's summed bound
+    // so it could never reach theta — pruning away docs whose score comes
+    // entirely from the other terms
+    val g = Fixtures.graft(spark, sf)
+    val c = g.collection("DocVec")
+    val idx = Postings.build(c, Seq("text", "lang"), buckets = 16)
+    val boosts = Map("text" -> 1.0, "lang" -> 0.0)
+    // k1 = 0 makes every matching doc's score tf-independent (pure summed
+    // idf), so docs matching the same term subset tie EXACTLY and the lazy
+    // vs pruned plans may order 1-ULP-apart ties differently — compare up to
+    // tied-rank permutation: same size, same score multiset, same score per
+    // doc on the intersection. Pre-fix, the NaN-poisoned bounds pruned every
+    // bucket (the "de"/"en" terms never appear in `text`, so every bucket's
+    // freqUpper for them is 0) and the result collapsed to empty.
+    for (q <- Seq("spark en", "join de stream")) {
+      val full = Postings.search(idx, q, 15, k1 = 0.0, boosts = boosts)
+        .select(col("doc_id"), round(col(Bm25Search.ScoreCol), 9))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      val pruned = Postings.searchPruned(idx, q, 15, k1 = 0.0, boosts = boosts)
+        .select(col("doc_id"), round(col(Bm25Search.ScoreCol), 9))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      assert(pruned.size == full.size, s"pruned lost docs for '$q' at k1=0")
+      assert(pruned.values.toSeq.sorted == full.values.toSeq.sorted,
+        s"pruned score multiset differs for '$q' at k1=0")
+      full.keySet.intersect(pruned.keySet).foreach { id =>
+        assert(full(id) == pruned(id), s"doc $id scores differ for '$q' at k1=0")
+      }
+    }
+  }
+
+  test("subset props + allowlist + minMatch through the pruned arm (all three at once)") {
+    // the engine facade with cutoff 0 forces block-max pruning; the query
+    // scores a SUBSET (text) of DocVec's (text, lang, source) index under a
+    // where-filter allowlist and Or(minMatch=2) — no prior case drove all
+    // three together
+    val g0 = Fixtures.graft(spark, sf)
+    val eng = new graft.engine.Graft(spark).withPostingsPruneCutoff(0)
+    eng.register(g0.collection("DocVec"))
+    eng.registerPostings("DocVec", Seq("text", "lang", "source"), buckets = 16)
+    val where = Where.gtInt("doc_id", 5L)
+    val params = GetParams("DocVec",
+      where = Some(where),
+      bm25 = Some(Bm25("spark join stream window", properties = Seq("text"),
+        searchOperator = SearchOperator.Or(2))),
+      pagination = Some(Pagination(limit = 12)),
+      properties = Seq("doc_id"), additional = Set("score"))
+    val served = eng.get(params)
+    assert(!served.queryExecution.executedPlan.toString.contains("__tok_"),
+      "combined query should be index-served")
+    val c = g0.collection("DocVec")
+    val filtered = c.df.filter(col("doc_id") > 5L)
+    val scan = Bm25Search.search(c,
+      Bm25("spark join stream window", Seq("text"), SearchOperator.Or(2)),
+      12, Some(filtered))
+      .select(col("doc_id"), round(col(Bm25Search.ScoreCol), 9))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(engineHits(served) == scan)
+  }
+
+  test("explainScore (scan path) matches the postings-served _score; per-term columns sum to it") {
+    // multi-prop boosted query: the engine serves `score` from the postings
+    // index but explainScore from the scan path (Graft.bm25Serve) — the two
+    // must agree because they share one scoring model
+    val g = Fixtures.graft(spark, sf)
+    val c = g.collection("DocVec")
+    val params = Bm25("spark join stream", Seq("text^1.5", "lang"))
+    val explained = Bm25Search.score(c, params, explain = true)
+    // word-group terms get one column each; the Field-tokenized `lang` group
+    // contributes the whole query string as a single term
+    val expCols = explained.columns.filter(_.startsWith("_exp_"))
+    assert(expCols.toSet ==
+      Set("_exp_spark", "_exp_join", "_exp_stream", "_exp_spark join stream"),
+      s"unexpected explain columns: ${expCols.mkString(",")}")
+    val offSum = explained
+      .withColumn("__sum", expCols.map(col).reduce(_ + _))
+      .filter(abs(col("__sum") - col(Bm25Search.ScoreCol)) > 1e-9).count()
+    assert(offSum == 0, "per-term explain columns do not sum to _score")
+    val scanTop = explained
+      .orderBy(col(Bm25Search.ScoreCol).desc, col("doc_id").asc).limit(15)
+      .select(col("doc_id"), round(col(Bm25Search.ScoreCol), 9))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val served = g.get(GetParams("DocVec",
+      bm25 = Some(params),
+      pagination = Some(Pagination(limit = 15)),
+      properties = Seq("doc_id"), additional = Set("score")))
+    assert(!served.queryExecution.executedPlan.toString.contains("__tok_"),
+      "score query should be postings-served")
+    assert(engineHits(served) == scanTop,
+      "postings-served scores diverge from the scan/explain path")
+  }
+
+  test("duplicate property specs are rejected (scan and postings would diverge)") {
+    val g = Fixtures.graft(spark, sf)
+    val c = g.collection("Document")
+    val e = intercept[IllegalArgumentException] {
+      Bm25Search.search(c, Bm25("spark", Seq("text^2", "text")), 5)
+    }
+    assert(e.getMessage.contains("listed more than once"))
+  }
 }
