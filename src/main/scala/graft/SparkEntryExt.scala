@@ -53,11 +53,22 @@ object SparkEntryExt {
         nlist = 8, defaultNprobe = 8, persistPath = Some(path))
     })
 
+  // second per-target index (the "rev" named vector) for the multi-target
+  // index-probe query — same full-probe-exact setup as ivfFor
+  private val ivfRevCache = scala.collection.mutable.Map.empty[String, graft.ann.IvfIndex]
+  private[graft] def ivfRevFor(gg: Graft, dir: String): graft.ann.IvfIndex =
+    ivfRevCache.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files.createTempDirectory("graft-ivf-rev").toString
+      graft.ann.IvfIndex.build(gg.collection("Embedding").df, "vec_id", "rev",
+        nlist = 8, defaultNprobe = 8, persistPath = Some(path))
+    })
+
   /** Pre-build every index side-table (IVF, PQ, postings) for a dataset —
    * the bench harness calls this so per-query timings measure probe cost,
    * not the offline build (which at scale is a separate batch job). */
   private[graft] def prebuildIndexes(gg: Graft, dir: String): Unit = {
     ivfFor(gg, dir).assigned.count()
+    ivfRevFor(gg, dir).assigned.count()
     pqFor(gg, dir)._2.count()
     bqFor(gg, dir).count()
     postingsFor(gg, dir)
@@ -745,6 +756,29 @@ object SparkEntryExt {
         .select(col("vec_id"), round(col("_distance"), 4).as("dist"))
     }),
 
+    // §2.3 multi-target search served from PER-TARGET index probes (union of
+    // per-target IVF candidate lists, exact backfill, Sum combine —
+    // reference CombineMultiTargetResults, shard_combine_multi_target.go:89).
+    // Full probes make the per-target lists exact, so the DuckDB pool oracle
+    // reproduces the candidate-union semantics deterministically. An
+    // ISOLATED engine instance carries the indexes: registering "rev" on the
+    // shared fixture would flip q_near_multitarget's later runs from its
+    // exact-scan oracle onto the pool semantics mid-session.
+    "q_near_multitarget_ivf" -> ((s, dir) => {
+      val gg = g(s, dir)
+      val eng = new graft.engine.Graft(s)
+      eng.register(gg.collection("Embedding"))
+      eng.registerIndex("Embedding", "default", ivfFor(gg, dir))
+      eng.registerIndex("Embedding", "rev", ivfRevFor(gg, dir))
+      eng.get(GetParams("Embedding",
+        nearVector = Some(NearVector(Fixtures.anchorVector(gg, 11L), metric = Metric.L2Squared,
+          targetVectors = Seq("default", "rev"), combination = TargetCombination.Sum)),
+        pagination = Some(Pagination(limit = 10)),
+        properties = Seq("vec_id"),
+        additional = Set("distance")))
+        .select(col("vec_id"), round(col("_distance"), 4).as("dist"))
+    }),
+
     // §2.3 multi-vector (ColBERT) search end-to-end: 2-token query bag vs the
     // MVec collection's array<array<float>> named vector, MaxSim ranking via
     // the codegen'd kernel (reference: shard_read.go:687-698)
@@ -1089,7 +1123,7 @@ object SparkEntryExt {
     })
   )
 
-  import SparkEntry.{sqlQv, sqlL2, sqlCosine, sqlBm25, sqlDot}
+  import SparkEntry.{sqlQv, sqlL2, sqlL2Rev, sqlCosine, sqlBm25, sqlDot}
 
   /** Fixed media payload for q_near_media — both the Spark query and the
    * oracle derive the query vector from it via the same stub module. */
@@ -1333,6 +1367,21 @@ object SparkEntryExt {
          |      FROM embeddings e CROSS JOIN qv q)
          |SELECT vec_id, round(dist, 4) AS dist FROM d
          |ORDER BY d.dist ASC, vec_id ASC LIMIT 12""".stripMargin,
+
+    // pool semantics: candidates = union of per-target exact top-10 (full
+    // probes), Sum-combined and ranked WITHIN the pool — the reference's
+    // candidate-union model, which can differ from the global-scan top-10
+    "q_near_multitarget_ivf" ->
+      s"""WITH ${sqlQv(11)},
+         |d AS (SELECT e.vec_id, ${sqlL2("e.embedding", "q.v")} AS d0,
+         |             ${sqlL2Rev("e.embedding", "q.v")} AS d1
+         |      FROM embeddings e CROSS JOIN qv q),
+         |t0 AS (SELECT vec_id FROM d ORDER BY d0 ASC, vec_id ASC LIMIT 10),
+         |t1 AS (SELECT vec_id FROM d ORDER BY d1 ASC, vec_id ASC LIMIT 10),
+         |pool AS (SELECT * FROM d
+         |         WHERE vec_id IN (SELECT vec_id FROM t0 UNION SELECT vec_id FROM t1))
+         |SELECT vec_id, round(d0 + d1, 4) AS dist FROM pool
+         |ORDER BY d0 + d1 ASC, vec_id ASC LIMIT 10""".stripMargin,
 
     // MaxSim in list math: doc token bag is [e, reverse(e)], so per query
     // token the max-dot is greatest(dot(q, e), dot(q, reverse(e)))
