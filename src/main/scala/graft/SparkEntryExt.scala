@@ -428,6 +428,19 @@ object SparkEntryExt {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // pipeline: span-level duplicated-substring coverage (Lee et al. 2022
+    // ExactSubstr signal — cross-doc duplicated 8-gram spans, per-doc
+    // covered-token fraction); only docs carrying ≥1 duplicated span are
+    // emitted (47 of 5000 at sf0.01 — the interesting rows)
+    "q_dedup_substring" -> ((s, dir) => {
+      val docs = g(s, dir).collection("Document").df
+      Dedup.substringCoverage(docs, col("doc_id"), col("text"), n = 8, minDocs = 2)
+        .filter(col("dup_ngrams") > 0)
+        .select(col("__id").as("doc_id"), col("dup_ngrams"),
+          round(col("dup_fraction"), 4).as("dup_fraction"))
+        .orderBy(col("doc_id"))
+    }),
+
     // pipeline: SimHash near-dup over a planted bed. xxhash64 simhash isn't
     // DuckDB-expressible, so the oracle is the planted qualifying pairs
     // (exact copies ⇒ identical signature ⇒ pigeonhole bucket hit, hamming 0).
@@ -1935,6 +1948,30 @@ object SparkEntryExt {
         |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM pairs
         |WHERE jac >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+
+    // span-coverage model restated in SQL: same whitespace tokens, same
+    // n-gram join (on the gram STRING — Spark joins on its xxhash64, an
+    // 8-byte shuffle key; a 64-bit collision would be the only divergence),
+    // same n + Σ min(n, gap) interval-union length
+    "q_dedup_substring" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |base AS (SELECT doc_id, t, len(t) AS ntok FROM toks),
+        |grams AS (
+        |  SELECT doc_id, ntok, i - 1 AS pos,
+        |         array_to_string(list_slice(t, i, i + 7), ' ') AS g
+        |  FROM base, UNNEST(range(1, ntok - 8 + 2)) AS u(i)
+        |  WHERE ntok >= 8),
+        |dup AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+        |agg AS (
+        |  SELECT doc_id, ntok, count(*) AS dup_ngrams, list_sort(list(pos)) AS ps
+        |  FROM grams WHERE g IN (SELECT g FROM dup)
+        |  GROUP BY doc_id, ntok)
+        |SELECT doc_id, CAST(dup_ngrams AS BIGINT) AS dup_ngrams,
+        |  round((8 + coalesce(list_sum(list_transform(range(2, len(ps) + 1),
+        |      i -> least(ps[i] - ps[i-1], 8))), 0)) / CAST(ntok AS DOUBLE), 4) AS dup_fraction
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     // planted-pair oracle (same argument; copies are bit-identical → dist 0,
     // natural pairs all ≥ 0.3 cosine distance)

@@ -324,6 +324,58 @@ object Dedup {
    * (singletons never enter a pair relation and are their own cluster by
    * definition — callers need not materialize them).
    */
+  /**
+   * Cross-document duplicated-SUBSTRING coverage — the span-level exact-dedup
+   * signal of Lee et al. 2022, "Deduplicating Training Data Makes Language
+   * Models Better" (arXiv:2107.06499), which removes repeated SPANS rather
+   * than whole near-duplicate documents (their ExactSubstr; the suffix-array
+   * machinery collapses to an n-gram join in the bulk-batch setting). A token
+   * n-gram occurring in at least `minDocs` DISTINCT documents marks its span
+   * [pos, pos+n) as duplicated; per document we report how many of its
+   * n-grams are cross-doc duplicates and the fraction of its tokens covered
+   * by the union of those spans — the score a curation pipeline thresholds
+   * on (or feeds to span excision).
+   *
+   * Scale shape: one explode producing O(total tokens) (id, pos, hash) rows
+   * with the n-gram hashed to 8 bytes by codegen'd xxhash64 (the gram string
+   * never crosses a shuffle); one hash-keyed count-distinct to find
+   * cross-doc grams; one shuffle join back; a per-doc aggregate whose
+   * collect_list is bounded by the document's own token count. Everything is
+   * linear in corpus size — no pairwise comparisons anywhere. The union
+   * length of fixed-length intervals over sorted positions is
+   * n + Σ min(n, gap), computed with codegen'd array ops (no UDF).
+   *
+   * Within-document repetition deliberately does NOT count (that signal is
+   * TextAnalysis.repetition, the Gopher/MassiveText statistics).
+   */
+  def substringCoverage(df: DataFrame, idCol: Column, textCol: Column,
+                        n: Int = 8, minDocs: Int = 2): DataFrame = {
+    val base = df.select(idCol.as("__id"), Tokenize.whitespace(textCol).as("__toks"))
+      .withColumn("__ntok", size(col("__toks")).cast("long"))
+    val grams = base.filter(col("__ntok") >= n)
+      .select(col("__id"), col("__ntok"),
+        posexplode(expr(
+          s"transform(sequence(0, int(__ntok) - $n), i -> xxhash64(array_join(slice(__toks, i + 1, $n), ' ')))"))
+          .as(Seq("__pos", "__h")))
+    val dupGrams = grams.groupBy(col("__h"))
+      .agg(countDistinct(col("__id")).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select(col("__h"))
+    val perDoc = grams.join(dupGrams, Seq("__h"), "left_semi")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("dup_ngrams"),
+        sort_array(collect_list(col("__pos"))).as("__ps"))
+      .withColumn("__cov",
+        lit(n) + coalesce(expr(
+          s"aggregate(zip_with(slice(__ps, 2, size(__ps) - 1), slice(__ps, 1, size(__ps) - 1), (a, b) -> least(a - b, $n)), 0, (acc, x) -> acc + x)"), lit(0)))
+    base.join(perDoc, Seq("__id"), "left")
+      .select(col("__id"),
+        coalesce(col("dup_ngrams"), lit(0L)).as("dup_ngrams"),
+        when(col("__ntok") > 0,
+          coalesce(col("__cov").cast("double"), lit(0.0)) / col("__ntok"))
+          .otherwise(lit(0.0)).as("dup_fraction"))
+  }
+
   def clusterPairs(pairs: DataFrame, aCol: Column, bCol: Column,
                    maxIterations: Int = 20): DataFrame = {
     // the pair relation is typically an expensive LSH pipeline — materialize

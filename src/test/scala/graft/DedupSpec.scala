@@ -77,4 +77,32 @@ class DedupSpec extends SparkSpecBase {
       .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(want.nonEmpty && got == want)
   }
+
+  test("substring coverage: planted spans, overlap union, within-doc repetition excluded") {
+    val span8 = "alpha beta gamma delta epsilon zeta eta theta"          // 8 tokens
+    val span10 = "one two three four five six seven eight nine ten"      // 10 tokens
+    val docs = Seq(
+      // docs 1+2 share exactly the 8-token span (1 shared 8-gram each)
+      (1L, s"pre1 pre2 pre3 pre4 $span8 tail1 tail2"),                   // 14 tokens
+      (2L, s"$span8 sfx1 sfx2 sfx3 sfx4 sfx5"),                          // 13 tokens
+      // doc 3 repeats ITS OWN 8-gram twice — one doc, not a cross-doc dup
+      (3L, s"c1 c2 c3 c4 c5 c6 c7 c8 mid c1 c2 c3 c4 c5 c6 c7 c8"),      // 17 tokens
+      // docs 4+5 are full copies — coverage 1.0
+      (4L, span10),
+      (5L, span10),
+      // docs 6+7 share a 10-token span: 3 overlapping 8-grams whose union
+      // is 10 tokens (8 + min(8,1) + min(8,1))
+      (6L, s"$span10 u1 u2 u3 u4"),                                      // 14 tokens
+      (7L, s"w1 w2 $span10 w3 w4"))                                      // 14 tokens
+    val df = docs.toDF("doc_id", "text")
+    val got = Dedup.substringCoverage(df, $"doc_id", $"text", n = 8, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L) == ((1L, 8.0 / 14)))
+    assert(got(2L) == ((1L, 8.0 / 13)))
+    assert(got(3L) == ((0L, 0.0)), "within-doc repetition must not count as duplication")
+    assert(got(4L) == ((3L, 1.0)), "full copy must be fully covered")
+    assert(got(5L) == ((3L, 1.0)))
+    assert(got(6L) == ((3L, 10.0 / 14)), "overlapping spans must union, not sum")
+    assert(got(7L) == ((3L, 10.0 / 14)))
+  }
 }
