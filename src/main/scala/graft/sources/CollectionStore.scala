@@ -61,12 +61,22 @@ final class CollectionStore(val spark: SparkSession, val root: String,
     val p = Paths.get(root, "_store_id")
     if (Files.exists(p)) new String(Files.readAllBytes(p)).trim.toLong
     else {
-      Files.createDirectories(Paths.get(root))
-      val id = Collection.nextVersion()
-      try Files.write(p, id.toString.getBytes("UTF-8"),
-        java.nio.file.StandardOpenOption.CREATE_NEW)
-      catch { case _: java.nio.file.FileAlreadyExistsException => () }
-      new String(Files.readAllBytes(p)).trim.toLong
+      try {
+        Files.createDirectories(Paths.get(root))
+        val id = Collection.nextVersion()
+        try Files.write(p, id.toString.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        new String(Files.readAllBytes(p)).trim.toLong
+      } catch {
+        // read-only root (e.g. a restored backup on an RO mount): fall back
+        // to a salt derived from the canonical path — still unique across
+        // roots, merely not across delete-and-recreate of the SAME path
+        // (which an RO mount cannot do anyway). Keep it in the store range
+        // (≥ 2^40) so the << 20 layout stays disjoint from ad-hoc versions.
+        case _: java.io.IOException =>
+          (1L << 40) | (Paths.get(root).toAbsolutePath.normalize.toString.hashCode.toLong & 0xFFFFFFFFL)
+      }
     }
   }
 
