@@ -299,6 +299,22 @@ object SparkEntry {
         .select(col("vec_id"), round(col("_distance"), 4).as("dist"))
     }),
 
+    // §2.3 multi-target search with PER-TARGET query vectors (the
+    // reference's `Vectors []models.Vector` aligned with targetVectors —
+    // retrieval.go:33-39, shard_read.go:675 searchVectors[i]): each target
+    // scored with its own query embedding, Sum-combined over the full scan
+    "q_near_multitarget_pervec" -> ((s, dir) => {
+      val gg = g(s, dir)
+      gg.get(GetParams("Embedding",
+        nearVector = Some(NearVector(Fixtures.anchorVector(gg, 11L), metric = Metric.L2Squared,
+          targetVectors = Seq("default", "rev"), combination = TargetCombination.Sum,
+          vectors = Seq(Fixtures.anchorVector(gg, 11L), Fixtures.anchorVector(gg, 23L)))),
+        pagination = Some(Pagination(limit = 10)),
+        properties = Seq("vec_id"),
+        additional = Set("distance")))
+        .select(col("vec_id"), round(col("_distance"), 4).as("dist"))
+    }),
+
     // §2.3 multi-target RelativeScore combination: pool = union of per-target
     // top-k, min-max normalized per target OVER THE POOL, weighted sum
     // (reference: shard_combine_multi_target.go:118-183 + hybrid_fusion.go)
@@ -517,6 +533,14 @@ object SparkEntry {
       s"""WITH ${sqlQv(11)},
          |d AS (SELECT e.vec_id, ${sqlL2("e.embedding", "q.v")} + ${sqlL2Rev("e.embedding", "q.v")} AS dist
          |      FROM embeddings e CROSS JOIN qv q)
+         |SELECT vec_id, round(dist, 4) AS dist FROM d
+         |ORDER BY d.dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "q_near_multitarget_pervec" ->
+      s"""WITH qa AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 11),
+         |qb AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 23),
+         |d AS (SELECT e.vec_id, ${sqlL2("e.embedding", "a.v")} + ${sqlL2Rev("e.embedding", "b.v")} AS dist
+         |      FROM embeddings e CROSS JOIN qa a CROSS JOIN qb b)
          |SELECT vec_id, round(dist, 4) AS dist FROM d
          |ORDER BY d.dist ASC, vec_id ASC LIMIT 10""".stripMargin,
 

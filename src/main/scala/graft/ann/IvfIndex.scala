@@ -210,10 +210,10 @@ object IvfIndex {
     val multiIndexable = multiIdx.isDefined && !hasThreshold && limit.isDefined
     (filtered, filteredCountHint) match {
       case (None, _) if indexable =>
-        index.get.search(params.vector, limit.get, params.metric,
+        index.get.search(params.queryFor(0), limit.get, params.metric,
           nprobe.getOrElse(index.get.defaultNprobe))
       case (Some(allow), Some(n)) if indexable && n >= flatSearchCutoff =>
-        index.get.searchFiltered(params.vector, limit.get, params.metric,
+        index.get.searchFiltered(params.queryFor(0), limit.get, params.metric,
           nprobe.getOrElse(index.get.defaultNprobe), allow.select(col(index.get.idCol)))
       case (None, _) if multiIndexable =>
         multiTargetSearch(c, targets, multiIdx.get, params, limit.get, None, nprobe)
@@ -246,12 +246,15 @@ object IvfIndex {
                         params: NearVector, k: Int, allow: Option[DataFrame],
                         nprobe: Option[Int] = None): DataFrame = {
     val idCol = idxs.head.idCol
-    val pool = targets.zip(idxs).map { case (_, ix) =>
+    val pool = targets.indices.map { i =>
+      val ix = idxs(i)
       val np = nprobe.getOrElse(ix.defaultNprobe)
+      // each target probed with ITS OWN query vector (searchVectors[i],
+      // shard_read.go:675)
       val hits = allow match {
-        case Some(a) => ix.searchFiltered(params.vector, k, params.metric, np,
+        case Some(a) => ix.searchFiltered(params.queryFor(i), k, params.metric, np,
           a.select(col(ix.idCol)))
-        case None => ix.search(params.vector, k, params.metric, np)
+        case None => ix.search(params.queryFor(i), k, params.metric, np)
       }
       // keep the FULL candidate rows (the index layout is the original df +
       // __centroid; search() already dropped __centroid) — they carry every

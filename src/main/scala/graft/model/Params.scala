@@ -18,14 +18,26 @@ object Metric {
   case object Hamming   extends Metric("hamming")
 }
 
-/** nearVector (reference: entities/searchparams/retrieval.go:33-39). */
+/** nearVector (reference: entities/searchparams/retrieval.go:33-39).
+ * `vectors`, when non-empty, carries ONE query vector PER target — the
+ * reference's `Vectors []models.Vector` aligned by index with
+ * `TargetVectors` (shard_read.go searches `searchVectors[i]` against target
+ * i's index), e.g. a query embedded separately per vector space; dimensions
+ * may differ per target. Empty `vectors` searches the single `vector`
+ * against every target. */
 final case class NearVector(
     vector: Array[Float],
     metric: Metric = Metric.Cosine,
     distance: Option[Double] = None,   // max distance threshold
     certainty: Option[Double] = None,  // cosine only: certainty = 1 - d/2
     targetVectors: Seq[String] = Nil,
-    combination: TargetCombination = TargetCombination.Minimum)
+    combination: TargetCombination = TargetCombination.Minimum,
+    vectors: Seq[Array[Float]] = Nil) {
+  require(vectors.isEmpty || vectors.size == targetVectors.size,
+    s"nearVector: ${vectors.size} query vectors for ${targetVectors.size} targets")
+  /** The query vector searched against the i-th requested target. */
+  def queryFor(i: Int): Array[Float] = if (vectors.nonEmpty) vectors(i) else vector
+}
 
 /** Multi-vector (ColBERT-style) nearVector: the query is a bag of token
  * vectors, the target named vector is `array<array<float>>`, ranking is

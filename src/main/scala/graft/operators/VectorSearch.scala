@@ -63,14 +63,14 @@ object VectorSearch {
 
     val scored =
       if (targets.size == 1) {
-        withDistance(base, c.schema.vectors(targets.head), params.vector, metric)
+        withDistance(base, c.schema.vectors(targets.head), params.queryFor(0), metric)
       } else {
         // multi-target: one distance column per target, then combine
         // (reference: shard_read.go:655-752, CombineMultiTargetResults).
         // Scoring every row exactly (instead of the reference's union-of-
         // candidate-lists + backfill) is the stronger guarantee the full scan
         // affords — same formula, no candidate-generation misses.
-        val perTarget = foldDistances(base, c, targets, params.vector, metric)
+        val perTarget = foldDistances(base, c, targets, params, metric)
         perTarget.withColumn(DistanceCol, standardCombineCol(targets, params.combination))
           .drop(targets.indices.map(i => s"__d$i"): _*)
       }
@@ -84,11 +84,12 @@ object VectorSearch {
     }
   }
 
-  /** One exact distance column per target: `__d0..__dn` over `base`. */
+  /** One exact distance column per target: `__d0..__dn` over `base`,
+   * each scored with that target's own query vector (params.queryFor). */
   private def foldDistances(base: DataFrame, c: Collection, targets: Seq[String],
-      query: Array[Float], metric: Metric): DataFrame =
+      params: NearVector, metric: Metric): DataFrame =
     targets.zipWithIndex.foldLeft(base) { case (d, (t, i)) =>
-      withDistance(d, c.schema.vectors(t), query, metric, s"__d$i")
+      withDistance(d, c.schema.vectors(t), params.queryFor(i), metric, s"__d$i")
     }
 
   /** Combined-distance column over `__d{i}` for the non-pool combinations
@@ -124,7 +125,7 @@ object VectorSearch {
    */
   def combineOverPool(c: Collection, pool: DataFrame, targets: Seq[String],
       params: NearVector, limit: Option[Int]): DataFrame = {
-    val withD = foldDistances(pool, c, targets, params.vector, params.metric)
+    val withD = foldDistances(pool, c, targets, params, params.metric)
     params.combination match {
       case TargetCombination.RelativeScore(ws) =>
         fuseRelative(c, withD, targets, ws, params, limit)
@@ -160,9 +161,7 @@ object VectorSearch {
       c: Collection, base: DataFrame, targets: Seq[String], ws: Map[String, Double],
       params: NearVector, metric: Metric, limit: Option[Int]): DataFrame = {
     val id = c.schema.idColumn
-    val scoredAll = targets.zipWithIndex.foldLeft(base) { case (d, (t, i)) =>
-      withDistance(d, c.schema.vectors(t), params.vector, metric, s"__d$i")
-    }
+    val scoredAll = foldDistances(base, c, targets, params, metric)
     val pool = limit match {
       case Some(k) =>
         val ids = targets.indices.map { i =>

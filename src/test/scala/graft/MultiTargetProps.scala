@@ -27,6 +27,7 @@ object MultiTargetProps extends Properties("MultiTarget") {
   private case class TCase(
       docs: List[(Long, Seq[Float], Seq[Float])],
       query: Array[Float],
+      queryB: Option[Array[Float]],   // per-target query vectors when set
       k: Int,
       comb: TargetCombination)
 
@@ -47,10 +48,11 @@ object MultiTargetProps extends Properties("MultiTarget") {
     n    <- Gen.choose(12, 40)
     docs <- Gen.listOfN(n, for { va <- vec(dim); vb <- vec(dim) } yield (va, vb))
     q    <- vec(dim)
+    qb   <- Gen.option(vec(dim))
     k    <- Gen.choose(2, 8)
     comb <- combGen
   } yield TCase(docs.zipWithIndex.map { case ((va, vb), i) => (i.toLong, va, vb) },
-    q.toArray, k, comb)
+    q.toArray, qb.map(_.toArray), k, comb)
 
   private def l2(a: Seq[Float], b: Array[Float]): Double =
     a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
@@ -60,7 +62,8 @@ object MultiTargetProps extends Properties("MultiTarget") {
    * ranked (combined asc, id asc), truncated to k. */
   private def model(tc: TCase): Seq[Long] = {
     val d0 = tc.docs.map { case (id, va, _) => id -> l2(va, tc.query) }.toMap
-    val d1 = tc.docs.map { case (id, _, vb) => id -> l2(vb, tc.query) }.toMap
+    val qB = tc.queryB.getOrElse(tc.query)
+    val d1 = tc.docs.map { case (id, _, vb) => id -> l2(vb, qB) }.toMap
     def topK(d: Map[Long, Double]): Seq[Long] =
       d.toSeq.sortBy { case (id, dist) => (dist, id) }.take(tc.k).map(_._1)
     val pool = (topK(d0) ++ topK(d1)).distinct
@@ -97,7 +100,8 @@ object MultiTargetProps extends Properties("MultiTarget") {
       vectors = Map("a" -> "va", "b" -> "vb"), defaultVector = Some("a"))
     val c = Collection(schema, df)
     val params = NearVector(tc.query, Metric.L2Squared,
-      targetVectors = Seq("a", "b"), combination = tc.comb)
+      targetVectors = Seq("a", "b"), combination = tc.comb,
+      vectors = tc.queryB.map(qb => Seq(tc.query, qb)).getOrElse(Nil))
     val got = IvfIndex.multiTargetSearch(c, Seq("a", "b"),
       Seq(trivialIndex(df, "va", tc.query.length), trivialIndex(df, "vb", tc.query.length)),
       params, tc.k, None)
