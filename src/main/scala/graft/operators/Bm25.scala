@@ -174,10 +174,12 @@ object Bm25Search {
   }
 
   /** Parse "prop^2" boost syntax (reference: searchparams retrieval.go BM25
-   * properties). Duplicate names are rejected up front: the scan path would
-   * tokenize (and sum) the prop once per occurrence while the postings path
-   * dedups via its `__p isin` filter with last-wins boosts — the two paths
-   * would silently diverge on e.g. ["text^2","text"]. */
+   * properties). A duplicated name folds to ONE spec — the prop is scored
+   * once, with the LAST occurrence's boost — exactly the reference's
+   * duplicate handling (bm25_searcher.go:297-313: the boosts map overwrites
+   * on every occurrence, seenProps skips re-processing), which also keeps
+   * the scan and postings paths consistent (the postings `__p isin` filter
+   * inherently dedups). */
   def parseProps(props: Seq[String]): Seq[PropSpec] = {
     val specs = props.map { p =>
       p.split('^') match {
@@ -185,10 +187,8 @@ object Bm25Search {
         case Array(n)    => PropSpec(n, 1.0)
       }
     }
-    val dups = specs.groupBy(_.name).filter(_._2.size > 1).keys.toSeq.sorted
-    require(dups.isEmpty,
-      s"bm25: property listed more than once: ${dups.mkString(", ")}")
-    specs
+    val lastBoost: Map[String, Double] = specs.map(s => s.name -> s.boost).toMap
+    specs.map(_.name).distinct.map(n => PropSpec(n, lastBoost(n)))
   }
 
   /** Per-term contribution column name for explainScore. */
@@ -210,6 +210,16 @@ object Bm25Search {
       else c.schema.properties.filter(p => p.dataType == PropType.Text && p.indexSearchable)
         .map(p => PropSpec(p.name, 1.0))
     require(specs.nonEmpty, s"bm25: no searchable text properties on ${c.name}")
+    // explicitly requested props must carry a searchable index — the
+    // reference errors rather than silently skipping (WEAVIATE-471,
+    // bm25_searcher.go:166-171, NewMissingSearchableIndexError)
+    specs.foreach { s =>
+      val ok = c.schema.property(s.name)
+        .exists(p => p.dataType == PropType.Text && p.indexSearchable)
+      require(ok, s"Searching by property '${s.name}' requires inverted index. " +
+        s"Is `indexSearchable` option of property '${s.name}' enabled? " +
+        "Set it to `true` or leave empty")
+    }
 
     // per-prop token arrays + per-tokenization-group query terms
     val propTok: Seq[(PropSpec, Tokenization)] = specs.map { s =>

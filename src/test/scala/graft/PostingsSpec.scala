@@ -343,12 +343,27 @@ class PostingsSpec extends SparkSpecBase {
       "postings-served scores diverge from the scan/explain path")
   }
 
-  test("duplicate property specs are rejected (scan and postings would diverge)") {
+  test("duplicate property specs fold to one prop with the last boost (reference dup handling)") {
+    // bm25_searcher.go:297-313 — the boosts map overwrites per occurrence,
+    // seenProps processes the prop once; ["text^2","text"] ≡ ["text"]
+    val g = Fixtures.graft(spark, sf)
+    val c = g.collection("Document")
+    def hits(props: Seq[String]): Seq[(Long, Double)] =
+      Bm25Search.search(c, Bm25("spark join stream", props), 10)
+        .select(col("doc_id"), round(col(Bm25Search.ScoreCol), 9))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(hits(Seq("text^2", "text")) == hits(Seq("text")))
+    assert(hits(Seq("text", "text^2")) == hits(Seq("text^2")))
+    assert(hits(Seq("text^2")) != hits(Seq("text")),
+      "sanity: the boost must actually change single-prop scores")
+  }
+
+  test("bm25 on a property without a searchable index errors (WEAVIATE-471)") {
     val g = Fixtures.graft(spark, sf)
     val c = g.collection("Document")
     val e = intercept[IllegalArgumentException] {
-      Bm25Search.search(c, Bm25("spark", Seq("text^2", "text")), 5)
+      Bm25Search.search(c, Bm25("spark", Seq("n_chars")), 5).collect()
     }
-    assert(e.getMessage.contains("listed more than once"))
+    assert(e.getMessage.contains("requires inverted index"))
   }
 }
