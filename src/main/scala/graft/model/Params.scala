@@ -111,6 +111,11 @@ sealed trait SearchOperator
 object SearchOperator {
   final case class Or(minimumMatch: Int = 1) extends SearchOperator
   case object AndOp extends SearchOperator
+  /** OPERATOR_AND_CROSS (common_filters/bm25.go:24): AND across properties —
+   * requires every searched property to share one tokenization/analyzer
+   * configuration (bm25_searcher.go sharedCrossPropQueryTerms), then a doc
+   * must carry EVERY query term in some searched property. */
+  case object AndCross extends SearchOperator
 }
 
 /** BM25/BM25F keyword ranking (reference: entities/searchparams/retrieval.go:54-65). */

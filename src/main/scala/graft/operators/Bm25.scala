@@ -85,6 +85,25 @@ object Bm25Search {
       toks.distinct.map(t => TermKey(g, t, toks.count(_ == t)))
     }
 
+  /** The WAND minimum-should-match threshold (reference bm25_searcher.go:
+   * 586-633). Or(m) is m. And folds PER-GROUP thresholds (each group's full
+   * term count) with MIN into the one global threshold the merged request
+   * list carries — with a single tokenization group, the common case, that
+   * is simply "all terms". AndCross additionally requires every scored prop
+   * to share one tokenization (the reference checks the analyzer
+   * fingerprint, sharedCrossPropQueryTerms, and errors otherwise); its
+   * threshold is the shared group's full term count. */
+  def minMatchOf(termKeys: Seq[TermKey], op: SearchOperator): Int = op match {
+    case SearchOperator.Or(m) => math.max(1, m)
+    case SearchOperator.AndOp =>
+      termKeys.groupBy(_.group).values.map(_.size).min
+    case SearchOperator.AndCross =>
+      require(termKeys.map(_.group).distinct.size == 1,
+        "OPERATOR_AND_CROSS requires all searched properties to share the " +
+          "same tokenization and analyzer settings")
+      termKeys.size
+  }
+
   /** Pooled averagePropLength: mean of the scored props' mean lengths; 0 or
    * NaN pools fall back to 40.0 (reference: bm25_searcher.go:408-453 — a
    * propless mean is 0 but still "valid", only the final pool is guarded). */
@@ -270,10 +289,7 @@ object Bm25Search {
         .reduce[Column](_ || _).cast("int")
     }.reduce(_ + _)
 
-    val minMatch = params.searchOperator match {
-      case SearchOperator.AndOp  => termKeys.size
-      case SearchOperator.Or(m)  => math.max(1, m)
-    }
+    val minMatch = minMatchOf(termKeys, params.searchOperator)
     val scored = scoredBase
       .withColumn(ScoreCol, perTermScore.reduce(_ + _))
       .withColumn("__matched", matchedTerms)

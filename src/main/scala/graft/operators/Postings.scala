@@ -264,10 +264,7 @@ object Postings {
       (k.group, k.term) ->
         math.log(1.0 + (idx.nDocs - n + 0.5) / (n + 0.5)) * k.dup
     }.toMap
-    val minMatch = op match {
-      case SearchOperator.AndOp => termKeys.size
-      case SearchOperator.Or(m) => math.max(1, m)
-    }
+    val minMatch = Bm25Search.minMatchOf(termKeys, op)
     val avgPool = Bm25Search.pooledAvgLen(
       activeByGroup.values.flatten.toSeq.sorted.map(idx.propMeans))
     QueryCtx(termKeys, idfDup, minMatch, activeByGroup, avgPool, fullSet)
@@ -369,10 +366,7 @@ object Postings {
     }.toMap
     val termKeys = termKeysOf(idx, active, query)
     require(termKeys.nonEmpty, "bm25: empty query after tokenization")
-    val minMatch = searchOperator match {
-      case SearchOperator.AndOp => termKeys.size
-      case SearchOperator.Or(m) => math.max(1, m)
-    }
+    val minMatch = Bm25Search.minMatchOf(termKeys, searchOperator)
     val avgPool = Bm25Search.pooledAvgLen(
       activeByGroup.values.flatten.toSeq.sorted.map(idx.propMeans))
     // per-(group, term) df: the precomputed dictionary for the full set, a

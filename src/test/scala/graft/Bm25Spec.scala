@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Collection
 import graft.model._
-import graft.operators.Bm25Search
+import graft.operators.{Bm25Search, Postings}
 
 class Bm25Spec extends SparkSpecBase {
   import spark.implicits._
@@ -78,5 +78,44 @@ class Bm25Spec extends SparkSpecBase {
     assert(math.abs(s2(1L) - bm25Ref(2, 4, 3, 4, 3.0)) < 1e-12)  // f=2·1
     assert(math.abs(s2(2L) - bm25Ref(4, 2, 3, 4, 3.0)) < 1e-12)  // f=2·2
     assert(math.abs(s2(4L) - bm25Ref(2, 3, 3, 4, 3.0)) < 1e-12)
+  }
+
+  test("And threshold on multi-tokenization props is the MIN over groups (reference fold)") {
+    // bm25_searcher.go:626-633: per-group thresholds (full group term count)
+    // fold with MIN into one global minimum-should-match. DocVec scores text
+    // (Word: "spark","join" = 2 terms) + lang (Field: whole query = 1 term)
+    // → threshold min(2,1) = 1, i.e. And on these props behaves like Or(1).
+    val g = Fixtures.graft(spark, "/root/testdata/sf0.001")
+    val c = g.collection("DocVec")
+    def ids(op: graft.model.SearchOperator): Seq[Long] =
+      Bm25Search.search(c, Bm25("spark join", Seq("text", "lang"), op), 200)
+        .select($"doc_id").collect().map(_.getLong(0)).toSeq
+    val andIds = ids(graft.model.SearchOperator.AndOp)
+    assert(andIds == ids(graft.model.SearchOperator.Or(1)),
+      "multi-group And must fold thresholds with min (reference behavior)")
+    // sanity: docs matching only ONE word term are included
+    val both = Bm25Search.search(c, Bm25("spark join", Seq("text")),
+      10000, None).count()
+    assert(andIds.nonEmpty && andIds.size >= both.toInt.min(1))
+    // postings path agrees
+    val idx = Postings.build(c, Seq("text", "lang"), buckets = 8)
+    val posted = Postings.search(idx, "spark join", 200,
+      graft.model.SearchOperator.AndOp).select($"doc_id").collect().map(_.getLong(0)).toSeq
+    assert(posted == andIds)
+  }
+
+  test("AndCross: single shared tokenization behaves as full And; mixed analyzers error") {
+    val g = Fixtures.graft(spark, "/root/testdata/sf0.001")
+    val doc = g.collection("Document") // text + title, both Word → one group
+    def ids(op: graft.model.SearchOperator): Seq[Long] =
+      Bm25Search.search(doc, Bm25("spark join", Seq("text", "title"), op), 100)
+        .select($"doc_id").collect().map(_.getLong(0)).toSeq
+    assert(ids(graft.model.SearchOperator.AndCross) == ids(graft.model.SearchOperator.AndOp))
+    val dv = g.collection("DocVec") // text Word + lang Field → two groups
+    val e = intercept[IllegalArgumentException] {
+      Bm25Search.search(dv, Bm25("spark join", Seq("text", "lang"),
+        graft.model.SearchOperator.AndCross), 10).collect()
+    }
+    assert(e.getMessage.contains("share the same tokenization"))
   }
 }
