@@ -159,7 +159,11 @@ final case class Hybrid(
     properties: Seq[String] = Nil,
     maxVectorDistance: Option[Double] = None, // dense-leg cutoff (retrieval.go:120-121)
     targetVectors: Seq[String] = Nil,
-    subSearches: Seq[HybridSubSearch] = Nil)
+    subSearches: Seq[HybridSubSearch] = Nil,
+    // keyword-leg operator, copied into the BM25 params exactly like the
+    // reference's explorer_hybrid.go:53-55 copies HybridSearch.SearchOperator
+    // / MinimumOrTokensMatch into KeywordRanking
+    searchOperator: SearchOperator = SearchOperator.Or(1))
 
 /** sort (reference: entities/filters/sort.go:15-18). */
 final case class SortBy(path: Seq[String], desc: Boolean = false)

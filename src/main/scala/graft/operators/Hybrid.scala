@@ -74,7 +74,8 @@ object HybridSearch {
       else {
         val sparse =
           if (params.query.nonEmpty && params.alpha < 1.0)
-            Some((bm25Leg(graft.model.Bm25(params.query, params.properties)), 1.0 - params.alpha))
+            Some((bm25Leg(graft.model.Bm25(params.query, params.properties,
+              params.searchOperator)), 1.0 - params.alpha))
           else None
         val dense = params.vector.filter(_ => params.alpha > 0.0).map { v =>
           (denseLeg(NearVector(v, metric, distance = params.maxVectorDistance,

@@ -104,6 +104,24 @@ class Bm25Spec extends SparkSpecBase {
     assert(posted == andIds)
   }
 
+  test("hybrid copies its searchOperator into the keyword leg (explorer_hybrid.go:53-55)") {
+    val g = Fixtures.graft(spark, "/root/testdata/sf0.001")
+    val c = g.collection("Document")
+    val params = GetParams("Document",
+      hybrid = Some(Hybrid("spark join stream", alpha = 0.0,
+        properties = Seq("text"), searchOperator = SearchOperator.AndOp)),
+      pagination = Some(Pagination(limit = 5000)),
+      properties = Seq("doc_id"), additional = Set("score"))
+    val got = g.get(params).select($"doc_id").collect().map(_.getLong(0)).toSet
+    val want = Bm25Search.search(c,
+      Bm25("spark join stream", Seq("text"), SearchOperator.AndOp), 5000)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    val orCount = Bm25Search.search(c,
+      Bm25("spark join stream", Seq("text")), 5000).count()
+    assert(got.size < orCount, "sanity: And must actually prune vs the Or default")
+  }
+
   test("AndCross: single shared tokenization behaves as full And; mixed analyzers error") {
     val g = Fixtures.graft(spark, "/root/testdata/sf0.001")
     val doc = g.collection("Document") // text + title, both Word → one group
