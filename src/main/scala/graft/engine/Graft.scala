@@ -733,7 +733,14 @@ final class Graft(val spark: SparkSession) {
     val scoped: Option[DataFrame] = (nearResolved, params.hybrid, params.objectLimit) match {
       case (Some(nv), _, lim) =>
         Some(denseServe(c, nv, lim, filtered))
-      case (_, Some(h), Some(lim)) =>
+      case (_, Some(h0), Some(lim)) =>
+        // the AGGREGATE keyword leg silently drops unsearchable props
+        // (ChooseSearchableProperties — aggregator/filtered.go:142,
+        // aggregator/hybrid.go:55) where the Get path errors (WEAVIATE-471)
+        val h = h0.copy(properties = h0.properties.filter { p =>
+          c.schema.property(p.split('^').head)
+            .exists(pr => pr.dataType == PropType.Text && pr.indexSearchable)
+        })
         // hybrid legs route through the same planners as Get's (postings for
         // the sparse leg, registered ANN index + selectivity for the dense)
         Some(HybridSearch.search(c, h, h.metric, lim, filtered = filtered,

@@ -108,4 +108,22 @@ class AggregationsSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("must provide certainty or objectLimit"))
   }
+
+  test("aggregate keyword leg drops unsearchable props; Get errors (ChooseSearchableProperties)") {
+    // aggregator/filtered.go:142 silently filters, the Get path errors
+    // (WEAVIATE-471) — two different reference behaviors, both pinned
+    val g = Fixtures.graft(spark, "/root/testdata/sf0.001")
+    val agg = g.aggregate(AggregateParams("Document",
+      properties = Map("n_chars" -> Seq(Aggregator.Count)),
+      hybrid = Some(Hybrid("spark join", alpha = 0.0,
+        properties = Seq("text", "n_chars"))), // n_chars: Int, unsearchable
+      objectLimit = Some(10)))
+    assert(agg.count() == 1)
+    val e = intercept[IllegalArgumentException] {
+      g.get(GetParams("Document",
+        bm25 = Some(Bm25("spark join", properties = Seq("text", "n_chars"))),
+        pagination = Some(Pagination(limit = 5)))).collect()
+    }
+    assert(e.getMessage.contains("requires inverted index"))
+  }
 }
