@@ -792,6 +792,29 @@ object SparkEntryExt {
         .select(col("vec_id"), round(col("_distance"), 4).as("dist"))
     }),
 
+    // §2.7 `_additional { featureProjection }`: driver-side t-SNE over the
+    // bounded result page (reference: projector module, projector.go Reduce).
+    // The projected floats are engine-defined (seeded init — go-tsne's random
+    // init makes the reference's floats unreproducible by design too), so the
+    // oracle pins the CHECKABLE surface: the page itself (top-12 ids in
+    // distance order — the decoration must not disturb it) plus projection
+    // arity and per-coordinate finiteness, i.e. every page row got a real
+    // 2-d projection. The float behavior (determinism, re-centering, cluster
+    // separation) is pinned by FeatureProjectionSpec.
+    "q_feature_projection" -> ((s, dir) => {
+      val gg = g(s, dir)
+      gg.get(GetParams("Embedding",
+        nearObject = Some(NearObject(7L, metric = Metric.L2Squared)),
+        pagination = Some(Pagination(limit = 12)),
+        properties = Seq("vec_id"),
+        additional = Set("distance", "featureProjection")))
+        .select(col("vec_id"),
+          round(col("_distance"), 4).as("dist"),
+          size(col("_featureProjection")).as("dims"),
+          forall(col("_featureProjection"),
+            x => !isnan(x) && abs(x) < lit(Float.MaxValue)).as("finite"))
+    }),
+
     // §2.3 multi-vector (ColBERT) search end-to-end: 2-token query bag vs the
     // MVec collection's array<array<float>> named vector, MaxSim ranking via
     // the codegen'd kernel (reference: shard_read.go:687-698)
@@ -1395,6 +1418,15 @@ object SparkEntryExt {
          |         WHERE vec_id IN (SELECT vec_id FROM t0 UNION SELECT vec_id FROM t1))
          |SELECT vec_id, round(d0 + d1, 4) AS dist FROM pool
          |ORDER BY d0 + d1 ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // the page is q_near_l2-shaped; dims/finite are the projection's
+    // oracle-checkable invariants (the floats are engine-defined)
+    "q_feature_projection" ->
+      s"""WITH ${sqlQv(7)},
+         |d AS (SELECT e.vec_id, ${sqlL2("e.embedding", "q.v")} AS dist
+         |      FROM embeddings e CROSS JOIN qv q)
+         |SELECT vec_id, round(dist, 4) AS dist, 2 AS dims, true AS finite FROM d
+         |ORDER BY d.dist ASC, vec_id ASC LIMIT 12""".stripMargin,
 
     // MaxSim in list math: doc token bag is [e, reverse(e)], so per query
     // token the max-dot is greatest(dot(q, e), dot(q, reverse(e)))

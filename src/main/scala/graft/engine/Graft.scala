@@ -650,7 +650,23 @@ final class Graft(val spark: SparkSession) {
       case None => reranked
     }
 
-    project(c, params, resolveRefs(c, params, generated))
+    // featureProjection (`_additional { featureProjection }`) reduces the
+    // final page's vectors to 2-3 plot coordinates via driver-side t-SNE,
+    // exactly the reference's projector module scope (projector.go Reduce
+    // runs over the returned results only) — the grouped-generate bounded-
+    // page rule applies for the same reason: the reduction collects the page
+    val fpParams = params.featureProjection.orElse(
+      if (params.additional.contains("featureProjection"))
+        Some(graft.model.FeatureProjectionParams()) else None)
+    val projected = fpParams match {
+      case Some(fp) =>
+        require(params.pagination.isDefined || params.cursor.isDefined,
+          "featureProjection requires a bounded page (set pagination or cursor)")
+        FeatureProjection.attach(generated, id, c.schema.vectorColumn(None), fp)
+      case None => generated
+    }
+
+    project(c, params, resolveRefs(c, params, projected))
   }
 
   /** Property → prompt-text column for generate templating (reference:
@@ -775,6 +791,8 @@ final class Graft(val spark: SparkSession) {
         // collections that declare the columns, like the reference's
         // indexTimestamps gate
         case "rerank" if df.columns.contains(Rerank.ScoreCol) => Some(col(Rerank.ScoreCol))
+        case "featureProjection" if df.columns.contains(FeatureProjection.Col) =>
+          Some(col(FeatureProjection.Col))
         case "creationTimeUnix" =>
           c.schema.creationTimeColumn.map(t => col(t).as("_creationTimeUnix"))
         case "lastUpdateTimeUnix" =>

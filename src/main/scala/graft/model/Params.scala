@@ -200,6 +200,17 @@ final case class GenerateParams(
     "generate: set singlePrompt and/or groupedTask")
 }
 
+/** `_additional { featureProjection(dimensions:...) { vector } }` — t-SNE
+ * dimensionality reduction over the returned result page (reference:
+ * usecases/modulecomponents/additional/projector/projector_params.go:31-39
+ * defaults; projector.go Reduce). Defaults mirror the reference's. */
+final case class FeatureProjectionParams(
+    algorithm: String = "tsne",
+    dimensions: Int = 2,
+    perplexity: Option[Int] = None,
+    iterations: Int = 100,
+    learningRate: Int = 25)
+
 /** The Get query (reference: dto.GetParams). Exactly one search leg may be set. */
 final case class GetParams(
     collection: String,
@@ -221,7 +232,8 @@ final case class GetParams(
     tenant: Option[String] = None,
     autocut: Option[Int] = None,
     rerank: Option[RerankParams] = None,
-    generate: Option[GenerateParams] = None)
+    generate: Option[GenerateParams] = None,
+    featureProjection: Option[FeatureProjectionParams] = None)
 
 // --- Aggregations (reference: entities/aggregation/params.go) ---
 
