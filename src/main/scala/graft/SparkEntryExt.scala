@@ -637,6 +637,21 @@ object SparkEntryExt {
         .orderBy(col("doc_id"))
     }),
 
+    // §2.3 nearText moveTo with OBJECT moves (reference: retrieval.go:137-146
+    // ObjectMove; searcher.go:99-139 — the move vector is the mean of [the
+    // ONE combined values vector] ++ [each object's STORED vector]). The
+    // object vector lives in the parquet table, so the oracle reproduces the
+    // movement arithmetic in SQL (float-exact casts) over the same row.
+    "q_neartext_move_objects" -> ((s, dir) => {
+      g(s, dir).get(GetParams("DocVec",
+        nearText = Some(NearText(Seq("spark join stream"),
+          moveTo = Some(MoveParams(Seq("window batch"), force = 0.6,
+            objects = Seq(5L))))),
+        pagination = Some(Pagination(limit = 10)),
+        properties = Seq("doc_id")))
+        .orderBy(col("doc_id"))
+    }),
+
     // §2.3 nearText autocorrect: misspelled concepts run through the
     // registered spellchecker module BEFORE embedding (reference:
     // retrieval.go:152-160 Autocorrect; modules/text-spellcheck). The oracle
@@ -1179,6 +1194,36 @@ object SparkEntryExt {
       qv = Movements.moveAwayFrom(qv, Movements.centroid(Seq(embed("error slow"))), 0.4)
       val vlit = qv.map(f => s"CAST($f AS FLOAT)").mkString("[", ", ", "]")
       s"""WITH qv AS (SELECT $vlit AS v),
+         |d AS (SELECT dv.doc_id, ${sqlCosine("e.embedding", "q.v")} AS dist
+         |      FROM documents dv JOIN embeddings e ON dv.doc_id = e.vec_id
+         |      CROSS JOIN qv q),
+         |top AS (SELECT doc_id FROM d ORDER BY dist ASC, doc_id ASC LIMIT 10)
+         |SELECT doc_id FROM top ORDER BY doc_id ASC""".stripMargin
+    },
+
+    // movement arithmetic replayed in SQL: every binary float op is wrapped
+    // in CAST(... AS FLOAT) — a single float32 op computed in double then
+    // rounded to float is bit-identical to native float32 — so the moved
+    // query vector matches the engine's Float math exactly. The object's
+    // stored vector comes from the embeddings table (searcher.go:115-135
+    // findVectorFn), the concepts-group vector is inlined.
+    "q_neartext_move_objects" -> {
+      val embed = Fixtures.hashEmbedder(64)
+      val base = Movements.centroid(Seq(embed("spark join stream")))
+      val grp = Movements.centroid(Seq(embed("window batch")))
+      val blit = base.map(f => s"CAST($f AS FLOAT)").mkString("[", ", ", "]")
+      val glit = grp.map(f => s"CAST($f AS FLOAT)").mkString("[", ", ", "]")
+      val w = 0.6f * 0.5f // force × the reference's 0.5 multiplier
+      s"""WITH cg AS (SELECT $glit AS v),
+         |ov AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 5),
+         |mv AS (SELECT list_transform(range(1, 65),
+         |         i -> CAST(CAST(c.v[i] + o.v[i] AS FLOAT) / CAST(2 AS FLOAT) AS FLOAT)) AS v
+         |       FROM cg c CROSS JOIN ov o),
+         |bs AS (SELECT $blit AS v),
+         |qv AS (SELECT list_transform(range(1, 65),
+         |         i -> CAST(CAST(b.v[i] * CAST(${1 - w} AS FLOAT) AS FLOAT)
+         |            + CAST(m.v[i] * CAST($w AS FLOAT) AS FLOAT) AS FLOAT)) AS v
+         |       FROM bs b CROSS JOIN mv m),
          |d AS (SELECT dv.doc_id, ${sqlCosine("e.embedding", "q.v")} AS dist
          |      FROM documents dv JOIN embeddings e ON dv.doc_id = e.vec_id
          |      CROSS JOIN qv q),

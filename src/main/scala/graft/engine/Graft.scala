@@ -65,9 +65,10 @@ final class Graft(val spark: SparkSession) {
 
   /** Resolve nearText into a nearVector (concept centroid ± moves —
    * reference: near_params_vector.go + searcher_movements.go). */
-  private def resolveNearText(nt0: NearText): NearVector = {
+  private def resolveNearText(c: Collection, nt0: NearText): NearVector = {
     // autocorrect runs on the raw concepts ahead of embedding, like the
-    // reference's spellcheck transformer (retrieval.go:158)
+    // reference's spellcheck transformer (retrieval.go:158); object ids are
+    // untouched
     val nt =
       if (!nt0.autocorrect) nt0
       else {
@@ -79,9 +80,24 @@ final class Graft(val spark: SparkSession) {
       }
     val embed = embedder.getOrElse(
       throw new IllegalStateException("nearText requires a registered embedder (withEmbedder)"))
+    // a move applies only with force > 0 AND at least one value or object
+    // (reference: searcher.go:67,82); its vector is the mean of [the ONE
+    // combined concepts vector] ++ [each object's stored vector]
+    // (searcher.go:99-139 — values count once as a group, objects once each)
+    def moveVec(m: MoveParams): Array[Float] = {
+      val conceptPart =
+        if (m.concepts.nonEmpty) Seq(Movements.centroid(m.concepts.map(embed))) else Nil
+      val objectParts = m.objects.map { oid =>
+        VectorSearch.resolveNearObject(c,
+          NearObject(oid, targetVectors = nt.targetVectors)).vector
+      }
+      Movements.centroid(conceptPart ++ objectParts)
+    }
+    def applies(m: MoveParams): Boolean =
+      m.force > 0 && (m.concepts.nonEmpty || m.objects.nonEmpty)
     var v = Movements.centroid(nt.concepts.map(embed))
-    nt.moveTo.foreach(m => v = Movements.moveTo(v, Movements.centroid(m.concepts.map(embed)), m.force))
-    nt.moveAwayFrom.foreach(m => v = Movements.moveAwayFrom(v, Movements.centroid(m.concepts.map(embed)), m.force))
+    nt.moveTo.withFilter(applies).foreach(m => v = Movements.moveTo(v, moveVec(m), m.force))
+    nt.moveAwayFrom.withFilter(applies).foreach(m => v = Movements.moveAwayFrom(v, moveVec(m), m.force))
     NearVector(v, nt.metric, nt.distance, nt.certainty, nt.targetVectors)
   }
 
@@ -477,7 +493,7 @@ final class Graft(val spark: SparkSession) {
         .orElse(params.nearObject.map { no =>
           vectorLeg(VectorSearch.resolveNearObject(c, no))
         }).orElse(params.nearText.map { nt =>
-        vectorLeg(resolveNearText(nt))
+        vectorLeg(resolveNearText(c, nt))
       }).orElse(params.nearMedia.map { nm =>
         vectorLeg(resolveNearMedia(nm))
       }).orElse(params.nearMultiVector.map { nmv =>
@@ -511,7 +527,7 @@ final class Graft(val spark: SparkSession) {
           if (h.subSearches.exists(_.nearText.isDefined))
             h.copy(subSearches = h.subSearches.map { ss =>
               ss.nearText match {
-                case Some(nt) => ss.copy(nearText = None, nearVector = Some(resolveNearText(nt)))
+                case Some(nt) => ss.copy(nearText = None, nearVector = Some(resolveNearText(c, nt)))
                 case None     => ss
               }
             })
@@ -734,7 +750,7 @@ final class Graft(val spark: SparkSession) {
     // before handing one vector to the aggregator).
     val nearResolved: Option[NearVector] = params.nearVector
       .orElse(params.nearObject.map(no => VectorSearch.resolveNearObject(c, no)))
-      .orElse(params.nearText.map(resolveNearText))
+      .orElse(params.nearText.map(nt => resolveNearText(c, nt)))
       .orElse(params.nearMedia.map(resolveNearMedia))
     nearResolved.foreach { nv =>
       require(params.objectLimit.isDefined || nv.distance.orElse(nv.certainty).isDefined,

@@ -56,8 +56,14 @@ final case class NearObject(
     targetVectors: Seq[String] = Nil)
 
 /** nearText move parameters (reference: usecases/modulecomponents/arguments/
- * nearText/param.go:145; movement math searcher_movements.go). */
-final case class MoveParams(concepts: Seq[String], force: Double)
+ * nearText/param.go:145; movement math searcher_movements.go). Besides
+ * concept strings, a move can pull toward/away from EXISTING OBJECTS by id
+ * (reference: retrieval.go:137-140 ObjectMove — beacon parsing is the HTTP
+ * layer's job, both forms resolve to the target id; searcher.go:99-139
+ * vectorFromValuesAndObjects looks each object's stored vector up and means
+ * it with the combined concepts vector). */
+final case class MoveParams(concepts: Seq[String], force: Double,
+                            objects: Seq[Any] = Nil)
 
 /** nearText: concepts → embedding (via the engine's registered embedder) →
  * kNN, with moveTo/moveAwayFrom concept arithmetic
