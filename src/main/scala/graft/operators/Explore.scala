@@ -15,21 +15,40 @@ import graft.model.{Metric, NearVector}
  */
 object Explore {
 
+  /** limit 0 → the reference's default 20 (traverser_explore_concepts.go:27);
+   * certainty is cosine-only across ALL probed classes
+   * (traverser_validate_distance_metrics.go:92-104) and converts to the
+   * distance threshold 2·(1−certainty); offset/limit paginate the merged
+   * cross-class ranking (ExploreParams.Offset/Limit). */
   def apply(g: Graft, collections: Seq[String], vector: Array[Float],
-            metric: Metric, limit: Int): DataFrame = {
+            metric: Metric, limit: Int = 0, offset: Int = 0,
+            certainty: Option[Double] = None): DataFrame = {
+    require(certainty.isEmpty || metric == Metric.Cosine,
+      s"can't compute and return certainty when vector index is configured " +
+      s"with ${metric} distance")
+    val lim = if (limit == 0) 20 else limit
+    // each leg fetches offset+lim so the merged page is reachable after the
+    // cross-class re-rank (the reference's searcher applies pagination to the
+    // merged result list, search.go:231-295)
+    val fetch = offset + lim
     val legs = collections.map { name =>
       val c = g.collection(name)
       // per-leg planner: a collection with a registered ANN index probes it
       // (same searchOrScan as Get/hybrid); the rest scan exactly
       val idx = c.schema.defaultVector.flatMap(c.vectorIndexes.get)
-      graft.ann.IvfIndex.searchOrScan(c, idx, NearVector(vector, metric), Some(limit), None)
+      graft.ann.IvfIndex.searchOrScan(c, idx, NearVector(vector, metric), Some(fetch), None)
         .select(
           lit(name).as("class_name"),
           col(c.schema.idColumn).cast("string").as("beacon_id"),
           col(VectorSearch.DistanceCol).as("distance"))
     }
-    legs.reduce(_ unionByName _)
+    val merged = legs.reduce(_ unionByName _)
+    val cut = certainty match {
+      case Some(ct) => merged.filter(col("distance") <= lit(2.0 * (1.0 - ct)))
+      case None     => merged
+    }
+    val ranked = cut
       .orderBy(col("distance").asc, col("class_name").asc, col("beacon_id").asc)
-      .limit(limit)
+    if (offset > 0) ranked.offset(offset).limit(lim) else ranked.limit(lim)
   }
 }
