@@ -497,6 +497,33 @@ object SparkEntryExt {
     // pipeline: PII redaction — the corpus has no PII, so a planted span of
     // email + IPv4 + phone is prepended; both sides apply the same
     // RE2-compatible patterns (TextAnalysis.{Email,Ipv4,Phone}Pattern)
+    // pipeline: C4 heuristic cleaning (Raffel et al. 2020 §2.2). The corpus
+    // text has no line structure, so the QUERY manufactures the bed both
+    // sides run on: 3-word lines via regex, terminal '.' only on lines whose
+    // last word ends in [a-m] (content-dependent — roughly half the lines
+    // stay unterminated and get dropped), plus doc_id-keyed javascript /
+    // brace / lorem-ipsum plants exercising every page rule. The oracle
+    // replays the identical construction and the identical rules in SQL.
+    "q_text_c4" -> ((s, dir) => {
+      val docs = g(s, dir).collection("Document").df
+      val lined = regexp_replace(col("text"), "(\\S+\\s+\\S+\\s+\\S+)\\s+", "$1\n")
+      val punct = regexp_replace(
+        regexp_replace(lined, "([a-m])\n", "$1.\n"),
+        "([a-m])$", "$1.")
+      val js = when(col("doc_id") % 13 === 0,
+        concat(punct, lit("\nthis javascript line should vanish."))).otherwise(punct)
+      val brace = when(col("doc_id") % 17 === 0,
+        concat(js, lit("\ncode { block }"))).otherwise(js)
+      val lorem = when(col("doc_id") % 19 === 0,
+        concat(brace, lit("\nlorem ipsum dolor sit amet."))).otherwise(brace)
+      val bed = docs.select(col("doc_id"), lorem.as("page"))
+      TextAnalysis.c4Clean(bed, col("page"))
+        .select(col("doc_id"), col("c4_text"),
+          col("c4_lines_kept").cast("long").as("c4_lines_kept"),
+          col("c4_lines_total").cast("long").as("c4_lines_total"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_text_redact" -> ((s, dir) => {
       val bed = g(s, dir).collection("Document").df.filter(col("doc_id") < 200)
         .select(col("doc_id"), concat(
@@ -2096,6 +2123,38 @@ object SparkEntryExt {
     "q_text_fingerprint" ->
       """SELECT doc_id, md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // identical bed construction + identical C4 rules in SQL; len(list) is
+    // BIGINT so the Spark side casts its counts to long
+    "q_text_c4" ->
+      """WITH b1 AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(text,
+        |      '(\S+\s+\S+\s+\S+)\s+', '\1' || chr(10), 'g'),
+        |      '([a-m])\n', '\1.' || chr(10), 'g'),
+        |      '([a-m])$', '\1.') AS t
+        |  FROM documents),
+        |b2 AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0
+        |         THEN t || chr(10) || 'this javascript line should vanish.' ELSE t END AS t FROM b1),
+        |b3 AS (SELECT doc_id, CASE WHEN doc_id % 17 = 0
+        |         THEN t || chr(10) || 'code { block }' ELSE t END AS t FROM b2),
+        |bed AS (SELECT doc_id, CASE WHEN doc_id % 19 = 0
+        |         THEN t || chr(10) || 'lorem ipsum dolor sit amet.' ELSE t END AS page FROM b3),
+        |cleaned AS (
+        |  SELECT doc_id, page,
+        |    list_filter(string_split(page, chr(10)), l ->
+        |      regexp_matches(trim(l), '[.!?"'']$')
+        |      AND len(string_split_regex(trim(l), '\s+')) >= 3
+        |      AND NOT regexp_matches(lower(l), '\bjavascript\b')) AS kept,
+        |    string_split(page, chr(10)) AS all_lines
+        |  FROM bed)
+        |SELECT doc_id, array_to_string(kept, chr(10)) AS c4_text,
+        |  len(kept) AS c4_lines_kept, len(all_lines) AS c4_lines_total
+        |FROM cleaned
+        |WHERE NOT contains(lower(page), 'lorem ipsum')
+        |  AND NOT contains(page, '{')
+        |  AND length(regexp_replace(array_to_string(kept, chr(10)), '[^.!?]', '', 'g')) >= 5
+        |ORDER BY doc_id""".stripMargin,
 
     "q_text_redact" ->
       """SELECT doc_id,

@@ -108,6 +108,56 @@ object TextAnalysis {
     regexp_replace(noIp, PhonePattern, "[PHONE]")
   }
 
+  // --- C4 heuristic cleaning -------------------------------------------------
+
+  /**
+   * C4-style line/page cleaning (Raffel et al. 2020, "Exploring the Limits of
+   * Transfer Learning with a Unified Text-to-Text Transformer", JMLR §2.2):
+   *  - retain only lines ending in a terminal punctuation mark (. ! ? " ');
+   *  - retain only lines with at least `minLineWords` (3) words;
+   *  - drop lines containing the word "javascript" (any case);
+   *  - drop pages containing "lorem ipsum" or "{" anywhere;
+   *  - drop pages with fewer than `minSentences` (5) sentences — sentence
+   *    count approximated as terminal-punctuation marks in the RETAINED text
+   *    (the paper used a sentence tokenizer; the mark count is the standard
+   *    deterministic stand-in and identical on cleaned line-per-sentence
+   *    text);
+   *  - drop pages containing any `blocklist` word (the paper's bad-words
+   *    list; pluggable, default empty — no list ships with the engine).
+   *
+   * Returns only the retained pages: all input columns plus `c4_text` (kept
+   * lines re-joined with newlines), `c4_lines_kept`, `c4_lines_total`. Pure
+   * codegen'd column expressions over one scan — array filter + regex per
+   * row, no shuffle, no UDF — so it composes with dedup/quality at 100 TB
+   * exactly like the other signals here.
+   */
+  def c4Clean(df: org.apache.spark.sql.DataFrame, textCol: Column,
+              blocklist: Seq[String] = Nil, minSentences: Int = 5,
+              minLineWords: Int = 3): org.apache.spark.sql.DataFrame = {
+    val lines = split(textCol, "\n")
+    val kept = filter(lines, l =>
+      trim(l).rlike("[.!?\"']$") &&
+      size(split(trim(l), "\\s+")) >= minLineWords &&
+      !lower(l).rlike("\\bjavascript\\b"))
+    val cleanText = array_join(kept, "\n")
+    val sentences = length(regexp_replace(cleanText, "[^.!?]", ""))
+    val pageOk = {
+      val base = !contains(lower(textCol), lit("lorem ipsum")) &&
+        !contains(textCol, lit("{")) &&
+        sentences >= minSentences
+      if (blocklist.isEmpty) base
+      else {
+        val pat = "\\b(" + blocklist.map(java.util.regex.Pattern.quote)
+          .mkString("|") + ")\\b"
+        base && !lower(textCol).rlike(pat)
+      }
+    }
+    df.withColumn("c4_text", cleanText)
+      .withColumn("c4_lines_kept", size(kept))
+      .withColumn("c4_lines_total", size(lines))
+      .filter(pageOk)
+  }
+
   // --- Repetition filters ----------------------------------------------------
 
   /**
