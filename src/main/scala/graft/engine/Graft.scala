@@ -101,6 +101,19 @@ final class Graft(val spark: SparkSession) {
     NearVector(v, nt.metric, nt.distance, nt.certainty, nt.targetVectors)
   }
 
+  /** Resolve a hybrid's top-level nearText dense leg into its raw vector
+   * (reference: explorer_hybrid.go:138-180 — the nearText's moves run first,
+   * its distance feeds the dense-leg cutoff, its targets apply when the
+   * hybrid doesn't name its own). */
+  private def resolveHybridNearText(c: Collection, h: Hybrid): Hybrid = h.nearText match {
+    case Some(nt) =>
+      val nv = resolveNearText(c, nt)
+      h.copy(nearText = None, vector = Some(nv.vector),
+        maxVectorDistance = h.maxVectorDistance.orElse(nt.distance),
+        targetVectors = if (h.targetVectors.nonEmpty) h.targetVectors else nt.targetVectors)
+    case None => h
+  }
+
   def register(c: Collection): Graft = { collections += c.name -> c; this }
   def register(schema: CollectionSchema, df: DataFrame): Graft =
     register(Collection(schema, df))
@@ -520,9 +533,12 @@ final class Graft(val spark: SparkSession) {
       }).orElse(params.bm25.map { kw =>
         bm25Serve(c, kw, fetchLimit.getOrElse(defaultLimit), filtered,
           explain = params.additional.contains("explainScore"))
-      }).orElse(params.hybrid.map { h =>
-        // nearText subsearches resolve through the embedder here (the module
-        // boundary), so the operator layer only ever sees vectors
+      }).orElse(params.hybrid.map { h0 =>
+        // nearText legs — top-level (retrieval.go:124 NearTextParams,
+        // explorer_hybrid.go:138+ nearTextSubSearch) and subsearch — resolve
+        // through the embedder here (the module boundary), so the operator
+        // layer only ever sees vectors
+        val h = resolveHybridNearText(c, h0)
         val resolved =
           if (h.subSearches.exists(_.nearText.isDefined))
             h.copy(subSearches = h.subSearches.map { ss =>
@@ -765,7 +781,8 @@ final class Graft(val spark: SparkSession) {
     val scoped: Option[DataFrame] = (nearResolved, params.hybrid, params.objectLimit) match {
       case (Some(nv), _, lim) =>
         Some(denseServe(c, nv, lim, filtered))
-      case (_, Some(h0), Some(lim)) =>
+      case (_, Some(h00), Some(lim)) =>
+        val h0 = resolveHybridNearText(c, h00)
         // the AGGREGATE keyword leg silently drops unsearchable props
         // (ChooseSearchableProperties — aggregator/filtered.go:142,
         // aggregator/hybrid.go:55) where the Get path errors (WEAVIATE-471)

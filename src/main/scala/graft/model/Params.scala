@@ -169,7 +169,15 @@ final case class Hybrid(
     // keyword-leg operator, copied into the BM25 params exactly like the
     // reference's explorer_hybrid.go:53-55 copies HybridSearch.SearchOperator
     // / MinimumOrTokensMatch into KeywordRanking
-    searchOperator: SearchOperator = SearchOperator.Or(1))
+    searchOperator: SearchOperator = SearchOperator.Or(1),
+    // dense leg given as a nearText instead of a raw vector (reference:
+    // retrieval.go:124 HybridSearch.NearTextParams; explorer_hybrid.go:138+
+    // nearTextSubSearch resolves it through the module incl. moves). The
+    // engine resolves it to `vector` before the legs run.
+    nearText: Option[NearText] = None) {
+  require(vector.isEmpty || nearText.isEmpty,
+    "hybrid: set either vector or nearText, not both")
+}
 
 /** sort (reference: entities/filters/sort.go:15-18). */
 final case class SortBy(path: Seq[String], desc: Boolean = false)

@@ -85,6 +85,34 @@ class NearTextMoveSpec extends SparkSpecBase {
       moveTo = Some(MoveParams(Nil, force = 0.9, objects = Nil)))) == plain)
   }
 
+  test("hybrid top-level nearText leg resolves like a raw vector (incl. object move)") {
+    val words = Seq("alpha beta", "beta gamma", "gamma delta", "delta epsilon",
+      "epsilon zeta", "zeta eta")
+    val docs = rows.withColumn("txt",
+      org.apache.spark.sql.functions.element_at(
+        org.apache.spark.sql.functions.typedLit(words),
+        org.apache.spark.sql.functions.col("id").cast("int")))
+    val eng = new Graft(spark).withEmbedder(embed)
+    eng.register(CollectionSchema("H", "id",
+      Seq(Property("txt", PropType.Text)),
+      vectors = Map("default" -> "v"), defaultVector = Some("default")), docs)
+    val nt = NearText(Seq("red"),
+      moveTo = Some(MoveParams(Nil, force = 0.8, objects = Seq(5L))))
+    def run(h: Hybrid): Seq[Long] =
+      eng.get(GetParams("H", hybrid = Some(h),
+        pagination = Some(Pagination(limit = 6)), properties = Seq("id")))
+        .collect().map(_.getLong(0)).toSeq
+    val viaNearText = run(Hybrid("beta gamma", nearText = Some(nt),
+      properties = Seq("txt"), alpha = 0.5))
+    val viaVector = run(Hybrid("beta gamma",
+      vector = Some(Movements.moveTo(embed("red"), vec(0, 0, 1), 0.8)),
+      properties = Seq("txt"), alpha = 0.5))
+    assert(viaNearText == viaVector && viaNearText.nonEmpty)
+    intercept[IllegalArgumentException] {
+      Hybrid("q", vector = Some(vec(1, 0, 0)), nearText = Some(nt))
+    }
+  }
+
   test("unknown move object id fails like nearObject") {
     val eng = engine()
     val e = intercept[IllegalArgumentException] {
