@@ -20,18 +20,36 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // warm-up: fixture registry + a scan per collection (JIT, file listing,
-    // parquet footers) — not counted in per-query timings
-    val g = Fixtures.graft(spark, sfDir)
-    Seq("Lineitem", "Order", "Customer", "Part", "Document", "Embedding", "DocVec", "Event")
-      .foreach(n => g.collection(n).df.count())
-    // index-probing queries measure probe latency; their side-table builds
-    // (IVF KMeans + partitioned persist, PQ codebooks, postings) are offline
-    // batch jobs — pre-build them all so per-query numbers are stable under
-    // query reordering (round-5 lesson: whichever index query ran first paid
-    // the whole build and polluted attribution)
-    SparkEntryExt.prebuildIndexes(g, sfDir)
+    // parquet footers) — not counted in per-query timings. EVERY warm-up step
+    // is individually fault-isolated (round-9 lesson: one broken driver table
+    // made the un-guarded warm-up throw before a single timing printed, so
+    // the round shipped a zero-number rc=1 bench artifact); a failure is
+    // recorded and printed as {"warmup_error": ...} but the timed passes —
+    // which already swallow per-query failures — always run.
+    val warmupErrors = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    def warm(step: String)(body: => Unit): Unit =
+      try body catch { case e: Throwable =>
+        warmupErrors += step -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      }
+    warm("fixtures") {
+      val g = Fixtures.graft(spark, sfDir)
+      Seq("Lineitem", "Order", "Customer", "Part", "Document", "Embedding", "DocVec", "Event")
+        .foreach(n => warm(s"scan:$n")(g.collection(n).df.count()))
+      // index-probing queries measure probe latency; their side-table builds
+      // (IVF KMeans + partitioned persist, PQ codebooks, postings) are offline
+      // batch jobs — pre-build them all so per-query numbers are stable under
+      // query reordering (round-5 lesson: whichever index query ran first paid
+      // the whole build and polluted attribution)
+      warm("prebuildIndexes")(SparkEntryExt.prebuildIndexes(g, sfDir))
+    }
     Seq("q_pq_search", "q_bm25_postings", "q_near_ivf").foreach { q =>
-      try SparkEntry.queries(q)(spark, sfDir).count() catch { case _: Throwable => () }
+      warm(s"warmq:$q")(SparkEntry.queries(q)(spark, sfDir).count())
+    }
+    if (warmupErrors.nonEmpty) {
+      val errs = warmupErrors.map { case (k, v) =>
+        "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\"" }
+        .mkString("{", ",", "}")
+      println(s"""{"warmup_error":$errs}""")
     }
 
     // two timed passes, report the min: the first pass absorbs residual JIT /

@@ -199,15 +199,29 @@ object Fixtures {
   }
 
   /**
-   * events.ts is parquet TIMESTAMP(NANOS) — Spark timestamps are µs, so read
-   * nanos as long and truncate (SURVEY §7.3 flags the ns-precision issue; the
-   * raw long column is kept as `ts_nanos` for full-fidelity comparisons).
+   * events.ts is driver-owned and its physical parquet type has varied across
+   * testdata regenerations — TIMESTAMP(NANOS) (inferred as long on Sparks
+   * honoring nanosAsLong) vs TIMESTAMP(MICROS) (inferred as timestamp_ntz on
+   * Spark 4.1.2, where the runtime nanosAsLong conf no longer applies). Never
+   * assume the physical type: branch on the observed dtype and normalize to
+   *  - `ts`       → Spark TimestampType (µs precision), and
+   *  - `ts_nanos` → epoch nanoseconds as long (full-fidelity comparisons;
+   *                 EventTenant's creationTimeColumn).
+   * Session timezone is pinned to UTC by every entry point, so the NTZ cast
+   * is exact.
    */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    // older Sparks honor this and surface nanos as long; harmless otherwise
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
-      .withColumn("ts_nanos", col("ts"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) as nanos-long
+        raw.withColumn("ts_nanos", col("ts"))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => // TimestampType / TimestampNTZType (µs physical)
+        raw.withColumn("ts_nanos", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+          .withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Deterministic stand-in vectorizer for nearText (real deployments plug a

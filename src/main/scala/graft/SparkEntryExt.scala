@@ -1137,13 +1137,21 @@ object SparkEntryExt {
     "q_stream_window" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = Fixtures.events(s, dir).select(col("event_id"), col("ts_nanos").as("ts"),
-        col("user_id"), col("event_type"), col("value"), col("props")).schema
-      val stream = s.readStream.schema(schema)
+      // the streaming source must declare a schema up front — take the file's
+      // ACTUAL batch-inferred schema (never a forced one: the driver's
+      // events.ts physical type has flipped between TIMESTAMP(NANOS)-as-long
+      // and TIMESTAMP(MICROS) across regenerations) and branch the
+      // epoch-normalization on the observed dtype, mirroring Fixtures.events
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val toTs = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => timestamp_micros(expr("ts div 1000"))
+        case _ => col("ts").cast("timestamp")
+      }
+      val stream = s.readStream.schema(raw.schema)
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events.parquet") // file source needs a dir
         .parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ts", toTs)
       val agg = stream
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
