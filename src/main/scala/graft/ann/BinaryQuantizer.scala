@@ -43,19 +43,20 @@ object BinaryQuantizer {
    * Two-phase so the first pass genuinely never touches the vectors: phase 1
    * projects ONLY (id, code) — column pruning reaches the scan, so a parquet
    * layout reads 32× fewer bytes — and TakeOrderedAndProject keeps
-   * `topK × rescoreFactor` rows per partition. The candidate ids (bounded,
-   * driver-side like the reference's rescore list) come back as an `isin`
-   * filter for phase 2, which re-reads id+vector WITH predicate pushdown
-   * (row-group min/max skipping) and computes exact distances on just the
-   * candidate set. This is the reference flat-index shape: hamming over
+   * `topK × rescoreFactor` rows per partition. The bounded candidate frame
+   * then broadcast-left-semi-joins back onto the table for phase 2's exact
+   * distances — the candidate set stays distributed end-to-end (no driver
+   * `collect` round-trip), so rescoreFactor can scale with k without a
+   * driver bottleneck. This is the reference flat-index shape: hamming over
    * in-memory codes, rescore fetches full vectors by id (flat/index.go).
    */
   def search(encoded: DataFrame, idCol: String, codeCol: String, vecCol: String,
              query: Array[Float], topK: Int, rescoreFactor: Int = 4,
              metric: Metric = Metric.L2Squared): DataFrame = {
     val qCode = encodeQuery(query)
-    val candidateIds = firstPassIds(encoded, idCol, codeCol, qCode, topK * rescoreFactor)
-    val candidates = encoded.filter(col(idCol).isin(candidateIds: _*))
+    val cands = firstPass(encoded, idCol, codeCol, qCode, topK * rescoreFactor)
+      .select(col(idCol))
+    val candidates = encoded.join(broadcast(cands), Seq(idCol), "left_semi")
     VectorSearch.withDistance(candidates, vecCol, query, metric)
       .orderBy(col(VectorSearch.DistanceCol).asc, col(idCol).asc)
       .limit(topK)
@@ -68,8 +69,4 @@ object BinaryQuantizer {
       .withColumn("__bqh", VectorFunctions.bitHamming(col(codeCol), typedLit(qCode.toSeq)))
       .orderBy(col("__bqh").asc, col(idCol).asc)
       .limit(n)
-
-  private def firstPassIds(encoded: DataFrame, idCol: String, codeCol: String,
-                           qCode: Array[Long], n: Int): Seq[Any] =
-    firstPass(encoded, idCol, codeCol, qCode, n).select(col(idCol)).collect().map(_.get(0)).toSeq
 }

@@ -156,11 +156,11 @@ object Muvera {
   def search(encoded: DataFrame, idCol: String, muveraCol: String, mvecCol: String,
              query: Array[Array[Float]], enc: MuveraEncoder,
              topK: Int, rescoreFactor: Int = 4): DataFrame = {
-    val candidateIds =
+    val cands =
       firstPass(encoded, idCol, muveraCol, enc.encodeQuery(query), topK * rescoreFactor)
-        .select(col(idCol)).collect().map(_.get(0)).toSeq
+        .select(col(idCol))
     val qLit = typedLit(query.map(_.toSeq).toSeq)
-    encoded.filter(col(idCol).isin(candidateIds: _*))
+    encoded.join(broadcast(cands), Seq(idCol), "left_semi")
       .withColumn(VectorSearch.DistanceCol, VectorFunctions.maxSim(qLit, col(mvecCol)))
       .orderBy(col(VectorSearch.DistanceCol).asc, col(idCol).asc)
       .limit(topK)
@@ -170,8 +170,8 @@ object Muvera {
   /** Phase-1 frame: encoded-dot ranking over (id, encoding) ONLY — two-phase
    * like BinaryQuantizer.search, so with a parquet-backed encoded table the
    * first pass scans just the two columns (never the token bags) and the
-   * bounded candidate ids come back as an isin pushdown for the exact MaxSim
-   * rescore fetch. Exposed for plan asserts. */
+   * bounded candidate frame broadcast-left-semi-joins into the exact MaxSim
+   * rescore fetch (no driver collect round-trip). Exposed for plan asserts. */
   private[graft] def firstPass(encoded: DataFrame, idCol: String, muveraCol: String,
                                qEnc: Array[Float], n: Int): DataFrame =
     encoded.select(col(idCol), col(muveraCol))

@@ -68,21 +68,28 @@ final case class ProductQuantizer(
    * `encoded` must carry idCol, the code column, and the original vector.
    * Two-phase like BinaryQuantizer.search: the ADC pass projects only
    * (id, code) — column pruning keeps the float vectors out of the scan —
-   * and the bounded candidate ids come back as an `isin` pushdown filter
-   * for the exact-rescore fetch (the reference's rescore-on-full-vectors
-   * step, flat/index.go). */
+   * and the bounded candidate frame broadcast-left-semi-joins back onto the
+   * table for the exact-rescore fetch (the reference's
+   * rescore-on-full-vectors step, flat/index.go) — no driver round-trip, so
+   * the candidate set never bottlenecks on `collect`. */
   def search(encoded: DataFrame, idCol: String, codeCol: String, vecCol: String,
              query: Array[Float], topK: Int, rescoreFactor: Int = 4): DataFrame = {
-    val candidateIds = encoded.select(col(idCol), col(codeCol))
-      .withColumn("__adc", adcDistance(col(codeCol), query))
-      .orderBy(col("__adc").asc, col(idCol).asc)
-      .limit(topK * rescoreFactor)
-      .select(col(idCol)).collect().map(_.get(0)).toSeq
-    val candidates = encoded.filter(col(idCol).isin(candidateIds: _*))
+    val cands = firstPass(encoded, idCol, codeCol, query, topK * rescoreFactor)
+      .select(col(idCol))
+    val candidates = encoded.join(broadcast(cands), Seq(idCol), "left_semi")
     VectorSearch.withDistance(candidates, vecCol, query, Metric.L2Squared)
       .orderBy(col(VectorSearch.DistanceCol).asc, col(idCol).asc)
       .limit(topK)
   }
+
+  /** Phase-1 frame: ADC ranking over (id, code) only — exposed for plan
+   * asserts, mirroring BinaryQuantizer.firstPass. */
+  private[graft] def firstPass(encoded: DataFrame, idCol: String, codeCol: String,
+                               query: Array[Float], n: Int): DataFrame =
+    encoded.select(col(idCol), col(codeCol))
+      .withColumn("__adc", adcDistance(col(codeCol), query))
+      .orderBy(col("__adc").asc, col(idCol).asc)
+      .limit(n)
 }
 
 object ProductQuantizer {

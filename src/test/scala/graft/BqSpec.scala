@@ -55,7 +55,7 @@ class BqSpec extends SparkSpecBase {
     assert(mean >= 0.9, s"mean recall $mean (${recalls.mkString(",")})")
   }
 
-  test("two-phase plan: first pass never reads the vector column; rescore pushes id filter") {
+  test("two-phase plan: first pass never reads the vector column; rescore is a broadcast semi-join") {
     val path = java.nio.file.Files.createTempDirectory("bq-plan").toString
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     emb.withColumn("code", BinaryQuantizer.encode($"embedding"))
@@ -69,11 +69,13 @@ class BqSpec extends SparkSpecBase {
     assert(p1.contains("ReadSchema") && !p1.contains("embedding"),
       s"vector column not pruned from first pass:\n$p1")
 
-    // full search: correct results, and the rescore scan carries an In(vec_id)
-    // pushdown (row-group skipping on the candidate fetch)
+    // full search: correct results, and the candidate set reaches the rescore
+    // as a broadcast LEFT SEMI join — fully distributed, no driver collect
+    // round-trip (round-9 watch item)
     val res = BinaryQuantizer.search(encoded, "vec_id", "code", "embedding", q, topK = 5)
     val plan = res.queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters: [In(vec_id"), s"no id pushdown in rescore:\n$plan")
+    assert(plan.contains("LeftSemi") && plan.contains("Broadcast"),
+      s"rescore candidate fetch is not a broadcast semi-join:\n$plan")
     assert(res.select($"vec_id").collect().map(_.getLong(0)).head == 25L) // self first, dist 0
   }
 
