@@ -71,6 +71,7 @@ object SparkEntryExt {
     ivfRevFor(gg, dir).assigned.count()
     pqFor(gg, dir)._2.count()
     bqFor(gg, dir).count()
+    sqFor(gg, dir)._2.count()
     postingsFor(gg, dir)
     gg.postingsFor(gg.collection("DocVec"))
     // BM25 corpus stats (persisted termDf + length norms) are built lazily on
@@ -94,6 +95,21 @@ object SparkEntryExt {
       embWithPlantedDups(gg)
         .withColumn("code", graft.ann.BinaryQuantizer.encode(col("embedding")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  // SQ trains one global min/max scan (cheap, append-safe — the reference's
+  // flat-index default, compressionhelpers/scalar_quantization.go); the
+  // planted exact copies share the query's byte code exactly → compressed
+  // l2 distance 0 = the global minimum → they survive the candidate pass
+  // and rank first (dist 0) after exact rescore
+  private val sqCache = scala.collection.mutable.Map.empty[String, (graft.ann.ScalarQuantizer, DataFrame)]
+  private def sqFor(gg: Graft, dir: String): (graft.ann.ScalarQuantizer, DataFrame) =
+    sqCache.getOrElseUpdate(dir, {
+      val bed = embWithPlantedDups(gg)
+      val sq = graft.ann.ScalarQuantizer.train(bed, "embedding")
+      val encoded = bed.withColumn("code", sq.encode(col("embedding")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (sq, encoded)
     })
 
   /** embeddings ∪ exact copies (vec_id % 50 == 0 → vec_id+1000000). */
@@ -1120,6 +1136,18 @@ object SparkEntryExt {
         .select(col("vec_id"), round(col("_distance"), 4).as("dist"))
     }),
 
+    // §2.3 scalar quantization (flat-index SQ path — the reference's cheap
+    // training default): byte-code compressed-domain first pass on the
+    // 4×-smaller code column, exact rescore on the candidates; same
+    // planted-copy oracle shape as q_pq_search/q_bq_search
+    "q_sq_search" -> ((s, dir) => {
+      val gg = g(s, dir)
+      val (sq, encoded) = sqFor(gg, dir)
+      sq.search(encoded, "vec_id", "code", "embedding",
+          Fixtures.anchorVector(gg, 50L), topK = 2, rescoreFactor = 16)
+        .select(col("vec_id"), round(col("_distance"), 4).as("dist"))
+    }),
+
     // §2.3 binary quantization (flat-index BQ path): hamming-over-sign-codes
     // first pass on the 32×-smaller code column, exact rescore on the
     // candidates; same planted-copy oracle shape as q_pq_search
@@ -1646,6 +1674,14 @@ object SparkEntryExt {
         |ORDER BY vec_id""".stripMargin,
 
     "q_bq_search" ->
+      """SELECT vec_id, 0.0 AS dist FROM embeddings WHERE vec_id = 50
+        |UNION ALL
+        |SELECT vec_id + 1000000, 0.0 FROM embeddings WHERE vec_id = 50
+        |ORDER BY vec_id""".stripMargin,
+
+    // planted-structure oracle: exact copies share the query's byte code →
+    // compressed l2 distance 0 (the global minimum) → first after rescore
+    "q_sq_search" ->
       """SELECT vec_id, 0.0 AS dist FROM embeddings WHERE vec_id = 50
         |UNION ALL
         |SELECT vec_id + 1000000, 0.0 FROM embeddings WHERE vec_id = 50

@@ -413,6 +413,136 @@ case class BitHammingDistance(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
+/**
+ * Scalar-quantization encoder: one byte per dimension under the global affine
+ * map code_i = clamp(floor((x_i − b) · 255 / a), 0, 255), followed by two
+ * big-endian uint32 tails (Σcode, Σcode²) — byte-for-byte the reference's SQ
+ * code layout (compressionhelpers/scalar_quantization.go:112-134). 4×
+ * compression; the sum tail lets dot/cosine distances be computed purely in
+ * the compressed domain (SqCodeDistance) without touching the floats.
+ */
+case class SqEncode(child: Expression, a: Float, b: Float)
+  extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sq_encode"
+
+  override def nullSafeEval(v: Any): Any =
+    SqOps.encode(v.asInstanceOf[ArrayData], a, b)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = SqOps.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $helper.encode($x, ${a}f, ${b}f);")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/**
+ * Distance between two SQ codes in the compressed domain (reference:
+ * scalar_quantization.go:39-53 DistanceBetweenCompressedVectors):
+ *   l2      → a²/255² · Σ(x_i−y_i)²
+ *   dot     → −(a²/255²·Σx_iy_i + ab/255·(Σx+Σy) + b²·d)
+ *   cosine  → 1 − (a²/255²·Σx_iy_i + ab/255·(Σx+Σy) + b²·d)
+ * metric: 0=l2-squared, 1=dot, 2=cosine-dot. Tight primitive byte loop
+ * inside WholeStageCodegen.
+ */
+case class SqCodeDistance(left: Expression, right: Expression,
+                          a: Float, b: Float, metric: Int)
+  extends BinaryExpression with ExpectsInputTypes {
+  require(metric >= 0 && metric <= 2, s"SQ distance unsupported for metric code $metric")
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sq_code_distance"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    SqOps.distance(l.asInstanceOf[Array[Byte]], r.asInstanceOf[Array[Byte]], a, b, metric)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = SqOps.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"${ev.value} = $helper.distance($x, $y, ${a}f, ${b}f, $metric);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+object SqOps {
+  private val Codes = 255.0
+
+  /** Called from generated code — must stay public static-reachable. */
+  def encode(v: ArrayData, a: Float, b: Float): Array[Byte] = {
+    val n = v.numElements()
+    val out = new Array[Byte](n + 8)
+    var sum = 0L; var sum2 = 0L
+    var i = 0
+    while (i < n) {
+      val c = codeFor(v.getFloat(i), a, b)
+      out(i) = c.toByte
+      sum += c; sum2 += c.toLong * c
+      i += 1
+    }
+    putTails(out, n, sum, sum2)
+    out
+  }
+
+  /** Driver-side twin for query vectors. */
+  def encode(v: Array[Float], a: Float, b: Float): Array[Byte] = {
+    val out = new Array[Byte](v.length + 8)
+    var sum = 0L; var sum2 = 0L
+    var i = 0
+    while (i < v.length) {
+      val c = codeFor(v(i), a, b)
+      out(i) = c.toByte
+      sum += c; sum2 += c.toLong * c
+      i += 1
+    }
+    putTails(out, v.length, sum, sum2)
+    out
+  }
+
+  // clamp-then-floor bucket map (reference scalar_quantization.go:112-120)
+  private def codeFor(x: Float, a: Float, b: Float): Int =
+    if (x < b) 0
+    else if (x - b > a) 255
+    else math.floor((x - b) * Codes / a).toInt
+
+  private def putTails(out: Array[Byte], n: Int, sum: Long, sum2: Long): Unit = {
+    out(n) = (sum >>> 24).toByte; out(n + 1) = (sum >>> 16).toByte
+    out(n + 2) = (sum >>> 8).toByte; out(n + 3) = sum.toByte
+    out(n + 4) = (sum2 >>> 24).toByte; out(n + 5) = (sum2 >>> 16).toByte
+    out(n + 6) = (sum2 >>> 8).toByte; out(n + 7) = sum2.toByte
+  }
+
+  private def sumOf(x: Array[Byte]): Long = {
+    val n = x.length - 8
+    ((x(n) & 0xffL) << 24) | ((x(n + 1) & 0xffL) << 16) |
+      ((x(n + 2) & 0xffL) << 8) | (x(n + 3) & 0xffL)
+  }
+
+  /** Called from generated code — must stay public static-reachable. */
+  def distance(x: Array[Byte], y: Array[Byte], a: Float, b: Float, metric: Int): Double = {
+    val d = x.length - 8
+    val a2 = a.toDouble * a / (Codes * Codes)
+    metric match {
+      case 0 =>
+        var acc = 0L; var i = 0
+        while (i < d) {
+          val t = (x(i) & 0xff) - (y(i) & 0xff)
+          acc += t.toLong * t; i += 1
+        }
+        a2 * acc
+      case _ =>
+        var dot = 0L; var i = 0
+        while (i < d) { dot += (x(i) & 0xff).toLong * (y(i) & 0xff); i += 1 }
+        val ab = a.toDouble * b / Codes
+        val ib2 = b.toDouble * b * d
+        val sim = a2 * dot + ab * (sumOf(x) + sumOf(y)) + ib2
+        if (metric == 1) -sim else 1.0 - sim
+    }
+  }
+}
+
 /** Column-level API over the kernels. */
 object VectorFunctions {
   private def c(e: Expression): Column = ExpressionUtils.column(e)
@@ -428,6 +558,14 @@ object VectorFunctions {
     c(NearestCentroids(x(v), centroids, take))
   def signPack(v: Column): Column = c(SignPack(x(v)))
   def bitHamming(a: Column, b: Column): Column = c(BitHammingDistance(x(a), x(b)))
+  def sqEncode(v: Column, a: Float, b: Float): Column = c(SqEncode(x(v), a, b))
+  def sqCodeDistance(l: Column, r: Column, a: Float, b: Float, metric: Metric): Column =
+    c(SqCodeDistance(x(l), x(r), a, b, metric match {
+      case Metric.L2Squared => 0
+      case Metric.Dot       => 1
+      case Metric.Cosine    => 2
+      case m => throw new IllegalArgumentException(s"SQ distance unsupported for $m")
+    }))
   def haversineMeters(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
     c(HaversineMeters(x(lat1), x(lon1), x(lat2), x(lon2)))
 
