@@ -1195,6 +1195,41 @@ object SparkEntryExt {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    // §2.10 stateful streaming sessionization: events parquet replayed as a
+    // file stream through flatMapGroupsWithState (EventTimeTimeout, 30-min
+    // gap) — sessions close on gap or on watermark timeout; the oracle is
+    // the batch sessionization restricted to sessions the final watermark
+    // (max event time, 0s delay) has passed, exactly the stream's emission
+    // rule (timeoutTimestamp < watermark)
+    "q_sessionize_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val toTs = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => timestamp_micros(expr("ts div 1000"))
+        case _ => col("ts").cast("timestamp")
+      }
+      val stream = s.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", toTs)
+        .withColumn("ts_ms", expr("unix_micros(ts) div 1000"))
+        .withWatermark("ts", "0 seconds")
+        .as[graft.streaming.Sessionize.Event]
+      val closed = graft.streaming.Sessionize.stateful(stream, gapMillis = 1800000L)
+      val name = s"sessionize_out_${System.identityHashCode(closed)}"
+      val q = closed.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      s.table(name)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_closed"), sum(col("n_events")).as("events_closed"),
+          max(col("n_events")).as("max_session_events"))
+        .orderBy(col("user_id"))
+    }),
+
     // §2.7 plain-path groupBy (no search leg): pool bounded to
     // groups × objectsPerGroup BEFORE the rank window (reference: explorer
     // groupBy pool overfetch) — the window must never rank the whole
@@ -2238,6 +2273,33 @@ object SparkEntryExt {
         |c AS (SELECT user_id, sess, count(*) AS cnt FROM m2 GROUP BY user_id, sess)
         |SELECT user_id, count(*) AS n_sessions, CAST(max(cnt) AS BIGINT) AS max_session_events
         |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // batch mirror of the stream: sessionize on epoch millis (the stateful
+    // operator's clock), keep sessions whose timeout (end + gap) the final
+    // watermark (max event ms, 0s delay) strictly passed
+    "q_sessionize_stream" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+        |mx AS (SELECT max(ms) AS wm FROM e),
+        |marked AS (
+        |  SELECT user_id, event_id, ms,
+        |         CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) IS NULL
+        |               OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) > 1800000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |sess AS (
+        |  SELECT user_id, ms,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked),
+        |agg AS (
+        |  SELECT user_id, sid, count(*) AS n_events, max(ms) AS end_ms
+        |  FROM sess GROUP BY user_id, sid),
+        |closed AS (SELECT a.* FROM agg a CROSS JOIN mx WHERE a.end_ms + 1800000 < mx.wm)
+        |SELECT CAST(user_id AS BIGINT) AS user_id,
+        |       CAST(count(*) AS BIGINT) AS n_closed,
+        |       CAST(sum(n_events) AS BIGINT) AS events_closed,
+        |       CAST(max(n_events) AS BIGINT) AS max_session_events
+        |FROM closed GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_classify_knn" ->
       s"""WITH probes AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id % 100 = 0),
