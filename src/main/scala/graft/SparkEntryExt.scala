@@ -72,6 +72,7 @@ object SparkEntryExt {
     pqFor(gg, dir)._2.count()
     bqFor(gg, dir).count()
     sqFor(gg, dir)._2.count()
+    rqFor(gg, dir)._2.count()
     postingsFor(gg, dir)
     gg.postingsFor(gg.collection("DocVec"))
     // BM25 corpus stats (persisted termDf + length norms) are built lazily on
@@ -110,6 +111,21 @@ object SparkEntryExt {
       val encoded = bed.withColumn("code", sq.encode(col("embedding")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       (sq, encoded)
+    })
+
+  // RQ is training-free like BQ (rotation depends only on dim + seed); the
+  // planted exact copies share the query's code byte-for-byte → their exact
+  // rescore distance 0 ranks first (the compressed estimate puts them within
+  // quantization error of the global minimum, well inside rescoreFactor=16)
+  private val rqCache = scala.collection.mutable.Map.empty[String, (graft.ann.RotationalQuantizer, DataFrame)]
+  private def rqFor(gg: Graft, dir: String): (graft.ann.RotationalQuantizer, DataFrame) =
+    rqCache.getOrElseUpdate(dir, {
+      val bed = embWithPlantedDups(gg)
+      val dim = bed.select(size(col("embedding"))).head().getInt(0)
+      val rq = graft.ann.RotationalQuantizer(dim)
+      val encoded = bed.withColumn("code", rq.encode(col("embedding")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (rq, encoded)
     })
 
   /** embeddings ∪ exact copies (vec_id % 50 == 0 → vec_id+1000000). */
@@ -1148,6 +1164,17 @@ object SparkEntryExt {
         .select(col("vec_id"), round(col("_distance"), 4).as("dist"))
     }),
 
+    // §2.3 rotational quantization (training-free rotate + per-vector byte
+    // grid): compressed-domain dot-estimate first pass on the 4×-smaller
+    // code column, exact rescore; same planted-copy oracle shape
+    "q_rq_search" -> ((s, dir) => {
+      val gg = g(s, dir)
+      val (rq, encoded) = rqFor(gg, dir)
+      rq.search(encoded, "vec_id", "code", "embedding",
+          Fixtures.anchorVector(gg, 50L), topK = 2, rescoreFactor = 16)
+        .select(col("vec_id"), round(col("_distance"), 4).as("dist"))
+    }),
+
     // §2.3 binary quantization (flat-index BQ path): hamming-over-sign-codes
     // first pass on the 32×-smaller code column, exact rescore on the
     // candidates; same planted-copy oracle shape as q_pq_search
@@ -1709,6 +1736,15 @@ object SparkEntryExt {
         |ORDER BY vec_id""".stripMargin,
 
     "q_bq_search" ->
+      """SELECT vec_id, 0.0 AS dist FROM embeddings WHERE vec_id = 50
+        |UNION ALL
+        |SELECT vec_id + 1000000, 0.0 FROM embeddings WHERE vec_id = 50
+        |ORDER BY vec_id""".stripMargin,
+
+    // planted-structure oracle: exact copies share the query's RQ code →
+    // estimate within quantization error of the minimum → survive the
+    // candidate pass and rank first (exact dist 0) after rescore
+    "q_rq_search" ->
       """SELECT vec_id, 0.0 AS dist FROM embeddings WHERE vec_id = 50
         |UNION ALL
         |SELECT vec_id + 1000000, 0.0 FROM embeddings WHERE vec_id = 50

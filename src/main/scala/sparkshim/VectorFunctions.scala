@@ -543,6 +543,233 @@ object SqOps {
   }
 }
 
+/**
+ * Fast random rotation for rotational quantization (reference:
+ * entities/vectorindex/compression/fast_rotation.go): `rounds` rounds of
+ * [random perfect-matching swaps with random signs, then blockwise
+ * orthonormal fast Walsh–Hadamard transforms (256-blocks, 64 tail)], output
+ * dimension padded to a multiple of 64. The composition is orthogonal, so
+ * dot products and norms are preserved — which is what makes the per-vector
+ * scalar quantization after it (RqOps.encode) accurate without training.
+ * Seed-deterministic; the concrete RNG differs from the reference's PCG (an
+ * internal randomness source, not a semantic), the structure is identical.
+ */
+final case class FastRotationSpec(outputDim: Int, swaps: Array[Array[Int]],
+                                  signs: Array[Array[Float]]) extends Serializable {
+
+  /** rotate into a fresh padded buffer (fast_rotation.go:200-211 swap loop). */
+  def rotate(x: Array[Float]): Array[Float] = {
+    val rx = new Array[Float](outputDim)
+    System.arraycopy(x, 0, rx, 0, math.min(x.length, outputDim))
+    var r = 0
+    while (r < swaps.length) {
+      val sw = swaps(r); val sg = signs(r)
+      var s = 0
+      while (s < sw.length) {
+        val i = sw(s); val j = sw(s + 1)
+        val t = sg(i) * rx(j)
+        rx(j) = sg(j) * rx(i)
+        rx(i) = t
+        s += 2
+      }
+      FastRotationSpec.fwhtBlocks(rx)
+      r += 1
+    }
+    rx
+  }
+}
+
+object FastRotationSpec {
+
+  /** outputDim = next multiple of 64 ≥ inputDim (fast_rotation.go:126-145). */
+  def apply(inputDim: Int, rounds: Int, seed: Long): FastRotationSpec = {
+    var outputDim = 64
+    while (outputDim < inputDim) outputDim += 64
+    val rng = new java.util.Random(seed)
+    val swaps = Array.fill(rounds) {
+      // random perfect matching: shuffle 0..n-1, pair consecutive elements
+      val p = Array.tabulate(outputDim)(identity)
+      var i = outputDim - 1
+      while (i > 0) { val j = rng.nextInt(i + 1); val t = p(i); p(i) = p(j); p(j) = t; i -= 1 }
+      val flat = new Array[Int](outputDim)
+      var s = 0
+      while (s < outputDim) {
+        val (a, b) = (p(s), p(s + 1))
+        flat(s) = math.min(a, b); flat(s + 1) = math.max(a, b)
+        s += 2
+      }
+      flat
+    }
+    val signs = Array.fill(rounds)(
+      Array.fill(outputDim)(if (rng.nextBoolean()) 1.0f else -1.0f))
+    FastRotationSpec(outputDim, swaps, signs)
+  }
+
+  /** blockwise orthonormal FWHT: 256-blocks while possible, 64 tail
+   * (fast_rotation.go:215-226; normalization 1/√block). */
+  private[graft] def fwhtBlocks(x: Array[Float]): Unit = {
+    var pos = 0
+    while (pos < x.length) {
+      val block = if (x.length - pos >= 256) 256 else 64
+      fwht(x, pos, block)
+      pos += block
+    }
+  }
+
+  private def fwht(x: Array[Float], off: Int, n: Int): Unit = {
+    val norm = (1.0 / math.sqrt(n)).toFloat
+    var i = 0
+    while (i < n) { x(off + i) *= norm; i += 1 }
+    var len = 1
+    while (len < n) {
+      var b = 0
+      while (b < n) {
+        var j = b
+        while (j < b + len) {
+          val a = x(off + j); val c = x(off + j + len)
+          x(off + j) = a + c; x(off + j + len) = a - c
+          j += 1
+        }
+        b += len * 2
+      }
+      len *= 2
+    }
+  }
+}
+
+/**
+ * Rotational-quantization encoder: rotate, then per-VECTOR affine byte codes
+ * with a 16-byte metadata header [lower, step, step·Σcode, ‖x‖²] (big-endian
+ * float32) + outputDim code bytes — the reference's RQCode layout
+ * (compressionhelpers/rotational_quantization.go:104-216). Training-free:
+ * the quantization grid adapts per vector, the rotation spreads mass across
+ * dimensions so the grid is tight.
+ */
+case class RqEncode(child: Expression, rotation: FastRotationSpec)
+  extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rq_encode"
+
+  override def nullSafeEval(v: Any): Any = {
+    val ad = v.asInstanceOf[ArrayData]
+    val x = new Array[Float](ad.numElements())
+    var i = 0
+    while (i < x.length) { x(i) = ad.getFloat(i); i += 1 }
+    RqOps.encode(x, rotation)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val rot = ctx.addReferenceObj("rotation", rotation,
+      classOf[FastRotationSpec].getName)
+    val helper = RqOps.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = $helper.encodeArrayData($x, $rot);")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/**
+ * Distance between two RQ codes (rotational_quantization.go:297-309
+ * DistanceBetweenCompressedVectors): dot estimate from the per-vector grids
+ *   d·lxly + lx·csy + ly·csx + sx·sy·Σ(bytex·bytey)
+ * then l2 → n2x+n2y−2·est, dot → −est, cosine → 1−est.
+ * metric: 0=l2-squared, 1=dot, 2=cosine-dot.
+ */
+case class RqCodeDistance(left: Expression, right: Expression, metric: Int)
+  extends BinaryExpression with ExpectsInputTypes {
+  require(metric >= 0 && metric <= 2, s"RQ distance unsupported for metric code $metric")
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rq_code_distance"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    RqOps.distance(l.asInstanceOf[Array[Byte]], r.asInstanceOf[Array[Byte]], metric)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = RqOps.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"${ev.value} = $helper.distance($x, $y, $metric);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+object RqOps {
+  private val MetaSize = 16
+
+  /** Called from generated code — must stay public static-reachable. */
+  def encodeArrayData(v: ArrayData, rot: FastRotationSpec): Array[Byte] = {
+    val x = new Array[Float](v.numElements())
+    var i = 0
+    while (i < x.length) { x(i) = v.getFloat(i); i += 1 }
+    encode(x, rot)
+  }
+
+  /** rotational_quantization.go:185-216 — per-vector grid + metadata. */
+  def encode(x: Array[Float], rot: FastRotationSpec): Array[Byte] = {
+    val outDim = rot.outputDim
+    val out = new Array[Byte](outDim + MetaSize)
+    if (x.isEmpty) return out
+    val rx = rot.rotate(x)
+    var lower = rx(0); var upper = rx(0)
+    var i = 1
+    while (i < outDim) {
+      val v = rx(i)
+      if (v < lower) lower = v
+      if (v > upper) upper = v
+      i += 1
+    }
+    val step = (upper - lower) / 255.0f
+    if (step <= 0f) return out // zero vector → zero code (reference ZeroRQCode)
+    var codeSum = 0L
+    i = 0
+    while (i < outDim) {
+      val c = math.min(255, ((rx(i) - lower) / step + 0.5f).toInt)
+      out(MetaSize + i) = c.toByte
+      codeSum += c
+      i += 1
+    }
+    var norm2 = 0.0f
+    i = 0
+    while (i < x.length) { norm2 += x(i) * x(i); i += 1 }
+    putF32(out, 0, lower)
+    putF32(out, 4, step)
+    putF32(out, 8, step * codeSum)
+    putF32(out, 12, norm2)
+    out
+  }
+
+  /** Called from generated code — must stay public static-reachable. */
+  def distance(x: Array[Byte], y: Array[Byte], metric: Int): Double = {
+    val d = x.length - MetaSize
+    val lx = getF32(x, 0); val sx = getF32(x, 4); val csx = getF32(x, 8)
+    val ly = getF32(y, 0); val sy = getF32(y, 4); val csy = getF32(y, 8)
+    var dot = 0L
+    var i = MetaSize
+    while (i < x.length) { dot += (x(i) & 0xff).toLong * (y(i) & 0xff); i += 1 }
+    val est = d.toDouble * lx * ly + lx.toDouble * csy + ly.toDouble * csx +
+      sx.toDouble * sy * dot
+    metric match {
+      case 0 => getF32(x, 12).toDouble + getF32(y, 12) - 2.0 * est
+      case 1 => -est
+      case _ => 1.0 - est
+    }
+  }
+
+  private def putF32(b: Array[Byte], pos: Int, x: Float): Unit = {
+    val bits = java.lang.Float.floatToIntBits(x)
+    b(pos) = (bits >>> 24).toByte; b(pos + 1) = (bits >>> 16).toByte
+    b(pos + 2) = (bits >>> 8).toByte; b(pos + 3) = bits.toByte
+  }
+
+  private def getF32(b: Array[Byte], pos: Int): Float =
+    java.lang.Float.intBitsToFloat(
+      ((b(pos) & 0xff) << 24) | ((b(pos + 1) & 0xff) << 16) |
+        ((b(pos + 2) & 0xff) << 8) | (b(pos + 3) & 0xff))
+}
+
 /** Column-level API over the kernels. */
 object VectorFunctions {
   private def c(e: Expression): Column = ExpressionUtils.column(e)
@@ -559,6 +786,14 @@ object VectorFunctions {
   def signPack(v: Column): Column = c(SignPack(x(v)))
   def bitHamming(a: Column, b: Column): Column = c(BitHammingDistance(x(a), x(b)))
   def sqEncode(v: Column, a: Float, b: Float): Column = c(SqEncode(x(v), a, b))
+  def rqEncode(v: Column, rot: FastRotationSpec): Column = c(RqEncode(x(v), rot))
+  def rqCodeDistance(l: Column, r: Column, metric: Metric): Column =
+    c(RqCodeDistance(x(l), x(r), metric match {
+      case Metric.L2Squared => 0
+      case Metric.Dot       => 1
+      case Metric.Cosine    => 2
+      case m => throw new IllegalArgumentException(s"RQ distance unsupported for $m")
+    }))
   def sqCodeDistance(l: Column, r: Column, a: Float, b: Float, metric: Metric): Column =
     c(SqCodeDistance(x(l), x(r), a, b, metric match {
       case Metric.L2Squared => 0
