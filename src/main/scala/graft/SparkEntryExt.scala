@@ -673,14 +673,45 @@ object SparkEntryExt {
         .orderBy(col("lang"))
     }),
 
-    // pipeline: multimodal binary-column plumbing (stub decode — no codec in
-    // this environment; deterministic fake features, real schema/batching)
+    // pipeline: multimodal binary-column plumbing (stub decode — model-backed
+    // feature extraction needs a net this environment doesn't have;
+    // deterministic fake features, real schema/batching)
     "q_multimodal_stub" -> ((s, dir) => {
       val ev = Fixtures.events(s, dir).withColumn("payload", col("props").cast("binary"))
       Multimodal.extractFeatures(ev, col("payload"), dim = 8)
         .select(col("event_id"),
           round(element_at(col("features"), 1).cast("double"), 4).as("feat0"))
         .orderBy(col("event_id"))
+    }),
+
+    // pipeline: REAL image decode (javax.imageio, pure JVM): deterministic
+    // synthetic PNGs keyed by doc_id round-trip the actual PNG codec; the
+    // oracle recomputes width/height/mean-luminance as pure arithmetic —
+    // the decode is genuinely verified, not stubbed
+    "q_multimodal_decode" -> ((s, dir) => {
+      val mkPng = udf((id: Long) =>
+        Multimodal.syntheticPng(id, (4 + id % 5).toInt, (3 + id % 7).toInt))
+      val bed = g(s, dir).collection("Document").df.filter(col("doc_id") < 200)
+        .select(col("doc_id"), mkPng(col("doc_id")).as("payload"))
+      Multimodal.decodeImages(bed, col("doc_id"), col("payload"))
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          round(col("mean_lum"), 4).as("mean_lum"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // pipeline: REAL audio decode (javax.sound.sampled PCM WAV parser, pure
+    // JVM): synthetic 16-bit mono WAVs keyed by doc_id; oracle recomputes
+    // sample count, duration and RMS as pure arithmetic
+    "q_multimodal_wav" -> ((s, dir) => {
+      val mkWav = udf((id: Long) =>
+        Multimodal.syntheticWav(id, (500 + id % 300).toInt))
+      val bed = g(s, dir).collection("Document").df.filter(col("doc_id") < 200)
+        .select(col("doc_id"), mkWav(col("doc_id")).as("payload"))
+      Multimodal.decodeWavs(bed, col("doc_id"), col("payload"))
+        .select(col("id").as("doc_id"), col("sample_rate"), col("n_samples"),
+          round(col("duration_ms"), 4).as("duration_ms"),
+          round(col("rms"), 4).as("rms"))
+        .orderBy(col("doc_id"))
     }),
 
     // §2.3 nearText: concepts -> embedder -> centroid ± moveTo/moveAwayFrom
@@ -2336,6 +2367,29 @@ object SparkEntryExt {
         |       CAST(sum(n_events) AS BIGINT) AS events_closed,
         |       CAST(max(n_events) AS BIGINT) AS max_session_events
         |FROM closed GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // pure-arithmetic mirror of the real PNG round-trip: pixel i of doc d is
+    // (d*31+i) mod 256 gray, so mean luminance = list mean of that sequence
+    "q_multimodal_decode" ->
+      """SELECT doc_id,
+        |  CAST(4 + doc_id % 5 AS INT) AS width,
+        |  CAST(3 + doc_id % 7 AS INT) AS height,
+        |  round(list_avg(list_transform(
+        |    range((4 + doc_id % 5) * (3 + doc_id % 7)),
+        |    i -> CAST((doc_id * 31 + i) % 256 AS DOUBLE))), 4) AS mean_lum
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+
+    // pure-arithmetic mirror of the real WAV round-trip: sample i of doc d is
+    // ((d*7+i) mod 201 - 100)*327 / 32768, so RMS = sqrt(mean of squares)
+    "q_multimodal_wav" ->
+      """SELECT doc_id,
+        |  CAST(8000 AS INT) AS sample_rate,
+        |  CAST(500 + doc_id % 300 AS BIGINT) AS n_samples,
+        |  round((500 + doc_id % 300) * 1000.0 / 8000, 4) AS duration_ms,
+        |  round(sqrt(list_avg(list_transform(
+        |    range(500 + doc_id % 300),
+        |    i -> pow(((doc_id * 7 + i) % 201 - 100) * 327 / 32768.0, 2)))), 4) AS rms
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
 
     "q_classify_knn" ->
       s"""WITH probes AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id % 100 = 0),
