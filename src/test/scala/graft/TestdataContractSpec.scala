@@ -79,6 +79,23 @@ class TestdataContractSpec extends SparkSpecBase {
     assert(bad.isEmpty, s"collections broken against live testdata:\n${bad.mkString("\n")}")
   }
 
+  test("one corrupt table degrades only its own collections, not the registry") {
+    // copy the testdata, corrupt events.parquet, and build: Lineitem &c must
+    // still register and scan; only Event/EventTenant die (round-9 lesson —
+    // a single bad driver table must never zero every query)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-degraded")
+    tables.foreach { t =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/$t.parquet"), tmp.resolve(s"$t.parquet"))
+    }
+    java.nio.file.Files.write(tmp.resolve("events.parquet"),
+      "not a parquet file".getBytes)
+    val g = Fixtures.graft(spark, tmp.toString)
+    assert(g.collection("Lineitem").df.limit(1).count() == 1L)
+    assert(g.collection("Document").df.limit(1).count() == 1L)
+    intercept[Exception](g.collection("Event"))
+  }
+
   test("normalized events columns: ts is TimestampType, ts_nanos is epoch nanos") {
     val ev = Fixtures.events(spark, dir)
     assert(ev.schema("ts").dataType == TimestampType,
