@@ -73,6 +73,7 @@ object SparkEntryExt {
     bqFor(gg, dir).count()
     sqFor(gg, dir)._2.count()
     rqFor(gg, dir)._2.count()
+    ivfpqFor(gg, dir).ivf.assigned.count()
     postingsFor(gg, dir)
     gg.postingsFor(gg.collection("DocVec"))
     // BM25 corpus stats (persisted termDf + length norms) are built lazily on
@@ -126,6 +127,17 @@ object SparkEntryExt {
       val encoded = bed.withColumn("code", rq.encode(col("embedding")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       (rq, encoded)
+    })
+
+  // IVF-PQ two-level index over the planted-dup bed (residual codes inside
+  // centroid partitions); full probe + rescore ⇒ the exact copies rank
+  // first with distance 0, same planted-copy oracle shape as PQ/BQ/SQ/RQ
+  private val ivfpqCache = scala.collection.mutable.Map.empty[String, graft.ann.IvfPqIndex]
+  private def ivfpqFor(gg: Graft, dir: String): graft.ann.IvfPqIndex =
+    ivfpqCache.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+      graft.ann.IvfPq.build(embWithPlantedDups(gg), "vec_id", "embedding",
+        nlist = 8, m = 8, k = 16, persistPath = Some(path))
     })
 
   /** embeddings ∪ exact copies (vec_id % 50 == 0 → vec_id+1000000). */
@@ -1183,6 +1195,16 @@ object SparkEntryExt {
         .select(col("vec_id"), round(col("_distance"), 4).as("dist"))
     }),
 
+    // §2.3 IVF-PQ two-level: partition-pruned probe + residual-ADC code-only
+    // first pass + exact rescore (Jégou et al. 2011; SURVEY §9.2's low-nprobe
+    // accuracy lever); full probe ⇒ planted copies exact-first
+    "q_ivfpq_search" -> ((s, dir) => {
+      val gg = g(s, dir)
+      ivfpqFor(gg, dir).search(Fixtures.anchorVector(gg, 50L),
+          topK = 2, nprobe = 8, rescoreFactor = 16)
+        .select(col("vec_id"), round(col("_distance"), 4).as("dist"))
+    }),
+
     // §2.3 scalar quantization (flat-index SQ path — the reference's cheap
     // training default): byte-code compressed-domain first pass on the
     // 4×-smaller code column, exact rescore on the candidates; same
@@ -1767,6 +1789,12 @@ object SparkEntryExt {
         |ORDER BY vec_id""".stripMargin,
 
     "q_bq_search" ->
+      """SELECT vec_id, 0.0 AS dist FROM embeddings WHERE vec_id = 50
+        |UNION ALL
+        |SELECT vec_id + 1000000, 0.0 FROM embeddings WHERE vec_id = 50
+        |ORDER BY vec_id""".stripMargin,
+
+    "q_ivfpq_search" ->
       """SELECT vec_id, 0.0 AS dist FROM embeddings WHERE vec_id = 50
         |UNION ALL
         |SELECT vec_id + 1000000, 0.0 FROM embeddings WHERE vec_id = 50
