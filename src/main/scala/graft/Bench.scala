@@ -95,12 +95,24 @@ object Bench {
       .map { case (k, v) => "\"" + k.stripPrefix("q_") + "\":" + math.max(0L, math.round(v * perSec)) }
       .mkString("{", ",", "}")
     val csMap = unitMap(100)
-    // adaptive guard: if query growth pushes the centisecond map past what
-    // the capture tail can hold alongside the totals line (~1820 chars),
-    // fall back to deciseconds rather than silently losing the map head
+    val dsMap = unitMap(10)
+    // values-only third tier: centisecond values in SORTED-query-name order
+    // (names recoverable by sorting SparkEntry.queries keys; full named map
+    // always in BENCH_SELF.json) — ~4 chars/query instead of ~18
+    def unitArr(perSec: Long): String = results
+      .map { case (_, v) => math.max(0L, math.round(v * perSec)).toString }
+      .mkString("[", ",", "]")
+    // adaptive guard: the capture tail keeps only the LAST ~2000 chars, and
+    // the totals line (~170) must survive whole after the map line — pick
+    // the densest representation that keeps BOTH fully inside the window
     val (mapLine, keyDesc) =
-      if (csMap.length <= 1800) (s"""{"min_cs":$csMap}""", "min_cs = integer centiseconds, q_ stripped")
-      else (s"""{"min_ds":${unitMap(10)}}""", "min_ds = integer deciseconds, q_ stripped")
+      if (csMap.length <= 1800)
+        (s"""{"min_cs":$csMap}""", "min_cs = integer centiseconds, q_ stripped")
+      else if (dsMap.length <= 1800)
+        (s"""{"min_ds":$dsMap}""", "min_ds = integer deciseconds, q_ stripped")
+      else
+        (s"""{"min_cs_sorted":${unitArr(100)}}""",
+          "min_cs_sorted = integer centiseconds in sorted-query-name order; named map in BENCH_SELF.json")
     val full = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","total_p1":${tot(p1)},"total_p2":${tot(p2)},"queries":$qs,"queries_p1":${obj(p1)},"queries_p2":${obj(p2)}}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_SELF.json"),
