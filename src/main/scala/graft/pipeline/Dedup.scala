@@ -94,10 +94,23 @@ object Dedup {
    * probability of a pair with Jaccard s is 1-(1-s^r)^b (the standard LSH
    * S-curve); defaults (32 bands × 4 rows) catch s ≥ 0.8 with p > 0.99.
    */
+  /**
+   * `hotBandCap`: buckets larger than this emit STAR candidate pairs (every
+   * member vs the bucket's min id) instead of all pairs — Σ bucket² becomes
+   * Σ bucket for the hot keys, which is what survives a boilerplate-heavy
+   * 100 TB corpus where one band key can collect millions of near-identical
+   * pages. The star keeps every hot-bucket member connected to the hub, so
+   * after `clusterPairs` the component is intact; the price is pairwise
+   * edges between non-hub members that no OTHER band recovers — for members
+   * above the LSH S-curve threshold each of the remaining bands catches
+   * them with the same probability, so the miss rate stays the standard
+   * 1−(1−s^r)^(b−1) per pair. Default off (None) — the oracle replays
+   * exact all-pairs semantics; deployments at scale set a cap.
+   */
   def minhashDuplicates(
       df: DataFrame, idCol: Column, textCol: Column,
       shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, hotBandCap: Option[Int] = None): DataFrame = {
     val rowsPerBand = numHashes / bands
     val toks = df.select(idCol.as("__id"),
         array_distinct(shingleHashes(Tokenize.word(textCol), shingleSize)).as("__shh"))
@@ -126,10 +139,27 @@ object Dedup {
       .select(col("__id"), col("__band"))
     // candidates carry ONLY ids through the band join + dedup; the (large)
     // shingle arrays are joined back once per surviving pair
-    val candidates = sigs.as("a").join(sigs.as("b"),
-        col("a.__band") === col("b.__band") && col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val candidates = hotBandCap match {
+      case None =>
+        sigs.as("a").join(sigs.as("b"),
+            col("a.__band") === col("b.__band") && col("a.__id") < col("b.__id"))
+          .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+          .dropDuplicates("id_a", "id_b")
+      case Some(cap) =>
+        // one window pass sizes every bucket (same shuffle key as the join);
+        // small buckets take the exact all-pairs arm, hot buckets the star arm
+        val w = Window.partitionBy(col("__band"))
+        val sized = sigs
+          .withColumn("__bn", count(lit(1)).over(w))
+          .withColumn("__bmin", min(col("__id")).over(w))
+        val small = sized.filter(col("__bn") <= cap).select(col("__id"), col("__band"))
+        val smallPairs = small.as("a").join(small.as("b"),
+            col("a.__band") === col("b.__band") && col("a.__id") < col("b.__id"))
+          .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+        val starPairs = sized.filter(col("__bn") > cap && col("__id") =!= col("__bmin"))
+          .select(col("__bmin").as("id_a"), col("__id").as("id_b"))
+        smallPairs.unionByName(starPairs).dropDuplicates("id_a", "id_b")
+    }
     verifyJaccard(candidates, toks.select(col("__id"), col("__shh")), threshold)
   }
 
@@ -245,11 +275,28 @@ object Dedup {
     // hash order is uniform already.)
     val prefixLen = (size(col("__shh")) - ceil(size(col("__shh")) * threshold) + 1).cast("int")
     val prefixes = toks
-      .withColumn("__s", explode(slice(col("__shh"), lit(1), prefixLen)))
-      .select((bNames.map(col) :+ col("__id") :+ col("__s")): _*)
+      .withColumn("__len", size(col("__shh")))
+      .select((bNames.map(col) :+ col("__id") :+ col("__len") :+
+        posexplode(slice(col("__shh"), lit(1), prefixLen)).as(Seq("__p", "__s"))): _*)
 
+    // full PPJoin candidate pruning (Xiao et al. 2011 §3), both filters as
+    // pure join predicates — no extra pass, no shuffle beyond the prefix join:
+    //  * LENGTH: J(a,b) ≥ t forces t·|a| ≤ |b| (and symmetrically) — wildly
+    //    different sizes can never qualify.
+    //  * POSITIONAL: shingles are sorted consistently on both sides, so for
+    //    a shared prefix token at 0-based positions (pa, pb) every further
+    //    common element sits strictly after BOTH — overlap ≤ 1 +
+    //    min(|a|−pa−1, |b|−pb−1); J ≥ t needs overlap ≥ ⌈t/(1+t)·(|a|+|b|)⌉.
+    //    The pair's FIRST common token is provably inside both prefixes and
+    //    satisfies the bound whenever the pair qualifies, so filtering every
+    //    match row keeps at least that row — no qualifying pair is lost.
+    val la = col("a.__len"); val lb = col("b.__len")
+    val minOverlap = ceil((la + lb) * threshold / (1.0 + threshold))
     val joinCond = (bNames.map(n => col(s"a.$n") === col(s"b.$n")) :+
-      (col("a.__s") === col("b.__s")) :+ (col("a.__id") < col("b.__id"))).reduce(_ && _)
+      (col("a.__s") === col("b.__s")) :+ (col("a.__id") < col("b.__id")) :+
+      (lb >= ceil(la * threshold)) :+ (la >= ceil(lb * threshold)) :+
+      (lit(1) + least(la - col("a.__p") - 1, lb - col("b.__p") - 1) >= minOverlap))
+      .reduce(_ && _)
     val candidates = prefixes.as("a").join(prefixes.as("b"), joinCond)
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .dropDuplicates("id_a", "id_b")

@@ -32,6 +32,25 @@ class DedupSpec extends SparkSpecBase {
     assert(got == want) // verify step removes false positives; LSH recall is 1 at s≈0.9
   }
 
+  test("hot-band star cap: mega-cluster stays one connected component at Σ-bucket cost") {
+    // 40 near-identical docs (one appended unique token each) — every band
+    // bucket is hot at cap 8, so candidates come from the star arm only
+    val base = docs.filter($"doc_id" === 8).head().getString(1)
+    val mega = spark.range(40).select(
+      ($"id" + 9000).as("doc_id"),
+      concat(lit(base), lit(" unique"), $"id".cast("string")).as("text"))
+    val pairs = Dedup.minhashDuplicates(mega, $"doc_id", $"text",
+      shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.7,
+      hotBandCap = Some(8))
+    val clusters = Dedup.clusterPairs(pairs, $"id_a", $"id_b")
+      .select($"cluster_id").distinct().collect()
+    assert(clusters.length == 1 && clusters.head.getLong(0) == 9000L,
+      s"mega-cluster fragmented: ${clusters.mkString(",")}")
+    // and the candidate volume is star-shaped: at most n-1 verified pairs
+    // per the hub, never the 40·39/2 all-pairs explosion
+    assert(pairs.count() <= 39L * 32)
+  }
+
   test("exact text dedup groups identical copies") {
     val withCopy = docs.unionByName(
       docs.filter($"doc_id" === 8).select(($"doc_id" + 5000).as("doc_id"), $"text"))
