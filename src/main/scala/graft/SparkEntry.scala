@@ -86,7 +86,8 @@ object SparkEntry {
    * oracle (q_bm25f_multiprop). */
   private[graft] def sqlBm25(terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
                              source: String = "documents",
-                             fieldPropMeans: Seq[Double] = Nil): (String, String) = {
+                             fieldPropMeans: Seq[Double] = Nil,
+                             tokExpr: String = "regexp_extract_all(lower(text), '[a-z0-9]+')"): (String, String) = {
     val fCols = terms.zipWithIndex.map { case (t, i) =>
       s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS f$i" }.mkString(", ")
     val dfCols = terms.zipWithIndex.map { case (t, i) =>
@@ -100,7 +101,7 @@ object SparkEntry {
     val score = termExprs.mkString(" + ")
     val contribCols = termExprs.zipWithIndex.map { case (e, i) => s"$e AS c$i" }.mkString(", ")
     val tok =
-      s"""tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM $source),
+      s"""tok AS (SELECT doc_id, $tokExpr AS toks FROM $source),
          |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, $pooled AS avgdl, $dfCols FROM tok),
          |feat AS (SELECT doc_id, CAST(len(list_distinct(toks)) AS DOUBLE) AS dl, $fCols FROM tok),
          |scored AS (SELECT doc_id, ($score) AS score_exact, $contribCols, ${terms.indices.map(i => s"f$i").mkString(" + ")} AS nmatch,

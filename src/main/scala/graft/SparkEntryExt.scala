@@ -140,6 +140,25 @@ object SparkEntryExt {
         nlist = 8, m = 8, k = 16, persistPath = Some(path))
     })
 
+  // dynamic index bed: flat build over vec_id < 50, then appending the rest
+  // crosses threshold=100 → flat→IVF rebuild over the full corpus; full
+  // probe keeps the served search exact (q_near_dynamic's oracle). Cached
+  // per dataset — the transition is the offline part, the probe is the query.
+  private val dynCache = scala.collection.mutable.Map.empty[String, graft.ann.DynamicIndex]
+  private def dynFor(gg: Graft, dir: String): graft.ann.DynamicIndex =
+    dynCache.getOrElseUpdate(dir, {
+      val emb = gg.collection("Embedding").df
+      val path = java.nio.file.Files.createTempDirectory("graft-dyn").toString
+      val flat = graft.ann.DynamicIndex.build(emb.filter(col("vec_id") < 50),
+        "vec_id", "embedding", threshold = 100L, nlist = 8, defaultNprobe = 8,
+        persistPath = Some(path))
+      require(!flat.upgraded && flat.shouldUpgrade == (true, 100L),
+        "dynamic index must start flat below the threshold")
+      val dyn = flat.append(emb.filter(col("vec_id") >= 50))
+      require(dyn.upgraded, "threshold-crossing append must upgrade")
+      dyn
+    })
+
   /** embeddings ∪ exact copies (vec_id % 50 == 0 → vec_id+1000000). */
   private def embWithPlantedDups(g: Graft): DataFrame = {
     val emb = g.collection("Embedding").df.select(col("vec_id"), col("embedding"))
@@ -200,6 +219,23 @@ object SparkEntryExt {
       gg.registerMuvera("MVecBed", None,
         graft.ann.MuveraEncoder(ksim = 3, dproj = 8, reps = 6, dim = 64))
       muveraBedCache += dir
+    }
+
+  // CJK keyword-search bed: documents.text with vowels mapped to Han
+  // characters (translate — reproducible in DuckDB with identical
+  // semantics), registered with gse_ch tokenization and the dictionary-free
+  // CJK bigram fallback enabled (Tokenize.cjkBigramFallback — the analogue
+  // of the reference's ENABLE_TOKENIZER_GSE env gate, tokenizer.go:42-46).
+  // The bed is mixed-script on purpose: Han runs exercise the bigram arm,
+  // the surviving consonant runs exercise the word arm.
+  private def cjkBedFor(gg: Graft): Unit =
+    if (!gg.hasCollection("DocCjk")) {
+      graft.text.Tokenize.cjkBigramFallback = true
+      val docs = gg.collection("Document").df
+      val bed = docs.select(col("doc_id"),
+        translate(lower(col("text")), "aeiou", "的一是不了").as("text_cjk"))
+      gg.register(CollectionSchema("DocCjk", "doc_id", Seq(
+        Property("text_cjk", PropType.Text, Tokenization.GseCh))), bed)
     }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -871,6 +907,25 @@ object SparkEntryExt {
         .select(col("doc_id"), round(col(Bm25Search.ScoreCol), 4).as("score"))
     }),
 
+    // §2.4 BM25 over a CJK corpus via the dictionary-free bigram fallback
+    // (Lucene CJKAnalyzer semantics; reference gse_ch mode env-gated exactly
+    // like Tokenize.cjkBigramFallback — tokenizer.go:42-46,243-247). The
+    // query mixes a Han bigram term with Latin word terms, so both arms of
+    // the mixed-script tokenizer are load-bearing on BOTH the corpus and
+    // query side; scoring model identical to q_bm25 (same DuckDB CTEs with
+    // the bigram tok expression swapped in).
+    "q_bm25_cjk" -> ((s, dir) => {
+      val gg = g(s, dir)
+      cjkBedFor(gg)
+      graft.text.Tokenize.cjkBigramFallback = true
+      gg.get(GetParams("DocCjk",
+        bm25 = Some(Bm25("是的 str d", properties = Seq("text_cjk"))),
+        pagination = Some(Pagination(limit = 20)),
+        properties = Seq("doc_id"),
+        additional = Set("score")))
+        .select(col("doc_id"), round(col("_score"), 4).as("score"))
+    }),
+
     // §2.3 ANN-index-served nearVector: Graft.get routes through the
     // registered IVF index (planner = IvfIndex.searchOrScan); full probe here
     // keeps it exact so the brute-force SQL oracle hash-matches, while the
@@ -880,6 +935,27 @@ object SparkEntryExt {
       gg.registerIndex("Embedding", "default", ivfFor(gg, dir))
       gg.get(GetParams("Embedding",
         nearVector = Some(NearVector(Fixtures.anchorVector(gg, 13L), metric = Metric.L2Squared)),
+        pagination = Some(Pagination(limit = 12)),
+        properties = Seq("vec_id"),
+        additional = Set("distance")))
+        .select(col("vec_id"), round(col("_distance"), 4).as("dist"))
+    }),
+
+    // §2.3 DYNAMIC index (reference: vector/dynamic/index.go + config.go:25
+    // DefaultThreshold): built flat over the first 50 embeddings (below the
+    // threshold of 100 — shouldUpgrade reports (true, 100)), then an append
+    // of the remaining rows crosses the threshold and triggers the flat→IVF
+    // rebuild; the search runs against the UPGRADED index at full probe over
+    // the complete corpus, so the brute-force oracle hash-matches while the
+    // whole flat→upgrade→probe transition is on the executed path. The
+    // low-probe approximate regime + plan pruning live in DynamicIndexSpec.
+    "q_near_dynamic" -> ((s, dir) => {
+      val gg = g(s, dir)
+      val eng = new graft.engine.Graft(s)
+      eng.register(gg.collection("Embedding"))
+      eng.registerDynamicIndex("Embedding", "default", dynFor(gg, dir))
+      eng.get(GetParams("Embedding",
+        nearVector = Some(NearVector(Fixtures.anchorVector(gg, 29L), metric = Metric.L2Squared)),
         pagination = Some(Pagination(limit = 12)),
         properties = Seq("vec_id"),
         additional = Set("distance")))
@@ -1627,6 +1703,16 @@ object SparkEntryExt {
          |SELECT vec_id, round(dist, 4) AS dist FROM d
          |ORDER BY d.dist ASC, vec_id ASC LIMIT 12""".stripMargin,
 
+    // the upgraded dynamic index serves the full corpus at full probe, so
+    // the oracle is plain brute-force top-k (the flat→upgrade transition is
+    // asserted engine-side by dynFor's requires + DynamicIndexSpec)
+    "q_near_dynamic" ->
+      s"""WITH ${sqlQv(29)},
+         |d AS (SELECT e.vec_id, ${sqlL2("e.embedding", "q.v")} AS dist
+         |      FROM embeddings e CROSS JOIN qv q)
+         |SELECT vec_id, round(dist, 4) AS dist FROM d
+         |ORDER BY d.dist ASC, vec_id ASC LIMIT 12""".stripMargin,
+
     // pool semantics: candidates = union of per-target exact top-10 (full
     // probes), Sum-combined and ranked WITHIN the pool — the reference's
     // candidate-union model, which can differ from the global-scan top-10
@@ -1712,6 +1798,27 @@ object SparkEntryExt {
 
     "q_bm25_postings" -> {
       val (ctes, _) = sqlBm25(Seq("spark", "join", "stream", "window"))
+      s"""WITH $ctes
+         |SELECT doc_id, round(score_exact, 4) AS score FROM scored
+         |WHERE terms_matched >= 1
+         |ORDER BY score_exact DESC, doc_id ASC LIMIT 20""".stripMargin
+    },
+
+    // same BM25 CTEs with the CJK bigram tokenization swapped in: Han runs →
+    // overlapping bigrams (length-1 run stays a unigram), Latin runs → word
+    // tokens; the bed is documents.text with vowels translate()d to Han —
+    // byte-identical derivation on both sides
+    "q_bm25_cjk" -> {
+      val cjkTok =
+        """flatten(list_transform(
+          |  regexp_extract_all(text, '[\p{Han}]+|[a-z0-9]+'),
+          |  r -> CASE WHEN regexp_matches(r, '^[\p{Han}]')
+          |       THEN CASE WHEN length(r) = 1 THEN [r]
+          |            ELSE list_transform(range(1, length(r)), i -> substring(r, i, 2)) END
+          |       ELSE [r] END))""".stripMargin
+      val (ctes, _) = sqlBm25(Seq("是的", "str", "d"),
+        source = "(SELECT doc_id, translate(lower(text), 'aeiou', '的一是不了') AS text FROM documents)",
+        tokExpr = cjkTok)
       s"""WITH $ctes
          |SELECT doc_id, round(score_exact, 4) AS score FROM scored
          |WHERE terms_matched >= 1

@@ -119,6 +119,7 @@ final class Graft(val spark: SparkSession) {
     register(Collection(schema, df))
   def collection(name: String): Collection =
     collections.getOrElse(name, throw new IllegalArgumentException(s"unknown collection $name"))
+  def hasCollection(name: String): Boolean = collections.contains(name)
 
   /**
    * Tenant lifecycle registry (reference: usecases/schema/tenant.go —
@@ -257,6 +258,24 @@ final class Graft(val spark: SparkSession) {
     collections += collectionName -> c.copy(vectorIndexes = c.vectorIndexes + (vectorName -> idx))
     this
   }
+
+  /**
+   * Attach a dynamic index (reference: vector/dynamic/index.go — flat until
+   * `threshold` objects, then the trained index serves). The flat regime
+   * registers NOTHING: the planner's exact-scan arm (searchOrScan's
+   * fallthrough) IS the flat index, identical math, and stays exact for
+   * radius/unlimited queries too. Once the dynamic value upgrades (at build
+   * or on a threshold-crossing append), re-registering swaps the served
+   * index — the registry update is the reference's atomic status flip. */
+  def registerDynamicIndex(collectionName: String, vectorName: String,
+                           dyn: graft.ann.DynamicIndex): Graft =
+    dyn.ivf match {
+      case Some(ix) => registerIndex(collectionName, vectorName, ix)
+      case None =>
+        val c = collection(collectionName)
+        collections += collectionName -> c.copy(vectorIndexes = c.vectorIndexes - vectorName)
+        this
+    }
 
   /**
    * Postings (inverted-index) registry for keyword search (reference: BM25 is

@@ -12,10 +12,23 @@ import graft.model.Tokenization
  * stopword presets adapters/repos/db/inverted/stopwords/).
  *
  * CJK modes (gse/kagome) need dictionary-backed segmenters that aren't
- * available in this environment; `word` handles unicode letter runs which is
- * the documented fallback.
+ * available in this environment. The reference gates them behind env flags
+ * (tokenizer.go:42-46 `UseGse`/`UseGseCh`, enabled via ENABLE_TOKENIZER_GSE
+ * etc.); mirroring that, `cjkBigramFallback` (default off, or the
+ * GRAFT_ENABLE_CJK_BIGRAM env var) routes the four CJK modes to a
+ * dictionary-free CJK bigram tokenizer — the public Lucene
+ * CJKAnalyzer/CJKBigramFilter algorithm: runs of Han/Hiragana/Katakana/Hangul
+ * become overlapping character bigrams (a length-1 run stays a unigram),
+ * other letter/digit runs become lowercased word tokens. With the flag off
+ * the dispatch fails LOUDLY (never silently degrades to another mode).
  */
 object Tokenize {
+
+  /** Mirror of the reference's package-level `UseGse`/`UseGseCh` env-gated
+   * globals (tokenizer.go:42-46): when enabled, the four CJK modes tokenize
+   * via `cjkBigram` instead of failing. */
+  @volatile var cjkBigramFallback: Boolean =
+    sys.env.get("GRAFT_ENABLE_CJK_BIGRAM").exists(v => v == "1" || v.equalsIgnoreCase("true"))
 
   /** `word`: runs of letters/digits, lowercased. */
   def word(c: Column): Column =
@@ -33,10 +46,23 @@ object Tokenize {
   def field(c: Column): Column =
     when(c.isNull, lit(null)).otherwise(array(trim(c)))
 
-  /** `trigram`: sliding 3-grams over lowercased, whitespace-stripped text. */
-  def trigram(c: Column): Column = charNgrams(c, 3)
+  /**
+   * `trigram`: the reference strips ALL non-alphanumerics (not just
+   * whitespace), lowercases, then emits rune-level sliding 3-grams — and
+   * emits NOTHING for input shorter than 3 characters
+   * (tokenizer.go:395-411: FieldsFunc(isNotAlphanumeric) joined with "",
+   * loop bound i+3 < len(offs)).
+   */
+  def trigram(c: Column): Column = {
+    val s = array_join(regexp_extract_all(lower(c), lit("[\\p{L}\\p{N}]+"), lit(0)), "")
+    when(c.isNull, lit(null).cast("array<string>"))
+      .when(length(s) < 3, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(s) - 2), i => s.substr(i, lit(3))))
+  }
 
-  /** Sliding character n-grams (whitespace stripped, lowercased). */
+  /** Sliding character n-grams (whitespace stripped, lowercased) — the
+   * dedup/shingling primitive (NOT the reference's trigram mode, which also
+   * strips punctuation; see `trigram`). */
   def charNgrams(c: Column, n: Int): Column = {
     val s = regexp_replace(lower(c), "\\s+", "")
     when(c.isNull, lit(null))
@@ -52,14 +78,45 @@ object Tokenize {
       .otherwise(transform(sequence(lit(0), size(tokens) - n),
         i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
 
+  // --- CJK bigram fallback ---------------------------------------------------
+
+  /** Unicode scripts the CJK bigram treats as ideographic/syllabic (the
+   * Lucene CJKBigramFilter default HAN|HIRAGANA|KATAKANA|HANGUL set), plus
+   * the two Script=Common marks that are part of Japanese words and would
+   * otherwise split runs: U+30FC prolonged sound mark (データ) and U+3005
+   * iteration mark (人々). */
+  private val CjkClass = "\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}ー々"
+
+  /** Ordered alternation: CJK runs first, then non-CJK letter/digit runs
+   * (class intersection keeps a mixed-script string from collapsing into
+   * one token — \\p{L} alone would swallow the CJK characters too). */
+  private val CjkRunPattern = s"[$CjkClass]+|[[\\p{L}\\p{N}]&&[^$CjkClass]]+"
+
+  /**
+   * Dictionary-free CJK tokenization (public Lucene CJKAnalyzer semantics):
+   * CJK script runs → overlapping character bigrams (length-1 run → unigram);
+   * other alphanumeric runs → lowercased word tokens. Pure column expressions
+   * (regexp run extraction + per-run transform), stays in codegen.
+   */
+  def cjkBigram(c: Column): Column = {
+    val runs = regexp_extract_all(lower(c), lit(CjkRunPattern), lit(0))
+    val perRun = transform(runs, r =>
+      when(r.rlike(s"^[$CjkClass]"),
+        when(length(r) === 1, array(r))
+          .otherwise(transform(sequence(lit(1), length(r) - 1), i => r.substr(i, lit(2)))))
+        .otherwise(array(r)))
+    when(c.isNull, lit(null).cast("array<string>")).otherwise(flatten(perRun))
+  }
+
   /** Declared-but-unavailable CJK modes fail loudly (reference mode set:
-   * tokenizer.go:228-279) instead of silently degrading to another mode. */
+   * tokenizer.go:228-279) unless the bigram fallback is enabled. */
   private def cjkUnavailable(mode: Tokenization): Nothing =
     throw new UnsupportedOperationException(
       s"tokenization '${mode.name}' requires a dictionary-backed CJK segmenter " +
       "(reference: entities/tokenizer/tokenizer.go:228-279 — gse/kagome) which is " +
-      "not available in this environment; use 'word' (unicode letter runs) or " +
-      "register a segmenter UDF for this property")
+      "not available in this environment; enable Tokenize.cjkBigramFallback " +
+      "(or GRAFT_ENABLE_CJK_BIGRAM=1) for dictionary-free CJK bigram " +
+      "tokenization, or use 'word'/'trigram'")
 
   def apply(mode: Tokenization)(c: Column): Column = mode match {
     case Tokenization.Word       => word(c)
@@ -68,7 +125,39 @@ object Tokenize {
     case Tokenization.Field      => field(c)
     case Tokenization.Trigram    => trigram(c)
     case m @ (Tokenization.Gse | Tokenization.GseCh |
-              Tokenization.KagomeJa | Tokenization.KagomeKr) => cjkUnavailable(m)
+              Tokenization.KagomeJa | Tokenization.KagomeKr) =>
+      if (cjkBigramFallback) cjkBigram(c) else cjkUnavailable(m)
+  }
+
+  /** Codepoint array of a string (Spark's substr/length count codepoints —
+   * Scala's String.sliding counts UTF-16 units, which would diverge on
+   * supplementary-plane CJK). */
+  private def codepoints(s: String): Array[Int] = {
+    val it = s.codePoints().iterator()
+    val b = Array.newBuilder[Int]
+    while (it.hasNext) b += it.nextInt()
+    b.result()
+  }
+
+  private def cpSlice(cps: Array[Int], from: Int, len: Int): String =
+    new String(cps.slice(from, from + len).flatMap(Character.toChars))
+
+  private val CjkCharRegex = java.util.regex.Pattern.compile(s"[$CjkClass]")
+  private val CjkRunRegex = java.util.regex.Pattern.compile(CjkRunPattern)
+
+  /** Driver-side CJK bigram with matching semantics. */
+  def cjkBigramTokens(q: String): Seq[String] = {
+    val m = CjkRunRegex.matcher(q.toLowerCase)
+    val out = Seq.newBuilder[String]
+    while (m.find()) {
+      val run = m.group()
+      if (CjkCharRegex.matcher(run.substring(0, Character.charCount(run.codePointAt(0)))).matches()) {
+        val cps = codepoints(run)
+        if (cps.length == 1) out += run
+        else for (i <- 0 until cps.length - 1) out += cpSlice(cps, i, 2)
+      } else out += run
+    }
+    out.result()
   }
 
   /** Tokenize a query string on the driver with matching semantics. */
@@ -78,10 +167,13 @@ object Tokenize {
     case Tokenization.Whitespace => q.split("\\s+").toSeq.filter(_.nonEmpty)
     case Tokenization.Field      => Seq(q.trim)
     case Tokenization.Trigram    =>
-      val s = q.toLowerCase.replaceAll("\\s+", "")
-      if (s.isEmpty) Nil else if (s.length < 3) Seq(s) else s.sliding(3).toSeq
+      val s = "[\\p{L}\\p{N}]+".r.findAllIn(q.toLowerCase).mkString
+      val cps = codepoints(s)
+      if (cps.length < 3) Nil
+      else (0 until cps.length - 2).map(i => cpSlice(cps, i, 3))
     case m @ (Tokenization.Gse | Tokenization.GseCh |
-              Tokenization.KagomeJa | Tokenization.KagomeKr) => cjkUnavailable(m)
+              Tokenization.KagomeJa | Tokenization.KagomeKr) =>
+      if (cjkBigramFallback) cjkBigramTokens(q) else cjkUnavailable(m)
   }
 
   /** English stopword preset (reference: inverted/stopwords/presets.go, `en`). */

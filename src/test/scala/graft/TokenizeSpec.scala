@@ -28,9 +28,14 @@ class TokenizeSpec extends SparkSpecBase {
     assert(toks(Tokenization.Field, "  Hello World ") == Seq("Hello World"))
   }
 
-  test("trigram: sliding 3-grams, whitespace stripped") {
+  test("trigram: reference semantics — strip non-alphanumerics, none under 3 chars") {
     assert(toks(Tokenization.Trigram, "ab cd") == Seq("abc", "bcd"))
-    assert(toks(Tokenization.Trigram, "ab") == Seq("ab"))
+    // tokenizer.go:397: FieldsFunc(isNotAlphanumeric) joined with "" — the
+    // comma vanishes entirely, unlike a whitespace-only strip
+    assert(toks(Tokenization.Trigram, "a,bC d") == Seq("abc", "bcd"))
+    // loop bound i+3 < len(offs): sub-3-char input emits NOTHING
+    assert(toks(Tokenization.Trigram, "ab") == Seq.empty)
+    assert(toks(Tokenization.Trigram, "abc") == Seq("abc"))
   }
 
   test("queryTokens matches column tokenizer for every mode") {
@@ -42,6 +47,7 @@ class TokenizeSpec extends SparkSpecBase {
   }
 
   test("CJK modes fail loudly (no silent fallback)") {
+    assert(!Tokenize.cjkBigramFallback)
     for (mode <- Seq(Tokenization.Gse, Tokenization.GseCh,
                      Tokenization.KagomeJa, Tokenization.KagomeKr)) {
       val colErr = intercept[UnsupportedOperationException] {
@@ -53,6 +59,26 @@ class TokenizeSpec extends SparkSpecBase {
       }
       assert(qErr.getMessage.contains(mode.name))
     }
+  }
+
+  test("CJK bigram fallback: Lucene CJKAnalyzer semantics when enabled") {
+    Tokenize.cjkBigramFallback = true
+    try {
+      // Han run → overlapping bigrams; Latin run → lowercased word token
+      assert(toks(Tokenization.GseCh, "中文数据Spark引擎") ==
+        Seq("中文", "文数", "数据", "spark", "引擎"))
+      // length-1 CJK run stays a unigram; punctuation splits runs
+      assert(toks(Tokenization.GseCh, "中, 文") == Seq("中", "文"))
+      // Hiragana/Katakana/Hangul all count as CJK scripts
+      assert(toks(Tokenization.KagomeJa, "データベース") ==
+        Seq("デー", "ータ", "タベ", "ベー", "ース"))
+      assert(toks(Tokenization.KagomeKr, "한국어 text") == Seq("한국", "국어", "text"))
+      // driver query tokenization matches the column path
+      for (s <- Seq("中文数据Spark引擎", "中, 文", "データベース", "한국어 text", "", "abc")) {
+        assert(Tokenize.queryTokens(Tokenization.GseCh, s) == toks(Tokenization.GseCh, s),
+          s"cjk parity s='$s'")
+      }
+    } finally Tokenize.cjkBigramFallback = false
   }
 
   test("token n-grams (shingles)") {
