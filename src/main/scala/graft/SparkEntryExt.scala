@@ -547,6 +547,20 @@ object SparkEntryExt {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // pipeline: SemDeDup (Abbas et al. 2023) — cluster-bucketed semantic
+    // dedup over the planted-dup bed: exact copies score pair-sim 1.0 > eps
+    // and share their original's cluster and centroid-similarity exactly, so
+    // the tie-break keeps the smaller id (the original) deterministically;
+    // the DuckDB oracle replays seed assignment, centroid similarity and the
+    // keep rule end-to-end
+    "q_dedup_semantic" -> ((s, dir) => {
+      Dedup.semantic(embWithPlantedDups(g(s, dir)), col("vec_id"), col("embedding"),
+          k = 8, epsSimilarity = 0.95)
+        .select(col("id").as("vec_id"), col("cluster").cast("long").as("cluster"),
+          round(col("cent_sim"), 4).as("cent_sim"), col("kept"))
+        .orderBy(col("vec_id"))
+    }),
+
     // pipeline: text quality features (one scan, pure column math)
     "q_text_stats" -> ((s, dir) => {
       g(s, dir).collection("Document").df.select(
@@ -624,6 +638,19 @@ object SparkEntryExt {
         .select(col("id").as("doc_id"), col("n_lines").cast("long").as("n_lines"),
           round(col("dup_line_frac"), 4).as("dup_line_frac"),
           round(col("top_bigram_frac"), 4).as("top_bigram_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // pipeline: CCNet-style LM perplexity ranking (Wenzek et al. 2020) —
+    // self-trained bigram LM with add-0.4 smoothing; the DuckDB oracle
+    // replays the whole model (counts, vocabulary, smoothing, per-doc
+    // cross-entropy) in double math
+    "q_text_perplexity" -> ((s, dir) => {
+      TextAnalysis.lmPerplexity(g(s, dir).collection("Document").df,
+          col("doc_id"), col("text"))
+        .select(col("id").as("doc_id"), col("n_bigrams"),
+          round(col("cross_entropy"), 4).as("cross_entropy"),
+          round(col("perplexity"), 4).as("perplexity"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2364,6 +2391,35 @@ object SparkEntryExt {
       """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, 0.0 AS dist
         |FROM embeddings WHERE vec_id % 50 = 0 ORDER BY id_a, id_b""".stripMargin,
 
+    // full SemDeDup replay: seed assignment (argmin L2 over the 8 smallest-id
+    // rows, lower seed index on ties), centroid similarity, and the
+    // keep-lowest-centroid-similarity rule — double math throughout, matching
+    // the codegen'd kernels bit-for-bit
+    "q_dedup_semantic" ->
+      s"""WITH bed AS (
+         |  SELECT vec_id AS id, embedding AS v FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000 AS id, embedding AS v FROM embeddings WHERE vec_id % 50 = 0),
+         |seeds AS (
+         |  SELECT row_number() OVER (ORDER BY id ASC) - 1 AS cidx, v AS sv
+         |  FROM bed ORDER BY id ASC LIMIT 8),
+         |d AS (SELECT b.id, b.v, s.cidx, s.sv, ${sqlL2("b.v", "s.sv")} AS dist
+         |      FROM bed b CROSS JOIN seeds s),
+         |a0 AS (SELECT id, v, cidx, sv,
+         |         row_number() OVER (PARTITION BY id ORDER BY dist ASC, cidx ASC) AS rn
+         |       FROM d),
+         |asg AS (SELECT id, v, cidx AS cluster, (1.0 - ${sqlCosine("v", "sv")}) AS csim
+         |        FROM a0 WHERE rn = 1),
+         |dropped AS (
+         |  SELECT DISTINCT a.id
+         |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.id <> b.id
+         |   AND (1.0 - ${sqlCosine("a.v", "b.v")}) > 0.95
+         |   AND (b.csim < a.csim OR (b.csim = a.csim AND b.id < a.id)))
+         |SELECT a.id AS vec_id, a.cluster AS cluster, round(a.csim, 4) AS cent_sim,
+         |       (d.id IS NULL) AS kept
+         |FROM asg a LEFT JOIN dropped d ON a.id = d.id
+         |ORDER BY vec_id""".stripMargin,
+
     "q_text_stats" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS ws_tokens,
@@ -2463,6 +2519,25 @@ object SparkEntryExt {
         |  round(CASE WHEN l.n_lines = 0 THEN 0.0 ELSE 1.0 - CAST(l.nd AS DOUBLE) / l.n_lines END, 4) AS dup_line_frac,
         |  round(coalesce(CAST(a.top AS DOUBLE) / a.total, 0.0), 4) AS top_bigram_frac
         |FROM ln l LEFT JOIN agg a USING (doc_id) ORDER BY l.doc_id""".stripMargin,
+
+    // full bigram-LM replay: corpus unigram/bigram counts, vocabulary size,
+    // add-0.4 smoothing, per-doc mean −log2 P — double math end to end
+    "q_text_perplexity" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |uni AS (SELECT w, CAST(count(*) AS DOUBLE) AS cw
+        |        FROM (SELECT unnest(toks) AS w FROM tok) GROUP BY w),
+        |v AS (SELECT CAST(count(*) AS DOUBLE) AS vocab FROM uni),
+        |bgl AS (SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i+1] AS b
+        |        FROM tok, unnest(range(1, len(toks))) AS t(i)
+        |        WHERE len(toks) >= 2),
+        |bg AS (SELECT b, CAST(count(*) AS DOUBLE) AS cbg FROM bgl GROUP BY b),
+        |nll AS (SELECT l.doc_id,
+        |          -log2((coalesce(g.cbg, 0.0) + 0.4) / (coalesce(u.cw, 0.0) + 0.4 * v.vocab)) AS h
+        |        FROM bgl l LEFT JOIN bg g ON l.b = g.b LEFT JOIN uni u ON l.w1 = u.w CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       round(avg(h), 4) AS cross_entropy,
+        |       round(pow(2.0, avg(h)), 4) AS perplexity
+        |FROM nll GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),

@@ -338,6 +338,66 @@ object Dedup {
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"), col("dist"))
   }
 
+  /**
+   * SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — "SemDeDup: Data-efficient
+   * learning at web-scale through semantic deduplication"): cluster the
+   * embedding space, then deduplicate *within clusters only* — the paper's
+   * trick for making pairwise cosine tractable (work = Σ cluster² ≈ n²/k,
+   * their k is ~11k clusters at 100M+ docs; here the cluster id is a plain
+   * equi-join key, so the shape survives 100 TB for the same reason the LSH
+   * buckets above do).
+   *
+   * Semantics per the paper §2: within a cluster, rows whose pairwise cosine
+   * similarity exceeds `epsSimilarity` are semantic duplicates; from each
+   * duplicate group KEEP the example with the LOWEST cosine similarity to the
+   * cluster representative (the "farthest from centroid" choice) — i.e. a row
+   * is dropped iff some in-cluster neighbour above the threshold has strictly
+   * lower representative-similarity (ties keep the smaller id).
+   *
+   * Clustering: deterministic nearest-seed assignment with seeds = the `k`
+   * smallest-id rows (k-means at 0 iterations, L2 metric, lower seed index
+   * wins ties — the codegen'd NearestCentroids kernel). Deterministic and
+   * exactly SQL-reproducible (q_dedup_semantic replays it in DuckDB); at
+   * scale swap in trained KMeans centroids — the dedup semantics are
+   * unchanged, only cluster quality improves.
+   *
+   * Returns every input row: (id, cluster, cent_sim, kept).
+   */
+  def semantic(df: DataFrame, idCol: Column, vecCol: Column,
+               k: Int = 16, epsSimilarity: Double = 0.95): DataFrame = {
+    val spark = df.sparkSession
+    val rows = df.select(idCol.as("__id"), vecCol.as("__vec"))
+    // seeds: k smallest ids — bounded driver set, same footprint as the IVF
+    // centroid table (k × dim doubles riding the serialized plan)
+    val seedRows = rows.orderBy(col("__id")).limit(k).collect()
+    val centers: Array[Array[Double]] =
+      seedRows.map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    import spark.implicits._
+    val seedDf = seedRows.zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1)) }.toSeq
+      .toDF("__cluster", "__seedvec")
+    val assigned = rows
+      .withColumn("__cluster",
+        element_at(VectorFunctions.nearestCentroids(col("__vec"), centers, 1), 1))
+      .join(broadcast(seedDf), Seq("__cluster"))
+      .withColumn("__csim",
+        lit(1.0) - VectorFunctions.cosineDistance(col("__vec"), col("__seedvec")))
+      .drop("__seedvec")
+      // the duplicate self-join's two branches share this cache in one job
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assigned.count()
+    val hasBetterDup = assigned.as("a").join(assigned.as("b"),
+      col("a.__cluster") === col("b.__cluster") && col("a.__id") =!= col("b.__id") &&
+        (lit(1.0) - VectorFunctions.cosineDistance(col("a.__vec"), col("b.__vec"))) > epsSimilarity &&
+        (col("b.__csim") < col("a.__csim") ||
+          (col("b.__csim") === col("a.__csim") && col("b.__id") < col("a.__id"))),
+      "left_semi")
+      .select(col("__id"))
+    assigned.join(hasBetterDup.withColumn("__dropped", lit(true)), Seq("__id"), "left")
+      .select(col("__id").as("id"), col("__cluster").as("cluster"),
+        col("__csim").as("cent_sim"), coalesce(!col("__dropped"), lit(true)).as("kept"))
+  }
+
   /** Brute-force oracle for the LSH paths (test-scale only): all pairs below
    * the threshold. */
   def embeddingDuplicatesBruteForce(

@@ -174,6 +174,59 @@ object TextAnalysis {
    *    (id, bigram) then (id): the only shuffles, both map-side combinable,
    *    so the shape survives any corpus size.
    */
+  /**
+   * CCNet-style language-model quality scoring (Wenzek et al. 2020,
+   * arXiv:1911.00359 §4.3 — documents ranked by the perplexity of an n-gram
+   * LM; low perplexity = close to the reference corpus, the head/middle/tail
+   * buckets fall out of this score). The KenLM of the paper becomes a word
+   * BIGRAM model with add-α smoothing trained on `train` (CCNet trains on
+   * Wikipedia; the default trains on the scored corpus itself, which ranks
+   * outliers identically):
+   *
+   *   P(w_i | w_{i-1}) = (c(w_{i-1} w_i) + α) / (c(w_{i-1}) + α·V)
+   *
+   * with V = distinct-unigram vocabulary size and c(·) = corpus occurrence
+   * counts. Per-doc score = cross-entropy H = mean over interior bigram
+   * positions of −log2 P (docs under 2 tokens have no positions and drop
+   * out); perplexity = 2^H. Backoff/BOS/EOS of full KenLM are omitted —
+   * smoothing alone keeps unseen bigrams finite, which is all the RANKING
+   * needs.
+   *
+   * Spark shape: two partial-aggregated explode→groupBys build the count
+   * tables (map-side combine); scoring joins each doc position to the
+   * bigram and context counts by key (rows carry (id, bigram) only) and
+   * reduces per doc — every shuffle is an equi-join/agg on a token key, the
+   * same shape as the repetition signals above, so it survives any corpus
+   * size. V is one distributed count (a scalar, not a collect).
+   */
+  def lmPerplexity(df: org.apache.spark.sql.DataFrame, idCol: Column, textCol: Column,
+                   alpha: Double = 0.4,
+                   train: Option[org.apache.spark.sql.DataFrame] = None): org.apache.spark.sql.DataFrame = {
+    def toks(frame: org.apache.spark.sql.DataFrame, id: Column, t: Column) =
+      frame.select(id.as("id"), Tokenize.word(t).as("__toks"))
+    val score = toks(df, idCol, textCol)
+    val corpus = train.map(toks(_, idCol, textCol)).getOrElse(score)
+    val uni = corpus.select(explode(col("__toks")).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).cast("double").as("__cw"))
+    val vocab = uni.count().toDouble
+    val bg = corpus.filter(size(col("__toks")) >= 2)
+      .select(explode(Tokenize.tokenNgrams(col("__toks"), 2)).as("__bg"))
+      .groupBy(col("__bg")).agg(count(lit(1)).cast("double").as("__cbg"))
+    val positions = score.filter(size(col("__toks")) >= 2)
+      .select(col("id"), explode(Tokenize.tokenNgrams(col("__toks"), 2)).as("__bg"))
+      .withColumn("__ctx", element_at(split(col("__bg"), " "), 1))
+    positions
+      .join(bg, Seq("__bg"), "left")
+      .join(uni, positions("__ctx") === uni("__w"), "left")
+      .withColumn("__nll", -log2(
+        (coalesce(col("__cbg"), lit(0.0)) + alpha) /
+          (coalesce(col("__cw"), lit(0.0)) + alpha * vocab)))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(col("__nll")).as("cross_entropy"))
+      .withColumn("perplexity", pow(lit(2.0), col("cross_entropy")))
+  }
+
   def repetitionStats(df: org.apache.spark.sql.DataFrame,
                       idCol: Column, textCol: Column): org.apache.spark.sql.DataFrame = {
     val base = df.select(idCol.as("id"), textCol.as("__t"))

@@ -97,6 +97,25 @@ class DedupSpec extends SparkSpecBase {
     assert(want.nonEmpty && got == want)
   }
 
+  test("SemDeDup: keep-farthest-from-centroid within duplicate groups, cluster-bucketed") {
+    // two tight semantic groups + one singleton, 4-dim vectors; seeds (k=2)
+    // are ids 1 and 2 → group A clusters to seed 1, group B to seed 2.
+    // Group A is a clique at sim≈1: only its lowest-centroid-sim member
+    // survives. The singleton (id 5, same cluster as B but far) is kept.
+    val rows = Seq(
+      (1L, Seq(1.0f, 0.02f, 0.0f, 0.0f)),   // A: seed, csim=1 → dropped
+      (3L, Seq(1.0f, 0.00f, 0.0f, 0.0f)),   // A: near seed → dropped or kept by csim
+      (4L, Seq(1.0f, 0.10f, 0.0f, 0.0f)),   // A: farthest from seed → kept
+      (2L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),    // B: seed, dup pair with 6
+      (6L, Seq(0.0f, 0.0f, 1.0f, 0.01f)),   // B: slightly off seed → kept (lower csim)
+      (5L, Seq(0.0f, 0.0f, 0.5f, 0.9f))     // B cluster, sim < eps to both → kept
+    ).toDF("id", "v")
+    val out = Dedup.semantic(rows, $"id", $"v", k = 2, epsSimilarity = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out == Map(1L -> false, 3L -> false, 4L -> true,
+      2L -> false, 6L -> true, 5L -> true), s"got $out")
+  }
+
   test("substring coverage: planted spans, overlap union, within-doc repetition excluded") {
     val span8 = "alpha beta gamma delta epsilon zeta eta theta"          // 8 tokens
     val span10 = "one two three four five six seven eight nine ten"      // 10 tokens

@@ -41,4 +41,31 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(out(3L) == ((1, 0.0, 0.0)))
     assert(out(4L) == ((0, 0.0, 0.0)))
   }
+
+  test("lmPerplexity: in-distribution text scores lower than out-of-distribution") {
+    // corpus dominated by one repeated bigram chain; doc 3 is made of tokens
+    // that never co-occur in the training data; doc 4 too short to score
+    val docs = Seq(
+      (1L, "the cat sat the cat sat the cat sat"),
+      (2L, "the cat sat on the mat"),
+      (3L, "zeppelin quartz vortex mumble"),
+      (4L, "single")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lmPerplexity(docs, $"doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(!out.contains(4L), "sub-2-token docs have no bigram positions")
+    // every score is finite and positive (smoothing covers unseen bigrams)
+    assert(out.values.forall { case (_, h, p) => h > 0 && p > 1 && !h.isInfinite })
+    // the frequent-bigram doc is most in-distribution; the unseen-bigram doc least
+    assert(out(1L)._2 < out(2L)._2 && out(2L)._2 < out(3L)._2,
+      s"expected H(1) < H(2) < H(3), got $out")
+    // perplexity = 2^H
+    val (_, h, p) = out(2L)
+    assert(math.abs(p - math.pow(2.0, h)) < 1e-9)
+    // external training corpus: scoring doc 3 against itself as train data
+    // drops its cross-entropy (its bigrams are now seen)
+    val selfTrained = TextAnalysis.lmPerplexity(
+      docs.filter($"doc_id" === 3L), $"doc_id", $"text").collect()(0).getDouble(2)
+    assert(selfTrained < out(3L)._2)
+  }
 }
