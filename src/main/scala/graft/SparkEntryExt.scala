@@ -85,6 +85,13 @@ object SparkEntryExt {
         .score(gg.collection(cn), graft.model.Bm25("warm", Seq("text")))
         .limit(1).count()
     }
+    // dynamic index: the flat→IVF transition is the offline part
+    dynFor(gg, dir).ivf.foreach(_.assigned.count())
+    // CJK bed registration + its BM25 corpus stats
+    cjkBedFor(gg)
+    graft.operators.Bm25Search
+      .score(gg.collection("DocCjk"), graft.model.Bm25("的", Seq("text_cjk")))
+      .limit(1).count()
   }
 
   // BQ is training-free (the code IS the sign pattern), so the "build" is
@@ -932,6 +939,29 @@ object SparkEntryExt {
       val idx = postingsFor(gg, dir)
       Postings.search(idx, "spark join stream window", 20, props = Some(Seq("text")))
         .select(col("doc_id"), round(col(Bm25Search.ScoreCol), 4).as("score"))
+    }),
+
+    // §2.4 stopword configuration (reference: invertedIndexConfig.stopwords —
+    // preset en ± additions/removals; the INDEX keeps stopwords, QUERY terms
+    // drop them, bm25_searcher.go:381-390 + analyzer.go:178). The bed's
+    // config adds 'spark' and removes 'the', so the query "the spark join"
+    // effectively scores [the, join] — wrong term sets (unfiltered, or
+    // preset-without-config) produce different scores and fail the hash.
+    "q_bm25_stopwords" -> ((s, dir) => {
+      val gg = g(s, dir)
+      if (!gg.hasCollection("DocStop")) {
+        val d = gg.collection("Document")
+        gg.register(d.schema.copy(name = "DocStop",
+          properties = d.schema.properties.filter(_.name == "text"),
+          stopwords = StopwordConfig(preset = "en",
+            additions = Seq("spark"), removals = Seq("the"))), d.df)
+      }
+      gg.get(GetParams("DocStop",
+        bm25 = Some(Bm25("the spark join", properties = Seq("text"))),
+        pagination = Some(Pagination(limit = 20)),
+        properties = Seq("doc_id"),
+        additional = Set("score")))
+        .select(col("doc_id"), round(col("_score"), 4).as("score"))
     }),
 
     // §2.4 BM25 over a CJK corpus via the dictionary-free bigram fallback
@@ -1825,6 +1855,15 @@ object SparkEntryExt {
 
     "q_bm25_postings" -> {
       val (ctes, _) = sqlBm25(Seq("spark", "join", "stream", "window"))
+      s"""WITH $ctes
+         |SELECT doc_id, round(score_exact, 4) AS score FROM scored
+         |WHERE terms_matched >= 1
+         |ORDER BY score_exact DESC, doc_id ASC LIMIT 20""".stripMargin
+    },
+
+    // effective terms after stopword config (en + spark − the) = [the, join]
+    "q_bm25_stopwords" -> {
+      val (ctes, _) = sqlBm25(Seq("the", "join"))
       s"""WITH $ctes
          |SELECT doc_id, round(score_exact, 4) AS score FROM scored
          |WHERE terms_matched >= 1

@@ -248,7 +248,7 @@ final class FilterCompiler(resolve: String => Collection) {
       case _: org.apache.spark.sql.types.ArrayType => coalesce(size(col(p)), lit(0))
       case _ => when(col(p).isNull, lit(0)).otherwise(lit(1))
     }
-    cmp(w.op, count.cast("long"), w.value.get, None)
+    cmp(w.op, count.cast("long"), w.value.get, None, Set.empty)
   }
 
   /** valueInt directly on a MULTI-EDGE (array-column) ref prop = filter on the
@@ -265,7 +265,7 @@ final class FilterCompiler(resolve: String => Collection) {
 
   /** Edge count of a beacon list; null list = 0 edges (reference complement). */
   private def refCountPred(w: Where): Column =
-    cmp(w.op, coalesce(size(col(w.path.head)), lit(0)).cast("long"), w.value.get, None)
+    cmp(w.op, coalesce(size(col(w.path.head)), lit(0)).cast("long"), w.value.get, None, Set.empty)
 
   /** Leaf whose path descends into an `object[]` property (nested-array filter,
    * reference: inverted/searcher_nested.go). */
@@ -276,7 +276,8 @@ final class FilterCompiler(resolve: String => Collection) {
   /** The leaf predicate applied to one array element (the lambda variable). */
   private def elementPred(elem: Column, w: Where): Column = {
     val c = w.path.tail.foldLeft(elem)(_.getField(_))
-    applyOp(c, w, None)
+    // nested object fields carry no per-prop tokenization → no stopword set
+    applyOp(c, w, None, Set.empty)
   }
 
   /** Is this path descending through a cref property into another collection? */
@@ -337,7 +338,7 @@ final class FilterCompiler(resolve: String => Collection) {
           case Some(PropType.Arr(_)) => size(col(p))
           case _                     => length(col(p))
         }
-        return cmp(w.op, lenCol, w.value.get, None)
+        return cmp(w.op, lenCol, w.value.get, None, Set.empty)
       case _ => ()
     }
     // metadata pseudo-props (reference: searcher.go:789-816)
@@ -365,11 +366,12 @@ final class FilterCompiler(resolve: String => Collection) {
           s"(${prop.get.dataType.name}) — filter a subfield, e.g. ${path.head}/national")
       case _ => ()
     }
-    applyOp(c, w, prop)
+    applyOp(c, w, prop, Tokenize.stopwordsFor(schema.stopwords))
   }
 
   /** Dispatch the leaf operator onto an already-resolved column. */
-  private def applyOp(c: Column, w: Where, prop: Option[Property]): Column = {
+  private def applyOp(c: Column, w: Where, prop: Option[Property],
+                      stop: Set[String]): Column = {
     import FilterValue._
     w.op match {
       case WhereOp.IsNull =>
@@ -408,16 +410,22 @@ final class FilterCompiler(resolve: String => Collection) {
           }
         lonBound.foldLeft(latBound && exact)(_ && _)
       case WhereOp.ContainsAny | WhereOp.ContainsAll | WhereOp.ContainsNone =>
-        contains(w.op, c, w.value.get, prop)
+        contains(w.op, c, w.value.get, prop, stop)
       case op =>
-        cmp(op, c, w.value.get, prop)
+        cmp(op, c, w.value.get, prop, stop)
     }
   }
 
-  /** Equality on tokenized text matches per-token (reference: searcher.go:869). */
-  private def textTokenMatch(c: Column, prop: Option[Property], v: String): Column = {
+  /** Equality on tokenized text matches per-token (reference: searcher.go:869).
+   * Word-tokenized filter terms drop the collection's stopwords (the index
+   * keeps them — searcher.go:899-906); a value reduced to NOTHING by that
+   * removal is the reference's ErrOnlyStopwords (searcher.go:943). */
+  private def textTokenMatch(c: Column, prop: Option[Property], v: String,
+                             stop: Set[String]): Column = {
     val mode = prop.map(_.tokenization).getOrElse(Tokenization.Word)
-    val qToks = Tokenize.queryTokens(mode, v)
+    val raw = Tokenize.queryTokens(mode, v)
+    val qToks = if (mode == Tokenization.Word) raw.filterNot(stop) else raw
+    if (qToks.isEmpty && raw.nonEmpty) Tokenize.onlyStopwordsError()
     if (qToks.isEmpty) lit(false)
     else qToks.map(t => array_contains(Tokenize(mode)(c), t)).reduce(_ && _)
   }
@@ -425,7 +433,8 @@ final class FilterCompiler(resolve: String => Collection) {
   private def isTokenizedText(prop: Option[Property]): Boolean =
     prop.exists(p => p.dataType == PropType.Text && p.tokenization != Tokenization.Field)
 
-  private def cmp(op: WhereOp, c: Column, v: FilterValue, prop: Option[Property]): Column = {
+  private def cmp(op: WhereOp, c: Column, v: FilterValue, prop: Option[Property],
+                  stop: Set[String]): Column = {
     import FilterValue._
     val value: Column = v match {
       case IntV(x)    => lit(x)
@@ -438,12 +447,12 @@ final class FilterCompiler(resolve: String => Collection) {
     op match {
       case WhereOp.Equal =>
         v match {
-          case TextV(s) if isTokenizedText(prop) => textTokenMatch(c, prop, s)
+          case TextV(s) if isTokenizedText(prop) => textTokenMatch(c, prop, s, stop)
           case _ => c === value
         }
       case WhereOp.NotEqual =>
         v match {
-          case TextV(s) if isTokenizedText(prop) => !textTokenMatch(c, prop, s)
+          case TextV(s) if isTokenizedText(prop) => !textTokenMatch(c, prop, s, stop)
           case _ => c =!= value
         }
       case WhereOp.GreaterThan      => c > value
@@ -461,7 +470,8 @@ final class FilterCompiler(resolve: String => Collection) {
    * *including null rows* (reference treats None as complement incl. nulls).
    * On tokenized text, values match per-token.
    */
-  private def contains(op: WhereOp, c: Column, v: FilterValue, prop: Option[Property]): Column = {
+  private def contains(op: WhereOp, c: Column, v: FilterValue, prop: Option[Property],
+                       stop: Set[String]): Column = {
     import FilterValue._
     val ListV(vs) = v: @unchecked
     val lits = vs.map {
@@ -474,11 +484,25 @@ final class FilterCompiler(resolve: String => Collection) {
     def one(value: Column, raw: FilterValue): Column =
       if (isArrayProp) array_contains(c, value)
       else if (tokenized) raw match {
-        case TextV(s) => textTokenMatch(c, prop, s)
+        case TextV(s) => textTokenMatch(c, prop, s, stop)
         case _        => c === value
       }
       else c === value
-    val per = lits.zip(vs).map { case (l, raw) => one(l, raw) }
+    // ContainsAny skips a value that stopword removal empties (at least one
+    // usable term → proceed), erroring only when EVERY value was stopwords;
+    // other operators let the per-value error propagate (reference:
+    // searcher.go:597-640 — the ErrOnlyStopwords special case is
+    // ContainsAny-scoped).
+    val per: Seq[Column] = op match {
+      case WhereOp.ContainsAny =>
+        val usable = lits.zip(vs).flatMap { case (l, raw) =>
+          try Some(one(l, raw))
+          catch { case e: IllegalArgumentException if e.getMessage.contains("only stopwords") => None }
+        }
+        if (usable.isEmpty && vs.nonEmpty) Tokenize.onlyStopwordsError()
+        usable
+      case _ => lits.zip(vs).map { case (l, raw) => one(l, raw) }
+    }
     op match {
       case WhereOp.ContainsAny  => per.reduce(_ || _)
       case WhereOp.ContainsAll  => per.reduce(_ && _)

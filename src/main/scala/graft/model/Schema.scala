@@ -64,6 +64,19 @@ final case class Property(
  * order by it). `vectors` maps named-vector name → DataFrame column holding
  * array<float> (reference: entities/models/class.go VectorConfig).
  */
+/**
+ * Stopword configuration (reference: entities/models/stopword_config.go —
+ * preset + additions/removals; presets inverted/stopwords/presets.go: `en`,
+ * `none`, defaulting to `en`). Semantics: the INDEX stores all tokens
+ * including stopwords (analyzer.go:178), but word-tokenized BM25 query terms
+ * and text-filter terms DROP them; a query/filter value reduced to nothing
+ * by stopword removal is an error (searcher.go ErrOnlyStopwords).
+ */
+final case class StopwordConfig(
+    preset: String = "en",
+    additions: Seq[String] = Nil,
+    removals: Seq[String] = Nil)
+
 final case class CollectionSchema(
     name: String,
     idColumn: String,
@@ -74,7 +87,8 @@ final case class CollectionSchema(
     // `_creationTimeUnix` / `_lastUpdateTimeUnix` pseudo-props resolve to
     // these columns (reference: searcher.go:816 metadata filters)
     creationTimeColumn: Option[String] = None,
-    updateTimeColumn: Option[String] = None) {
+    updateTimeColumn: Option[String] = None,
+    stopwords: StopwordConfig = StopwordConfig()) {
 
   private val byName: Map[String, Property] = properties.map(p => p.name -> p).toMap
   def property(name: String): Option[Property] = byName.get(name)

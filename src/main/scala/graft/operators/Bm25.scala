@@ -78,10 +78,15 @@ object Bm25Search {
     order.toSeq
   }
 
-  /** Per-group query terms with duplicate counts, first-occurrence order. */
-  def queryTermKeys(groups: Seq[(Tokenization, Seq[Int])], query: String): Seq[TermKey] =
+  /** Per-group query terms with duplicate counts, first-occurrence order.
+   * Word-tokenized groups drop stopwords from the QUERY terms (the index
+   * keeps them — reference bm25_searcher.go:381-390: the fallback stopword
+   * detector applies only to PropertyTokenizationWord). */
+  def queryTermKeys(groups: Seq[(Tokenization, Seq[Int])], query: String,
+                    stop: Set[String] = Set.empty): Seq[TermKey] =
     groups.zipWithIndex.flatMap { case ((mode, _), g) =>
-      val toks = Tokenize.queryTokens(mode, query)
+      val raw = Tokenize.queryTokens(mode, query)
+      val toks = if (mode == Tokenization.Word) raw.filterNot(stop) else raw
       toks.distinct.map(t => TermKey(g, t, toks.count(_ == t)))
     }
 
@@ -245,7 +250,10 @@ object Bm25Search {
       s -> c.schema.property(s.name).map(_.tokenization).getOrElse(Tokenization.Word)
     }
     val groups = groupsOf(propTok.map(_._2))
-    val termKeys = queryTermKeys(groups, params.query)
+    val stop = Tokenize.stopwordsFor(c.schema.stopwords)
+    val termKeys = queryTermKeys(groups, params.query, stop)
+    if (termKeys.isEmpty && queryTermKeys(groups, params.query).nonEmpty)
+      Tokenize.onlyStopwordsError()
     require(termKeys.nonEmpty, "bm25: empty query after tokenization")
 
     // corpus stats come from the cached per-(collection, props) side tables —

@@ -53,7 +53,11 @@ final case class PostingsIndex(
     /** Store version the index was built from — the engine serves from the
      * index only while the collection still reports the same version
      * (mirrors `Bm25Search.statsCache`'s key; see Collection.version). */
-    storeVersion: Long) {
+    storeVersion: Long,
+    /** The collection's resolved stopword set at build time: query terms on
+     * Word-tokenized groups drop these (the postings themselves keep every
+     * token — reference analyzer.go:178 indexes with nil stopwords). */
+    stopwords: Set[String] = graft.text.Tokenize.StopwordsEn) {
   /** Prop indices grouped by tokenization (first-appearance order). */
   lazy val groups: Seq[(Tokenization, Seq[Int])] = Bm25Search.groupsOf(tokenizations)
 }
@@ -205,7 +209,8 @@ object Postings {
       .agg(max(col("tf")).as("max_tf"), min(dlOfProp).as("min_dl"))
       .cache()
     PostingsIndex(props, modes, postings, docLens, termDf, maxImpact,
-      nDocs, propMeans, c.schema.idColumn, buckets, c.version)
+      nDocs, propMeans, c.schema.idColumn, buckets, c.version,
+      graft.text.Tokenize.stopwordsFor(c.schema.stopwords))
   }
 
   // --- query-time shared pieces ---------------------------------------------
@@ -228,11 +233,15 @@ object Postings {
         ps.map(idx.props.indexOf)
     }
 
-  private def termKeysOf(idx: PostingsIndex, active: Seq[Int], query: String): Seq[TermKey] =
+  private def termKeysOf(idx: PostingsIndex, active: Seq[Int], query: String,
+                         stop: Set[String]): Seq[TermKey] =
     idx.groups.zipWithIndex.flatMap { case ((mode, propIdxs), g) =>
       if (propIdxs.intersect(active).isEmpty) Nil
       else {
-        val toks = Tokenize.queryTokens(mode, query)
+        val raw = Tokenize.queryTokens(mode, query)
+        // stopwords drop from word-tokenized QUERY terms only, matching the
+        // scan path (Bm25Search.queryTermKeys) bit-for-bit
+        val toks = if (mode == Tokenization.Word) raw.filterNot(stop) else raw
         toks.distinct.map(t => TermKey(g, t, toks.count(_ == t)))
       }
     }
@@ -245,7 +254,9 @@ object Postings {
         val in = propIdxs.intersect(active)
         if (in.isEmpty) None else Some(g -> in)
     }.toMap
-    val termKeys = termKeysOf(idx, active, query)
+    val termKeys = termKeysOf(idx, active, query, idx.stopwords)
+    if (termKeys.isEmpty && termKeysOf(idx, active, query, Set.empty).nonEmpty)
+      Tokenize.onlyStopwordsError()
     require(termKeys.nonEmpty, "bm25: empty query after tokenization")
     // group-union doc frequency over the scored prop set. The full set reads
     // the precomputed dictionary; a subset re-aggregates from the term-pruned
@@ -364,7 +375,9 @@ object Postings {
         val in = propIdxs.intersect(active)
         if (in.isEmpty) None else Some(g -> in)
     }.toMap
-    val termKeys = termKeysOf(idx, active, query)
+    val termKeys = termKeysOf(idx, active, query, idx.stopwords)
+    if (termKeys.isEmpty && termKeysOf(idx, active, query, Set.empty).nonEmpty)
+      Tokenize.onlyStopwordsError()
     require(termKeys.nonEmpty, "bm25: empty query after tokenization")
     val minMatch = Bm25Search.minMatchOf(termKeys, searchOperator)
     val avgPool = Bm25Search.pooledAvgLen(

@@ -26,9 +26,18 @@ object Tokenize {
 
   /** Mirror of the reference's package-level `UseGse`/`UseGseCh` env-gated
    * globals (tokenizer.go:42-46): when enabled, the four CJK modes tokenize
-   * via `cjkBigram` instead of failing. */
-  @volatile var cjkBigramFallback: Boolean =
+   * via `cjkBigram` instead of failing. Thread-scoped (plan construction —
+   * the only reader — runs on the calling thread), so concurrent sessions
+   * or test suites with different settings can't interfere; the env default
+   * seeds every thread like the reference's process-level env gate. */
+  private val cjkFallbackEnvDefault: Boolean =
     sys.env.get("GRAFT_ENABLE_CJK_BIGRAM").exists(v => v == "1" || v.equalsIgnoreCase("true"))
+  private val cjkFallbackTL: InheritableThreadLocal[java.lang.Boolean] =
+    new InheritableThreadLocal[java.lang.Boolean] {
+      override def initialValue(): java.lang.Boolean = cjkFallbackEnvDefault
+    }
+  def cjkBigramFallback: Boolean = cjkFallbackTL.get()
+  def cjkBigramFallback_=(v: Boolean): Unit = cjkFallbackTL.set(v)
 
   /** `word`: runs of letters/digits, lowercased. */
   def word(c: Column): Column =
@@ -181,6 +190,26 @@ object Tokenize {
     "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if", "in",
     "into", "is", "it", "no", "not", "of", "on", "or", "such", "that", "the",
     "their", "then", "there", "these", "they", "this", "to", "was", "will", "with")
+
+  /** Built-in presets (presets.go:19-27). */
+  val StopwordPresets: Map[String, Set[String]] =
+    Map("en" -> StopwordsEn, "none" -> Set.empty)
+
+  /** Resolve a collection's effective stopword set: preset ± additions/
+   * removals (reference: stopwords/provider.go NewDetectorFromConfig). */
+  def stopwordsFor(cfg: graft.model.StopwordConfig): Set[String] = {
+    val base = StopwordPresets.getOrElse(cfg.preset,
+      throw new IllegalArgumentException(
+        s"unknown stopword preset '${cfg.preset}' (expected 'en' or 'none')"))
+    base ++ cfg.additions.map(_.toLowerCase) -- cfg.removals.map(_.toLowerCase)
+  }
+
+  /** The reference's ErrOnlyStopwords (inverted/searcher.go:127) — thrown
+   * when stopword removal leaves a word-tokenized query/filter empty. */
+  def onlyStopwordsError(): Nothing =
+    throw new IllegalArgumentException(
+      "invalid search term, only stopwords provided. " +
+      "Stopwords can be configured in class.invertedIndexConfig.stopwords")
 
   def removeStopwords(tokens: Column, stop: Set[String] = StopwordsEn): Column = {
     val stopArr = array(stop.toSeq.sorted.map(lit): _*)
