@@ -964,6 +964,31 @@ object SparkEntryExt {
         .select(col("doc_id"), round(col("_score"), 4).as("score"))
     }),
 
+    // §2.4 accent folding (reference: textAnalyzer.asciiFold,
+    // entities/tokenizer/ascii_fold.go — applied to indexed text AND query
+    // terms). The bed maps vowels to accented forms (translate — exactly
+    // reproducible); folding must recover the original text bit-for-bit, so
+    // the oracle is the plain unaccented BM25 model: any folding defect
+    // (missed mark, wrong NFD handling, unfolded query) changes the scores
+    // and fails the hash. The query itself is accented to prove the
+    // query-side fold.
+    "q_bm25_asciifold" -> ((s, dir) => {
+      val gg = g(s, dir)
+      if (!gg.hasCollection("DocAcc")) {
+        val docs = gg.collection("Document").df
+        gg.register(CollectionSchema("DocAcc", "doc_id", Seq(
+          Property("text_acc", PropType.Text, asciiFold = true))),
+          docs.select(col("doc_id"),
+            translate(lower(col("text")), "aeo", "áéö").as("text_acc")))
+      }
+      gg.get(GetParams("DocAcc",
+        bm25 = Some(Bm25("spárk jöin stréam", properties = Seq("text_acc"))),
+        pagination = Some(Pagination(limit = 20)),
+        properties = Seq("doc_id"),
+        additional = Set("score")))
+        .select(col("doc_id"), round(col("_score"), 4).as("score"))
+    }),
+
     // §2.4 BM25 over a CJK corpus via the dictionary-free bigram fallback
     // (Lucene CJKAnalyzer semantics; reference gse_ch mode env-gated exactly
     // like Tokenize.cjkBigramFallback — tokenizer.go:42-46,243-247). The
@@ -1855,6 +1880,16 @@ object SparkEntryExt {
 
     "q_bm25_postings" -> {
       val (ctes, _) = sqlBm25(Seq("spark", "join", "stream", "window"))
+      s"""WITH $ctes
+         |SELECT doc_id, round(score_exact, 4) AS score FROM scored
+         |WHERE terms_matched >= 1
+         |ORDER BY score_exact DESC, doc_id ASC LIMIT 20""".stripMargin
+    },
+
+    // folding recovers lower(text) exactly, so the oracle is the plain
+    // unaccented BM25 model over documents
+    "q_bm25_asciifold" -> {
+      val (ctes, _) = sqlBm25(Seq("spark", "join", "stream"))
       s"""WITH $ctes
          |SELECT doc_id, round(score_exact, 4) AS score FROM scored
          |WHERE terms_matched >= 1

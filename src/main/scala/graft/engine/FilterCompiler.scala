@@ -378,11 +378,18 @@ final class FilterCompiler(resolve: String => Collection) {
         val BoolV(wantNull) = w.value.get: @unchecked
         if (wantNull) c.isNull else c.isNotNull
       case WhereOp.Like =>
-        val TextV(pattern) = w.value.get: @unchecked
+        val TextV(rawPattern) = w.value.get: @unchecked
+        // asciiFold props fold BOTH sides before matching (reference:
+        // searcher.go:889-897 — LIKE folds manually, wildcards preserved)
+        val fold = prop.exists(_.asciiFold)
+        val pattern =
+          if (fold) org.apache.spark.sql.graft.AsciiFold.fold(rawPattern) else rawPattern
+        val target =
+          if (fold) org.apache.spark.sql.graft.TextFunctions.asciiFold(c) else c
         // `?` = one char, `*` = any run; anchored both ends (reference: inverted/like_regexp.go:41-58)
         val regex = "^" + java.util.regex.Pattern.quote(pattern)
           .replace("?", "\\E.\\Q").replace("*", "\\E.*\\Q") + "$"
-        c.rlike(regex)
+        target.rlike(regex)
       case WhereOp.WithinGeoRange =>
         val GeoRangeV(lat, lon, meters) = w.value.get: @unchecked
         val latC = c.getField("lat").cast("double")
@@ -423,11 +430,12 @@ final class FilterCompiler(resolve: String => Collection) {
   private def textTokenMatch(c: Column, prop: Option[Property], v: String,
                              stop: Set[String]): Column = {
     val mode = prop.map(_.tokenization).getOrElse(Tokenization.Word)
-    val raw = Tokenize.queryTokens(mode, v)
+    val fold = prop.exists(_.asciiFold)
+    val raw = Tokenize.queryTokens(mode, v, fold)
     val qToks = if (mode == Tokenization.Word) raw.filterNot(stop) else raw
     if (qToks.isEmpty && raw.nonEmpty) Tokenize.onlyStopwordsError()
     if (qToks.isEmpty) lit(false)
-    else qToks.map(t => array_contains(Tokenize(mode)(c), t)).reduce(_ && _)
+    else qToks.map(t => array_contains(Tokenize.withFold(mode, fold)(c), t)).reduce(_ && _)
   }
 
   private def isTokenizedText(prop: Option[Property]): Boolean =

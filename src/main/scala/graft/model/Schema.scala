@@ -56,7 +56,11 @@ final case class Property(
     // which collection a cref points at (reference: beacon URIs, refcache/resolver.go:51)
     refTarget: Option[String] = None,
     indexFilterable: Boolean = true,
-    indexSearchable: Boolean = true)
+    indexSearchable: Boolean = true,
+    // accent folding applied to indexed text AND query/filter terms
+    // (reference: entities/models/text_analyzer_config.go ASCIIFold;
+    // algorithm entities/tokenizer/ascii_fold.go)
+    asciiFold: Boolean = false)
 
 /**
  * A collection ("class"). `idColumn` plays the role of weaviate's uuid primary

@@ -68,12 +68,13 @@ object Bm25Search {
    * query (reference: AnalyzeAndCountDuplicates, bm25_searcher.go:663). */
   final case class TermKey(group: Int, term: String, dup: Int)
 
-  /** Group prop indices by tokenization, first-appearance order (reference:
-   * propNamesByTokenization, bm25_searcher.go:386-443). */
-  def groupsOf(modes: Seq[Tokenization]): Seq[(Tokenization, Seq[Int])] = {
-    val order = scala.collection.mutable.LinkedHashMap.empty[Tokenization, Vector[Int]]
-    modes.zipWithIndex.foreach { case (m, i) =>
-      order(m) = order.getOrElse(m, Vector.empty) :+ i
+  /** Group prop indices by effective analyzer — tokenization + asciiFold —
+   * first-appearance order (reference: propNamesByTokenization keyed by the
+   * analyzer-fingerprint tokKey, bm25_searcher.go:386-443,495-502). */
+  def groupsOf(keys: Seq[(Tokenization, Boolean)]): Seq[((Tokenization, Boolean), Seq[Int])] = {
+    val order = scala.collection.mutable.LinkedHashMap.empty[(Tokenization, Boolean), Vector[Int]]
+    keys.zipWithIndex.foreach { case (k, i) =>
+      order(k) = order.getOrElse(k, Vector.empty) :+ i
     }
     order.toSeq
   }
@@ -82,10 +83,10 @@ object Bm25Search {
    * Word-tokenized groups drop stopwords from the QUERY terms (the index
    * keeps them — reference bm25_searcher.go:381-390: the fallback stopword
    * detector applies only to PropertyTokenizationWord). */
-  def queryTermKeys(groups: Seq[(Tokenization, Seq[Int])], query: String,
+  def queryTermKeys(groups: Seq[((Tokenization, Boolean), Seq[Int])], query: String,
                     stop: Set[String] = Set.empty): Seq[TermKey] =
-    groups.zipWithIndex.flatMap { case ((mode, _), g) =>
-      val raw = Tokenize.queryTokens(mode, query)
+    groups.zipWithIndex.flatMap { case (((mode, fold), _), g) =>
+      val raw = Tokenize.queryTokens(mode, query, fold)
       val toks = if (mode == Tokenization.Word) raw.filterNot(stop) else raw
       toks.distinct.map(t => TermKey(g, t, toks.count(_ == t)))
     }
@@ -160,8 +161,8 @@ object Bm25Search {
   /** Visible for the lifecycle spec. */
   private[graft] def cachedStatsKeys: Set[(String, Long, Seq[String])] = statsCache.keySet.toSet
 
-  private def corpusStats(c: Collection, propTok: Seq[(PropSpec, Tokenization)]): CorpusStats = {
-    val key = (c.name, c.version, propTok.map { case (s, m) => s"${s.name}:${m.name}" })
+  private def corpusStats(c: Collection, propTok: Seq[(PropSpec, Tokenization, Boolean)]): CorpusStats = {
+    val key = (c.name, c.version, propTok.map { case (s, m, f) => s"${s.name}:${m.name}:$f" })
     // fast path without a lock; build under a lock because TrieMap's
     // getOrElseUpdate doesn't guarantee single evaluation — two concurrent
     // first queries would both run the stats pass and the loser's persisted
@@ -169,9 +170,10 @@ object Bm25Search {
     statsCache.get(key) match {
       case Some(s) => s
       case None => statsCache.synchronized { statsCache.getOrElseUpdate(key, {
-      val groups = groupsOf(propTok.map(_._2))
-      val tokenized = propTok.zipWithIndex.foldLeft(c.df.select(propTok.map { case (s, _) => col(s.name) }: _*)) {
-        case (d, ((spec, mode), i)) => d.withColumn(s"__tok_$i", Tokenize(mode)(col(spec.name)))
+      val groups = groupsOf(propTok.map(pt => (pt._2, pt._3)))
+      val tokenized = propTok.zipWithIndex.foldLeft(c.df.select(propTok.map { case (s, _, _) => col(s.name) }: _*)) {
+        case (d, ((spec, mode, fold), i)) =>
+          d.withColumn(s"__tok_$i", Tokenize.withFold(mode, fold)(col(spec.name)))
       }
       val statAggs: Seq[Column] =
         Seq(count(lit(1)).as("N")) ++
@@ -245,11 +247,12 @@ object Bm25Search {
         "Set it to `true` or leave empty")
     }
 
-    // per-prop token arrays + per-tokenization-group query terms
-    val propTok: Seq[(PropSpec, Tokenization)] = specs.map { s =>
-      s -> c.schema.property(s.name).map(_.tokenization).getOrElse(Tokenization.Word)
+    // per-prop token arrays + per-analyzer-group query terms
+    val propTok: Seq[(PropSpec, Tokenization, Boolean)] = specs.map { s =>
+      val p = c.schema.property(s.name)
+      (s, p.map(_.tokenization).getOrElse(Tokenization.Word), p.exists(_.asciiFold))
     }
-    val groups = groupsOf(propTok.map(_._2))
+    val groups = groupsOf(propTok.map(pt => (pt._2, pt._3)))
     val stop = Tokenize.stopwordsFor(c.schema.stopwords)
     val termKeys = queryTermKeys(groups, params.query, stop)
     if (termKeys.isEmpty && queryTermKeys(groups, params.query).nonEmpty)
@@ -266,8 +269,8 @@ object Bm25Search {
       .filter(col("term").isin(wanted: _*))
       .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getDouble(2)).toMap
 
-    val scoredBase = propTok.zipWithIndex.foldLeft(df) { case (d, ((spec, mode), i)) =>
-      d.withColumn(s"__tok_$i", Tokenize(mode)(col(spec.name)))
+    val scoredBase = propTok.zipWithIndex.foldLeft(df) { case (d, ((spec, mode, fold), i)) =>
+      d.withColumn(s"__tok_$i", Tokenize.withFold(mode, fold)(col(spec.name)))
         .withColumn(s"__dl_$i", size(array_distinct(col(s"__tok_$i"))).cast("double"))
     }
 

@@ -57,9 +57,13 @@ final case class PostingsIndex(
     /** The collection's resolved stopword set at build time: query terms on
      * Word-tokenized groups drop these (the postings themselves keep every
      * token — reference analyzer.go:178 indexes with nil stopwords). */
-    stopwords: Set[String] = graft.text.Tokenize.StopwordsEn) {
-  /** Prop indices grouped by tokenization (first-appearance order). */
-  lazy val groups: Seq[(Tokenization, Seq[Int])] = Bm25Search.groupsOf(tokenizations)
+    stopwords: Set[String] = graft.text.Tokenize.StopwordsEn,
+    /** Per-prop accent-folding flags captured at build time (Property.asciiFold). */
+    folds: Seq[Boolean] = Nil) {
+  private def foldAt(i: Int): Boolean = folds.lift(i).getOrElse(false)
+  /** Prop indices grouped by effective analyzer (tokenization + fold). */
+  lazy val groups: Seq[((Tokenization, Boolean), Seq[Int])] =
+    Bm25Search.groupsOf(tokenizations.indices.map(i => (tokenizations(i), foldAt(i))))
 }
 
 object Postings {
@@ -154,8 +158,9 @@ object Postings {
   private def tokenize(c: Collection, props: Seq[String]): DataFrame = {
     val id = c.schema.idColumn
     val modes = props.map(p => c.schema.property(p).map(_.tokenization).getOrElse(Tokenization.Word))
-    c.df.select(col(id).as("__id") +: props.zip(modes).zipWithIndex.map {
-      case ((p, m), i) => Tokenize(m)(col(p)).as(s"__toks_$i")
+    val folds = props.map(p => c.schema.property(p).exists(_.asciiFold))
+    c.df.select(col(id).as("__id") +: props.zip(modes.zip(folds)).zipWithIndex.map {
+      case ((p, (m, f)), i) => Tokenize.withFold(m, f)(col(p)).as(s"__toks_$i")
     }: _*)
   }
 
@@ -175,7 +180,7 @@ object Postings {
       .agg(count(lit(1)).cast("double").as("tf"))
 
   /** `when`-chain mapping __p → its tokenization-group index. */
-  private def groupOfProp(groups: Seq[(Tokenization, Seq[Int])]): Column =
+  private def groupOfProp(groups: Seq[((Tokenization, Boolean), Seq[Int])]): Column =
     groups.zipWithIndex.foldLeft(lit(-1)) { case (acc, ((_, propIdxs), g)) =>
       when(col("__p").isin(propIdxs: _*), lit(g)).otherwise(acc)
     }
@@ -196,7 +201,8 @@ object Postings {
     val nDocs = statRow.getAs[Long]("n")
     val propMeans = props.indices.map(i => statRow.getAs[Double](s"avg_$i")).toIndexedSeq
     val modes = props.map(p => c.schema.property(p).map(_.tokenization).getOrElse(Tokenization.Word))
-    val groups = Bm25Search.groupsOf(modes)
+    val folds = props.map(p => c.schema.property(p).exists(_.asciiFold))
+    val groups = Bm25Search.groupsOf(modes.zip(folds))
     // group-union doc frequency (the merged posting list's length per term)
     val termDf = postings.withColumn("__g", groupOfProp(groups))
       .groupBy(col("__g"), col("term"))
@@ -210,7 +216,7 @@ object Postings {
       .cache()
     PostingsIndex(props, modes, postings, docLens, termDf, maxImpact,
       nDocs, propMeans, c.schema.idColumn, buckets, c.version,
-      graft.text.Tokenize.stopwordsFor(c.schema.stopwords))
+      graft.text.Tokenize.stopwordsFor(c.schema.stopwords), folds)
   }
 
   // --- query-time shared pieces ---------------------------------------------
@@ -235,10 +241,10 @@ object Postings {
 
   private def termKeysOf(idx: PostingsIndex, active: Seq[Int], query: String,
                          stop: Set[String]): Seq[TermKey] =
-    idx.groups.zipWithIndex.flatMap { case ((mode, propIdxs), g) =>
+    idx.groups.zipWithIndex.flatMap { case (((mode, fold), propIdxs), g) =>
       if (propIdxs.intersect(active).isEmpty) Nil
       else {
-        val raw = Tokenize.queryTokens(mode, query)
+        val raw = Tokenize.queryTokens(mode, query, fold)
         // stopwords drop from word-tokenized QUERY terms only, matching the
         // scan path (Bm25Search.queryTermKeys) bit-for-bit
         val toks = if (mode == Tokenization.Word) raw.filterNot(stop) else raw

@@ -127,6 +127,15 @@ object Tokenize {
       "(or GRAFT_ENABLE_CJK_BIGRAM=1) for dictionary-free CJK bigram " +
       "tokenization, or use 'word'/'trigram'")
 
+  /** Column tokenization with optional accent folding applied BEFORE the
+   * tokenizer (reference: prepared.foldText then tokenize, analyze.go:223). */
+  def withFold(mode: Tokenization, fold: Boolean)(c: Column): Column =
+    apply(mode)(if (fold) org.apache.spark.sql.graft.TextFunctions.asciiFold(c) else c)
+
+  /** Driver-side twin of `withFold` for query strings. */
+  def queryTokens(mode: Tokenization, q: String, fold: Boolean): Seq[String] =
+    queryTokens(mode, if (fold) org.apache.spark.sql.graft.AsciiFold.fold(q) else q)
+
   def apply(mode: Tokenization)(c: Column): Column = mode match {
     case Tokenization.Word       => word(c)
     case Tokenization.Lowercase  => lowercase(c)
