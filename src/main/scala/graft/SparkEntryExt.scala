@@ -648,6 +648,37 @@ object SparkEntryExt {
         .orderBy(col("doc_id"))
     }),
 
+    // pipeline: Gopher quality rules (Rae et al. 2021 App. A1.1). The
+    // corpus is single-line lowercase words, so doc_id-keyed plants
+    // exercise each rule: %5 required-words boost, %7 numeric words (alpha
+    // fraction), %9 ellipsis-terminated lines, %11 bullet lines, %13 '#'
+    // symbols; the word-count / mean-length rules vary with the natural
+    // per-doc content. Oracle replays bed + rules in DuckDB list SQL.
+    "q_text_gopher" -> ((s, dir) => {
+      val docs = g(s, dir).collection("Document").df
+      val p5 = when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" of and that have with"))).otherwise(col("text"))
+      val p7 = when(col("doc_id") % 7 === 0,
+        concat(p5, lit(" 10 11 12 13 14 15 16 17 18 19 20 21 22 23 24 25"))).otherwise(p5)
+      val p9 = when(col("doc_id") % 9 === 0,
+        concat(p7, lit("\nthis line trails off...\nand this one too…"))).otherwise(p7)
+      val p11 = when(col("doc_id") % 11 === 0,
+        concat(p9, lit("\n- bullet one\n- bullet two\n• bullet three"))).otherwise(p9)
+      val p13 = when(col("doc_id") % 13 === 0,
+        concat(p11, lit(" ## ### #"))).otherwise(p11)
+      val bed = docs.select(col("doc_id"), p13.as("page"))
+      TextAnalysis.gopherFilter(bed, col("page"))
+        .select(col("doc_id"),
+          col("gopher_word_count").cast("long").as("r_word_count"),
+          col("gopher_mean_len").cast("long").as("r_mean_len"),
+          col("gopher_symbol").cast("long").as("r_symbol"),
+          col("gopher_lines").cast("long").as("r_lines"),
+          col("gopher_alpha").cast("long").as("r_alpha"),
+          col("gopher_required").cast("long").as("r_required"),
+          col("gopher_pass").cast("long").as("pass"))
+        .orderBy(col("doc_id"))
+    }),
+
     // pipeline: CCNet-style LM perplexity ranking (Wenzek et al. 2020) —
     // self-trained bigram LM with add-0.4 smoothing; the DuckDB oracle
     // replays the whole model (counts, vocabulary, smoothing, per-doc
@@ -2593,6 +2624,59 @@ object SparkEntryExt {
         |  round(CASE WHEN l.n_lines = 0 THEN 0.0 ELSE 1.0 - CAST(l.nd AS DOUBLE) / l.n_lines END, 4) AS dup_line_frac,
         |  round(coalesce(CAST(a.top AS DOUBLE) / a.total, 0.0), 4) AS top_bigram_frac
         |FROM ln l LEFT JOIN agg a USING (doc_id) ORDER BY l.doc_id""".stripMargin,
+
+    // identical bed plants + identical Gopher rules in DuckDB list SQL;
+    // whitespace words via regexp split, all ratios in double math
+    "q_text_gopher" ->
+      """WITH b1 AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+        |    THEN text || ' of and that have with' ELSE text END AS t FROM documents),
+        |b2 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
+        |    THEN t || ' 10 11 12 13 14 15 16 17 18 19 20 21 22 23 24 25' ELSE t END AS t FROM b1),
+        |b3 AS (SELECT doc_id, CASE WHEN doc_id % 9 = 0
+        |    THEN t || chr(10) || 'this line trails off...' || chr(10) || 'and this one too…' ELSE t END AS t FROM b2),
+        |b4 AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0
+        |    THEN t || chr(10) || '- bullet one' || chr(10) || '- bullet two' || chr(10) || '• bullet three' ELSE t END AS t FROM b3),
+        |bed AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0
+        |    THEN t || ' ## ### #' ELSE t END AS t FROM b4),
+        |w AS (SELECT doc_id, t,
+        |    list_filter(regexp_split_to_array(t, '\s+'), x -> x <> '') AS words,
+        |    list_filter(string_split(t, chr(10)), l -> trim(l) <> '') AS ls FROM bed),
+        |m AS (SELECT doc_id,
+        |    CAST(len(words) AS DOUBLE) AS nw,
+        |    CASE WHEN len(words) > 0 THEN
+        |      CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / len(words)
+        |      ELSE 0.0 END AS mean_len,
+        |    CAST(length(t) - length(regexp_replace(t, '#|…', '', 'g')) AS DOUBLE)
+        |      + (len(string_split(t, '...')) - 1) AS n_sym,
+        |    CASE WHEN len(ls) > 0 THEN
+        |      CAST(len(list_filter(ls, l -> regexp_matches(trim(l), '^[•‣◦⁃∙*-]'))) AS DOUBLE) / len(ls)
+        |      ELSE 0.0 END AS bullet_frac,
+        |    CASE WHEN len(ls) > 0 THEN
+        |      CAST(len(list_filter(ls, l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) AS DOUBLE) / len(ls)
+        |      ELSE 0.0 END AS ellipsis_frac,
+        |    CASE WHEN len(words) > 0 THEN
+        |      CAST(len(list_filter(words, x -> regexp_matches(x, '[\p{L}]'))) AS DOUBLE) / len(words)
+        |      ELSE 0.0 END AS alpha_frac,
+        |    len(list_filter(['the','be','to','of','and','that','have','with'],
+        |      r -> list_contains(list_transform(words, x -> lower(x)), r))) AS req
+        |  FROM w),
+        |r AS (SELECT doc_id,
+        |    (nw >= 50 AND nw <= 100000) AS r_word_count,
+        |    (mean_len >= 3.0 AND mean_len <= 10.0) AS r_mean_len,
+        |    ((CASE WHEN nw > 0 THEN n_sym / nw ELSE 0.0 END) <= 0.1) AS r_symbol,
+        |    (bullet_frac < 0.9 AND ellipsis_frac < 0.3) AS r_lines,
+        |    (alpha_frac >= 0.8) AS r_alpha,
+        |    (req >= 2) AS r_required
+        |  FROM m)
+        |SELECT doc_id,
+        |  CAST(r_word_count AS BIGINT) AS r_word_count,
+        |  CAST(r_mean_len AS BIGINT) AS r_mean_len,
+        |  CAST(r_symbol AS BIGINT) AS r_symbol,
+        |  CAST(r_lines AS BIGINT) AS r_lines,
+        |  CAST(r_alpha AS BIGINT) AS r_alpha,
+        |  CAST(r_required AS BIGINT) AS r_required,
+        |  CAST(r_word_count AND r_mean_len AND r_symbol AND r_lines AND r_alpha AND r_required AS BIGINT) AS pass
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // full bigram-LM replay: corpus unigram/bigram counts, vocabulary size,
     // add-0.4 smoothing, per-doc mean −log2 P — double math end to end

@@ -59,6 +59,55 @@ object TextAnalysis {
     (lengthOk + punctOk + stopOk) / 3.0
   }
 
+  /**
+   * Gopher quality-filter rules (Rae et al. 2021, arXiv:2112.11446,
+   * Appendix A1.1 "Quality filtering" — the MassiveWeb rule set, also the
+   * base of RedPajama/Dolma's "gopher_rules"). Per doc:
+   *
+   *   1. 50 ≤ word count ≤ 100,000
+   *   2. 3 ≤ mean word length ≤ 10
+   *   3. symbol-to-word ratio ≤ 0.1 (symbols: '#' and '…'/'...')
+   *   4. < 90% of lines start with a bullet; < 30% end with an ellipsis
+   *   5. ≥ 80% of words contain at least one alphabetic character
+   *   6. at least 2 distinct words from the required-word list
+   *      {the, be, to, of, and, that, have, with}
+   *
+   * Pure column math — one scan, zero shuffle, whole-stage codegen (the
+   * same posture as c4Clean). Returns the input plus per-rule booleans and
+   * the conjunction `gopher_pass`; words = whitespace tokens (the paper
+   * operates on whitespace words, not the inverted-index tokenizer).
+   */
+  def gopherFilter(df: org.apache.spark.sql.DataFrame, textCol: Column): org.apache.spark.sql.DataFrame = {
+    val words = Tokenize.whitespace(textCol)
+    val nWords = size(words).cast("double")
+    val meanLen = when(nWords > 0,
+      aggregate(words, lit(0.0), (acc, w) => acc + length(w)) / nWords).otherwise(lit(0.0))
+    val nSymbols = (length(textCol) - length(regexp_replace(textCol, "#|…", ""))).cast("double") +
+      (size(split(textCol, "\\.\\.\\.", -1)) - 1).cast("double")
+    val lines = filter(split(textCol, "\n"), l => length(trim(l)) > 0)
+    val nLines = size(lines).cast("double")
+    val bulletFrac = when(nLines > 0,
+      size(filter(lines, l => trim(l).rlike("^([\\u2022\\u2023\\u25E6\\u2043\\u2219*-])"))).cast("double") / nLines)
+      .otherwise(lit(0.0))
+    val ellipsisFrac = when(nLines > 0,
+      size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|…)$"))).cast("double") / nLines)
+      .otherwise(lit(0.0))
+    val alphaFrac = when(nWords > 0,
+      size(filter(words, w => w.rlike("[\\p{L}]"))).cast("double") / nWords).otherwise(lit(0.0))
+    val required = array(Seq("the", "be", "to", "of", "and", "that", "have", "with").map(lit): _*)
+    val requiredHits = size(filter(required,
+      r => array_contains(transform(words, w => lower(w)), r)))
+    val rules = Seq(
+      "gopher_word_count"  -> (nWords >= 50 && nWords <= 100000),
+      "gopher_mean_len"    -> (meanLen >= 3.0 && meanLen <= 10.0),
+      "gopher_symbol"      -> (when(nWords > 0, nSymbols / nWords).otherwise(lit(0.0)) <= 0.1),
+      "gopher_lines"       -> (bulletFrac < 0.9 && ellipsisFrac < 0.3),
+      "gopher_alpha"       -> (alphaFrac >= 0.8),
+      "gopher_required"    -> (requiredHits >= 2))
+    val withRules = rules.foldLeft(df) { case (d, (name, c)) => d.withColumn(name, c) }
+    withRules.withColumn("gopher_pass", rules.map(r => col(r._1)).reduce(_ && _))
+  }
+
   /** Per-language stopword profiles for the n-gram-free language-ID heuristic. */
   val LangProfiles: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit"),

@@ -42,6 +42,34 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(out(4L) == ((0, 0.0, 0.0)))
   }
 
+  test("gopherFilter: each rule trips on its own planted pathology") {
+    val fifty = (1 to 50).map(i => s"word$i").mkString(" ") // 50 alpha words, mean len ~5.5
+    val docs = Seq(
+      (1L, s"$fifty the be to of and"),                       // clean: passes all
+      (2L, "too short the be"),                               // word count < 50
+      (3L, (1 to 60).map(_ => "a").mkString(" ") + " the be"),// mean word length < 3
+      (4L, s"$fifty the be " + (1 to 12).map(_ => "#").mkString(" ")), // symbol ratio > 0.1
+      (5L, s"$fifty the be\n- b1\n- b2\n- b3"),               // 4 lines, 3 bullets → 75% < 90% passes
+      (6L, s"$fifty the be\n- b1\n- b2\n- b3\n- b4\n- b5\n- b6\n- b7\n- b8\n- b9"), // 10 lines, 9 bullets = 90% trips
+      (7L, s"$fifty the be " + (1 to 20).map(i => s"$i").mkString(" ")), // 20/72 numeric → alpha 72% < 80%
+      (8L, fifty)                                             // 0 required words
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherFilter(docs, $"text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> (
+        (r.getAs[Boolean]("gopher_word_count"), r.getAs[Boolean]("gopher_mean_len"),
+         r.getAs[Boolean]("gopher_symbol"), r.getAs[Boolean]("gopher_lines"),
+         r.getAs[Boolean]("gopher_alpha"), r.getAs[Boolean]("gopher_required"),
+         r.getAs[Boolean]("gopher_pass")))).toMap
+    assert(out(1L) == ((true, true, true, true, true, true, true)))
+    assert(!out(2L)._1 && !out(2L)._7)
+    assert(!out(3L)._2, s"mean-len rule should trip: ${out(3L)}")
+    assert(!out(4L)._3, s"symbol rule should trip: ${out(4L)}")
+    assert(out(5L)._4, s"75% bullets stays under the 90% cap: ${out(5L)}")
+    assert(!out(6L)._4, s"90% bullets trips the line rule: ${out(6L)}")
+    assert(!out(7L)._5, s"alpha rule should trip: ${out(7L)}")
+    assert(!out(8L)._6 && !out(8L)._7)
+  }
+
   test("lmPerplexity: in-distribution text scores lower than out-of-distribution") {
     // corpus dominated by one repeated bigram chain; doc 3 is made of tokens
     // that never co-occur in the training data; doc 4 too short to score
