@@ -679,6 +679,33 @@ object SparkEntryExt {
         .orderBy(col("doc_id"))
     }),
 
+    // pipeline: full Gopher repetition rule set (Rae et al. 2021 Table A1).
+    // Plants: %3 a 9-word sentence ×3 (dup 5..10-grams), %4 a line ×3
+    // (dup lines), %5 a paragraph ×2 (dup paragraphs); top 2/3/4-gram
+    // fractions come from the natural corpus words. Oracle replays bed +
+    // every fraction in DuckDB list/window SQL.
+    "q_text_gopher_rep" -> ((s, dir) => {
+      val docs = g(s, dir).collection("Document").df
+      val sent = " the quick brown fox jumps over the lazy dog"
+      val p3 = when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(sent * 3))).otherwise(col("text"))
+      val p4 = when(col("doc_id") % 4 === 0,
+        concat(p3, lit("\ndup line alpha\ndup line alpha\ndup line alpha"))).otherwise(p3)
+      val p5 = when(col("doc_id") % 5 === 0,
+        concat(p4, lit("\n\nsame paragraph text\n\nsame paragraph text"))).otherwise(p4)
+      val bed = docs.select(col("doc_id"), p5.as("page"))
+      val rep = TextAnalysis.gopherRepetition(bed, col("doc_id"), col("page"))
+      val fracCols = Seq("dup_line_frac", "dup_line_char_frac", "dup_para_frac",
+        "dup_para_char_frac", "top_2gram_char_frac", "top_3gram_char_frac",
+        "top_4gram_char_frac", "dup_5gram_char_frac", "dup_6gram_char_frac",
+        "dup_7gram_char_frac", "dup_8gram_char_frac", "dup_9gram_char_frac",
+        "dup_10gram_char_frac")
+      rep.select(col("id").as("doc_id") +:
+          fracCols.map(c => round(col(c), 4).as(c)) :+
+          col("gopher_rep_pass").cast("long").as("rep_pass"): _*)
+        .orderBy(col("doc_id"))
+    }),
+
     // pipeline: CCNet-style LM perplexity ranking (Wenzek et al. 2020) —
     // self-trained bigram LM with add-0.4 smoothing; the DuckDB oracle
     // replays the whole model (counts, vocabulary, smoothing, per-doc
@@ -2677,6 +2704,84 @@ object SparkEntryExt {
         |  CAST(r_required AS BIGINT) AS r_required,
         |  CAST(r_word_count AND r_mean_len AND r_symbol AND r_lines AND r_alpha AND r_required AS BIGINT) AS pass
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // identical bed plants + every Gopher repetition fraction in DuckDB:
+    // line/para dup math on lists, n-grams via position range + list slices,
+    // top gram per (doc, n) by (count desc, gram asc), dup-gram covered
+    // positions unioned before the char sum — mirroring the Spark shapes
+    "q_text_gopher_rep" ->
+      """WITH b1 AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0
+        |    THEN text || repeat(' the quick brown fox jumps over the lazy dog', 3)
+        |    ELSE text END AS t FROM documents),
+        |b2 AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0
+        |    THEN t || chr(10) || 'dup line alpha' || chr(10) || 'dup line alpha' || chr(10) || 'dup line alpha'
+        |    ELSE t END AS t FROM b1),
+        |bed AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+        |    THEN t || chr(10) || chr(10) || 'same paragraph text' || chr(10) || chr(10) || 'same paragraph text'
+        |    ELSE t END AS t FROM b2),
+        |lp AS (SELECT doc_id, t,
+        |    list_filter(regexp_split_to_array(t, '\s+'), x -> x <> '') AS toks,
+        |    list_filter(string_split(t, chr(10)), l -> trim(l) <> '') AS ls,
+        |    list_filter(string_split(t, chr(10) || chr(10)), p -> trim(p) <> '') AS pr FROM bed),
+        |rowm AS (SELECT doc_id,
+        |    CAST(coalesce(list_sum(list_transform(toks, w -> length(w))), 0) AS DOUBLE) AS twc,
+        |    CASE WHEN len(ls) > 0 THEN CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE) / len(ls) ELSE 0.0 END AS dlf,
+        |    CASE WHEN coalesce(list_sum(list_transform(ls, l -> length(l))), 0) > 0 THEN
+        |      CAST(list_sum(list_transform(ls, l -> length(l))) - list_sum(list_transform(list_distinct(ls), l -> length(l))) AS DOUBLE)
+        |        / list_sum(list_transform(ls, l -> length(l))) ELSE 0.0 END AS dlcf,
+        |    CASE WHEN len(pr) > 0 THEN CAST(len(pr) - len(list_distinct(pr)) AS DOUBLE) / len(pr) ELSE 0.0 END AS dpf,
+        |    CASE WHEN coalesce(list_sum(list_transform(pr, p -> length(p))), 0) > 0 THEN
+        |      CAST(list_sum(list_transform(pr, p -> length(p))) - list_sum(list_transform(list_distinct(pr), p -> length(p))) AS DOUBLE)
+        |        / list_sum(list_transform(pr, p -> length(p))) ELSE 0.0 END AS dpcf
+        |  FROM lp),
+        |g AS (SELECT doc_id, i, n, array_to_string(toks[i:i+n-1], ' ') AS gram,
+        |    CAST(list_sum(list_transform(toks[i:i+n-1], w -> length(w))) AS BIGINT) AS gchars
+        |  FROM lp, unnest(range(1, len(toks)+1)) AS tt(i), unnest([2,3,4,5,6,7,8,9,10]) AS nn(n)
+        |  WHERE i + n - 1 <= len(toks)),
+        |topc AS (SELECT doc_id, n, gram, count(*) AS cnt, min(gchars) AS gchars
+        |  FROM g WHERE n <= 4 GROUP BY 1, 2, 3),
+        |topr AS (SELECT doc_id, n, gchars * cnt AS tchars,
+        |    row_number() OVER (PARTITION BY doc_id, n ORDER BY cnt DESC, gram ASC) AS rn FROM topc),
+        |topw AS (SELECT doc_id,
+        |    sum(CASE WHEN n = 2 THEN tchars END) AS t2,
+        |    sum(CASE WHEN n = 3 THEN tchars END) AS t3,
+        |    sum(CASE WHEN n = 4 THEN tchars END) AS t4
+        |  FROM topr WHERE rn = 1 GROUP BY 1),
+        |dupg AS (SELECT doc_id, n, gram, count(*) AS cnt, list(i) AS ps
+        |  FROM g WHERE n >= 5 GROUP BY 1, 2, 3 HAVING count(*) > 1),
+        |cov AS (SELECT DISTINCT doc_id, n, i + k AS cp
+        |  FROM dupg, unnest(ps) AS oo(i), unnest(range(0, n)) AS kk(k)),
+        |wl AS (SELECT doc_id, i AS cp, length(toks[i]) AS w FROM lp, unnest(range(1, len(toks)+1)) AS tt(i)),
+        |dch AS (SELECT c.doc_id, c.n, sum(w.w) AS d FROM cov c JOIN wl w USING (doc_id, cp) GROUP BY 1, 2),
+        |dupw AS (SELECT doc_id,
+        |    sum(CASE WHEN n = 5 THEN d END) AS d5, sum(CASE WHEN n = 6 THEN d END) AS d6,
+        |    sum(CASE WHEN n = 7 THEN d END) AS d7, sum(CASE WHEN n = 8 THEN d END) AS d8,
+        |    sum(CASE WHEN n = 9 THEN d END) AS d9, sum(CASE WHEN n = 10 THEN d END) AS d10
+        |  FROM dch GROUP BY 1),
+        |f AS (SELECT r.doc_id, r.dlf, r.dlcf, r.dpf, r.dpcf,
+        |    CASE WHEN r.twc > 0 THEN coalesce(CAST(t.t2 AS DOUBLE), 0.0) / r.twc ELSE 0.0 END AS t2,
+        |    CASE WHEN r.twc > 0 THEN coalesce(CAST(t.t3 AS DOUBLE), 0.0) / r.twc ELSE 0.0 END AS t3,
+        |    CASE WHEN r.twc > 0 THEN coalesce(CAST(t.t4 AS DOUBLE), 0.0) / r.twc ELSE 0.0 END AS t4,
+        |    CASE WHEN r.twc > 0 THEN coalesce(CAST(d.d5 AS DOUBLE), 0.0) / r.twc ELSE 0.0 END AS d5,
+        |    CASE WHEN r.twc > 0 THEN coalesce(CAST(d.d6 AS DOUBLE), 0.0) / r.twc ELSE 0.0 END AS d6,
+        |    CASE WHEN r.twc > 0 THEN coalesce(CAST(d.d7 AS DOUBLE), 0.0) / r.twc ELSE 0.0 END AS d7,
+        |    CASE WHEN r.twc > 0 THEN coalesce(CAST(d.d8 AS DOUBLE), 0.0) / r.twc ELSE 0.0 END AS d8,
+        |    CASE WHEN r.twc > 0 THEN coalesce(CAST(d.d9 AS DOUBLE), 0.0) / r.twc ELSE 0.0 END AS d9,
+        |    CASE WHEN r.twc > 0 THEN coalesce(CAST(d.d10 AS DOUBLE), 0.0) / r.twc ELSE 0.0 END AS d10
+        |  FROM rowm r LEFT JOIN topw t USING (doc_id) LEFT JOIN dupw d USING (doc_id))
+        |SELECT doc_id,
+        |  round(dlf, 4) AS dup_line_frac, round(dlcf, 4) AS dup_line_char_frac,
+        |  round(dpf, 4) AS dup_para_frac, round(dpcf, 4) AS dup_para_char_frac,
+        |  round(t2, 4) AS top_2gram_char_frac, round(t3, 4) AS top_3gram_char_frac,
+        |  round(t4, 4) AS top_4gram_char_frac,
+        |  round(d5, 4) AS dup_5gram_char_frac, round(d6, 4) AS dup_6gram_char_frac,
+        |  round(d7, 4) AS dup_7gram_char_frac, round(d8, 4) AS dup_8gram_char_frac,
+        |  round(d9, 4) AS dup_9gram_char_frac, round(d10, 4) AS dup_10gram_char_frac,
+        |  CAST(dlf <= 0.30 AND dpf <= 0.30 AND dlcf <= 0.20 AND dpcf <= 0.20
+        |    AND t2 <= 0.20 AND t3 <= 0.18 AND t4 <= 0.16 AND d5 <= 0.15
+        |    AND d6 <= 0.14 AND d7 <= 0.13 AND d8 <= 0.12 AND d9 <= 0.11
+        |    AND d10 <= 0.10 AS BIGINT) AS rep_pass
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     // full bigram-LM replay: corpus unigram/bigram counts, vocabulary size,
     // add-0.4 smoothing, per-doc mean −log2 P — double math end to end

@@ -276,6 +276,141 @@ object TextAnalysis {
       .withColumn("perplexity", pow(lit(2.0), col("cross_entropy")))
   }
 
+  /**
+   * The COMPLETE Gopher/MassiveText repetition rule set (Rae et al. 2021,
+   * arXiv:2112.11446, Table A1 — the 13 repetition filters; also shipped by
+   * DataTrove's GopherRepetitionFilter and RedPajama-v2's signals):
+   *
+   *   - duplicate line / paragraph fraction          (> 0.30 / 0.30 filtered)
+   *   - duplicate line / paragraph CHARACTER fraction (> 0.20 / 0.20)
+   *   - top 2/3/4-gram character fraction            (> 0.20 / 0.18 / 0.16)
+   *   - duplicate 5..10-gram character fraction      (> 0.15 … 0.10)
+   *
+   * Definitions (fixed here, replayed by the oracle):
+   *   words = whitespace tokens; all char counts are WORD chars (no spaces);
+   *   dup element frac      = (elements − distinct elements) / elements;
+   *   dup element char frac = (Σ chars − Σ distinct-element chars) / Σ chars;
+   *   top n-gram char frac  = (gram word-chars × occurrences) / total word
+   *     chars, gram = most frequent (ties → lexicographically smallest);
+   *   dup n-gram char frac  = chars of word positions covered by ANY n-gram
+   *     occurring ≥ 2 times (all occurrences, positions unioned) / total
+   *     word chars — the RedPajama position-marking formulation.
+   *
+   * Spark shape: line/paragraph metrics are per-row array math (zero
+   * shuffle). n-gram metrics: posexplode → per-doc window (9 leads, one
+   * shuffle keyed on id, partitions bounded by doc length) → one explode of
+   * the 9 gram arities → partial-aggregated groupBy(id, n, gram). Covered
+   * positions union via explode + distinct + equi-join back to word lengths.
+   * Every shuffle is keyed on (id[, n, gram]) — no all-pairs, no global
+   * window — so the shape survives any corpus size.
+   */
+  def gopherRepetition(df: org.apache.spark.sql.DataFrame,
+                       idCol: Column, textCol: Column): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(idCol.as("id"), textCol.as("__t"),
+      Tokenize.whitespace(textCol).as("__toks"))
+
+    // per-row duplicate-element math: frac + char frac for an element array
+    def dupFracs(elems: Column): (Column, Column) = {
+      val n = size(elems)
+      val nd = size(array_distinct(elems))
+      val tc = aggregate(elems, lit(0L), (a, e) => a + length(e))
+      val dc = aggregate(array_distinct(elems), lit(0L), (a, e) => a + length(e))
+      (when(n > 0, (n - nd).cast("double") / n).otherwise(lit(0.0)),
+       when(tc > 0, (tc - dc).cast("double") / tc).otherwise(lit(0.0)))
+    }
+    val lines = filter(split(col("__t"), "\n"), l => length(trim(l)) > 0)
+    val paras = filter(split(col("__t"), "\n\n"), p => length(trim(p)) > 0)
+    val (dlf, dlcf) = dupFracs(lines)
+    val (dpf, dpcf) = dupFracs(paras)
+    val rowStats = base.select(col("id"),
+      aggregate(col("__toks"), lit(0L), (a, w) => a + length(w)).as("__twc"),
+      dlf.as("dup_line_frac"), dlcf.as("dup_line_char_frac"),
+      dpf.as("dup_para_frac"), dpcf.as("dup_para_char_frac"))
+
+    // n-gram bed: one posexplode, one per-doc window carrying 9 leads, one
+    // explode over the 9 arities — every gram row is (id, pos, n, gram, gchars)
+    val words = base.select(col("id"), posexplode(col("__toks")))
+      .toDF("id", "__pos", "__w")
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("__pos"))
+    val leadCols = (1 to 9).map(k => lead(col("__w"), k).over(byDoc).as(s"__w$k"))
+    val withLeads = words.select(col("id") +: col("__pos") +: col("__w") +: leadCols: _*)
+    val gramStructs = array((2 to 10).map { n =>
+      val ws: Seq[Column] = col("__w") +: (1 until n).map(k => col(s"__w$k"))
+      struct(lit(n).as("n"), concat_ws(" ", ws: _*).as("gram"),
+        ws.map(length).reduce(_ + _).cast("long").as("gchars"))
+    }: _*)
+    val grams = withLeads
+      .select(col("id"), col("__pos"), explode(gramStructs).as("g"))
+      .filter(col("g.gchars").isNotNull) // any null lead → gram runs off the doc
+      .select(col("id"), col("__pos"), col("g.n").as("n"),
+        col("g.gram").as("gram"), col("g.gchars").as("gchars"))
+
+    // top 2/3/4-gram: most frequent gram per (id, n), smallest gram on ties;
+    // the rank window partitions on (id, n) — bounded by per-doc gram counts
+    val counts = grams.filter(col("n") <= 4)
+      .groupBy(col("id"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("__cnt"), min(col("gchars")).as("__gchars"))
+    val rank = Window.partitionBy(col("id"), col("n"))
+      .orderBy(col("__cnt").desc, col("gram").asc)
+    val topWide = counts.withColumn("__rn", row_number().over(rank))
+      .filter(col("__rn") === 1)
+      .groupBy(col("id"))
+      .agg(sum(when(col("n") === 2, col("__gchars") * col("__cnt"))).as("__top2"),
+        sum(when(col("n") === 3, col("__gchars") * col("__cnt"))).as("__top3"),
+        sum(when(col("n") === 4, col("__gchars") * col("__cnt"))).as("__top4"))
+
+    // duplicate 5..10-grams: grams occurring ≥2× in a doc mark all their
+    // word positions; union positions, then sum the marked words' lengths
+    val dupOcc = grams.filter(col("n") >= 5)
+      .groupBy(col("id"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("__cnt"), collect_list(col("__pos")).as("__ps"))
+      .filter(col("__cnt") > 1)
+    val covered = dupOcc
+      .select(col("id"), col("n"), explode(col("__ps")).as("__p"))
+      .select(col("id"), col("n"),
+        explode(sequence(col("__p"), col("__p") + col("n") - 1)).as("__cp"))
+      .distinct()
+    val dupWide = covered
+      .join(words.select(col("id"), col("__pos").as("__cp"),
+        length(col("__w")).cast("long").as("__wl")), Seq("id", "__cp"))
+      .groupBy(col("id"), col("n")).agg(sum(col("__wl")).as("__dchars"))
+      .groupBy(col("id"))
+      .agg(sum(when(col("n") === 5, col("__dchars"))).as("__d5"),
+        sum(when(col("n") === 6, col("__dchars"))).as("__d6"),
+        sum(when(col("n") === 7, col("__dchars"))).as("__d7"),
+        sum(when(col("n") === 8, col("__dchars"))).as("__d8"),
+        sum(when(col("n") === 9, col("__dchars"))).as("__d9"),
+        sum(when(col("n") === 10, col("__dchars"))).as("__d10"))
+
+    def frac(c: String): Column =
+      when(col("__twc") > 0, coalesce(col(c).cast("double"), lit(0.0)) / col("__twc"))
+        .otherwise(lit(0.0))
+    val joined = rowStats
+      .join(topWide, Seq("id"), "left").join(dupWide, Seq("id"), "left")
+      .select(col("id"),
+        col("dup_line_frac"), col("dup_line_char_frac"),
+        col("dup_para_frac"), col("dup_para_char_frac"),
+        frac("__top2").as("top_2gram_char_frac"),
+        frac("__top3").as("top_3gram_char_frac"),
+        frac("__top4").as("top_4gram_char_frac"),
+        frac("__d5").as("dup_5gram_char_frac"),
+        frac("__d6").as("dup_6gram_char_frac"),
+        frac("__d7").as("dup_7gram_char_frac"),
+        frac("__d8").as("dup_8gram_char_frac"),
+        frac("__d9").as("dup_9gram_char_frac"),
+        frac("__d10").as("dup_10gram_char_frac"))
+    // Table A1 thresholds: a doc is filtered when ANY fraction exceeds its cap
+    joined.withColumn("gopher_rep_pass",
+      col("dup_line_frac") <= 0.30 && col("dup_para_frac") <= 0.30 &&
+      col("dup_line_char_frac") <= 0.20 && col("dup_para_char_frac") <= 0.20 &&
+      col("top_2gram_char_frac") <= 0.20 && col("top_3gram_char_frac") <= 0.18 &&
+      col("top_4gram_char_frac") <= 0.16 &&
+      col("dup_5gram_char_frac") <= 0.15 && col("dup_6gram_char_frac") <= 0.14 &&
+      col("dup_7gram_char_frac") <= 0.13 && col("dup_8gram_char_frac") <= 0.12 &&
+      col("dup_9gram_char_frac") <= 0.11 && col("dup_10gram_char_frac") <= 0.10)
+  }
+
   def repetitionStats(df: org.apache.spark.sql.DataFrame,
                       idCol: Column, textCol: Column): org.apache.spark.sql.DataFrame = {
     val base = df.select(idCol.as("id"), textCol.as("__t"))

@@ -70,6 +70,33 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(!out(8L)._6 && !out(8L)._7)
   }
 
+  test("gopherRepetition: each fraction on hand-computable beds") {
+    val docs = Seq(
+      // 26 distinct words: every dup metric 0 and each count-1 top n-gram
+      // fraction (n/26) sits under its cap — short docs with count-1 top
+      // grams can trip the caps by construction (the known Gopher artifact)
+      (1L, ('a' to 'z').mkString(" ")),
+      (2L, "x y\nx y\nz"),                  // dup lines: 1/3 lines, 3/7 line chars
+      (3L, "aa\n\naa\n\nbb"),               // dup paragraphs: 1/3, 2/6 chars
+      (4L, "p q r s t u p q r s t u"),      // 6-word unit ×2: 5-gram coverage 1.0, no 10-gram dup
+      (5L, "m n m n m n")                   // top 2-gram "m n" ×3, chars 2·3/6 = 1.0
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRepetition(docs, $"doc_id", $"text")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    def d(id: Long, c: String) = out(id).getAs[Double](c)
+    assert(d(1L, "dup_line_frac") == 0.0 && d(1L, "dup_5gram_char_frac") == 0.0)
+    assert(out(1L).getAs[Boolean]("gopher_rep_pass"))
+    assert(math.abs(d(2L, "dup_line_frac") - 1.0 / 3) < 1e-9)
+    assert(math.abs(d(2L, "dup_line_char_frac") - 3.0 / 7) < 1e-9)
+    assert(math.abs(d(3L, "dup_para_frac") - 1.0 / 3) < 1e-9)
+    assert(math.abs(d(3L, "dup_para_char_frac") - 2.0 / 6) < 1e-9)
+    assert(math.abs(d(4L, "dup_5gram_char_frac") - 1.0) < 1e-9,
+      s"unit-copy doc covers every word: ${out(4L)}")
+    assert(d(4L, "dup_10gram_char_frac") == 0.0, "two 6-word copies hold no repeated 10-gram")
+    assert(!out(4L).getAs[Boolean]("gopher_rep_pass"))
+    assert(math.abs(d(5L, "top_2gram_char_frac") - 1.0) < 1e-9, s"${out(5L)}")
+  }
+
   test("lmPerplexity: in-distribution text scores lower than out-of-distribution") {
     // corpus dominated by one repeated bigram chain; doc 3 is made of tokens
     // that never co-occur in the training data; doc 4 too short to score
