@@ -148,7 +148,11 @@ object Fixtures {
       Property("maybe_src", Text, Tokenization.Field),
       Property("n_chars", Int),
       Property("tags", Arr(Obj)),
-      Property("links", Ref, refTarget = Some("Document")))), documents))
+      Property("links", Ref, refTarget = Some("Document"))),
+      // IsNull (maybe_src) + len(text) filter beds need the class-level
+      // opt-ins — the reference gates both and defaults them OFF
+      invertedIndex = InvertedIndexConfig(
+        indexNullState = true, indexPropertyLength = true)), documents))
 
     lazy val embeddings = t(spark, dir, "embeddings")
       .withColumn("rev", reverse(col("embedding")))
@@ -187,7 +191,9 @@ object Fixtures {
       Property("value", Number),
       Property("props", Text, Tokenization.Word)),
       tenantColumn = Some("event_type"),
-      creationTimeColumn = Some("ts_nanos")), events(spark, dir)))
+      creationTimeColumn = Some("ts_nanos"),
+      // _creationTimeUnix metadata filters need the class-level opt-in
+      invertedIndex = InvertedIndexConfig(indexTimestamps = true)), events(spark, dir)))
 
     // keyword search on the text collections serves from the postings
     // inverted index (reference: BM25 is always index-served, BlockMax on by

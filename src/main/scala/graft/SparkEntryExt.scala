@@ -236,8 +236,7 @@ object SparkEntryExt {
   // The bed is mixed-script on purpose: Han runs exercise the bigram arm,
   // the surviving consonant runs exercise the word arm.
   private def cjkBedFor(gg: Graft): Unit =
-    if (!gg.hasCollection("DocCjk")) {
-      graft.text.Tokenize.cjkBigramFallback = true
+    if (!gg.hasCollection("DocCjk")) graft.text.Tokenize.withCjkFallback {
       val docs = gg.collection("Document").df
       val bed = docs.select(col("doc_id"),
         translate(lower(col("text")), "aeiou", "的一是不了").as("text_cjk"))
@@ -1057,13 +1056,14 @@ object SparkEntryExt {
     "q_bm25_cjk" -> ((s, dir) => {
       val gg = g(s, dir)
       cjkBedFor(gg)
-      graft.text.Tokenize.cjkBigramFallback = true
-      gg.get(GetParams("DocCjk",
-        bm25 = Some(Bm25("是的 str d", properties = Seq("text_cjk"))),
-        pagination = Some(Pagination(limit = 20)),
-        properties = Seq("doc_id"),
-        additional = Set("score")))
-        .select(col("doc_id"), round(col("_score"), 4).as("score"))
+      graft.text.Tokenize.withCjkFallback {
+        gg.get(GetParams("DocCjk",
+          bm25 = Some(Bm25("是的 str d", properties = Seq("text_cjk"))),
+          pagination = Some(Pagination(limit = 20)),
+          properties = Seq("doc_id"),
+          additional = Set("score")))
+          .select(col("doc_id"), round(col("_score"), 4).as("score"))
+      }
     }),
 
     // §2.3 ANN-index-served nearVector: Graft.get routes through the

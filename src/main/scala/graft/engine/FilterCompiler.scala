@@ -98,10 +98,13 @@ final class FilterCompiler(resolve: String => Collection) {
     if (w.path.isEmpty) fail(s"operator ${op.name}: property path required")
 
     // IsNull composes with ANY property type but requires a boolean value
-    // (filters_validator.go:119-124)
+    // (filters_validator.go:119-124) and the class-level null-state index
+    // (prop_value_pairs.go:383 — exact reference message, default OFF)
     if (op == WhereOp.IsNull) {
       if (!v.isInstanceOf[FilterValue.BoolV])
         fail(s"operator IsNull requires a booleanValue, got ${valueName(v)} instead")
+      if (!schema.invertedIndex.indexNullState)
+        fail("Nullstate must be indexed to be filterable! Add `indexNullState: true` to the invertedIndexConfig")
       return
     }
 
@@ -118,6 +121,25 @@ final class FilterCompiler(resolve: String => Collection) {
         if (iv < 0) fail(s"Can only filter for positive property length got $iv instead")
         if (schema.property(inner).isEmpty && inner != schema.idColumn)
           fail(s"no such prop with name '$inner' found in class '${schema.name}'")
+        schema.property(inner) match {
+          // len() on a cref is the ref META COUNT — gated on the prop's own
+          // inverted index, not the class length config (searcher.go:702,
+          // errors.go missingFilterableMetaCountFormat)
+          case Some(p) if p.dataType == PropType.Ref ||
+              p.dataType == PropType.Arr(PropType.Ref) =>
+            if (!p.hasAnyInvertedIndex)
+              fail(s"Searching by property '$inner' count requires inverted index. " +
+                s"Is `indexFilterable` option of property '$inner' enabled? " +
+                "Set it to `true` or leave empty")
+          // primitive length — class-level IndexPropertyLength gate
+          // (prop_value_pairs.go:379 — exact reference message, default OFF)
+          case _ =>
+            if (!schema.invertedIndex.indexPropertyLength)
+              fail("Property length must be indexed to be filterable! " +
+                "add `IndexPropertyLength: true` to the invertedIndexConfig " +
+                s"in ${schema.name}.  Geo-coordinates, phone numbers and data " +
+                "blobs are not supported by property length.")
+        }
         return
       // metadata pseudo-props (filters_validator.go:210-228)
       case "_id" =>
@@ -135,6 +157,11 @@ final class FilterCompiler(resolve: String => Collection) {
           case FilterValue.DateV(_) | FilterValue.TextV(_) | FilterValue.IntV(_) => ()
           case other => fail(s"""using ["$p"] to filter by timestamp: must use valueDate, valueText or valueInt, got ${valueName(other)}""")
         }
+        // class-level IndexTimestamps gate (prop_value_pairs.go:389 — exact
+        // reference message, default OFF)
+        if (!schema.invertedIndex.indexTimestamps)
+          fail("Timestamps must be indexed to be filterable! Add " +
+            s"`IndexTimestamps: true` to the InvertedIndexConfig in ${schema.name}")
         return
       // the raw id column addressed by name gets the same leniency as "_id":
       // ids are schema-typed here (not uuid-text), so valueInt is as valid as
@@ -159,7 +186,13 @@ final class FilterCompiler(resolve: String => Collection) {
       case PropType.Ref if w.path.length >= 2 =>
         val target = resolve(prop.refTarget.getOrElse(w.path(1)))
         validate(target.schema, w.copy(path = w.path.drop(2)))
-      // directly on a ref prop only valueInt counts edges (filters_validator.go:150-161)
+      // directly on a ref prop only valueInt counts edges (filters_validator.go:150-161);
+      // the count serves from the prop's meta-count bucket → inverted-index gate
+      // (searcher.go:702, missingFilterableMetaCountFormat)
+      case PropType.Ref if !prop.hasAnyInvertedIndex =>
+        fail(s"Searching by property '${w.path.head}' count requires inverted index. " +
+          s"Is `indexFilterable` option of property '${w.path.head}' enabled? " +
+          "Set it to `true` or leave empty")
       case PropType.Ref =>
         if (!v.isInstanceOf[FilterValue.IntV] && !(v match {
           case FilterValue.ListV(vs) => vs.forall(_.isInstanceOf[FilterValue.IntV])
@@ -183,6 +216,13 @@ final class FilterCompiler(resolve: String => Collection) {
         }
       case PropType.Phone | PropType.Obj => () // struct gate lives in leaf()
       case t =>
+        // a property with NO inverted index (filterable off, and no
+        // searchable/rangeable fallback) cannot be filtered on — exact
+        // reference error (searcher.go:919, missingFilterableFormat)
+        if (!prop.hasAnyInvertedIndex)
+          fail(s"Filtering by property '${w.path.head}' requires inverted index. " +
+            s"Is `indexFilterable` option of property '${w.path.head}' enabled? " +
+            "Set it to `true` or leave empty")
         if (op == WhereOp.WithinGeoRange)
           fail(s"operator WithinGeoRange requires a geoCoordinates property, '${w.path.head}' is ${t.name}")
         else if (op == WhereOp.Like) {

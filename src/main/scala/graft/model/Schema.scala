@@ -60,7 +60,37 @@ final case class Property(
     // accent folding applied to indexed text AND query/filter terms
     // (reference: entities/models/text_analyzer_config.go ASCIIFold;
     // algorithm entities/tokenizer/ascii_fold.go)
-    asciiFold: Boolean = false)
+    asciiFold: Boolean = false,
+    // rangeable index flag — int/number/date only, default OFF
+    // (reference: adapters/repos/db/inverted/objects.go HasRangeableIndex)
+    indexRangeFilters: Boolean = false) {
+
+  /** Searchable index exists only on text/text[] (objects.go:575-585). */
+  def hasSearchableIndex: Boolean = indexSearchable &&
+    (dataType == PropType.Text || dataType == PropType.Arr(PropType.Text))
+
+  /** Rangeable index exists only on int/number/date (objects.go:598-608). */
+  def hasRangeableIndex: Boolean = indexRangeFilters && (dataType match {
+    case PropType.Int | PropType.Number | PropType.Date => true
+    case _ => false
+  })
+
+  /** Any inverted index at all (objects.go:611-613) — filters on a property
+   * with none of the three must error like the reference. */
+  def hasAnyInvertedIndex: Boolean =
+    indexFilterable || hasSearchableIndex || hasRangeableIndex
+}
+
+/**
+ * Class-level inverted-index config (reference: entities/models/class.go
+ * InvertedIndexConfig). The three gates default FALSE exactly like the
+ * reference — len()/IsNull/timestamp-metadata filters ERROR unless the
+ * collection opted in (adapters/repos/db/inverted/prop_value_pairs.go:379-389).
+ */
+final case class InvertedIndexConfig(
+    indexTimestamps: Boolean = false,
+    indexNullState: Boolean = false,
+    indexPropertyLength: Boolean = false)
 
 /**
  * A collection ("class"). `idColumn` plays the role of weaviate's uuid primary
@@ -92,7 +122,8 @@ final case class CollectionSchema(
     // these columns (reference: searcher.go:816 metadata filters)
     creationTimeColumn: Option[String] = None,
     updateTimeColumn: Option[String] = None,
-    stopwords: StopwordConfig = StopwordConfig()) {
+    stopwords: StopwordConfig = StopwordConfig(),
+    invertedIndex: InvertedIndexConfig = InvertedIndexConfig()) {
 
   private val byName: Map[String, Property] = properties.map(p => p.name -> p).toMap
   def property(name: String): Option[Property] = byName.get(name)

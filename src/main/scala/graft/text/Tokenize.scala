@@ -39,6 +39,16 @@ object Tokenize {
   def cjkBigramFallback: Boolean = cjkFallbackTL.get()
   def cjkBigramFallback_=(v: Boolean): Unit = cjkFallbackTL.set(v)
 
+  /** Run `body` with the CJK bigram fallback enabled, restoring the previous
+   * thread-local value afterwards — callers must not leak the gate onto
+   * pooled threads (plan construction is the only reader, so scoping the
+   * setter around query/bed construction is sufficient). */
+  def withCjkFallback[T](body: => T): T = {
+    val prev = cjkBigramFallback
+    cjkBigramFallback = true
+    try body finally cjkBigramFallback = prev
+  }
+
   /** `word`: runs of letters/digits, lowercased. */
   def word(c: Column): Column =
     filterEmpty(regexp_extract_all(lower(c), lit("[\\p{L}\\p{N}]+"), lit(0)))

@@ -40,7 +40,10 @@ class FilterCompilerSpec extends SparkSpecBase {
       Property("nickname", PropType.Text, Tokenization.Field),
       Property("exps", PropType.Arr(PropType.Obj)),
       Property("city_id", PropType.Ref, refTarget = Some("City")),
-      Property("friend_ids", PropType.Ref, refTarget = Some("Person")))), people)
+      Property("friend_ids", PropType.Ref, refTarget = Some("Person"))),
+      // IsNull / len() tests need the reference's class-level opt-ins
+      invertedIndex = InvertedIndexConfig(
+        indexNullState = true, indexPropertyLength = true, indexTimestamps = true)), people)
     val cities = Seq((10L, "Berlin", 3600000L), (20L, "Paris", 2100000L), (30L, "Rome", 2800000L))
       .toDF("cid", "cname", "pop")
     gg.register(CollectionSchema("City", "cid", Seq(
@@ -217,5 +220,49 @@ class FilterCompilerSpec extends SparkSpecBase {
     }
     val refTail = intercept[IllegalArgumentException] { ids(Where.eqInt("city_id/City/cname", 1L)) }
     assert(refTail.getMessage.contains("valueText"))
+  }
+
+  test("inverted-index gates: len/IsNull/timestamps default OFF; no-index props unfilterable") {
+    import spark.implicits._
+    // a class WITHOUT the opt-ins and with one never-indexed property —
+    // the reference's defaults (prop_value_pairs.go:379-389, searcher.go:919)
+    val rows = Seq((1L, "a", 5L, 2L), (2L, "b", 6L, 3L)).toDF("id", "nm", "secret", "ts_n")
+    g.register(CollectionSchema("Gated", "id", Seq(
+      Property("nm", PropType.Text, Tokenization.Field),
+      Property("secret", PropType.Int, indexFilterable = false),
+      Property("loose_ref", PropType.Ref, refTarget = Some("City"),
+        indexFilterable = false)),
+      creationTimeColumn = Some("ts_n")), rows.withColumn("loose_ref", col("id")))
+    def q(w: Where) = g.get(GetParams("Gated", where = Some(w), properties = Seq("id"))).collect()
+
+    val lenErr = intercept[IllegalArgumentException] { q(Where.gtInt("len(nm)", 1L)) }
+    assert(lenErr.getMessage.contains("Property length must be indexed to be filterable! " +
+      "add `IndexPropertyLength: true` to the invertedIndexConfig in Gated"))
+    val nullErr = intercept[IllegalArgumentException] { q(Where.isNull("nm")) }
+    assert(nullErr.getMessage.contains("Nullstate must be indexed to be filterable! " +
+      "Add `indexNullState: true` to the invertedIndexConfig"))
+    val tsErr = intercept[IllegalArgumentException] {
+      q(Where(WhereOp.GreaterThan, Seq("_creationTimeUnix"), Some(FilterValue.IntV(1L))))
+    }
+    assert(tsErr.getMessage.contains("Timestamps must be indexed to be filterable! " +
+      "Add `IndexTimestamps: true` to the InvertedIndexConfig in Gated"))
+    val noIdx = intercept[IllegalArgumentException] { q(Where.eqInt("secret", 5L)) }
+    assert(noIdx.getMessage.contains("Filtering by property 'secret' requires inverted index. " +
+      "Is `indexFilterable` option of property 'secret' enabled?"))
+    // ref meta-count gate: both the direct valueInt form and len(ref)
+    val cntErr = intercept[IllegalArgumentException] { q(Where.eqInt("loose_ref", 1L)) }
+    assert(cntErr.getMessage.contains("Searching by property 'loose_ref' count requires inverted index"))
+    val lenRefErr = intercept[IllegalArgumentException] { q(Where.eqInt("len(loose_ref)", 1L)) }
+    assert(lenRefErr.getMessage.contains("Searching by property 'loose_ref' count requires inverted index"))
+    // a text prop with filterable OFF but searchable ON still filters
+    // (HasAnyInvertedIndex fallback, objects.go:611) — and rangeable rescues
+    // an int prop with filterable OFF
+    g.register(CollectionSchema("Gated2", "id", Seq(
+      Property("nm", PropType.Text, Tokenization.Field, indexFilterable = false),
+      Property("n", PropType.Int, indexFilterable = false, indexRangeFilters = true))),
+      Seq((1L, "a", 5L), (2L, "b", 6L)).toDF("id", "nm", "n"))
+    def q2(w: Where) = g.get(GetParams("Gated2", where = Some(w), properties = Seq("id"))).collect()
+    assert(q2(Where.eqText("nm", "a")).map(_.getLong(0)).toSeq == Seq(1L))
+    assert(q2(Where.gtInt("n", 5L)).map(_.getLong(0)).toSeq == Seq(2L))
   }
 }
