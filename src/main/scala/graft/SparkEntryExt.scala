@@ -527,6 +527,19 @@ object SparkEntryExt {
         .orderBy(col("doc_id"))
     }),
 
+    // pipeline: ExactSubstr span EXCISION (the cleaning step of Lee et al.
+    // 2022 — every occurrence of a cross-doc duplicated 8-gram span is cut,
+    // survivors re-join on single spaces); emits only the docs that lost
+    // tokens. Same detection model as q_dedup_substring.
+    "q_dedup_substr_clean" -> ((s, dir) => {
+      val docs = g(s, dir).collection("Document").df
+      Dedup.substringRemove(docs, col("doc_id"), col("text"), n = 8, minDocs = 2)
+        .filter(col("removed_tokens") > 0)
+        .select(col("__id").as("doc_id"), col("clean_text"),
+          col("kept_tokens"), col("removed_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // pipeline: SimHash near-dup over a planted bed. xxhash64 simhash isn't
     // DuckDB-expressible, so the oracle is the planted qualifying pairs
     // (exact copies ⇒ identical signature ⇒ pigeonhole bucket hit, hamming 0).
@@ -2516,6 +2529,36 @@ object SparkEntryExt {
         |  round((8 + coalesce(list_sum(list_transform(range(2, len(ps) + 1),
         |      i -> least(ps[i] - ps[i-1], 8))), 0)) / CAST(ntok AS DOUBLE), 4) AS dup_fraction
         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // same detection model as q_dedup_substring, then position-level
+    // excision: covered (doc, pos) pairs unioned, surviving tokens
+    // re-assembled in position order
+    "q_dedup_substr_clean" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |base AS (SELECT doc_id, t, len(t) AS ntok FROM toks),
+        |grams AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(list_slice(t, i, i + 7), ' ') AS g
+        |  FROM base, UNNEST(range(1, ntok - 8 + 2)) AS u(i)
+        |  WHERE ntok >= 8),
+        |dup AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, pos + k AS cp
+        |  FROM grams, UNNEST(range(0, 8)) AS kk(k) WHERE g IN (SELECT g FROM dup)),
+        |tokpos AS (SELECT doc_id, i - 1 AS pos, t[i] AS w
+        |  FROM base, UNNEST(range(1, ntok + 1)) AS u(i)),
+        |kept AS (SELECT tp.doc_id, tp.pos, tp.w FROM tokpos tp
+        |  LEFT JOIN cov c ON tp.doc_id = c.doc_id AND tp.pos = c.cp
+        |  WHERE c.cp IS NULL),
+        |agg AS (SELECT doc_id, count(*) AS kept_tokens,
+        |    string_agg(w, ' ' ORDER BY pos) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT b.doc_id, coalesce(a.clean_text, '') AS clean_text,
+        |  CAST(coalesce(a.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+        |  CAST(b.ntok - coalesce(a.kept_tokens, 0) AS BIGINT) AS removed_tokens
+        |FROM base b LEFT JOIN agg a USING (doc_id)
+        |WHERE b.ntok - coalesce(a.kept_tokens, 0) > 0
+        |ORDER BY b.doc_id""".stripMargin,
 
     // planted-pair oracle (same argument; copies are bit-identical → dist 0,
     // natural pairs all ≥ 0.3 cosine distance)

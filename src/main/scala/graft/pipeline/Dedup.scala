@@ -483,6 +483,53 @@ object Dedup {
           .otherwise(lit(0.0)).as("dup_fraction"))
   }
 
+  /**
+   * ExactSubstr span EXCISION — the cleaning step the coverage signal above
+   * feeds (Lee et al. 2022; their released suffix-array tool emits the byte
+   * ranges of duplicated substrings and removes EVERY occurrence, first
+   * copies included — mirrored here at token granularity). Every token
+   * position covered by an n-gram that occurs in ≥ `minDocs` distinct
+   * documents is dropped; the survivors re-join with single spaces as
+   * `clean_text`.
+   *
+   * Scale shape: the same linear explode + hash-keyed count-distinct +
+   * semi-join as [[substringCoverage]]; covered positions become a distinct
+   * (id, pos) frame anti-joined against the token frame, and the per-doc
+   * re-assembly is one collect_list bounded by the document's own token
+   * count. Every shuffle is equi-keyed on (id[, pos]) or the 8-byte gram
+   * hash — no pairwise work, no global window.
+   */
+  def substringRemove(df: DataFrame, idCol: Column, textCol: Column,
+                      n: Int = 8, minDocs: Int = 2): DataFrame = {
+    val base = df.select(idCol.as("__id"), Tokenize.whitespace(textCol).as("__toks"))
+      .withColumn("__ntok", size(col("__toks")).cast("long"))
+    val grams = base.filter(col("__ntok") >= n)
+      .select(col("__id"),
+        posexplode(expr(
+          s"transform(sequence(0, int(__ntok) - $n), i -> xxhash64(array_join(slice(__toks, i + 1, $n), ' ')))"))
+          .as(Seq("__pos", "__h")))
+    val dupGrams = grams.groupBy(col("__h"))
+      .agg(countDistinct(col("__id")).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select(col("__h"))
+    val covered = grams.join(dupGrams, Seq("__h"), "left_semi")
+      .select(col("__id"),
+        explode(sequence(col("__pos"), col("__pos") + lit(n - 1))).as("__pos"))
+      .distinct()
+    val tokens = base.select(col("__id"), posexplode(col("__toks")).as(Seq("__pos", "__w")))
+    val kept = tokens.join(covered, Seq("__id", "__pos"), "left_anti")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("kept_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__w")))),
+          x => x.getField("__w")), " ").as("clean_text"))
+    base.select(col("__id"), col("__ntok")).join(kept, Seq("__id"), "left")
+      .select(col("__id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        (col("__ntok") - coalesce(col("kept_tokens"), lit(0L))).as("removed_tokens"))
+  }
+
   def clusterPairs(pairs: DataFrame, aCol: Column, bCol: Column,
                    maxIterations: Int = 20): DataFrame = {
     // the pair relation is typically an expensive LSH pipeline — materialize

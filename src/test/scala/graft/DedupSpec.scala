@@ -143,4 +143,20 @@ class DedupSpec extends SparkSpecBase {
     assert(got(6L) == ((3L, 10.0 / 14)), "overlapping spans must union, not sum")
     assert(got(7L) == ((3L, 10.0 / 14)))
   }
+
+  test("substring removal: every occurrence excised, survivors keep order, clean docs untouched") {
+    val span8 = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    val docs = Seq(
+      (1L, s"pre1 pre2 $span8 tail1 tail2"),  // loses the span from the middle
+      (2L, s"$span8 sfx1 sfx2"),              // loses the span from the front
+      (3L, span8),                            // full copy → empty clean text
+      (4L, "n1 n2 n3 n4 n5 n6 n7 n8 n9")      // no cross-doc dup → untouched
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringRemove(docs, $"doc_id", $"text", n = 8, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("pre1 pre2 tail1 tail2", 4L, 8L)))
+    assert(got(2L) == (("sfx1 sfx2", 2L, 8L)))
+    assert(got(3L) == (("", 0L, 8L)), "fully-duplicated doc empties out")
+    assert(got(4L) == (("n1 n2 n3 n4 n5 n6 n7 n8 n9", 9L, 0L)))
+  }
 }
