@@ -1079,6 +1079,30 @@ object SparkEntryExt {
       }
     }),
 
+    // §2.3 dynamic search breadth — the reference's ef = -1 "let Weaviate
+    // pick" policy (hnsw/search.go:46-76, defaults config.go:29-32) as a
+    // k-scaled IVF probe count. Bed sized SF-independently (vec_id < 400,
+    // nlist=8 → mean list 50); k=63 → ef = clamp(8·63, 100, 500) = 500 →
+    // all 8 lists probed → exact, so the brute-force oracle hash-matches;
+    // AnnSpec pins the partial-probe arithmetic and the recall bar.
+    "q_near_dynef" -> ((s, dir) => {
+      val gg = g(s, dir)
+      if (!gg.hasCollection("EmbDyn")) {
+        val bed = gg.collection("Embedding").df.filter(col("vec_id") < 400)
+        gg.register(CollectionSchema("EmbDyn", "vec_id", Seq(Property("label", PropType.Int)),
+          vectors = Map("default" -> "embedding"), defaultVector = Some("default")), bed)
+        gg.registerIndex("EmbDyn", "default",
+          graft.ann.IvfIndex.build(bed, "vec_id", "embedding", nlist = 8)
+            .copy(dynamicProbe = Some(graft.ann.DynamicProbeConfig())))
+      }
+      gg.get(GetParams("EmbDyn",
+        nearVector = Some(NearVector(Fixtures.anchorVector(gg, 13L), metric = Metric.L2Squared)),
+        pagination = Some(Pagination(limit = 63)),
+        properties = Seq("vec_id"),
+        additional = Set("distance")))
+        .select(col("vec_id"), round(col("_distance"), 4).as("dist"))
+    }),
+
     // §2.3 ANN-index-served nearVector: Graft.get routes through the
     // registered IVF index (planner = IvfIndex.searchOrScan); full probe here
     // keeps it exact so the brute-force SQL oracle hash-matches, while the
@@ -1855,6 +1879,16 @@ object SparkEntryExt {
          |      FROM embeddings e CROSS JOIN qv q)
          |SELECT vec_id, round(dist, 4) AS dist FROM d
          |ORDER BY d.dist ASC, vec_id ASC LIMIT 12""".stripMargin,
+
+    // dynamic breadth policy demands all 8 lists at k=63 (ef cap 500 ≥ the
+    // 400-row bed) → exact → brute-force oracle; the partial-probe regime
+    // is spec territory (AnnSpec dynamic-probe arithmetic + recall)
+    "q_near_dynef" ->
+      s"""WITH ${sqlQv(13)},
+         |d AS (SELECT e.vec_id, ${sqlL2("e.embedding", "q.v")} AS dist
+         |      FROM embeddings e CROSS JOIN qv q WHERE e.vec_id < 400)
+         |SELECT vec_id, round(dist, 4) AS dist FROM d
+         |ORDER BY d.dist ASC, vec_id ASC LIMIT 63""".stripMargin,
 
     // the upgraded dynamic index serves the full corpus at full probe, so
     // the oracle is plain brute-force top-k (the flat→upgrade transition is

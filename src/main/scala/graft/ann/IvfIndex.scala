@@ -36,7 +36,33 @@ final case class IvfIndex(
     replicas: Int = 1,
     defaultNprobe: Int = 1,
     persistPath: Option[String] = None,
-    appendsSinceCheckpoint: Int = 0) {
+    appendsSinceCheckpoint: Int = 0,
+    dynamicProbe: Option[DynamicProbeConfig] = None) {
+
+  /** Total assigned rows — counted once, lazily (the build already scanned
+   * the data, and the count feeds only the dynamic-probe mean list size). */
+  lazy val assignedRows: Long = assigned.count()
+
+  /**
+   * The reference's dynamic-ef policy mapped onto IVF probes (vector/hnsw/
+   * search.go:46-76, defaults entities/vectorindex/hnsw/config.go:29-32:
+   * ef = clamp(k·factor, efMin, efMax), raised to k when k is larger —
+   * "let Weaviate pick" when the user sets no explicit breadth). The IVF
+   * translation: ef is the candidate budget, so probe enough posting lists
+   * to expect ≥ ef candidates — probes = ceil(ef / mean list size), clamped
+   * to [1, nlist]. Opt-in via `dynamicProbe`; otherwise `defaultNprobe`
+   * (exactly like an explicit ef > 0 in the reference).
+   */
+  def dynamicNprobe(k: Int): Int = dynamicProbe match {
+    case None => defaultNprobe
+    case Some(cfg) =>
+      var ef = k * cfg.factor
+      if (ef > cfg.efMax) ef = cfg.efMax
+      if (ef < cfg.efMin) ef = cfg.efMin
+      if (k > ef) ef = k // otherwise results would get cut off early
+      val meanList = math.max(1L, math.round(assignedRows.toDouble / centroids.length))
+      math.min(centroids.length, math.max(1, math.ceil(ef.toDouble / meanList).toInt))
+  }
 
   /** Rank centroids by distance to the query (driver-side, nlist entries). */
   def rankCentroids(query: Array[Float]): Array[Int] = {
@@ -130,6 +156,10 @@ final case class IvfIndex(
   }
 }
 
+/** Dynamic-probe knobs — the reference's dynamicEfFactor/Min/Max defaults
+ * (entities/vectorindex/hnsw/config.go:29-32). */
+final case class DynamicProbeConfig(factor: Int = 8, efMin: Int = 100, efMax: Int = 500)
+
 object IvfIndex {
 
   /**
@@ -211,10 +241,10 @@ object IvfIndex {
     (filtered, filteredCountHint) match {
       case (None, _) if indexable =>
         index.get.search(params.queryFor(0), limit.get, params.metric,
-          nprobe.getOrElse(index.get.defaultNprobe))
+          nprobe.getOrElse(index.get.dynamicNprobe(limit.get)))
       case (Some(allow), Some(n)) if indexable && n >= flatSearchCutoff =>
         index.get.searchFiltered(params.queryFor(0), limit.get, params.metric,
-          nprobe.getOrElse(index.get.defaultNprobe), allow.select(col(index.get.idCol)))
+          nprobe.getOrElse(index.get.dynamicNprobe(limit.get)), allow.select(col(index.get.idCol)))
       case (None, _) if multiIndexable =>
         multiTargetSearch(c, targets, multiIdx.get, params, limit.get, None, nprobe)
       case (Some(allow), Some(n)) if multiIndexable && n >= flatSearchCutoff =>

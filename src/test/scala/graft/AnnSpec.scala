@@ -40,6 +40,62 @@ class AnnSpec extends SparkSpecBase {
     assert(mean >= 0.9, s"mean recall $mean < 0.9 (per-query: ${recalls.mkString(",")})")
   }
 
+  test("dynamic probe policy: reference ef clamps mapped to probe counts; recall holds at defaults") {
+    import graft.ann.DynamicProbeConfig
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet") // 50 rows at sf0.001
+    val base = IvfIndex.build(emb, "vec_id", "embedding", nlist = 5, defaultNprobe = 2)
+    // unset → defaultNprobe, exactly like an explicit ef in the reference
+    assert(base.dynamicNprobe(10) == 2)
+    val ix = base.copy(dynamicProbe = Some(DynamicProbeConfig()))
+    val rows = ix.assignedRows // 500; mean list = 100
+    assert(rows == 500L)
+    // k=1 → ef clamps UP to efMin=100 → probes = ceil(100/100) = 1
+    assert(ix.dynamicNprobe(1) == 1)
+    // k=200 → ef = clamp(1600, 100, 500) = 500 → probes = ceil(500/100) = 5 (all lists)
+    assert(ix.dynamicNprobe(200) == 5)
+    // interior arithmetic with custom knobs (factor=2, efMin=4, efMax=300):
+    // k=10 → ef=20 → 1 probe; k=75 → ef=150 → 2; k=200 → ef caps at 300 → 3
+    val ix2 = base.copy(dynamicProbe = Some(DynamicProbeConfig(factor = 2, efMin = 4, efMax = 300)))
+    assert(ix2.dynamicNprobe(10) == 1)
+    assert(ix2.dynamicNprobe(75) == 2)
+    assert(ix2.dynamicNprobe(200) == 3)
+    // k above efMax: ef raised back to k=400 → ceil(400/100) = 4
+    assert(ix2.dynamicNprobe(400) == 4)
+    // when the policy demands every list (k=200 → 5/5 probes) the search is
+    // EXACT — brute-force parity on the near-uniform bed
+    val q = emb.filter($"vec_id" === 25L).head().getSeq[Float](1).toArray
+    val truth200 = VectorSearch.withDistance(emb, "embedding", q, Metric.L2Squared)
+      .orderBy(col(VectorSearch.DistanceCol).asc, $"vec_id".asc).limit(200)
+      .select($"vec_id").collect().map(_.getLong(0)).toSeq
+    val got200 = ix.search(q, 200, Metric.L2Squared, nprobe = ix.dynamicNprobe(200))
+      .select($"vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got200 == truth200, "all-list dynamic probe must reproduce brute force")
+    // recall bar at the breadth the policy picks for k=63 on CLUSTERED data
+    // (ef=500 → 4/16 probes — the configuration the recall suite proves)
+    val rnd = new scala.util.Random(42)
+    val centers = Array.fill(20)(Array.fill(16)(rnd.nextGaussian()))
+    val rows2k = (0 until 2000).map { i =>
+      val c = centers(i % 20)
+      (i.toLong, c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val emb2 = rows2k.toDF("vec_id", "embedding")
+    val cIx = IvfIndex.build(emb2, "vec_id", "embedding", nlist = 16)
+      .copy(dynamicProbe = Some(DynamicProbeConfig()))
+    cIx.assigned.cache().count()
+    assert(cIx.dynamicNprobe(63) == 4) // 2000 rows/16 lists → mean 125; ef=500
+    val recalls = rows2k.grouped(100).map(_.head).toSeq.map { case (_, qv) =>
+      val qq = qv.toArray
+      val truth = VectorSearch.withDistance(emb2, "embedding", qq, Metric.L2Squared)
+        .orderBy(col(VectorSearch.DistanceCol).asc, $"vec_id".asc).limit(10)
+        .select($"vec_id").collect().map(_.getLong(0)).toSet
+      val got = cIx.search(qq, 63, Metric.L2Squared, nprobe = cIx.dynamicNprobe(63))
+        .limit(10).select($"vec_id").collect().map(_.getLong(0)).toSet
+      truth.intersect(got).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.9, s"mean recall $mean < 0.9 at policy-chosen breadth")
+  }
+
   test("recall grows with nprobe on near-uniform testdata embeddings") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val index = IvfIndex.build(emb, "vec_id", "embedding", nlist = 16)
