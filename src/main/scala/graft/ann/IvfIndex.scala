@@ -37,7 +37,9 @@ final case class IvfIndex(
     defaultNprobe: Int = 1,
     persistPath: Option[String] = None,
     appendsSinceCheckpoint: Int = 0,
-    dynamicProbe: Option[DynamicProbeConfig] = None) {
+    dynamicProbe: Option[DynamicProbeConfig] = None,
+    filterStrategy: FilterStrategy = FilterStrategy.Sweeping,
+    acornFilterRatio: Double = 0.4) {
 
   /** Total assigned rows — counted once, lazily (the build already scanned
    * the data, and the count feeds only the dynamic-probe mean list size). */
@@ -62,6 +64,24 @@ final case class IvfIndex(
       if (k > ef) ef = k // otherwise results would get cut off early
       val meanList = math.max(1L, math.round(assignedRows.toDouble / centroids.length))
       math.min(centroids.length, math.max(1, math.ceil(ef.toDouble / meanList).toInt))
+  }
+
+  /**
+   * ACORN probe widening (IVF translation of the filter-aware graph walk,
+   * hnsw/search.go:226-293): a probe at breadth `base` intersected with an
+   * allowlist of density `ratio` yields ~ratio of the normal candidates, so
+   * widen to base/ratio lists (capped at nlist) to restore the expected
+   * allowed-candidate count. The reference gate applies verbatim: dense
+   * filters (ratio > acornFilterRatio) stay at sweeping breadth, and the
+   * strategy itself is per-index opt-in.
+   */
+  def acornProbes(base: Int, allowCount: Long): Int = filterStrategy match {
+    case FilterStrategy.Sweeping => base
+    case FilterStrategy.Acorn =>
+      val ratio = allowCount.toDouble / math.max(1L, assignedRows)
+      if (ratio > acornFilterRatio) base
+      else math.min(centroids.length,
+        math.max(base, math.ceil(base / math.max(ratio, 1.0 / centroids.length)).toInt))
   }
 
   /** Rank centroids by distance to the query (driver-side, nlist entries). */
@@ -160,6 +180,23 @@ final case class IvfIndex(
  * (entities/vectorindex/hnsw/config.go:29-32). */
 final case class DynamicProbeConfig(factor: Int = 8, efMin: Int = 100, efMax: Int = 500)
 
+/**
+ * Filtered-search strategy (reference: hnsw/search.go:38-44 SWEEPING/ACORN,
+ * configured per index via `filterStrategy` — entities/vectorindex/hnsw/
+ * config.go FilterStrategySweeping/Acorn). SWEEPING searches at the normal
+ * breadth and intersects with the allowlist; ACORN widens the search in
+ * proportion to the filter's selectivity so the expected number of ALLOWED
+ * candidates matches an unfiltered search — but only when the filter is
+ * actually selective (allowlist fraction ≤ acornFilterRatio, default 0.4 —
+ * search.go:206-218, usecases/config/environment.go:46); dense filters fall
+ * back to sweeping exactly like the reference gate.
+ */
+sealed trait FilterStrategy
+object FilterStrategy {
+  case object Sweeping extends FilterStrategy
+  case object Acorn extends FilterStrategy
+}
+
 object IvfIndex {
 
   /**
@@ -243,8 +280,9 @@ object IvfIndex {
         index.get.search(params.queryFor(0), limit.get, params.metric,
           nprobe.getOrElse(index.get.dynamicNprobe(limit.get)))
       case (Some(allow), Some(n)) if indexable && n >= flatSearchCutoff =>
+        val base = nprobe.getOrElse(index.get.dynamicNprobe(limit.get))
         index.get.searchFiltered(params.queryFor(0), limit.get, params.metric,
-          nprobe.getOrElse(index.get.dynamicNprobe(limit.get)), allow.select(col(index.get.idCol)))
+          index.get.acornProbes(base, n), allow.select(col(index.get.idCol)))
       case (None, _) if multiIndexable =>
         multiTargetSearch(c, targets, multiIdx.get, params, limit.get, None, nprobe)
       case (Some(allow), Some(n)) if multiIndexable && n >= flatSearchCutoff =>

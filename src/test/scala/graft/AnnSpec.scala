@@ -160,6 +160,49 @@ class AnnSpec extends SparkSpecBase {
     assert(strong.select($"vec_id").collect().map(_.getLong(0)).toSeq == truthStrong)
   }
 
+  test("ACORN strategy widens probes by filter selectivity; dense filters keep sweeping breadth") {
+    import graft.ann.FilterStrategy
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(20)(Array.fill(16)(rnd.nextGaussian() * 3))
+    val rows = (0 until 2000).map { i =>
+      val c = centers(i % 20)
+      (i.toLong, c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val sweep = IvfIndex.build(emb, "vec_id", "embedding", nlist = 16, defaultNprobe = 1)
+    sweep.assigned.cache().count()
+    val acorn = sweep.copy(filterStrategy = FilterStrategy.Acorn)
+    // probe arithmetic: 2000 rows; ratio 0.1 → base/0.1; cap at nlist;
+    // ratio above the 0.4 gate → base (reference acornEnabled behavior);
+    // ultra-selective ratios floor at 1/nlist (can't widen past all lists)
+    assert(sweep.acornProbes(1, 200) == 1, "sweeping never widens")
+    assert(acorn.acornProbes(1, 200) == 10)
+    assert(acorn.acornProbes(2, 200) == 16)
+    assert(acorn.acornProbes(1, 1000) == 1, "ratio 0.5 > 0.4 gate → sweeping breadth")
+    assert(acorn.acornProbes(1, 10) == 16, "ultra-selective → all lists")
+    // behavior: allow ONLY a cluster that lives outside the query's top list —
+    // sweeping at 1 probe finds nothing, ACORN widens and recovers the exact
+    // allowlist top-k
+    val q = rows(0)._2.toArray
+    val top1 = sweep.rankCentroids(q).head
+    val clustersInTop1 = sweep.assigned.filter($"__centroid" === top1)
+      .select(($"vec_id" % 20).cast("int")).distinct().collect().map(_.getInt(0)).toSet
+    val farCluster = (0 until 20).find(!clustersInTop1.contains(_)).get
+    val allow = emb.filter($"vec_id" % 20 === farCluster).select($"vec_id")
+    val truth = VectorSearch.withDistance(
+        emb.join(allow, Seq("vec_id"), "left_semi"), "embedding", q, Metric.L2Squared)
+      .orderBy(col(VectorSearch.DistanceCol).asc, $"vec_id".asc).limit(10)
+      .select($"vec_id").collect().map(_.getLong(0)).toSeq
+    val sweepGot = sweep.searchFiltered(q, 10, Metric.L2Squared,
+        sweep.acornProbes(1, 100), allow)
+      .select($"vec_id").collect().map(_.getLong(0)).toSeq
+    assert(sweepGot.isEmpty, s"far-cluster allowlist must be invisible to a 1-probe sweep, got $sweepGot")
+    val acornGot = acorn.searchFiltered(q, 10, Metric.L2Squared,
+        acorn.acornProbes(1, 100), allow)
+      .select($"vec_id").collect().map(_.getLong(0)).toSeq
+    assert(acornGot == truth, "ACORN-widened probe must recover the exact allowlist top-k")
+  }
+
   test("selectivity probe is bounded by the cutoff (no full count of the filtered frame)") {
     import graft.engine.Graft
     // stats path: a frame whose optimized plan carries a rowCount costs ZERO
