@@ -114,7 +114,12 @@ final class Graft(val spark: SparkSession) {
     case None => h
   }
 
-  def register(c: Collection): Graft = { collections += c.name -> c; this }
+  def register(c: Collection): Graft = {
+    // creation-path name validation (reference applies it on schema create,
+    // not on startup loads — re-registration of the same names re-passes)
+    SchemaValidation.validate(c.schema)
+    collections += c.name -> c; this
+  }
   def register(schema: CollectionSchema, df: DataFrame): Graft =
     register(Collection(schema, df))
   def collection(name: String): Collection =

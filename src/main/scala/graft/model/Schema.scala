@@ -111,6 +111,53 @@ final case class StopwordConfig(
     additions: Seq[String] = Nil,
     removals: Seq[String] = Nil)
 
+/**
+ * Creation-time schema name validation (reference: entities/schema/
+ * validation.go — class regex `[A-Z][_0-9A-Za-z]{0,254}`, property regex
+ * `[_A-Za-z][_0-9A-Za-z]{0,230}` with the 231-char dir-name budget, target
+ * vector regex `[_A-Za-z][_0-9A-Za-z]{0,229}`, reserved property names
+ * {_additional, _id, id} and the internal-index suffix blocklist
+ * validation.go:40-50). Applied by `Graft.register` — the creation path —
+ * with the reference's own error shapes.
+ */
+object SchemaValidation {
+  private val ClassNameRe = "[A-Z][_0-9A-Za-z]{0,254}".r
+  private val PropertyNameRe = "[_A-Za-z][_0-9A-Za-z]{0,230}".r
+  private val VectorNameRe = "[_A-Za-z][_0-9A-Za-z]{0,229}".r
+  private val ReservedProps = Set("_additional", "_id", "id")
+  private val ReservedSuffixes = Seq(
+    "_searchable", "_rangeable", "_temp", "__meta_count",
+    "_propertyLength", "_nullState")
+
+  private def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
+
+  def validate(schema: CollectionSchema): Unit = {
+    if (!ClassNameRe.pattern.matcher(schema.name).matches())
+      fail(s"'${schema.name}' is not a valid class name")
+    val seen = scala.collection.mutable.Set.empty[String]
+    schema.properties.foreach { p =>
+      if (p.name.length > 231)
+        fail(s"'${p.name}' is not a valid property name. " +
+          "Name should not be longer than 231 characters")
+      if (!PropertyNameRe.pattern.matcher(p.name).matches())
+        fail(s"'${p.name}' is not a valid property name. " +
+          "Property names are restricted to valid GraphQL names, " +
+          "which must be \"/[_A-Za-z][_0-9A-Za-z]{0,230}/\"")
+      if (ReservedProps.contains(p.name))
+        fail(s"'${p.name}' is a reserved property name")
+      ReservedSuffixes.find(p.name.endsWith).foreach(sfx =>
+        fail(s"'${p.name}' is not a valid property name: " +
+          s"suffix '$sfx' is reserved for internal indices"))
+      if (!seen.add(p.name))
+        fail(s"class '${schema.name}' already has a conflicting property '${p.name}'")
+    }
+    schema.vectors.keys.foreach { v =>
+      if (!VectorNameRe.pattern.matcher(v).matches())
+        fail(s"'$v' is not a valid vector name")
+    }
+  }
+}
+
 final case class CollectionSchema(
     name: String,
     idColumn: String,

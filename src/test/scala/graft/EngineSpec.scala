@@ -195,4 +195,36 @@ class EngineSpec extends SparkSpecBase {
       .collect().map(_.getString(0)).toSet
     assert(langs.subsetOf(Set("de", "en", "es", "fr")))
   }
+
+  test("schema validation: reference name rules enforced at register time") {
+    import spark.implicits._
+    val df = Seq((1L, "x")).toDF("k", "v")
+    def reg(s: CollectionSchema) = new graft.engine.Graft(spark).register(s, df)
+    def msg(s: CollectionSchema) = intercept[IllegalArgumentException] { reg(s) }.getMessage
+
+    // class name must match [A-Z][_0-9A-Za-z]*
+    assert(msg(CollectionSchema("lowercase", "k", Seq(Property("v", PropType.Text))))
+      .contains("'lowercase' is not a valid class name"))
+    assert(msg(CollectionSchema("Bad-Name", "k", Seq(Property("v", PropType.Text))))
+      .contains("not a valid class name"))
+    // property naming: GraphQL charset, reserved names, internal suffixes,
+    // duplicates
+    assert(msg(CollectionSchema("C", "k", Seq(Property("bad-prop", PropType.Text))))
+      .contains("'bad-prop' is not a valid property name"))
+    assert(msg(CollectionSchema("C", "k", Seq(Property("id", PropType.Text))))
+      .contains("'id' is a reserved property name"))
+    assert(msg(CollectionSchema("C", "k", Seq(Property("_additional", PropType.Text))))
+      .contains("reserved property name"))
+    assert(msg(CollectionSchema("C", "k", Seq(Property("foo_propertyLength", PropType.Text))))
+      .contains("suffix '_propertyLength' is reserved for internal indices"))
+    assert(msg(CollectionSchema("C", "k", Seq(
+      Property("v", PropType.Text), Property("v", PropType.Int))))
+      .contains("conflicting property 'v'"))
+    // vector names: GraphQL charset
+    assert(msg(CollectionSchema("C", "k", Seq(Property("v", PropType.Text)),
+      vectors = Map("bad name" -> "vcol")))
+      .contains("'bad name' is not a valid vector name"))
+    // a valid schema registers fine (underscore-leading property is legal)
+    reg(CollectionSchema("Ok_1", "k", Seq(Property("_private", PropType.Text))))
+  }
 }
