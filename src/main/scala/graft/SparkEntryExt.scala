@@ -660,6 +660,20 @@ object SparkEntryExt {
         .orderBy(col("doc_id"))
     }),
 
+    // pipeline: deterministic mixture sampling (the data-mixing step of
+    // Pile/DoReMi recipes) — per-language target rates, md5-derived
+    // per-row uniforms, so the exact surviving id set is engine-independent
+    // and the oracle replays it verbatim
+    "q_curate_mix" -> ((s, dir) => {
+      val docs = g(s, dir).collection("Document").df
+      val rate = when(col("lang") === "en", 0.3)
+        .when(col("lang") === "zh", 0.8)
+        .otherwise(lit(1.0))
+      Curate.mixtureSample(docs, col("doc_id"), rate)
+        .select(col("doc_id"), col("lang"), round(col("sample_u"), 4).as("sample_u"))
+        .orderBy(col("doc_id"))
+    }),
+
     // pipeline: Gopher quality rules (Rae et al. 2021 App. A1.1). The
     // corpus is single-line lowercase words, so doc_id-keyed plants
     // exercise each rule: %5 required-words boost, %7 numeric words (alpha
@@ -2728,6 +2742,18 @@ object SparkEntryExt {
         |  round(CASE WHEN l.n_lines = 0 THEN 0.0 ELSE 1.0 - CAST(l.nd AS DOUBLE) / l.n_lines END, 4) AS dup_line_frac,
         |  round(coalesce(CAST(a.top AS DOUBLE) / a.total, 0.0), 4) AS top_bigram_frac
         |FROM ln l LEFT JOIN agg a USING (doc_id) ORDER BY l.doc_id""".stripMargin,
+
+    // identical md5-uniform draw: u = first 8 md5 hex chars / 2^32 —
+    // DuckDB parses the hex via a '0x' UBIGINT cast; same CASE rates
+    "q_curate_mix" ->
+      """SELECT doc_id, lang,
+        |  round(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8))::UBIGINT
+        |    / 4294967296.0, 4) AS sample_u
+        |FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8))::UBIGINT
+        |    / 4294967296.0
+        |  < CASE WHEN lang = 'en' THEN 0.3 WHEN lang = 'zh' THEN 0.8 ELSE 1.0 END
+        |ORDER BY doc_id""".stripMargin,
 
     // identical bed plants + identical Gopher rules in DuckDB list SQL;
     // whitespace words via regexp split, all ratios in double math

@@ -50,4 +50,26 @@ object Curate {
     df.withColumn("bin_offset", sum(tokensCol.cast("long")).over(w) - tokensCol.cast("long"))
       .withColumn("bin", floor(col("bin_offset") / budget))
   }
+
+  /**
+   * Deterministic mixture sampling — re-weight a corpus to target mixture
+   * rates (the data-mixing step of The Pile / DoReMi-style training recipes:
+   * each domain/source gets an acceptance rate, possibly > down-weighting
+   * head domains and keeping tail domains whole). Each row draws a
+   * reproducible uniform u ∈ [0,1) from its OWN id — the first 8 hex chars
+   * of md5(id ‖ salt) over 2^32 — and survives iff u < rate. No RNG state,
+   * no ordering dependence, stable under re-partitioning and re-runs, and
+   * any engine with md5 reproduces the exact sample (the DuckDB oracle
+   * does). One codegen'd scan, zero shuffle.
+   *
+   * `rate` is a per-row Column, so callers express mixtures as expressions
+   * over source/language/quality (e.g. CASE WHEN source='cc' THEN 0.3 ...).
+   * Rows with rate ≥ 1 always survive; rate ≤ 0 never.
+   */
+  def mixtureSample(df: DataFrame, idCol: Column, rate: Column,
+                    salt: String = "graft"): DataFrame = {
+    val u = conv(substring(md5(concat(idCol.cast("string"), lit(salt))), 1, 8), 16, 10)
+      .cast("long").cast("double") / 4294967296.0
+    df.withColumn("sample_u", u).filter(col("sample_u") < rate)
+  }
 }

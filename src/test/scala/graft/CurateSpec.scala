@@ -53,4 +53,26 @@ class CurateSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got == Map(1L -> 1L))
   }
+
+  test("mixtureSample: deterministic per-id draws, boundary rates, approximate target rate") {
+    val docs = (0L until 1000L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "src")
+    // rate 1 keeps everything, rate 0 keeps nothing
+    assert(Curate.mixtureSample(docs, $"id", lit(1.0)).count() == 1000L)
+    assert(Curate.mixtureSample(docs, $"id", lit(0.0)).count() == 0L)
+    // per-source mixture: half-rate on 'a', full on 'b'
+    val rate = when($"src" === "a", 0.5).otherwise(lit(1.0))
+    val got = Curate.mixtureSample(docs, $"id", rate)
+    val aKept = got.filter($"src" === "a").count()
+    assert(got.filter($"src" === "b").count() == 500L)
+    assert(aKept > 200 && aKept < 300, s"~50% of the 500 'a' rows expected, got $aKept")
+    // determinism: same ids survive regardless of partitioning or run
+    val ids1 = got.select($"id").collect().map(_.getLong(0)).toSet
+    val ids2 = Curate.mixtureSample(docs.repartition(13), $"id", rate)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    // salt changes the draw
+    val salted = Curate.mixtureSample(docs, $"id", rate, salt = "other")
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(salted != ids1)
+  }
 }
