@@ -147,6 +147,15 @@ final class Graft(val spark: SparkSession) {
       s"$collectionName is not multi-tenant (no tenant column declared)")
     val cur = tenantRegistry.getOrElse(collectionName, Map.empty)
     ts.foreach { t =>
+      // name contract (entities/schema/validation.go ValidateTenantName:
+      // ShardNameRegexCore `[A-Za-z0-9\-\_]{1,64}` — reference error shape)
+      if (t.name.isEmpty)
+        throw new IllegalArgumentException("empty tenant name")
+      if (!t.name.matches("[A-Za-z0-9\\-_]{1,64}"))
+        throw new IllegalArgumentException(
+          s" '${t.name}' is not a valid tenant name. should only contain " +
+            "alphanumeric characters (a-z, A-Z, 0-9), underscore (_), and " +
+            "hyphen (-), with a length between 1 and 64 characters")
       require(t.activityStatus != TenantStatus.Offloaded,
         s"tenant ${t.name}: on create only ACTIVE and INACTIVE are allowed")
       require(!cur.contains(t.name), s"tenant ${t.name} already exists")

@@ -42,6 +42,18 @@ class TenantSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](g.addTenants("MT", Seq(Tenant("t0"))))
   }
 
+  test("tenant names validate against the reference shard-name contract") {
+    val g = engine
+    val bad = intercept[IllegalArgumentException](
+      g.addTenants("MT", Seq(Tenant("has space"))))
+    assert(bad.getMessage.contains("'has space' is not a valid tenant name"))
+    assert(intercept[IllegalArgumentException](
+      g.addTenants("MT", Seq(Tenant("")))).getMessage.contains("empty tenant name"))
+    intercept[IllegalArgumentException](
+      g.addTenants("MT", Seq(Tenant("x" * 65))))
+    g.addTenants("MT", Seq(Tenant("Ok-Name_42"))) // full legal charset
+  }
+
   test("non-multi-tenant collection rejects tenant creation") {
     val g = new Graft(spark).register(Collection(
       CollectionSchema("Plain", "id", Seq(Property("name", PropType.Text))),
