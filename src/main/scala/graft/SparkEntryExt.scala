@@ -397,6 +397,18 @@ object SparkEntryExt {
         .select(col("class_name"), col("beacon_id"), round(col("distance"), 4).as("distance"))
     }),
 
+    // §2.7 Explore with nearText concepts + moves: the whole vectorize→move
+    // pipeline runs once, then fans across classes (reference:
+    // traverser_explore_concepts.go; movement math searcher_movements.go)
+    "q_explore_neartext" -> ((s, dir) => {
+      g(s, dir).explore(Seq("DocVec", "Embedding"),
+        NearText(Seq("spark join stream"),
+          moveTo = Some(MoveParams(Seq("window batch"), force = 0.6)),
+          moveAwayFrom = Some(MoveParams(Seq("error slow"), force = 0.4))),
+        limit = 12)
+        .select(col("class_name"), col("beacon_id"), round(col("distance"), 4).as("distance"))
+    }),
+
     // §2.5 boost: soft rerank of a BM25 pool by filter-match + log1p property
     "q_boost" -> ((s, dir) => {
       val gg = g(s, dir)
@@ -2377,6 +2389,26 @@ object SparkEntryExt {
          |  FROM embeddings e CROSS JOIN qv q)
          |SELECT class_name, beacon_id, round(d_exact, 4) AS distance FROM legs
          |ORDER BY d_exact ASC, class_name ASC, beacon_id ASC LIMIT 10""".stripMargin,
+
+    // inlined RESOLVED query vector (same movement math as q_neartext's
+    // oracle) fanned over both class legs with the merged-ranking cut
+    "q_explore_neartext" -> {
+      val embed = Fixtures.hashEmbedder(64)
+      var qv = Movements.centroid(Seq(embed("spark join stream")))
+      qv = Movements.moveTo(qv, Movements.centroid(Seq(embed("window batch"))), 0.6)
+      qv = Movements.moveAwayFrom(qv, Movements.centroid(Seq(embed("error slow"))), 0.4)
+      val vlit = qv.map(f => s"CAST($f AS FLOAT)").mkString("[", ", ", "]")
+      s"""WITH qv AS (SELECT $vlit AS v),
+         |legs AS (
+         |  SELECT 'DocVec' AS class_name, CAST(d.doc_id AS VARCHAR) AS beacon_id,
+         |         ${sqlCosine("e.embedding", "q.v")} AS d_exact
+         |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id CROSS JOIN qv q
+         |  UNION ALL
+         |  SELECT 'Embedding', CAST(e.vec_id AS VARCHAR), ${sqlCosine("e.embedding", "q.v")}
+         |  FROM embeddings e CROSS JOIN qv q)
+         |SELECT class_name, beacon_id, round(d_exact, 4) AS distance FROM legs
+         |ORDER BY d_exact ASC, class_name ASC, beacon_id ASC LIMIT 12""".stripMargin
+    },
 
     "q_boost" -> {
       val (ctes, _) = sqlBm25(Seq("spark", "join"))

@@ -114,6 +114,22 @@ final class Graft(val spark: SparkSession) {
     case None => h
   }
 
+  /**
+   * Cross-class Explore driven by nearText concepts ± moves (reference:
+   * traverser_explore_concepts.go — the vectorize-and-move pipeline runs
+   * ONCE, then the beacon search fans across classes). Object moves resolve
+   * their stored vectors against `objectClass` (defaults to the first
+   * explored collection — the reference's beacons carry their class).
+   */
+  def explore(collections: Seq[String], nearText: NearText, limit: Int = 0,
+              offset: Int = 0, objectClass: Option[String] = None): DataFrame = {
+    val ctx = collection(objectClass.orElse(collections.headOption).getOrElse(
+      throw new IllegalArgumentException("explore requires at least one collection")))
+    val nv = resolveNearText(ctx, nearText)
+    graft.operators.Explore(this, collections, nv.vector, nearText.metric,
+      limit, offset, nearText.certainty)
+  }
+
   def register(c: Collection): Graft = {
     // creation-path name validation (reference applies it on schema create,
     // not on startup loads — re-registration of the same names re-passes)
