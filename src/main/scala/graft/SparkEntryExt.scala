@@ -552,6 +552,26 @@ object SparkEntryExt {
         .orderBy(col("doc_id"))
     }),
 
+    // pipeline: content-defined chunking dedup — every 25th doc carries a
+    // shared 24-token passage; CDC boundaries re-align inside the passage
+    // regardless of the differing prefixes (the CDC property), so interior
+    // chunks dedup across docs. md5-derived cutpoints → the oracle replays
+    // chunking, hashing, and the dup stats exactly.
+    "q_dedup_cdc" -> ((s, dir) => {
+      val docs = g(s, dir).collection("Document").df
+      val passage = " alpha bravo charlie delta echo foxtrot golf hotel india" +
+        " juliet kilo lima mike november oscar papa quebec romeo sierra tango" +
+        " uniform victor whiskey xray"
+      val bed = docs.select(col("doc_id"),
+        when(col("doc_id") % 25 === 0, concat(col("text"), lit(passage)))
+          .otherwise(col("text")).as("page"))
+      Dedup.cdcChunkDedup(bed, col("doc_id"), col("page"))
+        .filter(col("dup_chunks") > 0)
+        .select(col("__id").as("doc_id"), col("n_chunks"), col("dup_chunks"),
+          round(col("dup_token_frac"), 4).as("dup_token_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // pipeline: SimHash near-dup over a planted bed. xxhash64 simhash isn't
     // DuckDB-expressible, so the oracle is the planted qualifying pairs
     // (exact copies ⇒ identical signature ⇒ pigeonhole bucket hit, hamming 0).
@@ -2639,6 +2659,34 @@ object SparkEntryExt {
         |FROM base b LEFT JOIN agg a USING (doc_id)
         |WHERE b.ntok - coalesce(a.kept_tokens, 0) > 0
         |ORDER BY b.doc_id""".stripMargin,
+
+    // CDC replay: context via list slices (≡ the engine's lag window with
+    // concat_ws null-skip at doc heads), md5-uniform cutpoints mod 16,
+    // chunk index = boundaries strictly before the position, chunk hash =
+    // md5 of the position-ordered tokens
+    "q_dedup_cdc" ->
+      """WITH bed AS (SELECT doc_id, CASE WHEN doc_id % 25 = 0 THEN text ||
+        |    ' alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november oscar papa quebec romeo sierra tango uniform victor whiskey xray'
+        |    ELSE text END AS t FROM documents),
+        |tok AS (SELECT doc_id, list_filter(regexp_split_to_array(t, '\s+'), x -> x <> '') AS toks FROM bed),
+        |pos AS (SELECT doc_id, i, toks[i] AS w,
+        |    CASE WHEN ('0x' || substr(md5(array_to_string(toks[greatest(1, i-3):i], ' ')), 1, 8))::UBIGINT % 16 = 0
+        |      THEN 1 ELSE 0 END AS bd
+        |  FROM tok, unnest(range(1, len(toks)+1)) AS u(i)),
+        |c AS (SELECT doc_id, i, w, coalesce(sum(bd) OVER (PARTITION BY doc_id ORDER BY i
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk FROM pos),
+        |ch AS (SELECT doc_id, chunk, count(*) AS clen,
+        |    md5(string_agg(w, ' ' ORDER BY i)) AS chash FROM c GROUP BY 1, 2),
+        |dup AS (SELECT chash FROM ch GROUP BY chash HAVING count(DISTINCT doc_id) >= 2),
+        |agg AS (SELECT doc_id, count(*) AS dup_chunks, sum(clen) AS dup_toks
+        |  FROM ch WHERE chash IN (SELECT chash FROM dup) GROUP BY 1),
+        |n AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY 1),
+        |tot AS (SELECT doc_id, len(toks) AS ntok FROM tok)
+        |SELECT t.doc_id, CAST(n.n_chunks AS BIGINT) AS n_chunks,
+        |  CAST(a.dup_chunks AS BIGINT) AS dup_chunks,
+        |  round(CAST(a.dup_toks AS DOUBLE) / t.ntok, 4) AS dup_token_frac
+        |FROM tot t JOIN n USING (doc_id) JOIN agg a USING (doc_id)
+        |WHERE a.dup_chunks > 0 ORDER BY t.doc_id""".stripMargin,
 
     // planted-pair oracle (same argument; copies are bit-identical → dist 0,
     // natural pairs all ≥ 0.3 cosine distance)

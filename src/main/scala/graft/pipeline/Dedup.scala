@@ -530,6 +530,74 @@ object Dedup {
         (col("__ntok") - coalesce(col("kept_tokens"), lit(0L))).as("removed_tokens"))
   }
 
+  /**
+   * Content-defined chunking (CDC) dedup — the chunk-granular exact-dedup
+   * used for incremental corpus updates and storage dedup (FastCDC/LBFS
+   * lineage, applied at token granularity). A position i is a chunk
+   * BOUNDARY iff the hash of the `window`-token context ending at i
+   * satisfies hash ≡ 0 (mod `divisor`) — boundaries depend only on local
+   * content, so an insertion re-chunks only its neighbourhood (the CDC
+   * property; expected chunk length ≈ divisor tokens). No min/max chunk
+   * clamps: those would make boundaries sequentially dependent — the
+   * stateless rule keeps chunking embarrassingly parallel AND replayable
+   * in SQL. The uniform comes from md5 (like mixtureSample), so any engine
+   * reproduces the exact cutpoints.
+   *
+   * Returns per doc: `n_chunks`, `dup_chunks` (chunks whose content occurs
+   * in ≥ minDocs distinct docs), `dup_token_frac` (tokens inside duplicated
+   * chunks / total tokens). Cross-doc only — within-doc repeats don't count,
+   * same contract as [[substringCoverage]].
+   *
+   * Scale shape: posexplode + per-doc window (context concat + boundary
+   * running count — one shuffle keyed on id, partitions bounded by doc
+   * length), groupBy (id, chunk) with a doc-bounded collect_list, then a
+   * hash-keyed count-distinct and one join back. No pairwise work.
+   */
+  def cdcChunkDedup(df: DataFrame, idCol: Column, textCol: Column,
+                    window: Int = 4, divisor: Int = 16,
+                    minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(idCol.as("__id"), Tokenize.whitespace(textCol).as("__toks"))
+      .withColumn("__ntok", size(col("__toks")).cast("long"))
+    val toks = base.select(col("__id"), posexplode(col("__toks")))
+      .toDF("__id", "__pos", "__w")
+    val byDoc = Window.partitionBy(col("__id")).orderBy(col("__pos"))
+    // context = the `window` tokens ending at this position (shorter at the
+    // head); boundary = md5-uniform of the context ≡ 0 (mod divisor)
+    val ctx = concat_ws(" ",
+      ((window - 1) to 1 by -1).map(k => lag(col("__w"), k).over(byDoc)) :+ col("__w"): _*)
+    val boundary = (conv(substring(md5(ctx), 1, 8), 16, 10).cast("long") % divisor === 0)
+      .cast("int")
+    // chunk index = boundaries seen STRICTLY BEFORE this position (a boundary
+    // at i starts the NEXT chunk at i+1: the boundary token closes its chunk)
+    val chunked = toks
+      .withColumn("__b", boundary)
+      .withColumn("__chunk",
+        coalesce(sum(col("__b")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
+    val chunks = chunked.groupBy(col("__id"), col("__chunk"))
+      .agg(count(lit(1)).as("__clen"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__w")))),
+          x => x.getField("__w")), " ")).as("__chash"))
+    val dupHashes = chunks.groupBy(col("__chash"))
+      .agg(countDistinct(col("__id")).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select(col("__chash"))
+    val perDoc = chunks
+      .join(dupHashes, Seq("__chash"), "left_semi")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("dup_chunks"), sum(col("__clen")).as("__dup_toks"))
+    base.select(col("__id"), col("__ntok"))
+      .join(chunks.groupBy(col("__id")).agg(count(lit(1)).as("n_chunks")), Seq("__id"), "left")
+      .join(perDoc, Seq("__id"), "left")
+      .select(col("__id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("dup_chunks"), lit(0L)).as("dup_chunks"),
+        when(col("__ntok") > 0,
+          coalesce(col("__dup_toks").cast("double"), lit(0.0)) / col("__ntok"))
+          .otherwise(lit(0.0)).as("dup_token_frac"))
+  }
+
   def clusterPairs(pairs: DataFrame, aCol: Column, bCol: Column,
                    maxIterations: Int = 20): DataFrame = {
     // the pair relation is typically an expensive LSH pipeline — materialize

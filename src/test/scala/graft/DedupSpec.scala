@@ -144,6 +144,28 @@ class DedupSpec extends SparkSpecBase {
     assert(got(7L) == ((3L, 10.0 / 14)))
   }
 
+  test("CDC chunking: boundaries re-align on shared content regardless of prefix; copies fully dup") {
+    val tail = (1 to 60).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"head1 head2 head3 $tail"),        // same tail, different heads —
+      (2L, s"other prefix tokens go here $tail"), // interior chunks must align
+      (3L, "totally unique content with no twin anywhere at all"),
+      (4L, "copy of this exact document"),
+      (5L, "copy of this exact document")       // full copies → frac 1.0
+    ).toDF("doc_id", "text")
+    val got = Dedup.cdcChunkDedup(docs, $"doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L)._2 > 0, s"shared-tail doc 1 must carry duplicated chunks: ${got(1L)}")
+    assert(got(2L)._2 > 0, s"shared-tail doc 2 must carry duplicated chunks: ${got(2L)}")
+    assert(got(3L)._2 == 0 && got(3L)._3 == 0.0)
+    assert(got(4L)._3 == 1.0 && got(5L)._3 == 1.0, s"full copies: ${got(4L)} ${got(5L)}")
+    assert(got(4L)._1 == got(4L)._2, "every chunk of a full copy is duplicated")
+    // the CDC property quantified: docs 1+2 share 60 tail tokens; at expected
+    // chunk length 16 the unshared junction chunk costs at most ~2 chunks, so
+    // well over half the tail tokens must sit in duplicated chunks
+    assert(got(1L)._3 * (3 + 60) > 20, s"dup tokens too few: ${got(1L)}")
+  }
+
   test("substring removal: every occurrence excised, survivors keep order, clean docs untouched") {
     val span8 = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
     val docs = Seq(
