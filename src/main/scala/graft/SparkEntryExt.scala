@@ -1418,6 +1418,18 @@ object SparkEntryExt {
         .orderBy(col("event_id"))
     }),
 
+    // §2.2 filter-by-id-list: ContainsAny on the _id pseudo-prop (the
+    // reference validator constrains only value types on _id, so the id-list
+    // idiom is first-class; compiles to an OR of id equalities → parquet
+    // row-group skipping on the id-sorted layout)
+    "q_filter_id_in" -> ((s, dir) => {
+      g(s, dir).get(GetParams("Document",
+        where = Some(Where(WhereOp.ContainsAny, Seq("_id"),
+          Some(FilterValue.ListV(Seq(1L, 7L, 13L, 250L, 400L).map(FilterValue.IntV(_)))))),
+        properties = Seq("doc_id", "lang")))
+        .orderBy(col("doc_id"))
+    }),
+
     // §2.1/§3.1 cross-reference resolution: expand the cref into the target
     // object's properties (broadcast join on the target id)
     "q_ref_resolve" -> ((s, dir) => {
@@ -1905,6 +1917,10 @@ object SparkEntryExt {
         |SELECT group_index, label, group_hit_rank, vec_id FROM idx
         |WHERE group_index <= 4 AND group_hit_rank <= 3
         |ORDER BY group_index, group_hit_rank""".stripMargin,
+
+    "q_filter_id_in" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE doc_id IN (1, 7, 13, 250, 400) ORDER BY doc_id""".stripMargin,
 
     "q_ref_resolve" ->
       """SELECT o.o_orderkey, round(o.o_totalprice, 4) AS o_totalprice,

@@ -143,10 +143,17 @@ final class FilterCompiler(resolve: String => Collection) {
         return
       // metadata pseudo-props (filters_validator.go:210-228)
       case "_id" =>
-        if (!comparisonOps.contains(op))
+        // the reference validator constrains only the VALUE type on the id
+        // pseudo-prop (filters_validator.go:209-216) — ContainsAny with an
+        // id list (the filter-by-ids idiom) is as valid as a comparison
+        val containsOps: Set[WhereOp] =
+          Set(WhereOp.ContainsAny, WhereOp.ContainsAll, WhereOp.ContainsNone)
+        if (!comparisonOps.contains(op) && !containsOps.contains(op))
           fail(s"""using ["_id"]: operator ${op.name} is not supported on the id property""")
         v match {
           case FilterValue.TextV(_) | FilterValue.IntV(_) => ()
+          case FilterValue.ListV(vs) if containsOps.contains(op) && vs.nonEmpty &&
+            vs.forall(x => x.isInstanceOf[FilterValue.TextV] || x.isInstanceOf[FilterValue.IntV]) => ()
           case other => fail(s"""using ["_id"] to filter by id: must use valueText or valueInt, got ${valueName(other)}""")
         }
         return
