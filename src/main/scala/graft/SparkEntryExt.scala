@@ -777,6 +777,71 @@ object SparkEntryExt {
         .orderBy(col("doc_id"))
     }),
 
+    // pipeline: DSIR importance weights (Xie et al. 2023) — hashed
+    // unigram+bigram bag-of-words models over 64 buckets, target = the
+    // English slice, raw = the whole corpus; per-doc log importance weight
+    // under add-1 smoothing. md5 bucketing makes the full model — counts,
+    // smoothing, per-doc weight sum — replayable in the DuckDB oracle.
+    "q_dsir_weights" -> ((s, dir) => {
+      val docs = g(s, dir).collection("Document").df
+      val model = Dsir.train(docs.filter(col("lang") === "en"), docs,
+        col("doc_id"), col("text"), buckets = 64)
+      Dsir.logWeights(docs, col("doc_id"), col("text"), model, buckets = 64)
+        .select(col("doc_id"), col("lang"), round(col("dsir_logw"), 4).as("dsir_logw"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // pipeline: DSIR Gumbel top-k resampling — sample 60 docs without
+    // replacement ∝ softmax(log importance weight) via deterministic
+    // md5-derived Gumbel noise (same uniform construction as mixtureSample,
+    // so the oracle reproduces the exact selected set and scores)
+    "q_dsir_select" -> ((s, dir) => {
+      val docs = g(s, dir).collection("Document").df
+      val model = Dsir.train(docs.filter(col("lang") === "en"), docs,
+        col("doc_id"), col("text"), buckets = 64)
+      val w = Dsir.logWeights(docs, col("doc_id"), col("text"), model, buckets = 64)
+      Dsir.resample(w, col("doc_id"), col("dsir_logw"), k = 60)
+        .select(col("doc_id"), col("lang"), round(col("dsir_score"), 4).as("dsir_score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // pipeline: temperature-scaled domain re-balancing (mT5/XLM-R p^τ rule,
+    // τ=0.5) composed with the deterministic mixture sampler — the rarest
+    // language keeps every row, the head language is thinned toward the
+    // flattened mix; rates and the md5 draws replay exactly in SQL
+    "q_curate_temperature" -> ((s, dir) => {
+      val docs = g(s, dir).collection("Document").df
+      val rated = Curate.temperatureRates(docs, col("lang"), tau = 0.5)
+      Curate.mixtureSample(rated, col("doc_id"), col("mix_rate"), salt = "temp")
+        .select(col("doc_id"), col("lang"), round(col("mix_rate"), 4).as("mix_rate"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // §2.1 value-based auto-schema (reference auto_schema.go:232-255
+    // determineType + the array-merge mixing rule): a JSON-shaped untyped bed
+    // built from events — an RFC3339-formatted string column infers `date`,
+    // an md5-assembled canonical UUID column infers `uuid`, plain text stays
+    // `text`, a date/text MIXTURE collapses to `text`, a value-less column
+    // takes the nil fallback `text`, and typed columns map int/number/boolean.
+    // The oracle replays the same regex counts and merge CASE per column.
+    "q_autoschema_values" -> ((s, dir) => {
+      val ev = Fixtures.events(s, dir)
+      val h = md5(col("event_id").cast("string"))
+      val rfc = date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+      val bed = ev.select(
+        col("event_id"),
+        rfc.as("ts_rfc"),
+        concat_ws("-", substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
+          substring(h, 17, 4), substring(h, 21, 12)).as("obj_uuid"),
+        col("event_type"), col("props"),
+        when(col("event_id") % 2 === 0, rfc).otherwise(col("props")).as("mixed"),
+        lit(null).cast("string").as("unseen"),
+        col("user_id"), col("value"),
+        (col("event_id") % 2 === 0).as("flag"))
+      graft.sources.AutoSchema.valueDtypes(bed, idColumn = "event_id")
+        .orderBy(col("prop"))
+    }),
+
     // pipeline: sessionization (30-min gap) over the events stream table
     "q_sessionize" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -3000,6 +3065,121 @@ object SparkEntryExt {
         |       round(avg(h), 4) AS cross_entropy,
         |       round(pow(2.0, avg(h)), 4) AS perplexity
         |FROM nll GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // value-inference replay: same bed, same RFC3339/uuid accepting-set
+    // regexes, same all-or-text merge CASE per string column, literal type
+    // map for the typed columns
+    "q_autoschema_values" ->
+      """WITH bed AS (
+        |  SELECT event_id,
+        |    strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS ts_rfc,
+        |    md5(event_id::VARCHAR) AS h,
+        |    event_type, props,
+        |    CASE WHEN event_id % 2 = 0 THEN strftime(ts, '%Y-%m-%dT%H:%M:%SZ')
+        |         ELSE props END AS mixed,
+        |    NULL::VARCHAR AS unseen
+        |  FROM events),
+        |u AS (SELECT *, substr(h,1,8) || '-' || substr(h,9,4) || '-' || substr(h,13,4)
+        |        || '-' || substr(h,17,4) || '-' || substr(h,21,12) AS obj_uuid FROM bed),
+        |agg AS (SELECT
+        |  count(ts_rfc) AS n1,
+        |  count(CASE WHEN regexp_matches(ts_rfc, '^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})$') THEN 1 END) AS d1,
+        |  count(CASE WHEN regexp_matches(ts_rfc, '^(urn:uuid:)?[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$|^\{[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\}$|^[0-9a-fA-F]{32}$') THEN 1 END) AS u1,
+        |  count(obj_uuid) AS n2,
+        |  count(CASE WHEN regexp_matches(obj_uuid, '^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})$') THEN 1 END) AS d2,
+        |  count(CASE WHEN regexp_matches(obj_uuid, '^(urn:uuid:)?[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$|^\{[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\}$|^[0-9a-fA-F]{32}$') THEN 1 END) AS u2,
+        |  count(event_type) AS n3,
+        |  count(CASE WHEN regexp_matches(event_type, '^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})$') THEN 1 END) AS d3,
+        |  count(CASE WHEN regexp_matches(event_type, '^(urn:uuid:)?[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$|^\{[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\}$|^[0-9a-fA-F]{32}$') THEN 1 END) AS u3,
+        |  count(props) AS n4,
+        |  count(CASE WHEN regexp_matches(props, '^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})$') THEN 1 END) AS d4,
+        |  count(CASE WHEN regexp_matches(props, '^(urn:uuid:)?[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$|^\{[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\}$|^[0-9a-fA-F]{32}$') THEN 1 END) AS u4,
+        |  count(mixed) AS n5,
+        |  count(CASE WHEN regexp_matches(mixed, '^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})$') THEN 1 END) AS d5,
+        |  count(CASE WHEN regexp_matches(mixed, '^(urn:uuid:)?[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$|^\{[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\}$|^[0-9a-fA-F]{32}$') THEN 1 END) AS u5,
+        |  count(unseen) AS n6
+        |  FROM u),
+        |v AS (
+        |  SELECT 'ts_rfc' AS prop, CASE WHEN n1 = 0 THEN 'text' WHEN d1 = n1 THEN 'date'
+        |    WHEN u1 = n1 THEN 'uuid' ELSE 'text' END AS dtype FROM agg
+        |  UNION ALL SELECT 'obj_uuid', CASE WHEN n2 = 0 THEN 'text' WHEN d2 = n2 THEN 'date'
+        |    WHEN u2 = n2 THEN 'uuid' ELSE 'text' END FROM agg
+        |  UNION ALL SELECT 'event_type', CASE WHEN n3 = 0 THEN 'text' WHEN d3 = n3 THEN 'date'
+        |    WHEN u3 = n3 THEN 'uuid' ELSE 'text' END FROM agg
+        |  UNION ALL SELECT 'props', CASE WHEN n4 = 0 THEN 'text' WHEN d4 = n4 THEN 'date'
+        |    WHEN u4 = n4 THEN 'uuid' ELSE 'text' END FROM agg
+        |  UNION ALL SELECT 'mixed', CASE WHEN n5 = 0 THEN 'text' WHEN d5 = n5 THEN 'date'
+        |    WHEN u5 = n5 THEN 'uuid' ELSE 'text' END FROM agg
+        |  UNION ALL SELECT 'unseen', 'text' FROM agg WHERE n6 = 0
+        |  UNION ALL SELECT 'user_id', 'int'
+        |  UNION ALL SELECT 'value', 'number'
+        |  UNION ALL SELECT 'flag', 'boolean')
+        |SELECT prop, dtype FROM v ORDER BY prop""".stripMargin,
+
+    // temperature-rate replay: per-lang count → p^(τ−1) normalized by the
+    // max (rarest lang → rate 1), then the same md5-uniform acceptance draw
+    "q_curate_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |r AS (SELECT lang, pow(n, -0.5) / (SELECT max(pow(n, -0.5)) FROM c) AS rate FROM c),
+        |s AS (SELECT d.doc_id, d.lang, r.rate,
+        |        ('0x' || substr(md5(d.doc_id::VARCHAR || 'temp'), 1, 8))::UBIGINT / 4294967296.0 AS u
+        |      FROM documents d JOIN r USING (lang))
+        |SELECT doc_id, lang, round(rate, 4) AS mix_rate FROM s
+        |WHERE u < rate ORDER BY doc_id""".stripMargin,
+
+    // DSIR model replay: same tokenization, same md5-mod-64 bucketing, same
+    // add-1 smoothed bucket log-probs over BOTH corpora (target = lang='en',
+    // raw = all), same per-doc Σ cnt·log_ratio (ln, not DuckDB's base-10 log)
+    "q_dsir_weights" ->
+      """WITH tok AS (SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |gr AS (SELECT doc_id, lang, unnest(list_concat(t,
+        |         list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS g
+        |       FROM tok),
+        |dc AS (SELECT doc_id, lang,
+        |         ('0x' || substr(md5(g), 1, 8))::UBIGINT % 64 AS bucket, count(*) AS cnt
+        |       FROM gr GROUP BY 1, 2, 3),
+        |pt AS (SELECT bucket, sum(cnt) AS c FROM dc WHERE lang = 'en' GROUP BY 1),
+        |qt AS (SELECT bucket, sum(cnt) AS c FROM dc GROUP BY 1),
+        |model AS (
+        |  SELECT r.range AS bucket,
+        |    ln((coalesce(p.c, 0) + 1.0) / ((SELECT sum(c) FROM pt) + 64.0))
+        |    - ln((coalesce(q.c, 0) + 1.0) / ((SELECT sum(c) FROM qt) + 64.0)) AS log_ratio
+        |  FROM range(0, 64) r
+        |  LEFT JOIN pt p ON p.bucket = r.range
+        |  LEFT JOIN qt q ON q.bucket = r.range),
+        |w AS (SELECT dc.doc_id, sum(dc.cnt * m.log_ratio) AS logw
+        |      FROM dc JOIN model m USING (bucket) GROUP BY 1)
+        |SELECT d.doc_id, d.lang, round(coalesce(w.logw, 0), 4) AS dsir_logw
+        |FROM documents d LEFT JOIN w USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // same model, then Gumbel top-k: score = logw − ln(−ln(u)) with the
+    // md5-derived per-doc uniform, top 60 by (score desc, id asc)
+    "q_dsir_select" ->
+      """WITH tok AS (SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |gr AS (SELECT doc_id, lang, unnest(list_concat(t,
+        |         list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS g
+        |       FROM tok),
+        |dc AS (SELECT doc_id, lang,
+        |         ('0x' || substr(md5(g), 1, 8))::UBIGINT % 64 AS bucket, count(*) AS cnt
+        |       FROM gr GROUP BY 1, 2, 3),
+        |pt AS (SELECT bucket, sum(cnt) AS c FROM dc WHERE lang = 'en' GROUP BY 1),
+        |qt AS (SELECT bucket, sum(cnt) AS c FROM dc GROUP BY 1),
+        |model AS (
+        |  SELECT r.range AS bucket,
+        |    ln((coalesce(p.c, 0) + 1.0) / ((SELECT sum(c) FROM pt) + 64.0))
+        |    - ln((coalesce(q.c, 0) + 1.0) / ((SELECT sum(c) FROM qt) + 64.0)) AS log_ratio
+        |  FROM range(0, 64) r
+        |  LEFT JOIN pt p ON p.bucket = r.range
+        |  LEFT JOIN qt q ON q.bucket = r.range),
+        |w AS (SELECT dc.doc_id, sum(dc.cnt * m.log_ratio) AS logw
+        |      FROM dc JOIN model m USING (bucket) GROUP BY 1),
+        |scored AS (
+        |  SELECT d.doc_id, d.lang, coalesce(w.logw, 0)
+        |    - ln(-ln((('0x' || substr(md5(d.doc_id::VARCHAR || 'dsir'), 1, 8))::UBIGINT + 1.0)
+        |             / 4294967297.0)) AS score
+        |  FROM documents d LEFT JOIN w USING (doc_id)),
+        |sel AS (SELECT * FROM scored ORDER BY score DESC, doc_id ASC LIMIT 60)
+        |SELECT doc_id, lang, round(score, 4) AS dsir_score FROM sel ORDER BY doc_id""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),

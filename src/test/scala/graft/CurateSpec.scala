@@ -75,4 +75,24 @@ class CurateSpec extends SparkSpecBase {
       .select($"id").collect().map(_.getLong(0)).toSet
     assert(salted != ids1)
   }
+
+  test("temperatureRates: rarest domain keeps rate 1, head thins by p^(τ−1), τ=1 is identity") {
+    val df = (0L until 100L).map(i => (i, if (i < 80) "head" else "tail")).toDF("id", "dom")
+    val r = Curate.temperatureRates(df, $"dom", tau = 0.5)
+      .select($"dom", $"mix_rate").distinct()
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("tail") == 1.0)
+    // head rate = (80^-0.5)/(20^-0.5) = sqrt(20/80) = 0.5
+    assert(math.abs(r("head") - 0.5) < 1e-12)
+    // τ=1 → no re-weighting: every domain keeps rate 1
+    val flat = Curate.temperatureRates(df, $"dom", tau = 1.0)
+      .select($"mix_rate").distinct().collect().map(_.getDouble(0)).toSet
+    assert(flat == Set(1.0))
+    // end-to-end: sampling at the computed rates lands near the p^τ mixture
+    val kept = Curate.mixtureSample(Curate.temperatureRates(df, $"dom", tau = 0.5),
+      $"id", $"mix_rate")
+    assert(kept.filter($"dom" === "tail").count() == 20L)
+    val headKept = kept.filter($"dom" === "head").count()
+    assert(headKept > 25 && headKept < 55, s"~40 of 80 head rows expected, got $headKept")
+  }
 }

@@ -30,11 +30,14 @@ object FilterAlgebraProps extends Properties("FilterAlgebra") {
     val session = spark
     import session.implicits._
     val df = rows.toDF()
+    // the generators emit IsNull and len() leaves, which the reference gates
+    // behind class-level inverted-index opt-ins — this collection opts in
     new Graft(spark).register(CollectionSchema("P", "id", Seq(
       Property("name", PropType.Text, Tokenization.Word),
       Property("age", PropType.Int),
       Property("tags", PropType.Arr(PropType.Text)),
-      Property("dept", PropType.Text, Tokenization.Field))), df)
+      Property("dept", PropType.Text, Tokenization.Field)),
+      invertedIndex = InvertedIndexConfig(indexNullState = true, indexPropertyLength = true)), df)
   }
 
   // --- generators -----------------------------------------------------------

@@ -233,4 +233,25 @@ class StoreAndStreamingSpec extends SparkSpecBase {
     assert(s.property("emb").isEmpty) // vectors are not properties
     assert(s.vectorColumn(None) == "emb")
   }
+
+  test("value-based auto-schema: RFC3339→date, uuid→uuid, mixtures and nil→text") {
+    val df = Seq(
+      (1L, "2024-01-02T03:04:05Z", "c56a4180-65aa-42ec-a945-5fd21dec0538", "hello", "2024-01-02T03:04:05Z", Option.empty[String], 7L),
+      (2L, "2024-06-07T08:09:10+02:00", "C56A418065AA42ECA9455FD21DEC0538", "world", "plain text", Option.empty[String], 8L),
+      (3L, "2024-12-31T23:59:59.123Z", "urn:uuid:c56a4180-65aa-42ec-a945-5fd21dec0538", "2024-01-02T03:04:05Z", "2024-01-02T03:04:05Z", Option.empty[String], 9L)
+    ).toDF("id", "d", "u", "t", "mix", "empty", "n")
+    val got = AutoSchema.valueDtypes(df, "id")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      "d" -> "date",      // every value parses RFC3339 (offset, fraction forms)
+      "u" -> "uuid",      // canonical + raw-32 + urn forms all accepted
+      "t" -> "text",      // date-shaped MINORITY does not flip the column
+      "mix" -> "text",    // date/text mixture → text (array-merge rule)
+      "empty" -> "text",  // nil fallback
+      "n" -> "int"))
+    val schema = AutoSchema.inferFromValues("Auto", df, "id")
+    assert(schema.property("d").get.dataType == PropType.Date)
+    assert(schema.property("u").get.dataType == PropType.Uuid)
+    assert(schema.property("n").get.dataType == PropType.Int)
+  }
 }
