@@ -244,6 +244,19 @@ object SparkEntryExt {
         Property("text_cjk", PropType.Text, Tokenization.GseCh))), bed)
     }
 
+  // text[] bed: each document's text split on " stream " into a genuine
+  // multi-element array (so the delimiter's tokens vanish from the corpus and
+  // array-scoring is observably different from scoring the original text);
+  // postings registered over the array prop so keyword queries index-serve
+  private def docArrFor(gg: Graft): Unit =
+    if (!gg.hasCollection("DocArr")) {
+      val bed = gg.collection("Document").df.select(col("doc_id"),
+        split(col("text"), " stream ").as("chunks"))
+      gg.register(CollectionSchema("DocArr", "doc_id",
+        Seq(Property("chunks", PropType.Arr(PropType.Text), Tokenization.Word))), bed)
+      gg.registerPostings("DocArr", Seq("chunks"))
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // §2.5 hybrid relativeScoreFusion (the default fusion since 1.24)
@@ -777,6 +790,45 @@ object SparkEntryExt {
         .orderBy(col("doc_id"))
     }),
 
+    // §2.4 BM25 over a text[] property (reference: text arrays are
+    // searchable — searchparams/retrieval.go:55-66 — and analyze per element
+    // with merged counts, inverted/analyzer.go:174-195). The bed splits each
+    // document's text on " stream " into a genuine multi-element array (the
+    // delimiter's tokens vanish from the corpus, so scoring the ARRAY is
+    // observably different from scoring the original text); served from the
+    // postings index built over the array prop, scan path pinned equal in
+    // Bm25Spec. The oracle rejoins the elements with a space — exact for
+    // word tokenization, where tokens(join(elems)) = concat(tokens(elem)).
+    "q_bm25_textarray" -> ((s, dir) => {
+      val gg = g(s, dir)
+      docArrFor(gg)
+      gg.get(GetParams("DocArr",
+        bm25 = Some(Bm25("spark join window batch", properties = Seq("chunks"))),
+        pagination = Some(Pagination(limit = 20)),
+        properties = Seq("doc_id"),
+        additional = Set("score")))
+        .select(col("doc_id"), round(col("_score"), 4).as("score"))
+    }),
+
+    // §2.2 filters over a text[] property: tokenized Equal and ContainsAny
+    // consult the MERGED per-element token multiset, Like matches any
+    // element's whole value (reference: the inverted index for a text array
+    // carries every element's tokens, analyzer.go:174-195). The oracle
+    // replays token membership over the space-rejoined elements and Like
+    // over the split elements.
+    "q_filter_textarray" -> ((s, dir) => {
+      val gg = g(s, dir)
+      docArrFor(gg)
+      gg.get(GetParams("DocArr",
+        where = Some(Where.and(
+          Where.eqText("chunks", "spark"),
+          Where.or(
+            Where.containsAnyText("chunks", Seq("window", "batch")),
+            Where.like("chunks", "*join*")))),
+        properties = Seq("doc_id")))
+        .orderBy(col("doc_id"))
+    }),
+
     // pipeline: DSIR importance weights (Xie et al. 2023) — hashed
     // unigram+bigram bag-of-words models over 64 buckets, target = the
     // English slice, raw = the whole corpus; per-doc log importance weight
@@ -784,9 +836,8 @@ object SparkEntryExt {
     // smoothing, per-doc weight sum — replayable in the DuckDB oracle.
     "q_dsir_weights" -> ((s, dir) => {
       val docs = g(s, dir).collection("Document").df
-      val model = Dsir.train(docs.filter(col("lang") === "en"), docs,
-        col("doc_id"), col("text"), buckets = 64)
-      Dsir.logWeights(docs, col("doc_id"), col("text"), model, buckets = 64)
+      Dsir.logWeightsSelf(docs, col("doc_id"), col("text"),
+          col("lang") === "en", buckets = 64)
         .select(col("doc_id"), col("lang"), round(col("dsir_logw"), 4).as("dsir_logw"))
         .orderBy(col("doc_id"))
     }),
@@ -797,9 +848,8 @@ object SparkEntryExt {
     // so the oracle reproduces the exact selected set and scores)
     "q_dsir_select" -> ((s, dir) => {
       val docs = g(s, dir).collection("Document").df
-      val model = Dsir.train(docs.filter(col("lang") === "en"), docs,
-        col("doc_id"), col("text"), buckets = 64)
-      val w = Dsir.logWeights(docs, col("doc_id"), col("text"), model, buckets = 64)
+      val w = Dsir.logWeightsSelf(docs, col("doc_id"), col("text"),
+        col("lang") === "en", buckets = 64)
       Dsir.resample(w, col("doc_id"), col("dsir_logw"), k = 60)
         .select(col("doc_id"), col("lang"), round(col("dsir_score"), 4).as("dsir_score"))
         .orderBy(col("doc_id"))
@@ -3065,6 +3115,32 @@ object SparkEntryExt {
         |       round(avg(h), 4) AS cross_entropy,
         |       round(pow(2.0, avg(h)), 4) AS perplexity
         |FROM nll GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // text[] BM25 replay: word-tokenize the space-rejoined split elements —
+    // identical token multiset to the engine's per-element merge
+    "q_bm25_textarray" -> {
+      val terms = Seq("spark", "join", "window", "batch")
+      val (ctes, _) = SparkEntry.sqlBm25(terms,
+        tokExpr = "regexp_extract_all(lower(array_to_string(string_split(text, ' stream '), ' ')), '[a-z0-9]+')")
+      s"""WITH $ctes
+         |SELECT doc_id, round(score_exact, 4) AS score FROM scored
+         |WHERE terms_matched >= 1
+         |ORDER BY score_exact DESC, doc_id ASC LIMIT 20""".stripMargin
+    },
+
+    // text[] filter replay: token membership over the space-rejoined split
+    // elements (≡ the engine's merged element tokens), Like as per-element
+    // containment
+    "q_filter_textarray" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_extract_all(lower(array_to_string(string_split(text, ' stream '), ' ')), '[a-z0-9]+') AS toks,
+        |    string_split(text, ' stream ') AS elems
+        |  FROM documents)
+        |SELECT doc_id FROM t
+        |WHERE list_contains(toks, 'spark')
+        |  AND (list_contains(toks, 'window') OR list_contains(toks, 'batch')
+        |       OR len(list_filter(elems, e -> contains(e, 'join'))) > 0)
+        |ORDER BY doc_id""".stripMargin,
 
     // value-inference replay: same bed, same RFC3339/uuid accepting-set
     // regexes, same all-or-text merge CASE per string column, literal type

@@ -431,12 +431,16 @@ final class FilterCompiler(resolve: String => Collection) {
         val fold = prop.exists(_.asciiFold)
         val pattern =
           if (fold) org.apache.spark.sql.graft.AsciiFold.fold(rawPattern) else rawPattern
-        val target =
-          if (fold) org.apache.spark.sql.graft.TextFunctions.asciiFold(c) else c
         // `?` = one char, `*` = any run; anchored both ends (reference: inverted/like_regexp.go:41-58)
         val regex = "^" + java.util.regex.Pattern.quote(pattern)
           .replace("?", "\\E.\\Q").replace("*", "\\E.*\\Q") + "$"
-        target.rlike(regex)
+        def likeOne(e: Column): Column =
+          (if (fold) org.apache.spark.sql.graft.TextFunctions.asciiFold(e) else e)
+            .rlike(regex)
+        // text[]: any element matches (the pattern walks the same per-element
+        // value index a scalar text prop has)
+        if (prop.exists(_.dataType == PropType.Arr(PropType.Text)))
+          exists(c, likeOne) else likeOne(c)
       case WhereOp.WithinGeoRange =>
         val GeoRangeV(lat, lon, meters) = w.value.get: @unchecked
         val latC = c.getField("lat").cast("double")
@@ -482,11 +486,25 @@ final class FilterCompiler(resolve: String => Collection) {
     val qToks = if (mode == Tokenization.Word) raw.filterNot(stop) else raw
     if (qToks.isEmpty && raw.nonEmpty) Tokenize.onlyStopwordsError()
     if (qToks.isEmpty) lit(false)
-    else qToks.map(t => array_contains(Tokenize.withFold(mode, fold)(c), t)).reduce(_ && _)
+    else {
+      // text[] props match against the MERGED per-element token multiset —
+      // the searchable index for a text array holds every element's tokens
+      // (analyzer.go:174-195), so a filter term hits any element
+      val toks = Tokenize.propTokens(mode, fold, isTextArray(prop))(c)
+      qToks.map(t => array_contains(toks, t)).reduce(_ && _)
+    }
   }
 
+  private def isTextArray(prop: Option[Property]): Boolean =
+    prop.exists(_.dataType == PropType.Arr(PropType.Text))
+
+  /** Token-level matching applies to text AND text[] under any non-field
+   * tokenization (the filter consults the searchable token index either
+   * way — searcher.go:869). */
   private def isTokenizedText(prop: Option[Property]): Boolean =
-    prop.exists(p => p.dataType == PropType.Text && p.tokenization != Tokenization.Field)
+    prop.exists(p => (p.dataType == PropType.Text ||
+        p.dataType == PropType.Arr(PropType.Text)) &&
+      p.tokenization != Tokenization.Field)
 
   private def cmp(op: WhereOp, c: Column, v: FilterValue, prop: Option[Property],
                   stop: Set[String]): Column = {
@@ -499,15 +517,19 @@ final class FilterCompiler(resolve: String => Collection) {
       case DateV(x)   => lit(x)
       case other      => throw new IllegalArgumentException(s"unsupported cmp value $other")
     }
+    val isArrayProp = prop.exists(_.dataType.isInstanceOf[PropType.Arr])
     op match {
       case WhereOp.Equal =>
         v match {
           case TextV(s) if isTokenizedText(prop) => textTokenMatch(c, prop, s, stop)
+          // non-tokenized arrays (field text[], int[], …): any element equals
+          case _ if isArrayProp => array_contains(c, value)
           case _ => c === value
         }
       case WhereOp.NotEqual =>
         v match {
           case TextV(s) if isTokenizedText(prop) => !textTokenMatch(c, prop, s, stop)
+          case _ if isArrayProp => !array_contains(c, value)
           case _ => c =!= value
         }
       case WhereOp.GreaterThan      => c > value
@@ -537,11 +559,14 @@ final class FilterCompiler(resolve: String => Collection) {
     val isArrayProp = prop.exists(_.dataType.isInstanceOf[PropType.Arr])
     val tokenized = isTokenizedText(prop)
     def one(value: Column, raw: FilterValue): Column =
-      if (isArrayProp) array_contains(c, value)
-      else if (tokenized) raw match {
+      // tokenized text (scalar OR array) matches per-token — textTokenMatch
+      // merges a text[] prop's element tokens; other arrays (int[], field-
+      // tokenized text[], …) match whole elements
+      if (tokenized) raw match {
         case TextV(s) => textTokenMatch(c, prop, s, stop)
-        case _        => c === value
+        case _        => if (isArrayProp) array_contains(c, value) else c === value
       }
+      else if (isArrayProp) array_contains(c, value)
       else c === value
     // ContainsAny skips a value that stopword removal empties (at least one
     // usable term → proceed), erroring only when EVERY value was stopwords;

@@ -327,8 +327,8 @@ final class Graft(val spark: SparkSession) {
   def registerPostings(collectionName: String, props: Seq[String],
                        buckets: Int = 64, persistPath: Option[String] = None): Graft = {
     val c = collection(collectionName)
-    props.foreach(p => require(c.schema.property(p).exists(_.dataType == PropType.Text),
-      s"postings: $p is not a text property of $collectionName"))
+    props.foreach(p => require(c.schema.property(p).exists(_.hasSearchableIndex),
+      s"postings: $p is not a searchable text/text[] property of $collectionName"))
     postingsSpecs += collectionName -> ((props, buckets, persistPath))
     this
   }
@@ -425,7 +425,7 @@ final class Graft(val spark: SparkSession) {
         .limit(fetchN)
     val specs =
       if (kw.properties.nonEmpty) Bm25Search.parseProps(kw.properties)
-      else c.schema.properties.filter(p => p.dataType == PropType.Text && p.indexSearchable)
+      else c.schema.properties.filter(_.hasSearchableIndex)
         .map(p => Bm25Search.PropSpec(p.name, 1.0))
     (if (postingsCanServe(c, specs.map(_.name).toSet)) postingsFor(c) else None)
       .filter(idx => specs.map(_.name).toSet.subsetOf(idx.props.toSet)) match {
@@ -836,8 +836,7 @@ final class Graft(val spark: SparkSession) {
         // (ChooseSearchableProperties — aggregator/filtered.go:142,
         // aggregator/hybrid.go:55) where the Get path errors (WEAVIATE-471)
         val h = h0.copy(properties = h0.properties.filter { p =>
-          c.schema.property(p.split('^').head)
-            .exists(pr => pr.dataType == PropType.Text && pr.indexSearchable)
+          c.schema.property(p.split('^').head).exists(_.hasSearchableIndex)
         })
         // hybrid legs route through the same planners as Get's (postings for
         // the sparse leg, registered ANN index + selectivity for the dense)

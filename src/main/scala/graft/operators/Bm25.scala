@@ -173,7 +173,8 @@ object Bm25Search {
       val groups = groupsOf(propTok.map(pt => (pt._2, pt._3)))
       val tokenized = propTok.zipWithIndex.foldLeft(c.df.select(propTok.map { case (s, _, _) => col(s.name) }: _*)) {
         case (d, ((spec, mode, fold), i)) =>
-          d.withColumn(s"__tok_$i", Tokenize.withFold(mode, fold)(col(spec.name)))
+          d.withColumn(s"__tok_$i",
+            Tokenize.propTokens(mode, fold, isTextArray(c, spec.name))(col(spec.name)))
       }
       val statAggs: Seq[Column] =
         Seq(count(lit(1)).as("N")) ++
@@ -220,6 +221,11 @@ object Bm25Search {
   /** Per-term contribution column name for explainScore. */
   def explainCol(term: String): String = s"_exp_$term"
 
+  /** text[] props tokenize per element with merged counts (analyzer.go
+   * TextArray) — everything downstream is shape-identical to text. */
+  private def isTextArray(c: Collection, prop: String): Boolean =
+    c.schema.property(prop).exists(_.dataType == PropType.Arr(PropType.Text))
+
   /**
    * Score `base` (already where-filtered — reference applies the filter as an
    * allowlist before scoring, shard_read.go:536-550) against the query.
@@ -233,15 +239,15 @@ object Bm25Search {
     val df = base.getOrElse(c.df)
     val specs =
       if (params.properties.nonEmpty) parseProps(params.properties)
-      else c.schema.properties.filter(p => p.dataType == PropType.Text && p.indexSearchable)
+      else c.schema.properties.filter(_.hasSearchableIndex)
         .map(p => PropSpec(p.name, 1.0))
     require(specs.nonEmpty, s"bm25: no searchable text properties on ${c.name}")
-    // explicitly requested props must carry a searchable index — the
-    // reference errors rather than silently skipping (WEAVIATE-471,
-    // bm25_searcher.go:166-171, NewMissingSearchableIndexError)
+    // explicitly requested props must carry a searchable index (text or
+    // text[], searchparams/retrieval.go:55-66) — the reference errors rather
+    // than silently skipping (WEAVIATE-471, bm25_searcher.go:166-171,
+    // NewMissingSearchableIndexError)
     specs.foreach { s =>
-      val ok = c.schema.property(s.name)
-        .exists(p => p.dataType == PropType.Text && p.indexSearchable)
+      val ok = c.schema.property(s.name).exists(_.hasSearchableIndex)
       require(ok, s"Searching by property '${s.name}' requires inverted index. " +
         s"Is `indexSearchable` option of property '${s.name}' enabled? " +
         "Set it to `true` or leave empty")
@@ -270,7 +276,8 @@ object Bm25Search {
       .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getDouble(2)).toMap
 
     val scoredBase = propTok.zipWithIndex.foldLeft(df) { case (d, ((spec, mode, fold), i)) =>
-      d.withColumn(s"__tok_$i", Tokenize.withFold(mode, fold)(col(spec.name)))
+      d.withColumn(s"__tok_$i",
+          Tokenize.propTokens(mode, fold, isTextArray(c, spec.name))(col(spec.name)))
         .withColumn(s"__dl_$i", size(array_distinct(col(s"__tok_$i"))).cast("double"))
     }
 

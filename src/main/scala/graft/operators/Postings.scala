@@ -159,8 +159,10 @@ object Postings {
     val id = c.schema.idColumn
     val modes = props.map(p => c.schema.property(p).map(_.tokenization).getOrElse(Tokenization.Word))
     val folds = props.map(p => c.schema.property(p).exists(_.asciiFold))
-    c.df.select(col(id).as("__id") +: props.zip(modes.zip(folds)).zipWithIndex.map {
-      case ((p, (m, f)), i) => Tokenize.withFold(m, f)(col(p)).as(s"__toks_$i")
+    val arrs = props.map(p => c.schema.property(p)
+      .exists(_.dataType == graft.model.PropType.Arr(graft.model.PropType.Text)))
+    c.df.select(col(id).as("__id") +: props.zip(modes.zip(folds).zip(arrs)).zipWithIndex.map {
+      case ((p, ((m, f), a)), i) => Tokenize.propTokens(m, f, a)(col(p)).as(s"__toks_$i")
     }: _*)
   }
 

@@ -105,6 +105,35 @@ object Dsir {
   }
 
   /**
+   * Single-featurization weights for the common "target is a SLICE of the
+   * raw corpus" case: ONE explode pass computes per-doc bucket counts
+   * carrying the doc's target membership, and the target distribution, raw
+   * distribution, and every doc's weight all derive from that pass (vs
+   * train + logWeights = three passes over the corpus — at 100 TB the
+   * featurization explode IS the job, so it must run once). Numerically
+   * identical to `logWeights(df, …, train(df.filter(isTarget), df, …), …)`.
+   */
+  def logWeightsSelf(df: DataFrame, idCol: Column, text: Column,
+                     isTarget: Column, buckets: Int,
+                     alpha: Double = 1.0): DataFrame = {
+    val counts = df
+      .select(idCol.as("__id"), isTarget.as("__t"), explode(grams(text)).as("__g"))
+      .select(col("__id"), col("__t"), bucketOf(col("__g"), buckets).as("bucket"))
+      .groupBy(col("__id"), col("__t"), col("bucket")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val p = bucketLogProbs(counts.filter(col("__t")), buckets, alpha)
+    val q = bucketLogProbs(counts, buckets, alpha)
+    val model = p.join(q.withColumnRenamed("logp", "logq"), Seq("bucket"))
+      .select(col("bucket"), (col("logp") - col("logq")).as("log_ratio"))
+    val w = counts.join(broadcast(model), Seq("bucket"))
+      .groupBy(col("__id"))
+      .agg(sum(col("cnt") * col("log_ratio")).as("dsir_logw"))
+    df.join(w, df(idCol.toString) === w("__id"), "left")
+      .drop("__id")
+      .withColumn("dsir_logw", coalesce(col("dsir_logw"), lit(0.0)))
+  }
+
+  /**
    * Gumbel top-k resampling (sampling k docs without replacement ∝ softmax
    * of the log weights): rank by dsir_logw + g_i where
    * g_i = −ln(−ln(u_i)) and u_i is the doc's own md5-derived uniform —

@@ -146,6 +146,17 @@ object Tokenize {
   def queryTokens(mode: Tokenization, q: String, fold: Boolean): Seq[String] =
     queryTokens(mode, if (fold) org.apache.spark.sql.graft.AsciiFold.fold(q) else q)
 
+  /** Tokenize a searchable property column that is either text (string) or
+   * text[] (array<string>): arrays tokenize per element with null elements
+   * skipped and the token streams concatenated, so downstream frequency /
+   * distinct-length math sees the merged multiset — exactly the reference's
+   * TextArray analysis (inverted/analyzer.go:174-195: per-element Analyze,
+   * counts summed across elements). */
+  def propTokens(mode: Tokenization, fold: Boolean, isArray: Boolean)(c: Column): Column =
+    if (isArray)
+      flatten(transform(filter(c, e => e.isNotNull), e => withFold(mode, fold)(e)))
+    else withFold(mode, fold)(c)
+
   def apply(mode: Tokenization)(c: Column): Column = mode match {
     case Tokenization.Word       => word(c)
     case Tokenization.Lowercase  => lowercase(c)

@@ -136,4 +136,38 @@ class Bm25Spec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("share the same tokenization"))
   }
+
+  test("text[] props: per-element tokenization with merged counts ≡ joined-text twin; postings agree") {
+    // same token multiset, two physical shapes: chunked array vs joined text
+    val arr = Seq(
+      (1L, Seq("spark makes joins", "fast spark wins")),
+      (2L, Seq("spark spark everywhere")),
+      (3L, Seq("ducks like", null, "water")), // null element is skipped
+      (4L, Seq("fast water", "fast spark"))).toDF("id", "chunks")
+    val cArr = Collection(CollectionSchema("DocA", "id",
+      Seq(Property("chunks", PropType.Arr(PropType.Text)))), arr)
+    val joined = Seq(
+      (1L, "spark makes joins fast spark wins"),
+      (2L, "spark spark everywhere"),
+      (3L, "ducks like water"),
+      (4L, "fast water fast spark")).toDF("id", "chunks")
+    val cTxt = Collection(CollectionSchema("DocT", "id",
+      Seq(Property("chunks", PropType.Text))), joined)
+    def scores(c: Collection): Map[Long, Double] =
+      Bm25Search.score(c, Bm25("spark fast water", Seq("chunks")))
+        .select($"id", col(Bm25Search.ScoreCol))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val a = scores(cArr)
+    val t = scores(cTxt)
+    assert(a.keySet == t.keySet)
+    a.foreach { case (id, s) => assert(math.abs(s - t(id)) < 1e-12, s"doc $id: $s vs ${t(id)}") }
+    // the postings index built over the array prop scores identically
+    val idx = Postings.build(cArr, Seq("chunks"), buckets = 2)
+    val viaPostings = Postings.search(idx, "spark fast water", 10, SearchOperator.Or(1))
+      .select($"id", col(Bm25Search.ScoreCol))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaPostings.keySet == a.keySet)
+    viaPostings.foreach { case (id, s) =>
+      assert(math.abs(s - a(id)) < 1e-12, s"postings doc $id: $s vs ${a(id)}") }
+  }
 }

@@ -66,6 +66,19 @@ class DsirSpec extends SparkSpecBase {
     assert(s1.count(_ <= 4L) >= 3, s"expected science-dominated sample, got $s1")
   }
 
+  test("logWeightsSelf: single-pass weights ≡ train + logWeights") {
+    val m = Dsir.train(target, corpus, $"id", $"text", buckets = 128)
+    val two = Dsir.logWeights(corpus, $"id", $"text", m, buckets = 128)
+      .select($"id", $"dsir_logw")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val one = Dsir.logWeightsSelf(corpus, $"id", $"text", $"id" <= 2, buckets = 128)
+      .select($"id", $"dsir_logw")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(one.keySet == two.keySet)
+    one.foreach { case (id, w) =>
+      assert(math.abs(w - two(id)) < 1e-9, s"doc $id: $w vs ${two(id)}") }
+  }
+
   test("resample: score = logw + gumbel(md5 uniform), reproducible arithmetic") {
     val m = Dsir.train(target, corpus, $"id", $"text", buckets = 128)
     val w = Dsir.logWeights(corpus, $"id", $"text", m, buckets = 128)

@@ -265,4 +265,31 @@ class FilterCompilerSpec extends SparkSpecBase {
     assert(q2(Where.eqText("nm", "a")).map(_.getLong(0)).toSeq == Seq(1L))
     assert(q2(Where.gtInt("n", 5L)).map(_.getLong(0)).toSeq == Seq(2L))
   }
+
+  test("text[] filters: tokenized Equal/ContainsAny match merged element tokens; Like any element") {
+    val gg = new Graft(spark)
+    gg.register(CollectionSchema("Chunked", "id", Seq(
+      Property("chunks", PropType.Arr(PropType.Text), Tokenization.Word),
+      Property("labels", PropType.Arr(PropType.Text), Tokenization.Field))),
+      Seq(
+        (1L, Seq("spark makes joins", "fast and wide"), Seq("Big Data", "ml")),
+        (2L, Seq("plain prose here"), Seq("prose")),
+        (3L, Seq(null, "spark again"), Seq("Big Data"))
+      ).toDF("id", "chunks", "labels"))
+    def ids(w: Where): Seq[Long] =
+      gg.get(GetParams("Chunked", where = Some(w), properties = Seq("id")))
+        .collect().map(_.getLong(0)).toSeq.sorted
+    // tokenized Equal hits a token inside ANY element (null elements skipped)
+    assert(ids(Where.eqText("chunks", "spark")) == Seq(1L, 3L))
+    // multi-token value: every token must appear somewhere in the merged set
+    assert(ids(Where.eqText("chunks", "wide spark")) == Seq(1L))
+    // ContainsAny per value, per token
+    assert(ids(Where.containsAnyText("chunks", Seq("prose", "wide"))) == Seq(1L, 2L))
+    // Like matches whole ELEMENT values, case-sensitive, any element
+    assert(ids(Where.like("chunks", "*joins")) == Seq(1L))
+    assert(ids(Where.like("chunks", "spark *")) == Seq(1L, 3L))
+    // field-tokenized text[] keeps whole-element equality (no token split)
+    assert(ids(Where.containsAnyText("labels", Seq("Big Data"))) == Seq(1L, 3L))
+    assert(ids(Where.containsAnyText("labels", Seq("Big"))) == Seq())
+  }
 }
