@@ -810,6 +810,46 @@ object SparkEntryExt {
         .select(col("doc_id"), round(col("_score"), 4).as("score"))
     }),
 
+    // §2.7 `_additional { summary }` (sum-transformers module surface): each
+    // requested text property with a non-empty value yields a {property,
+    // result} entry over the bounded page; the module client is the
+    // deterministic extractive stand-in (first 20 whitespace tokens), which
+    // the oracle replays verbatim
+    "q_summary" -> ((s, dir) => {
+      g(s, dir).get(GetParams("Document",
+        where = Some(Where.eqText("source", "src5")),
+        pagination = Some(Pagination(limit = 15)),
+        properties = Seq("doc_id"),
+        summary = Some(SummaryParams(Seq("text"))),
+        additional = Set("summary")))
+        .select(col("doc_id"),
+          element_at(col("_summary"), 1).getField("property").as("sum_prop"),
+          element_at(col("_summary"), 1).getField("result").as("summary"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // §2.7 `_additional { answer }` (qna-transformers module surface): the
+    // extractive stand-in answers with the 60-char window at the first
+    // occurrence of the question's first non-stopword term ("window"), and
+    // findProperty re-localizes the span — result/property/startPosition/
+    // endPosition/hasAnswer all replayed in SQL; docs without the term carry
+    // hasAnswer=false with null fields (answer_result.go:80-84)
+    "q_ask" -> ((s, dir) => {
+      g(s, dir).get(GetParams("Document",
+        where = Some(Where.eqText("source", "src7")),
+        pagination = Some(Pagination(limit = 20)),
+        properties = Seq("doc_id"),
+        ask = Some(AskParams("in the window", Seq("text"))), // in/the drop → term "window"
+        additional = Set("answer")))
+        .select(col("doc_id"),
+          col("_answer").getField("result").as("ans"),
+          col("_answer").getField("property").as("ans_prop"),
+          col("_answer").getField("start_position").as("start_pos"),
+          col("_answer").getField("end_position").as("end_pos"),
+          col("_answer").getField("has_answer").as("has_answer"))
+        .orderBy(col("doc_id"))
+    }),
+
     // §2.2 filters over a text[] property: tokenized Equal and ContainsAny
     // consult the MERGED per-element token multiset, Like matches any
     // element's whole value (reference: the inverted index for a text array
@@ -3127,6 +3167,38 @@ object SparkEntryExt {
          |WHERE terms_matched >= 1
          |ORDER BY score_exact DESC, doc_id ASC LIMIT 20""".stripMargin
     },
+
+    // summary replay: page by source, extractive lead-20-token stand-in
+    "q_summary" ->
+      """WITH page AS (SELECT doc_id, text FROM documents
+        |  WHERE source = 'src5' ORDER BY doc_id LIMIT 15)
+        |SELECT doc_id, 'text' AS sum_prop,
+        |  array_to_string(list_slice(regexp_split_to_array(text, '\s+'), 1, 20), ' ') AS summary
+        |FROM page ORDER BY doc_id""".stripMargin,
+
+    // answer replay: 60-char window at the first 'window' occurrence in the
+    // lowercased passage, findProperty via strpos on the newline-flattened
+    // lowercased property value (Go 0-based start)
+    "q_ask" ->
+      """WITH page AS (SELECT doc_id, text FROM documents
+        |  WHERE source = 'src7' ORDER BY doc_id LIMIT 20),
+        |a AS (SELECT doc_id, text, strpos(lower(text), 'window') AS p FROM page),
+        |ans AS (SELECT doc_id, text,
+        |         CASE WHEN p > 0 THEN substr(lower(text), p, 60) END AS res FROM a),
+        |loc AS (SELECT doc_id, res,
+        |         CASE WHEN res IS NOT NULL THEN
+        |           CASE WHEN strpos(lower(replace(text, chr(10), ' ')), res) > 0 THEN 'text' ELSE '' END
+        |         END AS ans_prop,
+        |         CASE WHEN res IS NOT NULL THEN
+        |           CASE WHEN strpos(lower(replace(text, chr(10), ' ')), res) > 0
+        |                THEN strpos(lower(replace(text, chr(10), ' ')), res) - 1 ELSE 0 END
+        |         END AS sp
+        |        FROM ans)
+        |SELECT doc_id, res AS ans, ans_prop,
+        |  CAST(sp AS BIGINT) AS start_pos,
+        |  CAST(CASE WHEN res IS NOT NULL THEN sp + length(res) END AS BIGINT) AS end_pos,
+        |  res IS NOT NULL AS has_answer
+        |FROM loc ORDER BY doc_id""".stripMargin,
 
     // text[] filter replay: token membership over the space-rejoined split
     // elements (≡ the engine's merged element tokens), Like as per-element

@@ -51,6 +51,16 @@ final class Graft(val spark: SparkSession) {
   private var reranker: Rerank.Scorer = Rerank.lexicalOverlap
   def withReranker(r: Rerank.Scorer): Graft = { reranker = r; this }
 
+  /** Module hook: summarizer for `_additional { summary }` (reference:
+   * modules/sum-transformers — deterministic extractive stand-in). */
+  private var summarizer: Summarize.Client = Summarize.leadTokens(20)
+  def withSummarizer(s: Summarize.Client): Graft = { summarizer = s; this }
+
+  /** Module hook: QA reader for `_additional { answer }` (reference:
+   * modules/qna-transformers; None = the extractive stand-in). */
+  private var qnaClient: Option[Qna.Client] = None
+  def withQnaClient(q: Qna.Client): Graft = { qnaClient = Some(q); this }
+
   /** Module hook: generative client for `_additional { generate }`
    * (reference: modules/generative-* behind GenerativeClient; default is the
    * deterministic echo stand-in — see Generate scaladoc). */
@@ -731,6 +741,36 @@ final class Graft(val spark: SparkSession) {
       case None => reranked
     }
 
+    // summary (`_additional { summary }`, sum-transformers) and answer
+    // (`_additional { answer }`, qna-transformers) decorate the final page
+    // like rerank/generate — per-result module output over the bounded page
+    val summarized = params.summary match {
+      case Some(sp) =>
+        val props = sp.properties.map { n =>
+          val p = c.schema.property(n).getOrElse(
+            throw new IllegalArgumentException(s"unknown summary property $n"))
+          require(p.dataType == PropType.Text,
+            s"summary property $n must be text (summary_result.go:50-56 " +
+            "extracts only string-valued properties)")
+          n -> col(n)
+        }
+        Summarize.attach(generated, props, summarizer)
+      case None => generated
+    }
+    val answered = params.ask match {
+      case Some(ap) =>
+        val names =
+          if (ap.properties.nonEmpty) ap.properties
+          else c.schema.properties.filter(_.dataType == PropType.Text).map(_.name)
+        names.foreach { n =>
+          require(c.schema.property(n).exists(_.dataType == PropType.Text),
+            s"ask property $n must be a text property of ${c.schema.name}")
+        }
+        Qna.attach(summarized, names.map(n => n -> col(n)), ap.question,
+          client = qnaClient)
+      case None => summarized
+    }
+
     // featureProjection (`_additional { featureProjection }`) reduces the
     // final page's vectors to 2-3 plot coordinates via driver-side t-SNE,
     // exactly the reference's projector module scope (projector.go Reduce
@@ -743,8 +783,8 @@ final class Graft(val spark: SparkSession) {
       case Some(fp) =>
         require(params.pagination.isDefined || params.cursor.isDefined,
           "featureProjection requires a bounded page (set pagination or cursor)")
-        FeatureProjection.attach(generated, id, c.schema.vectorColumn(None), fp)
-      case None => generated
+        FeatureProjection.attach(answered, id, c.schema.vectorColumn(None), fp)
+      case None => answered
     }
 
     project(c, params, resolveRefs(c, params, projected))
@@ -872,6 +912,8 @@ final class Graft(val spark: SparkSession) {
         // collections that declare the columns, like the reference's
         // indexTimestamps gate
         case "rerank" if df.columns.contains(Rerank.ScoreCol) => Some(col(Rerank.ScoreCol))
+      case "summary" if df.columns.contains(Summarize.Col) => Some(col(Summarize.Col))
+      case "answer" if df.columns.contains(Qna.Col) => Some(col(Qna.Col))
         case "featureProjection" if df.columns.contains(FeatureProjection.Col) =>
           Some(col(FeatureProjection.Col))
         case "creationTimeUnix" =>

@@ -214,6 +214,21 @@ final case class GenerateParams(
     "generate: set singlePrompt and/or groupedTask")
 }
 
+/** `_additional { summary(properties: [...]) { property result } }` — the
+ * sum-transformers module surface (modules/sum-transformers/additional/
+ * summary/summary_params.go; per-result list of {property, result}). */
+final case class SummaryParams(properties: Seq[String]) {
+  require(properties.nonEmpty, "no properties provided")
+}
+
+/** `_additional { answer(question: ...) { result property startPosition
+ * endPosition hasAnswer } }` — the qna-transformers module surface
+ * (modules/qna-transformers/additional/answer). Empty `properties` = all
+ * text properties, like the module's containsProperty fallback. */
+final case class AskParams(question: String, properties: Seq[String] = Nil) {
+  require(question.trim.nonEmpty, "empty question")
+}
+
 /** `_additional { featureProjection(dimensions:...) { vector } }` — t-SNE
  * dimensionality reduction over the returned result page (reference:
  * usecases/modulecomponents/additional/projector/projector_params.go:31-39
@@ -247,6 +262,8 @@ final case class GetParams(
     autocut: Option[Int] = None,
     rerank: Option[RerankParams] = None,
     generate: Option[GenerateParams] = None,
+    summary: Option[SummaryParams] = None,
+    ask: Option[AskParams] = None,
     featureProjection: Option[FeatureProjectionParams] = None)
 
 // --- Aggregations (reference: entities/aggregation/params.go) ---
