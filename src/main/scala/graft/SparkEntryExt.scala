@@ -850,6 +850,25 @@ object SparkEntryExt {
         .orderBy(col("doc_id"))
     }),
 
+    // §2.7 `_additional { tokens }` (ner-transformers module surface): the
+    // gazetteer stand-in emits one token per dictionary word at its first
+    // occurrence; certainty 0.7 cuts the 0.65 entry (cutOffByCertainty) and
+    // limit 3 truncates the accumulated list — all replayed in SQL
+    "q_ner" -> ((s, dir) => {
+      g(s, dir).get(GetParams("Document",
+        where = Some(Where.eqText("source", "src2")),
+        pagination = Some(Pagination(limit = 25)),
+        properties = Seq("doc_id"),
+        ner = Some(NerParams(Seq("text"), certainty = Some(0.7), limit = Some(3))),
+        additional = Set("tokens")))
+        .select(col("doc_id"), posexplode(col("_tokens")).as(Seq("i", "t")))
+        .select(col("doc_id"), (col("i") + 1).cast("long").as("rank"),
+          col("t.entity").as("entity"), col("t.word").as("word"),
+          round(col("t.certainty"), 2).as("certainty"),
+          col("t.start_position").as("start_pos"), col("t.end_position").as("end_pos"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
     // §2.2 filters over a text[] property: tokenized Equal and ContainsAny
     // consult the MERGED per-element token multiset, Like matches any
     // element's whole value (reference: the inverted index for a text array
@@ -3199,6 +3218,30 @@ object SparkEntryExt {
         |  CAST(CASE WHEN res IS NOT NULL THEN sp + length(res) END AS BIGINT) AS end_pos,
         |  res IS NOT NULL AS has_answer
         |FROM loc ORDER BY doc_id""".stripMargin,
+
+    // NER replay: gazetteer entries above the certainty cutoff in dictionary
+    // order, first-occurrence strpos positions, list truncated to 3
+    "q_ner" ->
+      """WITH page AS (SELECT doc_id, text FROM documents
+        |  WHERE source = 'src2' ORDER BY doc_id LIMIT 25),
+        |toks AS (SELECT doc_id, list_slice(list_filter([
+        |    CASE WHEN strpos(lower(text), 'spark') > 0 THEN
+        |      {'entity': 'PRODUCT', 'word': 'spark', 'certainty': 0.95,
+        |       'sp': strpos(lower(text), 'spark') - 1} END,
+        |    CASE WHEN strpos(lower(text), 'window') > 0 THEN
+        |      {'entity': 'CONCEPT', 'word': 'window', 'certainty': 0.85,
+        |       'sp': strpos(lower(text), 'window') - 1} END,
+        |    CASE WHEN strpos(lower(text), 'stream') > 0 THEN
+        |      {'entity': 'CONCEPT', 'word': 'stream', 'certainty': 0.75,
+        |       'sp': strpos(lower(text), 'stream') - 1} END
+        |  ], x -> x IS NOT NULL), 1, 3) AS ts FROM page)
+        |SELECT doc_id, CAST(i AS BIGINT) AS rank,
+        |  ts[i].entity AS entity, ts[i].word AS word,
+        |  round(ts[i].certainty, 2) AS certainty,
+        |  CAST(ts[i].sp AS BIGINT) AS start_pos,
+        |  CAST(ts[i].sp + length(ts[i].word) AS BIGINT) AS end_pos
+        |FROM toks, unnest(range(1, len(ts) + 1)) AS u(i)
+        |ORDER BY doc_id, rank""".stripMargin,
 
     // text[] filter replay: token membership over the space-rejoined split
     // elements (≡ the engine's merged element tokens), Like as per-element

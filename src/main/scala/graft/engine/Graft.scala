@@ -61,6 +61,16 @@ final class Graft(val spark: SparkSession) {
   private var qnaClient: Option[Qna.Client] = None
   def withQnaClient(q: Qna.Client): Graft = { qnaClient = Some(q); this }
 
+  /** Module hook: NER recognizer for `_additional { tokens }` (reference:
+   * modules/ner-transformers; default = a small deterministic gazetteer
+   * over the corpus's own vocabulary). */
+  private var nerClient: Ner.Client = Ner.dictionary(Seq(
+    Ner.DictEntry("spark", "PRODUCT", 0.95),
+    Ner.DictEntry("window", "CONCEPT", 0.85),
+    Ner.DictEntry("stream", "CONCEPT", 0.75),
+    Ner.DictEntry("customer", "ROLE", 0.65)))
+  def withNerClient(n: Ner.Client): Graft = { nerClient = n; this }
+
   /** Module hook: generative client for `_additional { generate }`
    * (reference: modules/generative-* behind GenerativeClient; default is the
    * deterministic echo stand-in — see Generate scaladoc). */
@@ -770,6 +780,16 @@ final class Graft(val spark: SparkSession) {
           client = qnaClient)
       case None => summarized
     }
+    val nerTagged = params.ner match {
+      case Some(np) =>
+        np.properties.foreach { n =>
+          require(c.schema.property(n).exists(_.dataType == PropType.Text),
+            s"tokens property $n must be a text property of ${c.schema.name}")
+        }
+        Ner.attach(answered, np.properties.map(n => n -> col(n)), nerClient,
+          np.certainty, np.limit)
+      case None => answered
+    }
 
     // featureProjection (`_additional { featureProjection }`) reduces the
     // final page's vectors to 2-3 plot coordinates via driver-side t-SNE,
@@ -783,8 +803,8 @@ final class Graft(val spark: SparkSession) {
       case Some(fp) =>
         require(params.pagination.isDefined || params.cursor.isDefined,
           "featureProjection requires a bounded page (set pagination or cursor)")
-        FeatureProjection.attach(answered, id, c.schema.vectorColumn(None), fp)
-      case None => answered
+        FeatureProjection.attach(nerTagged, id, c.schema.vectorColumn(None), fp)
+      case None => nerTagged
     }
 
     project(c, params, resolveRefs(c, params, projected))
@@ -914,6 +934,7 @@ final class Graft(val spark: SparkSession) {
         case "rerank" if df.columns.contains(Rerank.ScoreCol) => Some(col(Rerank.ScoreCol))
       case "summary" if df.columns.contains(Summarize.Col) => Some(col(Summarize.Col))
       case "answer" if df.columns.contains(Qna.Col) => Some(col(Qna.Col))
+      case "tokens" if df.columns.contains(Ner.Col) => Some(col(Ner.Col))
         case "featureProjection" if df.columns.contains(FeatureProjection.Col) =>
           Some(col(FeatureProjection.Col))
         case "creationTimeUnix" =>

@@ -229,6 +229,15 @@ final case class AskParams(question: String, properties: Seq[String] = Nil) {
   require(question.trim.nonEmpty, "empty question")
 }
 
+/** `_additional { tokens(properties: [...], certainty: ..., limit: ...) }` —
+ * the ner-transformers module surface (modules/ner-transformers/additional/
+ * tokens/tokens_params.go). */
+final case class NerParams(properties: Seq[String],
+                           certainty: Option[Double] = None,
+                           limit: Option[Int] = None) {
+  require(properties.nonEmpty, "no properties provided")
+}
+
 /** `_additional { featureProjection(dimensions:...) { vector } }` — t-SNE
  * dimensionality reduction over the returned result page (reference:
  * usecases/modulecomponents/additional/projector/projector_params.go:31-39
@@ -264,6 +273,7 @@ final case class GetParams(
     generate: Option[GenerateParams] = None,
     summary: Option[SummaryParams] = None,
     ask: Option[AskParams] = None,
+    ner: Option[NerParams] = None,
     featureProjection: Option[FeatureProjectionParams] = None)
 
 // --- Aggregations (reference: entities/aggregation/params.go) ---

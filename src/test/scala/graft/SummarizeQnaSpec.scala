@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Graft
 import graft.model._
-import graft.operators.{Qna, Summarize}
+import graft.operators.{Ner, Qna, Summarize}
 
 class SummarizeQnaSpec extends SparkSpecBase {
   import spark.implicits._
@@ -91,6 +91,36 @@ class SummarizeQnaSpec extends SparkSpecBase {
     assert(a3.getBoolean(4))
     assert(a3.getString(0).startsWith("title here"))
     assert(a3.getString(1) == "title")
+  }
+
+  test("tokens: gazetteer entries, certainty cutoff, cross-property limit") {
+    val gz = g.withNerClient(Ner.dictionary(Seq(
+      Ner.DictEntry("fox", "ANIMAL", 0.9),
+      Ner.DictEntry("dog", "ANIMAL", 0.8),
+      Ner.DictEntry("windmill", "LOC", 0.6),
+      Ner.DictEntry("title", "MISC", 0.95))))
+    def tokens(np: NerParams): Map[Long, Seq[(String, String, Long)]] =
+      gz.get(GetParams("Doc",
+        pagination = Some(Pagination(limit = 10)),
+        properties = Seq("id"),
+        ner = Some(np), additional = Set("tokens")))
+        .select($"id", col(Ner.Col))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Row](1)
+          .map(t => (t.getString(1), t.getString(3), t.getLong(4)))).toMap
+    val all = tokens(NerParams(Seq("body", "title")))
+    // doc 1 body: fox, dog, windmill in dictionary order with real offsets
+    assert(all(1L).map(_._2) == Seq("fox", "dog", "windmill", "title"))
+    assert(all(1L).head ==
+      (("ANIMAL", "fox", "the quick brown fox".indexOf("fox").toLong)))
+    // the "title" hit comes from the SECOND property (title prop)
+    // doc 3: null body skipped, title prop yields its token
+    assert(all(3L).map(_._2) == Seq("title"))
+    // certainty 0.7 drops windmill (0.6)
+    val cut = tokens(NerParams(Seq("body", "title"), certainty = Some(0.7)))
+    assert(cut(1L).map(_._2) == Seq("fox", "dog", "title"))
+    // limit 2 truncates the accumulated list
+    val lim = tokens(NerParams(Seq("body", "title"), limit = Some(2)))
+    assert(lim(1L).map(_._2) == Seq("fox", "dog"))
   }
 
   test("answer: only-stopword question errors; custom client overrides the stand-in") {
