@@ -869,6 +869,25 @@ object SparkEntryExt {
         .orderBy(col("doc_id"), col("rank"))
     }),
 
+    // §2.7 `_additional { spellCheck }` (text-spellcheck module surface):
+    // the ask question's misspelled tokens are corrected by the registered
+    // spellchecker module; the same {originalText, didYouMean, location,
+    // changes} entry attaches to every page row
+    "q_spellcheck" -> ((s, dir) => {
+      g(s, dir).get(GetParams("Document",
+        where = Some(Where.eqText("source", "src1")),
+        pagination = Some(Pagination(limit = 5)),
+        properties = Seq("doc_id"),
+        ask = Some(AskParams("strem the windoww", Seq("text"))),
+        additional = Set("spellCheck")))
+        .select(col("doc_id"),
+          element_at(col("_spellCheck"), 1).getField("original_text").as("original_text"),
+          element_at(col("_spellCheck"), 1).getField("did_you_mean").as("did_you_mean"),
+          element_at(col("_spellCheck"), 1).getField("location").as("location"),
+          size(element_at(col("_spellCheck"), 1).getField("changes")).cast("long").as("n_changes"))
+        .orderBy(col("doc_id"))
+    }),
+
     // §2.2 filters over a text[] property: tokenized Equal and ContainsAny
     // consult the MERGED per-element token multiset, Like matches any
     // element's whole value (reference: the inverted index for a text array
@@ -3218,6 +3237,15 @@ object SparkEntryExt {
         |  CAST(CASE WHEN res IS NOT NULL THEN sp + length(res) END AS BIGINT) AS end_pos,
         |  res IS NOT NULL AS has_answer
         |FROM loc ORDER BY doc_id""".stripMargin,
+
+    // spellCheck replay: the module output is query-scoped, so the oracle
+    // carries the expected corrections literally (strem→stream,
+    // windoww→window from the fixture dictionary) over the same page
+    "q_spellcheck" ->
+      """SELECT doc_id, 'strem the windoww' AS original_text,
+        |  'stream the window' AS did_you_mean,
+        |  'ask.question' AS location, CAST(2 AS BIGINT) AS n_changes
+        |FROM documents WHERE source = 'src1' ORDER BY doc_id LIMIT 5""".stripMargin,
 
     // NER replay: gazetteer entries above the certainty cutoff in dictionary
     // order, first-occurrence strpos positions, list truncated to 3

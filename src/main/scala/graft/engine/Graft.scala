@@ -780,15 +780,29 @@ final class Graft(val spark: SparkSession) {
           client = qnaClient)
       case None => summarized
     }
+    // spellCheck is QUERY-scoped: one literal entry per query text, attached
+    // to every page row (spellcheck_result.go:30-48)
+    val spellchecked =
+      if (!params.additional.contains("spellCheck")) answered
+      else {
+        val (argName, texts) = params.nearText.map(nt => ("nearText", nt.concepts))
+          .orElse(params.ask.map(a => ("ask", Seq(a.question))))
+          .getOrElse(throw new IllegalArgumentException(
+            "spellCheck requires a nearText or ask argument"))
+        val fix = spellchecker.getOrElse(throw new IllegalStateException(
+          "spellCheck requires a registered spellchecker (withSpellchecker)"))
+        answered.withColumn(SpellChecks.Col,
+          SpellChecks.additional(argName, texts, fix))
+      }
     val nerTagged = params.ner match {
       case Some(np) =>
         np.properties.foreach { n =>
           require(c.schema.property(n).exists(_.dataType == PropType.Text),
             s"tokens property $n must be a text property of ${c.schema.name}")
         }
-        Ner.attach(answered, np.properties.map(n => n -> col(n)), nerClient,
+        Ner.attach(spellchecked, np.properties.map(n => n -> col(n)), nerClient,
           np.certainty, np.limit)
-      case None => answered
+      case None => spellchecked
     }
 
     // featureProjection (`_additional { featureProjection }`) reduces the
@@ -935,6 +949,7 @@ final class Graft(val spark: SparkSession) {
       case "summary" if df.columns.contains(Summarize.Col) => Some(col(Summarize.Col))
       case "answer" if df.columns.contains(Qna.Col) => Some(col(Qna.Col))
       case "tokens" if df.columns.contains(Ner.Col) => Some(col(Ner.Col))
+      case "spellCheck" if df.columns.contains(SpellChecks.Col) => Some(col(SpellChecks.Col))
         case "featureProjection" if df.columns.contains(FeatureProjection.Col) =>
           Some(col(FeatureProjection.Col))
         case "creationTimeUnix" =>

@@ -123,6 +123,45 @@ class SummarizeQnaSpec extends SparkSpecBase {
     assert(lim(1L).map(_._2) == Seq("fox", "dog"))
   }
 
+  test("spellCheck: query-scoped entry with didYouMean, location, per-change records") {
+    val withFix = g.withSpellchecker(w =>
+      Map("qick" -> "quick", "fxo" -> "fox").getOrElse(w, w))
+    val got = withFix.get(GetParams("Doc",
+      pagination = Some(Pagination(limit = 10)),
+      properties = Seq("id"),
+      ask = Some(AskParams("the qick brown fxo", Seq("body"))),
+      additional = Set("spellCheck")))
+      .select($"id", col(graft.operators.SpellChecks.Col))
+      .collect()
+    assert(got.length == 3) // attaches to every row
+    val sc = got.head.getSeq[Row](1)
+    assert(sc.length == 1) // one entry per query text (ask has one)
+    val e = sc.head
+    assert(e.getString(0) == "the qick brown fxo")
+    assert(e.getString(1) == "the quick brown fox")
+    assert(e.getString(2) == "ask.question")
+    assert(e.getSeq[Row](3).map(ch => (ch.getString(0), ch.getString(1))) ==
+      Seq(("qick", "quick"), ("fxo", "fox")))
+    // identical entry on every row (query-scoped)
+    assert(got.forall(_.getSeq[Row](1) == sc))
+    // nearText variant gets indexed concept locations (vector-ed collection)
+    val emb = Fixtures.hashEmbedder(16)
+    val gv = new Graft(spark).withEmbedder(emb)
+      .withSpellchecker(w => Map("qick" -> "quick").getOrElse(w, w))
+    val vdf = Seq((1L, "alpha", emb("alpha")), (2L, "beta", emb("beta")))
+      .toDF("id", "body", "vec")
+    gv.register(CollectionSchema("DocV", "id", Seq(Property("body", PropType.Text)),
+      vectors = Map("default" -> "vec"), defaultVector = Some("default")), vdf)
+    val nt = gv.get(GetParams("DocV",
+      nearText = Some(NearText(Seq("qick", "plain"))),
+      pagination = Some(Pagination(limit = 2)),
+      properties = Seq("id"),
+      additional = Set("spellCheck")))
+      .select(col(graft.operators.SpellChecks.Col)).head().getSeq[Row](0)
+    assert(nt.map(_.getString(2)) == Seq("nearText.concepts[0]", "nearText.concepts[1]"))
+    assert(nt.head.getString(1) == "quick")
+  }
+
   test("answer: only-stopword question errors; custom client overrides the stand-in") {
     intercept[IllegalArgumentException] {
       g.get(GetParams("Doc", ask = Some(AskParams("the of and"))))
