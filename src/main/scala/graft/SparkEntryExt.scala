@@ -888,6 +888,30 @@ object SparkEntryExt {
         .orderBy(col("doc_id"))
     }),
 
+    // §2.6 aggregation over a text[] property: count counts ELEMENTS and
+    // topOccurrences ranks the flattened element multiset (the reference's
+    // *Array analyzers feed every element through the per-value path); bed =
+    // 2-element (lang, source) tag arrays so element ranks are meaningful
+    "q_agg_textarray" -> ((s, dir) => {
+      val gg = g(s, dir)
+      if (!gg.hasCollection("DocTags")) {
+        gg.register(CollectionSchema("DocTags", "doc_id",
+          Seq(Property("tags", PropType.Arr(PropType.Text), Tokenization.Field))),
+          gg.collection("Document").df.select(col("doc_id"),
+            array(col("lang"), col("source")).as("tags")))
+      }
+      val agg = gg.aggregate(AggregateParams("DocTags",
+        properties = Map("tags" -> Seq(Aggregator.Count, Aggregator.TopOccurrences(4))),
+        includeMetaCount = true))
+      agg.select(col("meta_count").cast("long").as("meta_count"),
+          col("tags_count").cast("long").as("n_elements"),
+          posexplode(col("tags_topOccurrences")).as(Seq("i", "t")))
+        .select(col("meta_count"), col("n_elements"),
+          (col("i") + 1).cast("long").as("rank"),
+          col("t.value").as("value"), col("t.occurs").cast("long").as("occurs"))
+        .orderBy(col("rank"))
+    }),
+
     // §2.2 filters over a text[] property: tokenized Equal and ContainsAny
     // consult the MERGED per-element token multiset, Like matches any
     // element's whole value (reference: the inverted index for a text array
@@ -3237,6 +3261,19 @@ object SparkEntryExt {
         |  CAST(CASE WHEN res IS NOT NULL THEN sp + length(res) END AS BIGINT) AS end_pos,
         |  res IS NOT NULL AS has_answer
         |FROM loc ORDER BY doc_id""".stripMargin,
+
+    // text[] aggregation replay: element multiset = lang ∪ source values
+    "q_agg_textarray" ->
+      """WITH el AS (
+        |  SELECT lang AS v FROM documents UNION ALL SELECT source FROM documents),
+        |tot AS (SELECT (SELECT count(*) FROM documents) AS meta_count,
+        |               count(*) AS n_elements FROM el),
+        |ranked AS (
+        |  SELECT v AS value, count(*) AS occurs,
+        |         row_number() OVER (ORDER BY count(*) DESC, v ASC) AS rank
+        |  FROM el GROUP BY v)
+        |SELECT t.meta_count, t.n_elements, r.rank, r.value, CAST(r.occurs AS BIGINT) AS occurs
+        |FROM tot t CROSS JOIN ranked r WHERE r.rank <= 4 ORDER BY r.rank""".stripMargin,
 
     // spellCheck replay: the module output is query-scoped, so the oracle
     // carries the expected corrections literally (strem→stream,

@@ -58,11 +58,34 @@ object Aggregations {
     val metaCount: Seq[Column] =
       if (params.includeMetaCount || params.groupBy.nonEmpty) Seq(count(lit(1)).as("meta_count")) else Nil
     metaCount ++ params.properties.toSeq.sortBy(_._1).flatMap { case (prop, aggs) =>
-      aggs.map(a => aggColumn(col(prop), a, s"${prop}_${a.name}"))
+      val isArr = c.schema.property(prop).exists(_.dataType.isInstanceOf[PropType.Arr])
+      aggs.map(a => aggColumn(col(prop), a, s"${prop}_${a.name}", isArr))
     }
   }
 
-  def aggColumn(c: Column, a: Aggregator, alias: String): Column = (a match {
+  def aggColumn(c: Column, a: Aggregator, alias: String,
+                isArray: Boolean = false): Column =
+    if (isArray) aggColumnArray(c, a).as(alias) else aggColumnScalar(c, a).as(alias)
+
+  /** Array properties aggregate ELEMENT-wise (reference: text.go / the
+   * *Array analyzers feed every element through the same per-value path —
+   * count counts elements, topOccurrences ranks elements, numeric aggs run
+   * over the flattened element multiset). Median/mode over arrays are not
+   * expressible as a single agg column — unsupported, loudly. */
+  private def aggColumnArray(c: Column, a: Aggregator): Column = a match {
+    case Aggregator.Count => sum(coalesce(size(c), lit(0)))
+    case Aggregator.Sum   => sum(aggregate(c, lit(0.0), (acc, x) => acc + x.cast("double")))
+    case Aggregator.Mean  =>
+      sum(aggregate(c, lit(0.0), (acc, x) => acc + x.cast("double"))) /
+        sum(coalesce(size(c), lit(0)))
+    case Aggregator.Minimum => min(array_min(c))
+    case Aggregator.Maximum => max(array_max(c))
+    case Aggregator.TopOccurrences(n) => topOccurrencesAgg(c, n, flat = true)
+    case other => throw new IllegalArgumentException(
+      s"aggregator ${other.name} is not supported on array properties")
+  }
+
+  private def aggColumnScalar(c: Column, a: Aggregator): Column = (a match {
     case Aggregator.Count   => count(c)
     case Aggregator.Sum     => sum(c)
     case Aggregator.Mean    => avg(c)
@@ -77,7 +100,7 @@ object Aggregations {
     case Aggregator.PercentageTrue  => avg(c.cast("int"))
     case Aggregator.PercentageFalse => avg((!c).cast("int"))
     case Aggregator.TopOccurrences(n) => topOccurrencesAgg(c, n)
-  }).as(alias)
+  })
 
   /** Single-pass mode via the built-in aggregate. Ties are engine-dependent
    * here; callers that need the deterministic tie-break (highest count, then
@@ -95,16 +118,19 @@ object Aggregations {
 
   /** topOccurrences as array<struct<value,occurs>> ordered by (occurs desc, value asc)
    * (reference: aggregator/text.go:71-152, default limit 5). */
-  private def topOccurrencesAgg(c: Column, n: Int): Column = {
+  private def topOccurrencesAgg(c: Column, n: Int, flat: Boolean = false): Column = {
     // single-pass variant: collect per-value counts via count over a pivot is
     // not expressible as one agg column; engine API exposes the two-phase
     // `topOccurrences` below. As an agg column we approximate with
     // slice(sort by count of collected values) — implemented via
     // higher-order functions over collect_list (bounded by distinct values).
-    // sort key = (-occurs, value) ascending ⇒ occurs desc, value asc on ties
+    // sort key = (-occurs, value) ascending ⇒ occurs desc, value asc on ties.
+    // `flat` = array-valued property: rank the flattened ELEMENT multiset.
+    def collected: Column =
+      if (flat) flatten(collect_list(c)) else collect_list(c)
     val counts = transform(
-      array_distinct(collect_list(c)),
-      v => struct((-size(filter(collect_list(c), x => x === v))).as("neg"), v.as("value")))
+      array_distinct(collected),
+      v => struct((-size(filter(collected, x => x === v))).as("neg"), v.as("value")))
     transform(slice(array_sort(counts), 1, n),
       s => struct((-s.getField("neg")).as("occurs"), s.getField("value").as("value")))
   }

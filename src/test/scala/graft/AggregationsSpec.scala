@@ -74,6 +74,37 @@ class AggregationsSpec extends SparkSpecBase {
     assert(top.map(r => (r.getString(1), r.getInt(0))) == Seq(("tech", 3), ("food", 2)))
   }
 
+  test("array properties aggregate element-wise; unsupported aggregators error") {
+    val gg = new Graft(spark)
+    gg.register(CollectionSchema("Tagged", "id", Seq(
+      Property("tags", PropType.Arr(PropType.Text), Tokenization.Field),
+      Property("vals", PropType.Arr(PropType.Number)))),
+      Seq(
+        (1L, Seq("a", "b"), Seq(1.0, 2.0)),
+        (2L, Seq("a"), Seq(3.0)),
+        (3L, Seq.empty[String], Seq.empty[Double]))
+        .toDF("id", "tags", "vals"))
+    val row = gg.aggregate(AggregateParams("Tagged",
+      properties = Map(
+        "tags" -> Seq(Aggregator.Count, Aggregator.TopOccurrences(2)),
+        "vals" -> Seq(Aggregator.Count, Aggregator.Sum, Aggregator.Mean,
+          Aggregator.Minimum, Aggregator.Maximum)))).head()
+    assert(row.getAs[Long]("tags_count") == 3L)       // elements, not rows
+    assert(row.getAs[Long]("vals_count") == 3L)
+    assert(row.getAs[Double]("vals_sum") == 6.0)
+    assert(row.getAs[Double]("vals_mean") == 2.0)
+    assert(row.getAs[Double]("vals_minimum") == 1.0)
+    assert(row.getAs[Double]("vals_maximum") == 3.0)
+    val top = row.getSeq[org.apache.spark.sql.Row](
+      row.fieldIndex("tags_topOccurrences"))
+    assert(top.map(t => (t.getInt(0), t.getString(1))) == Seq((2, "a"), (1, "b")))
+    val e = intercept[IllegalArgumentException] {
+      gg.aggregate(AggregateParams("Tagged",
+        properties = Map("vals" -> Seq(Aggregator.Median))))
+    }
+    assert(e.getMessage.contains("not supported on array properties"))
+  }
+
   test("meta count only") {
     val out = g.aggregate(AggregateParams("Company", includeMetaCount = true)).head()
     assert(out.getAs[Long]("meta_count") == 5L)
