@@ -244,6 +244,18 @@ object SparkEntryExt {
         Property("text_cjk", PropType.Text, Tokenization.GseCh))), bed)
     }
 
+  // DSIR weights are a model artifact (one featurization pass serves both
+  // the weights dump and the resampling query) — cached per dataset like the
+  // PQ/IVF artifacts
+  private val dsirCache = scala.collection.mutable.Map.empty[String, DataFrame]
+  private def dsirWeightsFor(gg: Graft, dir: String): DataFrame =
+    dsirCache.getOrElseUpdate(dir, {
+      val docs = gg.collection("Document").df
+      Dsir.logWeightsSelf(docs, col("doc_id"), col("text"),
+          col("lang") === "en", buckets = 64)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   // text[] bed: each document's text split on " stream " into a genuine
   // multi-element array (so the delimiter's tokens vanish from the corpus and
   // array-scoring is observably different from scoring the original text);
@@ -937,9 +949,7 @@ object SparkEntryExt {
     // under add-1 smoothing. md5 bucketing makes the full model — counts,
     // smoothing, per-doc weight sum — replayable in the DuckDB oracle.
     "q_dsir_weights" -> ((s, dir) => {
-      val docs = g(s, dir).collection("Document").df
-      Dsir.logWeightsSelf(docs, col("doc_id"), col("text"),
-          col("lang") === "en", buckets = 64)
+      dsirWeightsFor(g(s, dir), dir)
         .select(col("doc_id"), col("lang"), round(col("dsir_logw"), 4).as("dsir_logw"))
         .orderBy(col("doc_id"))
     }),
@@ -949,9 +959,7 @@ object SparkEntryExt {
     // md5-derived Gumbel noise (same uniform construction as mixtureSample,
     // so the oracle reproduces the exact selected set and scores)
     "q_dsir_select" -> ((s, dir) => {
-      val docs = g(s, dir).collection("Document").df
-      val w = Dsir.logWeightsSelf(docs, col("doc_id"), col("text"),
-        col("lang") === "en", buckets = 64)
+      val w = dsirWeightsFor(g(s, dir), dir)
       Dsir.resample(w, col("doc_id"), col("dsir_logw"), k = 60)
         .select(col("doc_id"), col("lang"), round(col("dsir_score"), 4).as("dsir_score"))
         .orderBy(col("doc_id"))
@@ -992,6 +1000,19 @@ object SparkEntryExt {
         (col("event_id") % 2 === 0).as("flag"))
       graft.sources.AutoSchema.valueDtypes(bed, idColumn = "event_id")
         .orderBy(col("prop"))
+    }),
+
+    // pipeline: cluster-balanced subset selection — at most 10 rows per
+    // semantic cluster, most-representative-first (SemDeDup-style topic
+    // quotas); same deterministic nearest-seed assignment as
+    // q_dedup_semantic, so the full model replays in SQL
+    "q_curate_clusterbalance" -> ((s, dir) => {
+      Curate.clusterBalanced(g(s, dir).collection("Embedding").df,
+          col("vec_id"), col("embedding"), k = 8, perCluster = 10)
+        .select(col("id").as("vec_id"), col("cluster").cast("long").as("cluster"),
+          round(col("cent_sim"), 4).as("cent_sim"),
+          col("sample_rank").cast("long").as("sample_rank"))
+        .orderBy(col("vec_id"))
     }),
 
     // pipeline: sessionization (30-min gap) over the events stream table
@@ -2931,6 +2952,27 @@ object SparkEntryExt {
     // rows, lower seed index on ties), centroid similarity, and the
     // keep-lowest-centroid-similarity rule — double math throughout, matching
     // the codegen'd kernels bit-for-bit
+    // cluster-balance replay: same seed/assignment CTEs as q_dedup_semantic,
+    // then the per-cluster representative-first quota window
+    "q_curate_clusterbalance" ->
+      s"""WITH bed AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+         |seeds AS (
+         |  SELECT row_number() OVER (ORDER BY id ASC) - 1 AS cidx, v AS sv
+         |  FROM bed ORDER BY id ASC LIMIT 8),
+         |d AS (SELECT b.id, b.v, s.cidx, s.sv, ${sqlL2("b.v", "s.sv")} AS dist
+         |      FROM bed b CROSS JOIN seeds s),
+         |a0 AS (SELECT id, v, cidx, sv,
+         |         row_number() OVER (PARTITION BY id ORDER BY dist ASC, cidx ASC) AS rn
+         |       FROM d),
+         |asg AS (SELECT id, cidx AS cluster, (1.0 - ${sqlCosine("v", "sv")}) AS csim
+         |        FROM a0 WHERE rn = 1),
+         |ranked AS (SELECT id, cluster, csim,
+         |    row_number() OVER (PARTITION BY cluster ORDER BY csim DESC, id ASC) AS rank
+         |  FROM asg)
+         |SELECT id AS vec_id, cluster, round(csim, 4) AS cent_sim,
+         |       CAST(rank AS BIGINT) AS sample_rank
+         |FROM ranked WHERE rank <= 10 ORDER BY vec_id""".stripMargin,
+
     "q_dedup_semantic" ->
       s"""WITH bed AS (
          |  SELECT vec_id AS id, embedding AS v FROM embeddings

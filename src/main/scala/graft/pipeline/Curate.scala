@@ -86,12 +86,36 @@ object Curate {
    * cardinality ≪ rows) joined back BROADCAST — the per-row pass stays one
    * codegen'd scan. Adds `mix_rate`; feed it straight to mixtureSample.
    */
+  /**
+   * Cluster-balanced subset selection: cap the corpus at `perCluster` rows
+   * per SEMANTIC cluster, preferring the most representative (highest cosine
+   * to the cluster representative) — the topic-balancing step of
+   * SemDeDup-style curation pipelines, where per-topic quotas stop one big
+   * web topic from dominating the training mix. Clustering is the same
+   * deterministic nearest-seed assignment [[Dedup.semantic]] uses (seeds =
+   * the k smallest ids; trained KMeans centroids swap in at scale without
+   * changing the quota semantics), so any engine reproduces the sample.
+   *
+   * Scale shape: one broadcast-assign scan + the per-cluster window of
+   * [[stratifiedTopK]] (rows beyond rank `perCluster` never leave their
+   * partition). Returns (id, cluster, cent_sim, sample_rank).
+   */
+  def clusterBalanced(df: DataFrame, idCol: Column, vecCol: Column,
+                      k: Int, perCluster: Int): DataFrame = {
+    val assigned = Dedup.seedAssign(df, idCol, vecCol, k)
+    stratifiedTopK(assigned, Seq(col("__cluster")), col("__csim"), col("__id"), perCluster)
+      .select(col("__id").as("id"), col("__cluster").as("cluster"),
+        col("__csim").as("cent_sim"), col("sample_rank"))
+  }
+
   def temperatureRates(df: DataFrame, domain: Column, tau: Double): DataFrame = {
     require(tau > 0 && tau <= 1, "tau must be in (0, 1]")
     val counts = df.groupBy(domain.as("__dom")).agg(count(lit(1)).as("__n"))
     // p_d^(τ−1) up to the shared normalizer — counts substitute for p_d
     val scaled = counts.select(col("__dom"),
       pow(col("__n").cast("double"), tau - 1.0).as("__s"))
+    // single-row normalizer broadcast onto the domain-cardinality frame —
+    // the scalar-subquery pattern, reviewed in PlanGuardSpec's allowlist
     val mx = scaled.agg(max(col("__s")).as("__mx"))
     val rates = scaled.crossJoin(broadcast(mx))
       .select(col("__dom"), (col("__s") / col("__mx")).as("mix_rate"))

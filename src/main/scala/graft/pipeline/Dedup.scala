@@ -363,12 +363,16 @@ object Dedup {
    *
    * Returns every input row: (id, cluster, cent_sim, kept).
    */
-  def semantic(df: DataFrame, idCol: Column, vecCol: Column,
-               k: Int = 16, epsSimilarity: Double = 0.95): DataFrame = {
+  /** Deterministic nearest-seed cluster assignment — the shared clustering
+   * primitive of [[semantic]] dedup and [[Curate.clusterBalanced]] sampling:
+   * seeds = the `k` smallest-id rows (bounded driver set, same footprint as
+   * the IVF centroid table), L2-nearest with lower seed index winning ties
+   * (the codegen'd NearestCentroids kernel), `__csim` = cosine similarity to
+   * the seed. Exactly SQL-reproducible; at scale swap in trained KMeans
+   * centroids. Returns (__id, __vec, __cluster, __csim). */
+  def seedAssign(df: DataFrame, idCol: Column, vecCol: Column, k: Int): DataFrame = {
     val spark = df.sparkSession
     val rows = df.select(idCol.as("__id"), vecCol.as("__vec"))
-    // seeds: k smallest ids — bounded driver set, same footprint as the IVF
-    // centroid table (k × dim doubles riding the serialized plan)
     val seedRows = rows.orderBy(col("__id")).limit(k).collect()
     val centers: Array[Array[Double]] =
       seedRows.map(_.getSeq[Float](1).map(_.toDouble).toArray)
@@ -376,13 +380,18 @@ object Dedup {
     val seedDf = seedRows.zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](1)) }.toSeq
       .toDF("__cluster", "__seedvec")
-    val assigned = rows
+    rows
       .withColumn("__cluster",
         element_at(VectorFunctions.nearestCentroids(col("__vec"), centers, 1), 1))
       .join(broadcast(seedDf), Seq("__cluster"))
       .withColumn("__csim",
         lit(1.0) - VectorFunctions.cosineDistance(col("__vec"), col("__seedvec")))
       .drop("__seedvec")
+  }
+
+  def semantic(df: DataFrame, idCol: Column, vecCol: Column,
+               k: Int = 16, epsSimilarity: Double = 0.95): DataFrame = {
+    val assigned = seedAssign(df, idCol, vecCol, k)
       // the duplicate self-join's two branches share this cache in one job
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     assigned.count()

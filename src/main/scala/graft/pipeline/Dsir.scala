@@ -65,8 +65,9 @@ object Dsir {
     val full = spark.range(buckets).select(col("id").as("bucket"))
       .join(perBucket, Seq("bucket"), "left")
       .select(col("bucket"), coalesce(col("c"), lit(0L)).as("c"))
-    // total is one scalar off a B-row frame; the cross join stays tiny and
-    // keeps the whole model build inside the plan (no driver round-trip)
+    // total is one scalar off a B-row frame; the single-row broadcast onto
+    // the B-row side is the scalar-subquery pattern — O(B), reviewed in
+    // PlanGuardSpec's allowlist (no driver round-trip for the model build)
     val tot = full.agg(sum(col("c")).as("tot"))
     full.crossJoin(broadcast(tot))
       .select(col("bucket"),

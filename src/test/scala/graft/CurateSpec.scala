@@ -76,6 +76,27 @@ class CurateSpec extends SparkSpecBase {
     assert(salted != ids1)
   }
 
+  test("clusterBalanced: per-cluster quota keeps the most representative rows") {
+    // two tight clusters around orthogonal axes; seeds = ids 1,2 → one each
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(0.9f, 0.1f)), (4L, Seq(0.8f, 0.2f)),
+      (5L, Seq(0.1f, 0.9f)), (6L, Seq(0.2f, 0.8f)),
+      (7L, Seq(0.95f, 0.05f))
+    ).toDF("id", "vec")
+    val got = Curate.clusterBalanced(df, $"id", $"vec", k = 2, perCluster = 2)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(3))).toMap
+    // cluster 0 (x-axis): csim 1>.9986(#7)>.9939(#3)>.9701(#4) → keep 1,7
+    // cluster 1 (y-axis): 2, then 5 — quota drops 3,4,6
+    assert(got.keySet == Set(1L, 2L, 5L, 7L))
+    assert(got(1L) == ((0, 1)) && got(7L) == ((0, 2)))
+    assert(got(2L) == ((1, 1)) && got(5L) == ((1, 2)))
+    // deterministic under re-partitioning
+    val again = Curate.clusterBalanced(df.repartition(5), $"id", $"vec", 2, 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == got.keySet)
+  }
+
   test("temperatureRates: rarest domain keeps rate 1, head thins by p^(τ−1), τ=1 is identity") {
     val df = (0L until 100L).map(i => (i, if (i < 80) "head" else "tail")).toDF("id", "dom")
     val r = Curate.temperatureRates(df, $"dom", tau = 0.5)

@@ -18,7 +18,14 @@ class PlanGuardSpec extends SparkSpecBase {
   private val allowedNestedLoop = Map(
     // one aggregated stats row (per-target min/max over the bounded pool)
     // crossed onto the pool for min-max normalization
-    "q_near_multitarget_rel" -> "single-row stats broadcast")
+    "q_near_multitarget_rel" -> "single-row stats broadcast",
+    // DSIR model build: the single-row corpus total crossed onto the
+    // B-row (B = hash buckets, a model constant) distribution frame
+    "q_dsir_weights" -> "single-row total onto B-row model frame",
+    "q_dsir_select" -> "single-row total onto B-row model frame",
+    // the single-row rate normalizer crossed onto the domain-count frame
+    // (domain cardinality ≪ rows)
+    "q_curate_temperature" -> "single-row normalizer onto domain counts")
 
   test("no cartesian product or nested-loop join in any declared query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
