@@ -924,6 +924,20 @@ object SparkEntryExt {
         .orderBy(col("rank"))
     }),
 
+    // §2.1 collection aliases (reference: usecases/schema/alias.go +
+    // cluster/schema/schema.go:739-775): a Get through the alias is
+    // byte-identical to a Get through the class — resolution happens at the
+    // collection-registry entry every query path shares
+    "q_alias" -> ((s, dir) => {
+      val gg = g(s, dir)
+      if (gg.listAliases().forall(_._1 != "DocAlias"))
+        gg.createAlias("DocAlias", "Document")
+      gg.get(GetParams("DocAlias",
+        where = Some(Where.eqText("source", "src9")),
+        properties = Seq("doc_id", "lang")))
+        .orderBy(col("doc_id"))
+    }),
+
     // §2.2 filters over a text[] property: tokenized Equal and ContainsAny
     // consult the MERGED per-element token multiset, Like matches any
     // element's whole value (reference: the inverted index for a text array
@@ -3325,6 +3339,12 @@ object SparkEntryExt {
         |  'stream the window' AS did_you_mean,
         |  'ask.question' AS location, CAST(2 AS BIGINT) AS n_changes
         |FROM documents WHERE source = 'src1' ORDER BY doc_id LIMIT 5""".stripMargin,
+
+    // alias replay: the alias is pure name indirection — the oracle is the
+    // direct-class query
+    "q_alias" ->
+      """SELECT doc_id, lang FROM documents WHERE source = 'src9'
+        |ORDER BY doc_id""".stripMargin,
 
     // NER replay: gazetteer entries above the certainty cutoff in dictionary
     // order, first-occurrence strpos positions, list truncated to 3

@@ -158,9 +158,65 @@ final class Graft(val spark: SparkSession) {
   }
   def register(schema: CollectionSchema, df: DataFrame): Graft =
     register(Collection(schema, df))
-  def collection(name: String): Collection =
-    collections.getOrElse(name, throw new IllegalArgumentException(s"unknown collection $name"))
-  def hasCollection(name: String): Boolean = collections.contains(name)
+  def collection(name: String): Collection = {
+    val resolved = resolveAlias(name)
+    collections.getOrElse(resolved,
+      throw new IllegalArgumentException(s"unknown collection $resolved"))
+  }
+  def hasCollection(name: String): Boolean = collections.contains(resolveAlias(name))
+
+  // --- Collection aliases (reference: usecases/schema/alias.go +
+  // cluster/schema/schema.go:739-775) — an alias is a second name for a
+  // class, resolved at EVERY entry point (Get/Aggregate/stores route through
+  // `collection`); created against an existing class, never colliding with a
+  // class or another alias, validated like a class name, first letter
+  // uppercased (schema.UppercaseClassName).
+  private val aliases = scala.collection.mutable.LinkedHashMap.empty[String, String]
+
+  private def canonicalAlias(a: String): String =
+    if (a.isEmpty) a else a.head.toUpper +: a.tail
+
+  def resolveAlias(name: String): String = aliases.getOrElse(name, name)
+
+  def createAlias(alias0: String, className0: String): Graft = {
+    val alias = canonicalAlias(alias0)
+    val className = canonicalAlias(className0)
+    SchemaValidation.validateClassName(alias)
+    if (aliases.contains(alias))
+      throw new IllegalArgumentException(s"create alias: $alias, alias already exists")
+    if (!collections.contains(className))
+      throw new IllegalArgumentException(
+        s"create alias: $alias, class not found, $className")
+    if (collections.contains(alias))
+      throw new IllegalArgumentException(s"create alias: class $alias already exists")
+    aliases += alias -> className
+    this
+  }
+
+  /** replaceAlias: point an existing alias at another existing class. */
+  def updateAlias(alias0: String, newClassName0: String): Graft = {
+    val alias = canonicalAlias(alias0)
+    val newClassName = canonicalAlias(newClassName0)
+    if (!collections.contains(newClassName))
+      throw new IllegalArgumentException(
+        s"replace alias: class $newClassName does not exist")
+    if (!aliases.contains(alias))
+      throw new IllegalArgumentException(s"replace alias: alias $alias does not exist")
+    aliases += alias -> newClassName
+    this
+  }
+
+  def deleteAlias(alias0: String): Graft = {
+    val alias = canonicalAlias(alias0)
+    if (!aliases.contains(alias))
+      throw new IllegalArgumentException(s"alias $alias not found")
+    aliases -= alias
+    this
+  }
+
+  /** List aliases, optionally filtered to one target class (GetAliases). */
+  def listAliases(className: Option[String] = None): Seq[(String, String)] =
+    aliases.toSeq.filter(kv => className.forall(_ == kv._2))
 
   /**
    * Tenant lifecycle registry (reference: usecases/schema/tenant.go —

@@ -131,6 +131,12 @@ object SchemaValidation {
 
   private def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
 
+  /** Aliases validate exactly like class names (ValidateAliasName,
+   * usecases/schema/alias.go:115-117). */
+  def validateClassName(name: String): Unit =
+    if (!ClassNameRe.pattern.matcher(name).matches())
+      fail(s"'$name' is not a valid class name")
+
   def validate(schema: CollectionSchema): Unit = {
     if (!ClassNameRe.pattern.matcher(schema.name).matches())
       fail(s"'${schema.name}' is not a valid class name")

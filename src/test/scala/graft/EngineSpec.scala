@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
+import graft.engine.Graft
 import graft.model._
 import graft.operators.Mmr
 import graft.pipeline.{Classify, Ref2Vec, TextAnalysis}
@@ -226,5 +227,40 @@ class EngineSpec extends SparkSpecBase {
       .contains("'bad name' is not a valid vector name"))
     // a valid schema registers fine (underscore-leading property is legal)
     reg(CollectionSchema("Ok_1", "k", Seq(Property("_private", PropType.Text))))
+  }
+
+  test("collection aliases: create/resolve/update/delete with reference error shapes") {
+    val gg = new Graft(spark)
+    import spark.implicits._
+    gg.register(CollectionSchema("ClassA", "id", Seq(Property("v", PropType.Int))),
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v"))
+    gg.register(CollectionSchema("ClassB", "id", Seq(Property("v", PropType.Int))),
+      Seq((3L, 30L)).toDF("id", "v"))
+    // create + resolution at the registry entry point (lowercase input
+    // uppercases like schema.UppercaseClassName)
+    gg.createAlias("myAlias", "ClassA")
+    assert(gg.collection("MyAlias").name == "ClassA")
+    assert(gg.hasCollection("MyAlias"))
+    assert(gg.get(GetParams("MyAlias", properties = Seq("id"))).count() == 2)
+    assert(gg.listAliases() == Seq("MyAlias" -> "ClassA"))
+    assert(gg.listAliases(Some("ClassB")).isEmpty)
+    // collisions: existing alias, existing class, unknown target
+    assert(intercept[IllegalArgumentException] { gg.createAlias("MyAlias", "ClassB") }
+      .getMessage.contains("alias already exists"))
+    assert(intercept[IllegalArgumentException] { gg.createAlias("ClassB", "ClassA") }
+      .getMessage.contains("class ClassB already exists"))
+    assert(intercept[IllegalArgumentException] { gg.createAlias("Other", "Nope") }
+      .getMessage.contains("class not found"))
+    assert(intercept[IllegalArgumentException] { gg.createAlias("bad name", "ClassA") }
+      .getMessage.contains("not a valid class name"))
+    // update re-points; delete removes; both error on unknown alias
+    gg.updateAlias("MyAlias", "ClassB")
+    assert(gg.collection("MyAlias").name == "ClassB")
+    assert(intercept[IllegalArgumentException] { gg.updateAlias("Ghost", "ClassA") }
+      .getMessage.contains("alias Ghost does not exist"))
+    gg.deleteAlias("MyAlias")
+    assert(!gg.hasCollection("MyAlias"))
+    assert(intercept[IllegalArgumentException] { gg.deleteAlias("MyAlias") }
+      .getMessage.contains("not found"))
   }
 }
