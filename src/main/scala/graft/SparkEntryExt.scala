@@ -924,6 +924,46 @@ object SparkEntryExt {
         .orderBy(col("rank"))
     }),
 
+    // §2.10 streaming inverted-index maintenance END-TO-END on the driver
+    // gate: a store seeds with docs ≥ 120, the rest arrive as file-stream
+    // batches through IndexMaintenance.startPostings (durable upsert +
+    // postings DELTA per batch — the async-index-queue flow, never a
+    // rebuild), and the final keyword query index-serves the complete
+    // corpus — so the oracle is the plain full-corpus BM25 replay (the same
+    // CTEs as q_bm25)
+    "q_stream_index" -> ((s, dir) => {
+      import java.nio.file.Files
+      val docs = g(s, dir).collection("Document").df.select(col("doc_id"), col("text"))
+      val storeDir = Files.createTempDirectory("graft-qsi-store").toString
+      val inDir = Files.createTempDirectory("graft-qsi-in").toString
+      val ckpt = Files.createTempDirectory("graft-qsi-ckpt").toString
+      val schema = CollectionSchema("DocStream", "doc_id", Seq(
+        Property("text", PropType.Text, Tokenization.Word)))
+      val st = new graft.sources.CollectionStore(s, storeDir, schema)
+      st.init(docs.filter(col("doc_id") >= 120))
+      val eng = new Graft(s)
+      eng.register(st.collection)
+      eng.registerPostings("DocStream", Seq("text"))
+      // force the initial build so the stream exercises the DELTA path
+      eng.get(GetParams("DocStream",
+        bm25 = Some(Bm25("spark", properties = Seq("text"))),
+        pagination = Some(Pagination(limit = 1)),
+        properties = Seq("doc_id"))).count()
+      docs.filter(col("doc_id") < 60).write.mode("append").parquet(inDir)
+      docs.filter(col("doc_id") >= 60 && col("doc_id") < 120)
+        .write.mode("append").parquet(inDir)
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val q = graft.streaming.IndexMaintenance.startPostings(
+        stream, st, eng, "DocStream", ckpt)
+      q.awaitTermination(120000)
+      eng.get(GetParams("DocStream",
+        bm25 = Some(Bm25("spark join stream window", properties = Seq("text"))),
+        pagination = Some(Pagination(limit = 20)),
+        properties = Seq("doc_id"), additional = Set("score")))
+        .select(col("doc_id"), round(col("_score"), 4).as("score"))
+    }),
+
     // §2.1 collection aliases (reference: usecases/schema/alias.go +
     // cluster/schema/schema.go:739-775): a Get through the alias is
     // byte-identical to a Get through the class — resolution happens at the
@@ -3339,6 +3379,17 @@ object SparkEntryExt {
         |  'stream the window' AS did_you_mean,
         |  'ask.question' AS location, CAST(2 AS BIGINT) AS n_changes
         |FROM documents WHERE source = 'src1' ORDER BY doc_id LIMIT 5""".stripMargin,
+
+    // stream-index replay: after the drain the served corpus IS the full
+    // documents table, so the oracle is the standard BM25 replay
+    "q_stream_index" -> {
+      val terms = Seq("spark", "join", "stream", "window")
+      val (ctes, _) = SparkEntry.sqlBm25(terms)
+      s"""WITH $ctes
+         |SELECT doc_id, round(score_exact, 4) AS score FROM scored
+         |WHERE terms_matched >= 1
+         |ORDER BY score_exact DESC, doc_id ASC LIMIT 20""".stripMargin
+    },
 
     // alias replay: the alias is pure name indirection — the oracle is the
     // direct-class query
