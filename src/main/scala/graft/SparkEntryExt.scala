@@ -964,6 +964,32 @@ object SparkEntryExt {
         .select(col("doc_id"), round(col("_score"), 4).as("score"))
     }),
 
+    // §2.1 clustered store layout + vacuum on the driver gate: init writes
+    // the range-clustered id-sorted layout, an upsert supersedes it with a
+    // new version, vacuum(1) drops the old directory, and the engine query
+    // reads the surviving version — mutation + retention replayed in SQL
+    "q_store_clustered" -> ((s, dir) => {
+      import java.nio.file.Files
+      val docs = g(s, dir).collection("Document").df
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      val root = Files.createTempDirectory("graft-clustered").toString
+      val st = new graft.sources.CollectionStore(s, root,
+        CollectionSchema("DocClustered", "doc_id", Seq(
+          Property("text", PropType.Text),
+          Property("lang", PropType.Text, Tokenization.Field),
+          Property("source", PropType.Text, Tokenization.Field),
+          Property("n_chars", PropType.Int))))
+      st.init(docs)
+      st.upsert(docs.filter(col("source") === "src3")
+        .withColumn("n_chars", col("n_chars") + 1000000L))
+      st.vacuum(keep = 1)
+      new Graft(s).register(st.collection)
+        .get(GetParams("DocClustered",
+          where = Some(Where.gtInt("n_chars", 999999L)),
+          properties = Seq("doc_id", "lang", "n_chars")))
+        .orderBy(col("doc_id"))
+    }),
+
     // §2.1 collection aliases (reference: usecases/schema/alias.go +
     // cluster/schema/schema.go:739-775): a Get through the alias is
     // byte-identical to a Get through the class — resolution happens at the
@@ -3390,6 +3416,12 @@ object SparkEntryExt {
          |WHERE terms_matched >= 1
          |ORDER BY score_exact DESC, doc_id ASC LIMIT 20""".stripMargin
     },
+
+    // clustered-store replay: the surviving version = base corpus with the
+    // src3 upsert applied; the filter selects exactly the mutated rows
+    "q_store_clustered" ->
+      """SELECT doc_id, lang, CAST(n_chars + 1000000 AS BIGINT) AS n_chars
+        |FROM documents WHERE source = 'src3' ORDER BY doc_id""".stripMargin,
 
     // alias replay: the alias is pure name indirection — the oracle is the
     // direct-class query
