@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 
 import graft.model._
-import graft.sources.{AutoSchema, CollectionStore}
+import graft.sources.{AutoSchema, CollectionStore, PhoneNumbers}
 import graft.streaming.Ingest
 
 class StoreAndStreamingSpec extends SparkSpecBase {
@@ -232,6 +232,31 @@ class StoreAndStreamingSpec extends SparkSpecBase {
     assert(s.property("ok").get.dataType == PropType.Bool)
     assert(s.property("emb").isEmpty) // vectors are not properties
     assert(s.vectorColumn(None) == "emb")
+  }
+
+  test("phoneNumber normalization: intl prefix, national+defaultCountry, invalid shapes") {
+    val df = Seq(
+      (1L, "+49 30 123456", Option.empty[String]),  // international, DE prefix
+      (2L, "030 123456", Some("de")),               // national + defaultCountry
+      (3L, "030 123456", Option.empty[String]),     // national w/o country → invalid
+      (4L, "+999 1234", Option.empty[String]),      // unknown calling code → invalid
+      (5L, "+1 41", Option.empty[String])           // too short → invalid
+    ).toDF("id", "num", "dc")
+    val got = df.select($"id", PhoneNumbers.normalize($"num", $"dc").as("p"))
+      .select($"id", $"p.countryCode", $"p.national",
+        $"p.internationalFormatted", $"p.valid")
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1)), r.getString(3), r.getBoolean(4))).toMap
+    assert(got(1L) == ((49L, "+49 30123456", true)))
+    assert(got(2L) == ((49L, "+49 030123456", true)))
+    assert(got(3L) == ((-1L, null, false)))
+    assert(got(4L) == ((-1L, null, false)))
+    assert(got(5L) == ((1L, null, false))) // code parsed, number still invalid
+    // longest-prefix wins: +4930… must parse as 49 (DE), never 4-anything
+    val de = df.filter($"id" === 1L)
+      .select(PhoneNumbers.normalize($"num", $"dc").getField("national"))
+      .head().getLong(0)
+    assert(de == 30123456L)
   }
 
   test("value-based auto-schema: RFC3339→date, uuid→uuid, mixtures and nil→text") {
