@@ -1024,6 +1024,28 @@ object SparkEntryExt {
         .orderBy(col("event_id"))
     }),
 
+    // §2.1 write-path property validation (reference: usecases/objects/
+    // validation/properties_validation.go — objects are value-checked
+    // against the schema before the write): a planted bed with bad RFC3339
+    // dates, bad uuids, and out-of-range geo coordinates yields the exact
+    // per-row (id, property, error) report, fully replayed in SQL
+    "q_validate" -> ((s, dir) => {
+      val ev = Fixtures.events(s, dir).filter(col("event_id") < 120)
+      val bed = ev.select(col("event_id"),
+        when(col("event_id") % 4 === 0, lit("2024-01-02T03:04:05Z"))
+          .otherwise(lit("02.01.2024")).as("published"),
+        when(col("event_id") % 3 === 0, lit("c56a4180-65aa-42ec-a945-5fd21dec0538"))
+          .otherwise(lit("not-a-uuid")).as("ext_id"),
+        struct((col("user_id") % 200 - 100).cast("double").as("lat"),
+          (col("user_id") % 400 - 200).cast("double").as("lon")).as("place"))
+      graft.sources.Validation.report(bed,
+        CollectionSchema("EventDoc", "event_id", Seq(
+          Property("published", PropType.Date),
+          Property("ext_id", PropType.Uuid),
+          Property("place", PropType.Geo))))
+        .orderBy(col("id"), col("property"), col("error"))
+    }),
+
     // §2.1 collection aliases (reference: usecases/schema/alias.go +
     // cluster/schema/schema.go:739-775): a Get through the alias is
     // byte-identical to a Get through the class — resolution happens at the
@@ -3439,6 +3461,33 @@ object SparkEntryExt {
         |  'stream the window' AS did_you_mean,
         |  'ask.question' AS location, CAST(2 AS BIGINT) AS n_changes
         |FROM documents WHERE source = 'src1' ORDER BY doc_id LIMIT 5""".stripMargin,
+
+    // validation replay: same planted bed, same checks as UNION ALL arms
+    "q_validate" ->
+      """WITH e AS (SELECT event_id, user_id FROM events WHERE event_id < 120),
+        |bed AS (SELECT event_id,
+        |  CASE WHEN event_id % 4 = 0 THEN '2024-01-02T03:04:05Z' ELSE '02.01.2024' END AS published,
+        |  CASE WHEN event_id % 3 = 0 THEN 'c56a4180-65aa-42ec-a945-5fd21dec0538' ELSE 'not-a-uuid' END AS ext_id,
+        |  CAST(user_id % 200 - 100 AS DOUBLE) AS lat,
+        |  CAST(user_id % 400 - 200 AS DOUBLE) AS lon
+        |  FROM e),
+        |v AS (
+        |  SELECT event_id AS id, 'published' AS property,
+        |    'requires a string with a RFC3339 formatted date, but the given value is ''' || published || '''' AS error
+        |  FROM bed WHERE event_id % 4 <> 0
+        |  UNION ALL
+        |  SELECT event_id, 'ext_id',
+        |    'requires a string of UUID format, but the given value is ''' || ext_id || ''''
+        |  FROM bed WHERE event_id % 3 <> 0
+        |  UNION ALL
+        |  SELECT event_id, 'place',
+        |    'invalid latitude: must be between -90 and 90, got ' || lat::VARCHAR
+        |  FROM bed WHERE lat < -90 OR lat > 90
+        |  UNION ALL
+        |  SELECT event_id, 'place',
+        |    'invalid longitude: must be between -180 and 180, got ' || lon::VARCHAR
+        |  FROM bed WHERE lon < -180 OR lon > 180)
+        |SELECT id, property, error FROM v ORDER BY id, property, error""".stripMargin,
 
     // phone replay: the three bed shapes resolve case-wise (intl DE →
     // cc 49 after prefix strip; national US → cc 1 via defaultCountry;

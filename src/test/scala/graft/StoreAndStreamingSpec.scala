@@ -259,6 +259,29 @@ class StoreAndStreamingSpec extends SparkSpecBase {
     assert(de == 30123456L)
   }
 
+  test("write-path validation report: date/uuid/geo/phone violations; clean rows silent") {
+    val bed = Seq(
+      (1L, "2024-01-02T03:04:05Z", "c56a4180-65aa-42ec-a945-5fd21dec0538", 45.0, 90.0, "+49 30 123456"),
+      (2L, "yesterday", "nope", 91.0, -200.0, "12"))
+      .toDF("id", "d", "u", "lat", "lon", "ph")
+      .withColumn("geo", struct($"lat".as("lat"), $"lon".as("lon")))
+      .drop("lat", "lon")
+    val schema = CollectionSchema("V", "id", Seq(
+      Property("d", PropType.Date), Property("u", PropType.Uuid),
+      Property("geo", PropType.Geo), Property("ph", PropType.Phone)))
+    val got = graft.sources.Validation.report(bed, schema)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(!got.exists(_._1 == 1L), s"clean row flagged: $got")
+    val errs = got.filter(_._1 == 2L).map(e => e._2 -> e._3).toMap
+    assert(errs.keySet == Set("d", "u", "geo", "ph") &&
+      got.count(_._2 == "geo") == 2) // lat AND lon both out of range
+    assert(errs("d").contains("RFC3339") && errs("d").contains("'yesterday'"))
+    assert(errs("u").contains("UUID format"))
+    assert(errs("ph") == "invalid phone number: '12'")
+    assert(got.exists(e => e._2 == "geo" && e._3 == "invalid latitude: must be between -90 and 90, got 91.0"))
+    assert(got.exists(e => e._2 == "geo" && e._3.startsWith("invalid longitude") && e._3.endsWith("-200.0")))
+  }
+
   test("value-based auto-schema: RFC3339→date, uuid→uuid, mixtures and nil→text") {
     val df = Seq(
       (1L, "2024-01-02T03:04:05Z", "c56a4180-65aa-42ec-a945-5fd21dec0538", "hello", "2024-01-02T03:04:05Z", Option.empty[String], 7L),
