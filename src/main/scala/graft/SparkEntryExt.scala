@@ -242,6 +242,10 @@ object SparkEntryExt {
         translate(lower(col("text")), "aeiou", "的一是不了").as("text_cjk"))
       gg.register(CollectionSchema("DocCjk", "doc_id", Seq(
         Property("text_cjk", PropType.Text, Tokenization.GseCh))), bed)
+      // index-serve the bigram-analyzed corpus: the postings build runs
+      // lazily inside the first keyword query's withCjkFallback scope, so
+      // the gate is live for the build's tokenization too
+      gg.registerPostings("DocCjk", Seq("text_cjk"))
     }
 
   // q_stream_index's seed+stream+delta'd engine, one flow per dataset

@@ -24,15 +24,28 @@ import graft.model._
  */
 object Backup {
 
-  /** JSON-encodable schema manifest (PropType/Tokenization round-trip by name). */
+  /** JSON-encodable schema manifest (PropType/Tokenization round-trip by
+   * name). Carries EVERY behavior-bearing schema knob — a restore that
+   * dropped asciiFold, the inverted-index gates, or the stopword config
+   * would silently change tokenization, filter gating, and BM25 scoring on
+   * the restored class. */
+  // the post-v1 fields are Options so manifests written BEFORE they existed
+  // (or by other tools) restore with defaults instead of a deserializer crash
   private case class PropManifest(
       name: String, dataType: String, tokenization: String,
-      refTarget: Option[String], indexFilterable: Boolean, indexSearchable: Boolean)
+      refTarget: Option[String], indexFilterable: Boolean, indexSearchable: Boolean,
+      asciiFold: Option[Boolean] = None, indexRangeFilters: Option[Boolean] = None)
   private case class SchemaManifest(
       name: String, idColumn: String, properties: Seq[PropManifest],
       vectors: Map[String, String], defaultVector: Option[String],
       tenantColumn: Option[String], creationTimeColumn: Option[String],
-      updateTimeColumn: Option[String])
+      updateTimeColumn: Option[String],
+      stopwordPreset: Option[String] = None,
+      stopwordAdditions: Option[Seq[String]] = None,
+      stopwordRemovals: Option[Seq[String]] = None,
+      indexTimestamps: Option[Boolean] = None,
+      indexNullState: Option[Boolean] = None,
+      indexPropertyLength: Option[Boolean] = None)
 
   private def parsePropType(s: String): PropType = s match {
     case arr if arr.endsWith("[]") => PropType.Arr(parsePropType(arr.dropRight(2)))
@@ -71,9 +84,15 @@ object Backup {
       c.schema.name, c.schema.idColumn,
       c.schema.properties.map(p => PropManifest(
         p.name, p.dataType.name, p.tokenization.name, p.refTarget,
-        p.indexFilterable, p.indexSearchable)),
+        p.indexFilterable, p.indexSearchable,
+        Some(p.asciiFold), Some(p.indexRangeFilters))),
       c.schema.vectors, c.schema.defaultVector, c.schema.tenantColumn,
-      c.schema.creationTimeColumn, c.schema.updateTimeColumn)
+      c.schema.creationTimeColumn, c.schema.updateTimeColumn,
+      Some(c.schema.stopwords.preset),
+      Some(c.schema.stopwords.additions), Some(c.schema.stopwords.removals),
+      Some(c.schema.invertedIndex.indexTimestamps),
+      Some(c.schema.invertedIndex.indexNullState),
+      Some(c.schema.invertedIndex.indexPropertyLength))
     Seq(manifest).toDS().coalesce(1).write.mode(SaveMode.Overwrite).json(s"$path/schema")
     val writer = c.df.write.mode(SaveMode.Overwrite)
     c.schema.tenantColumn.fold(writer)(tc => writer.partitionBy(tc)).parquet(s"$path/data")
@@ -86,8 +105,15 @@ object Backup {
     val schema = CollectionSchema(
       m.name, m.idColumn,
       m.properties.map(p => Property(p.name, parsePropType(p.dataType),
-        parseTokenization(p.tokenization), p.refTarget, p.indexFilterable, p.indexSearchable)),
-      m.vectors, m.defaultVector, m.tenantColumn, m.creationTimeColumn, m.updateTimeColumn)
+        parseTokenization(p.tokenization), p.refTarget, p.indexFilterable,
+        p.indexSearchable, p.asciiFold.getOrElse(false),
+        p.indexRangeFilters.getOrElse(false))),
+      m.vectors, m.defaultVector, m.tenantColumn, m.creationTimeColumn,
+      m.updateTimeColumn,
+      StopwordConfig(m.stopwordPreset.getOrElse("en"),
+        m.stopwordAdditions.getOrElse(Nil), m.stopwordRemovals.getOrElse(Nil)),
+      InvertedIndexConfig(m.indexTimestamps.getOrElse(false),
+        m.indexNullState.getOrElse(false), m.indexPropertyLength.getOrElse(false)))
     Collection(schema, spark.read.parquet(s"$path/data"))
   }
 

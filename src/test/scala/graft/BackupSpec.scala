@@ -57,6 +57,25 @@ class BackupSpec extends SparkSpecBase {
     assert(a == b && a.nonEmpty)
   }
 
+  test("round-trip preserves asciiFold, rangeable flags, inverted-index gates, stopwords") {
+    val g = new Graft(spark)
+    val schema = CollectionSchema("Cfg", "id", Seq(
+      Property("txt", PropType.Text, Tokenization.Word, asciiFold = true),
+      Property("n", PropType.Int, indexFilterable = false, indexRangeFilters = true)),
+      stopwords = StopwordConfig("en", additions = Seq("foo"), removals = Seq("the")),
+      invertedIndex = InvertedIndexConfig(indexTimestamps = true,
+        indexNullState = true, indexPropertyLength = true))
+    g.register(schema, Seq((1L, "café", 5L)).toDF("id", "txt", "n"))
+    val root = Files.createTempDirectory("graft-backup-cfg").toString
+    Backup.backup(g, Seq("Cfg"), root)
+    val s2 = Backup.restoreCollection(spark, s"$root/Cfg").schema
+    assert(s2.property("txt").get.asciiFold)
+    assert(s2.property("n").get.indexRangeFilters && !s2.property("n").get.indexFilterable)
+    assert(s2.stopwords == StopwordConfig("en", Seq("foo"), Seq("the")))
+    assert(s2.invertedIndex ==
+      InvertedIndexConfig(indexTimestamps = true, indexNullState = true, indexPropertyLength = true))
+  }
+
   test("restore rejects unknown type names loudly") {
     val root = Files.createTempDirectory("graft-backup-bad").toString
     Seq("""{"name":"X","idColumn":"id","properties":[{"name":"p","dataType":"mystery","tokenization":"word","indexFilterable":true,"indexSearchable":true}],"vectors":{}}""")
