@@ -1028,6 +1028,20 @@ object SparkEntryExt {
         .orderBy(col("event_id"))
     }),
 
+    // pipeline: span-level benchmark contamination (exact-substring
+    // decontamination — Lee et al. 2022; GPT-3's 13-gram rule at n=8):
+    // per doc, the fraction of tokens covered by an 8-gram appearing in the
+    // benchmark slice (doc_id % 97 = 5, the same bench set q_pipeline_curate
+    // uses); bench members self-cover ≈ fully, unrelated docs 0
+    "q_decontaminate_span" -> ((s, dir) => {
+      val docs = g(s, dir).collection("Document").df
+      val bench = docs.filter(col("doc_id") % 97 === 5).select(col("text"))
+      Dedup.substringContamination(docs, col("doc_id"), col("text"), bench, col("text"))
+        .select(col("__id").as("doc_id"), col("contaminated_ngrams"),
+          round(col("contaminated_fraction"), 4).as("contaminated_fraction"))
+        .orderBy(col("doc_id"))
+    }),
+
     // §2.1 write-path property validation (reference: usecases/objects/
     // validation/properties_validation.go — objects are value-checked
     // against the schema before the write): a planted bed with bad RFC3339
@@ -3465,6 +3479,36 @@ object SparkEntryExt {
         |  'stream the window' AS did_you_mean,
         |  'ask.question' AS location, CAST(2 AS BIGINT) AS n_changes
         |FROM documents WHERE source = 'src1' ORDER BY doc_id LIMIT 5""".stripMargin,
+
+    // span-contamination replay: corpus grams joined on the STRING gram
+    // against the benchmark slice's gram set (Spark joins the xxhash64),
+    // same n + Σ min(n, gap) interval union as q_dedup_substring
+    "q_decontaminate_span" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |base AS (SELECT doc_id, t, len(t) AS ntok FROM toks),
+        |grams AS (
+        |  SELECT doc_id, ntok, i - 1 AS pos,
+        |         array_to_string(list_slice(t, i, i + 7), ' ') AS g
+        |  FROM base, UNNEST(range(1, ntok - 8 + 2)) AS u(i)
+        |  WHERE ntok >= 8),
+        |bgrams AS (
+        |  SELECT DISTINCT array_to_string(list_slice(t, i, i + 7), ' ') AS g
+        |  FROM base, UNNEST(range(1, ntok - 8 + 2)) AS u(i)
+        |  WHERE ntok >= 8 AND doc_id % 97 = 5),
+        |agg AS (
+        |  SELECT doc_id, ntok, count(*) AS cn, list_sort(list(pos)) AS ps
+        |  FROM grams WHERE g IN (SELECT g FROM bgrams)
+        |  GROUP BY doc_id, ntok)
+        |SELECT b.doc_id,
+        |  CAST(coalesce(a.cn, 0) AS BIGINT) AS contaminated_ngrams,
+        |  round(CASE WHEN b.ntok > 0 THEN
+        |    coalesce(8 + list_sum(list_transform(range(2, len(a.ps) + 1),
+        |        i -> least(a.ps[i] - a.ps[i-1], 8))), COALESCE(CASE WHEN a.cn IS NOT NULL THEN 8 END, 0))
+        |      / CAST(b.ntok AS DOUBLE) ELSE 0.0 END, 4) AS contaminated_fraction
+        |FROM base b LEFT JOIN agg a USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
 
     // validation replay: same planted bed, same checks as UNION ALL arms
     "q_validate" ->

@@ -493,6 +493,53 @@ object Dedup {
   }
 
   /**
+   * Span-level benchmark CONTAMINATION — [[substringCoverage]]'s machinery
+   * pointed ACROSS corpora: per corpus document, the tokens covered by an
+   * n-gram that appears ANYWHERE in the benchmark corpus (exact-substring
+   * matching is the rigorous form of benchmark decontamination — Lee et al.
+   * 2022 — vs [[Decontaminate.ngramOverlap]]'s doc-level flag; GPT-3's
+   * 13-gram rule is this signal with n=13). Returns every corpus row:
+   * (id, contaminated_ngrams, contaminated_fraction). Benchmark items
+   * shorter than n tokens contribute no grams — pick n accordingly.
+   *
+   * Scale shape: both corpora explode linearly; the benchmark gram set is
+   * distinct 8-byte hashes semi-joined against the corpus grams — no
+   * pairwise work, the contaminated interval union is per-doc arithmetic.
+   */
+  def substringContamination(df: DataFrame, idCol: Column, textCol: Column,
+                             bench: DataFrame, benchTextCol: Column,
+                             n: Int = 8): DataFrame = {
+    val base = df.select(idCol.as("__id"), Tokenize.whitespace(textCol).as("__toks"))
+      .withColumn("__ntok", size(col("__toks")).cast("long"))
+    val grams = base.filter(col("__ntok") >= n)
+      .select(col("__id"), col("__ntok"),
+        posexplode(expr(
+          s"transform(sequence(0, int(__ntok) - $n), i -> xxhash64(array_join(slice(__toks, i + 1, $n), ' ')))"))
+          .as(Seq("__pos", "__h")))
+    val benchGrams = bench
+      .select(Tokenize.whitespace(benchTextCol).as("__btoks"))
+      .withColumn("__bn", size(col("__btoks")).cast("long"))
+      .filter(col("__bn") >= n)
+      .select(explode(expr(
+        s"transform(sequence(0, int(__bn) - $n), i -> xxhash64(array_join(slice(__btoks, i + 1, $n), ' ')))"))
+        .as("__h"))
+      .distinct()
+    val perDoc = grams.join(benchGrams, Seq("__h"), "left_semi")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("contaminated_ngrams"),
+        sort_array(collect_list(col("__pos"))).as("__ps"))
+      .withColumn("__cov",
+        lit(n) + coalesce(expr(
+          s"aggregate(zip_with(slice(__ps, 2, size(__ps) - 1), slice(__ps, 1, size(__ps) - 1), (a, b) -> least(a - b, $n)), 0, (acc, x) -> acc + x)"), lit(0)))
+    base.join(perDoc, Seq("__id"), "left")
+      .select(col("__id"),
+        coalesce(col("contaminated_ngrams"), lit(0L)).as("contaminated_ngrams"),
+        when(col("__ntok") > 0,
+          coalesce(col("__cov").cast("double"), lit(0.0)) / col("__ntok"))
+          .otherwise(lit(0.0)).as("contaminated_fraction"))
+  }
+
+  /**
    * ExactSubstr span EXCISION — the cleaning step the coverage signal above
    * feeds (Lee et al. 2022; their released suffix-array tool emits the byte
    * ranges of duplicated substrings and removes EVERY occurrence, first

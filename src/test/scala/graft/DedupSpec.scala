@@ -181,4 +181,18 @@ class DedupSpec extends SparkSpecBase {
     assert(got(3L) == (("", 0L, 8L)), "fully-duplicated doc empties out")
     assert(got(4L) == (("n1 n2 n3 n4 n5 n6 n7 n8 n9", 9L, 0L)))
   }
+
+  test("substringContamination: bench span coverage, clean docs zero, short bench ignored") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j"),    // leading 8 tokens are a bench item
+      (2L, "z y x w v u t s r q"),    // clean
+      (3L, "a b c d e f g h a b c d e f g h") // two covered spans, merged union
+    ).toDF("id", "text")
+    val bench = Seq(Tuple1("a b c d e f g h"), Tuple1("too short")).toDF("text")
+    val got = Dedup.substringContamination(corpus, $"id", $"text", bench, $"text", n = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L) == ((1L, 0.8)))  // one gram, 8 of 10 tokens covered
+    assert(got(2L) == ((0L, 0.0)))
+    assert(got(3L) == ((2L, 1.0)))  // positions 0 and 8 → 8 + min(8,8) = 16/16
+  }
 }
