@@ -2017,6 +2017,22 @@ object SparkEntryExt {
     // groups × objectsPerGroup BEFORE the rank window (reference: explorer
     // groupBy pool overfetch) — the window must never rank the whole
     // collection through one task (plan shape asserted in EngineSpec)
+    // §2.4+§2.7 BM25-ranked result grouping: the keyword leg's top-10 pool
+    // groups by lang in score-rank order (groups discovered by best hit,
+    // capped per group) — the same greedy model as q_group_near with the
+    // score ordering swapped in
+    "q_group_bm25" -> ((s, dir) => {
+      g(s, dir).get(GetParams("Document",
+        bm25 = Some(Bm25("spark join", properties = Seq("text"))),
+        groupBy = Some(GroupByParams("lang", groups = 3, objectsPerGroup = 2)),
+        pagination = Some(Pagination(limit = 10)),
+        properties = Seq("doc_id")))
+        .select(col("group_index").cast("long").as("group_index"),
+          col("group_value").as("lang"),
+          col("group_hit_rank").cast("long").as("group_hit_rank"), col("doc_id"))
+        .orderBy(col("group_index"), col("group_hit_rank"))
+    }),
+
     "q_group_plain" -> ((s, dir) => {
       g(s, dir).get(GetParams("Embedding",
         groupBy = Some(GroupByParams("label", groups = 4, objectsPerGroup = 3)),
@@ -2294,6 +2310,25 @@ object SparkEntryExt {
          |  ORDER BY doc_id ASC LIMIT 40)
          |SELECT doc_id, round(($hits) / ${terms.size}.0, 4) AS score
          |FROM page ORDER BY score DESC, doc_id ASC""".stripMargin
+    },
+
+    "q_group_bm25" -> {
+      val (ctes, _) = SparkEntry.sqlBm25(Seq("spark", "join"))
+      s"""WITH $ctes,
+         |hits AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score_exact DESC, doc_id ASC) AS rnk
+         |  FROM (SELECT * FROM scored WHERE terms_matched >= 1
+         |        ORDER BY score_exact DESC, doc_id ASC LIMIT 10)),
+         |j AS (SELECT h.doc_id, h.rnk, d.lang FROM hits h JOIN documents d USING (doc_id)),
+         |grouped AS (
+         |  SELECT doc_id, lang, rnk,
+         |         row_number() OVER (PARTITION BY lang ORDER BY rnk ASC) AS group_hit_rank,
+         |         min(rnk) OVER (PARTITION BY lang) AS gmin
+         |  FROM j),
+         |idx AS (SELECT *, dense_rank() OVER (ORDER BY gmin ASC) AS group_index FROM grouped)
+         |SELECT group_index, lang, group_hit_rank, doc_id FROM idx
+         |WHERE group_index <= 3 AND group_hit_rank <= 2
+         |ORDER BY group_index, group_hit_rank""".stripMargin
     },
 
     "q_group_plain" ->
