@@ -1028,6 +1028,28 @@ object SparkEntryExt {
         .orderBy(col("event_id"))
     }),
 
+    // §2.3 schema-configured distance: in the reference the metric is CLASS
+    // config (vectorIndexConfig.distance), never a query argument — a
+    // collection registered with distance=l2-squared serves a
+    // Metric.Default nearObject under L2, which the L2 oracle pins (cosine
+    // would rank differently on these unnormalized vectors)
+    "q_near_schema_metric" -> ((s, dir) => {
+      val gg = g(s, dir)
+      if (!gg.hasCollection("EmbL2")) {
+        gg.register(CollectionSchema("EmbL2", "vec_id",
+          Seq(Property("label", PropType.Int)),
+          vectors = Map("default" -> "embedding"), defaultVector = Some("default"),
+          vectorMetrics = Map("default" -> Metric.L2Squared)),
+          gg.collection("Embedding").df)
+      }
+      gg.get(GetParams("EmbL2",
+        nearObject = Some(NearObject(7L, metric = Metric.Default)),
+        pagination = Some(Pagination(limit = 10)),
+        properties = Seq("vec_id"),
+        additional = Set("distance")))
+        .select(col("vec_id"), round(col("_distance"), 4).as("dist"))
+    }),
+
     // pipeline: span-level benchmark contamination (exact-substring
     // decontamination — Lee et al. 2022; GPT-3's 13-gram rule at n=8):
     // per doc, the fraction of tokens covered by an 8-gram appearing in the
@@ -3514,6 +3536,15 @@ object SparkEntryExt {
         |  'stream the window' AS did_you_mean,
         |  'ask.question' AS location, CAST(2 AS BIGINT) AS n_changes
         |FROM documents WHERE source = 'src1' ORDER BY doc_id LIMIT 5""".stripMargin,
+
+    // schema-metric replay: identical to the explicit-L2 nearObject oracle —
+    // proving Default resolved to the class-configured l2-squared
+    "q_near_schema_metric" ->
+      s"""WITH ${sqlQv(7)},
+         |d AS (SELECT e.vec_id, ${sqlL2("e.embedding", "q.v")} AS dist
+         |      FROM embeddings e CROSS JOIN qv q)
+         |SELECT vec_id, round(dist, 4) AS dist FROM d
+         |ORDER BY d.dist ASC, vec_id ASC LIMIT 10""".stripMargin,
 
     // span-contamination replay: corpus grams joined on the STRING gram
     // against the benchmark slice's gram set (Spark joins the xxhash64),

@@ -565,8 +565,29 @@ final class Graft(val spark: SparkSession) {
     this
   }
 
-  def get(params: GetParams): DataFrame = {
-    val c = collection(params.collection)
+  /** Resolve Metric.Default legs against the class's configured per-vector
+   * distance (the reference's model: distance is vectorIndexConfig, not a
+   * query argument) — one pre-pass at the query entry so every planner
+   * downstream sees a concrete metric. */
+  private def resolveMetrics(c: Collection, params: GetParams): GetParams = {
+    def r(m: Metric, targets: Seq[String]): Metric =
+      if (m == Metric.Default) c.schema.metricFor(targets.headOption) else m
+    params.copy(
+      nearVector = params.nearVector.map(nv => nv.copy(metric = r(nv.metric, nv.targetVectors))),
+      nearObject = params.nearObject.map(no => no.copy(metric = r(no.metric, no.targetVectors))),
+      nearText = params.nearText.map(nt => nt.copy(metric = r(nt.metric, nt.targetVectors))),
+      nearMedia = params.nearMedia.map(nm => nm.copy(metric = r(nm.metric, nm.targetVectors))),
+      hybrid = params.hybrid.map { h =>
+        h.copy(metric = r(h.metric, h.targetVectors),
+          subSearches = h.subSearches.map(ss => ss.copy(
+            nearVector = ss.nearVector.map(nv => nv.copy(metric = r(nv.metric, nv.targetVectors))),
+            nearText = ss.nearText.map(nt => nt.copy(metric = r(nt.metric, nt.targetVectors))))))
+      })
+  }
+
+  def get(params0: GetParams): DataFrame = {
+    val c = collection(params0.collection)
+    val params = resolveMetrics(c, params0)
     val id = c.schema.idColumn
 
     // after-cursor compatibility (reference: entities/filters/
@@ -925,8 +946,17 @@ final class Graft(val spark: SparkSession) {
         .drop("__ref_target_id")
     }
 
-  def aggregate(params: AggregateParams): DataFrame = {
-    val c = collection(params.collection)
+  def aggregate(params0: AggregateParams): DataFrame = {
+    val c = collection(params0.collection)
+    // Metric.Default resolution — same class-config model as Get's
+    def rm(m: Metric, targets: Seq[String]): Metric =
+      if (m == Metric.Default) c.schema.metricFor(targets.headOption) else m
+    val params = params0.copy(
+      nearVector = params0.nearVector.map(nv => nv.copy(metric = rm(nv.metric, nv.targetVectors))),
+      nearObject = params0.nearObject.map(no => no.copy(metric = rm(no.metric, no.targetVectors))),
+      nearText = params0.nearText.map(nt => nt.copy(metric = rm(nt.metric, nt.targetVectors))),
+      nearMedia = params0.nearMedia.map(nm => nm.copy(metric = rm(nm.metric, nm.targetVectors))),
+      hybrid = params0.hybrid.map(h => h.copy(metric = rm(h.metric, h.targetVectors))))
     checkTenant(c.name, params.tenant)
     val tenanted = (params.tenant, c.schema.tenantColumn) match {
       case (Some(t), Some(tc)) => c.df.filter(col(tc) === lit(t))

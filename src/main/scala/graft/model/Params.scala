@@ -16,6 +16,13 @@ object Metric {
   case object L2Squared extends Metric("l2-squared")
   case object Manhattan extends Metric("manhattan")
   case object Hamming   extends Metric("hamming")
+  /** "Use the target vector's schema-configured metric" — in the reference
+   * the distance is CLASS config, not a query argument
+   * (entities/vectorindex/common config `distance`, default cosine); the
+   * engine resolves Default against CollectionSchema.vectorMetrics at the
+   * query entry, while an explicit per-query metric stays available as an
+   * engine extension. */
+  case object Default   extends Metric("default")
 }
 
 /** nearVector (reference: entities/searchparams/retrieval.go:33-39).

@@ -176,7 +176,11 @@ final case class CollectionSchema(
     creationTimeColumn: Option[String] = None,
     updateTimeColumn: Option[String] = None,
     stopwords: StopwordConfig = StopwordConfig(),
-    invertedIndex: InvertedIndexConfig = InvertedIndexConfig()) {
+    invertedIndex: InvertedIndexConfig = InvertedIndexConfig(),
+    // per-named-vector distance config (reference: the metric is CLASS
+    // config — entities/vectorindex/common `distance`, default cosine —
+    // never a query argument); Metric.Default query legs resolve here
+    vectorMetrics: Map[String, Metric] = Map.empty) {
 
   private val byName: Map[String, Property] = properties.map(p => p.name -> p).toMap
   def property(name: String): Option[Property] = byName.get(name)
@@ -187,5 +191,14 @@ final case class CollectionSchema(
         throw new IllegalArgumentException(s"collection $name has no vectors")))
     vectors.getOrElse(key,
       throw new IllegalArgumentException(s"collection $name has no vector named $key"))
+  }
+
+  /** The configured metric of a named vector (None = the default vector);
+   * unconfigured vectors take the reference's default, cosine. */
+  def metricFor(target: Option[String]): Metric = {
+    val key = target.orElse(defaultVector).getOrElse(
+      vectors.keys.headOption.getOrElse(
+        throw new IllegalArgumentException(s"collection $name has no vectors")))
+    vectorMetrics.getOrElse(key, Metric.Cosine)
   }
 }

@@ -45,7 +45,8 @@ object Backup {
       stopwordRemovals: Option[Seq[String]] = None,
       indexTimestamps: Option[Boolean] = None,
       indexNullState: Option[Boolean] = None,
-      indexPropertyLength: Option[Boolean] = None)
+      indexPropertyLength: Option[Boolean] = None,
+      vectorMetrics: Option[Map[String, String]] = None)
 
   private def parsePropType(s: String): PropType = s match {
     case arr if arr.endsWith("[]") => PropType.Arr(parsePropType(arr.dropRight(2)))
@@ -61,6 +62,15 @@ object Backup {
     case "object" => PropType.Obj
     case "cref" => PropType.Ref
     case other => throw new IllegalArgumentException(s"unknown property type '$other'")
+  }
+
+  private def parseMetric(s: String): Metric = s match {
+    case "cosine" => Metric.Cosine
+    case "dot" => Metric.Dot
+    case "l2-squared" => Metric.L2Squared
+    case "manhattan" => Metric.Manhattan
+    case "hamming" => Metric.Hamming
+    case other => throw new IllegalArgumentException(s"unknown metric '$other'")
   }
 
   private def parseTokenization(s: String): Tokenization = s match {
@@ -92,7 +102,8 @@ object Backup {
       Some(c.schema.stopwords.additions), Some(c.schema.stopwords.removals),
       Some(c.schema.invertedIndex.indexTimestamps),
       Some(c.schema.invertedIndex.indexNullState),
-      Some(c.schema.invertedIndex.indexPropertyLength))
+      Some(c.schema.invertedIndex.indexPropertyLength),
+      Some(c.schema.vectorMetrics.map { case (k, v) => k -> v.name }))
     Seq(manifest).toDS().coalesce(1).write.mode(SaveMode.Overwrite).json(s"$path/schema")
     val writer = c.df.write.mode(SaveMode.Overwrite)
     c.schema.tenantColumn.fold(writer)(tc => writer.partitionBy(tc)).parquet(s"$path/data")
@@ -113,7 +124,9 @@ object Backup {
       StopwordConfig(m.stopwordPreset.getOrElse("en"),
         m.stopwordAdditions.getOrElse(Nil), m.stopwordRemovals.getOrElse(Nil)),
       InvertedIndexConfig(m.indexTimestamps.getOrElse(false),
-        m.indexNullState.getOrElse(false), m.indexPropertyLength.getOrElse(false)))
+        m.indexNullState.getOrElse(false), m.indexPropertyLength.getOrElse(false)),
+      m.vectorMetrics.getOrElse(Map.empty)
+        .map { case (k, v) => k -> parseMetric(v) })
     Collection(schema, spark.read.parquet(s"$path/data"))
   }
 

@@ -810,6 +810,10 @@ object VectorFunctions {
     case Metric.L2Squared => l2Squared(a, b)
     case Metric.Manhattan => manhattan(a, b)
     case Metric.Hamming   => hamming(a, b)
+    case Metric.Default   => throw new IllegalStateException(
+      "Metric.Default must be resolved against the schema's vectorMetrics " +
+      "before planning (Graft.get/aggregate do this) — a direct operator call " +
+      "needs a concrete metric")
   }
 
   /** certainty = 1 - d/2, cosine only (reference: entities/additional/distance.go:14-30). */

@@ -229,6 +229,39 @@ class EngineSpec extends SparkSpecBase {
     reg(CollectionSchema("Ok_1", "k", Seq(Property("_private", PropType.Text))))
   }
 
+  test("schema-configured vector metric: Metric.Default resolves per class config") {
+    val gg = new Graft(spark)
+    import spark.implicits._
+    // unnormalized vectors where L2 and cosine disagree: query (1,0);
+    // (2,0) is cosine-identical (dist 0) but L2-far; (0.1,0.3) is L2-near
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(2.0f, 0.0f)), (3L, Seq(0.1f, 0.3f)))
+      .toDF("id", "vec")
+    gg.register(CollectionSchema("M", "id", Nil,
+      vectors = Map("default" -> "vec"), defaultVector = Some("default"),
+      vectorMetrics = Map("default" -> Metric.L2Squared)), df)
+    def top(m: Metric): Seq[Long] =
+      gg.get(GetParams("M", nearObject = Some(NearObject(1L, metric = m)),
+        pagination = Some(Pagination(limit = 3)), properties = Seq("id")))
+        .collect().map(_.getLong(0)).toSeq
+    assert(top(Metric.Default) == Seq(1L, 3L, 2L)) // L2 order per class config
+    assert(top(Metric.Cosine) == Seq(1L, 2L, 3L))  // explicit override still wins
+    // unconfigured vectors default to cosine
+    val gg2 = new Graft(spark)
+    gg2.register(CollectionSchema("M2", "id", Nil,
+      vectors = Map("default" -> "vec"), defaultVector = Some("default")), df)
+    val viaDefault = gg2.get(GetParams("M2",
+      nearObject = Some(NearObject(1L, metric = Metric.Default)),
+      pagination = Some(Pagination(limit = 3)), properties = Seq("id")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaDefault == Seq(1L, 2L, 3L))
+    // direct operator calls must not silently see Default
+    val e = intercept[IllegalStateException] {
+      org.apache.spark.sql.graft.VectorFunctions.distance(Metric.Default)($"a", $"b")
+    }
+    assert(e.getMessage.contains("must be resolved"))
+  }
+
   test("collection aliases: create/resolve/update/delete with reference error shapes") {
     val gg = new Graft(spark)
     import spark.implicits._
