@@ -590,6 +590,23 @@ final class Graft(val spark: SparkSession) {
     val params = resolveMetrics(c, params0)
     val id = c.schema.idColumn
 
+    // certainty is cosine-only on the Get path too (reference:
+    // traverser_validate_distance_metrics.go — the certainty argument and
+    // `_additional { certainty }` both require cosine distance)
+    locally {
+      val legs: Seq[(Option[Double], Metric)] = Seq(
+        params.nearVector.map(nv => (nv.certainty, nv.metric)),
+        params.nearObject.map(no => (no.certainty, no.metric)),
+        params.nearText.map(nt => (nt.certainty, nt.metric)),
+        params.nearMedia.map(nm => (nm.certainty, nm.metric))).flatten
+      legs.foreach { case (ct, m) =>
+        require((ct.isEmpty && !params.additional.contains("certainty")) ||
+            m == Metric.Cosine,
+          "can't compute and return certainty when vector index is " +
+          s"configured with ${m.name} distance")
+      }
+    }
+
     // after-cursor compatibility (reference: entities/filters/
     // cursor_validator.go:23-49 — keyset pagination composes only with the
     // id order it walks; offset/where/sort would silently break the walk)

@@ -260,6 +260,17 @@ class EngineSpec extends SparkSpecBase {
       org.apache.spark.sql.graft.VectorFunctions.distance(Metric.Default)($"a", $"b")
     }
     assert(e.getMessage.contains("must be resolved"))
+    // certainty (argument OR additional) is cosine-only, like the reference
+    val ce = intercept[IllegalArgumentException] {
+      gg.get(GetParams("M", nearObject = Some(NearObject(1L,
+        metric = Metric.Default, certainty = Some(0.9)))))
+    }
+    assert(ce.getMessage.contains("can't compute and return certainty") &&
+      ce.getMessage.contains("l2-squared"))
+    intercept[IllegalArgumentException] {
+      gg.get(GetParams("M", nearObject = Some(NearObject(1L, metric = Metric.Default)),
+        pagination = Some(Pagination(limit = 1)), additional = Set("certainty")))
+    }
   }
 
   test("collection aliases: create/resolve/update/delete with reference error shapes") {
