@@ -271,12 +271,46 @@ final class Graft(val spark: SparkSession) {
     this
   }
 
+  // autoTenantCreation / autoTenantActivation (reference: class.go:1770-1780 —
+  // per-class multi-tenancy config flags; entities/models/
+  // multi_tenancy_config.go): creation = a WRITE addressed at an unknown
+  // tenant creates it ACTIVE; activation = a READ addressed at an INACTIVE
+  // tenant flips it ACTIVE instead of erroring (OFFLOADED still requires an
+  // explicit onload — the reference's auto-activation is HOT/COLD only).
+  private var autoTenantConfig: Map[String, (Boolean, Boolean)] = Map.empty
+
+  def withAutoTenant(collectionName: String, creation: Boolean = false,
+                     activation: Boolean = false): Graft = {
+    require(collection(collectionName).schema.tenantColumn.isDefined,
+      s"can't enable autoTenantCreation on a non-multi-tenant class")
+    autoTenantConfig += resolveAlias(collectionName) -> ((creation, activation))
+    this
+  }
+
+  /** Write-path tenant hook: call with the tenants a batch addresses —
+   * unknown tenants are created when autoTenantCreation is on, otherwise the
+   * standard not-found gate fires. */
+  def ensureTenants(collectionName: String, names: Seq[String]): Graft = {
+    val cn = resolveAlias(collectionName)
+    val creation = autoTenantConfig.get(cn).exists(_._1)
+    val cur = tenantRegistry.getOrElse(cn, Map.empty)
+    val unknown = names.distinct.filterNot(cur.contains)
+    if (unknown.nonEmpty) {
+      if (!creation)
+        throw new IllegalArgumentException(s"tenant not found: ${unknown.head}")
+      tenantRegistry += cn ->
+        (cur ++ unknown.map(_ -> (TenantStatus.Active: TenantStatus)))
+    }
+    this
+  }
+
   /** GetTenants (reference: usecases/schema/tenant.go GetConsistentTenants). */
   def tenants(collectionName: String): Seq[Tenant] =
     tenantRegistry.getOrElse(collectionName, Map.empty)
       .toSeq.sortBy(_._1).map { case (n, s) => Tenant(n, s) }
 
-  /** Registry gate for a query-addressed tenant. */
+  /** Registry gate for a query-addressed tenant (with autoTenantActivation:
+   * an INACTIVE tenant flips ACTIVE instead of erroring). */
   private def checkTenant(collectionName: String, tenant: Option[String]): Unit =
     for {
       t   <- tenant
@@ -284,7 +318,11 @@ final class Graft(val spark: SparkSession) {
     } {
       val status = reg.getOrElse(t,
         throw new IllegalArgumentException(s"tenant not found: $t"))
-      require(status == TenantStatus.Active, s"tenant not active: $t")
+      if (status == TenantStatus.Inactive &&
+          autoTenantConfig.get(collectionName).exists(_._2)) {
+        tenantRegistry += collectionName -> (reg + (t -> TenantStatus.Active))
+      } else
+        require(status == TenantStatus.Active, s"tenant not active: $t")
     }
 
   /** flatSearchCutoff analogue (reference: entities/vectorindex/hnsw/

@@ -79,6 +79,35 @@ class TenantSpec extends SparkSpecBase {
     assert(aggGate.getMessage.contains("tenant not active"))
   }
 
+  test("autoTenantCreation creates on write; autoTenantActivation flips INACTIVE on read") {
+    val g = engine.addTenants("MT", Seq(Tenant("t0", TenantStatus.Inactive)))
+    // creation OFF: unknown write tenant errors
+    val e = intercept[IllegalArgumentException](g.ensureTenants("MT", Seq("tNew")))
+    assert(e.getMessage.contains("tenant not found: tNew"))
+    // activation OFF: INACTIVE read errors
+    intercept[IllegalArgumentException](
+      g.get(GetParams("MT", tenant = Some("t0"), pagination = Some(Pagination(limit = 1)))))
+    g.withAutoTenant("MT", creation = true, activation = true)
+    // write to an unknown tenant now creates it ACTIVE
+    g.ensureTenants("MT", Seq("tNew"))
+    assert(g.tenants("MT").exists(t => t.name == "tNew" && t.activityStatus == TenantStatus.Active))
+    // read against the INACTIVE tenant auto-activates and serves
+    val rows = g.get(GetParams("MT", tenant = Some("t0"),
+      pagination = Some(Pagination(limit = 10)), properties = Seq("id"))).collect()
+    assert(rows.length == 2)
+    assert(g.tenants("MT").exists(t => t.name == "t0" && t.activityStatus == TenantStatus.Active))
+    // OFFLOADED still requires an explicit onload
+    g.updateTenant("MT", "t0", TenantStatus.Offloaded)
+    val off = intercept[IllegalArgumentException](
+      g.get(GetParams("MT", tenant = Some("t0"), pagination = Some(Pagination(limit = 1)))))
+    assert(off.getMessage.contains("tenant not active"))
+    // the config flag itself is gated on multi-tenancy, reference error shape
+    val nonMt = new Graft(spark).register(CollectionSchema("P1", "id",
+      Seq(Property("v", PropType.Int))), Seq((1L, 2L)).toDF("id", "v"))
+    val cfgErr = intercept[IllegalArgumentException](nonMt.withAutoTenant("P1", creation = true))
+    assert(cfgErr.getMessage.contains("can't enable autoTenantCreation on a non-multi-tenant class"))
+  }
+
   test("update cycles status; reactivated tenant serves again; delete unregisters") {
     val g = engine.addTenants("MT", Seq(Tenant("t0")))
     g.updateTenant("MT", "t0", TenantStatus.Inactive)
