@@ -1028,6 +1028,23 @@ object SparkEntryExt {
         .orderBy(col("event_id"))
     }),
 
+    // §2.1/§2.3 text2vec corpus assembly (the reference's canonical object →
+    // embedding-input rule, object_texts.go): camelCase-split class name +
+    // properties in name order, per-config skip / property-name prefix /
+    // lowercasing — the exact string the vectorizer module embeds, replayed
+    // literally in SQL
+    "q_vectorizer_corpus" -> ((s, dir) => {
+      val docs = g(s, dir).collection("Document").df.filter(col("doc_id") < 100)
+      docs.select(col("doc_id"),
+        graft.sources.VectorizerCorpus.column("TrainingDocument",
+          Seq("text" -> col("text"), "lang" -> col("lang"), "source" -> col("source")),
+          cfg = graft.sources.VectorizerCorpus.Config(
+            vectorizeClassName = true,
+            vectorizePropertyName = Set("lang"),
+            skip = Set("source"))).as("corpus"))
+        .orderBy(col("doc_id"))
+    }),
+
     // §2.3 schema-configured distance: in the reference the metric is CLASS
     // config (vectorIndexConfig.distance), never a query argument — a
     // collection registered with distance=l2-squared serves a
@@ -3536,6 +3553,14 @@ object SparkEntryExt {
         |  'stream the window' AS did_you_mean,
         |  'ask.question' AS location, CAST(2 AS BIGINT) AS n_changes
         |FROM documents WHERE source = 'src1' ORDER BY doc_id LIMIT 5""".stripMargin,
+
+    // corpus replay: class name split+lowercased, props in name order
+    // (lang with its name prefix, source skipped, text plain), single-space
+    // joined
+    "q_vectorizer_corpus" ->
+      """SELECT doc_id,
+        |  'training document' || ' lang ' || lower(lang) || ' ' || lower(text) AS corpus
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
 
     // schema-metric replay: identical to the explicit-L2 nearObject oracle —
     // proving Default resolved to the class-configured l2-squared

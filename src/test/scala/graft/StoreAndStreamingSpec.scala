@@ -259,6 +259,34 @@ class StoreAndStreamingSpec extends SparkSpecBase {
     assert(de == 30123456L)
   }
 
+  test("vectorizer corpus assembly: class name, prop order, prefixes, arrays, fallback") {
+    import graft.sources.VectorizerCorpus
+    import graft.sources.VectorizerCorpus.Config
+    assert(VectorizerCorpus.camelSplit("camelCaseABCDef") == "camel Case ABC Def")
+    assert(VectorizerCorpus.camelSplit("GL11Version") == "GL 11 Version")
+    val df = Seq(
+      (1L, "Hello World", "En", Seq("TagOne", "tagTwo")),
+      (2L, null.asInstanceOf[String], null.asInstanceOf[String], Seq.empty[String]))
+      .toDF("id", "body", "lang", "tags")
+    val cfg = Config(vectorizeClassName = true,
+      vectorizePropertyName = Set("tags"), skip = Set("lang"))
+    val got = df.select($"id",
+      VectorizerCorpus.column("BlogPost",
+        Seq("body" -> $"body", "lang" -> $"lang", "tags" -> $"tags"),
+        textArrays = Set("tags"), cfg = cfg).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // props sorted: body, lang(skipped), tags; tags prefix per ELEMENT
+    assert(got(1L) == "blog post hello world tags tagone tags tagtwo")
+    // null body + empty tags → class name only (no fallback needed, class is in)
+    assert(got(2L) == "blog post")
+    // with class name off and nothing else, the corpus falls back to it
+    val fb = df.filter($"id" === 2L).select(
+      VectorizerCorpus.column("BlogPost", Seq("body" -> $"body"),
+        cfg = Config(vectorizeClassName = false)).as("c"))
+      .head().getString(0)
+    assert(fb == "blog post")
+  }
+
   test("write-path validation report: date/uuid/geo/phone violations; clean rows silent") {
     val bed = Seq(
       (1L, "2024-01-02T03:04:05Z", "c56a4180-65aa-42ec-a945-5fd21dec0538", 45.0, 90.0, "+49 30 123456"),
