@@ -2056,6 +2056,24 @@ object SparkEntryExt {
     // groups × objectsPerGroup BEFORE the rank window (reference: explorer
     // groupBy pool overfetch) — the window must never rank the whole
     // collection through one task (plan shape asserted in EngineSpec)
+    // §2.7 grouped-response distance metadata (reference: `_additional
+    // { group { minDistance maxDistance } }` on the groupBy response,
+    // shard_group_by.go group struct): per-group min/max distance over the
+    // group's KEPT hits, replayed with the same windows in SQL
+    "q_group_near_meta" -> ((s, dir) => {
+      g(s, dir).get(GetParams("Embedding",
+        nearObject = Some(NearObject(11L, metric = Metric.L2Squared)),
+        pagination = Some(Pagination(limit = 50)),
+        groupBy = Some(GroupByParams("label", groups = 5, objectsPerGroup = 3)),
+        properties = Seq("vec_id")))
+        .select(col("group_index").cast("long").as("group_index"),
+          col("group_value").as("label"),
+          col("group_hit_rank").cast("long").as("group_hit_rank"), col("vec_id"),
+          round(col("group_min_distance"), 4).as("gmin_dist"),
+          round(col("group_max_distance"), 4).as("gmax_dist"))
+        .orderBy(col("group_index"), col("group_hit_rank"))
+    }),
+
     // §2.4+§2.7 BM25-ranked result grouping: the keyword leg's top-10 pool
     // groups by lang in score-rank order (groups discovered by best hit,
     // capped per group) — the same greedy model as q_group_near with the
@@ -2350,6 +2368,24 @@ object SparkEntryExt {
          |SELECT doc_id, round(($hits) / ${terms.size}.0, 4) AS score
          |FROM page ORDER BY score DESC, doc_id ASC""".stripMargin
     },
+
+    "q_group_near_meta" ->
+      s"""WITH ${sqlQv(11)},
+         |ranked AS (
+         |  SELECT e.vec_id, e.label, ${sqlL2("e.embedding", "q.v")} AS dist,
+         |         row_number() OVER (ORDER BY ${sqlL2("e.embedding", "q.v")} ASC, e.vec_id ASC) AS rnk
+         |  FROM embeddings e CROSS JOIN qv q),
+         |grouped AS (
+         |  SELECT vec_id, label, rnk, dist,
+         |         row_number() OVER (PARTITION BY label ORDER BY rnk ASC) AS group_hit_rank,
+         |         min(rnk) OVER (PARTITION BY label) AS gmin
+         |  FROM (SELECT * FROM ranked ORDER BY rnk LIMIT 50)),
+         |idx AS (SELECT *, dense_rank() OVER (ORDER BY gmin ASC) AS group_index FROM grouped),
+         |kept AS (SELECT * FROM idx WHERE group_index <= 5 AND group_hit_rank <= 3)
+         |SELECT group_index, label, group_hit_rank, vec_id,
+         |       round(min(dist) OVER (PARTITION BY label), 4) AS gmin_dist,
+         |       round(max(dist) OVER (PARTITION BY label), 4) AS gmax_dist
+         |FROM kept ORDER BY group_index, group_hit_rank""".stripMargin,
 
     "q_group_bm25" -> {
       val (ctes, _) = SparkEntry.sqlBm25(Seq("spark", "join"))

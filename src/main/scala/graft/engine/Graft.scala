@@ -1099,7 +1099,8 @@ final class Graft(val spark: SparkSession) {
           c.schema.updateTimeColumn.map(t => col(t).as("_lastUpdateTimeUnix"))
         case _ => None
       }
-      val groupCols = (Seq("group_value", "group_index", "group_hit_rank")
+      val groupCols = (Seq("group_value", "group_index", "group_hit_rank",
+          "group_min_distance", "group_max_distance")
         ++ Seq(Generate.SingleCol, Generate.GroupedCol))
         .filter(df.columns.contains).map(col)
       val resolvedCols = params.resolveRefs.map(r => s"${r}_resolved")

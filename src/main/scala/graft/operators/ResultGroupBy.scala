@@ -28,11 +28,23 @@ object ResultGroupBy {
                else ranked.withColumn("__gval", col(property))
     val wInGroup = Window.partitionBy(col("__gval")).orderBy(col(rankCol).asc)
     val wGroups = BoundedWindow.ordered(col("__gmin").asc) // input is a ≤pool-row rank frame
-    base
+    // per-group distance metadata (reference: the grouped response's
+    // `_additional { group { minDistance maxDistance } }`,
+    // shard_group_by.go group struct) — over the SURVIVING hits of the
+    // group, present whenever the search leg carried a distance
+    val hasDist = ranked.columns.contains(VectorSearch.DistanceCol)
+    val wGroupAll = Window.partitionBy(col("__gval"))
+    val withMeta = base
       .withColumn("__rn_in_group", row_number().over(wInGroup))
-      .withColumn("__gmin", min(col(rankCol)).over(Window.partitionBy(col("__gval"))))
+      .withColumn("__gmin", min(col(rankCol)).over(wGroupAll))
       .withColumn("__gidx", dense_rank().over(wGroups))
       .filter(col("__gidx") <= groups && col("__rn_in_group") <= objectsPerGroup)
+    val decorated =
+      if (hasDist) withMeta
+        .withColumn("group_min_distance", min(col(VectorSearch.DistanceCol)).over(wGroupAll))
+        .withColumn("group_max_distance", max(col(VectorSearch.DistanceCol)).over(wGroupAll))
+      else withMeta
+    decorated
       .withColumnRenamed("__gval", "group_value")
       .withColumnRenamed("__gidx", "group_index")
       .withColumnRenamed("__rn_in_group", "group_hit_rank")
