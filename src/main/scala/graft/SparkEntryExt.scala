@@ -1067,6 +1067,22 @@ object SparkEntryExt {
         .select(col("vec_id"), round(col("_distance"), 4).as("dist"))
     }),
 
+    // pipeline: edit-distance similarity join (typo/OCR-level near-dups the
+    // token-level dedups cannot see) — q-gram bucket-then-verify with exact
+    // Levenshtein verification; the bed plants one-substitution twins, and
+    // the oracle is ALL-PAIRS Levenshtein, independently proving the q-gram
+    // filter admits every qualifying pair
+    "q_dedup_edit" -> ((s, dir) => {
+      val docs = g(s, dir).collection("Document").df
+        .select(col("doc_id"), substring(col("text"), 1, 32).as("sx"))
+      val bed = docs.unionByName(docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(substring(col("sx"), 1, 10), lit("Z"),
+            substring(col("sx"), 12, 21)).as("sx")))
+      Dedup.editDistanceDuplicates(bed, col("doc_id"), col("sx"), maxEdits = 2, q = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // pipeline: span-level benchmark contamination (exact-substring
     // decontamination — Lee et al. 2022; GPT-3's 13-gram rule at n=8):
     // per doc, the fraction of tokens covered by an 8-gram appearing in the
@@ -3606,6 +3622,22 @@ object SparkEntryExt {
          |      FROM embeddings e CROSS JOIN qv q)
          |SELECT vec_id, round(dist, 4) AS dist FROM d
          |ORDER BY d.dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // edit-join replay: brute-force all-pairs Levenshtein over the same bed
+    // (oracle-side filter-free, so any pair the engine's q-gram filter
+    // dropped would surface as a mismatch)
+    "q_dedup_edit" ->
+      """WITH bed AS (
+        |  SELECT doc_id, substr(text, 1, 32) AS sx FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    substr(substr(text, 1, 32), 1, 10) || 'Z' || substr(substr(text, 1, 32), 12, 21)
+        |  FROM documents WHERE doc_id % 25 = 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.sx, b.sx) AS BIGINT) AS edit_distance
+        |FROM bed a JOIN bed b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.sx, b.sx) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // span-contamination replay: corpus grams joined on the STRING gram
     // against the benchmark slice's gram set (Spark joins the xxhash64),

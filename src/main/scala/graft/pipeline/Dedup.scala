@@ -493,6 +493,51 @@ object Dedup {
   }
 
   /**
+   * Edit-distance similarity join (typo-level near-dup detection — catches
+   * OCR noise and single-character corruptions that token-level Jaccard and
+   * MinHash miss entirely): pairs with Levenshtein distance ≤ `maxEdits`.
+   * q-gram bucket-then-verify (the EDJoin/q-gram family of filters): one
+   * edit destroys at most `q` of a string's positional q-grams and shifts
+   * surviving grams by at most `maxEdits` positions; emitting every gram
+   * under BOTH ⌊pos/w⌋ and ⌊pos/w⌋+1 (w = maxEdits) makes any two
+   * occurrences within w positions share a (gram, window) key, so any
+   * qualifying pair with ≥ maxEdits·q + 1 grams meets in the equi-join —
+   * plus the length filter ||a|−|b|| ≤ maxEdits; verification is the
+   * codegen'd `levenshtein` on candidates only. The q_dedup_edit oracle is
+   * ALL-PAIRS Levenshtein in DuckDB, independently proving the filter
+   * admits every qualifying pair.
+   *
+   * Scale shape: gram-bucketed equi-join (Σ posting² per (gram, window)
+   * key — the bucket-then-verify pattern of every dedup above), ids only
+   * until the verify fetch; strings shorter than (maxEdits+1)·q fall back
+   * to a single whole-string key so they can only pair among themselves.
+   */
+  def editDistanceDuplicates(df: DataFrame, idCol: Column, strCol: Column,
+                             maxEdits: Int = 2, q: Int = 3): DataFrame = {
+    require(maxEdits >= 0 && q >= 1, "maxEdits >= 0, q >= 1")
+    val window = math.max(1, maxEdits)
+    val s = df.select(idCol.as("__id"), strCol.as("__s"))
+      .withColumn("__len", length(col("__s")).cast("long"))
+    // (gram, position-window) keys; short strings key on the whole value
+    val keys = s.select(col("__id"), col("__len"),
+      explode(when(col("__len") >= (maxEdits + 1) * q,
+          expr(s"array_distinct(flatten(transform(sequence(0, int(__len) - $q), i -> array(" +
+            s"concat(substring(__s, i + 1, $q), ':', cast(div(i, $window) as string)), " +
+            s"concat(substring(__s, i + 1, $q), ':', cast(div(i, $window) + 1 as string))))))"))
+        .otherwise(array(concat(lit("§"), col("__s"))))).as("__k"))
+    val cands = keys.as("a").join(keys.as("b"),
+        col("a.__k") === col("b.__k") && col("a.__id") < col("b.__id") &&
+          abs(col("a.__len") - col("b.__len")) <= maxEdits)
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b")).distinct()
+    cands
+      .join(s.select(col("__id").as("id_a"), col("__s").as("__sa")), Seq("id_a"))
+      .join(s.select(col("__id").as("id_b"), col("__s").as("__sb")), Seq("id_b"))
+      .withColumn("edit_distance", levenshtein(col("__sa"), col("__sb")).cast("long"))
+      .filter(col("edit_distance") <= maxEdits)
+      .select(col("id_a"), col("id_b"), col("edit_distance"))
+  }
+
+  /**
    * Span-level benchmark CONTAMINATION — [[substringCoverage]]'s machinery
    * pointed ACROSS corpora: per corpus document, the tokens covered by an
    * n-gram that appears ANYWHERE in the benchmark corpus (exact-substring

@@ -182,6 +182,30 @@ class DedupSpec extends SparkSpecBase {
     assert(got(4L) == (("n1 n2 n3 n4 n5 n6 n7 n8 n9", 9L, 0L)))
   }
 
+  test("editDistanceDuplicates: subs/indels within k pair up, beyond k and unrelated don't") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox jumpz"),  // 1 substitution from 1
+      (3L, "the quick brwn fox jumps"),   // 1 deletion from 1
+      (4L, "completely different sentence"),
+      (5L, "th quick brwn fox jumpz")     // 3 edits from 1; 2 from both 2 and 3
+    ).toDF("id", "s")
+    val got = Dedup.editDistanceDuplicates(df, $"id", $"s", maxEdits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got((1L, 2L)) == 1L)
+    assert(got((1L, 3L)) == 1L)
+    assert(got((2L, 3L)) == 2L)
+    assert(got((2L, 5L)) == 2L)
+    assert(got((3L, 5L)) == 2L)
+    assert(!got.contains((1L, 5L)), "3 edits must not qualify at k=2")
+    assert(!got.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+    // short strings only pair among themselves (whole-string fallback key)
+    val short = Seq((1L, "ab"), (2L, "ab"), (3L, "ax")).toDF("id", "s")
+    val sp = Dedup.editDistanceDuplicates(short, $"id", $"s", maxEdits = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sp == Set((1L, 2L))) // identical shorts pair; 'ax' never meets them
+  }
+
   test("substringContamination: bench span coverage, clean docs zero, short bench ignored") {
     val corpus = Seq(
       (1L, "a b c d e f g h i j"),    // leading 8 tokens are a bench item
