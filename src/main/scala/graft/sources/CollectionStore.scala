@@ -335,7 +335,20 @@ final class CollectionStore(val spark: SparkSession, val root: String,
     f.delete(): Unit
   }
 
+  // Shard storage status (reference: entities/storagestate/status.go — a
+  // READONLY shard rejects every write with ErrStatusReadOnly / the
+  // with-reason variant; READY restores writes; the transitional
+  // INDEXING/LOADING states don't exist here, writes are synchronous).
+  private var readOnly: Option[Option[String]] = None
+  def setReadOnly(reason: Option[String] = None): Unit = { readOnly = Some(reason) }
+  def setReady(): Unit = { readOnly = None }
+  def status: String = if (readOnly.isDefined) "READONLY" else "READY"
+
   private def writeVersion(df: DataFrame): Unit = {
+    readOnly.foreach {
+      case Some(reason) => throw new IllegalStateException(s"store is read-only due to: $reason")
+      case None         => throw new IllegalStateException("store is read-only")
+    }
     val next = version + 1
     val id = schema.idColumn
     val laidOut = (clustered, schema.tenantColumn) match {

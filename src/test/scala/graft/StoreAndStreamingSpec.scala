@@ -259,6 +259,26 @@ class StoreAndStreamingSpec extends SparkSpecBase {
     assert(de == 30123456L)
   }
 
+  test("READONLY shard status rejects writes with the reference error; READY restores") {
+    val root = Files.createTempDirectory("graft-ro").toString
+    val st = new CollectionStore(spark, root,
+      CollectionSchema("RO", "id", Seq(Property("v", PropType.Int))))
+    st.init(Seq((1L, 10L)).toDF("id", "v"))
+    assert(st.status == "READY")
+    st.setReadOnly()
+    assert(st.status == "READONLY")
+    val e = intercept[IllegalStateException] { st.upsert(Seq((2L, 20L)).toDF("id", "v")) }
+    assert(e.getMessage == "store is read-only")
+    st.setReadOnly(Some("resharding"))
+    val e2 = intercept[IllegalStateException] { st.deleteWhere(Where.eqInt("v", 10L)) }
+    assert(e2.getMessage == "store is read-only due to: resharding")
+    // reads keep serving while read-only
+    assert(st.read().count() == 1)
+    st.setReady()
+    st.upsert(Seq((2L, 20L)).toDF("id", "v"))
+    assert(st.read().count() == 2)
+  }
+
   test("vectorizer corpus assembly: class name, prop order, prefixes, arrays, fallback") {
     import graft.sources.VectorizerCorpus
     import graft.sources.VectorizerCorpus.Config
