@@ -496,16 +496,17 @@ object Dedup {
    * Edit-distance similarity join (typo-level near-dup detection — catches
    * OCR noise and single-character corruptions that token-level Jaccard and
    * MinHash miss entirely): pairs with Levenshtein distance ≤ `maxEdits`.
-   * q-gram bucket-then-verify (the EDJoin/q-gram family of filters): one
-   * edit destroys at most `q` of a string's positional q-grams and shifts
-   * surviving grams by at most `maxEdits` positions; emitting every gram
-   * under BOTH ⌊pos/w⌋ and ⌊pos/w⌋+1 (w = maxEdits) makes any two
-   * occurrences within w positions share a (gram, window) key, so any
-   * qualifying pair with ≥ maxEdits·q + 1 grams meets in the equi-join —
-   * plus the length filter ||a|−|b|| ≤ maxEdits; verification is the
-   * codegen'd `levenshtein` on candidates only. The q_dedup_edit oracle is
-   * ALL-PAIRS Levenshtein in DuckDB, independently proving the filter
-   * admits every qualifying pair.
+   * q-gram bucket-then-verify (EDJoin, Xiao et al. — q-gram prefix +
+   * location filtering): one edit destroys at most `q` of a string's
+   * positional q-grams and shifts survivors by at most `maxEdits`
+   * positions, so under a shared rare-first global gram order each side's
+   * first maxEdits·q + 1 gram occurrences must share a surviving gram;
+   * candidates come from an equi-join on those PREFIX grams keyed with
+   * adjacent position windows (any two occurrences within `maxEdits`
+   * positions share a key) plus the length filter ||a|−|b|| ≤ maxEdits;
+   * verification is the codegen'd `levenshtein` on candidates only. The
+   * q_dedup_edit oracle is ALL-PAIRS Levenshtein in DuckDB, independently
+   * proving the filter admits every qualifying pair.
    *
    * Scale shape: gram-bucketed equi-join (Σ posting² per (gram, window)
    * key — the bucket-then-verify pattern of every dedup above), ids only
@@ -516,15 +517,36 @@ object Dedup {
                              maxEdits: Int = 2, q: Int = 3): DataFrame = {
     require(maxEdits >= 0 && q >= 1, "maxEdits >= 0, q >= 1")
     val window = math.max(1, maxEdits)
+    val prefixLen = maxEdits * q + 1
     val s = df.select(idCol.as("__id"), strCol.as("__s"))
       .withColumn("__len", length(col("__s")).cast("long"))
-    // (gram, position-window) keys; short strings key on the whole value
-    val keys = s.select(col("__id"), col("__len"),
-      explode(when(col("__len") >= (maxEdits + 1) * q,
-          expr(s"array_distinct(flatten(transform(sequence(0, int(__len) - $q), i -> array(" +
-            s"concat(substring(__s, i + 1, $q), ':', cast(div(i, $window) as string)), " +
-            s"concat(substring(__s, i + 1, $q), ':', cast(div(i, $window) + 1 as string))))))"))
-        .otherwise(array(concat(lit("§"), col("__s"))))).as("__k"))
+    val long = s.filter(col("__len") >= (maxEdits + 1) * q)
+    // EDJoin-style rare-first PREFIX (Xiao et al.; the same global
+    // rare-gram ordering the Jaccard join uses): k edits destroy ≤ k·q gram
+    // occurrences, so under any shared total order the first k·q + 1 gram
+    // occurrences of each side must share a surviving gram — joining only
+    // those keeps the hot common-gram postings out of the candidate join
+    // entirely (a plain every-gram join was measured 15× slower on the
+    // word-vocabulary bed: common 3-grams made Σ posting² explode).
+    val grams = long.select(col("__id"), col("__len"),
+      posexplode(expr(s"transform(sequence(0, int(__len) - $q), i -> substring(__s, i + 1, $q))"))
+        .as(Seq("__pos", "__g")))
+    val freq = grams.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+    val wDoc = Window.partitionBy(col("__id"))
+      .orderBy(col("__df").asc, col("__g").asc, col("__pos").asc)
+    val prefix = grams.join(freq, Seq("__g"))
+      .withColumn("__rn", row_number().over(wDoc))
+      .filter(col("__rn") <= prefixLen)
+    // emit each prefix gram under its position window AND the next, so two
+    // occurrences within `window` positions always share a key
+    val keys = prefix.select(col("__id"), col("__len"),
+        explode(array(
+          concat(col("__g"), lit(":"), (col("__pos") / window).cast("int").cast("string")),
+          concat(col("__g"), lit(":"), ((col("__pos") / window).cast("int") + 1).cast("string"))))
+          .as("__k"))
+      .unionByName(s.filter(col("__len") < (maxEdits + 1) * q)
+        // short strings: whole-string key — they pair only with exact twins
+        .select(col("__id"), col("__len"), concat(lit("§"), col("__s")).as("__k")))
     val cands = keys.as("a").join(keys.as("b"),
         col("a.__k") === col("b.__k") && col("a.__id") < col("b.__id") &&
           abs(col("a.__len") - col("b.__len")) <= maxEdits)
