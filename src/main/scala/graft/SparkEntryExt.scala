@@ -1045,6 +1045,23 @@ object SparkEntryExt {
         .orderBy(col("doc_id"))
     }),
 
+    // §2.7 Selection{MMR} terminal diversification (reference:
+    // searchparams.Selection + selection/mmr.go): balance=1 is the pure-
+    // relevance degenerate — the diversified page equals the top-limit by
+    // distance, which the oracle pins exactly (the diversity regime's greedy
+    // trade-off is pinned in EngineSpec, where SQL can't express it)
+    "q_mmr_selection" -> ((s, dir) => {
+      g(s, dir).get(GetParams("Embedding",
+        nearObject = Some(NearObject(7L, metric = Metric.Cosine)),
+        pagination = Some(Pagination(limit = 40)),
+        selectionMmr = Some(SelectionMmrParams(limit = 8, balance = 1.0)),
+        properties = Seq("vec_id"),
+        additional = Set("distance")))
+        .select(col("vec_id"), col("_mmr_rank").cast("long").as("mmr_rank"),
+          round(col("_distance"), 4).as("dist"))
+        .orderBy(col("mmr_rank"))
+    }),
+
     // §2.3 schema-configured distance: in the reference the metric is CLASS
     // config (vectorIndexConfig.distance), never a query argument — a
     // collection registered with distance=l2-squared serves a
@@ -3613,6 +3630,17 @@ object SparkEntryExt {
       """SELECT doc_id,
         |  'training document' || ' lang ' || lower(lang) || ' ' || lower(text) AS corpus
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+
+    // selection-MMR replay (balance=1): top-8 by cosine distance with rank
+    "q_mmr_selection" ->
+      s"""WITH ${sqlQv(7)},
+         |d AS (SELECT e.vec_id, ${sqlCosine("e.embedding", "q.v")} AS dist
+         |      FROM embeddings e CROSS JOIN qv q),
+         |page AS (SELECT vec_id, dist FROM d ORDER BY dist ASC, vec_id ASC LIMIT 40)
+         |SELECT vec_id,
+         |  CAST(row_number() OVER (ORDER BY dist ASC, vec_id ASC) AS BIGINT) AS mmr_rank,
+         |  round(dist, 4) AS dist
+         |FROM page ORDER BY mmr_rank LIMIT 8""".stripMargin,
 
     // schema-metric replay: identical to the explicit-L2 nearObject oracle —
     // proving Default resolved to the class-configured l2-squared

@@ -847,6 +847,25 @@ final class Graft(val spark: SparkSession) {
       }
     }
 
+    // Selection{MMR}: terminal diversification of the bounded page
+    // (reference: explorer.go:280-283 — MMR diversifies the relevance
+    // window and returns its top MMR.Limit; selection/mmr.go formula)
+    val mmrSelected = params.selectionMmr match {
+      case Some(sm) =>
+        require(params.pagination.isDefined || params.cursor.isDefined,
+          "selection.mmr requires a bounded page (set pagination or cursor)")
+        require(paged.columns.contains(VectorSearch.DistanceCol),
+          "selection.mmr requires a vector search leg (query distances)")
+        val legMetric = params.nearVector.map(_.metric)
+          .orElse(params.nearObject.map(_.metric))
+          .orElse(params.nearText.map(_.metric))
+          .orElse(params.nearMedia.map(_.metric))
+          .getOrElse(c.schema.metricFor(None))
+        Mmr.diversify(paged, id, c.schema.vectorColumn(None),
+          VectorSearch.DistanceCol, sm.balance, sm.limit, legMetric)
+      case None => paged
+    }
+
     // rerank runs over the POST-pagination page (reference:
     // provider_ranker.go — an _additional property over the final result
     // list), so its desc re-sort is bounded by `limit`, never the collection
@@ -857,8 +876,8 @@ final class Graft(val spark: SparkSession) {
         require(prop.dataType == PropType.Text,
           s"rerank property ${r.property} must be text (reference: rank_result.go:49-57 " +
           "extracts only string-valued properties)")
-        Rerank(paged, col(id), col(r.property), r.query, reranker)
-      case None => paged
+        Rerank(mmrSelected, col(id), col(r.property), r.query, reranker)
+      case None => mmrSelected
     }
 
     // generate (`_additional { generate }`) decorates the final page like
@@ -1100,7 +1119,7 @@ final class Graft(val spark: SparkSession) {
         case _ => None
       }
       val groupCols = (Seq("group_value", "group_index", "group_hit_rank",
-          "group_min_distance", "group_max_distance")
+          "group_min_distance", "group_max_distance", "_mmr_rank")
         ++ Seq(Generate.SingleCol, Generate.GroupedCol))
         .filter(df.columns.contains).map(col)
       val resolvedCols = params.resolveRefs.map(r => s"${r}_resolved")

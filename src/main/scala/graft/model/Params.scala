@@ -202,6 +202,13 @@ final case class Cursor(after: Option[Any], limit: Int)
 /** result grouping for searches (reference: searchparams groupBy + shard_group_by.go:29-208). */
 final case class GroupByParams(property: String, groups: Int, objectsPerGroup: Int)
 
+/** Terminal MMR diversification of the result page (reference:
+ * searchparams.Selection{MMR{Limit, Balance}}; selection/mmr.go — balance 1
+ * = pure relevance, 0 = pure diversity). */
+final case class SelectionMmrParams(limit: Int, balance: Double) {
+  require(balance >= 0 && balance <= 1, "MMR balance must be between 0 and 1")
+}
+
 /** `_additional { rerank(property:..., query:...) { score } }` — post-search
  * re-scoring of the bounded result page via the engine's registered reranker
  * module (reference: usecases/modulecomponents/additional/rank/
@@ -281,6 +288,7 @@ final case class GetParams(
     summary: Option[SummaryParams] = None,
     ask: Option[AskParams] = None,
     ner: Option[NerParams] = None,
+    selectionMmr: Option[SelectionMmrParams] = None,
     featureProjection: Option[FeatureProjectionParams] = None)
 
 // --- Aggregations (reference: entities/aggregation/params.go) ---

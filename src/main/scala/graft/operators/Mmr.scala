@@ -57,4 +57,96 @@ object Mmr {
       StructType(Seq(idField.copy(name = "id"),
         StructField("mmr_rank", IntegerType), StructField("mmr_score", DoubleType))))
   }
+
+  /**
+   * The reference's TERMINAL Selection{MMR} pass in its exact distance form
+   * (selection/mmr.go:21-140: score = −balance·queryDist +
+   * (1−balance)·minDistToSelected; balance 1 = pure relevance; the first
+   * pick is the lowest query distance; unselected candidates fill the tail
+   * in their original order — selection_hybrid.go:104-116): reorders the
+   * bounded PAGE by the diversified order, keeps `limit` rows. Columns pass
+   * through; `_mmr_rank` (1-based) is appended.
+   */
+  def diversify(page: DataFrame, idCol: String, vecCol: String, distCol: String,
+                balance: Double, limit: Int,
+                metric: graft.model.Metric = graft.model.Metric.Cosine): DataFrame = {
+    require(balance >= 0 && balance <= 1, "MMR balance must be between 0 and 1")
+    val rows: Array[(Any, Array[Double], Double)] = page
+      .select(col(idCol), col(vecCol), col(distCol).cast("double"))
+      .collect()
+      .map(r => (r.get(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getDouble(2)))
+    import graft.model.Metric
+    // pairwise diversity distance under the CLASS metric (the reference
+    // hands the selector distProv.SingleDist — the index's own distancer)
+    def pairDist(a: Array[Double], b: Array[Double]): Double = metric match {
+      case Metric.L2Squared =>
+        var s = 0.0; var i = 0
+        while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+        s
+      case Metric.Manhattan =>
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += math.abs(a(i) - b(i)); i += 1 }
+        s
+      case Metric.Hamming =>
+        var s = 0.0; var i = 0
+        while (i < a.length) { if (a(i) != b(i)) s += 1; i += 1 }
+        s
+      case Metric.Dot =>
+        var dot = 0.0; var i = 0
+        while (i < a.length) { dot += a(i) * b(i); i += 1 }
+        -dot
+      case _ => // cosine (+ Default resolved upstream)
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        if (na == 0 || nb == 0) 1.0 else 1.0 - dot / math.sqrt(na * nb)
+    }
+    def l2(a: Array[Double], b: Array[Double]): Double = pairDist(a, b)
+    val n = rows.length
+    val removed = Array.fill(n)(false)
+    val minDist = Array.fill(n)(Double.PositiveInfinity)
+    val order = scala.collection.mutable.ArrayBuffer.empty[Int]
+    if (n > 0) {
+      var best = rows.indices.minBy(i => (rows(i)._3, i))
+      order += best; removed(best) = true
+      var lastVec = rows(best)._2
+      while (order.size < math.min(limit, n)) {
+        var bestScore = Double.NegativeInfinity
+        var bestIdx = -1
+        var i = 0
+        while (i < n) {
+          if (!removed(i)) {
+            val d = l2(lastVec, rows(i)._2)
+            if (d < minDist(i)) minDist(i) = d
+            val score = -balance * rows(i)._3 + (1 - balance) * minDist(i)
+            if (score > bestScore) { bestScore = score; bestIdx = i }
+          }
+          i += 1
+        }
+        if (bestIdx == -1) return fillAndJoin(page, idCol, rows, order, limit)
+        order += bestIdx; removed(bestIdx) = true
+        lastVec = rows(bestIdx)._2
+      }
+    }
+    fillAndJoin(page, idCol, rows, order, limit)
+  }
+
+  private def fillAndJoin(page: DataFrame, idCol: String,
+                          rows: Array[(Any, Array[Double], Double)],
+                          order: scala.collection.mutable.ArrayBuffer[Int],
+                          limit: Int): DataFrame = {
+    // unselected candidates keep their original relevance order behind the
+    // diversified page (selection_hybrid.go fill), then the limit applies
+    val full = order.toSeq ++ rows.indices.filterNot(order.contains)
+    val spark = page.sparkSession
+    val idField = page.schema(idCol)
+    val rankDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        full.zipWithIndex.map { case (idx, rank) => Row(rows(idx)._1, rank + 1) }, 1),
+      StructType(Seq(idField.copy(name = "__mmr_id"),
+        StructField("_mmr_rank", IntegerType))))
+    page.join(broadcast(rankDf), col(idCol) === col("__mmr_id"))
+      .drop("__mmr_id")
+      .orderBy(col("_mmr_rank").asc)
+      .limit(limit)
+  }
 }

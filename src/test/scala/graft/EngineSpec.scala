@@ -273,6 +273,37 @@ class EngineSpec extends SparkSpecBase {
     }
   }
 
+  test("selection MMR: balance trades relevance for diversity; tail fill keeps order") {
+    val gg = new Graft(spark)
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)),   // the query anchor
+      (2L, Seq(0.99f, 0.01f)), // near-duplicate of 1
+      (3L, Seq(0.0f, 1.0f)))   // far but diverse
+      .toDF("id", "vec")
+    gg.register(CollectionSchema("Sel", "id", Nil,
+      vectors = Map("default" -> "vec"), defaultVector = Some("default"),
+      vectorMetrics = Map("default" -> Metric.L2Squared)), df)
+    def pick(balance: Double, limit: Int): Seq[Long] =
+      gg.get(GetParams("Sel",
+        nearObject = Some(NearObject(1L, metric = Metric.Default)),
+        pagination = Some(Pagination(limit = 3)),
+        selectionMmr = Some(SelectionMmrParams(limit, balance)),
+        properties = Seq("id")))
+        .orderBy(col("_mmr_rank")).collect().map(_.getLong(0)).toSeq
+    assert(pick(1.0, 2) == Seq(1L, 2L))   // pure relevance
+    assert(pick(0.3, 2) == Seq(1L, 3L))   // diversity outweighs the near-dup
+    // unselected candidates fill the tail in relevance order (limit 3 here)
+    assert(pick(0.3, 3) == Seq(1L, 3L, 2L))
+    intercept[IllegalArgumentException] { SelectionMmrParams(2, 1.5) }
+    // requires a vector leg
+    val e = intercept[IllegalArgumentException] {
+      gg.get(GetParams("Sel", pagination = Some(Pagination(limit = 2)),
+        selectionMmr = Some(SelectionMmrParams(2, 0.5))))
+    }
+    assert(e.getMessage.contains("requires a vector search leg"))
+  }
+
   test("collection aliases: create/resolve/update/delete with reference error shapes") {
     val gg = new Graft(spark)
     import spark.implicits._
