@@ -2150,6 +2150,22 @@ object SparkEntryExt {
     // §2.7 _additional { rerank(property, query) { score } }: filtered page
     // (bounded by limit BEFORE rerank, reference provider_ranker.go) re-scored
     // by the default lexical-overlap module stand-in and re-sorted desc
+    // §2.2+§2.4+§2.7 COMPOSITION: filtered BM25 page re-ordered by the
+    // reranker module — where (allowlist; idf/avgdl stay collection-wide),
+    // keyword scoring, pagination, and the rerank additional all in one
+    // query, each stage replayed in the oracle
+    "q_compose_search" -> ((s, dir) => {
+      g(s, dir).get(GetParams("Document",
+        where = Some(Where.eqText("lang", "en")),
+        bm25 = Some(Bm25("spark join stream", properties = Seq("text"))),
+        pagination = Some(Pagination(limit = 25)),
+        properties = Seq("doc_id"),
+        additional = Set("rerank", "score"),
+        rerank = Some(RerankParams("text", "window merge batch"))))
+        .select(col("doc_id"), round(col(Rerank.ScoreCol), 4).as("rr"),
+          round(col("_score"), 4).as("bm25"))
+    }),
+
     "q_rerank" -> ((s, dir) => {
       g(s, dir).get(GetParams("Document",
         where = Some(Where.eqText("source", "src7")),
@@ -2390,6 +2406,25 @@ object SparkEntryExt {
     },
 
     // page first (id order + limit), THEN score: rerank sees only the page
+    // composition replay: full-corpus BM25 stats, lang-filtered scored set,
+    // page, then the lexical-overlap rerank over the page
+    "q_compose_search" -> {
+      val (ctes, _) = SparkEntry.sqlBm25(Seq("spark", "join", "stream"))
+      val rrTerms = Seq("window", "merge", "batch")
+      val hits = rrTerms.map(t =>
+        s"(CASE WHEN regexp_matches(lower(d.text), '\\b$t\\b') THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $ctes,
+         |page AS (
+         |  SELECT s.doc_id, s.score_exact FROM scored s JOIN documents d USING (doc_id)
+         |  WHERE d.lang = 'en' AND s.terms_matched >= 1
+         |  ORDER BY s.score_exact DESC, s.doc_id ASC LIMIT 25)
+         |SELECT p.doc_id, round(($hits) / ${rrTerms.size}.0, 4) AS rr,
+         |       round(p.score_exact, 4) AS bm25
+         |FROM page p JOIN documents d USING (doc_id)
+         |ORDER BY rr DESC, p.doc_id ASC""".stripMargin
+    },
+
     "q_rerank" -> {
       val terms = Seq("spark", "join", "window", "merge", "batch")
       val hits = terms.map(t =>
