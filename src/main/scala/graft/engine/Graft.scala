@@ -856,12 +856,20 @@ final class Graft(val spark: SparkSession) {
           "selection.mmr requires a bounded page (set pagination or cursor)")
         require(paged.columns.contains(VectorSearch.DistanceCol),
           "selection.mmr requires a vector search leg (query distances)")
+        // the active leg's targetVectors pick BOTH the diversity vector
+        // column and the metric — a leg over a named non-default vector
+        // must not be diversified against the default vector's column
+        val legTargets = params.nearVector.map(_.targetVectors)
+          .orElse(params.nearObject.map(_.targetVectors))
+          .orElse(params.nearText.map(_.targetVectors))
+          .orElse(params.nearMedia.map(_.targetVectors))
+          .getOrElse(Nil)
         val legMetric = params.nearVector.map(_.metric)
           .orElse(params.nearObject.map(_.metric))
           .orElse(params.nearText.map(_.metric))
           .orElse(params.nearMedia.map(_.metric))
-          .getOrElse(c.schema.metricFor(None))
-        Mmr.diversify(paged, id, c.schema.vectorColumn(None),
+          .getOrElse(c.schema.metricFor(legTargets.headOption))
+        Mmr.diversify(paged, id, c.schema.vectorColumn(legTargets.headOption),
           VectorSearch.DistanceCol, sm.balance, sm.limit, legMetric)
       case None => paged
     }

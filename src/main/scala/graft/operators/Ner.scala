@@ -17,8 +17,9 @@ import org.apache.spark.sql.functions._
  * The NER model is a module boundary — here a pluggable per-property
  * recognizer with a deterministic GAZETTEER stand-in: each dictionary entry
  * (word, entity, certainty) contributes one token at its FIRST occurrence in
- * the lowercased value (word-boundary instr), in dictionary order. Real
- * deployments plug a transformer NER.
+ * the lowercased value (plain first-substring `instr` — NOT word-boundary
+ * anchored, so "windows" yields a "window" token; matches the q_ner oracle's
+ * strpos), in dictionary order. Real deployments plug a transformer NER.
  *
  * Scale shape: pure column expressions over the bounded result page.
  */

@@ -510,8 +510,13 @@ object Dedup {
    *
    * Scale shape: gram-bucketed equi-join (Σ posting² per (gram, window)
    * key — the bucket-then-verify pattern of every dedup above), ids only
-   * until the verify fetch; strings shorter than (maxEdits+1)·q fall back
-   * to a single whole-string key so they can only pair among themselves.
+   * until the verify fetch. Strings shorter than (maxEdits+1)·q have too
+   * few q-grams for the prefix lemma (k edits can destroy EVERY gram), so
+   * they fall back to a length-band key: a short string pairs with every
+   * string — short or long — within the ±maxEdits length filter, keeping
+   * full recall (the all-pairs oracle proves it); the band fan-out is
+   * bounded by the sub-(maxEdits+1)·q population, tiny on document
+   * corpora (tune q down if short strings dominate the workload).
    */
   def editDistanceDuplicates(df: DataFrame, idCol: Column, strCol: Column,
                              maxEdits: Int = 2, q: Int = 3): DataFrame = {
@@ -544,9 +549,7 @@ object Dedup {
           concat(col("__g"), lit(":"), (col("__pos") / window).cast("int").cast("string")),
           concat(col("__g"), lit(":"), ((col("__pos") / window).cast("int") + 1).cast("string"))))
           .as("__k"))
-      .unionByName(s.filter(col("__len") < (maxEdits + 1) * q)
-        // short strings: whole-string key — they pair only with exact twins
-        .select(col("__id"), col("__len"), concat(lit("§"), col("__s")).as("__k")))
+      .unionByName(shortBandKeys(s, maxEdits, q))
     val cands = keys.as("a").join(keys.as("b"),
         col("a.__k") === col("b.__k") && col("a.__id") < col("b.__id") &&
           abs(col("a.__len") - col("b.__len")) <= maxEdits)
@@ -557,6 +560,26 @@ object Dedup {
       .withColumn("edit_distance", levenshtein(col("__sa"), col("__sb")).cast("long"))
       .filter(col("edit_distance") <= maxEdits)
       .select(col("id_a"), col("id_b"), col("edit_distance"))
+  }
+
+  /** Length-band fallback keys for [[editDistanceDuplicates]]'s short
+   * strings (len < (maxEdits+1)·q — too few q-grams for the prefix lemma).
+   * A short string emits band keys §len..§(len+maxEdits); a boundary-long
+   * partner (len < (maxEdits+1)·q + maxEdits, which already carries prefix
+   * keys for its long-long pairs) emits only §len. Any pair within the
+   * ±maxEdits length filter where at least one side is short then shares
+   * the key §max(lenA, lenB), so the candidate join misses nothing. */
+  private def shortBandKeys(s: DataFrame, maxEdits: Int, q: Int): DataFrame = {
+    val shortCut = (maxEdits + 1) * q
+    val short = s.filter(col("__len") < shortCut)
+      .select(col("__id"), col("__len"),
+        explode(expr(s"transform(sequence(__len, __len + $maxEdits), " +
+          "l -> concat('§', CAST(l AS STRING)))")).as("__k"))
+    val boundary = s.filter(col("__len") >= shortCut &&
+        col("__len") < shortCut + maxEdits)
+      .select(col("__id"), col("__len"),
+        concat(lit("§"), col("__len").cast("string")).as("__k"))
+    short.unionByName(boundary)
   }
 
   /**

@@ -56,8 +56,10 @@ object Validation {
         }
       }
     if (checks.isEmpty)
+      // carry the schema's ACTUAL id type so both branches return the same
+      // schema (a string-keyed collection must not get a long id here)
       df.sparkSession.emptyDataFrame
-        .select(lit(null).cast("long").as("id"),
+        .select(lit(null).cast(df.schema(schema.idColumn).dataType).as("id"),
           lit(null).cast("string").as("property"),
           lit(null).cast("string").as("error"))
         .limit(0)

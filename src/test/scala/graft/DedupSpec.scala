@@ -199,11 +199,16 @@ class DedupSpec extends SparkSpecBase {
     assert(got((3L, 5L)) == 2L)
     assert(!got.contains((1L, 5L)), "3 edits must not qualify at k=2")
     assert(!got.keySet.exists(p => p._1 == 4L || p._2 == 4L))
-    // short strings only pair among themselves (whole-string fallback key)
-    val short = Seq((1L, "ab"), (2L, "ab"), (3L, "ax")).toDF("id", "s")
+    // short strings (< (maxEdits+1)·q chars) keep FULL recall via the
+    // length-band fallback: short↔short within maxEdits, and short↔long
+    // across the prefix-lemma boundary
+    val short = Seq((1L, "ab"), (2L, "ab"), (3L, "ax"), (4L, "zz"),
+      (5L, "abcde"), (6L, "abcdef"), (7L, "abcdefg")).toDF("id", "s")
     val sp = Dedup.editDistanceDuplicates(short, $"id", $"s", maxEdits = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(sp == Set((1L, 2L))) // identical shorts pair; 'ax' never meets them
+    assert(sp == Set((1L, 2L), (1L, 3L), (2L, 3L), (5L, 6L), (6L, 7L)),
+      "exact twins, 1-edit shorts, the short-vs-long boundary pair, and the " +
+      "long-long prefix pair all surface; 'zz' and the len-diff-2 pair don't")
   }
 
   test("substringContamination: bench span coverage, clean docs zero, short bench ignored") {

@@ -302,6 +302,26 @@ class EngineSpec extends SparkSpecBase {
         selectionMmr = Some(SelectionMmrParams(2, 0.5))))
     }
     assert(e.getMessage.contains("requires a vector search leg"))
+    // a leg over a NAMED vector diversifies against THAT vector column:
+    // on "alt" (where 2 and 3 swap geometry — 2 is the diverse one) the
+    // balance=0.3 pick must flip vs the default-vector pick above
+    val alt = Seq(
+      (1L, Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),
+      (2L, Seq(0.99f, 0.01f), Seq(0.0f, 1.0f)),  // near-dup on default, diverse on alt
+      (3L, Seq(0.0f, 1.0f), Seq(0.99f, 0.01f)))  // diverse on default, near-dup on alt
+      .toDF("id", "vec", "vec2")
+    gg.register(CollectionSchema("SelAlt", "id", Nil,
+      vectors = Map("default" -> "vec", "alt" -> "vec2"), defaultVector = Some("default"),
+      vectorMetrics = Map("default" -> Metric.L2Squared, "alt" -> Metric.L2Squared)), alt)
+    val viaAlt = gg.get(GetParams("SelAlt",
+      nearObject = Some(NearObject(1L, metric = Metric.Default,
+        targetVectors = Seq("alt"))),
+      pagination = Some(Pagination(limit = 3)),
+      selectionMmr = Some(SelectionMmrParams(2, 0.3)),
+      properties = Seq("id")))
+      .orderBy(col("_mmr_rank")).collect().map(_.getLong(0)).toSeq
+    assert(viaAlt == Seq(1L, 2L),
+      "MMR must diversify over the leg's named vector, not the default")
   }
 
   test("collection aliases: create/resolve/update/delete with reference error shapes") {
