@@ -1891,11 +1891,86 @@ object SparkEntryExt {
       g(s, dir).get(GetParams("EventTenant",
         tenant = Some("view"),
         where = Some(Where.and(
-          Where(WhereOp.GreaterThan, Seq("_id"), Some(FilterValue.IntV(5000L))),
+          // bounds chosen NON-VACUOUS: a few hundred rows at sf0.01 (the r10
+          // verdict flagged the old _id > 5000 page as a 0-row ≡ 0-row pass)
+          Where(WhereOp.GreaterThan, Seq("_id"), Some(FilterValue.IntV(2000L))),
           Where(WhereOp.LessThan, Seq("_creationTimeUnix"),
             Some(FilterValue.IntV(1705000000000000000L))))), // epoch ns
         properties = Seq("event_id")))
         .orderBy(col("event_id"))
+    }),
+
+    // §2.6 schema-lookup aggregators type/pointingTo riding a scanned agg
+    // row (reference: entities/aggregation/params.go:118,148-150 — answered
+    // from the class schema, no data read for the lookup columns)
+    "q_agg_type" -> ((s, dir) => {
+      g(s, dir).aggregate(AggregateParams("Document",
+        properties = Map(
+          "links" -> Seq(Aggregator.Type, Aggregator.PointingTo),
+          "n_chars" -> Seq(Aggregator.Type, Aggregator.Minimum),
+          "tags" -> Seq(Aggregator.Type))))
+        .select(col("links_type"), col("links_pointingTo"),
+          col("n_chars_type"), col("n_chars_minimum").cast("double").as("n_chars_min"),
+          col("tags_type"))
+    }),
+
+    // §2.1 READONLY shard status write-gate (reference: entities/
+    // storagestate/status.go + the ErrStatusReadOnly texts): every write is
+    // rejected while READONLY — with the set reason — and succeeds again
+    // after READY; the final re-read proves the post-restore write landed
+    "q_readonly_gate" -> ((s, dir) => {
+      import s.implicits._
+      val gg = g(s, dir)
+      val docs = gg.collection("Document").df
+        .select(col("doc_id"), col("n_chars")).filter(col("doc_id") < 50)
+      val schema = CollectionSchema("RoStore", "doc_id",
+        Seq(Property("n_chars", PropType.Int)))
+      val st = new graft.sources.CollectionStore(s,
+        java.nio.file.Files.createTempDirectory("graft-ro").toString, schema)
+      st.init(docs)
+      val steps = scala.collection.mutable.ListBuffer.empty[(String, String, String)]
+      def attempt(tag: String)(body: => Unit): Unit =
+        steps += ((tag, st.status,
+          try { body; "" } catch { case e: Throwable => e.getMessage }))
+      steps += (("1_init", st.status, ""))
+      st.setReadOnly(Some("maintenance window"))
+      steps += (("2_set_readonly", st.status, ""))
+      attempt("3_upsert_rejected")(st.upsert(docs.limit(1)))
+      attempt("4_delete_rejected")(st.deleteWhere(Where.gtInt("n_chars", 0L)))
+      st.setReady()
+      attempt("5_upsert_after_ready")(st.upsert(
+        docs.filter(col("doc_id") === 1L).withColumn("n_chars", lit(-5))))
+      steps += (("6_reread", st.status,
+        st.read().filter(col("doc_id") === 1L).select(col("n_chars"))
+          .head().get(0).toString)) // physical int width is driver-owned
+      steps.toSeq.toDF("step", "status", "detail").orderBy(col("step"))
+    }),
+
+    // §2.7 QueryMaximumResults deployment cap (reference: usecases/config
+    // QUERY_MAXIMUM_RESULTS + search.go getTotalLimit): a limit-less Get is
+    // truncated to the cap, a page within the cap passes through, and
+    // offset+limit beyond the cap is rejected with the reference's error
+    "q_query_cap" -> ((s, dir) => {
+      import s.implicits._
+      val gg = g(s, dir)
+      val capped = new Graft(s).withQueryMaximumResults(100)
+      capped.register(CollectionSchema("DocCap", "doc_id",
+        Seq(Property("n_chars", PropType.Int))),
+        gg.collection("Document").df.select(col("doc_id"), col("n_chars")))
+      val capRows = capped.get(GetParams("DocCap", properties = Seq("doc_id"))).count()
+      val okRows = capped.get(GetParams("DocCap", properties = Seq("doc_id"),
+        pagination = Some(Pagination(limit = 60)))).count()
+      val err =
+        try {
+          capped.get(GetParams("DocCap", properties = Seq("doc_id"),
+            pagination = Some(Pagination(offset = 90, limit = 20)))); ""
+        } catch {
+          case e: Throwable => e.getMessage.replace("requirement failed: ", "")
+        }
+      Seq(("capped_limitless_rows", capRows.toString),
+          ("over_cap_error", err),
+          ("within_cap_rows", okRows.toString))
+        .toDF("probe", "value").orderBy(col("probe"))
     }),
 
     // §2.2 filter-by-id-list: ContainsAny on the _id pseudo-prop (the
@@ -2593,9 +2668,38 @@ object SparkEntryExt {
 
     "q_meta_filter" ->
       """SELECT event_id FROM events
-        |WHERE event_type = 'view' AND event_id > 5000
+        |WHERE event_type = 'view' AND event_id > 2000
         |  AND epoch_ns(ts) < 1705000000000000000
         |ORDER BY event_id""".stripMargin,
+
+    // type/pointingTo are schema constants (the engine schema is the
+    // fixture-declared one); n_chars_min is the real scanned anchor
+    "q_agg_type" ->
+      """SELECT 'cref' AS links_type, 'Document' AS links_pointingTo,
+        |  'int' AS n_chars_type, CAST(min(n_chars) AS DOUBLE) AS n_chars_min,
+        |  'object[]' AS tags_type FROM documents""".stripMargin,
+
+    // the READONLY gate's observable contract: statuses, the reasoned
+    // rejection text on every write op, and the post-READY write landing
+    // (doc 1's n_chars rewritten to -5)
+    "q_readonly_gate" ->
+      """SELECT * FROM (VALUES
+        |  ('1_init', 'READY', ''),
+        |  ('2_set_readonly', 'READONLY', ''),
+        |  ('3_upsert_rejected', 'READONLY', 'store is read-only due to: maintenance window'),
+        |  ('4_delete_rejected', 'READONLY', 'store is read-only due to: maintenance window'),
+        |  ('5_upsert_after_ready', 'READY', ''),
+        |  ('6_reread', 'READY', '-5')) AS t(step, status, detail)
+        |ORDER BY step""".stripMargin,
+
+    // cap = 100 < the 500-row sf0.01 table, so the limit-less count is the
+    // cap itself at every SF; the over-cap page errors with the reference text
+    "q_query_cap" ->
+      """SELECT * FROM (VALUES
+        |  ('capped_limitless_rows', '100'),
+        |  ('over_cap_error', 'query maximum results exceeded'),
+        |  ('within_cap_rows', '60')) AS t(probe, value)
+        |ORDER BY probe""".stripMargin,
 
 
     // full BM25F model in SQL: title = first-4-words slice of text (the same

@@ -307,6 +307,11 @@ object Aggregator {
   case object PercentageTrue  extends Aggregator("percentageTrue")
   case object PercentageFalse extends Aggregator("percentageFalse")
   final case class TopOccurrences(limit: Int = 5) extends Aggregator("topOccurrences")
+  // schema lookups, answered without scanning (reference: params.go:118
+  // `type`, :148-150 `pointingTo` — properties of the class schema, not of
+  // the data; pointingTo is the cref's target class list)
+  case object Type       extends Aggregator("type")
+  case object PointingTo extends Aggregator("pointingTo")
 }
 
 final case class AggregateParams(

@@ -59,7 +59,20 @@ object Aggregations {
       if (params.includeMetaCount || params.groupBy.nonEmpty) Seq(count(lit(1)).as("meta_count")) else Nil
     metaCount ++ params.properties.toSeq.sortBy(_._1).flatMap { case (prop, aggs) =>
       val isArr = c.schema.property(prop).exists(_.dataType.isInstanceOf[PropType.Arr])
-      aggs.map(a => aggColumn(col(prop), a, s"${prop}_${a.name}", isArr))
+      aggs.map {
+        // schema lookups ride the same agg row as constants — no scan work
+        // (reference: params.go:118,148-150; typeInfo is the standalone form)
+        case Aggregator.Type =>
+          val t = c.schema.property(prop).map(_.dataType.name).getOrElse(
+            throw new IllegalArgumentException(s"unknown property $prop"))
+          first(lit(t)).as(s"${prop}_type")
+        case Aggregator.PointingTo =>
+          val target = c.schema.property(prop).flatMap(_.refTarget).getOrElse(
+            throw new IllegalArgumentException(
+              s"pointingTo requires a cref property, $prop is not one"))
+          first(lit(target)).as(s"${prop}_pointingTo")
+        case a => aggColumn(col(prop), a, s"${prop}_${a.name}", isArr)
+      }
     }
   }
 
@@ -100,6 +113,9 @@ object Aggregations {
     case Aggregator.PercentageTrue  => avg(c.cast("int"))
     case Aggregator.PercentageFalse => avg((!c).cast("int"))
     case Aggregator.TopOccurrences(n) => topOccurrencesAgg(c, n)
+    // Type/PointingTo are schema lookups, resolved in buildAggs before this
+    case other => throw new IllegalArgumentException(
+      s"aggregator ${other.name} needs schema context (served by buildAggs)")
   })
 
   /** Single-pass mode via the built-in aggregate. Ties are engine-dependent

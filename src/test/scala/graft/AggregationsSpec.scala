@@ -65,6 +65,17 @@ class AggregationsSpec extends SparkSpecBase {
     val info = Aggregations.typeInfo(g.collection("Company"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
     assert(info == Set(("sector", "text", ""), ("price", "number", ""), ("listed", "boolean", "")))
+    // engine-served aggregator form: rides a normal agg row
+    val row = g.aggregate(AggregateParams("Company",
+      properties = Map("price" -> Seq(Aggregator.Type, Aggregator.Count)))).head()
+    assert(row.getAs[String]("price_type") == "number")
+    assert(row.getAs[Long]("price_count") == 5L)
+    // pointingTo on a non-cref property is a loud error
+    val e = intercept[IllegalArgumentException] {
+      g.aggregate(AggregateParams("Company",
+        properties = Map("price" -> Seq(Aggregator.PointingTo))))
+    }
+    assert(e.getMessage.contains("requires a cref property"))
   }
 
   test("topOccurrences as a single agg column (array<struct>)") {
