@@ -106,6 +106,13 @@ object SparkEntryExt {
     graft.operators.Bm25Search
       .score(gg.collection("DocCjk"), graft.model.Bm25("的", Seq("text_cjk")))
       .limit(1).count()
+    // dictionary-mode CJK bed + its stats (query-scope dict gate)
+    cjkDictBedFor(gg)
+    graft.text.Tokenize.withCjkUserDict(CjkUserDict) {
+      graft.operators.Bm25Search
+        .score(gg.collection("DocCjkDict"), graft.model.Bm25("一的", Seq("text_cjk")))
+        .limit(1).count()
+    }
   }
 
   // BQ is training-free (the code IS the sign pattern), so the "build" is
@@ -263,6 +270,27 @@ object SparkEntryExt {
       // the gate is live for the build's tokenization too
       gg.registerPostings("DocCjk", Seq("text_cjk"))
     }
+
+  // user dictionary for the dictionary-mode CJK bed (q_bm25_cjk_dict): the
+  // vowel→Han translation makes these the corpus's real vowel digraphs —
+  // 一的 = "ea" (stream), 不了 = "ou" (group), 了一 = "ue" (value/query)
+  private val CjkUserDict = Seq("一的", "不了", "了一")
+
+  // dictionary-segmented CJK bed (reference: tokenizer.go:122-173 user-dict
+  // loading): same translated corpus as cjkBedFor but tokenization `gse`
+  // with the user dictionary active — longest-match segmentation
+  // (CjkDictSegmenter) instead of the bigram fallback; postings build runs
+  // lazily inside the first keyword query's withCjkUserDict scope
+  private def cjkDictBedFor(gg: Graft): Unit =
+    if (!gg.hasCollection("DocCjkDict"))
+      graft.text.Tokenize.withCjkUserDict(CjkUserDict) {
+        val docs = gg.collection("Document").df
+        val bed = docs.select(col("doc_id"),
+          translate(lower(col("text")), "aeiou", "的一是不了").as("text_cjk"))
+        gg.register(CollectionSchema("DocCjkDict", "doc_id", Seq(
+          Property("text_cjk", PropType.Text, Tokenization.Gse))), bed)
+        gg.registerPostings("DocCjkDict", Seq("text_cjk"))
+      }
 
   // q_stream_index's seed+stream+delta'd engine, one flow per dataset
   private val streamIndexCache = scala.collection.mutable.Map.empty[String, Graft]
@@ -1605,6 +1633,24 @@ object SparkEntryExt {
       }
     }),
 
+    // §2.4 dictionary-mode CJK keyword search (reference: tokenizer.go:122-173
+    // gse user-dictionary loading): `tokenization: gse` + a user dictionary →
+    // longest-match (FMM) segmentation instead of the bigram fallback; the
+    // oracle replays the SAME rule as a longest-first regex alternation in
+    // DuckDB — two independent formulations of forward maximum matching
+    "q_bm25_cjk_dict" -> ((s, dir) => {
+      val gg = g(s, dir)
+      cjkDictBedFor(gg)
+      graft.text.Tokenize.withCjkUserDict(CjkUserDict) {
+        gg.get(GetParams("DocCjkDict",
+          bm25 = Some(Bm25("一的 str d", properties = Seq("text_cjk"))),
+          pagination = Some(Pagination(limit = 20)),
+          properties = Seq("doc_id"),
+          additional = Set("score")))
+          .select(col("doc_id"), round(col("_score"), 4).as("score"))
+      }
+    }),
+
     // §2.3 dynamic search breadth — the reference's ef = -1 "let Weaviate
     // pick" policy (hnsw/search.go:46-76, defaults config.go:29-32) as a
     // k-scaled IVF probe count. Bed sized SF-independently (vec_id < 400,
@@ -2777,6 +2823,26 @@ object SparkEntryExt {
       val (ctes, _) = sqlBm25(Seq("是的", "str", "d"),
         source = "(SELECT doc_id, translate(lower(text), 'aeiou', '的一是不了') AS text FROM documents)",
         tokExpr = cjkTok)
+      s"""WITH $ctes
+         |SELECT doc_id, round(score_exact, 4) AS score FROM scored
+         |WHERE terms_matched >= 1
+         |ORDER BY score_exact DESC, doc_id ASC LIMIT 20""".stripMargin
+    },
+
+    // user-dict FMM replayed as a longest-first regex alternation: RE2's
+    // leftmost scan + the dict words before the '.' fallback IS forward
+    // maximum matching (every dict word here is length 2; the 3-vs-2
+    // priority is spec-pinned in TokenizeSpec)
+    "q_bm25_cjk_dict" -> {
+      val dictTok =
+        """flatten(list_transform(
+          |  regexp_extract_all(text, '[\p{Han}]+|[a-z0-9]+'),
+          |  r -> CASE WHEN regexp_matches(r, '^[\p{Han}]')
+          |       THEN regexp_extract_all(r, '(一的|不了|了一|.)')
+          |       ELSE [r] END))""".stripMargin
+      val (ctes, _) = sqlBm25(Seq("一的", "str", "d"),
+        source = "(SELECT doc_id, translate(lower(text), 'aeiou', '的一是不了') AS text FROM documents)",
+        tokExpr = dictTok)
       s"""WITH $ctes
          |SELECT doc_id, round(score_exact, 4) AS score FROM scored
          |WHERE terms_matched >= 1

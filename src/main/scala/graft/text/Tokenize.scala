@@ -49,6 +49,27 @@ object Tokenize {
     try body finally cjkBigramFallback = prev
   }
 
+  /** User dictionary for the CJK modes — the analogue of the reference's
+   * `tokenizerUserDictPaths` gse/kagome dictionary loading
+   * (tokenizer.go:122-173). When set, the four CJK modes segment by
+   * longest-match over the dictionary ([[CjkDictSegmenter]]) instead of the
+   * bigram fallback; thread-scoped like the bigram gate (plan construction
+   * is the only reader). */
+  private val cjkUserDictTL: InheritableThreadLocal[Option[CjkDictSegmenter]] =
+    new InheritableThreadLocal[Option[CjkDictSegmenter]] {
+      override def initialValue(): Option[CjkDictSegmenter] = None
+    }
+  def cjkUserDict: Option[CjkDictSegmenter] = cjkUserDictTL.get()
+
+  /** Run `body` with a user dictionary active for the CJK modes, restoring
+   * the previous value afterwards (same scoping contract as
+   * [[withCjkFallback]]). The dictionary wins over the bigram fallback. */
+  def withCjkUserDict[T](words: Seq[String])(body: => T): T = {
+    val prev = cjkUserDictTL.get()
+    cjkUserDictTL.set(Some(new CjkDictSegmenter(words)))
+    try body finally cjkUserDictTL.set(prev)
+  }
+
   /** `word`: runs of letters/digits, lowercased. */
   def word(c: Column): Column =
     filterEmpty(regexp_extract_all(lower(c), lit("[\\p{L}\\p{N}]+"), lit(0)))
@@ -165,7 +186,12 @@ object Tokenize {
     case Tokenization.Trigram    => trigram(c)
     case m @ (Tokenization.Gse | Tokenization.GseCh |
               Tokenization.KagomeJa | Tokenization.KagomeKr) =>
-      if (cjkBigramFallback) cjkBigram(c) else cjkUnavailable(m)
+      cjkUserDict match {
+        case Some(seg) =>
+          org.apache.spark.sql.graft.TextFunctions.cjkDictSegment(c, seg)
+        case None =>
+          if (cjkBigramFallback) cjkBigram(c) else cjkUnavailable(m)
+      }
   }
 
   /** Codepoint array of a string (Spark's substr/length count codepoints —
@@ -212,7 +238,11 @@ object Tokenize {
       else (0 until cps.length - 2).map(i => cpSlice(cps, i, 3))
     case m @ (Tokenization.Gse | Tokenization.GseCh |
               Tokenization.KagomeJa | Tokenization.KagomeKr) =>
-      if (cjkBigramFallback) cjkBigramTokens(q) else cjkUnavailable(m)
+      cjkUserDict match {
+        case Some(seg) => seg.segment(q)
+        case None =>
+          if (cjkBigramFallback) cjkBigramTokens(q) else cjkUnavailable(m)
+      }
   }
 
   /** English stopword preset (reference: inverted/stopwords/presets.go, `en`). */

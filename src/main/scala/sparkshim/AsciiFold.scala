@@ -104,10 +104,46 @@ object AsciiFold {
   }
 }
 
+/**
+ * User-dictionary CJK segmentation as a native Catalyst expression (the
+ * column form of [[graft.text.CjkDictSegmenter]] — see its scaladoc for the
+ * FMM rule and the reference anchor, tokenizer.go:122-173). The segmenter is
+ * a codegen reference object, so the tokenization stays inside whole-stage
+ * codegen like every other Tokenize mode.
+ */
+case class CjkDictSegment(child: Expression, seg: graft.text.CjkDictSegmenter)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cjk_dict_segment"
+
+  override def nullSafeEval(v: Any): Any =
+    CjkDictSegment.toArrayData(seg.segmentArray(v.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val segRef = ctx.addReferenceObj("cjkDictSeg", seg,
+      classOf[graft.text.CjkDictSegmenter].getName)
+    val helper = CjkDictSegment.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = $helper.toArrayData($segRef.segmentArray($a.toString()));")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object CjkDictSegment {
+  /** Called from generated code — must stay public static-reachable. */
+  def toArrayData(tokens: Array[String]): org.apache.spark.sql.catalyst.util.ArrayData =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      tokens.map(UTF8String.fromString))
+}
+
 /** Column-level entry points for text analysis expressions. */
 object TextFunctions {
   private def c(e: Expression): Column = ExpressionUtils.column(e)
   private def x(col: Column): Expression = ExpressionUtils.expression(col)
 
   def asciiFold(col: Column): Column = c(AsciiFold(x(col)))
+  def cjkDictSegment(col: Column, seg: graft.text.CjkDictSegmenter): Column =
+    c(CjkDictSegment(x(col), seg))
 }

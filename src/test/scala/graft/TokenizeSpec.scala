@@ -81,6 +81,37 @@ class TokenizeSpec extends SparkSpecBase {
     } finally Tokenize.cjkBigramFallback = false
   }
 
+  test("CJK user dictionary: forward-maximum-match segmentation") {
+    Tokenize.withCjkUserDict(Seq("中文", "数据库", "数据", "引擎")) {
+      // longest match wins at each position: 数据库 beats its prefix 数据
+      assert(toks(Tokenization.Gse, "中文数据库引擎") == Seq("中文", "数据库", "引擎"))
+      // OOV characters fall back to single-char tokens; Latin runs stay words
+      assert(toks(Tokenization.Gse, "中文の数据Spark") ==
+        Seq("中文", "の", "数据", "spark"))
+      // greedy left-to-right: a match consumes its span even if a longer
+      // word would have started one position later (FMM, not optimal-path)
+      assert(toks(Tokenization.GseCh, "好中文" ) == Seq("好", "中文"))
+      // the dictionary wins over the bigram fallback when both are active
+      Tokenize.withCjkFallback {
+        assert(toks(Tokenization.Gse, "中文数据") == Seq("中文", "数据"))
+      }
+      // driver query tokenization matches the column path
+      for (s <- Seq("中文数据库引擎", "中文の数据Spark", "", "abc 中")) {
+        assert(Tokenize.queryTokens(Tokenization.Gse, s) == toks(Tokenization.Gse, s),
+          s"dict parity s='$s'")
+      }
+    }
+    // scope restores: outside the block the modes are gated again
+    assert(Tokenize.cjkUserDict.isEmpty)
+    intercept[UnsupportedOperationException] {
+      Tokenize.queryTokens(Tokenization.Gse, "中文")
+    }
+    // blank dictionaries are rejected loudly
+    intercept[IllegalArgumentException] {
+      Tokenize.withCjkUserDict(Seq("  "))(())
+    }
+  }
+
   test("token n-grams (shingles)") {
     val sh = Seq(Seq("a", "b", "c", "d")).toDF("t")
       .select(Tokenize.tokenNgrams($"t", 3).as("x")).head().getSeq[String](0)
