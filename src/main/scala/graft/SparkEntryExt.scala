@@ -1651,6 +1651,39 @@ object SparkEntryExt {
       }
     }),
 
+    // §2.4 ranking-quality harness (reference: test/benchmark_bm25/lib/
+    // scores.go — the one reference MEASUREMENT surface): BM25 top-10 pages
+    // for a fixed 3-query workload scored against deterministic binary
+    // qrels (first-term tf ≥ k on even doc_ids — moderate-size relevant
+    // sets with real misses); nDCG / p@1 / p@5 via QualityMetrics, every
+    // stage replayed in the oracle
+    "q_bm25_ndcg" -> ((s, dir) => {
+      val gg = g(s, dir)
+      val workload = Seq((1L, "spark", 5), (2L, "window", 5), (3L, "vector", 4))
+      val docs = gg.collection("Document").df
+      val results = workload.map { case (qid, term, _) =>
+        gg.get(GetParams("Document",
+          bm25 = Some(Bm25(term, properties = Seq("text"))),
+          pagination = Some(Pagination(limit = 10)),
+          properties = Seq("doc_id"),
+          additional = Set("score")))
+          .select(lit(qid).as("query_id"), col("doc_id"),
+            row_number().over(BoundedWindow.ordered(
+              col("_score").desc, col("doc_id").asc)).as("rank"))
+      }.reduce(_ unionByName _)
+      val qrels = workload.map { case (qid, term, k) =>
+        docs.filter(
+            size(filter(graft.text.Tokenize.word(col("text")),
+              x => x === lit(term))) >= k && col("doc_id") % 2 === 0)
+          .select(lit(qid).as("query_id"), col("doc_id"))
+      }.reduce(_ unionByName _)
+      QualityMetrics.scores(results, col("query_id"), col("doc_id"), col("rank"),
+          qrels, col("query_id"), col("doc_id"))
+        .select(round(col("ndcg"), 4).as("ndcg"),
+          round(col("p_at_1"), 4).as("p_at_1"),
+          round(col("p_at_5"), 4).as("p_at_5"), col("num_queries"))
+    }),
+
     // §2.3 dynamic search breadth — the reference's ef = -1 "let Weaviate
     // pick" policy (hnsw/search.go:46-76, defaults config.go:29-32) as a
     // k-scaled IVF probe count. Bed sized SF-independently (vec_id < 400,
@@ -2847,6 +2880,45 @@ object SparkEntryExt {
          |SELECT doc_id, round(score_exact, 4) AS score FROM scored
          |WHERE terms_matched >= 1
          |ORDER BY score_exact DESC, doc_id ASC LIMIT 20""".stripMargin
+    },
+
+    // full replay of the quality harness: per-query BM25 top-10 (each in its
+    // own scoped WITH so the sqlBm25 CTE names don't collide), tf-based
+    // qrels, then the scores.go math — natural-log binary DCG, IDCG over all
+    // m matching (Σ_{j=2}^{m+1} 1/ln j), p@1 = h1/Q, p@5 = h5/(5Q)
+    "q_bm25_ndcg" -> {
+      val workload = Seq((1, "spark", 5), (2, "window", 5), (3, "vector", 4))
+      val resCtes = workload.map { case (qid, term, _) =>
+        val (ctes, _) = sqlBm25(Seq(term))
+        s"""r$qid AS (SELECT $qid AS query_id, doc_id,
+           |  row_number() OVER (ORDER BY s DESC, doc_id) AS rnk
+           |  FROM (WITH $ctes
+           |        SELECT doc_id, score_exact AS s FROM scored
+           |        WHERE terms_matched >= 1
+           |        ORDER BY score_exact DESC, doc_id LIMIT 10))""".stripMargin
+      }.mkString(",\n")
+      val qrelArms = workload.map { case (qid, term, k) =>
+        s"""SELECT $qid AS query_id, doc_id FROM documents
+           |WHERE len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+           |      x -> x = '$term')) >= $k AND doc_id % 2 = 0""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $resCtes,
+         |res AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3),
+         |qr AS ($qrelArms),
+         |idcg AS (SELECT query_id, count(*) AS m FROM qr GROUP BY 1),
+         |perq AS (SELECT r.query_id, sum(1.0 / ln(r.rnk + 1)) AS dcg,
+         |         CAST(sum(CASE WHEN r.rnk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+         |         CAST(sum(CASE WHEN r.rnk <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS h5
+         |         FROM res r JOIN qr q ON r.query_id = q.query_id AND r.doc_id = q.doc_id
+         |         GROUP BY 1),
+         |f AS (SELECT i.query_id,
+         |      list_sum(list_transform(range(2, i.m + 2), j -> 1.0 / ln(j))) AS idcg_v,
+         |      coalesce(p.dcg, 0) AS dcg, coalesce(p.h1, 0) AS h1, coalesce(p.h5, 0) AS h5
+         |      FROM idcg i LEFT JOIN perq p USING (query_id))
+         |SELECT round(avg(dcg / idcg_v), 4) AS ndcg,
+         |       round(sum(h1) / count(*), 4) AS p_at_1,
+         |       round(sum(h5) / (count(*) * 5), 4) AS p_at_5,
+         |       count(*) AS num_queries FROM f""".stripMargin
     },
 
 
