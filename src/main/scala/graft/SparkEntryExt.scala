@@ -65,6 +65,20 @@ object SparkEntryExt {
         nlist = 8, defaultNprobe = 8, persistPath = Some(path))
     })
 
+  // RNG-replica IVF (the hfresh/SPFresh posting-assignment analogue,
+  // vector/hfresh/rng.go, DefaultRNGFactor = 10): boundary vectors land in
+  // several well-separated posting lists; full probe + id-dedup keeps the
+  // served search exact, so the brute-force oracle hash-matches while the
+  // replica machinery is on the executed path (rule + diversity in AnnSpec)
+  private val ivfRngCache = scala.collection.mutable.Map.empty[String, graft.ann.IvfIndex]
+  private def ivfRngFor(gg: Graft, dir: String): graft.ann.IvfIndex =
+    ivfRngCache.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files.createTempDirectory("graft-ivf-rng").toString
+      graft.ann.IvfIndex.build(gg.collection("Embedding").df, "vec_id", "embedding",
+        nlist = 8, replicas = 2, defaultNprobe = 8, persistPath = Some(path),
+        rngFactor = Some(10.0))
+    })
+
   // second per-target index (the "rev" named vector) for the multi-target
   // index-probe query — same full-probe-exact setup as ivfFor
   private val ivfRevCache = scala.collection.mutable.Map.empty[String, graft.ann.IvfIndex]
@@ -81,6 +95,7 @@ object SparkEntryExt {
   private[graft] def prebuildIndexes(gg: Graft, dir: String): Unit = {
     ivfFor(gg, dir).assigned.count()
     ivfRevFor(gg, dir).assigned.count()
+    ivfRngFor(gg, dir).assigned.count()
     pqFor(gg, dir)._2.count()
     bqFor(gg, dir).count()
     sqFor(gg, dir)._2.count()
@@ -1723,6 +1738,17 @@ object SparkEntryExt {
         .select(col("vec_id"), round(col("_distance"), 4).as("dist"))
     }),
 
+    // §2.3 RNG-replica posting index (hfresh/SPFresh analogue — rng.go
+    // replica selection at build, posting-pruned probe + id-dedup at search;
+    // full probe ⇒ exact ⇒ brute-force oracle; the rejection rule and the
+    // diversity effect are pinned in AnnSpec)
+    "q_near_ivf_rng" -> ((s, dir) => {
+      val gg = g(s, dir)
+      ivfRngFor(gg, dir).search(Fixtures.anchorVector(gg, 29L),
+          k = 10, Metric.L2Squared, nprobe = 8)
+        .select(col("vec_id"), round(col("_distance"), 4).as("dist"))
+    }),
+
     // §2.3 DYNAMIC index (reference: vector/dynamic/index.go + config.go:25
     // DefaultThreshold): built flat over the first 50 embeddings (below the
     // threshold of 100 — shouldUpgrade reports (true, 100)), then an append
@@ -2681,6 +2707,14 @@ object SparkEntryExt {
          |      FROM embeddings e CROSS JOIN qv q)
          |SELECT vec_id, round(dist, 4) AS dist FROM d
          |ORDER BY d.dist ASC, vec_id ASC LIMIT 12""".stripMargin,
+
+    // full probe + dedup over the RNG-replicated layout ≡ brute force
+    "q_near_ivf_rng" ->
+      s"""WITH ${sqlQv(29)},
+         |d AS (SELECT e.vec_id, ${sqlL2("e.embedding", "q.v")} AS dist
+         |      FROM embeddings e CROSS JOIN qv q)
+         |SELECT vec_id, round(dist, 4) AS dist FROM d
+         |ORDER BY d.dist ASC, vec_id ASC LIMIT 10""".stripMargin,
 
     // dynamic breadth policy demands all 8 lists at k=63 (ef cap 500 ≥ the
     // 400-row bed) → exact → brute-force oracle; the partial-probe regime

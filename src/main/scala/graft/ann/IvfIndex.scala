@@ -39,7 +39,11 @@ final case class IvfIndex(
     appendsSinceCheckpoint: Int = 0,
     dynamicProbe: Option[DynamicProbeConfig] = None,
     filterStrategy: FilterStrategy = FilterStrategy.Sweeping,
-    acornFilterRatio: Double = 0.4) {
+    acornFilterRatio: Double = 0.4,
+    // Some(f): replica lists are RNG-selected (hfresh/SPFresh posting
+    // assignment, rng.go:16-69) instead of plain nearest-r — see
+    // IvfIndex.build's scaladoc
+    rngFactor: Option[Double] = None) {
 
   /** Total assigned rows — counted once, lazily (the build already scanned
    * the data, and the count feeds only the dynamic-probe mean list size). */
@@ -139,8 +143,7 @@ final case class IvfIndex(
   def append(newRows: DataFrame): IvfIndex = {
     val centers = centroids.sortBy(_._1).map(_._2)
     val assigned0 = newRows.withColumn("__centroid",
-      explode(org.apache.spark.sql.graft.VectorFunctions
-        .nearestCentroids(col(vecCol), centers, replicas)))
+      explode(IvfIndex.assignExpr(col(vecCol), centers, replicas, rngFactor)))
     persistPath match {
       case Some(p) =>
         // appends new files inside the existing __centroid=N directories;
@@ -208,7 +211,8 @@ object IvfIndex {
   def build(df: DataFrame, idCol: String, vecCol: String,
             nlist: Int, seed: Long = 42L, replicas: Int = 1,
             defaultNprobe: Int = 1,
-            persistPath: Option[String] = None): IvfIndex = {
+            persistPath: Option[String] = None,
+            rngFactor: Option[Double] = None): IvfIndex = {
     require(replicas >= 1 && replicas <= nlist, "replicas must be in [1, nlist]")
     // codegen'd array->vector featurization (build-time only, but no reason
     // to pay a boxed UDF when ml.functions has the kernel)
@@ -219,11 +223,11 @@ object IvfIndex {
       .setFeaturesCol("__features").setPredictionCol("__centroid")
       .fit(withFeatures)
     val centers: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
-    // top-r nearest centroids per row via the codegen'd kernel — one pass,
-    // centroid table rides in the serialized plan, no boxed UDF in the stage
+    // top-r nearest (or RNG-selected, hfresh/SPFresh rng.go) centroids per
+    // row via a codegen'd kernel — one pass, centroid table rides in the
+    // serialized plan, no boxed UDF in the stage
     val assigned0 = df.withColumn("__centroid",
-      explode(org.apache.spark.sql.graft.VectorFunctions
-        .nearestCentroids(col(vecCol), centers, replicas)))
+      explode(assignExpr(col(vecCol), centers, replicas, rngFactor)))
     val assigned = persistPath match {
       case Some(p) =>
         // 100 TB layout: one directory per posting list; isin(probes) becomes
@@ -234,8 +238,26 @@ object IvfIndex {
         assigned0.repartition(col("__centroid"))
     }
     val cents = centers.zipWithIndex.map { case (c, i) => (i, c) }
-    IvfIndex(cents, assigned, vecCol, idCol, replicas, defaultNprobe, persistPath)
+    IvfIndex(cents, assigned, vecCol, idCol, replicas, defaultNprobe, persistPath,
+      rngFactor = rngFactor)
   }
+
+  /** Posting-list assignment kernel: plain nearest-r, or RNG replica
+   * selection when `rngFactor` is set (the hfresh/SPFresh rule — boundary
+   * vectors replicate into well-separated lists, interior vectors keep a
+   * single list; rng.go:16-69, DefaultRNGFactor = 10). */
+  private[ann] def assignExpr(vec: org.apache.spark.sql.Column,
+                              centers: Array[Array[Double]],
+                              replicas: Int,
+                              rngFactor: Option[Double]): org.apache.spark.sql.Column =
+    rngFactor match {
+      case Some(f) =>
+        org.apache.spark.sql.graft.VectorFunctions
+          .rngSelectCentroids(vec, centers, replicas, f)
+      case None =>
+        org.apache.spark.sql.graft.VectorFunctions
+          .nearestCentroids(vec, centers, replicas)
+    }
 
   /**
    * Planner choice (the analogue of the reference's flatSearchCutoff/ACORN

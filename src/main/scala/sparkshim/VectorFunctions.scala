@@ -294,6 +294,102 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/**
+ * RNG (Relative Neighborhood Graph) replica selection — the posting
+ * assignment rule of the reference's hfresh/SPFresh index
+ * (adapters/repos/db/vector/hfresh/rng.go:16-69, DefaultRNGFactor = 10):
+ * walk candidate centroids by increasing query distance and select one
+ * unless it is "too close" to an already-selected replica —
+ * dist(candidate, selected) ≤ (1/rngFactor)·dist(query, candidate) — until
+ * `replicas` are chosen. Boundary vectors therefore land in SEVERAL
+ * well-separated posting lists, which is what protects low-probe recall;
+ * interior vectors select only their single nearest list (every other
+ * candidate fails the rule), so storage grows with boundary density, not
+ * uniformly ×replicas. The centroid-centroid distance matrix is precomputed
+ * at build and rides the plan as a reference object.
+ */
+case class RngSelectCentroids(child: Expression, centroids: Array[Array[Double]],
+                              centDists: Array[Array[Double]],
+                              replicas: Int, rngFactor: Double)
+  extends UnaryExpression with ExpectsInputTypes {
+  require(replicas >= 1 && replicas <= centroids.length, "replicas must be in [1, nlist]")
+  require(rngFactor > 0, "rngFactor must be positive")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rng_select_centroids"
+
+  override def nullSafeEval(v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      RngSelectCentroids.compute(v.asInstanceOf[ArrayData], centroids, centDists,
+        replicas, rngFactor))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val cd = ctx.addReferenceObj("centDists", centDists, "double[][]")
+    val gad = classOf[org.apache.spark.sql.catalyst.util.GenericArrayData].getName
+    val helper = RngSelectCentroids.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = new $gad($helper.compute($a, $cents, $cd, $replicas, $rngFactor));")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object RngSelectCentroids {
+  /** Called from generated code — must stay public static-reachable. */
+  def compute(v: ArrayData, cents: Array[Array[Double]], centDists: Array[Array[Double]],
+              replicas: Int, rngFactor: Double): Array[Int] = {
+    val n = cents.length
+    val dists = new Array[Double](n)
+    var ci = 0
+    while (ci < n) {
+      val c = cents(ci)
+      var d = 0.0; var i = 0
+      while (i < c.length) { val t = c(i) - v.getFloat(i); d += t * t; i += 1 }
+      dists(ci) = d
+      ci += 1
+    }
+    // candidates in increasing query distance (ties → lower id, stable)
+    val order = Array.range(0, n).sortBy(i => (dists(i), i))
+    val selected = new Array[Int](replicas)
+    var m = 0
+    var oi = 0
+    // rng.go compares SQUARED distances directly (the distancer is l2²), so
+    // the rule here is centDist² ≤ (1/rngFactor)·queryDist²
+    val inv = 1.0 / rngFactor
+    while (oi < n && m < replicas) {
+      val cand = order(oi)
+      var tooClose = false
+      var si = 0
+      while (!tooClose && si < m) {
+        if (centDists(cand)(selected(si)) <= inv * dists(cand)) tooClose = true
+        si += 1
+      }
+      if (!tooClose) { selected(m) = cand; m += 1 }
+      oi += 1
+    }
+    java.util.Arrays.copyOf(selected, m)
+  }
+
+  /** nlist × nlist centroid l2² matrix, computed once at build. */
+  def pairwise(cents: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = cents.length
+    val out = Array.ofDim[Double](n, n)
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        var d = 0.0; var k = 0
+        while (k < cents(i).length) { val t = cents(i)(k) - cents(j)(k); d += t * t; k += 1 }
+        out(i)(j) = d; out(j)(i) = d
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+}
+
 object NearestCentroids {
   /** Called from generated code — must stay public static-reachable. */
   def compute(v: ArrayData, cents: Array[Array[Double]], take: Int): Array[Int] = {
@@ -783,6 +879,10 @@ object VectorFunctions {
   def maxSim(q: Column, d: Column): Column = c(MaxSimDistance(x(q), x(d)))
   def nearestCentroids(v: Column, centroids: Array[Array[Double]], take: Int): Column =
     c(NearestCentroids(x(v), centroids, take))
+  def rngSelectCentroids(v: Column, centroids: Array[Array[Double]],
+                         replicas: Int, rngFactor: Double): Column =
+    c(RngSelectCentroids(x(v), centroids, RngSelectCentroids.pairwise(centroids),
+      replicas, rngFactor))
   def signPack(v: Column): Column = c(SignPack(x(v)))
   def bitHamming(a: Column, b: Column): Column = c(BitHammingDistance(x(a), x(b)))
   def sqEncode(v: Column, a: Float, b: Float): Column = c(SqEncode(x(v), a, b))

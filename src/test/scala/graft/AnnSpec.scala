@@ -377,4 +377,86 @@ class AnnSpec extends SparkSpecBase {
       .select($"vec_id").collect().map(_.getLong(0)).toSeq
     assert(got == truth)
   }
+
+  test("RNG replica assignment (hfresh/SPFresh): rule honored, diversity fires, full probe stays exact") {
+    // geometry where the RNG rule actually rejects: 4 TIGHT PAIRS of
+    // centroids (pair distance² ≈ 1, inter-pair distance² ≫), plus points
+    // midway BETWEEN pairs — for those, nearest-3 picks both members of the
+    // closest pair while RNG rejects the twin (centDist² ≤ (1/f)·queryDist²)
+    // and diversifies into the next pair, exactly rng.go:48-51
+    val rnd = new scala.util.Random(7)
+    val bases = Array.fill(4)(Array.fill(16)(rnd.nextGaussian() * 3))
+    val centers = bases.flatMap(b => Seq(b, b.map(_ + 0.25)))
+    val interior = (0 until 800).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + 0.03 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val between = (0 until 200).map { i =>
+      val a = bases(i % 4); val b = bases((i + 1) % 4)
+      (800L + i,
+        a.zip(b).map { case (x, y) => ((x + y) / 2 + 0.03 * rnd.nextGaussian()).toFloat }.toSeq)
+    }
+    val emb = (interior ++ between).toDF("vec_id", "embedding")
+    val f = 2.0
+    // index over the KNOWN centroid table (KMeans wouldn't reliably resolve
+    // the tight pairs — the kernel under test is the assignment rule, so the
+    // quantizer is pinned; build-path wiring is smoke-checked below)
+    val rng = IvfIndex(centers.zipWithIndex.map { case (c, i) => (i, c) },
+      emb.withColumn("__centroid", explode(
+        org.apache.spark.sql.graft.VectorFunctions
+          .rngSelectCentroids(col("embedding"), centers, 3, f))),
+      "embedding", "vec_id", replicas = 3, defaultNprobe = 8, rngFactor = Some(f))
+
+    // 1) assignment honors the reference rule — reimplemented independently
+    //    over the collected assignment and the centroid table
+    val cents = rng.centroids.sortBy(_._1).map(_._2)
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def rngSelect(v: Array[Double]): Seq[Int] = {
+      val dists = cents.map(c => l2(c, v))
+      val order = cents.indices.sortBy(i => (dists(i), i))
+      val expected = scala.collection.mutable.ArrayBuffer.empty[Int]
+      for (cand <- order if expected.size < 3) {
+        val tooClose = expected.exists(r => l2(cents(cand), cents(r)) <= dists(cand) / f)
+        if (!tooClose) expected += cand
+      }
+      expected.toSeq
+    }
+    def nearest3(v: Array[Double]): Set[Int] =
+      cents.indices.sortBy(i => (l2(cents(i), v), i)).take(3).toSet
+    val got = rng.assigned.select($"vec_id", $"embedding", $"__centroid")
+      .collect().groupBy(_.getLong(0))
+    var diverged = 0
+    got.foreach { case (id, rows) =>
+      val v = rows.head.getSeq[Float](1).map(_.toDouble).toArray
+      assert(rows.map(_.getInt(2)).toSet == rngSelect(v).toSet, s"vec $id replica set")
+      if (rngSelect(v).toSet != nearest3(v)) diverged += 1
+    }
+    // 2) the rule is not vacuous on this bed: between-pair points diversify
+    //    away from the nearest-3 assignment
+    assert(diverged >= 100,
+      s"expected the RNG rule to reject the tight-pair twin for most of the " +
+      s"200 between-pair points, diverged only for $diverged vectors")
+
+    // 3) full probe is exact despite replication (dedup on id)
+    val q = between.head._2.toArray
+    val full = rng.search(q, 15, Metric.L2Squared, nprobe = 8)
+      .select($"vec_id").collect().map(_.getLong(0)).toSeq
+    val truth = VectorSearch.withDistance(emb, "embedding", q, Metric.L2Squared)
+      .orderBy(col(VectorSearch.DistanceCol).asc, $"vec_id".asc).limit(15)
+      .select($"vec_id").collect().map(_.getLong(0)).toSeq
+    assert(full == truth)
+
+    // 4) build-path wiring smoke: rngFactor threads through build + append
+    //    and full probe stays exact against brute force
+    val built = IvfIndex.build(emb, "vec_id", "embedding", nlist = 8, seed = 3L,
+      replicas = 2, rngFactor = Some(f))
+    assert(built.rngFactor.contains(f))
+    val appended = built.append(emb.filter($"vec_id" === 0L)
+      .withColumn("vec_id", lit(9000L)))
+    val got2 = appended.search(interior.head._2.toArray, 5, Metric.L2Squared, nprobe = 8)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(got2.contains(0L) && got2.contains(9000L),
+      "the appended exact copy must be probe-visible next to its original")
+  }
 }
