@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Curate, Decontaminate, Dedup, TextAnalysis}
+
+/**
+ * Scaling proof for the three heaviest pipelines (SURVEY §10): run each at
+ * 1× and 10× a synthetic expansion of the sf0.1 documents table and report
+ * the fitted scaling exponent log(t₁₀/t₁)/log(10). Near-linear exponents
+ * (≈ 1) are the evidence that the bucketed join shapes hold under scale-up —
+ * a quadratic stage would read ≈ 2.
+ *
+ * The 10× corpus is a deterministic replication with per-copy textual
+ * perturbation (a copy-indexed token is APPENDED and the doc_id remapped),
+ * so vocabulary, document-length, and duplicate-cluster distributions match
+ * the base corpus instead of degenerating into exact copies.
+ *
+ * Run: `sbt "runMain graft.ScaleProfile [sfDir]"` (one-off, not a driver
+ * surface; numbers land in SURVEY §10).
+ */
+object ScaleProfile {
+  def main(args: Array[String]): Unit = {
+    val spark = Fixtures.spark()
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+
+    // Per-copy cyclic alphabet rotation: copy k reads the text through
+    // translate(a..z → rotated-by-k a..z), so different copies share almost
+    // NO tokens/q-grams/shingles — the 10× corpus behaves like 10× of NEW
+    // data (what a 100 TB scale-up actually is), and pair outputs grow ~10×.
+    // A textual perturbation (prefix/suffix) would instead make every copy
+    // set a near-duplicate clique, growing the OUTPUT ~copies² and
+    // conflating workload growth with engine scaling.
+    val alphabet = "abcdefghijklmnopqrstuvwxyz"
+    def rotated(k: Int): String = alphabet.drop(k) + alphabet.take(k)
+    def expand(times: Int): DataFrame =
+      if (times == 1) base
+      else base.crossJoin(spark.range(times).select(col("id").as("__copy")))
+        .select((col("doc_id") * times + col("__copy")).as("doc_id"),
+          (1 until times).foldLeft(when(col("__copy") === 0, col("text"))) {
+            case (acc, k) => acc.when(col("__copy") === k,
+              translate(col("text"), alphabet, rotated(k)))
+          }.as("text"),
+          col("lang"))
+
+    // materialize both corpora to parquet so every pipeline times its own
+    // work, not the expansion
+    def mat(df: DataFrame, tag: String): DataFrame = {
+      val p = java.nio.file.Files.createTempDirectory(s"graft-scale-$tag").toString
+      df.write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
+    val c1 = mat(expand(1), "x1")
+    val c10 = mat(expand(10), "x10")
+    println(s"[scale] corpus sizes: ${c1.count()} vs ${c10.count()}")
+
+    def timed(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime(); val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+
+    // the q_dedup_edit shape: 32-char prefixes + planted 1-edit twins
+    def edit(docs: DataFrame): Long = {
+      val d = docs.select(col("doc_id"), substring(col("text"), 1, 32).as("sx"))
+      val bed = d.unionByName(d.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 100000000L).as("doc_id"),
+          concat(substring(col("sx"), 1, 10), lit("Z"),
+            substring(col("sx"), 12, 21)).as("sx")))
+      Dedup.editDistanceDuplicates(bed, col("doc_id"), col("sx"), maxEdits = 2, q = 3).count()
+    }
+
+    // the q_dedup_minhash shape
+    def minhash(docs: DataFrame): Long =
+      Dedup.minhashDuplicates(docs, col("doc_id"), col("text"),
+        shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.7).count()
+
+    // the q_pipeline_curate chain: decontaminate → exact-dedup → langid +
+    // quality → stratified top-k
+    def curate(docs: DataFrame): Long = {
+      val bench = docs.filter(col("doc_id") % 97 === 5).select(col("text"))
+      val contaminated = Decontaminate
+        .ngramOverlap(docs, col("doc_id"), col("text"), bench, col("text"), n = 5)
+        .select(col("id").as("doc_id"))
+      val canonical = Dedup.exactText(docs, col("text"), col("doc_id"))
+        .select(col("canonical_id").as("doc_id"))
+      val clean = docs
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .join(canonical, Seq("doc_id"), "left_semi")
+        .withColumn("lang_pred", TextAnalysis.languageId(col("text")))
+        .withColumn("__q", TextAnalysis.qualityScore(col("text")))
+      Curate.stratifiedTopK(clean, Seq(col("lang_pred")), col("__q"), col("doc_id"), k = 3)
+        .count()
+    }
+
+    val pipelines: Seq[(String, DataFrame => Long)] = Seq(
+      "edit_join" -> edit, "minhash" -> minhash, "curate_chain" -> curate)
+    val report = pipelines.map { case (name, p) =>
+      p(c1); p(c10) // warm both paths once (JIT/codegen)
+      val (t1, n1) = timed(p(c1))
+      val (t10, n10) = timed(p(c10))
+      val exp = math.log(t10 / t1) / math.log(10.0)
+      println(f"[scale] $name: t1=$t1%.2f s (n=$n1) t10=$t10%.2f s (n=$n10) exponent=$exp%.2f")
+      f""""$name":{"t1":$t1%.2f,"t10":$t10%.2f,"exponent":$exp%.2f}"""
+    }
+    println(report.mkString("""{"metric":"scaling","sf":"""" + dir + "\",", ",", "}"))
+    spark.stop()
+  }
+}
