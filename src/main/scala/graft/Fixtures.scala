@@ -61,6 +61,7 @@ object Fixtures {
     // stays 10000 and is spec-pinned
     val g = new Graft(spark).withEmbedder(hashEmbedder(64))
       .withSpellchecker(spellFix)
+      .withConcepts(conceptVocab)
       .withQueryMaximumResults(scala.Int.MaxValue)
 
     reg("Region")(g.register(CollectionSchema("Region", "r_regionkey", Seq(
@@ -241,6 +242,18 @@ object Fixtures {
         raw.withColumn("ts_nanos", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
           .withColumn("ts", col("ts").cast("timestamp"))
     }
+  }
+
+  /** Concept vocabulary for the contextionary additional props
+   * (nearestNeighbors / semanticPath — module data like stopword presets):
+   * the corpus's own vocabulary embedded with the stand-in vectorizer, so
+   * concepts live in the same 64-d space as the stored vectors. Exposed for
+   * the oracle builders, which inline these vectors as SQL literals. */
+  val conceptVocab: Seq[(String, Array[Float])] = {
+    val embed = hashEmbedder(64)
+    Seq("spark", "join", "stream", "window", "batch", "table",
+        "query", "scan", "merge", "filter", "vector", "customer")
+      .map(w => w -> embed(w))
   }
 
   /** Deterministic stand-in vectorizer for nearText (real deployments plug a

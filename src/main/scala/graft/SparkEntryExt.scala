@@ -1816,6 +1816,45 @@ object SparkEntryExt {
             x => !isnan(x) && abs(x) < lit(Float.MaxValue)).as("finite"))
     }),
 
+    // §2.7 contextionary `_additional { nearestNeighbors }` (reference:
+    // text2vec-contextionary/additional/nearestneighbors/extender.go — per
+    // result, the nearest concept words; vocab = the registered module data,
+    // Fixtures.conceptVocab): pure column expression over the bounded page,
+    // the vocab rides the plan as a literal
+    "q_nearest_neighbors" -> ((s, dir) => {
+      g(s, dir).get(GetParams("DocVec",
+        nearObject = Some(NearObject(7L, metric = Metric.Cosine)),
+        pagination = Some(Pagination(limit = 5)),
+        properties = Seq("doc_id"),
+        additional = Set("nearestNeighbors")))
+        .select(col("doc_id"), posexplode(col("_nearestNeighbors")).as(Seq("i", "nn")))
+        .select(col("doc_id"), (col("i") + 1).cast("long").as("step"),
+          col("nn.concept").as("concept"), round(col("nn.distance"), 4).as("dist"))
+        .orderBy(col("doc_id"), col("step"))
+    }),
+
+    // §2.7 contextionary `_additional { semanticPath }` (reference:
+    // additional/sempath/builder.go): greedy concept walk from the search
+    // vector to each result + cosine annotations. The engine walks in the
+    // ORIGINAL space (the reference projects through a time-seeded t-SNE —
+    // non-reproducible by design; see Contextionary scaladoc), so the whole
+    // walk is replayed step-by-step in the oracle
+    "q_semantic_path" -> ((s, dir) => {
+      g(s, dir).get(GetParams("DocVec",
+        nearObject = Some(NearObject(7L, metric = Metric.Cosine)),
+        pagination = Some(Pagination(limit = 2)),
+        properties = Seq("doc_id"),
+        additional = Set("semanticPath")))
+        .select(col("doc_id"), posexplode(col("_semanticPath")).as(Seq("i", "p")))
+        .select(col("doc_id"), (col("i") + 1).cast("long").as("step"),
+          col("p.concept").as("concept"),
+          round(col("p.distanceToQuery"), 4).as("d_query"),
+          round(col("p.distanceToResult"), 4).as("d_result"),
+          round(col("p.distanceToPrevious"), 4).as("d_prev"),
+          round(col("p.distanceToNext"), 4).as("d_next"))
+        .orderBy(col("doc_id"), col("step"))
+    }),
+
     // §2.3 multi-vector (ColBERT) search end-to-end: 2-token query bag vs the
     // MVec collection's array<array<float>> named vector, MaxSim ranking via
     // the codegen'd kernel (reference: shard_read.go:687-698)
@@ -2759,6 +2798,96 @@ object SparkEntryExt {
          |      FROM embeddings e CROSS JOIN qv q)
          |SELECT vec_id, round(dist, 4) AS dist, 2 AS dims, true AS finite FROM d
          |ORDER BY d.dist ASC, vec_id ASC LIMIT 12""".stripMargin,
+
+    // per result, cosine-rank the literal-inlined vocabulary (the module
+    // data), take the extender's DefaultLimit 10; same tie-break as the
+    // engine's array_sort on (distance, concept)
+    "q_nearest_neighbors" -> {
+      val vocLit = Fixtures.conceptVocab.map { case (w, v) =>
+        s"('$w', ${v.map(f => s"CAST($f AS FLOAT)").mkString("[", ", ", "]")})"
+      }.mkString(",\n  ")
+      s"""WITH voc(word, cv) AS (VALUES
+         |  $vocLit),
+         |qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 7),
+         |d AS (SELECT dv.doc_id, e.embedding, ${sqlCosine("e.embedding", "q.v")} AS dist
+         |      FROM documents dv JOIN embeddings e ON dv.doc_id = e.vec_id
+         |      CROSS JOIN qv q),
+         |top AS (SELECT doc_id, embedding FROM d ORDER BY dist ASC, doc_id ASC LIMIT 5),
+         |nn AS (SELECT t.doc_id, voc.word, ${sqlCosine("voc.cv", "t.embedding")} AS cd
+         |       FROM top t CROSS JOIN voc),
+         |r AS (SELECT doc_id, word, cd,
+         |      row_number() OVER (PARTITION BY doc_id ORDER BY cd, word) AS rn FROM nn)
+         |SELECT doc_id, CAST(rn AS BIGINT) AS step, word AS concept, round(cd, 4) AS dist
+         |FROM r WHERE rn <= 10 ORDER BY doc_id, step""".stripMargin
+    },
+
+    // the greedy walk unrolled: the path visits each concept at most once
+    // (a stepped-to concept fails its own strict dist-to-target bound), so
+    // |vocab| chained step-CTEs cover every possible path; each step =
+    // top-10-by-current-distance restriction, strict dist-to-target filter,
+    // first survivor — exactly Contextionary.walk / builder.go buildPath
+    "q_semantic_path" -> {
+      def l2s(a: String, b: String): String =
+        s"sqrt(list_sum(list_transform(range(1, len($a)+1), i -> " +
+        s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
+        s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))))"
+      val vocLit = Fixtures.conceptVocab.map { case (w, v) =>
+        s"('$w', ${v.map(f => s"CAST($f AS FLOAT)").mkString("[", ", ", "]")})"
+      }.mkString(",\n  ")
+      val maxSteps = Fixtures.conceptVocab.size
+      val stepCtes = (1 to maxSteps).map { k =>
+        val cand =
+          if (k == 1)
+            s"""cand$k AS (SELECT t.doc_id, v.word,
+               |  ${l2s("v.cv", "q.v")} AS dcur,
+               |  ${l2s("v.cv", "t.embedding")} AS dtgt, 1e308 AS mind
+               |  FROM top t CROSS JOIN voc v CROSS JOIN qv q)""".stripMargin
+          else
+            s"""cand$k AS (SELECT t.doc_id, v.word,
+               |  ${l2s("v.cv", "pv.cv")} AS dcur,
+               |  ${l2s("v.cv", "t.embedding")} AS dtgt,
+               |  ${l2s("pv.cv", "t.embedding")} AS mind
+               |  FROM top t JOIN s${k - 1} s ON s.doc_id = t.doc_id
+               |  JOIN voc pv ON pv.word = s.word CROSS JOIN voc v)""".stripMargin
+        cand + ",\n" +
+          s"""s$k AS (SELECT doc_id, word FROM (
+             |  SELECT doc_id, word, dtgt, mind,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY dcur, word) AS r10
+             |  FROM cand$k) x
+             |  WHERE r10 <= 10 AND dtgt < mind
+             |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY r10) = 1)""".stripMargin
+      }.mkString(",\n")
+      val pathUnion = (1 to maxSteps)
+        .map(k => s"SELECT doc_id, $k AS step, word FROM s$k")
+        .mkString("\nUNION ALL\n")
+      s"""WITH voc(word, cv) AS (VALUES
+         |  $vocLit),
+         |qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 7),
+         |d AS (SELECT dv.doc_id, e.embedding, ${sqlCosine("e.embedding", "q.v")} AS dist
+         |      FROM documents dv JOIN embeddings e ON dv.doc_id = e.vec_id
+         |      CROSS JOIN qv q),
+         |top AS (SELECT doc_id, embedding FROM d ORDER BY dist ASC, doc_id ASC LIMIT 2),
+         |$stepCtes,
+         |path AS ($pathUnion),
+         |ann AS (SELECT doc_id, step, word,
+         |        lag(word) OVER w AS prevw, lead(word) OVER w AS nextw
+         |        FROM path WINDOW w AS (PARTITION BY doc_id ORDER BY step)),
+         |fin AS (SELECT a.doc_id, CAST(a.step AS BIGINT) AS step, a.word AS concept,
+         |        ${sqlCosine("v.cv", "q.v")} AS d_query,
+         |        ${sqlCosine("v.cv", "t.embedding")} AS d_result,
+         |        CASE WHEN pv.word IS NULL THEN NULL
+         |             ELSE ${sqlCosine("v.cv", "pv.cv")} END AS d_prev,
+         |        CASE WHEN nv.word IS NULL THEN NULL
+         |             ELSE ${sqlCosine("v.cv", "nv.cv")} END AS d_next
+         |        FROM ann a JOIN voc v ON v.word = a.word
+         |        LEFT JOIN voc pv ON pv.word = a.prevw
+         |        LEFT JOIN voc nv ON nv.word = a.nextw
+         |        JOIN top t ON t.doc_id = a.doc_id CROSS JOIN qv q)
+         |SELECT doc_id, step, concept, round(d_query, 4) AS d_query,
+         |       round(d_result, 4) AS d_result, round(d_prev, 4) AS d_prev,
+         |       round(d_next, 4) AS d_next
+         |FROM fin ORDER BY doc_id, step""".stripMargin
+    },
 
     // MaxSim in list math: doc token bag is [e, reverse(e)], so per query
     // token the max-dot is greatest(dot(q, e), dot(q, reverse(e)))

@@ -83,6 +83,17 @@ final class Graft(val spark: SparkSession) {
   private var spellchecker: Option[String => String] = None
   def withSpellchecker(s: String => String): Graft = { spellchecker = Some(s); this }
 
+  /** Module hook: concept vocabulary for the contextionary additional
+   * properties `nearestNeighbors` / `semanticPath` (reference: modules/
+   * text2vec-contextionary — the remote contextionary service; here a
+   * small (word, vector) table, module data like stopword presets). */
+  private var concepts: Option[Contextionary.Vocab] = None
+  def withConcepts(v: Contextionary.Vocab): Graft = { concepts = Some(v); this }
+  private def conceptsOrFail(what: String): Contextionary.Vocab =
+    concepts.getOrElse(throw new IllegalStateException(
+      s"$what requires a concept vocabulary (Graft.withConcepts) — the " +
+      "text2vec-contextionary module boundary"))
+
   /** Resolve nearText into a nearVector (concept centroid ± moves —
    * reference: near_params_vector.go + searcher_movements.go). */
   private def resolveNearText(c: Collection, nt0: NearText): NearVector = {
@@ -980,7 +991,41 @@ final class Graft(val spark: SparkSession) {
       case None => nerTagged
     }
 
-    project(c, params, resolveRefs(c, params, projected))
+    // contextionary additional props (module boundary: withConcepts).
+    // Both resolve the vector column from the active leg's targetVectors —
+    // the same named-vector rule as selection.mmr above.
+    def legVecCol: String = {
+      val targets = params.nearVector.map(_.targetVectors)
+        .orElse(params.nearObject.map(_.targetVectors))
+        .orElse(params.nearText.map(_.targetVectors))
+        .orElse(params.nearMedia.map(_.targetVectors))
+        .getOrElse(Nil)
+      c.schema.vectorColumn(targets.headOption)
+    }
+    val withNeighbors =
+      if (!params.additional.contains("nearestNeighbors")) projected
+      else Contextionary.attachNeighbors(projected, legVecCol,
+        conceptsOrFail("nearestNeighbors"))
+    val semPathed =
+      if (!params.additional.contains("semanticPath")) withNeighbors
+      else {
+        val voc = conceptsOrFail("semanticPath")
+        require(params.pagination.isDefined || params.cursor.isDefined,
+          "semanticPath requires a bounded page (set pagination or cursor)")
+        // the walk starts at the SEARCH vector — nearX-only, like the
+        // reference (builder_params.go: "no valid search vector present")
+        val searchVec = params.nearVector.map(_.queryFor(0))
+          .orElse(params.nearObject.map(no =>
+            VectorSearch.resolveNearObject(c, no).queryFor(0)))
+          .orElse(params.nearText.map(nt => resolveNearText(c, nt).queryFor(0)))
+          .orElse(params.nearMedia.map(nm => resolveNearMedia(nm).queryFor(0)))
+          .getOrElse(throw new IllegalArgumentException(
+            "no valid search vector present — semanticPath is only supported " +
+            "on nearXXX queries"))
+        Contextionary.attachPath(withNeighbors, id, legVecCol, searchVec, voc)
+      }
+
+    project(c, params, resolveRefs(c, params, semPathed))
   }
 
   /** Property → prompt-text column for generate templating (reference:
@@ -1120,6 +1165,10 @@ final class Graft(val spark: SparkSession) {
       case "spellCheck" if df.columns.contains(SpellChecks.Col) => Some(col(SpellChecks.Col))
         case "featureProjection" if df.columns.contains(FeatureProjection.Col) =>
           Some(col(FeatureProjection.Col))
+        case "nearestNeighbors" if df.columns.contains(Contextionary.NeighborsCol) =>
+          Some(col(Contextionary.NeighborsCol))
+        case "semanticPath" if df.columns.contains(Contextionary.PathCol) =>
+          Some(col(Contextionary.PathCol))
         case "creationTimeUnix" =>
           c.schema.creationTimeColumn.map(t => col(t).as("_creationTimeUnix"))
         case "lastUpdateTimeUnix" =>
