@@ -291,6 +291,14 @@ object SparkEntryExt {
   // 一的 = "ea" (stream), 不了 = "ou" (group), 了一 = "ue" (value/query)
   private val CjkUserDict = Seq("一的", "不了", "了一")
 
+  // target "class objects" for contextual classification (q_classify_
+  // contextual): topic anchors in the stand-in embedding space, inlined as
+  // literals by the oracle
+  private val ContextualTargets: Seq[(String, Array[Float])] = Seq(
+    "analytics" -> Fixtures.hashEmbedder(64)("table scan query"),
+    "streaming" -> Fixtures.hashEmbedder(64)("stream window batch"),
+    "commerce"  -> Fixtures.hashEmbedder(64)("customer"))
+
   // dictionary-segmented CJK bed (reference: tokenizer.go:122-173 user-dict
   // loading): same translated corpus as cjkBedFor but tokenization `gse`
   // with the user dictionary active — longest-match segmentation
@@ -1855,6 +1863,26 @@ object SparkEntryExt {
         .orderBy(col("doc_id"), col("step"))
     }),
 
+    // §2.10 contextual (training-data-free) classification — the reference's
+    // text2vec-contextionary-contextual type (classifier_run_contextual.go:
+    // IG-vs-targets word scoring, per-doc tf-idf + IG percentile cutoffs,
+    // ln-decay boosts, boosted-corpus re-vectorization, cosine argmin). The
+    // bed restricts text to the 12-word concept vocabulary so the oracle can
+    // inline every word vector and replay the ENTIRE model in SQL.
+    "q_classify_contextual" -> ((s, dir) => {
+      val docs = g(s, dir).collection("Document").df.filter(col("doc_id") % 5 === 0)
+      val vocList = Fixtures.conceptVocab.map(_._1)
+      val bed = docs.select(col("doc_id"),
+        array_join(filter(graft.text.Tokenize.word(col("text")),
+          t => array_contains(typedLit(vocList), t)), " ").as("ctext"))
+        .filter(length(col("ctext")) > 0)
+      Classify.contextual(bed, col("doc_id"), col("ctext"),
+          ContextualTargets, Fixtures.hashEmbedder(64))
+        .select(col("id").as("doc_id"), col("target"),
+          round(col("winning_distance"), 4).as("dist"))
+        .orderBy(col("doc_id"))
+    }),
+
     // §2.3 multi-vector (ColBERT) search end-to-end: 2-token query bag vs the
     // MVec collection's array<array<float>> named vector, MaxSim ranking via
     // the codegen'd kernel (reference: shard_read.go:687-698)
@@ -2887,6 +2915,84 @@ object SparkEntryExt {
          |       round(d_result, 4) AS d_result, round(d_prev, 4) AS d_prev,
          |       round(d_next, 4) AS d_next
          |FROM fin ORDER BY doc_id, step""".stripMargin
+    },
+
+    // full contextual-classification model replay: vocab + target vectors
+    // inlined as literals, tf-idf (log10, per-doc length-normalized tf), IG
+    // per word (ordered list_sum so the mean accumulates in the engine's
+    // target order), per-doc percentile windows with integer-truncated
+    // cutoffs, ln-decay boosts, dim-level weighted-sum corpus vector, cosine
+    // argmin with the (dist, target) tie-break; zero-norm rows dropped
+    "q_classify_contextual" -> {
+      val vocLit = Fixtures.conceptVocab.map { case (w, v) =>
+        s"('$w', ${v.map(f => s"CAST($f AS FLOAT)").mkString("[", ", ", "]")})"
+      }.mkString(",\n  ")
+      val vocNames = Fixtures.conceptVocab.map(w => s"'${w._1}'").mkString("[", ", ", "]")
+      val tgtLit = ContextualTargets.zipWithIndex.map { case ((t, v), i) =>
+        s"('$t', $i, ${v.map(f => s"CAST($f AS FLOAT)").mkString("[", ", ", "]")})"
+      }.mkString(",\n  ")
+      s"""WITH voc(word, v) AS (VALUES
+         |  $vocLit),
+         |tgt(tid, ord, tv) AS (VALUES
+         |  $tgtLit),
+         |src AS (SELECT doc_id,
+         |        list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+         |                    t -> list_contains($vocNames, t)) AS toks
+         |        FROM documents WHERE doc_id % 5 = 0),
+         |bed AS (SELECT doc_id, toks, len(toks) AS dl FROM src WHERE len(toks) > 0),
+         |sn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM bed),
+         |occ AS (SELECT doc_id, dl, unnest(toks) AS word FROM bed),
+         |occg AS (SELECT doc_id, dl, word, count(*) AS cnt FROM occ GROUP BY 1, 2, 3),
+         |dfidf AS (SELECT word, log10(sn.n / count(DISTINCT doc_id)) AS idf
+         |          FROM occg CROSS JOIN sn GROUP BY word, sn.n),
+         |wdist AS (SELECT voc.word, tgt.ord, ${sqlCosine("voc.v", "tgt.tv")} AS cd
+         |          FROM voc CROSS JOIN tgt),
+         |wstat AS (SELECT word,
+         |          list_sum(list(cd ORDER BY ord)) / count(*) - min(cd) AS ig
+         |          FROM wdist GROUP BY word),
+         |ranked AS (SELECT o.doc_id, o.word, o.cnt, w.ig,
+         |           (CAST(o.cnt AS DOUBLE) / o.dl) * d.idf AS tfidf,
+         |           row_number() OVER (PARTITION BY o.doc_id ORDER BY w.ig DESC, o.word) AS rn_ig,
+         |           row_number() OVER (PARTITION BY o.doc_id ORDER BY (CAST(o.cnt AS DOUBLE) / o.dl) * d.idf DESC, o.word) AS rn_tf,
+         |           count(*) OVER (PARTITION BY o.doc_id) AS nw
+         |           FROM occg o JOIN wstat w ON w.word = o.word
+         |           JOIN dfidf d ON d.word = o.word),
+         |cutted AS (SELECT *,
+         |           CAST(floor(50 / 100.0 * nw) AS INT) AS cut_ig,
+         |           CAST(floor(80 / 100.0 * nw) AS INT) AS cut_tf FROM ranked),
+         |weighted AS (SELECT doc_id, word,
+         |             CASE WHEN sel_cnt >= 3
+         |                  THEN CASE WHEN in_ig AND in_tf THEN boost * cnt ELSE 0 END
+         |                  ELSE CASE WHEN rn_ig <= 3 THEN boost ELSE 0 END END AS weight
+         |             FROM (SELECT *,
+         |                   rn_ig <= cut_ig AS in_ig, rn_tf <= cut_tf AS in_tf,
+         |                   CASE WHEN rn_ig > cut_ig THEN 1.0
+         |                        WHEN rn_ig = 1 THEN 3.0
+         |                        ELSE least(3.0, 1.0 - ln((rn_ig - 1.0) / cut_ig)) END AS boost,
+         |                   sum(CASE WHEN rn_ig <= cut_ig AND rn_tf <= cut_tf
+         |                            THEN cnt ELSE 0 END)
+         |                     OVER (PARTITION BY doc_id) AS sel_cnt
+         |                   FROM cutted) x),
+         |dims AS (SELECT w.doc_id, u.i AS dim,
+         |         sum(w.weight * CAST(voc.v[u.i] AS DOUBLE)) AS s
+         |         FROM weighted w JOIN voc ON voc.word = w.word
+         |         CROSS JOIN (SELECT unnest(range(1, 65)) AS i) u
+         |         WHERE w.weight > 0
+         |         GROUP BY 1, 2),
+         |nrm AS (SELECT doc_id, sum(s * s) AS nrm2 FROM dims GROUP BY 1),
+         |dots AS (SELECT d.doc_id, t.tid, sum(d.s * CAST(t.tv[d.dim] AS DOUBLE)) AS dot
+         |         FROM dims d CROSS JOIN tgt t GROUP BY 1, 2),
+         |tn AS (SELECT tid, sqrt(list_sum(list_transform(tv,
+         |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS tnorm FROM tgt),
+         |scoredc AS (SELECT dots.doc_id, dots.tid,
+         |            1.0 - dots.dot / (sqrt(nrm.nrm2) * tn.tnorm) AS dist,
+         |            row_number() OVER (PARTITION BY dots.doc_id
+         |              ORDER BY 1.0 - dots.dot / (sqrt(nrm.nrm2) * tn.tnorm), dots.tid) AS rn
+         |            FROM dots JOIN nrm ON nrm.doc_id = dots.doc_id
+         |            JOIN tn ON tn.tid = dots.tid
+         |            WHERE nrm.nrm2 > 0)
+         |SELECT doc_id, tid AS target, round(dist, 4) AS dist FROM scoredc
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin
     },
 
     // MaxSim in list math: doc token bag is [e, reverse(e)], so per query

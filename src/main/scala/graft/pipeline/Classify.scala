@@ -84,4 +84,145 @@ object Classify {
       best.getField("label").as("predicted_label"),
       best.getField("dist").as("dist"))
   }
+
+  /**
+   * Contextual (training-data-free) classification — the reference's
+   * `text2vec-contextionary-contextual` type (modules/text2vec-contextionary/
+   * classification/classifier_run_contextual.go + tf_idf.go), as one
+   * distributed plan instead of a per-item driver loop. Model, per source row:
+   *
+   *  1. words = lowercased letter/digit runs of the basedOn text
+   *     (splitter.go FieldsFunc ≡ Tokenize.word);
+   *  2. per word: informationGain = mean(cosine dist to every target) − min
+   *     (scoreWord:335-363 — words that discriminate BETWEEN targets score
+   *     high); per-doc ranking by IG desc (rank:293-307; Go's sort.Slice is
+   *     unstable on ties — pinned here with the word as tie-break);
+   *  3. per word: tf-idf within the source corpus (tf_idf.go — tf =
+   *     occurrences/docLength, idf = log10(N/docsContaining)), per-doc
+   *     ranking by tf-idf desc (same tie-break pin);
+   *  4. corpus = the doc's word OCCURRENCES inside BOTH the IG top
+   *     `igCutoffPercentile`% and the tf-idf top `tfidfCutoffPercentile`% of
+   *     the doc's distinct words (buildBoostedCorpus:203-228, cutoffs are
+   *     integer-truncated); fewer than `minimumUsableWords` occurrences →
+   *     fall back to the top-`minimumUsableWords` IG-ranked words once each;
+   *  5. IG-top words boost their weight: rank index i (0-based) within the
+   *     IG cutoff gets min(igMaximumBoost, 1 − ln(i/cutoff)), i = 0 → the
+   *     max boost (boostByInformationGain:231-247, ln(0) = −∞ capped);
+   *  6. the boosted corpus vectorizes as the weighted sum of word vectors
+   *     (the VectorOnlyForCorpi module call — here the same bag-of-words
+   *     stand-in family as the text vectorizer; cosine is scale-invariant so
+   *     the sum needs no normalization), and the prediction is the cosine
+   *     argmin over the target objects with its winningDistance
+   *     (findClosestTarget:184-201; ties pinned to the smaller target).
+   *
+   * All math is double (the reference mixes float32 ops — documented
+   * divergence at ~1e-7, which the t2 oracle replays in double too).
+   *
+   * Scale shape: tokenize explode → per-word hash aggs (df/idf), the word
+   * vectorization UDF only over DISTINCT words (the module boundary), per-doc
+   * rankings as doc-partitioned windows, the corpus vector as dim-level hash
+   * aggs, and the target argmin as one codegen'd `least` over per-target
+   * structs (targets are class objects — bounded, plan literals). No join by
+   * anything but equi-keys, no driver loop.
+   *
+   * @return (id, target, winning_distance) — one row per source row with at
+   *         least one word.
+   */
+  def contextual(
+      source: DataFrame, idCol: Column, textCol: Column,
+      targets: Seq[(String, Array[Float])],
+      wordVec: String => Array[Float],
+      minimumUsableWords: Int = 3,
+      igCutoffPercentile: Int = 50,
+      igMaximumBoost: Double = 3.0,
+      tfidfCutoffPercentile: Int = 80): DataFrame = {
+    import org.apache.spark.sql.graft.VectorFunctions
+    require(targets.nonEmpty && targets.size <= 1024,
+      "contextual: targets are class objects — a bounded, literal-sized set")
+    require(minimumUsableWords >= 1 && igCutoffPercentile >= 0 &&
+      tfidfCutoffPercentile >= 0 && igMaximumBoost > 0, "invalid settings")
+
+    val docs = source
+      .select(idCol.as("__id"), graft.text.Tokenize.word(textCol).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+    // tf-idf corpus size — a model constant, like a quantizer's training pass
+    val n = docs.count().toDouble
+
+    val occ = docs.withColumn("__dl", size(col("__toks")))
+      .select(col("__id"), col("__dl"), explode(col("__toks")).as("__w"))
+      .groupBy(col("__id"), col("__dl"), col("__w"))
+      .agg(count(lit(1)).as("__cnt"))
+    val dfIdf = occ.groupBy(col("__w"))
+      .agg(countDistinct(col("__id")).as("__docs"))
+      .withColumn("__idf", log(10.0, lit(n) / col("__docs")))
+
+    // word vectors + information gain over DISTINCT words only (the word
+    // vectorizer is the module boundary, like the text embedder hook)
+    val vecU = udf((w: String) => wordVec(w).toSeq)
+    val tVecs = typedLit(targets.map(_._2.toSeq))
+    val wordStats = occ.select(col("__w")).distinct()
+      .withColumn("__wv", vecU(col("__w")))
+      .withColumn("__dists",
+        transform(tVecs, tv => VectorFunctions.cosineDistance(tv, col("__wv"))))
+      .withColumn("__ig",
+        aggregate(col("__dists"), lit(0.0), (a, x) => a + x) / size(col("__dists"))
+          - array_min(col("__dists")))
+      .select(col("__w"), col("__wv"), col("__ig"))
+
+    val wDoc = Window.partitionBy(col("__id"))
+    val ranked = occ.join(wordStats, Seq("__w")).join(dfIdf, Seq("__w"))
+      .withColumn("__tfidf", (col("__cnt").cast("double") / col("__dl")) * col("__idf"))
+      .withColumn("__rnIg", row_number().over(
+        wDoc.orderBy(col("__ig").desc, col("__w").asc)))
+      .withColumn("__rnTf", row_number().over(
+        wDoc.orderBy(col("__tfidf").desc, col("__w").asc)))
+      .withColumn("__nw", count(lit(1)).over(wDoc))
+      .withColumn("__cutIg",
+        (lit(igCutoffPercentile) / lit(100.0) * col("__nw")).cast("int"))
+      .withColumn("__cutTf",
+        (lit(tfidfCutoffPercentile) / lit(100.0) * col("__nw")).cast("int"))
+      .withColumn("__inIg", col("__rnIg") <= col("__cutIg"))
+      .withColumn("__inTf", col("__rnTf") <= col("__cutTf"))
+      .withColumn("__boost",
+        when(!col("__inIg"), lit(1.0))
+          .when(col("__rnIg") === 1, lit(igMaximumBoost))
+          .otherwise(least(lit(igMaximumBoost),
+            lit(1.0) - log((col("__rnIg") - 1).cast("double") / col("__cutIg")))))
+      .withColumn("__selCnt", sum(
+        when(col("__inIg") && col("__inTf"), col("__cnt")).otherwise(lit(0L))).over(wDoc))
+      .withColumn("__weight",
+        when(col("__selCnt") >= minimumUsableWords,
+          when(col("__inIg") && col("__inTf"), col("__boost") * col("__cnt"))
+            .otherwise(lit(0.0)))
+          .otherwise( // fallback: top-N IG-ranked words, one occurrence each
+            when(col("__rnIg") <= minimumUsableWords, col("__boost"))
+              .otherwise(lit(0.0))))
+
+    // corpus vector = Σ weight·wordVec, folded straight into the per-target
+    // cosine: dim-level sums s_d, then dot_t = Σ s_d·t_d and ‖s‖² = Σ s_d²
+    val dimmed = ranked.filter(col("__weight") > 0)
+      .select(col("__id"), col("__weight"), posexplode(col("__wv")).as(Seq("__dim", "__x")))
+    val sums = dimmed.groupBy(col("__id"), col("__dim"))
+      .agg(sum(col("__weight") * col("__x").cast("double")).as("__s"))
+    val tNorms = targets.map { case (_, v) => math.sqrt(v.map(x => x.toDouble * x).sum) }
+    val dotAggs = targets.zipWithIndex.map { case ((_, v), i) =>
+      sum(col("__s") *
+        element_at(typedLit(v.map(_.toDouble).toSeq), col("__dim") + 1)).as(s"__dot$i")
+    } :+ sum(col("__s") * col("__s")).as("__nrm2")
+    // a corpus vector can sum to exactly zero (e.g. two bag-of-words hash
+    // vectors cancelling) — cosine is undefined there; the reference's Go
+    // float math silently yields NaN and garbage, we DROP the row instead
+    // (unclassifiable, like the no-words case)
+    val perDoc = sums.groupBy(col("__id")).agg(dotAggs.head, dotAggs.tail: _*)
+      .filter(col("__nrm2") > 0)
+    val cands = targets.zipWithIndex.map { case ((t, _), i) =>
+      struct(
+        (lit(1.0) - col(s"__dot$i") / (sqrt(col("__nrm2")) * lit(tNorms(i)))).as("dist"),
+        lit(t).as("target"))
+    }
+    val best = if (cands.size == 1) cands.head else least(cands: _*)
+    perDoc.select(col("__id").as("id"),
+      best.getField("target").as("target"),
+      best.getField("dist").as("winning_distance"))
+  }
 }
