@@ -1863,6 +1863,23 @@ object SparkEntryExt {
         .orderBy(col("doc_id"), col("step"))
     }),
 
+    // §2.7 contextionary `_additional { interpretation }` (reference:
+    // additional/interpretation/interpretation.go — the source words behind
+    // the object vector): per result, the distinct vectorizer-corpus tokens
+    // in first-occurrence order with occurrence counts and weight shares;
+    // the corpus is the SAME VectorizerCorpus rule the embedding uses
+    "q_interpretation" -> ((s, dir) => {
+      g(s, dir).get(GetParams("Document",
+        cursor = Some(Cursor(after = Some(10L), limit = 5)),
+        properties = Seq("doc_id"),
+        additional = Set("interpretation")))
+        .select(col("doc_id"), posexplode(col("_interpretation")).as(Seq("i", "e")))
+        .select(col("doc_id"), (col("i") + 1).cast("long").as("step"),
+          col("e.concept").as("concept"), col("e.occurrence").as("occurrence"),
+          round(col("e.weight"), 4).as("weight"))
+        .orderBy(col("doc_id"), col("step"))
+    }),
+
     // §2.10 contextual (training-data-free) classification — the reference's
     // text2vec-contextionary-contextual type (classifier_run_contextual.go:
     // IG-vs-targets word scoring, per-doc tf-idf + IG percentile cutoffs,
@@ -2916,6 +2933,31 @@ object SparkEntryExt {
          |       round(d_next, 4) AS d_next
          |FROM fin ORDER BY doc_id, step""".stripMargin
     },
+
+    // corpus replay: class name + lang/maybe_src/source/text/title in
+    // prop-name order (concat_ws skips the NULL maybe_src), title = the
+    // fixture's first-4-words derivation; first-occurrence order via
+    // min(position) over a range-join tokenization with ordinality
+    "q_interpretation" ->
+      """WITH page AS (SELECT doc_id, text, lang, source FROM documents
+        |             WHERE doc_id > 10 ORDER BY doc_id LIMIT 5),
+        |c AS (SELECT doc_id, concat_ws(' ', 'document', lower(lang),
+        |      lower(CASE WHEN source = 'src13' THEN NULL ELSE source END),
+        |      lower(source), lower(text),
+        |      array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+')[1:4], ' '))
+        |      AS corpus FROM page),
+        |t AS (SELECT doc_id, regexp_extract_all(lower(corpus), '[a-z0-9]+') AS toks FROM c),
+        |pos AS (SELECT doc_id, toks, u.p AS p FROM t
+        |        CROSS JOIN (SELECT unnest(range(1, 2001)) AS p) u
+        |        WHERE u.p <= len(toks)),
+        |g AS (SELECT doc_id, toks[p] AS concept, count(*) AS occurrence,
+        |      min(p) AS firstp, min(len(toks)) AS n FROM pos GROUP BY 1, 2),
+        |r AS (SELECT doc_id, concept, occurrence,
+        |      CAST(occurrence AS DOUBLE) / n AS weight,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY firstp) AS step FROM g)
+        |SELECT doc_id, CAST(step AS BIGINT) AS step, concept,
+        |       CAST(occurrence AS BIGINT) AS occurrence, round(weight, 4) AS weight
+        |FROM r ORDER BY doc_id, step""".stripMargin,
 
     // full contextual-classification model replay: vocab + target vectors
     // inlined as literals, tf-idf (log10, per-doc length-normalized tf), IG

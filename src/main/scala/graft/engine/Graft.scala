@@ -1002,9 +1002,27 @@ final class Graft(val spark: SparkSession) {
         .getOrElse(Nil)
       c.schema.vectorColumn(targets.headOption)
     }
+    // interpretation re-derives the SAME vectorizer corpus the embedding
+    // came from (VectorizerCorpus default config — the text2vec rule) and
+    // explains it per result; a pure column expression, no module needed
+    val interpreted =
+      if (!params.additional.contains("interpretation")) projected
+      else {
+        val textProps = c.schema.properties.collect {
+          case p if p.dataType == graft.model.PropType.Text =>
+            (p.name, col(p.name), false)
+          case p if p.dataType == graft.model.PropType.Arr(graft.model.PropType.Text) =>
+            (p.name, col(p.name), true)
+        }
+        val corpus = graft.sources.VectorizerCorpus.column(c.name,
+          textProps.map(t => (t._1, t._2)),
+          textArrays = textProps.filter(_._3).map(_._1).toSet)
+        Contextionary.attachInterpretation(projected, corpus)
+      }
+
     val withNeighbors =
-      if (!params.additional.contains("nearestNeighbors")) projected
-      else Contextionary.attachNeighbors(projected, legVecCol,
+      if (!params.additional.contains("nearestNeighbors")) interpreted
+      else Contextionary.attachNeighbors(interpreted, legVecCol,
         conceptsOrFail("nearestNeighbors"))
     val semPathed =
       if (!params.additional.contains("semanticPath")) withNeighbors
@@ -1169,6 +1187,8 @@ final class Graft(val spark: SparkSession) {
           Some(col(Contextionary.NeighborsCol))
         case "semanticPath" if df.columns.contains(Contextionary.PathCol) =>
           Some(col(Contextionary.PathCol))
+        case "interpretation" if df.columns.contains(Contextionary.InterpretationCol) =>
+          Some(col(Contextionary.InterpretationCol))
         case "creationTimeUnix" =>
           c.schema.creationTimeColumn.map(t => col(t).as("_creationTimeUnix"))
         case "lastUpdateTimeUnix" =>

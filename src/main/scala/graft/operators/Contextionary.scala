@@ -41,6 +41,30 @@ object Contextionary {
 
   val NeighborsCol = "_nearestNeighbors"
   val PathCol = "_semanticPath"
+  val InterpretationCol = "_interpretation"
+
+  /**
+   * `_additional { interpretation }` (reference: additional/interpretation/
+   * interpretation.go + models.go InterpretationSource — the source words
+   * that built the object vector, with occurrence and weight, computed at
+   * vectorization time by the contextionary service and stored alongside the
+   * vector). Stand-in semantics matching the bag-of-words stand-in
+   * vectorizer: concept = each distinct corpus token in first-occurrence
+   * order, occurrence = its count in THIS object's corpus, weight =
+   * occurrence / corpus length (every token occurrence contributes equally
+   * to the hash embedding — the real contextionary weighs by global corpus
+   * frequency, which lives module-side). Pure column expressions over the
+   * page; the corpus column is the SAME VectorizerCorpus rule the embedding
+   * was built from, so the interpretation really explains the vector.
+   */
+  def attachInterpretation(page: DataFrame, corpus: Column): DataFrame = {
+    val toks = graft.text.Tokenize.word(corpus)
+    page.withColumn(InterpretationCol,
+      transform(array_distinct(toks), w => struct(
+        w.as("concept"),
+        size(filter(toks, t => t === w)).cast("long").as("occurrence"),
+        (size(filter(toks, t => t === w)).cast("double") / size(toks)).as("weight"))))
+  }
 
   /** Vocabulary entry. Words starting with '$' are contextionary-internal
    * markers and are dropped from every surface (extender.go:117-131,

@@ -130,6 +130,23 @@ class ContextionarySpec extends SparkSpecBase {
     assert(e2.getMessage.contains("bounded page"))
   }
 
+  test("interpretation: corpus tokens with occurrence and weight, first-occurrence order") {
+    val g2 = new Graft(spark)
+    g2.register(CollectionSchema("Article", "id", Seq(
+      Property("title", PropType.Text), Property("body", PropType.Text))),
+      Seq((1L, "Spark Spark", "fast spark engine")).toDF("id", "title", "body"))
+    val r = g2.get(GetParams("Article", pagination = Some(Pagination(limit = 1)),
+      properties = Seq("id"), additional = Set("interpretation")))
+      .select(col("_interpretation")).head().getSeq[org.apache.spark.sql.Row](0)
+    // corpus = "article" (class) + body + title (prop-name order) =
+    // "article fast spark engine spark spark"
+    assert(r.map(_.getString(0)) == Seq("article", "fast", "spark", "engine"))
+    assert(r.map(_.getLong(1)) == Seq(1L, 1L, 3L, 1L))
+    assert(math.abs(r.map(_.getDouble(2)).sum - 1.0) < 1e-12,
+      "weights are occurrence shares and sum to 1")
+    assert(math.abs(r(2).getDouble(2) - 0.5) < 1e-12)
+  }
+
   test("walk terminates and never repeats a concept (strict-decrease bound)") {
     val voc = (0 until 8).map(i =>
       s"w$i" -> Array(math.cos(i * 0.7).toFloat, math.sin(i * 0.7).toFloat))
