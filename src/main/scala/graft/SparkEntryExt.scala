@@ -2336,6 +2336,49 @@ object SparkEntryExt {
     // the batch sessionization restricted to sessions the final watermark
     // (max event time, 0s delay) has passed, exactly the stream's emission
     // rule (timeoutTimestamp < watermark)
+    // pipeline: STREAMING near-duplicate detection (StreamDedup — MinHash-LSH
+    // with watermark-bounded state): documents file-replayed as a stream with
+    // ts = doc_id minutes; every 25th doc re-arrives 37 min later (inside the
+    // 120-min horizon → pair emitted) and 700 min later (outside → silent);
+    // the timebase starts at +60 min so no row sits on the initial watermark.
+    // The emission rule is batch-independent, so the oracle replays it as
+    // plain windowed all-pairs Jaccard SQL (LSH recall 1 at these params —
+    // the same (128, 64-band) S-curve q_dedup_minhash's oracle certifies)
+    "q_dedup_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val raw = s.read.parquet(s"$dir/documents.parquet")
+      val stream = s.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      val bed = stream.select(explode(filter(array(
+          struct(col("doc_id").as("doc_id"),
+            ((col("doc_id") + 60L) * 60000L).as("ts_ms"), col("text").as("text")),
+          when(col("doc_id") % 25 === 0,
+            struct((col("doc_id") + 1000000L).as("doc_id"),
+              ((col("doc_id") + 97L) * 60000L).as("ts_ms"), col("text").as("text"))),
+          when(col("doc_id") % 25 === 0,
+            struct((col("doc_id") + 2000000L).as("doc_id"),
+              ((col("doc_id") + 760L) * 60000L).as("ts_ms"), col("text").as("text")))),
+          e => e.isNotNull)).as("e"))
+        .select(col("e.doc_id").as("doc_id"), col("e.ts_ms").as("ts_ms"),
+          col("e.text").as("text"))
+        .withColumn("ts", timestamp_millis(col("ts_ms")))
+        .withWatermark("ts", "0 seconds")
+      val banded = graft.streaming.StreamDedup.banded(bed, "doc_id", "ts", "text",
+        shingleSize = 3, numHashes = 128, bands = 64)
+      val dups = graft.streaming.StreamDedup.pairs(banded,
+        horizonMillis = 7200000L, threshold = 0.7)
+      val name = s"dedup_stream_out_${System.identityHashCode(dups)}"
+      val q = dups.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      s.table(name).distinct()
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q_sessionize_stream" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       import s.implicits._
@@ -4536,6 +4579,34 @@ object SparkEntryExt {
     // batch mirror of the stream: sessionize on epoch millis (the stateful
     // operator's clock), keep sessions whose timeout (end + gap) the final
     // watermark (max event ms, 0s delay) strictly passed
+    // windowed all-pairs replay of the deterministic emission rule:
+    // (ts_a, id_a) < (ts_b, id_b), Δts within the horizon, shingle Jaccard
+    // ≥ 0.7 in list math (same shingle semantics as the batch oracle)
+    "q_dedup_stream" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |bed AS (
+        |  SELECT doc_id, (doc_id + 60) * 60000 AS ts_ms, text FROM base
+        |  UNION ALL SELECT doc_id + 1000000, (doc_id + 97) * 60000, text
+        |            FROM base WHERE doc_id % 25 = 0
+        |  UNION ALL SELECT doc_id + 2000000, (doc_id + 760) * 60000, text
+        |            FROM base WHERE doc_id % 25 = 0),
+        |t AS (SELECT doc_id, ts_ms,
+        |      regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM bed),
+        |sh AS (SELECT doc_id, ts_ms,
+        |  CASE WHEN len(toks) < 3 THEN list_distinct([array_to_string(toks, ' ')])
+        |  ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS s
+        |  FROM t WHERE len(toks) > 0),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jac
+        |  FROM sh a JOIN sh b
+        |    ON (a.ts_ms < b.ts_ms OR (a.ts_ms = b.ts_ms AND a.doc_id < b.doc_id))
+        |   AND b.ts_ms - a.ts_ms <= 7200000)
+        |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM pairs
+        |WHERE jac >= 0.7 ORDER BY id_a, id_b""".stripMargin,
+
     "q_sessionize_stream" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
         |mx AS (SELECT max(ms) AS wm FROM e),

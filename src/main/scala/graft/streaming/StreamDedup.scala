@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.pipeline.Dedup
+import graft.text.Tokenize
+
+/**
+ * Streaming near-duplicate detection — MinHash-LSH with watermark-bounded
+ * state (the streaming form of [[Dedup.minhashDuplicates]]; beyond the
+ * reference's ingest-only streaming surface, SURVEY §2.10). An incoming
+ * document is checked against every document seen in the last
+ * `horizonMillis` of event time, and matching pairs stream out as they are
+ * discovered.
+ *
+ * Shape: shingle-hash + minhash + band keys run as PURE COLUMN projections
+ * on the stream (the same column kernels the batch path uses — no
+ * aggregation before the stateful operator, so the plan stays a single
+ * stateful stage); rows exploded per band key; `flatMapGroupsWithState`
+ * keyed by band holds the bucket's recent members. A new row exact-verifies
+ * (hash-set Jaccard) against its bucket's in-horizon members — the
+ * bucket-then-verify invariant of every batch dedup here: Σ bucket², never
+ * N².
+ *
+ * Emission rule (deterministic, independent of micro-batch boundaries, so
+ * the t2 oracle can replay it as plain SQL over the same data): pair (a, b)
+ * with (ts_a, id_a) < (ts_b, id_b) is emitted — once per matching band;
+ * callers dedupe with `distinct` — iff the two share a band key, exact
+ * Jaccard ≥ threshold, and ts_b − ts_a ≤ horizonMillis. State is pruned two
+ * ways: entries outside the newest row's horizon drop at processing time,
+ * and an idle bucket drops wholesale when the watermark passes its newest
+ * entry + horizon (EventTimeTimeout) — rows arriving after that are outside
+ * the horizon of everything the bucket held, so the GC is semantics-free.
+ *
+ * State cost: per band bucket, the in-horizon members' shingle-hash arrays
+ * (ids + 64-bit hashes only, like every candidate path here) — the honest
+ * price of exact-verified streaming dedup; horizon bounds it.
+ */
+object StreamDedup {
+
+  // `ts` carries the WATERMARKED event-time attribute through to the
+  // stateful operator (EventTimeTimeout requires it in the plan); `ts_ms`
+  // is the same instant as a plain long for the horizon arithmetic
+  final case class BandedDoc(band: Long, doc_id: Long, ts_ms: Long,
+                             ts: java.sql.Timestamp, shh: Seq[Long])
+  final case class Bucket(entries: List[(Long, Long, Seq[Long])]) // (ts, id, shh)
+  final case class DupPair(id_a: Long, id_b: Long, jaccard: Double)
+
+  /** Column phase: tokenize → shingle hashes → minhash → per-band rows.
+   * `docs` must carry an event-time WATERMARK on `eventTimeCol` (a
+   * timestamp column), which rides through as `ts` so the stateful operator
+   * can use EventTimeTimeout. Token-less documents drop (they have no
+   * shingles — same rule as the batch path). */
+  def banded(docs: DataFrame, idCol: String, eventTimeCol: String, textCol: String,
+             shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32): Dataset[BandedDoc] = {
+    implicit val enc = Encoders.product[BandedDoc]
+    val rowsPerBand = numHashes / bands
+    docs
+      .withColumn("__shh", array_distinct(
+        Dedup.shingleHashes(Tokenize.word(col(textCol)), shingleSize)))
+      .filter(size(col("__shh")) > 0)
+      .withColumn("band", explode(Dedup.bandKeys(
+        Dedup.minhashSignature(col("__shh"), numHashes), bands, rowsPerBand)))
+      .select(col("band"), col(idCol).cast("long").as("doc_id"),
+        (unix_micros(col(eventTimeCol)) / 1000L).cast("long").as("ts_ms"),
+        col(eventTimeCol).as("ts"), col("__shh").as("shh"))
+      .as[BandedDoc]
+  }
+
+  def pairs(docs: Dataset[BandedDoc], horizonMillis: Long,
+            threshold: Double): Dataset[DupPair] = {
+    require(horizonMillis > 0 && threshold >= 0 && threshold <= 1, "invalid settings")
+    implicit val stEnc = Encoders.product[Bucket]
+    implicit val outEnc = Encoders.product[DupPair]
+    implicit val longEnc = Encoders.scalaLong
+
+    def jac(a: Seq[Long], b: Seq[Long]): Double = {
+      val sa = a.toSet; val sb = b.toSet
+      val uni = (sa union sb).size
+      if (uni == 0) 1.0 else (sa intersect sb).size.toDouble / uni
+    }
+
+    docs.groupByKey(_.band)
+      .flatMapGroupsWithState[Bucket, DupPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, batch: Iterator[BandedDoc], state: GroupState[Bucket]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            // idle bucket past its newest entry + horizon — GC, see scaladoc
+            state.remove()
+            Iterator.empty
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[DupPair]
+            var entries = state.getOption.map(_.entries).getOrElse(Nil)
+            batch.toSeq.sortBy(d => (d.ts_ms, d.doc_id)).foreach { d =>
+              // horizon prune is monotone in d.ts_ms within a batch, and a
+              // pruned entry is outside every future row's horizon too
+              entries = entries.filter(_._1 >= d.ts_ms - horizonMillis)
+              entries.foreach { case (_, id, shh) =>
+                val j = jac(shh, d.shh)
+                if (j >= threshold) out += DupPair(id, d.doc_id, j)
+              }
+              entries = (d.ts_ms, d.doc_id, d.shh) :: entries
+            }
+            state.update(Bucket(entries))
+            state.setTimeoutTimestamp(entries.map(_._1).max + horizonMillis)
+            out.iterator
+          }
+      }
+  }
+}

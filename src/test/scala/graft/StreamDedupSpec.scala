@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.StreamDedup
+import graft.streaming.StreamDedup.DupPair
+
+/** Streaming MinHash-LSH dedup: horizon semantics across micro-batches,
+ * parity with the batch path inside the horizon, watermark GC. */
+class StreamDedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val horizon = 600000L // 10 min
+
+  private def run(batches: Seq[Seq[(Long, Long, String)]]): Seq[DupPair] = {
+    implicit val sql = spark.sqlContext
+    val source = MemoryStream[(Long, Long, String)]
+    val docs = source.toDS().toDF("doc_id", "ts_ms", "text")
+      .withColumn("ts", timestamp_millis($"ts_ms"))
+      .withWatermark("ts", "0 seconds")
+    val banded = StreamDedup.banded(docs, "doc_id", "ts", "text")
+    val name = s"dedup_out_${System.nanoTime()}"
+    val q = StreamDedup.pairs(banded, horizon, threshold = 0.7)
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      batches.foreach { b => source.addData(b: _*); q.processAllAvailable() }
+      spark.table(name).distinct().as[DupPair].collect().toSeq
+    } finally q.stop()
+  }
+
+  test("pairs emit within the horizon, not across it; exact Jaccard attached") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "completely different content about database engines and storage"
+    val base = 3600000L
+    val got = run(Seq(
+      Seq((1L, base, text), (2L, base + 60000, other)),
+      Seq((3L, base + 120000, text)),          // dup of 1, within 10 min
+      Seq((4L, base + 2000000, text))))        // dup text, but both 1 and 3 out of horizon
+    assert(got.map(p => (p.id_a, p.id_b)).toSet == Set((1L, 3L)),
+      s"got ${got.mkString(",")}")
+    assert(got.head.jaccard == 1.0)
+  }
+
+  test("parity with the batch path when everything is inside the horizon") {
+    val docs = Seq(
+      (1L, "spark streams join windows batches tables queries fast"),
+      (2L, "spark streams join windows batches tables queries fast"),  // dup of 1
+      (3L, "spark streams join windows batches tables queries slow"),  // near-dup
+      (4L, "entirely unrelated text about cooking pasta tonight"))
+    val batchPairs = graft.pipeline.Dedup.minhashDuplicates(
+        docs.toDF("doc_id", "text"), $"doc_id", $"text",
+        shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val streamed = run(Seq(docs.zipWithIndex.map { case ((id, t), i) =>
+        (id, 3600000L + i * 1000L, t) }))
+      .map(p => (p.id_a, p.id_b, p.jaccard)).toSet
+    assert(streamed == batchPairs, s"stream $streamed vs batch $batchPairs")
+  }
+
+  test("watermark GC: an idle bucket drops, later far-future rows still pair among themselves") {
+    val text = "some repeated content that forms a stable shingle set here"
+    val base = 3600000L
+    val got = run(Seq(
+      Seq((1L, base, text)),
+      Seq((2L, base + 100000000L, text)),       // watermark jump → bucket for 1 GC'd
+      Seq((3L, base + 100060000L, text))))      // pairs with 2 (in horizon), not with 1
+    assert(got.map(p => (p.id_a, p.id_b)).toSet == Set((2L, 3L)),
+      s"got ${got.mkString(",")}")
+  }
+}
