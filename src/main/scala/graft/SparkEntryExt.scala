@@ -1378,6 +1378,38 @@ object SparkEntryExt {
         .orderBy(col("probe_id"))
     }),
 
+    // pipeline: TRAINED multinomial Naive Bayes classification — the
+    // standard curation quality/domain/language classifier (beyond the
+    // reference's training-free classification types). Trains token
+    // likelihoods on the lang-labeled 80% of documents, scores the held-out
+    // 20%; the oracle replays the WHOLE model (priors, Laplace-smoothed
+    // counts, vocabulary, OOV drop, argmax with ascending-label ties) in SQL
+    "q_classify_nb" -> ((s, dir) => {
+      val docs = g(s, dir).collection("Document").df
+      Classify.naiveBayes(
+          docs.filter(col("doc_id") % 5 =!= 0), col("text"), col("lang"),
+          docs.filter(col("doc_id") % 5 === 0), col("doc_id"), col("text"))
+        .select(col("probe_id").as("doc_id"), col("predicted_label"),
+          round(col("log_score"), 4).as("log_score"), col("matched_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // pipeline: deterministic Lloyd k-means (k=4, 2 iterations) over the
+    // embeddings — the trained upgrade of the seedAssign clustering that
+    // SemDeDup / cluster-balanced selection bucket by; the oracle replays
+    // the ENTIRE training run (seed init, both assign+update rounds with
+    // the empty-cluster keep rule, final assignment + squared-L2) unrolled
+    // in SQL — a fully correctness-gated iterative model, unlike MLlib's
+    // randomly-seeded KMeans behind the IVF build
+    "q_cluster_kmeans" -> ((s, dir) => {
+      val (asg, _) = Cluster.lloyd(g(s, dir).collection("Embedding").df,
+        col("vec_id"), col("embedding"), k = 4, iters = 2)
+      asg.select(col("__id").as("vec_id"),
+          col("__cluster").cast("long").as("cluster"),
+          round(col("__dist"), 4).as("dist"))
+        .orderBy(col("vec_id"))
+    }),
+
     // §2.3 nearImage/nearAudio/…: media payload → module embedding →
     // nearVector (reference: search_get.proto:42-47; the stub module is the
     // deterministic stand-in for multi2vec-bind/clip — the engine-side
@@ -2337,13 +2369,17 @@ object SparkEntryExt {
     // (max event time, 0s delay) has passed, exactly the stream's emission
     // rule (timeoutTimestamp < watermark)
     // pipeline: STREAMING near-duplicate detection (StreamDedup — MinHash-LSH
-    // with watermark-bounded state): documents file-replayed as a stream with
-    // ts = doc_id minutes; every 25th doc re-arrives 37 min later (inside the
-    // 120-min horizon → pair emitted) and 700 min later (outside → silent);
-    // the timebase starts at +60 min so no row sits on the initial watermark.
-    // The emission rule is batch-independent, so the oracle replays it as
-    // plain windowed all-pairs Jaccard SQL (LSH recall 1 at these params —
-    // the same (128, 64-band) S-curve q_dedup_minhash's oracle certifies)
+    // with watermark-bounded state): every 5th document file-replayed as a
+    // stream with ts = doc_id minutes (the %5 bed keeps ALL planted dups —
+    // %25 ⊂ %5 — while keeping the in-horizon neighbourhood window-sized; a
+    // templated corpus makes most in-horizon pairs LSH candidates, so the
+    // full bed would measure candidate-verify throughput, not the operator);
+    // every 25th doc re-arrives 37 min later (inside the 120-min horizon →
+    // pair emitted) and 700 min later (outside → silent); the timebase
+    // starts at +60 min so no row sits on the initial watermark. The
+    // emission rule is batch-independent, so the oracle replays it as plain
+    // windowed all-pairs Jaccard SQL (LSH recall 1 at these params — the
+    // same (128, 64-band) S-curve q_dedup_minhash's oracle certifies)
     "q_dedup_stream" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val raw = s.read.parquet(s"$dir/documents.parquet")
@@ -2351,6 +2387,7 @@ object SparkEntryExt {
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(dir)
+        .filter(col("doc_id") % 5 === 0)
       val bed = stream.select(explode(filter(array(
           struct(col("doc_id").as("doc_id"),
             ((col("doc_id") + 60L) * 60000L).as("ts_ms"), col("text").as("text")),
@@ -2373,7 +2410,8 @@ object SparkEntryExt {
       val q = dups.toDF().writeStream.outputMode("append")
         .format("memory").queryName(name)
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(120000)
+      // loud, not truncating: a partial read would silently under-report
+      require(q.awaitTermination(300000), "q_dedup_stream: stream did not drain")
       s.table(name).distinct()
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
@@ -2714,6 +2752,75 @@ object SparkEntryExt {
          |        PARTITION BY probe_id ORDER BY dist ASC, lbl ASC) AS rn FROM d)
          |SELECT probe_id, lbl AS predicted_label, round(dist, 4) AS dist
          |FROM r WHERE rn = 1 ORDER BY probe_id""".stripMargin,
+
+    // full multinomial-NB model replay: train-split token counts, Laplace
+    // alpha=1 likelihoods over the dense label×vocab grid, OOV-dropped probe
+    // join, prior+sum argmax with ties to the smaller label — double math on
+    // both sides (the CROSS JOINs are label-sized; the engine pivots the
+    // model to per-label plan literals instead)
+    "q_classify_nb" ->
+      """WITH train AS (
+        |  SELECT lang AS lbl, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents WHERE doc_id % 5 != 0
+        |    AND len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0),
+        |stats AS (SELECT lbl, count(*) AS docs, sum(len(toks)) AS tot
+        |          FROM train GROUP BY lbl),
+        |n AS (SELECT CAST(sum(docs) AS DOUBLE) AS n FROM stats),
+        |wc AS (SELECT lbl, w, count(*) AS cnt
+        |       FROM (SELECT lbl, unnest(toks) AS w FROM train) GROUP BY lbl, w),
+        |v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM wc),
+        |dense AS (SELECT s.lbl, vw.w,
+        |            ln((coalesce(wc.cnt, 0) + 1.0) / (s.tot + v.v)) AS lik
+        |          FROM stats s
+        |          CROSS JOIN (SELECT DISTINCT w FROM wc) vw
+        |          CROSS JOIN v
+        |          LEFT JOIN wc ON wc.lbl = s.lbl AND wc.w = vw.w),
+        |probe AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |          FROM documents WHERE doc_id % 5 = 0),
+        |ptok AS (SELECT doc_id, unnest(toks) AS w FROM probe),
+        |sums AS (SELECT p.doc_id, d.lbl, sum(d.lik) AS s, count(*) AS m
+        |         FROM ptok p JOIN dense d USING (w) GROUP BY 1, 2),
+        |scored AS (SELECT pr.doc_id, st.lbl,
+        |             ln(st.docs / n.n) + coalesce(su.s, 0.0) AS score,
+        |             coalesce(su.m, 0) AS m
+        |           FROM probe pr CROSS JOIN stats st CROSS JOIN n
+        |           LEFT JOIN sums su ON su.doc_id = pr.doc_id AND su.lbl = st.lbl),
+        |best AS (SELECT doc_id, lbl, score, m, row_number() OVER (
+        |           PARTITION BY doc_id ORDER BY score DESC, lbl ASC) AS rn
+        |         FROM scored)
+        |SELECT doc_id, lbl AS predicted_label, round(score, 4) AS log_score,
+        |       CAST(m AS BIGINT) AS matched_tokens
+        |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // unrolled Lloyd replay: c0 = 4 smallest-id embeddings; per round,
+    // nearest-centroid assignment (ties to the lower index), per-dim means
+    // via a range(64) lateral, empty clusters keeping the previous centroid;
+    // final assignment against c2 with double-math squared L2
+    "q_cluster_kmeans" -> {
+      def round(i: Int, prev: String): String =
+        s"""a$i AS (SELECT id, v, cl FROM (
+           |  SELECT b.id, b.v, c.cl, row_number() OVER (PARTITION BY b.id
+           |    ORDER BY ${sqlL2("b.v", "c.cv")} ASC, c.cl ASC) AS rn
+           |  FROM b CROSS JOIN $prev c) WHERE rn = 1),
+           |m$i AS (SELECT cl, i, avg(CAST(v[i] AS DOUBLE)) AS m
+           |  FROM a$i CROSS JOIN range(1, 65) t(i) GROUP BY cl, i),
+           |c$i AS (SELECT p.cl, coalesce(mm.cv, p.cv) AS cv
+           |  FROM $prev p LEFT JOIN (SELECT cl, list(m ORDER BY i) AS cv
+           |                          FROM m$i GROUP BY cl) mm ON p.cl = mm.cl)""".stripMargin
+      s"""WITH b AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+         |c0 AS (SELECT row_number() OVER (ORDER BY id ASC) - 1 AS cl,
+         |         list_transform(v, x -> CAST(x AS DOUBLE)) AS cv
+         |       FROM b ORDER BY id ASC LIMIT 4),
+         |${round(1, "c0")},
+         |${round(2, "c1")},
+         |af AS (SELECT id, cl, dist FROM (
+         |  SELECT b.id, c.cl, ${sqlL2("b.v", "c.cv")} AS dist,
+         |    row_number() OVER (PARTITION BY b.id
+         |      ORDER BY ${sqlL2("b.v", "c.cv")} ASC, c.cl ASC) AS rn
+         |  FROM b CROSS JOIN c2 c) WHERE rn = 1)
+         |SELECT id AS vec_id, cl AS cluster, round(dist, 4) AS dist
+         |FROM af ORDER BY vec_id""".stripMargin
+    },
 
     // the stub media embedding is deterministic, so the oracle inlines the
     // resolved query vector as a literal — the comparison then checks the
@@ -4583,7 +4690,7 @@ object SparkEntryExt {
     // (ts_a, id_a) < (ts_b, id_b), Δts within the horizon, shingle Jaccard
     // ≥ 0.7 in list math (same shingle semantics as the batch oracle)
     "q_dedup_stream" ->
-      """WITH base AS (SELECT doc_id, text FROM documents),
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
         |bed AS (
         |  SELECT doc_id, (doc_id + 60) * 60000 AS ts_ms, text FROM base
         |  UNION ALL SELECT doc_id + 1000000, (doc_id + 97) * 60000, text

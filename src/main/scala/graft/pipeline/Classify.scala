@@ -86,6 +86,92 @@ object Classify {
   }
 
   /**
+   * Multinomial Naive Bayes — TRAINED text classification, the standard
+   * quality/domain/language classifier of large-corpus curation stacks
+   * (beyond the reference's kNN/zeroShot/contextual types, which never fit a
+   * model; this one learns token likelihoods from a labeled frame and scores
+   * any probe frame). Model, with Laplace smoothing `alpha`:
+   *
+   *   prior(c)      = ln(docs_c / N)                   over trained docs
+   *   lik(w | c)    = ln((count(w,c) + alpha) / (tokens_c + alpha * |V|))
+   *   score(d, c)   = prior(c) + Σ_{token occurrences w ∈ d ∩ V} lik(w | c)
+   *
+   * and the prediction is argmax_c score with ties to the SMALLEST label.
+   * Training rows with no `word` tokens are excluded from the model (they
+   * carry no evidence — same rule as [[contextual]]'s no-words drop); probe
+   * tokens outside the training vocabulary V are dropped (standard
+   * multinomial NB; a probe with NO in-vocabulary tokens still classifies,
+   * on priors alone). All math is double, so any engine replays it exactly.
+   *
+   * Scale shape: the label set is class-sized — its stats (doc/token counts)
+   * collect driver-side like [[zeroShot]]'s label vectors, and everything
+   * per-label becomes plan literals. The model table is one hash-agg over
+   * exploded training tokens pivoted to a dense per-label likelihood array
+   * (|V| rows, L-wide); scoring is explode → ONE equi-join on the token →
+   * one hash-agg per probe (per-label sums as L literal aggregate columns,
+   * map-side combined) → argmax as a codegen'd `least`. No window, no
+   * driver loop, no pairwise work.
+   *
+   * @return (probe_id, predicted_label, log_score, matched_tokens) one row
+   *         per probe row.
+   */
+  def naiveBayes(
+      labeled: DataFrame, labeledText: Column, labelCol: Column,
+      probes: DataFrame, probeId: Column, probeText: Column,
+      alpha: Double = 1.0, maxLabels: Int = 1024): DataFrame = {
+    require(alpha > 0, "naiveBayes: alpha must be positive")
+    val train = labeled
+      .select(labelCol.cast("string").as("__lbl"),
+        graft.text.Tokenize.word(labeledText).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+
+    // label stats are class-sized model constants (the zeroShot precedent)
+    val stats = train.groupBy(col("__lbl"))
+      .agg(count(lit(1)).as("__docs"), sum(size(col("__toks"))).as("__tok"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    require(stats.nonEmpty, "naiveBayes: no trainable labeled rows")
+    require(stats.length <= maxLabels,
+      s"naiveBayes: ${stats.length} labels exceed maxLabels=$maxLabels — " +
+      "labels are class names; cardinality-sized keys are not a label set")
+    val nDocs = stats.map(_._2).sum.toDouble
+    val priors = stats.map { case (_, d, _) => math.log(d / nDocs) }
+
+    val wc = train.select(col("__lbl"), explode(col("__toks")).as("__w"))
+      .groupBy(col("__lbl"), col("__w")).agg(count(lit(1)).as("__cnt"))
+    val vocabSize = wc.select(col("__w")).distinct().count().toDouble
+
+    // dense per-label likelihood array: |V| rows, L literal-derived entries
+    val lik = wc.groupBy(col("__w"))
+      .agg(map_from_entries(collect_list(struct(col("__lbl"), col("__cnt")))).as("__m"))
+      .select(col("__w"), array(stats.map { case (l, _, tok) =>
+        log((coalesce(element_at(col("__m"), lit(l)), lit(0L)).cast("double")
+          + lit(alpha)) / lit(tok + alpha * vocabSize))
+      }: _*).as("__lik"))
+
+    val base = probes.select(probeId.as("probe_id"), probeText.as("__txt"))
+    val sums = base
+      .select(col("probe_id"),
+        explode(graft.text.Tokenize.word(col("__txt"))).as("__w"))
+      .join(lik, Seq("__w"))
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("__m"),
+        stats.indices.map(i =>
+          sum(element_at(col("__lik"), i + 1)).as(s"__s$i")): _*)
+    // least over (−score, label) = argmax score with ties to the smaller label
+    val cands = stats.zipWithIndex.map { case ((l, _, _), i) =>
+      struct((-(lit(priors(i)) + coalesce(col(s"__s$i"), lit(0.0)))).as("nscore"),
+        lit(l).as("label"))
+    }
+    val best = if (cands.size == 1) cands.head else least(cands: _*)
+    base.join(sums, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        best.getField("label").as("predicted_label"),
+        (-best.getField("nscore")).as("log_score"),
+        coalesce(col("__m"), lit(0L)).as("matched_tokens"))
+  }
+
+  /**
    * Contextual (training-data-free) classification — the reference's
    * `text2vec-contextionary-contextual` type (modules/text2vec-contextionary/
    * classification/classifier_run_contextual.go + tf_idf.go), as one

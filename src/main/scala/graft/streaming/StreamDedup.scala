@@ -44,22 +44,23 @@ object StreamDedup {
   // stateful operator (EventTimeTimeout requires it in the plan); `ts_ms`
   // is the same instant as a plain long for the horizon arithmetic
   final case class BandedDoc(band: Long, doc_id: Long, ts_ms: Long,
-                             ts: java.sql.Timestamp, shh: Seq[Long])
-  final case class Bucket(entries: List[(Long, Long, Seq[Long])]) // (ts, id, shh)
+                             ts: java.sql.Timestamp, shh: Array[Long])
+  final case class Bucket(entries: List[(Long, Long, Array[Long])]) // (ts, id, shh)
   final case class DupPair(id_a: Long, id_b: Long, jaccard: Double)
 
   /** Column phase: tokenize → shingle hashes → minhash → per-band rows.
    * `docs` must carry an event-time WATERMARK on `eventTimeCol` (a
    * timestamp column), which rides through as `ts` so the stateful operator
    * can use EventTimeTimeout. Token-less documents drop (they have no
-   * shingles — same rule as the batch path). */
+   * shingles — same rule as the batch path). `shh` is SORTED, so the
+   * stateful verify is an allocation-free merge-intersect. */
   def banded(docs: DataFrame, idCol: String, eventTimeCol: String, textCol: String,
              shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32): Dataset[BandedDoc] = {
     implicit val enc = Encoders.product[BandedDoc]
     val rowsPerBand = numHashes / bands
     docs
-      .withColumn("__shh", array_distinct(
-        Dedup.shingleHashes(Tokenize.word(col(textCol)), shingleSize)))
+      .withColumn("__shh", array_sort(array_distinct(
+        Dedup.shingleHashes(Tokenize.word(col(textCol)), shingleSize))))
       .filter(size(col("__shh")) > 0)
       .withColumn("band", explode(Dedup.bandKeys(
         Dedup.minhashSignature(col("__shh"), numHashes), bands, rowsPerBand)))
@@ -76,10 +77,20 @@ object StreamDedup {
     implicit val outEnc = Encoders.product[DupPair]
     implicit val longEnc = Encoders.scalaLong
 
-    def jac(a: Seq[Long], b: Seq[Long]): Double = {
-      val sa = a.toSet; val sb = b.toSet
-      val uni = (sa union sb).size
-      if (uni == 0) 1.0 else (sa intersect sb).size.toDouble / uni
+    // exact Jaccard over the SORTED distinct hash arrays [[banded]] emits —
+    // a two-pointer merge, no set allocation (a templated corpus makes most
+    // in-horizon pairs LSH candidates, so this runs once per matching band
+    // per candidate and its constant factor dominates the operator)
+    def jac(a: Array[Long], b: Array[Long]): Double = {
+      var i = 0; var j = 0; var inter = 0
+      while (i < a.length && j < b.length) {
+        val x = a(i); val y = b(j)
+        if (x == y) { inter += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      val uni = a.length + b.length - inter
+      if (uni == 0) 1.0 else inter.toDouble / uni
     }
 
     docs.groupByKey(_.band)
