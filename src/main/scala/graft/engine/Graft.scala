@@ -815,7 +815,10 @@ final class Graft(val spark: SparkSession) {
               params.nearMultiVector.isDefined)
             Seq(col(VectorSearch.DistanceCol).asc, col(id).asc)
           else if (params.bm25.isDefined) Seq(col(Bm25Search.ScoreCol).desc, col(id).asc)
-          else if (params.hybrid.isDefined) Seq(col(HybridSearch.ScoreCol).desc, col(id).asc)
+          // float32 rank key — the reference comparator's tie band (see
+          // HybridSearch.rankOrder)
+          else if (params.hybrid.isDefined)
+            Seq(col(HybridSearch.ScoreCol).cast("float").desc, col(id).asc)
           else Seq(col(id).asc)
         // Bound the rank pool BEFORE the global window (reference: explorer
         // groupBy pool = groups × objectsPerGroup overfetch). Search legs are

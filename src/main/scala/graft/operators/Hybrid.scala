@@ -24,6 +24,18 @@ object HybridSearch {
   /** Original-leg score carried for tie-breaking (reference: hybrid_fusion.go:68-79 —
    * |Δscore| < 1e-7 falls back to SecondarySortValue desc, then id). */
   val SecondaryCol = "_secondary"
+
+  /** The reference ranks on FLOAT32 scores (search.Result.Score/
+   * SecondarySortValue are float32, entities/search/result.go:26-27) with a
+   * 1e-7 tie band (hybrid_fusion.go:70-79 — |Δ|² < 1e-14 falls through to
+   * the secondary, then id ASC). 1e-7 is ~1 ulp of float32 near 1, so the
+   * band is float32 equality to within rounding: ordering on the
+   * float-cast score is the transitive total order that realizes it (the
+   * raw epsilon comparator is intransitive and not a sort key). Scores stay
+   * double in the OUTPUT — only the sort keys narrow. */
+  private[graft] def rankOrder(id: String): Seq[Column] = Seq(
+    col(ScoreCol).cast("float").desc,
+    col(SecondaryCol).cast("float").desc_nulls_last, col(id).asc)
   private val RrfK = 60.0 // reference: hybrid_fusion.go rankedFusion constant
 
   def search(
@@ -93,11 +105,11 @@ object HybridSearch {
     }
 
     val ranked = fused
-      .orderBy(col(ScoreCol).desc, col(SecondaryCol).desc_nulls_last, col(id).asc)
+      .orderBy(rankOrder(id): _*)
       .limit(limit)
     // decorate back with the collection's columns (ids are unique)
     ranked.join(filtered.getOrElse(c.df), Seq(id), "inner")
-      .orderBy(col(ScoreCol).desc, col(SecondaryCol).desc_nulls_last, col(id).asc)
+      .orderBy(rankOrder(id): _*)
       .drop(SecondaryCol)
   }
 

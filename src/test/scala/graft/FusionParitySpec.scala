@@ -41,6 +41,35 @@ class FusionParitySpec extends SparkSpecBase {
     ((0.75, 0.25), Seq(1, 1), Seq(1, 2), Seq(1, 0), Seq(1, 0.75)),
     ((0.75, 0.25), Seq(1, 2, 3, 4), Seq(1, 2, 3), Seq(3, 2, 1, 0), Seq(0.75, 0.75, 0.375, 0)))
 
+  test("float32 tie band: sub-ulp score gaps fall through to the secondary") {
+    // reference comparator (hybrid_fusion.go:68-79): float32 scores, ties
+    // within 1e-7 resolved by SecondarySortValue desc, then id asc. id 0's
+    // fused score exceeds id 1's by 2.5e-9 — invisible at float32 — and its
+    // secondary is SMALLER, so the reference ranks id 1 first while an
+    // exact-double sort would rank id 0 first.
+    val rows = Seq((0L, 0.75 + 2.5e-9, 0.8), (1L, 0.75, 0.9))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (i, s, sec) => Row(i, s, sec) }, 1),
+      StructType(Seq(StructField("id", LongType),
+        StructField(HybridSearch.ScoreCol, DoubleType),
+        StructField(HybridSearch.SecondaryCol, DoubleType))))
+    val got = df.orderBy(HybridSearch.rankOrder("id"): _*)
+      .collect().map(_.getLong(0)).toSeq
+    // straight-line replay of the reference's epsilon comparator
+    val exp = rows.sortWith { case ((ia, sa, ka), (ib, sb, kb)) =>
+      val d = sb.toFloat - sa.toFloat
+      if (d * d < 1e-14) {
+        val d2 = kb.toFloat - ka.toFloat
+        if (d2 * d2 < 1e-14) ia < ib else ka.toFloat > kb.toFloat
+      } else sa.toFloat > sb.toFloat
+    }.map(_._1)
+    assert(got == exp)
+    assert(got == Seq(1L, 0L)) // and the band genuinely changed the order
+    val exactDouble = df.orderBy(col(HybridSearch.ScoreCol).desc)
+      .collect().map(_.getLong(0)).toSeq
+    assert(exactDouble == Seq(0L, 1L))
+  }
+
   test("relativeScoreFusion matches the reference fusion_test.go matrix") {
     for ((((w1, w2), l1, l2, expOrder, expScores), i) <- cases.zipWithIndex) {
       val got = run(w1, w2, l1, l2)
