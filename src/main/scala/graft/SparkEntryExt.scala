@@ -616,6 +616,66 @@ object SparkEntryExt {
       Dedup.clusterPairs(pairs, col("id_a"), col("id_b")).orderBy(col("id"))
     }),
 
+    // pipeline: canonical-representative selection — the step that turns
+    // duplicate pairs into the deduplicated corpus: cluster the minhash
+    // pairs, keep the best doc per cluster by length (ties to the smallest
+    // id, so planted +1000000 copies always lose to their originals);
+    // singletons survive as their own cluster (oracle: the recursive-CTE
+    // closure + a rank-1 window over (quality desc, id asc))
+    "q_dedup_keep" -> ((s, dir) => {
+      val docs = g(s, dir).collection("Document").df
+        .filter(col("doc_id") < 500)
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      val bed = docs.unionByName(docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("n_chars")))
+      val pairs = Dedup.minhashDuplicates(bed, col("doc_id"), col("text"),
+        shingleSize = 3, numHashes = 128, bands = 64, threshold = 0.7)
+      Dedup.selectCanonical(bed, col("doc_id"), col("n_chars"),
+          pairs, col("id_a"), col("id_b"))
+        .select(col("id"), col("cluster_id"),
+          col("quality").cast("long").as("quality"), col("kept"))
+        .orderBy(col("id"))
+    }),
+
+    // pipeline: token-window chunking with overlap — the training-example
+    // maker (size-64 windows advancing by 48; a tail window is emitted only
+    // if it carries at least one NEW token). Chunk text rides as md5 so the
+    // output stays compact; the oracle rebuilds every window by list
+    // slicing over the same word tokens
+    "q_curate_chunk" -> ((s, dir) => {
+      val docs = g(s, dir).collection("Document").df
+      Curate.chunk(docs, col("doc_id"), col("text"), size = 64, overlap = 16)
+        .select(col("id").as("doc_id"), col("chunk_index"),
+          col("start_token"), col("n_tokens"),
+          md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_index"))
+    }),
+
+    // pipeline: UniMax budget allocation (Chung et al. 2023) — smallest
+    // language first, each takes min(count·maxEpochs, remaining/left); at
+    // budget 800 / cap 2 epochs the four tail languages cap and `en` absorbs
+    // the remainder (oracle: the same recurrence as a recursive CTE over
+    // languages ordered by count)
+    "q_curate_unimax" -> ((s, dir) => {
+      val docs = g(s, dir).collection("Document").df
+      Curate.unimax(docs, col("lang"), budget = 800.0, maxEpochs = 2.0)
+        .select(col("lang"), col("n_docs"), round(col("quota"), 4).as("quota"),
+          round(col("epochs"), 6).as("epochs"))
+        .orderBy(col("lang"))
+    }),
+
+    // pipeline: TF-IDF top terms per document (sklearn smoothing:
+    // idf = ln((1+N)/(1+df)) + 1, weight = tf·idf on raw counts, top-3 by
+    // weight desc / term asc) — the classic keyword extractor; the oracle
+    // replays tf, df, N and the rank window in identical double math
+    "q_text_tfidf" -> ((s, dir) => {
+      val docs = g(s, dir).collection("Document").df
+      TextAnalysis.tfidfTopTerms(docs, col("doc_id"), col("text"), topK = 3)
+        .select(col("id").as("doc_id"), col("term"), col("tf"),
+          round(col("weight"), 4).as("weight"), col("term_rank"))
+        .orderBy(col("doc_id"), col("term_rank"))
+    }),
+
     // pipeline: bucketed n-gram Jaccard dedup (exact within source buckets)
     "q_dedup_jaccard" -> ((s, dir) => {
       val docs = g(s, dir).collection("Document").df
@@ -3881,6 +3941,95 @@ object SparkEntryExt {
         |  SELECT src AS id, least(src, min(dst)) AS cluster_id
         |  FROM reach GROUP BY src)
         |SELECT id, cluster_id FROM comp ORDER BY id""".stripMargin,
+
+    // same transitive closure as q_dedup_cluster, then canonical selection:
+    // rank 1 by (n_chars desc, id asc) per cluster is kept; singletons keep
+    "q_dedup_keep" ->
+      """WITH RECURSIVE base AS (SELECT doc_id, text, n_chars FROM documents WHERE doc_id < 500),
+        |bed AS (SELECT doc_id, text, n_chars FROM base
+        |        UNION ALL SELECT doc_id + 1000000 AS doc_id, text, n_chars FROM base WHERE doc_id % 25 = 0),
+        |t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM bed),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(toks) < 3 THEN list_distinct([array_to_string(toks, ' ')])
+        |  ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS s
+        |  FROM t WHERE len(toks) > 0),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.7),
+        |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |        UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM sym
+        |  UNION
+        |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+        |comp AS (
+        |  SELECT src AS id, least(src, min(dst)) AS cluster_id
+        |  FROM reach GROUP BY src),
+        |lab AS (SELECT b.doc_id AS id, coalesce(c.cluster_id, b.doc_id) AS cluster_id,
+        |               b.n_chars AS quality
+        |        FROM bed b LEFT JOIN comp c ON c.id = b.doc_id),
+        |r AS (SELECT id, cluster_id, quality, row_number() OVER (
+        |        PARTITION BY cluster_id ORDER BY quality DESC, id ASC) AS rn
+        |      FROM lab)
+        |SELECT id, cluster_id, CAST(quality AS BIGINT) AS quality, rn = 1 AS kept
+        |FROM r ORDER BY id""".stripMargin,
+
+    // every size-64 window advancing by 48, tail windows only when they add
+    // a new token; chunk text compared via md5 of the space-joined slice
+    "q_curate_chunk" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |b AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+        |s AS (SELECT doc_id, toks, n, unnest(range(0, n, 48)) AS st FROM b),
+        |f AS (SELECT doc_id, toks, n, st,
+        |        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY st) - 1 AS INTEGER) AS chunk_index
+        |      FROM s WHERE st = 0 OR st < n - 16)
+        |SELECT doc_id, chunk_index, CAST(st AS BIGINT) AS start_token,
+        |  CAST(least(64, n - st) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(list_slice(toks, st + 1, st + 64), ' ')) AS chunk_md5
+        |FROM f ORDER BY doc_id, chunk_index""".stripMargin,
+
+    // the UniMax recurrence as a recursive CTE over languages ordered by
+    // (count, name): rn-th language takes min(n*cap, remaining/(tot-rn+1))
+    "q_curate_unimax" ->
+      """WITH RECURSIVE o AS (
+        |  SELECT lang, n, row_number() OVER (ORDER BY n, lang) AS rn,
+        |         count(*) OVER () AS tot
+        |  FROM (SELECT lang, count(*) AS n FROM documents GROUP BY lang)),
+        |a(rn, lang, n, quota, rem) AS (
+        |  SELECT rn, lang, n,
+        |         least(n * 2.0, 800.0 / tot),
+        |         800.0 - least(n * 2.0, 800.0 / tot)
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.rn, o.lang, o.n,
+        |         least(o.n * 2.0, a.rem / (o.tot - a.rn)),
+        |         a.rem - least(o.n * 2.0, a.rem / (o.tot - a.rn))
+        |  FROM a JOIN o ON o.rn = a.rn + 1)
+        |SELECT lang, CAST(n AS BIGINT) AS n_docs, round(quota, 4) AS quota,
+        |       round(quota / n, 6) AS epochs
+        |FROM a ORDER BY lang""".stripMargin,
+
+    // tf / df / N and the sklearn-smoothed weight in identical double math;
+    // rank window (weight desc, term asc) cut at 3
+    "q_text_tfidf" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |           FROM documents WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0),
+        |tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+        |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM t),
+        |w AS (SELECT tf.doc_id, tf.term, tf.tf,
+        |        tf.tf * (ln((1.0 + n.n) / (1.0 + dfr.df)) + 1.0) AS weight
+        |      FROM tf JOIN dfr USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, tf, weight,
+        |        CAST(row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY weight DESC, term ASC) AS INTEGER) AS term_rank
+        |      FROM w)
+        |SELECT doc_id, term, tf, round(weight, 4) AS weight, term_rank
+        |FROM r WHERE term_rank <= 3 ORDER BY doc_id, term_rank""".stripMargin,
 
     // planted-pair oracle: exact copies have identical simhash (hamming 0)
     // and share every pigeonhole chunk, so detection is certain; the bed has

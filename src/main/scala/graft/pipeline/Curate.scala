@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, functions}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -106,6 +106,84 @@ object Curate {
     stratifiedTopK(assigned, Seq(col("__cluster")), col("__csim"), col("__id"), perCluster)
       .select(col("__id").as("id"), col("__cluster").as("cluster"),
         col("__csim").as("cent_sim"), col("sample_rank"))
+  }
+
+  /**
+   * Token-window chunking with overlap — the training-example maker: split
+   * each document into windows of `size` tokens advancing by
+   * `size - overlap`, so consecutive chunks share `overlap` tokens of
+   * context. The tail rule: a chunk is emitted iff it contributes at least
+   * one NEW token (its start `s` satisfies `s == 0 || s < ntok - overlap`),
+   * so a final window that would be entirely contained in its predecessor's
+   * overlap never appears. Token-less documents drop (no windows — the same
+   * rule as the dedup shingle paths).
+   *
+   * Scale shape: one narrow projection + `posexplode` of a per-row
+   * `sequence` — linear in output tokens, no shuffle at all; chunk rows
+   * inherit the input partitioning so a downstream `groupBy(id)` or pack
+   * step shuffles once on the natural key.
+   *
+   * Returns (id, chunk_index, start_token, n_tokens, chunk_text).
+   */
+  def chunk(df: DataFrame, idCol: Column, textCol: Column,
+            size: Int, overlap: Int): DataFrame = {
+    require(size > 0, "chunk: size must be positive")
+    require(overlap >= 0 && overlap < size, "chunk: need 0 <= overlap < size")
+    val step = size - overlap
+    val base = df.select(idCol.as("id"), graft.text.Tokenize.word(textCol).as("__toks"))
+      .withColumn("__ntok", functions.size(col("__toks")))
+      .filter(col("__ntok") > 0)
+    val starts = filter(
+      sequence(lit(0), col("__ntok") - 1, lit(step)),
+      s => s === 0 || s < col("__ntok") - overlap)
+    base.select(col("id"), col("__toks"), col("__ntok"),
+        posexplode(starts).as(Seq("chunk_index", "start_token")))
+      .withColumn("__chunk", slice(col("__toks"), col("start_token") + 1, lit(size)))
+      .select(col("id"), col("chunk_index"), col("start_token").cast("long"),
+        functions.size(col("__chunk")).cast("long").as("n_tokens"),
+        array_join(col("__chunk"), " ").as("chunk_text"))
+  }
+
+  /**
+   * UniMax language sampling (Chung et al. 2023, "UniMax: Fairer and More
+   * Effective Language Sampling…"): allocate a total token/document budget
+   * across languages with a hard per-language epoch cap, greedily from the
+   * SMALLEST language up — each language receives
+   * `min(count · maxEpochs, remaining / languagesLeft)`, so tail languages
+   * get as close to uniform shares as their size allows (never repeating
+   * more than `maxEpochs` times) and the head splits whatever remains
+   * evenly. The result is the standard fairer alternative to
+   * [[temperatureRates]] (which can over-repeat tiny languages).
+   *
+   * The recurrence is sequential in the number of LANGUAGES — a class-sized
+   * model like [[Classify.zeroShot]]'s label set, so the per-language counts
+   * collect driver-side (guarded by `maxLangs`) and the quotas return as a
+   * literal local frame, broadcast-joinable onto the corpus.
+   *
+   * Returns one row per language: (lang, n_docs, quota, epochs), quota in
+   * document units (fractional — callers sample by rate epochs = quota/n).
+   */
+  def unimax(df: DataFrame, langCol: Column, budget: Double,
+             maxEpochs: Double, maxLangs: Int = 4096): DataFrame = {
+    require(budget > 0, "unimax: budget must be positive")
+    require(maxEpochs > 0, "unimax: maxEpochs must be positive")
+    val spark = df.sparkSession
+    val counts = df.groupBy(langCol.cast("string").as("__lang"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (l, n) => (n, l) } // smallest language first; name ties
+    require(counts.length <= maxLangs,
+      s"unimax: ${counts.length} languages exceed maxLangs=$maxLangs — " +
+      "languages are a class-sized stratum, not a per-row key")
+    var remaining = budget
+    val rows = counts.zipWithIndex.map { case ((lang, n), i) =>
+      val left = counts.length - i
+      val quota = math.min(n * maxEpochs, remaining / left)
+      remaining -= quota
+      (lang, n, quota, quota / n)
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("lang", "n_docs", "quota", "epochs")
   }
 
   def temperatureRates(df: DataFrame, domain: Column, tau: Double): DataFrame = {

@@ -785,4 +785,36 @@ object Dedup {
     // RDD is unreferenced; labels carries no lineage onto them
     labels
   }
+
+  /**
+   * Canonical-representative selection — the step that turns duplicate PAIRS
+   * into a deduplicated corpus: cluster the pairs ([[clusterPairs]]
+   * min-label propagation), then keep exactly one document per cluster — the
+   * best by `qualityCol` (ties to the smallest id; "keep the longest/
+   * highest-quality copy" is the standard large-corpus rule). Documents in
+   * no pair are their own singleton cluster and always survive.
+   *
+   * Scale shape: cluster labels join the corpus once on the id (left — the
+   * overwhelming singleton majority never shuffles into the propagation
+   * loop, only the pair-touched minority does); the winner per cluster is a
+   * single `max_by` hash-agg on the cluster key (map-side combined, no
+   * window, no sort), joined back broadcast-or-shuffle by size. Output is
+   * corpus-sized with a boolean verdict, so callers filter `kept`.
+   *
+   * Returns (id, cluster_id, quality, kept).
+   */
+  def selectCanonical(docs: DataFrame, idCol: Column, qualityCol: Column,
+                      pairs: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val clusters = clusterPairs(pairs, aCol, bCol)
+    val labeled = docs
+      .select(idCol.cast("long").as("id"), qualityCol.cast("double").as("quality"))
+      .join(clusters, Seq("id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
+    // unique ids make (quality, -id) a total order: max_by is deterministic
+    val winners = labeled.groupBy(col("cluster_id"))
+      .agg(max_by(col("id"), struct(col("quality"), -col("id"))).as("__win"))
+    labeled.join(winners, Seq("cluster_id"))
+      .select(col("id"), col("cluster_id"), col("quality"),
+        (col("id") === col("__win")).as("kept"))
+  }
 }

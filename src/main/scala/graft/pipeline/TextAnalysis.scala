@@ -134,6 +134,44 @@ object TextAnalysis {
   /** Stable document fingerprint: md5 of the normalized (word-token) text. */
   def fingerprint(text: Column): Column = md5(concat_ws(" ", Tokenize.word(text)))
 
+  /**
+   * TF-IDF top terms per document — the classic keyword/feature extractor
+   * (sklearn's smoothed variant: idf = ln((1 + N) / (1 + df)) + 1, weight =
+   * tf · idf with raw term counts), returning the `topK` heaviest terms of
+   * every document (weight desc, term asc ties).
+   *
+   * Scale shape: explode → ONE hash-agg for (doc, term) tf (map-side
+   * combined on the natural key) → term-level df from the same frame →
+   * broadcast single-row N via the scalar-subquery pattern → equi-join tf
+   * with the term-level idf → a window PARTITIONED by doc for the top-k (rows
+   * beyond rank k never leave their partition). No driver loop, no
+   * cartesian; the term-idf frame is vocabulary-sized and shuffles on the
+   * term key exactly once.
+   *
+   * Returns (id, term, tf, weight, term_rank).
+   */
+  def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, idCol: Column,
+                    textCol: Column, topK: Int): org.apache.spark.sql.DataFrame = {
+    require(topK > 0, "tfidfTopTerms: topK must be positive")
+    val base = df.select(idCol.as("id"), Tokenize.word(textCol).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+    val tf = base.select(col("id"), explode(col("__toks")).as("term"))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    // tf rows are distinct (doc, term) pairs, so df is a count over them
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val n = base.agg(count(lit(1)).as("__n"))
+    val idf = dfreq.crossJoin(broadcast(n))
+      .select(col("term"),
+        (log((lit(1.0) + col("__n")) / (lit(1.0) + col("__df"))) + 1.0).as("__idf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("weight").desc, col("term").asc)
+    tf.join(idf, Seq("term"))
+      .withColumn("weight", col("tf") * col("__idf"))
+      .withColumn("term_rank", row_number().over(w))
+      .filter(col("term_rank") <= topK)
+      .select(col("id"), col("term"), col("tf"), col("weight"), col("term_rank"))
+  }
+
   // --- PII redaction ---------------------------------------------------------
 
   /** Email/IPv4/phone patterns shared with redaction callers. Deliberately

@@ -25,7 +25,10 @@ class PlanGuardSpec extends SparkSpecBase {
     "q_dsir_select" -> "single-row total onto B-row model frame",
     // the single-row rate normalizer crossed onto the domain-count frame
     // (domain cardinality ≪ rows)
-    "q_curate_temperature" -> "single-row normalizer onto domain counts")
+    "q_curate_temperature" -> "single-row normalizer onto domain counts",
+    // the single-row corpus size N crossed onto the vocabulary-sized df
+    // frame for idf
+    "q_text_tfidf" -> "single-row N onto vocabulary-sized df frame")
 
   test("no cartesian product or nested-loop join in any declared query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
