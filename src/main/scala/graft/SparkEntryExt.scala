@@ -1496,7 +1496,8 @@ object SparkEntryExt {
 
     // pipeline: multimodal binary-column plumbing (stub decode — model-backed
     // feature extraction needs a net this environment doesn't have;
-    // deterministic fake features, real schema/batching)
+    // deterministic md5-fake features, real schema/batching — and the fake
+    // is engine-neutral, so the oracle replays it bit-exactly)
     "q_multimodal_stub" -> ((s, dir) => {
       val ev = Fixtures.events(s, dir).withColumn("payload", col("props").cast("binary"))
       Multimodal.extractFeatures(ev, col("payload"), dim = 8)
@@ -4886,6 +4887,16 @@ object SparkEntryExt {
         |       CAST(sum(n_events) AS BIGINT) AS events_closed,
         |       CAST(max(n_events) AS BIGINT) AS max_session_events
         |FROM closed GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // the md5 stub-feature rule replayed verbatim (payload = props UTF-8
+    // bytes ‖ dim-index byte; chr(1) encodes as the single byte 0x01, same
+    // bytes Spark's binary concat feeds md5); float32 cast mirrors the
+    // engine's array<float> storage
+    "q_multimodal_stub" ->
+      """SELECT event_id,
+        |  round(CAST(CAST(('0x' || substr(md5(props || chr(1)), 1, 8))::UBIGINT % 100000
+        |    AS DOUBLE) / 100000.0 AS REAL)::DOUBLE, 4) AS feat0
+        |FROM events ORDER BY event_id""".stripMargin,
 
     // pure-arithmetic mirror of the real PNG round-trip: pixel i of doc d is
     // (d*31+i) mod 256 gray, so mean luminance = list mean of that sequence

@@ -176,14 +176,19 @@ object Multimodal {
 
   /**
    * STUB decode: deterministic fake feature vector from the payload bytes —
-   * xxhash64 of (payload, dim-index) scaled to [0,1). Stands in for
-   * decode→resize→embed; a real implementation replaces only this expression
-   * with a mapPartitions batch call into a codec.
+   * md5 of (payload ‖ dim-index byte), first 8 hex digits scaled to [0,1).
+   * Stands in for decode→resize→embed; a real implementation replaces only
+   * this expression with a mapPartitions batch call into a codec. md5 (not
+   * xxhash64) so ANY engine — including the DuckDB oracle — replays the
+   * fake bit-exactly: `('0x'||substr(md5(payload||chr(i)),1,8))::UBIGINT`.
    */
-  def stubDecodeFeatures(bin: Column, dim: Int): Column =
+  def stubDecodeFeatures(bin: Column, dim: Int): Column = {
+    require(dim >= 1 && dim <= 127, "stubDecodeFeatures: dim must be in [1,127]")
     array((0 until dim).map { i =>
-      (abs(xxhash64(bin, lit(i))) % 100000L).cast("double") / 100000.0
+      (conv(substring(md5(concat(bin, lit(Array[Byte]((i + 1).toByte)))), 1, 8), 16, 10)
+        .cast("long") % 100000L).cast("double") / 100000.0
     }: _*).cast("array<float>")
+  }
 
   /**
    * Batch feature extraction over a binary column via mapPartitions-style
