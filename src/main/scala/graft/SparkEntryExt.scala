@@ -2462,7 +2462,7 @@ object SparkEntryExt {
         .select(col("e.doc_id").as("doc_id"), col("e.ts_ms").as("ts_ms"),
           col("e.text").as("text"))
         .withColumn("ts", timestamp_millis(col("ts_ms")))
-        .withWatermark("ts", "0 seconds")
+      // banded owns the watermark (declared after its typed map)
       val banded = graft.streaming.StreamDedup.banded(bed, "doc_id", "ts", "text",
         shingleSize = 3, numHashes = 128, bands = 64)
       val dups = graft.streaming.StreamDedup.pairs(banded,
@@ -2476,6 +2476,34 @@ object SparkEntryExt {
       s.table(name).distinct()
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // pipeline: STREAMING trending terms — documents file-replayed with
+    // ts = (doc_id + 60) min; the stream maintains (120-min window, term)
+    // counts, append mode emits a window once the watermark (max event
+    // time, 0s delay) passes its end, so the final window stays open and
+    // never emits; ranking is batch-side over the sink (TrendingTerms.topK).
+    // The emission rule is micro-batch-independent, so the oracle replays
+    // it as batch windowed counts over windows with end <= max ts
+    "q_stream_trending" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val raw = s.read.parquet(s"$dir/documents.parquet")
+      val stream = s.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      val bed = stream.select(
+        timestamp_millis((col("doc_id") + 60L) * 60000L).as("ts"), col("text"))
+      val counts = graft.streaming.TrendingTerms.termCounts(
+        bed, "ts", "text", "120 minutes")
+      val name = s"trending_out_${System.identityHashCode(counts)}"
+      val q = counts.writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(300000), "q_stream_trending: stream did not drain")
+      graft.streaming.TrendingTerms.topK(s.table(name), k = 3)
+        .select(col("window_start_ms"), col("term"), col("cnt"), col("rnk"))
+        .orderBy(col("window_start_ms"), col("rnk"))
     }),
 
     "q_sessionize_stream" -> ((s, dir) => {
@@ -4863,6 +4891,24 @@ object SparkEntryExt {
         |   AND b.ts_ms - a.ts_ms <= 7200000)
         |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM pairs
         |WHERE jac >= 0.7 ORDER BY id_a, id_b""".stripMargin,
+
+    // append-mode windowed counts replayed batch-side: tumbling 120-min
+    // windows, only windows whose end is within the final watermark
+    // (max event time) emit; top-3 rank per window (count desc, term asc)
+    "q_stream_trending" ->
+      """WITH t AS (SELECT (doc_id + 60) * 60000 AS ts_ms,
+        |             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |           FROM documents),
+        |mx AS (SELECT max((doc_id + 60) * 60000) AS wm FROM documents),
+        |c AS (SELECT (ts_ms // 7200000) * 7200000 AS ws, term, count(*) AS cnt
+        |      FROM t GROUP BY 1, 2),
+        |closed AS (SELECT c.* FROM c CROSS JOIN mx WHERE c.ws + 7200000 <= mx.wm),
+        |r AS (SELECT ws, term, cnt, row_number() OVER (
+        |        PARTITION BY ws ORDER BY cnt DESC, term ASC) AS rnk
+        |      FROM closed)
+        |SELECT CAST(ws AS BIGINT) AS window_start_ms, term,
+        |       CAST(cnt AS BIGINT) AS cnt, CAST(rnk AS INTEGER) AS rnk
+        |FROM r WHERE rnk <= 3 ORDER BY window_start_ms, rnk""".stripMargin,
 
     "q_sessionize_stream" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),

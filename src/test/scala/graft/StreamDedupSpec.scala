@@ -19,7 +19,6 @@ class StreamDedupSpec extends SparkSpecBase {
     val source = MemoryStream[(Long, Long, String)]
     val docs = source.toDS().toDF("doc_id", "ts_ms", "text")
       .withColumn("ts", timestamp_millis($"ts_ms"))
-      .withWatermark("ts", "0 seconds")
     val banded = StreamDedup.banded(docs, "doc_id", "ts", "text")
     val name = s"dedup_out_${System.nanoTime()}"
     val q = StreamDedup.pairs(banded, horizon, threshold = 0.7)
