@@ -24,15 +24,20 @@ import graft.text.Tokenize
  * bucket-then-verify invariant of every batch dedup here: Σ bucket², never
  * N².
  *
- * Emission rule (deterministic, independent of micro-batch boundaries, so
- * the t2 oracle can replay it as plain SQL over the same data): pair (a, b)
- * with (ts_a, id_a) < (ts_b, id_b) is emitted — once per matching band;
- * callers dedupe with `distinct` — iff the two share a band key, exact
- * Jaccard ≥ threshold, and ts_b − ts_a ≤ horizonMillis. State is pruned two
- * ways: entries outside the newest row's horizon drop at processing time,
- * and an idle bucket drops wholesale when the watermark passes its newest
- * entry + horizon (EventTimeTimeout) — rows arriving after that are outside
- * the horizon of everything the bucket held, so the GC is semantics-free.
+ * Emission rule (deterministic, independent of micro-batch boundaries AND
+ * of arrival order within the watermark slack, so the t2 oracle can replay
+ * it as plain SQL over the same data): pair (a, b) with
+ * (ts_a, id_a) < (ts_b, id_b) is emitted — once per matching band; callers
+ * dedupe with `distinct` — iff the two share a band key, exact Jaccard ≥
+ * threshold, and ts_b − ts_a ≤ horizonMillis. Pairs are normalized to
+ * event-time order at emission, and the horizon is checked in both
+ * directions, so a late row (legal under a nonzero watermark delay) pairs
+ * exactly as if it had arrived in order. State is pruned two ways: entries
+ * older than min(current row, watermark) − horizon can never pair with any
+ * future row (later rows are watermark-bounded) and drop at processing
+ * time; an idle bucket drops wholesale when the watermark passes its
+ * newest entry + horizon (EventTimeTimeout) — semantics-free for the same
+ * reason.
  *
  * State cost: per band bucket, the in-horizon members' shingle-hash arrays
  * (ids + 64-bit hashes only, like every candidate path here) — the honest
@@ -163,13 +168,26 @@ object StreamDedup {
           } else {
             val out = scala.collection.mutable.ArrayBuffer.empty[DupPair]
             var entries = state.getOption.map(_.entries).getOrElse(Nil)
+            // no FUTURE row (this batch — sorted, so ≥ d.ts_ms — or a later
+            // one, which the watermark bounds below at wm) can reach an
+            // entry older than min(row, wm) − horizon: pruning there is
+            // complete even when rows arrive out of order within the
+            // watermark slack. The old rule (newest row − horizon alone)
+            // silently dropped entries a late-but-legal row still needed.
+            val wm = state.getCurrentWatermarkMs()
             batch.toSeq.sortBy(d => (d.ts_ms, d.doc_id)).foreach { d =>
-              // horizon prune is monotone in d.ts_ms within a batch, and a
-              // pruned entry is outside every future row's horizon too
-              entries = entries.filter(_._1 >= d.ts_ms - horizonMillis)
-              entries.foreach { case (_, id, shh) =>
-                val j = jac(shh, d.shh)
-                if (j >= threshold) out += DupPair(id, d.doc_id, j)
+              entries = entries.filter(_._1 >= math.min(d.ts_ms, wm) - horizonMillis)
+              entries.foreach { case (ts, id, shh) =>
+                // the prune is a retention bound, not the pairing rule —
+                // check the horizon in BOTH directions, and normalize the
+                // pair to (earlier, later) regardless of arrival order
+                if (ts >= d.ts_ms - horizonMillis && ts <= d.ts_ms + horizonMillis) {
+                  val j = jac(shh, d.shh)
+                  if (j >= threshold) {
+                    out += (if (ts < d.ts_ms || (ts == d.ts_ms && id < d.doc_id))
+                      DupPair(id, d.doc_id, j) else DupPair(d.doc_id, id, j))
+                  }
+                }
               }
               entries = (d.ts_ms, d.doc_id, d.shh) :: entries
             }

@@ -14,12 +14,14 @@ class StreamDedupSpec extends SparkSpecBase {
 
   private val horizon = 600000L // 10 min
 
-  private def run(batches: Seq[Seq[(Long, Long, String)]]): Seq[DupPair] = {
+  private def run(batches: Seq[Seq[(Long, Long, String)]],
+                  delay: String = "0 seconds"): Seq[DupPair] = {
     implicit val sql = spark.sqlContext
     val source = MemoryStream[(Long, Long, String)]
     val docs = source.toDS().toDF("doc_id", "ts_ms", "text")
       .withColumn("ts", timestamp_millis($"ts_ms"))
-    val banded = StreamDedup.banded(docs, "doc_id", "ts", "text")
+    val banded = StreamDedup.banded(docs, "doc_id", "ts", "text",
+      watermarkDelay = delay)
     val name = s"dedup_out_${System.nanoTime()}"
     val q = StreamDedup.pairs(banded, horizon, threshold = 0.7)
       .writeStream.outputMode("append").format("memory").queryName(name)
@@ -67,6 +69,21 @@ class StreamDedupSpec extends SparkSpecBase {
       Seq((2L, base + 100000000L, text)),       // watermark jump → bucket for 1 GC'd
       Seq((3L, base + 100060000L, text))))      // pairs with 2 (in horizon), not with 1
     assert(got.map(p => (p.id_a, p.id_b)).toSet == Set((2L, 3L)),
+      s"got ${got.mkString(",")}")
+  }
+
+  test("out-of-order arrival: forward horizon guard + (ts, id) pair order") {
+    // horizon 10 min, watermark delay 1 h: doc 3 (ts = 2h05) arrives AFTER
+    // doc 2 (ts = 3h) is already in state. It must pair with doc 1
+    // (ts = 2h00, Δ 5 min, reported (1, 3) — earlier first) and must NOT
+    // pair with doc 2 (55 min AHEAD of it — outside the horizon even though
+    // the backward prune alone would let it through)
+    val text = "identical shingle content repeated across all three documents here"
+    val h2 = 7200000L
+    val got = run(Seq(
+      Seq((1L, h2, text), (2L, h2 + 3600000L, text)),
+      Seq((3L, h2 + 300000L, text))), delay = "1 hour")
+    assert(got.map(p => (p.id_a, p.id_b)).toSet == Set((1L, 3L)),
       s"got ${got.mkString(",")}")
   }
 }
