@@ -48,13 +48,14 @@ object ScaleProfile {
 
     // materialize both corpora to parquet so every pipeline times its own
     // work, not the expansion
-    def mat(df: DataFrame, tag: String): DataFrame = {
+    def mat(df: DataFrame, tag: String): (DataFrame, String) = {
       val p = java.nio.file.Files.createTempDirectory(s"graft-scale-$tag").toString
       df.write.mode("overwrite").parquet(p)
-      spark.read.parquet(p)
+      (spark.read.parquet(p), p)
     }
-    val c1 = mat(expand(1), "x1")
-    val c10 = mat(expand(10), "x10")
+    val (c1, path1) = mat(expand(1), "x1")
+    val (c10, path10) = mat(expand(10), "x10")
+    val paths = Map[Long, String](c1.count() -> path1, c10.count() -> path10)
     println(s"[scale] corpus sizes: ${c1.count()} vs ${c10.count()}")
 
     def timed(f: => Long): (Double, Long) = {
@@ -95,8 +96,47 @@ object ScaleProfile {
         .count()
     }
 
+    // the q_text_tfidf shape (vocabulary grows 10× under rotation — the
+    // term-keyed df/idf frames scale with it)
+    def tfidf(docs: DataFrame): Long =
+      TextAnalysis.tfidfTopTerms(docs, col("doc_id"), col("text"), topK = 3).count()
+
+    // the q_dedup_keep shape: LSH pairs → iterative min-label clustering →
+    // max_by canonical selection (the propagation loop is the scaling risk)
+    def canonical(docs: DataFrame): Long = {
+      val pairs = Dedup.minhashDuplicates(docs, col("doc_id"), col("text"),
+        shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.7)
+      Dedup.selectCanonical(docs, col("doc_id"), length(col("text")),
+        pairs, col("id_a"), col("id_b")).filter(col("kept")).count()
+    }
+
+    // the q_dedup_stream shape: file-replayed stream, %5 thinning,
+    // watermark-bounded stateful LSH verify
+    def streamDedup(docs: DataFrame): Long = {
+      import org.apache.spark.sql.streaming.Trigger
+      val stream = spark.readStream.schema(docs.schema)
+        .parquet(paths(docs.count()))
+        .filter(col("doc_id") % 5 === 0)
+      val bed = stream.select(col("doc_id"),
+        timestamp_millis((col("doc_id") + 60L) * 60000L).as("ts"), col("text"))
+      val banded = graft.streaming.StreamDedup.banded(bed, "doc_id", "ts", "text",
+        shingleSize = 3, numHashes = 128, bands = 64)
+      val pairs = graft.streaming.StreamDedup.pairs(banded,
+        horizonMillis = 7200000L, threshold = 0.7)
+      val name = s"scale_stream_${System.nanoTime()}"
+      val q = pairs.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(600000), "scale streamDedup: did not drain")
+      val n = spark.table(name).count()
+      spark.catalog.dropTempView(name)
+      n
+    }
+
     val pipelines: Seq[(String, DataFrame => Long)] = Seq(
-      "edit_join" -> edit, "minhash" -> minhash, "curate_chain" -> curate)
+      "edit_join" -> edit, "minhash" -> minhash, "curate_chain" -> curate,
+      "tfidf" -> tfidf, "canonical_keep" -> canonical,
+      "stream_dedup" -> streamDedup)
     val report = pipelines.map { case (name, p) =>
       p(c1); p(c10) // warm both paths once (JIT/codegen)
       val (t1, n1) = timed(p(c1))
