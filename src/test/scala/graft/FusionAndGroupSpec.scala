@@ -44,6 +44,34 @@ class FusionAndGroupSpec extends SparkSpecBase {
     assert(kept == 4)
   }
 
+  test("autocut matches the reference's own test table (autocut_test.go:20-45)") {
+    // values fed through float32 like the reference (Autocut([]float32)):
+    // the 0.045160502/0.045160501 tail collapses to one float, which the
+    // expected count depends on
+    val cases: Seq[(Seq[Double], Int, Int)] = Seq(
+      (Seq(), 1, 0),
+      (Seq(2), 1, 1),
+      (Seq(2, 1.95, 1.9, 0.2, 0.1, 0.1, -1), 1, 3),
+      (Seq(2, 1.95, 1.9, 0.2, 0.1, 0.1, -2), 2, 6),
+      (Seq(5, 1, 1, 1, 1, 0, 0), 1, 1),
+      (Seq(5, 1, 1, 1, 1, 0, 0), 2, 5),
+      (Seq(0.298, 0.260, 0.169, 0.108, 0.108, 0.104, 0.093), 1, 3),
+      (Seq(0.5, 0.32, 0.31, 0.30, 0.29, 0.15), 1, 1),
+      (Seq(0.5, 0.32, 0.31, 0.30, 0.29, 0.15, 0.15, 0.15), 2, 5),
+      (Seq(1.0, 0.98, 0.95, 0.9, 0.88, 0.87, 0.80, 0.79), 1, 3),
+      (Seq(1.0, 0.98, 0.95, 0.9, 0.88, 0.87, 0.80, 0.79), 2, 6),
+      (Seq(1.0, 0.98, 0.95, 0.9, 0.88, 0.87, 0.80, 0.79), 3, 8),
+      (Seq(0.586835, 0.5450372, 0.34137487, 0.30482167, 0.2753393), 1, 2),
+      (Seq(0.36663342, 0.33818772, 0.045160502, 0.045160501), 1, 2))
+    for (((values, cutOff, expected), ci) <- cases.zipWithIndex) {
+      val ranked = values.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.toFloat.toDouble) }.toDF("id", "s")
+      val kept = HybridSearch.autocut(ranked, col("s"), col("id"), cutOff).count()
+      assert(kept == expected, s"case $ci: values=$values cutOff=$cutOff " +
+        s"got $kept want $expected")
+    }
+  }
+
   test("greedy result grouping: group order by best rank, caps respected") {
     val ranked = Seq(
       (1L, 1, "a"), (2L, 2, "b"), (3L, 3, "a"), (4L, 4, "c"),
