@@ -28,6 +28,18 @@ class TokenizeSpec extends SparkSpecBase {
     assert(toks(Tokenization.Field, "  Hello World ") == Seq("Hello World"))
   }
 
+  test("the reference's canonical fixture across all four base modes " +
+      "(tokenizer_test.go:153-185)") {
+    val input = " Hello You*-beautiful_world?!"
+    assert(toks(Tokenization.Field, input) == Seq("Hello You*-beautiful_world?!"))
+    assert(toks(Tokenization.Whitespace, input) ==
+      Seq("Hello", "You*-beautiful_world?!"))
+    assert(toks(Tokenization.Lowercase, input) ==
+      Seq("hello", "you*-beautiful_world?!"))
+    assert(toks(Tokenization.Word, input) ==
+      Seq("hello", "you", "beautiful", "world"))
+  }
+
   test("trigram: reference semantics — strip non-alphanumerics, none under 3 chars") {
     assert(toks(Tokenization.Trigram, "ab cd") == Seq("abc", "bcd"))
     // tokenizer.go:397: FieldsFunc(isNotAlphanumeric) joined with "" — the
