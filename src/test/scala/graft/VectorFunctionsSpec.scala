@@ -22,6 +22,38 @@ class VectorFunctionsSpec extends SparkSpecBase {
     assert(math.abs(one(cosineDistance($"a", $"b")) - expect) < 1e-12)
   }
 
+  test("reference distancer fixture parity (distancer/*_test.go values)") {
+    def d(expr: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.Column, v1: Array[Float], v2: Array[Float]): Double =
+      Seq((v1, v2)).toDF("a", "b").select(expr($"a", $"b").as("d")).head().getDouble(0)
+    // l2_test.go: {3,4,5} vs {1.5,2,2.5} -> 12.5; {10,11} vs {13,15} -> 25
+    assert(math.abs(d(l2Squared, Array(3f, 4f, 5f), Array(1.5f, 2f, 2.5f)) - 12.5) < 1e-9)
+    assert(math.abs(d(l2Squared, Array(10f, 11f), Array(13f, 15f)) - 25.0) < 1e-9)
+    // manhattan_test.go: -> 6; -> 7
+    assert(math.abs(d(manhattan, Array(3f, 4f, 5f), Array(1.5f, 2f, 2.5f)) - 6.0) < 1e-9)
+    assert(math.abs(d(manhattan, Array(10f, 11f), Array(13f, 15f)) - 7.0) < 1e-9)
+    // hamming_test.go: all-different -> 3; one-different -> 1
+    assert(d(hamming, Array(3f, 4f, 5f), Array(1.5f, 2f, 2.5f)) == 3.0)
+    assert(d(hamming, Array(10f, 11f), Array(10f, 15f)) == 1.0)
+    // cosine_dist_test.go: normalized {0.1,0.3,0.7} vs {0.2,0.2,0.2} -> 0.173
+    // (float32 assert in the reference; InDelta-equivalent tolerance here)
+    def norm(v: Array[Float]) = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    assert(math.abs(d(cosineDistance,
+      norm(Array(0.1f, 0.3f, 0.7f)), norm(Array(0.2f, 0.2f, 0.2f))) - 0.173) < 5e-4)
+    // identical angle -> 0
+    assert(math.abs(d(cosineDistance,
+      norm(Array(0.1f, 0.3f, 0.7f)), norm(Array(0.2f, 0.6f, 1.4f)))) < 1e-6)
+    // geo_spatial_test.go: Munich-Stuttgart ~190 km +- 1 km
+    val geo = Seq(((48.137154, 11.576124), (48.783333, 9.183333)))
+      .toDF("m", "s")
+      .select(haversineMeters($"m._1", $"m._2", $"s._1", $"s._2").as("d"))
+      .head().getDouble(0)
+    assert(math.abs(geo - 190000.0) < 1000.0, s"geo=$geo")
+  }
+
   test("cosine of zero vector is 1 (guarded)") {
     val z = Array(0.0f, 0.0f, 0.0f)
     val d = Seq((z, b)).toDF("a", "b")
