@@ -616,6 +616,25 @@ object SparkEntryExt {
       Dedup.clusterPairs(pairs, col("id_a"), col("id_b")).orderBy(col("id"))
     }),
 
+    // pipeline: INCREMENTAL dedup — the daily-increment shape: near-dup
+    // pairs touching a NEW doc (new↔old, new↔new), old↔old never
+    // enumerated (the candidate join's left side is only the increment).
+    // Oracle: all-pairs Jaccard ≥ 0.7 restricted to pairs with a new side
+    // (recall 1 at 128 hashes / 64 bands — the q_dedup_minhash S-curve)
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = g(s, dir).collection("Document").df
+        .filter(col("doc_id") < 500).select(col("doc_id"), col("text"))
+      val bed = docs.withColumn("__new", lit(false))
+        .unionByName(docs.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+          .withColumn("__new", lit(true)))
+      Dedup.minhashIncrementalDuplicates(bed, col("doc_id"), col("text"),
+          col("__new"), shingleSize = 3, numHashes = 128, bands = 64,
+          threshold = 0.7)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // pipeline: canonical-representative selection — the step that turns
     // duplicate pairs into the deduplicated corpus: cluster the minhash
     // pairs, keep the best doc per cluster by length (ties to the smallest
@@ -3970,6 +3989,27 @@ object SparkEntryExt {
         |  SELECT src AS id, least(src, min(dst)) AS cluster_id
         |  FROM reach GROUP BY src)
         |SELECT id, cluster_id FROM comp ORDER BY id""".stripMargin,
+
+    // exact windowed all-pairs restricted to pairs touching a new doc
+    "q_dedup_incremental" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+        |bed AS (SELECT doc_id, text, false AS nw FROM base
+        |        UNION ALL SELECT doc_id + 1000000 AS doc_id, text, true AS nw
+        |                  FROM base WHERE doc_id % 25 = 0),
+        |t AS (SELECT doc_id, nw, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM bed),
+        |sh AS (SELECT doc_id, nw,
+        |  CASE WHEN len(toks) < 3 THEN list_distinct([array_to_string(toks, ' ')])
+        |  ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS s
+        |  FROM t WHERE len(toks) > 0),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jac
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE a.nw OR b.nw)
+        |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM pairs
+        |WHERE jac >= 0.7 ORDER BY id_a, id_b""".stripMargin,
 
     // same transitive closure as q_dedup_cluster, then canonical selection:
     // rank 1 by (n_chars desc, id asc) per cluster is kept; singletons keep

@@ -163,6 +163,52 @@ object Dedup {
     verifyJaccard(candidates, toks.select(col("__id"), col("__shh")), threshold)
   }
 
+  /**
+   * Incremental MinHash-LSH dedup — the daily-increment shape: find
+   * near-duplicate pairs that TOUCH a new document (new↔old and new↔new),
+   * never enumerating old↔old pairs. `newCol` flags the increment rows
+   * inside one frame (old rows are the standing corpus).
+   *
+   * Scale shape: signatures build for the whole frame exactly as the batch
+   * op (explode → hash-agg; at warehouse scale the old side's signature
+   * table is the persisted side-table the batch build already wrote, so
+   * only the increment pays the build), but the candidate join's LEFT side
+   * is ONLY the new rows — per band bucket the work is |new∩bucket| ×
+   * |bucket|, not |bucket|², which is what makes a small daily increment
+   * against a 100 TB corpus feasible. Pair orientation follows the batch
+   * contract (id_a < id_b) regardless of which side is new.
+   */
+  def minhashIncrementalDuplicates(
+      df: DataFrame, idCol: Column, textCol: Column, newCol: Column,
+      shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val toks = df.select(idCol.as("__id"), newCol.cast("boolean").as("__new"),
+        array_distinct(shingleHashes(Tokenize.word(textCol), shingleSize)).as("__shh"))
+      .filter(size(col("__shh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    toks.count() // materialize before the multi-branch consumers (see above)
+    val exploded = toks.select(col("__id"), explode(col("__shh")).as("__h"))
+    val minCols = (0 until numHashes).map(i => min(xxhash64(col("__h"), lit(i))).as(s"__m$i"))
+    val sigTable = exploded.groupBy(col("__id")).agg(minCols.head, minCols.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      xxhash64(concat_ws(",", (0 until rowsPerBand).map(r => col(s"__m${b * rowsPerBand + r}")): _*), lit(b))
+    }
+    val sigs = sigTable
+      .join(toks.select(col("__id"), col("__new")), Seq("__id"))
+      .withColumn("__band", explode(array(bandCols: _*)))
+      .select(col("__id"), col("__new"), col("__band"))
+    // new rows drive the probe; a new↔new pair arrives in both orientations
+    // and normalizes, an old partner only ever appears on the right
+    val candidates = sigs.filter(col("__new")).as("a")
+      .join(sigs.as("b"),
+        col("a.__band") === col("b.__band") && col("a.__id") =!= col("b.__id"))
+      .select(least(col("a.__id"), col("b.__id")).as("id_a"),
+        greatest(col("a.__id"), col("b.__id")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    verifyJaccard(candidates, toks.select(col("__id"), col("__shh")), threshold)
+  }
+
   /** Join shingle-hash sets onto (id_a, id_b) candidates and keep pairs ≥ t.
    * Verification intersects 64-bit hash arrays instead of shingle strings —
    * identical Jaccard up to xxhash64 collisions (~2⁻⁶⁴ per pair) at a

@@ -23,6 +23,25 @@ class DedupSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
   }
 
+  test("incremental minhash = full minhash restricted to pairs touching a new doc") {
+    // old corpus + a planted increment: every 25th doc re-enters as a copy
+    val bed = docs.withColumn("__new", lit(false))
+      .unionByName(docs.filter($"doc_id" % 25 === 0)
+        .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+        .withColumn("__new", lit(true)))
+    val full = Dedup.minhashDuplicates(bed, $"doc_id", $"text",
+        shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = full.filter { case (a, b, _) => a >= 1000000L || b >= 1000000L }
+    val got = Dedup.minhashIncrementalDuplicates(bed, $"doc_id", $"text", $"__new",
+        shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected, s"got ${got.size} vs expected ${expected.size}")
+    // old<->old pairs exist in the full run and are genuinely excluded
+    assert(full.exists { case (a, b, _) => a < 1000000L && b < 1000000L })
+    assert(!got.exists { case (a, b, _) => a < 1000000L && b < 1000000L })
+  }
+
   test("minhash-LSH finds exactly the brute-force near-dup pairs (recall 1 here)") {
     val got = Dedup.minhashDuplicates(docs, $"doc_id", $"text",
         shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.7)
