@@ -2301,8 +2301,9 @@ object SparkEntryExt {
     }),
 
     // §2.7 legacy group{closest,merge}: greedy single-link clustering of the
-    // ranked pool by normalized vector distance (driver-side like reference;
-    // no SQL oracle for the iterative clustering)
+    // ranked pool by normalized vector distance (driver-side like the
+    // reference; the oracle replays the sequential first-match pass as a
+    // recursive CTE over the precomputed pairwise-distance matrix)
     "q_group_legacy" -> ((s, dir) => {
       val gg = g(s, dir)
       val pool = gg.get(GetParams("DocVec",
@@ -2313,6 +2314,7 @@ object SparkEntryExt {
       MergeGrouper.group(pool, "_vector", force = 0.35, MergeGrouper.Merge)
         .select(round(col("doc_id"), 4).as("doc_id_mean"), col("lang"),
           round(col("n_chars"), 4).as("n_chars_mean"), col("group_size"))
+        .orderBy(col("doc_id_mean"), col("lang"))
     }),
 
     // legacy grouping invariant oracle (same pattern as q_mmr's λ=1): with
@@ -3591,6 +3593,49 @@ object SparkEntryExt {
 
     // force=0 invariant: no pair can merge, Closest grouping = identity on
     // the ranked pool, which is the plain cosine top-k
+    // FULL legacy merge-group replay: the reference's greedy first-match
+    // single-link pass (grouper.go:33-100) is sequential in the RANKED pool,
+    // so the oracle precomputes the 30×30 pairwise NormalizedDistance
+    // matrix and replays the assignment loop as a 30-step recursive CTE
+    // carrying (rn, grp); merge semantics (merge_group.go: numbers
+    // averaged, text "first (second, …)" in rank order) follow in plain SQL
+    "q_group_legacy" -> {
+      val nd = s"${SparkEntry.sqlCosine("a.embedding", "b.embedding")} / 2.0"
+      s"""WITH RECURSIVE ${SparkEntry.sqlQv(7)},
+         |dv AS (SELECT d.doc_id, d.lang, d.n_chars, e.embedding
+         |       FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+         |s AS (SELECT dv.*, ${SparkEntry.sqlCosine("dv.embedding", "q.v")} AS dist
+         |      FROM dv CROSS JOIN qv q),
+         |top AS (SELECT *, row_number() OVER (ORDER BY dist ASC, doc_id ASC) AS rn
+         |        FROM s ORDER BY dist ASC, doc_id ASC LIMIT 30),
+         |pd AS (SELECT a.rn AS ra, b.rn AS rb, $nd AS nd
+         |       FROM top a JOIN top b ON a.rn < b.rn),
+         |nbr AS (SELECT t.rn, coalesce(list(p.ra ORDER BY p.ra) FILTER (p.nd < 0.35), []) AS nbrs
+         |        FROM top t LEFT JOIN pd p ON p.rb = t.rn GROUP BY t.rn),
+         |st(i, asg) AS (
+         |  SELECT 0, CAST([] AS STRUCT(rn BIGINT, grp BIGINT)[])
+         |  UNION ALL
+         |  SELECT st.i + 1, list_append(st.asg, {'rn': n.rn, 'grp':
+         |    CASE WHEN len(list_filter(st.asg, a -> list_contains(n.nbrs, a.rn))) = 0
+         |         THEN coalesce(list_max(list_transform(st.asg, a -> a.grp)), -1) + 1
+         |         ELSE list_min(list_transform(list_filter(st.asg,
+         |                a -> list_contains(n.nbrs, a.rn)), a -> a.grp)) END})
+         |  FROM st JOIN nbr n ON n.rn = st.i + 1 WHERE st.i < 30),
+         |fin AS (SELECT unnest(asg, recursive := true) FROM st WHERE i = 30),
+         |m0 AS (SELECT f.grp, list(t.lang ORDER BY t.rn) AS langs,
+         |         avg(CAST(t.doc_id AS DOUBLE)) AS doc_id_mean,
+         |         avg(CAST(t.n_chars AS DOUBLE)) AS n_chars_mean,
+         |         count(*) AS group_size
+         |       FROM fin f JOIN top t ON t.rn = f.rn GROUP BY f.grp)
+         |SELECT round(doc_id_mean, 4) AS doc_id_mean,
+         |  CASE WHEN len(langs) = 1 THEN langs[1]
+         |       ELSE langs[1] || ' (' || array_to_string(langs[2:], ', ') || ')'
+         |  END AS lang,
+         |  round(n_chars_mean, 4) AS n_chars_mean,
+         |  CAST(group_size AS BIGINT) AS group_size
+         |FROM m0 ORDER BY doc_id_mean, lang""".stripMargin
+    },
+
     "q_group_legacy0" ->
       s"""WITH ${SparkEntry.sqlQv(7)},
          |dv AS (SELECT d.doc_id, e.embedding FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
