@@ -955,6 +955,17 @@ object SparkEntryExt {
         .orderBy(col("doc_id"))
     }),
 
+    // pipeline: CCNet head/middle/tail bucketing — per-language perplexity
+    // terciles under the LM (head = cleanest); ntile ties broken by
+    // (rounded perplexity, id) so the oracle reproduces terciles exactly
+    "q_text_ccnet" -> ((s, dir) => {
+      val docs = g(s, dir).collection("Document").df
+      TextAnalysis.ccnetBuckets(docs, col("doc_id"), col("text"), col("lang"))
+        .select(col("id").as("doc_id"), col("lang"),
+          round(col("perplexity"), 4).as("perplexity"), col("ppl_bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
     // §2.4 BM25 over a text[] property (reference: text arrays are
     // searchable — searchparams/retrieval.go:55-66 — and analyze per element
     // with merged counts, inverted/analyzer.go:174-195). The bed splits each
@@ -2317,6 +2328,22 @@ object SparkEntryExt {
         .orderBy(col("doc_id_mean"), col("lang"))
     }),
 
+    // §2.7 legacy group{closest} at a REAL force (0.35, same pool as
+    // q_group_legacy): each group flattens to its best-ranked member —
+    // the same recursive-CTE assignment replay, closest flattening
+    "q_group_legacy_closest" -> ((s, dir) => {
+      val gg = g(s, dir)
+      val pool = gg.get(GetParams("DocVec",
+        nearObject = Some(NearObject(7L, metric = Metric.Cosine)),
+        pagination = Some(Pagination(limit = 30)),
+        properties = Seq("doc_id", "lang"),
+        additional = Set("vector", "distance")))
+      MergeGrouper.group(pool, "_vector", force = 0.35, MergeGrouper.Closest)
+        .select(col("doc_id"), col("lang"),
+          round(col("_distance"), 4).as("distance"), col("group_size"))
+        .orderBy(col("doc_id"))
+    }),
+
     // legacy grouping invariant oracle (same pattern as q_mmr's λ=1): with
     // force = 0 no pair merges (NormalizedDistance < 0 is unsatisfiable), so
     // Closest grouping is the identity on the ranked pool — group_size 1,
@@ -3636,6 +3663,38 @@ object SparkEntryExt {
          |FROM m0 ORDER BY doc_id_mean, lang""".stripMargin
     },
 
+    // same recursive assignment replay, closest flattening: each group's
+    // best-ranked (min rn) member carries its own distance + group size
+    "q_group_legacy_closest" -> {
+      val nd = s"${SparkEntry.sqlCosine("a.embedding", "b.embedding")} / 2.0"
+      s"""WITH RECURSIVE ${SparkEntry.sqlQv(7)},
+         |dv AS (SELECT d.doc_id, d.lang, e.embedding
+         |       FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+         |s AS (SELECT dv.*, ${SparkEntry.sqlCosine("dv.embedding", "q.v")} AS dist
+         |      FROM dv CROSS JOIN qv q),
+         |top AS (SELECT *, row_number() OVER (ORDER BY dist ASC, doc_id ASC) AS rn
+         |        FROM s ORDER BY dist ASC, doc_id ASC LIMIT 30),
+         |pd AS (SELECT a.rn AS ra, b.rn AS rb, $nd AS nd
+         |       FROM top a JOIN top b ON a.rn < b.rn),
+         |nbr AS (SELECT t.rn, coalesce(list(p.ra ORDER BY p.ra) FILTER (p.nd < 0.35), []) AS nbrs
+         |        FROM top t LEFT JOIN pd p ON p.rb = t.rn GROUP BY t.rn),
+         |st(i, asg) AS (
+         |  SELECT 0, CAST([] AS STRUCT(rn BIGINT, grp BIGINT)[])
+         |  UNION ALL
+         |  SELECT st.i + 1, list_append(st.asg, {'rn': n.rn, 'grp':
+         |    CASE WHEN len(list_filter(st.asg, a -> list_contains(n.nbrs, a.rn))) = 0
+         |         THEN coalesce(list_max(list_transform(st.asg, a -> a.grp)), -1) + 1
+         |         ELSE list_min(list_transform(list_filter(st.asg,
+         |                a -> list_contains(n.nbrs, a.rn)), a -> a.grp)) END})
+         |  FROM st JOIN nbr n ON n.rn = st.i + 1 WHERE st.i < 30),
+         |fin AS (SELECT unnest(asg, recursive := true) FROM st WHERE i = 30),
+         |cls AS (SELECT f.grp, min(f.rn) AS rn0, count(*) AS group_size
+         |        FROM fin f GROUP BY f.grp)
+         |SELECT t.doc_id, t.lang, round(t.dist, 4) AS distance,
+         |       CAST(c.group_size AS BIGINT) AS group_size
+         |FROM cls c JOIN top t ON t.rn = c.rn0 ORDER BY t.doc_id""".stripMargin
+    },
+
     "q_group_legacy0" ->
       s"""WITH ${SparkEntry.sqlQv(7)},
          |dv AS (SELECT d.doc_id, e.embedding FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
@@ -4573,6 +4632,30 @@ object SparkEntryExt {
         |       round(avg(h), 4) AS cross_entropy,
         |       round(pow(2.0, avg(h)), 4) AS perplexity
         |FROM nll GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the perplexity replay + per-language ntile(3) terciles (ties on
+    // rounded perplexity then id, same as the engine window)
+    "q_text_ccnet" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |uni AS (SELECT w, CAST(count(*) AS DOUBLE) AS cw
+        |        FROM (SELECT unnest(toks) AS w FROM tok) GROUP BY w),
+        |v AS (SELECT CAST(count(*) AS DOUBLE) AS vocab FROM uni),
+        |bgl AS (SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i+1] AS b
+        |        FROM tok, unnest(range(1, len(toks))) AS t(i)
+        |        WHERE len(toks) >= 2),
+        |bg AS (SELECT b, CAST(count(*) AS DOUBLE) AS cbg FROM bgl GROUP BY b),
+        |nll AS (SELECT l.doc_id,
+        |          -log2((coalesce(g.cbg, 0.0) + 0.4) / (coalesce(u.cw, 0.0) + 0.4 * v.vocab)) AS h
+        |        FROM bgl l LEFT JOIN bg g ON l.b = g.b LEFT JOIN uni u ON l.w1 = u.w CROSS JOIN v),
+        |ppl AS (SELECT doc_id, pow(2.0, avg(h)) AS perplexity FROM nll GROUP BY doc_id),
+        |j AS (SELECT p.doc_id, d.lang, p.perplexity
+        |      FROM ppl p JOIN documents d USING (doc_id)),
+        |b AS (SELECT doc_id, lang, perplexity, ntile(3) OVER (
+        |        PARTITION BY lang ORDER BY round(perplexity, 4) ASC, doc_id ASC) AS t
+        |      FROM j)
+        |SELECT doc_id, lang, round(perplexity, 4) AS perplexity,
+        |       ['head', 'middle', 'tail'][t] AS ppl_bucket
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     // text[] BM25 replay: word-tokenize the space-rejoined split elements —
     // identical token multiset to the engine's per-element merge

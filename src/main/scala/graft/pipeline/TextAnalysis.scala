@@ -342,6 +342,34 @@ object TextAnalysis {
    * Every shuffle is keyed on (id[, n, gram]) — no all-pairs, no global
    * window — so the shape survives any corpus size.
    */
+  /**
+   * CCNet head/middle/tail bucketing (Wenzek et al. 2020): split each
+   * language's documents into perplexity terciles under the LM —
+   * `head` = lowest perplexity (cleanest), `tail` = highest. The standard
+   * corpus-quality partition CCNet ships; pipelines keep head+middle or
+   * re-weight by bucket.
+   *
+   * Scale shape: [[lmPerplexity]]'s aggregates + ONE `ntile` window
+   * PARTITIONED by language — each language ranks inside its own hash
+   * partition, no global window. Ties order by (rounded perplexity, id) so
+   * any engine reproduces the terciles exactly.
+   *
+   * Returns (id, lang, n_bigrams, perplexity, ppl_bucket).
+   */
+  def ccnetBuckets(df: org.apache.spark.sql.DataFrame, idCol: Column,
+                   textCol: Column, langCol: Column,
+                   alpha: Double = 0.4): org.apache.spark.sql.DataFrame = {
+    val ppl = lmPerplexity(df, idCol, textCol, alpha)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(round(col("perplexity"), 4).asc, col("id").asc)
+    ppl.join(df.select(idCol.as("id"), langCol.as("lang")), Seq("id"))
+      .withColumn("__t", ntile(3).over(w))
+      .withColumn("ppl_bucket", element_at(
+        array(lit("head"), lit("middle"), lit("tail")), col("__t")))
+      .drop("__t")
+  }
+
   def gopherRepetition(df: org.apache.spark.sql.DataFrame,
                        idCol: Column, textCol: Column): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
