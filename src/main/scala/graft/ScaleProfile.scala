@@ -55,7 +55,6 @@ object ScaleProfile {
     }
     val (c1, path1) = mat(expand(1), "x1")
     val (c10, path10) = mat(expand(10), "x10")
-    val paths = Map[Long, String](c1.count() -> path1, c10.count() -> path10)
     println(s"[scale] corpus sizes: ${c1.count()} vs ${c10.count()}")
 
     def timed(f: => Long): (Double, Long) = {
@@ -111,11 +110,12 @@ object ScaleProfile {
     }
 
     // the q_dedup_stream shape: file-replayed stream, %5 thinning,
-    // watermark-bounded stateful LSH verify
-    def streamDedup(docs: DataFrame): Long = {
+    // watermark-bounded stateful LSH verify. Takes the corpus PATH directly
+    // (a count-keyed lookup would run an extra scan inside the timed region)
+    def streamDedup(docs: DataFrame, path: String): Long = {
       import org.apache.spark.sql.streaming.Trigger
       val stream = spark.readStream.schema(docs.schema)
-        .parquet(paths(docs.count()))
+        .parquet(path)
         .filter(col("doc_id") % 5 === 0)
       val bed = stream.select(col("doc_id"),
         timestamp_millis((col("doc_id") + 60L) * 60000L).as("ts"), col("text"))
@@ -128,19 +128,25 @@ object ScaleProfile {
         .format("memory").queryName(name)
         .trigger(Trigger.AvailableNow()).start()
       require(q.awaitTermination(600000), "scale streamDedup: did not drain")
-      val n = spark.table(name).count()
+      // the operator emits once per matching band; the distinct IS the
+      // caller contract, and the pair count is only 10×-comparable after it
+      val n = spark.table(name).distinct().count()
       spark.catalog.dropTempView(name)
       n
     }
 
-    val pipelines: Seq[(String, DataFrame => Long)] = Seq(
-      "edit_join" -> edit, "minhash" -> minhash, "curate_chain" -> curate,
-      "tfidf" -> tfidf, "canonical_keep" -> canonical,
-      "stream_dedup" -> streamDedup)
-    val report = pipelines.map { case (name, p) =>
-      p(c1); p(c10) // warm both paths once (JIT/codegen)
-      val (t1, n1) = timed(p(c1))
-      val (t10, n10) = timed(p(c10))
+    val pipelines: Seq[(String, (DataFrame, String) => Long)] = Seq(
+      "edit_join" -> ((d, _) => edit(d)), "minhash" -> ((d, _) => minhash(d)),
+      "curate_chain" -> ((d, _) => curate(d)),
+      "tfidf" -> ((d, _) => tfidf(d)),
+      "canonical_keep" -> ((d, _) => canonical(d)),
+      "stream_dedup" -> (streamDedup(_, _)))
+    val report = pipelines.map { case (name, p0) =>
+      def p(c: (DataFrame, String)): Long = p0(c._1, c._2)
+      val c1p = (c1, path1); val c10p = (c10, path10)
+      p(c1p); p(c10p) // warm both paths once (JIT/codegen)
+      val (t1, n1) = timed(p(c1p))
+      val (t10, n10) = timed(p(c10p))
       val exp = math.log(t10 / t1) / math.log(10.0)
       println(f"[scale] $name: t1=$t1%.2f s (n=$n1) t10=$t10%.2f s (n=$n10) exponent=$exp%.2f")
       f""""$name":{"t1":$t1%.2f,"t10":$t10%.2f,"exponent":$exp%.2f}"""

@@ -3647,8 +3647,9 @@ object SparkEntryExt {
          |         THEN coalesce(list_max(list_transform(st.asg, a -> a.grp)), -1) + 1
          |         ELSE list_min(list_transform(list_filter(st.asg,
          |                a -> list_contains(n.nbrs, a.rn)), a -> a.grp)) END})
-         |  FROM st JOIN nbr n ON n.rn = st.i + 1 WHERE st.i < 30),
-         |fin AS (SELECT unnest(asg, recursive := true) FROM st WHERE i = 30),
+         |  FROM st JOIN nbr n ON n.rn = st.i + 1),
+         |fin AS (SELECT unnest(asg, recursive := true) FROM st
+         |        WHERE i = (SELECT count(*) FROM top)),
          |m0 AS (SELECT f.grp, list(t.lang ORDER BY t.rn) AS langs,
          |         avg(CAST(t.doc_id AS DOUBLE)) AS doc_id_mean,
          |         avg(CAST(t.n_chars AS DOUBLE)) AS n_chars_mean,
@@ -3686,8 +3687,9 @@ object SparkEntryExt {
          |         THEN coalesce(list_max(list_transform(st.asg, a -> a.grp)), -1) + 1
          |         ELSE list_min(list_transform(list_filter(st.asg,
          |                a -> list_contains(n.nbrs, a.rn)), a -> a.grp)) END})
-         |  FROM st JOIN nbr n ON n.rn = st.i + 1 WHERE st.i < 30),
-         |fin AS (SELECT unnest(asg, recursive := true) FROM st WHERE i = 30),
+         |  FROM st JOIN nbr n ON n.rn = st.i + 1),
+         |fin AS (SELECT unnest(asg, recursive := true) FROM st
+         |        WHERE i = (SELECT count(*) FROM top)),
          |cls AS (SELECT f.grp, min(f.rn) AS rn0, count(*) AS group_size
          |        FROM fin f GROUP BY f.grp)
          |SELECT t.doc_id, t.lang, round(t.dist, 4) AS distance,

@@ -763,7 +763,10 @@ final class Graft(val spark: SparkSession) {
         HybridSearch.search(c, resolved, resolved.metric, fetchLimit.getOrElse(defaultLimit),
           filtered = Some(filtered),
           denseSearch = Some((nv, n) => vectorLeg(nv, limitOverride = Some(n))),
-          sparseSearch = Some((kw, n) => bm25Serve(c, kw, n, filtered)))
+          sparseSearch = Some((kw, n) => bm25Serve(c, kw, n, filtered)),
+          // the groupBy pool re-ranks below — keep the secondary so float32
+          // ties break the reference way, not by id
+          keepSecondary = params.groupBy.isDefined)
       }).getOrElse(filtered)
 
     val isSearch = legCount > 0
@@ -815,10 +818,11 @@ final class Graft(val spark: SparkSession) {
               params.nearMultiVector.isDefined)
             Seq(col(VectorSearch.DistanceCol).asc, col(id).asc)
           else if (params.bm25.isDefined) Seq(col(Bm25Search.ScoreCol).desc, col(id).asc)
-          // float32 rank key — the reference comparator's tie band (see
-          // HybridSearch.rankOrder)
+          // float32 rank keys with the secondary fallback — the reference
+          // comparator's tie band (see HybridSearch.rankOrder)
           else if (params.hybrid.isDefined)
-            Seq(col(HybridSearch.ScoreCol).cast("float").desc, col(id).asc)
+            Seq(col(HybridSearch.ScoreCol).cast("float").desc,
+              col(HybridSearch.SecondaryCol).cast("float").desc_nulls_last, col(id).asc)
           else Seq(col(id).asc)
         // Bound the rank pool BEFORE the global window (reference: explorer
         // groupBy pool = groups × objectsPerGroup overfetch). Search legs are
@@ -829,7 +833,8 @@ final class Graft(val spark: SparkSession) {
         val pool = fetchLimit.getOrElse(g.groups * g.objectsPerGroup)
         val pooled = sorted.limit(pool) // sorted always carries a total order
         val ranked = pooled.withColumn(rankCol,
-          row_number().over(graft.operators.BoundedWindow.ordered(rankOrder: _*)))
+            row_number().over(graft.operators.BoundedWindow.ordered(rankOrder: _*)))
+          .drop(HybridSearch.SecondaryCol) // rank key only, never projected
         val isArr = c.schema.property(g.property).exists(_.dataType.isInstanceOf[PropType.Arr])
         ResultGroupBy(ranked, rankCol, g.property, g.groups, g.objectsPerGroup, isArr)
           .orderBy(col("group_index").asc, col("group_hit_rank").asc)

@@ -55,7 +55,11 @@ object HybridSearch {
       // registered postings index instead of full-scan scoring (reference:
       // the hybrid sparse leg IS the shard's inverted index,
       // hybrid/searcher.go sparseSearch → bm25 objects search)
-      sparseSearch: Option[(graft.model.Bm25, Int) => DataFrame] = None): DataFrame = {
+      sparseSearch: Option[(graft.model.Bm25, Int) => DataFrame] = None,
+      // keep SecondaryCol in the output so a downstream re-rank (hybrid
+      // groupBy pools) can break float32-collapsed ties the reference way;
+      // the caller owns dropping it before projection
+      keepSecondary: Boolean = false): DataFrame = {
     val fetchN = math.max(limit, overfetch)
     val id = c.schema.idColumn
 
@@ -108,9 +112,9 @@ object HybridSearch {
       .orderBy(rankOrder(id): _*)
       .limit(limit)
     // decorate back with the collection's columns (ids are unique)
-    ranked.join(filtered.getOrElse(c.df), Seq(id), "inner")
+    val decorated = ranked.join(filtered.getOrElse(c.df), Seq(id), "inner")
       .orderBy(rankOrder(id): _*)
-      .drop(SecondaryCol)
+    if (keepSecondary) decorated else decorated.drop(SecondaryCol)
   }
 
   /**

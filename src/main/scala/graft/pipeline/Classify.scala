@@ -124,6 +124,10 @@ object Classify {
       .select(labelCol.cast("string").as("__lbl"),
         graft.text.Tokenize.word(labeledText).as("__toks"))
       .filter(size(col("__toks")) > 0)
+      // three consumers (label stats, vocabulary count, likelihood build)
+      // would each re-tokenize the labeled corpus — one materialization
+      // (the minhashDuplicates shingle-table precedent)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // label stats are class-sized model constants (the zeroShot precedent)
     val stats = train.groupBy(col("__lbl"))

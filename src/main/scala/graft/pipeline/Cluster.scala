@@ -75,7 +75,10 @@ object Cluster {
           (x, y) => pow(x.cast("double") - y, lit(2))),
         lit(0.0), (acc, z) => acc + z))
       .select(col("__id"), col("__cluster"), col("__dist"))
-    rows.unpersist()
+    // `out` is lazy and still reads `rows` — an eager unpersist here would
+    // force the caller's evaluation to recompute from source. The cached
+    // blocks are reclaimed by the ContextCleaner once the frame is
+    // unreferenced (the clusterPairs precedent).
     (out, centers)
   }
 }

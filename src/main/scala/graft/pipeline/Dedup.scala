@@ -107,6 +107,23 @@ object Dedup {
    * 1−(1−s^r)^(b−1) per pair. Default off (None) — the oracle replays
    * exact all-pairs semantics; deployments at scale set a cap.
    */
+  /** (__id, __shh) → one (__id, __band) row per LSH band. Signature
+   * computation runs as explode → hash-aggregate rather than a
+   * higher-order-function lambda: HOF lambdas evaluate interpreted per
+   * element, while min()-of-hash aggregates stay inside whole-stage
+   * codegen with map-side partial aggregation — ~10× on wide corpora. */
+  private def sigBands(toks: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val exploded = toks.select(col("__id"), explode(col("__shh")).as("__h"))
+    val minCols = (0 until numHashes).map(i => min(xxhash64(col("__h"), lit(i))).as(s"__m$i"))
+    val sigTable = exploded.groupBy(col("__id")).agg(minCols.head, minCols.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      xxhash64(concat_ws(",", (0 until rowsPerBand).map(r => col(s"__m${b * rowsPerBand + r}")): _*), lit(b))
+    }
+    sigTable.withColumn("__band", explode(array(bandCols: _*)))
+      .select(col("__id"), col("__band"))
+  }
+
   def minhashDuplicates(
       df: DataFrame, idCol: Column, textCol: Column,
       shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
@@ -124,19 +141,7 @@ object Dedup {
     // concurrently-scheduled branches would each recompute the shingle scan
     // before any cache entry lands (see clusterPairs — same race)
     toks.count()
-    // Signature computation runs as explode → hash-aggregate rather than a
-    // higher-order-function lambda: HOF lambdas evaluate interpreted per
-    // element, while min()-of-hash aggregates stay inside whole-stage
-    // codegen with map-side partial aggregation — ~10× on wide corpora.
-    val exploded = toks.select(col("__id"), explode(col("__shh")).as("__h"))
-    val minCols = (0 until numHashes).map(i => min(xxhash64(col("__h"), lit(i))).as(s"__m$i"))
-    val sigTable = exploded.groupBy(col("__id")).agg(minCols.head, minCols.tail: _*)
-    val bandCols = (0 until bands).map { b =>
-      xxhash64(concat_ws(",", (0 until rowsPerBand).map(r => col(s"__m${b * rowsPerBand + r}")): _*), lit(b))
-    }
-    val sigs = sigTable
-      .withColumn("__band", explode(array(bandCols: _*)))
-      .select(col("__id"), col("__band"))
+    val sigs = sigBands(toks, numHashes, bands)
     // candidates carry ONLY ids through the band join + dedup; the (large)
     // shingle arrays are joined back once per surviving pair
     val candidates = hotBandCap match {
@@ -181,31 +186,43 @@ object Dedup {
   def minhashIncrementalDuplicates(
       df: DataFrame, idCol: Column, textCol: Column, newCol: Column,
       shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
-      threshold: Double = 0.8): DataFrame = {
-    val rowsPerBand = numHashes / bands
+      threshold: Double = 0.8, hotBandCap: Option[Int] = None): DataFrame = {
     val toks = df.select(idCol.as("__id"), newCol.cast("boolean").as("__new"),
         array_distinct(shingleHashes(Tokenize.word(textCol), shingleSize)).as("__shh"))
       .filter(size(col("__shh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     toks.count() // materialize before the multi-branch consumers (see above)
-    val exploded = toks.select(col("__id"), explode(col("__shh")).as("__h"))
-    val minCols = (0 until numHashes).map(i => min(xxhash64(col("__h"), lit(i))).as(s"__m$i"))
-    val sigTable = exploded.groupBy(col("__id")).agg(minCols.head, minCols.tail: _*)
-    val bandCols = (0 until bands).map { b =>
-      xxhash64(concat_ws(",", (0 until rowsPerBand).map(r => col(s"__m${b * rowsPerBand + r}")): _*), lit(b))
-    }
-    val sigs = sigTable
+    val sigs = sigBands(toks.select(col("__id"), col("__shh")), numHashes, bands)
       .join(toks.select(col("__id"), col("__new")), Seq("__id"))
-      .withColumn("__band", explode(array(bandCols: _*)))
-      .select(col("__id"), col("__new"), col("__band"))
     // new rows drive the probe; a new↔new pair arrives in both orientations
     // and normalizes, an old partner only ever appears on the right
-    val candidates = sigs.filter(col("__new")).as("a")
-      .join(sigs.as("b"),
-        col("a.__band") === col("b.__band") && col("a.__id") =!= col("b.__id"))
-      .select(least(col("a.__id"), col("b.__id")).as("id_a"),
-        greatest(col("a.__id"), col("b.__id")).as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    def probe(left: DataFrame, right: DataFrame): DataFrame =
+      left.as("a").join(right.as("b"),
+          col("a.__band") === col("b.__band") && col("a.__id") =!= col("b.__id"))
+        .select(least(col("a.__id"), col("b.__id")).as("id_a"),
+          greatest(col("a.__id"), col("b.__id")).as("id_b"))
+    val candidates = (hotBandCap match {
+      case None => probe(sigs.filter(col("__new")), sigs)
+      case Some(cap) =>
+        // the batch op's star shape, increment-flavored: in a hot bucket,
+        // every member pairs only with the bucket's min-id hub, and the
+        // pair survives iff it touches a new row — |new| × bucket becomes
+        // |bucket| for the hot keys, same recall argument as the batch cap
+        val w = Window.partitionBy(col("__band"))
+        val sized = sigs
+          .withColumn("__bn", count(lit(1)).over(w))
+          .withColumn("__bmin", min(col("__id")).over(w))
+          .withColumn("__bminNew", max(when(col("__id") === col("__bmin"),
+            col("__new").cast("int"))).over(w) === 1)
+        val small = sized.filter(col("__bn") <= cap)
+          .select(col("__id"), col("__new"), col("__band"))
+        val smallPairs = probe(small.filter(col("__new")), small)
+        val starPairs = sized
+          .filter(col("__bn") > cap && col("__id") =!= col("__bmin") &&
+            (col("__new") || col("__bminNew")))
+          .select(col("__bmin").as("id_a"), col("__id").as("id_b"))
+        smallPairs.unionByName(starPairs)
+    }).dropDuplicates("id_a", "id_b")
     verifyJaccard(candidates, toks.select(col("__id"), col("__shh")), threshold)
   }
 

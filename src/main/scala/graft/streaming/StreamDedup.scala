@@ -39,9 +39,12 @@ import graft.text.Tokenize
  * newest entry + horizon (EventTimeTimeout) — semantics-free for the same
  * reason.
  *
- * State cost: per band bucket, the in-horizon members' shingle-hash arrays
- * (ids + 64-bit hashes only, like every candidate path here) — the honest
- * price of exact-verified streaming dedup; horizon bounds it.
+ * State cost: per band bucket, the shingle-hash arrays (ids + 64-bit
+ * hashes only, like every candidate path here) of members newer than
+ * watermark − horizon — the honest price of exact-verified streaming
+ * dedup; the advancing watermark bounds it. Pairing work per row is
+ * bounded separately by the in-horizon window (sorted two-pointer scan),
+ * so a slow-advancing watermark inflates memory, never CPU.
  */
 object StreamDedup {
 
@@ -167,32 +170,66 @@ object StreamDedup {
             Iterator.empty
           } else {
             val out = scala.collection.mutable.ArrayBuffer.empty[DupPair]
-            var entries = state.getOption.map(_.entries).getOrElse(Nil)
-            // no FUTURE row (this batch — sorted, so ≥ d.ts_ms — or a later
-            // one, which the watermark bounds below at wm) can reach an
-            // entry older than min(row, wm) − horizon: pruning there is
-            // complete even when rows arrive out of order within the
-            // watermark slack. The old rule (newest row − horizon alone)
-            // silently dropped entries a late-but-legal row still needed.
-            val wm = state.getCurrentWatermarkMs()
-            batch.toSeq.sortBy(d => (d.ts_ms, d.doc_id)).foreach { d =>
-              entries = entries.filter(_._1 >= math.min(d.ts_ms, wm) - horizonMillis)
-              entries.foreach { case (ts, id, shh) =>
-                // the prune is a retention bound, not the pairing rule —
-                // check the horizon in BOTH directions, and normalize the
-                // pair to (earlier, later) regardless of arrival order
-                if (ts >= d.ts_ms - horizonMillis && ts <= d.ts_ms + horizonMillis) {
-                  val j = jac(shh, d.shh)
-                  if (j >= threshold) {
-                    out += (if (ts < d.ts_ms || (ts == d.ts_ms && id < d.doc_id))
-                      DupPair(id, d.doc_id, j) else DupPair(d.doc_id, id, j))
-                  }
-                }
+            // Work per row is proportional to its GENUINE in-horizon
+            // candidates, never the bucket size: both the carried state and
+            // the batch are kept ts-sorted, and each row pairs against two
+            // monotone sliding windows — [ts−h, ts+h] over the state array,
+            // [ts−h, ts] over the already-processed batch prefix. A naive
+            // per-row bucket scan is O(bucket²) inside one micro-batch —
+            // exactly what an AvailableNow whole-corpus replay (watermark
+            // still 0, nothing prunable) would hit.
+            val stateArr = state.getOption.map(_.entries.toArray).getOrElse(Array.empty)
+              .sortBy(e => (e._1, e._2))
+            val batchArr = batch.toArray.sortBy(d => (d.ts_ms, d.doc_id))
+
+            def tryPair(ts: Long, id: Long, shh: Array[Long], d: BandedDoc): Unit = {
+              val j = jac(shh, d.shh)
+              if (j >= threshold) {
+                out += (if (ts < d.ts_ms || (ts == d.ts_ms && id < d.doc_id))
+                  DupPair(id, d.doc_id, j) else DupPair(d.doc_id, id, j))
               }
-              entries = (d.ts_ms, d.doc_id, d.shh) :: entries
             }
-            state.update(Bucket(entries))
-            state.setTimeoutTimestamp(entries.map(_._1).max + horizonMillis)
+
+            var sLo = 0; var sHi = 0; var bLo = 0
+            var i = 0
+            while (i < batchArr.length) {
+              val d = batchArr(i)
+              while (sHi < stateArr.length && stateArr(sHi)._1 <= d.ts_ms + horizonMillis) sHi += 1
+              while (sLo < sHi && stateArr(sLo)._1 < d.ts_ms - horizonMillis) sLo += 1
+              while (bLo < i && batchArr(bLo).ts_ms < d.ts_ms - horizonMillis) bLo += 1
+              var k = sLo
+              while (k < sHi) {
+                val e = stateArr(k); tryPair(e._1, e._2, e._3, d); k += 1
+              }
+              k = bLo
+              while (k < i) {
+                val b = batchArr(k); tryPair(b.ts_ms, b.doc_id, b.shh, d); k += 1
+              }
+              i += 1
+            }
+
+            // retention: a FUTURE row can be as old as the watermark (later
+            // batches — older rows are late and dropped) — so only entries
+            // below wm − horizon can never pair again. The old newest-row
+            // prune silently dropped entries a late-but-legal row (nonzero
+            // watermark delay) still needed. Kept SORTED for the next batch.
+            val wmBound = state.getCurrentWatermarkMs() - horizonMillis
+            val merged = new scala.collection.mutable.ListBuffer[(Long, Long, Array[Long])]
+            var si = 0; var bi = 0
+            while (si < stateArr.length || bi < batchArr.length) {
+              val takeState = bi >= batchArr.length || (si < stateArr.length &&
+                (stateArr(si)._1 < batchArr(bi).ts_ms ||
+                 (stateArr(si)._1 == batchArr(bi).ts_ms && stateArr(si)._2 <= batchArr(bi).doc_id)))
+              val e = if (takeState) { val x = stateArr(si); si += 1; x }
+                      else { val b = batchArr(bi); bi += 1; (b.ts_ms, b.doc_id, b.shh) }
+              if (e._1 >= wmBound) merged += e
+            }
+            val entries = merged.toList
+            if (entries.isEmpty) state.remove()
+            else {
+              state.update(Bucket(entries))
+              state.setTimeoutTimestamp(entries.last._1 + horizonMillis)
+            }
             out.iterator
           }
       }
