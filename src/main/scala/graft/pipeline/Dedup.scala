@@ -43,14 +43,12 @@ object Dedup {
    * hash-aggregate shape). One hash per shingle, then k cheap fixed-width
    * re-hashes — the universal-hash-family trick.
    */
-  def minhashSignature(shingles: Column, numHashes: Int): Column = {
-    val base = transform(shingles, s => xxhash64(s))
-    array((0 until numHashes).map { i =>
-      // re-hash the 8-byte value per seed — fixed-width hashing, far cheaper
-      // than k string hashes and safe under ANSI arithmetic (no overflow)
-      array_min(transform(base, h => xxhash64(h, lit(i))))
-    }: _*)
-  }
+  /** MinHash signature of a shingle-hash array — the native codegen
+   * expression (one primitive loop, no HOF lambdas, no shuffle; see
+   * [[org.apache.spark.sql.graft.MinHashSignature]]). Lane i =
+   * min over elements h of xxhash64(h, i). */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    org.apache.spark.sql.graft.TextHashFunctions.minhashSignature(shingles, numHashes)
 
   /**
    * Hashed word-n-gram shingles: combine consecutive token hashes with
@@ -107,21 +105,21 @@ object Dedup {
    * 1−(1−s^r)^(b−1) per pair. Default off (None) — the oracle replays
    * exact all-pairs semantics; deployments at scale set a cap.
    */
-  /** (__id, __shh) → one (__id, __band) row per LSH band. Signature
-   * computation runs as explode → hash-aggregate rather than a
-   * higher-order-function lambda: HOF lambdas evaluate interpreted per
-   * element, while min()-of-hash aggregates stay inside whole-stage
-   * codegen with map-side partial aggregation — ~10× on wide corpora. */
+  /** (__id, __shh) → one (__id, __band) row per LSH band. The signature is
+   * the native codegen [[minhashSignature]] expression — ONE projection,
+   * no shuffle (the previous explode → 128-column hash-aggregate paid a
+   * full shuffle on the doc key; before that, HOF lambdas evaluated
+   * interpreted per element). Band keys hash the comma-joined lane slices
+   * exactly as before, so bucket membership is a pure plan change. */
   private def sigBands(toks: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val exploded = toks.select(col("__id"), explode(col("__shh")).as("__h"))
-    val minCols = (0 until numHashes).map(i => min(xxhash64(col("__h"), lit(i))).as(s"__m$i"))
-    val sigTable = exploded.groupBy(col("__id")).agg(minCols.head, minCols.tail: _*)
-    val bandCols = (0 until bands).map { b =>
-      xxhash64(concat_ws(",", (0 until rowsPerBand).map(r => col(s"__m${b * rowsPerBand + r}")): _*), lit(b))
-    }
-    sigTable.withColumn("__band", explode(array(bandCols: _*)))
-      .select(col("__id"), col("__band"))
+    // the signature is ALIASED in its own projection: bandKeys references
+    // it 64× (one slice per band), and CollapseProject keeps a multi-
+    // referenced non-cheap alias out of the consumer — inlining would
+    // evaluate the 128-lane kernel once per band
+    toks.select(col("__id"), minhashSignature(col("__shh"), numHashes).as("__sig"))
+      .select(col("__id"),
+        explode(bandKeys(col("__sig"), bands, rowsPerBand)).as("__band"))
   }
 
   def minhashDuplicates(

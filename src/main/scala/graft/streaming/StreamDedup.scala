@@ -56,85 +56,40 @@ object StreamDedup {
   final case class Bucket(entries: List[(Long, Long, Array[Long])]) // (ts, id, shh)
   final case class DupPair(id_a: Long, id_b: Long, jaccard: Double)
 
-  // shingle rows before banding — the typed-map input
-  final case class ShingledDoc(doc_id: Long, ts_ms: Long,
-                               ts: java.sql.Timestamp, shh: Array[Long])
-
   /** Column phase: tokenize → shingle hashes → minhash → per-band rows.
    * `eventTimeCol` must be a plain (NOT yet watermarked) timestamp column —
-   * banded OWNS the watermark declaration: it places the single
-   * `withWatermark` AFTER the typed map (where the event-time metadata
-   * would otherwise be stripped), which rides through as `ts` so the
-   * stateful operator can use EventTimeTimeout. Token-less documents drop
-   * (they have no shingles — same rule as the batch path). `shh` is
-   * SORTED, so the stateful verify is an allocation-free merge-intersect.
+   * banded OWNS the single watermark declaration, which rides through as
+   * `ts` so the stateful operator can use EventTimeTimeout. Token-less
+   * documents drop (they have no shingles — same rule as the batch path).
+   * `shh` is SORTED, so the stateful verify is an allocation-free
+   * merge-intersect.
    *
-   * The 128-lane minhash + band keys run in a typed flatMap, NOT the
-   * [[Dedup.minhashSignature]] column kernel: higher-order-function lambdas
-   * evaluate interpreted per element, and on a stream the batch path's
-   * explode → hash-aggregate rewrite is unavailable (an aggregation before
-   * the stateful operator is not allowed in one append query). Worse,
-   * projection collapse inlines the shingle expression into all 128 lanes.
-   * The flatMap replays the column kernel's exact hash chain via the same
-   * [[org.apache.spark.sql.catalyst.expressions.XXH64]] primitives —
-   * band keys are bit-identical to the batch path — at plain-loop cost
-   * (measured: 61 s → <2 s for the sf0.1 column phase). */
+   * The 128-lane minhash runs as the NATIVE codegen expression
+   * ([[org.apache.spark.sql.graft.MinHashSignature]]) + the same
+   * [[Dedup.bandKeys]] the batch path hashes — band keys are bit-identical
+   * to [[Dedup.minhashDuplicates]], and the whole phase is one codegen'd
+   * projection: no HOF-lambda interpretation (61 s for 1000 sf0.1 docs),
+   * no aggregation (not allowed before a stateful operator), no typed-map
+   * encoder round-trip. */
   def banded(docs: DataFrame, idCol: String, eventTimeCol: String, textCol: String,
              shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
              watermarkDelay: String = "0 seconds"): Dataset[BandedDoc] = {
-    import org.apache.spark.sql.catalyst.expressions.XXH64
     implicit val outEnc = Encoders.product[BandedDoc]
-    implicit val inEnc = Encoders.product[ShingledDoc]
     val rowsPerBand = numHashes / bands
     docs
       .withColumn("__shh", array_sort(array_distinct(
         Dedup.shingleHashes(Tokenize.word(col(textCol)), shingleSize))))
       .filter(size(col("__shh")) > 0)
-      .select(col(idCol).cast("long").as("doc_id"),
+      // aliased signature projection — bandKeys references it 64×, and
+      // CollapseProject keeps multi-referenced non-cheap aliases separate
+      // (inlining would run the 128-lane kernel once per band)
+      .withColumn("__sig", Dedup.minhashSignature(col("__shh"), numHashes))
+      .withColumn("band", explode(Dedup.bandKeys(col("__sig"), bands, rowsPerBand)))
+      .select(col("band"), col(idCol).cast("long").as("doc_id"),
         (unix_micros(col(eventTimeCol)) / 1000L).cast("long").as("ts_ms"),
         col(eventTimeCol).as("ts"), col("__shh").as("shh"))
-      .as[ShingledDoc]
-      .flatMap { d =>
-        // base2[j] replays xxhash64(h, lit(i))'s prefix hashLong(h, 42)
-        // once per shingle (h itself is xxhash64(s) = hashLong(s, 42))
-        val base2 = new Array[Long](d.shh.length)
-        var j = 0
-        while (j < d.shh.length) {
-          base2(j) = XXH64.hashLong(XXH64.hashLong(d.shh(j), 42L), 42L)
-          j += 1
-        }
-        val sig = new Array[Long](numHashes)
-        var i = 0
-        while (i < numHashes) {
-          var m = Long.MaxValue
-          j = 0
-          while (j < base2.length) {
-            val v = XXH64.hashInt(i, base2(j)) // the lit(i) integer tail
-            if (v < m) m = v
-            j += 1
-          }
-          sig(i) = m
-          i += 1
-        }
-        // band key = xxhash64(concat_ws(",", slice(sig, b*r+1, r)), lit(b))
-        (0 until bands).map { b =>
-          val s = new StringBuilder
-          var r = 0
-          while (r < rowsPerBand) {
-            if (r > 0) s.append(',')
-            s.append(sig(b * rowsPerBand + r))
-            r += 1
-          }
-          val bytes = s.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          val h = XXH64.hashUnsafeBytes(bytes,
-            org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
-          BandedDoc(XXH64.hashInt(b, h), d.doc_id, d.ts_ms, d.ts, d.shh)
-        }
-      }
-      // the typed map strips event-time metadata from `ts`; re-declare the
-      // watermark here so EventTimeTimeout downstream stays valid (two
-      // watermark nodes on one lineage take the min — same instant here)
       .withWatermark("ts", watermarkDelay)
+      .as[BandedDoc]
   }
 
   def pairs(docs: Dataset[BandedDoc], horizonMillis: Long,
