@@ -4699,7 +4699,9 @@ object SparkEntryExt {
         |        FROM ans)
         |SELECT doc_id, res AS ans, ans_prop,
         |  CAST(sp AS BIGINT) AS start_pos,
-        |  CAST(CASE WHEN res IS NOT NULL THEN sp + length(res) END AS BIGINT) AS end_pos,
+        |  CAST(CASE WHEN res IS NOT NULL THEN
+        |    CASE WHEN ans_prop = '' THEN 0 ELSE sp + length(res) END
+        |  END AS BIGINT) AS end_pos,
         |  res IS NOT NULL AS has_answer
         |FROM loc ORDER BY doc_id""".stripMargin,
 

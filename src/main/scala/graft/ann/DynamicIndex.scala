@@ -46,7 +46,8 @@ final case class DynamicIndex(
     seed: Long = 42L,
     replicas: Int = 1,
     defaultNprobe: Int = 1,
-    persistPath: Option[String] = None) {
+    persistPath: Option[String] = None,
+    appendsSinceCheckpoint: Int = 0) {
 
   /** Mirror of the reference's `Upgraded()` (index.go:585). */
   def upgraded: Boolean = ivf.isDefined
@@ -67,7 +68,13 @@ final case class DynamicIndex(
       val merged = rows.unionByName(newRows)
       val n = count + newRows.count()
       if (n >= threshold) upgradeNow(merged, n)
-      else copy(rows = merged, count = n)
+      // lineage guard, the IvfIndex.append precedent: every 8th flat-regime
+      // append truncates the growing union chain so a long-lived session
+      // appending small batches never builds an ever-deeper plan
+      else if (appendsSinceCheckpoint >= 7)
+        copy(rows = merged.localCheckpoint(), count = n, appendsSinceCheckpoint = 0)
+      else copy(rows = merged, count = n,
+        appendsSinceCheckpoint = appendsSinceCheckpoint + 1)
   }
 
   private def upgradeNow(allRows: DataFrame, n: Long): DynamicIndex =

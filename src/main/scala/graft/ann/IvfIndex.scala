@@ -82,7 +82,12 @@ final case class IvfIndex(
   def acornProbes(base: Int, allowCount: Long): Int = filterStrategy match {
     case FilterStrategy.Sweeping => base
     case FilterStrategy.Acorn =>
-      val ratio = allowCount.toDouble / math.max(1L, assignedRows)
+      // density is per DOCUMENT: assignedRows counts replica-exploded rows,
+      // so divide the replication factor back out or a replicas>1 index
+      // reads every filter as replicas x sparser than it is (widening
+      // probes on dense filters the reference gate says to leave alone)
+      val docRows = math.max(1L, assignedRows / math.max(1, replicas))
+      val ratio = allowCount.toDouble / docRows
       if (ratio > acornFilterRatio) base
       else math.min(centroids.length,
         math.max(base, math.ceil(base / math.max(ratio, 1.0 / centroids.length)).toInt))

@@ -118,11 +118,11 @@ object Aggregations {
       s"aggregator ${other.name} needs schema context (served by buildAggs)")
   })
 
-  /** Single-pass mode via the built-in aggregate. Ties are engine-dependent
-   * here; callers that need the deterministic tie-break (highest count, then
-   * smallest value — e.g. every t2 query) use `modeExact` below, which pins
-   * a total order at the cost of a second aggregation phase. */
-  def deterministicMode(c: Column): Column = mode(c)
+  /** Single-pass mode with the PINNED tie-break (highest count, then
+   * smallest value): the built-in aggregate's deterministic flag returns
+   * the lowest tied value, matching `modeExact`'s total order without the
+   * second aggregation phase. */
+  def deterministicMode(c: Column): Column = mode(c, deterministic = true)
 
   /** Exact deterministic mode as a two-phase plan (groupBy value → argmax). */
   def modeExact(df: DataFrame, groupCols: Seq[Column], valueCol: Column): DataFrame = {

@@ -60,16 +60,21 @@ object MergeGrouper {
                 val m = new Array[Double](dim)
                 vecs.foreach(v => (0 until dim).foreach(d => m(d) += v(d)))
                 m.map(x => (x / vecs.size).toFloat).toSeq
+              // nulls are EXCLUDED from every merge (a null member must not
+              // NPE the average or read as the string "null"); an all-null
+              // group merges to null
               case StringType =>
-                val vs = vals.map(_.asInstanceOf[String])
-                if (vs.size == 1) vs.head
+                val vs = vals.collect { case s: String => s }
+                if (vs.isEmpty) null
+                else if (vs.size == 1) vs.head
                 else s"${vs.head} (${vs.tail.mkString(", ")})"
               case DoubleType | FloatType | LongType | IntegerType =>
-                val ds = vals.map(v => v.asInstanceOf[Number].doubleValue())
-                ds.sum / ds.size
+                val ds = vals.collect { case n: Number => n.doubleValue() }
+                if (ds.isEmpty) null else ds.sum / ds.size
               case BooleanType =>
-                val t = vals.count(_.asInstanceOf[Boolean])
-                t >= vals.size - t // majority, ties → true
+                val bs = vals.collect { case b: java.lang.Boolean => b.booleanValue() }
+                if (bs.isEmpty) null
+                else { val t = bs.count(identity); t >= bs.size - t } // ties → true
               case _ => vals.head
             }
           }

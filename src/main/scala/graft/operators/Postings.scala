@@ -254,8 +254,20 @@ object Postings {
       }
     }
 
-  private def ctx(idx: PostingsIndex, query: String, op: SearchOperator,
-                  props: Option[Seq[String]]): QueryCtx = {
+  /** The query prologue ctx() and search() share: resolved prop groups,
+   * term keys (with the stopword error rule), minMatch, pooled average
+   * length, and the per-(group, term) df FRAME — the precomputed dictionary
+   * for the full prop set, a term-pruned re-aggregation for a subset (a job
+   * over only the query terms' posting rows — the same work the dictionary
+   * lookup does plus one tiny shuffle). ctx() collects the frame driver-side
+   * into idf literals (scan scoring); search() keeps it lazy and joins it
+   * (index-served scoring composes into one job). */
+  private final case class Prologue(
+      termKeys: Seq[TermKey], activeByGroup: Map[Int, Seq[Int]],
+      minMatch: Int, avgPool: Double, fullSet: Boolean, dfFrame: DataFrame)
+
+  private def prologue(idx: PostingsIndex, query: String, op: SearchOperator,
+                       props: Option[Seq[String]]): Prologue = {
     val active = resolveActive(idx, props)
     val activeByGroup: Map[Int, Seq[Int]] = idx.groups.zipWithIndex.flatMap {
       case ((_, propIdxs), g) =>
@@ -266,27 +278,29 @@ object Postings {
     if (termKeys.isEmpty && termKeysOf(idx, active, query, Set.empty).nonEmpty)
       Tokenize.onlyStopwordsError()
     require(termKeys.nonEmpty, "bm25: empty query after tokenization")
-    // group-union doc frequency over the scored prop set. The full set reads
-    // the precomputed dictionary; a subset re-aggregates from the term-pruned
-    // postings — a job over only the query terms' posting rows, the same work
-    // the dictionary lookup does plus one tiny shuffle.
     val fullSet = active.sorted == idx.props.indices
-    val dfs: Map[(Int, String), Double] = (if (fullSet) {
-      idx.termDf.filter(col("term").isin(termKeys.map(_.term).distinct: _*))
-    } else {
-      queryRows(idx, termKeys, activeByGroup)
+    val dfFrame =
+      if (fullSet) idx.termDf.filter(col("term").isin(termKeys.map(_.term).distinct: _*))
+      else queryRows(idx, termKeys, activeByGroup)
         .groupBy(col("__g"), col("term"))
         .agg(countDistinct(col("__id")).cast("double").as("df"))
-    }).collect().map(r => (r.getInt(0), r.getString(1)) -> r.getDouble(2)).toMap
-    val idfDup = termKeys.map { k =>
+    Prologue(termKeys, activeByGroup, Bm25Search.minMatchOf(termKeys, op),
+      Bm25Search.pooledAvgLen(
+        activeByGroup.values.flatten.toSeq.sorted.map(idx.propMeans)),
+      fullSet, dfFrame)
+  }
+
+  private def ctx(idx: PostingsIndex, query: String, op: SearchOperator,
+                  props: Option[Seq[String]]): QueryCtx = {
+    val p = prologue(idx, query, op, props)
+    val dfs: Map[(Int, String), Double] = p.dfFrame
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val idfDup = p.termKeys.map { k =>
       val n = dfs.getOrElse((k.group, k.term), 0.0)
       (k.group, k.term) ->
         math.log(1.0 + (idx.nDocs - n + 0.5) / (n + 0.5)) * k.dup
     }.toMap
-    val minMatch = Bm25Search.minMatchOf(termKeys, op)
-    val avgPool = Bm25Search.pooledAvgLen(
-      activeByGroup.values.flatten.toSeq.sorted.map(idx.propMeans))
-    QueryCtx(termKeys, idfDup, minMatch, activeByGroup, avgPool, fullSet)
+    QueryCtx(p.termKeys, idfDup, p.minMatch, p.activeByGroup, p.avgPool, p.fullSet)
   }
 
   /** The query's posting rows: term ∈ the group's terms AND __p ∈ the
@@ -377,43 +391,23 @@ object Postings {
              allowlist: Option[DataFrame] = None,
              boosts: Map[String, Double] = Map.empty,
              props: Option[Seq[String]] = None): DataFrame = {
-    val active = resolveActive(idx, props)
-    val activeByGroup: Map[Int, Seq[Int]] = idx.groups.zipWithIndex.flatMap {
-      case ((_, propIdxs), g) =>
-        val in = propIdxs.intersect(active)
-        if (in.isEmpty) None else Some(g -> in)
-    }.toMap
-    val termKeys = termKeysOf(idx, active, query, idx.stopwords)
-    if (termKeys.isEmpty && termKeysOf(idx, active, query, Set.empty).nonEmpty)
-      Tokenize.onlyStopwordsError()
-    require(termKeys.nonEmpty, "bm25: empty query after tokenization")
-    val minMatch = Bm25Search.minMatchOf(termKeys, searchOperator)
-    val avgPool = Bm25Search.pooledAvgLen(
-      activeByGroup.values.flatten.toSeq.sorted.map(idx.propMeans))
-    // per-(group, term) df: the precomputed dictionary for the full set, a
-    // term-pruned re-aggregation for a subset — either way a ≤|terms|-row
-    // frame, broadcast onto the merged rows. Duplicate-query-term boost rides
-    // in as a literal `when`-chain over the (tiny) dictionary.
-    val fullSet = active.sorted == idx.props.indices
-    val dfTbl0 =
-      if (fullSet) idx.termDf.filter(col("term").isin(termKeys.map(_.term).distinct: _*))
-      else queryRows(idx, termKeys, activeByGroup)
-        .groupBy(col("__g"), col("term"))
-        .agg(countDistinct(col("__id")).cast("double").as("df"))
-    val dupCol = termKeys.foldLeft(lit(1.0)) { (acc, k) =>
+    val p = prologue(idx, query, searchOperator, props)
+    // duplicate-query-term boost rides in as a literal `when`-chain over the
+    // (tiny, ≤|terms|-row) df frame, broadcast onto the merged rows
+    val dupCol = p.termKeys.foldLeft(lit(1.0)) { (acc, k) =>
       when(col("__g") === k.group && col("term") === k.term, lit(k.dup.toDouble)).otherwise(acc)
     }
-    val dfTbl = dfTbl0.withColumn("__idf",
+    val dfTbl = p.dfFrame.withColumn("__idf",
       log(lit(1.0) + (lit(idx.nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
         * dupCol)
       .select(col("__g"), col("term"), col("__idf"))
-    val rows0 = queryRows(idx, termKeys, activeByGroup)
+    val rows0 = queryRows(idx, p.termKeys, p.activeByGroup)
     val rows = allowlist match {
       case Some(ids) => rows0.join(
         ids.select(col(idx.idCol).as("__id")), Seq("__id"), "left_semi")
       case None => rows0
     }
-    val q = QueryCtx(termKeys, Map.empty, minMatch, activeByGroup, avgPool, fullSet)
+    val q = QueryCtx(p.termKeys, Map.empty, p.minMatch, p.activeByGroup, p.avgPool, p.fullSet)
     mergeAndScore(idx, q, k1, b, boosts, rows, idfJoin = Some(dfTbl))
       .withColumnRenamed("__id", idx.idCol)
       .orderBy(col(Bm25Search.ScoreCol).desc, col(idx.idCol).asc)

@@ -72,7 +72,12 @@ object Qna {
             col("__qna_ans").as("result"),
             located.getField("property").as("property"),
             located.getField("start").as("start_position"),
-            (located.getField("start") + length(col("__qna_ans"))).as("end_position"),
+            // reference findProperty (answer_result.go:143-159): an answer
+            // not locatable inside any single property reports
+            // (property "", start 0, end 0) — not 0 + len(answer)
+            when(located.getField("property") === "", lit(0L))
+              .otherwise(located.getField("start") + length(col("__qna_ans")))
+              .as("end_position"),
             lit(true).as("has_answer")))
           .otherwise(noAnswer))
       .drop("__qna_ans")

@@ -63,21 +63,37 @@ object Ingest {
    * (window, key) with late-data tolerance.
    */
   def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
-                     window_ : String, watermark: String): DataFrame =
+                     window_ : String, watermark: String,
+                     valueCol: Option[String] = Some("value")): DataFrame = {
+    val aggs = count(lit(1)).as("n") +:
+      valueCol.map(v => sum(col(v)).as(s"sum_$v")).toSeq
     events
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), window_), col(keyCol))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 
   /**
    * TTL expiry as a maintenance pass over the ingested table (reference:
-   * index_objects_ttl.go:63): delete-by-age, rewritten as a filter + rewrite
-   * in CollectionStore.expireTtl; here for streaming tables as foreachBatch.
+   * index_objects_ttl.go:63): delete-by-age — survivors are REWRITTEN to the
+   * table (staging dir + move, the CollectionStore.expireTtl shape) so the
+   * expired rows actually leave storage. Returns the number deleted.
    */
   def ttlCleanup(spark: SparkSession, tableDir: String, tsCol: String,
                  ttlSeconds: Long): Long = {
     val df = spark.read.parquet(tableDir)
     val cutoff = current_timestamp().cast("long") - ttlSeconds
-    df.filter(unix_timestamp(col(tsCol)) < cutoff).count()
+    val expired = df.filter(unix_timestamp(col(tsCol)) < cutoff).count()
+    if (expired > 0) {
+      val survivors = df.filter(unix_timestamp(col(tsCol)) >= cutoff)
+      val staging = tableDir.stripSuffix("/") + "__ttl_staging"
+      survivors.write.mode("overwrite").parquet(staging)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(tableDir), spark.sparkContext.hadoopConfiguration)
+      val dst = new org.apache.hadoop.fs.Path(tableDir)
+      fs.delete(dst, true)
+      fs.rename(new org.apache.hadoop.fs.Path(staging), dst)
+    }
+    expired
   }
 }

@@ -38,8 +38,20 @@ object Sessionize {
             var current = state.getOption
             batch.toSeq.sortBy(e => (e.ts_ms, e.event_id)).foreach { e =>
               current match {
-                case Some(s) if e.ts_ms - s.last_ms <= gapMillis =>
-                  current = Some(s.copy(last_ms = e.ts_ms, n_events = s.n_events + 1))
+                // in-gap — including a LATE event (nonzero watermark delay)
+                // inside or just before the open interval: extend with
+                // min/max so last_ms never moves backwards (a plain
+                // last_ms = e.ts_ms would close the session early and
+                // could emit end_ms < start_ms)
+                case Some(s) if e.ts_ms - s.last_ms <= gapMillis &&
+                    e.ts_ms >= s.start_ms - gapMillis =>
+                  current = Some(OpenSession(math.min(s.start_ms, e.ts_ms),
+                    math.max(s.last_ms, e.ts_ms), s.n_events + 1))
+                // late event from before the open session's reach — a
+                // bounded-state stand-in: close it as its own session
+                // (in-order feeds never take this branch)
+                case Some(s) if e.ts_ms < s.start_ms - gapMillis =>
+                  out += ClosedSession(userId, e.ts_ms, e.ts_ms, 1)
                 case Some(s) =>
                   out += ClosedSession(userId, s.start_ms, s.last_ms, s.n_events)
                   current = Some(OpenSession(e.ts_ms, e.ts_ms, 1))

@@ -138,6 +138,10 @@ object StreamDedup {
             val batchArr = batch.toArray.sortBy(d => (d.ts_ms, d.doc_id))
 
             def tryPair(ts: Long, id: Long, shh: Array[Long], d: BandedDoc): Unit = {
+              // an at-least-once source can redeliver the same doc — a
+              // self-pair would violate the strict (ts,id) emission order
+              // (the batch path's a.id < b.id never emits a = b)
+              if (ts == d.ts_ms && id == d.doc_id) return
               val j = jac(shh, d.shh)
               if (j >= threshold) {
                 out += (if (ts < d.ts_ms || (ts == d.ts_ms && id < d.doc_id))

@@ -46,6 +46,14 @@ class AggregationsSpec extends SparkSpecBase {
     assert(m == 2) // 2 and 3 both occur twice; smallest wins
   }
 
+  test("single-pass deterministicMode pins ties to the smallest value") {
+    val df = Seq((1, 2), (1, 2), (1, 3), (1, 3)).toDF("g", "v")
+    val m = df.groupBy(col("g"))
+      .agg(Aggregations.deterministicMode(col("v")).as("m"))
+      .head().getAs[Int]("m")
+    assert(m == 2) // same pinned order as modeExact
+  }
+
   test("topOccurrences ranks by count desc then value asc") {
     val df = Seq("a", "a", "b", "b", "c").map(Tuple1(_)).toDF("v")
     val rows = Aggregations.topOccurrences(df, Nil, col("v"), 2)

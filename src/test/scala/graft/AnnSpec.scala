@@ -175,6 +175,14 @@ class AnnSpec extends SparkSpecBase {
     // probe arithmetic: 2000 rows; ratio 0.1 → base/0.1; cap at nlist;
     // ratio above the 0.4 gate → base (reference acornEnabled behavior);
     // ultra-selective ratios floor at 1/nlist (can't widen past all lists)
+    // density is per DOCUMENT: with replicas=2 the assigned table doubles,
+    // but a 50%-dense filter must still read as 0.5 (> the 0.4 gate), not
+    // 0.25 — replica inflation divided back out
+    val acorn2 = IvfIndex.build(emb, "vec_id", "embedding", nlist = 16,
+        replicas = 2, defaultNprobe = 1)
+      .copy(filterStrategy = FilterStrategy.Acorn)
+    assert(acorn2.acornProbes(1, 1000) == 1,
+      "replica-inflated denominator must not widen a dense filter")
     assert(sweep.acornProbes(1, 200) == 1, "sweeping never widens")
     assert(acorn.acornProbes(1, 200) == 10)
     assert(acorn.acornProbes(2, 200) == 16)

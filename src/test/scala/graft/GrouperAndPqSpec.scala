@@ -35,6 +35,25 @@ class GrouperAndPqSpec extends SparkSpecBase {
     assert(!out(1).getBoolean(2))
   }
 
+  test("group merge excludes nulls (no NPE; all-null column merges to null)") {
+    val p = Seq(
+      (1L, "a", Some(10.0), Array(1.0f, 0.01f)),
+      (2L, null.asInstanceOf[String], None, Array(0.99f, 0.02f)),
+      (3L, "c", None, Array(0.01f, 1.0f)),
+      (4L, "d", None, Array(0.02f, 0.98f))
+    ).toDF("id", "name", "price", "vec")
+    val out = MergeGrouper.group(p, "vec", force = 0.1, MergeGrouper.Merge)
+      .select($"name", $"price", $"group_size").collect()
+    assert(out.length == 2)
+    // group {1,2}: null name dropped from the concat, null price dropped
+    // from the average
+    assert(out(0).getString(0) == "a")
+    assert(out(0).getDouble(1) == 10.0)
+    // group {3,4}: all prices null → null
+    assert(out(1).getString(0) == "c (d)")
+    assert(out(1).isNullAt(1))
+  }
+
   test("force=0 keeps every result its own group") {
     val n = MergeGrouper.group(pool, "vec", force = 0.0, MergeGrouper.Closest).count()
     assert(n == 4)

@@ -43,4 +43,34 @@ class SessionizeSpec extends SparkSpecBase {
         s"got ${after.mkString(",")}")
     } finally q.stop()
   }
+
+  test("a late in-gap event never moves last_ms backwards (end >= start)") {
+    implicit val sql = spark.sqlContext
+    val source = MemoryStream[Event]
+    val withTime = source.toDS()
+      .withColumn("ts", timestamp_millis($"ts_ms"))
+      .withWatermark("ts", "2 hours") // slack admits late events
+      .as[Event]
+    val sessions = Sessionize.stateful(withTime, gapMillis = 60000)
+    val name = s"sessions_late_${System.nanoTime()}"
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      val base = 7200000L
+      source.addData(Event(1, 1, base), Event(1, 2, base + 50000))
+      q.processAllAvailable()
+      // LATE event inside the open interval: must extend the count, not
+      // rewind last_ms (a rewind would close at base+30000 < last seen)
+      source.addData(Event(1, 3, base + 30000))
+      q.processAllAvailable()
+      // forward gap break closes the session — end must be the MAX ts seen
+      source.addData(Event(1, 4, base + 500000))
+      q.processAllAvailable()
+      val closed = spark.table(name).as[ClosedSession].collect()
+      assert(closed.exists(s => s.user_id == 1 && s.start_ms == base &&
+        s.end_ms == base + 50000 && s.n_events == 3), s"got ${closed.mkString(",")}")
+      closed.foreach(s => assert(s.end_ms >= s.start_ms))
+    } finally q.stop()
+  }
 }

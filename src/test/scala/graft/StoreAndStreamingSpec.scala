@@ -185,6 +185,30 @@ class StoreAndStreamingSpec extends SparkSpecBase {
     assert(st.read().collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("Ingest.ttlCleanup rewrites the table - expired rows leave storage") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ttl").toString
+    val nowMs = System.currentTimeMillis()
+    Seq(
+      (1L, new java.sql.Timestamp(nowMs - 7200000L)), // 2h old
+      (2L, new java.sql.Timestamp(nowMs - 60000L))    // 1min old
+    ).toDF("id", "ts").write.mode("overwrite").parquet(dir)
+    val n = graft.streaming.Ingest.ttlCleanup(spark, dir, "ts", ttlSeconds = 3600)
+    assert(n == 1)
+    val left = spark.read.parquet(dir).collect().map(_.getLong(0)).toSeq
+    assert(left == Seq(2L), s"table still holds $left")
+  }
+
+  test("windowedCounts works without a value column (counts only)") {
+    val base = 3600000L
+    val ev = Seq((1L, "a"), (2L, "a"), (3L, "b")).map { case (i, k) =>
+      (new java.sql.Timestamp(base + i * 1000), k)
+    }.toDF("ts", "key")
+    val out = graft.streaming.Ingest.windowedCounts(
+        ev, "ts", "key", "1 minute", "0 seconds", valueCol = None)
+      .select($"key", $"n").collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out == Map("a" -> 2L, "b" -> 1L))
+  }
+
   test("streaming file ingest drains a directory with backpressure") {
     val in = Files.createTempDirectory("graft-in").toString
     val out = Files.createTempDirectory("graft-out").toString

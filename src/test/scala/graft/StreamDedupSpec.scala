@@ -72,6 +72,16 @@ class StreamDedupSpec extends SparkSpecBase {
       s"got ${got.mkString(",")}")
   }
 
+  test("at-least-once redelivery of the same doc emits no self-pair") {
+    val text = "identical content redelivered by an at least once source here"
+    val base = 3600000L
+    val got = run(Seq(
+      Seq((1L, base, text)),
+      Seq((1L, base, text)))) // exact redelivery: same id, same ts
+    assert(!got.exists(p => p.id_a == p.id_b), s"got ${got.mkString(",")}")
+    assert(got.isEmpty)
+  }
+
   test("out-of-order arrival: forward horizon guard + (ts, id) pair order") {
     // horizon 10 min, watermark delay 1 h: doc 3 (ts = 2h05) arrives AFTER
     // doc 2 (ts = 3h) is already in state. It must pair with doc 1
