@@ -451,18 +451,23 @@ final class FilterCompiler(resolve: String => Collection) {
         // the parquet scan's row-group min/max stats — the haversine
         // expression itself can never push down, so without the box a geo
         // filter at 100 TB reads every row. The box is a strict superset of
-        // the circle (1° lat = 111.32 km; lon shrinks by cos(lat), bounded
-        // at the circle's most poleward latitude), so ANDing the exact
-        // haversine keeps results bit-identical. Degenerate geometries fall
-        // back conservatively: near-pole circles and antimeridian-crossing
-        // boxes drop the lon bound (lat bound still prunes).
-        val dLat = meters / 111320.0
+        // the circle: the meters-per-degree scale derives from the SAME
+        // sphere haversineMeters uses (R = 6371000 → π·R/180 ≈ 111194.93 —
+        // a mismatched 111320 under-sizes the box and silently drops rows
+        // near the circle's edge), padded 0.1% for floating slack; lon
+        // shrinks by cos(lat), bounded at the circle's most poleward
+        // latitude. ANDing the exact haversine keeps results bit-identical.
+        // Degenerate geometries fall back conservatively: near-pole circles
+        // and antimeridian-crossing boxes drop the lon bound (lat bound
+        // still prunes).
+        val metersPerDeg = math.Pi * 6371000.0 / 180.0
+        val dLat = meters / metersPerDeg * 1.001
         val latBound = latC >= lit(lat - dLat) && latC <= lit(lat + dLat)
         val maxAbsLat = math.abs(lat) + dLat
         val lonBound =
           if (maxAbsLat >= 89.0) None
           else {
-            val dLon = meters / (111320.0 * math.cos(math.toRadians(maxAbsLat)))
+            val dLon = meters / (metersPerDeg * math.cos(math.toRadians(maxAbsLat))) * 1.001
             if (lon - dLon < -180.0 || lon + dLon > 180.0) None
             else Some(lonC >= lit(lon - dLon) && lonC <= lit(lon + dLon))
           }

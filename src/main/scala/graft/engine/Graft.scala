@@ -246,9 +246,12 @@ final class Graft(val spark: SparkSession) {
    * default is ACTIVE (tenant.go:34 usage rules). Existing same-name tenants
    * are rejected like the reference's duplicate-tenant error. */
   def addTenants(collectionName: String, ts: Seq[Tenant]): Graft = {
-    require(collection(collectionName).schema.tenantColumn.isDefined,
+    // registry keys are CANONICAL names — an alias-keyed entry would bypass
+    // checkTenant (which looks up by c.name) and serve inactive tenants
+    val cn = resolveAlias(collectionName)
+    require(collection(cn).schema.tenantColumn.isDefined,
       s"$collectionName is not multi-tenant (no tenant column declared)")
-    val cur = tenantRegistry.getOrElse(collectionName, Map.empty)
+    val cur = tenantRegistry.getOrElse(cn, Map.empty)
     ts.foreach { t =>
       // name contract (entities/schema/validation.go ValidateTenantName:
       // ShardNameRegexCore `[A-Za-z0-9\-\_]{1,64}` — reference error shape)
@@ -263,22 +266,24 @@ final class Graft(val spark: SparkSession) {
         s"tenant ${t.name}: on create only ACTIVE and INACTIVE are allowed")
       require(!cur.contains(t.name), s"tenant ${t.name} already exists")
     }
-    tenantRegistry += collectionName -> (cur ++ ts.map(t => t.name -> t.activityStatus))
+    tenantRegistry += cn -> (cur ++ ts.map(t => t.name -> t.activityStatus))
     this
   }
 
   /** Update activity status; the tenant must exist (tenant.go on-update rules —
    * all three statuses allowed). */
   def updateTenant(collectionName: String, name: String, status: TenantStatus): Graft = {
-    val cur = tenantRegistry.getOrElse(collectionName, Map.empty)
+    val cn = resolveAlias(collectionName)
+    val cur = tenantRegistry.getOrElse(cn, Map.empty)
     require(cur.contains(name), s"tenant not found: $name")
-    tenantRegistry += collectionName -> (cur + (name -> status))
+    tenantRegistry += cn -> (cur + (name -> status))
     this
   }
 
   def deleteTenants(collectionName: String, names: Seq[String]): Graft = {
-    val cur = tenantRegistry.getOrElse(collectionName, Map.empty)
-    tenantRegistry += collectionName -> (cur -- names)
+    val cn = resolveAlias(collectionName)
+    val cur = tenantRegistry.getOrElse(cn, Map.empty)
+    tenantRegistry += cn -> (cur -- names)
     this
   }
 
@@ -317,7 +322,7 @@ final class Graft(val spark: SparkSession) {
 
   /** GetTenants (reference: usecases/schema/tenant.go GetConsistentTenants). */
   def tenants(collectionName: String): Seq[Tenant] =
-    tenantRegistry.getOrElse(collectionName, Map.empty)
+    tenantRegistry.getOrElse(resolveAlias(collectionName), Map.empty)
       .toSeq.sortBy(_._1).map { case (n, s) => Tenant(n, s) }
 
   /** Registry gate for a query-addressed tenant (with autoTenantActivation:
@@ -409,8 +414,10 @@ final class Graft(val spark: SparkSession) {
   /** Attach a batch-built ANN index to a named vector (reference: per-shard
    * vector index registry; planner choice in IvfIndex.searchOrScan). */
   def registerIndex(collectionName: String, vectorName: String, idx: graft.ann.IvfIndex): Graft = {
+    // registries key by CANONICAL name — an alias-keyed copy would be a
+    // phantom Collection the lookup (which resolves aliases) never serves
     val c = collection(collectionName)
-    collections += collectionName -> c.copy(vectorIndexes = c.vectorIndexes + (vectorName -> idx))
+    collections += c.name -> c.copy(vectorIndexes = c.vectorIndexes + (vectorName -> idx))
     this
   }
 
@@ -428,7 +435,7 @@ final class Graft(val spark: SparkSession) {
       case Some(ix) => registerIndex(collectionName, vectorName, ix)
       case None =>
         val c = collection(collectionName)
-        collections += collectionName -> c.copy(vectorIndexes = c.vectorIndexes - vectorName)
+        collections += c.name -> c.copy(vectorIndexes = c.vectorIndexes - vectorName)
         this
     }
 
@@ -454,7 +461,7 @@ final class Graft(val spark: SparkSession) {
     val c = collection(collectionName)
     props.foreach(p => require(c.schema.property(p).exists(_.hasSearchableIndex),
       s"postings: $p is not a searchable text/text[] property of $collectionName"))
-    postingsSpecs += collectionName -> ((props, buckets, persistPath))
+    postingsSpecs += c.name -> ((props, buckets, persistPath))
     this
   }
 
@@ -469,9 +476,10 @@ final class Graft(val spark: SparkSession) {
 
   /** Register a prebuilt postings index (e.g. after `Postings.delta`). */
   def registerPostings(collectionName: String, idx: PostingsIndex): Graft = {
+    val cn = resolveAlias(collectionName)
     postingsIndexes.synchronized {
-      postingsIndexes.get(collectionName).filterNot(_ eq idx).foreach(releasePostings)
-      postingsIndexes(collectionName) = idx
+      postingsIndexes.get(cn).filterNot(_ eq idx).foreach(releasePostings)
+      postingsIndexes(cn) = idx
     }
     this
   }
@@ -518,8 +526,8 @@ final class Graft(val spark: SparkSession) {
                          removedIds: Option[DataFrame] = None): Graft = {
     val c = collection(collectionName)
     postingsIndexes.synchronized {
-      postingsIndexes.get(collectionName).foreach { idx =>
-        postingsIndexes(collectionName) = Postings.delta(idx, c, changed, removedIds)
+      postingsIndexes.get(c.name).foreach { idx =>
+        postingsIndexes(c.name) = Postings.delta(idx, c, changed, removedIds)
       }
     }
     this
@@ -607,8 +615,9 @@ final class Graft(val spark: SparkSession) {
     }
     muveraIndexes.synchronized {
       // replacing a registration releases the superseded persisted table
-      muveraIndexes.get((collectionName, vecCol)).foreach(_._2.unpersist())
-      muveraIndexes += (collectionName, vecCol) ->
+      // (keyed by the CANONICAL name — the serve path looks up c.name)
+      muveraIndexes.get((c.name, vecCol)).foreach(_._2.unpersist())
+      muveraIndexes += (c.name, vecCol) ->
         ((enc, encoded, c.version))
     }
     this
@@ -667,6 +676,17 @@ final class Graft(val spark: SparkSession) {
       require(offending.isEmpty,
         s"${offending.mkString(",")} cannot be set with after and limit parameters")
       require(cur.limit >= 0, "limit parameter must be set")
+      // keyset pagination walks the id order; a search leg ranks by
+      // score/distance, where `after` has no position — the cursor would be
+      // SILENTLY ignored (every page identical). Reject loudly instead.
+      val searchLegs = Seq(
+        params.nearVector.isDefined, params.nearObject.isDefined,
+        params.nearText.isDefined, params.nearMedia.isDefined,
+        params.nearMultiVector.isDefined, params.bm25.isDefined,
+        params.hybrid.isDefined)
+      require(!searchLegs.exists(identity),
+        "search parameters cannot be set with after and limit parameters " +
+        "(keyset pagination walks the uuid order, not a ranking)")
     }
 
     // tenant routing = partition pruning (reference: index.go:2233);
@@ -1095,8 +1115,27 @@ final class Graft(val spark: SparkSession) {
       val fits = lookup.queryExecution.optimizedPlan.stats.sizeInBytes <=
         BigInt(64L * 1024 * 1024)
       val hinted = if (fits) broadcast(lookup) else lookup
-      d.join(hinted, d(refName) === col("__ref_target_id"), "left")
-        .drop("__ref_target_id")
+      d.schema(refName).dataType match {
+        // multi-edge (beacon-list) layout — the same array crefs the filter
+        // path walks (compileRefLeaf): explode edges, resolve each, and
+        // re-collect IN EDGE ORDER; unresolved beacons drop (the read-path
+        // twin of BatchReferences' dropped-edge rule), no-ref rows stay null
+        case _: org.apache.spark.sql.types.ArrayType =>
+          val idc = c.schema.idColumn
+          val edges = d.select(col(idc).as("__rr_src"),
+            posexplode(col(refName)).as(Seq("__rr_pos", "__rr_fk")))
+          val resolved = edges
+            .join(hinted, col("__rr_fk") === col("__ref_target_id"), "inner")
+            .groupBy(col("__rr_src"))
+            .agg(transform(array_sort(collect_list(struct(
+                col("__rr_pos").as("p"), col(s"${refName}_resolved").as("v")))),
+              e => e.getField("v")).as(s"${refName}_resolved"))
+            .withColumnRenamed("__rr_src", idc)
+          d.join(resolved, Seq(idc), "left")
+        case _ =>
+          d.join(hinted, d(refName) === col("__ref_target_id"), "left")
+            .drop("__ref_target_id")
+      }
     }
 
   def aggregate(params0: AggregateParams): DataFrame = {
@@ -1179,7 +1218,10 @@ final class Graft(val spark: SparkSession) {
           Some((lit(1.0) - col(VectorSearch.DistanceCol) / 2.0).as(VectorSearch.CertaintyCol))
         case "score" if df.columns.contains(Bm25Search.ScoreCol) => Some(col(Bm25Search.ScoreCol))
         case "score" if df.columns.contains(HybridSearch.ScoreCol) => Some(col(HybridSearch.ScoreCol).as("_score"))
-        case "vector" => c.schema.vectors.values.headOption.map(v => col(v).as("_vector"))
+        // the DEFAULT vector, resolved like every search leg (headOption
+        // over a map returned an arbitrary column on multi-vector classes)
+        case "vector" if c.schema.vectors.nonEmpty =>
+          Some(col(c.schema.vectorColumn(None)).as("_vector"))
         // metadata timestamps (reference: _additional { creationTimeUnix
         // lastUpdateTimeUnix }, additional_properties.go) — only for
         // collections that declare the columns, like the reference's

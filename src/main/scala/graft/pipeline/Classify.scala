@@ -235,6 +235,9 @@ object Classify {
     val docs = source
       .select(idCol.as("__id"), graft.text.Tokenize.word(textCol).as("__toks"))
       .filter(size(col("__toks")) > 0)
+      // multiple consumers (corpus count, occ's branches) — materialize the
+      // tokenization once (the naiveBayes/minhashDuplicates precedent)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // tf-idf corpus size — a model constant, like a quantizer's training pass
     val n = docs.count().toDouble
 
@@ -242,6 +245,8 @@ object Classify {
       .select(col("__id"), col("__dl"), explode(col("__toks")).as("__w"))
       .groupBy(col("__id"), col("__dl"), col("__w"))
       .agg(count(lit(1)).as("__cnt"))
+      // occ itself feeds ranked, dfIdf, and wordStats — three plan branches
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfIdf = occ.groupBy(col("__w"))
       .agg(countDistinct(col("__id")).as("__docs"))
       .withColumn("__idf", log(10.0, lit(n) / col("__docs")))

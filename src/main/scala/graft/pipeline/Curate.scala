@@ -74,19 +74,6 @@ object Curate {
   }
 
   /**
-   * Temperature-scaled domain rates — the multilingual/domain re-balancing
-   * rule of mT5/XLM-R (Conneau et al. 2020 §3.1: sample domain d with
-   * probability ∝ p_d^τ, τ ∈ (0,1] flattens the head): computes each row's
-   * ACCEPTANCE RATE for [[mixtureSample]] such that the sampled corpus hits
-   * the p^τ-proportional mixture without upsampling any domain —
-   * rate_d = (p_d^(τ−1)) / max_e(p_e^(τ−1)), so the rarest domain keeps
-   * every row (rate 1) and head domains are thinned toward the target mix.
-   *
-   * Implemented as two tiny aggregations over the domain column (domain
-   * cardinality ≪ rows) joined back BROADCAST — the per-row pass stays one
-   * codegen'd scan. Adds `mix_rate`; feed it straight to mixtureSample.
-   */
-  /**
    * Cluster-balanced subset selection: cap the corpus at `perCluster` rows
    * per SEMANTIC cluster, preferring the most representative (highest cosine
    * to the cluster representative) — the topic-balancing step of
@@ -186,6 +173,19 @@ object Curate {
     rows.toSeq.toDF("lang", "n_docs", "quota", "epochs")
   }
 
+  /**
+   * Temperature-scaled domain rates — the multilingual/domain re-balancing
+   * rule of mT5/XLM-R (Conneau et al. 2020 §3.1: sample domain d with
+   * probability ∝ p_d^τ, τ ∈ (0,1] flattens the head): computes each row's
+   * ACCEPTANCE RATE for [[mixtureSample]] such that the sampled corpus hits
+   * the p^τ-proportional mixture without upsampling any domain —
+   * rate_d = (p_d^(τ−1)) / max_e(p_e^(τ−1)), so the rarest domain keeps
+   * every row (rate 1) and head domains are thinned toward the target mix.
+   *
+   * Implemented as two tiny aggregations over the domain column (domain
+   * cardinality ≪ rows) joined back BROADCAST — the per-row pass stays one
+   * codegen'd scan. Adds `mix_rate`; feed it straight to mixtureSample.
+   */
   def temperatureRates(df: DataFrame, domain: Column, tau: Double): DataFrame = {
     require(tau > 0 && tau <= 1, "tau must be in (0, 1]")
     val counts = df.groupBy(domain.as("__dom")).agg(count(lit(1)).as("__n"))

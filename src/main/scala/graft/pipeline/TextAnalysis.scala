@@ -123,10 +123,9 @@ object TextAnalysis {
       val hits = words.map(w => array_contains(toks, w).cast("int")).reduce[Column](_ + _)
       struct(hits.as("hits"), lit(lang).as("lang"))
     }
-    // max by (hits asc → take max; tie → smallest lang wins because array_max
-    // on struct compares lexicographically and we negate nothing): sort by
-    // (hits, reverse-alphabetical lang) and take the max ⇒ highest hits,
-    // then alphabetically-last... so instead order langs descending and use >=
+    // left fold with STRICT > keeps the earlier profile on ties, and
+    // LangProfiles is alphabetically sorted — so the rule is: highest hit
+    // count, ties to the alphabetically-first language
     val best = scored.reduce[Column]((a, b) => when(b.getField("hits") > a.getField("hits"), b).otherwise(a))
     best.getField("lang")
   }

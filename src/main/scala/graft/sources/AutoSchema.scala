@@ -39,10 +39,7 @@ object AutoSchema {
     val vectorCols = vectors.values.toSet
     val props = df.schema.fields
       .filterNot(f => f.name == idColumn || vectorCols.contains(f.name))
-      .map { f =>
-        val tok = if (f.dataType == StringType) Tokenization.Word else Tokenization.Word
-        Property(f.name, propType(f.dataType), tok)
-      }
+      .map(f => Property(f.name, propType(f.dataType), Tokenization.Word))
     CollectionSchema(name, idColumn, props.toSeq, vectors,
       defaultVector = vectors.keys.headOption)
   }

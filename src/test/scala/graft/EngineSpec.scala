@@ -358,4 +358,59 @@ class EngineSpec extends SparkSpecBase {
     assert(intercept[IllegalArgumentException] { gg.deleteAlias("MyAlias") }
       .getMessage.contains("not found"))
   }
+
+  test("alias-addressed registries land on the canonical collection") {
+    val gg = new Graft(spark)
+    import spark.implicits._
+    gg.register(CollectionSchema("TenantC", "id",
+        Seq(Property("v", PropType.Int), Property("t", PropType.Text)),
+        tenantColumn = Some("t")),
+      Seq((1L, 10L, "t1"), (2L, 20L, "t2")).toDF("id", "v", "t"))
+    gg.createAlias("TAlias", "TenantC")
+    // tenants added via the ALIAS must gate queries addressed either way
+    gg.addTenants("TAlias", Seq(graft.model.Tenant("t1",
+      graft.model.TenantStatus.Inactive)))
+    assert(gg.tenants("TenantC").map(_.name) == Seq("t1"))
+    val e = intercept[IllegalArgumentException] {
+      gg.get(GetParams("TenantC", tenant = Some("t1"), properties = Seq("id")))
+        .count()
+    }
+    assert(e.getMessage.toLowerCase.contains("not active"), e.getMessage)
+    gg.updateTenant("TAlias", "t1", graft.model.TenantStatus.Active)
+    assert(gg.get(GetParams("TAlias", tenant = Some("t1"),
+      properties = Seq("id"))).count() == 1)
+  }
+
+  test("cursor + search leg is rejected loudly (keyset walks the id order)") {
+    val gg = new Graft(spark)
+    import spark.implicits._
+    gg.register(CollectionSchema("CurC", "id", Seq(Property("txt", PropType.Text))),
+      Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("id", "txt"))
+    val e = intercept[IllegalArgumentException] {
+      gg.get(GetParams("CurC",
+        bm25 = Some(graft.model.Bm25("beta", Seq("txt"))),
+        cursor = Some(graft.model.Cursor(after = Some(1L), limit = 10)),
+        properties = Seq("id"))).count()
+    }
+    assert(e.getMessage.contains("after and limit"), e.getMessage)
+  }
+
+  test("resolveRefs resolves array (beacon-list) crefs in edge order") {
+    val gg = new Graft(spark)
+    import spark.implicits._
+    gg.register(CollectionSchema("RTarget", "id", Seq(Property("nm", PropType.Text))),
+      Seq((10L, "x"), (20L, "y")).toDF("id", "nm"))
+    gg.register(CollectionSchema("RSource", "id",
+        Seq(Property("refs", PropType.Ref, refTarget = Some("RTarget")))),
+      Seq((1L, Seq(20L, 10L)), (2L, Seq.empty[Long]), (3L, Seq(10L, 99L)))
+        .toDF("id", "refs"))
+    val out = gg.get(GetParams("RSource", properties = Seq("id", "refs"),
+        resolveRefs = Seq("refs")))
+      .orderBy($"id").collect()
+    val r1 = out(0).getSeq[org.apache.spark.sql.Row](out(0).fieldIndex("refs_resolved"))
+    assert(r1.map(_.getAs[String]("nm")) == Seq("y", "x")) // edge order kept
+    assert(out(1).isNullAt(out(1).fieldIndex("refs_resolved"))) // no refs
+    val r3 = out(2).getSeq[org.apache.spark.sql.Row](out(2).fieldIndex("refs_resolved"))
+    assert(r3.map(_.getAs[String]("nm")) == Seq("x")) // dangling 99 dropped
+  }
 }

@@ -57,6 +57,22 @@ class GeoFilterSpec extends SparkSpecBase {
     }
   }
 
+  test("edge sliver: the box scale must match haversine's sphere radius") {
+    // haversine uses R=6371000 (111194.93 m/deg); a 111320 m/deg box is
+    // SMALLER than the circle and drops this point: lat 1.0005 deg is
+    // 111250 m away (inside r=111320) but past 111320/111320 = 1.0 deg
+    val sliver = Seq((9001L, 1.0005, 0.0), (9002L, 0.0, 1.0008))
+      .toDF("id", "plat", "plon")
+      .select($"id", struct($"plat".as("lat"), $"plon".as("lon")).as("loc"))
+    val got = compiler(sliver, schema, Where.withinGeoRange("loc", 0.0, 0.0, 111320.0))
+      .select($"id").as[Long].collect().toSet
+    val want = sliver.filter(VectorFunctions.haversineMeters(
+        $"loc.lat".cast("double"), $"loc.lon".cast("double"), lit(0.0), lit(0.0)) <= 111320.0)
+      .select($"id").as[Long].collect().toSet
+    assert(want == Set(9001L, 9002L), s"bed must sit inside the circle: $want")
+    assert(got == want, s"box dropped edge rows: $got vs $want")
+  }
+
   test("box range predicates push into the parquet scan") {
     val dir = Files.createTempDirectory("graft-geo").toString
     points.write.mode("overwrite").parquet(dir)
