@@ -61,12 +61,20 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => only.forall(_.contains(kv._1)))
-    def pass(): Map[String, Double] = names.map { case (name, fn) =>
+    // fault-isolated timing that KEEPS the failure: a query that throws used
+    // to record its fast-fail elapsed as a (misleadingly good) benchmark
+    // number with no marker anywhere — a regression-to-throwing read as a
+    // speedup. Errors ride to the headline line and BENCH_SELF.json.
+    val passErrors = scala.collection.mutable.Map.empty[String, String]
+    def pass(tag: Int): Map[String, Double] = names.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          passErrors(name) = s"p$tag:${e.getClass.getSimpleName}"
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    val (p1, p2) = (pass(), pass())
+    val (p1, p2) = (pass(1), pass(2))
     val results = names.map { case (name, _) => name -> math.min(p1(name), p2(name)) }
     // 3-decimal rounding keeps the artifact line short; per-pass variance is
     // carried as per-pass TOTALS on the headline line, with the full per-pass
@@ -113,13 +121,20 @@ object Bench {
       else
         (s"""{"min_cs_sorted":${unitArr(100)}}""",
           "min_cs_sorted = integer centiseconds in sorted-query-name order; named map in BENCH_SELF.json")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","total_p1":${tot(p1)},"total_p2":${tot(p2)},"queries":$qs,"queries_p1":${obj(p1)},"queries_p2":${obj(p2)}}"""
+    // bounded on the headline (the capture tail is ~2000 chars); the full
+    // map is always in BENCH_SELF.json
+    val errJson =
+      if (passErrors.isEmpty) ""
+      else passErrors.toSeq.sortBy(_._1).take(5)
+        .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+        .mkString(""","errors":{""", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","total_p1":${tot(p1)},"total_p2":${tot(p2)}$errJson,"queries":$qs,"queries_p1":${obj(p1)},"queries_p2":${obj(p2)}}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_SELF.json"),
       (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     println(mapLine)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_p1":${tot(p1)},"total_p2":${tot(p2)},"n":${results.size},"keys":"$keyDesc","full":"BENCH_SELF.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_p1":${tot(p1)},"total_p2":${tot(p2)},"n":${results.size},"n_errors":${passErrors.size}$errJson,"keys":"$keyDesc","full":"BENCH_SELF.json"}""")
     spark.stop()
   }
 }

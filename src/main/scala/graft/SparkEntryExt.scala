@@ -425,11 +425,14 @@ object SparkEntryExt {
     }),
 
     // §2.7 array sort parity: elementwise compare, then by length
-    // (reference: sorter/basic_comparators.go:98-112); null lists first
+    // (reference: sorter/basic_comparators.go:98-112); null lists first.
+    // Limit 80 > the 50 null-links docs at sf0.01, so the page carries 30
+    // rows ordered by REAL array comparisons — a 30-row page was all nulls
+    // and certified only the nulls-first block
     "q_sort_array" -> ((s, dir) => {
       g(s, dir).get(GetParams("Document",
         sort = Seq(SortBy.asc("links")),
-        pagination = Some(Pagination(limit = 30)),
+        pagination = Some(Pagination(limit = 80)),
         properties = Seq("doc_id", "links")))
         .select(col("doc_id"), size(col("links")).cast("long").as("n_links"),
           element_at(col("links"), 1).as("link0"))
@@ -533,10 +536,27 @@ object SparkEntryExt {
     // directly on string shingles (hash-set Jaccard ≡ string-set Jaccard up
     // to xxhash64 collisions)
     "q_dedup_minhash" -> ((s, dir) => {
+      import s.implicits._
       val docs = g(s, dir).collection("Document").df
         .filter(col("doc_id") < 500).select(col("doc_id"), col("text"))
+      // NEAR-THRESHOLD plants (unique tokens → exact shingle math): the
+      // 9000001/9000002 pair shares 82 of 114 distinct shingles
+      // (j = 0.7193 — must be EMITTED: LSH recall there is 1-(1-j²)^64),
+      // the 9000003/9000004 pair 77 of 119 (j = 0.6471 — must be
+      // EXCLUDED). Without them every qualifying pair in the bed sits at
+      // j ≥ 0.9 and every non-qualifying at ≤ 0.07, so a threshold misread
+      // anywhere in (0.07, 0.9) or a recall collapse on [0.7, 0.9) would
+      // pass unnoticed; this pins the cut inside (0.647, 0.720].
+      val synth = Seq(
+        (9000001L, (1 to 100).map(i => s"qw$i").mkString(" ")),
+        (9000002L, ((1 to 84).map(i => s"qw$i") ++
+          (1 to 16).map(i => s"qu$i")).mkString(" ")),
+        (9000003L, (1 to 100).map(i => s"qv$i").mkString(" ")),
+        (9000004L, ((1 to 79).map(i => s"qv$i") ++
+          (1 to 21).map(i => s"qs$i")).mkString(" "))).toDF("doc_id", "text")
       val bed = docs.unionByName(docs.filter(col("doc_id") % 25 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionByName(synth)
       Dedup.minhashDuplicates(bed, col("doc_id"), col("text"),
           shingleSize = 3, numHashes = 128, bands = 64, threshold = 0.7)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
@@ -624,9 +644,15 @@ object SparkEntryExt {
     "q_dedup_incremental" -> ((s, dir) => {
       val docs = g(s, dir).collection("Document").df
         .filter(col("doc_id") < 500).select(col("doc_id"), col("text"))
+      // TWO planted copies per %25 original: new<->old pairs (copy vs
+      // original) AND new<->new pairs (copy vs copy) both fire — a bed
+      // with only one copy never exercises the increment x increment arm
       val bed = docs.withColumn("__new", lit(false))
         .unionByName(docs.filter(col("doc_id") % 25 === 0)
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+          .withColumn("__new", lit(true)))
+        .unionByName(docs.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
           .withColumn("__new", lit(true)))
       Dedup.minhashIncrementalDuplicates(bed, col("doc_id"), col("text"),
           col("__new"), shingleSize = 3, numHashes = 128, bands = 64,
@@ -1123,7 +1149,7 @@ object SparkEntryExt {
         val q = graft.streaming.IndexMaintenance.startPostings(
           s.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(inDir),
           st, e, "DocStream", ckpt)
-        q.awaitTermination(120000)
+        require(q.awaitTermination(300000), "q_stream_index: stream did not drain")
         e
       })
       eng.get(GetParams("DocStream",
@@ -1765,13 +1791,16 @@ object SparkEntryExt {
     // query mixes a Han bigram term with Latin word terms, so both arms of
     // the mixed-script tokenizer are load-bearing on BOTH the corpus and
     // query side; scoring model identical to q_bm25 (same DuckDB CTEs with
-    // the bigram tok expression swapped in).
+    // the bigram tok expression swapped in). The Han term 一的 ('ea' under
+    // the vowel translate) has REAL document frequency (391 docs at
+    // sf0.01) — a df-0 bigram would make the query-side Han arm vacuous
+    // (dropping it entirely would not change a single score).
     "q_bm25_cjk" -> ((s, dir) => {
       val gg = g(s, dir)
       cjkBedFor(gg)
       graft.text.Tokenize.withCjkFallback {
         gg.get(GetParams("DocCjk",
-          bm25 = Some(Bm25("是的 str d", properties = Seq("text_cjk"))),
+          bm25 = Some(Bm25("一的 str d", properties = Seq("text_cjk"))),
           pagination = Some(Pagination(limit = 20)),
           properties = Seq("doc_id"),
           additional = Set("score")))
@@ -2464,7 +2493,7 @@ object SparkEntryExt {
       val q = agg.writeStream.outputMode("complete")
         .format("memory").queryName(name)
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(120000)
+      require(q.awaitTermination(300000), "q_stream_window: stream did not drain")
       s.table(name)
         .select(col("w.start").cast("string").as("window_start"), col("event_type"),
           col("n"), round(col("sv"), 4).as("sum_value"))
@@ -2575,7 +2604,7 @@ object SparkEntryExt {
       val q = closed.toDF().writeStream.outputMode("append")
         .format("memory").queryName(name)
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(120000)
+      require(q.awaitTermination(300000), "q_sessionize_stream: stream did not drain")
       s.table(name)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_closed"), sum(col("n_events")).as("events_closed"),
@@ -3451,7 +3480,7 @@ object SparkEntryExt {
           |       THEN CASE WHEN length(r) = 1 THEN [r]
           |            ELSE list_transform(range(1, length(r)), i -> substring(r, i, 2)) END
           |       ELSE [r] END))""".stripMargin
-      val (ctes, _) = sqlBm25(Seq("是的", "str", "d"),
+      val (ctes, _) = sqlBm25(Seq("一的", "str", "d"),
         source = "(SELECT doc_id, translate(lower(text), 'aeiou', '的一是不了') AS text FROM documents)",
         tokExpr = cjkTok)
       s"""WITH $ctes
@@ -3819,7 +3848,7 @@ object SparkEntryExt {
         |      i -> (doc_id * i * 37) % 500) END AS links
         |  FROM documents)
         |SELECT doc_id, len(links) AS n_links, links[1] AS link0
-        |FROM l ORDER BY links ASC NULLS FIRST, doc_id ASC LIMIT 30""".stripMargin,
+        |FROM l ORDER BY links ASC NULLS FIRST, doc_id ASC LIMIT 80""".stripMargin,
 
     "q_hybrid_relative" -> {
       val (ctes, _) = sqlBm25(Seq("spark", "join", "stream"), source = SparkEntry.sqlDocVec, fieldPropMeans = Seq(1.0, 1.0))
@@ -3977,8 +4006,20 @@ object SparkEntryExt {
     // size>0 filter)
     "q_dedup_minhash" ->
       """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+        |synth AS (
+        |  SELECT CAST(9000001 AS BIGINT) AS doc_id,
+        |         array_to_string(list_transform(range(1, 101), i -> 'qw' || i), ' ') AS text
+        |  UNION ALL SELECT 9000002,
+        |         array_to_string(list_transform(range(1, 85), i -> 'qw' || i), ' ') || ' ' ||
+        |         array_to_string(list_transform(range(1, 17), i -> 'qu' || i), ' ')
+        |  UNION ALL SELECT 9000003,
+        |         array_to_string(list_transform(range(1, 101), i -> 'qv' || i), ' ')
+        |  UNION ALL SELECT 9000004,
+        |         array_to_string(list_transform(range(1, 80), i -> 'qv' || i), ' ') || ' ' ||
+        |         array_to_string(list_transform(range(1, 22), i -> 'qs' || i), ' ')),
         |bed AS (SELECT doc_id, text FROM base
-        |        UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM base WHERE doc_id % 25 = 0),
+        |        UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM base WHERE doc_id % 25 = 0
+        |        UNION ALL SELECT doc_id, text FROM synth),
         |t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM bed),
         |sh AS (SELECT doc_id,
         |  CASE WHEN len(toks) < 3 THEN list_distinct([array_to_string(toks, ' ')])
@@ -4101,7 +4142,9 @@ object SparkEntryExt {
       """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
         |bed AS (SELECT doc_id, text, false AS nw FROM base
         |        UNION ALL SELECT doc_id + 1000000 AS doc_id, text, true AS nw
-        |                  FROM base WHERE doc_id % 25 = 0),
+        |                  FROM base WHERE doc_id % 25 = 0
+        |        UNION ALL SELECT doc_id + 2000000 AS doc_id, text, true AS nw
+        |                  FROM base WHERE doc_id % 50 = 0),
         |t AS (SELECT doc_id, nw, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM bed),
         |sh AS (SELECT doc_id, nw,
         |  CASE WHEN len(toks) < 3 THEN list_distinct([array_to_string(toks, ' ')])

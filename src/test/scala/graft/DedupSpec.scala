@@ -24,10 +24,14 @@ class DedupSpec extends SparkSpecBase {
   }
 
   test("incremental minhash = full minhash restricted to pairs touching a new doc") {
-    // old corpus + a planted increment: every 25th doc re-enters as a copy
+    // old corpus + a planted increment: every 25th doc re-enters as a copy,
+    // every 50th TWICE — so new<->old AND new<->new pairs both fire
     val bed = docs.withColumn("__new", lit(false))
       .unionByName(docs.filter($"doc_id" % 25 === 0)
         .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+        .withColumn("__new", lit(true)))
+      .unionByName(docs.filter($"doc_id" % 50 === 0)
+        .select(($"doc_id" + 2000000L).as("doc_id"), $"text")
         .withColumn("__new", lit(true)))
     val full = Dedup.minhashDuplicates(bed, $"doc_id", $"text",
         shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.7)
@@ -40,6 +44,9 @@ class DedupSpec extends SparkSpecBase {
     // old<->old pairs exist in the full run and are genuinely excluded
     assert(full.exists { case (a, b, _) => a < 1000000L && b < 1000000L })
     assert(!got.exists { case (a, b, _) => a < 1000000L && b < 1000000L })
+    // and the new<->new arm genuinely fires (copy1 vs copy2 of the same doc)
+    assert(got.exists { case (a, b, _) => a >= 1000000L && b >= 2000000L },
+      "bed must produce at least one new<->new pair")
   }
 
   test("minhash-LSH finds exactly the brute-force near-dup pairs (recall 1 here)") {
@@ -76,6 +83,35 @@ class DedupSpec extends SparkSpecBase {
     val groups = Dedup.exactText(withCopy, $"text", $"doc_id")
       .filter($"dup_count" > 1).collect()
     assert(groups.exists(r => r.getAs[Long]("canonical_id") == 8L && r.getAs[Long]("dup_count") == 2L))
+  }
+
+  test("simhash: near-miss pairs (hamming 1-3) match brute force, not just copies") {
+    // perturbed copies: appending a few unique tokens nudges per-bit votes,
+    // landing most signatures a FEW bits from their originals — the arm
+    // maxHamming = 3 actually exists for (an exact-copy bed would stay
+    // green with the bucketing broken for every nonzero distance)
+    val base = docs.limit(40)
+    val perturbed = (1 to 6).map { k =>
+      base.filter($"doc_id" === k * 7)
+        .select(($"doc_id" + 5000).as("doc_id"),
+          concat($"text", lit((1 to k).map(i => s" zz$k$i").mkString)).as("text"))
+    }.reduce(_ unionByName _)
+    val bed = base.unionByName(perturbed)
+    // brute force over the engine's own signature kernel
+    val sigs = bed.select($"doc_id",
+        Dedup.simhash(Tokenize.word($"text")).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ia, ib, h.toLong)).toSet
+    val got = Dedup.simhashDuplicates(bed, $"doc_id", $"text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute, s"got ${got.size} vs brute ${brute.size}")
+    assert(brute.exists { case (_, _, h) => h >= 1 && h <= 3 },
+      s"bed must contain a genuine near-miss pair; distances were " +
+      sigs.combinations(2).map { case Array((_, a), (_, b)) =>
+        java.lang.Long.bitCount(a ^ b) }.toSeq.sorted.take(10).mkString(","))
   }
 
   test("simhash: identical copies at hamming 0; detected as dups") {
