@@ -90,11 +90,19 @@ object Where {
   def ltDate(path: String, v: String): Where   = leaf(WhereOp.LessThan, split(path), DateV(utcTs(v)))
   def geDate(path: String, v: String): Where   = leaf(WhereOp.GreaterThanEqual, split(path), DateV(utcTs(v)))
 
-  /** Parse "yyyy-MM-dd[ HH:mm:ss]" as a UTC instant (session TZ is UTC, so
-    * filter literals line up with naive timestamps in parquet/DuckDB). */
+  /** Parse an RFC3339 instant ("2024-01-01T10:00:00Z", "…+02:00") or the
+    * naive "yyyy-MM-dd[ HH:mm:ss]" form as a UTC instant (session TZ is
+    * UTC, so filter literals line up with naive timestamps in
+    * parquet/DuckDB). The zoned forms are the canonical weaviate date
+    * literals — a naive-only parser rejected them. */
   def utcTs(v: String): java.sql.Timestamp = {
     val norm = if (v.contains(" ") || v.contains("T")) v.replace(' ', 'T') else v + "T00:00:00"
-    java.sql.Timestamp.from(java.time.LocalDateTime.parse(norm).toInstant(java.time.ZoneOffset.UTC))
+    val instant =
+      try java.time.OffsetDateTime.parse(norm).toInstant
+      catch { case _: java.time.format.DateTimeParseException =>
+        java.time.LocalDateTime.parse(norm).toInstant(java.time.ZoneOffset.UTC)
+      }
+    java.sql.Timestamp.from(instant)
   }
   def like(path: String, pattern: String): Where = leaf(WhereOp.Like, split(path), TextV(pattern))
   def isNull(path: String, v: Boolean = true): Where = leaf(WhereOp.IsNull, split(path), BoolV(v))

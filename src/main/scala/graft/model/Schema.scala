@@ -185,20 +185,36 @@ final case class CollectionSchema(
   private val byName: Map[String, Property] = properties.map(p => p.name -> p).toMap
   def property(name: String): Option[Property] = byName.get(name)
 
+  /** Resolve the target vector name: explicit target, else the configured
+   * default, else the ONLY vector. With several named vectors and no
+   * default, a target is REQUIRED (the reference errors too) — a
+   * headOption over a hash-ordered map would search a nondeterministically
+   * chosen column. */
+  private def vectorKey(target: Option[String]): String =
+    target.orElse(defaultVector).getOrElse {
+      if (vectors.isEmpty)
+        throw new IllegalArgumentException(s"collection $name has no vectors")
+      if (vectors.size > 1)
+        throw new IllegalArgumentException(
+          s"collection $name has ${vectors.size} named vectors and no " +
+          "default — specify targetVectors")
+      vectors.keys.head
+    }
+
   def vectorColumn(target: Option[String]): String = {
-    val key = target.orElse(defaultVector).getOrElse(
-      vectors.keys.headOption.getOrElse(
-        throw new IllegalArgumentException(s"collection $name has no vectors")))
+    val key = vectorKey(target)
     vectors.getOrElse(key,
       throw new IllegalArgumentException(s"collection $name has no vector named $key"))
   }
 
   /** The configured metric of a named vector (None = the default vector);
-   * unconfigured vectors take the reference's default, cosine. */
+   * unconfigured vectors take the reference's default, cosine. An UNKNOWN
+   * vector name errors like vectorColumn (a typo must not silently resolve
+   * to cosine). */
   def metricFor(target: Option[String]): Metric = {
-    val key = target.orElse(defaultVector).getOrElse(
-      vectors.keys.headOption.getOrElse(
-        throw new IllegalArgumentException(s"collection $name has no vectors")))
+    val key = vectorKey(target)
+    if (!vectors.contains(key))
+      throw new IllegalArgumentException(s"collection $name has no vector named $key")
     vectorMetrics.getOrElse(key, Metric.Cosine)
   }
 }

@@ -13,7 +13,9 @@ object TenantStatus {
   case object Inactive  extends TenantStatus("INACTIVE")  // not queryable, data local
   case object Offloaded extends TenantStatus("OFFLOADED") // not queryable, data remote
 
-  def parse(s: String): TenantStatus = s.toUpperCase match {
+  // Locale.ROOT: the default-locale toUpperCase breaks under tr-TR
+  // ("inactive" → "İNACTİVE", dotted capital I)
+  def parse(s: String): TenantStatus = s.toUpperCase(java.util.Locale.ROOT) match {
     case "ACTIVE" | "HOT"       => Active
     case "INACTIVE" | "COLD"    => Inactive
     case "OFFLOADED" | "FROZEN" => Offloaded

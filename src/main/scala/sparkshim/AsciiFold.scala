@@ -52,7 +52,7 @@ object AsciiFold {
     'œ' -> "oe", 'Œ' -> "OE",
     'ß' -> "ss", 'ẞ' -> "SS",
     'ð' -> "d", 'Ð' -> "D",
-    'þ' -> "th", 'Þ' -> "Th",
+    'þ' -> "th", 'Þ' -> "TH", // ascii_fold.go:99 folds capital thorn to "TH"
     'đ' -> "d", 'Đ' -> "D",
     'ħ' -> "h", 'Ħ' -> "H",
     'ŧ' -> "t", 'Ŧ' -> "T",

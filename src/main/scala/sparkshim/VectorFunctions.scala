@@ -28,35 +28,45 @@ abstract class VectorDistance extends BinaryExpression with ExpectsInputTypes {
   override def nullIntolerant: Boolean = true
 
   /** Java source for the accumulation loop body; sees `n`, `a`, `b`, writes
-   * `acc`. Placeholders N/ACC/I (and any helper vars the body declares with
-   * V-prefixed names) are rewritten to ctx.freshName'd identifiers — two
-   * distance expressions in one codegen stage (multi-target search, dedup
-   * verify joins) must not collide on local variable names, or the whole
-   * stage silently falls back to interpreted eval. */
+   * `acc`. Placeholders __N__/__ACC__/__I__ (and helper vars __DOT__/__NA__/
+   * __NB__/__X__/__Y__/__D__) are rewritten to ctx.freshName'd identifiers —
+   * two distance expressions in one codegen stage (multi-target search,
+   * dedup verify joins) must not collide on local variable names, or the
+   * whole stage silently falls back to interpreted eval. DELIMITED tokens,
+   * not bare N/I: a bare substring replace would mangle any body text that
+   * merely contains those letters (Double.NEGATIVE_INFINITY, Integer, …). */
   protected def loopBody(a: String, b: String): String
-  protected def finish(acc: Double): Double = acc
   protected def finishCode(acc: String): String = acc
 
   protected def dist(x: ArrayData, y: ArrayData): Double
 
-  override def nullSafeEval(l: Any, r: Any): Any =
-    dist(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  private def checkDims(nl: Int, nr: Int): Unit =
+    if (nl != nr) throw new IllegalArgumentException(
+      s"$prettyName: vector dimension mismatch ($nl vs $nr)")
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val x = l.asInstanceOf[ArrayData]; val y = r.asInstanceOf[ArrayData]
+    // UnsafeArrayData has NO bounds check — a silent mismatch would read
+    // adjacent heap bytes into the distance (the reference errors instead)
+    checkDims(x.numElements(), y.numElements())
+    dist(x, y)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       val i = ctx.freshName("i")
-      // helper locals some kernels declare (dot/na/nb/x/y/d); longest
-      // placeholders first, and V-prefixed ones before bare N/I
-      val renamed = Seq("VDOT" -> "dot", "VNA" -> "na", "VNB" -> "nb",
-          "VX" -> "x", "VY" -> "y", "VD" -> "d")
+      val renamed = Seq("__DOT__" -> "dot", "__NA__" -> "na", "__NB__" -> "nb",
+          "__X__" -> "x", "__Y__" -> "y", "__D__" -> "d")
         .foldLeft(loopBody(a, b)) {
           case (body, (ph, base)) => body.replace(ph, ctx.freshName(base))
         }
-        .replace("ACC", acc).replace("N", n).replace("I", i)
+        .replace("__ACC__", acc).replace("__N__", n).replace("__I__", i)
       s"""
          |int $n = $a.numElements();
+         |if ($n != $b.numElements()) throw new IllegalArgumentException(
+         |  "$prettyName: vector dimension mismatch (" + $n + " vs " + $b.numElements() + ")");
          |double $acc = 0.0;
          |$renamed
          |${ev.value} = ${finishCode(acc)};
@@ -68,9 +78,9 @@ abstract class VectorDistance extends BinaryExpression with ExpectsInputTypes {
 case class L2SquaredDistance(left: Expression, right: Expression) extends VectorDistance {
   override def prettyName: String = "l2_squared"
   protected def loopBody(a: String, b: String): String =
-    s"""for (int I = 0; I < N; I++) {
-       |  double VD = (double) $a.getFloat(I) - (double) $b.getFloat(I);
-       |  ACC += VD * VD;
+    s"""for (int __I__ = 0; __I__ < __N__; __I__++) {
+       |  double __D__ = (double) $a.getFloat(__I__) - (double) $b.getFloat(__I__);
+       |  __ACC__ += __D__ * __D__;
        |}""".stripMargin
   protected def dist(x: ArrayData, y: ArrayData): Double = {
     var acc = 0.0; var i = 0; val n = x.numElements()
@@ -84,12 +94,12 @@ case class L2SquaredDistance(left: Expression, right: Expression) extends Vector
 case class CosineDistance(left: Expression, right: Expression) extends VectorDistance {
   override def prettyName: String = "cosine_distance"
   protected def loopBody(a: String, b: String): String =
-    s"""double VDOT = 0.0, VNA = 0.0, VNB = 0.0;
-       |for (int I = 0; I < N; I++) {
-       |  double VX = (double) $a.getFloat(I); double VY = (double) $b.getFloat(I);
-       |  VDOT += VX * VY; VNA += VX * VX; VNB += VY * VY;
+    s"""double __DOT__ = 0.0, __NA__ = 0.0, __NB__ = 0.0;
+       |for (int __I__ = 0; __I__ < __N__; __I__++) {
+       |  double __X__ = (double) $a.getFloat(__I__); double __Y__ = (double) $b.getFloat(__I__);
+       |  __DOT__ += __X__ * __Y__; __NA__ += __X__ * __X__; __NB__ += __Y__ * __Y__;
        |}
-       |ACC = (VNA == 0.0 || VNB == 0.0) ? 1.0 : 1.0 - VDOT / Math.sqrt(VNA * VNB);""".stripMargin
+       |__ACC__ = (__NA__ == 0.0 || __NB__ == 0.0) ? 1.0 : 1.0 - __DOT__ / Math.sqrt(__NA__ * __NB__);""".stripMargin
   protected def dist(x: ArrayData, y: ArrayData): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0; val n = x.numElements()
     while (i < n) {
@@ -105,8 +115,8 @@ case class CosineDistance(left: Expression, right: Expression) extends VectorDis
 case class DotDistance(left: Expression, right: Expression) extends VectorDistance {
   override def prettyName: String = "dot_distance"
   protected def loopBody(a: String, b: String): String =
-    s"""for (int I = 0; I < N; I++) {
-       |  ACC += (double) $a.getFloat(I) * (double) $b.getFloat(I);
+    s"""for (int __I__ = 0; __I__ < __N__; __I__++) {
+       |  __ACC__ += (double) $a.getFloat(__I__) * (double) $b.getFloat(__I__);
        |}""".stripMargin
   override protected def finishCode(acc: String): String = s"-$acc"
   protected def dist(x: ArrayData, y: ArrayData): Double = {
@@ -121,8 +131,8 @@ case class DotDistance(left: Expression, right: Expression) extends VectorDistan
 case class ManhattanDistance(left: Expression, right: Expression) extends VectorDistance {
   override def prettyName: String = "manhattan_distance"
   protected def loopBody(a: String, b: String): String =
-    s"""for (int I = 0; I < N; I++) {
-       |  ACC += Math.abs((double) $a.getFloat(I) - (double) $b.getFloat(I));
+    s"""for (int __I__ = 0; __I__ < __N__; __I__++) {
+       |  __ACC__ += Math.abs((double) $a.getFloat(__I__) - (double) $b.getFloat(__I__));
        |}""".stripMargin
   protected def dist(x: ArrayData, y: ArrayData): Double = {
     var acc = 0.0; var i = 0; val n = x.numElements()
@@ -136,8 +146,8 @@ case class ManhattanDistance(left: Expression, right: Expression) extends Vector
 case class HammingDistance(left: Expression, right: Expression) extends VectorDistance {
   override def prettyName: String = "hamming_distance"
   protected def loopBody(a: String, b: String): String =
-    s"""for (int I = 0; I < N; I++) {
-       |  if ($a.getFloat(I) != $b.getFloat(I)) ACC += 1.0;
+    s"""for (int __I__ = 0; __I__ < __N__; __I__++) {
+       |  if ($a.getFloat(__I__) != $b.getFloat(__I__)) __ACC__ += 1.0;
        |}""".stripMargin
   protected def dist(x: ArrayData, y: ArrayData): Double = {
     var acc = 0.0; var i = 0; val n = x.numElements()
@@ -413,6 +423,14 @@ object NearestCentroids {
       while (i < n) {
         if (!used(i) && dists(i) < bestD) { bestD = dists(i); best = i }
         i += 1
+      }
+      if (best < 0) {
+        // a NaN component makes every comparison false — assign such rows
+        // to the first unused centroid deterministically instead of
+        // crashing the whole job on one bad embedding
+        var j = 0
+        while (j < n && used(j)) j += 1
+        best = j
       }
       used(best) = true; out(k) = best
       k += 1
@@ -818,7 +836,19 @@ object RqOps {
       i += 1
     }
     val step = (upper - lower) / 255.0f
-    if (step <= 0f) return out // zero vector → zero code (reference ZeroRQCode)
+    if (step <= 0f) {
+      // CONSTANT rotation (upper == lower — includes non-zero inputs whose
+      // mass lands evenly): codes all 0 with the constant as `lower` is
+      // exact, but `lower` and ‖x‖² must still be recorded — an all-zero
+      // header is only correct for the true zero vector and silently
+      // corrupts l2 estimates otherwise
+      var n2 = 0.0f
+      var j = 0
+      while (j < x.length) { n2 += x(j) * x(j); j += 1 }
+      putF32(out, 0, lower)
+      putF32(out, 12, n2)
+      return out
+    }
     var codeSum = 0L
     i = 0
     while (i < outDim) {

@@ -292,4 +292,26 @@ class FilterCompilerSpec extends SparkSpecBase {
     assert(ids(Where.containsAnyText("labels", Seq("Big Data"))) == Seq(1L, 3L))
     assert(ids(Where.containsAnyText("labels", Seq("Big"))) == Seq())
   }
+
+  test("utcTs parses RFC3339 zoned forms, not only naive timestamps") {
+    def ms(s: String): Long = graft.model.Where.utcTs(s).getTime
+    assert(ms("2024-01-01T10:00:00Z") == ms("2024-01-01 10:00:00"))
+    assert(ms("2024-01-01T12:00:00+02:00") == ms("2024-01-01 10:00:00"))
+    assert(ms("2024-01-01") == ms("2024-01-01 00:00:00"))
+  }
+
+  test("multi-vector schema without a default requires an explicit target") {
+    val s2 = graft.model.CollectionSchema("MV", "id", Seq.empty,
+      vectors = Map("a" -> "va", "b" -> "vb"))
+    assert(intercept[IllegalArgumentException] { s2.vectorColumn(None) }
+      .getMessage.contains("specify targetVectors"))
+    assert(s2.vectorColumn(Some("b")) == "vb")
+    // a typo'd target errors instead of silently resolving to cosine
+    assert(intercept[IllegalArgumentException] { s2.metricFor(Some("typo")) }
+      .getMessage.contains("no vector named"))
+    // single-vector collections keep the implicit default
+    val s1 = graft.model.CollectionSchema("SV", "id", Seq.empty,
+      vectors = Map("only" -> "v"))
+    assert(s1.vectorColumn(None) == "v")
+  }
 }

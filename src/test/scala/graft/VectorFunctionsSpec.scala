@@ -54,6 +54,25 @@ class VectorFunctionsSpec extends SparkSpecBase {
     assert(math.abs(geo - 190000.0) < 1000.0, s"geo=$geo")
   }
 
+  test("dimension mismatch errors loudly (never reads out of bounds)") {
+    val e = intercept[Throwable] {
+      Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+        .select(l2Squared($"a", $"b")).collect()
+    }
+    // surfaces directly or wrapped, depending on the eval path
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("dimension mismatch"), msg)
+  }
+
+  test("NaN embedding assigns deterministically instead of crashing") {
+    val cents = Array(Array(0.0, 0.0), Array(5.0, 5.0))
+    val bad = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(Float.NaN, 1.0f))
+    val got = org.apache.spark.sql.graft.NearestCentroids.compute(bad, cents, 2)
+    assert(got.toSeq == Seq(0, 1)) // first-unused order, no AIOOBE
+  }
+
   test("cosine of zero vector is 1 (guarded)") {
     val z = Array(0.0f, 0.0f, 0.0f)
     val d = Seq((z, b)).toDF("a", "b")
