@@ -1453,6 +1453,55 @@ object SparkEntryExt {
         .orderBy(col("probe_id"))
     }),
 
+    // §2.10 classification RUN write-back (reference: classifier_run.go +
+    // ref_meta.go + adapters/repos/db/classification.go): label_ref unset ⇒
+    // to-be-classified, set ⇒ training; a planted zero-distance MULTI-label
+    // training row fails its probe (extractBeacons' exactly-one-label rule ⇒
+    // CountFailed, no write); winners land in the store with the full
+    // per-ref distance meta + the object-level _classification meta, and the
+    // report literals carry the run counts. The oracle replays the WHOLE run
+    // — split, NormalizedDistance top-5, failure rule, votes, winner pin,
+    // winning/losing stats, report — in SQL.
+    "q_classify_writeback" -> ((s, dir) => {
+      val emb = g(s, dir).collection("Embedding").df
+        .select(col("vec_id"), col("embedding"), col("label").cast("long").as("lbl"))
+      val base = emb
+        .withColumn("label_ref", when(col("vec_id") % 5 =!= 0, array(col("lbl"))))
+        .drop("lbl")
+      val planted = base.filter(col("vec_id") === 0)
+        .select(lit(100000L).as("vec_id"), col("embedding"),
+          array(lit(1L), lit(2L)).as("label_ref"))
+      val schema = CollectionSchema("ClsBed", "vec_id", Seq(
+        Property("label_ref", PropType.Ref, refTarget = Some("ClsBed"))))
+      val st = new graft.sources.CollectionStore(s,
+        java.nio.file.Files.createTempDirectory("graft-clsjob").toString, schema)
+      st.init(base.unionByName(planted))
+      val run = Classify.knnJob(st, "embedding", "label_ref", k = 5,
+        "run-t2", 1700000000000000L)
+      val meta = col(Classify.refMetaCol("label_ref"))
+      val cls = col(Classify.MetaCol)
+      st.read()
+        .filter(cls.isNotNull && cls.getField("id") === "run-t2" &&
+          size(cls.getField("classifiedFields")) > 0)
+        .select(col("vec_id"),
+          element_at(col("label_ref"), 1).as("assigned"),
+          meta.getField("overallCount").as("overall_count"),
+          meta.getField("winningCount").as("winning_count"),
+          meta.getField("losingCount").as("losing_count"),
+          round(meta.getField("closestOverallDistance"), 4).as("closest_overall"),
+          round(meta.getField("closestWinningDistance"), 4).as("closest_winning"),
+          round(meta.getField("meanWinningDistance"), 4).as("mean_winning"),
+          round(meta.getField("closestLosingDistance"), 4).as("closest_losing"),
+          round(meta.getField("meanLosingDistance"), 4).as("mean_losing"),
+          array_join(cls.getField("classifiedFields"), ",").as("fields"),
+          array_join(cls.getField("scope"), ",").as("scope"),
+          lit(run.count).as("rp_count"),
+          lit(run.countSucceeded).as("rp_succeeded"),
+          lit(run.countFailed).as("rp_failed"),
+          lit(run.status).as("rp_status"))
+        .orderBy(col("vec_id"))
+    }),
+
     // §2.7 _additional { generate } singleResult: per-row {prop} prompt
     // templating through the generative module boundary (echo stand-in makes
     // the assembled prompt the output — the templating is what's checked)
@@ -5195,6 +5244,48 @@ object SparkEntryExt {
          |pick AS (SELECT probe_id, label, votes,
          |         row_number() OVER (PARTITION BY probe_id ORDER BY votes DESC, label ASC) AS rn FROM v)
          |SELECT probe_id, label AS predicted_label, votes FROM pick WHERE rn = 1 ORDER BY probe_id""".stripMargin,
+
+    "q_classify_writeback" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding, CAST(label AS BIGINT) AS lbl FROM embeddings),
+         |train AS (
+         |  SELECT vec_id, embedding, lbl, 1 AS nlab FROM base WHERE vec_id % 5 <> 0
+         |  UNION ALL
+         |  SELECT 100000, embedding, NULL, 2 FROM base WHERE vec_id = 0),
+         |probes AS (SELECT vec_id AS pid, embedding AS pv FROM base WHERE vec_id % 5 = 0),
+         |pairs AS (
+         |  SELECT p.pid, t.vec_id, t.lbl, t.nlab,
+         |         ${sqlCosine("t.embedding", "p.pv")} / 2 AS nd
+         |  FROM train t CROSS JOIN probes p),
+         |top AS (SELECT * FROM (
+         |  SELECT pid, vec_id, lbl, nlab, nd,
+         |         row_number() OVER (PARTITION BY pid ORDER BY nd ASC, vec_id ASC) AS rnk
+         |  FROM pairs) WHERE rnk <= 5),
+         |bad AS (SELECT pid FROM top GROUP BY pid HAVING max(nlab) > 1),
+         |ok AS (SELECT * FROM top WHERE pid NOT IN (SELECT pid FROM bad)),
+         |perlbl AS (SELECT pid, lbl, count(*) AS votes, min(nd) AS mind, sum(nd) AS sumd
+         |  FROM ok GROUP BY pid, lbl),
+         |win AS (SELECT pid, lbl AS wlbl, votes AS wc, mind AS cwd, sumd / votes AS mwd FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY pid ORDER BY votes DESC, lbl ASC) AS rn
+         |  FROM perlbl) WHERE rn = 1),
+         |lose AS (SELECT p.pid, sum(p.votes) AS lc, min(p.mind) AS cld,
+         |         sum(p.sumd) / sum(p.votes) AS mld
+         |  FROM perlbl p JOIN win w ON p.pid = w.pid AND p.lbl <> w.wlbl GROUP BY p.pid),
+         |tot AS (SELECT pid, count(*) AS oc, min(nd) AS cod FROM ok GROUP BY pid),
+         |rep AS (SELECT (SELECT count(*) FROM probes) AS cnt,
+         |               (SELECT count(*) FROM bad) AS failed)
+         |SELECT w.pid AS vec_id, w.wlbl AS assigned,
+         |  t.oc AS overall_count, CAST(w.wc AS BIGINT) AS winning_count,
+         |  CAST(coalesce(l.lc, 0) AS BIGINT) AS losing_count,
+         |  round(t.cod, 4) AS closest_overall, round(w.cwd, 4) AS closest_winning,
+         |  round(w.mwd, 4) AS mean_winning, round(l.cld, 4) AS closest_losing,
+         |  round(l.mld, 4) AS mean_losing,
+         |  'label_ref' AS fields, 'label_ref' AS scope,
+         |  rep.cnt AS rp_count, rep.cnt - rep.failed AS rp_succeeded,
+         |  rep.failed AS rp_failed, 'completed' AS rp_status
+         |FROM win w JOIN tot t ON w.pid = t.pid LEFT JOIN lose l ON w.pid = l.pid
+         |CROSS JOIN rep
+         |ORDER BY vec_id""".stripMargin,
 
     "q_ref2vec" ->
       """SELECT d.lang,

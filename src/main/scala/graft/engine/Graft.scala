@@ -1239,6 +1239,11 @@ final class Graft(val spark: SparkSession) {
           Some(col(Contextionary.PathCol))
         case "interpretation" if df.columns.contains(Contextionary.InterpretationCol) =>
           Some(col(Contextionary.InterpretationCol))
+        // object-level classification meta written by Classify.knnJob
+        // (reference: _additional { classification },
+        // entities/additional/classification.go)
+        case "classification" if df.columns.contains(graft.pipeline.Classify.MetaCol) =>
+          Some(col(graft.pipeline.Classify.MetaCol))
         case "creationTimeUnix" =>
           c.schema.creationTimeColumn.map(t => col(t).as("_creationTimeUnix"))
         case "lastUpdateTimeUnix" =>

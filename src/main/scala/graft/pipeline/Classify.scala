@@ -5,8 +5,18 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ann.IvfIndex
-import graft.model.Metric
+import graft.model.{Metric, PropType, Where}
 import graft.operators.KnnJoin
+import graft.sources.CollectionStore
+
+/**
+ * Outcome of a classification run (reference: models.Classification status
+ * fields set by classifier_run.go:144-148 — Completed/CountSucceeded/
+ * CountFailed/Count — and succeedRun/failRunWithError:152-171).
+ */
+final case class ClassificationRun(
+    id: String, status: String, error: Option[String],
+    count: Long, countSucceeded: Long, countFailed: Long)
 
 /**
  * kNN classification as a batch job (reference: usecases/classification/
@@ -46,6 +56,171 @@ object Classify {
     val w = Window.partitionBy(col("probe_id")).orderBy(col("votes").desc, col("label").asc)
     votes.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .select(col("probe_id"), col("label").as("predicted_label"), col("votes"))
+  }
+
+  /** Column holding the object-level classification meta after a [[knnJob]]
+   * write-back (reference: `_additional { classification }`,
+   * entities/additional/classification.go — {id, scope, classifiedFields,
+   * completed}; attached by classifier_run.go:173-187
+   * extendItemWithObjectMeta). */
+  val MetaCol = "_classification"
+
+  /** Per-ref meta column for a classified property (reference: the winning
+   * SingleRef's Classification payload — models.ReferenceMetaClassification
+   * built in ref_meta.go:30-55: neighbour counts plus normalized
+   * winning/losing distances). */
+  def refMetaCol(prop: String): String = s"${prop}__refMeta"
+
+  /**
+   * The full classification RUN over a collection store — the engine analogue
+   * of `POST /v1/classifications` with type=knn (reference:
+   * usecases/classification/classifier_run.go + adapters/repos/db/
+   * classification.go):
+   *
+   *  - to-be-classified = rows whose `classifyProp` ref-count is 0, ANDed
+   *    with `sourceWhere` (GetUnclassified:33-59 merges the user source
+   *    filter with count(prop) == 0); zero such rows fails the run with the
+   *    reference's error text (classifier_run.go:49-52);
+   *  - training set = rows whose ref-count is > 0, ANDed with
+   *    `trainingWhere` (AggregateNeighbors:90-116 merges count(prop) > 0);
+   *  - per item: the k nearest training rows by NormalizedDistance =
+   *    (1 − cos)/2 (usecases/vectorizer/distance.go:21); votes group by the
+   *    ref target and the winner is the most-voted target
+   *    (aggregateBeacons:180-200 — reference map iteration is unordered on
+   *    ties, pinned here to the smallest target id), written with counts +
+   *    winning/losing distance meta (ref_meta.go);
+   *  - a training neighbour with ≠ 1 label fails THAT item
+   *    (extractBeacons:163 "a knn training data object needs to have exactly
+   *    one label" — the per-item error becomes CountFailed and the item is
+   *    not written, classifier_run_worker.go);
+   *  - write-back: succeeded items get `classifyProp` = the winning target,
+   *    the per-ref meta struct in [[refMetaCol]], and the object-level
+   *    [[MetaCol]] = {id, scope, classifiedFields, completed}. Items with no
+   *    neighbours (empty training set) still succeed, with empty
+   *    classifiedFields (aggregateBeacons over zero results returns nil,
+   *    the item stores meta-only).
+   *
+   * Scale shape: the to-be-classified/training split is two pushed-down scan
+   * predicates over one cached read; the kNN is [[KnnJoin]] (brute broadcast
+   * for page-sized probe sets; IVF-bucketed with the salted-shuffle switch
+   * via `index` — the 100 TB path); vote/stat aggregation is two hash-aggs
+   * plus one probe-partitioned bounded window; the write-back is the store's
+   * single id-keyed upsert join.
+   *
+   * @return the run report (reference: models.Classification meta fields);
+   *         the classified objects live in the store's new version.
+   */
+  def knnJob(
+      store: CollectionStore, vecCol: String, classifyProp: String, k: Int,
+      runId: String, completedAtMicros: Long,
+      sourceWhere: Option[Where] = None,
+      trainingWhere: Option[Where] = None,
+      index: Option[IvfIndex] = None, nprobe: Option[Int] = None): ClassificationRun = {
+    require(k >= 1, "knnJob: k must be >= 1")
+    require(store.schema.property(classifyProp).exists(_.dataType == PropType.Ref),
+      s"knnJob: $classifyProp is not a cref property (validation.go:121 — " +
+      "classifyProperties must be reference props)")
+    val idCol = store.schema.idColumn
+    index.foreach { ix =>
+      require(ix.idCol == idCol && ix.vecCol == vecCol,
+        s"knnJob: index columns (${ix.idCol}, ${ix.vecCol}) do not match " +
+        s"($idCol, $vecCol) — build the IvfIndex over this store's TRAINING rows")
+    }
+    // one read, four consumers (source split, training split, write-back join)
+    val current = store.read()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val isArray = current.schema(classifyProp).dataType
+        .isInstanceOf[org.apache.spark.sql.types.ArrayType]
+      val refCnt =
+        if (isArray) coalesce(size(col(classifyProp)), lit(0))
+        else when(col(classifyProp).isNotNull, lit(1)).otherwise(lit(0))
+      def compiled(w: Option[Where], df: DataFrame): DataFrame = w match {
+        case Some(where) =>
+          new graft.engine.FilterCompiler(n => throw new IllegalArgumentException(
+            s"knnJob filters cannot traverse refs (no target $n registered)"))(
+            df, store.schema, where)
+        case None => df
+      }
+      val unclassified = compiled(sourceWhere, current).filter(refCnt === 0)
+      val training = compiled(trainingWhere, current).filter(refCnt > 0)
+      val total = unclassified.count()
+      if (total == 0)
+        return ClassificationRun(runId, "failed",
+          Some("no classes to be classified - did you run a previous classification already?"),
+          0L, 0L, 0L)
+
+      // Metric.Cosine (1 − cos) is a positive monotone double of
+      // NormalizedDistance, so the top-k is identical and the reported
+      // distances are dist / 2
+      val neighbours = index match {
+        case Some(ix) => KnnJoin.bucketed(ix, unclassified, col(idCol), col(vecCol),
+          k, Metric.Cosine, nprobe.getOrElse(ix.defaultNprobe), excludeSelf = false)
+        case None => KnnJoin(training, col(idCol), col(vecCol),
+          unclassified, col(idCol), col(vecCol), k, Metric.Cosine, excludeSelf = false)
+      }
+      val labelled = neighbours.join(
+        training.select(col(idCol).as("data_id"),
+          (if (isArray) col(classifyProp) else array(col(classifyProp))).as("__refs")),
+        Seq("data_id"))
+        .withColumn("__bad", size(col("__refs")) =!= 1)
+        .withColumn("__target", element_at(col("__refs"), 1))
+        .withColumn("__nd", col("dist") / 2)
+      val perTarget = labelled.groupBy(col("probe_id"), col("__target")).agg(
+        count(lit(1)).as("__votes"), min(col("__nd")).as("__minD"),
+        sum(col("__nd")).as("__sumD"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("__votes").desc, col("__target").asc)
+      val winners = perTarget.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("probe_id"), col("__target").as("__win"),
+          col("__votes").as("winningCount"),
+          col("__minD").as("closestWinningDistance"),
+          (col("__sumD") / col("__votes")).as("meanWinningDistance"))
+      val losing = perTarget.join(
+          winners.select(col("probe_id"), col("__win")), Seq("probe_id"))
+        .filter(col("__target") =!= col("__win"))
+        .groupBy(col("probe_id")).agg(
+          sum(col("__votes")).as("losingCount"),
+          min(col("__minD")).as("closestLosingDistance"),
+          (sum(col("__sumD")) / sum(col("__votes"))).as("meanLosingDistance"))
+      val perProbe = labelled.groupBy(col("probe_id")).agg(
+        max(col("__bad")).as("__itemBad"),
+        count(lit(1)).as("overallCount"),
+        min(col("__nd")).as("closestOverallDistance"))
+      val stats = winners.join(perProbe, Seq("probe_id"))
+        .join(losing, Seq("probe_id"), "left")
+        .withColumn("losingCount", coalesce(col("losingCount"), lit(0L)))
+        // three consumers (failed tally, write-back join, anti-join)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val failed = stats.filter(col("__itemBad")).count()
+        val metaStruct = struct(
+          col("overallCount"), col("winningCount"), col("losingCount"),
+          col("closestOverallDistance"), col("closestWinningDistance"),
+          col("meanWinningDistance"), col("closestLosingDistance"),
+          col("meanLosingDistance"))
+        val updates = unclassified
+          .join(stats.filter(!col("__itemBad"))
+            .select(col("probe_id").as(idCol), col("__win"), metaStruct.as("__meta")),
+            Seq(idCol), "left")
+          // failed items are NOT written (their update row drops here)
+          .join(stats.filter(col("__itemBad"))
+            .select(col("probe_id").as(idCol)), Seq(idCol), "left_anti")
+          .withColumn(classifyProp,
+            if (isArray) when(col("__win").isNotNull, array(col("__win")))
+            else col("__win"))
+          .withColumn(refMetaCol(classifyProp), col("__meta"))
+          .withColumn(MetaCol, struct(
+            lit(runId).as("id"), array(lit(classifyProp)).as("scope"),
+            when(col("__win").isNotNull, array(lit(classifyProp)))
+              .otherwise(array().cast("array<string>")).as("classifiedFields"),
+            timestamp_micros(lit(completedAtMicros)).as("completed")))
+          .drop("__win", "__meta")
+        store.upsert(updates)
+        ClassificationRun(runId, "completed", None, total, total - failed, failed)
+      } finally stats.unpersist()
+    } finally current.unpersist()
   }
 
   /**
