@@ -2293,6 +2293,62 @@ object SparkEntryExt {
     // §2.6 schema-lookup aggregators type/pointingTo riding a scanned agg
     // row (reference: entities/aggregation/params.go:118,148-150 — answered
     // from the class schema, no data read for the lookup columns)
+    // §2.1 namespace control plane + data-plane gate (reference:
+    // usecases/namespaces/controller.go state machine with the
+    // StateChangeIndex CAS, require_active.go, public_message.go): a scripted
+    // lifecycle — creates (reserved/bad-syntax/duplicate arms), the
+    // suspend→resume→active walk with requireActive's public texts at each
+    // stop, a stale-CAS refusal, the illegal-transition and
+    // remove-while-active sentinels, deletion listing, and a REAL collection
+    // page served, gated while suspended, and served again after
+    // reactivation. Every outcome is deterministic, so the oracle is the
+    // literal script plus the live page counts.
+    "q_namespace" -> ((s, dir) => {
+      import s.implicits._
+      import graft.engine.Namespaces.{State, publicMessage}
+      val docs = g(s, dir).collection("Document").df
+        .select(col("doc_id"), col("n_chars"))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      def res(e: Either[graft.engine.Namespaces.NsError, Unit]): String =
+        e.fold(_.message, _ => "ok")
+      def public(e: Either[graft.engine.Namespaces.NsError, Unit]): String =
+        e.fold(err => publicMessage(err).getOrElse(err.message), _ => "ok")
+      val g2 = new graft.engine.Graft(s).register(
+        CollectionSchema("NsDoc", "doc_id", Seq(Property("n_chars", PropType.Int))), docs)
+      val c = g2.namespaces
+      out += "01_create_team_a" -> res(c.create("team-a", "node-1", 1))
+      out += "02_create_reserved" -> res(c.create("default", "node-1", 2))
+      out += "03_create_bad_syntax" -> res(c.create("Team-B", "node-1", 3))
+      out += "04_create_duplicate" -> res(c.create("team-a", "node-2", 4))
+      out += "05_suspend" -> res(c.changeState("team-a", State.Suspended, 5, expectedIndex = 1))
+      out += "06_require_suspended" -> public(c.requireActive("team-a"))
+      out += "07_cas_stale" -> res(c.changeState("team-a", State.Active, 6, expectedIndex = 1))
+      out += "08_resume" -> res(c.changeState("team-a", State.Resuming, 7, expectedIndex = 5))
+      out += "09_require_resuming" -> public(c.requireActive("team-a"))
+      out += "10_activate" -> res(c.changeState("team-a", State.Active, 8))
+      out += "11_illegal_transition" -> res(c.changeState("team-a", State.Resuming, 9))
+      out += "12_delete" -> res(c.changeState("team-a", State.Deleting, 10))
+      out += "13_create_team_b" -> res(c.create("team-b", "node-1", 11))
+      out += "14_remove_active" -> res(c.removeEntity("team-b"))
+      out += "15_delete_team_b" -> res(c.changeState("team-b", State.Deleting, 12))
+      out += "16_deleting_list" -> c.listDeleting().mkString(",")
+      out += "17_remove_team_b" -> res(c.removeEntity("team-b"))
+      out += "18_require_gone" -> public(c.requireActive("team-b"))
+      c.create("team-c", "node-1", 13)
+      g2.assignNamespace("NsDoc", "team-c")
+      def page(): String = g2.get(GetParams("NsDoc",
+        where = Some(Where.ltInt("doc_id", 30L)),
+        pagination = Some(Pagination(limit = 50)),
+        properties = Seq("doc_id"))).count().toString
+      out += "19_page_active" -> page()
+      c.changeState("team-c", State.Suspended, 14)
+      out += "20_page_suspended" ->
+        (try page() catch { case e: IllegalStateException => e.getMessage })
+      c.changeState("team-c", State.Active, 15)
+      out += "21_page_reactivated" -> page()
+      out.toSeq.toDF("step", "result").orderBy(col("step"))
+    }),
+
     "q_agg_type" -> ((s, dir) => {
       g(s, dir).aggregate(AggregateParams("Document",
         properties = Map(
@@ -3429,6 +3485,35 @@ object SparkEntryExt {
 
     // type/pointingTo are schema constants (the engine schema is the
     // fixture-declared one); n_chars_min is the real scanned anchor
+    // the namespace lifecycle script is deterministic (VALUES); the two live
+    // rows re-count the page the gate must keep serving around the suspension
+    "q_namespace" ->
+      """SELECT * FROM (VALUES
+        |  ('01_create_team_a', 'ok'),
+        |  ('02_create_reserved', 'bad request'),
+        |  ('03_create_bad_syntax', 'bad request'),
+        |  ('04_create_duplicate', 'namespace already exists'),
+        |  ('05_suspend', 'ok'),
+        |  ('06_require_suspended', 'instance suspended'),
+        |  ('07_cas_stale', 'namespace state changed concurrently'),
+        |  ('08_resume', 'ok'),
+        |  ('09_require_resuming', 'instance resuming, retry shortly'),
+        |  ('10_activate', 'ok'),
+        |  ('11_illegal_transition', 'invalid namespace state transition'),
+        |  ('12_delete', 'ok'),
+        |  ('13_create_team_b', 'ok'),
+        |  ('14_remove_active', 'namespace is in an invalid state for this operation'),
+        |  ('15_delete_team_b', 'ok'),
+        |  ('16_deleting_list', 'team-a,team-b'),
+        |  ('17_remove_team_b', 'ok'),
+        |  ('18_require_gone', 'instance unavailable'),
+        |  ('20_page_suspended', 'instance suspended')) AS t(step, result)
+        |UNION ALL SELECT '19_page_active', CAST(count(*) AS VARCHAR)
+        |  FROM documents WHERE doc_id < 30
+        |UNION ALL SELECT '21_page_reactivated', CAST(count(*) AS VARCHAR)
+        |  FROM documents WHERE doc_id < 30
+        |ORDER BY step""".stripMargin,
+
     "q_agg_type" ->
       """SELECT 'cref' AS links_type, 'Document' AS links_pointingTo,
         |  'int' AS n_chars_type, CAST(min(n_chars) AS DOUBLE) AS n_chars_min,

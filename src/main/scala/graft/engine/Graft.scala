@@ -171,10 +171,39 @@ final class Graft(val spark: SparkSession) {
     register(Collection(schema, df))
   def collection(name: String): Collection = {
     val resolved = resolveAlias(name)
-    collections.getOrElse(resolved,
+    val c = collections.getOrElse(resolved,
       throw new IllegalArgumentException(s"unknown collection $resolved"))
+    // namespace lifecycle gate (reference: usecases/namespaces/RequireActive
+    // called before serving a namespaced entity; callers outside the
+    // management API render PublicMessage, not the sentinel)
+    collectionNamespaces.get(resolved).foreach { ns =>
+      namespaces.requireActive(ns).left.foreach { e =>
+        throw new IllegalStateException(
+          Namespaces.publicMessage(e).getOrElse(e.message))
+      }
+    }
+    c
   }
   def hasCollection(name: String): Boolean = collections.contains(resolveAlias(name))
+
+  // --- Namespaces (reference: usecases/namespaces) — platform grouping of
+  // collections; a non-active namespace makes its collections unavailable at
+  // every entry point that routes through `collection`.
+  val namespaces = new Namespaces
+  private val collectionNamespaces = scala.collection.mutable.Map.empty[String, String]
+
+  /** Assign a collection to a namespace (the reference qualifies class names
+   * as "<namespace>:<Class>", usecases/schema/namespacing; the engine keeps
+   * the mapping explicit). The namespace must exist and be active. */
+  def assignNamespace(collectionName: String, namespace: String): Graft = {
+    val resolved = resolveAlias(collectionName)
+    require(collections.contains(resolved), s"unknown collection $resolved")
+    namespaces.requireActive(namespace).left.foreach { e =>
+      throw new IllegalStateException(Namespaces.publicMessage(e).getOrElse(e.message))
+    }
+    collectionNamespaces += resolved -> namespace
+    this
+  }
 
   // --- Collection aliases (reference: usecases/schema/alias.go +
   // cluster/schema/schema.go:739-775) — an alias is a second name for a
