@@ -73,7 +73,10 @@ object Namespaces {
    * ValidateName (reserved names). */
   def validateName(name: String): Either[NsError, Unit] =
     if (name.length < 3 || name.length > 36) Left(BadRequest)
-    else if (nameRegex.findFirstIn(name).isEmpty) Left(BadRequest)
+    // full-string match (matches()), not findFirstIn — Java's $ would accept
+    // a trailing line terminator, letting "default\n" bypass both the syntax
+    // rule and the reserved-name refusal
+    else if (!nameRegex.pattern.matcher(name).matches()) Left(BadRequest)
     else if (reservedNames.contains(name)) Left(BadRequest)
     else Right(())
 
@@ -182,7 +185,10 @@ final class Namespaces {
           }
       }
       parsed.map { list =>
-        namespaces.clear(); namespaces ++= list.map(ns => ns.name -> ns); ()
+        // the fold prepends, so `list` is in reverse entry order — restore in
+        // ORIGINAL order so a later duplicate entry wins (last-write-wins,
+        // what a snapshot-stream consumer expects)
+        namespaces.clear(); namespaces ++= list.reverse.map(ns => ns.name -> ns); ()
       }
     }
 

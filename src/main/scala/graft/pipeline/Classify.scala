@@ -125,6 +125,13 @@ object Classify {
       require(ix.idCol == idCol && ix.vecCol == vecCol,
         s"knnJob: index columns (${ix.idCol}, ${ix.vecCol}) do not match " +
         s"($idCol, $vecCol) — build the IvfIndex over this store's TRAINING rows")
+      // the index ranks top-k BEFORE the training join; a training filter the
+      // index does not know about would silently discard ranked neighbours
+      // (classifying from < k eligible rows) instead of ranking the next
+      // nearest eligible ones
+      require(trainingWhere.isEmpty,
+        "knnJob: trainingWhere cannot combine with an index — rebuild the " +
+        "IvfIndex over exactly the filtered training rows instead")
     }
     // one read, four consumers (source split, training split, write-back join)
     val current = store.read()
@@ -132,8 +139,11 @@ object Classify {
     try {
       val isArray = current.schema(classifyProp).dataType
         .isInstanceOf[org.apache.spark.sql.types.ArrayType]
+      // isNull-branched, not coalesce(size(...), 0): under
+      // spark.sql.legacy.sizeOfNull=true size(null) is -1 (not null), which
+      // would put null-ref rows in NEITHER split
       val refCnt =
-        if (isArray) coalesce(size(col(classifyProp)), lit(0))
+        if (isArray) when(col(classifyProp).isNull, lit(0)).otherwise(size(col(classifyProp)))
         else when(col(classifyProp).isNotNull, lit(1)).otherwise(lit(0))
       def compiled(w: Option[Where], df: DataFrame): DataFrame = w match {
         case Some(where) =>
@@ -159,13 +169,18 @@ object Classify {
         case None => KnnJoin(training, col(idCol), col(vecCol),
           unclassified, col(idCol), col(vecCol), k, Metric.Cosine, excludeSelf = false)
       }
+      // LEFT join so an index that contains non-training rows fails LOUDLY
+      // below instead of silently thinning each probe's neighbourhood
       val labelled = neighbours.join(
-        training.select(col(idCol).as("data_id"),
+        training.select(col(idCol).as("data_id"), lit(true).as("__train"),
           (if (isArray) col(classifyProp) else array(col(classifyProp))).as("__refs")),
-        Seq("data_id"))
+        Seq("data_id"), "left")
         .withColumn("__bad", size(col("__refs")) =!= 1)
         .withColumn("__target", element_at(col("__refs"), 1))
         .withColumn("__nd", col("dist") / 2)
+        // one evaluation for the three stats consumers below (the kNN join
+        // is the dominant cost; different agg keys prevent exchange reuse)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val perTarget = labelled.groupBy(col("probe_id"), col("__target")).agg(
         count(lit(1)).as("__votes"), min(col("__nd")).as("__minD"),
         sum(col("__nd")).as("__sumD"))
@@ -191,9 +206,14 @@ object Classify {
       val stats = winners.join(perProbe, Seq("probe_id"))
         .join(losing, Seq("probe_id"), "left")
         .withColumn("losingCount", coalesce(col("losingCount"), lit(0L)))
-        // three consumers (failed tally, write-back join, anti-join)
+        // three consumers (stray-index check, failed tally, write-back join)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
+        val strays = labelled.filter(!coalesce(col("__train"), lit(false))).count()
+        require(strays == 0L,
+          s"knnJob: $strays ranked neighbours are not training rows — the " +
+          "index contains unclassified or stale vectors; rebuild it over " +
+          "exactly the ref-count>0 rows")
         val failed = stats.filter(col("__itemBad")).count()
         val metaStruct = struct(
           col("overallCount"), col("winningCount"), col("losingCount"),
@@ -201,25 +221,27 @@ object Classify {
           col("meanWinningDistance"), col("closestLosingDistance"),
           col("meanLosingDistance"))
         val updates = unclassified
-          .join(stats.filter(!col("__itemBad"))
-            .select(col("probe_id").as(idCol), col("__win"), metaStruct.as("__meta")),
-            Seq(idCol), "left")
-          // failed items are NOT written (their update row drops here)
-          .join(stats.filter(col("__itemBad"))
-            .select(col("probe_id").as(idCol)), Seq(idCol), "left_anti")
+          .join(stats.select(col("probe_id").as(idCol), col("__itemBad"),
+            col("__win"), metaStruct.as("__meta")), Seq(idCol), "left")
+          // failed items are NOT written (their update row drops here);
+          // no-stats rows (empty training set) are meta-only successes
+          .filter(!coalesce(col("__itemBad"), lit(false)))
           .withColumn(classifyProp,
             if (isArray) when(col("__win").isNotNull, array(col("__win")))
-            else col("__win"))
+              // an unclassified field the run did not classify keeps its
+              // stored value (empty array stays [], not null)
+              .otherwise(col(classifyProp))
+            else coalesce(col("__win"), col(classifyProp)))
           .withColumn(refMetaCol(classifyProp), col("__meta"))
           .withColumn(MetaCol, struct(
             lit(runId).as("id"), array(lit(classifyProp)).as("scope"),
             when(col("__win").isNotNull, array(lit(classifyProp)))
               .otherwise(array().cast("array<string>")).as("classifiedFields"),
             timestamp_micros(lit(completedAtMicros)).as("completed")))
-          .drop("__win", "__meta")
+          .drop("__itemBad", "__win", "__meta")
         store.upsert(updates)
         ClassificationRun(runId, "completed", None, total, total - failed, failed)
-      } finally stats.unpersist()
+      } finally { stats.unpersist(); labelled.unpersist() }
     } finally current.unpersist()
   }
 

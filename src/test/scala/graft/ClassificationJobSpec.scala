@@ -135,6 +135,43 @@ class ClassificationJobSpec extends SparkSpecBase {
     assert(back(101L).getAs[Row](Classify.MetaCol) == null)
   }
 
+  test("meta-only success keeps a stored empty array ([] stays [], not null)") {
+    val st = mkStore(Seq((100L, Array(1f, 0f), Some(Seq.empty[Long]))))
+    val run = Classify.knnJob(st, "v", "label_ref", k = 3, "run-9", ts)
+    assert(run.countSucceeded == 1L)
+    val got = st.read().collect().head
+    assert(got.getAs[collection.Seq[Long]]("label_ref") != null)
+    assert(got.getAs[collection.Seq[Long]]("label_ref").isEmpty)
+  }
+
+  test("an index combined with trainingWhere is rejected (silent neighbour loss)") {
+    val st = mkStore(Seq(
+      (1L, Array(1f, 0f), Some(Seq(10L))),
+      (2L, Array(0f, 1f), Some(Seq(20L))),
+      (100L, Array(1f, 0f), None)))
+    val ix = graft.ann.IvfIndex.build(
+      st.read().filter($"label_ref".isNotNull), "id", "v", nlist = 2)
+    val e = intercept[IllegalArgumentException] {
+      Classify.knnJob(st, "v", "label_ref", k = 1, "run-10", ts,
+        trainingWhere = Some(Where.ltInt("id", 5L)), index = Some(ix))
+    }
+    assert(e.getMessage.contains("rebuild the IvfIndex"))
+  }
+
+  test("an index containing non-training rows fails loudly instead of thinning") {
+    val st = mkStore(Seq(
+      (1L, Array(1f, 0f), Some(Seq(10L))),
+      (2L, Array(0f, 1f), Some(Seq(20L))),
+      (100L, Array(1f, 0f), None)))
+    // index over the WHOLE store — row 100 is unclassified, so its ranked
+    // self-neighbour is not a training row
+    val ix = graft.ann.IvfIndex.build(st.read(), "id", "v", nlist = 2)
+    val e = intercept[IllegalArgumentException] {
+      Classify.knnJob(st, "v", "label_ref", k = 2, "run-11", ts, index = Some(ix))
+    }
+    assert(e.getMessage.contains("not training rows"))
+  }
+
   test("a non-ref classify property is rejected (validation.go)") {
     val bad = CollectionSchema("Cls2", "id", Seq(Property("n", PropType.Int)))
     val st = new CollectionStore(spark,

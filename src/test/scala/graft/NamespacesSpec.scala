@@ -24,6 +24,10 @@ class NamespacesSpec extends SparkSpecBase {
     assert(c.create("cust:omer", "n1", 1).isLeft)             // colon
     Namespaces.reservedNames.foreach(r =>
       assert(c.create(r, "n1", 1) == Left(BadRequest), s"reserved $r"))
+    // Java's $ matches before a trailing line terminator — a full-string
+    // match must refuse these (and keep reserved names unreachable via \n)
+    assert(c.create("default\n", "n1", 1) == Left(BadRequest))
+    assert(c.create("abc\n", "n1", 1) == Left(BadRequest))
     assert(c.create("customer-1", "n1", 1).isRight)
     assert(c.create("abc", "n1", 2).isRight)
     assert(c.create("a" * 36, "n1", 3).isRight)
@@ -107,6 +111,11 @@ class NamespacesSpec extends SparkSpecBase {
     assert(c2.get("team-c").get.state == State.Active)
     assert(c2.restore(Seq(("team-d", "n4", "FROZEN", 5))) == Left(BadRequest))
     assert(c2.restore(Seq(("team-e", "", "ACTIVE", 6))) == Left(BadRequest))
+    // duplicate names in a snapshot stream: the LATER entry wins
+    assert(c2.restore(Seq(
+      ("team-a", "n1", "ACTIVE", 1L),
+      ("team-a", "n2", "SUSPENDED", 2L))).isRight)
+    assert(c2.get("team-a").contains(Namespace("team-a", "n2", State.Suspended, 2)))
     assert(c2.restore(Nil).isRight)                            // fresh bootstrap
     assert(c2.count == 0)
   }
