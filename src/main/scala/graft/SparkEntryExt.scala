@@ -1146,10 +1146,12 @@ object SparkEntryExt {
         docs.filter(col("doc_id") < 60).write.mode("append").parquet(inDir)
         docs.filter(col("doc_id") >= 60 && col("doc_id") < 120)
           .write.mode("append").parquet(inDir)
-        val q = graft.streaming.IndexMaintenance.startPostings(
-          s.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(inDir),
-          st, e, "DocStream", ckpt)
-        require(q.awaitTermination(300000), "q_stream_index: stream did not drain")
+        graft.streaming.StreamTuning.withStatePartitions(s, 4) {
+          val q = graft.streaming.IndexMaintenance.startPostings(
+            s.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(inDir),
+            st, e, "DocStream", ckpt)
+          require(q.awaitTermination(300000), "q_stream_index: stream did not drain")
+        }
         e
       })
       eng.get(GetParams("DocStream",
@@ -2595,10 +2597,12 @@ object SparkEntryExt {
         .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
       val name = s"stream_out_${System.identityHashCode(agg)}"
-      val q = agg.writeStream.outputMode("complete")
-        .format("memory").queryName(name)
-        .trigger(Trigger.AvailableNow()).start()
-      require(q.awaitTermination(300000), "q_stream_window: stream did not drain")
+      graft.streaming.StreamTuning.withStatePartitions(s, 4) {
+        val q = agg.writeStream.outputMode("complete")
+          .format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow()).start()
+        require(q.awaitTermination(300000), "q_stream_window: stream did not drain")
+      }
       s.table(name)
         .select(col("w.start").cast("string").as("window_start"), col("event_type"),
           col("n"), round(col("sv"), 4).as("sum_value"))
@@ -2650,11 +2654,13 @@ object SparkEntryExt {
       val dups = graft.streaming.StreamDedup.pairs(banded,
         horizonMillis = 7200000L, threshold = 0.7)
       val name = s"dedup_stream_out_${System.identityHashCode(dups)}"
-      val q = dups.toDF().writeStream.outputMode("append")
-        .format("memory").queryName(name)
-        .trigger(Trigger.AvailableNow()).start()
-      // loud, not truncating: a partial read would silently under-report
-      require(q.awaitTermination(300000), "q_dedup_stream: stream did not drain")
+      graft.streaming.StreamTuning.withStatePartitions(s, 4) {
+        val q = dups.toDF().writeStream.outputMode("append")
+          .format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow()).start()
+        // loud, not truncating: a partial read would silently under-report
+        require(q.awaitTermination(300000), "q_dedup_stream: stream did not drain")
+      }
       s.table(name).distinct()
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
@@ -2679,10 +2685,12 @@ object SparkEntryExt {
       val counts = graft.streaming.TrendingTerms.termCounts(
         bed, "ts", "text", "120 minutes")
       val name = s"trending_out_${System.identityHashCode(counts)}"
-      val q = counts.writeStream.outputMode("append")
-        .format("memory").queryName(name)
-        .trigger(Trigger.AvailableNow()).start()
-      require(q.awaitTermination(300000), "q_stream_trending: stream did not drain")
+      graft.streaming.StreamTuning.withStatePartitions(s, 4) {
+        val q = counts.writeStream.outputMode("append")
+          .format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow()).start()
+        require(q.awaitTermination(300000), "q_stream_trending: stream did not drain")
+      }
       graft.streaming.TrendingTerms.topK(s.table(name), k = 3)
         .select(col("window_start_ms"), col("term"), col("cnt"), col("rnk"))
         .orderBy(col("window_start_ms"), col("rnk"))
@@ -2706,10 +2714,12 @@ object SparkEntryExt {
         .as[graft.streaming.Sessionize.Event]
       val closed = graft.streaming.Sessionize.stateful(stream, gapMillis = 1800000L)
       val name = s"sessionize_out_${System.identityHashCode(closed)}"
-      val q = closed.toDF().writeStream.outputMode("append")
-        .format("memory").queryName(name)
-        .trigger(Trigger.AvailableNow()).start()
-      require(q.awaitTermination(300000), "q_sessionize_stream: stream did not drain")
+      graft.streaming.StreamTuning.withStatePartitions(s, 4) {
+        val q = closed.toDF().writeStream.outputMode("append")
+          .format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow()).start()
+        require(q.awaitTermination(300000), "q_sessionize_stream: stream did not drain")
+      }
       s.table(name)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_closed"), sum(col("n_events")).as("events_closed"),
