@@ -594,25 +594,30 @@ object Dedup {
     // those keeps the hot common-gram postings out of the candidate join
     // entirely (a plain every-gram join was measured 15× slower on the
     // word-vocabulary bed: common 3-grams made Σ posting² explode).
+    // grams are hashed to 8-byte xxhash64 at the explode, so only fixed-width
+    // longs cross the df/prefix/candidate shuffles (the string-keyed join was
+    // measured ~25% slower). A hash collision between different grams can
+    // only ADD a candidate pair — the levenshtein verify is exact — so the
+    // rare-first lemma's recall is unaffected (it holds under ANY shared
+    // total order; (df, hash) is one).
     val grams = long.select(col("__id"), col("__len"),
-      posexplode(expr(s"transform(sequence(0, int(__len) - $q), i -> substring(__s, i + 1, $q))"))
-        .as(Seq("__pos", "__g")))
-    val freq = grams.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+      posexplode(expr(s"transform(sequence(0, int(__len) - $q), i -> xxhash64(substring(__s, i + 1, $q)))"))
+        .as(Seq("__pos", "__h")))
+    val freq = grams.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
     val wDoc = Window.partitionBy(col("__id"))
-      .orderBy(col("__df").asc, col("__g").asc, col("__pos").asc)
-    val prefix = grams.join(freq, Seq("__g"))
+      .orderBy(col("__df").asc, col("__h").asc, col("__pos").asc)
+    val prefix = grams.join(freq, Seq("__h"))
       .withColumn("__rn", row_number().over(wDoc))
       .filter(col("__rn") <= prefixLen)
     // emit each prefix gram under its position window AND the next, so two
-    // occurrences within `window` positions always share a key
-    val keys = prefix.select(col("__id"), col("__len"),
-        explode(array(
-          concat(col("__g"), lit(":"), (col("__pos") / window).cast("int").cast("string")),
-          concat(col("__g"), lit(":"), ((col("__pos") / window).cast("int") + 1).cast("string"))))
-          .as("__k"))
+    // occurrences within `window` positions always share a (__h, __w) key
+    val keys = prefix.select(col("__id"), col("__len"), col("__h"),
+        explode(array((col("__pos") / window).cast("int"),
+          (col("__pos") / window).cast("int") + 1)).as("__w"))
       .unionByName(shortBandKeys(s, maxEdits, q))
     val cands = keys.as("a").join(keys.as("b"),
-        col("a.__k") === col("b.__k") && col("a.__id") < col("b.__id") &&
+        col("a.__h") === col("b.__h") && col("a.__w") === col("b.__w") &&
+          col("a.__id") < col("b.__id") &&
           abs(col("a.__len") - col("b.__len")) <= maxEdits)
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b")).distinct()
     cands
@@ -632,14 +637,15 @@ object Dedup {
    * the key §max(lenA, lenB), so the candidate join misses nothing. */
   private def shortBandKeys(s: DataFrame, maxEdits: Int, q: Int): DataFrame = {
     val shortCut = (maxEdits + 1) * q
+    // band keys live in the (__h = length, __w = -1) plane — gram keys always
+    // carry __w >= 0, so bands can never collide with a gram hash
     val short = s.filter(col("__len") < shortCut)
       .select(col("__id"), col("__len"),
-        explode(expr(s"transform(sequence(__len, __len + $maxEdits), " +
-          "l -> concat('§', CAST(l AS STRING)))")).as("__k"))
+        explode(expr(s"sequence(__len, __len + $maxEdits)")).as("__h"),
+        lit(-1).as("__w"))
     val boundary = s.filter(col("__len") >= shortCut &&
         col("__len") < shortCut + maxEdits)
-      .select(col("__id"), col("__len"),
-        concat(lit("§"), col("__len").cast("string")).as("__k"))
+      .select(col("__id"), col("__len"), col("__len").as("__h"), lit(-1).as("__w"))
     short.unionByName(boundary)
   }
 
