@@ -56,10 +56,7 @@ object BinaryQuantizer {
     val qCode = encodeQuery(query)
     val cands = firstPass(encoded, idCol, codeCol, qCode, topK * rescoreFactor)
       .select(col(idCol))
-    val candidates = encoded.join(broadcast(cands), Seq(idCol), "left_semi")
-    VectorSearch.withDistance(candidates, vecCol, query, metric)
-      .orderBy(col(VectorSearch.DistanceCol).asc, col(idCol).asc)
-      .limit(topK)
+    Rescore.exactVector(encoded, idCol, cands, vecCol, query, metric, topK)
   }
 
   /** Phase-1 frame: hamming over (id, code) only — exposed for plan asserts. */

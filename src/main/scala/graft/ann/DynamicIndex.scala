@@ -63,7 +63,18 @@ final case class DynamicIndex(
    * incremental path — no retrain (IvfIndex.append scaladoc).
    */
   def append(newRows: DataFrame): DynamicIndex = ivf match {
-    case Some(ix) => copy(ivf = Some(ix.append(newRows)))
+    // keep `rows`/`count` current in the upgraded regime too — callers use
+    // count for monitoring and rows as the rebuild/retrain input (a frozen
+    // pre-upgrade snapshot would silently drop every post-upgrade batch);
+    // same lineage guard as the flat regime
+    case Some(ix) =>
+      val merged = rows.unionByName(newRows)
+      val n = count + newRows.count()
+      if (appendsSinceCheckpoint >= 7)
+        copy(ivf = Some(ix.append(newRows)), rows = merged.localCheckpoint(),
+          count = n, appendsSinceCheckpoint = 0)
+      else copy(ivf = Some(ix.append(newRows)), rows = merged, count = n,
+        appendsSinceCheckpoint = appendsSinceCheckpoint + 1)
     case None =>
       val merged = rows.unionByName(newRows)
       val n = count + newRows.count()

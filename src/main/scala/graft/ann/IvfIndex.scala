@@ -49,6 +49,15 @@ final case class IvfIndex(
    * the data, and the count feeds only the dynamic-probe mean list size). */
   lazy val assignedRows: Long = assigned.count()
 
+  /** Distinct document count — the per-document denominator for filter
+   * density. assignedRows counts replica-exploded rows, and a plain divide
+   * by `replicas` over-corrects under RNG assignment (rng.go replication is
+   * selective: most interior vectors keep fewer than `replicas` lists), so
+   * count the ids exactly — once, lazily, and only when replicated. */
+  lazy val docRows: Long =
+    if (replicas <= 1) assignedRows
+    else math.max(1L, assigned.select(org.apache.spark.sql.functions.col(idCol)).distinct().count())
+
   /**
    * The reference's dynamic-ef policy mapped onto IVF probes (vector/hnsw/
    * search.go:46-76, defaults entities/vectorindex/hnsw/config.go:29-32:
@@ -82,11 +91,9 @@ final case class IvfIndex(
   def acornProbes(base: Int, allowCount: Long): Int = filterStrategy match {
     case FilterStrategy.Sweeping => base
     case FilterStrategy.Acorn =>
-      // density is per DOCUMENT: assignedRows counts replica-exploded rows,
-      // so divide the replication factor back out or a replicas>1 index
-      // reads every filter as replicas x sparser than it is (widening
-      // probes on dense filters the reference gate says to leave alone)
-      val docRows = math.max(1L, assignedRows / math.max(1, replicas))
+      // density is per DOCUMENT: assignedRows counts replica-exploded rows
+      // (see docRows — an exact distinct count, since dividing by `replicas`
+      // misreads RNG-assigned indexes where effective replication < replicas)
       val ratio = allowCount.toDouble / docRows
       if (ratio > acornFilterRatio) base
       else math.min(centroids.length,
@@ -311,9 +318,10 @@ object IvfIndex {
         index.get.searchFiltered(params.queryFor(0), limit.get, params.metric,
           index.get.acornProbes(base, n), allow.select(col(index.get.idCol)))
       case (None, _) if multiIndexable =>
-        multiTargetSearch(c, targets, multiIdx.get, params, limit.get, None, nprobe)
+        multiTargetSearch(c, targets, multiIdx.get, params, limit.get, None, nprobe, None)
       case (Some(allow), Some(n)) if multiIndexable && n >= flatSearchCutoff =>
-        multiTargetSearch(c, targets, multiIdx.get, params, limit.get, Some(allow), nprobe)
+        multiTargetSearch(c, targets, multiIdx.get, params, limit.get, Some(allow), nprobe,
+          Some(n))
       case _ =>
         VectorSearch.nearVector(c, params, params.metric, limit, filtered)
     }
@@ -339,11 +347,20 @@ object IvfIndex {
    */
   def multiTargetSearch(c: Collection, targets: Seq[String], idxs: Seq[IvfIndex],
                         params: NearVector, k: Int, allow: Option[DataFrame],
-                        nprobe: Option[Int] = None): DataFrame = {
+                        nprobe: Option[Int] = None,
+                        allowCount: Option[Long] = None): DataFrame = {
     val idCol = idxs.head.idCol
     val pool = targets.indices.map { i =>
       val ix = idxs(i)
-      val np = nprobe.getOrElse(ix.defaultNprobe)
+      // same probe policy as the single-target arms: a per-index dynamic-ef
+      // breadth unless the caller pinned nprobe, widened by ACORN under a
+      // selective filter (the bare defaultNprobe here silently collapsed
+      // recall on dynamically-probed indexes)
+      val base = nprobe.getOrElse(ix.dynamicNprobe(k))
+      val np = (allow, allowCount) match {
+        case (Some(_), Some(n)) => ix.acornProbes(base, n)
+        case _ => base
+      }
       // each target probed with ITS OWN query vector (searchVectors[i],
       // shard_read.go:675)
       val hits = allow match {

@@ -93,13 +93,25 @@ object IvfPq {
     val withRes = ivf0.assigned.withColumn("__res",
       zip_with(col(vecCol), element_at(centerLit, col("__centroid") + 1),
         (x, c) => (x.cast("double") - c).cast("float")))
+      // one materialization: PQ training runs m per-segment KMeans fits and
+      // the encode is one more pass — without this each re-derives the
+      // centroid assignment + residual zip_with from the raw data (m+1
+      // redundant full scans at build time)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pq = ProductQuantizer.train(withRes, "__res", m, k, seed)
     val encoded0 = withRes.withColumn(codeCol, pq.encode(col("__res"))).drop("__res")
     val assigned = persistPath match {
       case Some(p) =>
         encoded0.write.mode("overwrite").partitionBy("__centroid").parquet(p)
+        withRes.unpersist()
         df.sparkSession.read.parquet(p)
-      case None => encoded0.repartition(col("__centroid"))
+      case None =>
+        // materialize the encoded layout so the build cache can be released
+        // (the index outlives this method; a lazy plan over the cache would
+        // recompute everything once it is unpersisted)
+        val out = encoded0.repartition(col("__centroid")).localCheckpoint()
+        withRes.unpersist()
+        out
     }
     IvfPqIndex(ivf0.copy(assigned = assigned, persistPath = persistPath), pq, codeCol)
   }

@@ -160,10 +160,8 @@ object Muvera {
       firstPass(encoded, idCol, muveraCol, enc.encodeQuery(query), topK * rescoreFactor)
         .select(col(idCol))
     val qLit = typedLit(query.map(_.toSeq).toSeq)
-    encoded.join(broadcast(cands), Seq(idCol), "left_semi")
-      .withColumn(VectorSearch.DistanceCol, VectorFunctions.maxSim(qLit, col(mvecCol)))
-      .orderBy(col(VectorSearch.DistanceCol).asc, col(idCol).asc)
-      .limit(topK)
+    Rescore.exact(encoded, idCol, cands,
+        VectorFunctions.maxSim(qLit, col(mvecCol)), topK)
       .drop(muveraCol)
   }
 

@@ -76,10 +76,7 @@ final case class ProductQuantizer(
              query: Array[Float], topK: Int, rescoreFactor: Int = 4): DataFrame = {
     val cands = firstPass(encoded, idCol, codeCol, query, topK * rescoreFactor)
       .select(col(idCol))
-    val candidates = encoded.join(broadcast(cands), Seq(idCol), "left_semi")
-    VectorSearch.withDistance(candidates, vecCol, query, Metric.L2Squared)
-      .orderBy(col(VectorSearch.DistanceCol).asc, col(idCol).asc)
-      .limit(topK)
+    Rescore.exactVector(encoded, idCol, cands, vecCol, query, Metric.L2Squared, topK)
   }
 
   /** Phase-1 frame: ADC ranking over (id, code) only — exposed for plan

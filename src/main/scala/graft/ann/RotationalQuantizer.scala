@@ -46,10 +46,7 @@ final case class RotationalQuantizer(rotation: FastRotationSpec) {
              metric: Metric = Metric.L2Squared): DataFrame = {
     val cands = firstPass(encoded, idCol, codeCol, query, topK * rescoreFactor, metric)
       .select(col(idCol))
-    val candidates = encoded.join(broadcast(cands), Seq(idCol), "left_semi")
-    VectorSearch.withDistance(candidates, vecCol, query, metric)
-      .orderBy(col(VectorSearch.DistanceCol).asc, col(idCol).asc)
-      .limit(topK)
+    Rescore.exactVector(encoded, idCol, cands, vecCol, query, metric, topK)
   }
 
   /** Phase-1 frame: compressed-domain ranking over (id, code) only —

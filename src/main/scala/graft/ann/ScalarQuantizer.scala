@@ -46,10 +46,7 @@ final case class ScalarQuantizer(a: Float, b: Float, dim: Int) {
              metric: Metric = Metric.L2Squared): DataFrame = {
     val cands = firstPass(encoded, idCol, codeCol, query, topK * rescoreFactor, metric)
       .select(col(idCol))
-    val candidates = encoded.join(broadcast(cands), Seq(idCol), "left_semi")
-    VectorSearch.withDistance(candidates, vecCol, query, metric)
-      .orderBy(col(VectorSearch.DistanceCol).asc, col(idCol).asc)
-      .limit(topK)
+    Rescore.exactVector(encoded, idCol, cands, vecCol, query, metric, topK)
   }
 
   /** Phase-1 frame: compressed-domain ranking over (id, code) only —
@@ -72,6 +69,10 @@ object ScalarQuantizer {
       min(array_min(col(vecCol))).cast("float"),
       max(array_max(col(vecCol))).cast("float"),
       max(size(col(vecCol)))).head()
+    // an empty frame (or all-null vector column) aggregates to nulls —
+    // surface that instead of an opaque NPE from getFloat
+    require(!row.isNullAt(0) && !row.isNullAt(1),
+      s"SQ train: no vectors in $vecCol (empty or all-null input)")
     val lo = row.getFloat(0)
     val hi = row.getFloat(1)
     require(hi > lo, s"degenerate value range [$lo, $hi] — SQ needs spread data")

@@ -30,26 +30,27 @@ object Mmr {
       if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
     }
 
-    val selected = scala.collection.mutable.ArrayBuffer.empty[(Any, Double)]
+    // selected keeps the row INDEX (diversify's incremental pattern) — an
+    // id-based indexWhere inside the scoring loop was an O(n) scan per
+    // similarity evaluation
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
     val remaining = scala.collection.mutable.ArrayBuffer(rows.indices: _*)
     while (selected.size < math.min(k, rows.length) && remaining.nonEmpty) {
       val scoresByIdx = remaining.map { i =>
         val (_, vec, rel) = rows(i)
         val maxSim =
           if (selected.isEmpty) 0.0
-          else selected.map { case (id, _) =>
-            val j = rows.indexWhere(_._1 == id); cosineSim(vec, rows(j)._2)
-          }.max
+          else selected.map { case (j, _) => cosineSim(vec, rows(j)._2) }.max
         i -> (lambda * rel - (1 - lambda) * maxSim)
       }
       val (bestIdx, bestScore) = scoresByIdx.maxBy(_._2)
-      selected += ((rows(bestIdx)._1, bestScore))
+      selected += ((bestIdx, bestScore))
       remaining -= bestIdx
     }
 
     val spark = pool.sparkSession
-    val out = selected.zipWithIndex.map { case ((id, score), rank) =>
-      Row(id, rank + 1, score)
+    val out = selected.zipWithIndex.map { case ((idx, score), rank) =>
+      Row(rows(idx)._1, rank + 1, score)
     }
     val idField = pool.schema(idCol)
     spark.createDataFrame(

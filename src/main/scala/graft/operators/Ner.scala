@@ -37,7 +37,10 @@ object Ner {
   /** Deterministic gazetteer recognizer (see scaladoc). */
   def dictionary(entries: Seq[DictEntry]): Client = (propName, value) => {
     val toks = entries.map { e =>
-      val pos = instr(lower(value), e.word)
+      // match case-insensitively on BOTH sides — gazetteer entries are
+      // typically proper nouns, and an uppercase entry could never match
+      // the lowercased value
+      val pos = instr(lower(value), e.word.toLowerCase(java.util.Locale.ROOT))
       when(pos > 0, struct(
         lit(propName).as("property"),
         lit(e.entity).as("entity"),

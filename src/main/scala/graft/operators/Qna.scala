@@ -54,7 +54,10 @@ object Qna {
     val notFound = struct(lit("").as("property"), lit(0L).as("start"))
     val located = props.foldRight(notFound) { case ((name, c), acc) =>
       val v = lower(regexp_replace(c, "\n", " "))
-      val p = instr(v, col("__qna_ans"))
+      // lowercase the answer too: the stand-in extractor is already
+      // lowercase, but a plugged client may return original-case spans that
+      // would otherwise never locate inside the lowercased property
+      val p = instr(v, lower(col("__qna_ans")))
       when(c.isNotNull && p > 0,
         struct(lit(name).as("property"), (p - 1).cast("long").as("start")))
         .otherwise(acc)

@@ -24,8 +24,14 @@ object ResultGroupBy {
    */
   def apply(ranked: DataFrame, rankCol: String, property: String,
             groups: Int, objectsPerGroup: Int, explodeArrays: Boolean = false): DataFrame = {
-    val base = if (explodeArrays) ranked.withColumn("__gval", explode(col(property)))
-               else ranked.withColumn("__gval", col(property))
+    // posexplode, not explode: when ONE hit's array seeds several groups they
+    // all share that hit's rank, and ranking groups by rank alone would give
+    // them the same dense_rank (the `groups` cap then overshoots and
+    // group_index duplicates) — the reference walks a hit's values in ELEMENT
+    // order (shard_group_by.go), so the element position is the tie-break
+    val base = if (explodeArrays)
+                 ranked.select(col("*"), posexplode(col(property)).as(Seq("__gpos", "__gval")))
+               else ranked.withColumn("__gval", col(property)).withColumn("__gpos", lit(0))
     val wInGroup = Window.partitionBy(col("__gval")).orderBy(col(rankCol).asc)
     val wGroups = BoundedWindow.ordered(col("__gmin").asc) // input is a ≤pool-row rank frame
     // per-group distance metadata (reference: the grouped response's
@@ -36,9 +42,11 @@ object ResultGroupBy {
     val wGroupAll = Window.partitionBy(col("__gval"))
     val withMeta = base
       .withColumn("__rn_in_group", row_number().over(wInGroup))
-      .withColumn("__gmin", min(col(rankCol)).over(wGroupAll))
+      // group seed = its lexicographically smallest (rank, element position)
+      .withColumn("__gmin", min(struct(col(rankCol), col("__gpos"))).over(wGroupAll))
       .withColumn("__gidx", dense_rank().over(wGroups))
       .filter(col("__gidx") <= groups && col("__rn_in_group") <= objectsPerGroup)
+      .drop("__gpos")
     val decorated =
       if (hasDist) withMeta
         .withColumn("group_min_distance", min(col(VectorSearch.DistanceCol)).over(wGroupAll))

@@ -83,4 +83,24 @@ class FusionAndGroupSpec extends SparkSpecBase {
     // groups kept: a (best rank 1), b (best rank 2); 2 hits each
     assert(out == Set((1, "a", 1, 1L), (1, "a", 2, 3L), (2, "b", 1, 2L), (2, "b", 2, 5L)))
   }
+
+  test("array grouping: groups seeded by ONE hit open in element order, cap holds") {
+    // hit 1 carries ["a","b"] — both groups share its rank, so the tie-break
+    // must be the element position (reference walks values in element order)
+    val ranked = Seq(
+      (1L, 1, Seq("a", "b")), (2L, 2, Seq("c")), (3L, 3, Seq("b", "a")))
+      .toDF("id", "rnk", "grp")
+    val one = ResultGroupBy(ranked, "rnk", "grp", groups = 1, objectsPerGroup = 5,
+        explodeArrays = true)
+      .select($"group_index", $"group_value", $"id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    // groups=1 keeps ONLY "a" (element 0 of the best hit), never both
+    assert(one == Set((1, "a", 1L), (1, "a", 3L)))
+    val two = ResultGroupBy(ranked, "rnk", "grp", groups = 2, objectsPerGroup = 5,
+        explodeArrays = true)
+      .select($"group_index", $"group_value", $"id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    // groups=2: a=1, b=2 (element order), c dropped; group_index never dupes
+    assert(two == Set((1, "a", 1L), (1, "a", 3L), (2, "b", 1L), (2, "b", 3L)))
+  }
 }
