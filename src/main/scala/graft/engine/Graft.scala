@@ -170,9 +170,17 @@ final class Graft(val spark: SparkSession) {
   def register(schema: CollectionSchema, df: DataFrame): Graft =
     register(Collection(schema, df))
   def collection(name: String): Collection = {
-    val resolved = resolveAlias(name)
+    // namespace-QUALIFIED lookup ("<ns>:<Class>", resolver.go): the prefix
+    // must match the class's assigned namespace — a foreign prefix gets the
+    // reference's invalid-class-name rejection (QualifyRefTarget rule: refs
+    // and lookups never cross namespaces)
+    val prefix = Namespaces.namespaceFromQualified(name)
+    val short = Namespaces.stripQualification(name)
+    val resolved = resolveAlias(short)
     val c = collections.getOrElse(resolved,
       throw new IllegalArgumentException(s"unknown collection $resolved"))
+    if (prefix.nonEmpty && !collectionNamespaces.get(resolved).contains(prefix))
+      throw new IllegalArgumentException(s"'$name' is not a valid class name")
     // namespace lifecycle gate (reference: usecases/namespaces/RequireActive
     // called before serving a namespaced entity; callers outside the
     // management API render PublicMessage, not the sentinel)

@@ -66,6 +66,27 @@ object Namespaces {
   val reservedNames: Set[String] =
     Set("admin", "system", "default", "internal", "weaviate", "global", "public")
 
+  /** entities/schema NamespaceSeparator — qualified entity names are
+   * "<namespace>:<entity>" (usecases/schema/namespacing/resolver.go). */
+  val Separator = ":"
+
+  /** resolver.go QualifiedName: join, or the bare name when ns is empty. */
+  def qualifiedName(namespace: String, name: String): String =
+    if (namespace.isEmpty) name else namespace + Separator + name
+
+  /** resolver.go NamespaceFromQualified: the prefix, "" when unqualified. */
+  def namespaceFromQualified(name: String): String = {
+    val i = name.indexOf(Separator)
+    if (i >= 0) name.substring(0, i) else ""
+  }
+
+  /** resolver.go StripQualification: the entity after the FIRST separator —
+   * the short, namespace-portable form written into beacons/exports. */
+  def stripQualification(name: String): String = {
+    val i = name.indexOf(Separator)
+    if (i >= 0) name.substring(i + Separator.length) else name
+  }
+
   private val nameRegex = "^[a-z0-9][a-z0-9-]*[a-z0-9]$".r
 
   /** entities/schema/validation.go ValidateNamespaceNameSyntax (length 3-36,

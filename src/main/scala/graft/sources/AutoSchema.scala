@@ -47,16 +47,23 @@ object AutoSchema {
   /** The accepting set of Go `time.Parse(time.RFC3339, ·)` as a regex
    * (reference auto_schema.go:238-244 — couldBeRFC3339 is just a shape
    * guard around the parse): date T time, optional fraction, mandatory
-   * offset (Z or ±hh:mm). */
+   * offset (Z or ±hh:mm). Components are range-bounded (month 01-12,
+   * day 01-31, hour 00-23, minute/second 00-59, offset hour 00-23) and the
+   * anchors are \\A..\\z — Java's `$` matches before a trailing newline,
+   * which Go's parse rejects. Residual approximation vs the real parse:
+   * per-month day counts and leap years (2024-02-31 passes the regex). */
   val Rfc3339Pattern: String =
-    "^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}(\\.\\d+)?(Z|[+-]\\d{2}:\\d{2})$"
+    "\\A\\d{4}-(0[1-9]|1[0-2])-(0[1-9]|[12]\\d|3[01])" +
+    "T([01]\\d|2[0-3]):[0-5]\\d:[0-5]\\d(\\.\\d+)?" +
+    "(Z|[+-]([01]\\d|2[0-3]):[0-5]\\d)\\z"
 
   /** The accepting set of Go `uuid.Parse` (auto_schema.go:224-230,247-250):
    * canonical 36 (optionally urn:uuid:-prefixed or {}-braced) or raw 32 hex,
    * case-insensitive. */
   val UuidPattern: String = {
     val canon = "[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}"
-    s"^(urn:uuid:)?$canon$$|^\\{$canon\\}$$|^[0-9a-fA-F]{32}$$"
+    // \A..\z, not ^..$: Java's $ accepts a trailing newline Go's parse rejects
+    s"\\A(urn:uuid:)?$canon\\z|\\A\\{$canon\\}\\z|\\A[0-9a-fA-F]{32}\\z"
   }
 
   /**

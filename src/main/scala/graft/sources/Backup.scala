@@ -127,7 +127,10 @@ object Backup {
         m.indexNullState.getOrElse(false), m.indexPropertyLength.getOrElse(false)),
       m.vectorMetrics.getOrElse(Map.empty)
         .map { case (k, v) => k -> parseMetric(v) })
-    Collection(schema, spark.read.parquet(s"$path/data"))
+    // same string-partition contract as CollectionStore.read — a restored
+    // multi-tenant class must not re-type numeric-looking tenant directories
+    Collection(schema,
+      CollectionStore.readKeepingStringPartitions(spark, s"$path/data"))
   }
 
   /** Export several collections under `root/<name>` (the reference's backup

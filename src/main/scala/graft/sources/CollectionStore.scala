@@ -48,7 +48,7 @@ final class CollectionStore(val spark: SparkSession, val root: String,
 
   def read(): DataFrame = {
     require(version >= 0, s"collection store $root is empty")
-    spark.read.parquet(s"$root/v$version")
+    CollectionStore.readKeepingStringPartitions(spark, s"$root/v$version")
   }
 
   /** Per-store lineage nonce, drawn once from the session-global counter and
@@ -141,7 +141,11 @@ final class CollectionStore(val spark: SparkSession, val root: String,
     val id = schema.idColumn
     val current = read()
     val patchCols = patch.columns.filterNot(_ == id)
-    val renamed = patchCols.foldLeft(patch) { (d, c) => d.withColumnRenamed(c, s"__p_$c") }
+    // same primary-key guard as upsert: a patch carrying an id twice would
+    // multiply that row through the left join and the store would hold
+    // duplicate primary keys forever
+    val unique = patch.dropDuplicates(id)
+    val renamed = patchCols.foldLeft(unique) { (d, c) => d.withColumnRenamed(c, s"__p_$c") }
     val joined = current.join(renamed, Seq(id), "left")
     // a PATCH that changes the vectorized text invalidates the stored vector
     // — weaviate's merge re-vectorizes (usecases/objects/merge.go); an
@@ -238,9 +242,12 @@ final class CollectionStore(val spark: SparkSession, val root: String,
   def expireTtl(tsColumn: String, ttlSeconds: Long, nowEpochSeconds: Long): Long = {
     val current = read()
     val cutoff = nowEpochSeconds - ttlSeconds
-    val expired = current.filter(unix_timestamp(col(tsColumn)) < cutoff)
-    val n = expired.count()
-    if (n > 0) writeVersion(current.filter(unix_timestamp(col(tsColumn)) >= cutoff))
+    val isExpired = unix_timestamp(col(tsColumn)) < cutoff
+    val n = current.filter(isExpired).count()
+    // null-safe survivor predicate: a null/unparseable timestamp fails BOTH
+    // `< cutoff` and `>= cutoff` — the complement form keeps such rows
+    // instead of silently deleting them uncounted
+    if (n > 0) writeVersion(current.filter(!coalesce(isExpired, lit(false))))
     n
   }
 
@@ -275,6 +282,9 @@ final class CollectionStore(val spark: SparkSession, val root: String,
     val d = default.getOrElse(lit(null).cast(sparkType(p.dataType)))
     val extended = new CollectionStore(spark, root,
       schema.copy(properties = schema.properties :+ p), clustered)
+    // carry the lifecycle flag: the fresh instance starts READY, which would
+    // let a schema rewrite slip past this store's READONLY gate
+    extended.readOnly = readOnly
     extended.writeVersion(read().withColumn(p.name, d))
     extended
   }
@@ -312,7 +322,12 @@ final class CollectionStore(val spark: SparkSession, val root: String,
     val tc = schema.tenantColumn.getOrElse(
       throw new IllegalArgumentException(s"${schema.name} is not multi-tenant"))
     require(clustered, "tenant offload needs the clustered partitionBy(tenant) layout")
-    Paths.get(root, s"v$version", s"$tc=$tenant")
+    // partitionBy Hive-escapes special characters in directory names (':' →
+    // %3A etc.) — address the directory the way Spark wrote it, or a tenant
+    // like "acme:eu" could never offload (and one containing '/' would
+    // address a wrong nested path)
+    Paths.get(root, s"v$version",
+      s"$tc=${org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(tenant)}")
   }
 
   /** Drop superseded version directories, keeping the newest `keep` (the
@@ -372,5 +387,26 @@ final class CollectionStore(val spark: SparkSession, val root: String,
     // superseded version ⇒ its cached BM25 corpus stats (persisted termDf)
     // are stale — evict them instead of leaking executor memory per mutation
     graft.operators.Bm25Search.invalidateStats(schema.name)
+  }
+}
+
+object CollectionStore {
+
+  /**
+   * Read a (possibly tenant-partitioned) layout with partition-column TYPE
+   * INFERENCE off: Spark's default inference re-types a numeric-looking
+   * string tenant from the directory name ("007" → int 7), silently changing
+   * both the column type vs the declared schema and the tenant's IDENTITY on
+   * the next rewrite. Tenants are strings (the reference's tenant names are
+   * string shard keys), so partition columns stay strings. The conf flip is
+   * scoped to the eager partition-discovery in `parquet(path)` and restored
+   * after.
+   */
+  private[sources] def readKeepingStringPartitions(
+      spark: SparkSession, path: String): DataFrame = {
+    val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try spark.read.parquet(path) finally spark.conf.set(key, prev)
   }
 }

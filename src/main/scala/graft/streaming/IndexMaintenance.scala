@@ -32,8 +32,32 @@ object IndexMaintenance {
     newRows.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        index.append(batch)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // replay guard: foreachBatch is at-least-once, and append's parquet
+        // write is not transactional — a redelivered batch would duplicate
+        // every vector in the layout forever. A batch-id high-water mark
+        // next to the layout makes replays no-ops (the residual window is a
+        // crash BETWEEN the append commit and the marker write — one
+        // possible duplicate append per crash, vs one per restart).
+        val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+        val marker = new org.apache.hadoop.fs.Path(
+          index.persistPath.get, "_last_applied_batch")
+        val fs = marker.getFileSystem(conf)
+        val last =
+          if (fs.exists(marker)) {
+            val in = fs.open(marker)
+            try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+            finally in.close()
+          } else -1L
+        if (batchId > last) {
+          index.append(batch)
+          val tmp = new org.apache.hadoop.fs.Path(
+            index.persistPath.get, "_last_applied_batch.tmp")
+          val out = fs.create(tmp, true)
+          try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+          fs.delete(marker, false)
+          require(fs.rename(tmp, marker), s"could not commit batch marker $marker")
+        }
         ()
       }
       .start()

@@ -80,19 +80,37 @@ object Ingest {
    * expired rows actually leave storage. Returns the number deleted.
    */
   def ttlCleanup(spark: SparkSession, tableDir: String, tsCol: String,
-                 ttlSeconds: Long): Long = {
+                 ttlSeconds: Long,
+                 nowEpochSeconds: Long = System.currentTimeMillis() / 1000): Long = {
     val df = spark.read.parquet(tableDir)
-    val cutoff = current_timestamp().cast("long") - ttlSeconds
-    val expired = df.filter(unix_timestamp(col(tsCol)) < cutoff).count()
+    // `now` pinned ONCE on the driver: current_timestamp() inside the plan
+    // would be re-evaluated independently by the count job and the rewrite
+    // job, so rows aging across the gap would be deleted but not counted
+    val cutoff = nowEpochSeconds - ttlSeconds
+    val isExpired = unix_timestamp(col(tsCol)) < cutoff
+    val expired = df.filter(isExpired).count()
     if (expired > 0) {
-      val survivors = df.filter(unix_timestamp(col(tsCol)) >= cutoff)
+      // null-safe survivor form: a null/unparseable ts fails both the
+      // expired and the `>= cutoff` predicate — keep such rows, never
+      // silently drop them uncounted (the CollectionStore.expireTtl rule)
+      val survivors = df.filter(!coalesce(isExpired, lit(false)))
       val staging = tableDir.stripSuffix("/") + "__ttl_staging"
       survivors.write.mode("overwrite").parquet(staging)
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(tableDir), spark.sparkContext.hadoopConfiguration)
       val dst = new org.apache.hadoop.fs.Path(tableDir)
-      fs.delete(dst, true)
-      fs.rename(new org.apache.hadoop.fs.Path(staging), dst)
+      val backup = new org.apache.hadoop.fs.Path(tableDir.stripSuffix("/") + "__ttl_old")
+      // move-aside instead of delete-then-rename: rename returns FALSE (not
+      // an exception) on many failures, and a crash between a delete and a
+      // rename would lose the whole table. The old data survives until the
+      // new table is in place.
+      fs.delete(backup, true)
+      require(fs.rename(dst, backup), s"ttlCleanup: could not move $dst aside")
+      if (!fs.rename(new org.apache.hadoop.fs.Path(staging), dst)) {
+        fs.rename(backup, dst) // roll back: put the live table back
+        throw new IllegalStateException(s"ttlCleanup: could not move staging into $dst")
+      }
+      fs.delete(backup, true)
     }
     expired
   }

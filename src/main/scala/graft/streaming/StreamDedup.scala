@@ -181,7 +181,13 @@ object StreamDedup {
                  (stateArr(si)._1 == batchArr(bi).ts_ms && stateArr(si)._2 <= batchArr(bi).doc_id)))
               val e = if (takeState) { val x = stateArr(si); si += 1; x }
                       else { val b = batchArr(bi); bi += 1; (b.ts_ms, b.doc_id, b.shh) }
-              if (e._1 >= wmBound) merged += e
+              // drop redelivered copies: both inputs are (ts, id)-sorted, so
+              // a duplicate is always adjacent in merge order — keeping it
+              // would make every later match emit the pair once per copy and
+              // grow the bucket by a full hash array per redelivery
+              if (e._1 >= wmBound &&
+                  (merged.isEmpty || merged.last._1 != e._1 || merged.last._2 != e._2))
+                merged += e
             }
             val entries = merged.toList
             if (entries.isEmpty) state.remove()

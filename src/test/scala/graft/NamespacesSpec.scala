@@ -141,6 +141,30 @@ class NamespacesSpec extends SparkSpecBase {
       .foreach(e => assert(publicMessage(e).isEmpty))
   }
 
+  test("qualified-name helpers and qualified collection lookup") {
+    // resolver.go pure helpers
+    assert(qualifiedName("", "Doc") == "Doc")
+    assert(qualifiedName("team-a", "Doc") == "team-a:Doc")
+    assert(namespaceFromQualified("team-a:Doc") == "team-a")
+    assert(namespaceFromQualified("Doc") == "")
+    assert(stripQualification("team-a:Doc") == "Doc")
+    assert(stripQualification("Doc") == "Doc")
+
+    val df = Seq((1L, "a")).toDF("id", "txt")
+    val g = new Graft(spark).register(
+      CollectionSchema("QDoc", "id", Seq(Property("txt", PropType.Text))), df)
+    g.namespaces.create("team-a", "n1", 1)
+    g.namespaces.create("team-b", "n1", 2)
+    g.assignNamespace("QDoc", "team-a")
+    // qualified lookup with the RIGHT prefix serves; a foreign prefix gets
+    // the reference's invalid-class-name rejection (refs/lookups never
+    // cross namespaces); unqualified keeps working
+    assert(g.collection("team-a:QDoc").name == "QDoc")
+    assert(g.collection("QDoc").name == "QDoc")
+    val e = intercept[IllegalArgumentException](g.collection("team-b:QDoc"))
+    assert(e.getMessage == "'team-b:QDoc' is not a valid class name")
+  }
+
   test("a suspended namespace gates its collections at the engine chokepoint") {
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "txt")
     val g = new Graft(spark).register(

@@ -37,6 +37,35 @@ class StoreAndStreamingSpec extends SparkSpecBase {
     assert(out.toSeq == Seq((1L, "a", 99L), (2L, "b", 20L)))
   }
 
+  test("merge collapses duplicate patch ids (primary-key invariant holds)") {
+    val st = freshStore()
+    st.init(Seq((1L, "a", 10L)).toDF("id", "name", "qty"))
+    st.merge(Seq((1L, 98L), (1L, 99L)).toDF("id", "qty"))
+    val out = st.read().collect()
+    assert(out.length == 1, s"duplicate primary keys: ${out.toSeq}")
+  }
+
+  test("TTL expiry keeps rows with a null timestamp (never silently deleted)") {
+    val st = freshStore()
+    val now = java.time.Instant.parse("2024-06-01T00:00:00Z")
+    val old = java.sql.Timestamp.from(now.minusSeconds(7200))
+    st.init(Seq((1L, Some(old)), (2L, None)).toDF("id", "ts"))
+    val n = st.expireTtl("ts", ttlSeconds = 3600, nowEpochSeconds = now.getEpochSecond)
+    assert(n == 1)
+    assert(st.read().collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("addProperty honors the READONLY gate") {
+    val st = freshStore()
+    st.init(Seq((1L, "a", 10L)).toDF("id", "name", "qty"))
+    st.setReadOnly(Some("maintenance"))
+    val e = intercept[IllegalStateException] {
+      st.addProperty(Property("extra", PropType.Int))
+    }
+    assert(e.getMessage.contains("read-only"))
+    assert(st.version == 0)
+  }
+
   test("write-path vectorizer: PUT fills missing vectors, explicit vector wins, PATCH re-vectorizes") {
     val embed: String => Array[Float] = s => Array(s.length.toFloat, 1f)
     val dir = Files.createTempDirectory("graft-store").toString

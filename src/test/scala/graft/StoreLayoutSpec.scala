@@ -49,6 +49,42 @@ class StoreLayoutSpec extends SparkSpecBase {
     assert(q.select($"id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
   }
 
+  test("numeric-looking string tenants keep type and identity across rewrites") {
+    val dir = Files.createTempDirectory("graft-layout").toString
+    val schema = CollectionSchema("TenantNum", "id", Seq(
+      Property("name", PropType.Text, Tokenization.Field),
+      Property("tenant", PropType.Text, Tokenization.Field)),
+      tenantColumn = Some("tenant"))
+    val st = new CollectionStore(spark, dir, schema)
+    st.init(Seq((1L, "a", "007"), (2L, "b", "42")).toDF("id", "name", "tenant"))
+    // partition type inference would read tenant back as int 7 / 42 — the
+    // type must stay string and "007" must not collapse to "7" on rewrite
+    assert(st.read().schema("tenant").dataType ==
+      org.apache.spark.sql.types.StringType)
+    st.upsert(Seq((3L, "c", "007")).toDF("id", "name", "tenant"))
+    val out = st.read().filter($"tenant" === "007").select($"id")
+      .as[Long].collect().sorted.toSeq
+    assert(out == Seq(1L, 3L))
+    val vDir = new java.io.File(st.root, s"v${st.version}")
+    val dirs = vDir.listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("tenant=007", "tenant=42"), dirs.toSeq.toString)
+  }
+
+  test("offload addresses Hive-escaped tenant directories (':' in the name)") {
+    val dir = Files.createTempDirectory("graft-layout").toString
+    val off = Files.createTempDirectory("graft-layout-off").toString
+    val schema = CollectionSchema("TenantEsc", "id", Seq(
+      Property("name", PropType.Text, Tokenization.Field),
+      Property("tenant", PropType.Text, Tokenization.Field)),
+      tenantColumn = Some("tenant"))
+    val st = new CollectionStore(spark, dir, schema)
+    st.init(Seq((1L, "a", "acme:eu"), (2L, "b", "plain")).toDF("id", "name", "tenant"))
+    st.offloadTenant("acme:eu", off)
+    assert(st.read().select($"tenant").distinct().as[String].collect().toSeq == Seq("plain"))
+    st.onloadTenant("acme:eu", off)
+    assert(st.read().filter($"tenant" === "acme:eu").count() == 1)
+  }
+
   test("tenant store round-trips CRUD (partition column moves last on read)") {
     val st = tenantStore()
     st.upsert(Seq((2L, "b2", "t1"), (5L, "e", "t3")).toDF("id", "name", "tenant"))

@@ -82,6 +82,35 @@ class StreamDedupSpec extends SparkSpecBase {
     assert(got.isEmpty)
   }
 
+  test("redelivered doc is stored once: a later match emits one pair, not one per copy") {
+    val text = "identical content redelivered by an at least once source here"
+    val base = 3600000L
+    // doc 1 arrives twice (batches 1 and 2); doc 2 arrives after and matches.
+    // A duplicate state entry for doc 1 would emit (1,2) twice — the memory
+    // sink is read WITHOUT distinct() here to catch exactly that.
+    implicit val sql = spark.sqlContext
+    val source = MemoryStream[(Long, Long, String)]
+    val docs = source.toDS().toDF("doc_id", "ts_ms", "text")
+      .withColumn("ts", timestamp_millis($"ts_ms"))
+    val banded = StreamDedup.banded(docs, "doc_id", "ts", "text", bands = 8)
+    val name = s"dedup_redeliver_${System.nanoTime()}"
+    val q = StreamDedup.pairs(banded, horizon, threshold = 0.7)
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      Seq(Seq((1L, base, text)), Seq((1L, base, text)),
+          Seq((2L, base + 60000L, text)))
+        .foreach { b => source.addData(b: _*); q.processAllAvailable() }
+      val raw = spark.table(name).as[DupPair].collect().toSeq
+      // identical texts share all 8 band buckets, so the legitimate emission
+      // is exactly one (1,2) row per band; a duplicate state copy of doc 1
+      // would double that
+      assert(raw.count(p => p.id_a == 1L && p.id_b == 2L) == 8,
+        s"expected one emission per band, got: $raw")
+      assert(raw.forall(p => p.id_a == 1L && p.id_b == 2L), raw.toString)
+    } finally q.stop()
+  }
+
   test("out-of-order arrival: forward horizon guard + (ts, id) pair order") {
     // horizon 10 min, watermark delay 1 h: doc 3 (ts = 2h05) arrives AFTER
     // doc 2 (ts = 3h) is already in state. It must pair with doc 1
