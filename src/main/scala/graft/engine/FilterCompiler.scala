@@ -201,10 +201,11 @@ final class FilterCompiler(resolve: String => Collection) {
           s"Is `indexFilterable` option of property '${w.path.head}' enabled? " +
           "Set it to `true` or leave empty")
       case PropType.Ref =>
-        if (!v.isInstanceOf[FilterValue.IntV] && !(v match {
-          case FilterValue.ListV(vs) => vs.forall(_.isInstanceOf[FilterValue.IntV])
-          case _ => false
-        }))
+        // a BARE valueInt only — a ListV (Contains*) would pass here but the
+        // compiler's ref-count arm requires IntV, so the leaf would fall
+        // through to array<id> === int and die at execution with an
+        // AnalysisException instead of this reference-shaped error
+        if (!v.isInstanceOf[FilterValue.IntV])
           fail(s"""Property "${w.path.head}" is a ref prop to the class "${prop.refTarget.getOrElse("?")}". Only "valueInt" can be used on a ref prop directly to count the number of refs. Or did you mean to filter on a primitive prop of the referenced class? In this case make sure your path contains 3 elements in the form of [<propName>, <ClassNameOfReferencedClass>, <primitivePropOnClass>]""")
       // nested object[] descent: sub-schemas are untyped here (PropType.Obj
       // carries no fields), so element-level value typing is checked at

@@ -139,9 +139,21 @@ final class Graft(val spark: SparkSession) {
   private def resolveHybridNearText(c: Collection, h: Hybrid): Hybrid = h.nearText match {
     case Some(nt) =>
       val nv = resolveNearText(c, nt)
+      val targets = if (h.targetVectors.nonEmpty) h.targetVectors else nt.targetVectors
+      // certainty is the cosine-only radius form — converted to the distance
+      // cutoff 2·(1−certainty), the engine's certainty convention (was
+      // silently discarded, letting far vectors into fusion)
+      val certaintyCut = nt.certainty.map { ct =>
+        val m = if (nt.metric == Metric.Default) c.schema.metricFor(targets.headOption)
+                else nt.metric
+        require(m == Metric.Cosine,
+          s"can't compute and return certainty when vector index is " +
+          s"configured with $m distance")
+        2.0 * (1.0 - ct)
+      }
       h.copy(nearText = None, vector = Some(nv.vector),
-        maxVectorDistance = h.maxVectorDistance.orElse(nt.distance),
-        targetVectors = if (h.targetVectors.nonEmpty) h.targetVectors else nt.targetVectors)
+        maxVectorDistance = h.maxVectorDistance.orElse(nt.distance).orElse(certaintyCut),
+        targetVectors = targets)
     case None => h
   }
 
@@ -157,30 +169,49 @@ final class Graft(val spark: SparkSession) {
     val ctx = collection(objectClass.orElse(collections.headOption).getOrElse(
       throw new IllegalArgumentException("explore requires at least one collection")))
     val nv = resolveNearText(ctx, nearText)
-    graft.operators.Explore(this, collections, nv.vector, nearText.metric,
-      limit, offset, nearText.certainty)
+    // resolve Metric.Default against the context class (get()'s
+    // resolveMetrics rule) and forward the distance threshold — previously
+    // only certainty cut the page and Default crashed downstream
+    val metric =
+      if (nearText.metric == Metric.Default)
+        ctx.schema.metricFor(nearText.targetVectors.headOption)
+      else nearText.metric
+    graft.operators.Explore(this, collections, nv.vector, metric,
+      limit, offset, nearText.certainty, nearText.distance)
   }
 
   def register(c: Collection): Graft = {
     // creation-path name validation (reference applies it on schema create,
     // not on startup loads — re-registration of the same names re-passes)
     SchemaValidation.validate(c.schema)
+    // a re-registration supersedes the previous frame: its persisted BM25
+    // corpus stats would otherwise leak in statsCache for the session (the
+    // store path evicts via writeVersion; this is the ad-hoc path's evict)
+    if (collections.contains(c.name))
+      graft.operators.Bm25Search.invalidateStats(c.name)
     collections += c.name -> c; this
   }
   def register(schema: CollectionSchema, df: DataFrame): Graft =
     register(Collection(schema, df))
-  def collection(name: String): Collection = {
-    // namespace-QUALIFIED lookup ("<ns>:<Class>", resolver.go): the prefix
-    // must match the class's assigned namespace — a foreign prefix gets the
-    // reference's invalid-class-name rejection (QualifyRefTarget rule: refs
-    // and lookups never cross namespaces)
+  /** Resolve a user-supplied collection name — optionally namespace-QUALIFIED
+   * ("<ns>:<Class>", resolver.go) and/or an alias — to its registry key.
+   * EVERY by-name entry point must route through this (a raw resolveAlias
+   * would silently mis-key qualified names in tenant/postings registries).
+   * A qualified prefix must match the class's assigned namespace — a foreign
+   * prefix gets the reference's invalid-class-name rejection
+   * (QualifyRefTarget rule: refs and lookups never cross namespaces). */
+  private def resolveName(name: String): String = {
     val prefix = Namespaces.namespaceFromQualified(name)
-    val short = Namespaces.stripQualification(name)
-    val resolved = resolveAlias(short)
-    val c = collections.getOrElse(resolved,
-      throw new IllegalArgumentException(s"unknown collection $resolved"))
+    val resolved = resolveAlias(Namespaces.stripQualification(name))
     if (prefix.nonEmpty && !collectionNamespaces.get(resolved).contains(prefix))
       throw new IllegalArgumentException(s"'$name' is not a valid class name")
+    resolved
+  }
+
+  def collection(name: String): Collection = {
+    val resolved = resolveName(name)
+    val c = collections.getOrElse(resolved,
+      throw new IllegalArgumentException(s"unknown collection $resolved"))
     // namespace lifecycle gate (reference: usecases/namespaces/RequireActive
     // called before serving a namespaced entity; callers outside the
     // management API render PublicMessage, not the sentinel)
@@ -192,7 +223,9 @@ final class Graft(val spark: SparkSession) {
     }
     c
   }
-  def hasCollection(name: String): Boolean = collections.contains(resolveAlias(name))
+  def hasCollection(name: String): Boolean =
+    try collections.contains(resolveName(name))
+    catch { case _: IllegalArgumentException => false }
 
   // --- Namespaces (reference: usecases/namespaces) — platform grouping of
   // collections; a non-active namespace makes its collections unavailable at
@@ -204,7 +237,7 @@ final class Graft(val spark: SparkSession) {
    * as "<namespace>:<Class>", usecases/schema/namespacing; the engine keeps
    * the mapping explicit). The namespace must exist and be active. */
   def assignNamespace(collectionName: String, namespace: String): Graft = {
-    val resolved = resolveAlias(collectionName)
+    val resolved = resolveName(collectionName)
     require(collections.contains(resolved), s"unknown collection $resolved")
     namespaces.requireActive(namespace).left.foreach { e =>
       throw new IllegalStateException(Namespaces.publicMessage(e).getOrElse(e.message))
@@ -264,7 +297,9 @@ final class Graft(val spark: SparkSession) {
 
   /** List aliases, optionally filtered to one target class (GetAliases). */
   def listAliases(className: Option[String] = None): Seq[(String, String)] =
-    aliases.toSeq.filter(kv => className.forall(_ == kv._2))
+    // canonicalize the filter like every alias MUTATION does — stored
+    // targets are canonical, so a lowercase filter would never match
+    aliases.toSeq.filter(kv => className.map(canonicalAlias).forall(_ == kv._2))
 
   /**
    * Tenant lifecycle registry (reference: usecases/schema/tenant.go —
@@ -285,20 +320,12 @@ final class Graft(val spark: SparkSession) {
   def addTenants(collectionName: String, ts: Seq[Tenant]): Graft = {
     // registry keys are CANONICAL names — an alias-keyed entry would bypass
     // checkTenant (which looks up by c.name) and serve inactive tenants
-    val cn = resolveAlias(collectionName)
+    val cn = resolveName(collectionName)
     require(collection(cn).schema.tenantColumn.isDefined,
       s"$collectionName is not multi-tenant (no tenant column declared)")
     val cur = tenantRegistry.getOrElse(cn, Map.empty)
     ts.foreach { t =>
-      // name contract (entities/schema/validation.go ValidateTenantName:
-      // ShardNameRegexCore `[A-Za-z0-9\-\_]{1,64}` — reference error shape)
-      if (t.name.isEmpty)
-        throw new IllegalArgumentException("empty tenant name")
-      if (!t.name.matches("[A-Za-z0-9\\-_]{1,64}"))
-        throw new IllegalArgumentException(
-          s" '${t.name}' is not a valid tenant name. should only contain " +
-            "alphanumeric characters (a-z, A-Z, 0-9), underscore (_), and " +
-            "hyphen (-), with a length between 1 and 64 characters")
+      validateTenantName(t.name)
       require(t.activityStatus != TenantStatus.Offloaded,
         s"tenant ${t.name}: on create only ACTIVE and INACTIVE are allowed")
       require(!cur.contains(t.name), s"tenant ${t.name} already exists")
@@ -310,7 +337,7 @@ final class Graft(val spark: SparkSession) {
   /** Update activity status; the tenant must exist (tenant.go on-update rules —
    * all three statuses allowed). */
   def updateTenant(collectionName: String, name: String, status: TenantStatus): Graft = {
-    val cn = resolveAlias(collectionName)
+    val cn = resolveName(collectionName)
     val cur = tenantRegistry.getOrElse(cn, Map.empty)
     require(cur.contains(name), s"tenant not found: $name")
     tenantRegistry += cn -> (cur + (name -> status))
@@ -318,7 +345,9 @@ final class Graft(val spark: SparkSession) {
   }
 
   def deleteTenants(collectionName: String, names: Seq[String]): Graft = {
-    val cn = resolveAlias(collectionName)
+    val cn = resolveName(collectionName)
+    // an unknown class must error, not insert a bogus registry entry
+    require(collections.contains(cn), s"unknown collection $cn")
     val cur = tenantRegistry.getOrElse(cn, Map.empty)
     tenantRegistry += cn -> (cur -- names)
     this
@@ -336,21 +365,36 @@ final class Graft(val spark: SparkSession) {
                      activation: Boolean = false): Graft = {
     require(collection(collectionName).schema.tenantColumn.isDefined,
       s"can't enable autoTenantCreation on a non-multi-tenant class")
-    autoTenantConfig += resolveAlias(collectionName) -> ((creation, activation))
+    autoTenantConfig += resolveName(collectionName) -> ((creation, activation))
     this
+  }
+
+  /** name contract (entities/schema/validation.go ValidateTenantName:
+   * ShardNameRegexCore `[A-Za-z0-9\-\_]{1,64}` — reference error shape). */
+  private def validateTenantName(name: String): Unit = {
+    if (name.isEmpty)
+      throw new IllegalArgumentException("empty tenant name")
+    if (!name.matches("[A-Za-z0-9\\-_]{1,64}"))
+      throw new IllegalArgumentException(
+        s" '$name' is not a valid tenant name. should only contain " +
+          "alphanumeric characters (a-z, A-Z, 0-9), underscore (_), and " +
+          "hyphen (-), with a length between 1 and 64 characters")
   }
 
   /** Write-path tenant hook: call with the tenants a batch addresses —
    * unknown tenants are created when autoTenantCreation is on, otherwise the
    * standard not-found gate fires. */
   def ensureTenants(collectionName: String, names: Seq[String]): Graft = {
-    val cn = resolveAlias(collectionName)
+    val cn = resolveName(collectionName)
     val creation = autoTenantConfig.get(cn).exists(_._1)
     val cur = tenantRegistry.getOrElse(cn, Map.empty)
     val unknown = names.distinct.filterNot(cur.contains)
     if (unknown.nonEmpty) {
       if (!creation)
         throw new IllegalArgumentException(s"tenant not found: ${unknown.head}")
+      // auto-created tenants pass the SAME name contract addTenants enforces
+      // (an invalid auto-created name would pollute partition paths)
+      unknown.foreach(validateTenantName)
       tenantRegistry += cn ->
         (cur ++ unknown.map(_ -> (TenantStatus.Active: TenantStatus)))
     }
@@ -359,7 +403,7 @@ final class Graft(val spark: SparkSession) {
 
   /** GetTenants (reference: usecases/schema/tenant.go GetConsistentTenants). */
   def tenants(collectionName: String): Seq[Tenant] =
-    tenantRegistry.getOrElse(resolveAlias(collectionName), Map.empty)
+    tenantRegistry.getOrElse(resolveName(collectionName), Map.empty)
       .toSeq.sortBy(_._1).map { case (n, s) => Tenant(n, s) }
 
   /** Registry gate for a query-addressed tenant (with autoTenantActivation:
@@ -454,6 +498,14 @@ final class Graft(val spark: SparkSession) {
     // registries key by CANONICAL name — an alias-keyed copy would be a
     // phantom Collection the lookup (which resolves aliases) never serves
     val c = collection(collectionName)
+    // fail fast on a column mismatch: searchOrScan's servesTarget would
+    // silently never serve the index, while denseServe's selectivity hint
+    // kept paying a capped count per filtered query for nothing
+    require(c.schema.vectors.get(vectorName).contains(idx.vecCol),
+      s"index vector column ${idx.vecCol} does not match " +
+      s"${c.name}.$vectorName (${c.schema.vectors.get(vectorName)})")
+    require(idx.idCol == c.schema.idColumn,
+      s"index id column ${idx.idCol} does not match ${c.name}.${c.schema.idColumn}")
     collections += c.name -> c.copy(vectorIndexes = c.vectorIndexes + (vectorName -> idx))
     this
   }
@@ -513,7 +565,7 @@ final class Graft(val spark: SparkSession) {
 
   /** Register a prebuilt postings index (e.g. after `Postings.delta`). */
   def registerPostings(collectionName: String, idx: PostingsIndex): Graft = {
-    val cn = resolveAlias(collectionName)
+    val cn = resolveName(collectionName)
     postingsIndexes.synchronized {
       postingsIndexes.get(cn).filterNot(_ eq idx).foreach(releasePostings)
       postingsIndexes(cn) = idx
@@ -631,8 +683,11 @@ final class Graft(val spark: SparkSession) {
   // collection re-registered with new data must NOT be served stale
   // encodings — the query falls back to the exact MaxSim scan until
   // re-encoded
+  // TrieMap, not mutable.Map: the serve path reads OUTSIDE the synchronized
+  // block while registerMuvera writes inside it — a plain HashMap is unsafe
+  // for read-during-resize (the postingsIndexes precedent)
   private val muveraIndexes =
-    scala.collection.mutable.Map.empty[(String, String), (graft.ann.MuveraEncoder, DataFrame, Long)]
+    scala.collection.concurrent.TrieMap.empty[(String, String), (graft.ann.MuveraEncoder, DataFrame, Long)]
   def registerMuvera(collectionName: String, vectorName: Option[String],
                      enc: graft.ann.MuveraEncoder,
                      persistPath: Option[String] = None): Graft = {
@@ -1248,7 +1303,9 @@ final class Graft(val spark: SparkSession) {
         // per-term BM25 contribution columns (reference: _additional
         // explainScore, index.go:2266-2291); names are _exp_<term>
         case "explainScore" =>
-          df.columns.filter(_.startsWith("_exp_")).sorted.map(col).toSeq
+          // df(name), not col(name): a query term containing '.' (e.g.
+          // "v1.2" under Field tokenization) would parse as struct access
+          df.columns.filter(_.startsWith("_exp_")).sorted.map(df(_)).toSeq
         case "id" => Some(col(id).as("_id"))
         case "distance" if df.columns.contains(VectorSearch.DistanceCol) => Some(col(VectorSearch.DistanceCol))
         case "certainty" if df.columns.contains(VectorSearch.DistanceCol) =>

@@ -22,7 +22,8 @@ object Explore {
    * cross-class ranking (ExploreParams.Offset/Limit). */
   def apply(g: Graft, collections: Seq[String], vector: Array[Float],
             metric: Metric, limit: Int = 0, offset: Int = 0,
-            certainty: Option[Double] = None): DataFrame = {
+            certainty: Option[Double] = None,
+            distance: Option[Double] = None): DataFrame = {
     require(certainty.isEmpty || metric == Metric.Cosine,
       s"can't compute and return certainty when vector index is configured " +
       s"with ${metric} distance")
@@ -43,9 +44,15 @@ object Explore {
           col(VectorSearch.DistanceCol).as("distance"))
     }
     val merged = legs.reduce(_ unionByName _)
-    val cut = certainty match {
+    // radius cut: certainty (cosine-only, converted) AND/OR an explicit
+    // distance threshold (ExploreParams carries both; either bounds the page)
+    val cut0 = certainty match {
       case Some(ct) => merged.filter(col("distance") <= lit(2.0 * (1.0 - ct)))
       case None     => merged
+    }
+    val cut = distance match {
+      case Some(d) => cut0.filter(col("distance") <= lit(d))
+      case None    => cut0
     }
     val ranked = cut
       .orderBy(col("distance").asc, col("class_name").asc, col("beacon_id").asc)

@@ -339,6 +339,9 @@ class EngineSpec extends SparkSpecBase {
     assert(gg.get(GetParams("MyAlias", properties = Seq("id"))).count() == 2)
     assert(gg.listAliases() == Seq("MyAlias" -> "ClassA"))
     assert(gg.listAliases(Some("ClassB")).isEmpty)
+    // the className filter canonicalizes like every mutation path — a
+    // lowercase filter must still find the alias
+    assert(gg.listAliases(Some("classA")) == Seq("MyAlias" -> "ClassA"))
     // collisions: existing alias, existing class, unknown target
     assert(intercept[IllegalArgumentException] { gg.createAlias("MyAlias", "ClassB") }
       .getMessage.contains("alias already exists"))

@@ -163,6 +163,30 @@ class NamespacesSpec extends SparkSpecBase {
     assert(g.collection("QDoc").name == "QDoc")
     val e = intercept[IllegalArgumentException](g.collection("team-b:QDoc"))
     assert(e.getMessage == "'team-b:QDoc' is not a valid class name")
+    // hasCollection answers, never throws, on a foreign prefix
+    assert(g.hasCollection("team-a:QDoc"))
+    assert(!g.hasCollection("team-b:QDoc"))
+  }
+
+  test("qualified names key the SAME tenant registry as the short name") {
+    val df = Seq((1L, "a", "t0"), (2L, "b", "t1")).toDF("id", "txt", "tenant")
+    val g = new Graft(spark).register(
+      CollectionSchema("QTen", "id", Seq(
+        Property("txt", PropType.Text),
+        Property("tenant", PropType.Text)), tenantColumn = Some("tenant")), df)
+    g.namespaces.create("team-a", "n1", 1)
+    g.assignNamespace("QTen", "team-a")
+    g.addTenants("team-a:QTen", Seq(graft.model.Tenant("t0"), graft.model.Tenant("t1")))
+    // visible under BOTH addressings — a raw-alias keyed registry would
+    // return empty for one of them
+    assert(g.tenants("QTen").map(_.name) == Seq("t0", "t1"))
+    assert(g.tenants("team-a:QTen").map(_.name) == Seq("t0", "t1"))
+    g.deleteTenants("team-a:QTen", Seq("t1"))
+    assert(g.tenants("QTen").map(_.name) == Seq("t0"))
+    // deleting tenants of an unknown class errors instead of inserting a
+    // bogus registry entry
+    assert(intercept[IllegalArgumentException](
+      g.deleteTenants("Nope", Seq("t0"))).getMessage.contains("unknown collection"))
   }
 
   test("a suspended namespace gates its collections at the engine chokepoint") {
