@@ -48,6 +48,18 @@ object SparkEntryExt {
       (pq, encoded)
     })
 
+  // trained BPE model + segmented vocabulary over the Document corpus —
+  // built once per dataset (the tokenizer-training batch job); q_bpe_train
+  // serves the merge table, q_bpe_encode the corpus encoding over the SAME
+  // vocabulary frame (Bpe.train's contract)
+  private val bpeCache = scala.collection.mutable.Map.empty[String, (Bpe.BpeModel, DataFrame)]
+  private def bpeFor(gg: Graft, dir: String): (Bpe.BpeModel, DataFrame) =
+    bpeCache.getOrElseUpdate(dir, {
+      val docs = gg.collection("Document").df
+      val (model, vocab) = Bpe.train(docs, col("text"), numMerges = 6)
+      (model, sideTable(vocab, "bpe"))
+    })
+
   // the engine's registered postings index (built lazily by the first
   // keyword query; q_bm25_postings exercises the same artifact directly)
   private def postingsFor(gg: Graft, dir: String): graft.operators.PostingsIndex =
@@ -2816,6 +2828,35 @@ object SparkEntryExt {
         additional = Set("rerank"),
         rerank = Some(RerankParams("text", "spark join window merge batch"))))
         .select(col("doc_id"), round(col(Rerank.ScoreCol), 4).as("score"))
+    }),
+
+    // pipeline: distributed BPE tokenizer TRAINING (Sennrich et al. 2016 —
+    // word-frequency-table formulation): 6 merge rounds over the Document
+    // corpus; output is the learned merge table (rank, pair, weighted pair
+    // count). The oracle replays ALL SIX rounds unrolled in SQL — char
+    // segmentation, freq-weighted adjacent-pair counts, (count desc, pair
+    // asc) argmax, left-to-right merge application — over the same
+    // double-space segmentation representation (Bpe.scala scaladoc).
+    "q_bpe_train" -> ((s, dir) => {
+      val (model, _) = bpeFor(g(s, dir), dir)
+      import s.implicits._
+      model.merges.map(m => (m.rank, m.pair, m.count)).toDF("rank", "pair", "cnt")
+        .orderBy(col("rank"))
+    }),
+
+    // pipeline: BPE corpus ENCODING with the trained merges — distinct-word
+    // dictionary join (encode each vocabulary word once, map occurrences
+    // back in word order); per doc the subword count and the first 10
+    // tokens. Oracle: the q_bpe_train replay's final vocabulary joined back
+    // through the same word-position explode.
+    "q_bpe_encode" -> ((s, dir) => {
+      val gg = g(s, dir)
+      val (_, vocab) = bpeFor(gg, dir)
+      val docs = gg.collection("Document").df
+      Bpe.encode(docs, col("doc_id"), col("text"), vocab)
+        .select(col("__id").as("doc_id"), size(col("tokens")).as("n_tokens"),
+          array_join(slice(col("tokens"), 1, 10), "|").as("head"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -5387,6 +5428,56 @@ object SparkEntryExt {
         |  round(avg(CAST(e.embedding[1] AS DOUBLE)), 4) AS dim0,
         |  round(avg(CAST(e.embedding[2] AS DOUBLE)), 4) AS dim1
         |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
-        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    "q_bpe_train" -> (bpeCtes(6) + """
+        |SELECT rank, pair, cnt FROM (
+        |""".stripMargin +
+      (1 to 6).map(i => s"  SELECT $i AS rank, pair, cnt FROM b$i")
+        .mkString("", "\n  UNION ALL\n", "\n") +
+      ") ORDER BY rank"),
+
+    "q_bpe_encode" -> (bpeCtes(6) + """,
+        |dw AS (SELECT doc_id, i, ws[i] AS w FROM (
+        |    SELECT doc_id,
+        |           list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+        |    FROM documents) d, unnest(range(1, len(ws) + 1)) AS u(i)),
+        |jt AS (SELECT dw.doc_id, dw.i, string_split(trim(wk.seg), '  ') AS syms
+        |       FROM dw JOIN w6 wk ON dw.w = wk.w),
+        |enc AS (SELECT doc_id, flatten(list(syms ORDER BY i)) AS toks
+        |        FROM jt GROUP BY doc_id)
+        |SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+        |       array_to_string(toks[1:10], '|') AS head
+        |FROM enc ORDER BY doc_id""".stripMargin)
   )
+
+  /** Unrolled BPE training replay (see `pipeline/Bpe.scala` scaladoc for the
+   * double-space segmentation representation both engines share): w0 is the
+   * char-segmented word-frequency table; each round i computes
+   * freq-weighted adjacent-pair counts (p_i), the (count desc, pair asc)
+   * argmax (b_i), and the merged vocabulary (w_i) via the same literal
+   * boundary-space replace the engine applies. */
+  private def bpeCtes(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH w0 AS (
+        |  SELECT w, regexp_replace(w, '(.)', ' \1 ', 'g') || ' </w> ' AS seg,
+        |         CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY 1, 2)""".stripMargin)
+    for (i <- 1 to k) {
+      val p = i - 1
+      sb.append(s""",
+        |p$i AS (SELECT l[i] || ' ' || l[i + 1] AS pair, CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM (SELECT string_split(trim(seg), '  ') AS l, freq FROM w$p) t,
+        |       unnest(range(1, len(l))) AS u(i) GROUP BY 1),
+        |b$i AS (SELECT pair, cnt, replace(pair, ' ', '') AS m,
+        |               ' ' || replace(pair, ' ', '  ') || ' ' AS pat
+        |        FROM p$i ORDER BY cnt DESC, pair ASC LIMIT 1),
+        |w$i AS (SELECT w, replace(seg, b.pat, ' ' || b.m || ' ') AS seg, freq
+        |        FROM w$p CROSS JOIN b$i b)""".stripMargin)
+    }
+    sb.append("\n")
+    sb.toString
+  }
 }
