@@ -5455,8 +5455,12 @@ object SparkEntryExt {
    * double-space segmentation representation both engines share): w0 is the
    * char-segmented word-frequency table; each round i computes
    * freq-weighted adjacent-pair counts (p_i), the (count desc, pair asc)
-   * argmax (b_i), and the merged vocabulary (w_i) via the same literal
-   * boundary-space replace the engine applies. */
+   * argmax among pairs meeting the trainer's minCount=2 early-stop rule
+   * (b_i — empty once no pair occurs twice, and pair counts are unchanged
+   * after a no-merge round, so an empty b_i stays empty: the same permanent
+   * stop as Bpe.train), and the merged vocabulary (w_i) via the same literal
+   * boundary-space replace the engine applies — a LEFT JOIN so a stopped
+   * round carries the vocabulary forward unchanged. */
   private def bpeCtes(k: Int): String = {
     val sb = new StringBuilder
     sb.append(
@@ -5473,9 +5477,11 @@ object SparkEntryExt {
         |       unnest(range(1, len(l))) AS u(i) GROUP BY 1),
         |b$i AS (SELECT pair, cnt, replace(pair, ' ', '') AS m,
         |               ' ' || replace(pair, ' ', '  ') || ' ' AS pat
-        |        FROM p$i ORDER BY cnt DESC, pair ASC LIMIT 1),
-        |w$i AS (SELECT w, replace(seg, b.pat, ' ' || b.m || ' ') AS seg, freq
-        |        FROM w$p CROSS JOIN b$i b)""".stripMargin)
+        |        FROM p$i WHERE cnt >= 2 ORDER BY cnt DESC, pair ASC LIMIT 1),
+        |w$i AS (SELECT w,
+        |          CASE WHEN b.pat IS NULL THEN seg
+        |               ELSE replace(seg, b.pat, ' ' || b.m || ' ') END AS seg, freq
+        |        FROM w$p LEFT JOIN b$i b ON TRUE)""".stripMargin)
     }
     sb.append("\n")
     sb.toString

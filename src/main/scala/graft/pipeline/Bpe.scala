@@ -92,6 +92,10 @@ object Bpe {
    * algorithm), weighted by word frequency. */
   private[pipeline] def pairCounts(vocab: DataFrame): DataFrame =
     vocab.select(symbols(col("__seg")).as("__sy"), col("__freq"))
+      // a fully-merged word (single symbol) has no adjacent pairs — and
+      // sequence(1, 0) is the DESCENDING [1, 0], not empty, so without the
+      // guard the transform indexes __sy out of bounds (throws under ANSI)
+      .where(size(col("__sy")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, size(__sy) - 1), i -> concat(__sy[i - 1], ' ', __sy[i]))"))
         .as("__pair"), col("__freq"))
@@ -117,9 +121,10 @@ object Bpe {
             minCount: Long = 2L): (BpeModel, DataFrame) = {
     require(numMerges >= 1 && numMerges <= 4096,
       "bpe: merge schedule is a bounded model constant")
-    var vocab = wordFrequencies(df, textCol)
+    val base = wordFrequencies(df, textCol)
       .withColumn("__seg", initSeg(col("__w")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var vocab: DataFrame = base
     val merges = Seq.newBuilder[Merge]
     var rank = 1
     var done = false
@@ -136,7 +141,12 @@ object Bpe {
         case None => done = true
       }
     }
-    (BpeModel(merges.result()), vocab)
+    // materialize the final frame off the cached base, then release the
+    // cache — otherwise every train() pins a Heaps-law-sized vocabulary in
+    // the block manager for the life of the session
+    val out = vocab.localCheckpoint(true)
+    base.unpersist(false)
+    (BpeModel(merges.result()), out)
   }
 
   /**

@@ -39,9 +39,24 @@ object IndexMaintenance {
         // next to the layout makes replays no-ops (the residual window is a
         // crash BETWEEN the append commit and the marker write — one
         // possible duplicate append per crash, vs one per restart).
+        // Batch ids are CHECKPOINT-scoped (a fresh checkpoint numbers from 0
+        // again), so the marker is keyed by the stream's query id from the
+        // checkpoint metadata — a later stream with a new checkpoint gets
+        // its own high-water mark instead of silently dropping its first
+        // batches against an older stream's.
         val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+        val metaPath = new org.apache.hadoop.fs.Path(checkpoint, "metadata")
+        val mfs = metaPath.getFileSystem(conf)
+        val queryKey = (if (mfs.exists(metaPath)) {
+          val in = mfs.open(metaPath)
+          val txt =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+        } else None).getOrElse(
+          java.util.UUID.nameUUIDFromBytes(checkpoint.getBytes("UTF-8")).toString)
         val marker = new org.apache.hadoop.fs.Path(
-          index.persistPath.get, "_last_applied_batch")
+          index.persistPath.get, s"_last_applied_batch_$queryKey")
         val fs = marker.getFileSystem(conf)
         val last =
           if (fs.exists(marker)) {
@@ -52,7 +67,7 @@ object IndexMaintenance {
         if (batchId > last) {
           index.append(batch)
           val tmp = new org.apache.hadoop.fs.Path(
-            index.persistPath.get, "_last_applied_batch.tmp")
+            index.persistPath.get, s"_last_applied_batch_$queryKey.tmp")
           val out = fs.create(tmp, true)
           try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
           fs.delete(marker, false)

@@ -106,6 +106,21 @@ class BpeSpec extends SparkSpecBase {
     assert(viaFold == viaVocab)
   }
 
+  test("fully-merged single-symbol words stop pairing instead of crashing") {
+    // "a" fully merges to the single symbol "a</w>" in round 1; the next
+    // round's pair scan over that word must yield nothing (sequence(1, 0)
+    // is [1, 0] — unguarded it indexes out of bounds under ANSI), while
+    // "bc" keeps training until it too is a single symbol, then early stop
+    val bed = Seq((1L, "a a a bc bc")).toDF("doc_id", "text")
+    val (model, vocab) = Bpe.train(bed, $"text", numMerges = 10)
+    val (expMerges, expSegs) = refTrain(Map("a" -> 3L, "bc" -> 2L), 10)
+    assert(model.merges.map(m => (m.pair, m.count)) == expMerges)
+    assert(model.merges.nonEmpty)
+    val segs = vocab.select($"__w", Bpe.symbols($"__seg")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    assert(segs == expSegs)
+  }
+
   test("early stop: merge schedule halts when no pair reaches minCount") {
     val bed = Seq((1L, "ab cd")).toDF("doc_id", "text")
     val (model, _) = Bpe.train(bed, $"text", numMerges = 10)

@@ -84,6 +84,19 @@ class IndexMaintenanceSpec extends SparkSpecBase {
     val top = fresh.search(anchor.toArray, 2, Metric.L2Squared, nprobe = 1)
       .select($"vec_id").collect().map(_.getLong(0)).toSet
     assert(top == Set(3L, 77777L), s"streamed row not probe-visible: $top")
+
+    // a LATER stream with a fresh checkpoint numbers its batches from 0
+    // again — the replay guard is per-query, so its first batch must land
+    // instead of being dropped against the previous stream's high-water mark
+    val inDir2 = Files.createTempDirectory("ivf-in2").toString
+    val ckpt2 = Files.createTempDirectory("ivf-ckpt2").toString
+    Seq((88888L, anchor)).toDF("vec_id", "embedding")
+      .write.mode("append").parquet(inDir2)
+    val q2 = IndexMaintenance.start(
+      spark.readStream.schema(base.schema).parquet(inDir2), fresh, ckpt2)
+    q2.awaitTermination(60000)
+    assert(fresh.reload(spark).assigned.count() == before + 2,
+      "fresh-checkpoint stream's batch 0 was dropped by the replay guard")
   }
 
   test("streaming postings maintenance: store upsert + delta'd index serve new docs") {
