@@ -60,6 +60,19 @@ object SparkEntryExt {
       (model, sideTable(vocab, "bpe"))
     })
 
+  // WordPiece twin: likelihood-scored merge selection (count(ab)/(count(a)·
+  // count(b)) — the BERT trainer's rule) over the same corpus; encoding is
+  // greedy maximal munch over the induced subword vocabulary, not the
+  // merge-order fold
+  private val wpCache = scala.collection.mutable.Map.empty[String, (Bpe.BpeModel, DataFrame)]
+  private def wpFor(gg: Graft, dir: String): (Bpe.BpeModel, DataFrame) =
+    wpCache.getOrElseUpdate(dir, {
+      val docs = gg.collection("Document").df
+      val (model, vocab) = Bpe.train(docs, col("text"), numMerges = 6,
+        scoring = Bpe.Scoring.Likelihood)
+      (model, sideTable(vocab, "wordpiece"))
+    })
+
   // the engine's registered postings index (built lazily by the first
   // keyword query; q_bm25_postings exercises the same artifact directly)
   private def postingsFor(gg: Graft, dir: String): graft.operators.PostingsIndex =
@@ -2857,6 +2870,34 @@ object SparkEntryExt {
         .select(col("__id").as("doc_id"), size(col("tokens")).as("n_tokens"),
           array_join(slice(col("tokens"), 1, 10), "|").as("head"))
         .orderBy(col("doc_id"))
+    }),
+
+    // pipeline: WordPiece tokenizer TRAINING — same merge machinery as
+    // q_bpe_train but the argmax is the likelihood score
+    // count(ab)/(count(a)·count(b)) (Schuster & Nakajima 2012; the BERT
+    // trainer). Oracle: the six rounds unrolled with per-round symbol-count
+    // CTEs and the identical double-precision score.
+    "q_wordpiece_train" -> ((s, dir) => {
+      val (model, _) = wpFor(g(s, dir), dir)
+      import s.implicits._
+      model.merges.map(m => (m.rank, m.pair, m.count)).toDF("rank", "pair", "cnt")
+        .orderBy(col("rank"))
+    }),
+
+    // pipeline: WordPiece ENCODING — greedy maximal munch over the trained
+    // subword vocabulary (the actual WordPiece inference rule, distinct
+    // from BPE's merge-order fold), one codegen scan per DISTINCT word +
+    // occurrence join-back. Oracle: the greedy scan unrolled step-by-step
+    // (longest vocab entry at each position via a windowed argmax) over the
+    // replayed final vocabulary.
+    "q_wordpiece_encode" -> ((s, dir) => {
+      val gg = g(s, dir)
+      val (_, vocab) = wpFor(gg, dir)
+      val docs = gg.collection("Document").df
+      Bpe.encodeGreedy(docs, col("doc_id"), col("text"), Bpe.vocabularyOf(vocab))
+        .select(col("__id").as("doc_id"), size(col("tokens")).as("n_tokens"),
+          array_join(slice(col("tokens"), 1, 10), "|").as("head"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -5437,6 +5478,18 @@ object SparkEntryExt {
         .mkString("", "\n  UNION ALL\n", "\n") +
       ") ORDER BY rank"),
 
+    "q_wordpiece_train" -> (wpCtes(6) + """
+        |SELECT rank, pair, cnt FROM (
+        |""".stripMargin +
+      (1 to 6).map(i => s"  SELECT $i AS rank, pair, cnt FROM b$i")
+        .mkString("", "\n  UNION ALL\n", "\n") +
+      ") ORDER BY rank"),
+
+    "q_wordpiece_encode" -> (wpCtes(6) + wpGreedyCtes(6, steps = 12) + """
+        |SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+        |       array_to_string(toks[1:10], '|') AS head
+        |FROM enc ORDER BY doc_id""".stripMargin),
+
     "q_bpe_encode" -> (bpeCtes(6) + """,
         |dw AS (SELECT doc_id, i, ws[i] AS w FROM (
         |    SELECT doc_id,
@@ -5464,7 +5517,7 @@ object SparkEntryExt {
   private def bpeCtes(k: Int): String = {
     val sb = new StringBuilder
     sb.append(
-      """WITH w0 AS (
+      """WITH w0 AS MATERIALIZED (
         |  SELECT w, regexp_replace(w, '(.)', ' \1 ', 'g') || ' </w> ' AS seg,
         |         CAST(count(*) AS BIGINT) AS freq
         |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents)
@@ -5472,18 +5525,108 @@ object SparkEntryExt {
     for (i <- 1 to k) {
       val p = i - 1
       sb.append(s""",
-        |p$i AS (SELECT l[i] || ' ' || l[i + 1] AS pair, CAST(sum(freq) AS BIGINT) AS cnt
+        |p$i AS MATERIALIZED (SELECT l[i] || ' ' || l[i + 1] AS pair, CAST(sum(freq) AS BIGINT) AS cnt
         |  FROM (SELECT string_split(trim(seg), '  ') AS l, freq FROM w$p) t,
         |       unnest(range(1, len(l))) AS u(i) GROUP BY 1),
-        |b$i AS (SELECT pair, cnt, replace(pair, ' ', '') AS m,
+        |b$i AS MATERIALIZED (SELECT pair, cnt, replace(pair, ' ', '') AS m,
         |               ' ' || replace(pair, ' ', '  ') || ' ' AS pat
         |        FROM p$i WHERE cnt >= 2 ORDER BY cnt DESC, pair ASC LIMIT 1),
-        |w$i AS (SELECT w,
+        |w$i AS MATERIALIZED (SELECT w,
         |          CASE WHEN b.pat IS NULL THEN seg
         |               ELSE replace(seg, b.pat, ' ' || b.m || ' ') END AS seg, freq
         |        FROM w$p LEFT JOIN b$i b ON TRUE)""".stripMargin)
     }
     sb.append("\n")
+    sb.toString
+  }
+
+  /** [[bpeCtes]] with the WordPiece selection rule: each round adds a
+   * freq-weighted symbol-count CTE (s_i) and the argmax ranks by
+   * count(ab)/(count(a)·count(b)) in the identical IEEE-double math the
+   * engine computes (exact BIGINT inputs → bit-identical scores), still
+   * gated on the raw-count minCount=2 early stop and tie-broken on the pair
+   * string. */
+  private def wpCtes(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH w0 AS MATERIALIZED (
+        |  SELECT w, regexp_replace(w, '(.)', ' \1 ', 'g') || ' </w> ' AS seg,
+        |         CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY 1, 2)""".stripMargin)
+    for (i <- 1 to k) {
+      val p = i - 1
+      sb.append(s""",
+        |p$i AS MATERIALIZED (SELECT l[i] || ' ' || l[i + 1] AS pair, CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM (SELECT string_split(trim(seg), '  ') AS l, freq FROM w$p) t,
+        |       unnest(range(1, len(l))) AS u(i) GROUP BY 1),
+        |s$i AS MATERIALIZED (SELECT sym, CAST(sum(freq) AS BIGINT) AS scnt
+        |  FROM (SELECT unnest(string_split(trim(seg), '  ')) AS sym, freq FROM w$p)
+        |  GROUP BY 1),
+        |b$i AS MATERIALIZED (SELECT pair, cnt, replace(pair, ' ', '') AS m,
+        |               ' ' || replace(pair, ' ', '  ') || ' ' AS pat
+        |        FROM (SELECT p.pair, p.cnt,
+        |                CAST(p.cnt AS DOUBLE) /
+        |                  (CAST(sa.scnt AS DOUBLE) * CAST(sb.scnt AS DOUBLE)) AS score
+        |              FROM p$i p
+        |              JOIN s$i sa ON sa.sym = string_split(p.pair, ' ')[1]
+        |              JOIN s$i sb ON sb.sym = string_split(p.pair, ' ')[2]
+        |              WHERE p.cnt >= 2)
+        |        ORDER BY score DESC, pair ASC LIMIT 1),
+        |w$i AS MATERIALIZED (SELECT w,
+        |          CASE WHEN b.pat IS NULL THEN seg
+        |               ELSE replace(seg, b.pat, ' ' || b.m || ' ') END AS seg, freq
+        |        FROM w$p LEFT JOIN b$i b ON TRUE)""".stripMargin)
+    }
+    sb.append("\n")
+    sb.toString
+  }
+
+  /** Greedy maximal-munch replay over the round-`k` vocabulary: per distinct
+   * word, `steps` unrolled longest-match steps in SYMBOL space (single
+   * characters + the atomic trailing marker; matching a vocabulary entry's
+   * symbol span keeps stray `<`/`w` characters from matching inside the
+   * marker text, exactly like GreedyPieces). Each step joins the open scan
+   * states against the vocabulary on the concatenated span and keeps the
+   * longest via a windowed rank; finished words carry through unchanged.
+   * `steps` must cover the longest word + 1 (each step consumes ≥ 1
+   * symbol). No [UNK] arm: encoding the training corpus itself, every
+   * character is in the vocabulary. */
+  private def wpGreedyCtes(k: Int, steps: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s""",
+      |v AS MATERIALIZED (SELECT DISTINCT unnest(string_split(trim(seg), '  ')) AS sym FROM w$k),
+      |vk AS MATERIALIZED (SELECT sym, CASE WHEN sym LIKE '%</w>'
+      |                        THEN length(sym) - 4 + 1 ELSE length(sym) END AS k
+      |       FROM v),
+      |dw AS MATERIALIZED (SELECT doc_id, i, ws[i] AS w FROM (
+      |    SELECT doc_id,
+      |           list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ws
+      |    FROM documents) d, unnest(range(1, len(ws) + 1)) AS u(i)),
+      |g0 AS MATERIALIZED (SELECT w, regexp_extract_all(w, '.') || ['</w>'] AS l,
+      |              1 AS pos, []::VARCHAR[] AS toks
+      |       FROM (SELECT DISTINCT w FROM dw))""".stripMargin)
+    for (i <- 1 to steps) {
+      val p = i - 1
+      sb.append(s""",
+        |g$i AS MATERIALIZED (
+        |  SELECT w, l, pos + k AS pos, toks || [piece] AS toks FROM (
+        |    SELECT g.w, g.l, g.pos, g.toks, vk.k,
+        |           array_to_string(g.l[g.pos:g.pos + vk.k - 1], '') AS piece,
+        |           row_number() OVER (PARTITION BY g.w ORDER BY vk.k DESC) AS rn
+        |    FROM g$p g JOIN vk ON vk.k <= len(g.l) - g.pos + 1
+        |         AND array_to_string(g.l[g.pos:g.pos + vk.k - 1], '') = vk.sym
+        |    WHERE g.pos <= len(g.l))
+        |  WHERE rn = 1
+        |  UNION ALL
+        |  SELECT w, l, pos, toks FROM g$p WHERE pos > len(l))""".stripMargin)
+    }
+    sb.append(s""",
+      |jt AS MATERIALIZED (SELECT dw.doc_id, dw.i, gk.toks FROM dw
+      |       JOIN g$steps gk ON dw.w = gk.w),
+      |enc AS MATERIALIZED (SELECT doc_id, flatten(list(toks ORDER BY i)) AS toks
+      |        FROM jt GROUP BY doc_id)
+      |""".stripMargin)
     sb.toString
   }
 }

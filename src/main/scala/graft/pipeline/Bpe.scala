@@ -52,6 +52,18 @@ object Bpe {
    * ones). */
   val EndOfWord = "</w>"
 
+  /** Merge-selection rule. [[Scoring.Frequency]] is classic BPE (argmax raw
+   * pair count); [[Scoring.Likelihood]] is the WordPiece trainer's rule
+   * (Schuster & Nakajima 2012; the BERT tokenizer): argmax
+   * count(ab) / (count(a) · count(b)) — the pair whose merge most increases
+   * the corpus unigram-LM likelihood. Both stop when no pair's raw count
+   * reaches `minCount`, and both break ties on the pair string ascending. */
+  sealed trait Scoring
+  object Scoring {
+    case object Frequency extends Scoring
+    case object Likelihood extends Scoring
+  }
+
   private[pipeline] val CheckpointEvery = 8
 
   /** A trained merge table, rank order = application order.
@@ -101,6 +113,12 @@ object Bpe {
         .as("__pair"), col("__freq"))
       .groupBy(col("__pair")).agg(sum(col("__freq")).as("__cnt"))
 
+  /** Freq-weighted symbol occurrence counts over a (seg, freq) vocabulary
+   * frame — the denominator terms of the WordPiece likelihood score. */
+  private[pipeline] def symbolCounts(vocab: DataFrame): DataFrame =
+    vocab.select(explode(symbols(col("__seg"))).as("__s"), col("__freq"))
+      .groupBy(col("__s")).agg(sum(col("__freq")).as("__scnt"))
+
   /** One merge application over the vocabulary frame (see representation
    * note in the object scaladoc). */
   private[pipeline] def applyMerge(vocab: DataFrame, pair: String): DataFrame =
@@ -110,15 +128,18 @@ object Bpe {
 
   /**
    * Train `numMerges` merges. Each round: pair-count hash-agg over the
-   * vocabulary table, argmax by (count desc, pair asc — a deterministic
-   * total order), apply. Stops early when no pair occurs twice (`minCount`).
+   * vocabulary table, argmax by (selection key desc, pair asc — a
+   * deterministic total order; the key is the raw count for
+   * [[Scoring.Frequency]], the likelihood score for [[Scoring.Likelihood]]),
+   * apply. Stops early when no pair occurs twice (`minCount`).
    *
    * @return the model plus the final segmented vocabulary frame
    *         (__w, __seg, __freq) — callers encoding the SAME corpus reuse it
    *         instead of re-folding the merges.
    */
   def train(df: DataFrame, textCol: Column, numMerges: Int,
-            minCount: Long = 2L): (BpeModel, DataFrame) = {
+            minCount: Long = 2L,
+            scoring: Scoring = Scoring.Frequency): (BpeModel, DataFrame) = {
     require(numMerges >= 1 && numMerges <= 4096,
       "bpe: merge schedule is a bounded model constant")
     val base = wordFrequencies(df, textCol)
@@ -129,9 +150,26 @@ object Bpe {
     var rank = 1
     var done = false
     while (rank <= numMerges && !done) {
-      val best = pairCounts(vocab)
-        .orderBy(col("__cnt").desc, col("__pair").asc).limit(1).collect()
-      best.headOption.filter(_.getLong(1) >= minCount) match {
+      val eligible = pairCounts(vocab).where(col("__cnt") >= minCount)
+      val ranked = scoring match {
+        case Scoring.Frequency =>
+          eligible.withColumn("__key", col("__cnt").cast("double"))
+        case Scoring.Likelihood =>
+          // count(ab) / (count(a)·count(b)) in DOUBLE (long·long overflows
+          // at corpus scale); the symbol-count side table is
+          // vocabulary-alphabet sized — AQE broadcasts it
+          val sc = symbolCounts(vocab)
+          eligible
+            .withColumn("__a", split(col("__pair"), " ").getItem(0))
+            .withColumn("__b", split(col("__pair"), " ").getItem(1))
+            .join(sc.select(col("__s").as("__a"), col("__scnt").as("__ca")), Seq("__a"))
+            .join(sc.select(col("__s").as("__b"), col("__scnt").as("__cb")), Seq("__b"))
+            .withColumn("__key", col("__cnt").cast("double") /
+              (col("__ca").cast("double") * col("__cb").cast("double")))
+      }
+      val best = ranked.orderBy(col("__key").desc, col("__pair").asc).limit(1)
+        .select(col("__pair"), col("__cnt")).collect()
+      best.headOption match {
         case Some(row) =>
           val pair = row.getString(0)
           merges += Merge(rank, pair, row.getLong(1))
@@ -162,6 +200,39 @@ object Bpe {
     val dict = vocab.select(col("__w"), symbols(col("__seg")).as("__sy"))
     val occ = df.select(idCol.as("__id"), posexplode(Tokenize.whitespace(textCol))
       .as(Seq("__pos", "__w")))
+    occ.join(dict, Seq("__w"))
+      .groupBy(col("__id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__sy")))),
+        e => e.getField("__sy"))).as("tokens"))
+  }
+
+  /** The subword vocabulary a trained segmentation frame induces: every
+   * distinct symbol in the final segmentations. Bounded by
+   * |alphabet| + numMerges (each merge adds at most one new symbol) — a
+   * model constant, safe to collect and embed in the encoder. */
+  def vocabularyOf(vocab: DataFrame): Seq[String] =
+    vocab.select(explode(symbols(col("__seg"))).as("__s"))
+      .distinct().orderBy(col("__s"))
+      .collect().map(_.getString(0)).toSeq
+
+  /**
+   * WordPiece-style greedy encoding: each word is tokenized by repeated
+   * LONGEST-vocabulary-entry match (maximal munch — the actual WordPiece
+   * inference rule, which differs from BPE's merge-order fold), with the
+   * end-of-word marker as one atomic trailing symbol and HF's whole-word
+   * `unk` fallback when a position has no match. Same amortization as
+   * [[encode]]: the greedy scan runs once per DISTINCT word via a codegen
+   * expression, an equi-join maps occurrences back.
+   */
+  def encodeGreedy(df: DataFrame, idCol: Column, textCol: Column,
+                   vocabulary: Seq[String], unk: String = "[UNK]"): DataFrame = {
+    val enc = new graft.text.GreedyPieces(vocabulary, unk)
+    val occ = df.select(idCol.as("__id"), posexplode(Tokenize.whitespace(textCol))
+      .as(Seq("__pos", "__w")))
+    val dict = occ.select(col("__w")).distinct()
+      .withColumn("__sy",
+        org.apache.spark.sql.graft.TextFunctions.greedyPieces(col("__w"), enc))
     occ.join(dict, Seq("__w"))
       .groupBy(col("__id"))
       .agg(flatten(transform(

@@ -138,6 +138,32 @@ object CjkDictSegment {
       tokens.map(UTF8String.fromString))
 }
 
+/**
+ * WordPiece-style greedy longest-match subword encoding as a native
+ * Catalyst expression (the column form of [[graft.text.GreedyPieces]] —
+ * see its scaladoc for the maximal-munch rule). Runs once per DISTINCT
+ * word on the dictionary-join path, inside whole-stage codegen.
+ */
+case class GreedyPieceEncode(child: Expression, enc: graft.text.GreedyPieces)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "greedy_piece_encode"
+
+  override def nullSafeEval(v: Any): Any =
+    CjkDictSegment.toArrayData(enc.encodeArray(v.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val encRef = ctx.addReferenceObj("greedyPieces", enc,
+      classOf[graft.text.GreedyPieces].getName)
+    val helper = CjkDictSegment.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = $helper.toArrayData($encRef.encodeArray($a.toString()));")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Column-level entry points for text analysis expressions. */
 object TextFunctions {
   private def c(e: Expression): Column = ExpressionUtils.column(e)
@@ -146,4 +172,6 @@ object TextFunctions {
   def asciiFold(col: Column): Column = c(AsciiFold(x(col)))
   def cjkDictSegment(col: Column, seg: graft.text.CjkDictSegmenter): Column =
     c(CjkDictSegment(x(col), seg))
+  def greedyPieces(col: Column, enc: graft.text.GreedyPieces): Column =
+    c(GreedyPieceEncode(x(col), enc))
 }

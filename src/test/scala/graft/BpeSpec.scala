@@ -126,4 +126,87 @@ class BpeSpec extends SparkSpecBase {
     val (model, _) = Bpe.train(bed, $"text", numMerges = 10)
     assert(model.merges.isEmpty) // every pair occurs once; minCount=2
   }
+
+  // ---- WordPiece: likelihood-scored merges + greedy maximal munch ----
+
+  /** refTrain with the WordPiece selection rule: score = cnt/(ca·cb) in
+   * double, eligibility cnt >= minCount, ties on the pair string. */
+  private def refTrainWP(words: Map[String, Long], k: Int,
+                         minCount: Long = 2L): (Seq[(String, Long)], Map[String, Vector[String]]) = {
+    var segs: Map[String, Vector[String]] = words.keys.map(w => w -> refInit(w)).toMap
+    val merges = Seq.newBuilder[(String, Long)]
+    var r = 0
+    var stop = false
+    while (r < k && !stop) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      val syms = scala.collection.mutable.Map.empty[String, Long]
+      for ((w, sy) <- segs) {
+        for (i <- 0 until sy.length - 1)
+          counts((sy(i), sy(i + 1))) = counts.getOrElse((sy(i), sy(i + 1)), 0L) + words(w)
+        for (s <- sy) syms(s) = syms.getOrElse(s, 0L) + words(w)
+      }
+      val eligible = counts.filter(_._2 >= minCount)
+      if (eligible.isEmpty) stop = true
+      else {
+        val ((a, b), c) = eligible.minBy { case ((x, y), n) =>
+          (-(n.toDouble / (syms(x).toDouble * syms(y).toDouble)), x + " " + y)
+        }
+        merges += (s"$a $b" -> c)
+        segs = segs.map { case (w, sy) => w -> refApply(sy, a, b) }
+        r += 1
+      }
+    }
+    (merges.result(), segs)
+  }
+
+  /** Plain maximal munch over the symbol sequence (chars + atomic marker). */
+  private def refGreedy(vocab: Set[String], word: String, unk: String): Vector[String] = {
+    val sy = refInit(word)
+    val out = Vector.newBuilder[String]
+    var pos = 0
+    while (pos < sy.length) {
+      val len = (math.min(sy.length - pos, 32) to 1 by -1)
+        .find(l => vocab.contains(sy.slice(pos, pos + l).mkString)) // marker atomic
+        .getOrElse(return Vector(unk))
+      out += sy.slice(pos, pos + len).mkString
+      pos += len
+    }
+    out.result()
+  }
+
+  test("likelihood scoring matches the sequential WordPiece trainer") {
+    val (model, vocab) =
+      Bpe.train(docs, $"text", numMerges = 10, scoring = Bpe.Scoring.Likelihood)
+    val (expMerges, expSegs) = refTrainWP(wordFreqs, 10)
+    assert(model.merges.map(m => (m.pair, m.count)) == expMerges)
+    val segs = vocab.select($"__w", Bpe.symbols($"__seg")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    assert(segs == expSegs)
+    // the two scoring rules actually disagree on this corpus — otherwise
+    // this spec would be re-testing Frequency under another name
+    val (freqMerges, _) = refTrain(wordFreqs, 10)
+    assert(expMerges.map(_._1) != freqMerges.map(_._1))
+  }
+
+  test("greedy encode = maximal munch; OOV char makes the whole word unk") {
+    val (_, vocabFrame) =
+      Bpe.train(docs, $"text", numMerges = 10, scoring = Bpe.Scoring.Likelihood)
+    val vocabulary = Bpe.vocabularyOf(vocabFrame)
+    val vset = vocabulary.toSet
+    val enc = Bpe.encodeGreedy(docs, $"doc_id", $"text", vocabulary)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    val expected = docs.select($"doc_id", $"text").collect().map { r =>
+      val toks = r.getString(1).split("\\s+").filter(_.nonEmpty).toVector
+      r.getLong(0) -> toks.flatMap(w => refGreedy(vset, w, "[UNK]"))
+    }.toMap
+    assert(enc == expected)
+    // greedy longest-match is NOT the merge-order fold: it can emit a
+    // subword the fold would have split differently — just prove the
+    // machinery handles an unk: ø never occurs in the corpus alphabet
+    val oov = Seq((1L, "søren spark")).toDF("doc_id", "text")
+    val got = Bpe.encodeGreedy(oov, $"doc_id", $"text", vocabulary)
+      .head().getSeq[String](1).toVector
+    assert(got.head == "[UNK]")
+    assert(got.tail == refGreedy(vset, "spark", "[UNK]"))
+  }
 }
