@@ -135,11 +135,24 @@ object ScaleProfile {
       n
     }
 
+    // the q_bpe_train / q_unigram_train shape: tokenizer trainers — all
+    // per-round work runs over the Heaps-law word-frequency table, which
+    // grows ~10× under rotation (each copy is new vocabulary), so a clean
+    // trainer reads ≈ linear; corpus-scale leakage into a round would read
+    // as rounds × linear
+    def tokTrain(docs: DataFrame): Long = {
+      val (m, _) = graft.pipeline.Bpe.train(docs, col("text"), numMerges = 8)
+      val (u, _) = graft.pipeline.UnigramLm.train(docs, col("text"),
+        seedSize = 256, maxPieceLen = 4, emRounds = 2)
+      m.merges.size.toLong + u.pieces.size.toLong
+    }
+
     val pipelines: Seq[(String, (DataFrame, String) => Long)] = Seq(
       "edit_join" -> ((d, _) => edit(d)), "minhash" -> ((d, _) => minhash(d)),
       "curate_chain" -> ((d, _) => curate(d)),
       "tfidf" -> ((d, _) => tfidf(d)),
       "canonical_keep" -> ((d, _) => canonical(d)),
+      "tokenizer_train" -> ((d, _) => tokTrain(d)),
       "stream_dedup" -> (streamDedup(_, _)))
     val report = pipelines.map { case (name, p0) =>
       def p(c: (DataFrame, String)): Long = p0(c._1, c._2)

@@ -73,6 +73,15 @@ object SparkEntryExt {
       (model, sideTable(vocab, "wordpiece"))
     })
 
+  // Unigram-LM (SentencePiece) hard-EM trainer — the third tokenizer family
+  private val uniCache = scala.collection.mutable.Map.empty[String, graft.pipeline.UnigramLm.Model]
+  private def uniFor(gg: Graft, dir: String): graft.pipeline.UnigramLm.Model =
+    uniCache.getOrElseUpdate(dir, {
+      val docs = gg.collection("Document").df
+      graft.pipeline.UnigramLm.train(docs, col("text"),
+        seedSize = 48, maxPieceLen = 4, emRounds = 2)._1
+    })
+
   // the engine's registered postings index (built lazily by the first
   // keyword query; q_bm25_postings exercises the same artifact directly)
   private def postingsFor(gg: Graft, dir: String): graft.operators.PostingsIndex =
@@ -2898,6 +2907,34 @@ object SparkEntryExt {
         .select(col("__id").as("doc_id"), size(col("tokens")).as("n_tokens"),
           array_join(slice(col("tokens"), 1, 10), "|").as("head"))
         .orderBy(col("doc_id"))
+    }),
+
+    // pipeline: unigram-LM tokenizer TRAINING (Kudo 2018; the SentencePiece
+    // default) — substring seed vocabulary, two hard-EM rounds (Viterbi
+    // E-step, exact-count M-step). The oracle replays EVERYTHING: seed
+    // ranking, per-round DP (unrolled position CTEs), backtrack, count
+    // re-estimation — in identical IEEE-double math.
+    "q_unigram_train" -> ((s, dir) => {
+      val model = uniFor(g(s, dir), dir)
+      import s.implicits._
+      model.pieces.map(p => (p.piece, p.count, p.prob))
+        .toDF("piece", "cnt", "prob")
+        .orderBy(col("prob").desc, col("piece")) // EXACT prob, then round
+        .withColumn("prob", round(col("prob"), 6)) // same HALF_UP as DuckDB
+    }),
+
+    // pipeline: unigram-LM Viterbi ENCODING of the corpus under the trained
+    // model — globally-best segmentation per word (not greedy munch), one
+    // codegen DP per DISTINCT word + occurrence join-back. Oracle: one more
+    // replayed DP+backtrack round over the final piece table.
+    "q_unigram_encode" -> ((s, dir) => {
+      val gg = g(s, dir)
+      val model = uniFor(gg, dir)
+      val docs = gg.collection("Document").df
+      graft.pipeline.UnigramLm.encode(docs, col("doc_id"), col("text"), model)
+        .select(col("__id").as("doc_id"), size(col("tokens")).as("n_tokens"),
+          array_join(slice(col("tokens"), 1, 10), "|").as("head"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -5490,6 +5527,18 @@ object SparkEntryExt {
         |       array_to_string(toks[1:10], '|') AS head
         |FROM enc ORDER BY doc_id""".stripMargin),
 
+    "q_unigram_train" -> (unigramCtes(seedSize = 48, maxL = 4, rounds = 2,
+      positions = 12, withEncode = false) + """
+        |SELECT c.piece, c.cnt, round(q.p, 6) AS prob
+        |FROM c2 c JOIN q2 q USING (piece)
+        |ORDER BY q.p DESC, c.piece ASC""".stripMargin),
+
+    "q_unigram_encode" -> (unigramCtes(seedSize = 48, maxL = 4, rounds = 2,
+      positions = 12, withEncode = true) + """
+        |SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+        |       array_to_string(toks[1:10], '|') AS head
+        |FROM enc ORDER BY doc_id""".stripMargin),
+
     "q_bpe_encode" -> (bpeCtes(6) + """,
         |dw AS (SELECT doc_id, i, ws[i] AS w FROM (
         |    SELECT doc_id,
@@ -5578,6 +5627,102 @@ object SparkEntryExt {
         |               ELSE replace(seg, b.pat, ' ' || b.m || ' ') END AS seg, freq
         |        FROM w$p LEFT JOIN b$i b ON TRUE)""".stripMargin)
     }
+    sb.append("\n")
+    sb.toString
+  }
+
+  /**
+   * Full unigram-LM hard-EM replay (see `pipeline/UnigramLm.scala` for the
+   * determinism pins): `wf`/`wl` are the word-frequency table and its
+   * symbol lists; `sp`/`sr`/`v0`/`q0` the substring seed (rank = count
+   * desc, piece asc; kept = rank ≤ seedSize OR single symbol; p = cnt /
+   * Σcnt). Each round r unrolls the Viterbi DP over word positions
+   * (d{r}_j: best prefix probability + argmax last-piece length at symbol
+   * position j under q{r-1}, tie = (prob desc, len desc)), backtracks
+   * (t{r}_s walking da{r}, the per-position length table), and
+   * re-estimates (c{r} freq-weighted piece usage, q{r} renormalized).
+   * With `withEncode`, one extra DP+backtrack round under the FINAL probs
+   * produces per-word segmentations, joined back through word positions
+   * into per-document streams (dw/jt/enc). `positions` must cover the
+   * longest word + 1. All CTEs MATERIALIZED (they are re-referenced; DuckDB
+   * would otherwise inline them exponentially).
+   */
+  private def unigramCtes(seedSize: Int, maxL: Int, rounds: Int,
+                          positions: Int, withEncode: Boolean): String = {
+    val sb = new StringBuilder
+    sb.append(s"""WITH wf AS MATERIALIZED (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+      |  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents)
+      |  WHERE w <> '' GROUP BY 1),
+      |wl AS MATERIALIZED (
+      |  SELECT w, regexp_extract_all(w, '.') || ['</w>'] AS l FROM wf),
+      |sp AS MATERIALIZED (
+      |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+      |    SELECT array_to_string(wl.l[i:j], '') AS piece, wf.freq
+      |    FROM wl JOIN wf USING (w),
+      |         unnest(range(1, len(wl.l) + 1)) AS u(i),
+      |         unnest(range(i, least(i + ${maxL - 1}, len(wl.l)) + 1)) AS v(j))
+      |  GROUP BY 1),
+      |sr AS MATERIALIZED (
+      |  SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rn,
+      |         CASE WHEN piece LIKE '%</w>' THEN length(piece) - 3
+      |              ELSE length(piece) END AS k
+      |  FROM sp),
+      |v0 AS MATERIALIZED (SELECT piece, cnt FROM sr WHERE rn <= $seedSize OR k = 1),
+      |q0 AS MATERIALIZED (SELECT piece, CAST(cnt AS DOUBLE) /
+      |       (SELECT CAST(sum(cnt) AS DOUBLE) FROM v0) AS p FROM v0)""".stripMargin)
+    val lastRound = if (withEncode) rounds + 1 else rounds
+    for (r <- 1 to lastRound) {
+      val prev = s"q${r - 1}"
+      sb.append(s""",
+        |d${r}_0 AS MATERIALIZED (SELECT w, l, CAST(1.0 AS DOUBLE) AS v, 0 AS len FROM wl)""".stripMargin)
+      for (j <- 1 to positions) {
+        val branches = (math.max(0, j - maxL) until j).map { i =>
+          s"""      SELECT w, l, v, ${j - i} AS len,
+             |             array_to_string(l[${i + 1}:$j], '') AS piece
+             |      FROM d${r}_$i WHERE len(l) >= $j""".stripMargin
+        }.mkString("\n      UNION ALL\n")
+        sb.append(s""",
+          |d${r}_$j AS MATERIALIZED (
+          |  SELECT w, l, v, len FROM (
+          |    SELECT w, l, v, len,
+          |           row_number() OVER (PARTITION BY w ORDER BY v DESC, len DESC) AS rn
+          |    FROM (SELECT x.w, x.l, x.v * q.p AS v, x.len AS len FROM (
+          |$branches
+          |    ) x JOIN $prev q ON q.piece = x.piece) y
+          |  ) WHERE rn = 1)""".stripMargin)
+      }
+      sb.append(s""",
+        |da$r AS MATERIALIZED (${(1 to positions).map(j =>
+          s"SELECT w, $j AS j, len FROM d${r}_$j").mkString("\n  UNION ALL ")}),
+        |t${r}_0 AS MATERIALIZED (
+        |  SELECT w, l, len(l) AS pos, []::VARCHAR[] AS toks FROM wl)""".stripMargin)
+      for (s <- 1 to positions) {
+        sb.append(s""",
+          |t${r}_$s AS MATERIALIZED (
+          |  SELECT t.w, t.l, t.pos - d.len AS pos,
+          |         [array_to_string(t.l[(t.pos - d.len + 1):t.pos], '')] || t.toks AS toks
+          |  FROM t${r}_${s - 1} t JOIN da$r d ON d.w = t.w AND d.j = t.pos
+          |  WHERE t.pos > 0
+          |  UNION ALL SELECT w, l, pos, toks FROM t${r}_${s - 1} WHERE pos = 0)""".stripMargin)
+      }
+      if (r <= rounds) sb.append(s""",
+        |c$r AS MATERIALIZED (
+        |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |    SELECT t.w, unnest(t.toks) AS piece FROM t${r}_$positions t WHERE t.pos = 0) s
+        |  JOIN wf ON wf.w = s.w GROUP BY 1),
+        |q$r AS MATERIALIZED (SELECT piece, CAST(cnt AS DOUBLE) /
+        |       (SELECT CAST(sum(cnt) AS DOUBLE) FROM c$r) AS p FROM c$r)""".stripMargin)
+    }
+    if (withEncode) sb.append(s""",
+      |dw AS MATERIALIZED (SELECT doc_id, i, ws[i] AS w FROM (
+      |    SELECT doc_id,
+      |           list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ws
+      |    FROM documents) d, unnest(range(1, len(ws) + 1)) AS u(i)),
+      |jt AS MATERIALIZED (SELECT dw.doc_id, dw.i, tk.toks
+      |       FROM dw JOIN t${rounds + 1}_$positions tk ON dw.w = tk.w AND tk.pos = 0),
+      |enc AS MATERIALIZED (SELECT doc_id, flatten(list(toks ORDER BY i)) AS toks
+      |        FROM jt GROUP BY doc_id)""".stripMargin)
     sb.append("\n")
     sb.toString
   }

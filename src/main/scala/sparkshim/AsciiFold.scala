@@ -164,6 +164,32 @@ case class GreedyPieceEncode(child: Expression, enc: graft.text.GreedyPieces)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/**
+ * Viterbi unigram-model segmentation as a native Catalyst expression (the
+ * column form of [[graft.text.ViterbiPieces]] — the SentencePiece inference
+ * rule and the UnigramLm E-step). Runs once per DISTINCT word on the
+ * dictionary-join path, inside whole-stage codegen.
+ */
+case class ViterbiPieceEncode(child: Expression, enc: graft.text.ViterbiPieces)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "viterbi_piece_encode"
+
+  override def nullSafeEval(v: Any): Any =
+    CjkDictSegment.toArrayData(enc.encodeArray(v.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val encRef = ctx.addReferenceObj("viterbiPieces", enc,
+      classOf[graft.text.ViterbiPieces].getName)
+    val helper = CjkDictSegment.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = $helper.toArrayData($encRef.encodeArray($a.toString()));")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Column-level entry points for text analysis expressions. */
 object TextFunctions {
   private def c(e: Expression): Column = ExpressionUtils.column(e)
@@ -174,4 +200,6 @@ object TextFunctions {
     c(CjkDictSegment(x(col), seg))
   def greedyPieces(col: Column, enc: graft.text.GreedyPieces): Column =
     c(GreedyPieceEncode(x(col), enc))
+  def viterbiPieces(col: Column, enc: graft.text.ViterbiPieces): Column =
+    c(ViterbiPieceEncode(x(col), enc))
 }
