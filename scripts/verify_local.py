@@ -14,11 +14,15 @@ def main(sf_dir, out_dir):
         name = os.path.basename(p)[:-len(".parquet")]
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Verify leaves a durable name -> message record for queries that threw
+    err_path = f"{out_dir}/_errors.json"
+    spark_errors = json.load(open(err_path)) if os.path.exists(err_path) else {}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         res_dir = f"{out_dir}/{name}"
         if not os.path.isdir(res_dir):
-            print(f"FAIL {name}: no spark result dir"); n_fail += 1; continue
+            why = spark_errors.get(name, "no spark result dir")
+            print(f"FAIL {name}: {why}"); n_fail += 1; continue
         try:
             got = con.execute(
                 f"SELECT * FROM '{res_dir}/*.parquet'").fetchdf()
@@ -35,12 +39,19 @@ def main(sf_dir, out_dir):
             n_fail += 1; continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); n_fail += 1; continue
-        # exact value compare, row order as produced
+        # exact value compare, row order as produced; list/array cells
+        # (numpy arrays under fetchdf) have no scalar __eq__, so compare
+        # their stringified forms
+        def same(x, y):
+            try:
+                return bool(x == y) or str(x) == str(y)
+            except (ValueError, TypeError):
+                return str(list(x)) == str(list(y)) or str(x) == str(y)
         mism = []
         for c in got.columns:
             a, b = got[c].tolist(), want[c].tolist()
             for i, (x, y) in enumerate(zip(a, b)):
-                if x != y and str(x) != str(y):
+                if not same(x, y):
                     mism.append((c, i, x, y))
                     if len(mism) > 3: break
             if len(mism) > 3: break

@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Driver benchmark contract: run every SparkEntry query against
  * SPARK_GRAFT_SF_DIR, print ONE JSON line with per-query seconds. A warm-up
  * pass builds the fixture registry and touches each table so measured times
@@ -9,15 +7,9 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // one session recipe for every graded entry point (round-9 lesson:
+    // harness config drift between mains zeroed a round)
+    val spark = Fixtures.spark()
 
     // warm-up: fixture registry + a scan per collection (JIT, file listing,
     // parquet footers) — not counted in per-query timings. EVERY warm-up step
@@ -47,7 +39,7 @@ object Bench {
     }
     if (warmupErrors.nonEmpty) {
       val errs = warmupErrors.map { case (k, v) =>
-        "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\"" }
+        Fixtures.jsonString(k) + ":" + Fixtures.jsonString(v) }
         .mkString("{", ",", "}")
       println(s"""{"warmup_error":$errs}""")
     }
@@ -66,16 +58,32 @@ object Bench {
     // number with no marker anywhere — a regression-to-throwing read as a
     // speedup. Errors ride to the headline line and BENCH_SELF.json.
     val passErrors = scala.collection.mutable.Map.empty[String, String]
-    def pass(tag: Int): Map[String, Double] = names.map { case (name, fn) =>
+    def pass(tag: Int): Map[String, (Double, Boolean)] = names.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>
-          passErrors(name) = s"p$tag:${e.getClass.getSimpleName}"
+          passErrors(name) = passErrors.get(name).map(_ + ";").getOrElse("") +
+            s"p$tag:${e.getClass.getSimpleName}"
+          false
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> ((System.nanoTime() - t0) / 1e9, ok)
     }.toMap
-    val (p1, p2) = (pass(1), pass(2))
-    val results = names.map { case (name, _) => name -> math.min(p1(name), p2(name)) }
+    val (p1t, p2t) = (pass(1), pass(2))
+    // min over SUCCESSFUL passes only — a fast-fail elapsed must never
+    // become the benchmark number (it reads as a speedup); if both passes
+    // failed, carry the slower elapsed so the total isn't deflated either,
+    // with the failure marked in errors
+    val results = names.map { case (name, _) =>
+      val (v1, ok1) = p1t(name); val (v2, ok2) = p2t(name)
+      name -> ((ok1, ok2) match {
+        case (true, true)   => math.min(v1, v2)
+        case (true, false)  => v1
+        case (false, true)  => v2
+        case (false, false) => math.max(v1, v2)
+      })
+    }
+    val p1 = p1t.map { case (k, (v, _)) => k -> v }
+    val p2 = p2t.map { case (k, (v, _)) => k -> v }
     // 3-decimal rounding keeps the artifact line short; per-pass variance is
     // carried as per-pass TOTALS on the headline line, with the full per-pass
     // per-query maps on their OWN lines — the r7 lesson: the capture layer
@@ -126,7 +134,7 @@ object Bench {
     val errJson =
       if (passErrors.isEmpty) ""
       else passErrors.toSeq.sortBy(_._1).take(5)
-        .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+        .map { case (k, v) => Fixtures.jsonString(k) + ":" + Fixtures.jsonString(v) }
         .mkString(""","errors":{""", ",", "}")
     val full = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","total_p1":${tot(p1)},"total_p2":${tot(p2)}$errJson,"queries":$qs,"queries_p1":${obj(p1)},"queries_p2":${obj(p2)}}"""
     try java.nio.file.Files.write(

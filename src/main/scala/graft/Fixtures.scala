@@ -34,10 +34,28 @@ object Fixtures {
     s
   }
 
-  private val cache = scala.collection.mutable.Map.empty[String, Graft]
+  // keyed by (session, dir): a cache hit across a stopped-and-recreated
+  // session would hand out DataFrames bound to the dead session; guarded so
+  // concurrent first calls from parallel suites build once
+  private val cache = scala.collection.mutable.Map.empty[(SparkSession, String), Graft]
 
-  def graft(spark: SparkSession, dir: String): Graft =
-    cache.getOrElseUpdate(dir, build(spark, dir))
+  def graft(spark: SparkSession, dir: String): Graft = cache.synchronized {
+    cache.getOrElseUpdate((spark, dir), build(spark, dir))
+  }
+
+  /** JSON string literal: escapes backslash, quote, and ALL control chars
+   * (<0x20) — a tab/CR/FF in an error message or builder-authored SQL would
+   * otherwise make the driver's json.load fail and zero a round's artifact.
+   * Shared by Verify (oracle dump + _errors.json) and Bench (error maps). */
+  def jsonString(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")

@@ -29,6 +29,12 @@ object Smoke {
     store.init(Seq((1L, "a", 5L), (2L, "b", 50L)).toDF("id", "name", "qty"))
     store.upsert(Seq((3L, "c", 7L)).toDF("id", "name", "qty"))
     store.merge(Seq((1L, 6L)).toDF("id", "qty"))
+    // the merge must actually land (patched column updated, others kept) —
+    // count-only checks would pass a no-op merge
+    val mergedRow = store.read().filter($"id" === 1L)
+      .select($"qty", $"name").head()
+    require(mergedRow.getLong(0) == 6L && mergedRow.getString(1) == "a",
+      s"merge did not apply: $mergedRow")
     val deleted = store.deleteWhere(Where.gtInt("qty", 40L))
     println(s"[smoke] store v${store.version} rows=${store.read().count()} deleted=$deleted")
     require(store.read().count() == 2 && deleted == 1)

@@ -1,19 +1,11 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Fixtures.spark()
     new java.io.File(outDir).mkdirs()
     // local-iteration convenience: SPARK_GRAFT_ONLY=q_a,q_b runs a subset
     // (the driver never sets it, so its runs always cover every query)
@@ -23,28 +15,37 @@ object Verify {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None        => SparkEntry.queries
     }
+    // a reused outDir must not leave a STALE result dir behind a now-failing
+    // query — the compare would silently grade old output as a PASS. Every
+    // selected query's dir is removed up front; a failure mid-write removes
+    // the partial dir too, so "dir exists" always means "this run succeeded".
+    def rmTree(path: String): Unit = {
+      val root = Paths.get(path)
+      if (Files.exists(root)) {
+        Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+    }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
+      rmTree(s"$outDir/$name")
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(500)
+        rmTree(s"$outDir/$name")
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
+    val q = Fixtures.jsonString _
+    // subset runs dump only the selected oracles: the local mirror iterates
+    // oracle_sql.json, so a full dump would FAIL every unselected query
+    // (or worse, compare stale result dirs from an older run)
+    val oracles = only match {
+      case Some(names) => SparkEntry.oracleSql.filter(kv => names(kv._1))
+      case None        => SparkEntry.oracleSql
+    }
+    val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // failed queries must leave a durable per-query error record (round-9
