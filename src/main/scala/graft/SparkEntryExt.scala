@@ -61,25 +61,44 @@ object SparkEntryExt {
     })
 
   // WordPiece twin: likelihood-scored merge selection (count(ab)/(count(a)·
-  // count(b)) — the BERT trainer's rule) over the same corpus; encoding is
-  // greedy maximal munch over the induced subword vocabulary, not the
-  // merge-order fold
+  // count(b)) — the BERT trainer's rule) over the corpus PLUS one planted
+  // digit document. The plant makes the encode gate discriminative: on the
+  // raw corpus every trained vocabulary is merge-chain-nested, so greedy
+  // maximal munch coincides with the BPE merge-order fold everywhere (a
+  // fold-implementing engine would pass). The plant trains the CROSSING
+  // pieces "23" then "12" (likelihood favors pairs with plant-exclusive
+  // symbols; the standalone "3"/"1" words keep the bare digits in the
+  // vocabulary, their end-marker pairs can never win), so the word "123"
+  // folds to [1, 23, </w>] but munches to [12, 3, </w>] — the gate now
+  // fails any engine that doesn't implement true longest-match.
+  private val WpPlant: String =
+    ("23 " * 400) + ("12 " * 200) + ("3 " * 50) + ("1 " * 50) + "123"
+  private def wpDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    g(s, dir).collection("Document").df.select(col("doc_id"), col("text"))
+      .unionByName(Seq((900001L, WpPlant)).toDF("doc_id", "text"))
+  }
   private val wpCache = scala.collection.mutable.Map.empty[String, (Bpe.BpeModel, DataFrame)]
-  private def wpFor(gg: Graft, dir: String): (Bpe.BpeModel, DataFrame) =
+  private def wpFor(s: SparkSession, dir: String): (Bpe.BpeModel, DataFrame) =
     wpCache.getOrElseUpdate(dir, {
-      val docs = gg.collection("Document").df
-      val (model, vocab) = Bpe.train(docs, col("text"), numMerges = 6,
+      val (model, vocab) = Bpe.train(wpDocs(s, dir), col("text"), numMerges = 6,
         scoring = Bpe.Scoring.Likelihood)
       (model, sideTable(vocab, "wordpiece"))
     })
 
-  // Unigram-LM (SentencePiece) hard-EM trainer — the third tokenizer family
+  // Unigram-LM (SentencePiece) hard-EM trainer — the third tokenizer family.
+  // seedSize 96 is the smallest probed seed where round-2 re-estimation
+  // actually changes Viterbi paths on this corpus (4 count shifts, one piece
+  // pruned) — smaller seeds converge after round 1 and the gate would never
+  // exercise the EM recursion; the encode gate separately discriminates
+  // Viterbi from greedy munch via the corpus word "value"
+  // ([v a lu e</w>] vs [v al ue </w>]).
   private val uniCache = scala.collection.mutable.Map.empty[String, graft.pipeline.UnigramLm.Model]
   private def uniFor(gg: Graft, dir: String): graft.pipeline.UnigramLm.Model =
     uniCache.getOrElseUpdate(dir, {
       val docs = gg.collection("Document").df
       graft.pipeline.UnigramLm.train(docs, col("text"),
-        seedSize = 48, maxPieceLen = 4, emRounds = 2)._1
+        seedSize = 96, maxPieceLen = 4, emRounds = 2)._1
     })
 
   // the engine's registered postings index (built lazily by the first
@@ -2887,7 +2906,7 @@ object SparkEntryExt {
     // trainer). Oracle: the six rounds unrolled with per-round symbol-count
     // CTEs and the identical double-precision score.
     "q_wordpiece_train" -> ((s, dir) => {
-      val (model, _) = wpFor(g(s, dir), dir)
+      val (model, _) = wpFor(s, dir)
       import s.implicits._
       model.merges.map(m => (m.rank, m.pair, m.count)).toDF("rank", "pair", "cnt")
         .orderBy(col("rank"))
@@ -2900,10 +2919,9 @@ object SparkEntryExt {
     // (longest vocab entry at each position via a windowed argmax) over the
     // replayed final vocabulary.
     "q_wordpiece_encode" -> ((s, dir) => {
-      val gg = g(s, dir)
-      val (_, vocab) = wpFor(gg, dir)
-      val docs = gg.collection("Document").df
-      Bpe.encodeGreedy(docs, col("doc_id"), col("text"), Bpe.vocabularyOf(vocab))
+      val (_, vocab) = wpFor(s, dir)
+      Bpe.encodeGreedy(wpDocs(s, dir), col("doc_id"), col("text"),
+        Bpe.vocabularyOf(vocab))
         .select(col("__id").as("doc_id"), size(col("tokens")).as("n_tokens"),
           array_join(slice(col("tokens"), 1, 10), "|").as("head"))
         .orderBy(col("doc_id"))
@@ -5527,13 +5545,13 @@ object SparkEntryExt {
         |       array_to_string(toks[1:10], '|') AS head
         |FROM enc ORDER BY doc_id""".stripMargin),
 
-    "q_unigram_train" -> (unigramCtes(seedSize = 48, maxL = 4, rounds = 2,
+    "q_unigram_train" -> (unigramCtes(seedSize = 96, maxL = 4, rounds = 2,
       positions = 12, withEncode = false) + """
         |SELECT c.piece, c.cnt, round(q.p, 6) AS prob
         |FROM c2 c JOIN q2 q USING (piece)
         |ORDER BY q.p DESC, c.piece ASC""".stripMargin),
 
-    "q_unigram_encode" -> (unigramCtes(seedSize = 48, maxL = 4, rounds = 2,
+    "q_unigram_encode" -> (unigramCtes(seedSize = 96, maxL = 4, rounds = 2,
       positions = 12, withEncode = true) + """
         |SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
         |       array_to_string(toks[1:10], '|') AS head
@@ -5597,11 +5615,17 @@ object SparkEntryExt {
    * string. */
   private def wpCtes(k: Int): String = {
     val sb = new StringBuilder
+    // the same planted digit document the engine unions in (see WpPlant)
     sb.append(
-      """WITH w0 AS MATERIALIZED (
+      """WITH docs_wp AS MATERIALIZED (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT 900001 AS doc_id,
+        |    repeat('23 ', 400) || repeat('12 ', 200) ||
+        |    repeat('3 ', 50) || repeat('1 ', 50) || '123' AS text),
+        |w0 AS MATERIALIZED (
         |  SELECT w, regexp_replace(w, '(.)', ' \1 ', 'g') || ' </w> ' AS seg,
         |         CAST(count(*) AS BIGINT) AS freq
-        |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents)
+        |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM docs_wp)
         |  WHERE w <> '' GROUP BY 1, 2)""".stripMargin)
     for (i <- 1 to k) {
       val p = i - 1
@@ -5747,7 +5771,7 @@ object SparkEntryExt {
       |dw AS MATERIALIZED (SELECT doc_id, i, ws[i] AS w FROM (
       |    SELECT doc_id,
       |           list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ws
-      |    FROM documents) d, unnest(range(1, len(ws) + 1)) AS u(i)),
+      |    FROM docs_wp) d, unnest(range(1, len(ws) + 1)) AS u(i)),
       |g0 AS MATERIALIZED (SELECT w, regexp_extract_all(w, '.') || ['</w>'] AS l,
       |              1 AS pos, []::VARCHAR[] AS toks
       |       FROM (SELECT DISTINCT w FROM dw))""".stripMargin)
