@@ -46,7 +46,11 @@ def main(sf_dir, out_dir):
             try:
                 return bool(x == y) or str(x) == str(y)
             except (ValueError, TypeError):
-                return str(list(x)) == str(list(y)) or str(x) == str(y)
+                pass
+            try:  # array-vs-scalar / array-vs-None mismatches must FAIL, not crash
+                return str(list(x)) == str(list(y))
+            except (ValueError, TypeError):
+                return False
         mism = []
         for c in got.columns:
             a, b = got[c].tolist(), want[c].tolist()

@@ -142,7 +142,7 @@ object ScaleProfile {
     // as rounds × linear
     def tokTrain(docs: DataFrame): Long = {
       val (m, _) = graft.pipeline.Bpe.train(docs, col("text"), numMerges = 8)
-      val (u, _) = graft.pipeline.UnigramLm.train(docs, col("text"),
+      val u = graft.pipeline.UnigramLm.train(docs, col("text"),
         seedSize = 256, maxPieceLen = 4, emRounds = 2)
       m.merges.size.toLong + u.pieces.size.toLong
     }

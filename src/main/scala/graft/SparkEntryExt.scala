@@ -52,13 +52,16 @@ object SparkEntryExt {
   // built once per dataset (the tokenizer-training batch job); q_bpe_train
   // serves the merge table, q_bpe_encode the corpus encoding over the SAME
   // vocabulary frame (Bpe.train's contract)
-  private val bpeCache = scala.collection.mutable.Map.empty[String, (Bpe.BpeModel, DataFrame)]
-  private def bpeFor(gg: Graft, dir: String): (Bpe.BpeModel, DataFrame) =
-    bpeCache.getOrElseUpdate(dir, {
-      val docs = gg.collection("Document").df
+  // keyed by (session, dir) under a lock, like Fixtures.graft — the cached
+  // vocabulary frame is session-bound
+  private val bpeCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), (Bpe.BpeModel, DataFrame)]
+  private def bpeFor(s: SparkSession, dir: String): (Bpe.BpeModel, DataFrame) =
+    bpeCache.synchronized(bpeCache.getOrElseUpdate((s, dir), {
+      val docs = g(s, dir).collection("Document").df
       val (model, vocab) = Bpe.train(docs, col("text"), numMerges = 6)
       (model, sideTable(vocab, "bpe"))
-    })
+    }))
 
   // WordPiece twin: likelihood-scored merge selection (count(ab)/(count(a)·
   // count(b)) — the BERT trainer's rule) over the corpus PLUS one planted
@@ -78,13 +81,14 @@ object SparkEntryExt {
     g(s, dir).collection("Document").df.select(col("doc_id"), col("text"))
       .unionByName(Seq((900001L, WpPlant)).toDF("doc_id", "text"))
   }
-  private val wpCache = scala.collection.mutable.Map.empty[String, (Bpe.BpeModel, DataFrame)]
+  private val wpCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), (Bpe.BpeModel, DataFrame)]
   private def wpFor(s: SparkSession, dir: String): (Bpe.BpeModel, DataFrame) =
-    wpCache.getOrElseUpdate(dir, {
+    wpCache.synchronized(wpCache.getOrElseUpdate((s, dir), {
       val (model, vocab) = Bpe.train(wpDocs(s, dir), col("text"), numMerges = 6,
         scoring = Bpe.Scoring.Likelihood)
       (model, sideTable(vocab, "wordpiece"))
-    })
+    }))
 
   // Unigram-LM (SentencePiece) hard-EM trainer — the third tokenizer family.
   // seedSize 96 is the smallest probed seed where round-2 re-estimation
@@ -93,13 +97,14 @@ object SparkEntryExt {
   // exercise the EM recursion; the encode gate separately discriminates
   // Viterbi from greedy munch via the corpus word "value"
   // ([v a lu e</w>] vs [v al ue </w>]).
-  private val uniCache = scala.collection.mutable.Map.empty[String, graft.pipeline.UnigramLm.Model]
-  private def uniFor(gg: Graft, dir: String): graft.pipeline.UnigramLm.Model =
-    uniCache.getOrElseUpdate(dir, {
-      val docs = gg.collection("Document").df
+  private val uniCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), graft.pipeline.UnigramLm.Model]
+  private def uniFor(s: SparkSession, dir: String): graft.pipeline.UnigramLm.Model =
+    uniCache.synchronized(uniCache.getOrElseUpdate((s, dir), {
+      val docs = g(s, dir).collection("Document").df
       graft.pipeline.UnigramLm.train(docs, col("text"),
-        seedSize = 96, maxPieceLen = 4, emRounds = 2)._1
-    })
+        seedSize = 96, maxPieceLen = 4, emRounds = 2)
+    }))
 
   // the engine's registered postings index (built lazily by the first
   // keyword query; q_bm25_postings exercises the same artifact directly)
@@ -2879,7 +2884,7 @@ object SparkEntryExt {
     // asc) argmax, left-to-right merge application — over the same
     // double-space segmentation representation (Bpe.scala scaladoc).
     "q_bpe_train" -> ((s, dir) => {
-      val (model, _) = bpeFor(g(s, dir), dir)
+      val (model, _) = bpeFor(s, dir)
       import s.implicits._
       model.merges.map(m => (m.rank, m.pair, m.count)).toDF("rank", "pair", "cnt")
         .orderBy(col("rank"))
@@ -2892,7 +2897,7 @@ object SparkEntryExt {
     // through the same word-position explode.
     "q_bpe_encode" -> ((s, dir) => {
       val gg = g(s, dir)
-      val (_, vocab) = bpeFor(gg, dir)
+      val (_, vocab) = bpeFor(s, dir)
       val docs = gg.collection("Document").df
       Bpe.encode(docs, col("doc_id"), col("text"), vocab)
         .select(col("__id").as("doc_id"), size(col("tokens")).as("n_tokens"),
@@ -2933,7 +2938,7 @@ object SparkEntryExt {
     // ranking, per-round DP (unrolled position CTEs), backtrack, count
     // re-estimation — in identical IEEE-double math.
     "q_unigram_train" -> ((s, dir) => {
-      val model = uniFor(g(s, dir), dir)
+      val model = uniFor(s, dir)
       import s.implicits._
       model.pieces.map(p => (p.piece, p.count, p.prob))
         .toDF("piece", "cnt", "prob")
@@ -2947,7 +2952,7 @@ object SparkEntryExt {
     // replayed DP+backtrack round over the final piece table.
     "q_unigram_encode" -> ((s, dir) => {
       val gg = g(s, dir)
-      val model = uniFor(gg, dir)
+      val model = uniFor(s, dir)
       val docs = gg.collection("Document").df
       graft.pipeline.UnigramLm.encode(docs, col("doc_id"), col("text"), model)
         .select(col("__id").as("doc_id"), size(col("tokens")).as("n_tokens"),
@@ -5549,6 +5554,7 @@ object SparkEntryExt {
       positions = 12, withEncode = false) + """
         |SELECT c.piece, c.cnt, round(q.p, 6) AS prob
         |FROM c2 c JOIN q2 q USING (piece)
+        |WHERE (SELECT ok FROM scan_ok)
         |ORDER BY q.p DESC, c.piece ASC""".stripMargin),
 
     "q_unigram_encode" -> (unigramCtes(seedSize = 96, maxL = 4, rounds = 2,
@@ -5738,13 +5744,23 @@ object SparkEntryExt {
         |q$r AS MATERIALIZED (SELECT piece, CAST(cnt AS DOUBLE) /
         |       (SELECT CAST(sum(cnt) AS DOUBLE) FROM c$r) AS p FROM c$r)""".stripMargin)
     }
+    // unroll-depth guard: `positions` must cover the longest word + 1. A
+    // word still mid-backtrack after the unrolled steps would otherwise
+    // surface as confusing value diffs (training counts) or truncated token
+    // streams (encode); scan_ok collapses the result to ZERO rows instead —
+    // an unmistakable "unroll too short for this data" signal at the gate.
+    sb.append(s""",
+      |scan_ok AS MATERIALIZED (SELECT ${(1 to lastRound).map(r =>
+        s"NOT EXISTS (SELECT 1 FROM t${r}_$positions WHERE pos > 0)")
+        .mkString(" AND ")} AS ok)""".stripMargin)
     if (withEncode) sb.append(s""",
       |dw AS MATERIALIZED (SELECT doc_id, i, ws[i] AS w FROM (
       |    SELECT doc_id,
       |           list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ws
       |    FROM documents) d, unnest(range(1, len(ws) + 1)) AS u(i)),
       |jt AS MATERIALIZED (SELECT dw.doc_id, dw.i, tk.toks
-      |       FROM dw JOIN t${rounds + 1}_$positions tk ON dw.w = tk.w AND tk.pos = 0),
+      |       FROM dw JOIN t${rounds + 1}_$positions tk ON dw.w = tk.w AND tk.pos = 0
+      |       WHERE (SELECT ok FROM scan_ok)),
       |enc AS MATERIALIZED (SELECT doc_id, flatten(list(toks ORDER BY i)) AS toks
       |        FROM jt GROUP BY doc_id)""".stripMargin)
     sb.append("\n")
@@ -5790,9 +5806,12 @@ object SparkEntryExt {
         |  UNION ALL
         |  SELECT w, l, pos, toks FROM g$p WHERE pos > len(l))""".stripMargin)
     }
+    // unroll-depth guard (see unigramCtes): a word still mid-scan after
+    // `steps` would silently truncate its stream — collapse to ZERO rows
     sb.append(s""",
       |jt AS MATERIALIZED (SELECT dw.doc_id, dw.i, gk.toks FROM dw
-      |       JOIN g$steps gk ON dw.w = gk.w),
+      |       JOIN g$steps gk ON dw.w = gk.w
+      |       WHERE NOT EXISTS (SELECT 1 FROM g$steps WHERE pos <= len(l))),
       |enc AS MATERIALIZED (SELECT doc_id, flatten(list(toks ORDER BY i)) AS toks
       |        FROM jt GROUP BY doc_id)
       |""".stripMargin)

@@ -22,8 +22,10 @@ object Verify {
     def rmTree(path: String): Unit = {
       val root = Paths.get(path)
       if (Files.exists(root)) {
-        Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        val walk = Files.walk(root) // must close: holds directory handles
+        try walk.sorted(java.util.Comparator.reverseOrder())
           .forEach(p => Files.deleteIfExists(p))
+        finally walk.close()
       }
     }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]

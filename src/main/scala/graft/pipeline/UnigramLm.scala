@@ -70,19 +70,17 @@ object UnigramLm {
     when(piece.endsWith(Bpe.EndOfWord), length(piece) - lit(Bpe.EndOfWord.length - 1))
       .otherwise(length(piece))
 
-  /**
-   * Train: seed → `emRounds` hard-EM rounds.
-   *
-   * @return the model plus the word-frequency frame (callers encoding the
-   *         same corpus can reuse it for the dictionary join).
-   */
+  /** Train: seed → `emRounds` hard-EM rounds. The word-frequency frame is
+   * cached only for the duration of training (each round re-scans it) and
+   * released before returning — the model itself is the whole artifact. */
   def train(df: DataFrame, textCol: Column, seedSize: Int = 64,
-            maxPieceLen: Int = 4, emRounds: Int = 2): (Model, DataFrame) = {
+            maxPieceLen: Int = 4, emRounds: Int = 2): Model = {
     require(seedSize >= 1 && seedSize <= (1 << 20),
       "unigram: seed vocabulary is a bounded model constant")
     require(maxPieceLen >= 1 && maxPieceLen <= 16, "unigram: piece length bound")
     require(emRounds >= 1 && emRounds <= 64, "unigram: EM schedule bound")
-    val wf = Bpe.wordFrequencies(df, textCol).localCheckpoint(true)
+    val wf = Bpe.wordFrequencies(df, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = seedCounts(wf, maxPieceLen)
     val topS = counts
       .orderBy(col("__cnt").desc, col("__piece").asc).limit(seedSize)
@@ -102,10 +100,11 @@ object UnigramLm {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       probs = normalize(counted)
     }
+    wf.unpersist(false)
     val pieces = counted.toSeq
       .map { case (p, c) => Piece(p, c, probs(p)) }
       .sortBy(p => (-p.prob, p.piece))
-    (Model(pieces), wf)
+    Model(pieces)
   }
 
   private def normalize(counts: Map[String, Long]): Map[String, Double] = {

@@ -85,7 +85,7 @@ class UnigramLmSpec extends SparkSpecBase {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
 
   test("hard-EM training matches the enumeration reference on real corpus text") {
-    val (model, _) = UnigramLm.train(docs, $"text", seedSize = 40,
+    val model = UnigramLm.train(docs, $"text", seedSize = 40,
       maxPieceLen = 4, emRounds = 2)
     val exp = refTrain(wordFreqs, 40, 4, 2)
     assert(model.pieces.map(p => (p.piece, p.count, p.prob)) == exp)
@@ -108,7 +108,7 @@ class UnigramLmSpec extends SparkSpecBase {
   }
 
   test("encode matches per-word enumeration; OOV char yields whole-word unk") {
-    val (model, _) = UnigramLm.train(docs, $"text", seedSize = 40,
+    val model = UnigramLm.train(docs, $"text", seedSize = 40,
       maxPieceLen = 4, emRounds = 2)
     val got = UnigramLm.encode(docs, $"doc_id", $"text", model)
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
