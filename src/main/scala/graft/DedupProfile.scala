@@ -18,7 +18,7 @@ object DedupProfile {
     }
 
     val toks = docs.select(col("doc_id").as("__id"), Tokenize.word(col("text")).as("__toks"))
-      .withColumn("__sh", array_distinct(Tokenize.tokenNgrams(col("__toks"), 3)))
+      .withColumn("__sh", array_distinct(Dedup.shingleHashes(col("__toks"), 3)))
     timed("tokenize+shingle scan")(toks.agg(sum(size(col("__sh")))).head())
 
     val sigs = toks

@@ -112,13 +112,22 @@ object ScaleProfile {
     // the q_dedup_stream shape: file-replayed stream, %5 thinning,
     // watermark-bounded stateful LSH verify. Takes the corpus PATH directly
     // (a count-keyed lookup would run an extra scan inside the timed region)
-    def streamDedup(docs: DataFrame, path: String): Long = {
+    def streamDedup(docs: DataFrame, path: String, times: Int): Long = {
       import org.apache.spark.sql.streaming.Trigger
       val stream = spark.readStream.schema(docs.schema)
         .parquet(path)
         .filter(col("doc_id") % 5 === 0)
+      // Event time keys off the BASE id (doc_id / times), one minute apart,
+      // copies offset by seconds — the 10× corpus packs 10× the volume into
+      // the SAME time span (the realistic stream scale-up), so the fixed 2 h
+      // horizon admits the same base-pair structure per copy and the pair
+      // count is genuinely 10×-comparable. Deriving ts from the remapped
+      // doc_id directly would stretch gaps 10× and shrink the admissible
+      // pair population instead.
       val bed = stream.select(col("doc_id"),
-        timestamp_millis((col("doc_id") + 60L) * 60000L).as("ts"), col("text"))
+        timestamp_millis(expr(
+          s"(doc_id div $times + 60) * 60000 + (doc_id % $times) * 1000"))
+          .as("ts"), col("text"))
       val banded = graft.streaming.StreamDedup.banded(bed, "doc_id", "ts", "text",
         shingleSize = 3, numHashes = 128, bands = 64)
       val pairs = graft.streaming.StreamDedup.pairs(banded,
@@ -153,7 +162,8 @@ object ScaleProfile {
       "tfidf" -> ((d, _) => tfidf(d)),
       "canonical_keep" -> ((d, _) => canonical(d)),
       "tokenizer_train" -> ((d, _) => tokTrain(d)),
-      "stream_dedup" -> (streamDedup(_, _)))
+      "stream_dedup" -> ((d, p) =>
+        streamDedup(d, p, if (p == path10) 10 else 1)))
     val report = pipelines.map { case (name, p0) =>
       def p(c: (DataFrame, String)): Long = p0(c._1, c._2)
       val c1p = (c1, path1); val c10p = (c10, path10)

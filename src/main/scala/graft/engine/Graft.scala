@@ -1150,6 +1150,14 @@ final class Graft(val spark: SparkSession) {
         val voc = conceptsOrFail("semanticPath")
         require(params.pagination.isDefined || params.cursor.isDefined,
           "semanticPath requires a bounded page (set pagination or cursor)")
+        // validate the REQUESTED limit before any work — the reference
+        // rejects from the request params (builder_params.go:25-37), not
+        // after materializing the page
+        val reqLimit = params.pagination.map(_.limit)
+          .orElse(params.cursor.map(_.limit)).get
+        require(reqLimit <= 25,
+          s"result length $reqLimit is larger than 25 items: semantic path " +
+          "calculation is only suported up to 25 items, set a limit to <= 25")
         // the walk starts at the SEARCH vector — nearX-only, like the
         // reference (builder_params.go: "no valid search vector present")
         val searchVec = params.nearVector.map(_.queryFor(0))

@@ -59,11 +59,23 @@ object Contextionary {
    */
   def attachInterpretation(page: DataFrame, corpus: Column): DataFrame = {
     val toks = graft.text.Tokenize.word(corpus)
+    // Bind the token array ONCE as a lambda variable (single-element
+    // transform binder): a bare reference to `toks` inside the per-element
+    // lambdas would be re-inlined by CollapseProject and re-run the
+    // tokenizer once per distinct token per row. The occurrence count is
+    // computed once per token; weight derives from the struct field.
+    val counted = element_at(
+      transform(array(toks), ts =>
+        transform(array_distinct(ts), w => struct(
+          w.as("concept"),
+          size(filter(ts, t => t === w)).cast("long").as("occurrence"),
+          size(ts).as("total")))), 1)
     page.withColumn(InterpretationCol,
-      transform(array_distinct(toks), w => struct(
-        w.as("concept"),
-        size(filter(toks, t => t === w)).cast("long").as("occurrence"),
-        (size(filter(toks, t => t === w)).cast("double") / size(toks)).as("weight"))))
+      transform(counted, e => struct(
+        e.getField("concept").as("concept"),
+        e.getField("occurrence").as("occurrence"),
+        (e.getField("occurrence").cast("double") / e.getField("total"))
+          .as("weight"))))
   }
 
   /** Vocabulary entry. Words starting with '$' are contextionary-internal
@@ -156,7 +168,10 @@ object Contextionary {
     require(searchVector.nonEmpty,
       s"no valid search vector present, got: ${searchVector.mkString(",")}")
     val voc = cleaned(vocab)
-    val rows = page.select(col(idCol), col(vecCol)).collect()
+    // limit(26): enough rows to detect an oversized page without ever
+    // collecting an unbounded one (the engine validates the requested
+    // limit up front; this is the defense for direct callers)
+    val rows = page.select(col(idCol), col(vecCol)).limit(26).collect()
     require(rows.length <= 25,
       s"result length ${rows.length} is larger than 25 items: semantic path " +
       "calculation is only suported up to 25 items, set a limit to <= 25")

@@ -33,13 +33,32 @@ final class CjkDictSegmenter(words: Seq[String]) extends Serializable {
     .toArray
   require(dict.nonEmpty, "user dictionary must contain a non-blank word")
 
-  private val maxLen: Int = dict.map(_.length).max
-  /** words grouped by length, each as a set of codepoint-array wrappers */
-  private val byLen: Map[Int, Set[Seq[Int]]] =
-    dict.groupBy(_.length).map { case (l, ws) => l -> ws.map(_.toSeq).toSet }
+  /** Codepoint trie node — specialized LongMap children (no Integer boxing
+   * on the per-codepoint walk). */
+  private val root: CjkDictSegmenter.Node = {
+    val r = new CjkDictSegmenter.Node
+    dict.foreach { cps =>
+      var n = r
+      var i = 0
+      while (i < cps.length) {
+        val cp = cps(i).toLong
+        var child = n.children.getOrNull(cp)
+        if (child == null) {
+          child = new CjkDictSegmenter.Node
+          n.children.update(cp, child)
+        }
+        n = child
+        i += 1
+      }
+      n.terminal = true
+    }
+    r
+  }
 
   /** The segmentation, as a plain array (called from generated code —
-   * signature stays Java-friendly). */
+   * signature stays Java-friendly). The longest match at each position is
+   * one trie walk — no per-candidate slices or boxed set probes (this runs
+   * per codepoint of every indexed row). */
   def segmentArray(s: String): Array[String] = {
     val out = Array.newBuilder[String]
     val m = CjkDictSegmenter.RunRegex.matcher(s.toLowerCase)
@@ -50,15 +69,17 @@ final class CjkDictSegmenter(words: Seq[String]) extends Serializable {
         val cps = run.codePoints().toArray
         var pos = 0
         while (pos < cps.length) {
-          var len = math.min(maxLen, cps.length - pos)
-          var matched = 0
-          while (matched == 0 && len >= 1) {
-            if (byLen.get(len).exists(_.contains(cps.slice(pos, pos + len).toSeq)))
-              matched = len
-            else len -= 1
+          // walk the trie from pos, remembering the deepest terminal
+          var best = 0
+          var node = root
+          var d = 0
+          while (node != null && pos + d < cps.length) {
+            node = node.children.getOrNull(cps(pos + d).toLong)
+            d += 1
+            if (node != null && node.terminal) best = d
           }
-          val take = if (matched > 0) matched else 1
-          out += new String(cps.slice(pos, pos + take).flatMap(Character.toChars))
+          val take = if (best > 0) best else 1
+          out += new String(cps, pos, take)
           pos += take
         }
       } else out += run
@@ -70,6 +91,13 @@ final class CjkDictSegmenter(words: Seq[String]) extends Serializable {
 }
 
 object CjkDictSegmenter {
+  /** Trie node. `children` is a specialized LongMap keyed by codepoint —
+   * walks allocate nothing and box nothing. */
+  private final class Node extends Serializable {
+    val children = new scala.collection.mutable.LongMap[Node]()
+    var terminal = false
+  }
+
   // same run alphabet as Tokenize.cjkBigram (Lucene CJK script set + the
   // two Script=Common Japanese marks) — keep the two in sync
   private val CjkClass = "\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}ー々"

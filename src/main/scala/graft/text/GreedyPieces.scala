@@ -50,7 +50,13 @@ final class GreedyPieces(vocabulary: Seq[String], val unk: String)
       var hit: String = null
       while (hit == null && len >= 1) {
         val cand = candidate(cps, pos, len)
-        if (vocab.contains(cand)) hit = cand else len -= 1
+        // symLen(cand) == len rejects string-space collisions: a word whose
+        // REAL codepoints spell the marker text (e.g. a literal "</w>" in
+        // markup-remnant input) builds a candidate that string-equals the
+        // atomic 1-symbol marker entry but spans 4 symbols — matching it
+        // would desynchronize the symbol accounting.
+        if (vocab.contains(cand) && symLen(cand) == len) hit = cand
+        else len -= 1
       }
       if (hit == null) return Array(unk)
       out += hit

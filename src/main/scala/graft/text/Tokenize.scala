@@ -82,9 +82,16 @@ object Tokenize {
   def whitespace(c: Column): Column =
     filterEmpty(split(c, "\\s+"))
 
+  /** Unicode-White_Space leading/trailing run — the reference field mode is
+   * `strings.TrimFunc(in, unicode.IsSpace)` (tokenizer.go:331), i.e. the
+   * Unicode White_Space property (incl. U+00A0/U+0085), which Java regex
+   * spells `\p{IsWhite_Space}`. Spark's `trim()` strips only ' ' and
+   * `String.trim` only chars <= U+0020, so neither matches the reference. */
+  private val WsEdges = "^[\\p{IsWhite_Space}]+|[\\p{IsWhite_Space}]+$"
+
   /** `field`: the whole trimmed value as a single token. */
   def field(c: Column): Column =
-    when(c.isNull, lit(null)).otherwise(array(trim(c)))
+    when(c.isNull, lit(null)).otherwise(array(regexp_replace(c, WsEdges, "")))
 
   /**
    * `trigram`: the reference strips ALL non-alphanumerics (not just
@@ -230,7 +237,7 @@ object Tokenize {
     case Tokenization.Word       => "[\\p{L}\\p{N}]+".r.findAllIn(q.toLowerCase).toSeq
     case Tokenization.Lowercase  => q.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
     case Tokenization.Whitespace => q.split("\\s+").toSeq.filter(_.nonEmpty)
-    case Tokenization.Field      => Seq(q.trim)
+    case Tokenization.Field      => Seq(q.replaceAll(WsEdges, ""))
     case Tokenization.Trigram    =>
       val s = "[\\p{L}\\p{N}]+".r.findAllIn(q.toLowerCase).mkString
       val cps = codepoints(s)

@@ -10,9 +10,15 @@ package graft.text
  * the max probability of segmenting symbols [0, j); at each j the argmax
  * over candidate last pieces is pinned to (path probability desc, piece
  * length desc) — lengths are distinct per position, so the order is total.
- * Probabilities multiply as raw doubles in prefix order (no logs): words
- * are bounded so nothing underflows, and the arithmetic stays bit-identical
- * to the SQL oracle replay. A word with no feasible segmentation becomes
+ * Probabilities multiply as raw doubles in prefix order (no logs) so the
+ * arithmetic stays bit-identical to the SQL oracle replay — ln/log differ
+ * across libm implementations, products do not. The trade: a pathological
+ * "word" of hundreds of low-probability pieces (a long URL, a base64 blob,
+ * an unspaced CJK sentence) can underflow every path to exactly 0.0, where
+ * the (prob desc, len desc) tie-break — not likelihood — picks the
+ * segmentation. The oracle computes the same products in the same order,
+ * so engine and oracle agree even then; SentencePiece proper works in
+ * log-space and would differ on such words. A word with no feasible segmentation becomes
  * the single `unk` token (HF rule); with `unk = null` (training over the
  * corpus that built the vocabulary — infeasibility impossible, every
  * used piece survives a round) it throws instead of silently emitting.
@@ -51,7 +57,12 @@ final class ViterbiPieces(probs: Map[String, Double], val unk: String)
       while (len <= maxL) {
         val i = j - len
         if (bestLen(i) >= 0) {
-          val p = probs.getOrElse(candidate(cps, i, len), -1.0)
+          val cstr = candidate(cps, i, len)
+          // symLen guard as in GreedyPieces: real codepoints spelling the
+          // marker text must not match the atomic marker entry (or any
+          // entry whose symbol length differs from the span consumed).
+          val p =
+            if (symLen(cstr) == len) probs.getOrElse(cstr, -1.0) else -1.0
           if (p >= 0) {
             val cand = best(i) * p
             // (prob desc, len desc): strictly-greater OR equal-with-longer

@@ -188,6 +188,24 @@ class BpeSpec extends SparkSpecBase {
     assert(expMerges.map(_._1) != freqMerges.map(_._1))
   }
 
+  test("a word whose REAL codepoints spell the marker text cannot match " +
+      "the atomic marker vocab entry (symbol-length guard)") {
+    // vocab has the 1-symbol marker entry but no entry for the real
+    // 4-codepoint sequence < / w > — a literal "</w>" word (markup remnant
+    // in whitespace-tokenized input) must become [UNK], not a phantom
+    // double-marker emission that desynchronizes symbol accounting
+    val vocabulary = Seq("a", "b", "a" + Bpe.EndOfWord, "b" + Bpe.EndOfWord,
+      Bpe.EndOfWord)
+    val greedy = new graft.text.GreedyPieces(vocabulary, "[UNK]")
+    assert(greedy.encodeArray(Bpe.EndOfWord).toSeq == Seq("[UNK]"))
+    // normal words still encode through the marker entries
+    assert(greedy.encodeArray("ab").toSeq == Seq("a", "b" + Bpe.EndOfWord))
+    val probs = vocabulary.map(_ -> 0.2).toMap
+    val vit = new graft.text.ViterbiPieces(probs, unk = "[UNK]")
+    assert(vit.encodeArray(Bpe.EndOfWord).toSeq == Seq("[UNK]"))
+    assert(vit.encodeArray("ab").toSeq == Seq("a", "b" + Bpe.EndOfWord))
+  }
+
   test("greedy encode = maximal munch; OOV char makes the whole word unk") {
     val (_, vocabFrame) =
       Bpe.train(docs, $"text", numMerges = 10, scoring = Bpe.Scoring.Likelihood)

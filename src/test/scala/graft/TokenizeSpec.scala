@@ -28,6 +28,16 @@ class TokenizeSpec extends SparkSpecBase {
     assert(toks(Tokenization.Field, "  Hello World ") == Seq("Hello World"))
   }
 
+  test("field: trims the Unicode White_Space property like the reference " +
+      "(strings.TrimFunc(unicode.IsSpace), tokenizer.go:331) — not just ' '") {
+    // NBSP and tab/newline edges; NBSP inside stays (only edges trim)
+    val input = " \tHello World\n  "
+    assert(toks(Tokenization.Field, input) == Seq("Hello World"))
+    // driver twin agrees (String.trim would keep the NBSP edge)
+    assert(Tokenize.queryTokens(Tokenization.Field, input) ==
+      toks(Tokenization.Field, input))
+  }
+
   test("the reference's canonical fixture across all four base modes " +
       "(tokenizer_test.go:153-185)") {
     val input = " Hello You*-beautiful_world?!"
