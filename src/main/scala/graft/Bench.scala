@@ -137,12 +137,16 @@ object Bench {
         .map { case (k, v) => Fixtures.jsonString(k) + ":" + Fixtures.jsonString(v) }
         .mkString(""","errors":{""", ",", "}")
     val full = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","total_p1":${tot(p1)},"total_p2":${tot(p2)}$errJson,"queries":$qs,"queries_p1":${obj(p1)},"queries_p2":${obj(p2)}}"""
+    // a SPARK_GRAFT_ONLY subset run must not clobber the last FULL-run
+    // record — "BENCH_SELF.json exists" has to keep meaning "all queries"
+    val selfFile =
+      if (only.isDefined) "BENCH_SELF_subset.json" else "BENCH_SELF.json"
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_SELF.json"),
+      java.nio.file.Paths.get(selfFile),
       (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     println(mapLine)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_p1":${tot(p1)},"total_p2":${tot(p2)},"n":${results.size},"n_errors":${passErrors.size}$errJson,"keys":"$keyDesc","full":"BENCH_SELF.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_p1":${tot(p1)},"total_p2":${tot(p2)},"n":${results.size},"n_errors":${passErrors.size}$errJson,"keys":"$keyDesc","full":"$selfFile"}""")
     spark.stop()
   }
 }

@@ -124,17 +124,29 @@ object SparkEntryExt {
     })
 
   // RNG-replica IVF (the hfresh/SPFresh posting-assignment analogue,
-  // vector/hfresh/rng.go, DefaultRNGFactor = 10): boundary vectors land in
-  // several well-separated posting lists; full probe + id-dedup keeps the
-  // served search exact, so the brute-force oracle hash-matches while the
-  // replica machinery is on the executed path (rule + diversity in AnnSpec)
+  // vector/hfresh/rng.go): centroids PINNED to vecs 0..7 so the ENTIRE
+  // structure — replica selection, probe ranking, candidate union — is
+  // DuckDB-replayable, and the factor set to 1.2 where the rejection rule
+  // BINDS on this corpus (at the reference default 10 no rejection ever
+  // fires on 64-d quasi-random data and RNG degenerates to nearest-2; at
+  // 1.2 every plausibly-wrong variant — nearest-2, inverted condition,
+  // replicas=1 — was probed to produce a different nprobe=2 top-10 at both
+  // SFs). Served at nprobe=2 of 8, so posting membership is load-bearing.
+  private[graft] val RngBedFactor = 1.2
   private val ivfRngCache = scala.collection.mutable.Map.empty[String, graft.ann.IvfIndex]
   private def ivfRngFor(gg: Graft, dir: String): graft.ann.IvfIndex =
     ivfRngCache.getOrElseUpdate(dir, {
-      val path = java.nio.file.Files.createTempDirectory("graft-ivf-rng").toString
-      graft.ann.IvfIndex.build(gg.collection("Embedding").df, "vec_id", "embedding",
-        nlist = 8, replicas = 2, defaultNprobe = 8, persistPath = Some(path),
-        rngFactor = Some(10.0))
+      val emb = gg.collection("Embedding").df
+      val centers: Array[Array[Double]] = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding")).orderBy(col("vec_id"))
+        .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      graft.ann.IvfIndex(
+        centers.indices.map(i => (i, centers(i))).toArray,
+        emb.withColumn("__centroid", explode(
+          org.apache.spark.sql.graft.VectorFunctions
+            .rngSelectCentroids(col("embedding"), centers, 2, RngBedFactor))),
+        "embedding", "vec_id", replicas = 2, defaultNprobe = 2,
+        rngFactor = Some(RngBedFactor))
     })
 
   // second per-target index (the "rev" named vector) for the multi-target
@@ -726,11 +738,30 @@ object SparkEntryExt {
     // singletons survive as their own cluster (oracle: the recursive-CTE
     // closure + a rank-1 window over (quality desc, id asc))
     "q_dedup_keep" -> ((s, dir) => {
+      import s.implicits._
       val docs = g(s, dir).collection("Document").df
         .filter(col("doc_id") < 500)
         .select(col("doc_id"), col("text"), col("n_chars"))
+      // Planted A–B–C chain with NO A–C edge (unique tokens; exact-
+      // construction Jaccards): A,B share an 83-token prefix and B,C an
+      // 83-token run → j = 81/115 ≈ 0.7043 ≥ 0.7 on both edges, while A,C
+      // share only 66 tokens → j = 64/132 ≈ 0.485 < 0.7. The natural bed's
+      // clusters are all cliques, so only this chain proves the TRANSITIVE
+      // closure: a min-over-direct-neighbors labeling gives C cluster B
+      // (2000002) instead of A (2000001) and emits an extra kept row.
+      val qkx = (1 to 83).map(i => s"qkx$i")
+      val qky = (1 to 17).map(i => s"qky$i")
+      val chain = Seq(
+        (2000001L, (qkx ++ (1 to 17).map(i => s"qka$i")).mkString(" "), 9000L),
+        (2000002L, (qkx ++ qky).mkString(" "), 8000L),
+        (2000003L, ((1 to 17).map(i => s"qkc$i") ++ qkx.drop(17) ++ qky)
+          .mkString(" "), 7000L))
+        .toDF("doc_id", "text", "n_chars")
+        .select(col("doc_id"), col("text"),
+          col("n_chars").cast(docs.schema("n_chars").dataType).as("n_chars"))
       val bed = docs.unionByName(docs.filter(col("doc_id") % 25 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("n_chars")))
+        .unionByName(chain)
       val pairs = Dedup.minhashDuplicates(bed, col("doc_id"), col("text"),
         shingleSize = 3, numHashes = 128, bands = 64, threshold = 0.7)
       Dedup.selectCanonical(bed, col("doc_id"), col("n_chars"),
@@ -1610,10 +1641,20 @@ object SparkEntryExt {
     // 20%; the oracle replays the WHOLE model (priors, Laplace-smoothed
     // counts, vocabulary, OOV drop, argmax with ascending-label ties) in SQL
     "q_classify_nb" -> ((s, dir) => {
+      import s.implicits._
       val docs = g(s, dir).collection("Document").df
+      // planted probes force the OOV branches the natural bed never hits
+      // (every natural probe token is in the training vocabulary): 9000001
+      // mixes one known token with an OOV (must be DROPPED — an engine that
+      // smooths unknowns shifts the score), 9000002 is all-OOV (prior-only
+      // argmax, matched_tokens = 0 — a zero-overlap crash breaks the row)
+      val probes = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"))
+        .unionByName(Seq((9000001L, "spark zzqqxx"),
+          (9000002L, "zzqqxx wwvvkk")).toDF("doc_id", "text"))
       Classify.naiveBayes(
           docs.filter(col("doc_id") % 5 =!= 0), col("text"), col("lang"),
-          docs.filter(col("doc_id") % 5 === 0), col("doc_id"), col("text"))
+          probes, col("doc_id"), col("text"))
         .select(col("probe_id").as("doc_id"), col("predicted_label"),
           round(col("log_score"), 4).as("log_score"), col("matched_tokens"))
         .orderBy(col("doc_id"))
@@ -1627,7 +1668,17 @@ object SparkEntryExt {
     // in SQL — a fully correctness-gated iterative model, unlike MLlib's
     // randomly-seeded KMeans behind the IVF build
     "q_cluster_kmeans" -> ((s, dir) => {
-      val (asg, _) = Cluster.lloyd(g(s, dir).collection("Embedding").df,
+      val emb = g(s, dir).collection("Embedding").df
+      // planted vec -1 duplicates vec 0's embedding: both become seeds
+      // (4 smallest ids), every point ties between the twin centroids and
+      // the lower-cluster tie rule starves cluster 1 EMPTY in round 1 —
+      // forcing the keep-previous-centroid rule the natural bed never
+      // fires (re-seed / drop / NaN-poison implementations all diverge)
+      val bed = emb.select(col("vec_id"), col("embedding"))
+        .unionByName(emb.filter(col("vec_id") === 0)
+          .select(lit(-1L).cast(emb.schema("vec_id").dataType).as("vec_id"),
+            col("embedding")))
+      val (asg, _) = Cluster.lloyd(bed,
         col("vec_id"), col("embedding"), k = 4, iters = 2)
       asg.select(col("__id").as("vec_id"),
           col("__cluster").cast("long").as("cluster"),
@@ -2014,7 +2065,7 @@ object SparkEntryExt {
     "q_near_ivf_rng" -> ((s, dir) => {
       val gg = g(s, dir)
       ivfRngFor(gg, dir).search(Fixtures.anchorVector(gg, 29L),
-          k = 10, Metric.L2Squared, nprobe = 8)
+          k = 10, Metric.L2Squared, nprobe = 2)
         .select(col("vec_id"), round(col("_distance"), 4).as("dist"))
     }),
 
@@ -2443,10 +2494,13 @@ object SparkEntryExt {
       steps += (("2_set_readonly", st.status, ""))
       attempt("3_upsert_rejected")(st.upsert(docs.limit(1)))
       attempt("4_delete_rejected")(st.deleteWhere(Where.gtInt("n_chars", 0L)))
+      // READONLY blocks WRITES only — the reference still serves reads from
+      // a READONLY shard; a gate that wrongly guards read() breaks this row
+      steps += (("5_read_while_readonly", st.status, st.read().count().toString))
       st.setReady()
-      attempt("5_upsert_after_ready")(st.upsert(
+      attempt("6_upsert_after_ready")(st.upsert(
         docs.filter(col("doc_id") === 1L).withColumn("n_chars", lit(-5))))
-      steps += (("6_reread", st.status,
+      steps += (("7_reread", st.status,
         st.read().filter(col("doc_id") === 1L).select(col("n_chars"))
           .head().get(0).toString)) // physical int width is driver-owned
       steps.toSeq.toDF("step", "status", "detail").orderBy(col("step"))
@@ -2466,6 +2520,21 @@ object SparkEntryExt {
       val capRows = capped.get(GetParams("DocCap", properties = Seq("doc_id"))).count()
       val okRows = capped.get(GetParams("DocCap", properties = Seq("doc_id"),
         pagination = Some(Pagination(limit = 60)))).count()
+      // offset+limit == cap EXACTLY: legal (getTotalLimit is <=, not <) —
+      // a `<` off-by-one would reject this page and break the row
+      val atCapRows = capped.get(GetParams("DocCap", properties = Seq("doc_id"),
+        pagination = Some(Pagination(offset = 40, limit = 60)))).count()
+      // the cursor arm of the cap has its own require — probe both sides
+      // of its boundary (== cap legal, cap+1 rejected)
+      val cursorAtCap = capped.get(GetParams("DocCap", properties = Seq("doc_id"),
+        cursor = Some(Cursor(after = None, limit = 100)))).count()
+      val cursorErr =
+        try {
+          capped.get(GetParams("DocCap", properties = Seq("doc_id"),
+            cursor = Some(Cursor(after = None, limit = 101)))); ""
+        } catch {
+          case e: Throwable => e.getMessage.replace("requirement failed: ", "")
+        }
       val err =
         try {
           capped.get(GetParams("DocCap", properties = Seq("doc_id"),
@@ -2473,7 +2542,10 @@ object SparkEntryExt {
         } catch {
           case e: Throwable => e.getMessage.replace("requirement failed: ", "")
         }
-      Seq(("capped_limitless_rows", capRows.toString),
+      Seq(("at_cap_rows", atCapRows.toString),
+          ("capped_limitless_rows", capRows.toString),
+          ("cursor_at_cap_rows", cursorAtCap.toString),
+          ("cursor_over_cap_error", cursorErr),
           ("over_cap_error", err),
           ("within_cap_rows", okRows.toString))
         .toDF("probe", "value").orderBy(col("probe"))
@@ -2738,8 +2810,12 @@ object SparkEntryExt {
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(dir)
+      // +102 min puts the max event (doc 499 at the sf0.01 gate) at
+      // minute 601 — ONE minute past the [480,600) window end — so the
+      // zero-delay watermark contract is load-bearing: any configured
+      // delay >= 2 min leaves that window open and drops its rows
       val bed = stream.select(
-        timestamp_millis((col("doc_id") + 60L) * 60000L).as("ts"), col("text"))
+        timestamp_millis((col("doc_id") + 102L) * 60000L).as("ts"), col("text"))
       val counts = graft.streaming.TrendingTerms.termCounts(
         bed, "ts", "text", "120 minutes")
       val name = s"trending_out_${System.identityHashCode(counts)}"
@@ -3199,7 +3275,12 @@ object SparkEntryExt {
         |          CROSS JOIN v
         |          LEFT JOIN wc ON wc.lbl = s.lbl AND wc.w = vw.w),
         |probe AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-        |          FROM documents WHERE doc_id % 5 = 0),
+        |          FROM documents WHERE doc_id % 5 = 0
+        |          UNION ALL
+        |          SELECT CAST(doc_id AS BIGINT),
+        |                 regexp_extract_all(lower(text), '[a-z0-9]+')
+        |          FROM (VALUES (9000001, 'spark zzqqxx'),
+        |                       (9000002, 'zzqqxx wwvvkk')) AS pl(doc_id, text)),
         |ptok AS (SELECT doc_id, unnest(toks) AS w FROM probe),
         |sums AS (SELECT p.doc_id, d.lbl, sum(d.lik) AS s, count(*) AS m
         |         FROM ptok p JOIN dense d USING (w) GROUP BY 1, 2),
@@ -3230,7 +3311,8 @@ object SparkEntryExt {
            |c$i AS (SELECT p.cl, coalesce(mm.cv, p.cv) AS cv
            |  FROM $prev p LEFT JOIN (SELECT cl, list(m ORDER BY i) AS cv
            |                          FROM m$i GROUP BY cl) mm ON p.cl = mm.cl)""".stripMargin
-      s"""WITH b AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+      s"""WITH b AS (SELECT vec_id AS id, embedding AS v FROM embeddings
+         |  UNION ALL SELECT CAST(-1 AS BIGINT), embedding FROM embeddings WHERE vec_id = 0),
          |c0 AS (SELECT row_number() OVER (ORDER BY id ASC) - 1 AS cl,
          |         list_transform(v, x -> CAST(x AS DOUBLE)) AS cv
          |       FROM b ORDER BY id ASC LIMIT 4),
@@ -3366,10 +3448,40 @@ object SparkEntryExt {
          |ORDER BY d.dist ASC, vec_id ASC LIMIT 12""".stripMargin,
 
     // full probe + dedup over the RNG-replicated layout ≡ brute force
+    // FULL RNG replay at nprobe=2 of 8 pinned centroids (vecs 0..7):
+    // per-vector replica selection (first = nearest centroid; second =
+    // nearest remaining centroid NOT within (1/f)·d² of the first — the
+    // rng.go squared-distance rule, mirrored op-for-op incl. the 1/f-then-
+    // multiply), probe ranking, candidate union, exact top-10. Posting
+    // membership is load-bearing: nearest-2, inverted-condition and
+    // replicas=1 assignments all produce a different page.
     "q_near_ivf_rng" ->
       s"""WITH ${sqlQv(29)},
+         |c AS (SELECT CAST(vec_id AS INTEGER) AS cl, embedding AS cv
+         |      FROM embeddings WHERE vec_id < 8),
+         |cd AS (SELECT a.cl AS ca, b.cl AS cb, ${sqlL2("a.cv", "b.cv")} AS dcc
+         |       FROM c a CROSS JOIN c b),
+         |vd AS (SELECT e.vec_id, c.cl, ${sqlL2("e.embedding", "c.cv")} AS d
+         |       FROM embeddings e CROSS JOIN c),
+         |s1 AS (SELECT vec_id, cl AS g1 FROM (
+         |  SELECT vec_id, cl, d, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY d ASC, cl ASC) AS rn FROM vd)
+         |  WHERE rn = 1),
+         |s2 AS (SELECT vec_id, cl AS g2 FROM (
+         |  SELECT vd.vec_id, vd.cl, row_number() OVER (
+         |    PARTITION BY vd.vec_id ORDER BY vd.d ASC, vd.cl ASC) AS rn
+         |  FROM vd JOIN s1 USING (vec_id)
+         |  JOIN cd ON cd.ca = vd.cl AND cd.cb = s1.g1
+         |  WHERE vd.cl != s1.g1 AND NOT (cd.dcc <= (1.0 / $RngBedFactor) * vd.d))
+         |  WHERE rn = 1),
+         |pr AS (SELECT cl FROM (
+         |  SELECT c.cl, ${sqlL2("q.v", "c.cv")} AS dq FROM c CROSS JOIN qv q)
+         |  QUALIFY row_number() OVER (ORDER BY dq ASC, cl ASC) <= 2),
+         |asg AS (SELECT vec_id, g1 AS g FROM s1
+         |        UNION ALL SELECT vec_id, g2 FROM s2),
+         |cand AS (SELECT DISTINCT a.vec_id FROM asg a JOIN pr ON a.g = pr.cl),
          |d AS (SELECT e.vec_id, ${sqlL2("e.embedding", "q.v")} AS dist
-         |      FROM embeddings e CROSS JOIN qv q)
+         |      FROM embeddings e CROSS JOIN qv q JOIN cand USING (vec_id))
          |SELECT vec_id, round(dist, 4) AS dist FROM d
          |ORDER BY d.dist ASC, vec_id ASC LIMIT 10""".stripMargin,
 
@@ -3680,15 +3792,19 @@ object SparkEntryExt {
         |  ('2_set_readonly', 'READONLY', ''),
         |  ('3_upsert_rejected', 'READONLY', 'store is read-only due to: maintenance window'),
         |  ('4_delete_rejected', 'READONLY', 'store is read-only due to: maintenance window'),
-        |  ('5_upsert_after_ready', 'READY', ''),
-        |  ('6_reread', 'READY', '-5')) AS t(step, status, detail)
+        |  ('5_read_while_readonly', 'READONLY', '50'),
+        |  ('6_upsert_after_ready', 'READY', ''),
+        |  ('7_reread', 'READY', '-5')) AS t(step, status, detail)
         |ORDER BY step""".stripMargin,
 
     // cap = 100 < the 500-row sf0.01 table, so the limit-less count is the
     // cap itself at every SF; the over-cap page errors with the reference text
     "q_query_cap" ->
       """SELECT * FROM (VALUES
+        |  ('at_cap_rows', '60'),
         |  ('capped_limitless_rows', '100'),
+        |  ('cursor_at_cap_rows', '100'),
+        |  ('cursor_over_cap_error', 'query maximum results exceeded'),
         |  ('over_cap_error', 'query maximum results exceeded'),
         |  ('within_cap_rows', '60')) AS t(probe, value)
         |ORDER BY probe""".stripMargin,
@@ -4450,8 +4566,17 @@ object SparkEntryExt {
     // rank 1 by (n_chars desc, id asc) per cluster is kept; singletons keep
     "q_dedup_keep" ->
       """WITH RECURSIVE base AS (SELECT doc_id, text, n_chars FROM documents WHERE doc_id < 500),
+        |px AS (SELECT
+        |  array_to_string(list_transform(range(1, 84), i -> 'qkx' || i), ' ') AS x,
+        |  array_to_string(list_transform(range(18, 84), i -> 'qkx' || i), ' ') AS x2,
+        |  array_to_string(list_transform(range(1, 18), i -> 'qky' || i), ' ') AS y,
+        |  array_to_string(list_transform(range(1, 18), i -> 'qka' || i), ' ') AS a,
+        |  array_to_string(list_transform(range(1, 18), i -> 'qkc' || i), ' ') AS c),
         |bed AS (SELECT doc_id, text, n_chars FROM base
-        |        UNION ALL SELECT doc_id + 1000000 AS doc_id, text, n_chars FROM base WHERE doc_id % 25 = 0),
+        |        UNION ALL SELECT doc_id + 1000000 AS doc_id, text, n_chars FROM base WHERE doc_id % 25 = 0
+        |        UNION ALL SELECT CAST(2000001 AS BIGINT), x || ' ' || a, 9000 FROM px
+        |        UNION ALL SELECT CAST(2000002 AS BIGINT), x || ' ' || y, 8000 FROM px
+        |        UNION ALL SELECT CAST(2000003 AS BIGINT), c || ' ' || x2 || ' ' || y, 7000 FROM px),
         |t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM bed),
         |sh AS (SELECT doc_id,
         |  CASE WHEN len(toks) < 3 THEN list_distinct([array_to_string(toks, ' ')])
@@ -5397,10 +5522,10 @@ object SparkEntryExt {
     // windows, only windows whose end is within the final watermark
     // (max event time) emit; top-3 rank per window (count desc, term asc)
     "q_stream_trending" ->
-      """WITH t AS (SELECT (doc_id + 60) * 60000 AS ts_ms,
+      """WITH t AS (SELECT (doc_id + 102) * 60000 AS ts_ms,
         |             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
         |           FROM documents),
-        |mx AS (SELECT max((doc_id + 60) * 60000) AS wm FROM documents),
+        |mx AS (SELECT max((doc_id + 102) * 60000) AS wm FROM documents),
         |c AS (SELECT (ts_ms // 7200000) * 7200000 AS ws, term, count(*) AS cnt
         |      FROM t GROUP BY 1, 2),
         |closed AS (SELECT c.* FROM c CROSS JOIN mx WHERE c.ws + 7200000 <= mx.wm),

@@ -147,6 +147,35 @@ class ContextionarySpec extends SparkSpecBase {
     assert(math.abs(r(2).getDouble(2) - 0.5) < 1e-12)
   }
 
+  test("the per-step 10-nearest candidate cut is load-bearing: an excluded " +
+      "word that still beats the strict bound must NOT extend the walk") {
+    // Crafted 2-d geometry (builder.go restricts candidates to the 10
+    // nearest of the CURRENT position before the strictly-closer filter —
+    // an unrestricted argmin walk is a plausible wrong implementation):
+    //   search S=(0,0), target T=(10,0)
+    //   w1=(1,0): nearest to S, steps first; minDist becomes l2(w1,T)=9
+    //   d1..d9 at (1, ±0.41..0.49): the 9 nearest to w1, all with
+    //     dist-to-T = sqrt(81+y²) > 9 → none survives the strict bound
+    //   far=(5,0): dist-to-T=5 < 9 SURVIVES the bound, but ranks 11th by
+    //     distance to w1 (4.0 vs <= 0.49) → OUTSIDE the candidate cut
+    //   dud=(-6,0): fails both (padding so the cut excludes two words)
+    // Correct walk: [w1] then stop. Unrestricted walk: continues to far.
+    val voc: Contextionary.Vocab =
+      Seq("w1" -> Array(1.0f, 0.0f),
+          "far" -> Array(5.0f, 0.0f),
+          "dud" -> Array(-6.0f, 0.0f)) ++
+      (1 to 9).map { i =>
+        val y = (0.40 + i * 0.01).toFloat * (if (i % 2 == 0) 1 else -1)
+        s"d$i" -> Array(1.0f, y)
+      }
+    val path = Contextionary.walk(Array(0.0f, 0.0f), Array(10.0f, 0.0f), voc)
+    assert(path == Seq("w1"),
+      s"walk must stop when no 10-nearest candidate survives (got $path)")
+    // sanity that the bed is what the comment claims: 'far' DOES satisfy
+    // the strict bound an unrestricted walk would act on
+    assert(math.abs(5.0 - 10.0) < 9.0)
+  }
+
   test("walk terminates and never repeats a concept (strict-decrease bound)") {
     val voc = (0 until 8).map(i =>
       s"w$i" -> Array(math.cos(i * 0.7).toFloat, math.sin(i * 0.7).toFloat))

@@ -23,7 +23,8 @@ class ContextualClassifySpec extends SparkSpecBase {
 
   /** The reference loop, straight-line (per item, driver-side). */
   private def replay(docs: Seq[(Long, String)], minWords: Int = 3, igPct: Int = 50,
-                     maxBoost: Double = 3.0, tfPct: Int = 80): Map[Long, (String, Double)] = {
+                     maxBoost: Double = 3.0, tfPct: Int = 80,
+                     clamp: Boolean = true): Map[Long, (String, Double)] = {
     val tokenized = docs.map { case (id, t) =>
       (id, "[\\p{L}\\p{N}]+".r.findAllIn(t.toLowerCase).toSeq)
     }.filter(_._2.nonEmpty)
@@ -44,7 +45,11 @@ class ContextualClassifySpec extends SparkSpecBase {
       val igSet = rankedIg.take(cutIg).toSet
       val tfSet = rankedTf.take(cutTf).toSet
       val boosts = rankedIg.take(cutIg).zipWithIndex.map { case (w, i) =>
-        w -> (if (i == 0) maxBoost else math.min(maxBoost, 1 - math.log(i.toDouble / cutIg)))
+        w -> (if (i == 0) maxBoost
+              else {
+                val raw = 1 - math.log(i.toDouble / cutIg)
+                if (clamp) math.min(maxBoost, raw) else raw
+              })
       }.toMap
       var corpus = words.filter(w => igSet(w) && tfSet(w))
       if (corpus.size < minWords) corpus = rankedIg.take(minWords)
@@ -102,6 +107,28 @@ class ContextualClassifySpec extends SparkSpecBase {
         assert(math.abs(got(id)._2 - d) < 1e-9, s"settings ($mw,$ig,$mb,$tf)")
       }
     }
+  }
+
+  test("the ln-decay boost clamp at igMaximumBoost binds on wide docs " +
+      "(boostByInformationGain caps at 3.0)") {
+    // 18 distinct words → cutIg = 9, so rank 2's raw decay 1 − ln(1/9)
+    // ≈ 3.197 exceeds the 3.0 cap. The 12-word driver beds can never reach
+    // this branch (cutIg <= 6 keeps every decay under the cap), so this is
+    // the one gate where the least() clamp is load-bearing.
+    val wide = Seq((1L, "stream window batch table scan query customer order " +
+      "spark join merge filter vector data hash sort group key"))
+    assert(1.0 - math.log(1.0 / 9.0) > 3.0, "bed must push rank 2 over the cap")
+    val capped = Classify.contextual(wide.toDF("id", "text"), $"id", $"text",
+        targets, embed)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    val expected = replay(wide)
+    assert(capped(1L)._1 == expected(1L)._1)
+    assert(math.abs(capped(1L)._2 - expected(1L)._2) < 1e-9)
+    // discrimination proof: the UNCLAMPED replica diverges on this bed, so
+    // an engine missing the least() cap cannot match the capped replay
+    val unclamped = replay(wide, clamp = false)
+    assert(math.abs(unclamped(1L)._2 - expected(1L)._2) > 1e-9,
+      "unclamped decay must change the distance — otherwise the clamp never fired")
   }
 
   test("plan shape: no cartesian, windows doc-partitioned, word UDF off the row path") {

@@ -54,6 +54,25 @@ class GrouperAndPqSpec extends SparkSpecBase {
     assert(out(1).isNullAt(1))
   }
 
+  test("an item within force of TWO groups joins the FIRST-CREATED group, " +
+      "not the closest (grouper.go hasMatch iterates groups in creation order)") {
+    // angles: A at 0°, B at 55°, C at 29°; force 0.07 ⇔ angle < 30.7°
+    //   normDist(C,A) = (1−cos29°)/2 ≈ 0.0627  < 0.07 (matches group 0)
+    //   normDist(C,B) = (1−cos26°)/2 ≈ 0.0506  < 0.07 (matches group 1 — CLOSER)
+    //   normDist(A,B) = (1−cos55°)/2 ≈ 0.2132  > 0.07 (A, B stay separate)
+    // The driver beds never produce a two-group match, so this is the one
+    // gate on the conflict rule: join-the-closest, join-the-min-id, and
+    // merge-both implementations all put C with B instead.
+    def at(deg: Double) = Array(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val p = Seq((1L, "a", at(0.0)), (2L, "b", at(55.0)), (3L, "c", at(29.0)))
+      .toDF("id", "name", "vec")
+    val out = MergeGrouper.group(p, "vec", force = 0.07, MergeGrouper.Closest)
+      .select($"id", $"group_size").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L), (2L, 1L)),
+      s"C must join A's earlier group despite being closer to B (got ${out.toSeq})")
+  }
+
   test("force=0 keeps every result its own group") {
     val n = MergeGrouper.group(pool, "vec", force = 0.0, MergeGrouper.Closest).count()
     assert(n == 4)
