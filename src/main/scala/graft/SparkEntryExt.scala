@@ -686,7 +686,10 @@ object SparkEntryExt {
     "q_curate_pack" -> ((s, dir) => {
       val docs = g(s, dir).collection("Document").df
         .withColumn("__t", TextAnalysis.tokenCountWhitespace(col("text")))
-      Curate.packByTokenBudget(docs, Seq(col("source")), col("doc_id"), col("__t"), budget = 2048L)
+      // budget 256 << the per-source token totals (1136-1553 at sf0.01), so
+      // bins advance and straddlers exist — at 2048 every bin was 0 and the
+      // whole binning rule (floor of the running start offset) was dead
+      Curate.packByTokenBudget(docs, Seq(col("source")), col("doc_id"), col("__t"), budget = 256L)
         .select(col("source"), col("doc_id"),
           col("bin_offset").cast("long").as("bin_offset"), col("bin").cast("long").as("bin"))
         .orderBy(col("source"), col("doc_id"))
@@ -945,9 +948,16 @@ object SparkEntryExt {
     "q_text_c4" -> ((s, dir) => {
       val docs = g(s, dir).collection("Document").df
       val lined = regexp_replace(col("text"), "(\\S+\\s+\\S+\\s+\\S+)\\s+", "$1\n")
-      val punct = regexp_replace(
-        regexp_replace(lined, "([a-m])\n", "$1.\n"),
-        "([a-m])$", "$1.")
+      // four terminal-punctuation classes so every branch of the keep-rule
+      // char class [.!?"'] and of the sentence counter [.!?] is live (a
+      // period-only rule or counter diverges); quote-ended lines are kept
+      // but must NOT count as sentences
+      val punct = Seq(("a-d", "."), ("e-g", "!"), ("h-j", "?"), ("k-m", "\""))
+        .foldLeft(lined) { case (acc, (r, pc)) =>
+          regexp_replace(
+            regexp_replace(acc, s"([$r])\n", s"$$1$pc\n"),
+            s"([$r])$$", s"$$1$pc")
+        }
       val js = when(col("doc_id") % 13 === 0,
         concat(punct, lit("\nthis javascript line should vanish."))).otherwise(punct)
       val brace = when(col("doc_id") % 17 === 0,
@@ -1285,7 +1295,16 @@ object SparkEntryExt {
     "q_phone" -> ((s, dir) => {
       val ev = Fixtures.events(s, dir).select(col("event_id"), col("user_id"))
         .filter(col("event_id") < 200)
-      val input = when(col("event_id") % 3 === 0,
+      // events 7-10 pin the 4..14 national-length validity band on both
+      // edges (3/4 and 14/15 digits). The longest-prefix calling-code rule
+      // itself is NOT plantable: E.164 codes form a prefix-free set (so
+      // does PhoneNumbers.CountryCodes), so longest-vs-first-match is
+      // output-identical for every possible input by design.
+      val input = when(col("event_id") === 7, lit("+49 123"))
+        .when(col("event_id") === 8, lit("+49 1234"))
+        .when(col("event_id") === 9, lit("+49 12345678901234"))
+        .when(col("event_id") === 10, lit("+49 123456789012345"))
+        .when(col("event_id") % 3 === 0,
           concat(lit("+49 30 "), lpad(col("user_id").cast("string"), 6, "0")))
         .when(col("event_id") % 3 === 1,
           concat(lit("(415) 555-"), lpad((col("user_id") % 10000).cast("string"), 4, "0")))
@@ -1394,7 +1413,26 @@ object SparkEntryExt {
     // dates, bad uuids, and out-of-range geo coordinates yields the exact
     // per-row (id, property, error) report, fully replayed in SQL
     "q_validate" -> ((s, dir) => {
+      import s.implicits._
       val ev = Fixtures.events(s, dir).filter(col("event_id") < 120)
+      // Near-miss plants — the natural bed's values are all machine-generated
+      // well-formed or grossly malformed, leaving the range bounds and the
+      // \\A..\\z anchors dead: bad-month / hour-24 dates, a trailing newline
+      // (Java $ would accept it, the reference's parse rejects), a 35-char
+      // uuid next to the braced/urn/raw-32 ACCEPTED forms, lat/lon just past
+      // and exactly on the +-90/+-180 bounds.
+      val planted = Seq(
+        (9000001L, "2024-13-01T00:00:00Z",
+          "c56a4180-65aa-42ec-a945-5fd21dec053", 95.0, 200.0),
+        (9000002L, "2024-01-02T03:04:05Z\n",
+          "C56A418065AA42ECA9455FD21DEC0538", -90.0, -180.0),
+        (9000003L, "2024-01-02T03:04:05.5+05:30",
+          "{c56a4180-65aa-42ec-a945-5fd21dec0538}", 90.0, 180.0),
+        (9000004L, "2024-01-02T24:00:00Z",
+          "urn:uuid:c56a4180-65aa-42ec-a945-5fd21dec0538", -90.5, 180.5))
+        .toDF("event_id", "published", "ext_id", "lat", "lon")
+        .select(col("event_id"), col("published"), col("ext_id"),
+          struct(col("lat"), col("lon")).as("place"))
       val bed = ev.select(col("event_id"),
         when(col("event_id") % 4 === 0, lit("2024-01-02T03:04:05Z"))
           .otherwise(lit("02.01.2024")).as("published"),
@@ -1402,6 +1440,7 @@ object SparkEntryExt {
           .otherwise(lit("not-a-uuid")).as("ext_id"),
         struct((col("user_id") % 200 - 100).cast("double").as("lat"),
           (col("user_id") % 400 - 200).cast("double").as("lon")).as("place"))
+        .unionByName(planted)
       graft.sources.Validation.report(bed,
         CollectionSchema("EventDoc", "event_id", Seq(
           Property("published", PropType.Date),
@@ -1495,6 +1534,16 @@ object SparkEntryExt {
           substring(h, 17, 4), substring(h, 21, 12)).as("obj_uuid"),
         col("event_type"), col("props"),
         when(col("event_id") % 2 === 0, rfc).otherwise(col("props")).as("mixed"),
+        // near-miss plants: one bad-month date and one 35-char uuid force
+        // 'text' verdicts that only the range-bounded reference regexes
+        // produce — a loose \\d{2}-month pattern (or the oracle's old one)
+        // would call these columns date/uuid
+        when(col("event_id") === 0, lit("2024-13-01T00:00:00Z"))
+          .otherwise(rfc).as("near_date"),
+        when(col("event_id") === 0, lit("c56a4180-65aa-42ec-a945-5fd21dec053"))
+          .otherwise(concat_ws("-", substring(h, 1, 8), substring(h, 9, 4),
+            substring(h, 13, 4), substring(h, 17, 4), substring(h, 21, 12)))
+          .as("near_uuid"),
         lit(null).cast("string").as("unseen"),
         col("user_id"), col("value"),
         (col("event_id") % 2 === 0).as("flag"))
@@ -2262,7 +2311,20 @@ object SparkEntryExt {
         Property("event_type", PropType.Text, Tokenization.Field)))
       val st = new graft.sources.CollectionStore(s,
         java.nio.file.Files.createTempDirectory("graft-ttl").toString, schema)
-      st.init(ev)
+      // boundary plants: 9000001 sits EXACTLY on the cutoff second (kept —
+      // the expiry rule is strictly-before; a <= off-by-one deletes it) and
+      // 9000002 at cutoff−0.4s (expired — flooring the sub-second part puts
+      // it below the cutoff; a rounding implementation keeps it). The
+      // natural events leave a ±2-minute dead zone around the cutoff.
+      val planted = s.range(1).select(
+          lit(9000001L).as("event_id"),
+          timestamp_micros(lit(1705363200000000L)).as("ts"),
+          lit("planted").as("event_type"))
+        .unionByName(s.range(1).select(
+          lit(9000002L).as("event_id"),
+          timestamp_micros(lit(1705363199600000L)).as("ts"),
+          lit("planted").as("event_type")))
+      st.init(ev.unionByName(planted))
       // events span 2024-01-01..01-31; now = 01-31T00:00Z, ttl = 15 days
       st.expireTtl("ts", ttlSeconds = 1296000L, nowEpochSeconds = 1706659200L)
       st.read().select(col("event_id")).orderBy(col("event_id"))
@@ -2330,7 +2392,11 @@ object SparkEntryExt {
       val path = java.nio.file.Files.createTempDirectory("graft-backup").toString
       graft.sources.Backup.exportCollection(gg.collection("Document"), path)
       val restored = graft.sources.Backup.restoreCollection(s, path)
-      restored.df.select(col("doc_id"), col("lang"), col("n_chars"))
+      // every stored column reaches the compare (text via md5 to keep the
+      // row narrow) — a restore that drops or re-encodes text/source would
+      // otherwise hash-match on the 3-column projection
+      restored.df.select(col("doc_id"), col("lang"), col("n_chars"),
+          md5(col("text")).as("text_md5"), col("source"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2759,13 +2825,12 @@ object SparkEntryExt {
     // same (128, 64-band) S-curve q_dedup_minhash's oracle certifies)
     "q_dedup_stream" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
       val raw = s.read.parquet(s"$dir/documents.parquet")
-      val stream = s.readStream.schema(raw.schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(dir)
         .filter(col("doc_id") % 5 === 0)
-      val bed = stream.select(explode(filter(array(
+      // natural bed: exact copies in (+37 min) and far out (+700 min) of
+      // the 2 h horizon
+      val nat = raw.select(explode(filter(array(
           struct(col("doc_id").as("doc_id"),
             ((col("doc_id") + 60L) * 60000L).as("ts_ms"), col("text").as("text")),
           when(col("doc_id") % 25 === 0,
@@ -2777,6 +2842,52 @@ object SparkEntryExt {
           e => e.isNotNull)).as("e"))
         .select(col("e.doc_id").as("doc_id"), col("e.ts_ms").as("ts_ms"),
           col("e.text").as("text"))
+      // Discriminating plants (exact-construction Jaccards, unique tokens):
+      //   A 3000001/3000002 — 83-token shared prefix, j = 81/115 ≈ 0.7043,
+      //     60 min apart ACROSS micro-batches → state hand-off must emit;
+      //   B 3000003/3000004 — 82-token prefix, j = 80/116 ≈ 0.6897 < 0.7 →
+      //     the verify threshold must SUPPRESS an LSH candidate;
+      //   C 3000005/3000006 — exact copies at EXACTLY the 2 h horizon →
+      //     emitted (the rule is <=; an exclusive bound drops it);
+      //   D 3000007/3000008 — exact copies at horizon + 1 min → suppressed.
+      def toks(pre: String, n: Int) = (1 to n).map(i => s"$pre$i").mkString(" ")
+      val qsx = toks("qsx", 83); val qsy = toks("qsy", 82)
+      val plants = Seq(
+        (3000001L, 10000L, qsx + " " + toks("qsa", 17)),
+        (3000003L, 10010L, qsy + " " + toks("qsc", 18)),
+        (3000005L, 10020L, toks("qsct", 40)),
+        (3000007L, 10030L, toks("qsdt", 40)),
+        (3000004L, 10040L, qsy + " " + toks("qsd", 18)),
+        (3000002L, 10060L, qsx + " " + toks("qsb", 17)),
+        (3000006L, 10140L, toks("qsct", 40)),
+        (3000008L, 10151L, toks("qsdt", 40)))
+        .toDF("doc_id", "min", "text")
+        .select(col("doc_id"), (col("min") * 60000L).as("ts_ms"), col("text"))
+      val full = nat.unionByName(plants)
+      // FOUR time-ordered replay files (maxFilesPerTrigger=1 → one
+      // micro-batch each, oldest file first): the single-file bed ran as
+      // one batch where the cross-batch pairing loop, the watermark-bound
+      // state prune and the timeout GC were all dead code. Time-ordered
+      // splits mean the 0 s watermark drops nothing, so the batch-SQL
+      // oracle stays exact.
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-dsr").toString
+      def dump(f: org.apache.spark.sql.DataFrame, name: String): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-dsf").toString
+        f.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.copy(part.toPath,
+          java.nio.file.Paths.get(streamDir, name))
+      }
+      dump(full.filter(col("ts_ms") < 350L * 60000L), "00.parquet")
+      dump(full.filter(col("ts_ms") >= 350L * 60000L &&
+        col("ts_ms") < 1300L * 60000L), "01.parquet")
+      dump(full.filter(col("ts_ms") >= 1300L * 60000L &&
+        col("ts_ms") <= 10040L * 60000L), "02.parquet")
+      dump(full.filter(col("ts_ms") > 10040L * 60000L), "03.parquet")
+      val bed = s.readStream.schema(full.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(streamDir)
         .withColumn("ts", timestamp_millis(col("ts_ms")))
       // banded owns the watermark (declared after its typed map)
       val banded = graft.streaming.StreamDedup.banded(bed, "doc_id", "ts", "text",
@@ -2833,16 +2944,45 @@ object SparkEntryExt {
     "q_sessionize_stream" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       import s.implicits._
-      val raw = s.read.parquet(s"$dir/events.parquet")
-      val toTs = raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType => timestamp_micros(expr("ts div 1000"))
-        case _ => col("ts").cast("timestamp")
+      // Planted boundary users (all AFTER the natural span, so the natural
+      // watermark never drops them):
+      //   900001 — two events EXACTLY 30 min apart, split across files →
+      //     ONE restored-state session of 2 (a >=-gap split or a dead
+      //     state.getOption emits two singletons);
+      //   900002 — gap + 1 ms, split across files → two singleton sessions;
+      //   900003 — last + gap == the final watermark → stays OPEN (Spark
+      //     event-time timeouts fire STRICTLY below the watermark, matching
+      //     the oracle's end+gap < wm);
+      //   900004 — last + gap == watermark − 1 → closes;
+      //   900009 — defines the final watermark (2024-02-05T00:00Z), open.
+      val planted = Seq(
+        (900001L, 9100001L, 1707000000000L), (900002L, 9100003L, 1707000000000L),
+        (900001L, 9100002L, 1707001800000L), (900002L, 9100004L, 1707001800001L),
+        (900003L, 9100005L, 1707089400000L), (900004L, 9100006L, 1707089399999L),
+        (900009L, 9100007L, 1707091200000L))
+        .toDF("user_id", "event_id", "ms")
+        .select(col("user_id"), col("event_id"), timestamp_millis(col("ms")).as("ts"))
+      val full = Fixtures.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .unionByName(planted)
+      // time-ordered multi-file replay: the single-file bed ran as one
+      // micro-batch where the state-restore branch was dead code
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-ssr").toString
+      def dump(f: org.apache.spark.sql.DataFrame, name: String): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-ssf").toString
+        f.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.copy(part.toPath,
+          java.nio.file.Paths.get(streamDir, name))
       }
-      val stream = s.readStream.schema(raw.schema)
+      val ms = expr("unix_micros(ts) div 1000")
+      dump(full.filter(ms < 1705000000000L), "00.parquet")
+      dump(full.filter(ms >= 1705000000000L && ms <= 1707000000000L), "01.parquet")
+      dump(full.filter(ms > 1707000000000L), "02.parquet")
+      val stream = s.readStream.schema(full.schema)
         .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", toTs)
+        .parquet(streamDir)
         .withColumn("ts_ms", expr("unix_micros(ts) div 1000"))
         .withWatermark("ts", "0 seconds")
         .as[graft.streaming.Sessionize.Event]
@@ -3120,7 +3260,10 @@ object SparkEntryExt {
     // keep = complement of expired (unix_timestamp floors to seconds =
     // epoch_ns integer division)
     "q_store_ttl" ->
-      """SELECT event_id FROM events
+      """SELECT event_id FROM (
+        |  SELECT event_id, ts FROM events
+        |  UNION ALL SELECT CAST(9000001 AS BIGINT), TIMESTAMP '2024-01-16 00:00:00'
+        |  UNION ALL SELECT CAST(9000002 AS BIGINT), TIMESTAMP '2024-01-15 23:59:59.6')
         |WHERE epoch_ns(ts) // 1000000000 >= 1706659200 - 1296000
         |ORDER BY event_id""".stripMargin,
 
@@ -3158,7 +3301,8 @@ object SparkEntryExt {
 
     // export + restore must be the identity on the rows
     "q_backup_roundtrip" ->
-      """SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id, lang, n_chars, md5(text) AS text_md5, source
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // exact BM25 over the post-delta corpus (doc 3 replaced, 11 deleted,
     // 3000000 appended) — stale postings or stats would mismatch
@@ -4510,7 +4654,7 @@ object SparkEntryExt {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt AS BIGINT) AS off
         |  FROM t)
         |SELECT source, doc_id, off AS bin_offset,
-        |  CAST(floor(CAST(off AS DOUBLE) / 2048.0) AS BIGINT) AS bin
+        |  CAST(floor(CAST(off AS DOUBLE) / 256.0) AS BIGINT) AS bin
         |FROM c ORDER BY source, doc_id""".stripMargin,
 
     "q_dedup_cluster" ->
@@ -4873,10 +5017,14 @@ object SparkEntryExt {
     "q_text_c4" ->
       """WITH b1 AS (
         |  SELECT doc_id,
-        |    regexp_replace(regexp_replace(regexp_replace(text,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(text,
         |      '(\S+\s+\S+\s+\S+)\s+', '\1' || chr(10), 'g'),
-        |      '([a-m])\n', '\1.' || chr(10), 'g'),
-        |      '([a-m])$', '\1.') AS t
+        |      '([a-d])\n', '\1.' || chr(10), 'g'), '([a-d])$', '\1.'),
+        |      '([e-g])\n', '\1!' || chr(10), 'g'), '([e-g])$', '\1!'),
+        |      '([h-j])\n', '\1?' || chr(10), 'g'), '([h-j])$', '\1?'),
+        |      '([k-m])\n', '\1"' || chr(10), 'g'), '([k-m])$', '\1"') AS t
         |  FROM documents),
         |b2 AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0
         |         THEN t || chr(10) || 'this javascript line should vanish.' ELSE t END AS t FROM b1),
@@ -5279,7 +5427,26 @@ object SparkEntryExt {
         |  UNION ALL
         |  SELECT event_id, 'place',
         |    'invalid longitude: must be between -180 and 180, got ' || lon::VARCHAR
-        |  FROM bed WHERE lon < -180 OR lon > 180)
+        |  FROM bed WHERE lon < -180 OR lon > 180
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (CAST(9000001 AS BIGINT), 'published',
+        |     'requires a string with a RFC3339 formatted date, but the given value is ''2024-13-01T00:00:00Z'''),
+        |    (9000001, 'ext_id',
+        |     'requires a string of UUID format, but the given value is ''c56a4180-65aa-42ec-a945-5fd21dec053'''),
+        |    (9000001, 'place',
+        |     'invalid latitude: must be between -90 and 90, got 95.0'),
+        |    (9000001, 'place',
+        |     'invalid longitude: must be between -180 and 180, got 200.0'),
+        |    (9000002, 'published',
+        |     'requires a string with a RFC3339 formatted date, but the given value is ''2024-01-02T03:04:05Z' || chr(10) || ''''),
+        |    (9000004, 'published',
+        |     'requires a string with a RFC3339 formatted date, but the given value is ''2024-01-02T24:00:00Z'''),
+        |    (9000004, 'place',
+        |     'invalid latitude: must be between -90 and 90, got -90.5'),
+        |    (9000004, 'place',
+        |     'invalid longitude: must be between -180 and 180, got 180.5')
+        |  ) AS pv(id, property, error))
         |SELECT id, property, error FROM v ORDER BY id, property, error""".stripMargin,
 
     // phone replay: the three bed shapes resolve case-wise (intl DE →
@@ -5288,16 +5455,22 @@ object SparkEntryExt {
     "q_phone" ->
       """WITH e AS (SELECT event_id, user_id FROM events WHERE event_id < 200),
         |p AS (SELECT event_id,
-        |  CASE WHEN event_id % 3 = 0 THEN '30' || lpad(user_id::VARCHAR, 6, '0')
+        |  CASE WHEN event_id = 7 THEN '123'
+        |       WHEN event_id = 8 THEN '1234'
+        |       WHEN event_id = 9 THEN '12345678901234'
+        |       WHEN event_id = 10 THEN '123456789012345'
+        |       WHEN event_id % 3 = 0 THEN '30' || lpad(user_id::VARCHAR, 6, '0')
         |       WHEN event_id % 3 = 1 THEN '415555' || lpad((user_id % 10000)::VARCHAR, 4, '0')
         |  END AS nat,
-        |  CASE WHEN event_id % 3 = 0 THEN 49 WHEN event_id % 3 = 1 THEN 1 END AS cc
-        |  FROM e)
+        |  CASE WHEN event_id IN (7, 8, 9, 10) THEN 49
+        |       WHEN event_id % 3 = 0 THEN 49 WHEN event_id % 3 = 1 THEN 1 END AS cc
+        |  FROM e),
+        |v AS (SELECT *, cc IS NOT NULL AND len(nat) BETWEEN 4 AND 14 AS valid FROM p)
         |SELECT event_id, CAST(cc AS BIGINT) AS country_code,
-        |  CAST(nat AS BIGINT) AS national,
-        |  CASE WHEN cc IS NOT NULL THEN '+' || cc || ' ' || nat END AS intl,
-        |  cc IS NOT NULL AS valid
-        |FROM p ORDER BY event_id""".stripMargin,
+        |  CASE WHEN valid THEN CAST(nat AS BIGINT) END AS national,
+        |  CASE WHEN valid THEN '+' || cc || ' ' || nat END AS intl,
+        |  valid
+        |FROM v ORDER BY event_id""".stripMargin,
 
     // stream-index replay: after the drain the served corpus IS the full
     // documents table, so the oracle is the standard BM25 replay
@@ -5371,27 +5544,40 @@ object SparkEntryExt {
         |    event_type, props,
         |    CASE WHEN event_id % 2 = 0 THEN strftime(ts, '%Y-%m-%dT%H:%M:%SZ')
         |         ELSE props END AS mixed,
+        |    CASE WHEN event_id = 0 THEN '2024-13-01T00:00:00Z'
+        |         ELSE strftime(ts, '%Y-%m-%dT%H:%M:%SZ') END AS near_date,
+        |    CASE WHEN event_id = 0 THEN 'c56a4180-65aa-42ec-a945-5fd21dec053'
+        |         ELSE NULL END AS near_uuid_miss,
         |    NULL::VARCHAR AS unseen
         |  FROM events),
         |u AS (SELECT *, substr(h,1,8) || '-' || substr(h,9,4) || '-' || substr(h,13,4)
-        |        || '-' || substr(h,17,4) || '-' || substr(h,21,12) AS obj_uuid FROM bed),
+        |        || '-' || substr(h,17,4) || '-' || substr(h,21,12) AS obj_uuid,
+        |        coalesce(near_uuid_miss, substr(h,1,8) || '-' || substr(h,9,4) || '-'
+        |        || substr(h,13,4) || '-' || substr(h,17,4) || '-' || substr(h,21,12)) AS near_uuid
+        |      FROM bed),
         |agg AS (SELECT
         |  count(ts_rfc) AS n1,
-        |  count(CASE WHEN regexp_matches(ts_rfc, '^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})$') THEN 1 END) AS d1,
+        |  count(CASE WHEN regexp_matches(ts_rfc, '^\d{4}-(0[1-9]|1[0-2])-(0[1-9]|[12]\d|3[01])T([01]\d|2[0-3]):[0-5]\d:[0-5]\d(\.\d+)?(Z|[+-]([01]\d|2[0-3]):[0-5]\d)$') THEN 1 END) AS d1,
         |  count(CASE WHEN regexp_matches(ts_rfc, '^(urn:uuid:)?[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$|^\{[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\}$|^[0-9a-fA-F]{32}$') THEN 1 END) AS u1,
         |  count(obj_uuid) AS n2,
-        |  count(CASE WHEN regexp_matches(obj_uuid, '^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})$') THEN 1 END) AS d2,
+        |  count(CASE WHEN regexp_matches(obj_uuid, '^\d{4}-(0[1-9]|1[0-2])-(0[1-9]|[12]\d|3[01])T([01]\d|2[0-3]):[0-5]\d:[0-5]\d(\.\d+)?(Z|[+-]([01]\d|2[0-3]):[0-5]\d)$') THEN 1 END) AS d2,
         |  count(CASE WHEN regexp_matches(obj_uuid, '^(urn:uuid:)?[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$|^\{[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\}$|^[0-9a-fA-F]{32}$') THEN 1 END) AS u2,
         |  count(event_type) AS n3,
-        |  count(CASE WHEN regexp_matches(event_type, '^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})$') THEN 1 END) AS d3,
+        |  count(CASE WHEN regexp_matches(event_type, '^\d{4}-(0[1-9]|1[0-2])-(0[1-9]|[12]\d|3[01])T([01]\d|2[0-3]):[0-5]\d:[0-5]\d(\.\d+)?(Z|[+-]([01]\d|2[0-3]):[0-5]\d)$') THEN 1 END) AS d3,
         |  count(CASE WHEN regexp_matches(event_type, '^(urn:uuid:)?[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$|^\{[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\}$|^[0-9a-fA-F]{32}$') THEN 1 END) AS u3,
         |  count(props) AS n4,
-        |  count(CASE WHEN regexp_matches(props, '^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})$') THEN 1 END) AS d4,
+        |  count(CASE WHEN regexp_matches(props, '^\d{4}-(0[1-9]|1[0-2])-(0[1-9]|[12]\d|3[01])T([01]\d|2[0-3]):[0-5]\d:[0-5]\d(\.\d+)?(Z|[+-]([01]\d|2[0-3]):[0-5]\d)$') THEN 1 END) AS d4,
         |  count(CASE WHEN regexp_matches(props, '^(urn:uuid:)?[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$|^\{[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\}$|^[0-9a-fA-F]{32}$') THEN 1 END) AS u4,
         |  count(mixed) AS n5,
-        |  count(CASE WHEN regexp_matches(mixed, '^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})$') THEN 1 END) AS d5,
+        |  count(CASE WHEN regexp_matches(mixed, '^\d{4}-(0[1-9]|1[0-2])-(0[1-9]|[12]\d|3[01])T([01]\d|2[0-3]):[0-5]\d:[0-5]\d(\.\d+)?(Z|[+-]([01]\d|2[0-3]):[0-5]\d)$') THEN 1 END) AS d5,
         |  count(CASE WHEN regexp_matches(mixed, '^(urn:uuid:)?[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$|^\{[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\}$|^[0-9a-fA-F]{32}$') THEN 1 END) AS u5,
-        |  count(unseen) AS n6
+        |  count(unseen) AS n6,
+        |  count(near_date) AS n7,
+        |  count(CASE WHEN regexp_matches(near_date, '^\d{4}-(0[1-9]|1[0-2])-(0[1-9]|[12]\d|3[01])T([01]\d|2[0-3]):[0-5]\d:[0-5]\d(\.\d+)?(Z|[+-]([01]\d|2[0-3]):[0-5]\d)$') THEN 1 END) AS d7,
+        |  count(CASE WHEN regexp_matches(near_date, '^(urn:uuid:)?[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$|^\{[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\}$|^[0-9a-fA-F]{32}$') THEN 1 END) AS u7,
+        |  count(near_uuid) AS n8,
+        |  count(CASE WHEN regexp_matches(near_uuid, '^\d{4}-(0[1-9]|1[0-2])-(0[1-9]|[12]\d|3[01])T([01]\d|2[0-3]):[0-5]\d:[0-5]\d(\.\d+)?(Z|[+-]([01]\d|2[0-3]):[0-5]\d)$') THEN 1 END) AS d8,
+        |  count(CASE WHEN regexp_matches(near_uuid, '^(urn:uuid:)?[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$|^\{[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\}$|^[0-9a-fA-F]{32}$') THEN 1 END) AS u8
         |  FROM u),
         |v AS (
         |  SELECT 'ts_rfc' AS prop, CASE WHEN n1 = 0 THEN 'text' WHEN d1 = n1 THEN 'date'
@@ -5404,6 +5590,10 @@ object SparkEntryExt {
         |    WHEN u4 = n4 THEN 'uuid' ELSE 'text' END FROM agg
         |  UNION ALL SELECT 'mixed', CASE WHEN n5 = 0 THEN 'text' WHEN d5 = n5 THEN 'date'
         |    WHEN u5 = n5 THEN 'uuid' ELSE 'text' END FROM agg
+        |  UNION ALL SELECT 'near_date', CASE WHEN n7 = 0 THEN 'text' WHEN d7 = n7 THEN 'date'
+        |    WHEN u7 = n7 THEN 'uuid' ELSE 'text' END FROM agg
+        |  UNION ALL SELECT 'near_uuid', CASE WHEN n8 = 0 THEN 'text' WHEN d8 = n8 THEN 'date'
+        |    WHEN u8 = n8 THEN 'uuid' ELSE 'text' END FROM agg
         |  UNION ALL SELECT 'unseen', 'text' FROM agg WHERE n6 = 0
         |  UNION ALL SELECT 'user_id', 'int'
         |  UNION ALL SELECT 'value', 'number'
@@ -5500,7 +5690,28 @@ object SparkEntryExt {
         |  UNION ALL SELECT doc_id + 1000000, (doc_id + 97) * 60000, text
         |            FROM base WHERE doc_id % 25 = 0
         |  UNION ALL SELECT doc_id + 2000000, (doc_id + 760) * 60000, text
-        |            FROM base WHERE doc_id % 25 = 0),
+        |            FROM base WHERE doc_id % 25 = 0
+        |  UNION ALL SELECT p.doc_id, p.m * 60000, p.txt FROM (
+        |    SELECT 3000001 AS doc_id, 10000 AS m,
+        |      array_to_string(list_transform(range(1,84), i -> 'qsx'||i), ' ') || ' ' ||
+        |      array_to_string(list_transform(range(1,18), i -> 'qsa'||i), ' ') AS txt
+        |    UNION ALL SELECT 3000002, 10060,
+        |      array_to_string(list_transform(range(1,84), i -> 'qsx'||i), ' ') || ' ' ||
+        |      array_to_string(list_transform(range(1,18), i -> 'qsb'||i), ' ')
+        |    UNION ALL SELECT 3000003, 10010,
+        |      array_to_string(list_transform(range(1,83), i -> 'qsy'||i), ' ') || ' ' ||
+        |      array_to_string(list_transform(range(1,19), i -> 'qsc'||i), ' ')
+        |    UNION ALL SELECT 3000004, 10040,
+        |      array_to_string(list_transform(range(1,83), i -> 'qsy'||i), ' ') || ' ' ||
+        |      array_to_string(list_transform(range(1,19), i -> 'qsd'||i), ' ')
+        |    UNION ALL SELECT 3000005, 10020,
+        |      array_to_string(list_transform(range(1,41), i -> 'qsct'||i), ' ')
+        |    UNION ALL SELECT 3000006, 10140,
+        |      array_to_string(list_transform(range(1,41), i -> 'qsct'||i), ' ')
+        |    UNION ALL SELECT 3000007, 10030,
+        |      array_to_string(list_transform(range(1,41), i -> 'qsdt'||i), ' ')
+        |    UNION ALL SELECT 3000008, 10151,
+        |      array_to_string(list_transform(range(1,41), i -> 'qsdt'||i), ' ')) p),
         |t AS (SELECT doc_id, ts_ms,
         |      regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM bed),
         |sh AS (SELECT doc_id, ts_ms,
@@ -5537,7 +5748,15 @@ object SparkEntryExt {
         |FROM r WHERE rnk <= 3 ORDER BY window_start_ms, rnk""".stripMargin,
 
     "q_sessionize_stream" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events
+        |  UNION ALL SELECT * FROM (VALUES
+        |    (CAST(900001 AS BIGINT), CAST(9100001 AS BIGINT), CAST(1707000000000 AS BIGINT)),
+        |    (900001, 9100002, 1707001800000),
+        |    (900002, 9100003, 1707000000000),
+        |    (900002, 9100004, 1707001800001),
+        |    (900003, 9100005, 1707089400000),
+        |    (900004, 9100006, 1707089399999),
+        |    (900009, 9100007, 1707091200000)) AS pv(user_id, event_id, ms)),
         |mx AS (SELECT max(ms) AS wm FROM e),
         |marked AS (
         |  SELECT user_id, event_id, ms,
