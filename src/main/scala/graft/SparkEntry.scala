@@ -39,6 +39,33 @@ object SparkEntry {
 
   private def g(spark: SparkSession, dir: String): Graft = Fixtures.graft(spark, dir)
 
+  /** Lineitem ∪ a planted 'Z' group whose top mode count TIES (l_linenumber
+   * 9×2, 4×2, 2×1): every natural l_returnflag group has a unique maximal
+   * count at sf0.01, so the deterministic-mode tie rule (count desc, value
+   * asc → 4) was never exercised — a max-value or first-seen tie-break
+   * hash-matched. The group's quantities (10..50) also pin exact-median=30
+   * on a crafted odd set. */
+  private def lineitemTieBedFor(gg: Graft, s: SparkSession): Unit =
+    if (!gg.hasCollection("LineitemTie")) {
+      val li = gg.collection("Lineitem").df
+      val lns = Seq(9, 9, 4, 4, 2); val qtys = Seq(10.0, 20.0, 30.0, 40.0, 50.0)
+      val plants = s.range(5).select(
+        (col("id") + 99000001L).as("l_id"),
+        lit(9900000L).as("l_orderkey"), lit(1L).as("l_partkey"),
+        lit(1L).as("l_suppkey"),
+        element_at(typedLit(lns), (col("id") + 1).cast("int")).as("l_linenumber"),
+        element_at(typedLit(qtys), (col("id") + 1).cast("int")).as("l_quantity"),
+        lit(0.0).as("l_extendedprice"), lit(0.0).as("l_discount"),
+        lit(0.0).as("l_tax"), lit("Z").as("l_returnflag"),
+        lit("O").as("l_linestatus"),
+        lit(null).cast("timestamp").as("l_shipdate"), lit(false).as("is_high"))
+      gg.register(CollectionSchema("LineitemTie", "l_id", Seq(
+        Property("l_linenumber", PropType.Int),
+        Property("l_quantity", PropType.Number),
+        Property("l_returnflag", PropType.Text, Tokenization.Field))),
+        li.unionByName(plants, allowMissingColumns = false))
+    }
+
   /** DuckDB can't reference subqueries inside lambdas, so vector oracles
    * CROSS JOIN a one-row `qv(v)` CTE holding the anchor embedding. Fragments
    * assume aliases `e` (embeddings row) and `q` (the qv row) and compute in
@@ -222,11 +249,13 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
-    // §2.6 exact median + deterministic mode
+    // §2.6 exact median + deterministic mode (over the tie-planted bed —
+    // see lineitemTieBedFor)
     "q_agg_median_mode" -> ((s, dir) => {
       val gg = g(s, dir)
-      val c = gg.collection("Lineitem")
-      val med = gg.aggregate(AggregateParams("Lineitem",
+      lineitemTieBedFor(gg, s)
+      val c = gg.collection("LineitemTie")
+      val med = gg.aggregate(AggregateParams("LineitemTie",
         groupBy = Some(Seq("l_returnflag")),
         properties = Map("l_quantity" -> Seq(Aggregator.Median))))
         .select(col("groupedBy_value").as("l_returnflag"),
@@ -487,12 +516,17 @@ object SparkEntry {
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_agg_median_mode" ->
-      """WITH modes AS (
+      """WITH li AS (
+        |  SELECT l_returnflag, l_linenumber, l_quantity FROM lineitem
+        |  UNION ALL SELECT * FROM (VALUES
+        |    ('Z', 9, 10.0), ('Z', 9, 20.0), ('Z', 4, 30.0),
+        |    ('Z', 4, 40.0), ('Z', 2, 50.0)) v(l_returnflag, l_linenumber, l_quantity)),
+        |modes AS (
         |  SELECT l_returnflag, l_linenumber AS mode_linenumber,
         |         row_number() OVER (PARTITION BY l_returnflag ORDER BY count(*) DESC, l_linenumber ASC) AS rn
-        |  FROM lineitem GROUP BY l_returnflag, l_linenumber)
+        |  FROM li GROUP BY l_returnflag, l_linenumber)
         |SELECT l.l_returnflag, round(median(l.l_quantity), 4) AS median_qty, any_value(m.mode_linenumber) AS mode_linenumber
-        |FROM lineitem l JOIN modes m ON l.l_returnflag = m.l_returnflag AND m.rn = 1
+        |FROM li l JOIN modes m ON l.l_returnflag = m.l_returnflag AND m.rn = 1
         |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
 
     "q_agg_bool" ->

@@ -269,6 +269,20 @@ object SparkEntryExt {
       dyn
     })
 
+  /** Shared oracle for the five quantizer beds: exact double-precision L2
+   * top-10 over embeddings ∪ planted copies, (dist asc, vec_id asc) —
+   * the order Rescore.exact produces. */
+  private val QuantizerBruteForceTop10: String =
+    s"""WITH ${SparkEntry.sqlQv(50)},
+       |bed AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 50 = 0),
+       |d AS (SELECT b.vec_id, ${SparkEntry.sqlL2("b.embedding", "q.v")} AS dist
+       |      FROM bed b CROSS JOIN qv q)
+       |SELECT vec_id, round(dist, 4) AS dist FROM d
+       |ORDER BY d.dist ASC, vec_id ASC LIMIT 10""".stripMargin
+
   /** embeddings ∪ exact copies (vec_id % 50 == 0 → vec_id+1000000). */
   private def embWithPlantedDups(g: Graft): DataFrame = {
     val emb = g.collection("Embedding").df.select(col("vec_id"), col("embedding"))
@@ -288,7 +302,12 @@ object SparkEntryExt {
         nlist = 8, defaultNprobe = 8, persistPath = Some(path))
       val idx1 = idx0.append(
         emb.filter(col("vec_id") === 13L).withColumn("vec_id", lit(5000000L)))
-      idx1.search(Fixtures.anchorVector(gg, 13L), 2, Metric.L2Squared, nprobe = 8)
+      // nprobe=1 of 8: only vec 13's own nearest-centroid posting is read,
+      // so the append's ASSIGNMENT rule is load-bearing — a fixed/first/
+      // wrong-metric assignment parks the twin in another posting and the
+      // probe misses it (at nprobe=8 the full-probe union made any
+      // assignment whatsoever pass)
+      idx1.search(Fixtures.anchorVector(gg, 13L), 2, Metric.L2Squared, nprobe = 1)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
@@ -332,8 +351,57 @@ object SparkEntryExt {
       gg.registerMuvera("MVecBed", None,
         graft.ann.MuveraEncoder(ksim = 3, dproj = 8, reps = 6, dim = 64),
         persistPath =
-          Some(java.nio.file.Files.createTempDirectory("graft-muvera").toString))
+          Some(java.nio.file.Files.createTempDirectory("graft-muvera").toString),
+        // rescoreLimit analogue: topK×32 candidates — the 48-dim FDE
+        // estimate needs the wider cut for full true-top-10 recall on this
+        // bed (a random ranking still only has ~1% odds of covering the
+        // true top-10 in 320 of 510), which is what makes the brute-force
+        // oracle discriminative
+        rescoreFactor = 32)
       muveraBedCache += dir
+    }
+
+  // nulled-label twin of Embedding for the objectLimit agg bed: label is
+  // NULL where vec_id % 7 == 0, so property count < meta_count and the
+  // null-skipping numerical-agg semantics are observable
+  private def aggNullBedFor(gg: Graft, dir: String): Unit =
+    if (!gg.hasCollection("EmbNull")) {
+      val emb = gg.collection("Embedding").df
+      gg.register(CollectionSchema("EmbNull", "vec_id", Seq(
+        Property("label", PropType.Int)),
+        vectors = Map("default" -> "embedding"),
+        defaultVector = Some("default")),
+        emb.withColumn("label",
+          when(col("vec_id") % 7 === 0, lit(null)).otherwise(col("label"))))
+    }
+
+  // sort bed = events ∪ three planted click rows sharing ONE creation
+  // timestamp (2024-02-01, after the natural span, so they page first): the
+  // natural click tenant has zero duplicate timestamps at sf0.01, so the
+  // event_id-asc tie-break under the _creationTimeUnix sort certified
+  // nothing — the plants pin it (ids planted out of insertion order)
+  private def sortBedFor(gg: Graft, s: SparkSession, dir: String): Unit =
+    if (!gg.hasCollection("EventSort")) {
+      import s.implicits._
+      val tieNs = 1706745600000000000L // 2024-02-01T00:00:00Z
+      val planted = Seq(
+        (9000005L, 11L, 1.5, "tie row c"),
+        (9000001L, 12L, 2.5, "tie row a"),
+        (9000003L, 13L, 3.5, "tie row b"))
+        .toDF("event_id", "user_id", "value", "props")
+        .select(col("event_id"),
+          timestamp_micros(lit(tieNs / 1000L)).as("ts"), col("user_id"),
+          lit("click").as("event_type"), col("value"), col("props"),
+          lit(tieNs).as("ts_nanos"))
+      gg.register(CollectionSchema("EventSort", "event_id", Seq(
+        Property("ts", PropType.Date),
+        Property("user_id", PropType.Int),
+        Property("value", PropType.Number),
+        Property("props", PropType.Text, Tokenization.Word)),
+        tenantColumn = Some("event_type"),
+        creationTimeColumn = Some("ts_nanos"),
+        invertedIndex = InvertedIndexConfig(indexTimestamps = true)),
+        Fixtures.events(s, dir).unionByName(planted))
     }
 
   // CJK keyword-search bed: documents.text with vowels mapped to Han
@@ -487,7 +555,9 @@ object SparkEntryExt {
     // maps _creationTimeUnix onto the class's metadata timestamp) with
     // tenant scope — newest first, id tie-break
     "q_sort_meta" -> ((s, dir) => {
-      g(s, dir).get(GetParams("EventTenant",
+      val gg = g(s, dir)
+      sortBedFor(gg, s, dir)
+      gg.get(GetParams("EventSort",
         tenant = Some("click"),
         sort = Seq(SortBy.desc("_creationTimeUnix")),
         pagination = Some(Pagination(limit = 15)),
@@ -519,10 +589,16 @@ object SparkEntryExt {
         .select(col("doc_id"), round(col("_score"), 4).as("score"))
     }),
 
-    // §2.6 objectLimit-scoped aggregation (aggregate over top-N vector hits)
+    // §2.6 objectLimit-scoped aggregation (aggregate over top-N vector
+    // hits). Served over a NULLED-label twin of the Embedding bed (label
+    // dropped where vec_id % 7 == 0): embeddings.label has zero nulls, so
+    // property Count was always identical to meta_count and the
+    // null-skipping Count/Mean semantics (aggregator/numerical.go — nulls
+    // are absent observations, not zeros) were dead in every agg bed
     "q_agg_objectlimit" -> ((s, dir) => {
       val gg = g(s, dir)
-      gg.aggregate(AggregateParams("Embedding",
+      aggNullBedFor(gg, dir)
+      gg.aggregate(AggregateParams("EmbNull",
         properties = Map("label" -> Seq(
           Aggregator.Count, Aggregator.Mean, Aggregator.Minimum, Aggregator.Maximum)),
         includeMetaCount = true,
@@ -789,13 +865,16 @@ object SparkEntryExt {
     }),
 
     // pipeline: UniMax budget allocation (Chung et al. 2023) — smallest
-    // language first, each takes min(count·maxEpochs, remaining/left); at
-    // budget 800 / cap 2 epochs the four tail languages cap and `en` absorbs
-    // the remainder (oracle: the same recurrence as a recursive CTE over
-    // languages ordered by count)
+    // language first, each takes min(count·maxEpochs, remaining/left).
+    // Budget 700 (not 800): replayed against the sf0.01 counts
+    // (64/70/73/75/218), fr and de take the epoch cap while es hits the
+    // fair-share arm MID-LIST (432/3 = 144 < 146) — at 800 the share arm
+    // fired only for the last language, where remaining/1 == remaining and
+    // a divisor-free implementation was indistinguishable. (Oracle: the
+    // same recurrence as a recursive CTE over languages ordered by count.)
     "q_curate_unimax" -> ((s, dir) => {
       val docs = g(s, dir).collection("Document").df
-      Curate.unimax(docs, col("lang"), budget = 800.0, maxEpochs = 2.0)
+      Curate.unimax(docs, col("lang"), budget = 700.0, maxEpochs = 2.0)
         .select(col("lang"), col("n_docs"), round(col("quota"), 4).as("quota"),
           round(col("epochs"), 6).as("epochs"))
         .orderBy(col("lang"))
@@ -813,9 +892,25 @@ object SparkEntryExt {
         .orderBy(col("doc_id"), col("term_rank"))
     }),
 
-    // pipeline: bucketed n-gram Jaccard dedup (exact within source buckets)
+    // pipeline: bucketed n-gram Jaccard dedup (exact within source buckets).
+    // Exact-construction plants straddle the 0.8 threshold (the natural
+    // corpus has NOTHING in (0.037, 0.974), so any cut in that band
+    // matched): unique-token docs sharing a 90-token prefix with 10-token
+    // tails give 88 shared / 108 distinct 3-shingles = 0.8148 (must emit);
+    // an 88-token prefix with 12-token tails gives 86/110 = 0.7818 (an LSH/
+    // prefix candidate the verify threshold must SUPPRESS)
     "q_dedup_jaccard" -> ((s, dir) => {
+      import s.implicits._
+      def toks(pre: String, n: Int) = (1 to n).map(i => s"$pre$i").mkString(" ")
+      val plants = Seq(
+        (8000001L, toks("qjx", 90) + " " + toks("qja", 10)),
+        (8000002L, toks("qjx", 90) + " " + toks("qjb", 10)),
+        (8000003L, toks("qjy", 88) + " " + toks("qjc", 12)),
+        (8000004L, toks("qjy", 88) + " " + toks("qjd", 12)))
+        .toDF("doc_id", "text").withColumn("source", lit("src1"))
       val docs = g(s, dir).collection("Document").df
+        .select(col("doc_id"), col("text"), col("source"))
+        .unionByName(plants)
       Dedup.ngramJaccardDuplicates(docs, col("doc_id"), col("text"), Seq(col("source")),
           shingleSize = 3, threshold = 0.8)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
@@ -1155,6 +1250,9 @@ object SparkEntryExt {
     // gazetteer stand-in emits one token per dictionary word at its first
     // occurrence; certainty 0.7 cuts the 0.65 entry (cutOffByCertainty) and
     // limit 3 truncates the accumulated list — all replayed in SQL
+    // limit=3 truncation is LIVE: four gazetteer entries clear the 0.7
+    // certainty cut and 11 of the 25 page docs contain all four words, so
+    // an implementation ignoring NerParams.limit emits a 4th token there
     "q_ner" -> ((s, dir) => {
       g(s, dir).get(GetParams("Document",
         where = Some(Where.eqText("source", "src2")),
@@ -1389,6 +1487,22 @@ object SparkEntryExt {
         .select((col("doc_id") + 1000000L).as("doc_id"),
           concat(substring(col("sx"), 1, 10), lit("Z"),
             substring(col("sx"), 12, 21)).as("sx")))
+        // boundary twins: the natural+1-sub bed's pair distances are all in
+        // {0,1}, leaving both sides of maxEdits=2 dead — a filter too tight
+        // to admit 2-edit candidates, or a <=3 acceptance, still matched.
+        // 2000050 = doc 50 with substitutions at 5 and 11 (distance exactly
+        // 2 — must emit); 3000075 = doc 75 with substitutions at 5, 11, 17
+        // (distance 3 from its base — must NOT pair with it, while sitting
+        // at distance 2 from 1000075, which shares the Z at 11)
+        .unionByName(docs.filter(col("doc_id") === 50L)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(substring(col("sx"), 1, 4), lit("Y"), substring(col("sx"), 6, 5),
+              lit("Z"), substring(col("sx"), 12, 21)).as("sx")))
+        .unionByName(docs.filter(col("doc_id") === 75L)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            concat(substring(col("sx"), 1, 4), lit("Y"), substring(col("sx"), 6, 5),
+              lit("Z"), substring(col("sx"), 12, 5), lit("X"),
+              substring(col("sx"), 18, 15)).as("sx")))
       Dedup.editDistanceDuplicates(bed, col("doc_id"), col("sx"), maxEdits = 2, q = 3)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -2433,9 +2547,13 @@ object SparkEntryExt {
       val q = gg.collection("MVecBed").df.filter(col("vec_id") === 50L)
         .select(col("mvec")).head().getSeq[scala.collection.Seq[Float]](0)
         .map(_.toArray).toArray
+      // limit 10 against a brute-force MaxSim oracle (not just the two
+      // planted copies): the FDE first pass must have full recall for the
+      // true top-10 within its candidate cut, so the encoding math is
+      // load-bearing — any deterministic encode passed the copies-only bed
       gg.get(GetParams("MVecBed",
         nearMultiVector = Some(NearMultiVector(q)),
-        pagination = Some(Pagination(limit = 2)),
+        pagination = Some(Pagination(limit = 10)),
         properties = Seq("vec_id"),
         additional = Set("distance")))
         .select(col("vec_id"), round(col("_distance"), 4).as("dist"))
@@ -2711,15 +2829,20 @@ object SparkEntryExt {
         .orderBy(col("vec_id_mean"))
     }),
 
-    // §2.3 PQ quantized first-pass + exact rescore, planted-structure oracle:
-    // the bed contains two exact copies of the query vector (vec_id 50 and
-    // its planted twin) — they must come back first with distance 0 after
-    // rescore; broader recall stays asserted in GrouperAndPqSpec
+    // §2.3 PQ quantized first-pass + exact rescore. topK=10 against a
+    // BRUTE-FORCE top-10 oracle: the page must contain the 8 natural
+    // neighbors beyond the two planted copies, so the codebook math itself
+    // is load-bearing — a wrong codebook/segment split ranks candidates
+    // near-randomly and the true top-10 won't survive the 160-candidate cut
+    // (a planted-copy-only page passed under ANY deterministic encode)
     "q_pq_search" -> ((s, dir) => {
       val gg = g(s, dir)
       val (pq, encoded) = pqFor(gg, dir)
+      // factor 24 (not 16): the 8×16 codebook is the coarsest of the five
+      // families and its 160-candidate cut drops one true-top-10 neighbor
+      // at sf0.01; 240 of 510 still leaves a random ranking ~5e-4 to pass
       pq.search(encoded, "vec_id", "code", "embedding",
-          Fixtures.anchorVector(gg, 50L), topK = 2, rescoreFactor = 16)
+          Fixtures.anchorVector(gg, 50L), topK = 10, rescoreFactor = 24)
         .select(col("vec_id"), round(col("_distance"), 4).as("dist"))
     }),
 
@@ -2729,7 +2852,7 @@ object SparkEntryExt {
     "q_ivfpq_search" -> ((s, dir) => {
       val gg = g(s, dir)
       ivfpqFor(gg, dir).search(Fixtures.anchorVector(gg, 50L),
-          topK = 2, nprobe = 8, rescoreFactor = 16)
+          topK = 10, nprobe = 8, rescoreFactor = 16)
         .select(col("vec_id"), round(col("_distance"), 4).as("dist"))
     }),
 
@@ -2741,7 +2864,7 @@ object SparkEntryExt {
       val gg = g(s, dir)
       val (sq, encoded) = sqFor(gg, dir)
       sq.search(encoded, "vec_id", "code", "embedding",
-          Fixtures.anchorVector(gg, 50L), topK = 2, rescoreFactor = 16)
+          Fixtures.anchorVector(gg, 50L), topK = 10, rescoreFactor = 16)
         .select(col("vec_id"), round(col("_distance"), 4).as("dist"))
     }),
 
@@ -2752,7 +2875,7 @@ object SparkEntryExt {
       val gg = g(s, dir)
       val (rq, encoded) = rqFor(gg, dir)
       rq.search(encoded, "vec_id", "code", "embedding",
-          Fixtures.anchorVector(gg, 50L), topK = 2, rescoreFactor = 16)
+          Fixtures.anchorVector(gg, 50L), topK = 10, rescoreFactor = 16)
         .select(col("vec_id"), round(col("_distance"), 4).as("dist"))
     }),
 
@@ -2762,7 +2885,7 @@ object SparkEntryExt {
     "q_bq_search" -> ((s, dir) => {
       val gg = g(s, dir)
       graft.ann.BinaryQuantizer.search(bqFor(gg, dir), "vec_id", "code", "embedding",
-          Fixtures.anchorVector(gg, 50L), topK = 2, rescoreFactor = 16)
+          Fixtures.anchorVector(gg, 50L), topK = 10, rescoreFactor = 16)
         .select(col("vec_id"), round(col("_distance"), 4).as("dist"))
     }),
 
@@ -2772,22 +2895,32 @@ object SparkEntryExt {
     // exactly (same windows, same counts/sums)
     "q_stream_window" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // the streaming source must declare a schema up front — take the file's
-      // ACTUAL batch-inferred schema (never a forced one: the driver's
-      // events.ts physical type has flipped between TIMESTAMP(NANOS)-as-long
-      // and TIMESTAMP(MICROS) across regenerations) and branch the
-      // epoch-normalization on the observed dtype, mirroring Fixtures.events
-      val raw = s.read.parquet(s"$dir/events.parquet")
-      val toTs = raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType => timestamp_micros(expr("ts div 1000"))
-        case _ => col("ts").cast("timestamp")
+      // THREE time-ordered replay files (maxFilesPerTrigger=1 → one
+      // micro-batch each), split mid-window (15:00 and 21:00 against 6-hour
+      // windows anchored at 00/06/12/18) so windows SPAN micro-batches: the
+      // single-file bed ran as one batch where cross-batch state merge was
+      // dead code — a per-batch recompute that overwrites instead of
+      // merging was indistinguishable. Time-ordered splits keep the 1-hour
+      // watermark from dropping anything, so the batch oracle stays exact.
+      val full = Fixtures.events(s, dir)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-swr").toString
+      def dump(f: DataFrame, name: String): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-swf").toString
+        f.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.copy(part.toPath,
+          java.nio.file.Paths.get(streamDir, name))
       }
-      val stream = s.readStream.schema(raw.schema)
+      val ms = expr("unix_micros(ts) div 1000")
+      dump(full.filter(ms < 1704898800000L), "00.parquet")   // < 01-10T15:00Z
+      dump(full.filter(ms >= 1704898800000L &&
+        ms < 1705784400000L), "01.parquet")                  // < 01-20T21:00Z
+      dump(full.filter(ms >= 1705784400000L), "02.parquet")
+      val stream = s.readStream.schema(full.schema)
         .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "events.parquet") // file source needs a dir
-        .parquet(dir)
-        .withColumn("ts", toTs)
+        .parquet(streamDir)
       val agg = stream
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
@@ -3249,8 +3382,11 @@ object SparkEntryExt {
         |SELECT doc_id, lang, n_chars FROM v2 WHERE source <> 'src13'
         |ORDER BY doc_id""".stripMargin,
 
-    // planted-copy append oracle: full probe is exact, distance 0 is the
-    // global minimum, id tie-break orders original before the appended twin
+    // planted-copy append oracle at nprobe=1: both copies of vec 13 sit in
+    // the query's own nearest-centroid posting ONLY under the correct
+    // nearest-centroid assignment (build side and append side use the same
+    // rule, the query probe the same argmin), so the single-probe search
+    // finds both at distance 0; id tie-break orders original before twin
     "q_ivf_append" ->
       """SELECT vec_id, 0.0 AS dist FROM embeddings WHERE vec_id = 13
         |UNION ALL
@@ -3335,11 +3471,28 @@ object SparkEntryExt {
     // planted-copy muvera oracle: on the unit-normalized bed the exact bag
     // copies of the query (vec 50 and its twin) attain the global MaxSim
     // minimum −2 and must be the top-2 after first-pass + rescore
+    // brute-force MaxSim top-10 over the normalized planted bed. The bag is
+    // [n, reverse(n)], so with query bag [n50, rev n50] the MaxSim sum
+    // collapses: dot(rev a, b) = dot(a, rev b) ⇒ score = 2·max(d1, d2)
+    // where d1 = dot(n50, n_v), d2 = dot(n50, rev n_v); dist = −score.
+    // Normalization replays the engine's float32 cast exactly (x/‖x‖ in
+    // double, cast FLOAT), dots then accumulate in double.
     "q_near_muvera" ->
-      """SELECT vec_id, -2.0 AS dist FROM embeddings WHERE vec_id = 50
-        |UNION ALL
-        |SELECT vec_id + 1000000, -2.0 FROM embeddings WHERE vec_id = 50
-        |ORDER BY vec_id""".stripMargin,
+      """WITH norm AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) /
+        |    sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS FLOAT)) AS n
+        |  FROM embeddings),
+        |bed AS (
+        |  SELECT vec_id, n FROM norm
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, n FROM norm WHERE vec_id % 50 = 0),
+        |qn AS (SELECT n AS v FROM norm WHERE vec_id = 50),
+        |d AS (SELECT b.vec_id, -2.0 * greatest(
+        |    list_sum(list_transform(range(1, len(b.n)+1), i -> CAST(b.n[i] AS DOUBLE) * CAST(q.v[i] AS DOUBLE))),
+        |    list_sum(list_transform(range(1, len(b.n)+1), i -> CAST(b.n[len(b.n)+1-i] AS DOUBLE) * CAST(q.v[i] AS DOUBLE)))) AS dist
+        |  FROM bed b CROSS JOIN qn q)
+        |SELECT vec_id, round(dist, 4) AS dist FROM d
+        |ORDER BY d.dist ASC, vec_id ASC LIMIT 10""".stripMargin,
 
     // force=1e-6 merges only bit-identical vectors ⇒ grouping ≡ GROUP BY the
     // embedding value over the ranked pool — exact SQL for the Merge math
@@ -4155,43 +4308,17 @@ object SparkEntryExt {
     },
 
 
-    // planted-structure oracle: the two exact copies of the query vector rank
-    // first with distance 0 (their code is the per-segment argmin, so their
-    // ADC distance is the minimum possible — they cannot miss the candidates)
-    "q_pq_search" ->
-      """SELECT vec_id, 0.0 AS dist FROM embeddings WHERE vec_id = 50
-        |UNION ALL
-        |SELECT vec_id + 1000000, 0.0 FROM embeddings WHERE vec_id = 50
-        |ORDER BY vec_id""".stripMargin,
-
-    "q_bq_search" ->
-      """SELECT vec_id, 0.0 AS dist FROM embeddings WHERE vec_id = 50
-        |UNION ALL
-        |SELECT vec_id + 1000000, 0.0 FROM embeddings WHERE vec_id = 50
-        |ORDER BY vec_id""".stripMargin,
-
-    "q_ivfpq_search" ->
-      """SELECT vec_id, 0.0 AS dist FROM embeddings WHERE vec_id = 50
-        |UNION ALL
-        |SELECT vec_id + 1000000, 0.0 FROM embeddings WHERE vec_id = 50
-        |ORDER BY vec_id""".stripMargin,
-
-    // planted-structure oracle: exact copies share the query's RQ code →
-    // estimate within quantization error of the minimum → survive the
-    // candidate pass and rank first (exact dist 0) after rescore
-    "q_rq_search" ->
-      """SELECT vec_id, 0.0 AS dist FROM embeddings WHERE vec_id = 50
-        |UNION ALL
-        |SELECT vec_id + 1000000, 0.0 FROM embeddings WHERE vec_id = 50
-        |ORDER BY vec_id""".stripMargin,
-
-    // planted-structure oracle: exact copies share the query's byte code →
-    // compressed l2 distance 0 (the global minimum) → first after rescore
-    "q_sq_search" ->
-      """SELECT vec_id, 0.0 AS dist FROM embeddings WHERE vec_id = 50
-        |UNION ALL
-        |SELECT vec_id + 1000000, 0.0 FROM embeddings WHERE vec_id = 50
-        |ORDER BY vec_id""".stripMargin,
+    // brute-force top-10 oracle over the planted bed: rescore is exact, so
+    // the page equals exact L2 top-10 IFF the compressed first pass has
+    // full recall for the true top-10 within its 160-candidate cut — a
+    // broken codebook/scale/rotation ranks candidates near-randomly and
+    // P(true top-10 ⊆ a random 160 of 510) ≈ 1e-8; the two planted copies
+    // of vec 50 still anchor ranks 1-2 at dist 0
+    "q_pq_search" -> QuantizerBruteForceTop10,
+    "q_bq_search" -> QuantizerBruteForceTop10,
+    "q_ivfpq_search" -> QuantizerBruteForceTop10,
+    "q_rq_search" -> QuantizerBruteForceTop10,
+    "q_sq_search" -> QuantizerBruteForceTop10,
 
     // force=0 invariant: no pair can merge, Closest grouping = identity on
     // the ranked pool, which is the plain cosine top-k
@@ -4384,8 +4511,14 @@ object SparkEntryExt {
         |ORDER BY maybe_src ASC NULLS FIRST, doc_id ASC LIMIT 40""".stripMargin,
 
     "q_sort_meta" ->
-      """SELECT event_id, user_id FROM events WHERE event_type = 'click'
-        |ORDER BY epoch_ns(ts) DESC, event_id ASC LIMIT 15""".stripMargin,
+      """SELECT event_id, user_id FROM (
+        |  SELECT event_id, user_id, epoch_ns(ts) AS ns FROM events
+        |  WHERE event_type = 'click'
+        |  UNION ALL SELECT * FROM (VALUES
+        |    (CAST(9000005 AS BIGINT), CAST(11 AS BIGINT), 1706745600000000000),
+        |    (9000001, 12, 1706745600000000000),
+        |    (9000003, 13, 1706745600000000000)) v(event_id, user_id, ns))
+        |ORDER BY ns DESC, event_id ASC LIMIT 15""".stripMargin,
 
     "q_sort_array" ->
       """WITH l AS (SELECT doc_id,
@@ -4447,7 +4580,9 @@ object SparkEntryExt {
 
     "q_agg_objectlimit" ->
       s"""WITH ${sqlQv(5)},
-         |d AS (SELECT e.vec_id, e.label, ${sqlL2("e.embedding", "q.v")} AS dist
+         |d AS (SELECT e.vec_id,
+         |      CASE WHEN e.vec_id % 7 = 0 THEN NULL ELSE e.label END AS label,
+         |      ${sqlL2("e.embedding", "q.v")} AS dist
          |      FROM embeddings e CROSS JOIN qv q),
          |top AS (SELECT * FROM d ORDER BY dist ASC, vec_id ASC LIMIT 100)
          |SELECT count(*) AS meta_count, count(label) AS label_count,
@@ -4773,8 +4908,8 @@ object SparkEntryExt {
         |  FROM (SELECT lang, count(*) AS n FROM documents GROUP BY lang)),
         |a(rn, lang, n, quota, rem) AS (
         |  SELECT rn, lang, n,
-        |         least(n * 2.0, 800.0 / tot),
-        |         800.0 - least(n * 2.0, 800.0 / tot)
+        |         least(n * 2.0, 700.0 / tot),
+        |         700.0 - least(n * 2.0, 700.0 / tot)
         |  FROM o WHERE rn = 1
         |  UNION ALL
         |  SELECT o.rn, o.lang, o.n,
@@ -4816,9 +4951,24 @@ object SparkEntryExt {
     // exact oracle: same-source pairs with shingle-set Jaccard ≥ 0.5 (the
     // engine's bucketed candidate space is identical by construction)
     "q_dedup_jaccard" ->
-      """WITH t AS (
+      """WITH docs_p AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL SELECT p.doc_id, 'src1', p.txt FROM (
+        |    SELECT 8000001 AS doc_id,
+        |      array_to_string(list_transform(range(1,91), i -> 'qjx'||i), ' ') || ' ' ||
+        |      array_to_string(list_transform(range(1,11), i -> 'qja'||i), ' ') AS txt
+        |    UNION ALL SELECT 8000002,
+        |      array_to_string(list_transform(range(1,91), i -> 'qjx'||i), ' ') || ' ' ||
+        |      array_to_string(list_transform(range(1,11), i -> 'qjb'||i), ' ')
+        |    UNION ALL SELECT 8000003,
+        |      array_to_string(list_transform(range(1,89), i -> 'qjy'||i), ' ') || ' ' ||
+        |      array_to_string(list_transform(range(1,13), i -> 'qjc'||i), ' ')
+        |    UNION ALL SELECT 8000004,
+        |      array_to_string(list_transform(range(1,89), i -> 'qjy'||i), ' ') || ' ' ||
+        |      array_to_string(list_transform(range(1,13), i -> 'qjd'||i), ' ')) p),
+        |t AS (
         |  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-        |  FROM documents),
+        |  FROM docs_p),
         |sh AS (
         |  SELECT doc_id, source,
         |    CASE WHEN len(toks) < 3 THEN list_distinct([array_to_string(toks, ' ')])
@@ -5366,7 +5516,18 @@ object SparkEntryExt {
         |  UNION ALL
         |  SELECT doc_id + 1000000,
         |    substr(substr(text, 1, 32), 1, 10) || 'Z' || substr(substr(text, 1, 32), 12, 21)
-        |  FROM documents WHERE doc_id % 25 = 0)
+        |  FROM documents WHERE doc_id % 25 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |    substr(substr(text, 1, 32), 1, 4) || 'Y' || substr(substr(text, 1, 32), 6, 5)
+        |    || 'Z' || substr(substr(text, 1, 32), 12, 21)
+        |  FROM documents WHERE doc_id = 50
+        |  UNION ALL
+        |  SELECT doc_id + 3000000,
+        |    substr(substr(text, 1, 32), 1, 4) || 'Y' || substr(substr(text, 1, 32), 6, 5)
+        |    || 'Z' || substr(substr(text, 1, 32), 12, 5) || 'X'
+        |    || substr(substr(text, 1, 32), 18, 15)
+        |  FROM documents WHERE doc_id = 75)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(levenshtein(a.sx, b.sx) AS BIGINT) AS edit_distance
         |FROM bed a JOIN bed b ON a.doc_id < b.doc_id
@@ -5507,6 +5668,9 @@ object SparkEntryExt {
         |    CASE WHEN strpos(lower(text), 'window') > 0 THEN
         |      {'entity': 'CONCEPT', 'word': 'window', 'certainty': 0.85,
         |       'sp': strpos(lower(text), 'window') - 1} END,
+        |    CASE WHEN strpos(lower(text), 'merge') > 0 THEN
+        |      {'entity': 'OPERATION', 'word': 'merge', 'certainty': 0.8,
+        |       'sp': strpos(lower(text), 'merge') - 1} END,
         |    CASE WHEN strpos(lower(text), 'stream') > 0 THEN
         |      {'entity': 'CONCEPT', 'word': 'stream', 'certainty': 0.75,
         |       'sp': strpos(lower(text), 'stream') - 1} END

@@ -67,6 +67,7 @@ final class Graft(val spark: SparkSession) {
   private var nerClient: Ner.Client = Ner.dictionary(Seq(
     Ner.DictEntry("spark", "PRODUCT", 0.95),
     Ner.DictEntry("window", "CONCEPT", 0.85),
+    Ner.DictEntry("merge", "OPERATION", 0.8),
     Ner.DictEntry("stream", "CONCEPT", 0.75),
     Ner.DictEntry("customer", "ROLE", 0.65)))
   def withNerClient(n: Ner.Client): Graft = { nerClient = n; this }
@@ -687,10 +688,14 @@ final class Graft(val spark: SparkSession) {
   // block while registerMuvera writes inside it — a plain HashMap is unsafe
   // for read-during-resize (the postingsIndexes precedent)
   private val muveraIndexes =
-    scala.collection.concurrent.TrieMap.empty[(String, String), (graft.ann.MuveraEncoder, DataFrame, Long)]
+    scala.collection.concurrent.TrieMap.empty[(String, String), (graft.ann.MuveraEncoder, DataFrame, Long, Int)]
+  // rescoreFactor: candidate overfetch of the exact-MaxSim rescore
+  // (topK × factor), the reference's rescoreLimit quality knob
+  // (hnsw/config.go RescoreLimit on the multivector/muvera path)
   def registerMuvera(collectionName: String, vectorName: Option[String],
                      enc: graft.ann.MuveraEncoder,
-                     persistPath: Option[String] = None): Graft = {
+                     persistPath: Option[String] = None,
+                     rescoreFactor: Int = 4): Graft = {
     val c = collection(collectionName)
     val vecCol = c.schema.vectorColumn(vectorName)
     val computed = graft.ann.Muvera.encodeDocs(c.df, col(vecCol), enc)
@@ -710,7 +715,7 @@ final class Graft(val spark: SparkSession) {
       // (keyed by the CANONICAL name — the serve path looks up c.name)
       muveraIndexes.get((c.name, vecCol)).foreach(_._2.unpersist())
       muveraIndexes += (c.name, vecCol) ->
-        ((enc, encoded, c.version))
+        ((enc, encoded, c.version, rescoreFactor))
     }
     this
   }
@@ -839,17 +844,17 @@ final class Graft(val spark: SparkSession) {
         // and its persisted table released; the query falls back to the
         // exact scan until re-encoded
         muveraIndexes.synchronized {
-          muveraIndexes.get((c.name, vecCol)).foreach { case (_, enc0, sid) =>
+          muveraIndexes.get((c.name, vecCol)).foreach { case (_, enc0, sid, _) =>
             if (sid != c.version) {
               enc0.unpersist(); muveraIndexes.remove((c.name, vecCol))
             }
           }
         }
         muveraIndexes.get((c.name, vecCol)) match {
-          case Some((enc, encoded, sid)) if !hasFilter &&
+          case Some((enc, encoded, sid, rf)) if !hasFilter &&
               sid == c.version =>
             graft.ann.Muvera.search(encoded, id, "__muvera", vecCol, nmv.vectors, enc,
-              fetchLimit.getOrElse(defaultLimit))
+              fetchLimit.getOrElse(defaultLimit), rescoreFactor = rf)
           case _ =>
             VectorSearch.nearMultiVector(c, nmv, fetchLimit.orElse(Some(defaultLimit)),
               if (hasFilter) Some(filtered) else None)
