@@ -66,6 +66,27 @@ object SparkEntry {
         li.unionByName(plants, allowMissingColumns = false))
     }
 
+  /** documents ∪ one planted short doc repeating two of q_bm25_and's three
+   * query terms ("table"/"dup" ×20, no "merge"): "dup" is the corpus's one
+   * rare word (df 25, idf ≈ 3.0 vs ≈ 0.24 for the rest), and the plant's
+   * 2-distinct-token length norm saturates both tf factors — score ≈ 3.2
+   * vs ≤ 2.1 for any natural full match, so it LEADS the Or ordering but
+   * carries terms_matched = 2 and the And page MUST exclude it. Probed at
+   * sf0.01: no natural term triple separates And from Or (full matches
+   * dominate every top-15), so without the plant an engine treating AndOp
+   * as Or hash-matched. */
+  private[graft] def bmAndBedFor(gg: Graft, s: SparkSession): Unit =
+    if (!gg.hasCollection("DocAnd")) {
+      import s.implicits._
+      val docs = gg.collection("Document").df.select(col("doc_id"), col("text"))
+      val plant = Seq((9000001L, ("table " * 20) + ("dup " * 19) + "dup"))
+        .toDF("doc_id", "text")
+      gg.register(CollectionSchema("DocAnd", "doc_id", Seq(
+        Property("text", PropType.Text, Tokenization.Word))),
+        docs.unionByName(plant))
+      gg.registerPostings("DocAnd", Seq("text"))
+    }
+
   /** DuckDB can't reference subqueries inside lambdas, so vector oracles
    * CROSS JOIN a one-row `qv(v)` CTE holding the anchor embedding. Fragments
    * assume aliases `e` (embeddings row) and `q` (the qv row) and compute in
@@ -154,13 +175,15 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
-    // §2.2 Or / Not combinators
+    // §2.2 Or / Not combinators. Bound 25000 (not 1000): min totalprice is
+    // ~1014, so the numeric disjunct matched ZERO rows and a first-arm-only
+    // Or passed — at 25000 it contributes 402 non-'F' rows of its own
     "q_filter_or_not" -> ((s, dir) => {
       g(s, dir).get(GetParams("Order",
         where = Some(Where.and(
           Where.or(
             Where.eqText("o_orderstatus", "F"),
-            Where.ltNum("o_totalprice", 1000.0)),
+            Where.ltNum("o_totalprice", 25000.0)),
           Where.not(Where.eqText("o_orderpriority", "1-URGENT")))),
         properties = Seq("o_orderkey")))
         .orderBy(col("o_orderkey"))
@@ -384,8 +407,10 @@ object SparkEntry {
 
     // §2.4 BM25 searchOperator And (all terms required)
     "q_bm25_and" -> ((s, dir) => {
-      g(s, dir).get(GetParams("Document",
-        bm25 = Some(Bm25("table scan merge", properties = Seq("text"),
+      val gg = g(s, dir)
+      bmAndBedFor(gg, s)
+      gg.get(GetParams("DocAnd",
+        bm25 = Some(Bm25("table dup merge", properties = Seq("text"),
           searchOperator = SearchOperator.AndOp)),
         pagination = Some(Pagination(limit = 15)),
         properties = Seq("doc_id"),
@@ -394,11 +419,15 @@ object SparkEntry {
     }),
 
     // §2.5 hybrid rankedFusion (RRF)
+    // alpha 0.7 (not 0.5): at 0.5 the RRF weight expression is symmetric
+    // under a sparse/dense leg swap, so an engine applying alpha to the
+    // WRONG leg hash-matched every Ranked gate — 0.7 pins alpha to the
+    // vector leg (reference: hybrid alpha weights the vector side)
     "q_hybrid_rrf" -> ((s, dir) => {
       val gg = g(s, dir)
       gg.get(GetParams("DocVec",
         hybrid = Some(Hybrid("spark join stream", vector = Some(Fixtures.anchorVector(gg, 7L)),
-          metric = Metric.Cosine, alpha = 0.5, fusionType = FusionType.Ranked)),
+          metric = Metric.Cosine, alpha = 0.7, fusionType = FusionType.Ranked)),
         pagination = Some(Pagination(limit = 15)),
         properties = Seq("doc_id"),
         additional = Set("score")))
@@ -459,7 +488,7 @@ object SparkEntry {
 
     "q_filter_or_not" ->
       """SELECT o_orderkey FROM orders
-        |WHERE (o_orderstatus = 'F' OR o_totalprice < 1000) AND NOT o_orderpriority = '1-URGENT'
+        |WHERE (o_orderstatus = 'F' OR o_totalprice < 25000) AND NOT o_orderpriority = '1-URGENT'
         |ORDER BY o_orderkey""".stripMargin,
 
     "q_filter_like_contains" ->
@@ -622,8 +651,13 @@ object SparkEntry {
     },
 
     "q_bm25_and" -> {
-      val terms = Seq("table", "scan", "merge")
-      val (ctes, _) = sqlBm25(terms)
+      val terms = Seq("table", "dup", "merge")
+      // same planted bed as bmAndBedFor: the 2-of-3 plant would LEAD an Or
+      // ordering (its saturated two-term score beats every full match) but
+      // terms_matched=2 keeps it out of this And page
+      val (ctes, _) = sqlBm25(terms, source =
+        "(SELECT doc_id, text FROM documents UNION ALL " +
+        "SELECT 9000001, repeat('table ', 20) || repeat('dup ', 19) || 'dup')")
       s"""WITH $ctes
          |SELECT doc_id, round(score_exact, 4) AS score FROM scored
          |WHERE terms_matched >= ${terms.size}
@@ -648,7 +682,7 @@ object SparkEntry {
          |  FROM (SELECT * FROM densed ORDER BY dist ASC, doc_id ASC LIMIT 100)),
          |fused AS (
          |  SELECT coalesce(s.doc_id, de.doc_id) AS doc_id,
-         |         coalesce(0.5 / (60 + s.r), 0.0) + coalesce(0.5 / (60 + de.r), 0.0) AS score_exact,
+         |         coalesce(0.3 / (60 + s.r), 0.0) + coalesce(0.7 / (60 + de.r), 0.0) AS score_exact,
          |         coalesce(s.score_exact, de.sdense) AS secondary
          |  FROM sparse s FULL OUTER JOIN dense de ON s.doc_id = de.doc_id)
          |SELECT doc_id, round(score_exact, 4) AS score FROM fused

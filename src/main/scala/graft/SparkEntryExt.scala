@@ -182,6 +182,11 @@ object SparkEntryExt {
         .score(gg.collection(cn), graft.model.Bm25("warm", Seq("text")))
         .limit(1).count()
     }
+    // the And-operator bed (documents ∪ the 2-of-3 plant) + its stats
+    SparkEntry.bmAndBedFor(gg, gg.spark)
+    graft.operators.Bm25Search
+      .score(gg.collection("DocAnd"), graft.model.Bm25("warm", Seq("text")))
+      .limit(1).count()
     // dynamic index: the flat→IVF transition is the offline part
     dynFor(gg, dir).ivf.foreach(_.assigned.count())
     // muvera encoded side-table (the doc-side FDE batch pass is the build)
@@ -283,6 +288,27 @@ object SparkEntryExt {
        |SELECT vec_id, round(dist, 4) AS dist FROM d
        |ORDER BY d.dist ASC, vec_id ASC LIMIT 10""".stripMargin
 
+  /** Near-threshold cosine plants for q_dedup_embed / q_dedup_semantic:
+   * basis-plane pairs whose cosine is an exact construction — (e0,
+   * 0.951·e0 + s·e1) at sim 0.951 and (e2, 0.949·e2 + s'·e3) at 0.949.
+   * The float32 casts replay in SQL literal-for-literal. */
+  private def embedPlants(s: SparkSession): DataFrame = {
+    import s.implicits._
+    def basis(entries: (Int, Double)*): Seq[Float] = {
+      val a = Array.fill(64)(0.0f)
+      entries.foreach { case (i, v) => a(i) = v.toFloat }
+      a.toSeq
+    }
+    val s1 = math.sqrt(1 - 0.951 * 0.951); val s2 = math.sqrt(1 - 0.949 * 0.949)
+    Seq(
+      (8000001L, basis(0 -> 1.0)),
+      (8000002L, basis(0 -> 0.951, 1 -> s1)),
+      (8000003L, basis(2 -> 1.0)),
+      (8000004L, basis(2 -> 0.949, 3 -> s2)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+  }
+
   /** embeddings ∪ exact copies (vec_id % 50 == 0 → vec_id+1000000). */
   private def embWithPlantedDups(g: Graft): DataFrame = {
     val emb = g.collection("Embedding").df.select(col("vec_id"), col("embedding"))
@@ -359,6 +385,20 @@ object SparkEntryExt {
         // oracle discriminative
         rescoreFactor = 32)
       muveraBedCache += dir
+    }
+
+  // Embedding twin whose DEFAULT vector is the reversed embedding: the
+  // Explore legs must carry genuinely different per-class distances —
+  // documents↔embeddings are 1:1 with identical vectors, so a DocVec/
+  // Embedding Explore could not detect a broken cross-collection merge
+  // (searching one class and double-labeling every hit was identical)
+  private def embRevBedFor(gg: Graft): Unit =
+    if (!gg.hasCollection("EmbRev")) {
+      gg.register(CollectionSchema("EmbRev", "vec_id", Seq(
+        Property("label", PropType.Int)),
+        vectors = Map("default" -> "rev"),
+        defaultVector = Some("default")),
+        gg.collection("Embedding").df)
     }
 
   // nulled-label twin of Embedding for the objectLimit agg bed: label is
@@ -544,10 +584,14 @@ object SparkEntryExt {
 
     // §2.7 sort null-ordering parity (reference handleNils,
     // sorter/basic_comparators.go:371-382: nil = smallest → first on asc)
+    // limit 80 (not 40): 25 nulls + 25 src0 + 25 src1 + 5 src10 — the page
+    // crosses the src1 → src10 LEXICOGRAPHIC boundary (src10 < src2), which
+    // a numeric-suffix or length-aware comparator would order differently;
+    // at 40 every non-null row was src0 and text collation was unexercised
     "q_sort_nulls" -> ((s, dir) => {
       g(s, dir).get(GetParams("Document",
         sort = Seq(SortBy.asc("maybe_src")),
-        pagination = Some(Pagination(limit = 40)),
+        pagination = Some(Pagination(limit = 80)),
         properties = Seq("doc_id", "maybe_src")))
     }),
 
@@ -639,9 +683,12 @@ object SparkEntryExt {
     }),
 
     // §2.7 Explore: cross-collection kNN returning beacons
+    // EmbRev (reversed default vector) as the second leg: its distances
+    // differ from DocVec's, so the cross-class merge ranking is load-bearing
     "q_explore" -> ((s, dir) => {
       val gg = g(s, dir)
-      Explore(gg, Seq("DocVec", "Embedding"), Fixtures.anchorVector(gg, 7L), Metric.Cosine, 10)
+      embRevBedFor(gg)
+      Explore(gg, Seq("DocVec", "EmbRev"), Fixtures.anchorVector(gg, 7L), Metric.Cosine, 10)
         .select(col("class_name"), col("beacon_id"), round(col("distance"), 4).as("distance"))
     }),
 
@@ -649,7 +696,9 @@ object SparkEntryExt {
     // pipeline runs once, then fans across classes (reference:
     // traverser_explore_concepts.go; movement math searcher_movements.go)
     "q_explore_neartext" -> ((s, dir) => {
-      g(s, dir).explore(Seq("DocVec", "Embedding"),
+      val gg = g(s, dir)
+      embRevBedFor(gg)
+      gg.explore(Seq("DocVec", "EmbRev"),
         NearText(Seq("spark join stream"),
           moveTo = Some(MoveParams(Seq("window batch"), force = 0.6)),
           moveAwayFrom = Some(MoveParams(Seq("error slow"), force = 0.4))),
@@ -776,10 +825,25 @@ object SparkEntryExt {
     // canonical keep-set is `id == cluster_id` (oracle: recursive-CTE
     // transitive closure over the same exact-Jaccard pair relation)
     "q_dedup_cluster" -> ((s, dir) => {
+      import s.implicits._
       val docs = g(s, dir).collection("Document").df
         .filter(col("doc_id") < 500).select(col("doc_id"), col("text"))
+      // A–B–C chain with NO A–C edge (the q_dedup_keep construction, fresh
+      // tokens): every natural component is a CLIQUE (verified: one-hop
+      // min-neighbor labeling equals the closure on the unplanted bed), so
+      // only this chain proves clusterPairs iterates to a fixpoint — a
+      // single propagation round labels C with B (2000002) instead of A
+      val qcx = (1 to 83).map(i => s"qcx$i")
+      val qcy = (1 to 17).map(i => s"qcy$i")
+      val chain = Seq(
+        (2000001L, (qcx ++ (1 to 17).map(i => s"qca$i")).mkString(" ")),
+        (2000002L, (qcx ++ qcy).mkString(" ")),
+        (2000003L, ((1 to 17).map(i => s"qcc$i") ++ qcx.drop(17) ++ qcy)
+          .mkString(" ")))
+        .toDF("doc_id", "text")
       val bed = docs.unionByName(docs.filter(col("doc_id") % 25 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionByName(chain)
       val pairs = Dedup.minhashDuplicates(bed, col("doc_id"), col("text"),
         shingleSize = 3, numHashes = 128, bands = 64, threshold = 0.7)
       Dedup.clusterPairs(pairs, col("id_a"), col("id_b")).orderBy(col("id"))
@@ -982,8 +1046,17 @@ object SparkEntryExt {
     }),
 
     // pipeline: embedding cosine near-dup via hyperplane LSH + exact verify
+    // Near-threshold plants straddle maxCosineDistance=0.05 (the natural
+    // bed's closest pair sits at 0.487, so any cut in (0, 0.487) — or an
+    // exact-hash dedup — matched the copies-only output): 8000001/8000002
+    // at cos 0.951 (dist 0.049, must emit; the e0/e1 basis pair shares all
+    // 16 hyperplane signs, so the single-band LSH provably buckets them
+    // together) and 8000003/8000004 at cos 0.949 (an LSH candidate the
+    // verify threshold must SUPPRESS)
     "q_dedup_embed" -> ((s, dir) => {
-      Dedup.embeddingDuplicates(embWithPlantedDups(g(s, dir)), col("vec_id"), col("embedding"),
+      import s.implicits._
+      val bed = embWithPlantedDups(g(s, dir)).unionByName(embedPlants(s))
+      Dedup.embeddingDuplicates(bed, col("vec_id"), col("embedding"),
           dim = 64, planes = 16, maxCosineDistance = 0.05)
         .select(col("id_a"), col("id_b"), round(abs(col("dist")), 4).as("dist"))
         .orderBy(col("id_a"), col("id_b"))
@@ -995,8 +1068,14 @@ object SparkEntryExt {
     // the tie-break keeps the smaller id (the original) deterministically;
     // the DuckDB oracle replays seed assignment, centroid similarity and the
     // keep rule end-to-end
+    // near-eps plants (shared with q_dedup_embed): the 0.951 pair straddles
+    // epsSimilarity=0.95 from above — if co-clustered, the higher-centroid-
+    // sim member must DROP (the natural bed's best within-cluster sim is
+    // 0.493, so the general non-identical drop path was dead); the 0.949
+    // pair must survive wholesale
     "q_dedup_semantic" -> ((s, dir) => {
-      Dedup.semantic(embWithPlantedDups(g(s, dir)), col("vec_id"), col("embedding"),
+      val bed = embWithPlantedDups(g(s, dir)).unionByName(embedPlants(s))
+      Dedup.semantic(bed, col("vec_id"), col("embedding"),
           k = 8, epsSimilarity = 0.95)
         .select(col("id").as("vec_id"), col("cluster").cast("long").as("cluster"),
           round(col("cent_sim"), 4).as("cent_sim"), col("kept"))
@@ -1441,11 +1520,16 @@ object SparkEntryExt {
     // relevance degenerate — the diversified page equals the top-limit by
     // distance, which the oracle pins exactly (the diversity regime's greedy
     // trade-off is pinned in EngineSpec, where SQL can't express it)
+    // balance 0.5 (not 1.0): the REAL diversity regime — the oracle unrolls
+    // all 8 greedy −0.5·queryDist + 0.5·minDistToSelected steps over the
+    // page's pairwise cosine matrix (the q_group_legacy pattern), so the
+    // entire MMR selection loop is hash-certified; q_mmr stays the
+    // pure-relevance λ=1 invariant twin
     "q_mmr_selection" -> ((s, dir) => {
       g(s, dir).get(GetParams("Embedding",
         nearObject = Some(NearObject(7L, metric = Metric.Cosine)),
         pagination = Some(Pagination(limit = 40)),
-        selectionMmr = Some(SelectionMmrParams(limit = 8, balance = 1.0)),
+        selectionMmr = Some(SelectionMmrParams(limit = 8, balance = 0.5)),
         properties = Seq("vec_id"),
         additional = Set("distance")))
         .select(col("vec_id"), col("_mmr_rank").cast("long").as("mmr_rank"),
@@ -1680,10 +1764,24 @@ object SparkEntryExt {
 
     // pipeline: sessionization (30-min gap) over the events stream table
     "q_sessionize" -> ((s, dir) => {
+      import s.implicits._
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("us").asc, col("event_id").asc)
+      // boundary users (after the natural span): 900001's two events are
+      // EXACTLY 30 min apart → one session of 2 (the break rule is strictly
+      // `>`; a >= split emits two singletons), 900002's gap is +1 µs → two
+      // singletons. The natural bed has no same-user gap within ±10 s of
+      // the boundary, so the strict inequality was unexercised in batch
+      // (the streaming twin already plants it).
+      val planted = Seq(
+        (900001L, 9100001L, 1707000000000000L),
+        (900001L, 9100002L, 1707001800000000L),
+        (900002L, 9100003L, 1707000000000000L),
+        (900002L, 9100004L, 1707001800000001L))
+        .toDF("user_id", "event_id", "us")
       val ev = Fixtures.events(s, dir)
         .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .unionByName(planted)
       val marked = ev.withColumn("__new",
         when(lag(col("us"), 1).over(w).isNull ||
              col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1).otherwise(0))
@@ -4508,7 +4606,7 @@ object SparkEntryExt {
     "q_sort_nulls" ->
       """SELECT doc_id, CASE WHEN source = 'src13' THEN NULL ELSE source END AS maybe_src
         |FROM documents
-        |ORDER BY maybe_src ASC NULLS FIRST, doc_id ASC LIMIT 40""".stripMargin,
+        |ORDER BY maybe_src ASC NULLS FIRST, doc_id ASC LIMIT 80""".stripMargin,
 
     "q_sort_meta" ->
       """SELECT event_id, user_id FROM (
@@ -4634,7 +4732,7 @@ object SparkEntryExt {
          |         ${sqlCosine("e.embedding", "q.v")} AS d_exact
          |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id CROSS JOIN qv q
          |  UNION ALL
-         |  SELECT 'Embedding', CAST(e.vec_id AS VARCHAR), ${sqlCosine("e.embedding", "q.v")}
+         |  SELECT 'EmbRev', CAST(e.vec_id AS VARCHAR), ${sqlCosine("list_reverse(e.embedding)", "q.v")}
          |  FROM embeddings e CROSS JOIN qv q)
          |SELECT class_name, beacon_id, round(d_exact, 4) AS distance FROM legs
          |ORDER BY d_exact ASC, class_name ASC, beacon_id ASC LIMIT 10""".stripMargin,
@@ -4653,7 +4751,7 @@ object SparkEntryExt {
          |         ${sqlCosine("e.embedding", "q.v")} AS d_exact
          |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id CROSS JOIN qv q
          |  UNION ALL
-         |  SELECT 'Embedding', CAST(e.vec_id AS VARCHAR), ${sqlCosine("e.embedding", "q.v")}
+         |  SELECT 'EmbRev', CAST(e.vec_id AS VARCHAR), ${sqlCosine("list_reverse(e.embedding)", "q.v")}
          |  FROM embeddings e CROSS JOIN qv q)
          |SELECT class_name, beacon_id, round(d_exact, 4) AS distance FROM legs
          |ORDER BY d_exact ASC, class_name ASC, beacon_id ASC LIMIT 12""".stripMargin
@@ -4795,7 +4893,18 @@ object SparkEntryExt {
     "q_dedup_cluster" ->
       """WITH RECURSIVE base AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
         |bed AS (SELECT doc_id, text FROM base
-        |        UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM base WHERE doc_id % 25 = 0),
+        |        UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM base WHERE doc_id % 25 = 0
+        |        UNION ALL SELECT p.doc_id, p.txt FROM (
+        |          SELECT 2000001 AS doc_id,
+        |            array_to_string(list_transform(range(1,84), i -> 'qcx'||i), ' ') || ' ' ||
+        |            array_to_string(list_transform(range(1,18), i -> 'qca'||i), ' ') AS txt
+        |          UNION ALL SELECT 2000002,
+        |            array_to_string(list_transform(range(1,84), i -> 'qcx'||i), ' ') || ' ' ||
+        |            array_to_string(list_transform(range(1,18), i -> 'qcy'||i), ' ')
+        |          UNION ALL SELECT 2000003,
+        |            array_to_string(list_transform(range(1,18), i -> 'qcc'||i), ' ') || ' ' ||
+        |            array_to_string(list_transform(range(18,84), i -> 'qcx'||i), ' ') || ' ' ||
+        |            array_to_string(list_transform(range(1,18), i -> 'qcy'||i), ' ')) p),
         |t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM bed),
         |sh AS (SELECT doc_id,
         |  CASE WHEN len(toks) < 3 THEN list_distinct([array_to_string(toks, ' ')])
@@ -5067,9 +5176,24 @@ object SparkEntryExt {
 
     // planted-pair oracle (same argument; copies are bit-identical → dist 0,
     // natural pairs all ≥ 0.3 cosine distance)
+    // exact copies + the one near-threshold plant pair (cos 0.951, dist
+    // computed in the engine's own double-over-float32 cosine); the 0.949
+    // pair and every natural pair (min dist 0.487) stay absent
     "q_dedup_embed" ->
-      """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, 0.0 AS dist
-        |FROM embeddings WHERE vec_id % 50 = 0 ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH pl AS (
+         |  SELECT 8000001 AS id, list_transform(range(1,65),
+         |    i -> CASE WHEN i = 1 THEN CAST(1.0 AS FLOAT) ELSE CAST(0.0 AS FLOAT) END) AS v
+         |  UNION ALL SELECT 8000002, list_transform(range(1,65),
+         |    i -> CASE WHEN i = 1 THEN CAST(0.951 AS FLOAT)
+         |          WHEN i = 2 THEN CAST(sqrt(1 - 0.951*0.951) AS FLOAT)
+         |          ELSE CAST(0.0 AS FLOAT) END)),
+         |pd AS (SELECT ${SparkEntry.sqlCosine("a.v", "b.v")} AS d
+         |       FROM pl a JOIN pl b ON a.id = 8000001 AND b.id = 8000002)
+         |SELECT * FROM (
+         |  SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, 0.0 AS dist
+         |  FROM embeddings WHERE vec_id % 50 = 0
+         |  UNION ALL SELECT 8000001, 8000002, round(abs(d), 4) FROM pd)
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // full SemDeDup replay: seed assignment (argmin L2 over the 8 smallest-id
     // rows, lower seed index on ties), centroid similarity, and the
@@ -5100,7 +5224,20 @@ object SparkEntryExt {
       s"""WITH bed AS (
          |  SELECT vec_id AS id, embedding AS v FROM embeddings
          |  UNION ALL
-         |  SELECT vec_id + 1000000 AS id, embedding AS v FROM embeddings WHERE vec_id % 50 = 0),
+         |  SELECT vec_id + 1000000 AS id, embedding AS v FROM embeddings WHERE vec_id % 50 = 0
+         |  UNION ALL SELECT p.id, p.v FROM (
+         |    SELECT 8000001 AS id, list_transform(range(1,65),
+         |      i -> CASE WHEN i = 1 THEN CAST(1.0 AS FLOAT) ELSE CAST(0.0 AS FLOAT) END) AS v
+         |    UNION ALL SELECT 8000002, list_transform(range(1,65),
+         |      i -> CASE WHEN i = 1 THEN CAST(0.951 AS FLOAT)
+         |            WHEN i = 2 THEN CAST(sqrt(1 - 0.951*0.951) AS FLOAT)
+         |            ELSE CAST(0.0 AS FLOAT) END)
+         |    UNION ALL SELECT 8000003, list_transform(range(1,65),
+         |      i -> CASE WHEN i = 3 THEN CAST(1.0 AS FLOAT) ELSE CAST(0.0 AS FLOAT) END)
+         |    UNION ALL SELECT 8000004, list_transform(range(1,65),
+         |      i -> CASE WHEN i = 3 THEN CAST(0.949 AS FLOAT)
+         |            WHEN i = 4 THEN CAST(sqrt(1 - 0.949*0.949) AS FLOAT)
+         |            ELSE CAST(0.0 AS FLOAT) END)) p),
          |seeds AS (
          |  SELECT row_number() OVER (ORDER BY id ASC) - 1 AS cidx, v AS sv
          |  FROM bed ORDER BY id ASC LIMIT 8),
@@ -5488,15 +5625,47 @@ object SparkEntryExt {
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
 
     // selection-MMR replay (balance=1): top-8 by cosine distance with rank
-    "q_mmr_selection" ->
+    // full MMR replay: 8 unrolled greedy steps (Mmr.diversify semantics —
+    // first pick = lowest query dist; then argmax of −0.5·dist + 0.5·min
+    // pair-distance-to-selected, ties to the earlier page position; every
+    // step CTE MATERIALIZED against DuckDB's inlining blowup)
+    "q_mmr_selection" -> {
+      val steps = new StringBuilder
+      steps.append(
+        """s1 AS MATERIALIZED (SELECT vec_id, pidx FROM page ORDER BY dist ASC, pidx ASC LIMIT 1),
+          |m1 AS MATERIALIZED (
+          |  SELECT p.vec_id, p.pidx, p.dist, pd.pdist AS mind
+          |  FROM page p JOIN pd ON pd.ia = (SELECT vec_id FROM s1) AND pd.ib = p.vec_id
+          |  WHERE p.vec_id <> (SELECT vec_id FROM s1)),
+          |""".stripMargin)
+      for (k <- 2 to 8) {
+        steps.append(
+          s"""s$k AS MATERIALIZED (SELECT vec_id, pidx FROM m${k - 1}
+             |  ORDER BY (-0.5 * dist + 0.5 * mind) DESC, pidx ASC LIMIT 1),
+             |""".stripMargin)
+        if (k < 8) steps.append(
+          s"""m$k AS MATERIALIZED (
+             |  SELECT m.vec_id, m.pidx, m.dist, least(m.mind, pd.pdist) AS mind
+             |  FROM m${k - 1} m JOIN pd ON pd.ia = (SELECT vec_id FROM s$k) AND pd.ib = m.vec_id
+             |  WHERE m.vec_id <> (SELECT vec_id FROM s$k)),
+             |""".stripMargin)
+      }
+      val sel = (2 to 8).map(k => s"UNION ALL SELECT vec_id, $k FROM s$k").mkString(" ")
       s"""WITH ${sqlQv(7)},
          |d AS (SELECT e.vec_id, ${sqlCosine("e.embedding", "q.v")} AS dist
          |      FROM embeddings e CROSS JOIN qv q),
-         |page AS (SELECT vec_id, dist FROM d ORDER BY dist ASC, vec_id ASC LIMIT 40)
-         |SELECT vec_id,
-         |  CAST(row_number() OVER (ORDER BY dist ASC, vec_id ASC) AS BIGINT) AS mmr_rank,
-         |  round(dist, 4) AS dist
-         |FROM page ORDER BY mmr_rank LIMIT 8""".stripMargin,
+         |page AS (SELECT vec_id, dist,
+         |           row_number() OVER (ORDER BY dist ASC, vec_id ASC) AS pidx
+         |         FROM d ORDER BY dist ASC, vec_id ASC LIMIT 40),
+         |pv AS (SELECT p.vec_id, e.embedding FROM page p JOIN embeddings e USING (vec_id)),
+         |pd AS MATERIALIZED (
+         |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |         ${sqlCosine("a.embedding", "b.embedding")} AS pdist
+         |  FROM pv a JOIN pv b ON a.vec_id <> b.vec_id),
+         |${steps.toString}sel AS (SELECT vec_id, 1 AS rank FROM s1 $sel)
+         |SELECT p.vec_id, CAST(sel.rank AS BIGINT) AS mmr_rank, round(p.dist, 4) AS dist
+         |FROM sel JOIN page p USING (vec_id) ORDER BY mmr_rank""".stripMargin
+    },
 
     // schema-metric replay: identical to the explicit-L2 nearObject oracle —
     // proving Default resolved to the class-configured l2-squared
@@ -5830,7 +5999,13 @@ object SparkEntryExt {
         |SELECT doc_id, lang, round(score, 4) AS dsir_score FROM sel ORDER BY doc_id""".stripMargin,
 
     "q_sessionize" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        |  UNION ALL SELECT * FROM (VALUES
+        |    (CAST(900001 AS BIGINT), CAST(9100001 AS BIGINT), 1707000000000000),
+        |    (900001, 9100002, 1707001800000000),
+        |    (900002, 9100003, 1707000000000000),
+        |    (900002, 9100004, 1707001800000001)) v(user_id, event_id, us)),
         |m AS (SELECT user_id, event_id, us,
         |  CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
         |         OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
