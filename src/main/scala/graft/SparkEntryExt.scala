@@ -1686,6 +1686,47 @@ object SparkEntryExt {
         .orderBy(col("doc_id"))
     }),
 
+    // §2.1 alias lifecycle (reference: usecases/schema/alias.go — create
+    // collision/validation arms, replaceAlias re-pointing, filtered list,
+    // delete + not-found): a scripted walk whose data-plane pages prove the
+    // alias actually re-resolves after replaceAlias — every error text is
+    // the reference's, every page count is live, so a registry that keys by
+    // alias (phantom state) or skips a validation arm diverges
+    "q_alias_lifecycle" -> ((s, dir) => {
+      import s.implicits._
+      val gg = g(s, dir)
+      val g2 = new Graft(s)
+      g2.register(CollectionSchema("AliasA", "doc_id",
+          Seq(Property("n_chars", PropType.Int))),
+        gg.collection("Document").df.select(col("doc_id"), col("n_chars"))
+          .filter(col("doc_id") < 100))
+      g2.register(CollectionSchema("AliasB", "o_orderkey",
+          Seq(Property("o_totalprice", PropType.Number))),
+        gg.collection("Order").df.select(col("o_orderkey"), col("o_totalprice"))
+          .filter(col("o_orderkey") < 500))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      def res(body: => Unit): String =
+        try { body; "ok" } catch { case e: Throwable => e.getMessage }
+      def page(name: String): String =
+        g2.get(GetParams(name)).count().toString
+      out += "01_create_ok" -> res(g2.createAlias("ScriptAlias", "AliasA"))
+      out += "02_create_dup_alias" -> res(g2.createAlias("scriptAlias", "AliasB"))
+      out += "03_create_unknown_class" -> res(g2.createAlias("Other", "NoSuchClass"))
+      out += "04_create_class_collision" -> res(g2.createAlias("AliasB", "AliasA"))
+      out += "05_create_bad_syntax" -> res(g2.createAlias("Bad-Name", "AliasA"))
+      out += "06_page_initial" -> page("ScriptAlias")
+      out += "07_update_unknown_alias" -> res(g2.updateAlias("Ghost", "AliasA"))
+      out += "08_update_unknown_class" -> res(g2.updateAlias("ScriptAlias", "NoSuch"))
+      out += "09_update_ok" -> res(g2.updateAlias("ScriptAlias", "AliasB"))
+      out += "10_page_repointed" -> page("ScriptAlias")
+      out += "11_list_for_b" -> g2.listAliases(Some("AliasB"))
+        .map { case (a, c) => s"$a->$c" }.sorted.mkString(",")
+      out += "12_delete_ok" -> res(g2.deleteAlias("ScriptAlias"))
+      out += "13_delete_missing" -> res(g2.deleteAlias("ScriptAlias"))
+      out += "14_resolve_after_delete" -> res(page("ScriptAlias"))
+      out.toSeq.toDF("step", "result").orderBy(col("step"))
+    }),
+
     // §2.2 filters over a text[] property: tokenized Equal and ContainsAny
     // consult the MERGED per-element token multiset, Like matches any
     // element's whole value (reference: the inverted index for a text array
@@ -2530,8 +2571,13 @@ object SparkEntryExt {
       st.upsert(docs.filter(col("doc_id") % 100 === 0).withColumn("lang", lit("xx"))
         .unionByName(docs.filter(col("doc_id") % 100 === 7)
           .withColumn("doc_id", col("doc_id") + 2000000L)))
+      // the 7777777 patch row has no stored object: PATCH on a missing id is
+      // a no-op, NOT an insert (merge.go requires an existing object) — an
+      // upsert-shaped merge would add the row and break the oracle
       st.merge(docs.filter(col("doc_id") % 97 === 0).select(col("doc_id"),
-        lit(-1).cast(docs.schema("n_chars").dataType).as("n_chars")))
+        lit(-1).cast(docs.schema("n_chars").dataType).as("n_chars"))
+        .unionByName(docs.limit(1).select(lit(7777777L).as("doc_id"),
+          lit(-1).cast(docs.schema("n_chars").dataType).as("n_chars"))))
       st.deleteWhere(Where.eqText("source", "src13"))
       st.read().select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
@@ -2569,8 +2615,10 @@ object SparkEntryExt {
 
     // §2.1 BatchReferences: set-wise edge append onto a beacon-list cref
     // (reference: adapters/repos/db/batch.go:122) — first edge onto a null
-    // list, duplicate no-op, plain append, unknown-source drop; the oracle
-    // replays the same edge batch in list SQL
+    // list, IN-BATCH duplicate + second edge in the same batch (certifies
+    // the per-id set collapse, not just dedup against the existing list),
+    // duplicate-vs-existing no-op, plain append, unknown-source drop; the
+    // oracle replays the same edge batch in list SQL
     "q_store_refs" -> ((s, dir) => {
       val gg = g(s, dir)
       val docs = gg.collection("Document").df.select(col("doc_id"), col("links"))
@@ -2582,6 +2630,10 @@ object SparkEntryExt {
       val d = docs.select(col("doc_id"))
       val edges = d.filter(col("doc_id") % 10 === 0)
         .select(col("doc_id"), lit(42L).as("target"))                       // onto null
+        .unionByName(d.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), lit(42L).as("target")))                    // in-batch duplicate
+        .unionByName(d.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), lit(43L).as("target")))                    // 2nd edge, same batch
         .unionByName(d.filter(col("doc_id") % 10 === 5)
           .select(col("doc_id"), ((col("doc_id") * 37) % 500).as("target"))) // duplicate
         .unionByName(d.filter(col("doc_id") % 10 === 3)
@@ -3517,7 +3569,7 @@ object SparkEntryExt {
         |v AS (
         |  SELECT doc_id,
         |    CASE
-        |      WHEN doc_id % 10 = 0 THEN [CAST(42 AS BIGINT)]
+        |      WHEN doc_id % 10 = 0 THEN [CAST(42 AS BIGINT), CAST(43 AS BIGINT)]
         |      WHEN doc_id % 10 = 5 THEN
         |        CASE WHEN list_contains(links, (doc_id * 37) % 500) THEN links
         |             ELSE list_append(links, (doc_id * 37) % 500) END
@@ -5829,6 +5881,28 @@ object SparkEntryExt {
     "q_alias" ->
       """SELECT doc_id, lang FROM documents WHERE source = 'src9'
         |ORDER BY doc_id""".stripMargin,
+
+    // scripted lifecycle: literal error texts; the two live page counts are
+    // data-derived so the repoint is proven at the data plane
+    "q_alias_lifecycle" ->
+      """WITH a AS (SELECT count(*) AS n FROM documents WHERE doc_id < 100),
+        |b AS (SELECT count(*) AS n FROM orders WHERE o_orderkey < 500)
+        |SELECT step, result FROM (VALUES
+        |  ('01_create_ok', 'ok'),
+        |  ('02_create_dup_alias', 'create alias: ScriptAlias, alias already exists'),
+        |  ('03_create_unknown_class', 'create alias: Other, class not found, NoSuchClass'),
+        |  ('04_create_class_collision', 'create alias: class AliasB already exists'),
+        |  ('05_create_bad_syntax', '''Bad-Name'' is not a valid class name'),
+        |  ('06_page_initial', (SELECT CAST(n AS VARCHAR) FROM a)),
+        |  ('07_update_unknown_alias', 'replace alias: alias Ghost does not exist'),
+        |  ('08_update_unknown_class', 'replace alias: class NoSuch does not exist'),
+        |  ('09_update_ok', 'ok'),
+        |  ('10_page_repointed', (SELECT CAST(n AS VARCHAR) FROM b)),
+        |  ('11_list_for_b', 'ScriptAlias->AliasB'),
+        |  ('12_delete_ok', 'ok'),
+        |  ('13_delete_missing', 'alias ScriptAlias not found'),
+        |  ('14_resolve_after_delete', 'unknown collection ScriptAlias')
+        |) AS t(step, result) ORDER BY step""".stripMargin,
 
     // NER replay: gazetteer entries above the certainty cutoff in dictionary
     // order, first-occurrence strpos positions, list truncated to 3
