@@ -899,6 +899,38 @@ object SparkEntryExt {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // pipeline: Bloom-prefiltered exact membership dedup — the daily-ingest
+    // shape: the standing corpus folds into one broadcast Bloom sketch,
+    // bloom-negative increment rows never enter a join, bloom-positive
+    // survivors are verified exactly (no false negatives ⇒ output exact).
+    // fpp 0.3 at this size makes false positives CERTAIN (measured: 33 of
+    // the 100 natural increment rows are bloom-positive non-duplicates at
+    // sf0.01 — the sketch bits are deterministic, so the set is stable), so
+    // an implementation that trusts the sketch without the verify join
+    // flags them and mismatches. Plants: 9000001 is doc 100
+    // uppercased with doubled spaces (normalization load-bearing), 9000002
+    // is doc 7 verbatim, 9000003 repeats an INCREMENT doc's text —
+    // membership is vs the corpus only, so it must come back new
+    "q_dedup_bloom" -> ((s, dir) => {
+      import s.implicits._
+      val docs = g(s, dir).collection("Document").df
+        .select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") < 400)
+      val planted =
+        docs.filter(col("doc_id") === 100)
+          .select(lit(9000001L).as("doc_id"),
+            upper(regexp_replace(col("text"), " ", "  ")).as("text"))
+        .unionByName(docs.filter(col("doc_id") === 7)
+          .select(lit(9000002L).as("doc_id"), col("text")))
+        .unionByName(docs.filter(col("doc_id") === 450)
+          .select(lit(9000003L).as("doc_id"), col("text")))
+      val increment = docs.filter(col("doc_id") >= 400).unionByName(planted)
+      Dedup.bloomDuplicates(corpus, col("doc_id"), col("text"),
+          increment, col("doc_id"), col("text"),
+          expectedItems = 400L, fpp = 0.3)
+        .orderBy(col("id"))
+    }),
+
     // pipeline: canonical-representative selection — the step that turns
     // duplicate pairs into the deduplicated corpus: cluster the minhash
     // pairs, keep the best doc per cluster by length (ties to the smallest
@@ -1777,6 +1809,18 @@ object SparkEntryExt {
       val rated = Curate.temperatureRates(docs, col("lang"), tau = 0.5)
       Curate.mixtureSample(rated, col("doc_id"), col("mix_rate"), salt = "temp")
         .select(col("doc_id"), col("lang"), round(col("mix_rate"), 4).as("mix_rate"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // pipeline: deterministic hash train/val/test split — md5-uniform draw
+    // against cumulative weights (weights 8/1/1 exercise normalization);
+    // every row's assignment is hash-checked, so a re-dealt boundary, a
+    // wrong normalizer, or a cumulative-order bug all mismatch
+    "q_curate_split" -> ((s, dir) => {
+      val docs = g(s, dir).collection("Document").df
+      Curate.hashSplit(docs, col("doc_id"),
+          Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0))
+        .select(col("doc_id"), col("split"), round(col("split_u"), 4).as("split_u"))
         .orderBy(col("doc_id"))
     }),
 
@@ -5007,6 +5051,33 @@ object SparkEntryExt {
         |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM pairs
         |WHERE jac >= 0.7 ORDER BY id_a, id_b""".stripMargin,
 
+    // exact membership semantics: dup_of = smallest corpus id sharing the
+    // normalized (lowercased, whitespace-collapsed) content — the Bloom
+    // sketch is a pure pre-filter, so the oracle never models it
+    "q_dedup_bloom" ->
+      """WITH corpus AS (
+        |  SELECT doc_id AS cid,
+        |         lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS ckey
+        |  FROM documents WHERE doc_id < 400),
+        |inc AS (
+        |  SELECT doc_id AS id,
+        |         lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS key
+        |  FROM documents WHERE doc_id >= 400
+        |  UNION ALL
+        |  SELECT 9000001, lower(regexp_replace(trim(
+        |           upper(replace(text, ' ', '  '))), '\s+', ' ', 'g'))
+        |  FROM documents WHERE doc_id = 100
+        |  UNION ALL
+        |  SELECT 9000002, lower(regexp_replace(trim(text), '\s+', ' ', 'g'))
+        |  FROM documents WHERE doc_id = 7
+        |  UNION ALL
+        |  SELECT 9000003, lower(regexp_replace(trim(text), '\s+', ' ', 'g'))
+        |  FROM documents WHERE doc_id = 450),
+        |owners AS (SELECT ckey, min(cid) AS dup_of FROM corpus GROUP BY ckey)
+        |SELECT id, dup_of IS NOT NULL AS is_duplicate, dup_of
+        |FROM inc LEFT JOIN owners ON key = ckey
+        |ORDER BY id""".stripMargin,
+
     // same transitive closure as q_dedup_cluster, then canonical selection:
     // rank 1 by (n_chars desc, id asc) per cluster is kept; singletons keep
     "q_dedup_keep" ->
@@ -6011,6 +6082,19 @@ object SparkEntryExt {
         |  UNION ALL SELECT 'value', 'number'
         |  UNION ALL SELECT 'flag', 'boolean')
         |SELECT prop, dtype FROM v ORDER BY prop""".stripMargin,
+
+    // hash-split replay: the identical md5-prefix uniform and the same
+    // normalized cumulative boundaries (8/10, 9/10), strict-< on both
+    "q_curate_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  round(u, 4) AS split_u
+        |FROM (SELECT doc_id,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft-split'), 1, 8))::UBIGINT
+        |    / 4294967296.0 AS u
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     // temperature-rate replay: per-lang count → p^(τ−1) normalized by the
     // max (rarest lang → rate 1), then the same md5-uniform acceptance draw

@@ -199,4 +199,33 @@ object Curate {
       .select(col("__dom"), (col("__s") / col("__mx")).as("mix_rate"))
     df.join(broadcast(rates), domain === col("__dom")).drop("__dom")
   }
+
+  /**
+   * Deterministic train/val/test assignment: each row hashes to a uniform
+   * u ∈ [0,1) — the same md5-prefix construction [[mixtureSample]] uses —
+   * and lands in the first split whose cumulative weight exceeds u. No RNG
+   * state, stable under re-partitioning, re-runs, and INCREMENTAL arrival:
+   * a row's split never changes when more data lands, which is the property
+   * that keeps eval sets leak-free across pipeline re-runs (a
+   * `randomSplit`-style sampler re-deals every row on every run).
+   *
+   * `splits` maps name → weight (weights need not sum to 1; they are
+   * normalized). Deterministic tie-policy: boundaries belong to the LATER
+   * split (u < cum is strict). One codegen'd scan, zero shuffle; adds
+   * `split` and the diagnostic `split_u`.
+   */
+  def hashSplit(df: DataFrame, idCol: Column, splits: Seq[(String, Double)],
+                salt: String = "graft-split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), "weights must be > 0")
+    val total = splits.map(_._2).sum
+    val u = conv(substring(md5(concat(idCol.cast("string"), lit(salt))), 1, 8), 16, 10)
+      .cast("long").cast("double") / 4294967296.0
+    val cums = splits.scanLeft(0.0)(_ + _._2).tail.map(_ / total)
+    val withU = df.withColumn("split_u", u)
+    // fold from the LAST split backward so the first matching boundary wins
+    val assign = splits.zip(cums).reverse.foldLeft(lit(splits.last._1)) {
+      case (acc, ((name, _), cum)) => when(col("split_u") < cum, name).otherwise(acc)
+    }
+    withU.withColumn("split", assign)
+  }
 }

@@ -884,4 +884,61 @@ object Dedup {
       .select(col("id"), col("cluster_id"), col("quality"),
         (col("id") === col("__win")).as("kept"))
   }
+
+  /** Whitespace-collapsed, lowercased content key — "the same text modulo
+   * case and spacing", the normalization Common-Crawl-scale exact dedup
+   * runs on before hashing. */
+  def normalizedContent(textCol: Column): Column =
+    lower(regexp_replace(trim(textCol), "\\s+", " "))
+
+  /**
+   * Exact increment-vs-corpus dedup behind a Bloom pre-filter — the
+   * daily-ingest membership test at 100 TB. A plain `left_anti`/`left` join
+   * shuffles the ENTIRE increment and the corpus key table every day even
+   * though almost every incoming row is new; here the standing corpus's
+   * normalized-content hashes are folded into one Bloom sketch (a single
+   * corpus pass, built once per corpus version and reusable across
+   * increments), the sketch is broadcast, and only the bloom-POSITIVE
+   * survivors — true duplicates plus an fpp-bounded sliver of false
+   * positives — enter the verify join. Bloom filters have no false
+   * negatives, so the verify join (on the normalized text itself, not the
+   * hash) makes the output EXACT: `dup_of` = smallest corpus id with the
+   * same normalized content, null for new rows.
+   *
+   * Output: one row per increment row — (id, is_duplicate, dup_of).
+   *
+   * Scale shape: corpus pass 1 is a map-side sketch aggregation (no
+   * shuffle); the broadcast is ~1.2 GB per 10⁹ corpus docs at fpp 0.01 —
+   * per-executor memory, not driver-resident row data; the verify join's
+   * left side is |true dups| + fpp·|increment|, so the shuffled fraction is
+   * the duplicate rate, not the increment size. The sketch probe is the one
+   * deliberate UDF in this file: it guards the shuffle, it is not on a
+   * per-token hot path.
+   */
+  def bloomDuplicates(corpus: DataFrame, corpusId: Column, corpusText: Column,
+                      increment: DataFrame, incId: Column, incText: Column,
+                      expectedItems: Long, fpp: Double): DataFrame = {
+    val ckeys = corpus.select(corpusId.cast("long").as("cid"),
+      normalizedContent(corpusText).as("ckey"))
+    // floor the capacity: optimalNumOfBits rounds to ZERO bits for tiny
+    // (items, fpp) combinations and Spark rejects a 0-bit sketch
+    val bloom = ckeys.select(xxhash64(col("ckey")).as("h"))
+      .stat.bloomFilter("h", math.max(64L, expectedItems), fpp)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
+    val inc = increment.select(incId.cast("long").as("id"),
+      normalizedContent(incText).as("key"))
+    val maybe = inc.filter(mightContain(xxhash64(col("key"))))
+    // verify on the normalized text, not the hash: xxhash64 collisions
+    // (however unlikely) can never surface as a wrong dup_of
+    val owners = ckeys.groupBy(col("ckey")).agg(min(col("cid")).as("dup_of"))
+    val verified = maybe.join(owners, col("key") === col("ckey"), "left")
+      .select(col("id"), col("dup_of"))
+    // bloom-NEGATIVE rows never touch a join: map-side filter only, so the
+    // clean bulk of the increment costs zero shuffle
+    val definiteNew = inc.filter(!mightContain(xxhash64(col("key"))))
+      .select(col("id"), lit(null).cast("long").as("dup_of"))
+    verified.unionByName(definiteNew)
+      .select(col("id"), col("dup_of").isNotNull.as("is_duplicate"), col("dup_of"))
+  }
 }

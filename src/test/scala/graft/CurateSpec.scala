@@ -76,6 +76,29 @@ class CurateSpec extends SparkSpecBase {
     assert(salted != ids1)
   }
 
+  test("hashSplit: exhaustive cover, weight normalization, incremental stability") {
+    val docs = (0L until 1000L).map(Tuple1(_)).toDF("id")
+    val got = Curate.hashSplit(docs, $"id",
+      Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0))
+    val byId = got.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(byId.size == 1000, "every row gets exactly one split")
+    val counts = byId.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > 700 && counts("train") < 900, counts.toString)
+    assert(counts("val") > 50 && counts("val") < 160, counts.toString)
+    assert(counts("test") > 50 && counts("test") < 160, counts.toString)
+    // unnormalized weights ≡ normalized weights
+    val norm = Curate.hashSplit(docs, $"id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(norm == byId)
+    // incremental stability: adding rows never re-deals earlier rows
+    val more = (0L until 2000L).map(Tuple1(_)).toDF("id")
+    val grown = Curate.hashSplit(more, $"id",
+        Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0))
+      .filter($"id" < 1000).collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(grown == byId)
+  }
+
   test("clusterBalanced: per-cluster quota keeps the most representative rows") {
     // two tight clusters around orthogonal axes; seeds = ids 1,2 → one each
     val df = Seq(

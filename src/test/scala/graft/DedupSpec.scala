@@ -279,4 +279,30 @@ class DedupSpec extends SparkSpecBase {
     assert(got(2L) == ((0L, 0.0)))
     assert(got(3L) == ((2L, 1.0)))  // positions 0 and 8 → 8 + min(8,8) = 16/16
   }
+
+  test("bloomDuplicates: exact vs corpus at any fpp; normalization load-bearing") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma"),
+      (11L, "delta epsilon"),
+      (12L, "alpha beta gamma")  // same content, larger id — dup_of picks 10
+    ).toDF("id", "text")
+    val inc = Seq(
+      (20L, "alpha beta gamma"),       // verbatim dup → 10 (not 12)
+      (21L, "  ALPHA  beta GAMMA "),   // case/space variant → 10
+      (22L, "delta epsilon zeta"),     // superstring, NOT a dup
+      (23L, "brand new content"),      // new
+      (24L, "brand new content")       // repeats an INCREMENT row: still new
+    ).toDF("id", "text")
+    for (fpp <- Seq(0.01, 0.9)) {      // verify join makes the sketch moot
+      val got = Dedup.bloomDuplicates(corpus, $"id", $"text", inc, $"id", $"text",
+          expectedItems = 3L, fpp = fpp)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getBoolean(1), Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+      assert(got(20L) == ((true, Some(10L))))
+      assert(got(21L) == ((true, Some(10L))))
+      assert(got(22L) == ((false, None)))
+      assert(got(23L) == ((false, None)))
+      assert(got(24L) == ((false, None)))
+    }
+  }
 }
