@@ -395,13 +395,21 @@ object SparkEntryExt {
   // (tag, dataset dir) — the dump is fixture I/O, not query work, so it
   // must not land inside Bench's timed lambdas — with the coalesce(1)
   // scratch dir deleted as soon as its part file is copied out.
-  private val replayDirCache = scala.collection.mutable.Map.empty[(String, String), String]
-  private def replayDir(tag: String, dir: String)(build: String => Unit): String =
-    replayDirCache.synchronized(replayDirCache.getOrElseUpdate((tag, dir), {
+  // per-key lazy memo: the map lock is held only to install the holder, the
+  // multi-job parquet build runs under the HOLDER's own lazy-val monitor —
+  // concurrent suites building different beds ('swr' vs 'dsr') never
+  // serialize on each other
+  private final class ReplayMemo(tag: String, build: String => Unit) {
+    lazy val path: String = {
       val d = java.nio.file.Files.createTempDirectory(s"graft-$tag").toString
       build(d)
       d
-    }))
+    }
+  }
+  private val replayDirCache = scala.collection.mutable.Map.empty[(String, String), ReplayMemo]
+  private def replayDir(tag: String, dir: String)(build: String => Unit): String =
+    replayDirCache.synchronized(
+      replayDirCache.getOrElseUpdate((tag, dir), new ReplayMemo(tag, build))).path
   private def dumpReplayFile(f: DataFrame, streamDir: String, name: String): Unit = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-replay-scratch")
     f.coalesce(1).write.mode("overwrite").parquet(tmp.toString)

@@ -67,11 +67,18 @@ object Curate {
    * Rows with rate ≥ 1 always survive; rate ≤ 0 never.
    */
   def mixtureSample(df: DataFrame, idCol: Column, rate: Column,
-                    salt: String = "graft"): DataFrame = {
-    val u = conv(substring(md5(concat(idCol.cast("string"), lit(salt))), 1, 8), 16, 10)
+                    salt: String = "graft"): DataFrame =
+    df.withColumn("sample_u", uniformDraw(idCol, salt))
+      .filter(col("sample_u") < rate)
+
+  /** The shared reproducible uniform: u ∈ [0,1) from the first 8 hex chars
+   * of md5(id ‖ salt) over 2^32. mixtureSample and hashSplit MUST draw from
+   * this one definition — the DuckDB oracles replay it verbatim, and a
+   * tweak applied to one call site but not the other would silently break
+   * the cross-operator determinism contract. */
+  private def uniformDraw(idCol: Column, salt: String): Column =
+    conv(substring(md5(concat(idCol.cast("string"), lit(salt))), 1, 8), 16, 10)
       .cast("long").cast("double") / 4294967296.0
-    df.withColumn("sample_u", u).filter(col("sample_u") < rate)
-  }
 
   /**
    * Cluster-balanced subset selection: cap the corpus at `perCluster` rows
@@ -218,14 +225,16 @@ object Curate {
                 salt: String = "graft-split"): DataFrame = {
     require(splits.nonEmpty && splits.forall(_._2 > 0), "weights must be > 0")
     val total = splits.map(_._2).sum
-    val u = conv(substring(md5(concat(idCol.cast("string"), lit(salt))), 1, 8), 16, 10)
-      .cast("long").cast("double") / 4294967296.0
     val cums = splits.scanLeft(0.0)(_ + _._2).tail.map(_ / total)
-    val withU = df.withColumn("split_u", u)
+    val withU = df.withColumn("split_u", uniformDraw(idCol, salt))
     // fold from the LAST split backward so the first matching boundary wins
     val assign = splits.zip(cums).reverse.foldLeft(lit(splits.last._1)) {
       case (acc, ((name, _), cum)) => when(col("split_u") < cum, name).otherwise(acc)
     }
-    withU.withColumn("split", assign)
+    // a null id draws a null u; every boundary predicate is then null-false
+    // and the fold's terminal otherwise would silently dump the row in the
+    // LAST split (the eval set!) — keep the assignment honestly null instead
+    withU.withColumn("split",
+      when(col("split_u").isNotNull, assign).otherwise(lit(null).cast("string")))
   }
 }

@@ -917,22 +917,55 @@ object Dedup {
    */
   def bloomDuplicates(corpus: DataFrame, corpusId: Column, corpusText: Column,
                       increment: DataFrame, incId: Column, incText: Column,
-                      expectedItems: Long, fpp: Double): DataFrame = {
+                      expectedItems: Long, fpp: Double): DataFrame =
+    // one-shot convenience: builds the corpus side inline. Repeated callers
+    // must hold a [[bloomCorpus]] handle instead — that is the whole point.
+    bloomDuplicates(bloomCorpus(corpus, corpusId, corpusText, expectedItems, fpp),
+      increment, incId, incText)
+
+  /** The prebuilt corpus side of [[bloomDuplicates]]: the broadcast sketch
+   * plus the (normalized key → owner id) table. Build it ONCE per corpus
+   * version and reuse it across every increment — rebuilding per call pays
+   * the two corpus passes daily, which is the cost this operator exists to
+   * avoid. `owners` is worth persisting (or writing to parquet) at the
+   * caller when increments are frequent. Call [[BloomCorpus.destroy]] when
+   * the corpus version is retired: the sketch broadcast is pinned by every
+   * plan that used it, and long-lived sessions otherwise accumulate
+   * sketch-sized broadcasts until the weak-reference cleaner runs. */
+  final case class BloomCorpus(
+      sketch: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter],
+      owners: DataFrame) {
+    def destroy(): Unit = sketch.destroy()
+  }
+
+  def bloomCorpus(corpus: DataFrame, corpusId: Column, corpusText: Column,
+                  expectedItems: Long, fpp: Double): BloomCorpus = {
     val ckeys = corpus.select(corpusId.cast("long").as("cid"),
       normalizedContent(corpusText).as("ckey"))
     // floor the capacity: optimalNumOfBits rounds to ZERO bits for tiny
     // (items, fpp) combinations and Spark rejects a 0-bit sketch
     val bloom = ckeys.select(xxhash64(col("ckey")).as("h"))
       .stat.bloomFilter("h", math.max(64L, expectedItems), fpp)
-    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
+    val owners = ckeys.groupBy(col("ckey")).agg(min(col("cid")).as("dup_of"))
+    BloomCorpus(corpus.sparkSession.sparkContext.broadcast(bloom), owners)
+  }
+
+  /** Increment pass of [[bloomDuplicates]] against a prebuilt [[BloomCorpus]].
+   * The increment is read in two map-side passes (the bloom-positive branch
+   * and its negation) — deliberately NOT persisted: both passes are pure
+   * scan+filter with zero shuffle, and at increment scale a cache would cost
+   * more than the second scan. Callers with an expensive upstream plan
+   * should persist the increment themselves before calling. */
+  def bloomDuplicates(corpus: BloomCorpus, increment: DataFrame,
+                      incId: Column, incText: Column): DataFrame = {
+    val sk = corpus.sketch
+    val mightContain = udf((h: Long) => sk.value.mightContainLong(h))
     val inc = increment.select(incId.cast("long").as("id"),
       normalizedContent(incText).as("key"))
     val maybe = inc.filter(mightContain(xxhash64(col("key"))))
     // verify on the normalized text, not the hash: xxhash64 collisions
     // (however unlikely) can never surface as a wrong dup_of
-    val owners = ckeys.groupBy(col("ckey")).agg(min(col("cid")).as("dup_of"))
-    val verified = maybe.join(owners, col("key") === col("ckey"), "left")
+    val verified = maybe.join(corpus.owners, col("key") === col("ckey"), "left")
       .select(col("id"), col("dup_of"))
     // bloom-NEGATIVE rows never touch a join: map-side filter only, so the
     // clean bulk of the increment costs zero shuffle
