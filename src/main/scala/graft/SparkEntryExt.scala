@@ -2871,6 +2871,135 @@ object SparkEntryExt {
       out.toSeq.toDF("step", "result").orderBy(col("step"))
     }),
 
+    // §2.1 usage limits (reference: usecases/usagelimits — manager.go
+    // CheckObjects at the storage chokepoint, errors.go, template.go): the
+    // objects cap walks both sides of the strict `current + n > cap` rule
+    // (60+10 = 70 ≤ 70 passes, 70+1 rejects) with a live post-walk count,
+    // the template arm substitutes {limit}/{value} and passes every other
+    // token through, and the collections/tenants caps gate the schema
+    // registry (re-registration of an existing name stays exempt)
+    "q_usage_limits" -> ((s, dir) => {
+      import s.implicits._
+      val gg = g(s, dir)
+      val docs = gg.collection("Document").df
+        .select(col("doc_id"), col("n_chars")).filter(col("doc_id") < 60)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      def res(body: => Any): String =
+        try { body; "ok" } catch { case e: Throwable => e.getMessage }
+      val schema = CollectionSchema("LimStore", "doc_id",
+        Seq(Property("n_chars", PropType.Int)))
+      val st = new graft.sources.CollectionStore(s,
+        java.nio.file.Files.createTempDirectory("graft-lim").toString, schema)
+        .withMaxObjects(70L)
+      out += "01_init_under_cap" -> res(st.init(docs))
+      // 10 REPLACEMENTS: the reference counts len(batch) conservatively, so
+      // this passes only because 60 + 10 ≤ 70, not because they replace
+      out += "02_upsert_replacements" -> res(st.upsert(docs.filter(col("doc_id") < 10)))
+      out += "03_upsert_to_cap" -> res(st.upsert(
+        docs.filter(col("doc_id") < 10).withColumn("doc_id", col("doc_id") + 1000L)))
+      out += "04_upsert_over_cap" -> res(st.upsert(
+        docs.filter(col("doc_id") === 0).withColumn("doc_id", lit(2000L))))
+      out += "05_live_count" -> st.read().count().toString
+      val st2 = new graft.sources.CollectionStore(s,
+        java.nio.file.Files.createTempDirectory("graft-lim2").toString, schema)
+        .withMaxObjects(5L, "Limit {limit}={value} hit - upgrade at example.com {unknown}")
+      out += "06_custom_template" -> res(st2.init(docs))
+      val g2 = new Graft(s).withUsageLimits(collections = Some(2L))
+      val small = docs.limit(5)
+      g2.register(CollectionSchema("LimA", "doc_id", Nil), small)
+      g2.register(CollectionSchema("LimB", "doc_id", Nil), small)
+      out += "07_register_third" -> res(
+        g2.register(CollectionSchema("LimC", "doc_id", Nil), small))
+      out += "08_reregister_exempt" -> res(
+        g2.register(CollectionSchema("LimA", "doc_id", Nil), small))
+      val g3 = new Graft(s).withUsageLimits(tenants = Some(3L))
+      g3.register(CollectionSchema("LimT", "event_id", Nil,
+        tenantColumn = Some("event_type")),
+        Fixtures.events(s, dir).select(col("event_id"), col("event_type")).limit(20))
+      out += "09_tenants_within" -> res(g3.addTenants("LimT",
+        Seq(Tenant("t1"), Tenant("t2"))))
+      out += "10_tenants_over" -> res(g3.addTenants("LimT",
+        Seq(Tenant("t3"), Tenant("t4"))))
+      out.toSeq.toDF("step", "result").orderBy(col("step"))
+    }),
+
+    // §2.1 operator config restrictions (reference: usecases/restrictions —
+    // template.go sorted {allowed} rendering, errors.go ViolationError;
+    // enforced at the engine's index-registration point): render arms for
+    // the default and override templates, a pass arm, and the LIVE wiring —
+    // an ivf registration under a flat/dynamic-only allow-list throws the
+    // rendered text, under an ivf-containing list it lands and serves
+    "q_restrictions" -> ((s, dir) => {
+      import s.implicits._
+      import graft.engine.Restrictions
+      val gg = g(s, dir)
+      val idx = ivfFor(gg, dir)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      def res(body: => Any): String =
+        try { body; "ok" } catch { case e: Throwable => e.getMessage }
+      out += "01_default_template" ->
+        Restrictions.render("", Restrictions.Compression, "pq", Seq("sq", "bq"))
+      out += "02_custom_template" ->
+        Restrictions.render("{restriction} rejects {value}; pick one of {allowed} {x}",
+          Restrictions.VectorIndexType, "hnsw", Seq("flat", "dynamic"))
+      out += "03_check_pass" ->
+        res(Restrictions.check(Some(Seq("pq", "bq")), Restrictions.Compression, "pq"))
+      out += "04_unconfigured_pass" ->
+        res(Restrictions.check(None, Restrictions.Compression, "rq"))
+      val g2 = new Graft(s).withRestrictions(Some(Seq("flat", "dynamic")))
+      g2.register(gg.collection("Embedding"))
+      out += "05_register_ivf_rejected" ->
+        res(g2.registerIndex("Embedding", "default", idx))
+      val g3 = new Graft(s).withRestrictions(Some(Seq("ivf")))
+      g3.register(gg.collection("Embedding"))
+      out += "06_register_ivf_allowed" ->
+        res(g3.registerIndex("Embedding", "default", idx))
+      out.toSeq.toDF("step", "result").orderBy(col("step"))
+    }),
+
+    // §2.1 namespace-cleanup sweep (reference: usecases/namespace_cleanup/
+    // coordinator.go Tick — per DELETING namespace: aliases, then classes,
+    // then the entry; scheduled by usecases/cron/namespace_cleanup.go): the
+    // sweep's ordered action log, the surviving alias/class set, and a live
+    // page through the kept namespace prove scoping
+    "q_namespace_cleanup" -> ((s, dir) => {
+      import s.implicits._
+      import graft.engine.Namespaces.State
+      val gg = g(s, dir)
+      val docs = gg.collection("Document").df.select(col("doc_id"), col("n_chars"))
+      val g2 = new Graft(s)
+      g2.register(CollectionSchema("NsClean1", "doc_id",
+        Seq(Property("n_chars", PropType.Int))), docs.filter(col("doc_id") < 40))
+      g2.register(CollectionSchema("NsClean2", "doc_id",
+        Seq(Property("n_chars", PropType.Int))), docs.filter(col("doc_id") < 20))
+      g2.register(CollectionSchema("NsKeep", "doc_id",
+        Seq(Property("n_chars", PropType.Int))), docs.filter(col("doc_id") < 30))
+      val c = g2.namespaces
+      c.create("ns-a", "node-1", 1)
+      c.create("ns-b", "node-1", 2)
+      g2.assignNamespace("NsClean1", "ns-a")
+      g2.assignNamespace("NsClean2", "ns-a")
+      g2.assignNamespace("NsKeep", "ns-b")
+      g2.createAlias("CleanAlias", "NsClean1")
+      g2.createAlias("KeepAlias", "NsKeep")
+      c.changeState("ns-a", State.Deleting, 3)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      def res(body: => Any): String =
+        try { body.toString } catch { case e: Throwable => e.getMessage }
+      out += "01_deleting_list" -> c.listDeleting().mkString(",")
+      out += "02_sweep_log" -> g2.cleanupDeletingNamespaces().mkString(",")
+      out += "03_aliases_after" -> g2.listAliases()
+        .map { case (a, t) => s"$a->$t" }.sorted.mkString(",")
+      out += "04_swept_class_gone" -> res(g2.get(GetParams("NsClean1")).count())
+      out += "05_kept_page" -> res(g2.get(GetParams("KeepAlias",
+        where = Some(Where.ltInt("doc_id", 30L)))).count())
+      out += "06_ns_entry_gone" -> c.get("ns-a").isEmpty.toString
+      out += "07_deleting_empty" -> c.listDeleting().isEmpty.toString
+      out += "08_resweep_noop" ->
+        (if (g2.cleanupDeletingNamespaces().isEmpty) "(none)" else "unexpected")
+      out.toSeq.toDF("step", "result").orderBy(col("step"))
+    }),
+
     "q_agg_type" -> ((s, dir) => {
       g(s, dir).aggregate(AggregateParams("Document",
         properties = Map(
@@ -4286,6 +4415,55 @@ object SparkEntryExt {
       """SELECT 'cref' AS links_type, 'Document' AS links_pointingTo,
         |  'int' AS n_chars_type, CAST(min(n_chars) AS DOUBLE) AS n_chars_min,
         |  'object[]' AS tags_type FROM documents""".stripMargin,
+
+    // scripted usage-limits walk: reference error texts (template.go default
+    // + {limit}/{value} substitution with foreign tokens passed through);
+    // the live count is data-derived (60 base + 10 appended)
+    "q_usage_limits" ->
+      """SELECT * FROM (VALUES
+        |  ('01_init_under_cap', 'ok'),
+        |  ('02_upsert_replacements', 'ok'),
+        |  ('03_upsert_to_cap', 'ok'),
+        |  ('04_upsert_over_cap', 'objects count limit of 70 reached for this instance.'),
+        |  ('06_custom_template', 'Limit objects=5 hit - upgrade at example.com {unknown}'),
+        |  ('07_register_third', 'collections count limit of 2 reached for this instance.'),
+        |  ('08_reregister_exempt', 'ok'),
+        |  ('09_tenants_within', 'ok'),
+        |  ('10_tenants_over', 'tenants count limit of 3 reached for this instance.')
+        |) AS t(step, result)
+        |UNION ALL SELECT '05_live_count', CAST(
+        |  (SELECT count(*) FROM documents WHERE doc_id < 60)
+        |  + (SELECT count(*) FROM documents WHERE doc_id < 10) AS VARCHAR)
+        |ORDER BY step""".stripMargin,
+
+    // restriction arms: sorted {allowed} rendering on default and override
+    // templates, pass arms, and the live index-registration wiring
+    "q_restrictions" ->
+      """SELECT * FROM (VALUES
+        |  ('01_default_template', 'pq is not allowed for compression. Allowed values: bq, sq.'),
+        |  ('02_custom_template', 'vector_index_type rejects hnsw; pick one of dynamic, flat {x}'),
+        |  ('03_check_pass', 'ok'),
+        |  ('04_unconfigured_pass', 'ok'),
+        |  ('05_register_ivf_rejected', 'ivf is not allowed for vector_index_type. Allowed values: dynamic, flat.'),
+        |  ('06_register_ivf_allowed', 'ok')
+        |) AS t(step, result) ORDER BY step""".stripMargin,
+
+    // cleanup sweep: ordered action log (aliases → classes → entry), the
+    // surviving alias set, the swept class unresolvable, the kept
+    // namespace's live page, idempotent re-sweep
+    "q_namespace_cleanup" ->
+      """SELECT * FROM (VALUES
+        |  ('01_deleting_list', 'ns-a'),
+        |  ('02_sweep_log', 'alias:CleanAlias,class:NsClean1,class:NsClean2,namespace:ns-a'),
+        |  ('03_aliases_after', 'KeepAlias->NsKeep'),
+        |  ('04_swept_class_gone', 'unknown collection NsClean1'),
+        |  ('06_ns_entry_gone', 'true'),
+        |  ('07_deleting_empty', 'true'),
+        |  ('08_resweep_noop', '(none)')
+        |) AS t(step, result)
+        |UNION ALL SELECT '05_kept_page', CAST(count(*) AS VARCHAR)
+        |  FROM documents WHERE doc_id < 30
+        |ORDER BY step""".stripMargin,
 
     // the READONLY gate's observable contract: statuses, the reasoned
     // rejection text on every write op, and the post-READY write landing

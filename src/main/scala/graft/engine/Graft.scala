@@ -185,6 +185,10 @@ final class Graft(val spark: SparkSession) {
     // creation-path name validation (reference applies it on schema create,
     // not on startup loads — re-registration of the same names re-passes)
     SchemaValidation.validate(c.schema)
+    // collections cap counts only NEW names (a re-registration replaces)
+    if (!collections.contains(c.name))
+      UsageLimits.check(maxCollections, collections.size, 1,
+        UsageLimits.LimitCollections, usageTemplate)
     // a re-registration supersedes the previous frame: its persisted BM25
     // corpus stats would otherwise leak in statsCache for the session (the
     // store path evicts via writeVersion; this is the ad-hoc path's evict)
@@ -245,6 +249,40 @@ final class Graft(val spark: SparkSession) {
     }
     collectionNamespaces += resolved -> namespace
     this
+  }
+
+  /**
+   * Namespace-cleanup sweep (reference: usecases/namespace_cleanup/
+   * coordinator.go:144-205 Tick + cleanupSingleNamespace, scheduled by
+   * usecases/cron/namespace_cleanup.go): for every namespace in the
+   * DELETING state, drop the aliases that target its classes, deregister
+   * the classes themselves, then remove the namespace entry — in that
+   * order, so no alias ever outlives its target and no class outlives its
+   * namespace record. Users/RBAC from the reference's walk are out of
+   * engine scope. Single-flight like the reference's `ongoing` CAS: the
+   * sweep runs under the controller's monitor. Returns the ordered action
+   * log ("alias:<a>", "class:<c>", "namespace:<ns>") for observability —
+   * the reference logs the same walk.
+   */
+  def cleanupDeletingNamespaces(): Seq[String] = synchronized {
+    namespaces.listDeleting().flatMap { ns =>
+      val classes = collectionNamespaces.collect {
+        case (cl, n) if n == ns => cl
+      }.toSeq.sorted
+      val aliasLog = classes.flatMap(cl => listAliases(Some(cl)).map(_._1))
+        .distinct.sorted.map { a => deleteAlias(a); s"alias:$a" }
+      val classLog = classes.map { cl =>
+        graft.operators.Bm25Search.invalidateStats(cl)
+        collections -= cl
+        collectionNamespaces -= cl
+        tenantRegistry -= cl
+        autoTenantConfig -= cl
+        s"class:$cl"
+      }
+      namespaces.removeEntity(ns).left.foreach(e =>
+        throw new IllegalStateException(e.message))
+      (aliasLog ++ classLog) :+ s"namespace:$ns"
+    }
   }
 
   // --- Collection aliases (reference: usecases/schema/alias.go +
@@ -331,6 +369,10 @@ final class Graft(val spark: SparkSession) {
         s"tenant ${t.name}: on create only ACTIVE and INACTIVE are allowed")
       require(!cur.contains(t.name), s"tenant ${t.name} already exists")
     }
+    // instance-wide tenant cap across every collection's registry
+    UsageLimits.check(maxTenants,
+      tenantRegistry.valuesIterator.map(_.size.toLong).sum, ts.size,
+      UsageLimits.LimitTenants, usageTemplate)
     tenantRegistry += cn -> (cur ++ ts.map(t => t.name -> t.activityStatus))
     this
   }
@@ -438,6 +480,29 @@ final class Graft(val spark: SparkSession) {
   private var queryMaximumResults: Long = 10000L
   def withQueryMaximumResults(n: Long): Graft = { queryMaximumResults = n; this }
 
+  // --- usage limits + config restrictions (reference: usecases/usagelimits,
+  // usecases/restrictions) -------------------------------------------------
+  private var maxCollections: Option[Long] = None
+  private var maxTenants: Option[Long] = None
+  private var usageTemplate: String = ""
+  /** Instance-wide schema caps (collections / tenants); the objects cap
+   * lives at the store write chokepoint (CollectionStore.withMaxObjects). */
+  def withUsageLimits(collections: Option[Long] = None,
+                      tenants: Option[Long] = None,
+                      template: String = ""): Graft = {
+    maxCollections = collections; maxTenants = tenants
+    usageTemplate = template; this
+  }
+
+  private var allowedIndexTypes: Option[Seq[String]] = None
+  private var restrictionsTemplate: String = ""
+  /** Operator allow-list for `vector_index_type`, checked at index
+   * registration (the engine's config-validation point). */
+  def withRestrictions(vectorIndexTypes: Option[Seq[String]],
+                       template: String = ""): Graft = {
+    allowedIndexTypes = vectorIndexTypes; restrictionsTemplate = template; this
+  }
+
   /** Corpus-size threshold below which engine keyword search skips the
    * two-phase block-max pruning (see bm25Serve). */
   private var postingsPruneCutoff: Long = 40000L
@@ -496,6 +561,16 @@ final class Graft(val spark: SparkSession) {
   /** Attach a batch-built ANN index to a named vector (reference: per-shard
    * vector index registry; planner choice in IvfIndex.searchOrScan). */
   def registerIndex(collectionName: String, vectorName: String, idx: graft.ann.IvfIndex): Graft = {
+    Restrictions.check(allowedIndexTypes, Restrictions.VectorIndexType, "ivf",
+      restrictionsTemplate)
+    registerIndexUnchecked(collectionName, vectorName, idx)
+  }
+
+  /** Registry update without the vector_index_type restriction: a DYNAMIC
+   * class whose upgrade swaps in the trained index is still declared type
+   * "dynamic" — the restriction was checked on the declared type. */
+  private def registerIndexUnchecked(collectionName: String, vectorName: String,
+                                     idx: graft.ann.IvfIndex): Graft = {
     // registries key by CANONICAL name — an alias-keyed copy would be a
     // phantom Collection the lookup (which resolves aliases) never serves
     val c = collection(collectionName)
@@ -520,14 +595,17 @@ final class Graft(val spark: SparkSession) {
    * or on a threshold-crossing append), re-registering swaps the served
    * index — the registry update is the reference's atomic status flip. */
   def registerDynamicIndex(collectionName: String, vectorName: String,
-                           dyn: graft.ann.DynamicIndex): Graft =
+                           dyn: graft.ann.DynamicIndex): Graft = {
+    Restrictions.check(allowedIndexTypes, Restrictions.VectorIndexType, "dynamic",
+      restrictionsTemplate)
     dyn.ivf match {
-      case Some(ix) => registerIndex(collectionName, vectorName, ix)
+      case Some(ix) => registerIndexUnchecked(collectionName, vectorName, ix)
       case None =>
         val c = collection(collectionName)
         collections += c.name -> c.copy(vectorIndexes = c.vectorIndexes - vectorName)
         this
     }
+  }
 
   /**
    * Postings (inverted-index) registry for keyword search (reference: BM25 is

@@ -118,7 +118,10 @@ final class CollectionStore(val spark: SparkSession, val root: String,
   }
 
   /** Initialize / overwrite the whole table. */
-  def init(df: DataFrame): Unit = writeVersion(vectorize(df))
+  def init(df: DataFrame): Unit = {
+    checkObjects(df.count())
+    writeVersion(vectorize(df))
+  }
 
   /** Upsert whole objects by id (reference: crud.go:35 PutObject / batch.go:35
    * BatchPutObjects — last write wins on id collision). */
@@ -129,6 +132,9 @@ final class CollectionStore(val spark: SparkSession, val root: String,
     // arbitrary — pre-collapse upstream for last-write-wins semantics);
     // without this, both rows would land and the store would hold duplicates
     val unique = updates.dropDuplicates(id)
+    // reference CheckObjects passes len(batch) — conservatively counting
+    // replacements too (Shard.PutObjectBatch has no replace-aware count)
+    checkObjects(unique.count())
     val current = read()
     val remaining = current.join(unique.select(col(id)), Seq(id), "left_anti")
     writeVersion(remaining.unionByName(vectorize(unique), allowMissingColumns = true))
@@ -358,6 +364,24 @@ final class CollectionStore(val spark: SparkSession, val root: String,
   def setReadOnly(reason: Option[String] = None): Unit = { readOnly = Some(reason) }
   def setReady(): Unit = { readOnly = None }
   def status: String = if (readOnly.isDefined) "READONLY" else "READY"
+
+  // Instance object cap (reference: usecases/usagelimits/manager.go
+  // CheckObjects, invoked from the storage chokepoint Shard.PutObject/Batch):
+  // a write of n objects is rejected when current + n > cap. The reference
+  // sums async per-shard counts; here the live count is the current
+  // version's row count, read only when a cap is configured (object-adding
+  // chokepoints = init/upsert; merge/TTL/delete never add objects).
+  private var maxObjects: Option[Long] = None
+  private var usageTemplate: String = ""
+  def withMaxObjects(cap: Long, template: String = ""): this.type = {
+    maxObjects = Some(cap); usageTemplate = template; this
+  }
+  private def checkObjects(n: => Long): Unit =
+    maxObjects.foreach { _ =>
+      val current = if (version >= 0) read().count() else 0L
+      graft.engine.UsageLimits.check(maxObjects, current, n,
+        graft.engine.UsageLimits.LimitObjects, usageTemplate)
+    }
 
   private def writeVersion(df: DataFrame): Unit = {
     readOnly.foreach {
