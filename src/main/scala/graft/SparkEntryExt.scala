@@ -2923,6 +2923,48 @@ object SparkEntryExt {
       out.toSeq.toDF("step", "result").orderBy(col("step"))
     }),
 
+    // §2.1 point-in-time parquet export (reference: usecases/export —
+    // Prepare pins the snapshot window, Commit scans to parquet; scheduler
+    // single-export slot + id registry + EXPORT_ENABLED gate with the
+    // sentinel texts; status strings entities/export/status.go): the
+    // LOAD-BEARING arm is 08/09 — an upsert lands BETWEEN prepare and
+    // commit, and the exported parquet must hold the anchored version (80
+    // rows, max id 79), not the store's live 100; a commit reading the
+    // current version instead of the pin exports 100 and mismatches
+    "q_export" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.ExportSnapshot
+      val gg = g(s, dir)
+      val docs = gg.collection("Document").df.select(col("doc_id"), col("n_chars"))
+      val st = new graft.sources.CollectionStore(s,
+        java.nio.file.Files.createTempDirectory("graft-expst").toString,
+        CollectionSchema("DocExp", "doc_id", Seq(Property("n_chars", PropType.Int))))
+      st.init(docs.filter(col("doc_id") < 80))
+      val ex = new ExportSnapshot()
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      def res(body: => Any): String =
+        try { body; "ok" } catch { case e: Throwable => e.getMessage }
+      val p = ex.prepare("exp-1", Seq("DocExp" -> st))
+      out += "01_slot_held" -> res(ex.prepare("exp-2", Seq("DocExp" -> st)))
+      st.upsert(docs.filter(col("doc_id") < 20)
+        .withColumn("doc_id", col("doc_id") + 5000L))
+      val dest = java.nio.file.Files.createTempDirectory("graft-expdst").toString
+      val m = ex.commit(p, dest)
+      out += "02_meta" -> s"${m.status}:${m.objectsExported("DocExp")}"
+      out += "03_dup_id" -> res(ex.prepare("exp-1", Seq("DocExp" -> st)))
+      out += "04_unknown_status" -> res(ex.status("ghost"))
+      out += "05_cancel_finished" -> res(ex.cancel("exp-1"))
+      out += "06_disabled" -> res(
+        new ExportSnapshot(enabled = false).prepare("x", Seq("DocExp" -> st)))
+      out += "07_live_rows" -> st.read().count().toString
+      val snap = s.read.parquet(s"$dest/exp-1/DocExp")
+      out += "08_snapshot_rows" -> snap.count().toString
+      out += "09_snapshot_max" -> snap.agg(max(col("doc_id"))).head().getLong(0).toString
+      val m2 = ex.commit(ex.prepare("exp-2", Seq("DocExp" -> st)), dest)
+      out += "10_resnapshot" -> m2.objectsExported("DocExp").toString
+      out.toSeq.toDF("step", "result").orderBy(col("step"))
+    }),
+
     // §2.1 operator config restrictions (reference: usecases/restrictions —
     // template.go sorted {allowed} rendering, errors.go ViolationError;
     // enforced at the engine's index-registration point): render arms for
@@ -4434,6 +4476,31 @@ object SparkEntryExt {
         |UNION ALL SELECT '05_live_count', CAST(
         |  (SELECT count(*) FROM documents WHERE doc_id < 60)
         |  + (SELECT count(*) FROM documents WHERE doc_id < 10) AS VARCHAR)
+        |ORDER BY step""".stripMargin,
+
+    // export walk: sentinel texts verbatim; the snapshot counts derive from
+    // the data (80 anchored, 100 live after the mid-flight upsert) so the
+    // point-in-time anchor is hash-certified
+    "q_export" ->
+      """SELECT * FROM (VALUES
+        |  ('01_slot_held', 'export already active'),
+        |  ('03_dup_id', 'export already exists'),
+        |  ('04_unknown_status', 'export not found'),
+        |  ('05_cancel_finished', 'export has already finished'),
+        |  ('06_disabled', 'export API is disabled; enable it via EXPORT_ENABLED=true or the runtime config')
+        |) AS t(step, result)
+        |UNION ALL SELECT '02_meta', 'SUCCESS:' ||
+        |  CAST((SELECT count(*) FROM documents WHERE doc_id < 80) AS VARCHAR)
+        |UNION ALL SELECT '07_live_rows', CAST(
+        |  (SELECT count(*) FROM documents WHERE doc_id < 80)
+        |  + (SELECT count(*) FROM documents WHERE doc_id < 20) AS VARCHAR)
+        |UNION ALL SELECT '08_snapshot_rows', CAST(
+        |  (SELECT count(*) FROM documents WHERE doc_id < 80) AS VARCHAR)
+        |UNION ALL SELECT '09_snapshot_max', CAST(
+        |  (SELECT max(doc_id) FROM documents WHERE doc_id < 80) AS VARCHAR)
+        |UNION ALL SELECT '10_resnapshot', CAST(
+        |  (SELECT count(*) FROM documents WHERE doc_id < 80)
+        |  + (SELECT count(*) FROM documents WHERE doc_id < 20) AS VARCHAR)
         |ORDER BY step""".stripMargin,
 
     // restriction arms: sorted {allowed} rendering on default and override

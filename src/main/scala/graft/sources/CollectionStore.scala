@@ -51,6 +51,15 @@ final class CollectionStore(val spark: SparkSession, val root: String,
     CollectionStore.readKeepingStringPartitions(spark, s"$root/v$version")
   }
 
+  /** Read a PINNED version — the point-in-time anchor exports scan from
+   * (writes landing after the pin go to later version dirs and never leak
+   * into the anchored frame). Vacuumed versions are gone: require current. */
+  def readAt(v: Int): DataFrame = {
+    require(v >= 0 && java.nio.file.Files.exists(Paths.get(root, s"v$v")),
+      s"version $v of collection store $root does not exist")
+    CollectionStore.readKeepingStringPartitions(spark, s"$root/v$v")
+  }
+
   /** Per-store lineage nonce, drawn once from the session-global counter and
    * kept in `_store_id` inside the root: two stores sharing a collection
    * name (different roots), or a root deleted and recreated in-session, both

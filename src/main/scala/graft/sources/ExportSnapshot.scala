@@ -1,0 +1,109 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions.col
+
+/**
+ * Point-in-time parquet export of collections (reference: usecases/export —
+ * ARCHITECTURE.md, scheduler.go, parallel_scan.go, parquet_writer.go;
+ * status strings entities/export/status.go). The reference coordinates a
+ * Prepare/Commit walk across nodes so every participant anchors its
+ * snapshot in the same window, then scans shards to parquet in parallel and
+ * writes an `export_metadata.json` source of truth next to the files.
+ *
+ * Spark mapping: Prepare pins each target store's CURRENT VERSION (the
+ * versioned-parquet store makes the snapshot free — writes landing after
+ * the pin go to later version directories and can never leak into the
+ * anchored frame, the property the reference buys with bucket snapshots);
+ * Commit scans the pinned versions — Spark's distributed parquet write IS
+ * the reference's per-shard parallel scan+upload — and writes the metadata
+ * blob. The scheduler's single-export slot (Prepare reserves via CAS,
+ * `ErrExportAlreadyActive`) and the id registry (`ErrExportAlreadyExists` /
+ * `ErrExportNotFound`, cancel-after-finish) are kept verbatim, as is the
+ * EXPORT_ENABLED gate.
+ *
+ * Scale shape: commit is one column-complete scan of each pinned version —
+ * no driver-side row data; metadata counts ride the same write via
+ * DataFrame.count on the anchored (already-pruned) frame.
+ */
+object ExportSnapshot {
+  // entities/export/status.go
+  val Started = "STARTED"
+  val Success = "SUCCESS"
+  val Canceled = "CANCELED"
+
+  // scheduler.go sentinel error texts
+  val ErrNotFound = "export not found"
+  val ErrAlreadyExists = "export already exists"
+  val ErrAlreadyActive = "export already active"
+  val ErrAlreadyFinished = "export has already finished"
+  val ErrDisabled =
+    "export API is disabled; enable it via EXPORT_ENABLED=true or the runtime config"
+
+  final case class Anchor(className: String, store: CollectionStore, version: Int)
+  final case class Prepared(id: String, anchors: Seq[Anchor])
+  final case class Metadata(id: String, status: String, classes: Seq[String],
+                            objectsExported: Map[String, Long], path: String)
+}
+
+/** The export scheduler: id registry + the single-export slot. */
+final class ExportSnapshot(enabled: Boolean = true) {
+  import ExportSnapshot._
+
+  private val exports = scala.collection.mutable.LinkedHashMap.empty[String, Metadata]
+  private var active: Option[String] = None // the CAS'd single-export slot
+
+  /** Phase 1 — reserve the slot and pin every target's current version. */
+  def prepare(id: String, targets: Seq[(String, CollectionStore)]): Prepared =
+    synchronized {
+      if (!enabled) throw new IllegalStateException(ErrDisabled)
+      require(id.nonEmpty && targets.nonEmpty, ErrValidationMsg)
+      if (exports.contains(id)) throw new IllegalStateException(ErrAlreadyExists)
+      if (active.isDefined) throw new IllegalStateException(ErrAlreadyActive)
+      active = Some(id)
+      exports += id -> Metadata(id, Started, targets.map(_._1), Map.empty, "")
+      Prepared(id, targets.map { case (cn, st) => Anchor(cn, st, st.version) })
+    }
+
+  /** Phase 2 — scan the pinned versions to parquet + metadata, free the slot. */
+  def commit(p: Prepared, destRoot: String): Metadata = {
+    val base = Paths.get(destRoot, p.id)
+    val counts = p.anchors.map { a =>
+      val df = a.store.readAt(a.version)
+      df.write.mode("errorifexists").parquet(base.resolve(a.className).toString)
+      a.className -> df.count()
+    }.toMap
+    synchronized {
+      val meta = Metadata(p.id, Success, p.anchors.map(_.className), counts,
+        base.toString)
+      Files.createDirectories(base)
+      val json = "{\"id\":\"" + p.id + "\",\"status\":\"" + Success +
+        "\",\"classes\":[" +
+        p.anchors.map(a => "\"" + a.className + "\"").mkString(",") +
+        "],\"objectsExported\":{" +
+        p.anchors.map(a => "\"" + a.className + "\":" + counts(a.className))
+          .mkString(",") + "}}"
+      Files.write(base.resolve("export_metadata.json"), json.getBytes("UTF-8"))
+      exports += p.id -> meta
+      active = active.filterNot(_ == p.id)
+      meta
+    }
+  }
+
+  /** Cancel an export that has not finished; finished ids reject. */
+  def cancel(id: String): Metadata = synchronized {
+    val m = exports.getOrElse(id, throw new IllegalStateException(ErrNotFound))
+    if (m.status != Started) throw new IllegalStateException(ErrAlreadyFinished)
+    val canceled = m.copy(status = Canceled)
+    exports += id -> canceled
+    active = active.filterNot(_ == id)
+    canceled
+  }
+
+  def status(id: String): Metadata =
+    synchronized(exports.getOrElse(id,
+      throw new IllegalStateException(ExportSnapshot.ErrNotFound)))
+
+  private val ErrValidationMsg = "export validation error"
+}

@@ -76,6 +76,33 @@ class BackupSpec extends SparkSpecBase {
       InvertedIndexConfig(indexTimestamps = true, indexNullState = true, indexPropertyLength = true))
   }
 
+  test("export snapshot: cancel frees the slot; commit pins the prepare-time version") {
+    import graft.sources.{CollectionStore, ExportSnapshot}
+    val docs = (0L until 50L).map(i => (i, i * 2)).toDF("id", "v")
+    val st = new CollectionStore(spark,
+      Files.createTempDirectory("graft-exps").toString,
+      CollectionSchema("ExpSpec", "id", Seq(Property("v", PropType.Int))))
+    st.init(docs)
+    val ex = new ExportSnapshot()
+    val p1 = ex.prepare("a", Seq("ExpSpec" -> st))
+    // cancel releases the single-export slot so a new prepare succeeds
+    assert(ex.cancel("a").status == ExportSnapshot.Canceled)
+    val p2 = ex.prepare("b", Seq("ExpSpec" -> st))
+    // a mid-flight write bumps the store version; commit must scan the pin
+    st.upsert(docs.limit(5).withColumn("id", col("id") + 1000L))
+    val dest = Files.createTempDirectory("graft-expd").toString
+    val m = ex.commit(p2, dest)
+    assert(m.objectsExported("ExpSpec") == 50L)
+    assert(spark.read.parquet(s"$dest/b/ExpSpec").count() == 50L)
+    assert(st.read().count() == 55L)
+    // metadata blob landed next to the files
+    assert(Files.exists(java.nio.file.Paths.get(dest, "b", "export_metadata.json")))
+    // a canceled id is terminal: re-preparing it is an id collision
+    val err = intercept[IllegalStateException](ex.prepare("a", Seq("ExpSpec" -> st)))
+    assert(err.getMessage == ExportSnapshot.ErrAlreadyExists)
+    assert(p1.anchors.head.version == p2.anchors.head.version)
+  }
+
   test("restore rejects unknown type names loudly") {
     val root = Files.createTempDirectory("graft-backup-bad").toString
     Seq("""{"name":"X","idColumn":"id","properties":[{"name":"p","dataType":"mystery","tokenization":"word","indexFilterable":true,"indexSearchable":true}],"vectors":{}}""")
