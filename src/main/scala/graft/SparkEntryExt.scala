@@ -2701,6 +2701,48 @@ object SparkEntryExt {
         .orderBy(col("doc_id"))
     }),
 
+    // §2.1 reference DELETE + PUT (reference: usecases/objects/
+    // references_delete.go — every occurrence of the beacon leaves the
+    // list, absent beacon / null list no-op, emptied list stays EMPTY not
+    // null; references_update.go:162 — PUT replaces the whole list
+    // verbatim): docs ≡15 (mod 30) delete their ONLY edge (the emptied-list
+    // arm), %10==7 deletes an absent beacon, %10==2 replaces with a
+    // two-edge list carrying an in-batch duplicate, one unknown source
+    // drops; the oracle replays edge-wise in list SQL
+    "q_store_refs_ops" -> ((s, dir) => {
+      val gg = g(s, dir)
+      val docs = gg.collection("Document").df.select(col("doc_id"), col("links"))
+      val schema = CollectionSchema("LinkOps", "doc_id", Seq(
+        Property("links", PropType.Ref, refTarget = Some("LinkOps"))))
+      val st = new graft.sources.CollectionStore(s,
+        java.nio.file.Files.createTempDirectory("graft-refops").toString, schema)
+      st.init(docs)
+      val d = docs.select(col("doc_id"))
+      val dels = d.filter(col("doc_id") % 10 === 5)
+        .select(col("doc_id"), ((col("doc_id") * 37) % 500).as("target"))    // present
+        .unionByName(d.filter(col("doc_id") % 10 === 7)
+          .select(col("doc_id"), lit(99999L).as("target")))                  // absent
+        .unionByName(d.limit(1).select(lit(88888888L).as("doc_id"),
+          lit(1L).as("target")))                                             // dropped
+      st.deleteReferences("links", dels)
+      val puts = d.filter(col("doc_id") % 10 === 2)
+        .select(col("doc_id"), lit(7L).as("target"))
+        .unionByName(d.filter(col("doc_id") % 10 === 2)
+          .select(col("doc_id"), lit(7L).as("target")))                      // in-batch dup
+        .unionByName(d.filter(col("doc_id") % 10 === 2)
+          .select(col("doc_id"), lit(8L).as("target")))
+      st.replaceReferences("links", puts)
+      // null and EMPTY render differently (concat_ws would fold both to ""):
+      // the emptied ≡15 (mod 30) docs must show "" while untouched %10==0
+      // docs stay NULL — the empty-stays-empty rule is hash-visible
+      st.read().select(col("doc_id"),
+        when(col("links").isNull, lit(null).cast("string"))
+          .otherwise(concat_ws(",",
+            transform(array_sort(col("links")), x => x.cast("string"))))
+          .as("links"))
+        .orderBy(col("doc_id"))
+    }),
+
     // §2.1 tenant offload/onload lifecycle through the store (reference:
     // modules/offload-s3 — FROZEN tenant's partition moves to the offload
     // backend and back): while offloaded the tenant is invisible to read()
@@ -3802,6 +3844,30 @@ object SparkEntryExt {
         |      ELSE links END AS links
         |  FROM base)
         |SELECT doc_id, array_to_string(list_sort(links), ',') AS links
+        |FROM v ORDER BY doc_id""".stripMargin,
+
+    // edge-wise replay of the DELETE + PUT batch: list_filter removes every
+    // occurrence, ≡15 (mod 30) empties to [] (rendered ""), %10==2 replaces
+    // with [7,8], %10==0 stays NULL
+    "q_store_refs_ops" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN NULL
+        |         ELSE list_transform(range(1, CAST(doc_id % 3 AS INT) + 2),
+        |                             i -> (doc_id * i * 37) % 500) END AS links
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN doc_id % 10 = 2 THEN [CAST(7 AS BIGINT), CAST(8 AS BIGINT)]
+        |      WHEN doc_id % 10 = 5 THEN
+        |        list_filter(links, x -> x <> (doc_id * 37) % 500)
+        |      ELSE links END AS links
+        |  FROM base)
+        |SELECT doc_id,
+        |  CASE WHEN links IS NULL THEN NULL
+        |       -- duckdb array_to_string([]) is NULL; the emptied docs show ''
+        |       ELSE coalesce(array_to_string(list_sort(links), ','), '') END AS links
         |FROM v ORDER BY doc_id""".stripMargin,
 
     // offloaded = all tenants but click; onloaded = all tenants

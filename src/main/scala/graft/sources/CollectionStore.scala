@@ -2,7 +2,7 @@ package graft.sources
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Collection, FilterCompiler}
@@ -203,33 +203,57 @@ final class CollectionStore(val spark: SparkSession, val root: String,
    *         sources; we surface the dropped count instead of silently losing
    *         them in the join.
    */
-  def addReferences(refProp: String, edges: DataFrame): (Long, Long) = {
+  def addReferences(refProp: String, edges: DataFrame): (Long, Long) =
+    mutateReferences(refProp, edges) { (cur, news) =>
+      when(news.isNull, cur)
+        .when(cur.isNull, news)
+        .otherwise(array_distinct(concat(cur, news)))
+    }
+
+  /**
+   * DELETE reference edges (reference: usecases/objects/references_delete.go
+   * removeReferenceStructural — every occurrence of the beacon leaves the
+   * list; deleting from a null list or an absent beacon is a silent no-op).
+   * `edges` = (id, target) rows; same applied/dropped accounting as
+   * [[addReferences]]. An emptied list stays an EMPTY list, not null — the
+   * object's property was written, only its edges are gone.
+   */
+  def deleteReferences(refProp: String, edges: DataFrame): (Long, Long) =
+    mutateReferences(refProp, edges) { (cur, dels) =>
+      when(dels.isNull || cur.isNull, cur).otherwise(array_except(cur, dels))
+    }
+
+  /**
+   * PUT references — replace the property's WHOLE list with the batch's
+   * edges for each addressed object (reference: usecases/objects/
+   * references_update.go:162 — `Properties[prop] = input.Refs` verbatim).
+   * Objects absent from the batch keep their list; unknown sources drop.
+   */
+  def replaceReferences(refProp: String, edges: DataFrame): (Long, Long) =
+    mutateReferences(refProp, edges) { (cur, news) =>
+      when(news.isNull, cur).otherwise(news)
+    }
+
+  private def mutateReferences(refProp: String, edges: DataFrame)(
+      combine: (Column, Column) => Column): (Long, Long) = {
     val id = schema.idColumn
     require(schema.property(refProp).exists(_.dataType == graft.model.PropType.Ref),
       s"$refProp is not a cref property")
     val current = read()
     require(current.schema(refProp).dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType],
-      s"$refProp is a scalar FK — BatchReferences needs a multi-edge (array) cref")
-    // cache the edge batch so the counted plan IS the merged plan (a
-    // non-deterministic edge source would otherwise diverge between the
-    // tally jobs and the rewrite)
+      s"$refProp is a scalar FK — reference batches need a multi-edge (array) cref")
     val cached = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // one tally job for both counts: mark edges whose source exists, then
-      // count(all) + count(marked) in a single aggregate (was two jobs)
       val marked = cached.join(
         current.select(col(id), lit(1).as("__exists")), Seq(id), "left")
       val tallies = marked.agg(
         count(lit(1)).as("total"), count(col("__exists")).as("applied")).head()
       val (total, applied) = (tallies.getLong(0), tallies.getLong(1))
       val grouped = cached.groupBy(col(id))
-        .agg(collect_set(col("target")).as("__new_refs"))
+        .agg(collect_set(col("target")).as("__batch_refs"))
       val merged = current.join(grouped, Seq(id), "left")
-        .withColumn(refProp,
-          when(col("__new_refs").isNull, col(refProp))
-            .when(col(refProp).isNull, col("__new_refs"))
-            .otherwise(array_distinct(concat(col(refProp), col("__new_refs")))))
-        .drop("__new_refs")
+        .withColumn(refProp, combine(col(refProp), col("__batch_refs")))
+        .drop("__batch_refs")
       writeVersion(merged)
       (applied, total - applied)
     } finally cached.unpersist()
