@@ -273,6 +273,14 @@ final class Graft(val spark: SparkSession) {
         .distinct.sorted.map { a => deleteAlias(a); s"alias:$a" }
       val classLog = classes.map { cl =>
         graft.operators.Bm25Search.invalidateStats(cl)
+        // release + drop the postings registries too: a swept class would
+        // otherwise pin its persisted index datasets for the session, and a
+        // re-registered same name would inherit the stale spec (props that
+        // may not exist on the new schema)
+        postingsIndexes.synchronized {
+          postingsIndexes.remove(cl).foreach(releasePostings)
+        }
+        postingsSpecs -= cl
         collections -= cl
         collectionNamespaces -= cl
         tenantRegistry -= cl
@@ -436,8 +444,14 @@ final class Graft(val spark: SparkSession) {
       if (!creation)
         throw new IllegalArgumentException(s"tenant not found: ${unknown.head}")
       // auto-created tenants pass the SAME name contract addTenants enforces
-      // (an invalid auto-created name would pollute partition paths)
+      // (an invalid auto-created name would pollute partition paths) AND the
+      // same instance-wide cap — auto-creation is a write path, exactly
+      // where the reference's chokepoint check fires; without this the cap
+      // is silently bypassable via autoTenantCreation
       unknown.foreach(validateTenantName)
+      UsageLimits.check(maxTenants,
+        tenantRegistry.valuesIterator.map(_.size.toLong).sum, unknown.size,
+        UsageLimits.LimitTenants, usageTemplate)
       tenantRegistry += cn ->
         (cur ++ unknown.map(_ -> (TenantStatus.Active: TenantStatus)))
     }

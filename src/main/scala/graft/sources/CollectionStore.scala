@@ -128,7 +128,13 @@ final class CollectionStore(val spark: SparkSession, val root: String,
 
   /** Initialize / overwrite the whole table. */
   def init(df: DataFrame): Unit = {
-    checkObjects(df.count())
+    // init OVERWRITES: the cap compares the incoming count alone — counting
+    // the rows this write replaces would reject any re-init of a
+    // more-than-half-full capped store
+    maxObjects.foreach { _ =>
+      graft.engine.UsageLimits.check(maxObjects, 0L, df.count(),
+        graft.engine.UsageLimits.LimitObjects, usageTemplate)
+    }
     writeVersion(vectorize(df))
   }
 
@@ -140,13 +146,20 @@ final class CollectionStore(val spark: SparkSession, val root: String,
     // to one row (DataFrames are unordered, so which duplicate wins is
     // arbitrary — pre-collapse upstream for last-write-wins semantics);
     // without this, both rows would land and the store would hold duplicates
+    // persist the collapsed batch: it feeds the cap count, the anti-join AND
+    // the union — a non-deterministic source would otherwise be counted as
+    // one set of rows and written as another (and even deterministic callers
+    // would pay three scans)
     val unique = updates.dropDuplicates(id)
-    // reference CheckObjects passes len(batch) — conservatively counting
-    // replacements too (Shard.PutObjectBatch has no replace-aware count)
-    checkObjects(unique.count())
-    val current = read()
-    val remaining = current.join(unique.select(col(id)), Seq(id), "left_anti")
-    writeVersion(remaining.unionByName(vectorize(unique), allowMissingColumns = true))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // reference CheckObjects passes len(batch) — conservatively counting
+      // replacements too (Shard.PutObjectBatch has no replace-aware count)
+      checkObjects(unique.count())
+      val current = read()
+      val remaining = current.join(unique.select(col(id)), Seq(id), "left_anti")
+      writeVersion(remaining.unionByName(vectorize(unique), allowMissingColumns = true))
+    } finally unique.unpersist()
   }
 
   /** Partial update (PATCH) — only the columns present in `patch` (besides the
@@ -226,8 +239,14 @@ final class CollectionStore(val spark: SparkSession, val root: String,
   /**
    * PUT references — replace the property's WHOLE list with the batch's
    * edges for each addressed object (reference: usecases/objects/
-   * references_update.go:162 — `Properties[prop] = input.Refs` verbatim).
-   * Objects absent from the batch keep their list; unknown sources drop.
+   * references_update.go:162 — `Properties[prop] = input.Refs`). Objects
+   * absent from the batch keep their list; unknown sources drop.
+   *
+   * DIVERGENCE (documented, shared with addReferences/deleteReferences):
+   * this store's cref lists are SET-valued — unordered, deduplicated —
+   * where the reference stores the verbatim beacon list. A clearing PUT
+   * (reference: empty refs array) is expressed as one (id, null) edge row:
+   * the set collapse drops the null and the list replaces with [].
    */
   def replaceReferences(refProp: String, edges: DataFrame): (Long, Long) =
     mutateReferences(refProp, edges) { (cur, news) =>

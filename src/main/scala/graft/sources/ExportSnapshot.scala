@@ -31,6 +31,7 @@ object ExportSnapshot {
   // entities/export/status.go
   val Started = "STARTED"
   val Success = "SUCCESS"
+  val Failed = "FAILED"
   val Canceled = "CANCELED"
 
   // scheduler.go sentinel error texts
@@ -38,6 +39,8 @@ object ExportSnapshot {
   val ErrAlreadyExists = "export already exists"
   val ErrAlreadyActive = "export already active"
   val ErrAlreadyFinished = "export has already finished"
+  val ErrNotActive = "export is not the active export"
+  val ErrValidation = "export validation error"
   val ErrDisabled =
     "export API is disabled; enable it via EXPORT_ENABLED=true or the runtime config"
 
@@ -58,7 +61,8 @@ final class ExportSnapshot(enabled: Boolean = true) {
   def prepare(id: String, targets: Seq[(String, CollectionStore)]): Prepared =
     synchronized {
       if (!enabled) throw new IllegalStateException(ErrDisabled)
-      require(id.nonEmpty && targets.nonEmpty, ErrValidationMsg)
+      if (id.isEmpty || targets.isEmpty)
+        throw new IllegalStateException(ErrValidation)
       if (exports.contains(id)) throw new IllegalStateException(ErrAlreadyExists)
       if (active.isDefined) throw new IllegalStateException(ErrAlreadyActive)
       active = Some(id)
@@ -66,23 +70,48 @@ final class ExportSnapshot(enabled: Boolean = true) {
       Prepared(id, targets.map { case (cn, st) => Anchor(cn, st, st.version) })
     }
 
-  /** Phase 2 — scan the pinned versions to parquet + metadata, free the slot. */
+  /**
+   * Phase 2 — scan the pinned versions to parquet + metadata, free the slot.
+   * Only the registry's ACTIVE export may commit: a canceled/unknown handle
+   * rejects (a stale Prepared must not run beside the export that now holds
+   * the slot, nor flip a CANCELED id to SUCCESS). A scan/write failure marks
+   * the export FAILED and frees the slot — the reference's best-effort
+   * abort: partial class directories carry no metadata blob (absence of
+   * `export_metadata.json` IS the partial marker) and the user re-runs
+   * under a fresh id.
+   */
   def commit(p: Prepared, destRoot: String): Metadata = {
+    synchronized {
+      val m = exports.getOrElse(p.id, throw new IllegalStateException(ErrNotFound))
+      if (m.status == Canceled || !active.contains(p.id))
+        throw new IllegalStateException(ErrNotActive)
+      if (m.status != Started) throw new IllegalStateException(ErrAlreadyFinished)
+    }
     val base = Paths.get(destRoot, p.id)
-    val counts = p.anchors.map { a =>
-      val df = a.store.readAt(a.version)
-      df.write.mode("errorifexists").parquet(base.resolve(a.className).toString)
-      a.className -> df.count()
-    }.toMap
+    val counts =
+      try p.anchors.map { a =>
+        val df = a.store.readAt(a.version)
+        df.write.mode("errorifexists").parquet(base.resolve(a.className).toString)
+        a.className -> df.count()
+      }.toMap
+      catch {
+        case e: Throwable =>
+          synchronized {
+            exports += p.id -> Metadata(p.id, Failed, p.anchors.map(_.className),
+              Map.empty, base.toString)
+            active = active.filterNot(_ == p.id)
+          }
+          throw e
+      }
     synchronized {
       val meta = Metadata(p.id, Success, p.anchors.map(_.className), counts,
         base.toString)
       Files.createDirectories(base)
-      val json = "{\"id\":\"" + p.id + "\",\"status\":\"" + Success +
+      val json = "{\"id\":\"" + jsonEscape(p.id) + "\",\"status\":\"" + Success +
         "\",\"classes\":[" +
-        p.anchors.map(a => "\"" + a.className + "\"").mkString(",") +
+        p.anchors.map(a => "\"" + jsonEscape(a.className) + "\"").mkString(",") +
         "],\"objectsExported\":{" +
-        p.anchors.map(a => "\"" + a.className + "\":" + counts(a.className))
+        p.anchors.map(a => "\"" + jsonEscape(a.className) + "\":" + counts(a.className))
           .mkString(",") + "}}"
       Files.write(base.resolve("export_metadata.json"), json.getBytes("UTF-8"))
       exports += p.id -> meta
@@ -105,5 +134,11 @@ final class ExportSnapshot(enabled: Boolean = true) {
     synchronized(exports.getOrElse(id,
       throw new IllegalStateException(ExportSnapshot.ErrNotFound)))
 
-  private val ErrValidationMsg = "export validation error"
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    }
 }

@@ -150,6 +150,35 @@ class StoreAndStreamingSpec extends SparkSpecBase {
     assert(st.read().count() == 3) // no rows invented for unknown sources
   }
 
+  test("deleteReferences drops all occurrences; replaceReferences swaps lists; null target clears") {
+    val dir = Files.createTempDirectory("graft-store").toString
+    val schema = CollectionSchema("Doc", "id", Seq(
+      Property("rel", PropType.Ref, refTarget = Some("Doc"))))
+    val st = new CollectionStore(spark, dir, schema)
+    st.init(Seq(
+      (1L, Some(Seq(10L, 11L))),
+      (2L, Some(Seq(20L))),
+      (3L, Some(Seq(30L, 31L))),
+      (4L, Option.empty[Seq[Long]])).toDF("id", "rel"))
+    val (dApplied, dDropped) = st.deleteReferences("rel", Seq(
+      (1L, 10L),  // present → removed
+      (2L, 20L),  // only edge → list EMPTIES (stays [], not null)
+      (4L, 5L),   // null list → no-op
+      (99L, 1L)   // unknown source → dropped
+    ).toDF("id", "target"))
+    assert(dApplied == 3 && dDropped == 1)
+    val (rApplied, _) = st.replaceReferences("rel", Seq(
+      (3L, Some(77L)),
+      (3L, Some(77L)),          // in-batch dup — set collapse
+      (1L, Option.empty[Long])  // clearing PUT: null target → []
+    ).toDF("id", "target"))
+    assert(rApplied == 3)
+    val out = st.read().orderBy($"id").collect()
+      .map(r => (r.getLong(0), Option(r.getSeq[Long](1)).map(_.sorted).orNull))
+    assert(out.toSeq == Seq((1L, Seq.empty[Long]), (2L, Seq.empty[Long]),
+      (3L, Seq(77L)), (4L, null)))
+  }
+
   test("addReferences rejects scalar-FK ref columns") {
     val dir = Files.createTempDirectory("graft-store").toString
     val schema = CollectionSchema("Doc", "id", Seq(
