@@ -156,8 +156,22 @@ object ScaleProfile {
       m.merges.size.toLong + u.pieces.size.toLong
     }
 
+    // the q_dedup_bloom shape: corpus → broadcast sketch, increment probes
+    // map-side; under rotation the increment is almost all NEW, so the
+    // measured cost is the linear sketch pass + the probe — the exact
+    // daily-ingest profile (a join-based membership test would instead
+    // shuffle the whole increment and read superlinear here)
+    def bloom(docs: DataFrame): Long = {
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val inc = docs.filter(col("doc_id") % 10 === 0)
+      Dedup.bloomDuplicates(corpus, col("doc_id"), col("text"),
+        inc, col("doc_id"), col("text"),
+        expectedItems = 1000000L, fpp = 0.01).count()
+    }
+
     val pipelines: Seq[(String, (DataFrame, String) => Long)] = Seq(
       "edit_join" -> ((d, _) => edit(d)), "minhash" -> ((d, _) => minhash(d)),
+      "bloom_membership" -> ((d, _) => bloom(d)),
       "curate_chain" -> ((d, _) => curate(d)),
       "tfidf" -> ((d, _) => tfidf(d)),
       "canonical_keep" -> ((d, _) => canonical(d)),
