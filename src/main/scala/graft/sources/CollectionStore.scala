@@ -428,9 +428,22 @@ final class CollectionStore(val spark: SparkSession, val root: String,
   def withMaxObjects(cap: Long, template: String = ""): this.type = {
     maxObjects = Some(cap); usageTemplate = template; this
   }
+  // the reference counts via per-shard ASYNC counters, not a scan per write;
+  // the analogue is one count per store VERSION — a write loop against a
+  // capped store recounts only after a version actually lands
+  private var cachedLiveCount: Option[(Int, Long)] = None
   private def checkObjects(n: => Long): Unit =
     maxObjects.foreach { _ =>
-      val current = if (version >= 0) read().count() else 0L
+      val v = version
+      val current =
+        if (v < 0) 0L
+        else cachedLiveCount match {
+          case Some((cv, c)) if cv == v => c
+          case _ =>
+            val c = read().count()
+            cachedLiveCount = Some((v, c))
+            c
+        }
       graft.engine.UsageLimits.check(maxObjects, current, n,
         graft.engine.UsageLimits.LimitObjects, usageTemplate)
     }
