@@ -18,6 +18,13 @@ object SparkEntryExt {
 
   private def g(spark: SparkSession, dir: String): Graft = Fixtures.graft(spark, dir)
 
+  /** Scripted-gate step outcomes, shared by every control-plane walk gate:
+   * "ok" (or the value) on success, the thrown message on failure. */
+  private def okOr(body: => Any): String =
+    try { body; "ok" } catch { case e: Throwable => e.getMessage }
+  private def valueOr(body: => Any): String =
+    try { body.toString } catch { case e: Throwable => e.getMessage }
+
   /** Materialize an encoded bed as a parquet side-table and read it back —
    * the production shape for batch-built index artifacts (same pattern as
    * IvfIndex.build's persistPath). Vs an in-memory persist of the raw frame
@@ -1745,8 +1752,7 @@ object SparkEntryExt {
         gg.collection("Order").df.select(col("o_orderkey"), col("o_totalprice"))
           .filter(col("o_orderkey") < 500))
       val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-      def res(body: => Unit): String =
-        try { body; "ok" } catch { case e: Throwable => e.getMessage }
+      def res(body: => Unit): String = okOr(body)
       def page(name: String): String =
         g2.get(GetParams(name)).count().toString
       out += "01_create_ok" -> res(g2.createAlias("ScriptAlias", "AliasA"))
@@ -2926,8 +2932,7 @@ object SparkEntryExt {
       val docs = gg.collection("Document").df
         .select(col("doc_id"), col("n_chars")).filter(col("doc_id") < 60)
       val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-      def res(body: => Any): String =
-        try { body; "ok" } catch { case e: Throwable => e.getMessage }
+      def res(body: => Any): String = okOr(body)
       val schema = CollectionSchema("LimStore", "doc_id",
         Seq(Property("n_chars", PropType.Int)))
       val st = new graft.sources.CollectionStore(s,
@@ -2984,8 +2989,7 @@ object SparkEntryExt {
       st.init(docs.filter(col("doc_id") < 80))
       val ex = new ExportSnapshot()
       val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-      def res(body: => Any): String =
-        try { body; "ok" } catch { case e: Throwable => e.getMessage }
+      def res(body: => Any): String = okOr(body)
       val p = ex.prepare("exp-1", Seq("DocExp" -> st))
       out += "01_slot_held" -> res(ex.prepare("exp-2", Seq("DocExp" -> st)))
       st.upsert(docs.filter(col("doc_id") < 20)
@@ -3019,8 +3023,7 @@ object SparkEntryExt {
       val gg = g(s, dir)
       val idx = ivfFor(gg, dir)
       val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-      def res(body: => Any): String =
-        try { body; "ok" } catch { case e: Throwable => e.getMessage }
+      def res(body: => Any): String = okOr(body)
       out += "01_default_template" ->
         Restrictions.render("", Restrictions.Compression, "pq", Seq("sq", "bq"))
       out += "02_custom_template" ->
@@ -3068,8 +3071,7 @@ object SparkEntryExt {
       g2.createAlias("KeepAlias", "NsKeep")
       c.changeState("ns-a", State.Deleting, 3)
       val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-      def res(body: => Any): String =
-        try { body.toString } catch { case e: Throwable => e.getMessage }
+      def res(body: => Any): String = valueOr(body)
       out += "01_deleting_list" -> c.listDeleting().mkString(",")
       out += "02_sweep_log" -> g2.cleanupDeletingNamespaces().mkString(",")
       out += "03_aliases_after" -> g2.listAliases()

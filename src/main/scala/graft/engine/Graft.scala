@@ -377,13 +377,17 @@ final class Graft(val spark: SparkSession) {
         s"tenant ${t.name}: on create only ACTIVE and INACTIVE are allowed")
       require(!cur.contains(t.name), s"tenant ${t.name} already exists")
     }
-    // instance-wide tenant cap across every collection's registry
-    UsageLimits.check(maxTenants,
-      tenantRegistry.valuesIterator.map(_.size.toLong).sum, ts.size,
-      UsageLimits.LimitTenants, usageTemplate)
+    checkTenantCap(ts.size)
     tenantRegistry += cn -> (cur ++ ts.map(t => t.name -> t.activityStatus))
     this
   }
+
+  /** Instance-wide tenant cap across every collection's registry — shared
+   * by BOTH tenant-creating write paths (addTenants and auto-creation). */
+  private def checkTenantCap(n: Long): Unit =
+    UsageLimits.check(maxTenants,
+      tenantRegistry.valuesIterator.map(_.size.toLong).sum, n,
+      UsageLimits.LimitTenants, usageTemplate)
 
   /** Update activity status; the tenant must exist (tenant.go on-update rules —
    * all three statuses allowed). */
@@ -449,9 +453,7 @@ final class Graft(val spark: SparkSession) {
       // where the reference's chokepoint check fires; without this the cap
       // is silently bypassable via autoTenantCreation
       unknown.foreach(validateTenantName)
-      UsageLimits.check(maxTenants,
-        tenantRegistry.valuesIterator.map(_.size.toLong).sum, unknown.size,
-        UsageLimits.LimitTenants, usageTemplate)
+      checkTenantCap(unknown.size)
       tenantRegistry += cn ->
         (cur ++ unknown.map(_ -> (TenantStatus.Active: TenantStatus)))
     }

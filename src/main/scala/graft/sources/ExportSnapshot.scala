@@ -91,8 +91,11 @@ final class ExportSnapshot(enabled: Boolean = true) {
     val counts =
       try p.anchors.map { a =>
         val df = a.store.readAt(a.version)
-        df.write.mode("errorifexists").parquet(base.resolve(a.className).toString)
-        a.className -> df.count()
+        val out = base.resolve(a.className).toString
+        df.write.mode("errorifexists").parquet(out)
+        // count the WRITTEN files: parquet footer metadata only — no
+        // re-scan of the source version, and it proves the write landed
+        a.className -> df.sparkSession.read.parquet(out).count()
       }.toMap
       catch {
         case e: Throwable =>
