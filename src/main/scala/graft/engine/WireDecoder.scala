@@ -1,0 +1,732 @@
+package graft.engine
+
+import java.util.Base64
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.model._
+
+/**
+ * Wire-format query decoder — parses weaviate's gRPC `SearchRequest` /
+ * `AggregateRequest` JSON documents (protojson field naming, both
+ * lowerCamelCase and the proto's snake_case accepted) into the engine's
+ * `GetParams` / `AggregateParams` IR, replaying the reference's parse-time
+ * validation errors verbatim.
+ *
+ * Reference:
+ *  - adapters/handlers/grpc/v1/parse_search_request.go:81-466 (Search),
+ *    509-652 (targets), 909-963 (nearText/moves), 1338-1507 (nearVector),
+ *    1509-1526 (selection/MMR)
+ *  - adapters/handlers/grpc/v1/filters.go:35-230 (filter clause tree,
+ *    value typing + int/number coercion), 312-373 (paths old/new style),
+ *    386-396 (floatToInt guards)
+ *  - adapters/handlers/grpc/v1/parse_aggregate_request.go:43-352
+ *    (AggregateRequest), 354-481 (per-type aggregator flags)
+ *  - grpc/proto/v1/{base_search,search_get,aggregate}.proto field names
+ *  - usecases/byteops/slices.go Fp32SliceFromBytes (little-endian fp32
+ *    `vectorBytes` payloads, the wire encoding real clients send)
+ *
+ * A JSON document decoded here drives the SAME plan as the equivalent
+ * programmatically-built params — the q_wire_* gates hash-match decoded
+ * queries against the programmatic twins' DuckDB oracles.
+ */
+object WireDecoder {
+
+  final class WireError(msg: String) extends IllegalArgumentException(msg)
+  private def fail(msg: String): Nothing = throw new WireError(msg)
+
+  // --- JSON field access (accept protojson lowerCamelCase AND proto snake_case)
+
+  private def norm(s: String): String = s.replace("_", "").toLowerCase
+  private def field(jv: JValue, name: String): Option[JValue] = jv match {
+    case JObject(fields) =>
+      val n = norm(name)
+      fields.collectFirst { case (k, v) if norm(k) == n && v != JNull => v }
+    case _ => None
+  }
+  private def str(jv: JValue, name: String): Option[String] =
+    field(jv, name).map { case JString(s) => s; case other => fail(s"$name: expected string, got $other") }
+  private def bool(jv: JValue, name: String): Boolean =
+    field(jv, name).exists { case JBool(b) => b; case other => fail(s"$name: expected bool, got $other") }
+  private def num(jv: JValue, name: String): Option[Double] = field(jv, name).map(asDouble(name, _))
+  private def intF(jv: JValue, name: String): Option[Long] = field(jv, name).map {
+    case JInt(i) => i.toLong
+    case JLong(i) => i
+    case JDouble(d) if d.isWhole => d.toLong
+    case JString(s) => s.toLong // protojson renders int64 as string
+    case other => fail(s"$name: expected integer, got $other")
+  }
+  private def asDouble(name: String, v: JValue): Double = v match {
+    case JDouble(d) => d
+    case JInt(i) => i.toDouble
+    case JLong(i) => i.toDouble
+    case JDecimal(d) => d.toDouble
+    case other => fail(s"$name: expected number, got $other")
+  }
+  private def arr(jv: JValue, name: String): Option[List[JValue]] =
+    field(jv, name).map { case JArray(xs) => xs; case other => fail(s"$name: expected array, got $other") }
+  private def strArr(jv: JValue, name: String): Seq[String] =
+    arr(jv, name).getOrElse(Nil).map { case JString(s) => s; case other => fail(s"$name: expected string array, got $other") }
+  private def floatArr(name: String, xs: List[JValue]): Array[Float] =
+    xs.map(v => asDouble(name, v).toFloat).toArray
+
+  /** Enum token match: "OPERATOR_EQUAL" / "Equal" / "equal" all hit "equal". */
+  private def enumIs(v: String, prefix: String, token: String): Boolean = {
+    val n = norm(v.stripPrefix(prefix))
+    n == norm(token)
+  }
+
+  /** Little-endian fp32 slice — the reference's byteops.Fp32SliceFromBytes,
+   * the encoding protojson `vectorBytes` (base64) carries. */
+  private[engine] def fp32FromBytes(bytes: Array[Byte]): Array[Float] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val out = new Array[Float](bytes.length / 4)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getFloat(i * 4); i += 1 }
+    out
+  }
+
+  /** A vector argument: either `vector` (number list), `vectorBytes`
+   * (base64 LE fp32), or `vectors: [{type, vectorBytes|vector}]` — the
+   * reference's precedence is vectors > vectorBytes > vector
+   * (parse_search_request.go:1343-1358). Returns (single, multi). */
+  private def extractVectorArg(jv: JValue, ctx: String): (Option[Array[Float]], Option[Array[Array[Float]]]) = {
+    arr(jv, "vectors") match {
+      case Some(vs) if vs.nonEmpty =>
+        if (vs.size > 1) fail(s"$ctx: only 1 vector supported, found ${vs.size} vectors")
+        val v = vs.head
+        val isMulti = str(v, "type").exists(t => enumIs(t, "VECTOR_TYPE_", "multi_fp32"))
+        if (isMulti) {
+          field(v, "vector").orElse(field(v, "vectorBytes")) match {
+            case Some(JArray(rows)) =>
+              (None, Some(rows.map { case JArray(r) => floatArr("vectors", r)
+                                     case other => fail(s"$ctx: expected nested float arrays, got $other") }.toArray))
+            case _ => fail(s"$ctx: multi vector requires nested float arrays")
+          }
+        } else {
+          val single = field(v, "vectorBytes") match {
+            case Some(JString(b64)) => fp32FromBytes(Base64.getDecoder.decode(b64))
+            case _ => arr(v, "vector").map(floatArr("vectors", _)).getOrElse(
+              fail(s"$ctx: vectors entry carries no vector payload"))
+          }
+          (Some(single), None)
+        }
+      case _ =>
+        str(jv, "vectorBytes") match {
+          case Some(b64) if b64.nonEmpty => (Some(fp32FromBytes(Base64.getDecoder.decode(b64))), None)
+          case _ => (arr(jv, "vector").filter(_.nonEmpty).map(floatArr("vector", _)), None)
+        }
+    }
+  }
+
+  // --- Go fmt %v for float64 (error-message fidelity): shortest repr, no
+  // trailing ".0" on whole numbers (strconv.FormatFloat 'g' -1).
+  private def goFloat(d: Double): String = {
+    if (d.isNaN) "NaN"
+    else if (d.isPosInfinity) "+Inf"
+    else if (d.isNegInfinity) "-Inf"
+    else if (d.isWhole && math.abs(d) < 1e21) {
+      if (math.abs(d) <= Long.MaxValue.toDouble) d.toLong.toString
+      else new java.math.BigDecimal(d).toBigInteger.toString
+    } else {
+      val s = d.toString
+      if (s.endsWith(".0")) s.dropRight(2) else s
+    }
+  }
+  /** Go fmt %v of a string slice: `[a b c]`. */
+  private def goStrSlice(xs: Seq[String]): String = xs.mkString("[", " ", "]")
+
+  // ==========================================================================
+  // Filters (reference: filters.go ExtractFilters)
+  // ==========================================================================
+
+  private val CompoundOps = Map("and" -> WhereOp.And, "or" -> WhereOp.Or, "not" -> WhereOp.Not)
+  private val LeafOps = Map(
+    "equal" -> WhereOp.Equal, "notequal" -> WhereOp.NotEqual,
+    "greaterthan" -> WhereOp.GreaterThan, "greaterthanequal" -> WhereOp.GreaterThanEqual,
+    "lessthan" -> WhereOp.LessThan, "lessthanequal" -> WhereOp.LessThanEqual,
+    "withingeorange" -> WhereOp.WithinGeoRange, "like" -> WhereOp.Like,
+    "isnull" -> WhereOp.IsNull, "containsany" -> WhereOp.ContainsAny,
+    "containsall" -> WhereOp.ContainsAll, "containsnone" -> WhereOp.ContainsNone)
+
+  def decodeFilters(g: Graft, className: String, jv: JValue): Where = {
+    val opRaw = str(jv, "operator").getOrElse(fail("filters: operator is required"))
+    val opNorm = norm(opRaw.stripPrefix("OPERATOR_"))
+    CompoundOps.get(opNorm) match {
+      case Some(op) =>
+        val operands = arr(jv, "filters").getOrElse(Nil).map(decodeFilters(g, className, _))
+        Where(op, operands = operands)
+      case None =>
+        val op = LeafOps.getOrElse(opNorm, fail(s"unknown filter operator $opRaw"))
+        val onPath = strArr(jv, "on")
+        val path: Seq[String] = field(jv, "target") match {
+          case Some(t) => decodeFilterTarget(g, className, t)
+          case None =>
+            if (onPath.size % 2 != 1)
+              fail(s"paths needs to have a uneven number of components: property, class, property, ...., got ${goStrSlice(onPath)}")
+            onPath
+        }
+        if (op == WhereOp.IsNull)
+          return Where(op, path, Some(FilterValue.BoolV(
+            field(jv, "valueBoolean").map { case JBool(b) => b; case o => fail(s"valueBoolean: $o") }.getOrElse(true))))
+        val raw = decodeFilterValue(jv)
+        val dt = filterDataType(g, className, path, op)
+        Where(op, path, Some(coerceValue(raw, dt, op)))
+    }
+  }
+
+  /** New-style FilterTarget (filters.go:325-373): property / singleTarget /
+   * multiTarget / count — flattened to the engine's path encoding
+   * (prop, TargetClass, prop, ...). */
+  private def decodeFilterTarget(g: Graft, className: String, t: JValue): Seq[String] =
+    field(t, "property") match {
+      case Some(JString(p)) => Seq(p)
+      case _ =>
+        field(t, "singleTarget") match {
+          case Some(st) =>
+            val on = str(st, "on").getOrElse(fail("singleTarget: on is required"))
+            val prop = g.collection(className).schema.property(on).getOrElse(
+              fail(s"property $on does not exist on class $className"))
+            val linked = prop.refTarget.getOrElse(
+              fail(s"expected reference property with a single target, got ${prop.dataType.name} for $on "))
+            val childTarget = field(st, "target").getOrElse(fail("singleTarget: target is required"))
+            on +: linked +: decodeFilterTarget(g, linked, childTarget)
+          case None =>
+            field(t, "multiTarget") match {
+              case Some(mt) =>
+                val on = str(mt, "on").getOrElse(fail("multiTarget: on is required"))
+                val linked = str(mt, "targetCollection").getOrElse(fail("multiTarget: targetCollection is required"))
+                val childTarget = field(mt, "target").getOrElse(fail("multiTarget: target is required"))
+                on +: linked +: decodeFilterTarget(g, linked, childTarget)
+              case None =>
+                field(t, "count") match {
+                  case Some(c) => Seq(str(c, "on").getOrElse(fail("count: on is required")))
+                  case None => fail(s"unknown target type $t")
+                }
+            }
+        }
+    }
+
+  /** Typed value from the proto TestValue oneof (filters.go:129-164).
+   * Array messages carry a `values` field in proto; a bare JSON array is
+   * also accepted. */
+  private def decodeFilterValue(jv: JValue): FilterValue = {
+    import FilterValue._
+    def arrayOf(name: String): Option[List[JValue]] = field(jv, name).map {
+      case JArray(xs) => xs
+      case o => field(o, "values") match {
+        case Some(JArray(xs)) => xs
+        case _ => fail(s"$name: expected array or {values: [...]}")
+      }
+    }
+    field(jv, "valueText").map { case JString(s) => TextV(s); case o => fail(s"valueText: $o") }
+      .orElse(field(jv, "valueInt").map {
+        case JInt(i) => IntV(i.toLong); case JLong(i) => IntV(i)
+        case JDouble(d) if d.isWhole => IntV(d.toLong)
+        case JString(s) => IntV(s.toLong) // protojson int64-as-string
+        case o => fail(s"valueInt: $o") })
+      .orElse(field(jv, "valueBoolean").map { case JBool(b) => BoolV(b); case o => fail(s"valueBoolean: $o") })
+      .orElse(field(jv, "valueNumber").map(v => NumberV(asDouble("valueNumber", v))))
+      .orElse(arrayOf("valueIntArray").map(xs => ListV(xs.map {
+        case JInt(i) => IntV(i.toLong); case JLong(i) => IntV(i)
+        case JDouble(d) if d.isWhole => IntV(d.toLong)
+        case JString(s) => IntV(s.toLong)
+        case o => fail(s"valueIntArray: $o") })))
+      .orElse(arrayOf("valueTextArray").map(xs => ListV(xs.map {
+        case JString(s) => TextV(s); case o => fail(s"valueTextArray: $o") })))
+      .orElse(arrayOf("valueNumberArray").map(xs => ListV(xs.map(v => NumberV(asDouble("valueNumberArray", v))))))
+      .orElse(arrayOf("valueBooleanArray").map(xs => ListV(xs.map {
+        case JBool(b) => BoolV(b); case o => fail(s"valueBooleanArray: $o") })))
+      .orElse(field(jv, "valueGeo").map { geo =>
+        GeoRangeV(
+          num(geo, "latitude").getOrElse(fail("valueGeo: latitude is required")),
+          num(geo, "longitude").getOrElse(fail("valueGeo: longitude is required")),
+          num(geo, "distance").getOrElse(fail("valueGeo: distance is required")))
+      })
+      .getOrElse(fail(s"unknown value type ${JsonMethods.compact(JsonMethods.render(jv))}"))
+  }
+
+  /** The leaf property's schema type, walked like filters.go
+   * extractDataType/extractDataTypeProperty: metadata pseudo-props, len(),
+   * ref-count single-hop, nested hops, array unwrap. */
+  private def filterDataType(g: Graft, className: String, path: Seq[String], op: WhereOp): PropType = {
+    val last = path.last
+    if (last == "_id") return PropType.Text
+    if (last == "_creationTimeUnix" || last == "_lastUpdateTimeUnix") return PropType.Date
+    if (last.startsWith("len(") && last.endsWith(")")) return PropType.Int
+    val leafClass = if (path.size > 1) path(path.size - 2) else className
+    val schema = g.collection(leafClass).schema
+    val prop = schema.property(last).getOrElse(
+      fail(s"property $last does not exist on class ${schema.name}"))
+    val dt = prop.dataType match {
+      // single-element path on a cref = reference-count filter (filters.go:285-289)
+      case PropType.Ref if path.size == 1 => PropType.Int
+      case PropType.Arr(elem) => elem // array filters type against the base (filters.go:295-297)
+      case other => other
+    }
+    // UUID is just a string at filter level (filters.go:125-127)
+    if (dt == PropType.Uuid) PropType.Text else dt
+  }
+
+  private def isContains(op: WhereOp): Boolean =
+    op == WhereOp.ContainsAny || op == WhereOp.ContainsAll || op == WhereOp.ContainsNone
+
+  /** floatToInt with the reference's guards (filters.go:386-396). */
+  private def floatToInt(v: Double): Long = {
+    if (v.isNaN || v.isInfinite)
+      fail(s"filtering for integer, but received a non-finite number ${goFloat(v)}")
+    if (v < Long.MinValue.toDouble || v >= Long.MaxValue.toDouble)
+      fail(s"filtering for integer, but received a value out of range ${goFloat(v)}")
+    if (v != math.floor(v))
+      fail(s"filtering for integer, but received a floating point number ${goFloat(v)}")
+    v.toLong
+  }
+
+  /** Int/number/date coercion (filters.go:166-223 + date literals as text). */
+  private def coerceValue(v: FilterValue, dt: PropType, op: WhereOp): FilterValue = {
+    import FilterValue._
+    (dt, v) match {
+      case (PropType.Number, IntV(i)) => NumberV(i.toDouble)
+      case (PropType.Number, TextV(s)) =>
+        val d = try s.toDouble catch { case _: NumberFormatException =>
+          fail(s"expected a number value, but could not parse string '$s' as float") }
+        NumberV(d)
+      case (PropType.Number, ListV(vs)) if isContains(op) =>
+        ListV(vs.map { case IntV(i) => NumberV(i.toDouble); case other => other })
+      case (PropType.Int, NumberV(d)) => IntV(floatToInt(d))
+      case (PropType.Int, TextV(s)) =>
+        val d = try s.toDouble catch { case _: NumberFormatException =>
+          fail(s"expected an integer value, but could not parse string '$s' as int") }
+        IntV(floatToInt(d))
+      case (PropType.Int, ListV(vs)) if isContains(op) =>
+        ListV(vs.map { case NumberV(d) => IntV(floatToInt(d)); case other => other })
+      case (PropType.Date, TextV(s)) => DateV(Where.utcTs(s))
+      case (PropType.Date, ListV(vs)) =>
+        ListV(vs.map { case TextV(s) => DateV(Where.utcTs(s)); case other => other })
+      case _ => v
+    }
+  }
+
+  // ==========================================================================
+  // Targets / combination (parse_search_request.go:509-652)
+  // ==========================================================================
+
+  private def decodeTargets(jv: JValue): (Seq[String], Option[TargetCombination]) =
+    field(jv, "targets") match {
+      case Some(t) =>
+        val tvs = strArr(t, "targetVectors")
+        val weightsList = arr(t, "weightsForTargets").getOrElse(Nil)
+        def manualWeights(): Map[String, Double] = {
+          if (weightsList.size != tvs.size)
+            fail(s"number of weights (${weightsList.size}) does not match number of targets (${tvs.size})")
+          weightsList.zipWithIndex.map { case (w, i) =>
+            val target = str(w, "target").getOrElse(fail("weightsForTargets: target is required"))
+            if (target != tvs(i)) fail(s"target vector $target not found in target vectors")
+            target -> num(w, "weight").getOrElse(fail("weightsForTargets: weight is required"))
+          }.toMap
+        }
+        val combo = str(t, "combination") match {
+          case None => TargetCombination.Minimum // UNSPECIFIED → default (dto.go:41)
+          case Some(c) =>
+            val cn = norm(c.stripPrefix("COMBINATION_METHOD_").stripPrefix("TYPE_"))
+            cn match {
+              case "typeaverage" | "average" => TargetCombination.Average
+              case "typesum" | "sum" => TargetCombination.Sum
+              case "typemin" | "min" | "minimum" => TargetCombination.Minimum
+              case "typemanual" | "manual" => TargetCombination.ManualWeights(manualWeights())
+              case "typerelativescore" | "relativescore" => TargetCombination.RelativeScore(manualWeights())
+              case "unspecified" => TargetCombination.Minimum
+              case _ => fail(s"unknown combination method $c")
+            }
+        }
+        (tvs, Some(combo))
+      case None =>
+        val tvs = strArr(jv, "targetVectors")
+        // >1 targets without explicit Targets → default combination (Minimum)
+        (tvs, if (tvs.size > 1) Some(TargetCombination.Minimum) else None)
+    }
+
+  // ==========================================================================
+  // Search legs
+  // ==========================================================================
+
+  private def checkDistCert(jv: JValue, ctx: String): (Option[Double], Option[Double]) = {
+    val dist = num(jv, "distance")
+    val cert = num(jv, "certainty")
+    if (dist.isDefined && cert.isDefined) fail(s"$ctx: cannot provide distance and certainty")
+    (dist, cert)
+  }
+
+  /** nearVector (parse_search_request.go:126-149 + parseNearVec 1338-1507). */
+  private def decodeNearVector(jv: JValue): Either[NearVector, NearMultiVector] = {
+    val (tvs, combo) = decodeTargets(jv)
+    val (single, multi) = extractVectorArg(jv, "near_vector")
+    val (dist, cert) = checkDistCert(jv, "near_vector")
+    multi match {
+      case Some(m) => Right(NearMultiVector(m, targetVectors = tvs))
+      case None =>
+        val perTarget: Seq[Array[Float]] = if (single.isDefined) Nil else {
+          field(jv, "vectorForTargets") match {
+            case Some(JArray(vfts)) =>
+              val names = vfts.map(v => str(v, "name").getOrElse(fail("vectorForTargets: name is required")))
+              val effTargets = if (tvs.nonEmpty) tvs.distinct else Seq("")
+              if (vfts.size != effTargets.size)
+                fail("near_vector: vector for target must have the same lengths as target vectors")
+              effTargets.zipWithIndex.map { case (t, i) =>
+                if (names(i) != t)
+                  fail(s"near_vector: vector for target $t is required. All target vectors: ${goStrSlice(effTargets)} all vectors for targets ${goStrSlice(names)}")
+                extractVectorArg(vfts(i), "near_vector")._1.getOrElse(fail("near_vector: vector is required"))
+              }
+            case _ =>
+              field(jv, "vectorPerTarget") match {
+                case Some(JObject(kvs)) =>
+                  val m = kvs.toMap
+                  val effTargets = if (tvs.nonEmpty) tvs else Seq("")
+                  if (m.size != effTargets.size)
+                    fail("near_vector: vector per target must be provided for all targets")
+                  effTargets.map { t =>
+                    m.get(t) match {
+                      case Some(JArray(xs)) => floatArr("vectorPerTarget", xs)
+                      case Some(JString(b64)) => fp32FromBytes(Base64.getDecoder.decode(b64))
+                      case _ =>
+                        fail(s"near_vector: vector for target $t is required. All target vectors: ${goStrSlice(effTargets)} all vectors for targets ${goStrSlice(m.keys.toSeq)}")
+                    }
+                  }
+                case _ => fail("near_vector: vector is required")
+              }
+          }
+        }
+        if (single.isDefined && field(jv, "vectorPerTarget").isDefined)
+          fail("near_vector: either vector or VectorPerTarget must be provided, not both")
+        Left(NearVector(
+          vector = single.getOrElse(if (perTarget.nonEmpty) perTarget.head else fail("near_vector: vector is required")),
+          metric = Metric.Default,
+          distance = dist, certainty = cert,
+          targetVectors = if (perTarget.nonEmpty) tvs.distinct else tvs,
+          combination = combo.getOrElse(TargetCombination.Minimum),
+          vectors = if (perTarget.nonEmpty) perTarget else Nil))
+    }
+  }
+
+  private def decodeNearObject(jv: JValue): NearObject = {
+    val id = str(jv, "id").getOrElse("")
+    if (id.isEmpty) fail("near_object: id is required")
+    val (dist, cert) = checkDistCert(jv, "near_object")
+    val (tvs, _) = decodeTargets(jv)
+    // numeric-string ids address numeric id columns (the engine's id columns
+    // are typed; a real uuid string passes through unchanged)
+    val idVal: Any = if (id.forall(_.isDigit)) id.toLong else id
+    NearObject(idVal, metric = Metric.Default, distance = dist, certainty = cert, targetVectors = tvs)
+  }
+
+  private def decodeMove(jv: JValue, name: String): Option[MoveParams] =
+    field(jv, name).map { m =>
+      MoveParams(
+        concepts = strArr(m, "concepts"),
+        force = num(m, "force").getOrElse(0.0),
+        objects = strArr(m, "uuids").map(u => if (u.forall(_.isDigit)) u.toLong else (u: Any)))
+    }
+
+  private def decodeNearText(jv: JValue): NearText = {
+    val concepts = strArr(jv, "query")
+    val (dist, cert) = checkDistCert(jv, "near_text")
+    val (tvs, _) = decodeTargets(jv)
+    NearText(concepts, metric = Metric.Default, distance = dist, certainty = cert,
+      moveTo = decodeMove(jv, "moveTo"), moveAwayFrom = decodeMove(jv, "moveAway"),
+      targetVectors = tvs, autocorrect = bool(jv, "autocorrect"))
+  }
+
+  private def decodeNearMedia(kind: MediaKind, payloadField: String, jv: JValue): NearMedia = {
+    val payload = str(jv, payloadField).getOrElse(fail(s"near_${kind.name}: $payloadField is required"))
+    val (dist, cert) = checkDistCert(jv, s"near_${kind.name}")
+    val (tvs, _) = decodeTargets(jv)
+    NearMedia(kind, Base64.getDecoder.decode(payload), metric = Metric.Default,
+      distance = dist, certainty = cert, targetVectors = tvs)
+  }
+
+  private def decodeSearchOperator(jv: JValue, name: String): Option[SearchOperator] =
+    field(jv, name).map { so =>
+      val op = str(so, "operator").getOrElse("")
+      val min = intF(so, "minimumOrTokensMatch").map(_.toInt).getOrElse(1)
+      if (enumIs(op, "OPERATOR_", "and")) SearchOperator.AndOp
+      else SearchOperator.Or(min)
+    }
+
+  private def decodeBm25(jv: JValue): Bm25 =
+    Bm25(
+      query = str(jv, "query").getOrElse(fail("bm25: query is required")),
+      properties = strArr(jv, "properties"),
+      searchOperator = decodeSearchOperator(jv, "searchOperator").getOrElse(SearchOperator.Or(1)))
+
+  private def decodeHybrid(jv: JValue): Hybrid = {
+    val fusion = str(jv, "fusionType") match {
+      case Some(f) if enumIs(f, "FUSION_TYPE_", "ranked") => FusionType.Ranked
+      case Some(f) if enumIs(f, "FUSION_TYPE_", "relative_score") => FusionType.RelativeScore
+      case _ => FusionType.RelativeScore // HybridFusionDefault (common_filters/hybrid.go:28)
+    }
+    val (tvs, _) = decodeTargets(jv)
+    val (vec, multi) = extractVectorArg(jv, "hybrid")
+    if (multi.isDefined) fail("hybrid: multi vectors are not supported in the dense leg")
+    val alpha = num(jv, "alpha").getOrElse(0.75) // DefaultAlpha (common_filters/hybrid.go:23)
+    val vectorDistance = num(jv, "vectorDistance")
+
+    // sub-searches: selection only at the top level (parse_search_request.go:295-300)
+    field(jv, "nearText").foreach { nt =>
+      if (field(nt, "selection").isDefined)
+        fail("hybrid: selection must be set on the top-level hybrid search, not on the near_text sub-search")
+    }
+    field(jv, "nearVector").foreach { nv =>
+      if (field(nv, "selection").isDefined)
+        fail("hybrid: selection must be set on the top-level hybrid search, not on the near_vector sub-search")
+    }
+    val nearTxt = field(jv, "nearText").map(decodeNearText)
+    val nearVec = field(jv, "nearVector").map(decodeNearVector(_).left.getOrElse(
+      fail("hybrid: multi vectors are not supported in the near_vector sub-search")))
+
+    if (nearTxt.isDefined && nearVec.isDefined)
+      fail("cannot combine nearText and nearVector in hybrid search")
+    if (nearTxt.isDefined && vec.isDefined)
+      fail("cannot combine nearText and query in hybrid search")
+    if (nearVec.isDefined && vec.isDefined)
+      fail("cannot combine nearVector and vector in hybrid search")
+
+    // the nearVector sub-search IS the dense leg: its vector becomes the
+    // hybrid vector, its distance/certainty the dense-leg cutoff
+    // (explorer_hybrid.go routes NearVectorParams into the dense search)
+    val denseVec = vec.orElse(nearVec.map(_.vector))
+    val denseCutoff = vectorDistance
+      .orElse(nearVec.flatMap(_.distance))
+      .orElse(nearVec.flatMap(_.certainty).map(c => 2.0 * (1.0 - c)))
+
+    Hybrid(
+      query = str(jv, "query").getOrElse(""),
+      vector = denseVec,
+      metric = Metric.Default,
+      alpha = alpha,
+      fusionType = fusion,
+      properties = strArr(jv, "properties"),
+      maxVectorDistance = denseCutoff,
+      targetVectors = if (tvs.nonEmpty) tvs else nearVec.map(_.targetVectors).getOrElse(Nil),
+      searchOperator = decodeSearchOperator(jv, "bm25SearchOperator").getOrElse(SearchOperator.Or(1)),
+      nearText = nearTxt)
+  }
+
+  private def decodeSelectionMmr(jv: JValue): Option[SelectionMmrParams] =
+    field(jv, "selection").flatMap(sel => field(sel, "mmr")).map { mmr =>
+      val limit = intF(mmr, "limit").map(_.toInt).getOrElse(0)
+      if (limit == 0) fail("MMR limit must be at least 1")
+      val balance = num(mmr, "balance").getOrElse(0.5)
+      if (balance < 0 || balance > 1) fail("MMR balance must be between 0 and 1")
+      SelectionMmrParams(limit, balance)
+    }
+
+  // ==========================================================================
+  // SearchRequest → GetParams
+  // ==========================================================================
+
+  def search(g: Graft, json: String): GetParams = decodeSearch(g, JsonMethods.parse(json))
+
+  private[engine] def decodeSearch(g: Graft, jv: JValue): GetParams = {
+    val collection = str(jv, "collection").getOrElse(fail("collection is required"))
+    g.collection(collection) // authorizedGetClass: unknown collection errors first
+
+    val tenant = str(jv, "tenant")
+    val where = field(jv, "filters").map(decodeFilters(g, collection, _))
+
+    // metadata → additional set (extractAdditionalPropsFromMetadata)
+    val additional: Set[String] = field(jv, "metadata").map { m =>
+      Seq(
+        "uuid" -> "id", "vector" -> "vector", "distance" -> "distance",
+        "certainty" -> "certainty", "score" -> "score", "explainScore" -> "explainScore",
+        "creationTimeUnix" -> "creationTimeUnix", "lastUpdateTimeUnix" -> "lastUpdateTimeUnix"
+      ).collect { case (f, key) if bool(m, f) => key }.toSet
+    }.getOrElse(Set.empty)
+
+    // properties request (extractPropertiesRequest): absent → all non-ref
+    // props (the engine's properties=Nil); nonRefProperties → exactly those;
+    // refProperties → resolveRefs
+    val (props, refs) = field(jv, "properties") match {
+      case None => (Nil: Seq[String], Nil: Seq[String])
+      case Some(p) =>
+        val nonRef = if (bool(p, "returnAllNonrefProperties")) Nil else strArr(p, "nonRefProperties")
+        val refProps = arr(p, "refProperties").getOrElse(Nil)
+          .map(rp => str(rp, "referenceProperty").getOrElse(fail("refProperties: referenceProperty is required")))
+        (nonRef, refProps)
+    }
+
+    val offset = intF(jv, "offset").map(_.toInt).getOrElse(0)
+    val autocut = intF(jv, "autocut").map(_.toInt).filter(_ > 0)
+    // limit 0 → QueryDefaults.Limit (config_handler.go:887 = 10)
+    val limit = intF(jv, "limit").map(_.toInt).filter(_ > 0).getOrElse(10)
+    val pagination = Pagination(offset = offset, limit = limit)
+
+    val bm25 = field(jv, "bm25Search").map(decodeBm25).map { b =>
+      // AdditionalExplanations rides the metadata flag (parse_search_request.go:116)
+      b
+    }
+    val nearVecLeg = field(jv, "nearVector").map(decodeNearVector)
+    val nearObject = field(jv, "nearObject").map(decodeNearObject)
+    val nearText = field(jv, "nearText").map(decodeNearText)
+    val hybrid = field(jv, "hybridSearch").map(decodeHybrid)
+    val nearMedia =
+      field(jv, "nearImage").map(decodeNearMedia(MediaKind.Image, "image", _))
+        .orElse(field(jv, "nearAudio").map(decodeNearMedia(MediaKind.Audio, "audio", _)))
+        .orElse(field(jv, "nearVideo").map(decodeNearMedia(MediaKind.Video, "video", _)))
+        .orElse(field(jv, "nearDepth").map(decodeNearMedia(MediaKind.Depth, "depth", _)))
+        .orElse(field(jv, "nearThermal").map(decodeNearMedia(MediaKind.Thermal, "thermal", _)))
+        .orElse(field(jv, "nearImu").map(decodeNearMedia(MediaKind.Imu, "imu", _)))
+
+    // selection (MMR) may sit on nearVector / nearObject / nearText / hybrid
+    val selection =
+      field(jv, "nearVector").flatMap(decodeSelectionMmr)
+        .orElse(field(jv, "nearObject").flatMap(decodeSelectionMmr))
+        .orElse(field(jv, "nearText").flatMap(decodeSelectionMmr))
+        .orElse(field(jv, "hybridSearch").flatMap(decodeSelectionMmr))
+    selection.foreach { mmr =>
+      if (limit > 0 && mmr.limit > limit)
+        fail(s"MMR limit (${mmr.limit}) cannot be larger than the query limit ($limit)")
+    }
+
+    val hasSearch = bm25.isDefined || nearVecLeg.isDefined || nearObject.isDefined ||
+      nearText.isDefined || hybrid.isDefined || nearMedia.isDefined ||
+      field(jv, "generative").isDefined
+
+    val sort = arr(jv, "sortBy").getOrElse(Nil).map { s =>
+      SortBy(strArr(s, "path"), desc = !bool(s, "ascending"))
+    }
+    if (sort.nonEmpty && hasSearch) fail("sorting cannot be combined with search")
+
+    val groupBy = field(jv, "groupBy").map { gb =>
+      val path = strArr(gb, "path")
+      if (path.size != 1)
+        fail(s"groupby path can only have one entry, received ${goStrSlice(path)}")
+      GroupByParams(path.head,
+        groups = intF(gb, "numberOfGroups").map(_.toInt).getOrElse(0),
+        objectsPerGroup = intF(gb, "objectsPerGroup").map(_.toInt).getOrElse(0))
+    }
+
+    val cursor = str(jv, "after").filter(_.nonEmpty).map { after =>
+      val key: Any = if (after.forall(_.isDigit)) after.toLong else after
+      Cursor(Some(key), limit)
+    }
+
+    val rerank = field(jv, "rerank").map { r =>
+      RerankParams(
+        property = str(r, "property").getOrElse(fail("rerank: property is required")),
+        query = str(r, "query").getOrElse(""))
+    }
+
+    // GenerativeSearch (generative.proto): single{prompt} grouped{task, properties}
+    val generate = field(jv, "generative").map { gen =>
+      val single = field(gen, "single").flatMap(s => str(s, "prompt"))
+        .orElse(str(gen, "singleResponsePrompt"))
+      val grouped = field(gen, "grouped")
+      GenerateParams(
+        singlePrompt = single,
+        groupedTask = grouped.flatMap(t => str(t, "task")).orElse(str(gen, "groupedResponseTask")),
+        groupedProperties = grouped.map(t => strArr(t, "properties")).getOrElse(strArr(gen, "groupedProperties")))
+    }
+
+    GetParams(
+      collection = collection,
+      where = where,
+      nearVector = nearVecLeg.flatMap(_.left.toOption),
+      nearMultiVector = nearVecLeg.flatMap(_.toOption),
+      nearObject = nearObject,
+      nearText = nearText,
+      nearMedia = nearMedia,
+      bm25 = bm25,
+      hybrid = hybrid,
+      sort = sort,
+      pagination = Some(pagination),
+      cursor = cursor,
+      groupBy = groupBy,
+      properties = props,
+      additional = additional,
+      resolveRefs = refs,
+      tenant = tenant,
+      autocut = autocut,
+      rerank = rerank,
+      generate = generate,
+      selectionMmr = selection)
+  }
+
+  // ==========================================================================
+  // AggregateRequest → AggregateParams (parse_aggregate_request.go)
+  // ==========================================================================
+
+  def aggregate(g: Graft, json: String): AggregateParams = decodeAggregate(g, JsonMethods.parse(json))
+
+  private[engine] def decodeAggregate(g: Graft, jv: JValue): AggregateParams = {
+    val collection = str(jv, "collection").getOrElse(fail("collection is required"))
+    g.collection(collection)
+
+    val groupBy = field(jv, "groupBy").map { gb =>
+      Seq(str(gb, "property").getOrElse(fail("groupBy: property is required")))
+    }
+
+    val aggregations: Map[String, Seq[Aggregator]] =
+      arr(jv, "aggregations").getOrElse(Nil).map { agg =>
+        val prop = str(agg, "property").getOrElse(fail("aggregations: property is required"))
+        prop -> decodeAggregators(agg)
+      }.toMap
+
+    val where = field(jv, "filters").map(decodeFilters(g, collection, _))
+
+    // single search oneof; >1 target vector errors (parse_aggregate_request.go:100-102)
+    def checkSingleTarget(legJv: JValue): Unit = {
+      val (tvs, _) = decodeTargets(legJv)
+      if (tvs.size > 1) fail("found more than one target vector for aggregation")
+    }
+    val nearVec = field(jv, "nearVector").map { nv => checkSingleTarget(nv); decodeNearVector(nv) }
+    val nearObject = field(jv, "nearObject").map { no => checkSingleTarget(no); decodeNearObject(no) }
+    val nearText = field(jv, "nearText").map { nt => checkSingleTarget(nt); decodeNearText(nt) }
+    val hybrid = field(jv, "hybrid").map { h => checkSingleTarget(h); decodeHybrid(h) }
+    val nearMedia = field(jv, "nearImage").map(decodeNearMedia(MediaKind.Image, "image", _))
+
+    AggregateParams(
+      collection = collection,
+      groupBy = groupBy,
+      properties = aggregations,
+      includeMetaCount = bool(jv, "objectsCount"),
+      where = where,
+      nearVector = nearVec.flatMap(_.left.toOption),
+      nearObject = nearObject,
+      nearText = nearText,
+      nearMedia = nearMedia,
+      hybrid = hybrid,
+      objectLimit = intF(jv, "objectLimit").map(_.toInt),
+      limit = intF(jv, "limit").map(_.toInt),
+      tenant = str(jv, "tenant"))
+  }
+
+  /** Per-type aggregator flag messages (parse_aggregate_request.go:354-481).
+   * The oneof arm is keyed "int"/"number"/"text"/"boolean"/"date"/"reference". */
+  private def decodeAggregators(agg: JValue): Seq[Aggregator] = {
+    import Aggregator._
+    def flags(o: JValue, pairs: (String, Aggregator)*): Seq[Aggregator] =
+      pairs.collect { case (f, a) if bool(o, f) => a }
+    field(agg, "int").orElse(field(agg, "number")).map { o =>
+      flags(o, "count" -> Count, "type" -> Type, "mean" -> Mean, "median" -> Median,
+        "mode" -> Mode, "maximum" -> Maximum, "minimum" -> Minimum, "sum" -> Sum)
+    }.orElse(field(agg, "text").map { o =>
+      val base = flags(o, "count" -> Count, "type" -> Type)
+      // reference quirk (parse_aggregate_request.go:418-425): topOccurences
+      // WITHOUT a limit maps to TotalTrueAggregator — replicated bug-for-bug
+      val top = if (bool(o, "topOccurences"))
+        intF(o, "topOccurencesLimit").map(l => TopOccurrences(l.toInt)).orElse(Some(TotalTrue)).toSeq
+      else Nil
+      base ++ top
+    }).orElse(field(agg, "boolean").map { o =>
+      flags(o, "count" -> Count, "type" -> Type, "totalTrue" -> TotalTrue,
+        "totalFalse" -> TotalFalse, "percentageTrue" -> PercentageTrue,
+        "percentageFalse" -> PercentageFalse)
+    }).orElse(field(agg, "date").map { o =>
+      flags(o, "count" -> Count, "type" -> Type, "median" -> Median, "mode" -> Mode,
+        "maximum" -> Maximum, "minimum" -> Minimum)
+    }).orElse(field(agg, "reference").map { o =>
+      flags(o, "type" -> Type, "pointingTo" -> PointingTo)
+    }).getOrElse(Nil)
+  }
+}
