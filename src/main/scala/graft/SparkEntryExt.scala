@@ -3729,10 +3729,161 @@ object SparkEntryExt {
         .select(col("__id").as("doc_id"), size(col("tokens")).as("n_tokens"),
           array_join(slice(col("tokens"), 1, 10), "|").as("head"))
         .orderBy(col("doc_id"))
+    }),
+
+    // --- wire-format decoder gates (reference: adapters/handlers/grpc/v1/
+    // parse_search_request.go, filters.go, parse_aggregate_request.go): a
+    // JSON SearchRequest document decoded by WireDecoder drives the SAME
+    // plan as the programmatic twin and hash-matches its oracle ---
+
+    // filters via the wire: And tree (text/number/date leaves) replaying
+    // q_filter_and_range through the decoded path
+    "q_wire_filter" -> ((s, dir) => {
+      val gg = g(s, dir)
+      val params = graft.engine.WireDecoder.search(gg,
+        """{"collection": "Lineitem", "limit": 1000000,
+          |  "properties": {"nonRefProperties": ["l_orderkey", "l_linenumber"]},
+          |  "filters": {"operator": "OPERATOR_AND", "filters": [
+          |    {"operator": "OPERATOR_EQUAL", "on": ["l_returnflag"], "valueText": "R"},
+          |    {"operator": "OPERATOR_GREATER_THAN", "on": ["l_quantity"], "valueNumber": 30.0},
+          |    {"operator": "OPERATOR_LESS_THAN", "on": ["l_shipdate"], "valueText": "1995-06-17"}]}}""".stripMargin)
+      gg.get(params).orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // new-style FilterTarget singleTarget chain (2-hop ref descent) through
+    // the wire — replays q_ref_filter_2hop's semi-join plan
+    "q_wire_ref_filter" -> ((s, dir) => {
+      val gg = g(s, dir)
+      val params = graft.engine.WireDecoder.search(gg,
+        """{"collection": "Order", "limit": 1000000,
+          |  "properties": {"nonRefProperties": ["o_orderkey"]},
+          |  "filters": {"operator": "OPERATOR_EQUAL",
+          |    "target": {"singleTarget": {"on": "o_custkey",
+          |      "target": {"singleTarget": {"on": "c_nationkey",
+          |        "target": {"property": "n_name"}}}}},
+          |    "valueText": "NATION_7"}}""".stripMargin)
+      gg.get(params).orderBy(col("o_orderkey"))
+    }),
+
+    // BM25 through the wire (query/properties/metadata.score), twin of q_bm25
+    "q_wire_bm25" -> ((s, dir) => {
+      val gg = g(s, dir)
+      val params = graft.engine.WireDecoder.search(gg,
+        """{"collection": "Document", "limit": 20,
+          |  "metadata": {"score": true},
+          |  "properties": {"nonRefProperties": ["doc_id"]},
+          |  "bm25Search": {"query": "spark join stream window", "properties": ["text"]}}""".stripMargin)
+      gg.get(params).select(col("doc_id"), round(col("_score"), 4).as("score"))
+    }),
+
+    // hybrid through the wire: alpha 0.7, FUSION_TYPE_RANKED, dense vector
+    // as a JSON float list — twin of q_hybrid_rrf (the schema-configured
+    // cosine resolves Metric.Default to the twin's explicit metric)
+    "q_wire_hybrid" -> ((s, dir) => {
+      val gg = g(s, dir)
+      val vec = Fixtures.anchorVector(gg, 7L).mkString("[", ", ", "]")
+      val params = graft.engine.WireDecoder.search(gg,
+        s"""{"collection": "DocVec", "limit": 15,
+           |  "metadata": {"score": true},
+           |  "properties": {"nonRefProperties": ["doc_id"]},
+           |  "hybridSearch": {"query": "spark join stream", "alpha": 0.7,
+           |    "fusionType": "FUSION_TYPE_RANKED", "vector": $vec}}""".stripMargin)
+      gg.get(params).select(col("doc_id"), round(col("_score"), 4).as("score"))
+    }),
+
+    // nearObject and base64 little-endian-fp32 vectorBytes (the encoding
+    // real weaviate clients put on the wire, byteops.Fp32SliceFromBytes)
+    // decode to the SAME cosine top-10 page
+    "q_wire_near" -> ((s, dir) => {
+      val gg = g(s, dir)
+      val anchor = Fixtures.anchorVector(gg, 7L)
+      val bb = java.nio.ByteBuffer.allocate(anchor.length * 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      anchor.foreach(bb.putFloat)
+      val b64 = java.util.Base64.getEncoder.encodeToString(bb.array())
+      val byObject = gg.get(graft.engine.WireDecoder.search(gg,
+        """{"collection": "Embedding", "limit": 10,
+          |  "metadata": {"distance": true},
+          |  "properties": {"nonRefProperties": ["vec_id"]},
+          |  "nearObject": {"id": "7"}}""".stripMargin))
+        .select(lit("object").as("arm"), col("vec_id"), round(col("_distance"), 4).as("dist"))
+      val byBytes = gg.get(graft.engine.WireDecoder.search(gg,
+        s"""{"collection": "Embedding", "limit": 10,
+           |  "metadata": {"distance": true},
+           |  "properties": {"nonRefProperties": ["vec_id"]},
+           |  "nearVector": {"vectorBytes": "$b64"}}""".stripMargin))
+        .select(lit("bytes").as("arm"), col("vec_id"), round(col("_distance"), 4).as("dist"))
+      byObject.unionAll(byBytes).orderBy(col("arm"), col("dist"), col("vec_id"))
+    }),
+
+    // AggregateRequest through the wire: groupBy + the number-flags matrix
+    // + objectsCount, twin of q_agg_group_numeric
+    "q_wire_aggregate" -> ((s, dir) => {
+      val gg = g(s, dir)
+      val params = graft.engine.WireDecoder.aggregate(gg,
+        """{"collection": "Order", "objectsCount": true,
+          |  "groupBy": {"collection": "Order", "property": "o_orderstatus"},
+          |  "aggregations": [{"property": "o_totalprice", "number": {
+          |    "count": true, "sum": true, "mean": true, "minimum": true, "maximum": true}}]}""".stripMargin)
+      gg.aggregate(params)
+        .select(
+          col("groupedBy_value").as("o_orderstatus"),
+          col("meta_count"),
+          col("o_totalprice_count").as("cnt"),
+          round(col("o_totalprice_sum"), 4).as("sum_price"),
+          round(col("o_totalprice_mean"), 4).as("mean_price"),
+          round(col("o_totalprice_minimum"), 4).as("min_price"),
+          round(col("o_totalprice_maximum"), 4).as("max_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // malformed-input arms replay the reference's parse-time validation
+    // errors verbatim; the live arms prove the decoded path reaches the
+    // data plane (a decoded filter page's count is SQL-derived)
+    "q_wire_validate" -> ((s, dir) => {
+      import s.implicits._
+      val gg = g(s, dir)
+      val W = graft.engine.WireDecoder
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      def res(body: => Any): String = okOr(body)
+      out += "01_float_for_int" -> res(W.search(gg,
+        """{"collection": "Part", "filters": {"operator": "OPERATOR_EQUAL", "on": ["p_size"], "valueNumber": 2.3}}"""))
+      out += "02_uneven_path" -> res(W.search(gg,
+        """{"collection": "Order", "filters": {"operator": "OPERATOR_EQUAL", "on": ["o_custkey", "Customer"], "valueText": "x"}}"""))
+      out += "03_unknown_operator" -> res(W.search(gg,
+        """{"collection": "Order", "filters": {"operator": "OPERATOR_FROBNICATE", "on": ["o_orderstatus"], "valueText": "F"}}"""))
+      out += "04_distance_and_certainty" -> res(W.search(gg,
+        """{"collection": "Embedding", "nearVector": {"vector": [1.0], "distance": 0.4, "certainty": 0.9}}"""))
+      out += "05_near_object_no_id" -> res(W.search(gg,
+        """{"collection": "Embedding", "nearObject": {}}"""))
+      out += "06_sort_with_search" -> res(W.search(gg,
+        """{"collection": "Document", "sortBy": [{"ascending": true, "path": ["n_chars"]}], "bm25Search": {"query": "spark"}}"""))
+      out += "07_groupby_two_paths" -> res(W.search(gg,
+        """{"collection": "Document", "groupBy": {"path": ["lang", "source"], "numberOfGroups": 2, "objectsPerGroup": 3}}"""))
+      out += "08_mmr_over_limit" -> res(W.search(gg,
+        """{"collection": "Embedding", "limit": 10, "nearVector": {"vector": [1.0], "selection": {"mmr": {"limit": 20}}}}"""))
+      out += "09_hybrid_neartext_and_vector" -> res(W.search(gg,
+        """{"collection": "DocVec", "hybridSearch": {"query": "x", "vector": [1.0], "nearText": {"query": ["spark"]}}}"""))
+      out += "10_weights_mismatch" -> res(W.search(gg,
+        """{"collection": "Embedding", "nearVector": {"vector": [1.0], "targets": {"targetVectors": ["default", "rev"], "combination": "COMBINATION_METHOD_TYPE_MANUAL", "weightsForTargets": [{"target": "default", "weight": 2.0}]}}}"""))
+      out += "11_unparseable_number" -> res(W.search(gg,
+        """{"collection": "Part", "filters": {"operator": "OPERATOR_EQUAL", "on": ["p_retailprice"], "valueText": "abc"}}"""))
+      out += "12_agg_multi_target" -> res(W.aggregate(gg,
+        """{"collection": "Embedding", "nearVector": {"vector": [1.0], "targets": {"targetVectors": ["default", "rev"]}}}"""))
+      // live arm: the decoded page count is data-derived (oracle recomputes
+      // it in SQL) — a decoder that parses but never reaches the plan fails
+      out += "13_live_filter_count" -> valueOr(gg.get(W.search(gg,
+        """{"collection": "Document", "limit": 1000000,
+          |  "filters": {"operator": "OPERATOR_GREATER_THAN", "on": ["n_chars"], "valueInt": 400}}""".stripMargin)).count())
+      out += "14_live_meta_count" -> valueOr(gg.aggregate(W.aggregate(gg,
+        """{"collection": "Lineitem", "objectsCount": true,
+          |  "filters": {"operator": "OPERATOR_GREATER_THAN", "on": ["l_quantity"], "valueNumber": 45.0}}""".stripMargin))
+        .select(col("meta_count")).head().getLong(0))
+      out.toSeq.toDF("step", "result").orderBy(col("step"))
     })
   )
 
-  import SparkEntry.{sqlQv, sqlL2, sqlL2Rev, sqlCosine, sqlBm25, sqlDot}
+  import SparkEntry.{sqlQv, sqlL2, sqlL2Rev, sqlCosine, sqlBm25, sqlDot, sqlDocVec}
 
   /** Fixed media payload for q_near_media — both the Spark query and the
    * oracle derive the query vector from it via the same stub module. */
@@ -3740,6 +3891,94 @@ object SparkEntryExt {
     "graft-media-demo-payload".getBytes("UTF-8")
 
   def oracleSql: Map[String, String] = Map(
+
+    // --- wire-format decoder gates: each decoded JSON query must hash-match
+    // the programmatic twin's oracle (same SQL, same aliases) ---
+
+    "q_wire_filter" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_quantity > 30 AND l_shipdate < TIMESTAMP '1995-06-17'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_wire_ref_filter" ->
+      """SELECT o_orderkey FROM orders
+        |WHERE o_custkey IN (
+        |  SELECT c_custkey FROM customer WHERE c_nationkey IN (
+        |    SELECT n_nationkey FROM nation
+        |    WHERE list_contains(regexp_extract_all(lower(n_name), '[a-z0-9]+'), 'nation')
+        |      AND list_contains(regexp_extract_all(lower(n_name), '[a-z0-9]+'), '7')))
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_wire_bm25" -> {
+      val terms = Seq("spark", "join", "stream", "window")
+      val (ctes, _) = sqlBm25(terms)
+      s"""WITH $ctes
+         |SELECT doc_id, round(score_exact, 4) AS score FROM scored
+         |WHERE terms_matched >= 1
+         |ORDER BY score_exact DESC, doc_id ASC LIMIT 20""".stripMargin
+    },
+
+    "q_wire_hybrid" -> {
+      val terms = Seq("spark", "join", "stream")
+      val (ctes, _) = sqlBm25(terms, source = sqlDocVec, fieldPropMeans = Seq(1.0, 1.0))
+      s"""WITH $ctes,
+         |sparse AS (
+         |  SELECT doc_id, score_exact, row_number() OVER (ORDER BY score_exact DESC, doc_id ASC) AS r
+         |  FROM (SELECT * FROM scored WHERE terms_matched >= 1 ORDER BY score_exact DESC, doc_id ASC LIMIT 100)),
+         |${sqlQv(7)},
+         |densed AS (
+         |  SELECT d.doc_id, ${sqlCosine("e.embedding", "q.v")} AS dist
+         |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id CROSS JOIN qv q),
+         |dense AS (
+         |  SELECT doc_id, 1.0 - dist / 2.0 AS sdense, row_number() OVER (ORDER BY dist ASC, doc_id ASC) AS r
+         |  FROM (SELECT * FROM densed ORDER BY dist ASC, doc_id ASC LIMIT 100)),
+         |fused AS (
+         |  SELECT coalesce(s.doc_id, de.doc_id) AS doc_id,
+         |         coalesce(0.3 / (60 + s.r), 0.0) + coalesce(0.7 / (60 + de.r), 0.0) AS score_exact,
+         |         coalesce(s.score_exact, de.sdense) AS secondary
+         |  FROM sparse s FULL OUTER JOIN dense de ON s.doc_id = de.doc_id)
+         |SELECT doc_id, round(score_exact, 4) AS score FROM fused
+         |ORDER BY score_exact DESC, secondary DESC, doc_id ASC LIMIT 15""".stripMargin
+    },
+
+    "q_wire_near" ->
+      s"""WITH ${sqlQv(7)},
+         |d AS (SELECT e.vec_id, ${sqlCosine("e.embedding", "q.v")} AS dist
+         |      FROM embeddings e CROSS JOIN qv q),
+         |top AS (SELECT vec_id, round(dist, 4) AS dist FROM d
+         |        ORDER BY d.dist ASC, vec_id ASC LIMIT 10)
+         |SELECT 'object' AS arm, vec_id, dist FROM top
+         |UNION ALL SELECT 'bytes', vec_id, dist FROM top
+         |ORDER BY arm, dist, vec_id""".stripMargin,
+
+    "q_wire_aggregate" ->
+      """SELECT o_orderstatus, count(*) AS meta_count, count(o_totalprice) AS cnt,
+        |  round(sum(o_totalprice), 4) AS sum_price, round(avg(o_totalprice), 4) AS mean_price,
+        |  round(min(o_totalprice), 4) AS min_price, round(max(o_totalprice), 4) AS max_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // parse-time validation arms (texts from parse_search_request.go /
+    // filters.go / parse_aggregate_request.go) + live data-derived counts
+    "q_wire_validate" ->
+      """SELECT * FROM (VALUES
+        |  ('01_float_for_int', 'filtering for integer, but received a floating point number 2.3'),
+        |  ('02_uneven_path', 'paths needs to have a uneven number of components: property, class, property, ...., got [o_custkey Customer]'),
+        |  ('03_unknown_operator', 'unknown filter operator OPERATOR_FROBNICATE'),
+        |  ('04_distance_and_certainty', 'near_vector: cannot provide distance and certainty'),
+        |  ('05_near_object_no_id', 'near_object: id is required'),
+        |  ('06_sort_with_search', 'sorting cannot be combined with search'),
+        |  ('07_groupby_two_paths', 'groupby path can only have one entry, received [lang source]'),
+        |  ('08_mmr_over_limit', 'MMR limit (20) cannot be larger than the query limit (10)'),
+        |  ('09_hybrid_neartext_and_vector', 'cannot combine nearText and query in hybrid search'),
+        |  ('10_weights_mismatch', 'number of weights (1) does not match number of targets (2)'),
+        |  ('11_unparseable_number', 'expected a number value, but could not parse string ''abc'' as float'),
+        |  ('12_agg_multi_target', 'found more than one target vector for aggregation')
+        |) AS t(step, result)
+        |UNION ALL SELECT '13_live_filter_count',
+        |  CAST((SELECT count(*) FROM documents WHERE n_chars > 400) AS VARCHAR)
+        |UNION ALL SELECT '14_live_meta_count',
+        |  CAST((SELECT count(*) FROM lineitem WHERE l_quantity > 45.0) AS VARCHAR)
+        |ORDER BY step""".stripMargin,
 
     // the hash embedder + movement math are deterministic, so the oracle
     // inlines the RESOLVED query vector (centroid ± moveTo/moveAwayFrom) —
