@@ -3837,6 +3837,53 @@ object SparkEntryExt {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // §2.3 IVF posting-balance under skew (reference: hfresh analyze.go
+    // size trigger + split.go doSplit/splitPosting 2-means, re-enqueued
+    // until bounded): a deterministic 80%-hot bed derived from vec_id (8
+    // latent sub-blobs the coarse quantizer lumps together) is rebalanced
+    // under a max-posting cap — per-posting bound holds, every row stays
+    // assigned exactly once, low-probe recall is intact because the split
+    // recovers the latent structure, and full probe stays exact
+    "q_near_ivf_skew" -> ((s, dir) => {
+      import s.implicits._
+      val gg = g(s, dir)
+      val cap = 120L
+      // skewed bed FROM the embeddings table: vec_id drives sub-blob choice
+      // and a deterministic ±0.05 jitter (dims 0-2 encode the sub-blob id)
+      val emb = gg.collection("Embedding").df.select(col("vec_id")).withColumn("embedding",
+        expr("""transform(sequence(0, 7), d -> CAST(
+          (CASE WHEN vec_id % 5 != 4 THEN
+            2.0 + (CASE WHEN d < 3 THEN (CASE WHEN ((CAST(vec_id % 8 AS INT) >> d) & 1) = 1 THEN 0.6 ELSE -0.6 END) ELSE 0.0 END)
+          ELSE -3.0 * (CAST(vec_id % 4 AS INT) + 1) END)
+          + (CAST((vec_id * (d + 3)) % 97 AS DOUBLE) / 97.0) * 0.1 - 0.05 AS FLOAT))"""))
+      val index = graft.ann.IvfIndex.build(emb, "vec_id", "embedding", nlist = 5)
+      index.assigned.cache().count()
+      val before = index.postingSizes()
+      val balanced = index.rebalance(cap)
+      val after = balanced.postingSizes()
+      val q = emb.filter(col("vec_id") === 10L).head().getSeq[Float](1).toArray
+      val truth = graft.operators.VectorSearch
+        .withDistance(emb, "embedding", q, Metric.L2Squared)
+        .orderBy(col(graft.operators.VectorSearch.DistanceCol).asc, col("vec_id").asc)
+        .limit(10).select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      val got = balanced.search(q, 10, Metric.L2Squared, nprobe = 2)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      val full = balanced.search(q, 10, Metric.L2Squared, nprobe = balanced.centroids.length)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      out += "01_rows" -> balanced.assigned.count().toString
+      out += "02_skew_before" -> (before.values.max > cap).toString
+      out += "03_bound_after" -> (after.values.max <= cap).toString
+      out += "04_ids_preserved" ->
+        balanced.assigned.select(col("vec_id")).distinct().count().toString
+      out += "05_centroids_grew" -> (balanced.centroids.length > index.centroids.length).toString
+      out += "06_recall_nprobe2" ->
+        (truth.intersect(got).size.toDouble / truth.size >= 0.9).toString
+      out += "07_full_probe_exact" -> (full == truth).toString
+      out += "08_idempotent" -> (balanced.rebalance(cap).postingSizes() == after).toString
+      out.toSeq.toDF("step", "result").orderBy(col("step"))
+    }),
+
     // malformed-input arms replay the reference's parse-time validation
     // errors verbatim; the live arms prove the decoded path reaches the
     // data plane (a decoded filter page's count is SQL-derived)
@@ -3956,6 +4003,21 @@ object SparkEntryExt {
         |  round(sum(o_totalprice), 4) AS sum_price, round(avg(o_totalprice), 4) AS mean_price,
         |  round(min(o_totalprice), 4) AS min_price, round(max(o_totalprice), 4) AS max_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // posting-balance arms: live row counts are SQL-derived; the
+    // bound/recall/idempotence arms certify the split loop's contract
+    "q_near_ivf_skew" ->
+      """SELECT * FROM (VALUES
+        |  ('02_skew_before', 'true'),
+        |  ('03_bound_after', 'true'),
+        |  ('05_centroids_grew', 'true'),
+        |  ('06_recall_nprobe2', 'true'),
+        |  ('07_full_probe_exact', 'true'),
+        |  ('08_idempotent', 'true')
+        |) AS t(step, result)
+        |UNION ALL SELECT '01_rows', CAST((SELECT count(*) FROM embeddings) AS VARCHAR)
+        |UNION ALL SELECT '04_ids_preserved', CAST((SELECT count(DISTINCT vec_id) FROM embeddings) AS VARCHAR)
+        |ORDER BY step""".stripMargin,
 
     // parse-time validation arms (texts from parse_search_request.go /
     // filters.go / parse_aggregate_request.go) + live data-derived counts

@@ -182,6 +182,55 @@ final case class IvfIndex(
     copy(assigned = spark.read.parquet(persistPath.get))
   }
 
+  /**
+   * Posting-balance rebuild — the batch analogue of hfresh's split worker
+   * (reference: adapters/repos/db/vector/hfresh/analyze.go:56-66 — a posting
+   * larger than maxPostingSize enqueues a split; split.go:25-196
+   * doSplit/splitPosting — the oversized posting is 2-means-clustered
+   * (compressionhelpers KMeansEncoder FitBalanced) into two NEW postings
+   * with fresh centroid ids, the old centroid retires, and still-oversized
+   * results re-enqueue until bounded).
+   *
+   * Why it matters at 100×: a hot centroid under skew is a straggler
+   * partition — every probe that ranks it pays O(hot-posting) instead of
+   * O(mean-posting). The cap turns worst-case probe cost into
+   * O(maxPostingSize · nprobe) regardless of data skew, which is the shape
+   * a 1000-executor probe needs.
+   *
+   * Spark shape: per round, posting sizes are one hash-agg; ALL oversized
+   * postings split together in one job — a deterministic Lloyd 2-means keyed
+   * by __centroid (seeds: the min-id row and the row farthest from it, ties
+   * to the larger id; per-dimension means via posexplode hash-agg, driver
+   * holds only oversized×2×dim means). Degenerate splits (a half that
+   * receives no rows — all-identical vectors) are skipped, like the
+   * reference's "split resulted in empty posting" guard. Requires the plain
+   * replicas=1 layout (RNG-replicated lists have their own balance rule).
+   */
+  def rebalance(maxPostingSize: Long, lloydIters: Int = 5, maxRounds: Int = 8): IvfIndex = {
+    require(replicas == 1, "rebalance supports unreplicated layouts (replicas = 1)")
+    var cur = this
+    var frozen = Set.empty[Int]
+    var round = 0
+    while (round < maxRounds) {
+      val sizes = cur.assigned.groupBy(col("__centroid")).count().collect()
+        .map(r => (r.getAs[Number]("__centroid").intValue(), r.getLong(1)))
+      val oversized = sizes.collect {
+        case (cid, n) if n > maxPostingSize && !frozen(cid) => cid
+      }.toSet
+      if (oversized.isEmpty) return cur
+      val (next, degenerate) = IvfIndex.splitPostings(cur, oversized, lloydIters)
+      cur = next
+      frozen ++= degenerate
+      round += 1
+    }
+    cur
+  }
+
+  /** Current posting-list sizes (centroid id → row count) — nlist-bounded. */
+  def postingSizes(): Map[Int, Long] =
+    assigned.groupBy(col("__centroid")).count().collect()
+      .map(r => r.getAs[Number]("__centroid").intValue() -> r.getLong(1)).toMap
+
   private def probedSubset(query: Array[Float], nprobe: Int): DataFrame = {
     val probes = rankCentroids(query).take(nprobe).toSeq
     val subset = assigned.filter(col("__centroid").isin(probes: _*))
@@ -270,6 +319,128 @@ object IvfIndex {
         org.apache.spark.sql.graft.VectorFunctions
           .nearestCentroids(vec, centers, replicas)
     }
+
+  /**
+   * One split round over every oversized posting (split.go splitPosting —
+   * here a shared deterministic Lloyd 2-means; see IvfIndex.rebalance).
+   * Returns the rewritten index plus the set of postings whose split
+   * degenerated (skipped like the reference's empty-posting guard).
+   */
+  private[ann] def splitPostings(ix: IvfIndex, oversized: Set[Int],
+                                 lloydIters: Int): (IvfIndex, Set[Int]) = {
+    import org.apache.spark.sql.graft.VectorFunctions
+    val spark = ix.assigned.sparkSession
+    val vec = col(ix.vecCol)
+    val big = ix.assigned.filter(col("__centroid").isin(oversized.toSeq: _*))
+
+    // driver-held seeds/means: one (s0, s1) float pair per oversized posting
+    def seedsDf(m: Map[Int, (Array[Float], Array[Float])]): DataFrame = {
+      import spark.implicits._
+      m.toSeq.map { case (cid, (s0, s1)) => (cid, s0.toSeq, s1.toSeq) }
+        .toDF("__centroid", "__s0", "__s1")
+        .select(col("__centroid"),
+          col("__s0").cast("array<float>").as("__s0"),
+          col("__s1").cast("array<float>").as("__s1"))
+    }
+
+    // seed0 = the min-id row's vector; seed1 = the row farthest from seed0
+    // (ties to the larger id) — deterministic, no RNG in the layout
+    val s0 = big.groupBy(col("__centroid"))
+      .agg(expr(s"min_by(${ix.vecCol}, ${ix.idCol})").as("__v")).collect()
+      .map(r => r.getAs[Number]("__centroid").intValue() ->
+        r.getSeq[Float](1).toArray).toMap
+    val s0df = s0.toSeq.map { case (cid, v) => (cid, v.toSeq) }
+    val s0frame = {
+      import spark.implicits._
+      s0df.toDF("__centroid", "__s0")
+        .select(col("__centroid"), col("__s0").cast("array<float>").as("__s0"))
+    }
+    val s1 = big.join(broadcast(s0frame), "__centroid")
+      .withColumn("__d0", VectorFunctions.l2Squared(vec, col("__s0")))
+      .groupBy(col("__centroid"))
+      .agg(expr(s"max_by(${ix.vecCol}, struct(__d0, ${ix.idCol}))").as("__v")).collect()
+      .map(r => r.getAs[Number]("__centroid").intValue() ->
+        r.getSeq[Float](1).toArray).toMap
+
+    var means: Map[Int, (Array[Float], Array[Float])] =
+      s0.map { case (cid, v) => cid -> (v, s1(cid)) }
+    var degenerate = Set.empty[Int]
+    for (_ <- 1 to lloydIters) {
+      val live = means -- degenerate
+      if (live.nonEmpty) {
+        val halves = big.filter(col("__centroid").isin(live.keys.toSeq: _*))
+          .join(broadcast(seedsDf(live)), "__centroid")
+          .withColumn("__half",
+            when(VectorFunctions.l2Squared(vec, col("__s0")) <=
+                 VectorFunctions.l2Squared(vec, col("__s1")), 0).otherwise(1))
+        val dims = halves.select(col("__centroid"), col("__half"),
+            posexplode(vec).as(Seq("__pos", "__x")))
+          .groupBy(col("__centroid"), col("__half"), col("__pos"))
+          .agg(avg(col("__x")).as("__m")).collect()
+        val grouped = dims.groupBy(r => r.getAs[Number]("__centroid").intValue())
+        means = means.map { case (cid, old) =>
+          grouped.get(cid) match {
+            case None => cid -> old
+            case Some(rows) =>
+              val byHalf = rows.groupBy(_.getInt(1))
+              if (byHalf.size < 2) { degenerate += cid; cid -> old }
+              else {
+                def mean(h: Int): Array[Float] = byHalf(h).sortBy(_.getInt(2))
+                  .map(_.getDouble(3).toFloat)
+                cid -> (mean(0), mean(1))
+              }
+          }
+        }
+      }
+    }
+
+    val splitOk = (oversized -- degenerate).toSeq.sorted
+    if (splitOk.isEmpty) return (ix, degenerate)
+    val base = ix.centroids.map(_._1).max + 1
+    val childIds = splitOk.zipWithIndex
+      .map { case (cid, k) => cid -> (base + 2 * k, base + 2 * k + 1) }.toMap
+
+    val mapped = seedsDf(means.filter { case (cid, _) => childIds.contains(cid) })
+      .withColumn("__id0", element_at(
+        map(childIds.toSeq.flatMap { case (c, (a, _)) => Seq(lit(c), lit(a)) }: _*),
+        col("__centroid")))
+      .withColumn("__id1", element_at(
+        map(childIds.toSeq.flatMap { case (c, (_, b)) => Seq(lit(c), lit(b)) }: _*),
+        col("__centroid")))
+    val reassigned = big.filter(col("__centroid").isin(splitOk: _*))
+      .join(broadcast(mapped), "__centroid")
+      .withColumn("__newc",
+        when(VectorFunctions.l2Squared(vec, col("__s0")) <=
+             VectorFunctions.l2Squared(vec, col("__s1")), col("__id0"))
+          .otherwise(col("__id1")))
+      .drop("__centroid", "__s0", "__s1", "__id0", "__id1")
+      .withColumnRenamed("__newc", "__centroid")
+      .select(ix.assigned.columns.map(col): _*)
+    val merged = ix.assigned.filter(!col("__centroid").isin(splitOk: _*))
+      .unionByName(reassigned)
+
+    val newCentroids =
+      ix.centroids.filterNot { case (cid, _) => childIds.contains(cid) } ++
+        splitOk.flatMap { cid =>
+          val (a, b) = childIds(cid)
+          val (m0, m1) = means(cid)
+          Seq((a, m0.map(_.toDouble)), (b, m1.map(_.toDouble)))
+        }
+
+    val rewritten = ix.persistPath match {
+      case Some(p) =>
+        // rewrite the partitioned layout so probing stays partition pruning
+        val tmp = p + ".rebalance"
+        merged.write.mode("overwrite").partitionBy("__centroid").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite")
+          .partitionBy("__centroid").parquet(p)
+        spark.read.parquet(p)
+      case None =>
+        // truncate the per-round union lineage (bounded: maxRounds)
+        merged.repartition(col("__centroid")).localCheckpoint()
+    }
+    (ix.copy(centroids = newCentroids, assigned = rewritten), degenerate)
+  }
 
   /**
    * Planner choice (the analogue of the reference's flatSearchCutoff/ACORN

@@ -386,6 +386,76 @@ class AnnSpec extends SparkSpecBase {
     assert(got == truth)
   }
 
+  test("rebalance splits oversized postings under skew: bound holds, rows preserved, recall intact") {
+    // planted skew: 80% of 1000 vectors crowd one REGION the coarse
+    // quantizer (nlist=5) lumps into a hot posting — the straggler a 100×
+    // probe must not pay (hfresh analyze.go size trigger + split.go
+    // 2-means). The region carries 8 latent sub-blobs (separation 1.2 ≫
+    // jitter 0.05) so the split recovers real structure: a query inside a
+    // sub-blob finds its true neighbours in ONE rebalanced posting.
+    val rnd = new scala.util.Random(7)
+    def hotCenter(k: Int): Array[Double] =
+      Array.tabulate(8)(d => if (d < 3) 2.0 + (if (((k >> d) & 1) == 1) 0.6 else -0.6) else 2.0)
+    val loose = Array.tabulate(4)(k => Array.fill(8)(-3.0 * (k + 1)))
+    val rows = (0 until 1000).map { i =>
+      val c = if (i % 5 != 4) hotCenter(i % 8) else loose(i % 4)
+      (i.toLong, c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val index = IvfIndex.build(emb, "vec_id", "embedding", nlist = 5)
+    index.assigned.cache().count()
+    val before = index.postingSizes()
+    val cap = 120L
+    assert(before.values.max > cap, s"bed not skewed: $before")
+
+    val balanced = index.rebalance(cap)
+    val after = balanced.postingSizes()
+    // per-posting bound — the straggler is gone
+    assert(after.values.max <= cap, s"cap violated after rebalance: $after")
+    // every row still assigned exactly once (replicas = 1)
+    assert(after.values.sum == 1000L)
+    assert(balanced.assigned.select($"vec_id").distinct().count() == 1000L)
+    // centroid table grew and matches the layout's posting ids
+    assert(balanced.centroids.length > index.centroids.length)
+    assert(balanced.centroids.map(_._1).toSet == after.keySet)
+
+    // recall: the split must keep near-neighbours probe-reachable — a query
+    // inside the hot cluster at nprobe=2 of the rebalanced layout reaches
+    // ≥ 0.9 of the brute-force top-10 (planted copies would certify nothing;
+    // these are distinct jittered vectors)
+    val q = rows(10)._2.toArray
+    val truth = VectorSearch.withDistance(emb, "embedding", q, Metric.L2Squared)
+      .orderBy(col(VectorSearch.DistanceCol).asc, $"vec_id".asc).limit(10)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val got = balanced.search(q, 10, Metric.L2Squared, nprobe = 2)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val recall = truth.intersect(got).size.toDouble / truth.size
+    assert(recall >= 0.9, s"recall $recall < 0.9 after rebalance")
+
+    // full probe over the rebalanced layout stays exact
+    val full = balanced.search(q, 10, Metric.L2Squared, nprobe = balanced.centroids.length)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(full == truth)
+
+    // idempotence: a second rebalance under the same cap is a no-op
+    val again = balanced.rebalance(cap)
+    assert(again.postingSizes() == after)
+  }
+
+  test("rebalance skips degenerate splits (all-identical posting) without looping") {
+    val sameVec = Seq.fill(64)(1.0f)
+    val rows = (0 until 64).map(i => (i.toLong, sameVec)) ++
+      (64 until 80).map(i => (i.toLong, Seq.fill(64)(-5.0f + i * 0.01f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val index = IvfIndex.build(emb, "vec_id", "embedding", nlist = 2)
+    index.assigned.cache().count()
+    // cap below the identical block: the split degenerates (one empty half)
+    // and is skipped, like the reference's empty-posting guard
+    val balanced = index.rebalance(maxPostingSize = 16L, maxRounds = 4)
+    assert(balanced.assigned.count() == 80L)
+    assert(balanced.postingSizes().values.sum == 80L)
+  }
+
   test("RNG replica assignment (hfresh/SPFresh): rule honored, diversity fires, full probe stays exact") {
     // geometry where the RNG rule actually rejects: 4 TIGHT PAIRS of
     // centroids (pair distance² ≈ 1, inter-pair distance² ≫), plus points
