@@ -557,95 +557,119 @@ object Dedup {
    * Edit-distance similarity join (typo-level near-dup detection — catches
    * OCR noise and single-character corruptions that token-level Jaccard and
    * MinHash miss entirely): pairs with Levenshtein distance ≤ `maxEdits`.
-   * q-gram bucket-then-verify (EDJoin, Xiao et al. — q-gram prefix +
-   * location filtering): one edit destroys at most `q` of a string's
-   * positional q-grams and shifts survivors by at most `maxEdits`
-   * positions, so under a shared rare-first global gram order each side's
-   * first maxEdits·q + 1 gram occurrences must share a surviving gram;
-   * candidates come from an equi-join on those PREFIX grams keyed with
-   * adjacent position windows (any two occurrences within `maxEdits`
-   * positions share a key) plus the length filter ||a|−|b|| ≤ maxEdits;
-   * verification is the codegen'd `levenshtein` on candidates only. The
-   * q_dedup_edit oracle is ALL-PAIRS Levenshtein in DuckDB, independently
-   * proving the filter admits every qualifying pair.
    *
-   * Scale shape: gram-bucketed equi-join (Σ posting² per (gram, window)
-   * key — the bucket-then-verify pattern of every dedup above), ids only
-   * until the verify fetch. Strings shorter than (maxEdits+1)·q have too
-   * few q-grams for the prefix lemma (k edits can destroy EVERY gram), so
-   * they fall back to a length-band key: a short string pairs with every
-   * string — short or long — within the ±maxEdits length filter, keeping
-   * full recall (the all-pairs oracle proves it); the band fan-out is
-   * bounded by the sub-(maxEdits+1)·q population, tiny on document
-   * corpora (tune q down if short strings dominate the workload).
+   * Segment pigeonhole, bucket-then-verify (PassJoin — Li, Deng, Feng,
+   * ICDE 2011): each string splits into τ+1 contiguous segments (τ =
+   * maxEdits); τ edits cannot touch every segment, so for any qualifying
+   * pair at least ONE segment of either side appears in the other EXACTLY,
+   * shifted by at most τ positions (the net displacement of at most τ
+   * preceding edits). Index keys are a string's own τ+1 segments under its
+   * own length's partition scheme; probe keys are the substrings a string
+   * carries at every partner length within ±τ and every start within ±τ of
+   * that scheme's segment position. Candidates come from the (segment
+   * content, partner length, segment id) equi-join — keys are hashed to
+   * 8-byte xxhash64 so only fixed-width longs cross the shuffle (a hash
+   * collision can only ADD a candidate; the verify is exact). Verification
+   * is the codegen'd `levenshtein` WITH the τ threshold (the banded DP
+   * early-exits at τ+1, so long-string verification is O(τ·len) not len²).
+   * The q_dedup_edit oracle is ALL-PAIRS Levenshtein in DuckDB,
+   * independently proving the filter admits every qualifying pair.
+   *
+   * Why segments and not q-gram prefixes (EDJoin): segments are len/(τ+1)
+   * chars — near-unique on real text — while positional q-grams draw from
+   * a tiny vocabulary, so gram postings explode on low-entropy corpora
+   * (the EDJoin formulation produced 890k candidates on the 5.2k-doc
+   * q_dedup_edit bed — 6.6% of ALL pairs — vs ~1k for segments; measured
+   * 5.6 s → ~2 s at sf0.1). Probe fan-out is bounded: (2τ+1) partner
+   * lengths × (τ+1) segments × ≤(2τ+1) starts, constant per row.
+   *
+   * Scale shape: segment-bucketed equi-join (Σ posting² per key, the
+   * bucket-then-verify pattern of every dedup above), ids only until the
+   * verify fetch. Strings shorter than (τ+1)·q chars would yield segments
+   * under `q` chars (hot single-char buckets), so they fall back to a
+   * length-band key: a short string pairs with every string within the
+   * ±τ length filter, keeping full recall; the band fan-out is bounded by
+   * the sub-(τ+1)·q population, tiny on document corpora.
    */
   def editDistanceDuplicates(df: DataFrame, idCol: Column, strCol: Column,
                              maxEdits: Int = 2, q: Int = 3): DataFrame = {
     require(maxEdits >= 0 && q >= 1, "maxEdits >= 0, q >= 1")
-    val window = math.max(1, maxEdits)
-    val prefixLen = maxEdits * q + 1
+    val tau = maxEdits
+    val nseg = tau + 1
+    val shortCut = nseg * q
     val s = df.select(idCol.as("__id"), strCol.as("__s"))
       .withColumn("__len", length(col("__s")).cast("long"))
-    val long = s.filter(col("__len") >= (maxEdits + 1) * q)
-    // EDJoin-style rare-first PREFIX (Xiao et al.; the same global
-    // rare-gram ordering the Jaccard join uses): k edits destroy ≤ k·q gram
-    // occurrences, so under any shared total order the first k·q + 1 gram
-    // occurrences of each side must share a surviving gram — joining only
-    // those keeps the hot common-gram postings out of the candidate join
-    // entirely (a plain every-gram join was measured 15× slower on the
-    // word-vocabulary bed: common 3-grams made Σ posting² explode).
-    // grams are hashed to 8-byte xxhash64 at the explode, so only fixed-width
-    // longs cross the df/prefix/candidate shuffles (the string-keyed join was
-    // measured ~25% slower). A hash collision between different grams can
-    // only ADD a candidate pair — the levenshtein verify is exact — so the
-    // rare-first lemma's recall is unaffected (it holds under ANY shared
-    // total order; (df, hash) is one).
-    val grams = long.select(col("__id"), col("__len"),
-      posexplode(expr(s"transform(sequence(0, int(__len) - $q), i -> xxhash64(substring(__s, i + 1, $q)))"))
-        .as(Seq("__pos", "__h")))
-    val freq = grams.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
-    val wDoc = Window.partitionBy(col("__id"))
-      .orderBy(col("__df").asc, col("__h").asc, col("__pos").asc)
-    val prefix = grams.join(freq, Seq("__h"))
-      .withColumn("__rn", row_number().over(wDoc))
-      .filter(col("__rn") <= prefixLen)
-    // emit each prefix gram under its position window AND the next, so two
-    // occurrences within `window` positions always share a (__h, __w) key
-    val keys = prefix.select(col("__id"), col("__len"), col("__h"),
-        explode(array((col("__pos") / window).cast("int"),
-          (col("__pos") / window).cast("int") + 1)).as("__w"))
-      .unionByName(shortBandKeys(s, maxEdits, q))
-    val cands = keys.as("a").join(keys.as("b"),
-        col("a.__h") === col("b.__h") && col("a.__w") === col("b.__w") &&
-          col("a.__id") < col("b.__id") &&
-          abs(col("a.__len") - col("b.__len")) <= maxEdits)
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b")).distinct()
+    val long = s.filter(col("__len") >= shortCut)
+    // partition scheme for length L: base = L div nseg, rem = L mod nseg;
+    // the LAST rem segments get one extra char — both sides must compute
+    // identical boundaries from the PARTNER length alone
+    def segLen(l: String, i: String) =
+      s"(($l) DIV $nseg + (CASE WHEN ($i) >= $nseg - (($l) % $nseg) THEN 1 ELSE 0 END))"
+    def segPos(l: String, i: String) =
+      s"(($i) * (($l) DIV $nseg) + greatest(0, ($i) - ($nseg - (($l) % $nseg))))"
+    // index: own segments under the own-length scheme
+    val idx = long.select(col("__id"), col("__len"), explode(expr(
+      s"""transform(sequence(0, $tau), i ->
+         |  xxhash64(substring(__s, ${segPos("int(__len)", "i")} + 1,
+         |                     ${segLen("int(__len)", "i")}), int(__len), i))""".stripMargin))
+      .as("__k"))
+    // probe: for each partner length L in [len-τ, len+τ] (long side only —
+    // short partners pair through the band keys) and each segment i of L's
+    // scheme, the substrings starting within ±τ of that scheme's position.
+    // Empty start ranges guard against Spark's DESCENDING sequence(a,b) when
+    // a > b; array_distinct folds duplicate keys before the join.
+    val probe = long.select(col("__id"), col("__len"), explode(expr(
+      s"""array_distinct(flatten(flatten(
+         |  transform(sequence(greatest(int(__len) - $tau, $shortCut), int(__len) + $tau), L ->
+         |    transform(sequence(0, $tau), i ->
+         |      CASE WHEN least(${segPos("L", "i")} + $tau, int(__len) - ${segLen("L", "i")})
+         |                >= greatest(${segPos("L", "i")} - $tau, 0)
+         |        THEN transform(sequence(greatest(${segPos("L", "i")} - $tau, 0),
+         |                                least(${segPos("L", "i")} + $tau,
+         |                                      int(__len) - ${segLen("L", "i")})), a ->
+         |               xxhash64(substring(__s, a + 1, ${segLen("L", "i")}), L, i))
+         |        ELSE array() END)))))""".stripMargin))
+      .as("__k"))
+    // band fallback keys pair through a symmetric self-join plane (both
+    // sides of a short pair emit the same key)
+    val bands = shortBandKeys(s, maxEdits, q)
+    val candsSeg = probe.as("a").join(idx.as("b"),
+        col("a.__k") === col("b.__k") && col("a.__id") =!= col("b.__id") &&
+          abs(col("a.__len") - col("b.__len")) <= tau)
+      .select(least(col("a.__id"), col("b.__id")).as("id_a"),
+        greatest(col("a.__id"), col("b.__id")).as("id_b"))
+    val candsBand = bands.as("a").join(bands.as("b"),
+        col("a.__k") === col("b.__k") && col("a.__id") < col("b.__id") &&
+          abs(col("a.__len") - col("b.__len")) <= tau)
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+    val cands = candsSeg.unionByName(candsBand).distinct()
     cands
       .join(s.select(col("__id").as("id_a"), col("__s").as("__sa")), Seq("id_a"))
       .join(s.select(col("__id").as("id_b"), col("__s").as("__sb")), Seq("id_b"))
-      .withColumn("edit_distance", levenshtein(col("__sa"), col("__sb")).cast("long"))
-      .filter(col("edit_distance") <= maxEdits)
+      .withColumn("edit_distance", levenshtein(col("__sa"), col("__sb"), maxEdits).cast("long"))
+      .filter(col("edit_distance") >= 0)
       .select(col("id_a"), col("id_b"), col("edit_distance"))
   }
 
   /** Length-band fallback keys for [[editDistanceDuplicates]]'s short
-   * strings (len < (maxEdits+1)·q — too few q-grams for the prefix lemma).
-   * A short string emits band keys §len..§(len+maxEdits); a boundary-long
-   * partner (len < (maxEdits+1)·q + maxEdits, which already carries prefix
-   * keys for its long-long pairs) emits only §len. Any pair within the
-   * ±maxEdits length filter where at least one side is short then shares
-   * the key §max(lenA, lenB), so the candidate join misses nothing. */
+   * strings (len < (maxEdits+1)·q — segments would drop under q chars and
+   * the buckets go hot). A short string emits band keys §len..§(len+maxEdits);
+   * a boundary-long partner (len < (maxEdits+1)·q + maxEdits, which already
+   * carries segment keys for its long-long pairs) emits only §len. Any pair
+   * within the ±maxEdits length filter where at least one side is short then
+   * shares the key §max(lenA, lenB), so the candidate join misses nothing.
+   * Bands are salted into their own hash plane ('§band'); a collision with a
+   * segment hash could only ADD a candidate (the verify is exact). */
   private def shortBandKeys(s: DataFrame, maxEdits: Int, q: Int): DataFrame = {
     val shortCut = (maxEdits + 1) * q
-    // band keys live in the (__h = length, __w = -1) plane — gram keys always
-    // carry __w >= 0, so bands can never collide with a gram hash
     val short = s.filter(col("__len") < shortCut)
       .select(col("__id"), col("__len"),
-        explode(expr(s"sequence(__len, __len + $maxEdits)")).as("__h"),
-        lit(-1).as("__w"))
+        explode(expr(s"transform(sequence(__len, __len + $maxEdits), " +
+          "b -> xxhash64('§band', b))")).as("__k"))
     val boundary = s.filter(col("__len") >= shortCut &&
         col("__len") < shortCut + maxEdits)
-      .select(col("__id"), col("__len"), col("__len").as("__h"), lit(-1).as("__w"))
+      .select(col("__id"), col("__len"),
+        expr("xxhash64('§band', __len)").as("__k"))
     short.unionByName(boundary)
   }
 
