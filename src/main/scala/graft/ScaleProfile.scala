@@ -27,22 +27,27 @@ object ScaleProfile {
     val base = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"), col("lang"))
 
-    // Per-copy cyclic alphabet rotation: copy k reads the text through
-    // translate(a..z → rotated-by-k a..z), so different copies share almost
-    // NO tokens/q-grams/shingles — the 10× corpus behaves like 10× of NEW
-    // data (what a 100 TB scale-up actually is), and pair outputs grow ~10×.
-    // A textual perturbation (prefix/suffix) would instead make every copy
-    // set a near-duplicate clique, growing the OUTPUT ~copies² and
-    // conflating workload growth with engine scaling.
+    // Per-copy alphabet PERMUTATION: copy k reads the text through
+    // translate(a..z → a seeded random permutation; k=0 is the identity), so
+    // different copies share almost NO tokens/q-grams/shingles — the N×
+    // corpus behaves like N× of NEW data (what a 100 TB scale-up actually
+    // is), and pair outputs grow ~N×. A textual perturbation (prefix/suffix)
+    // would instead make every copy set a near-duplicate clique, growing the
+    // OUTPUT ~copies² and conflating workload growth with engine scaling.
+    // (A cyclic rotation caps at 26 distinct copies — k and k+26 would be
+    // EXACT duplicates; permutations support the 100× fit.)
     val alphabet = "abcdefghijklmnopqrstuvwxyz"
-    def rotated(k: Int): String = alphabet.drop(k) + alphabet.take(k)
+    def perm(k: Int): String =
+      if (k == 0) alphabet
+      else new scala.util.Random(k.toLong * 7919L)
+        .shuffle(alphabet.toSeq).mkString
     def expand(times: Int): DataFrame =
       if (times == 1) base
       else base.crossJoin(spark.range(times).select(col("id").as("__copy")))
         .select((col("doc_id") * times + col("__copy")).as("doc_id"),
           (1 until times).foldLeft(when(col("__copy") === 0, col("text"))) {
             case (acc, k) => acc.when(col("__copy") === k,
-              translate(col("text"), alphabet, rotated(k)))
+              translate(col("text"), alphabet, perm(k)))
           }.as("text"),
           col("lang"))
 
@@ -167,6 +172,32 @@ object ScaleProfile {
       Dedup.bloomDuplicates(corpus, col("doc_id"), col("text"),
         inc, col("doc_id"), col("text"),
         expectedItems = 1000000L, fpp = 0.01).count()
+    }
+
+    // deep mode: 1×/10×/100× THREE-POINT fit for the two worst round-11
+    // exponents (edit join 0.92, tfidf 0.85) — proves the 10×-window
+    // exponent is not an artifact; the per-decade exponents expose any
+    // constant-vs-asymptote split (run: `runMain graft.ScaleProfile <dir> deep`)
+    if (args.length > 1 && args(1) == "deep") {
+      val (c100, _) = mat(expand(100), "x100")
+      println(s"[scale] deep corpus sizes: ${c1.count()} / ${c10.count()} / ${c100.count()}")
+      val deep: Seq[(String, DataFrame => Long)] = Seq(
+        "edit_join" -> (d => edit(d)), "tfidf" -> (d => tfidf(d)))
+      val out = deep.map { case (name, p) =>
+        p(c1); p(c10) // warm (JIT/codegen)
+        val (t1, n1) = timed(p(c1))
+        val (t10, n10) = timed(p(c10))
+        val (t100, n100) = timed(p(c100))
+        val e1 = math.log(t10 / t1) / math.log(10.0)
+        val e2 = math.log(t100 / t10) / math.log(10.0)
+        val overall = math.log(t100 / t1) / math.log(100.0)
+        println(f"[scale] $name: t1=$t1%.2f (n=$n1) t10=$t10%.2f (n=$n10) " +
+          f"t100=$t100%.2f (n=$n100) exp(1→10)=$e1%.2f exp(10→100)=$e2%.2f overall=$overall%.2f")
+        f""""$name":{"t1":$t1%.2f,"t10":$t10%.2f,"t100":$t100%.2f,"exp_1_10":$e1%.2f,"exp_10_100":$e2%.2f,"overall":$overall%.2f}"""
+      }
+      println(out.mkString("""{"metric":"scaling_deep","sf":"""" + dir + "\",", ",", "}"))
+      spark.stop()
+      return
     }
 
     val pipelines: Seq[(String, (DataFrame, String) => Long)] = Seq(

@@ -3927,6 +3927,64 @@ object SparkEntryExt {
           |  "filters": {"operator": "OPERATOR_GREATER_THAN", "on": ["l_quantity"], "valueNumber": 45.0}}""".stripMargin))
         .select(col("meta_count")).head().getLong(0))
       out.toSeq.toDF("step", "result").orderBy(col("step"))
+    }),
+
+    // §2.1 concurrent-writer linearization (reference: usecases/objects/
+    // batch manager serializes writes per shard behind its lock;
+    // grpc/proto/v1/batch.proto's stream applies backpressure to one
+    // writer): REAL racing JVM threads drive the store's read-modify-write
+    // mutation path — a first wave of 3 writers × 2 disjoint-range batches,
+    // then an export PREPARED at the quiesced version, then a second wave
+    // racing between prepare and commit. Every step value is
+    // interleaving-invariant (disjoint id ranges make a lost update visible
+    // as a missing range, never a coincidental overwrite): exact final
+    // version count (each mutation claimed its own version), exact live
+    // rows, per-writer landed counts, the v0-pinned reader's page, and the
+    // prepare-time snapshot none of the racing writes leaked into
+    "q_store_race" -> ((s, dir) => {
+      import s.implicits._
+      val gg = g(s, dir)
+      val docs = gg.collection("Document").df.select(col("doc_id"), col("n_chars"))
+      val st = new graft.sources.CollectionStore(s,
+        java.nio.file.Files.createTempDirectory("graft-racest").toString,
+        CollectionSchema("DocRace", "doc_id", Seq(Property("n_chars", PropType.Int))))
+      st.init(docs.filter(col("doc_id") < 50))
+      val pinned = st.collection.df // reader opened at v0
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      def wave(threads: Int, batches: Int, base: Long, payloadOf: Int => Int): Unit = {
+        val pool = (0 until threads).map { t =>
+          new Thread(() => {
+            try (0 until batches).foreach { b =>
+              val lo = base + 1000L * (t * batches + b)
+              st.upsert(s.range(lo, lo + 10)
+                .select(col("id").as("doc_id"), lit(payloadOf(t)).as("n_chars")))
+            } catch { case e: Throwable => errs.add(e) }
+          })
+        }
+        pool.foreach(_.start()); pool.foreach(_.join(600000))
+      }
+      wave(3, 2, 10000L, t => 7000 + t)
+      val ex = new graft.sources.ExportSnapshot()
+      val p = ex.prepare("race-exp", Seq("DocRace" -> st))
+      wave(2, 1, 50000L, _ => 9000)
+      val dest = java.nio.file.Files.createTempDirectory("graft-racedst").toString
+      val m = ex.commit(p, dest)
+      val live = st.read()
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      out += "01_writer_errors" -> errs.size.toString
+      out += "02_final_version" -> st.version.toString
+      out += "03_live_rows" -> live.count().toString
+      out += "04_distinct_ids" -> live.select(col("doc_id")).distinct().count().toString
+      out += "05_per_writer_landed" -> live
+        .filter(col("n_chars") >= 7000 && col("n_chars") <= 7002)
+        .groupBy(col("n_chars")).count().orderBy(col("n_chars"))
+        .collect().map(r => s"${r.get(0)}:${r.getLong(1)}").mkString(",")
+      out += "06_pinned_reader_rows" -> pinned.count().toString
+      out += "07_export_rows" -> m.objectsExported("DocRace").toString
+      val snap = s.read.parquet(s"$dest/race-exp/DocRace")
+      out += "08_export_max_id" -> snap.agg(max(col("doc_id"))).head().getLong(0).toString
+      out += "09_raced_in_after_prepare" -> (live.count() - snap.count()).toString
+      out.toSeq.toDF("step", "result").orderBy(col("step"))
     })
   )
 
@@ -4040,6 +4098,28 @@ object SparkEntryExt {
         |  CAST((SELECT count(*) FROM documents WHERE n_chars > 400) AS VARCHAR)
         |UNION ALL SELECT '14_live_meta_count',
         |  CAST((SELECT count(*) FROM lineitem WHERE l_quantity > 45.0) AS VARCHAR)
+        |ORDER BY step""".stripMargin,
+
+    // linearization arms: interleaving-invariant outcomes of real racing
+    // writer threads — exact version count (every mutation claimed its own
+    // version: a lost update shows as a smaller count), live/export row
+    // counts SQL-derived, disjoint per-writer ranges all present
+    "q_store_race" ->
+      """SELECT * FROM (VALUES
+        |  ('01_writer_errors', '0'),
+        |  ('02_final_version', '8'),
+        |  ('05_per_writer_landed', '7000:20,7001:20,7002:20'),
+        |  ('08_export_max_id', '15009'),
+        |  ('09_raced_in_after_prepare', '20')
+        |) AS t(step, result)
+        |UNION ALL SELECT '03_live_rows', CAST(
+        |  (SELECT count(*) FROM documents WHERE doc_id < 50) + 80 AS VARCHAR)
+        |UNION ALL SELECT '04_distinct_ids', CAST(
+        |  (SELECT count(*) FROM documents WHERE doc_id < 50) + 80 AS VARCHAR)
+        |UNION ALL SELECT '06_pinned_reader_rows', CAST(
+        |  (SELECT count(*) FROM documents WHERE doc_id < 50) AS VARCHAR)
+        |UNION ALL SELECT '07_export_rows', CAST(
+        |  (SELECT count(*) FROM documents WHERE doc_id < 50) + 60 AS VARCHAR)
         |ORDER BY step""".stripMargin,
 
     // the hash embedder + movement math are deterministic, so the oracle

@@ -43,6 +43,23 @@ final class CollectionStore(val spark: SparkSession, val root: String,
 
   private def latestPath = Paths.get(root, "_latest")
 
+  /**
+   * Store-level write lock: every mutation is a read-modify-write against
+   * the current version (read v → compute → write v+1 → flip `_latest`), so
+   * two concurrent writers would both read v and both claim v+1 — one
+   * batch silently vanishes. The reference serializes batch writes per
+   * shard the same way (usecases/objects batch manager + per-shard locks;
+   * grpc/proto/v1/batch.proto's stream applies backpressure to one writer).
+   * The lock covers the WHOLE read-modify-write, not just the pointer flip;
+   * readers never take it — they pin whatever `_latest` said at read time
+   * (point-in-time semantics, proven by q_export/q_store_race). Scope is
+   * this store instance (one driver JVM owns a root, like one reference
+   * process owns a shard); cross-process coordination is a deployment
+   * concern the reference also leaves to its topology.
+   */
+  private val writeLock = new Object
+  private def mutate[T](body: => T): T = writeLock.synchronized(body)
+
   def version: Int =
     if (Files.exists(latestPath)) new String(Files.readAllBytes(latestPath)).trim.toInt else -1
 
@@ -127,7 +144,7 @@ final class CollectionStore(val spark: SparkSession, val root: String,
   }
 
   /** Initialize / overwrite the whole table. */
-  def init(df: DataFrame): Unit = {
+  def init(df: DataFrame): Unit = mutate {
     // init OVERWRITES: the cap compares the incoming count alone — counting
     // the rows this write replaces would reject any re-init of a
     // more-than-half-full capped store
@@ -140,7 +157,7 @@ final class CollectionStore(val spark: SparkSession, val root: String,
 
   /** Upsert whole objects by id (reference: crud.go:35 PutObject / batch.go:35
    * BatchPutObjects — last write wins on id collision). */
-  def upsert(updates: DataFrame): Unit = {
+  def upsert(updates: DataFrame): Unit = mutate {
     val id = schema.idColumn
     // the id is the primary key: a batch carrying the same id twice collapses
     // to one row (DataFrames are unordered, so which duplicate wins is
@@ -165,7 +182,7 @@ final class CollectionStore(val spark: SparkSession, val root: String,
   /** Partial update (PATCH) — only the columns present in `patch` (besides the
    * id) change; missing columns keep their value (reference: crud.go:292,
    * usecases/objects/merge.go). */
-  def merge(patch: DataFrame): Unit = {
+  def merge(patch: DataFrame): Unit = mutate {
     val id = schema.idColumn
     val current = read()
     val patchCols = patch.columns.filterNot(_ == id)
@@ -254,7 +271,7 @@ final class CollectionStore(val spark: SparkSession, val root: String,
     }
 
   private def mutateReferences(refProp: String, edges: DataFrame)(
-      combine: (Column, Column) => Column): (Long, Long) = {
+      combine: (Column, Column) => Column): (Long, Long) = mutate {
     val id = schema.idColumn
     require(schema.property(refProp).exists(_.dataType == graft.model.PropType.Ref),
       s"$refProp is not a cref property")
@@ -283,7 +300,7 @@ final class CollectionStore(val spark: SparkSession, val root: String,
   def deleteWhere(where: Where,
                   resolve: String => Collection =
                     n => throw new IllegalArgumentException(s"no ref target $n registered"),
-                  dryRun: Boolean = false): Long = {
+                  dryRun: Boolean = false): Long = mutate {
     val current = read()
     val compiler = new FilterCompiler(resolve)
     val matching = compiler(current, schema, where)
@@ -297,7 +314,7 @@ final class CollectionStore(val spark: SparkSession, val root: String,
 
   /** TTL expiry: delete rows whose `tsColumn` is older than `ttlSeconds`
    * relative to `now` (reference: index_objects_ttl.go:63, usecases/object_ttl). */
-  def expireTtl(tsColumn: String, ttlSeconds: Long, nowEpochSeconds: Long): Long = {
+  def expireTtl(tsColumn: String, ttlSeconds: Long, nowEpochSeconds: Long): Long = mutate {
     val current = read()
     val cutoff = nowEpochSeconds - ttlSeconds
     val isExpired = unix_timestamp(col(tsColumn)) < cutoff
@@ -317,7 +334,7 @@ final class CollectionStore(val spark: SparkSession, val root: String,
    * instance keeps serving the old schema against the previous version.
    */
   def addProperty(p: graft.model.Property,
-                  default: Option[org.apache.spark.sql.Column] = None): CollectionStore = {
+                  default: Option[org.apache.spark.sql.Column] = None): CollectionStore = mutate {
     import graft.model.PropType
     require(schema.property(p.name).isEmpty, s"property ${p.name} already exists")
     def sparkType(t: PropType): org.apache.spark.sql.types.DataType = {
@@ -359,7 +376,7 @@ final class CollectionStore(val spark: SparkSession, val root: String,
    * so the engine must gate writes on tenant status (TenantSpec pins the
    * read-side behavior).
    */
-  def offloadTenant(tenant: String, offloadRoot: String): Unit = {
+  def offloadTenant(tenant: String, offloadRoot: String): Unit = mutate {
     val src = tenantDir(tenant)
     require(Files.exists(src), s"tenant $tenant has no partition directory in v$version")
     val dst = Paths.get(offloadRoot, s"v$version-${src.getFileName}")
@@ -369,7 +386,7 @@ final class CollectionStore(val spark: SparkSession, val root: String,
 
   /** Move an offloaded tenant's partition directory back into the current
    * version (reference: ONLOADING — cloud → local hot storage). */
-  def onloadTenant(tenant: String, offloadRoot: String): Unit = {
+  def onloadTenant(tenant: String, offloadRoot: String): Unit = mutate {
     val dst = tenantDir(tenant)
     val src = Paths.get(offloadRoot, s"v$version-${dst.getFileName}")
     require(Files.exists(src), s"tenant $tenant is not offloaded at $offloadRoot for v$version")
@@ -393,7 +410,7 @@ final class CollectionStore(val spark: SparkSession, val root: String,
    * transaction-log/segment cleanup the reference's LSM compaction cycle does
    * (adapters/repos/db/lsmkv compaction); without it a long-lived store leaks
    * one full table copy per mutation. */
-  def vacuum(keep: Int = 1): Int = {
+  def vacuum(keep: Int = 1): Int = mutate {
     require(keep >= 1, "vacuum must keep at least the current version")
     val cutoff = version - keep
     val stale = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
