@@ -68,7 +68,32 @@ object Bench {
       }
       name -> ((System.nanoTime() - t0) / 1e9, ok)
     }.toMap
+    // fixed-work CPU calibration: same-code bench totals swing with ambient
+    // box load (four same-day runs on identical round-11 code spanned
+    // 108.8–142.5 s), so the headline carries a deterministic single-thread
+    // integer loop's wall time measured around the passes. box_factor is
+    // the ratio to the pinned quiet-box reference — a future round divides
+    // its total by box_factor before calling any uniform mover a regression
+    // (a REAL regression shifts specific queries, not the factor).
+    def calibrate(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        var x = 0x9E3779B97F4A7C15L
+        var i = 0
+        while (i < 200000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+        if (x == 42L) print("") // keep the loop observable
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // JIT warm
+      Seq(once(), once(), once()).min
+    }
+    // quiet-box reference (sec), pinned by measurement on the round-12 box
+    // (two consecutive runs: 0.3796 / 0.3793 — the loop itself is stable;
+    // it's the box that drifts). box_factor 1.0 ≈ that box, idle.
+    val boxRef = 0.379
+    val cal1 = calibrate()
     val (p1t, p2t) = (pass(1), pass(2))
+    val cal2 = calibrate()
     // min over SUCCESSFUL passes only — a fast-fail elapsed must never
     // become the benchmark number (it reads as a speedup); if both passes
     // failed, carry the slower elapsed so the total isn't deflated either,
@@ -136,7 +161,9 @@ object Bench {
       else passErrors.toSeq.sortBy(_._1).take(5)
         .map { case (k, v) => Fixtures.jsonString(k) + ":" + Fixtures.jsonString(v) }
         .mkString(""","errors":{""", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","total_p1":${tot(p1)},"total_p2":${tot(p2)}$errJson,"queries":$qs,"queries_p1":${obj(p1)},"queries_p2":${obj(p2)}}"""
+    def r4(x: Double): Double = math.rint(x * 10000) / 10000
+    val boxJson = s""","box_cal_p1":${r4(cal1)},"box_cal_p2":${r4(cal2)},"box_factor":${r4(math.min(cal1, cal2) / boxRef)}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","total_p1":${tot(p1)},"total_p2":${tot(p2)}$boxJson$errJson,"queries":$qs,"queries_p1":${obj(p1)},"queries_p2":${obj(p2)}}"""
     // a SPARK_GRAFT_ONLY subset run must not clobber the last FULL-run
     // record — "BENCH_SELF.json exists" has to keep meaning "all queries"
     val selfFile =
@@ -146,7 +173,7 @@ object Bench {
       (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     println(mapLine)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_p1":${tot(p1)},"total_p2":${tot(p2)},"n":${results.size},"n_errors":${passErrors.size}$errJson,"keys":"$keyDesc","full":"$selfFile"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_p1":${tot(p1)},"total_p2":${tot(p2)}$boxJson,"n":${results.size},"n_errors":${passErrors.size}$errJson,"keys":"$keyDesc","full":"$selfFile"}""")
     spark.stop()
   }
 }

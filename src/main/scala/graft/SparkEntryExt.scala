@@ -3985,6 +3985,117 @@ object SparkEntryExt {
       out += "08_export_max_id" -> snap.agg(max(col("doc_id"))).head().getLong(0).toString
       out += "09_raced_in_after_prepare" -> (live.count() - snap.count()).toString
       out.toSeq.toDF("step", "result").orderBy(col("step"))
+    }),
+
+    // §2.1 scheme-agnostic backup/export (reference: modules/backup-s3|gcs|
+    // azure|filesystem — four byte-stream backends behind one contract;
+    // here the contract IS Hadoop's FileSystem registry): a full backup →
+    // restore round trip and an export prepare/commit both run through a
+    // registered non-default `mockfs://` scheme. Proves every path flows
+    // through hadoop Path/FileSystem — a real s3a:// or gs:// target is a
+    // config change, not a code path — and that the metadata blob carries
+    // no absolute backend paths (a mounted/moved backup stays restorable)
+    "q_backup_scheme" -> ((s, dir) => {
+      import s.implicits._
+      s.sparkContext.hadoopConfiguration
+        .set("fs.mockfs.impl", classOf[graft.sources.MockFs].getName)
+      val gg = g(s, dir)
+      val local = java.nio.file.Files.createTempDirectory("graft-mockfs").toString
+      val root = s"mockfs:$local"
+      graft.sources.Backup.backup(gg, Seq("Document"), s"$root/bk")
+      val g2 = new Graft(s)
+      graft.sources.Backup.restore(g2, s"$root/bk", Seq("Document"))
+      val restored = g2.collection("Document")
+      def narrow(df: DataFrame) = df.select(col("doc_id"), col("lang"),
+        col("n_chars"), md5(col("text")).as("text_md5"), col("source"))
+      val src = narrow(gg.collection("Document").df)
+      val rst = narrow(restored.df)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      out += "01_restored_rows" -> rst.count().toString
+      out += "02_restored_matches_source" ->
+        (src.exceptAll(rst).count() + rst.exceptAll(src).count()).toString
+      out += "03_schema_tokenization_kept" ->
+        restored.schema.property("text").map(_.tokenization.name).getOrElse("?")
+      // the scheme resolved to the local backend: bytes actually landed there
+      out += "04_bytes_on_backend" ->
+        new java.io.File(s"$local/bk/Document/data").exists().toString
+      val st = new graft.sources.CollectionStore(s,
+        java.nio.file.Files.createTempDirectory("graft-schemest").toString,
+        CollectionSchema("DocSch", "doc_id", Seq(Property("n_chars", PropType.Int))))
+      st.init(gg.collection("Document").df
+        .select(col("doc_id"), col("n_chars")).filter(col("doc_id") < 120))
+      val ex = new graft.sources.ExportSnapshot()
+      val m = ex.commit(ex.prepare("sch-exp", Seq("DocSch" -> st)), s"$root/exp")
+      out += "05_export_status" -> m.status
+      out += "06_export_rows" ->
+        s.read.parquet(s"$root/exp/sch-exp/DocSch").count().toString
+      val hp = new org.apache.hadoop.fs.Path(s"$root/exp/sch-exp/export_metadata.json")
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val in = fs.open(hp)
+      val blob = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                 finally in.close()
+      out += "07_metadata_counts" ->
+        """"DocSch":(\d+)""".r.findFirstMatchIn(blob).map(_.group(1)).getOrElse("?")
+      out += "08_metadata_relative" -> (!blob.contains(local)).toString
+      out.toSeq.toDF("step", "result").orderBy(col("step"))
+    }),
+
+    // §2.1 RBAC-lite (reference: usecases/auth/authorization — types.go
+    // {verb}_{domain} actions + resource formatters, rbac/authorizer.go,
+    // errors/errors.go texts, built-in viewer/admin roles): allow, deny,
+    // anonymous, group-rendering, tenant-scope and segment-match arms; the
+    // allowed reads/aggregates are LIVE data-derived counts so the pass
+    // path proves the data plane still serves under an active policy
+    "q_rbac" -> ((s, dir) => {
+      import s.implicits._
+      import graft.engine.Rbac
+      val gg = g(s, dir)
+      val docReader = Rbac.Role("doc-reader", Seq(
+        Rbac.Permission(Rbac.ReadData, Rbac.objects("Document"))))
+      val tenantReader = Rbac.Role("tenant-a-reader", Seq(
+        Rbac.Permission(Rbac.ReadData, Rbac.objects("TenantDocs", "tenantA"))))
+      val policy = Rbac.Policy(Rbac.BuiltInRoles ++ Seq(docReader, tenantReader),
+        Map("alice" -> Seq("doc-reader"), "bob" -> Seq("viewer"),
+            "carol" -> Seq("admin"), "dave" -> Seq("tenant-a-reader")))
+      val g2 = new Graft(s)
+      g2.register(gg.collection("Document"))
+      g2.register(gg.collection("Part"))
+      def as(u: String): Graft = g2.withRbac(policy, Some(Rbac.Principal(u)))
+      val docPage = GetParams("Document",
+        where = Some(Where.gtInt("n_chars", 400L)), properties = Seq("doc_id"))
+      val newSchema = CollectionSchema("RbacNew", "doc_id",
+        Seq(Property("n_chars", PropType.Int)))
+      val newDf = gg.collection("Document").df.select(col("doc_id"), col("n_chars"))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      def res(body: => Any): String = okOr(body)
+      out += "01_anonymous" -> res(g2.withRbac(policy, None).get(docPage))
+      out += "02_alice_reads_document" -> valueOr(as("alice").get(docPage).count())
+      out += "03_alice_part_denied" ->
+        res(as("alice").get(GetParams("Part", properties = Seq("p_partkey"))))
+      out += "04_alice_register_denied" -> res(as("alice").register(newSchema, newDf))
+      out += "05_bob_viewer_reads_part" -> valueOr(as("bob").get(GetParams("Part",
+        where = Some(Where.gtNum("p_retailprice", 1500.0)),
+        properties = Seq("p_partkey"))).count())
+      out += "06_bob_agg_meta_count" -> valueOr(as("bob")
+        .aggregate(AggregateParams("Document", includeMetaCount = true))
+        .select(col("meta_count")).head().getLong(0))
+      out += "07_bob_register_denied" -> res(as("bob").register(newSchema, newDf))
+      out += "08_carol_admin_registers" -> res(as("carol").register(newSchema, newDf))
+      // Go renders a multi-group principal as (of groups 'a', 'b')
+      out += "09_group_error_text" -> res(Rbac.authorize(policy,
+        Some(Rbac.Principal("mallory", Seq("eng", "ml"))), Rbac.DeleteData,
+        Seq(Rbac.objects("Document"))))
+      out += "10_tenant_scope_allowed" -> res(Rbac.authorize(policy,
+        Some(Rbac.Principal("dave")), Rbac.ReadData,
+        Seq(Rbac.objects("TenantDocs", "tenantA"))))
+      out += "11_tenant_scope_denied" -> res(Rbac.authorize(policy,
+        Some(Rbac.Principal("dave")), Rbac.ReadData,
+        Seq(Rbac.objects("TenantDocs", "tenantB"))))
+      // segment-wise matching: a grant on Document must not prefix-leak
+      // onto Document2 — and authorization precedes the registry lookup
+      out += "12_no_prefix_leak" ->
+        res(as("alice").get(GetParams("Document2", properties = Seq("doc_id"))))
+      out.toSeq.toDF("step", "result").orderBy(col("step"))
     })
   )
 
@@ -4120,6 +4231,48 @@ object SparkEntryExt {
         |  (SELECT count(*) FROM documents WHERE doc_id < 50) AS VARCHAR)
         |UNION ALL SELECT '07_export_rows', CAST(
         |  (SELECT count(*) FROM documents WHERE doc_id < 50) + 60 AS VARCHAR)
+        |ORDER BY step""".stripMargin,
+
+    // scheme arms: live row counts SQL-derived; the backend/relative arms
+    // certify that bytes actually flowed through the registered scheme and
+    // the metadata blob stays path-free
+    "q_backup_scheme" ->
+      """SELECT * FROM (VALUES
+        |  ('02_restored_matches_source', '0'),
+        |  ('03_schema_tokenization_kept', 'word'),
+        |  ('04_bytes_on_backend', 'true'),
+        |  ('05_export_status', 'SUCCESS'),
+        |  ('08_metadata_relative', 'true')
+        |) AS t(step, result)
+        |UNION ALL SELECT '01_restored_rows', CAST(
+        |  (SELECT count(*) FROM documents) AS VARCHAR)
+        |UNION ALL SELECT '06_export_rows', CAST(
+        |  (SELECT count(*) FROM documents WHERE doc_id < 120) AS VARCHAR)
+        |UNION ALL SELECT '07_metadata_counts', CAST(
+        |  (SELECT count(*) FROM documents WHERE doc_id < 120) AS VARCHAR)
+        |ORDER BY step""".stripMargin,
+
+    // rbac arms: reference error texts verbatim (errors.go Forbidden under
+    // authorizer.go's "rbac: %w" wrap, prettyPermissionsResources domain
+    // rendering); allowed arms are SQL-derived live counts
+    "q_rbac" ->
+      """SELECT * FROM (VALUES
+        |  ('01_anonymous', 'rbac: user is not authenticated'),
+        |  ('03_alice_part_denied', 'rbac: authorization, forbidden action: user ''alice'' has insufficient permissions to read_data [[Domain: data, Collection: Part, Tenant: *, Object: *]]'),
+        |  ('04_alice_register_denied', 'rbac: authorization, forbidden action: user ''alice'' has insufficient permissions to create_collections [[Domain: collections, Collection: RbacNew]]'),
+        |  ('07_bob_register_denied', 'rbac: authorization, forbidden action: user ''bob'' has insufficient permissions to create_collections [[Domain: collections, Collection: RbacNew]]'),
+        |  ('08_carol_admin_registers', 'ok'),
+        |  ('09_group_error_text', 'rbac: authorization, forbidden action: user ''mallory'' (of groups ''eng'', ''ml'') has insufficient permissions to delete_data [[Domain: data, Collection: Document, Tenant: *, Object: *]]'),
+        |  ('10_tenant_scope_allowed', 'ok'),
+        |  ('11_tenant_scope_denied', 'rbac: authorization, forbidden action: user ''dave'' has insufficient permissions to read_data [[Domain: data, Collection: TenantDocs, Tenant: tenantB, Object: *]]'),
+        |  ('12_no_prefix_leak', 'rbac: authorization, forbidden action: user ''alice'' has insufficient permissions to read_data [[Domain: data, Collection: Document2, Tenant: *, Object: *]]')
+        |) AS t(step, result)
+        |UNION ALL SELECT '02_alice_reads_document', CAST(
+        |  (SELECT count(*) FROM documents WHERE n_chars > 400) AS VARCHAR)
+        |UNION ALL SELECT '05_bob_viewer_reads_part', CAST(
+        |  (SELECT count(*) FROM part WHERE p_retailprice > 1500.0) AS VARCHAR)
+        |UNION ALL SELECT '06_bob_agg_meta_count', CAST(
+        |  (SELECT count(*) FROM documents) AS VARCHAR)
         |ORDER BY step""".stripMargin,
 
     // the hash embedder + movement math are deterministic, so the oracle

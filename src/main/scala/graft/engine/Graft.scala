@@ -182,6 +182,8 @@ final class Graft(val spark: SparkSession) {
   }
 
   def register(c: Collection): Graft = {
+    authorizeRbac(Rbac.CreateCollections,
+      Seq(Rbac.collectionsMetadata(c.schema.name)))
     // creation-path name validation (reference applies it on schema create,
     // not on startup loads — re-registration of the same names re-passes)
     SchemaValidation.validate(c.schema)
@@ -510,6 +512,19 @@ final class Graft(val spark: SparkSession) {
     usageTemplate = template; this
   }
 
+  // --- RBAC-lite (reference: usecases/auth/authorization — rbac/
+  // authorizer.go is consulted at every handler entry; here the entries are
+  // get/aggregate (read_data on the collection+tenant resource) and
+  // register (create_collections)). Unconfigured ⇒ open, like a reference
+  // node without AUTHORIZATION_RBAC_ENABLED. -------------------------------
+  private var rbacPolicy: Option[Rbac.Policy] = None
+  private var rbacPrincipal: Option[Rbac.Principal] = None
+  def withRbac(policy: Rbac.Policy, principal: Option[Rbac.Principal]): Graft = {
+    rbacPolicy = Some(policy); rbacPrincipal = principal; this
+  }
+  private def authorizeRbac(verb: String, resources: => Seq[String]): Unit =
+    rbacPolicy.foreach(p => Rbac.authorize(p, rbacPrincipal, verb, resources))
+
   private var allowedIndexTypes: Option[Seq[String]] = None
   private var restrictionsTemplate: String = ""
   /** Operator allow-list for `vector_index_type`, checked at index
@@ -835,6 +850,10 @@ final class Graft(val spark: SparkSession) {
   }
 
   def get(params0: GetParams): DataFrame = {
+    // authorization precedes any data access (and even the registry lookup's
+    // error — the reference's handlers authorize before use-case dispatch)
+    authorizeRbac(Rbac.ReadData,
+      Seq(Rbac.objects(params0.collection, params0.tenant.getOrElse(""))))
     val c = collection(params0.collection)
     val params = resolveMetrics(c, params0)
     val id = c.schema.idColumn
@@ -1338,6 +1357,8 @@ final class Graft(val spark: SparkSession) {
     }
 
   def aggregate(params0: AggregateParams): DataFrame = {
+    authorizeRbac(Rbac.ReadData,
+      Seq(Rbac.objects(params0.collection, params0.tenant.getOrElse(""))))
     val c = collection(params0.collection)
     // Metric.Default resolution — same class-config model as Get's
     def rm(m: Metric, targets: Seq[String]): Metric =

@@ -1,8 +1,6 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths}
-
-import org.apache.spark.sql.functions.col
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 /**
  * Point-in-time parquet export of collections (reference: usecases/export —
@@ -87,11 +85,15 @@ final class ExportSnapshot(enabled: Boolean = true) {
         throw new IllegalStateException(ErrNotActive)
       if (m.status != Started) throw new IllegalStateException(ErrAlreadyFinished)
     }
-    val base = Paths.get(destRoot, p.id)
+    // hadoop Path end-to-end, never java.nio: the destination may live on
+    // any registered FileSystem scheme (the reference's backup-s3/gcs/azure
+    // backends are exactly "a different FileSystem behind the same
+    // byte-stream contract"); q_backup_scheme drives this through mockfs://
+    val base = new Path(destRoot, p.id)
     val counts =
       try p.anchors.map { a =>
         val df = a.store.readAt(a.version)
-        val out = base.resolve(a.className).toString
+        val out = new Path(base, a.className).toString
         df.write.mode("errorifexists").parquet(out)
         // count the WRITTEN files: parquet footer metadata only — no
         // re-scan of the source version, and it proves the write landed
@@ -109,14 +111,20 @@ final class ExportSnapshot(enabled: Boolean = true) {
     synchronized {
       val meta = Metadata(p.id, Success, p.anchors.map(_.className), counts,
         base.toString)
-      Files.createDirectories(base)
+      // class entries are RELATIVE to the metadata blob's own directory —
+      // a backup moved/mounted under a different root or scheme stays
+      // restorable (reference: export_metadata.json carries class names,
+      // not absolute node paths)
       val json = "{\"id\":\"" + jsonEscape(p.id) + "\",\"status\":\"" + Success +
         "\",\"classes\":[" +
         p.anchors.map(a => "\"" + jsonEscape(a.className) + "\"").mkString(",") +
         "],\"objectsExported\":{" +
         p.anchors.map(a => "\"" + jsonEscape(a.className) + "\":" + counts(a.className))
           .mkString(",") + "}}"
-      Files.write(base.resolve("export_metadata.json"), json.getBytes("UTF-8"))
+      val fs = base.getFileSystem(
+        p.anchors.head.store.spark.sparkContext.hadoopConfiguration)
+      val os = fs.create(new Path(base, "export_metadata.json"), true)
+      try os.write(json.getBytes("UTF-8")) finally os.close()
       exports += p.id -> meta
       active = active.filterNot(_ == p.id)
       meta
