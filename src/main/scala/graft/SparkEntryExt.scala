@@ -169,10 +169,40 @@ object SparkEntryExt {
   /** Pre-build every index side-table (IVF, PQ, postings) for a dataset —
    * the bench harness calls this so per-query timings measure probe cost,
    * not the offline build (which at scale is a separate batch job). */
+  /** The planted-skew IVF bed: built once, rebalanced once, balanced layout
+   * persisted as a parquet side-table LEAF — q_near_ivf_skew's many probe/
+   * audit actions then scan the leaf instead of re-running the build and
+   * the two-means split rounds per action (was the heaviest query at
+   * 7.5 s/pass before memoization). Returns (pre-split posting sizes,
+   * pre-split nlist, balanced index). */
+  private val ivfSkewCache =
+    scala.collection.mutable.Map.empty[String, (Map[Int, Long], Int, graft.ann.IvfIndex)]
+  private[graft] def ivfSkewFor(gg: Graft, dir: String): (Map[Int, Long], Int, graft.ann.IvfIndex) =
+    ivfSkewCache.getOrElseUpdate(dir, {
+      // skewed bed FROM the embeddings table: vec_id drives sub-blob choice
+      // and a deterministic ±0.05 jitter (dims 0-2 encode the sub-blob id);
+      // 80% of vectors land in one latent blob the 5-centroid coarse
+      // quantizer lumps together
+      val emb = gg.collection("Embedding").df.select(col("vec_id")).withColumn("embedding",
+        expr("""transform(sequence(0, 7), d -> CAST(
+          (CASE WHEN vec_id % 5 != 4 THEN
+            2.0 + (CASE WHEN d < 3 THEN (CASE WHEN ((CAST(vec_id % 8 AS INT) >> d) & 1) = 1 THEN 0.6 ELSE -0.6 END) ELSE 0.0 END)
+          ELSE -3.0 * (CAST(vec_id % 4 AS INT) + 1) END)
+          + (CAST((vec_id * (d + 3)) % 97 AS DOUBLE) / 97.0) * 0.1 - 0.05 AS FLOAT))"""))
+      val index = graft.ann.IvfIndex.build(emb, "vec_id", "embedding", nlist = 5)
+      index.assigned.cache().count()
+      val before = index.postingSizes()
+      val balanced = index.rebalance(120L)
+      val leaf = balanced.copy(assigned = sideTable(balanced.assigned, "ivfskew"))
+      index.assigned.unpersist()
+      (before, index.centroids.length, leaf)
+    })
+
   private[graft] def prebuildIndexes(gg: Graft, dir: String): Unit = {
     ivfFor(gg, dir).assigned.count()
     ivfRevFor(gg, dir).assigned.count()
     ivfRngFor(gg, dir).assigned.count()
+    ivfSkewFor(gg, dir)
     pqFor(gg, dir)._2.count()
     bqFor(gg, dir).count()
     sqFor(gg, dir)._2.count()
@@ -198,11 +228,16 @@ object SparkEntryExt {
     dynFor(gg, dir).ivf.foreach(_.assigned.count())
     // muvera encoded side-table (the doc-side FDE batch pass is the build)
     muveraBedFor(gg, dir)
-    // CJK bed registration + its BM25 corpus stats
+    // CJK bed registration + its BM25 corpus stats — under the same
+    // thread-scoped bigram fallback the queries use (without it this warm
+    // step throws the dictionary-required dispatch error and aborts the
+    // REST of the warm-up, charging every later build to pass 1)
     cjkBedFor(gg)
-    graft.operators.Bm25Search
-      .score(gg.collection("DocCjk"), graft.model.Bm25("的", Seq("text_cjk")))
-      .limit(1).count()
+    graft.text.Tokenize.withCjkFallback {
+      graft.operators.Bm25Search
+        .score(gg.collection("DocCjk"), graft.model.Bm25("的", Seq("text_cjk")))
+        .limit(1).count()
+    }
     // dictionary-mode CJK bed + its stats (query-scope dict gate)
     cjkDictBedFor(gg)
     graft.text.Tokenize.withCjkUserDict(CjkUserDict) {
@@ -3848,19 +3883,9 @@ object SparkEntryExt {
       import s.implicits._
       val gg = g(s, dir)
       val cap = 120L
-      // skewed bed FROM the embeddings table: vec_id drives sub-blob choice
-      // and a deterministic ±0.05 jitter (dims 0-2 encode the sub-blob id)
-      val emb = gg.collection("Embedding").df.select(col("vec_id")).withColumn("embedding",
-        expr("""transform(sequence(0, 7), d -> CAST(
-          (CASE WHEN vec_id % 5 != 4 THEN
-            2.0 + (CASE WHEN d < 3 THEN (CASE WHEN ((CAST(vec_id % 8 AS INT) >> d) & 1) = 1 THEN 0.6 ELSE -0.6 END) ELSE 0.0 END)
-          ELSE -3.0 * (CAST(vec_id % 4 AS INT) + 1) END)
-          + (CAST((vec_id * (d + 3)) % 97 AS DOUBLE) / 97.0) * 0.1 - 0.05 AS FLOAT))"""))
-      val index = graft.ann.IvfIndex.build(emb, "vec_id", "embedding", nlist = 5)
-      index.assigned.cache().count()
-      val before = index.postingSizes()
-      val balanced = index.rebalance(cap)
+      val (before, beforeNlist, balanced) = ivfSkewFor(gg, dir)
       val after = balanced.postingSizes()
+      val emb = balanced.assigned.select(col("vec_id"), col("embedding"))
       val q = emb.filter(col("vec_id") === 10L).head().getSeq[Float](1).toArray
       val truth = graft.operators.VectorSearch
         .withDistance(emb, "embedding", q, Metric.L2Squared)
@@ -3876,7 +3901,7 @@ object SparkEntryExt {
       out += "03_bound_after" -> (after.values.max <= cap).toString
       out += "04_ids_preserved" ->
         balanced.assigned.select(col("vec_id")).distinct().count().toString
-      out += "05_centroids_grew" -> (balanced.centroids.length > index.centroids.length).toString
+      out += "05_centroids_grew" -> (balanced.centroids.length > beforeNlist).toString
       out += "06_recall_nprobe2" ->
         (truth.intersect(got).size.toDouble / truth.size >= 0.9).toString
       out += "07_full_probe_exact" -> (full == truth).toString
@@ -4095,6 +4120,25 @@ object SparkEntryExt {
       // onto Document2 — and authorization precedes the registry lookup
       out += "12_no_prefix_leak" ->
         res(as("alice").get(GetParams("Document2", properties = Seq("doc_id"))))
+      // per-request principal (getAs) REPLACES the engine default: with the
+      // default set to admin carol, alice's request must still deny (a
+      // fallback-to-default bug would let it pass) and an explicitly
+      // anonymous request stays anonymous
+      out += "13_per_request_principal" ->
+        res(g2.withRbac(policy, Some(Rbac.Principal("carol")))
+          .getAs(Some(Rbac.Principal("alice")),
+            GetParams("Part", properties = Seq("p_partkey"))))
+      out += "14_per_request_anonymous" ->
+        res(g2.getAs(None, GetParams("Part", properties = Seq("p_partkey"))))
+      // explore serves data from EVERY listed collection — alice's
+      // Document-only grant must not cover an explore that includes Part
+      out += "15_explore_denied" -> res(as("alice")
+        .explore(Seq("Document", "Part"), NearText(Seq("spark"))))
+      // a tenant literally named '#' is caller data, not a wildcard — it
+      // must not match dave's tenantA-scoped grant
+      out += "16_hash_tenant_no_bypass" -> res(Rbac.authorize(policy,
+        Some(Rbac.Principal("dave")), Rbac.ReadData,
+        Seq(Rbac.objects("TenantDocs", "#"))))
       out.toSeq.toDF("step", "result").orderBy(col("step"))
     })
   )
@@ -4265,7 +4309,11 @@ object SparkEntryExt {
         |  ('09_group_error_text', 'rbac: authorization, forbidden action: user ''mallory'' (of groups ''eng'', ''ml'') has insufficient permissions to delete_data [[Domain: data, Collection: Document, Tenant: *, Object: *]]'),
         |  ('10_tenant_scope_allowed', 'ok'),
         |  ('11_tenant_scope_denied', 'rbac: authorization, forbidden action: user ''dave'' has insufficient permissions to read_data [[Domain: data, Collection: TenantDocs, Tenant: tenantB, Object: *]]'),
-        |  ('12_no_prefix_leak', 'rbac: authorization, forbidden action: user ''alice'' has insufficient permissions to read_data [[Domain: data, Collection: Document2, Tenant: *, Object: *]]')
+        |  ('12_no_prefix_leak', 'rbac: authorization, forbidden action: user ''alice'' has insufficient permissions to read_data [[Domain: data, Collection: Document2, Tenant: *, Object: *]]'),
+        |  ('13_per_request_principal', 'rbac: authorization, forbidden action: user ''alice'' has insufficient permissions to read_data [[Domain: data, Collection: Part, Tenant: *, Object: *]]'),
+        |  ('14_per_request_anonymous', 'rbac: user is not authenticated'),
+        |  ('15_explore_denied', 'rbac: authorization, forbidden action: user ''alice'' has insufficient permissions to read_data [[Domain: data, Collection: Part, Tenant: *, Object: *]]'),
+        |  ('16_hash_tenant_no_bypass', 'rbac: authorization, forbidden action: user ''dave'' has insufficient permissions to read_data [[Domain: data, Collection: TenantDocs, Tenant: #, Object: *]]')
         |) AS t(step, result)
         |UNION ALL SELECT '02_alice_reads_document', CAST(
         |  (SELECT count(*) FROM documents WHERE n_chars > 400) AS VARCHAR)

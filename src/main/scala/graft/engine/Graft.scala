@@ -167,6 +167,11 @@ final class Graft(val spark: SparkSession) {
    */
   def explore(collections: Seq[String], nearText: NearText, limit: Int = 0,
               offset: Int = 0, objectClass: Option[String] = None): DataFrame = {
+    // explore serves object data from EVERY listed collection — each needs
+    // read_data (the reference authorizes the explore traverser too; an
+    // unguarded explore would bypass read enforcement wholesale)
+    authorizeRbac(rbacPrincipal, Rbac.ReadData,
+      collections.map(n => Rbac.objects(rbacName(n))))
     val ctx = collection(objectClass.orElse(collections.headOption).getOrElse(
       throw new IllegalArgumentException("explore requires at least one collection")))
     val nv = resolveNearText(ctx, nearText)
@@ -182,7 +187,7 @@ final class Graft(val spark: SparkSession) {
   }
 
   def register(c: Collection): Graft = {
-    authorizeRbac(Rbac.CreateCollections,
+    authorizeRbac(rbacPrincipal, Rbac.CreateCollections,
       Seq(Rbac.collectionsMetadata(c.schema.name)))
     // creation-path name validation (reference applies it on schema create,
     // not on startup loads — re-registration of the same names re-passes)
@@ -514,16 +519,32 @@ final class Graft(val spark: SparkSession) {
 
   // --- RBAC-lite (reference: usecases/auth/authorization — rbac/
   // authorizer.go is consulted at every handler entry; here the entries are
-  // get/aggregate (read_data on the collection+tenant resource) and
+  // get/aggregate/explore (read_data on the collection+tenant resource) and
   // register (create_collections)). Unconfigured ⇒ open, like a reference
   // node without AUTHORIZATION_RBAC_ENABLED. -------------------------------
   private var rbacPolicy: Option[Rbac.Policy] = None
   private var rbacPrincipal: Option[Rbac.Principal] = None
+  /** Configure the policy and this engine's DEFAULT principal. MUTATES this
+   * engine (like every withX): two handles from two withRbac calls alias
+   * the same state — the last principal wins for get/aggregate/explore/
+   * register calls that don't carry their own. Concurrent multi-principal
+   * serving must thread the principal per request via getAs/aggregateAs
+   * (the reference's shape: the policy is node state, the principal rides
+   * the request context). */
   def withRbac(policy: Rbac.Policy, principal: Option[Rbac.Principal]): Graft = {
     rbacPolicy = Some(policy); rbacPrincipal = principal; this
   }
-  private def authorizeRbac(verb: String, resources: => Seq[String]): Unit =
-    rbacPolicy.foreach(p => Rbac.authorize(p, rbacPrincipal, verb, resources))
+  private def authorizeRbac(principal: Option[Rbac.Principal], verb: String,
+                            resources: => Seq[String]): Unit =
+    rbacPolicy.foreach(p => Rbac.authorize(p, principal, verb, resources))
+  /** Canonical collection name for authorization: grants are written
+   * against canonical class names, so aliases and namespace-qualified
+   * names must resolve BEFORE the permission check (an alias re-pointed at
+   * a different class must not carry its old grants; a qualified name must
+   * match the grant on its class). Total: an unresolvable name authorizes
+   * (and then fails) under the raw string. */
+  private def rbacName(name: String): String =
+    try resolveName(name) catch { case _: Throwable => name }
 
   private var allowedIndexTypes: Option[Seq[String]] = None
   private var restrictionsTemplate: String = ""
@@ -849,11 +870,16 @@ final class Graft(val spark: SparkSession) {
       })
   }
 
-  def get(params0: GetParams): DataFrame = {
+  def get(params0: GetParams): DataFrame = getAs(rbacPrincipal, params0)
+
+  /** Get under an explicit per-request principal (replaces — not falls back
+   * to — the engine default; an explicitly anonymous request stays
+   * anonymous). Race-free under concurrent multi-principal serving. */
+  def getAs(principal: Option[Rbac.Principal], params0: GetParams): DataFrame = {
     // authorization precedes any data access (and even the registry lookup's
     // error — the reference's handlers authorize before use-case dispatch)
-    authorizeRbac(Rbac.ReadData,
-      Seq(Rbac.objects(params0.collection, params0.tenant.getOrElse(""))))
+    authorizeRbac(principal, Rbac.ReadData,
+      Seq(Rbac.objects(rbacName(params0.collection), params0.tenant.getOrElse(""))))
     val c = collection(params0.collection)
     val params = resolveMetrics(c, params0)
     val id = c.schema.idColumn
@@ -1356,9 +1382,14 @@ final class Graft(val spark: SparkSession) {
       }
     }
 
-  def aggregate(params0: AggregateParams): DataFrame = {
-    authorizeRbac(Rbac.ReadData,
-      Seq(Rbac.objects(params0.collection, params0.tenant.getOrElse(""))))
+  def aggregate(params0: AggregateParams): DataFrame =
+    aggregateAs(rbacPrincipal, params0)
+
+  /** Aggregate under an explicit per-request principal (see getAs). */
+  def aggregateAs(principal: Option[Rbac.Principal],
+                  params0: AggregateParams): DataFrame = {
+    authorizeRbac(principal, Rbac.ReadData,
+      Seq(Rbac.objects(rbacName(params0.collection), params0.tenant.getOrElse(""))))
     val c = collection(params0.collection)
     // Metric.Default resolution — same class-config model as Get's
     def rm(m: Metric, targets: Seq[String]): Metric =

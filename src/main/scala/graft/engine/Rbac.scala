@@ -76,15 +76,18 @@ object Rbac {
   val ReadOnly: Role = Viewer.copy(name = "read-only")
   val BuiltInRoles: Seq[Role] = Seq(Viewer, Admin, Root, ReadOnly)
 
-  /** Segment-wise wildcard match over the fixed-depth resource paths; '#'
-   * (the collection-only shard marker) is compatible with any shard
-   * pattern, mirroring casbin's treatment in the reference's model. */
+  /** Segment-wise wildcard match over the fixed-depth resource paths.
+   * Wildcards live on the PATTERN side only ('*' any segment; '#' the
+   * collection-only shard marker, also matched by a '*'/'#' pattern
+   * segment) — a '#' or '*' arriving on the RESOURCE side is caller data
+   * (e.g. a tenant literally named "#") and must match nothing but itself,
+   * else a crafted tenant name bypasses tenant-scoped grants. */
   private[engine] def matches(pattern: String, resource: String): Boolean =
     pattern == "*" || {
       val ps = pattern.split("/", -1)
       val rs = resource.split("/", -1)
       ps.length == rs.length && ps.zip(rs).forall {
-        case (p, r) => p == "*" || p == "#" || r == "#" || p == r
+        case (p, r) => p == "*" || p == r
       }
     }
 

@@ -90,6 +90,16 @@ final class ExportSnapshot(enabled: Boolean = true) {
     // backends are exactly "a different FileSystem behind the same
     // byte-stream contract"); q_backup_scheme drives this through mockfs://
     val base = new Path(destRoot, p.id)
+    // ANY failure below — scan, parquet write, or the metadata blob's own
+    // create/write (real on a remote FileSystem: expired credentials,
+    // transient network) — must mark FAILED and free the single-export
+    // slot, or the id stays STARTED and every later prepare hits
+    // ErrAlreadyActive with no way to release it
+    def markFailed(): Unit = synchronized {
+      exports += p.id -> Metadata(p.id, Failed, p.anchors.map(_.className),
+        Map.empty, base.toString)
+      active = active.filterNot(_ == p.id)
+    }
     val counts =
       try p.anchors.map { a =>
         val df = a.store.readAt(a.version)
@@ -99,16 +109,8 @@ final class ExportSnapshot(enabled: Boolean = true) {
         // re-scan of the source version, and it proves the write landed
         a.className -> df.sparkSession.read.parquet(out).count()
       }.toMap
-      catch {
-        case e: Throwable =>
-          synchronized {
-            exports += p.id -> Metadata(p.id, Failed, p.anchors.map(_.className),
-              Map.empty, base.toString)
-            active = active.filterNot(_ == p.id)
-          }
-          throw e
-      }
-    synchronized {
+      catch { case e: Throwable => markFailed(); throw e }
+    try synchronized {
       val meta = Metadata(p.id, Success, p.anchors.map(_.className), counts,
         base.toString)
       // class entries are RELATIVE to the metadata blob's own directory —
@@ -128,7 +130,7 @@ final class ExportSnapshot(enabled: Boolean = true) {
       exports += p.id -> meta
       active = active.filterNot(_ == p.id)
       meta
-    }
+    } catch { case e: Throwable => markFailed(); throw e }
   }
 
   /** Cancel an export that has not finished; finished ids reject. */

@@ -19,6 +19,11 @@ class RbacSpec extends AnyFunSuite {
     // '#' (collection-only shard marker) is compatible with any shard pattern
     assert(Rbac.matches(Rbac.collectionsMetadata(), Rbac.collectionsMetadata("A")))
     assert(Rbac.matches("schema/collections/A/shards/*", Rbac.collectionsMetadata("A")))
+    // wildcards live on the PATTERN side only: a tenant (or collection)
+    // literally named '#'/'*' in the RESOURCE is caller data and must not
+    // match a scoped grant (tenant-scope bypass otherwise)
+    assert(!Rbac.matches(Rbac.objects("A", "tenantA"), Rbac.objects("A", "#")))
+    assert(!Rbac.matches(Rbac.objects("A", "tenantA"), "data/collections/A/shards/*/objects/*"))
   }
 
   test("built-in roles: viewer reads everything, mutates nothing") {
