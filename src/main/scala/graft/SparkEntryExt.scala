@@ -3942,6 +3942,14 @@ object SparkEntryExt {
         """{"collection": "Part", "filters": {"operator": "OPERATOR_EQUAL", "on": ["p_retailprice"], "valueText": "abc"}}"""))
       out += "12_agg_multi_target" -> res(W.aggregate(gg,
         """{"collection": "Embedding", "nearVector": {"vector": [1.0], "targets": {"targetVectors": ["default", "rev"]}}}"""))
+      out += "15_agg_multi_vector" -> res(W.aggregate(gg,
+        """{"collection": "Embedding", "nearVector": {"vectors": [{"type": "VECTOR_TYPE_MULTI_FP32", "vector": [[1.0, 2.0]]}]}}"""))
+      out += "16_bad_vector_bytes" -> res(W.search(gg,
+        """{"collection": "Embedding", "nearVector": {"vectorBytes": "AAAAAAAAAAAAAA=="}}"""))
+      out += "17_mmr_negative" -> res(W.search(gg,
+        """{"collection": "Embedding", "limit": 10, "nearVector": {"vector": [1.0], "selection": {"mmr": {"limit": -5}}}}"""))
+      out += "18_unparseable_int" -> res(W.search(gg,
+        """{"collection": "Document", "limit": "abc"}"""))
       // live arm: the decoded page count is data-derived (oracle recomputes
       // it in SQL) — a decoder that parses but never reaches the plan fails
       out += "13_live_filter_count" -> valueOr(gg.get(W.search(gg,
@@ -4247,7 +4255,11 @@ object SparkEntryExt {
         |  ('09_hybrid_neartext_and_vector', 'cannot combine nearText and query in hybrid search'),
         |  ('10_weights_mismatch', 'number of weights (1) does not match number of targets (2)'),
         |  ('11_unparseable_number', 'expected a number value, but could not parse string ''abc'' as float'),
-        |  ('12_agg_multi_target', 'found more than one target vector for aggregation')
+        |  ('12_agg_multi_target', 'found more than one target vector for aggregation'),
+        |  ('15_agg_multi_vector', 'near_vector: multi vector is not supported for aggregation'),
+        |  ('16_bad_vector_bytes', 'vector_bytes: payload of 10 bytes is not a whole number of fp32 values'),
+        |  ('17_mmr_negative', 'MMR limit must be at least 1'),
+        |  ('18_unparseable_int', 'limit: expected integer, got abc')
         |) AS t(step, result)
         |UNION ALL SELECT '13_live_filter_count',
         |  CAST((SELECT count(*) FROM documents WHERE n_chars > 400) AS VARCHAR)

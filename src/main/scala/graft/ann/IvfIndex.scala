@@ -429,11 +429,17 @@ object IvfIndex {
 
     val rewritten = ix.persistPath match {
       case Some(p) =>
-        // rewrite the partitioned layout so probing stays partition pruning
+        // rewrite the partitioned layout so probing stays partition pruning;
+        // the tmp copy exists only because `merged` still reads from p (an
+        // in-place overwrite would scan its own output) — delete it after
+        // the copy-back or every rebalance leaks a whole-table-sized directory
         val tmp = p + ".rebalance"
         merged.write.mode("overwrite").partitionBy("__centroid").parquet(tmp)
         spark.read.parquet(tmp).write.mode("overwrite")
           .partitionBy("__centroid").parquet(p)
+        val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+        tmpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(tmpPath, true)
         spark.read.parquet(p)
       case None =>
         // truncate the per-round union lineage (bounded: maxRounds)

@@ -54,7 +54,9 @@ object WireDecoder {
     case JInt(i) => i.toLong
     case JLong(i) => i
     case JDouble(d) if d.isWhole => d.toLong
-    case JString(s) => s.toLong // protojson renders int64 as string
+    case JString(s) => // protojson renders int64 as string
+      try s.toLong catch { case _: NumberFormatException =>
+        fail(s"$name: expected integer, got $s") }
     case other => fail(s"$name: expected integer, got $other")
   }
   private def asDouble(name: String, v: JValue): Double = v match {
@@ -80,6 +82,10 @@ object WireDecoder {
   /** Little-endian fp32 slice — the reference's byteops.Fp32SliceFromBytes,
    * the encoding protojson `vectorBytes` (base64) carries. */
   private[engine] def fp32FromBytes(bytes: Array[Byte]): Array[Float] = {
+    // a truncated payload must not silently become a shorter vector — the
+    // query would run against wrong dimensions instead of failing to parse
+    if (bytes.length % 4 != 0)
+      fail(s"vector_bytes: payload of ${bytes.length} bytes is not a whole number of fp32 values")
     val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val out = new Array[Float](bytes.length / 4)
     var i = 0
@@ -87,10 +93,23 @@ object WireDecoder {
     out
   }
 
+  /** Multi-vector byte layout (reference: byteops.Fp32SliceOfSlicesFromBytes)
+   * — a uint16 LE per-row dimension header, then the rows packed as LE fp32. */
+  private[engine] def fp32SlicesFromBytes(bytes: Array[Byte]): Array[Array[Float]] = {
+    if (bytes.isEmpty) return Array.empty
+    val dim = ((bytes(0) & 0xff) | ((bytes(1) & 0xff) << 8))
+    if (dim == 0) fail("vector_bytes: dimension cannot be 0")
+    val body = java.util.Arrays.copyOfRange(bytes, 2, bytes.length)
+    if (body.length % (dim * 4) != 0)
+      fail(s"vector_bytes: payload does not pack whole $dim-dim fp32 rows")
+    fp32FromBytes(body).grouped(dim).map(_.toArray).toArray
+  }
+
   /** A vector argument: either `vector` (number list), `vectorBytes`
    * (base64 LE fp32), or `vectors: [{type, vectorBytes|vector}]` — the
    * reference's precedence is vectors > vectorBytes > vector
-   * (parse_search_request.go:1343-1358). Returns (single, multi). */
+   * (parse_search_request.go:1343-1358); multi-fp32 byte payloads use the
+   * dim-header packing of fp32SlicesFromBytes. Returns (single, multi). */
   private def extractVectorArg(jv: JValue, ctx: String): (Option[Array[Float]], Option[Array[Array[Float]]]) = {
     arr(jv, "vectors") match {
       case Some(vs) if vs.nonEmpty =>
@@ -102,6 +121,8 @@ object WireDecoder {
             case Some(JArray(rows)) =>
               (None, Some(rows.map { case JArray(r) => floatArr("vectors", r)
                                      case other => fail(s"$ctx: expected nested float arrays, got $other") }.toArray))
+            case Some(JString(b64)) => // wire-real payload: dim-header byte packing
+              (None, Some(fp32SlicesFromBytes(Base64.getDecoder.decode(b64))))
             case _ => fail(s"$ctx: multi vector requires nested float arrays")
           }
         } else {
@@ -224,14 +245,18 @@ object WireDecoder {
       .orElse(field(jv, "valueInt").map {
         case JInt(i) => IntV(i.toLong); case JLong(i) => IntV(i)
         case JDouble(d) if d.isWhole => IntV(d.toLong)
-        case JString(s) => IntV(s.toLong) // protojson int64-as-string
+        case JString(s) => // protojson int64-as-string
+          IntV(try s.toLong catch { case _: NumberFormatException =>
+            fail(s"valueInt: expected integer, got $s") })
         case o => fail(s"valueInt: $o") })
       .orElse(field(jv, "valueBoolean").map { case JBool(b) => BoolV(b); case o => fail(s"valueBoolean: $o") })
       .orElse(field(jv, "valueNumber").map(v => NumberV(asDouble("valueNumber", v))))
       .orElse(arrayOf("valueIntArray").map(xs => ListV(xs.map {
         case JInt(i) => IntV(i.toLong); case JLong(i) => IntV(i)
         case JDouble(d) if d.isWhole => IntV(d.toLong)
-        case JString(s) => IntV(s.toLong)
+        case JString(s) =>
+          IntV(try s.toLong catch { case _: NumberFormatException =>
+            fail(s"valueIntArray: expected integer, got $s") })
         case o => fail(s"valueIntArray: $o") })))
       .orElse(arrayOf("valueTextArray").map(xs => ListV(xs.map {
         case JString(s) => TextV(s); case o => fail(s"valueTextArray: $o") })))
@@ -322,6 +347,9 @@ object WireDecoder {
             fail(s"number of weights (${weightsList.size}) does not match number of targets (${tvs.size})")
           weightsList.zipWithIndex.map { case (w, i) =>
             val target = str(w, "target").getOrElse(fail("weightsForTargets: target is required"))
+            // POSITIONAL match is the reference's own rule (extractWeights,
+            // parse_search_request.go:645-648: v.Target != in.TargetVectors[i]
+            // rejects out-of-order entries despite the membership-sounding text)
             if (target != tvs(i)) fail(s"target vector $target not found in target vectors")
             target -> num(w, "weight").getOrElse(fail("weightsForTargets: weight is required"))
           }.toMap
@@ -425,7 +453,8 @@ object WireDecoder {
       MoveParams(
         concepts = strArr(m, "concepts"),
         force = num(m, "force").getOrElse(0.0),
-        objects = strArr(m, "uuids").map(u => if (u.forall(_.isDigit)) u.toLong else (u: Any)))
+        objects = strArr(m, "uuids")
+          .map(u => if (u.nonEmpty && u.forall(_.isDigit)) u.toLong else (u: Any)))
     }
 
   private def decodeNearText(jv: JValue): NearText = {
@@ -515,7 +544,9 @@ object WireDecoder {
   private def decodeSelectionMmr(jv: JValue): Option[SelectionMmrParams] =
     field(jv, "selection").flatMap(sel => field(sel, "mmr")).map { mmr =>
       val limit = intF(mmr, "limit").map(_.toInt).getOrElse(0)
-      if (limit == 0) fail("MMR limit must be at least 1")
+      // the reference checks == 0 (proto's unsigned wire type makes negatives
+      // unrepresentable there); JSON can carry them, so gate the full range
+      if (limit < 1) fail("MMR limit must be at least 1")
       val balance = num(mmr, "balance").getOrElse(0.5)
       if (balance < 0 || balance > 1) fail("MMR balance must be between 0 and 1")
       SelectionMmrParams(limit, balance)
@@ -561,10 +592,7 @@ object WireDecoder {
     val limit = intF(jv, "limit").map(_.toInt).filter(_ > 0).getOrElse(10)
     val pagination = Pagination(offset = offset, limit = limit)
 
-    val bm25 = field(jv, "bm25Search").map(decodeBm25).map { b =>
-      // AdditionalExplanations rides the metadata flag (parse_search_request.go:116)
-      b
-    }
+    val bm25 = field(jv, "bm25Search").map(decodeBm25)
     val nearVecLeg = field(jv, "nearVector").map(decodeNearVector)
     val nearObject = field(jv, "nearObject").map(decodeNearObject)
     val nearText = field(jv, "nearText").map(decodeNearText)
@@ -607,7 +635,7 @@ object WireDecoder {
     }
 
     val cursor = str(jv, "after").filter(_.nonEmpty).map { after =>
-      val key: Any = if (after.forall(_.isDigit)) after.toLong else after
+      val key: Any = if (after.nonEmpty && after.forall(_.isDigit)) after.toLong else after
       Cursor(Some(key), limit)
     }
 
@@ -680,6 +708,10 @@ object WireDecoder {
       if (tvs.size > 1) fail("found more than one target vector for aggregation")
     }
     val nearVec = field(jv, "nearVector").map { nv => checkSingleTarget(nv); decodeNearVector(nv) }
+    // AggregateParams has no multi-vector leg: a MULTI_FP32 payload must
+    // error loudly, not silently aggregate the whole collection unrestricted
+    nearVec.foreach(v => if (v.isRight)
+      fail("near_vector: multi vector is not supported for aggregation"))
     val nearObject = field(jv, "nearObject").map { no => checkSingleTarget(no); decodeNearObject(no) }
     val nearText = field(jv, "nearText").map { nt => checkSingleTarget(nt); decodeNearText(nt) }
     val hybrid = field(jv, "hybrid").map { h => checkSingleTarget(h); decodeHybrid(h) }
