@@ -53,11 +53,14 @@ final class CollectionStore(val spark: SparkSession, val root: String,
    * The lock covers the WHOLE read-modify-write, not just the pointer flip;
    * readers never take it — they pin whatever `_latest` said at read time
    * (point-in-time semantics, proven by q_export/q_store_race). Scope is
-   * this store instance (one driver JVM owns a root, like one reference
-   * process owns a shard); cross-process coordination is a deployment
-   * concern the reference also leaves to its topology.
+   * this JVM (one driver owns a root, like one reference process owns a
+   * shard); cross-process coordination is a deployment concern the
+   * reference also leaves to its topology. Keyed per canonical ROOT, not
+   * per instance — addProperty (and any re-open) hands out a second
+   * CollectionStore on the same root, and two instances with private locks
+   * would race each other straight back into the lost-update hole.
    */
-  private val writeLock = new Object
+  private val writeLock = CollectionStore.lockFor(root)
   private def mutate[T](body: => T): T = writeLock.synchronized(body)
 
   def version: Int =
@@ -497,6 +500,15 @@ final class CollectionStore(val spark: SparkSession, val root: String,
 }
 
 object CollectionStore {
+
+  /** One write lock per canonical store root (see the instance scaladoc):
+   * every CollectionStore opened on the same directory serializes through
+   * the same monitor. Entries are tiny and bounded by the JVM's lifetime. */
+  private val writeLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[sources] def lockFor(root: String): Object =
+    writeLocks.computeIfAbsent(
+      java.nio.file.Paths.get(root).toAbsolutePath.normalize.toString,
+      _ => new Object)
 
   /**
    * Read a (possibly tenant-partitioned) layout with partition-column TYPE

@@ -71,6 +71,32 @@ class StoreRaceSpec extends SparkSpecBase {
     assert(pinned.count() == 50L)
   }
 
+  test("two store instances on the same root serialize through one shared lock") {
+    // addProperty (and any re-open) hands out a SECOND CollectionStore on
+    // the same root; instance-private locks would race straight back into
+    // the lost-update hole — the lock is keyed per canonical root
+    val root = java.nio.file.Files.createTempDirectory("graft-race-shared").toString
+    val schema = CollectionSchema("RaceD", "id", Seq(Property("payload", PropType.Int)))
+    val st1 = new CollectionStore(spark, root, schema)
+    st1.init(Seq((0L, 0)).toDF("id", "payload"))
+    val st2 = new CollectionStore(spark, root, schema)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(st1, st2).zipWithIndex.flatMap { case (st, si) =>
+      (0 until 3).map { b =>
+        new Thread(() => {
+          try {
+            val lo = 1000L * (si * 3 + b + 1)
+            st.upsert(spark.range(lo, lo + 5).select(col("id"), lit(si).as("payload")))
+          } catch { case e: Throwable => errs.add(e) }
+        })
+      }
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(300000))
+    assert(errs.isEmpty, s"writer failed: ${Option(errs.peek()).map(_.toString)}")
+    assert(st1.version == 6 && st2.version == 6)
+    assert(st1.read().count() == 1L + 6 * 5)
+  }
+
   test("delete racing upserts: interleaved mutations serialize to a consistent final state") {
     val st = newStore("RaceC")
     st.init(spark.range(0, 40).select(col("id"), lit(1).as("payload")))
