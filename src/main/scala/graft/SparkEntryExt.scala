@@ -4148,6 +4148,66 @@ object SparkEntryExt {
         Some(Rbac.Principal("dave")), Rbac.ReadData,
         Seq(Rbac.objects("TenantDocs", "#"))))
       out.toSeq.toDF("step", "result").orderBy(col("step"))
+    }),
+
+    // REST/GraphQL `where` wire format (reference: adapters/handlers/rest/
+    // filterext — Pascal-case operators, `operands` nesting, value<Type>
+    // leaves): a decoded REST tree must drive the SAME plan as the
+    // programmatic q_filter_and_range twin and hash-match its oracle
+    "q_wire_rest_filter" -> ((s, dir) => {
+      val gg = g(s, dir)
+      val w = graft.engine.WireDecoder.restWhere(gg, "Lineitem",
+        """{"operator": "And", "operands": [
+          |  {"operator": "Equal", "path": ["l_returnflag"], "valueText": "R"},
+          |  {"operator": "GreaterThan", "path": ["l_quantity"], "valueNumber": 30.0},
+          |  {"operator": "LessThan", "path": ["l_shipdate"], "valueDate": "1995-06-17T00:00:00Z"}]}""".stripMargin)
+      gg.get(GetParams("Lineitem", where = Some(w),
+        properties = Seq("l_orderkey", "l_linenumber")))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // REST filter parse-time validation errors verbatim (filterext/parse.go
+    // + parse_value.go, including the per-level "invalid where filter:" /
+    // "operand %d:" wrapping and case-sensitive operator names) + live
+    // SQL-derived counts through the decoded path
+    "q_wire_rest_validate" -> ((s, dir) => {
+      import s.implicits._
+      val gg = g(s, dir)
+      val W = graft.engine.WireDecoder
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      def res(body: => Any): String = okOr(body)
+      out += "01_case_sensitive_operator" ->
+        res(W.restWhere(gg, "Document", """{"operator": "equal", "path": ["lang"], "valueText": "en"}"""))
+      out += "02_nested_with_path" ->
+        res(W.restWhere(gg, "Document", """{"operator": "And", "path": ["lang"], "operands": [{"operator": "Equal", "path": ["lang"], "valueText": "en"}]}"""))
+      out += "03_nested_with_value" ->
+        res(W.restWhere(gg, "Document", """{"operator": "Or", "valueText": "en", "operands": [{"operator": "Equal", "path": ["lang"], "valueText": "en"}]}"""))
+      out += "04_no_operands" ->
+        res(W.restWhere(gg, "Document", """{"operator": "And"}"""))
+      out += "05_operand_wrap" ->
+        res(W.restWhere(gg, "Document", """{"operator": "And", "operands": [{"operator": "Frobnicate"}]}"""))
+      out += "06_no_value" ->
+        res(W.restWhere(gg, "Document", """{"operator": "Equal", "path": ["lang"]}"""))
+      out += "07_two_values" ->
+        res(W.restWhere(gg, "Document", """{"operator":"Equal","path":["lang"],"valueText":"en","valueInt":3}"""))
+      out += "08_geo_no_distance" ->
+        res(W.restWhere(gg, "Document", """{"operator": "WithinGeoRange", "path": ["loc"], "valueGeoRange": {"geoCoordinates": {"latitude": 1.0, "longitude": 2.0}}}"""))
+      out += "09_empty_path" ->
+        res(W.restWhere(gg, "Document", """{"operator": "Equal", "valueText": "en"}"""))
+      // live arms: decoded trees drive real pages, counts SQL-derived
+      out += "10_live_or" -> valueOr(gg.get(GetParams("Order",
+        where = Some(W.restWhere(gg, "Order",
+          """{"operator": "Or", "operands": [
+            |  {"operator": "Equal", "path": ["o_orderstatus"], "valueText": "F"},
+            |  {"operator": "GreaterThan", "path": ["o_totalprice"], "valueNumber": 25000.0}]}""".stripMargin)),
+        properties = Seq("o_orderkey"),
+        pagination = Some(Pagination(limit = 1000000)))).count())
+      out += "11_live_isnull" -> valueOr(gg.get(GetParams("Document",
+        where = Some(W.restWhere(gg, "Document",
+          """{"operator": "IsNull", "path": ["maybe_src"], "valueBoolean": true}""")),
+        properties = Seq("doc_id"),
+        pagination = Some(Pagination(limit = 1000000)))).count())
+      out.toSeq.toDF("step", "result").orderBy(col("step"))
     })
   )
 
@@ -4265,6 +4325,32 @@ object SparkEntryExt {
         |  CAST((SELECT count(*) FROM documents WHERE n_chars > 400) AS VARCHAR)
         |UNION ALL SELECT '14_live_meta_count',
         |  CAST((SELECT count(*) FROM lineitem WHERE l_quantity > 45.0) AS VARCHAR)
+        |ORDER BY step""".stripMargin,
+
+    // REST where twin: identical SQL to q_wire_filter / q_filter_and_range
+    "q_wire_rest_filter" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_quantity > 30 AND l_shipdate < TIMESTAMP '1995-06-17'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // REST filterext error texts verbatim + live decoded counts
+    "q_wire_rest_validate" ->
+      """SELECT * FROM (VALUES
+        |  ('01_case_sensitive_operator', 'unrecognized operator: equal'),
+        |  ('02_nested_with_path', 'invalid where filter: operator ''And'' not compatible with field ''path'', remove ''path'' or switch to compare operator (eg. Equal, NotEqual, etc.)'),
+        |  ('03_nested_with_value', 'invalid where filter: operator ''Or'' not compatible with field ''value<Type>'', remove value field or switch to compare operator (eg. Equal, NotEqual, etc.)'),
+        |  ('04_no_operands', 'invalid where filter: operator ''And'', but no operands set - add at least one operand'),
+        |  ('05_operand_wrap', 'invalid where filter: operand 0: unrecognized operator: Frobnicate'),
+        |  ('06_no_value', 'invalid where filter: got operator ''Equal'', but no value<Type> field set'),
+        |  ('07_two_values', 'invalid where filter: found more than one values the clause ''{"operator":"Equal","path":["lang"],"valueText":"en","valueInt":3}'''),
+        |  ('08_geo_no_distance', 'invalid where filter: valueGeoRange: field ''distance'' must be set'),
+        |  ('09_empty_path', 'invalid where filter: field ''path'': must have at least one element')
+        |) AS t(step, result)
+        |UNION ALL SELECT '10_live_or', CAST(
+        |  (SELECT count(*) FROM orders WHERE o_orderstatus = 'F' OR o_totalprice > 25000.0) AS VARCHAR)
+        |UNION ALL SELECT '11_live_isnull', CAST(
+        |  (SELECT count(*) FROM documents
+        |   WHERE (CASE WHEN source = 'src13' THEN NULL ELSE source END) IS NULL) AS VARCHAR)
         |ORDER BY step""".stripMargin,
 
     // linearization arms: interleaving-invariant outcomes of real racing

@@ -334,6 +334,124 @@ object WireDecoder {
   }
 
   // ==========================================================================
+  // REST / GraphQL `where` trees (reference: adapters/handlers/rest/
+  // filterext/parse.go + parse_value.go — the REST object/batch API and the
+  // GraphQL resolvers share models.WhereFilter: CASE-SENSITIVE Pascal-case
+  // operator strings, `operands` nesting, leaf `path` + EXACTLY ONE
+  // value<Type> field; error texts replayed verbatim including the
+  // reference's per-level "invalid where filter:" / "operand %d:" wrapping)
+  // ==========================================================================
+
+  private val RestOps = Map(
+    "Equal" -> WhereOp.Equal, "Like" -> WhereOp.Like,
+    "LessThan" -> WhereOp.LessThan, "LessThanEqual" -> WhereOp.LessThanEqual,
+    "GreaterThan" -> WhereOp.GreaterThan, "GreaterThanEqual" -> WhereOp.GreaterThanEqual,
+    "NotEqual" -> WhereOp.NotEqual, "WithinGeoRange" -> WhereOp.WithinGeoRange,
+    "And" -> WhereOp.And, "Or" -> WhereOp.Or, "IsNull" -> WhereOp.IsNull,
+    "ContainsAny" -> WhereOp.ContainsAny, "ContainsAll" -> WhereOp.ContainsAll,
+    "ContainsNone" -> WhereOp.ContainsNone, "Not" -> WhereOp.Not)
+
+  // the reference's extractor ORDER (parse_value.go valueExtractors): the
+  // first matching field wins the type; a second match is the
+  // more-than-one-values error
+  private val RestValueFields = Seq(
+    "valueInt", "valueNumber", "valueText", "valueDate", "valueBoolean",
+    "valueIntArray", "valueNumberArray", "valueTextArray", "valueDateArray",
+    "valueBooleanArray", "valueGeoRange", "valueString", "valueStringArray")
+
+  /** Parse a REST/GraphQL `where` JSON document scoped to `collection`. */
+  def restWhere(g: Graft, collection: String, json: String): Where =
+    restParse(g, collection, JsonMethods.parse(json))
+
+  private def restParse(g: Graft, collection: String, jv: JValue): Where = {
+    // operator match is exact-case ("equal" is unrecognized — parseOperator
+    // switches on the model's Pascal-case constants), and its error is NOT
+    // wrapped; value/nested errors gain "invalid where filter:" per level
+    val opName = str(jv, "operator").getOrElse("")
+    val op = RestOps.getOrElse(opName, fail(s"unrecognized operator: $opName"))
+    try {
+      if (op == WhereOp.And || op == WhereOp.Or || op == WhereOp.Not)
+        restNested(g, collection, jv, opName, op)
+      else restLeaf(g, collection, jv, opName, op)
+    } catch { case e: WireError => fail(s"invalid where filter: ${e.getMessage}") }
+  }
+
+  private def restNested(g: Graft, collection: String, jv: JValue,
+                         opName: String, op: WhereOp): Where = {
+    if (field(jv, "path").isDefined)
+      fail(s"operator '$opName' not compatible with field 'path', remove 'path' " +
+        "or switch to compare operator (eg. Equal, NotEqual, etc.)")
+    if (RestValueFields.exists(f => field(jv, f).isDefined))
+      fail(s"operator '$opName' not compatible with field 'value<Type>', " +
+        "remove value field or switch to compare operator " +
+        "(eg. Equal, NotEqual, etc.)")
+    val operands = arr(jv, "operands").getOrElse(Nil)
+    if (operands.isEmpty)
+      fail(s"operator '$opName', but no operands set - add at least one operand")
+    Where(op, operands = operands.zipWithIndex.map { case (o, i) =>
+      try restParse(g, collection, o)
+      catch { case e: WireError => fail(s"operand $i: ${e.getMessage}") }
+    })
+  }
+
+  private def restLeaf(g: Graft, collection: String, jv: JValue,
+                       opName: String, op: WhereOp): Where = {
+    // value first, then path — parseValueFilter's own order
+    val present = RestValueFields.filter(f => field(jv, f).isDefined)
+    val raw: FilterValue = present match {
+      case Seq() => fail(s"got operator '$opName', but no value<Type> field set")
+      case Seq(one) => restValue(one, jv)
+      case _ => fail("found more than one values the clause " +
+        s"'${JsonMethods.compact(JsonMethods.render(jv))}'")
+    }
+    val path = strArr(jv, "path")
+    if (path.isEmpty) fail("field 'path': must have at least one element")
+    if (op == WhereOp.IsNull) Where(op, path, Some(raw))
+    else Where(op, path, Some(coerceValue(raw, filterDataType(g, collection, path, op), op)))
+  }
+
+  private def restValue(fieldName: String, jv: JValue): FilterValue = {
+    import FilterValue._
+    def list(f: JValue => FilterValue): FilterValue = ListV(
+      arr(jv, fieldName).getOrElse(Nil).map(f))
+    fieldName match {
+      case "valueInt" => IntV(intF(jv, "valueInt").get)
+      case "valueNumber" => NumberV(num(jv, "valueNumber").get)
+      case "valueText" | "valueString" | "valueDate" =>
+        TextV(str(jv, fieldName).get) // dates coerce to DateV via the schema type
+      case "valueBoolean" => field(jv, "valueBoolean") match {
+        case Some(JBool(b)) => BoolV(b)
+        case o => fail(s"valueBoolean: $o")
+      }
+      case "valueIntArray" => list {
+        case JInt(i) => IntV(i.toLong); case JLong(i) => IntV(i)
+        case JDouble(d) if d.isWhole => IntV(d.toLong)
+        case o => fail(s"valueIntArray: $o")
+      }
+      case "valueNumberArray" => list(v => NumberV(asDouble("valueNumberArray", v)))
+      case "valueTextArray" | "valueStringArray" | "valueDateArray" => list {
+        case JString(s) => TextV(s); case o => fail(s"$fieldName: $o")
+      }
+      case "valueBooleanArray" => list {
+        case JBool(b) => BoolV(b); case o => fail(s"valueBooleanArray: $o")
+      }
+      case "valueGeoRange" =>
+        val gr = field(jv, "valueGeoRange").get
+        // nil-check order is the reference's: distance, then its magnitude,
+        // then geoCoordinates
+        val dist = field(gr, "distance").getOrElse(
+          fail("valueGeoRange: field 'distance' must be set"))
+        val max = num(dist, "max").getOrElse(0.0)
+        if (max < 0) fail("valueGeoRange: field 'distance.max' must be a positive number")
+        val gc = field(gr, "geoCoordinates").getOrElse(
+          fail("valueGeoRange: field 'geoCoordinates' must be set"))
+        GeoRangeV(num(gc, "latitude").getOrElse(0.0),
+          num(gc, "longitude").getOrElse(0.0), max)
+      case other => fail(s"unknown value field $other")
+    }
+  }
+
+  // ==========================================================================
   // Targets / combination (parse_search_request.go:509-652)
   // ==========================================================================
 
