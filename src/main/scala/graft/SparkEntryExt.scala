@@ -176,8 +176,8 @@ object SparkEntryExt {
    * 7.5 s/pass before memoization). Returns (pre-split posting sizes,
    * pre-split nlist, balanced index). */
   private val ivfSkewCache =
-    scala.collection.mutable.Map.empty[String, (Map[Int, Long], Int, graft.ann.IvfIndex)]
-  private[graft] def ivfSkewFor(gg: Graft, dir: String): (Map[Int, Long], Int, graft.ann.IvfIndex) =
+    scala.collection.mutable.Map.empty[String, (Map[Int, Long], Int, DataFrame, graft.ann.IvfIndex)]
+  private[graft] def ivfSkewFor(gg: Graft, dir: String): (Map[Int, Long], Int, DataFrame, graft.ann.IvfIndex) =
     ivfSkewCache.getOrElseUpdate(dir, {
       // skewed bed FROM the embeddings table: vec_id drives sub-blob choice
       // and a deterministic ±0.05 jitter (dims 0-2 encode the sub-blob id);
@@ -189,13 +189,18 @@ object SparkEntryExt {
             2.0 + (CASE WHEN d < 3 THEN (CASE WHEN ((CAST(vec_id % 8 AS INT) >> d) & 1) = 1 THEN 0.6 ELSE -0.6 END) ELSE 0.0 END)
           ELSE -3.0 * (CAST(vec_id % 4 AS INT) + 1) END)
           + (CAST((vec_id * (d + 3)) % 97 AS DOUBLE) / 97.0) * 0.1 - 0.05 AS FLOAT))"""))
-      val index = graft.ann.IvfIndex.build(emb, "vec_id", "embedding", nlist = 5)
+      // the SOURCE bed persists as its own leaf: ground truth and the query
+      // vector must come from the pre-rebalance data, never from the
+      // rebalanced frame under test (truth derived from the engine's own
+      // output would certify a corrupted rewrite against itself)
+      val embLeaf = sideTable(emb, "ivfskewsrc")
+      val index = graft.ann.IvfIndex.build(embLeaf, "vec_id", "embedding", nlist = 5)
       index.assigned.cache().count()
       val before = index.postingSizes()
       val balanced = index.rebalance(120L)
       val leaf = balanced.copy(assigned = sideTable(balanced.assigned, "ivfskew"))
       index.assigned.unpersist()
-      (before, index.centroids.length, leaf)
+      (before, index.centroids.length, embLeaf, leaf)
     })
 
   private[graft] def prebuildIndexes(gg: Graft, dir: String): Unit = {
@@ -3883,12 +3888,14 @@ object SparkEntryExt {
       import s.implicits._
       val gg = g(s, dir)
       val cap = 120L
-      val (before, beforeNlist, balanced) = ivfSkewFor(gg, dir)
+      val (before, beforeNlist, srcBed, balanced) = ivfSkewFor(gg, dir)
       val after = balanced.postingSizes()
-      val emb = balanced.assigned.select(col("vec_id"), col("embedding"))
-      val q = emb.filter(col("vec_id") === 10L).head().getSeq[Float](1).toArray
+      // truth + query vector from the PRE-rebalance source bed — a rewrite
+      // that corrupted embeddings or scrambled the id↔vector pairing must
+      // diverge from this, not be certified against itself
+      val q = srcBed.filter(col("vec_id") === 10L).head().getSeq[Float](1).toArray
       val truth = graft.operators.VectorSearch
-        .withDistance(emb, "embedding", q, Metric.L2Squared)
+        .withDistance(srcBed, "embedding", q, Metric.L2Squared)
         .orderBy(col(graft.operators.VectorSearch.DistanceCol).asc, col("vec_id").asc)
         .limit(10).select(col("vec_id")).collect().map(_.getLong(0)).toSet
       val got = balanced.search(q, 10, Metric.L2Squared, nprobe = 2)
@@ -3905,7 +3912,16 @@ object SparkEntryExt {
       out += "06_recall_nprobe2" ->
         (truth.intersect(got).size.toDouble / truth.size >= 0.9).toString
       out += "07_full_probe_exact" -> (full == truth).toString
-      out += "08_idempotent" -> (balanced.rebalance(cap).postingSizes() == after).toString
+      // a same-cap re-run is a no-op BY CONSTRUCTION once 03 holds, so the
+      // binding re-entry check is a TIGHTER cap on the already-balanced
+      // index: it must split again (off the persisted leaf), re-bound, and
+      // keep every id exactly once
+      val cap2 = (after.values.max * 2) / 3
+      val rebound = balanced.rebalance(cap2)
+      out += "08_tighter_recap" -> (
+        rebound.postingSizes().values.max <= cap2 &&
+        rebound.assigned.select(col("vec_id")).distinct().count() ==
+          balanced.assigned.count()).toString
       out.toSeq.toDF("step", "result").orderBy(col("step"))
     }),
 
@@ -3950,6 +3966,25 @@ object SparkEntryExt {
         """{"collection": "Embedding", "limit": 10, "nearVector": {"vector": [1.0], "selection": {"mmr": {"limit": -5}}}}"""))
       out += "18_unparseable_int" -> res(W.search(gg,
         """{"collection": "Document", "limit": "abc"}"""))
+      // objectsCount (meta) vs a per-property Count over a NULL-BEARING
+      // column — the two values DIVERGE here, so a decoder that cross-wires
+      // the objectsCount flag into the property aggregator cannot pass
+      out += "19_live_null_count_split" -> valueOr {
+        val p = W.aggregate(gg,
+          """{"collection": "Document", "objectsCount": true,
+            |  "aggregations": [{"property": "maybe_src", "text": {"count": true}}]}""".stripMargin)
+        val r = gg.aggregate(p).select(col("meta_count"), col("maybe_src_count")).head()
+        s"${r.getLong(0)}:${r.getLong(1)}"
+      }
+      // decoded keyset cursor drives a live page: count + both endpoints
+      // pin the `after` key, the > (not >=) walk, and the limit
+      out += "20_live_cursor" -> valueOr {
+        val page = gg.get(W.search(gg,
+          """{"collection": "Order", "after": "700", "limit": 15,
+            |  "properties": {"nonRefProperties": ["o_orderkey"]}}""".stripMargin))
+          .select(col("o_orderkey")).collect().map(_.getLong(0))
+        s"${page.length}:${page.min}:${page.max}"
+      }
       // live arm: the decoded page count is data-derived (oracle recomputes
       // it in SQL) — a decoder that parses but never reaches the plan fails
       out += "13_live_filter_count" -> valueOr(gg.get(W.search(gg,
@@ -3985,16 +4020,20 @@ object SparkEntryExt {
       val pinned = st.collection.df // reader opened at v0
       val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
       def wave(threads: Int, batches: Int, base: Long, payloadOf: Int => Int): Unit = {
+        // start barrier: every writer enters its first read-modify-write
+        // window together — without it, sequential thread starts can let the
+        // jobs serialize by accident and a REMOVED lock still pass
+        val start = new java.util.concurrent.CountDownLatch(1)
         val pool = (0 until threads).map { t =>
           new Thread(() => {
-            try (0 until batches).foreach { b =>
+            try { start.await(); (0 until batches).foreach { b =>
               val lo = base + 1000L * (t * batches + b)
               st.upsert(s.range(lo, lo + 10)
                 .select(col("id").as("doc_id"), lit(payloadOf(t)).as("n_chars")))
-            } catch { case e: Throwable => errs.add(e) }
+            }} catch { case e: Throwable => errs.add(e) }
           })
         }
-        pool.foreach(_.start()); pool.foreach(_.join(600000))
+        pool.foreach(_.start()); start.countDown(); pool.foreach(_.join(600000))
       }
       wave(3, 2, 10000L, t => 7000 + t)
       val ex = new graft.sources.ExportSnapshot()
@@ -4035,7 +4074,9 @@ object SparkEntryExt {
       val gg = g(s, dir)
       val local = java.nio.file.Files.createTempDirectory("graft-mockfs").toString
       val root = s"mockfs:$local"
+      val createsBefore = graft.sources.MockFs.creates.get()
       graft.sources.Backup.backup(gg, Seq("Document"), s"$root/bk")
+      val createsAfterBackup = graft.sources.MockFs.creates.get()
       val g2 = new Graft(s)
       graft.sources.Backup.restore(g2, s"$root/bk", Seq("Document"))
       val restored = g2.collection("Document")
@@ -4047,19 +4088,31 @@ object SparkEntryExt {
       out += "01_restored_rows" -> rst.count().toString
       out += "02_restored_matches_source" ->
         (src.exceptAll(rst).count() + rst.exceptAll(src).count()).toString
+      // 'lang' is Field-tokenized — NOT the schema default (Word), so a
+      // restore that drops tokenization metadata and falls back to defaults
+      // cannot pass this arm
       out += "03_schema_tokenization_kept" ->
-        restored.schema.property("text").map(_.tokenization.name).getOrElse("?")
-      // the scheme resolved to the local backend: bytes actually landed there
+        restored.schema.property("lang").map(_.tokenization.name).getOrElse("?")
+      // bytes landed AND the registered FileSystem's create() was actually
+      // invoked during the backup — mockfs:/X aliases local /X, so the
+      // counter is what distinguishes scheme flow from a scheme-stripping
+      // java.nio write to the bare path portion
       out += "04_bytes_on_backend" ->
-        new java.io.File(s"$local/bk/Document/data").exists().toString
+        (new java.io.File(s"$local/bk/Document/data").exists() &&
+          createsAfterBackup > createsBefore).toString
       val st = new graft.sources.CollectionStore(s,
         java.nio.file.Files.createTempDirectory("graft-schemest").toString,
         CollectionSchema("DocSch", "doc_id", Seq(Property("n_chars", PropType.Int))))
       st.init(gg.collection("Document").df
         .select(col("doc_id"), col("n_chars")).filter(col("doc_id") < 120))
       val ex = new graft.sources.ExportSnapshot()
+      val createsPreCommit = graft.sources.MockFs.creates.get()
       val m = ex.commit(ex.prepare("sch-exp", Seq("DocSch" -> st)), s"$root/exp")
       out += "05_export_status" -> m.status
+      // the commit (parquet scan-out + metadata blob) wrote through the
+      // registered scheme, not around it
+      out += "05b_commit_via_scheme" ->
+        (graft.sources.MockFs.creates.get() > createsPreCommit).toString
       out += "06_export_rows" ->
         s.read.parquet(s"$root/exp/sch-exp/DocSch").count().toString
       val hp = new org.apache.hadoop.fs.Path(s"$root/exp/sch-exp/export_metadata.json")
@@ -4069,7 +4122,18 @@ object SparkEntryExt {
                  finally in.close()
       out += "07_metadata_counts" ->
         """"DocSch":(\d+)""".r.findFirstMatchIn(blob).map(_.group(1)).getOrElse("?")
-      out += "08_metadata_relative" -> (!blob.contains(local)).toString
+      // the export directory is relocatable: MOVE the physical backend dir
+      // to a fresh root and read it back via plain file:// — nothing in the
+      // layout or metadata pins the original root/scheme (the reference's
+      // backups restore from whatever backend they were copied to)
+      val moved = java.nio.file.Files.createTempDirectory("graft-moved").toString
+      val movedOk = new java.io.File(s"$local/exp/sch-exp")
+        .renameTo(new java.io.File(s"$moved/sch-exp"))
+      out += "08_moved_restorable" -> (movedOk &&
+        s.read.parquet(s"$moved/sch-exp/DocSch").count() == m.objectsExported("DocSch") &&
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$moved/sch-exp/export_metadata.json")), "UTF-8")
+          .contains("\"status\":\"SUCCESS\"")).toString
       out.toSeq.toDF("step", "result").orderBy(col("step"))
     }),
 
@@ -4148,6 +4212,19 @@ object SparkEntryExt {
         Some(Rbac.Principal("dave")), Rbac.ReadData,
         Seq(Rbac.objects("TenantDocs", "#"))))
       out.toSeq.toDF("step", "result").orderBy(col("step"))
+    }),
+
+    // decoded sortBy/offset/limit drive a LIVE page hash-matched to the
+    // programmatic q_sort_page twin — without this, a sort-direction flip
+    // or dropped offset in the decoder passes every (error-arm-only) gate
+    "q_wire_sort" -> ((s, dir) => {
+      val gg = g(s, dir)
+      gg.get(graft.engine.WireDecoder.search(gg,
+        """{"collection": "Part", "offset": 5, "limit": 20,
+          |  "sortBy": [{"ascending": false, "path": ["p_retailprice"]},
+          |             {"ascending": true, "path": ["p_partkey"]}],
+          |  "properties": {"nonRefProperties": ["p_partkey", "p_retailprice"]}}""".stripMargin))
+        .select(col("p_partkey"), col("p_retailprice"))
     }),
 
     // REST/GraphQL `where` wire format (reference: adapters/handlers/rest/
@@ -4294,7 +4371,7 @@ object SparkEntryExt {
         |  ('05_centroids_grew', 'true'),
         |  ('06_recall_nprobe2', 'true'),
         |  ('07_full_probe_exact', 'true'),
-        |  ('08_idempotent', 'true')
+        |  ('08_tighter_recap', 'true')
         |) AS t(step, result)
         |UNION ALL SELECT '01_rows', CAST((SELECT count(*) FROM embeddings) AS VARCHAR)
         |UNION ALL SELECT '04_ids_preserved', CAST((SELECT count(DISTINCT vec_id) FROM embeddings) AS VARCHAR)
@@ -4325,7 +4402,21 @@ object SparkEntryExt {
         |  CAST((SELECT count(*) FROM documents WHERE n_chars > 400) AS VARCHAR)
         |UNION ALL SELECT '14_live_meta_count',
         |  CAST((SELECT count(*) FROM lineitem WHERE l_quantity > 45.0) AS VARCHAR)
+        |UNION ALL SELECT '19_live_null_count_split',
+        |  CAST((SELECT count(*) FROM documents) AS VARCHAR) || ':' ||
+        |  CAST((SELECT count(CASE WHEN source = 'src13' THEN NULL ELSE source END)
+        |        FROM documents) AS VARCHAR)
+        |UNION ALL SELECT '20_live_cursor', (
+        |  SELECT CAST(count(*) AS VARCHAR) || ':' || CAST(min(k) AS VARCHAR)
+        |         || ':' || CAST(max(k) AS VARCHAR)
+        |  FROM (SELECT o_orderkey AS k FROM orders WHERE o_orderkey > 700
+        |        ORDER BY o_orderkey LIMIT 15))
         |ORDER BY step""".stripMargin,
+
+    // decoded sort/offset/limit twin: identical SQL to q_sort_page
+    "q_wire_sort" ->
+      """SELECT p_partkey, p_retailprice FROM part
+        |ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 20 OFFSET 5""".stripMargin,
 
     // REST where twin: identical SQL to q_wire_filter / q_filter_and_range
     "q_wire_rest_filter" ->
@@ -4381,10 +4472,11 @@ object SparkEntryExt {
     "q_backup_scheme" ->
       """SELECT * FROM (VALUES
         |  ('02_restored_matches_source', '0'),
-        |  ('03_schema_tokenization_kept', 'word'),
+        |  ('03_schema_tokenization_kept', 'field'),
         |  ('04_bytes_on_backend', 'true'),
         |  ('05_export_status', 'SUCCESS'),
-        |  ('08_metadata_relative', 'true')
+        |  ('05b_commit_via_scheme', 'true'),
+        |  ('08_moved_restorable', 'true')
         |) AS t(step, result)
         |UNION ALL SELECT '01_restored_rows', CAST(
         |  (SELECT count(*) FROM documents) AS VARCHAR)

@@ -25,9 +25,13 @@ class StoreRaceSpec extends SparkSpecBase {
     assert(st.version == 0)
     val threads = 4; val batchesPerThread = 3
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // start barrier: align every writer's first read-modify-write window so
+    // a removed lock fails deterministically, not only under lucky timing
+    val start = new java.util.concurrent.CountDownLatch(1)
     val pool = (0 until threads).map { t =>
       new Thread(() => {
         try {
+          start.await()
           (0 until batchesPerThread).foreach { b =>
             // disjoint id ranges per (thread, batch): a lost update is visible
             // as a missing range, not a coincidental overwrite
@@ -37,7 +41,7 @@ class StoreRaceSpec extends SparkSpecBase {
         } catch { case e: Throwable => errs.add(e) }
       })
     }
-    pool.foreach(_.start()); pool.foreach(_.join(300000))
+    pool.foreach(_.start()); start.countDown(); pool.foreach(_.join(300000))
     assert(errs.isEmpty, s"writer thread failed: ${Option(errs.peek()).map(_.toString)}")
     // every mutation claimed its own version — none clobbered
     assert(st.version == threads * batchesPerThread)
@@ -81,17 +85,19 @@ class StoreRaceSpec extends SparkSpecBase {
     st1.init(Seq((0L, 0)).toDF("id", "payload"))
     val st2 = new CollectionStore(spark, root, schema)
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val start = new java.util.concurrent.CountDownLatch(1)
     val threads = Seq(st1, st2).zipWithIndex.flatMap { case (st, si) =>
       (0 until 3).map { b =>
         new Thread(() => {
           try {
+            start.await()
             val lo = 1000L * (si * 3 + b + 1)
             st.upsert(spark.range(lo, lo + 5).select(col("id"), lit(si).as("payload")))
           } catch { case e: Throwable => errs.add(e) }
         })
       }
     }
-    threads.foreach(_.start()); threads.foreach(_.join(300000))
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join(300000))
     assert(errs.isEmpty, s"writer failed: ${Option(errs.peek()).map(_.toString)}")
     assert(st1.version == 6 && st2.version == 6)
     assert(st1.read().count() == 1L + 6 * 5)
@@ -100,11 +106,13 @@ class StoreRaceSpec extends SparkSpecBase {
   test("delete racing upserts: interleaved mutations serialize to a consistent final state") {
     val st = newStore("RaceC")
     st.init(spark.range(0, 40).select(col("id"), lit(1).as("payload")))
+    val start = new java.util.concurrent.CountDownLatch(1)
+    def aligned(body: => Unit) = new Thread(() => { start.await(); body })
     val ops = Seq(
-      new Thread(() => st.deleteWhere(Where.ltInt("id", 10L))),
-      new Thread(() => st.upsert(spark.range(200, 220).select(col("id"), lit(2).as("payload")))),
-      new Thread(() => st.merge(spark.range(30, 40).select(col("id"), lit(7).as("payload")))))
-    ops.foreach(_.start()); ops.foreach(_.join(300000))
+      aligned(st.deleteWhere(Where.ltInt("id", 10L))),
+      aligned(st.upsert(spark.range(200, 220).select(col("id"), lit(2).as("payload")))),
+      aligned(st.merge(spark.range(30, 40).select(col("id"), lit(7).as("payload")))))
+    ops.foreach(_.start()); start.countDown(); ops.foreach(_.join(300000))
     assert(st.version == 3)
     val fin = st.read()
     // serial-order invariants that hold under EVERY interleaving
