@@ -4214,6 +4214,71 @@ object SparkEntryExt {
       out.toSeq.toDF("step", "result").orderBy(col("step"))
     }),
 
+    // the WRITE wire shape (grpc batch/parse.go BatchObjectsFromProto +
+    // batch.proto): decoded JSON objects land in a typed store via the
+    // standard upsert path; per-index uuid errors use google/uuid's exact
+    // texts and the REST of the batch proceeds (partial-batch contract);
+    // legacy vectorBytes and named vectors both route to the vector column;
+    // missing properties land NULL; a later batch last-write-wins by id
+    "q_wire_batch" -> ((s, dir) => {
+      import s.implicits._
+      val W = graft.engine.WireDecoder
+      val st = new graft.sources.CollectionStore(s,
+        java.nio.file.Files.createTempDirectory("graft-wirebatch").toString,
+        CollectionSchema("WireObj", "id", Seq(
+          Property("title", PropType.Text), Property("n", PropType.Int),
+          Property("score", PropType.Number), Property("flag", PropType.Bool),
+          Property("tags", PropType.Arr(PropType.Text))),
+          vectors = Map("default" -> "vec"), defaultVector = Some("default")))
+      st.init(s.sql(
+        """SELECT CAST('00000000-0000-4000-8000-00000000aaaa' AS STRING) id,
+          |  'seed' title, CAST(1 AS INT) n, CAST(0.5 AS DOUBLE) score,
+          |  true flag, array('s') tags, array(CAST(0.1 AS FLOAT)) vec""".stripMargin))
+      def apply(json: String): Map[Int, String] = {
+        val (objs, errs) = W.decodeBatchObjects(json)
+        if (objs.nonEmpty)
+          st.upsert(W.batchObjectsFrame(s, st.read().schema, "id",
+            Map("" -> "vec", "default" -> "vec"), objs.map(_._2)))
+        errs
+      }
+      val errs1 = apply(
+        """{"objects": [
+          |  {"collection": "WireObj", "uuid": "11111111-2222-4333-8444-555555555555",
+          |   "properties": {"nonRefProperties": {"title": "alpha", "n": 7, "score": 2.25, "flag": false},
+          |                  "textArrayProperties": [{"propName": "tags", "values": ["x", "y"]}]},
+          |   "vectors": [{"name": "default", "vector": [1.0, 2.0]}]},
+          |  {"collection": "WireObj", "uuid": "bad"},
+          |  {"collection": "WireObj", "uuid": "zzzzzzzz-2222-4333-8444-555555555555"},
+          |  {"collection": "WireObj", "uuid": "66666666-7777-4888-9999-aaaaaaaaaaaa",
+          |   "properties": {"nonRefProperties": {"title": "beta", "n": 9}},
+          |   "vectorBytes": "AAAAPw=="}]}""".stripMargin)
+      val errs2 = apply(
+        """{"objects": [
+          |  {"collection": "WireObj", "uuid": "11111111-2222-4333-8444-555555555555",
+          |   "properties": {"nonRefProperties": {"title": "gamma", "n": 42, "score": 3.5, "flag": true},
+          |                  "textArrayProperties": [{"propName": "tags", "values": ["z"]}]},
+          |   "vectors": [{"name": "default", "vector": [9.0]}]}]}""".stripMargin)
+      def rowStr(id: String): String = {
+        val r = st.read().filter(col("id") === id)
+          .select(col("title"), col("n"), col("score"), col("flag"),
+            when(col("tags").isNull, lit(null))
+              .otherwise(concat_ws(",", col("tags"))).as("t"),
+            element_at(col("vec"), 1).as("v"))
+          .head()
+        (0 until 6).map(i => if (r.isNullAt(i)) "null" else r.get(i).toString)
+          .mkString(":")
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      out += "01_decode_errors" ->
+        errs1.toSeq.sortBy(_._1).map { case (i, m) => s"$i=$m" }.mkString("|")
+      out += "02_second_batch_clean" -> errs2.size.toString
+      out += "03_rows" -> st.read().count().toString
+      out += "04_last_write_wins" -> rowStr("11111111-2222-4333-8444-555555555555")
+      out += "05_missing_props_null" -> rowStr("66666666-7777-4888-9999-aaaaaaaaaaaa")
+      out += "06_seed_intact" -> rowStr("00000000-0000-4000-8000-00000000aaaa")
+      out.toSeq.toDF("step", "result").orderBy(col("step"))
+    }),
+
     // decoded sortBy/offset/limit drive a LIVE page hash-matched to the
     // programmatic q_sort_page twin — without this, a sort-direction flip
     // or dropped offset in the decoder passes every (error-arm-only) gate
@@ -4412,6 +4477,19 @@ object SparkEntryExt {
         |  FROM (SELECT o_orderkey AS k FROM orders WHERE o_orderkey > 700
         |        ORDER BY o_orderkey LIMIT 15))
         |ORDER BY step""".stripMargin,
+
+    // batch-write arms: decoded objects land through the versioned upsert
+    // path; uuid error texts are google/uuid's own; null/last-write rows
+    // read back from the store
+    "q_wire_batch" ->
+      """SELECT * FROM (VALUES
+        |  ('01_decode_errors', '1=invalid UUID length: 3|2=invalid UUID format'),
+        |  ('02_second_batch_clean', '0'),
+        |  ('03_rows', '3'),
+        |  ('04_last_write_wins', 'gamma:42:3.5:true:z:9.0'),
+        |  ('05_missing_props_null', 'beta:9:null:null:null:0.5'),
+        |  ('06_seed_intact', 'seed:1:0.5:true:s:0.1')
+        |) AS t(step, result) ORDER BY step""".stripMargin,
 
     // decoded sort/offset/limit twin: identical SQL to q_sort_page
     "q_wire_sort" ->

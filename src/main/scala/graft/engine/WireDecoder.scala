@@ -2,6 +2,7 @@ package graft.engine
 
 import java.util.Base64
 
+import org.apache.spark.sql.DataFrame
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
@@ -331,6 +332,141 @@ object WireDecoder {
         ListV(vs.map { case TextV(s) => DateV(Where.utcTs(s)); case other => other })
       case _ => v
     }
+  }
+
+  // ==========================================================================
+  // Batch objects — the WRITE wire shape (reference: adapters/handlers/grpc/
+  // v1/batch/parse.go BatchObjectsFromProto + grpc/proto/v1/batch.proto):
+  // objects[] of {collection, uuid, tenant, properties{nonRefProperties +
+  // typed array property lists}, vector|vectorBytes|vectors[]}. Per-object
+  // errors are recorded by ORIGINAL INDEX and the rest of the batch
+  // proceeds — the reference's partial-batch contract.
+  // ==========================================================================
+
+  final case class BatchObject(collection: String, uuid: String,
+                               tenant: Option[String],
+                               properties: Map[String, Any],
+                               vectors: Map[String, Array[Float]])
+
+  /** Decode a BatchObjectsRequest JSON document. Returns the decodable
+   * objects (with their original indices) and the per-index error map. */
+  def decodeBatchObjects(json: String): (Seq[(Int, BatchObject)], Map[Int, String]) = {
+    val jv = JsonMethods.parse(json)
+    val objs = arr(jv, "objects").getOrElse(Nil)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[Int, String]
+    val ok = scala.collection.mutable.ArrayBuffer.empty[(Int, BatchObject)]
+    objs.zipWithIndex.foreach { case (o, i) =>
+      try {
+        val coll = str(o, "collection").getOrElse(fail("collection is required"))
+        val id = str(o, "uuid").getOrElse("")
+        validateUuid(id)
+        val props = field(o, "properties").map(decodeObjectProps).getOrElse(Map.empty[String, Any])
+        val legacy: Map[String, Array[Float]] =
+          (str(o, "vectorBytes"), arr(o, "vector")) match {
+            // bytes take precedence over the float list (parse.go:91-95)
+            case (Some(b64), _) if b64.nonEmpty =>
+              Map("" -> fp32FromBytes(Base64.getDecoder.decode(b64)))
+            case (_, Some(xs)) if xs.nonEmpty => Map("" -> floatArr("vector", xs))
+            case _ => Map.empty
+          }
+        val named: Map[String, Array[Float]] =
+          arr(o, "vectors").getOrElse(Nil).map { v =>
+            val name = str(v, "name").getOrElse(fail("vectors: name is required"))
+            val (single, multi) = extractVectorArg(JObject(List("vectors" -> JArray(List(v)))), "batch")
+            if (multi.isDefined) fail("batch: multi vectors are stored flattened per row; send single fp32")
+            name -> single.getOrElse(fail(s"vectors: $name carries no vector payload"))
+          }.toMap
+        ok += i -> BatchObject(coll, id, str(o, "tenant").filter(_.nonEmpty),
+          props, legacy ++ named)
+      } catch { case e: WireError => errors(i) = e.getMessage }
+    }
+    (ok.toSeq, errors.toMap)
+  }
+
+  /** google/uuid Parse validation with its exact error texts (the texts the
+   * reference's batch error map carries, usecases/objects/batch_add_test.go). */
+  private def validateUuid(id: String): Unit = {
+    if (id.length != 36) fail(s"invalid UUID length: ${id.length}")
+    val ok = id.zipWithIndex.forall { case (c, idx) =>
+      if (idx == 8 || idx == 13 || idx == 18 || idx == 23) c == '-'
+      else (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+    }
+    if (!ok) fail("invalid UUID format")
+  }
+
+  private def decodeObjectProps(p: JValue): Map[String, Any] = {
+    val nonRef: Map[String, Any] = field(p, "nonRefProperties") match {
+      case Some(JObject(kvs)) => kvs.map { case (k, v) => k -> (v match {
+        case JString(s) => (s: Any)
+        case JInt(i) => i.toLong
+        case JLong(l) => l
+        case JDouble(d) => d
+        case JDecimal(d) => d.toDouble
+        case JBool(b) => b
+        case other => fail(s"nonRefProperties.$k: unsupported value $other")
+      })}.toMap
+      case None => Map.empty
+      case Some(other) => fail(s"nonRefProperties: expected object, got $other")
+    }
+    def arrProps(name: String)(f: PartialFunction[JValue, Any]): Map[String, Any] =
+      arr(p, name).getOrElse(Nil).map { e =>
+        val k = str(e, "propName").getOrElse(fail(s"$name: propName is required"))
+        k -> arr(e, "values").getOrElse(Nil).map(v =>
+          f.applyOrElse(v, (o: JValue) => fail(s"$name.$k: unsupported value $o")))
+      }.toMap
+    nonRef ++
+      arrProps("textArrayProperties") { case JString(s) => s } ++
+      arrProps("intArrayProperties") {
+        case JInt(i) => i.toLong; case JLong(l) => l
+        case JDouble(d) if d.isWhole => d.toLong } ++
+      arrProps("numberArrayProperties") {
+        case JDouble(d) => d; case JInt(i) => i.toDouble
+        case JLong(l) => l.toDouble; case JDecimal(d) => d.toDouble } ++
+      arrProps("booleanArrayProperties") { case JBool(b) => b }
+  }
+
+  /**
+   * Render decoded batch objects as a DataFrame matching `target` (the
+   * destination store's frame schema) for CollectionStore.upsert — the
+   * engine-side analogue of the reference's models.Object build. `idColumn`
+   * receives the uuid; `vectorCols` maps wire vector names to columns ("" =
+   * the legacy unnamed vector → the default vector column). Missing
+   * properties land as NULL (PATCH semantics belong to merge, not batch).
+   */
+  def batchObjectsFrame(spark: org.apache.spark.sql.SparkSession,
+                        target: org.apache.spark.sql.types.StructType,
+                        idColumn: String,
+                        vectorCols: Map[String, String],
+                        objs: Seq[BatchObject]): DataFrame = {
+    import org.apache.spark.sql.types._
+    // several wire names may feed one column (the legacy unnamed vector ""
+    // and the default named vector both land in the default column) — a
+    // plain map swap would drop all but one of them
+    val namesForCol: Map[String, Seq[String]] =
+      vectorCols.toSeq.groupBy(_._2).map { case (c, kvs) => c -> kvs.map(_._1) }
+    def coerce(v: Any, dt: DataType): Any = (v, dt) match {
+      case (null, _) => null
+      case (x: Long, IntegerType) => x.toInt
+      case (x: Long, DoubleType) => x.toDouble
+      case (x: Double, FloatType) => x.toFloat
+      case (s: String, TimestampType) => Where.utcTs(s)
+      case (xs: Seq[_], ArrayType(et, _)) => xs.map(coerce(_, et))
+      case (xs: Array[Float], ArrayType(FloatType, _)) => xs.toSeq
+      case (xs: Array[Float], ArrayType(DoubleType, _)) => xs.map(_.toDouble).toSeq
+      case (x, _) => x
+    }
+    val rows = objs.map { o =>
+      org.apache.spark.sql.Row.fromSeq(target.fields.toSeq.map { f =>
+        val raw: Any =
+          if (f.name == idColumn) o.uuid
+          else namesForCol.get(f.name) match {
+            case Some(wireNames) => wireNames.flatMap(o.vectors.get).headOption.orNull
+            case None => o.properties.get(f.name).orNull
+          }
+        coerce(raw, f.dataType)
+      })
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), target)
   }
 
   // ==========================================================================
