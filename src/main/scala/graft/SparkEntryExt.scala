@@ -4350,6 +4350,218 @@ object SparkEntryExt {
         properties = Seq("doc_id"),
         pagination = Some(Pagination(limit = 1000000)))).count())
       out.toSeq.toDF("step", "result").orderBy(col("step"))
+    }),
+
+    // GraphQL query-document twin of q_wire_filter: the SAME where tree,
+    // written as the reference's GraphQL argument literals (where/path/
+    // operator enums/operands), must hash-match the gRPC-decoded twin's
+    // oracle — three wire shapes, one plan
+    "q_wire_gql_get" -> ((s, dir) => {
+      val gg = g(s, dir)
+      val params = graft.engine.GraphQL.get(gg,
+        """{ Get { Lineitem(
+          |    where: {operator: And, operands: [
+          |      {operator: Equal, path: ["l_returnflag"], valueText: "R"},
+          |      {operator: GreaterThan, path: ["l_quantity"], valueNumber: 30.0},
+          |      {operator: LessThan, path: ["l_shipdate"], valueDate: "1995-06-17T00:00:00Z"}]},
+          |    limit: 1000000
+          |  ) { l_orderkey l_linenumber } } }""".stripMargin)
+      gg.get(params).orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // GraphQL nearObject by BEACON (entities/schema/crossref) + the
+    // _additional { distance } selection — same cosine top-10 page as
+    // q_wire_near's object arm
+    "q_wire_gql_near" -> ((s, dir) => {
+      val gg = g(s, dir)
+      val params = graft.engine.GraphQL.get(gg,
+        """{ Get { Embedding(limit: 10,
+          |    nearObject: {beacon: "weaviate://localhost/Embedding/7"})
+          |  { vec_id _additional { distance } } } }""".stripMargin)
+      gg.get(params).select(col("vec_id"), round(col("_distance"), 4).as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+    }),
+
+    // GraphQL hybrid twin of q_wire_hybrid: alpha 0.7, rankedFusion enum,
+    // dense vector as a GraphQL float list, _additional { score }
+    "q_wire_gql_hybrid" -> ((s, dir) => {
+      val gg = g(s, dir)
+      val vec = Fixtures.anchorVector(gg, 7L).mkString("[", ", ", "]")
+      val params = graft.engine.GraphQL.get(gg,
+        s"""{ Get { DocVec(limit: 15, hybrid: {
+           |    query: "spark join stream", alpha: 0.7, fusionType: rankedFusion,
+           |    vector: $vec})
+           |  { doc_id _additional { score } } } }""".stripMargin)
+      gg.get(params).select(col("doc_id"), round(col("_score"), 4).as("score"))
+    }),
+
+    // GraphQL Aggregate: the selection set IS the aggregator matrix
+    // (aggregate/resolver.go extractProperties) — twin of q_wire_aggregate
+    "q_wire_gql_aggregate" -> ((s, dir) => {
+      val gg = g(s, dir)
+      val params = graft.engine.GraphQL.aggregate(gg,
+        """{ Aggregate { Order(groupBy: ["o_orderstatus"]) {
+          |  groupedBy { value }
+          |  meta { count }
+          |  o_totalprice { count sum mean minimum maximum }
+          |} } }""".stripMargin)
+      gg.aggregate(params)
+        .select(
+          col("groupedBy_value").as("o_orderstatus"),
+          col("meta_count"),
+          col("o_totalprice_count").as("cnt"),
+          round(col("o_totalprice_sum"), 4).as("sum_price"),
+          round(col("o_totalprice_mean"), 4).as("mean_price"),
+          round(col("o_totalprice_minimum"), 4).as("min_price"),
+          round(col("o_totalprice_maximum"), 4).as("max_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // GraphQL extraction-layer validation errors verbatim (common_filters
+    // near_vector/hybrid/extract_targets/nearText, class_builder_fields
+    // resolveGet wraps, aggregate/resolver.go) + live decoded counts
+    "q_wire_gql_validate" -> ((s, dir) => {
+      import s.implicits._
+      val gg = g(s, dir)
+      val G = graft.engine.GraphQL
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      def res(body: => Any): String = okOr(body)
+      out += "01_alpha_range" -> res(G.get(gg,
+        """{ Get { DocVec(hybrid: {query: "x", alpha: 1.5}) { doc_id } } }"""))
+      out += "02_distance_and_certainty" -> res(G.get(gg,
+        """{ Get { Embedding(nearVector: {vector: [1.0], distance: 0.4, certainty: 0.9}) { vec_id } } }"""))
+      out += "03_vector_or_per_target" -> res(G.get(gg,
+        """{ Get { Embedding(nearVector: {certainty: 0.9}) { vec_id } } }"""))
+      out += "04_weight_not_provided" -> res(G.get(gg,
+        """{ Get { Embedding(nearVector: {vector: [1.0],
+          |  targets: {targetVectors: ["default", "rev"], combinationMethod: manualWeights,
+          |            weights: {default: 0.7}}}) { vec_id } } }""".stripMargin))
+      out += "05_target_vectors_required" -> res(G.get(gg,
+        """{ Get { Embedding(nearVector: {vector: [1.0], targets: {combinationMethod: sum}}) { vec_id } } }"""))
+      out += "06_unknown_subsearch" -> res(G.get(gg,
+        """{ Get { DocVec(hybrid: {query: "x", operands: [{weight: 0.5, somethingElse: {q: 1}}]}) { doc_id } } }"""))
+      out += "07_hybrid_near_both" -> res(G.get(gg,
+        """{ Get { DocVec(hybrid: {query: "x", searches: [
+          |  {nearText: {concepts: ["a"]}, nearVector: {vector: [0.1]}}]}) { doc_id } } }""".stripMargin))
+      out += "08_hybrid_vector_and_neartext" -> res(G.get(gg,
+        """{ Get { DocVec(hybrid: {query: "x", vector: [0.1],
+          |  searches: [{nearText: {concepts: ["a"]}}]}) { doc_id } } }""".stripMargin))
+      out += "09_hybrid_subsearch_targets" -> res(G.get(gg,
+        """{ Get { DocVec(hybrid: {query: "x", searches: [
+          |  {nearVector: {vector: [0.1], targets: {targetVectors: ["default"]}}}]}) { doc_id } } }""".stripMargin))
+      out += "10_hybrid_neartext_autocorrect" -> res(G.get(gg,
+        """{ Get { DocVec(hybrid: {query: "x", searches: [
+          |  {nearText: {concepts: ["a"], autocorrect: true}}]}) { doc_id } } }""".stripMargin))
+      out += "11_bm25_with_sort" -> res(G.get(gg,
+        """{ Get { Document(bm25: {query: "x"}, sort: [{path: ["doc_id"], order: asc}]) { doc_id } } }"""))
+      out += "12_where_wrap" -> res(G.get(gg,
+        """{ Get { Lineitem(where: {operator: And, operands: []}) { l_orderkey } } }"""))
+      out += "13_where_type_wrap" -> res(G.get(gg,
+        """{ Get { Lineitem(where: {operator: Equal, path: ["l_orderkey"], valueInt: true}) { l_orderkey } } }"""))
+      out += "14_near_object_empty" -> res(G.get(gg,
+        """{ Get { Embedding(nearObject: {distance: 0.4}) { vec_id } } }"""))
+      out += "15_agg_unknown_aggregator" -> res(G.aggregate(gg,
+        "{ Aggregate { Document { lang { bogus } } } }"))
+      out += "16_agg_object_limit_zero" -> res(G.aggregate(gg,
+        "{ Aggregate { Document(objectLimit: 0) { meta { count } } } }"))
+      out += "17_agg_object_limit_unused" -> res(G.aggregate(gg,
+        "{ Aggregate { Document(objectLimit: 5) { meta { count } } } }"))
+      out += "18_agg_groupby_even_path" -> res(G.aggregate(gg,
+        """{ Aggregate { Document(groupBy: ["links", "Document"]) { meta { count } } } }"""))
+      // live arms: decoded GraphQL documents drive real pages, SQL-derived
+      out += "19_live_where_or" -> valueOr(gg.get(G.get(gg,
+        """{ Get { Order(limit: 1000000, where: {operator: Or, operands: [
+          |  {operator: Equal, path: ["o_orderstatus"], valueText: "F"},
+          |  {operator: GreaterThan, path: ["o_totalprice"], valueNumber: 25000.0}]})
+          |  { o_orderkey } } }""".stripMargin)).count())
+      out += "20_live_cursor" -> valueOr {
+        val page = gg.get(G.get(gg,
+          """{ Get { Order(after: "700", limit: 15) { o_orderkey } } }"""))
+          .select(col("o_orderkey")).collect().map(_.getLong(0))
+        s"${page.length}:${page.min}:${page.max}"
+      }
+      out += "21_live_topoccurrences" -> valueOr {
+        val p = G.aggregate(gg,
+          "{ Aggregate { Document { lang { topOccurrences(limit: 2) { value occurs } } } } }")
+        gg.aggregate(p).select(explode(col("lang_topOccurrences")).as("t"))
+          .select(col("t.value"), col("t.occurs"))
+          .collect().map(r => s"${r.get(0)}=${r.get(1)}").mkString(",")
+      }
+      out.toSeq.toDF("step", "result").orderBy(col("step"))
+    }),
+
+    // §2.1 schema wire decoder: a weaviate models.Class JSON (POST
+    // /v1/schema body) decodes into CollectionSchema with the reference's
+    // normalization/migration/validation verbatim, and the decoded schema
+    // REGISTERS AND SERVES — config flags (indexPropertyLength,
+    // multiTenancy, field tokenization) must actually reach the engine
+    "q_wire_schema" -> ((s, dir) => {
+      import s.implicits._
+      val S = graft.sources.SchemaWire
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      def res(body: => Any): String = okOr(body)
+      out += "01_class_name" -> res(S.decodeClass("""{"class": "1Bad"}""", "id"))
+      out += "02_property_name" -> res(S.decodeClass(
+        """{"class": "Doc", "properties": [{"name": "has-dash", "dataType": ["text"]}]}""", "id"))
+      out += "03_reserved_property" -> res(S.decodeClass(
+        """{"class": "Doc", "properties": [{"name": "_additional", "dataType": ["text"]}]}""", "id"))
+      out += "04_reserved_suffix" -> res(S.decodeClass(
+        """{"class": "Doc", "properties": [{"name": "foo_searchable", "dataType": ["text"]}]}""", "id"))
+      out += "05_duplicate_property" -> res(S.decodeClass(
+        """{"class": "Doc", "properties": [
+          |  {"name": "text", "dataType": ["text"]}, {"name": "Text", "dataType": ["text"]}]}""".stripMargin, "id"))
+      out += "06_unknown_datatype" -> res(S.decodeClass(
+        """{"class": "Doc", "properties": [{"name": "x", "dataType": ["txet"]}]}""", "id"))
+      out += "07_ref_nonexistent" -> res(S.decodeClass(
+        """{"class": "Doc", "properties": [{"name": "r", "dataType": ["Ghost"]}]}""",
+        "id", knownClasses = Set("Doc")))
+      out += "08_tokenization_int" -> res(S.decodeClass(
+        """{"class": "Doc", "properties": [{"name": "n", "dataType": ["int"], "tokenization": "word"}]}""", "id"))
+      out += "09_searchable_non_text" -> res(S.decodeClass(
+        """{"class": "Doc", "properties": [{"name": "n", "dataType": ["int"], "indexSearchable": true}]}""", "id"))
+      out += "10_bad_distance" -> res(S.decodeClass(
+        """{"class": "Doc", "vectorIndexConfig": {"distance": "euclid"}}""", "id"))
+      out += "11_bad_stopword_preset" -> res(S.decodeClass(
+        """{"class": "Doc", "invertedIndexConfig": {"stopwords": {"preset": "de"}}}""", "id"))
+      out += "12_legacy_plus_named" -> res(S.decodeClass(
+        """{"class": "Doc", "vectorIndexConfig": {"distance": "cosine"}, "vectorConfig": {"v": {}}}""", "id"))
+      out += "13_gse_env_gate" -> res(S.decodeClass(
+        """{"class": "Doc", "properties": [{"name": "t", "dataType": ["text"], "tokenization": "gse"}]}""", "id"))
+      // live arms: decoded schemas register and serve (fresh engine so the
+      // wire path, not the fixture registry, provides every schema)
+      val eng = new graft.engine.Graft(s)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      val plain = S.decodeClass(
+        """{"class": "WireDoc", "properties": [
+          |  {"name": "text", "dataType": ["text"], "tokenization": "word"},
+          |  {"name": "lang", "dataType": ["text"], "tokenization": "field"},
+          |  {"name": "n_chars", "dataType": ["int"]}],
+          |  "invertedIndexConfig": {"indexPropertyLength": true}}""".stripMargin,
+        idColumn = "doc_id")
+      eng.register(plain, docs)
+      out += "14_live_field_equal" -> valueOr(eng.get(GetParams("WireDoc",
+        where = Some(Where.eqText("lang", "en")),
+        properties = Seq("doc_id"),
+        pagination = Some(Pagination(limit = 10000)))).count())
+      // len() filters are gated on the DECODED indexPropertyLength opt-in
+      out += "15_live_len_filter" -> valueOr(eng.get(GetParams("WireDoc",
+        where = Some(Where.gtInt("len(text)", 350)),
+        properties = Seq("doc_id"),
+        pagination = Some(Pagination(limit = 10000)))).count())
+      // multiTenancyConfig.enabled + the engine's column binding: the
+      // decoded tenant scope must partition exactly like the Equal filter
+      val mt = S.decodeClass(
+        """{"class": "WireDocMt", "properties": [
+          |  {"name": "text", "dataType": ["text"], "tokenization": "word"}],
+          |  "multiTenancyConfig": {"enabled": true}}""".stripMargin,
+        idColumn = "doc_id", tenantColumn = Some("lang"))
+      eng.register(mt, docs.select(col("doc_id"), col("text"), col("lang")))
+      out += "16_live_tenant_scope" -> valueOr(eng.get(GetParams("WireDocMt",
+        properties = Seq("doc_id"),
+        tenant = Some("en"),
+        pagination = Some(Pagination(limit = 10000)))).count())
+      out.toSeq.toDF("step", "result").orderBy(col("step"))
     })
   )
 
@@ -4520,6 +4732,118 @@ object SparkEntryExt {
         |UNION ALL SELECT '11_live_isnull', CAST(
         |  (SELECT count(*) FROM documents
         |   WHERE (CASE WHEN source = 'src13' THEN NULL ELSE source END) IS NULL) AS VARCHAR)
+        |ORDER BY step""".stripMargin,
+
+    // GraphQL document twin of q_wire_filter: identical SQL — the decoded
+    // GraphQL where tree must drive the same plan
+    "q_wire_gql_get" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_quantity > 30 AND l_shipdate < TIMESTAMP '1995-06-17'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // GraphQL nearObject-by-beacon: cosine top-10 around Embedding/7
+    "q_wire_gql_near" ->
+      s"""WITH ${sqlQv(7)},
+         |d AS (SELECT e.vec_id, ${sqlCosine("e.embedding", "q.v")} AS dist
+         |      FROM embeddings e CROSS JOIN qv q),
+         |top AS (SELECT vec_id, round(dist, 4) AS dist FROM d
+         |        ORDER BY d.dist ASC, vec_id ASC LIMIT 10)
+         |SELECT vec_id, dist FROM top ORDER BY dist, vec_id""".stripMargin,
+
+    // GraphQL hybrid twin of q_wire_hybrid: identical fused-RRF SQL
+    "q_wire_gql_hybrid" -> {
+      val terms = Seq("spark", "join", "stream")
+      val (ctes, _) = sqlBm25(terms, source = sqlDocVec, fieldPropMeans = Seq(1.0, 1.0))
+      s"""WITH $ctes,
+         |sparse AS (
+         |  SELECT doc_id, score_exact, row_number() OVER (ORDER BY score_exact DESC, doc_id ASC) AS r
+         |  FROM (SELECT * FROM scored WHERE terms_matched >= 1 ORDER BY score_exact DESC, doc_id ASC LIMIT 100)),
+         |${sqlQv(7)},
+         |densed AS (
+         |  SELECT d.doc_id, ${sqlCosine("e.embedding", "q.v")} AS dist
+         |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id CROSS JOIN qv q),
+         |dense AS (
+         |  SELECT doc_id, 1.0 - dist / 2.0 AS sdense, row_number() OVER (ORDER BY dist ASC, doc_id ASC) AS r
+         |  FROM (SELECT * FROM densed ORDER BY dist ASC, doc_id ASC LIMIT 100)),
+         |fused AS (
+         |  SELECT coalesce(s.doc_id, de.doc_id) AS doc_id,
+         |         coalesce(0.3 / (60 + s.r), 0.0) + coalesce(0.7 / (60 + de.r), 0.0) AS score_exact,
+         |         coalesce(s.score_exact, de.sdense) AS secondary
+         |  FROM sparse s FULL OUTER JOIN dense de ON s.doc_id = de.doc_id)
+         |SELECT doc_id, round(score_exact, 4) AS score FROM fused
+         |ORDER BY score_exact DESC, secondary DESC, doc_id ASC LIMIT 15""".stripMargin
+    },
+
+    // GraphQL Aggregate twin of q_wire_aggregate: identical SQL
+    "q_wire_gql_aggregate" ->
+      """SELECT o_orderstatus, count(*) AS meta_count, count(o_totalprice) AS cnt,
+        |  round(sum(o_totalprice), 4) AS sum_price, round(avg(o_totalprice), 4) AS mean_price,
+        |  round(min(o_totalprice), 4) AS min_price, round(max(o_totalprice), 4) AS max_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // GraphQL extraction-layer error texts verbatim (common_filters,
+    // class_builder_fields.go resolveGet wraps, aggregate/resolver.go)
+    // + live SQL-derived counts through decoded documents
+    "q_wire_gql_validate" ->
+      """SELECT * FROM (VALUES
+        |  ('01_alpha_range', 'failed to extract hybrid params: alpha should be between 0.0 and 1.0'),
+        |  ('02_distance_and_certainty', 'failed to extract nearVector params: cannot provide distance and certainty'),
+        |  ('03_vector_or_per_target', 'failed to extract nearVector params: vector or vectorPerTarget is required field'),
+        |  ('04_weight_not_provided', 'failed to extract nearVector params: weight for target rev is not provided'),
+        |  ('05_target_vectors_required', 'failed to extract nearVector params: targetVectors is required field, got map[combinationMethod:sum]'),
+        |  ('06_unknown_subsearch', 'failed to extract hybrid params: unknown subsearch type: map[somethingElse:map[q:1] weight:0.5]'),
+        |  ('07_hybrid_near_both', 'failed to extract hybrid params: hybrid search cannot have both nearText and nearVector parameters'),
+        |  ('08_hybrid_vector_and_neartext', 'failed to extract hybrid params: cannot have both vector and nearTextParams'),
+        |  ('09_hybrid_subsearch_targets', 'failed to extract hybrid params: targetVectors need to be set in the hybrid search to be handled correctly'),
+        |  ('10_hybrid_neartext_autocorrect', 'failed to extract hybrid params: autocorrect is not supported for hybrid nearText'),
+        |  ('11_bm25_with_sort', 'bm25 search is not compatible with sort'),
+        |  ('12_where_wrap', 'could not extract filters: invalid where filter: operator ''And'', but no operands set - add at least one operand'),
+        |  ('13_where_type_wrap', 'could not extract filters: failed to extract filters: unsupported type: ''bool'''),
+        |  ('14_near_object_empty', 'failed to extract nearObject params: nearObject params: empty id and beacon'),
+        |  ('15_agg_unknown_aggregator', 'could not extract properties for class ''Document'': unrecognized aggregator prop ''bogus'''),
+        |  ('16_agg_object_limit_zero', 'objectLimit must be a positive integer'),
+        |  ('17_agg_object_limit_unused', 'objectLimit can only be used with a near<Media> or hybrid filter'),
+        |  ('18_agg_groupby_even_path', 'could not extract groupBy path: missing an argument after ''Document''')
+        |) AS t(step, result)
+        |UNION ALL SELECT '19_live_where_or', CAST(
+        |  (SELECT count(*) FROM orders WHERE o_orderstatus = 'F' OR o_totalprice > 25000.0) AS VARCHAR)
+        |UNION ALL SELECT '20_live_cursor', (
+        |  SELECT CAST(count(*) AS VARCHAR) || ':' || CAST(min(k) AS VARCHAR)
+        |         || ':' || CAST(max(k) AS VARCHAR)
+        |  FROM (SELECT o_orderkey AS k FROM orders WHERE o_orderkey > 700
+        |        ORDER BY o_orderkey LIMIT 15))
+        |UNION ALL SELECT '21_live_topoccurrences', (
+        |  SELECT string_agg(value || '=' || CAST(occurs AS VARCHAR), ',' ORDER BY occurs DESC, value ASC)
+        |  FROM (SELECT lang AS value, count(*) AS occurs FROM documents
+        |        GROUP BY lang ORDER BY occurs DESC, lang ASC LIMIT 2))
+        |ORDER BY step""".stripMargin,
+
+    // schema-wire arms: models.Class creation-time validation texts verbatim
+    // (usecases/schema/class.go, entities/schema/validation.go,
+    // data_types.go, shard_init_vector.go, stopwords/detector.go) + live
+    // counts served through DECODED schemas
+    "q_wire_schema" ->
+      """SELECT * FROM (VALUES
+        |  ('01_class_name', '''1Bad'' is not a valid class name'),
+        |  ('02_property_name', '''has-dash'' is not a valid property name. Property names in Weaviate are restricted to valid GraphQL names, which must be “/[_A-Za-z][_0-9A-Za-z]{0,230}/”'),
+        |  ('03_reserved_property', '''_additional'' is a reserved property name'),
+        |  ('04_reserved_suffix', '''foo_searchable'' is not a valid property name: suffix ''_searchable'' is reserved for internal indices'),
+        |  ('05_duplicate_property', 'class "Doc": conflict for property "text": already in use or provided multiple times'),
+        |  ('06_unknown_datatype', 'property ''x'': invalid dataType: [txet]: unknown primitive data type ''txet'''),
+        |  ('07_ref_nonexistent', 'property ''r'': invalid dataType: [Ghost]: reference property to nonexistent class'),
+        |  ('08_tokenization_int', 'tokenization is not allowed for data type ''int'''),
+        |  ('09_searchable_non_text', '`indexSearchable` is allowed only for text/text[] data types. For other data types set false or leave empty'),
+        |  ('10_bad_distance', 'unrecognized distance metric "euclid",choose one of ["cosine", "dot", "l2-squared", "manhattan","hamming"]'),
+        |  ('11_bad_stopword_preset', 'preset "de" not known to stopword detector'),
+        |  ('12_legacy_plus_named', 'creating a class with both a class level vector index and named vectors is forbidden'),
+        |  ('13_gse_env_gate', 'the GSE tokenizer is not enabled; set ''ENABLE_TOKENIZER_GSE'' to ''true'' to enable')
+        |) AS t(step, result)
+        |UNION ALL SELECT '14_live_field_equal', CAST(
+        |  (SELECT count(*) FROM documents WHERE lang = 'en') AS VARCHAR)
+        |UNION ALL SELECT '15_live_len_filter', CAST(
+        |  (SELECT count(*) FROM documents WHERE length(text) > 350) AS VARCHAR)
+        |UNION ALL SELECT '16_live_tenant_scope', CAST(
+        |  (SELECT count(*) FROM documents WHERE lang = 'en') AS VARCHAR)
         |ORDER BY step""".stripMargin,
 
     // linearization arms: interleaving-invariant outcomes of real racing

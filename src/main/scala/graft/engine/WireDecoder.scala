@@ -144,7 +144,7 @@ object WireDecoder {
 
   // --- Go fmt %v for float64 (error-message fidelity): shortest repr, no
   // trailing ".0" on whole numbers (strconv.FormatFloat 'g' -1).
-  private def goFloat(d: Double): String = {
+  private[engine] def goFloat(d: Double): String = {
     if (d.isNaN) "NaN"
     else if (d.isPosInfinity) "+Inf"
     else if (d.isNegInfinity) "-Inf"
@@ -499,7 +499,7 @@ object WireDecoder {
   def restWhere(g: Graft, collection: String, json: String): Where =
     restParse(g, collection, JsonMethods.parse(json))
 
-  private def restParse(g: Graft, collection: String, jv: JValue): Where = {
+  private[engine] def restParse(g: Graft, collection: String, jv: JValue): Where = {
     // operator match is exact-case ("equal" is unrecognized — parseOperator
     // switches on the model's Pascal-case constants), and its error is NOT
     // wrapped; value/nested errors gain "invalid where filter:" per level

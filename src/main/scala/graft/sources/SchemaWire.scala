@@ -1,0 +1,304 @@
+package graft.sources
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.engine.WireDecoder.WireError
+import graft.model._
+
+/**
+ * Schema wire decoder — parses a weaviate `models.Class` JSON document
+ * (the body of `POST /v1/schema`) into the engine's [[CollectionSchema]],
+ * replaying the reference's creation-time normalization, migration, and
+ * validation verbatim. After the three query wire shapes (gRPC JSON,
+ * REST where tree, GraphQL documents) and the batch-objects write shape,
+ * this closes the last migration surface: a user brings their class
+ * definitions unchanged.
+ *
+ * Reference:
+ *  - usecases/schema/class.go AddClass:115-180 (UppercaseClassName +
+ *    LowercaseAllPropertyNames normalization BEFORE validation,
+ *    validateCanAddClass), 949-976 (string/string[] → text/text[] +
+ *    word→whitespace tokenization migration, bug-compatible), 1006-1062
+ *    (validateProperty: name regex, reserved names, case-insensitive
+ *    duplicate check, dataType resolution wrap, tokenization and
+ *    indexSearchable rules), 1213-1267 (validatePropertyTokenization)
+ *  - entities/schema/validation.go (class `[A-Z][_0-9A-Za-z]{0,254}`,
+ *    property `[_A-Za-z][_0-9A-Za-z]{0,230}`, reserved {_additional,_id,id},
+ *    internal-index suffix blocklist)
+ *  - entities/schema/data_types.go:232-300 (primitive/nested/ref dataType
+ *    resolution and its error texts)
+ *  - adapters/repos/db/shard_init_vector.go:60-76 (distance metric names,
+ *    including the reference's missing-space quirk in the error text)
+ *  - adapters/repos/db/inverted/stopwords/detector.go:52 (preset check)
+ *
+ * Engine-binding parameters the wire cannot carry: weaviate objects have an
+ * implicit uuid primary key and tenancy is a shard property — this engine
+ * binds both to DataFrame columns, so the caller supplies `idColumn` (and
+ * `tenantColumn` when multiTenancyConfig.enabled). Vector names bind to
+ * same-named columns unless `vectorColumns` overrides.
+ */
+object SchemaWire {
+
+  private def fail(msg: String): Nothing = throw new WireError(msg)
+
+  private def str(jv: JValue, name: String): Option[String] = jv \ name match {
+    case JString(s) => Some(s)
+    case JNothing | JNull => None
+    case o => fail(s"$name: expected a string, got ${JsonMethods.compact(JsonMethods.render(o))}")
+  }
+  private def obj(jv: JValue, name: String): Option[JValue] = jv \ name match {
+    case o: JObject => Some(o)
+    case JNothing | JNull => None
+    case o => fail(s"$name: expected an object, got ${JsonMethods.compact(JsonMethods.render(o))}")
+  }
+  private def boolOpt(jv: JValue, name: String): Option[Boolean] = jv \ name match {
+    case JBool(b) => Some(b)
+    case JNothing | JNull => None
+    case o => fail(s"$name: expected a boolean, got ${JsonMethods.compact(JsonMethods.render(o))}")
+  }
+  private def strArr(jv: JValue, name: String): Seq[String] = jv \ name match {
+    case JArray(xs) => xs.map {
+      case JString(s) => s
+      case o => fail(s"$name: expected strings, got ${JsonMethods.compact(JsonMethods.render(o))}")
+    }
+    case JNothing | JNull => Nil
+    case o => fail(s"$name: expected a list, got ${JsonMethods.compact(JsonMethods.render(o))}")
+  }
+
+  private val ClassNameRe = "^[A-Z][_0-9A-Za-z]{0,254}$".r
+  private val PropertyNameRe = "^[_A-Za-z][_0-9A-Za-z]{0,230}$".r
+  private val ReservedProps = Set("_additional", "_id", "id")
+  private val ReservedSuffixes = Seq(
+    "_searchable", "_rangeable", "_temp", "__meta_count",
+    "_propertyLength", "_nullState")
+
+  /** schema.UppercaseClassName / LowercaseFirstLetter (schema.go:62-121). */
+  private def upperFirst(s: String): String =
+    if (s.isEmpty) s else s.head.toUpper + s.tail
+  private def lowerFirst(s: String): String =
+    if (s.isEmpty) s else s.head.toLower + s.tail
+
+  private val Primitives: Map[String, PropType] = Map(
+    "text" -> PropType.Text, "int" -> PropType.Int, "number" -> PropType.Number,
+    "boolean" -> PropType.Bool, "date" -> PropType.Date, "uuid" -> PropType.Uuid,
+    "geoCoordinates" -> PropType.Geo, "phoneNumber" -> PropType.Phone,
+    "blob" -> PropType.Blob, "object" -> PropType.Obj,
+    "text[]" -> PropType.Arr(PropType.Text), "int[]" -> PropType.Arr(PropType.Int),
+    "number[]" -> PropType.Arr(PropType.Number), "boolean[]" -> PropType.Arr(PropType.Bool),
+    "date[]" -> PropType.Arr(PropType.Date), "uuid[]" -> PropType.Arr(PropType.Uuid),
+    "object[]" -> PropType.Arr(PropType.Obj))
+
+  private val Tokenizations: Map[String, Tokenization] = Map(
+    "word" -> Tokenization.Word, "lowercase" -> Tokenization.Lowercase,
+    "whitespace" -> Tokenization.Whitespace, "field" -> Tokenization.Field,
+    "trigram" -> Tokenization.Trigram, "gse" -> Tokenization.Gse,
+    "gse_ch" -> Tokenization.GseCh, "kagome_ja" -> Tokenization.KagomeJa,
+    "kagome_kr" -> Tokenization.KagomeKr)
+
+  private val Distances: Map[String, Metric] = Map(
+    "cosine" -> Metric.Cosine, "dot" -> Metric.Dot, "l2-squared" -> Metric.L2Squared,
+    "manhattan" -> Metric.Manhattan, "hamming" -> Metric.Hamming)
+
+  def decodeClass(json: String,
+                  idColumn: String,
+                  tenantColumn: Option[String] = None,
+                  vectorColumns: Map[String, String] = Map.empty,
+                  knownClasses: Set[String] = Set.empty): CollectionSchema = {
+    val jv = JsonMethods.parse(json)
+
+    // normalization BEFORE validation (AddClass:118-119)
+    val rawName = str(jv, "class").getOrElse("")
+    val className = upperFirst(rawName)
+
+    // legacy class-level vector index + named vectors is forbidden
+    // (validateCanAddClass:1102-1104)
+    val legacyVector = obj(jv, "vectorIndexConfig").isDefined ||
+      str(jv, "vectorIndexType").isDefined ||
+      str(jv, "vectorizer").exists(_ != "none")
+    val namedVectors: Seq[(String, JValue)] = obj(jv, "vectorConfig") match {
+      case Some(JObject(fields)) => fields.map { case (n, v) => (n, v) }
+      case _ => Nil
+    }
+    if (legacyVector && namedVectors.nonEmpty)
+      fail("creating a class with both a class level vector index and named vectors is forbidden")
+
+    if (!ClassNameRe.matches(className))
+      fail(s"'$className' is not a valid class name")
+
+    // inverted index config
+    val iic = obj(jv, "invertedIndexConfig")
+    val inverted = InvertedIndexConfig(
+      indexTimestamps = iic.exists(c => boolOpt(c, "indexTimestamps").getOrElse(false)),
+      indexNullState = iic.exists(c => boolOpt(c, "indexNullState").getOrElse(false)),
+      indexPropertyLength = iic.exists(c => boolOpt(c, "indexPropertyLength").getOrElse(false)))
+    val stopwords = iic.flatMap(obj(_, "stopwords")) match {
+      case Some(sw) =>
+        val preset = str(sw, "preset").getOrElse("en")
+        if (preset != "en" && preset != "none")
+          fail(s"""preset "$preset" not known to stopword detector""")
+        StopwordConfig(preset, additions = strArr(sw, "additions"),
+          removals = strArr(sw, "removals"))
+      case None => StopwordConfig()
+    }
+
+    // multi-tenancy needs a column binding in this engine
+    val mtEnabled = obj(jv, "multiTenancyConfig")
+      .exists(c => boolOpt(c, "enabled").getOrElse(false))
+    if (mtEnabled && tenantColumn.isEmpty)
+      fail(s"class $className: multiTenancyConfig.enabled requires a tenantColumn binding in this engine")
+
+    // properties
+    val propsJson: Seq[JValue] = jv \ "properties" match {
+      case JArray(xs) => xs
+      case JNothing | JNull => Nil
+      case o => fail(s"properties: expected a list, got ${JsonMethods.compact(JsonMethods.render(o))}")
+    }
+    val seen = scala.collection.mutable.Set.empty[String]
+    val properties = propsJson.map { pj =>
+      val name = lowerFirst(str(pj, "name").getOrElse("")) // LowercaseAllPropertyNames
+      if (!PropertyNameRe.matches(name))
+        fail(s"'$name' is not a valid property name. Property names in Weaviate " +
+          s"are restricted to valid GraphQL names, which must be “/[_A-Za-z][_0-9A-Za-z]{0,230}/”")
+      if (ReservedProps.contains(name)) fail(s"'$name' is a reserved property name")
+      ReservedSuffixes.find(name.endsWith).foreach(sfx =>
+        fail(s"'$name' is not a valid property name: suffix '$sfx' is reserved for internal indices"))
+      if (!seen.add(name.toLowerCase))
+        fail(s"""class "$className": conflict for property "$name": already in use or provided multiple times""")
+
+      val dataTypeRaw = strArr(pj, "dataType")
+      val (dt0, refTarget) = resolveDataType(name, dataTypeRaw, className, knownClasses)
+
+      // string/string[] → text/text[] + word→whitespace migration
+      // (migratePropertyDataTypeAndTokenization — bug-compatible)
+      val isDeprecatedString = dataTypeRaw.headOption.exists(d => d == "string" || d == "string[]")
+      val tokRaw = str(pj, "tokenization").getOrElse("")
+      validateTokenization(tokRaw, dataTypeRaw.headOption.getOrElse(""), dt0, refTarget.isDefined)
+      val tok0 =
+        if (tokRaw.isEmpty) Tokenization.Word
+        else Tokenizations.getOrElse(tokRaw,
+          fail(s"tokenization '$tokRaw' is not allowed for data type '${dataTypeRaw.head}'"))
+      val tok = if (isDeprecatedString && tok0 == Tokenization.Word) Tokenization.Whitespace else tok0
+
+      val isTextLike = dt0 == PropType.Text || dt0 == PropType.Arr(PropType.Text)
+      val indexSearchable = boolOpt(pj, "indexSearchable")
+      indexSearchable.foreach { s =>
+        if (s && !isTextLike)
+          fail("`indexSearchable` is allowed only for text/text[] data types. " +
+            "For other data types set false or leave empty")
+      }
+
+      val asciiFold = obj(pj, "textAnalyzer")
+        .exists(ta => boolOpt(ta, "asciiFold").getOrElse(false))
+
+      Property(name, dt0,
+        tokenization = tok,
+        refTarget = refTarget,
+        indexFilterable = boolOpt(pj, "indexFilterable").getOrElse(true),
+        indexSearchable = indexSearchable.getOrElse(isTextLike),
+        asciiFold = asciiFold,
+        indexRangeFilters = boolOpt(pj, "indexRangeFilters").getOrElse(false))
+    }
+
+    // vector config → metrics + column bindings
+    def metricOf(cfg: Option[JValue]): Metric = cfg.flatMap(str(_, "distance")) match {
+      case None => Metric.Cosine // DefaultDistanceMetric (common/config.go:31)
+      case Some(d) => Distances.getOrElse(d,
+        // reference quirk: no space after the comma (shard_init_vector.go:74)
+        fail(s"""unrecognized distance metric "$d",""" +
+          """choose one of ["cosine", "dot", "l2-squared", "manhattan","hamming"]"""))
+    }
+    val (vectors, metrics, defaultVec) =
+      if (namedVectors.nonEmpty) {
+        val vs = namedVectors.map { case (n, cfg) =>
+          val col = vectorColumns.getOrElse(n, n)
+          (n -> col, n -> metricOf(obj(cfg, "vectorIndexConfig")))
+        }
+        (vs.map(_._1).toMap, vs.map(_._2).toMap, Some(namedVectors.head._1))
+      } else if (legacyVector) {
+        val col = vectorColumns.getOrElse("default", "default")
+        (Map("default" -> col), Map("default" -> metricOf(obj(jv, "vectorIndexConfig"))),
+          Some("default"))
+      } else (Map.empty[String, String], Map.empty[String, Metric], None)
+
+    CollectionSchema(
+      name = className,
+      idColumn = idColumn,
+      properties = properties,
+      vectors = vectors,
+      defaultVector = defaultVec,
+      tenantColumn = if (mtEnabled) tenantColumn else None,
+      stopwords = stopwords,
+      invertedIndex = inverted,
+      vectorMetrics = metrics)
+  }
+
+  /** FindPropertyDataTypeWithRefsAndAuth (data_types.go:243-300) with the
+   * validateProperty wrap (class.go:1024-1028). */
+  private def resolveDataType(propName: String, dataType: Seq[String],
+                              owningClass: String, knownClasses: Set[String])
+      : (PropType, Option[String]) = {
+    def wrap(inner: String): Nothing =
+      fail(s"property '$propName': invalid dataType: ${dataType.mkString("[", " ", "]")}: $inner")
+    if (dataType.isEmpty) wrap("dataType must have at least one element")
+    if (dataType.size == 1) {
+      val d = dataType.head
+      Primitives.get(d).foreach(pt => return (pt, None))
+      if (d == "string") return (PropType.Text, None)
+      if (d == "string[]") return (PropType.Arr(PropType.Text), None)
+      if (d.isEmpty) wrap("dataType cannot be an empty string")
+      // a single NON-capitalized unknown name is not a ref (IsRefDataType
+      // checks the leading uppercase letter)
+      if (!d.head.isUpper) wrap(s"unknown primitive data type '$d'")
+      // self-reference is allowed without existence (data_types.go:286)
+      if (d != owningClass && knownClasses.nonEmpty && !knownClasses.contains(d))
+        wrap("reference property to nonexistent class")
+      (PropType.Ref, Some(d))
+    } else {
+      // multi-class refs exist in the reference; this engine's cref columns
+      // carry ONE target collection — loud, not silently first-class
+      wrap(s"cref to multiple classes (${dataType.mkString(", ")}) is not supported by this engine")
+    }
+  }
+
+  /** validatePropertyTokenization (class.go:1213-1267) on the RAW dataType
+   * (validation runs before the string→text migration). */
+  private def validateTokenization(tok: String, rawType: String,
+                                   dt: PropType, isRef: Boolean): Unit = {
+    if (isRef) {
+      if (tok.nonEmpty) fail("tokenization is not allowed for reference data type")
+      return
+    }
+    if (tok.isEmpty) return
+    rawType match {
+      case "string" | "string[]" =>
+        if (tok != "word" && tok != "field")
+          fail(s"tokenization '$tok' is not allowed for data type '$rawType'")
+      case "text" | "text[]" =>
+        if (!Tokenizations.contains(tok))
+          fail(s"tokenization '$tok' is not allowed for data type '$rawType'")
+        // CJK segmenters are env-gated exactly like the reference's
+        // ENABLE_TOKENIZER_* flags (class.go:1230-1249)
+        val gates = Map(
+          "gse" -> "ENABLE_TOKENIZER_GSE", "gse_ch" -> "ENABLE_TOKENIZER_GSE_CH",
+          "kagome_ja" -> "ENABLE_TOKENIZER_KAGOME_JA", "kagome_kr" -> "ENABLE_TOKENIZER_KAGOME_KR")
+        gates.get(tok).foreach { env =>
+          def on(e: String) = sys.env.get(e).exists(v => v == "true" || v == "enabled" || v == "on")
+          // gse also honors the legacy USE_GSE switch (class.go:1231)
+          val enabled = on(env) || (tok == "gse" && on("USE_GSE"))
+          if (!enabled) {
+            val lang = tok match {
+              case "gse" => "GSE"; case "gse_ch" => "Chinese"
+              case "kagome_ja" => "Japanese"; case "kagome_kr" => "Korean"
+            }
+            val article = if (tok == "gse") "the GSE tokenizer" else s"the $lang tokenizer"
+            fail(s"$article is not enabled; set '$env' to 'true' to enable")
+          }
+        }
+      case "object" | "object[]" =>
+        fail("tokenization is not allowed for object/object[] data types")
+      case other =>
+        fail(s"tokenization is not allowed for data type '$other'")
+    }
+  }
+}
