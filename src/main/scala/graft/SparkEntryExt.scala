@@ -4490,6 +4490,23 @@ object SparkEntryExt {
       out.toSeq.toDF("step", "result").orderBy(col("step"))
     }),
 
+    // GraphQL Explore: the cross-class form with nearText moves, decoded
+    // from a document — twin of q_explore_neartext (the certainty request
+    // comes from the SELECTION, exercised and dropped before the distance
+    // page so the metric gate stays cosine-compatible)
+    "q_wire_gql_explore" -> ((s, dir) => {
+      val gg = g(s, dir)
+      embRevBedFor(gg)
+      val e = graft.engine.GraphQL.explore(
+        """{ Explore(limit: 12, nearText: {
+          |    concepts: ["spark join stream"],
+          |    moveTo: {concepts: ["window batch"], force: 0.6},
+          |    moveAwayFrom: {concepts: ["error slow"], force: 0.4}})
+          |  { beacon className distance } }""".stripMargin)
+      gg.explore(Seq("DocVec", "EmbRev"), e.nearText.get, limit = e.limit, offset = e.offset)
+        .select(col("class_name"), col("beacon_id"), round(col("distance"), 4).as("distance"))
+    }),
+
     // §2.1 schema wire decoder: a weaviate models.Class JSON (POST
     // /v1/schema body) decodes into CollectionSchema with the reference's
     // normalization/migration/validation verbatim, and the decoded schema
@@ -4817,6 +4834,25 @@ object SparkEntryExt {
         |  FROM (SELECT lang AS value, count(*) AS occurs FROM documents
         |        GROUP BY lang ORDER BY occurs DESC, lang ASC LIMIT 2))
         |ORDER BY step""".stripMargin,
+
+    // GraphQL Explore twin: identical SQL to q_explore_neartext
+    "q_wire_gql_explore" -> {
+      val embed = Fixtures.hashEmbedder(64)
+      var qv = Movements.centroid(Seq(embed("spark join stream")))
+      qv = Movements.moveTo(qv, Movements.centroid(Seq(embed("window batch"))), 0.6)
+      qv = Movements.moveAwayFrom(qv, Movements.centroid(Seq(embed("error slow"))), 0.4)
+      val vlit = qv.map(f => s"CAST($f AS FLOAT)").mkString("[", ", ", "]")
+      s"""WITH qv AS (SELECT $vlit AS v),
+         |legs AS (
+         |  SELECT 'DocVec' AS class_name, CAST(d.doc_id AS VARCHAR) AS beacon_id,
+         |         ${sqlCosine("e.embedding", "q.v")} AS d_exact
+         |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id CROSS JOIN qv q
+         |  UNION ALL
+         |  SELECT 'EmbRev', CAST(e.vec_id AS VARCHAR), ${sqlCosine("list_reverse(e.embedding)", "q.v")}
+         |  FROM embeddings e CROSS JOIN qv q)
+         |SELECT class_name, beacon_id, round(d_exact, 4) AS distance FROM legs
+         |ORDER BY d_exact ASC, class_name ASC, beacon_id ASC LIMIT 12""".stripMargin
+    },
 
     // schema-wire arms: models.Class creation-time validation texts verbatim
     // (usecases/schema/class.go, entities/schema/validation.go,

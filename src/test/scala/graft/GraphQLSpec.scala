@@ -278,6 +278,25 @@ class GraphQLSpec extends SparkSpecBase {
   }
 
   // --------------------------------------------------------------------------
+  // Explore
+  // --------------------------------------------------------------------------
+
+  test("explore: nearText args decode; certainty is selection-driven") {
+    val e = GraphQL.explore(
+      """{ Explore(limit: 12, offset: 3, nearText: {
+        |    concepts: ["spark join"], moveTo: {concepts: ["window"], force: 0.6}})
+        |  { beacon className distance certainty } }""".stripMargin)
+    assert(e.limit == 12 && e.offset == 3 && e.withCertainty)
+    assert(e.nearText.get.concepts == Seq("spark join"))
+    assert(e.nearText.get.moveTo.contains(MoveParams(Seq("window"), 0.6)))
+    val noCert = GraphQL.explore(
+      """{ Explore(nearVector: {vector: [0.5, 0.5]}) { beacon distance } }""")
+    assert(!noCert.withCertainty && noCert.nearVector.get.vector.toSeq == Seq(0.5f, 0.5f))
+    assert(intercept[IllegalArgumentException](GraphQL.explore(
+      "{ Get { Doc { x } } }")).getMessage == "graphql: expected an Explore query, got 'Get'")
+  }
+
+  // --------------------------------------------------------------------------
   // Aggregate
   // --------------------------------------------------------------------------
 
