@@ -4507,6 +4507,59 @@ object SparkEntryExt {
         .select(col("class_name"), col("beacon_id"), round(col("distance"), 4).as("distance"))
     }),
 
+    // §2.1 tenants wire decoder: the POST/PUT /v1/schema/{class}/tenants
+    // JSON array decodes through the reference's validateTenants /
+    // validateActivityStatuses rules (incl. the ACTIVE/HOT alias fold and
+    // the create-vs-update FROZEN split), then drives the engine's tenant
+    // registry and the read gates end-to-end
+    "q_wire_tenants" -> ((s, dir) => {
+      import s.implicits._
+      val W = graft.engine.WireDecoder
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      def res(body: => Any): String = okOr(body)
+      out += "01_bad_name_indexed" -> res(W.decodeTenants(
+        """[{"name": "ok"}, {"name": "bad name"}]""", forCreate = true))
+      out += "02_empty_name" -> res(W.decodeTenants("""[{"name": ""}]""", forCreate = true))
+      out += "03_duplicate" -> res(W.decodeTenants(
+        """[{"name": "en"}, {"name": "en", "activityStatus": "COLD"}]""", forCreate = true))
+      out += "04_over_100" -> res(W.decodeTenants(
+        (1 to 101).map(i => s"""{"name": "t$i"}""").mkString("[", ",", "]"), forCreate = true))
+      out += "05_unknown_status" -> res(W.decodeTenants(
+        """[{"name": "t1", "activityStatus": "LUKEWARM"}]""", forCreate = true))
+      out += "06_frozen_on_create" -> res(W.decodeTenants(
+        """[{"name": "t1", "activityStatus": "FROZEN"}]""", forCreate = true))
+      out += "07_joined_violations" -> res(W.decodeTenants(
+        """[{"name": "a", "activityStatus": "X"}, {"name": "b"}]""", forCreate = false))
+      // live walk: decoded tenants land in a fresh engine's registry and
+      // gate reads — aliases fold (HOT→ACTIVE), update flips statuses,
+      // inactive/offloaded reject reads, the active tenant serves a page
+      val eng = new graft.engine.Graft(s)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"), col("lang"))
+      eng.register(CollectionSchema("WireTen", "doc_id", Seq(
+        Property("text", PropType.Text),
+        Property("lang", PropType.Text, Tokenization.Field)),
+        tenantColumn = Some("lang")), docs)
+      eng.addTenants("WireTen", W.decodeTenants(
+        """[{"name": "en", "activityStatus": "HOT"},
+          |  {"name": "de", "activityStatus": "INACTIVE"},
+          |  {"name": "fr"}]""".stripMargin, forCreate = true))
+      out += "08_created_statuses" -> valueOr(
+        eng.tenants("WireTen").map(t => s"${t.name}=${t.activityStatus.name}").mkString(","))
+      W.decodeTenants("""[{"name": "fr", "activityStatus": "OFFLOADED"}]""", forCreate = false)
+        .foreach(t => eng.updateTenant("WireTen", t.name, t.activityStatus))
+      out += "09_updated_statuses" -> valueOr(
+        eng.tenants("WireTen").map(t => s"${t.name}=${t.activityStatus.name}").mkString(","))
+      def page(tenant: String) = eng.get(GetParams("WireTen",
+        properties = Seq("doc_id"), tenant = Some(tenant),
+        pagination = Some(Pagination(limit = 10000)))).count()
+      out += "10_inactive_rejected" -> res(page("de"))
+      out += "11_offloaded_rejected" -> res(page("fr"))
+      out += "12_unknown_rejected" -> res(page("nl"))
+      out += "13_live_active_page" -> valueOr(page("en"))
+      out.toSeq.toDF("step", "result").orderBy(col("step"))
+    }),
+
     // §2.1 schema wire decoder: a weaviate models.Class JSON (POST
     // /v1/schema body) decodes into CollectionSchema with the reference's
     // normalization/migration/validation verbatim, and the decoded schema
@@ -4853,6 +4906,29 @@ object SparkEntryExt {
          |SELECT class_name, beacon_id, round(d_exact, 4) AS distance FROM legs
          |ORDER BY d_exact ASC, class_name ASC, beacon_id ASC LIMIT 12""".stripMargin
     },
+
+    // tenants-wire arms: validateTenants/validateActivityStatuses texts
+    // verbatim (incl. the reference's leading-space quirk in the name
+    // message and the comma-joined multi-violation form) + live registry
+    // walks with SQL-derived page counts
+    "q_wire_tenants" ->
+      """SELECT * FROM (VALUES
+        |  ('01_bad_name_indexed', 'tenant name at index 1:  ''bad name'' is not a valid tenant name. should only contain alphanumeric characters (a-z, A-Z, 0-9), underscore (_), and hyphen (-), with a length between 1 and 64 characters'),
+        |  ('02_empty_name', 'tenant name at index 0: empty tenant name'),
+        |  ('03_duplicate', 'tenant name en existed multiple times'),
+        |  ('04_over_100', 'maximum number of tenants allowed to be updated simultaneously is 100. Please reduce the number of tenants in your request and try again'),
+        |  ('05_unknown_status', 'invalid activity status ''LUKEWARM'' for tenant "t1"'),
+        |  ('06_frozen_on_create', 'invalid activity status ''FROZEN'' for tenant "t1"'),
+        |  ('07_joined_violations', 'invalid activity status ''X'' for tenant "a", invalid activity status '''' for tenant "b"'),
+        |  ('08_created_statuses', 'de=INACTIVE,en=ACTIVE,fr=ACTIVE'),
+        |  ('09_updated_statuses', 'de=INACTIVE,en=ACTIVE,fr=OFFLOADED'),
+        |  ('10_inactive_rejected', 'requirement failed: tenant not active: de'),
+        |  ('11_offloaded_rejected', 'requirement failed: tenant not active: fr'),
+        |  ('12_unknown_rejected', 'tenant not found: nl')
+        |) AS t(step, result)
+        |UNION ALL SELECT '13_live_active_page', CAST(
+        |  (SELECT count(*) FROM documents WHERE lang = 'en') AS VARCHAR)
+        |ORDER BY step""".stripMargin,
 
     // schema-wire arms: models.Class creation-time validation texts verbatim
     // (usecases/schema/class.go, entities/schema/validation.go,

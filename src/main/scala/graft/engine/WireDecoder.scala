@@ -588,6 +588,65 @@ object WireDecoder {
   }
 
   // ==========================================================================
+  // Tenants wire (POST/PUT /v1/schema/{class}/tenants —
+  // usecases/schema/tenant.go validateTenants:118-143 +
+  // validateActivityStatuses:145-184, convertNewTenantNames:414-425)
+  // ==========================================================================
+
+  /** Decode a tenants JSON array (`[{"name": ..., "activityStatus": ...}]`)
+   * with the reference's validation replayed verbatim. `forCreate` selects
+   * the AddTenants rules (allowEmpty=true, allowFrozen=false) vs the
+   * UpdateTenants rules (allowEmpty=false, allowFrozen=true); the engine's
+   * built-in offload stands in for the offload-s3 module, so FROZEN on
+   * update is legal while FROZEN on create replays the invalid-status text. */
+  def decodeTenants(json: String, forCreate: Boolean): Seq[Tenant] = {
+    val items = JsonMethods.parse(json) match {
+      case JArray(xs) => xs
+      case o => fail(s"tenants: expected a list, got ${JsonMethods.compact(JsonMethods.render(o))}")
+    }
+    if (items.size > 100)
+      fail("maximum number of tenants allowed to be updated simultaneously is 100. " +
+        "Please reduce the number of tenants in your request and try again")
+    val seen = scala.collection.mutable.Set.empty[String]
+    val parsed = items.zipWithIndex.map { case (t, i) =>
+      val name = str(t, "name").getOrElse("")
+      tenantNameError(name).foreach(msg => fail(s"tenant name at index $i: $msg"))
+      if (!seen.add(name)) fail(s"tenant name $name existed multiple times")
+      (name, str(t, "activityStatus").getOrElse(""))
+    }
+    // statuses validate AFTER names/dups, all violations joined in ONE error
+    val msgs = parsed.flatMap { case (name, raw) =>
+      // convertNewTenantNames folds the modern aliases onto the legacy enum
+      val norm = raw match {
+        case "ACTIVE" => "HOT"
+        case "INACTIVE" => "COLD"
+        case "OFFLOADED" => "FROZEN"
+        case other => other
+      }
+      norm match {
+        case "HOT" | "COLD" => None
+        case "FROZEN" if !forCreate => None
+        case "" if forCreate => None
+        case _ => Some(s"""invalid activity status '$norm' for tenant "$name"""")
+      }
+    }
+    if (msgs.nonEmpty) fail(msgs.mkString(", "))
+    parsed.map { case (name, raw) =>
+      Tenant(name, if (raw.isEmpty) TenantStatus.Active else TenantStatus.parse(raw))
+    }
+  }
+
+  /** ValidateTenantName's message (validation.go:219-233) — empty has its
+   * own short form, the invalid form keeps the reference's leading space. */
+  private def tenantNameError(name: String): Option[String] =
+    if (name.isEmpty) Some("empty tenant name")
+    else if (!name.matches("[A-Za-z0-9\\-_]{1,64}"))
+      Some(s" '$name' is not a valid tenant name. should only contain " +
+        "alphanumeric characters (a-z, A-Z, 0-9), underscore (_), and " +
+        "hyphen (-), with a length between 1 and 64 characters")
+    else None
+
+  // ==========================================================================
   // Targets / combination (parse_search_request.go:509-652)
   // ==========================================================================
 

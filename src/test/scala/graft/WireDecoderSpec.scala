@@ -334,4 +334,22 @@ class WireDecoderSpec extends SparkSpecBase {
       WireDecoder.search(g, """{"collection": "Ghost", "limit": 5}"""))
     assert(e.getMessage.contains("unknown collection"))
   }
+
+  test("tenants wire: alias fold, create/update FROZEN split, empty-on-create default") {
+    val created = WireDecoder.decodeTenants(
+      """[{"name": "a", "activityStatus": "HOT"},
+        |  {"name": "b", "activityStatus": "INACTIVE"},
+        |  {"name": "c"}]""".stripMargin, forCreate = true)
+    assert(created == Seq(
+      Tenant("a", TenantStatus.Active),
+      Tenant("b", TenantStatus.Inactive),
+      Tenant("c", TenantStatus.Active)))
+    // FROZEN/OFFLOADED is an update-only status (tenant.go allowFrozen)
+    val updated = WireDecoder.decodeTenants(
+      """[{"name": "a", "activityStatus": "FROZEN"}]""", forCreate = false)
+    assert(updated == Seq(Tenant("a", TenantStatus.Offloaded)))
+    val e = intercept[IllegalArgumentException](WireDecoder.decodeTenants(
+      """[{"name": "a", "activityStatus": "OFFLOADED"}]""", forCreate = true))
+    assert(e.getMessage == """invalid activity status 'FROZEN' for tenant "a"""")
+  }
 }
