@@ -4507,6 +4507,75 @@ object SparkEntryExt {
         .select(col("class_name"), col("beacon_id"), round(col("distance"), 4).as("distance"))
     }),
 
+    // §2.1 batch-references wire decoder: POST /v1/batch/references beacon
+    // pairs decode through the reference's crossref grammar (long-form
+    // source, short/long target, localhost-only peers, the parser's
+    // segment-index quirks replayed bug-for-bug), then land through the
+    // store's set-wise reference append with the partial-batch contract
+    "q_wire_refs_batch" -> ((s, dir) => {
+      import s.implicits._
+      val W = graft.engine.WireDecoder
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      def res(body: => Any): String = okOr(body)
+      def one(from: String, to: String): String =
+        s"""[{"from": "$from", "to": "$to"}]"""
+      val okU = "00000000-0000-4000-8000-000000000001"
+      out += "01_empty_batch" -> res(W.decodeBatchReferences("[]"))
+      out += "02_short_source" -> valueOr(W.decodeBatchReferences(one(
+        s"weaviate://localhost/$okU", s"weaviate://localhost/$okU"))._2(0))
+      // reference bug replayed: the source uuid error prints the PROPERTY
+      out += "03_source_bad_uuid" -> valueOr(W.decodeBatchReferences(one(
+        "weaviate://localhost/Doc/notauuid/links", s"weaviate://localhost/$okU"))._2(0))
+      out += "04_lowercase_class" -> valueOr(W.decodeBatchReferences(one(
+        s"weaviate://localhost/doc/$okU/links", s"weaviate://localhost/$okU"))._2(0))
+      // "%dnd" quirk: short-form target renders "1nd"
+      out += "05_target_bad_uuid" -> valueOr(W.decodeBatchReferences(one(
+        s"weaviate://localhost/Doc/$okU/links", "weaviate://localhost/xyz"))._2(0))
+      out += "06_network_source" -> valueOr(W.decodeBatchReferences(one(
+        s"weaviate://other-peer/Doc/$okU/links", s"weaviate://localhost/$okU"))._2(0))
+      out += "07_network_target" -> valueOr(W.decodeBatchReferences(one(
+        s"weaviate://localhost/Doc/$okU/links", s"weaviate://remote/Doc/$okU"))._2(0))
+      // live walk: decoded edges append onto a uuid-keyed cref store
+      def uuidOf(n: Long): String = f"00000000-0000-4000-8000-$n%012d"
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") < 500)
+        .select(format_string("00000000-0000-4000-8000-%012d", col("doc_id")).as("id"),
+          lit(null).cast("array<string>").as("links"))
+      val schema = CollectionSchema("WireRefs", "id", Seq(
+        Property("links", PropType.Ref, refTarget = Some("WireRefs"))))
+      val st = new graft.sources.CollectionStore(s,
+        java.nio.file.Files.createTempDirectory("graft-wire-refs").toString, schema)
+      st.init(docs)
+      val srcs = docs.select(col("id")).collect().map(_.getString(0))
+        .filter(u => u.takeRight(12).toLong % 100 == 0).sorted
+      // mixed batch: long-form targets, one UPPERCASE target uuid (folds to
+      // lowercase), one short-form target, one unknown source (dropped by
+      // the store join), one malformed source (decode-time error, batch
+      // proceeds — the partial-batch contract)
+      val refsJson = (srcs.map { u =>
+        val target = uuidOf(u.takeRight(12).toLong + 1)
+        val t = if (u == srcs.head) target.toUpperCase
+                else if (u == srcs.last) target
+                else s"WireRefs/$target"
+        s"""{"from": "weaviate://localhost/WireRefs/$u/links", "to": "weaviate://localhost/$t"}"""
+      } :+
+        s"""{"from": "weaviate://localhost/WireRefs/${uuidOf(899999L)}/links", "to": "weaviate://localhost/${uuidOf(1L)}"}""" :+
+        s"""{"from": "weaviate://localhost/WireRefs", "to": "weaviate://localhost/${uuidOf(1L)}"}""").mkString("[", ",", "]")
+      val (edges, errs) = W.decodeBatchReferences(refsJson)
+      out += "08_decode_split" -> valueOr(
+        s"${edges.size}:${errs.size}:${errs.keys.mkString(",")}")
+      val edgeDf = edges.map { case (_, e) => (e.fromId, e.toId) }
+        .toDF("id", "target")
+      val (applied, dropped) = st.addReferences("links", edgeDf)
+      out += "09_applied_dropped" -> valueOr(s"$applied:$dropped")
+      out += "10_lowercase_fold" -> valueOr(
+        st.read().filter(col("id") === srcs.head)
+          .select(concat_ws(",", col("links"))).head().getString(0))
+      out += "11_live_linked_count" -> valueOr(
+        st.read().filter(size(col("links")) > 0).count())
+      out.toSeq.toDF("step", "result").orderBy(col("step"))
+    }),
+
     // §2.1 tenants wire decoder: the POST/PUT /v1/schema/{class}/tenants
     // JSON array decodes through the reference's validateTenants /
     // validateActivityStatuses rules (incl. the ACTIVE/HOT alias fold and
@@ -4906,6 +4975,30 @@ object SparkEntryExt {
          |SELECT class_name, beacon_id, round(d_exact, 4) AS distance FROM legs
          |ORDER BY d_exact ASC, class_name ASC, beacon_id ASC LIMIT 12""".stripMargin
     },
+
+    // batch-references-wire arms: crossref grammar errors verbatim (incl.
+    // the parser's property-segment and "%dnd" quirks) + live decoded edges
+    // landing through the store append, counts SQL-derived
+    "q_wire_refs_batch" ->
+      """WITH srcs AS (
+        |  SELECT count(*) AS cnt, min(doc_id) AS first_id FROM documents
+        |  WHERE doc_id < 500 AND doc_id % 100 = 0)
+        |SELECT * FROM (VALUES
+        |  ('01_empty_batch', 'length cannot be 0, need at least one reference for batching'),
+        |  ('02_short_source', 'invalid cref URI: must use long-form: path must be of format ''/<className>/<uuid>/<propertyName>'', but got ''/00000000-0000-4000-8000-000000000001'''),
+        |  ('03_source_bad_uuid', 'invalid cref URI: 2nd path segment must be uuid, but got ''links'''),
+        |  ('04_lowercase_class', 'className must start with an uppercase letter, but got doc'),
+        |  ('05_target_bad_uuid', 'invalid cref URI: 1nd path segment must be uuid, but got ''xyz'''),
+        |  ('06_network_source', 'source class must always point to the local peer, but got other-peer'),
+        |  ('07_network_target', 'importing network references in batch is not possible. Please perform a regular non-batch import for network references, got peer remote')
+        |) AS t(step, result)
+        |UNION ALL SELECT '08_decode_split',
+        |  CAST(cnt + 1 AS VARCHAR) || ':1:' || CAST(cnt + 1 AS VARCHAR) FROM srcs
+        |UNION ALL SELECT '09_applied_dropped', CAST(cnt AS VARCHAR) || ':1' FROM srcs
+        |UNION ALL SELECT '10_lowercase_fold',
+        |  printf('00000000-0000-4000-8000-%012d', first_id + 1) FROM srcs
+        |UNION ALL SELECT '11_live_linked_count', CAST(cnt AS VARCHAR) FROM srcs
+        |ORDER BY step""".stripMargin,
 
     // tenants-wire arms: validateTenants/validateActivityStatuses texts
     // verbatim (incl. the reference's leading-space quirk in the name

@@ -588,6 +588,109 @@ object WireDecoder {
   }
 
   // ==========================================================================
+  // Batch references wire (POST /v1/batch/references —
+  // usecases/objects/batch_references_add.go validateReference:259-299 +
+  // joinErrors:424-437; beacon grammar entities/schema/crossref:
+  // crossref_source.go ParseSource:53-93, crossref.go Parse:43-73)
+  // ==========================================================================
+
+  /** One decoded reference edge: source (class, id, property) → target
+   * (optional class for the short-form beacon, id lowercased like the
+   * reference's post-parse fold). */
+  final case class BatchRefEdge(fromClass: String, fromId: String, property: String,
+                                toClass: Option[String], toId: String,
+                                tenant: Option[String])
+
+  private val UuidRe =
+    "(?i)^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$".r
+
+  /** weaviate beacon → (host, path) — url.Parse's pieces this grammar uses. */
+  private def beaconParts(uri: String): (String, String) = {
+    val idx = uri.indexOf("://")
+    if (idx < 0) ("", uri)
+    else {
+      val rest = uri.substring(idx + 3)
+      val slash = rest.indexOf('/')
+      if (slash < 0) (rest, "") else (rest.substring(0, slash), rest.substring(slash))
+    }
+  }
+
+  /** crossref_source.go ParseSource — long-form source beacon
+   * '/<className>/<uuid>/<propertyName>'. Replays the reference's segment
+   * bug verbatim: the uuid error message prints the PROPERTY segment. */
+  private def parseSourceBeacon(uri: String): (String, String, String, String) = {
+    val (host, path) = beaconParts(uri)
+    val segments = path.split("/", -1)
+    if (segments.length != 4)
+      fail("invalid cref URI: must use long-form: path must be of format " +
+        s"'/<className>/<uuid>/<propertyName>', but got '$path'")
+    if (!UuidRe.matches(segments(2)))
+      fail(s"invalid cref URI: 2nd path segment must be uuid, but got '${segments(3)}'")
+    val cls = segments(1)
+    if (cls.isEmpty) fail("className cannot be empty")
+    if (cls.head.isLower) fail(s"className must start with an uppercase letter, but got $cls")
+    if (segments(3).isEmpty) fail("property cannot be empty")
+    (host, cls, segments(2), segments(3))
+  }
+
+  /** crossref.go Parse — target beacon '[<class>/]<uuid>'. The segment-index
+   * rendering keeps the reference's "%dnd" quirk ("1nd" for the short form). */
+  private def parseTargetBeacon(uri: String): (String, Option[String], String) = {
+    val (host, path) = beaconParts(uri)
+    val segments = path.split("/", -1)
+    val (cls, id, idx) = segments.length match {
+      case 3 => (Some(segments(1)), segments(2), 2)
+      case 2 => (None, segments(1), 1)
+      case _ => fail(
+        s"invalid cref URI: path must be of format '<class>/<uuid>', but got '$path'")
+    }
+    if (!UuidRe.matches(id))
+      fail(s"invalid cref URI: ${idx}nd path segment must be uuid, but got '$id'")
+    (host, cls, id.toLowerCase)
+  }
+
+  /** Decode a batch-references JSON array (`[{"from": beacon, "to": beacon,
+   * "tenant"?}]`) → per-index decoded edges + per-index error texts, exactly
+   * like [[decodeBatchObjects]]'s partial-batch contract. */
+  def decodeBatchReferences(json: String)
+      : (Seq[(Int, BatchRefEdge)], Map[Int, String]) = {
+    val items = JsonMethods.parse(json) match {
+      case JArray(xs) => xs
+      case o => fail(s"references: expected a list, got ${JsonMethods.compact(JsonMethods.render(o))}")
+    }
+    if (items.isEmpty)
+      fail("length cannot be 0, need at least one reference for batching")
+    val good = Seq.newBuilder[(Int, BatchRefEdge)]
+    var errs = Map.empty[Int, String]
+    items.zipWithIndex.foreach { case (r, i) =>
+      val msgs = Seq.newBuilder[String]
+      val src =
+        try Some(parseSourceBeacon(str(r, "from").getOrElse("")))
+        catch { case e: WireError => msgs += e.getMessage; None }
+      src.foreach { case (host, _, _, _) =>
+        if (host != "localhost")
+          msgs += s"source class must always point to the local peer, but got $host"
+      }
+      val tgt =
+        try Some(parseTargetBeacon(str(r, "to").getOrElse("")))
+        catch { case e: WireError => msgs += e.getMessage; None }
+      tgt.foreach { case (host, _, _) =>
+        if (host != "localhost")
+          msgs += "importing network references in batch is not possible. " +
+            s"Please perform a regular non-batch import for network references, got peer $host"
+      }
+      val all = msgs.result()
+      if (all.nonEmpty) errs += i -> all.mkString(", ")
+      else {
+        val (_, cls, id, prop) = src.get
+        val (_, toCls, toId) = tgt.get
+        good += i -> BatchRefEdge(cls, id, prop, toCls, toId, str(r, "tenant"))
+      }
+    }
+    (good.result(), errs)
+  }
+
+  // ==========================================================================
   // Tenants wire (POST/PUT /v1/schema/{class}/tenants —
   // usecases/schema/tenant.go validateTenants:118-143 +
   // validateActivityStatuses:145-184, convertNewTenantNames:414-425)
