@@ -4507,6 +4507,63 @@ object SparkEntryExt {
         .select(col("class_name"), col("beacon_id"), round(col("distance"), 4).as("distance"))
     }),
 
+    // §2.10 classification wire decoder: the POST /v1/classifications params
+    // JSON decodes with the reference's settings-before-validation order,
+    // the type/k defaults, and the validator's first-error texts verbatim;
+    // the decoded filters drive live plans
+    "q_wire_classify" -> ((s, dir) => {
+      import s.implicits._
+      val gg = g(s, dir)
+      val W = graft.engine.WireDecoder
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      def res(body: => Any): String = okOr(body)
+      out += "01_no_class" -> res(W.decodeClassification(gg,
+        """{"basedOnProperties": ["text"], "classifyProperties": ["links"]}"""))
+      out += "02_unknown_class" -> res(W.decodeClassification(gg,
+        """{"class": "Ghost", "basedOnProperties": ["text"], "classifyProperties": ["links"]}"""))
+      out += "03_contextual_training_where" -> res(W.decodeClassification(gg,
+        """{"class": "Document", "type": "text2vec-contextionary-contextual",
+          |  "basedOnProperties": ["text"], "classifyProperties": ["links"],
+          |  "filters": {"trainingSetWhere": {"operator": "Equal", "path": ["lang"], "valueText": "en"}}}""".stripMargin))
+      out += "04_knn_target_where" -> res(W.decodeClassification(gg,
+        """{"class": "Document", "basedOnProperties": ["text"], "classifyProperties": ["links"],
+          |  "filters": {"targetWhere": {"operator": "Equal", "path": ["lang"], "valueText": "en"}}}""".stripMargin))
+      out += "05_based_on_empty" -> res(W.decodeClassification(gg,
+        """{"class": "Document", "basedOnProperties": [], "classifyProperties": ["links"]}"""))
+      out += "06_based_on_multiple" -> res(W.decodeClassification(gg,
+        """{"class": "Document", "basedOnProperties": ["text", "title"], "classifyProperties": ["links"]}"""))
+      out += "07_based_on_missing" -> res(W.decodeClassification(gg,
+        """{"class": "Document", "basedOnProperties": ["ghost"], "classifyProperties": ["links"]}"""))
+      out += "08_based_on_non_text" -> res(W.decodeClassification(gg,
+        """{"class": "Document", "basedOnProperties": ["n_chars"], "classifyProperties": ["links"]}"""))
+      out += "09_classify_empty" -> res(W.decodeClassification(gg,
+        """{"class": "Document", "basedOnProperties": ["text"], "classifyProperties": []}"""))
+      out += "10_classify_non_ref" -> res(W.decodeClassification(gg,
+        """{"class": "Document", "basedOnProperties": ["text"], "classifyProperties": ["lang"]}"""))
+      out += "11_settings_not_object" -> res(W.decodeClassification(gg,
+        """{"class": "Document", "settings": 5, "basedOnProperties": ["text"], "classifyProperties": ["links"]}"""))
+      out += "12_settings_k_not_number" -> res(W.decodeClassification(gg,
+        """{"class": "Document", "settings": {"k": true}, "basedOnProperties": ["text"], "classifyProperties": ["links"]}"""))
+      // live: a valid job decodes with defaults filled and its sourceWhere
+      // drives a real filtered page (count SQL-derived)
+      val job = W.decodeClassification(gg,
+        """{"class": "Document", "basedOnProperties": ["text"],
+          |  "classifyProperties": ["links"], "settings": {"k": 5},
+          |  "filters": {"sourceWhere": {"operator": "GreaterThan", "path": ["n_chars"], "valueInt": 400}}}""".stripMargin)
+      out += "13_decoded_params" -> valueOr(
+        s"${job.collection}|${job.tpe}|${job.basedOnProperty}|${job.classifyProperties.mkString(",")}|k=${job.k}")
+      out += "14_default_type_k" -> valueOr {
+        val d = W.decodeClassification(gg,
+          """{"class": "Document", "basedOnProperties": ["text"], "classifyProperties": ["links"]}""")
+        s"${d.tpe}|k=${d.k}"
+      }
+      out += "15_live_source_where" -> valueOr(gg.get(GetParams("Document",
+        where = job.sourceWhere,
+        properties = Seq("doc_id"),
+        pagination = Some(Pagination(limit = 1000000)))).count())
+      out.toSeq.toDF("step", "result").orderBy(col("step"))
+    }),
+
     // §2.1 batch-references wire decoder: POST /v1/batch/references beacon
     // pairs decode through the reference's crossref grammar (long-form
     // source, short/long target, localhost-only peers, the parser's
@@ -4975,6 +5032,29 @@ object SparkEntryExt {
          |SELECT class_name, beacon_id, round(d_exact, 4) AS distance FROM legs
          |ORDER BY d_exact ASC, class_name ASC, beacon_id ASC LIMIT 12""".stripMargin
     },
+
+    // classification-wire arms: classifier.go settings parse + validation.go
+    // first-error texts verbatim, decoded defaults, live sourceWhere count
+    "q_wire_classify" ->
+      """SELECT * FROM (VALUES
+        |  ('01_no_class', 'invalid classification: class must be set'),
+        |  ('02_unknown_class', 'invalid classification: class ''Ghost'' not found in schema'),
+        |  ('03_contextual_training_where', 'invalid classification: type is ''text2vec-contextionary-contextual'', but ''trainingSetWhere'' filter is set, for ''text2vec-contextionary-contextual'' there is no training data, instead limit possible target data directly through setting ''targetWhere'''),
+        |  ('04_knn_target_where', 'invalid classification: type is ''knn'', but ''targetWhere'' filter is set, for ''knn'' you cannot limit target data directly, instead limit training data through setting ''trainingSetWhere'''),
+        |  ('05_based_on_empty', 'invalid classification: basedOnProperties must have at least one property'),
+        |  ('06_based_on_multiple', 'invalid classification: only a single property in basedOnProperties supported at the moment, got [text title]'),
+        |  ('07_based_on_missing', 'invalid classification: basedOnProperties: property ''ghost'' does not exist'),
+        |  ('08_based_on_non_text', 'invalid classification: basedOnProperties: property ''n_chars'' must be of type ''text'''),
+        |  ('09_classify_empty', 'invalid classification: classifyProperties must have at least one property'),
+        |  ('10_classify_non_ref', 'invalid classification: classifyProperties: property ''lang'' must be of reference type (cref)'),
+        |  ('11_settings_not_object', 'parse knn specific settings: settings must be an object got json.Number'),
+        |  ('12_settings_k_not_number', 'parse knn specific settings: settings.k must be number, got bool'),
+        |  ('13_decoded_params', 'Document|knn|text|links|k=5'),
+        |  ('14_default_type_k', 'knn|k=3')
+        |) AS t(step, result)
+        |UNION ALL SELECT '15_live_source_where', CAST(
+        |  (SELECT count(*) FROM documents WHERE n_chars > 400) AS VARCHAR)
+        |ORDER BY step""".stripMargin,
 
     // batch-references-wire arms: crossref grammar errors verbatim (incl.
     // the parser's property-segment and "%dnd" quirks) + live decoded edges

@@ -588,6 +588,99 @@ object WireDecoder {
   }
 
   // ==========================================================================
+  // Classification wire (POST /v1/classifications —
+  // usecases/classification/classifier.go Schedule:151-167 (settings parse
+  // BEFORE validation, type default "knn", k default 3) +
+  // validation.go:43-174 (first-error wins under the "invalid
+  // classification:" wrap))
+  // ==========================================================================
+
+  /** Decoded classification job params (models.Classification). */
+  final case class ClassificationParams(
+      collection: String,
+      tpe: String,                       // "knn" | "zeroshot" | "text2vec-contextionary-contextual"
+      basedOnProperty: String,
+      classifyProperties: Seq[String],
+      k: Int,
+      sourceWhere: Option[Where] = None,
+      trainingSetWhere: Option[Where] = None,
+      targetWhere: Option[Where] = None)
+
+  def decodeClassification(g: Graft, json: String): ClassificationParams = {
+    val jv = JsonMethods.parse(json)
+    val tpe = str(jv, "type").getOrElse("knn")
+    if (tpe != "knn" && tpe != "zeroshot" && tpe != "text2vec-contextionary-contextual")
+      fail(s"unsupported classification type '$tpe'")
+
+    // settings parse FIRST (Schedule:157 before the validator)
+    val k: Int = if (tpe != "knn") 3 else field(jv, "settings") match {
+      case None | Some(JNull) => 3
+      case Some(o: JObject) => field(o, "k") match {
+        case None => 3
+        case Some(JInt(v)) => v.toInt
+        case Some(JLong(v)) => v.toInt
+        case Some(JDouble(v)) if v.isWhole => v.toInt
+        case Some(other) => fail("parse knn specific settings: " +
+          s"settings.k must be number, got ${goJsonType(other)}")
+      }
+      case Some(other) => fail("parse knn specific settings: " +
+        s"settings must be an object got ${goJsonType(other)}")
+    }
+
+    def invalid(msg: String): Nothing = fail(s"invalid classification: $msg")
+    val collection = str(jv, "class").getOrElse("")
+    if (collection.isEmpty) invalid("class must be set")
+    if (!g.hasCollection(collection)) invalid(s"class '$collection' not found in schema")
+    val schema = g.collection(collection).schema
+
+    val filters = field(jv, "filters")
+    def where(name: String): Option[Where] =
+      filters.flatMap(f => field(f, name)).map(restParse(g, collection, _))
+    if (tpe == "text2vec-contextionary-contextual" &&
+        filters.exists(f => field(f, "trainingSetWhere").isDefined))
+      invalid("type is 'text2vec-contextionary-contextual', but 'trainingSetWhere' " +
+        "filter is set, for 'text2vec-contextionary-contextual' there is no training " +
+        "data, instead limit possible target data directly through setting 'targetWhere'")
+    if (tpe == "knn" && filters.exists(f => field(f, "targetWhere").isDefined))
+      invalid("type is 'knn', but 'targetWhere' filter is set, for 'knn' you cannot " +
+        "limit target data directly, instead limit training data through setting 'trainingSetWhere'")
+
+    val basedOn = strArr(jv, "basedOnProperties")
+    if (basedOn.isEmpty) invalid("basedOnProperties must have at least one property")
+    if (basedOn.size > 1)
+      invalid("only a single property in basedOnProperties supported at the moment, " +
+        s"got ${goStrSlice(basedOn)}")
+    val bprop = schema.property(basedOn.head).getOrElse(
+      invalid(s"basedOnProperties: property '${basedOn.head}' does not exist"))
+    if (bprop.dataType != PropType.Text)
+      invalid(s"basedOnProperties: property '${basedOn.head}' must be of type 'text'")
+
+    val classify = strArr(jv, "classifyProperties")
+    if (classify.isEmpty) invalid("classifyProperties must have at least one property")
+    classify.foreach { p =>
+      val cp = schema.property(p).getOrElse(
+        invalid(s"classifyProperties: property '$p' does not exist"))
+      if (cp.dataType != PropType.Ref)
+        invalid(s"classifyProperties: property '$p' must be of reference type (cref)")
+    }
+
+    ClassificationParams(collection, tpe, basedOn.head, classify, k,
+      sourceWhere = where("sourceWhere"),
+      trainingSetWhere = where("trainingSetWhere"),
+      targetWhere = where("targetWhere"))
+  }
+
+  /** Go's %T for the JSON-decoded value encoding/json would have produced. */
+  private def goJsonType(v: JValue): String = v match {
+    case _: JBool => "bool"
+    case _: JString => "string"
+    case _: JInt | _: JLong | _: JDouble => "json.Number"
+    case _: JArray => "[]interface {}"
+    case _: JObject => "map[string]interface {}"
+    case _ => "<nil>"
+  }
+
+  // ==========================================================================
   // Batch references wire (POST /v1/batch/references —
   // usecases/objects/batch_references_add.go validateReference:259-299 +
   // joinErrors:424-437; beacon grammar entities/schema/crossref:
