@@ -4507,6 +4507,100 @@ object SparkEntryExt {
         .select(col("class_name"), col("beacon_id"), round(col("distance"), 4).as("distance"))
     }),
 
+    // §2.1 reply-side wire: a decoded SearchRequest drives the engine and
+    // the page encodes back as the SearchReply JSON (prepare_reply.go) —
+    // metadata values + proto3 explicit-presence flags parsed BACK out of
+    // the encoded reply and checked against SQL-derived truth
+    "q_wire_reply" -> ((s, dir) => {
+      import s.implicits._
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val gg = g(s, dir)
+      val W = graft.engine.WireDecoder
+      val E = graft.engine.WireEncoder
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      def reply(json: String): (JValue, GetParams) = {
+        val params = W.search(gg, json)
+        (JsonMethods.parse(E.searchReply(gg.get(params), params, took = 0.0)), params)
+      }
+      def results(jv: JValue): List[JValue] =
+        (jv \ "results").asInstanceOf[JArray].arr
+      def md(r: JValue): JValue = r \ "metadata"
+      def num4(v: JValue): String = v match {
+        case JDouble(d) => BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+        case JInt(i) => BigDecimal(i).setScale(4).toString
+        case JLong(l) => BigDecimal(l).setScale(4).toString
+        case o => JsonMethods.compact(JsonMethods.render(o))
+      }
+      // cosine top-5 page: ids, distances, presence flags, properties
+      val (vecReply, _) = reply(
+        """{"collection": "Embedding", "limit": 5,
+          |  "metadata": {"uuid": true, "distance": true},
+          |  "properties": {"nonRefProperties": ["vec_id"]},
+          |  "nearObject": {"id": "7"}}""".stripMargin)
+      // rank-sort the PARSED hits: the arms pin encoder content per rank,
+      // not the page's physical row order
+      results(vecReply)
+        .sortBy(r => ((md(r) \ "distance").values.toString.toDouble,
+          (md(r) \ "id").values.toString.toLong))
+        .zipWithIndex.foreach { case (r, i) =>
+          val m = md(r)
+          out += f"01_hit_$i%02d" -> valueOr(
+            s"id=${(m \ "id").values}|dist=${num4(m \ "distance")}|present=${(m \ "distancePresent").values}" +
+              s"|prop=${(r \ "properties" \ "nonRefProperties" \ "vec_id").values}")
+        }
+      out += "02_took_present" -> valueOr((vecReply \ "took") != JNothing)
+      // distance NOT requested ⇒ the presence pair is absent entirely
+      val (noDist, _) = reply(
+        """{"collection": "Embedding", "limit": 1,
+          |  "metadata": {"uuid": true},
+          |  "properties": {"nonRefProperties": ["vec_id"]},
+          |  "nearObject": {"id": "7"}}""".stripMargin)
+      out += "03_unrequested_absent" -> valueOr {
+        val m = md(results(noDist).head)
+        s"${(m \ "distance") == JNothing}:${(m \ "distancePresent") == JNothing}"
+      }
+      // distance requested on a non-vector page ⇒ present=false, value=0
+      val (flatReply, _) = reply(
+        """{"collection": "Document", "limit": 1,
+          |  "metadata": {"distance": true},
+          |  "properties": {"nonRefProperties": ["doc_id"]},
+          |  "filters": {"operator": "OPERATOR_EQUAL", "on": ["lang"], "valueText": "en"}}""".stripMargin)
+      out += "04_present_false_default" -> valueOr {
+        val m = md(results(flatReply).head)
+        s"${num4(m \ "distance")}:${(m \ "distancePresent").values}"
+      }
+      // BM25 page: score + scorePresent round-trip
+      val (bmReply, _) = reply(
+        """{"collection": "Document", "limit": 3,
+          |  "metadata": {"score": true},
+          |  "properties": {"nonRefProperties": ["doc_id"]},
+          |  "bm25Search": {"query": "spark join stream window", "properties": ["text"]}}""".stripMargin)
+      results(bmReply)
+        .sortBy(r => (-(md(r) \ "score").values.toString.toDouble,
+          (r \ "properties" \ "nonRefProperties" \ "doc_id").values.toString.toLong))
+        .zipWithIndex.foreach { case (r, i) =>
+          val m = md(r)
+          out += f"05_bm25_$i%02d" -> valueOr(
+            s"doc=${(r \ "properties" \ "nonRefProperties" \ "doc_id").values}" +
+              s"|score=${num4(m \ "score")}|present=${(m \ "scorePresent").values}")
+        }
+      // group page: groupByResults with name/numberOfObjects (proto uint64
+      // renders as a JSON string) and rank-ordered hits
+      val groupParams = GetParams("Embedding",
+        groupBy = Some(GroupByParams("label", groups = 4, objectsPerGroup = 3)),
+        properties = Seq("vec_id"))
+      val grouped = JsonMethods.parse(
+        E.searchReply(gg.get(groupParams), groupParams, took = 0.0))
+      out += "06_groups" -> valueOr(
+        (grouped \ "groupByResults").asInstanceOf[JArray].arr.map { grp =>
+          val hits = (grp \ "objects").asInstanceOf[JArray].arr
+            .map(h => (h \ "properties" \ "nonRefProperties" \ "vec_id").values).mkString("+")
+          s"${(grp \ "name").values}:${(grp \ "numberOfObjects").values}:$hits"
+        }.mkString(","))
+      out.toSeq.toDF("step", "result").orderBy(col("step"))
+    }),
+
     // §2.10 classification wire decoder: the POST /v1/classifications params
     // JSON decodes with the reference's settings-before-validation order,
     // the type/k defaults, and the validator's first-error texts verbatim;
@@ -5031,6 +5125,46 @@ object SparkEntryExt {
          |  FROM embeddings e CROSS JOIN qv q)
          |SELECT class_name, beacon_id, round(d_exact, 4) AS distance FROM legs
          |ORDER BY d_exact ASC, class_name ASC, beacon_id ASC LIMIT 12""".stripMargin
+    },
+
+    // reply-wire arms: SearchReply metadata values + presence flags parsed
+    // back out of the encoded JSON, checked against SQL-recomputed pages
+    "q_wire_reply" -> {
+      val (bmCtes, _) = sqlBm25(Seq("spark", "join", "stream", "window"))
+      s"""WITH $bmCtes,
+         |bmtop AS (SELECT doc_id, score_exact,
+         |            row_number() OVER (ORDER BY score_exact DESC, doc_id ASC) AS rn
+         |          FROM scored WHERE terms_matched >= 1
+         |          ORDER BY score_exact DESC, doc_id ASC LIMIT 3),
+         |${sqlQv(7)},
+         |d AS (SELECT e.vec_id, ${sqlCosine("e.embedding", "q.v")} AS dist
+         |      FROM embeddings e CROSS JOIN qv q),
+         |top5 AS (SELECT vec_id, dist, row_number() OVER (ORDER BY dist ASC, vec_id ASC) AS rn
+         |         FROM d ORDER BY dist ASC, vec_id ASC LIMIT 5),
+         |ranked AS (SELECT vec_id, label, row_number() OVER (ORDER BY vec_id ASC) AS rnk FROM embeddings),
+         |grouped AS (
+         |  SELECT vec_id, label, rnk,
+         |         row_number() OVER (PARTITION BY label ORDER BY rnk ASC) AS ghr,
+         |         min(rnk) OVER (PARTITION BY label) AS gmin
+         |  FROM (SELECT * FROM ranked ORDER BY rnk LIMIT 12)),
+         |idx AS (SELECT *, dense_rank() OVER (ORDER BY gmin ASC) AS gi FROM grouped),
+         |keep AS (SELECT * FROM idx WHERE gi <= 4 AND ghr <= 3),
+         |per AS (SELECT gi, CAST(label AS VARCHAR) AS name, count(*) AS cnt,
+         |               string_agg(CAST(vec_id AS VARCHAR), '+' ORDER BY ghr) AS hits
+         |        FROM keep GROUP BY gi, label)
+         |SELECT printf('01_hit_%02d', rn - 1) AS step,
+         |       printf('id=%d|dist=%.4f|present=true|prop=%d', vec_id, round(dist, 4), vec_id) AS result
+         |FROM top5
+         |UNION ALL SELECT '02_took_present', 'true'
+         |UNION ALL SELECT '03_unrequested_absent', 'true:true'
+         |UNION ALL SELECT '04_present_false_default', '0.0000:false'
+         |UNION ALL SELECT printf('05_bm25_%02d', rn - 1),
+         |       printf('doc=%d|score=%.4f|present=true', doc_id, round(score_exact, 4))
+         |FROM bmtop
+         |UNION ALL SELECT '06_groups', (
+         |  SELECT string_agg(name || ':' || CAST(cnt AS VARCHAR) || ':' || hits, ',' ORDER BY gi)
+         |  FROM per)
+         |ORDER BY step""".stripMargin
     },
 
     // classification-wire arms: classifier.go settings parse + validation.go

@@ -1,0 +1,131 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+import graft.model._
+
+/**
+ * Reply-side wire encoder — renders a served result page as the gRPC
+ * `SearchReply` JSON shape (protojson naming), closing the wire loop:
+ * a decoded `SearchRequest` drives the engine and the page encodes back
+ * into the reply a reference client would parse.
+ *
+ * Reference: adapters/handlers/grpc/v1/prepare_reply.go —
+ * Search:78-113 (results + took), extractAdditionalProps:204-412 (the
+ * proto3 explicit-presence contract: each requested metadata field carries
+ * a paired `*Present` boolean, false when the engine served no value, with
+ * the proto default in the value slot), buildPropertiesResult:546-600
+ * (requested non-ref properties only), extractGroup:413-521 (group pages
+ * render as groupByResults with per-group min/max distance and hits).
+ *
+ * Scope notes vs the reference, documented divergences:
+ *  - `idAsBytes` is emitted only for uuid-shaped ids (the reference's
+ *    idToByte errors on anything else; this engine also serves numeric id
+ *    columns, which encode as strings alone).
+ *  - explainScore's payload is engine-shaped (per-term `_exp_*` columns
+ *    folded into one string) — the reference's explain text is its own
+ *    internal format, only the presence contract is shared.
+ */
+object WireEncoder {
+
+  private def esc(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def num(v: Any): String = v match {
+    case f: Float => WireDecoder.goFloat(f.toDouble)
+    case d: Double => WireDecoder.goFloat(d)
+    case n: Number => n.toString
+    case other => other.toString
+  }
+
+  private def jsonValue(v: Any): String = v match {
+    case null => "null"
+    case s: String => esc(s)
+    case b: Boolean => b.toString
+    case f: Float => num(f)
+    case d: Double => num(d)
+    case n: Number => n.toString
+    case ts: java.sql.Timestamp => esc(ts.toInstant.toString)
+    case seq: scala.collection.Seq[_] => seq.map(jsonValue).mkString("[", ",", "]")
+    case r: Row => r.schema.fieldNames.zipWithIndex
+      .map { case (f, i) => s"${esc(f)}:${jsonValue(r.get(i))}" }
+      .mkString("{", ",", "}")
+    case other => esc(other.toString)
+  }
+
+  private val UuidShaped =
+    "(?i)^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$".r
+
+  /** One result's `{properties, metadata}` object. */
+  private def encodeResult(row: Row, cols: Map[String, Int],
+                           params: GetParams): String = {
+    val props = params.properties.flatMap { p =>
+      cols.get(p).map(i => s"${esc(p)}:${jsonValue(row.get(i))}")
+    }.mkString("{", ",", "}")
+
+    val md = Seq.newBuilder[String]
+    if (params.additional.contains("id")) cols.get("_id").foreach { i =>
+      val id = String.valueOf(row.get(i))
+      md += s""""id":${esc(id)}"""
+      if (UuidShaped.matches(id)) {
+        val u = java.util.UUID.fromString(id)
+        val bb = java.nio.ByteBuffer.allocate(16)
+        bb.putLong(u.getMostSignificantBits).putLong(u.getLeastSignificantBits)
+        md += s""""idAsBytes":${esc(java.util.Base64.getEncoder.encodeToString(bb.array()))}"""
+      }
+    }
+    // the proto3 explicit-presence pairs: requested ⇒ both fields emitted,
+    // value defaulted when the engine served none (extractAdditionalProps)
+    def presencePair(requested: Boolean, colName: String, field: String,
+                     default: String = "0"): Unit = if (requested) {
+      val served = cols.get(colName).filter(i => !row.isNullAt(i))
+      md += s"""${esc(field)}:${served.map(i => num(row.get(i))).getOrElse(default)}"""
+      md += s"""${esc(field + "Present")}:${served.isDefined}"""
+    }
+    presencePair(params.additional.contains("distance"), "_distance", "distance")
+    presencePair(params.additional.contains("certainty"), "_certainty", "certainty")
+    presencePair(params.additional.contains("score"), "_score", "score")
+    presencePair(params.additional.contains("creationTimeUnix"),
+      "_creationTimeUnix", "creationTimeUnix")
+    presencePair(params.additional.contains("lastUpdateTimeUnix"),
+      "_lastUpdateTimeUnix", "lastUpdateTimeUnix")
+    if (params.additional.contains("explainScore")) {
+      val exp = cols.keys.filter(_.startsWith("_exp_")).toSeq.sorted
+        .flatMap(c => cols.get(c).filter(i => !row.isNullAt(i))
+          .map(i => s"${c.stripPrefix("_exp_")}:${num(row.get(i))}"))
+      md += s""""explainScore":${esc(exp.mkString(", "))}"""
+      md += s""""explainScorePresent":${exp.nonEmpty}"""
+    }
+    s"""{"properties":{"nonRefProperties":$props},"metadata":{${md.result().mkString(",")}}}"""
+  }
+
+  /** Encode a served page. Group pages (rows carrying the engine's group_*
+   * columns) render as `groupByResults`; flat pages as `results`. */
+  def searchReply(page: DataFrame, params: GetParams, took: Double): String = {
+    val rows = page.collect() // result pages are pagination-bounded
+    val cols = page.columns.zipWithIndex.toMap
+    val tookJson = s""""took":${WireDecoder.goFloat(took)}"""
+    if (cols.contains("group_value")) {
+      val groups = rows.groupBy(r => r.get(cols("group_index")).toString.toLong)
+        .toSeq.sortBy(_._1)
+        .map { case (_, hits) =>
+          val sortedHits = hits.sortBy(r => r.get(cols("group_hit_rank")).toString.toLong)
+          val head = sortedHits.head
+          def d(c: String): String =
+            cols.get(c).filter(i => !head.isNullAt(i)).map(i => num(head.get(i))).getOrElse("0")
+          s"""{"name":${esc(String.valueOf(head.get(cols("group_value"))))},""" +
+            s""""minDistance":${d("group_min_distance")},"maxDistance":${d("group_max_distance")},""" +
+            s""""numberOfObjects":"${sortedHits.length}",""" +
+            s""""objects":${sortedHits.map(encodeResult(_, cols, params)).mkString("[", ",", "]")}}"""
+        }
+      s"""{"results":[],$tookJson,"groupByResults":${groups.mkString("[", ",", "]")}}"""
+    } else {
+      val results = rows.map(encodeResult(_, cols, params)).mkString("[", ",", "]")
+      s"""{"results":$results,$tookJson}"""
+    }
+  }
+}
