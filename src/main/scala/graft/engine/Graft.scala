@@ -432,16 +432,12 @@ final class Graft(val spark: SparkSession) {
   }
 
   /** name contract (entities/schema/validation.go ValidateTenantName:
-   * ShardNameRegexCore `[A-Za-z0-9\-\_]{1,64}` — reference error shape). */
-  private def validateTenantName(name: String): Unit = {
-    if (name.isEmpty)
-      throw new IllegalArgumentException("empty tenant name")
-    if (!name.matches("[A-Za-z0-9\\-_]{1,64}"))
-      throw new IllegalArgumentException(
-        s" '$name' is not a valid tenant name. should only contain " +
-          "alphanumeric characters (a-z, A-Z, 0-9), underscore (_), and " +
-          "hyphen (-), with a length between 1 and 64 characters")
-  }
+   * ShardNameRegexCore `[A-Za-z0-9\-\_]{1,64}`) — the regex AND the error
+   * text live once in WireDecoder.tenantNameError, shared with the tenants
+   * wire decoder so the two paths cannot drift. */
+  private def validateTenantName(name: String): Unit =
+    WireDecoder.tenantNameError(name).foreach(msg =>
+      throw new IllegalArgumentException(msg))
 
   /** Write-path tenant hook: call with the tenants a batch addresses —
    * unknown tenants are created when autoTenantCreation is on, otherwise the

@@ -694,7 +694,7 @@ object WireDecoder {
                                 toClass: Option[String], toId: String,
                                 tenant: Option[String])
 
-  private val UuidRe =
+  private[engine] val UuidRe =
     "(?i)^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$".r
 
   /** weaviate beacon → (host, path) — url.Parse's pieces this grammar uses. */
@@ -833,8 +833,10 @@ object WireDecoder {
   }
 
   /** ValidateTenantName's message (validation.go:219-233) — empty has its
-   * own short form, the invalid form keeps the reference's leading space. */
-  private def tenantNameError(name: String): Option[String] =
+   * own short form, the invalid form keeps the reference's leading space.
+   * SINGLE source of the contract: Graft.addTenants' creation-path
+   * validation calls this same helper. */
+  private[engine] def tenantNameError(name: String): Option[String] =
     if (name.isEmpty) Some("empty tenant name")
     else if (!name.matches("[A-Za-z0-9\\-_]{1,64}"))
       Some(s" '$name' is not a valid tenant name. should only contain " +

@@ -50,15 +50,21 @@ object WireEncoder {
     case d: Double => num(d)
     case n: Number => n.toString
     case ts: java.sql.Timestamp => esc(ts.toInstant.toString)
+    // blob properties serialize as base64 like the REST object shape
+    case bytes: Array[Byte] => esc(java.util.Base64.getEncoder.encodeToString(bytes))
+    case arr: Array[_] => arr.map(jsonValue).mkString("[", ",", "]")
     case seq: scala.collection.Seq[_] => seq.map(jsonValue).mkString("[", ",", "]")
+    case m: scala.collection.Map[_, _] =>
+      m.toSeq.sortBy(_._1.toString)
+        .map { case (k, x) => s"${esc(k.toString)}:${jsonValue(x)}" }
+        .mkString("{", ",", "}")
     case r: Row => r.schema.fieldNames.zipWithIndex
       .map { case (f, i) => s"${esc(f)}:${jsonValue(r.get(i))}" }
       .mkString("{", ",", "}")
     case other => esc(other.toString)
   }
 
-  private val UuidShaped =
-    "(?i)^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$".r
+  private def UuidShaped = WireDecoder.UuidRe
 
   /** One result's `{properties, metadata}` object. */
   private def encodeResult(row: Row, cols: Map[String, Int],

@@ -40,6 +40,26 @@ class GraphQLSpec extends SparkSpecBase {
     assert(params.where.contains(Where.eqText("l_returnflag", "R\n\"qA")))
   }
 
+  test("decoder hardening: every malformed input stays inside the WireError contract") {
+    // bare '-' and digitless exponents are parse errors, not NumberFormatException
+    assert(getErr("{ Get { Lineitem(limit: -) { l_orderkey } } }")
+      .contains("malformed number '-'"))
+    assert(getErr("""{ Get { Lineitem(where: {operator: Equal, path: ["x"], valueNumber: 1e}) { l_orderkey } } }""")
+      .contains("malformed number '1e'"))
+    // built via concat: scalac pre-processes \-u escapes even in raw strings
+    assert(getErr("""{ Get { Document(bm25: {query: """" + "\\" + "uZZZZ" + """"}) { doc_id } } }""")
+      .contains("bad \\u escape 'ZZZZ'"))
+    // empty vectorPerTarget cannot reach entries.head
+    assert(getErr("""{ Get { Embedding(nearVector: {vectorPerTarget: {}}) { vec_id } } }""")
+      == "failed to extract nearVector params: vectorPerTarget must contain at least one target vector")
+    // get() refuses to silently drop a decoded legacy group argument
+    assert(getErr("""{ Get { Embedding(group: {type: merge, force: 1.0}, limit: 10) { vec_id } } }""")
+      .contains("needs GraphQL.getFull"))
+    // groupBy list with a non-string element keeps its element error
+    assert(aggErr("{ Aggregate { Document(groupBy: [5]) { meta { count } } } }")
+      == "could not extract groupBy path: path segment must be a string, got 5")
+  }
+
   test("parser: rejects variables, aliases, mutations, trailing content") {
     assert(getErr("query Q($v: Int) { Get { Lineitem(limit: $v) { l_orderkey } } }")
       .contains("variables are not supported"))
