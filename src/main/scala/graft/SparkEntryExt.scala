@@ -4507,6 +4507,64 @@ object SparkEntryExt {
         .select(col("class_name"), col("beacon_id"), round(col("distance"), 4).as("distance"))
     }),
 
+    // §2.1 batch-delete wire: the BatchDeleteRequest decodes (collection /
+    // filters / dryRun / verbose), drives the store's filter-delete, and the
+    // reply encodes with the verbose per-object uuid bytes round-tripping
+    "q_wire_batch_delete" -> ((s, dir) => {
+      import s.implicits._
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val gg = g(s, dir)
+      val W = graft.engine.WireDecoder
+      val E = graft.engine.WireEncoder
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      def res(body: => Any): String = okOr(body)
+      out += "01_unknown_class" -> res(W.decodeBatchDelete(gg,
+        """{"collection": "Ghost", "filters": {"operator": "OPERATOR_EQUAL", "on": ["x"], "valueText": "y"}}"""))
+      out += "02_no_filters" -> res(W.decodeBatchDelete(gg,
+        """{"collection": "Document", "dryRun": true}"""))
+      // fresh uuid-keyed store; the decoded filter drives both passes
+      val schema = CollectionSchema("WireDel", "id", Seq(
+        Property("n_chars", PropType.Int, indexSearchable = false),
+        Property("lang", PropType.Text, Tokenization.Field)))
+      val st = new graft.sources.CollectionStore(s,
+        java.nio.file.Files.createTempDirectory("graft-wire-del").toString, schema)
+      st.init(s.read.parquet(s"$dir/documents.parquet").filter(col("doc_id") < 500)
+        .select(format_string("00000000-0000-4000-8000-%012d", col("doc_id")).as("id"),
+          col("n_chars"), col("lang")))
+      val eng = new graft.engine.Graft(s)
+      eng.register(schema, st.read())
+      val dry = W.decodeBatchDelete(eng,
+        """{"collection": "WireDel", "dryRun": true,
+          |  "filters": {"operator": "OPERATOR_GREATER_THAN", "on": ["n_chars"], "valueInt": 400}}""".stripMargin)
+      val dryMatches = st.deleteWhere(dry.where, dryRun = dry.dryRun)
+      out += "03_dryrun_matches" -> valueOr(dryMatches)
+      out += "04_dryrun_untouched" -> valueOr(st.read().count())
+      val real = W.decodeBatchDelete(eng,
+        """{"collection": "WireDel", "verbose": true,
+          |  "filters": {"operator": "OPERATOR_GREATER_THAN", "on": ["n_chars"], "valueInt": 400}}""".stripMargin)
+      // verbose reply needs the matched ids — compute them from the DECODED
+      // where before the mutation, exactly what the store deletes
+      val matchedIds = new graft.engine.FilterCompiler(
+        n => throw new IllegalArgumentException(s"no ref target $n"))(
+          st.read(), schema, real.where)
+        .select(col("id")).collect().map(_.getString(0)).sorted
+      val deleted = st.deleteWhere(real.where, dryRun = real.dryRun)
+      val reply = JsonMethods.parse(E.batchDeleteReply(deleted, matchedIds, real.verbose))
+      out += "05_reply_tallies" -> valueOr(
+        s"${(reply \ "matches").values}:${(reply \ "successful").values}:${(reply \ "failed").values}")
+      val objs = (reply \ "objects").asInstanceOf[JArray].arr
+      out += "06_first_deleted_uuid" -> valueOr {
+        val b = java.util.Base64.getDecoder.decode((objs.head \ "uuid").values.toString)
+        val bb = java.nio.ByteBuffer.wrap(b)
+        s"${new java.util.UUID(bb.getLong, bb.getLong)}" +
+          s"|ok=${(objs.head \ "successful").values}|err=${(objs.head \ "error").values}"
+      }
+      out += "07_rows_after" -> valueOr(st.read().count())
+      out += "08_objects_count" -> valueOr(objs.size)
+      out.toSeq.toDF("step", "result").orderBy(col("step"))
+    }),
+
     // §2.1 reply-side wire: a decoded SearchRequest drives the engine and
     // the page encodes back as the SearchReply JSON (prepare_reply.go) —
     // metadata values + proto3 explicit-presence flags parsed BACK out of
@@ -5126,6 +5184,29 @@ object SparkEntryExt {
          |SELECT class_name, beacon_id, round(d_exact, 4) AS distance FROM legs
          |ORDER BY d_exact ASC, class_name ASC, beacon_id ASC LIMIT 12""".stripMargin
     },
+
+    // batch-delete-wire arms: decode errors verbatim, dryRun leaves the
+    // store intact, the verbose reply's uuid bytes round-trip, counts
+    // SQL-derived
+    "q_wire_batch_delete" ->
+      """WITH scope AS (
+        |  SELECT count(*) AS total,
+        |         count(CASE WHEN n_chars > 400 THEN 1 END) AS hits,
+        |         min(CASE WHEN n_chars > 400 THEN doc_id END) AS first_hit
+        |  FROM documents WHERE doc_id < 500)
+        |SELECT * FROM (VALUES
+        |  ('01_unknown_class', 'could not find class Ghost in schema'),
+        |  ('02_no_filters', 'no filters in batch delete request')
+        |) AS t(step, result)
+        |UNION ALL SELECT '03_dryrun_matches', CAST(hits AS VARCHAR) FROM scope
+        |UNION ALL SELECT '04_dryrun_untouched', CAST(total AS VARCHAR) FROM scope
+        |UNION ALL SELECT '05_reply_tallies',
+        |  CAST(hits AS VARCHAR) || ':' || CAST(hits AS VARCHAR) || ':0' FROM scope
+        |UNION ALL SELECT '06_first_deleted_uuid',
+        |  printf('00000000-0000-4000-8000-%012d|ok=true|err=', first_hit) FROM scope
+        |UNION ALL SELECT '07_rows_after', CAST(total - hits AS VARCHAR) FROM scope
+        |UNION ALL SELECT '08_objects_count', CAST(hits AS VARCHAR) FROM scope
+        |ORDER BY step""".stripMargin,
 
     // reply-wire arms: SearchReply metadata values + presence flags parsed
     // back out of the encoded JSON, checked against SQL-recomputed pages

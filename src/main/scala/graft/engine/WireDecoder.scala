@@ -588,6 +588,34 @@ object WireDecoder {
   }
 
   // ==========================================================================
+  // Batch delete wire (gRPC BatchDeleteRequest —
+  // adapters/handlers/grpc/v1/batch_delete.go:27-69; the verbose/minimal
+  // output split and dryRun ride through to the store's deleteWhere)
+  // ==========================================================================
+
+  final case class BatchDeleteParams(
+      collection: String,
+      where: Where,
+      dryRun: Boolean,
+      verbose: Boolean,
+      tenant: Option[String])
+
+  def decodeBatchDelete(g: Graft, json: String): BatchDeleteParams = {
+    val jv = JsonMethods.parse(json)
+    val collection = str(jv, "collection").getOrElse("")
+    if (!g.hasCollection(collection))
+      fail(s"could not find class $collection in schema")
+    val filters = field(jv, "filters").getOrElse(
+      fail("no filters in batch delete request"))
+    BatchDeleteParams(
+      collection = collection,
+      where = decodeFilters(g, collection, filters),
+      dryRun = bool(jv, "dryRun"),
+      verbose = bool(jv, "verbose"),
+      tenant = str(jv, "tenant"))
+  }
+
+  // ==========================================================================
   // Classification wire (POST /v1/classifications —
   // usecases/classification/classifier.go Schedule:151-167 (settings parse
   // BEFORE validation, type default "knn", k default 3) +

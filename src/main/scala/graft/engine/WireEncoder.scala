@@ -109,6 +109,30 @@ object WireEncoder {
     s"""{"properties":{"nonRefProperties":$props},"metadata":{${md.result().mkString(",")}}}"""
   }
 
+  /** BatchDeleteReply JSON (batch_delete.go batchDeleteReplyFromObjects:
+   * 71-117): matches + successful/failed tallies; `objects` only in verbose
+   * mode, each with the uuid's 16 raw bytes (uuid.MarshalBinary) base64'd —
+   * non-uuid ids encode as plain strings, the engine's numeric-id
+   * divergence. The engine's filter-delete is all-or-nothing, so failed=0
+   * and every listed object is successful. */
+  def batchDeleteReply(matches: Long, deletedIds: Seq[String],
+                       verbose: Boolean): String = {
+    val objs = if (!verbose) "" else {
+      val items = deletedIds.map { id =>
+        val uuidJson =
+          if (UuidShaped.matches(id)) {
+            val u = java.util.UUID.fromString(id)
+            val bb = java.nio.ByteBuffer.allocate(16)
+            bb.putLong(u.getMostSignificantBits).putLong(u.getLeastSignificantBits)
+            esc(java.util.Base64.getEncoder.encodeToString(bb.array()))
+          } else esc(id)
+        s"""{"uuid":$uuidJson,"successful":true,"error":""}"""
+      }
+      s""","objects":${items.mkString("[", ",", "]")}"""
+    }
+    s"""{"matches":"$matches","successful":"${deletedIds.size}","failed":"0"$objs}"""
+  }
+
   /** Encode a served page. Group pages (rows carrying the engine's group_*
    * columns) render as `groupByResults`; flat pages as `results`. */
   def searchReply(page: DataFrame, params: GetParams, took: Double): String = {
