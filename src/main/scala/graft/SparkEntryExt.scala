@@ -4507,6 +4507,81 @@ object SparkEntryExt {
         .select(col("class_name"), col("beacon_id"), round(col("distance"), 4).as("distance"))
     }),
 
+    // §2.6 aggregate reply wire: decoded AggregateRequests drive the engine
+    // and the results encode as the AggregateReply JSON — int props render
+    // long-valued tallies where number props render doubles, text carries
+    // the proto's misspelled topOccurences items, groupedBy is typed
+    "q_wire_agg_reply" -> ((s, dir) => {
+      import s.implicits._
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val gg = g(s, dir)
+      val W = graft.engine.WireDecoder
+      val E = graft.engine.WireEncoder
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      def encode(collection: String, json: String): JValue = {
+        val p = W.aggregate(gg, json)
+        JsonMethods.parse(E.aggregateReply(gg.aggregate(p), p, gg.collection(collection).schema))
+      }
+      def num4(v: JValue): String = v match {
+        case JDouble(d) => BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+        case JInt(i) => BigDecimal(i).setScale(4).toString
+        case JLong(l) => BigDecimal(l).setScale(4).toString
+        case o => JsonMethods.compact(JsonMethods.render(o))
+      }
+      def agg0(v: JValue): JValue =
+        (v \ "aggregations" \ "aggregations").asInstanceOf[JArray].arr.head
+      // grouped number matrix (twin of q_wire_aggregate) — groups sorted,
+      // per-group typed groupedBy + double-valued payload
+      val grouped = encode("Order",
+        """{"collection": "Order", "objectsCount": true,
+          |  "groupBy": {"collection": "Order", "property": "o_orderstatus"},
+          |  "aggregations": [{"property": "o_totalprice", "number": {
+          |    "count": true, "sum": true, "mean": true, "minimum": true, "maximum": true}}]}""".stripMargin)
+      (grouped \ "groupedResults" \ "groups").asInstanceOf[JArray].arr.zipWithIndex.foreach {
+        case (grp, i) =>
+          val n = agg0(grp) \ "number"
+          out += f"01_group_$i%02d" -> valueOr(
+            s"gb=${(grp \ "groupedBy" \ "text").values}|n=${(grp \ "objectsCount").values}" +
+              s"|cnt=${(n \ "count").values}|sum=${num4(n \ "sum")}|mean=${num4(n \ "mean")}" +
+              s"|min=${num4(n \ "minimum")}|max=${num4(n \ "maximum")}")
+      }
+      // single result, boolean tallies
+      val single = encode("Lineitem",
+        """{"collection": "Lineitem", "objectsCount": true,
+          |  "aggregations": [{"property": "is_high", "boolean": {
+          |    "count": true, "totalTrue": true, "totalFalse": true,
+          |    "percentageTrue": true, "percentageFalse": true}}]}""".stripMargin)
+      out += "02_single_bool" -> valueOr {
+        val b = agg0(single \ "singleResult") \ "boolean"
+        s"n=${(single \ "singleResult" \ "objectsCount").values}|tt=${(b \ "totalTrue").values}" +
+          s"|tf=${(b \ "totalFalse").values}|pt=${num4(b \ "percentageTrue")}|pf=${num4(b \ "percentageFalse")}"
+      }
+      // int payload: long-valued min/max/sum (no decimals — the int-vs-number
+      // split of parseIntegerAggregation)
+      val intRep = encode("Part",
+        """{"collection": "Part",
+          |  "aggregations": [{"property": "p_size", "int": {
+          |    "count": true, "minimum": true, "maximum": true, "sum": true}}]}""".stripMargin)
+      out += "03_single_int" -> valueOr {
+        val n = agg0(intRep \ "singleResult") \ "int"
+        s"cnt=${(n \ "count").values}|min=${(n \ "minimum").values}" +
+          s"|max=${(n \ "maximum").values}|sum=${(n \ "sum").values}"
+      }
+      // text payload with topOccurences items (the proto spelling)
+      val textRep = encode("Document",
+        """{"collection": "Document",
+          |  "aggregations": [{"property": "lang", "text": {
+          |    "count": true, "topOccurences": true, "topOccurencesLimit": 2}}]}""".stripMargin)
+      out += "04_single_text_top" -> valueOr {
+        val t = agg0(textRep \ "singleResult") \ "text"
+        val items = (t \ "topOccurences" \ "items").asInstanceOf[JArray].arr
+          .map(it => s"${(it \ "value").values}=${(it \ "occurs").values}").mkString(",")
+        s"cnt=${(t \ "count").values}|$items"
+      }
+      out.toSeq.toDF("step", "result").orderBy(col("step"))
+    }),
+
     // §2.1 batch-delete wire: the BatchDeleteRequest decodes (collection /
     // filters / dryRun / verbose), drives the store's filter-delete, and the
     // reply encodes with the verbose per-object uuid bytes round-tripping
@@ -5184,6 +5259,38 @@ object SparkEntryExt {
          |SELECT class_name, beacon_id, round(d_exact, 4) AS distance FROM legs
          |ORDER BY d_exact ASC, class_name ASC, beacon_id ASC LIMIT 12""".stripMargin
     },
+
+    // aggregate-reply-wire arms: encoded AggregateReply values parsed back,
+    // all SQL-recomputed; the int arm's undecorated longs split the
+    // int-vs-number payload paths
+    "q_wire_agg_reply" ->
+      """WITH g AS (
+        |  SELECT o_orderstatus, count(*) AS n, count(o_totalprice) AS cnt,
+        |         sum(o_totalprice) AS s, avg(o_totalprice) AS m,
+        |         min(o_totalprice) AS mn, max(o_totalprice) AS mx,
+        |         row_number() OVER (ORDER BY o_orderstatus) - 1 AS gi
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT printf('01_group_%02d', gi) AS step,
+        |  printf('gb=%s|n=%d|cnt=%d|sum=%.4f|mean=%.4f|min=%.4f|max=%.4f',
+        |    o_orderstatus, n, cnt, round(s, 4), round(m, 4), round(mn, 4), round(mx, 4)) AS result
+        |FROM g
+        |UNION ALL SELECT '02_single_bool', (
+        |  SELECT printf('n=%d|tt=%d|tf=%d|pt=%.4f|pf=%.4f',
+        |    count(*), CAST(sum(CASE WHEN is_high THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN is_high THEN 0 ELSE 1 END) AS BIGINT),
+        |    round(avg(CASE WHEN is_high THEN 1.0 ELSE 0.0 END), 4),
+        |    round(avg(CASE WHEN is_high THEN 0.0 ELSE 1.0 END), 4))
+        |  FROM (SELECT l_quantity > 25.0 AS is_high FROM lineitem))
+        |UNION ALL SELECT '03_single_int', (
+        |  SELECT printf('cnt=%d|min=%d|max=%d|sum=%d',
+        |    count(p_size), min(p_size), max(p_size), CAST(sum(p_size) AS BIGINT))
+        |  FROM part)
+        |UNION ALL SELECT '04_single_text_top', (
+        |  SELECT 'cnt=' || CAST((SELECT count(lang) FROM documents) AS VARCHAR) || '|' ||
+        |    string_agg(value || '=' || CAST(occurs AS VARCHAR), ',' ORDER BY occurs DESC, value ASC)
+        |  FROM (SELECT lang AS value, count(*) AS occurs FROM documents
+        |        GROUP BY lang ORDER BY occurs DESC, lang ASC LIMIT 2))
+        |ORDER BY step""".stripMargin,
 
     // batch-delete-wire arms: decode errors verbatim, dryRun leaves the
     // store intact, the verbose reply's uuid bytes round-trip, counts

@@ -109,6 +109,112 @@ object WireEncoder {
     s"""{"properties":{"nonRefProperties":$props},"metadata":{${md.result().mkString(",")}}}"""
   }
 
+  /** AggregateReply JSON (prepare_aggregate_reply.go): a non-grouped result
+   * renders as `singleResult`, a grouped one as `groupedResults.groups[]`
+   * with per-group `groupedBy {path, <typed value>}`. Each property's
+   * payload is keyed by its SCHEMA type — int props render long-valued
+   * mode/min/max/sum with double mean/median (parseIntegerAggregation),
+   * number props all-double, text carries the proto's misspelled
+   * `topOccurences` items, boolean the four tallies, reference pointingTo.
+   * Only requested aggregators appear (proto optionals). */
+  def aggregateReply(df: DataFrame, params: AggregateParams,
+                     schema: CollectionSchema): String = {
+    val rows = df.collect() // aggregate outputs are group-bounded
+    val cols = df.columns.zipWithIndex.toMap
+
+    def colVal(row: Row, name: String): Option[Any] =
+      cols.get(name).filter(i => !row.isNullAt(i)).map(i => row.get(i))
+
+    def longV(v: Any): String = v match {
+      case n: Number => n.longValue.toString
+      case o => o.toString
+    }
+
+    def aggregations(row: Row): String = {
+      val aggs = params.properties.toSeq.sortBy(_._1).map { case (prop, requested) =>
+        val names = requested.map(_.name).toSet
+        def field(agg: String, render: Any => String): Option[String] =
+          if (!names.contains(agg)) None
+          else colVal(row, s"${prop}_$agg").map(v => s"${esc(agg)}:${render(v)}")
+        def typeField: Option[String] =
+          if (!names.contains("type")) None
+          else colVal(row, s"${prop}_type").map(v => s""""type":${esc(v.toString)}""")
+        val dt = schema.property(prop).map(_.dataType)
+        val (kind, body) = dt match {
+          case Some(PropType.Int) | Some(PropType.Arr(PropType.Int)) =>
+            ("int", Seq(
+              field("count", longV), typeField,
+              field("mean", num), field("median", num),
+              field("mode", longV), field("maximum", longV),
+              field("minimum", longV), field("sum", longV)).flatten)
+          case Some(PropType.Number) | Some(PropType.Arr(PropType.Number)) =>
+            ("number", Seq(
+              field("count", longV), typeField,
+              field("mean", num), field("median", num), field("mode", num),
+              field("maximum", num), field("minimum", num), field("sum", num)).flatten)
+          case Some(PropType.Bool) | Some(PropType.Arr(PropType.Bool)) =>
+            ("boolean", Seq(
+              field("count", longV), typeField,
+              field("totalTrue", longV), field("totalFalse", longV),
+              field("percentageTrue", num), field("percentageFalse", num)).flatten)
+          case Some(PropType.Date) | Some(PropType.Arr(PropType.Date)) =>
+            ("date", Seq(
+              field("count", longV), typeField,
+              field("median", v => jsonValue(v)), field("mode", v => jsonValue(v)),
+              field("maximum", v => jsonValue(v)), field("minimum", v => jsonValue(v))).flatten)
+          case Some(PropType.Ref) =>
+            ("reference", Seq(typeField,
+              colVal(row, s"${prop}_pointingTo").map(v =>
+                s""""pointingTo":${jsonValue(Seq(v.toString))}""")).flatten)
+          case _ =>
+            // text/text[] (and any remaining type): the text payload
+            val top = colVal(row, s"${prop}_topOccurrences").map { arr =>
+              val items = arr.asInstanceOf[scala.collection.Seq[Row]].map { t =>
+                s"""{"value":${esc(String.valueOf(t.getAs[Any]("value")))},""" +
+                  s""""occurs":"${longV(t.getAs[Any]("occurs"))}"}"""
+              }
+              s""""topOccurences":{"items":${items.mkString("[", ",", "]")}}"""
+            }
+            val topRequested = requested.exists {
+              case Aggregator.TopOccurrences(_) => true; case _ => false
+            }
+            ("text", Seq(field("count", longV), typeField).flatten
+              ++ (if (topRequested) top else None))
+        }
+        s"""{"property":${esc(prop)},${esc(kind)}:{${body.mkString(",")}}}"""
+      }
+      s"""{"aggregations":${aggs.mkString("[", ",", "]")}}"""
+    }
+
+    def groupJson(row: Row): String = {
+      val count = colVal(row, "meta_count").map(v => s""""objectsCount":"${longV(v)}",""").getOrElse("")
+      val groupedBy = params.groupBy.map { path =>
+        val v = colVal(row, "groupedBy_value").orNull
+        val typed = v match {
+          case null => """"text":"""""
+          case b: Boolean => s""""boolean":$b"""
+          case n: java.lang.Long => s""""int":"$n""""
+          case n: java.lang.Integer => s""""int":"$n""""
+          case d: java.lang.Double => s""""number":${num(d)}"""
+          case other => s""""text":${esc(other.toString)}"""
+        }
+        s""""groupedBy":{"path":${jsonValue(path)},$typed},"""
+      }.getOrElse("")
+      s"""{$count$groupedBy"aggregations":${aggregations(row)}}"""
+    }
+
+    if (params.groupBy.isDefined) {
+      val groups = rows.sortBy(r => String.valueOf(colVal(r, "groupedBy_value").orNull))
+        .map(groupJson).mkString("[", ",", "]")
+      s"""{"groupedResults":{"groups":$groups}}"""
+    } else {
+      rows.headOption match {
+        case Some(row) => s"""{"singleResult":${groupJson(row)}}"""
+        case None => "{}"
+      }
+    }
+  }
+
   /** BatchDeleteReply JSON (batch_delete.go batchDeleteReplyFromObjects:
    * 71-117): matches + successful/failed tallies; `objects` only in verbose
    * mode, each with the uuid's 16 raw bytes (uuid.MarshalBinary) base64'd —
