@@ -4507,6 +4507,52 @@ object SparkEntryExt {
         .select(col("class_name"), col("beacon_id"), round(col("distance"), 4).as("distance"))
     }),
 
+    // §2.1 backup request wire: the POST /v1/backups/{backend} body decodes
+    // through validateBackupRequest (id charset, base-backup rules,
+    // include/exclude exclusivity + duplicates, wildcard expansion against
+    // the registered classes) and the resolved list drives a real
+    // backup→restore round-trip
+    "q_wire_backup_req" -> ((s, dir) => {
+      import s.implicits._
+      val W = graft.engine.WireDecoder
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      def res(body: => Any): String = okOr(body)
+      val eng = new graft.engine.Graft(s)
+      val docs = s.read.parquet(s"$dir/documents.parquet").filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("lang"))
+      Seq("WireA", "WireB1", "WireB2").foreach { n =>
+        eng.register(CollectionSchema(n, "doc_id",
+          Seq(Property("lang", PropType.Text, Tokenization.Field))), docs)
+      }
+      out += "01_invalid_id" -> res(W.decodeBackupRequest(eng, "filesystem",
+        """{"id": "Bad!ID"}"""))
+      out += "02_base_id_wrap" -> res(W.decodeBackupRequest(eng, "filesystem",
+        """{"id": "a1", "baseBackupId": "UPPER"}"""))
+      out += "03_base_same" -> res(W.decodeBackupRequest(eng, "filesystem",
+        """{"id": "a1", "baseBackupId": "a1"}"""))
+      out += "04_include_and_exclude" -> res(W.decodeBackupRequest(eng, "filesystem",
+        """{"id": "a1", "include": ["WireA"], "exclude": ["WireB1"]}"""))
+      out += "05_dup_include" -> res(W.decodeBackupRequest(eng, "filesystem",
+        """{"id": "a1", "include": ["WireA", "WireA"]}"""))
+      out += "06_empty_after_exclude" -> res(W.decodeBackupRequest(eng, "filesystem",
+        """{"id": "a1", "exclude": ["Wire*"]}"""))
+      out += "07_wildcard_include" -> valueOr(W.decodeBackupRequest(eng, "filesystem",
+        """{"id": "a1", "include": ["WireB*"]}""").classes.mkString(","))
+      out += "08_glob_exclude" -> valueOr(W.decodeBackupRequest(eng, "filesystem",
+        """{"id": "a1", "exclude": ["WireB?"]}""").classes.mkString(","))
+      // live: the decoded class list drives a real backup→restore
+      out += "09_roundtrip_rows" -> valueOr {
+        val req = W.decodeBackupRequest(eng, "filesystem",
+          """{"id": "wire_bk_1", "include": ["WireA", "WireB1"]}""")
+        val root = java.nio.file.Files.createTempDirectory("graft-wire-bk").toString
+        graft.sources.Backup.backup(eng, req.classes, root)
+        val restored = new graft.engine.Graft(s)
+        graft.sources.Backup.restore(restored, root, req.classes)
+        req.classes.map(n => s"$n=${restored.collection(n).df.count()}").mkString(",")
+      }
+      out.toSeq.toDF("step", "result").orderBy(col("step"))
+    }),
+
     // §2.6 aggregate reply wire: decoded AggregateRequests drive the engine
     // and the results encode as the AggregateReply JSON — int props render
     // long-valued tallies where number props render doubles, text carries
@@ -5259,6 +5305,24 @@ object SparkEntryExt {
          |SELECT class_name, beacon_id, round(d_exact, 4) AS distance FROM legs
          |ORDER BY d_exact ASC, class_name ASC, beacon_id ASC LIMIT 12""".stripMargin
     },
+
+    // backup-request-wire arms: scheduler validation texts verbatim,
+    // wildcard/exclude resolution, live round-trip counts SQL-derived
+    "q_wire_backup_req" ->
+      """SELECT * FROM (VALUES
+        |  ('01_invalid_id', 'invalid backup id: ''Bad!ID'' allowed characters are lowercase, 0-9, _, -'),
+        |  ('02_base_id_wrap', 'base backup id: invalid backup id: ''UPPER'' allowed characters are lowercase, 0-9, _, -'),
+        |  ('03_base_same', 'base backup cannot be the same as the new backup ID: a1'),
+        |  ('04_include_and_exclude', 'malformed request: ''include'' and ''exclude'' cannot both contain values'),
+        |  ('05_dup_include', 'class list ''include'' contains duplicate: WireA'),
+        |  ('06_empty_after_exclude', 'empty class list: please choose from : [WireA WireB1 WireB2]'),
+        |  ('07_wildcard_include', 'WireB1,WireB2'),
+        |  ('08_glob_exclude', 'WireA')
+        |) AS t(step, result)
+        |UNION ALL SELECT '09_roundtrip_rows',
+        |  'WireA=' || CAST((SELECT count(*) FROM documents WHERE doc_id < 300) AS VARCHAR)
+        |  || ',WireB1=' || CAST((SELECT count(*) FROM documents WHERE doc_id < 300) AS VARCHAR)
+        |ORDER BY step""".stripMargin,
 
     // aggregate-reply-wire arms: encoded AggregateReply values parsed back,
     // all SQL-recomputed; the int arm's undecorated longs split the

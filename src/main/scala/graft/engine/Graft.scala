@@ -239,6 +239,10 @@ final class Graft(val spark: SparkSession) {
     try collections.contains(resolveName(name))
     catch { case _: IllegalArgumentException => false }
 
+  /** Registered collection names, sorted (reference: selector.ListClasses —
+   * the backup scheduler's wildcard/exclude universe). */
+  def collectionNames: Seq[String] = collections.keys.toSeq.sorted
+
   // --- Namespaces (reference: usecases/namespaces) — platform grouping of
   // collections; a non-active namespace makes its collections unavailable at
   // every entry point that routes through `collection`.

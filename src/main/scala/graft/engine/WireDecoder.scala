@@ -588,6 +588,71 @@ object WireDecoder {
   }
 
   // ==========================================================================
+  // Backup request wire (POST /v1/backups/{backend} —
+  // usecases/backup/scheduler.go validateBackupRequest:641-700 +
+  // expandWildcards:1067-1097, handler.go validateID:383-388)
+  // ==========================================================================
+
+  final case class BackupRequestParams(
+      id: String,
+      backend: String,
+      /** include/exclude resolved (wildcards expanded, exclusions applied)
+       * against the engine's registered collections — the concrete class
+       * list the backup runs over. */
+      classes: Seq[String])
+
+  private val BackupIdRe = "^[a-z0-9_-]+$".r
+
+  private def validateBackupId(id: String): Unit =
+    if (!BackupIdRe.matches(id))
+      fail(s"invalid backup id: '$id' allowed characters are lowercase, 0-9, _, -")
+
+  /** `*`/`?` glob over candidate class names (scheduler.go matchesWildcard);
+   * non-wildcard patterns pass through verbatim, order preserved, deduped. */
+  private def expandWildcards(patterns: Seq[String], candidates: Seq[String]): Seq[String] = {
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    patterns.foreach { p =>
+      if (p.exists(c => c == '*' || c == '?')) {
+        val re = p.flatMap {
+          case '*' => ".*"
+          case '?' => "."
+          case c => java.util.regex.Pattern.quote(c.toString)
+        }.r
+        candidates.foreach(c => if (re.matches(c)) seen += c)
+      } else seen += p
+    }
+    seen.toSeq
+  }
+
+  def decodeBackupRequest(g: Graft, backend: String, json: String): BackupRequestParams = {
+    val jv = JsonMethods.parse(json)
+    val id = str(jv, "id").getOrElse("")
+    validateBackupId(id)
+    str(jv, "baseBackupId").filter(_.nonEmpty).foreach { base =>
+      try validateBackupId(base)
+      catch { case e: WireError => fail(s"base backup id: ${e.getMessage}") }
+      if (id == base)
+        fail(s"base backup cannot be the same as the new backup ID: $base")
+    }
+    val include = strArr(jv, "include")
+    val exclude = strArr(jv, "exclude")
+    if (include.nonEmpty && exclude.nonEmpty)
+      fail("malformed request: 'include' and 'exclude' cannot both contain values")
+    include.diff(include.distinct).headOption.foreach(dup =>
+      fail(s"class list 'include' contains duplicate: $dup"))
+    val allClasses = g.collectionNames
+    if (allClasses.isEmpty)
+      fail("no available classes to backup, there's nothing to do here")
+    val inc = expandWildcards(include, allClasses)
+    val exc = expandWildcards(exclude, allClasses).toSet
+    val base = if (inc.nonEmpty) inc else allClasses
+    val classes = base.filterNot(exc.contains)
+    if (classes.isEmpty)
+      fail(s"empty class list: please choose from : ${goStrSlice(allClasses)}")
+    BackupRequestParams(id, backend, classes)
+  }
+
+  // ==========================================================================
   // Batch delete wire (gRPC BatchDeleteRequest —
   // adapters/handlers/grpc/v1/batch_delete.go:27-69; the verbose/minimal
   // output split and dryRun ride through to the store's deleteWhere)
