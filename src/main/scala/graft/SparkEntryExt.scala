@@ -4541,14 +4541,28 @@ object SparkEntryExt {
       out += "08_glob_exclude" -> valueOr(W.decodeBackupRequest(eng, "filesystem",
         """{"id": "a1", "exclude": ["WireB?"]}""").classes.mkString(","))
       // live: the decoded class list drives a real backup→restore
+      val bkRoot = java.nio.file.Files.createTempDirectory("graft-wire-bk").toString
+      val bkReq = W.decodeBackupRequest(eng, "filesystem",
+        """{"id": "wire_bk_1", "include": ["WireA", "WireB1"]}""")
       out += "09_roundtrip_rows" -> valueOr {
-        val req = W.decodeBackupRequest(eng, "filesystem",
-          """{"id": "wire_bk_1", "include": ["WireA", "WireB1"]}""")
-        val root = java.nio.file.Files.createTempDirectory("graft-wire-bk").toString
-        graft.sources.Backup.backup(eng, req.classes, root)
+        graft.sources.Backup.backup(eng, bkReq.classes, bkRoot)
         val restored = new graft.engine.Graft(s)
-        graft.sources.Backup.restore(restored, root, req.classes)
-        req.classes.map(n => s"$n=${restored.collection(n).df.count()}").mkString(",")
+        graft.sources.Backup.restore(restored, bkRoot, bkReq.classes)
+        bkReq.classes.map(n => s"$n=${restored.collection(n).df.count()}").mkString(",")
+      }
+      // restore-request decode resolves against the BACKUP's class list
+      // (validateRestoreRequest) — errors verbatim incl. the trailing ': '
+      out += "10_restore_include_exclude" -> res(W.decodeRestoreRequest(bkReq.classes,
+        """{"include": ["WireA"], "exclude": ["WireB1"]}"""))
+      out += "11_restore_missing_class" -> res(W.decodeRestoreRequest(bkReq.classes,
+        """{"include": ["WireC"]}"""))
+      out += "12_restore_nothing_left" -> res(W.decodeRestoreRequest(bkReq.classes,
+        """{"exclude": ["Wire*"]}"""))
+      out += "13_restore_wildcard" -> valueOr {
+        val classes = W.decodeRestoreRequest(bkReq.classes, """{"include": ["WireB*"]}""")
+        val restored = new graft.engine.Graft(s)
+        graft.sources.Backup.restore(restored, bkRoot, classes)
+        classes.map(n => s"$n=${restored.collection(n).df.count()}").mkString(",")
       }
       out.toSeq.toDF("step", "result").orderBy(col("step"))
     }),
@@ -5322,6 +5336,14 @@ object SparkEntryExt {
         |UNION ALL SELECT '09_roundtrip_rows',
         |  'WireA=' || CAST((SELECT count(*) FROM documents WHERE doc_id < 300) AS VARCHAR)
         |  || ',WireB1=' || CAST((SELECT count(*) FROM documents WHERE doc_id < 300) AS VARCHAR)
+        |UNION ALL SELECT '10_restore_include_exclude',
+        |  'malformed request: ''include'' and ''exclude'' cannot both contain values'
+        |UNION ALL SELECT '11_restore_missing_class',
+        |  'class WireC doesn''t exist in the backup, but does have [WireA WireB1]: '
+        |UNION ALL SELECT '12_restore_nothing_left',
+        |  'nothing left to restore: please choose from : [WireA WireB1]'
+        |UNION ALL SELECT '13_restore_wildcard',
+        |  'WireB1=' || CAST((SELECT count(*) FROM documents WHERE doc_id < 300) AS VARCHAR)
         |ORDER BY step""".stripMargin,
 
     // aggregate-reply-wire arms: encoded AggregateReply values parsed back,

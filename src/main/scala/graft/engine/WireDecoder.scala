@@ -652,6 +652,33 @@ object WireDecoder {
     BackupRequestParams(id, backend, classes)
   }
 
+  /** Restore request (POST /v1/backups/{backend}/{id}/restore —
+   * scheduler.go validateRestoreRequest:761-830): include/exclude resolve
+   * against the BACKUP's own class list; the not-in-backup error keeps the
+   * reference's trailing ": " quirk. The manifest-level arms (missing id,
+   * wrong descriptor, version checks) live with the store's backup gates —
+   * this decodes the request body against a known class list. */
+  def decodeRestoreRequest(backupClasses: Seq[String], json: String): Seq[String] = {
+    val jv = JsonMethods.parse(json)
+    val include = strArr(jv, "include")
+    val exclude = strArr(jv, "exclude")
+    if (include.nonEmpty && exclude.nonEmpty)
+      fail("malformed request: 'include' and 'exclude' cannot both contain values")
+    include.diff(include.distinct).headOption.foreach(dup =>
+      fail(s"class list 'include' contains duplicate: $dup"))
+    val inc = expandWildcards(include, backupClasses)
+    val exc = expandWildcards(exclude, backupClasses).toSet
+    val classes =
+      if (inc.nonEmpty) {
+        inc.find(c => !backupClasses.contains(c)).foreach(missing =>
+          fail(s"class $missing doesn't exist in the backup, but does have ${goStrSlice(backupClasses)}: "))
+        inc
+      } else backupClasses.filterNot(exc.contains)
+    if (classes.isEmpty)
+      fail(s"nothing left to restore: please choose from : ${goStrSlice(backupClasses)}")
+    classes
+  }
+
   // ==========================================================================
   // Batch delete wire (gRPC BatchDeleteRequest —
   // adapters/handlers/grpc/v1/batch_delete.go:27-69; the verbose/minimal
