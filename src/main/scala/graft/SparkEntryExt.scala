@@ -5354,7 +5354,9 @@ object SparkEntryExt {
         |  SELECT o_orderstatus, count(*) AS n, count(o_totalprice) AS cnt,
         |         sum(o_totalprice) AS s, avg(o_totalprice) AS m,
         |         min(o_totalprice) AS mn, max(o_totalprice) AS mx,
-        |         row_number() OVER (ORDER BY o_orderstatus) - 1 AS gi
+        |         -- reply groups carry the reference's pinned order:
+        |         -- object count DESC, group value ASC (grouped.go)
+        |         row_number() OVER (ORDER BY count(*) DESC, o_orderstatus ASC) - 1 AS gi
         |  FROM orders GROUP BY o_orderstatus)
         |SELECT printf('01_group_%02d', gi) AS step,
         |  printf('gb=%s|n=%d|cnt=%d|sum=%.4f|mean=%.4f|min=%.4f|max=%.4f',

@@ -129,7 +129,10 @@ object GraphQL {
             case 'u' =>
               if (i + 4 >= src.length) fail("graphql parse: bad \\u escape")
               val hex = src.substring(i + 1, i + 5)
-              if (!hex.forall(c => c.isDigit || ('a' <= c.toLower && c.toLower <= 'f')))
+              // ASCII hex only — Character.isDigit would admit Unicode
+              // digit classes that Integer.parseInt also honors
+              if (!hex.forall(c => ('0' <= c && c <= '9') ||
+                  ('a' <= c.toLower && c.toLower <= 'f')))
                 fail(s"graphql parse: bad \\u escape '$hex'")
               sb += Integer.parseInt(hex, 16).toChar
               i += 4

@@ -638,6 +638,8 @@ object WireDecoder {
     val exclude = strArr(jv, "exclude")
     if (include.nonEmpty && exclude.nonEmpty)
       fail("malformed request: 'include' and 'exclude' cannot both contain values")
+    // include-only, like the reference (scheduler.go:661 runs findDuplicate
+    // on Include alone; a duplicated exclude entry is accepted there too)
     include.diff(include.distinct).headOption.foreach(dup =>
       fail(s"class list 'include' contains duplicate: $dup"))
     val allClasses = g.collectionNames
@@ -645,10 +647,18 @@ object WireDecoder {
       fail("no available classes to backup, there's nothing to do here")
     val inc = expandWildcards(include, allClasses)
     val exc = expandWildcards(exclude, allClasses).toSet
+    // reference quirk replicated (scheduler.go:673-681): the include-vs-all
+    // branch tests the EXPANDED list, so a wildcard include matching nothing
+    // falls back to ALL classes rather than erroring
     val base = if (inc.nonEmpty) inc else allClasses
     val classes = base.filterNot(exc.contains)
     if (classes.isEmpty)
       fail(s"empty class list: please choose from : ${goStrSlice(allClasses)}")
+    // Backupable gate (adapters/repos/db/backup.go:65-77): pass-through
+    // non-wildcard names must exist BEFORE any backup work starts — without
+    // this the error surfaces mid-export after a partial backup is written
+    classes.find(c => !g.hasCollection(c)).foreach(c =>
+      fail(s"class $c doesn't exist"))
     BackupRequestParams(id, backend, classes)
   }
 
@@ -668,6 +678,9 @@ object WireDecoder {
       fail(s"class list 'include' contains duplicate: $dup"))
     val inc = expandWildcards(include, backupClasses)
     val exc = expandWildcards(exclude, backupClasses).toSet
+    // same expanded-list quirk as the create path (validateRestoreRequest:
+    // 815-821): a no-match wildcard include flows into the else branch and
+    // restores everything — replicated, not fixed
     val classes =
       if (inc.nonEmpty) {
         inc.find(c => !backupClasses.contains(c)).foreach(missing =>

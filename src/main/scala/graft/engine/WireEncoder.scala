@@ -125,9 +125,11 @@ object WireEncoder {
     def colVal(row: Row, name: String): Option[Any] =
       cols.get(name).filter(i => !row.isNullAt(i)).map(i => row.get(i))
 
+    // protojson renders int64 as a QUOTED string — every long-typed field
+    // (count, tallies, int-payload extrema) carries quotes like objectsCount
     def longV(v: Any): String = v match {
-      case n: Number => n.longValue.toString
-      case o => o.toString
+      case n: Number => "\"" + n.longValue.toString + "\""
+      case o => esc(o.toString)
     }
 
     def aggregations(row: Row): String = {
@@ -171,7 +173,7 @@ object WireEncoder {
             val top = colVal(row, s"${prop}_topOccurrences").map { arr =>
               val items = arr.asInstanceOf[scala.collection.Seq[Row]].map { t =>
                 s"""{"value":${esc(String.valueOf(t.getAs[Any]("value")))},""" +
-                  s""""occurs":"${longV(t.getAs[Any]("occurs"))}"}"""
+                  s""""occurs":${longV(t.getAs[Any]("occurs"))}}"""
               }
               s""""topOccurences":{"items":${items.mkString("[", ",", "]")}}"""
             }
@@ -187,7 +189,7 @@ object WireEncoder {
     }
 
     def groupJson(row: Row): String = {
-      val count = colVal(row, "meta_count").map(v => s""""objectsCount":"${longV(v)}",""").getOrElse("")
+      val count = colVal(row, "meta_count").map(v => s""""objectsCount":${longV(v)},""").getOrElse("")
       val groupedBy = params.groupBy.map { path =>
         val v = colVal(row, "groupedBy_value").orNull
         val typed = v match {
@@ -204,8 +206,14 @@ object WireEncoder {
     }
 
     if (params.groupBy.isDefined) {
-      val groups = rows.sortBy(r => String.valueOf(colVal(r, "groupedBy_value").orNull))
-        .map(groupJson).mkString("[", ",", "]")
+      // the reference's pinned group order (aggregator/grouped.go): object
+      // count DESC, then group value ASC — NOT a lexicographic re-sort, which
+      // would scramble numeric group values and drop the count contract
+      val ordered = rows.sortBy { r =>
+        val cnt = colVal(r, "meta_count").map(v => v.asInstanceOf[Number].longValue).getOrElse(0L)
+        (-cnt, String.valueOf(colVal(r, "groupedBy_value").orNull))
+      }
+      val groups = ordered.map(groupJson).mkString("[", ",", "]")
       s"""{"groupedResults":{"groups":$groups}}"""
     } else {
       rows.headOption match {
@@ -223,6 +231,9 @@ object WireEncoder {
    * and every listed object is successful. */
   def batchDeleteReply(matches: Long, deletedIds: Seq[String],
                        verbose: Boolean): String = {
+    // the tally comes from `matches`, NOT deletedIds.size — a non-verbose
+    // caller has no reason to collect ids (the list only feeds the verbose
+    // objects array) and must still report the true success count
     val objs = if (!verbose) "" else {
       val items = deletedIds.map { id =>
         val uuidJson =
@@ -236,7 +247,7 @@ object WireEncoder {
       }
       s""","objects":${items.mkString("[", ",", "]")}"""
     }
-    s"""{"matches":"$matches","successful":"${deletedIds.size}","failed":"0"$objs}"""
+    s"""{"matches":"$matches","successful":"$matches","failed":"0"$objs}"""
   }
 
   /** Encode a served page. Group pages (rows carrying the engine's group_*
