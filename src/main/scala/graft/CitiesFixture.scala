@@ -1,0 +1,246 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.engine.Graft
+import graft.model._
+
+/**
+ * The reference's own acceptance bed, rebuilt object-for-object: the
+ * Country / City / Airport sample schema with the exact UUIDs and property
+ * values the reference's GraphQL acceptance suite loads
+ * (test/helper/sample-schema/cities/cities.go:35-435 — 2 countries, 6
+ * cities incl. "Missing Island" (sparse props) and the all-null city, 4
+ * airports with phoneNumbers and uuid-typed airportIds).
+ *
+ * The q_fixture_* gates replay the suite's own GraphQL documents
+ * (test/acceptance/graphql_resolvers/local_get_test.go, *_with_filter,
+ * *_with_sort, *_with_geo_range_filter, local_aggregate_test.go,
+ * local_aggregate_matrix_*) against this bed and hash-match the
+ * reference-authored expected results.
+ *
+ * One documented divergence: the reference vectorizes city names through
+ * text2vec-contextionary (a module this container cannot run); here every
+ * object carries an explicit 2-d unit vector and nearText concepts resolve
+ * through a fixed concept→vector table, ANGLED so every distance/certainty
+ * threshold in the replayed documents selects exactly the set the reference
+ * asserts (derivation below). The *sets and thresholds* are the reference's;
+ * only the embedding space is a deterministic stand-in.
+ *
+ * Angle plan (degrees on the unit circle; cosine distance = 1 - cos Δ):
+ *   cities:   Berlin 0, Amsterdam 42, Dusseldorf 55, Rotterdam 63,
+ *             null-island 101, Missing Island 140
+ *             (Dusseldorf nearer "Berlin" than Rotterdam — the acceptance
+ *             sort-with-nearText cases break population ties by that rank)
+ *   concepts: "Berlin" 45, "Amsterdam" 50, "hi" 70
+ * which yields exactly the acceptance sets:
+ *   - nearText "Berlin" distance 0.6 / certainty 0.7 (Δ ≤ 66.4°):
+ *     all but Missing Island (local_get_with_sort_test.go:660-828)
+ *   - nearText "Amsterdam" distance 0.2 / certainty 0.9 (Δ ≤ 36.9°) +
+ *     isCapital: Amsterdam only (local_aggregate_test.go:48-267)
+ *   - nearText "Amsterdam" distance 0.6 + isCapital: {Amsterdam, Berlin}
+ *     (local_get_with_sort_test.go:978-1134)
+ *   - nearText "hi" distance 0.9 (Δ ≤ 84.3°): all six
+ *     (local_get_with_filter_test.go:56-104)
+ *   - nearObject Berlin distance 0.2 / certainty 0.9 (Δ ≤ 36.9°): Berlin
+ *     only (local_aggregate_test.go:269-487)
+ *   - nearObject Berlin certainty 0.81 (Δ ≤ 51.7°): {Berlin, Amsterdam}
+ *     (local_aggregate_matrix_setup_test.go:966-976 "results with data")
+ *   - nearObject Berlin certainty 0.1 (Δ ≤ 153.6°): all six ("all results")
+ *   - nearObject null-island certainty 0.9: itself only ("results
+ *     without data")
+ */
+object CitiesFixture {
+
+  // UUIDs verbatim (cities.go:35-47)
+  val Netherlands   = "67b79643-cf8b-4b22-b206-6e63dbb4e57a"
+  val Germany       = "561eea29-b733-4079-b50b-cfabd78190b7"
+  val Amsterdam     = "8f5f8e44-d348-459c-88b1-c1a44bb8f8be"
+  val Rotterdam     = "660db307-a163-41d2-8182-560782cd018f"
+  val Berlin        = "9b9cbea5-e87e-4cd0-89af-e2f424fd52d6"
+  val Dusseldorf    = "6ffb03f8-a853-4ec5-a5d8-302e45aaaf13"
+  val MissingIsland = "823abeca-eef3-41c7-b587-7a6977b08003"
+  val NullIsland    = "823abeca-eef3-41c7-b587-7a6977b08067"
+  val Airport1      = "4770bb19-20fd-406e-ac64-9dac54c27a0f"
+  val Airport2      = "cad6ab9b-5bb9-4388-a933-a5bdfd23db37"
+  val Airport3      = "55a4dbbb-e2af-4b2a-901d-98146d1eeca7"
+  val Airport4      = "62d15920-b546-4844-bc87-3ae33268fab5"
+
+  // history texts verbatim (cities.go:50-53); long — stored once here and
+  // reused by the oracle builders
+  val HistoryAmsterdam: String = "Due to its geographical location in what used to be wet peatland, the founding of Amsterdam is of a younger age than the founding of other urban centers in the Low Countries. However, in and around the area of what later became Amsterdam, local farmers settled as early as three millennia ago. They lived along the prehistoric IJ river and upstream of its tributary Amstel. The prehistoric IJ was a shallow and quiet stream in peatland behind beach ridges. This secluded area could grow there into an important local settlement center, especially in the late Bronze Age, the Iron Age and the Roman Age. Neolithic and Roman artefacts have also been found downstream of this area, in the prehistoric Amstel bedding under Amsterdam's Damrak and Rokin, such as shards of Bell Beaker culture pottery (2200-2000 BC) and a granite grinding stone (2700-2750 BC).[27][28] But the location of these artefacts around the river banks of the Amstel probably point to a presence of a modest semi-permanent or seasonal settlement of the previous mentioned local farmers. A permanent settlement would not have been possible, since the river mouth and the banks of the Amstel in this period in time were too wet for permanent habitation"
+  val HistoryRotterdam: String = "On 7 July 1340, Count Willem IV of Holland granted city rights to Rotterdam, whose population then was only a few thousand.[14] Around the year 1350, a shipping canal (the Rotterdamse Schie) was completed, which provided Rotterdam access to the larger towns in the north, allowing it to become a local trans-shipment centre between the Netherlands, England and Germany, and to urbanize"
+  val HistoryBerlin: String = "The earliest evidence of settlements in the area of today's Berlin are remnants of a house foundation dated to 1174, found in excavations in Berlin Mitte,[27] and a wooden beam dated from approximately 1192.[28] The first written records of towns in the area of present-day Berlin date from the late 12th century. Spandau is first mentioned in 1197 and Köpenick in 1209, although these areas did not join Berlin until 1920.[29] The central part of Berlin can be traced back to two towns. Cölln on the Fischerinsel is first mentioned in a 1237 document, and Berlin, across the Spree in what is now called the Nikolaiviertel, is referenced in a document from 1244.[28] 1237 is considered the founding date of the city.[30] The two towns over time formed close economic and social ties, and profited from the staple right on the two important trade routes Via Imperii and from Bruges to Novgorod.[12] In 1307, they formed an alliance with a common external policy, their internal administrations still being separated"
+  val HistoryDusseldorf: String = "The first written mention of Düsseldorf (then called Dusseldorp in the local Low Rhenish dialect) dates back to 1135. Under Emperor Friedrich Barbarossa the small town of Kaiserswerth to the north of Düsseldorf became a well-fortified outpost, where soldiers kept a watchful eye on every movement on the Rhine. Kaiserswerth eventually became a suburb of Düsseldorf in 1929. In 1186, Düsseldorf came under the rule of the Counts of Berg. 14 August 1288 is one of the most important dates in the history of Düsseldorf. On this day the sovereign Count Adolf VIII of Berg granted the village on the banks of the Düssel town privileges. Before this, a bloody struggle for power had taken place between the Archbishop of Cologne and the count of Berg, culminating in the Battle of Worringen"
+  val Histories = Map(Amsterdam -> HistoryAmsterdam, Rotterdam -> HistoryRotterdam,
+    Berlin -> HistoryBerlin, Dusseldorf -> HistoryDusseldorf)
+
+  private def unit(deg: Double): Array[Float] = {
+    val r = math.toRadians(deg)
+    Array(math.cos(r).toFloat, math.sin(r).toFloat)
+  }
+
+  private val cityAngle: Map[String, Double] = Map(
+    Berlin -> 0.0, Amsterdam -> 42.0, Dusseldorf -> 55.0, Rotterdam -> 63.0,
+    NullIsland -> 101.0, MissingIsland -> 140.0)
+
+  /** Concept → vector table (the stand-in vectorizer). Unknown concepts land
+   * at the corpus center so radius-less nearText still ranks every object. */
+  val embedder: String => Array[Float] = {
+    val concepts = Map("Berlin" -> 45.0, "Amsterdam" -> 50.0, "hi" -> 70.0)
+    t => unit(concepts.getOrElse(t, 70.0))
+  }
+
+  /** mustParseYear (cities.go:444-451): `<year>-01-01T00:00:00+02:00`. */
+  def year(y: Int): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.OffsetDateTime
+      .parse(f"$y%04d-01-01T00:00:00+02:00").toInstant)
+
+  /** Deterministic creation/update timestamps, epoch MILLISECONDS (the
+   * reference's object-metadata unit): base + per-object offset. */
+  val CreatedBase = 1700000000000L
+  def createdMs(uuid: String): Long = CreatedBase + (uuid.hashCode & 0xffff)
+
+  private val phoneType = StructType(Seq(
+    StructField("input", StringType), StructField("internationalFormatted", StringType),
+    StructField("countryCode", LongType), StructField("national", LongType),
+    StructField("nationalFormatted", StringType), StructField("valid", BooleanType),
+    StructField("defaultCountry", StringType)))
+
+  private def phoneRow(input: String): Row = {
+    val p = Phone.parse(input)
+    Row(p.input, p.internationalFormatted, p.countryCode, p.national,
+      p.nationalFormatted, p.valid, p.defaultCountry)
+  }
+
+  private val geoType = StructType(Seq(
+    StructField("lat", FloatType), StructField("lon", FloatType)))
+
+  // one Graft per session, all three classes registered
+  private val cache = scala.collection.mutable.Map.empty[SparkSession, Graft]
+
+  def graft(spark: SparkSession): Graft =
+    cache.synchronized(cache.getOrElseUpdate(spark, build(spark)))
+
+  private def build(spark: SparkSession): Graft = {
+    import PropType._
+    val g = new Graft(spark).withEmbedder(embedder)
+
+    // ----- Country ---------------------------------------------------------
+    val countrySchema = StructType(Seq(
+      StructField("uuid", StringType), StructField("name", StringType),
+      StructField("vector", ArrayType(FloatType)), StructField("created", LongType)))
+    val countries = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(Netherlands, "Netherlands", unit(30.0).toSeq, createdMs(Netherlands)),
+        Row(Germany, "Germany", unit(35.0).toSeq, createdMs(Germany))), 1),
+      countrySchema)
+    g.register(CollectionSchema("Country", "uuid", Seq(
+      Property("name", Text, Tokenization.Whitespace)),
+      vectors = Map("default" -> "vector"), defaultVector = Some("default"),
+      creationTimeColumn = Some("created"), updateTimeColumn = Some("created"),
+      timestampUnit = "ms"), countries)
+
+    // ----- City ------------------------------------------------------------
+    val citySchema = StructType(Seq(
+      StructField("uuid", StringType),
+      StructField("name", StringType),
+      StructField("population", LongType),
+      StructField("location", geoType),
+      StructField("isCapital", BooleanType),
+      StructField("cityArea", DoubleType),
+      StructField("cityRights", TimestampType),
+      StructField("timezones", ArrayType(StringType)),
+      StructField("museums", ArrayType(StringType)),
+      StructField("history", StringType),
+      StructField("phoneNumber", phoneType),
+      StructField("inCountry", ArrayType(StringType)),
+      StructField("vector", ArrayType(FloatType)),
+      StructField("created", LongType)))
+    def city(uuid: String, name: String, population: java.lang.Long,
+             location: Row, isCapital: java.lang.Boolean,
+             cityArea: java.lang.Double, cityRights: java.sql.Timestamp,
+             timezones: Seq[String], museums: Seq[String], history: String,
+             phone: Row, inCountry: Seq[String]): Row =
+      Row(uuid, name, population, location, isCapital, cityArea, cityRights,
+        timezones, museums, history, phone, inCountry,
+        unit(cityAngle(uuid)).toSeq, createdMs(uuid))
+    // geo stored as float32 pairs — the reference's GeoCoordinates are
+    // float32, and the acceptance suite asserts the float32-rounded render
+    // ("51.225555", local_get_with_geo_range_filter_test.go:49)
+    val cities = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      city(Amsterdam, "Amsterdam", 1800000L, Row(52.366667f, 4.9f), true,
+        891.95, year(1400), Seq("CET", "CEST"),
+        Seq("Stedelijk Museum", "Rijksmuseum"), HistoryAmsterdam,
+        phoneRow("+311000004"), Seq(Netherlands)),
+      city(Rotterdam, "Rotterdam", 600000L, null, false,
+        319.35, year(1283), Seq("CET", "CEST"),
+        Seq("Museum Boijmans Van Beuningen", "Wereldmuseum",
+          "Witte de With Center for Contemporary Art"), HistoryRotterdam,
+        phoneRow("+311000000"), Seq(Netherlands)),
+      city(Berlin, "Berlin", 3470000L, null, true,
+        891.96, year(1400), Seq("CET", "CEST"),
+        Seq("German Historical Museum"), HistoryBerlin,
+        phoneRow("+311000002"), Seq(Germany)),
+      city(Dusseldorf, "Dusseldorf", 600000L, Row(51.225556f, 6.782778f), false,
+        217.22, year(1135), Seq("CET", "CEST"),
+        Seq("Schlossturm", "Schiffahrt Museum", "Onomato"), HistoryDusseldorf,
+        phoneRow("+311000001"), Seq(Germany)),
+      city(MissingIsland, "Missing Island", 0L, Row(0.0f, 0.0f), false,
+        null, null, null, null, null, null, null),
+      city(NullIsland, null, null, null, null,
+        null, null, null, null, null, null, null)), 1), citySchema)
+    g.register(CollectionSchema("City", "uuid", Seq(
+      Property("name", Text, Tokenization.Whitespace),
+      Property("inCountry", Ref, refTarget = Some("Country")),
+      Property("population", Int),
+      Property("location", Geo),
+      Property("isCapital", Bool),
+      Property("cityArea", Number),
+      Property("cityRights", Date),
+      Property("timezones", Arr(Text), Tokenization.Whitespace),
+      Property("museums", Arr(Text)),
+      Property("history", Text),
+      Property("phoneNumber", Phone)),
+      vectors = Map("default" -> "vector"), defaultVector = Some("default"),
+      creationTimeColumn = Some("created"), updateTimeColumn = Some("created"),
+      timestampUnit = "ms",
+      // cities.go:87 — IndexNullState, IndexPropertyLength, IndexTimestamps
+      invertedIndex = InvertedIndexConfig(
+        indexTimestamps = true, indexNullState = true,
+        indexPropertyLength = true)), cities)
+
+    // ----- Airport ---------------------------------------------------------
+    val airportSchema = StructType(Seq(
+      StructField("uuid", StringType), StructField("code", StringType),
+      StructField("phone", phoneType), StructField("airportId", StringType),
+      StructField("inCity", ArrayType(StringType)),
+      StructField("vector", ArrayType(FloatType)), StructField("created", LongType)))
+    def airport(uuid: String, code: String, phone: Row, airportId: String,
+                city: String, deg: Double): Row =
+      Row(uuid, code, phone, airportId, Seq(city), unit(deg).toSeq, createdMs(uuid))
+    val airports = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      airport(Airport1, "10000", phoneRow("+311234567"),
+        "00000000-0000-0000-0000-000000010000", Amsterdam, 40.0),
+      airport(Airport2, "20000", null,
+        "00000000-0000-0000-0000-000000020000", Rotterdam, 50.0),
+      airport(Airport3, "30000", null,
+        "00000000-0000-0000-0000-000000030000", Dusseldorf, 60.0),
+      airport(Airport4, "40000", null,
+        "00000000-0000-0000-0000-000000040000", Berlin, 10.0)), 1), airportSchema)
+    g.register(CollectionSchema("Airport", "uuid", Seq(
+      Property("code", Text, Tokenization.Whitespace),
+      Property("phone", Phone),
+      Property("inCity", Ref, refTarget = Some("City")),
+      Property("airportId", Uuid)),
+      vectors = Map("default" -> "vector"), defaultVector = Some("default"),
+      creationTimeColumn = Some("created"), updateTimeColumn = Some("created"),
+      timestampUnit = "ms",
+      // cities.go:201-207 — stopword preset en, IndexTimestamps
+      invertedIndex = InvertedIndexConfig(indexTimestamps = true)), airports)
+
+    g
+  }
+}

@@ -154,6 +154,7 @@ object Fixtures {
           .otherwise(expr(
             "transform(sequence(1, CAST(doc_id % 3 AS INT) + 1), " +
             "i -> CAST((doc_id * i * 37) % 500 AS BIGINT))")))
+      .withColumn("link_ids", col("links"))
       // second Word-tokenized prop (first 4 words of text) — its terms
       // overlap text's, so multi-prop BM25F queries exercise the cross-prop
       // frequency/length merge (q_bm25f_multiprop; Bm25.scala header)
@@ -167,7 +168,10 @@ object Fixtures {
       Property("maybe_src", Text, Tokenization.Field),
       Property("n_chars", Int),
       Property("tags", Arr(Obj)),
-      Property("links", Ref, refTarget = Some("Document"))),
+      Property("links", Ref, refTarget = Some("Document")),
+      // the same edge list exposed as a plain int[] prop: the array-sort bed
+      // (sorting by the REF prop itself is rejected, as in the reference)
+      Property("link_ids", Arr(Int))),
       // IsNull (maybe_src) + len(text) filter beds need the class-level
       // opt-ins — the reference gates both and defaults them OFF
       invertedIndex = InvertedIndexConfig(

@@ -695,11 +695,11 @@ object SparkEntryExt {
     // and certified only the nulls-first block
     "q_sort_array" -> ((s, dir) => {
       g(s, dir).get(GetParams("Document",
-        sort = Seq(SortBy.asc("links")),
+        sort = Seq(SortBy.asc("link_ids")),
         pagination = Some(Pagination(limit = 80)),
-        properties = Seq("doc_id", "links")))
-        .select(col("doc_id"), size(col("links")).cast("long").as("n_links"),
-          element_at(col("links"), 1).as("link0"))
+        properties = Seq("doc_id", "link_ids")))
+        .select(col("doc_id"), size(col("link_ids")).cast("long").as("n_links"),
+          element_at(col("link_ids"), 1).as("link0"))
     }),
 
     // §2.5 autocut (reference algorithm: extrema of score-vs-rank curve)

@@ -141,14 +141,19 @@ final class FilterCompiler(resolve: String => Collection) {
                 "blobs are not supported by property length.")
         }
         return
-      // metadata pseudo-props (filters_validator.go:210-228)
-      case "_id" =>
+      // metadata pseudo-props (filters_validator.go:210-228); "id" is the
+      // backwards-compat alias (filters/consts.go:17
+      // InternalPropBackwardsCompatID) honored whenever the class has no
+      // property of its own named "id"
+      case p0 @ ("_id" | "id") if p0 == "_id" || schema.property("id").isEmpty =>
         // the reference validator constrains only the VALUE type on the id
         // pseudo-prop (filters_validator.go:209-216) — ContainsAny with an
-        // id list (the filter-by-ids idiom) is as valid as a comparison
+        // id list (the filter-by-ids idiom) is as valid as a comparison,
+        // and Like with a text pattern is how the reference's own matrix
+        // tests select all/one objects by uuid
         val containsOps: Set[WhereOp] =
           Set(WhereOp.ContainsAny, WhereOp.ContainsAll, WhereOp.ContainsNone)
-        if (!comparisonOps.contains(op) && !containsOps.contains(op))
+        if (!comparisonOps.contains(op) && !containsOps.contains(op) && op != WhereOp.Like)
           fail(s"""using ["_id"]: operator ${op.name} is not supported on the id property""")
         v match {
           case FilterValue.TextV(_) | FilterValue.IntV(_) => ()
@@ -389,9 +394,11 @@ final class FilterCompiler(resolve: String => Collection) {
         return cmp(w.op, lenCol, w.value.get, None, Set.empty)
       case _ => ()
     }
-    // metadata pseudo-props (reference: searcher.go:789-816)
+    // metadata pseudo-props (reference: searcher.go:789-816); "id" is the
+    // backwards-compat alias unless the class declares its own "id" prop
     def root(name: String): Column = name match {
       case "_id" => col(schema.idColumn)
+      case "id" if schema.property("id").isEmpty => col(schema.idColumn)
       case "_creationTimeUnix" => col(schema.creationTimeColumn.getOrElse(
         throw new IllegalArgumentException(s"${schema.name} has no creation-time column")))
       case "_lastUpdateTimeUnix" => col(schema.updateTimeColumn.getOrElse(
@@ -402,6 +409,25 @@ final class FilterCompiler(resolve: String => Collection) {
       case (None, p)      => Some(root(p))
       case (Some(acc), p) => Some(acc.getField(p))
     }.get
+    // metadata-timestamp literals normalize onto the column's physical unit
+    // (schema.timestampUnit): a valueDate RFC3339 literal or a digit string
+    // compares numerically against the stored epoch (reference: the
+    // timestamp pseudo-props accept valueDate, valueText and valueInt —
+    // filters_validator.go:217-222 — all resolved to epoch ms there)
+    if (path.head == "_creationTimeUnix" || path.head == "_lastUpdateTimeUnix") {
+      val scale = if (schema.timestampUnit == "ms") 1L else 1000000L
+      val epoch: Option[FilterValue] = w.value.flatMap {
+        case FilterValue.DateV(ts) =>
+          Some(FilterValue.IntV(ts.getTime * scale)) // getTime = epoch ms
+        case FilterValue.TextV(s) if s.nonEmpty && s.forall(_.isDigit) =>
+          Some(FilterValue.IntV(s.toLong)) // raw epoch in column units
+        case _ => None
+      }
+      epoch.foreach { e =>
+        return applyOp(c, w.copy(value = Some(e)), None,
+          Tokenize.stopwordsFor(schema.stopwords))
+      }
+    }
     val prop = if (path.length == 1) schema.property(path.head) else None
     // struct-typed properties (phoneNumber, object) are not directly
     // comparable — the filter must descend into a subfield (reference:
@@ -435,9 +461,13 @@ final class FilterCompiler(resolve: String => Collection) {
         // `?` = one char, `*` = any run; anchored both ends (reference: inverted/like_regexp.go:41-58)
         val regex = "^" + java.util.regex.Pattern.quote(pattern)
           .replace("?", "\\E.\\Q").replace("*", "\\E.*\\Q") + "$"
-        def likeOne(e: Column): Column =
+        def likeOne(e0: Column): Column = {
+          // undeclared targets (the id pseudo-prop on a numeric id column)
+          // match against their string render
+          val e = if (prop.isEmpty) e0.cast("string") else e0
           (if (fold) org.apache.spark.sql.graft.TextFunctions.asciiFold(e) else e)
             .rlike(regex)
+        }
         // text[]: any element matches (the pattern walks the same per-element
         // value index a scalar text prop has)
         if (prop.exists(_.dataType == PropType.Arr(PropType.Text)))

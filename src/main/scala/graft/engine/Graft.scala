@@ -1042,22 +1042,42 @@ final class Graft(val spark: SparkSession) {
     }
 
     // explicit sort overrides search order (reference: sorter/, index.go:2293-2307)
-    val sorted: DataFrame =
-      if (params.sort.nonEmpty) {
-        val keys = params.sort.map { s =>
-          val cc = s.path.foldLeft(Option.empty[Column]) {
-            case (None, p) => Some(resolveSortCol(c, p))
-            case (Some(acc), p) => Some(acc.getField(p))
-          }.get
+    val explicitSortKeys: Seq[Column] =
+      if (params.sort.isEmpty) Nil
+      else {
+        val keys = params.sort.zipWithIndex.map { case (s, idx) =>
+          // per-clause validation with the reference's exact texts
+          // (entities/sorter (validate.go) via traverser: position-wrapped;
+          // replayed by the acceptance suite's broken-sort-clause cases)
+          def sortFail(msg: String): Nothing = throw new IllegalArgumentException(
+            s"invalid 'sort' parameter: sort parameter at position $idx: $msg")
+          if (s.path.isEmpty) sortFail("path parameter cannot be empty")
+          if (s.path.length > 1)
+            sortFail("sorting by reference not supported, path must have exactly one argument")
+          val cc = resolveSortCol(c, s.path.head, sortFail)
           // null placement per the reference's handleNils
           // (sorter/basic_comparators.go:371-382): nil compares as the
           // SMALLEST value — first on asc, last on desc. These are Spark's
           // defaults; spelled out so the parity is explicit and test-pinned
           // (arrays compare elementwise then by length on both systems).
           if (s.desc) cc.desc_nulls_last else cc.asc_nulls_first
-        } :+ col(id).asc // total order for determinism
-        afterAutocut.orderBy(keys: _*)
-      } else if (isSearch) afterAutocut
+        }
+        // Tie order: the reference sorts the retrieved slice STABLY
+        // (objects_sorter.go), so after a search leg, key ties keep the
+        // SEARCH ranking (distance asc — the acceptance sort-with-nearText
+        // cases pin this: population-tied Dusseldorf precedes Rotterdam
+        // because it ranks nearer "Berlin"); a plain scan's prior order is
+        // the uuid order. The trailing id key keeps the total order either
+        // way.
+        val ties: Seq[Column] =
+          if (isSearch && afterAutocut.columns.contains(VectorSearch.DistanceCol))
+            Seq(col(VectorSearch.DistanceCol).asc, col(id).asc)
+          else Seq(col(id).asc)
+        keys ++ ties
+      }
+    val sorted: DataFrame =
+      if (explicitSortKeys.nonEmpty) afterAutocut.orderBy(explicitSortKeys: _*)
+      else if (isSearch) afterAutocut
       else params.cursor match {
         case Some(cur) =>
           val after = cur.after.map(a => afterAutocut.filter(col(id) > lit(a))).getOrElse(afterAutocut)
@@ -1315,7 +1335,31 @@ final class Graft(val spark: SparkSession) {
         Contextionary.attachPath(withNeighbors, id, legVecCol, searchVec, voc)
       }
 
-    project(c, params, resolveRefs(c, params, semPathed))
+    // the ref-expansion joins below do not preserve row order, so the page
+    // re-asserts its final ordering afterwards (the reference resolves
+    // beacons per already-ordered result object — refcache/resolver.go —
+    // and never reorders). Skipped when rerank/MMR imposed their own
+    // post-page order (their rank columns carry it instead).
+    val resolved = resolveRefs(c, params, semPathed)
+    val reordered =
+      if (params.resolveRefs.isEmpty || params.rerank.isDefined ||
+          params.selectionMmr.isDefined) resolved
+      else params.groupBy match {
+        case Some(_) => resolved.orderBy(col("group_index").asc, col("group_hit_rank").asc)
+        case None if explicitSortKeys.nonEmpty => resolved.orderBy(explicitSortKeys: _*)
+        case None if isSearch =>
+          val rank: Seq[Column] =
+            if (resolved.columns.contains(VectorSearch.DistanceCol))
+              Seq(col(VectorSearch.DistanceCol).asc)
+            else if (resolved.columns.contains(Bm25Search.ScoreCol))
+              Seq(col(Bm25Search.ScoreCol).desc)
+            else if (resolved.columns.contains(HybridSearch.ScoreCol))
+              Seq(col(HybridSearch.ScoreCol).desc)
+            else Nil
+          resolved.orderBy(rank :+ col(id).asc: _*)
+        case None => resolved.orderBy(col(id).asc)
+      }
+    project(c, params, reordered)
   }
 
   /** Property → prompt-text column for generate templating (reference:
@@ -1513,15 +1557,42 @@ final class Graft(val spark: SparkSession) {
     }
   }
 
-  private def resolveSortCol(c: Collection, p: String): Column = p match {
+  private def resolveSortCol(c: Collection, p: String,
+      sortFail: String => Nothing = msg => throw new IllegalArgumentException(msg)): Column = p match {
+    // "id" is the backwards-compat alias (sorter/datatypes_helper.go:39)
     case "_id" => col(c.schema.idColumn)
+    case "id" if c.schema.property("id").isEmpty => col(c.schema.idColumn)
     // timestamp pseudo-paths (reference: sorter/dataTypesHelper maps the
     // special names onto the object's metadata timestamps)
     case "_creationTimeUnix" => col(c.schema.creationTimeColumn.getOrElse(
       throw new IllegalArgumentException(s"${c.schema.name} has no creation-time column")))
     case "_lastUpdateTimeUnix" => col(c.schema.updateTimeColumn.getOrElse(
       throw new IllegalArgumentException(s"${c.schema.name} has no update-time column")))
-    case other => col(other)
+    case other => c.schema.property(other) match {
+      case None if other == c.schema.idColumn => col(other) // raw id column by name
+      case None =>
+        sortFail(s"no such prop with name '$other' found in class '${c.schema.name}' " +
+          "in the schema. Check your schema files for which properties in this class are available")
+      case Some(prop) => prop.dataType match {
+        case PropType.Ref =>
+          sortFail("sorting by reference not supported, " +
+            s"""property "$other" is a ref prop to the class "${prop.refTarget.getOrElse("")}"""")
+        // geo sorts as the float pair [longitude, latitude]
+        // (sorter/comparable_value_extractor.go:203-213); the key stays NULL
+        // for null rows so asc_nulls_first/desc_nulls_last see one null, not
+        // a struct of null fields
+        case PropType.Geo =>
+          when(col(other).isNotNull,
+            struct(col(other).getField("lon").cast("double"),
+                   col(other).getField("lat").cast("double")))
+        // phone sorts as [countryCode, national] (extractor.go:199-201)
+        case PropType.Phone =>
+          when(col(other).isNotNull,
+            struct(col(other).getField("countryCode").cast("long"),
+                   col(other).getField("national").cast("long")))
+        case _ => col(other)
+      }
+    }
   }
 
   private val defaultLimit = 25 // reference: QueryDefaults.LimitGraphQL

@@ -328,6 +328,10 @@ object GraphQL {
           fail(s"failed to extract filters: unsupported type: '${goType(o)}'")
         case (k @ ("valueText" | "valueString" | "valueDate"), o) if !o.isInstanceOf[GStr] =>
           fail(s"failed to extract filters: unsupported type: '${goType(o)}'")
+        // a bare-string path coerces to the single-element list (GraphQL
+        // list-input coercion — the acceptance suite writes
+        // `path: "len(name)"`, local_get_with_filter_test.go:66)
+        case ("path", GStr(p)) => "path" -> JArray(List(JString(p)))
         case (k, x) => k -> plainJson(x)
       })
     case other => fail(s"where must be an object, got ${goV(other)}")
@@ -759,7 +763,13 @@ object GraphQL {
 
   private def decodeGetClass(g: Graft, cls: GField): GqlGet = {
     val collection = cls.name
-    g.collection(collection) // unknown collection errors first
+    // unknown collection errors first, with the graphql-go schema text the
+    // reference surfaces for an unregistered class (the generated Get schema
+    // simply has no such field — local_get_with_sort_test.go:1188)
+    try g.collection(collection) catch {
+      case _: Exception =>
+        fail(s"""Cannot query field "$collection" on type "GetObjectsObj".""")
+    }
 
     val tenant = cls.arg("tenant").map(asStr(_, "tenant"))
     val where = cls.arg("where").map(decodeWhere(g, collection, _))

@@ -280,6 +280,12 @@ object WireDecoder {
     val last = path.last
     if (last == "_id") return PropType.Text
     if (last == "_creationTimeUnix" || last == "_lastUpdateTimeUnix") return PropType.Date
+    // "id" backwards-compat alias (filters/consts.go:17), valid whenever the
+    // leaf class declares no property of its own named "id"
+    if (last == "id") {
+      val leafCls = if (path.size > 1) path(path.size - 2) else className
+      if (g.collection(leafCls).schema.property("id").isEmpty) return PropType.Text
+    }
     if (last.startsWith("len(") && last.endsWith(")")) return PropType.Int
     val leafClass = if (path.size > 1) path(path.size - 2) else className
     val schema = g.collection(leafClass).schema
@@ -327,6 +333,10 @@ object WireDecoder {
         IntV(floatToInt(d))
       case (PropType.Int, ListV(vs)) if isContains(op) =>
         ListV(vs.map { case NumberV(d) => IntV(floatToInt(d)); case other => other })
+      // digit-only text on a date target is an epoch literal (the
+      // _creationTimeUnix/_lastUpdateTimeUnix ms form the reference's
+      // inverted searcher parses itself) — passed through untouched
+      case (PropType.Date, TextV(s)) if s.nonEmpty && s.forall(_.isDigit) => v
       case (PropType.Date, TextV(s)) => DateV(Where.utcTs(s))
       case (PropType.Date, ListV(vs)) =>
         ListV(vs.map { case TextV(s) => DateV(Where.utcTs(s)); case other => other })

@@ -175,6 +175,12 @@ final case class CollectionSchema(
     // these columns (reference: searcher.go:816 metadata filters)
     creationTimeColumn: Option[String] = None,
     updateTimeColumn: Option[String] = None,
+    // physical unit of the two metadata-timestamp columns ("ns" | "ms"):
+    // the reference stores epoch MILLISECONDS (entities/filters/
+    // filters_validator.go timestamps; objects carry creationTimeUnix in
+    // ms), while ingest beds built on TIMESTAMP(NANOS) parquet keep ns —
+    // valueDate filter literals convert through this unit
+    timestampUnit: String = "ns",
     stopwords: StopwordConfig = StopwordConfig(),
     invertedIndex: InvertedIndexConfig = InvertedIndexConfig(),
     // per-named-vector distance config (reference: the metric is CLASS

@@ -32,8 +32,13 @@ object Aggregations {
       case Some(path) =>
         val prop = path.head
         val isArray = c.schema.property(prop).exists(_.dataType.isInstanceOf[PropType.Arr])
-        // arrays explode into one group per element (reference: grouped.go:21-50)
-        val grouped = if (isArray) base.withColumn("__g", explode(col(prop))) else base.withColumn("__g", col(prop))
+        // arrays explode into one group per element (reference: grouped.go:21-50);
+        // null values have no inverted-index entries, so they form NO group —
+        // explode drops array nulls already, scalar nulls filter out here
+        // (the acceptance city/cityArea matrix pins exactly 4 groups over 6
+        // objects, local_aggregate_matrix_groupby_test.go:943-1070)
+        val grouped = if (isArray) base.withColumn("__g", explode(col(prop)))
+          else base.withColumn("__g", col(prop)).filter(col("__g").isNotNull)
         val aggs = buildAggs(c, params)
         val out = grouped.groupBy(col("__g").as("groupedBy_value"))
           .agg(aggs.headOption.getOrElse(count(lit(1)).as("meta_count")), aggs.drop(1): _*)

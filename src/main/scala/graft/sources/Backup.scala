@@ -46,7 +46,8 @@ object Backup {
       indexTimestamps: Option[Boolean] = None,
       indexNullState: Option[Boolean] = None,
       indexPropertyLength: Option[Boolean] = None,
-      vectorMetrics: Option[Map[String, String]] = None)
+      vectorMetrics: Option[Map[String, String]] = None,
+      timestampUnit: Option[String] = None)
 
   private def parsePropType(s: String): PropType = s match {
     case arr if arr.endsWith("[]") => PropType.Arr(parsePropType(arr.dropRight(2)))
@@ -103,7 +104,8 @@ object Backup {
       Some(c.schema.invertedIndex.indexTimestamps),
       Some(c.schema.invertedIndex.indexNullState),
       Some(c.schema.invertedIndex.indexPropertyLength),
-      Some(c.schema.vectorMetrics.map { case (k, v) => k -> v.name }))
+      Some(c.schema.vectorMetrics.map { case (k, v) => k -> v.name }),
+      Some(c.schema.timestampUnit))
     Seq(manifest).toDS().coalesce(1).write.mode(SaveMode.Overwrite).json(s"$path/schema")
     val writer = c.df.write.mode(SaveMode.Overwrite)
     c.schema.tenantColumn.fold(writer)(tc => writer.partitionBy(tc)).parquet(s"$path/data")
@@ -121,11 +123,12 @@ object Backup {
         p.indexRangeFilters.getOrElse(false))),
       m.vectors, m.defaultVector, m.tenantColumn, m.creationTimeColumn,
       m.updateTimeColumn,
-      StopwordConfig(m.stopwordPreset.getOrElse("en"),
+      timestampUnit = m.timestampUnit.getOrElse("ns"),
+      stopwords = StopwordConfig(m.stopwordPreset.getOrElse("en"),
         m.stopwordAdditions.getOrElse(Nil), m.stopwordRemovals.getOrElse(Nil)),
-      InvertedIndexConfig(m.indexTimestamps.getOrElse(false),
+      invertedIndex = InvertedIndexConfig(m.indexTimestamps.getOrElse(false),
         m.indexNullState.getOrElse(false), m.indexPropertyLength.getOrElse(false)),
-      m.vectorMetrics.getOrElse(Map.empty)
+      vectorMetrics = m.vectorMetrics.getOrElse(Map.empty)
         .map { case (k, v) => k -> parseMetric(v) })
     // same string-partition contract as CollectionStore.read — a restored
     // multi-tenant class must not re-type numeric-looking tenant directories

@@ -196,8 +196,8 @@ class FilterCompilerSpec extends SparkSpecBase {
         Some(GeoRangeV(1, 2, 3)))                      -> "requires a geoCoordinates property",
       Where(WhereOp.Equal, Seq("_id"),
         Some(BoolV(true)))                             -> "must use valueText or valueInt",
-      Where(WhereOp.Like, Seq("_id"),
-        Some(TextV("x*")))                             -> "not supported on the id property")
+      Where(WhereOp.WithinGeoRange, Seq("_id"),
+        Some(GeoRangeV(1, 2, 3)))                      -> "not supported on the id property")
     cases.foreach { case (w, frag) =>
       val e = intercept[IllegalArgumentException] { ids(w) }
       assert(e.getMessage.toLowerCase.contains(frag.toLowerCase),
@@ -207,7 +207,13 @@ class FilterCompilerSpec extends SparkSpecBase {
     // "_id" — ids are schema-typed here, not uuid-text (review regression pin)
     assert(ids(Where.eqInt("id", 1L)) == Seq(1L))
     assert(ids(Where.gtInt("id", 2L)) == Seq(3L, 4L))
-    intercept[IllegalArgumentException] { ids(Where.like("id", "1*")) }
+    // Like with a text pattern is VALID on the id pseudo-prop (the
+    // reference validator constrains only the value type,
+    // filters_validator.go:209-216; its aggregate matrix selects objects
+    // with `operator: Like path: ["id"]`) — non-string id columns match
+    // against their string render
+    assert(ids(Where.like("id", "1*")) == Seq(1L))
+    assert(ids(Where.like("_id", "*")) == Seq(1L, 2L, 3L, 4L))
     // invalid leaves are rejected inside compound trees too
     val bad = Where.and(Where.eqText("dept", "engineering"), Where.like("age", "3*"))
     intercept[IllegalArgumentException] { ids(bad) }
