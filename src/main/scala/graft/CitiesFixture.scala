@@ -29,28 +29,36 @@ import graft.model._
  * asserts (derivation below). The *sets and thresholds* are the reference's;
  * only the embedding space is a deterministic stand-in.
  *
- * Angle plan (degrees on the unit circle; cosine distance = 1 - cos Δ):
+ * Vector plan (unit vectors; in-plane points given as degrees on the unit
+ * circle, cosine distance between in-plane points = 1 - cos Δ):
  *   cities:   Berlin 0, Amsterdam 42, Dusseldorf 55, Rotterdam 63,
- *             null-island 101, Missing Island 140
- *             (Dusseldorf nearer "Berlin" than Rotterdam — the acceptance
- *             sort-with-nearText cases break population ties by that rank)
- *   concepts: "Berlin" 45, "Amsterdam" 50, "hi" 70
- * which yields exactly the acceptance sets:
+ *             Missing Island 140 — all in-plane;
+ *             null-island OUT of plane at (0.6·cos40°, 0.6·sin40°, 0.8),
+ *             so its cosine to any in-plane point x° is 0.6·cos(x−40°):
+ *             ≥ 0.4 to the "Berlin" concept (inside its 0.6 radius) while
+ *             ≤ 0.6 to every city (outside every 0.2/0.38 band)
+ *   concepts: "Berlin" 15, "Amsterdam" 50, "hi" 70
+ * which yields exactly the acceptance sets and ranks:
  *   - nearText "Berlin" distance 0.6 / certainty 0.7 (Δ ≤ 66.4°):
- *     all but Missing Island (local_get_with_sort_test.go:660-828)
+ *     all but Missing Island, ranked Berlin(0.034) < Amsterdam(0.109) <
+ *     Dusseldorf(0.234) < Rotterdam(0.331) < null(0.456) — the limit-2
+ *     page is {Berlin, Amsterdam} and population ties break Dusseldorf
+ *     before Rotterdam, as the acceptance sorts pin
+ *     (local_get_with_sort_test.go:660-1134)
  *   - nearText "Amsterdam" distance 0.2 / certainty 0.9 (Δ ≤ 36.9°) +
  *     isCapital: Amsterdam only (local_aggregate_test.go:48-267)
  *   - nearText "Amsterdam" distance 0.6 + isCapital: {Amsterdam, Berlin}
  *     (local_get_with_sort_test.go:978-1134)
  *   - nearText "hi" distance 0.9 (Δ ≤ 84.3°): all six
  *     (local_get_with_filter_test.go:56-104)
- *   - nearObject Berlin distance 0.2 / certainty 0.9 (Δ ≤ 36.9°): Berlin
+ *   - nearObject Berlin distance 0.2 / certainty 0.9 (d ≤ 0.2): Berlin
  *     only (local_aggregate_test.go:269-487)
- *   - nearObject Berlin certainty 0.81 (Δ ≤ 51.7°): {Berlin, Amsterdam}
+ *   - nearObject Berlin certainty 0.81 (d ≤ 0.38): {Berlin, Amsterdam}
  *     (local_aggregate_matrix_setup_test.go:966-976 "results with data")
- *   - nearObject Berlin certainty 0.1 (Δ ≤ 153.6°): all six ("all results")
- *   - nearObject null-island certainty 0.9: itself only ("results
- *     without data")
+ *   - nearObject Berlin certainty 0.1 (d ≤ 1.8): all six ("all results";
+ *     Missing Island at Δ140° has d = 1.766)
+ *   - nearObject null-island certainty 0.9: itself only — every city's
+ *     cosine to it is ≤ 0.6 ("results without data")
  */
 object CitiesFixture {
 
@@ -79,17 +87,25 @@ object CitiesFixture {
 
   private def unit(deg: Double): Array[Float] = {
     val r = math.toRadians(deg)
-    Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    Array(math.cos(r).toFloat, math.sin(r).toFloat, 0.0f)
+  }
+
+  private val nullIslandVec: Array[Float] = {
+    val r = math.toRadians(40.0)
+    Array((0.6 * math.cos(r)).toFloat, (0.6 * math.sin(r)).toFloat, 0.8f)
   }
 
   private val cityAngle: Map[String, Double] = Map(
     Berlin -> 0.0, Amsterdam -> 42.0, Dusseldorf -> 55.0, Rotterdam -> 63.0,
-    NullIsland -> 101.0, MissingIsland -> 140.0)
+    MissingIsland -> 140.0)
+
+  private def cityVec(uuid: String): Array[Float] =
+    if (uuid == NullIsland) nullIslandVec else unit(cityAngle(uuid))
 
   /** Concept → vector table (the stand-in vectorizer). Unknown concepts land
    * at the corpus center so radius-less nearText still ranks every object. */
   val embedder: String => Array[Float] = {
-    val concepts = Map("Berlin" -> 45.0, "Amsterdam" -> 50.0, "hi" -> 70.0)
+    val concepts = Map("Berlin" -> 15.0, "Amsterdam" -> 50.0, "hi" -> 70.0)
     t => unit(concepts.getOrElse(t, 70.0))
   }
 
@@ -166,7 +182,7 @@ object CitiesFixture {
              phone: Row, inCountry: Seq[String]): Row =
       Row(uuid, name, population, location, isCapital, cityArea, cityRights,
         timezones, museums, history, phone, inCountry,
-        unit(cityAngle(uuid)).toSeq, createdMs(uuid))
+        cityVec(uuid).toSeq, createdMs(uuid))
     // geo stored as float32 pairs — the reference's GeoCoordinates are
     // float32, and the acceptance suite asserts the float32-rounded render
     // ("51.225555", local_get_with_geo_range_filter_test.go:49)

@@ -1,0 +1,622 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Graft, GraphQL}
+
+/**
+ * q_fixture_* gates: the reference's OWN acceptance GraphQL documents
+ * (test/acceptance/graphql_resolvers/local_get_test.go, *_with_filter,
+ * *_with_sort, *_with_geo_range_filter, local_aggregate_test.go and the
+ * aggregate matrix) replayed verbatim against the [[CitiesFixture]] rebuild
+ * of its sample data. Each oracle is a VALUES table of the REFERENCE-AUTHORED
+ * expected outputs (the exact name orders, stat sets and error texts its Go
+ * tests assert) — the strongest available "matches weaviate" evidence short
+ * of a running server.
+ *
+ * The bed is self-contained (12 objects), so the scale-factor dir is unused;
+ * pages are ≤ 6 rows and the driver-side string assembly is bounded by that.
+ *
+ * Documented divergences from the reference suite, mirrored in both sides of
+ * each gate: (a) the embedding space is CitiesFixture's deterministic
+ * stand-in (sets/ranks under every replayed threshold match the acceptance
+ * assertions by construction — see the angle plan there); (b) documents that
+ * need classes outside the cities schema (Person refs, ArrayClass, Pizza
+ * stopwords, CursorClass, custom-vector classes) are covered by the
+ * operator's own synthetic gates instead (q_ref_count, q_filter_isnull_len,
+ * q_bm25_stopwords, q_cursor, …).
+ */
+object SparkEntryFixtures {
+
+  private def cg(s: SparkSession): Graft = CitiesFixture.graft(s)
+
+  /** One Get document → the name column joined "a,b,∅" in returned order. */
+  private def namesCsv(g: Graft, doc: String): String =
+    g.get(GraphQL.get(g, doc)).select(col("name")).collect()
+      .map(r => if (r.isNullAt(0)) "∅" else r.getString(0)).mkString(",")
+
+  private def okOr(body: => Any): String =
+    try { body; "ok" } catch { case e: Throwable => e.getMessage }
+
+  /** Compact numeric render: round(4) then strip trailing zeros; null = ∅. */
+  private def fmt(a: Any): String = a match {
+    case null => "∅"
+    case d: java.lang.Double =>
+      BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .underlying.stripTrailingZeros.toPlainString
+    case l: java.lang.Long => l.toString
+    case other => other.toString
+  }
+
+  private def steps(s: SparkSession,
+                    rows: Seq[(String, String)]): DataFrame = {
+    import s.implicits._
+    rows.toDF("step", "result").orderBy(col("step"))
+  }
+
+  // ==========================================================================
+  // queries
+  // ==========================================================================
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // local_get_test.go: uuid-ordered listing/paging + cref relations
+    "q_fixture_get" -> ((s, _) => {
+      val g = cg(s)
+      val out = Seq.newBuilder[(String, String)]
+      out += "01_all" -> namesCsv(g, "{ Get { City { name } } }")
+      out += "02_limit" -> namesCsv(g, "{  Get { City(limit: 2) { name } } }")
+      out += "03_offset_limit" -> namesCsv(g, "{  Get { City(offset: 2 limit: 2) { name } } }")
+      out += "04_offset" -> namesCsv(g, "{  Get { City(offset: 2) { name } } }")
+      out += "05_offset_limit_beyond" -> namesCsv(g, "{  Get { City(offset: 5 limit: 10) { name } } }")
+      out += "06_offset_beyond" -> namesCsv(g, "{  Get { City(offset: 6) { name } } }")
+      out += "07_relations" -> {
+        g.get(GraphQL.get(g,
+          "{ Get { City { name, inCountry { ... on Country { name } } } } }"))
+          .select(col("name"), expr("transform(inCountry_resolved, x -> x.name)"))
+          .collect().map { r =>
+            val n = if (r.isNullAt(0)) "∅" else r.getString(0)
+            val c = if (r.isNullAt(1)) "∅" else r.getSeq[String](1).mkString("[", "|", "]")
+            s"$n>$c"
+          }.mkString(",")
+      }
+      steps(s, out.result())
+    }),
+
+    // local_get_with_sort_test.go:38-581 — every simple + complex sort case,
+    // each also re-run with the suite's limit-4 variant
+    "q_fixture_sort" -> ((s, _) => {
+      val g = cg(s)
+      val out = Seq.newBuilder[(String, String)]
+      def simple(step: String, prop: String, order: String): Unit = {
+        out += s"${step}_full" -> namesCsv(g,
+          s"""{ Get { City(sort: [{path: ["$prop"] order: $order}]) { name } } }""")
+        out += s"${step}_lim4" -> namesCsv(g,
+          s"""{ Get { City(limit: 4 sort: [{path: ["$prop"] order: $order}]) { name } } }""")
+      }
+      simple("01_name_asc", "name", "asc"); simple("02_name_desc", "name", "desc")
+      simple("03_pop_asc", "population", "asc"); simple("04_pop_desc", "population", "desc")
+      simple("05_cap_asc", "isCapital", "asc"); simple("06_cap_desc", "isCapital", "desc")
+      simple("07_area_asc", "cityArea", "asc"); simple("08_area_desc", "cityArea", "desc")
+      simple("09_rights_asc", "cityRights", "asc"); simple("10_rights_desc", "cityRights", "desc")
+      simple("11_tz_asc", "timezones", "asc"); simple("12_tz_desc", "timezones", "desc")
+      simple("13_museums_asc", "museums", "asc"); simple("14_museums_desc", "museums", "desc")
+      simple("15_history_asc", "history", "asc"); simple("16_history_desc", "history", "desc")
+      simple("17_phone_asc", "phoneNumber", "asc"); simple("18_phone_desc", "phoneNumber", "desc")
+      simple("19_loc_asc", "location", "asc"); simple("20_loc_desc", "location", "desc")
+      def complex(step: String, sort: String): Unit = {
+        out += s"${step}_full" -> namesCsv(g, s"{ Get { City(sort: [$sort]) { name } } }")
+        out += s"${step}_lim4" -> namesCsv(g, s"{ Get { City(limit: 4 sort: [$sort]) { name } } }")
+      }
+      def k(p: String, o: String) = s"""{path:["$p"] order:$o}"""
+      complex("21_pop_name_asc", s"${k("population", "asc")},${k("name", "asc")}")
+      complex("22_pop_asc_name_desc", s"${k("population", "asc")},${k("name", "desc")}")
+      complex("23_name_asc_pop_desc", s"${k("name", "asc")},${k("population", "desc")}")
+      complex("24_pop_name_desc", s"${k("population", "desc")},${k("name", "desc")}")
+      complex("25_phone_pop_name_asc",
+        s"${k("phoneNumber", "asc")},${k("population", "asc")},${k("name", "asc")}")
+      complex("26_cap_asc_name_asc", s"${k("isCapital", "asc")},${k("name", "asc")}")
+      complex("27_cap_asc_name_desc", s"${k("isCapital", "asc")},${k("name", "desc")}")
+      complex("28_cap_desc_name_asc", s"${k("isCapital", "desc")},${k("name", "asc")}")
+      complex("29_cap_desc_name_desc", s"${k("isCapital", "desc")},${k("name", "desc")}")
+      complex("30_cap_asc_pop_desc_name_asc",
+        s"${k("isCapital", "asc")},${k("population", "desc")},${k("name", "asc")}")
+      complex("31_cap_desc_pop_desc_name_desc",
+        s"${k("isCapital", "desc")},${k("population", "desc")},${k("name", "desc")}")
+      complex("32_cap_tz_rights_name_asc",
+        s"${k("isCapital", "asc")},${k("timezones", "asc")},${k("cityRights", "asc")},${k("name", "asc")}")
+      complex("33_cap_desc_tz_rights_asc_name_desc",
+        s"${k("isCapital", "desc")},${k("timezones", "asc")},${k("cityRights", "asc")},${k("name", "desc")}")
+      // sort + where on the id alias (sort_test.go:583-658)
+      out += "34_sort_where_loc_asc" -> namesCsv(g,
+        """{ Get { City(sort: [{path: ["location"] order: asc}]
+          |  where: {operator: Or, operands: [
+          |    {valueText: "6ffb03f8-a853-4ec5-a5d8-302e45aaaf13", path: ["id"], operator: Equal},
+          |    {valueText: "823abeca-eef3-41c7-b587-7a6977b08003", path: ["id"], operator: Equal}]}
+          |) { name } } }""".stripMargin)
+      out += "35_sort_where_loc_desc" -> namesCsv(g,
+        """{ Get { City(sort: [{path: ["location"] order: desc}]
+          |  where: {operator: Or, operands: [
+          |    {valueText: "6ffb03f8-a853-4ec5-a5d8-302e45aaaf13", path: ["id"], operator: Equal},
+          |    {valueText: "823abeca-eef3-41c7-b587-7a6977b08003", path: ["id"], operator: Equal}]}
+          |) { name } } }""".stripMargin)
+      out += "36_sort_where_nonexistent" -> namesCsv(g,
+        """{ Get { City(sort: [{path: ["location"] order: asc}]
+          |  where: {valueText: "non-existent-uuid", path: ["id"], operator: Equal}) { name } } }""".stripMargin)
+      steps(s, out.result())
+    }),
+
+    // local_get_with_sort_test.go:660-1134 — sort combined with nearText
+    // radii/certainties, with and without limits and where
+    "q_fixture_sort_near" -> ((s, _) => {
+      val g = cg(s)
+      val out = Seq.newBuilder[(String, String)]
+      def near(step: String, argName: String, argVal: String, sort: String,
+               extra: String = ""): Unit =
+        out += step -> namesCsv(g,
+          s"""{ Get { City(nearText: {concepts: ["Berlin"] $argName: $argVal}
+             |  sort: [$sort] $extra) { name } } }""".stripMargin)
+      def k(p: String, o: String) = s"""{path:["$p"] order:$o}"""
+      near("01_dist_name_asc", "distance", "0.6", k("name", "asc"))
+      near("02_dist_name_desc", "distance", "0.6", k("name", "desc"))
+      near("03_dist_pop_asc", "distance", "0.6", k("population", "asc"))
+      near("04_dist_pop_desc", "distance", "0.6", k("population", "desc"))
+      near("05_cert_name_asc", "certainty", "0.7", k("name", "asc"))
+      near("06_cert_name_desc", "certainty", "0.7", k("name", "desc"))
+      near("07_cert_pop_asc", "certainty", "0.7", k("population", "asc"))
+      near("08_cert_pop_desc", "certainty", "0.7", k("population", "desc"))
+      // limit 2 bounds the SEARCH page (top-2 by distance) BEFORE sorting
+      near("09_dist_lim2_name_asc", "distance", "0.6", k("name", "asc"), "limit: 2")
+      near("10_dist_lim2_name_desc", "distance", "0.6", k("name", "desc"), "limit: 2")
+      near("11_dist_lim2_pop_asc", "distance", "0.6", k("population", "asc"), "limit: 2")
+      near("12_cert_lim2_pop_desc", "certainty", "0.7", k("population", "desc"), "limit: 2")
+      def whereNear(step: String, argName: String, argVal: String, sort: String): Unit =
+        out += step -> namesCsv(g,
+          s"""{ Get { City(
+             |  where: {valueBoolean: true, operator: Equal, path: ["isCapital"]}
+             |  nearText: {concepts: ["Amsterdam"] $argName: $argVal}
+             |  sort: [$sort] limit: 2) { name } } }""".stripMargin)
+      whereNear("13_where_dist_name_asc", "distance", "0.6", k("name", "asc"))
+      whereNear("14_where_dist_name_desc", "distance", "0.6", k("name", "desc"))
+      whereNear("15_where_cert_pop_asc", "certainty", "0.7", k("population", "asc"))
+      whereNear("16_where_cert_pop_desc", "certainty", "0.7", k("population", "desc"))
+      steps(s, out.result())
+    }),
+
+    // local_get_with_filter_test.go — the cities-schema filter journeys
+    "q_fixture_filter" -> ((s, _) => {
+      val g = cg(s)
+      val out = Seq.newBuilder[(String, String)]
+      def codes(doc: String): String =
+        g.get(GraphQL.get(g, doc)).select(col("code")).collect()
+          .map(_.getString(0)).mkString(",")
+      out += "01_control" -> codes("{ Get { Airport { code } } }")
+      // the Go test asserts the COUNT only (its order is the module
+      // vectorizer's rank) — compare the sorted page, order-insensitive
+      out += "02_neartext_len" -> namesCsv(g,
+        """{ Get { City (nearText: {concepts: ["hi"], distance: 0.9},
+          |  where: {path: "len(name)" operator: GreaterThanEqual valueInt: 0}) { name } } }""".stripMargin)
+        .split(',').sorted.mkString(",")
+      out += "03_neartext_isnull" -> namesCsv(g,
+        """{ Get { City (nearText: {concepts: ["hi"], distance: 0.9},
+          |  where: {path: "name" operator: IsNull valueBoolean: true}) { name } } }""".stripMargin)
+      out += "04_ref_2hop" -> codes(
+        """{ Get { Airport(where:{operator:And operands: [
+          |  {operator: GreaterThan, valueInt: 600000, path:["inCity", "City", "population"]},
+          |  {operator: Equal, valueText:"Germany", path:["inCity", "City", "inCountry", "Country", "name"]}]})
+          |  { code } } }""".stripMargin)
+      def phone(doc: String): String =
+        g.get(GraphQL.get(g, doc))
+          .select(col("phone.internationalFormatted"), col("phone.countryCode"),
+            col("phone.nationalFormatted")).collect()
+          .map(r => s"${r.getString(0)}|${r.getLong(1)}|${r.getString(2)}").mkString(",")
+      out += "05_phone_via_ref" -> phone(
+        """{ Get { Airport(where:{valueText:"Amsterdam", operator:Equal,
+          |  path:["inCity", "City", "name"]}) { phone } } }""".stripMargin)
+      out += "06_uuid_ranges" -> codes(
+        """{ Get { Airport(where:{operator:And operands: [
+          |  {operator: GreaterThan, valueText: "00000000-0000-0000-0000-000000010000", path:["airportId"]},
+          |  {operator: LessThan, valueText: "00000000-0000-0000-0000-000000030000", path:["airportId"]},
+          |  {operator: NotEqual, valueText: "00000000-0000-0000-0000-000000040000", path:["airportId"]}]})
+          |  { code airportId } } }""".stripMargin)
+      out += "07_filter_by_id" -> phone(
+        """{ Get { Airport(where:{valueText:"4770bb19-20fd-406e-ac64-9dac54c27a0f",
+          |  operator:Equal, path:["id"]}) { phone } } }""".stripMargin)
+      out += "08_isnull_true" -> namesCsv(g,
+        """{ Get { City(where:{valueBoolean: true, operator:IsNull, path:["history"]}) { name } } }""")
+      out += "09_isnull_false" -> namesCsv(g,
+        """{ Get { City(where:{valueBoolean: false, operator:IsNull, path:["history"]}) { name } } }""")
+      // timestamp metadata filters in the reference's ms unit
+      // (filter_test.go:517-652, self-referential there; deterministic here)
+      val ms = CitiesFixture.createdMs(CitiesFixture.Airport1)
+      out += "10_creation_ms_text" -> {
+        g.get(GraphQL.get(g,
+          s"""{ Get { Airport(where: {path: ["_creationTimeUnix"] operator: Equal
+             |  valueText: "$ms"}) { _additional { id } } } }""".stripMargin))
+          .select(col("_id")).collect().map(_.getString(0)).mkString(",")
+      }
+      out += "11_creation_date_gte" -> {
+        val date = java.time.Instant.ofEpochMilli(CitiesFixture.CreatedBase).toString
+        g.get(GraphQL.get(g,
+          s"""{ Get { Airport(where: {path: ["_creationTimeUnix"] operator: GreaterThanEqual
+             |  valueDate: "$date"}) { _additional { id } } } }""".stripMargin)).count().toString
+      }
+      steps(s, out.result())
+    }),
+
+    // local_get_with_geo_range_filter_test.go — incl. the gh-825 (0,0) case;
+    // lat/lon render as the reference's float32 values
+    "q_fixture_geo" -> ((s, _) => {
+      val g = cg(s)
+      def geo(lat: String, lon: String, meters: Int): String =
+        cgGeo(g, lat, lon, meters)
+      steps(s, Seq(
+        "01_100km_dusseldorf" -> geo("51.225556", "6.782778", 100000),
+        "02_200km_dusseldorf" -> geo("51.225556", "6.782778", 200000),
+        "03_null_island" -> geo("0", "0", 20)))
+    }),
+
+    // broken sort clauses + unknown class + aggregate search-bound errors —
+    // verbatim reference texts (sort_test.go:1136-1219,
+    // local_aggregate_with_expected_failures.go)
+    "q_fixture_errors" -> ((s, _) => {
+      val g = cg(s)
+      def getErr(doc: String): String = okOr(g.get(GraphQL.get(g, doc)))
+      steps(s, Seq(
+        "01_empty_path" -> getErr("""{ Get { City(sort:[{path:[] order:asc}]) { name } } }"""),
+        "02_empty_prop" -> getErr("""{ Get { City(sort:[{path:[""] order:asc}]) { name } } }"""),
+        "03_ref_path" -> getErr("""{ Get { City(sort:[{path:["ref","prop"] order:asc}]) { name } } }"""),
+        "04_unknown_class" -> okOr(GraphQL.get(g,
+          """{ Get { NonExistentClass(sort:[{path:["property"] order:asc}]) { name } } }""")),
+        "05_unknown_prop" -> getErr(
+          """{ Get { City(sort:[{path:["nonexistentproperty"] order:asc}]) { name } } }"""),
+        "06_ref_prop" -> getErr("""{ Get { City(sort:[{path:["inCountry"] order:asc}]) { name } } }"""),
+        "07_agg_near_unbounded" -> okOr(g.aggregate(GraphQL.aggregate(g,
+          s"""{ Aggregate { City(nearObject: {id: "${CitiesFixture.Berlin}"})
+             |  { meta { count } } } }""".stripMargin))),
+        "08_agg_objectlimit_no_near" -> okOr(GraphQL.aggregate(g,
+          "{ Aggregate { City(objectLimit: 1) { meta { count } } } }"))))
+    }),
+
+    // the aggregate matrix, City class, no groupBy
+    // (local_aggregate_matrix_no_groupby_test.go:195-290 × setup:893-1060)
+    "q_fixture_agg" -> ((s, _) => {
+      val g = cg(s)
+      def arm(filters: String): String = {
+        val row = g.aggregate(GraphQL.aggregate(g,
+          s"""{ Aggregate { City($filters) {
+             |  meta { count }
+             |  population { count maximum minimum mode sum median mean }
+             |  cityArea { count maximum minimum mode sum median mean }
+             |  isCapital { count totalFalse totalTrue percentageFalse percentageTrue }
+             |  name { count }
+             |  museums { count }
+             |  timezones { count }
+             |  history { count }
+             |  cityRights { count }
+             |  inCountry { pointingTo }
+             |} } }""".stripMargin))
+          .selectExpr(
+            "meta_count",
+            "population_count", "CAST(population_maximum AS DOUBLE)",
+            "CAST(population_minimum AS DOUBLE)", "CAST(population_mode AS DOUBLE)",
+            "CAST(population_sum AS DOUBLE)", "population_median", "population_mean",
+            "cityArea_count", "cityArea_maximum", "cityArea_minimum", "cityArea_mode",
+            "cityArea_sum", "cityArea_median", "cityArea_mean",
+            "isCapital_count", "CAST(isCapital_totalFalse AS DOUBLE)",
+            "CAST(isCapital_totalTrue AS DOUBLE)",
+            "isCapital_percentageFalse", "isCapital_percentageTrue",
+            "name_count", "museums_count", "timezones_count", "history_count",
+            "cityRights_count", "inCountry_pointingTo")
+          .collect().head
+        val f = (0 until row.length).map(i => fmt(row.get(i)))
+        s"meta=${f(0)};pop=${f.slice(1, 8).mkString("/")};area=${f.slice(8, 15).mkString("/")};" +
+          s"cap=${f.slice(15, 20).mkString("/")};name=${f(20)};museums=${f(21)};" +
+          s"tz=${f(22)};history=${f(23)};rights=${f(24)};pointing=${f(25)}"
+      }
+      val berlin = CitiesFixture.Berlin
+      val nullIsland = CitiesFixture.NullIsland
+      val missingId = "00000000-0000-0000-0000-000000000000"
+      def topOcc(prop: String): String =
+        g.aggregate(GraphQL.aggregate(g,
+          s"""{ Aggregate { City { $prop { topOccurrences { value occurs } } } } }"""))
+          .select(explode(col(s"${prop}_topOccurrences")).as("t"))
+          .select(col("t.value"), col("t.occurs"))
+          .collect().map(r => s"${r.get(0)}=${r.get(1)}").sorted.mkString(",")
+      steps(s, Seq(
+        "a01_without_filters" -> arm(""),
+        "a02_where_like_all" -> arm("""where: {operator: Like path: ["id"] valueText: "*"}"""),
+        "a03_where_iscapital" -> arm(
+          """where: {operator: Equal, path: ["isCapital"], valueBoolean: true}"""),
+        "a04_where_like_nullisland" -> arm(
+          s"""where: {operator: Like path: ["id"] valueText: "$nullIsland"}"""),
+        "a05_where_like_nonexistent" -> arm(
+          s"""where: {operator: Like path: ["id"] valueText: "$missingId"}"""),
+        "a06_nearobj_cert01" -> arm(s"""nearObject: {id: "$berlin" certainty: 0.1}"""),
+        "a07_nearobj_cert081" -> arm(s"""nearObject: {id: "$berlin" certainty: 0.81}"""),
+        "a08_nearobj_null_cert09" -> arm(s"""nearObject: {id: "$nullIsland" certainty: 0.9}"""),
+        "a09_where_all_nearobj_cert01" -> arm(
+          s"""where: {operator: Like path: ["id"] valueText: "*"}
+             |nearObject: {id: "$berlin" certainty: 0.1}""".stripMargin),
+        "a10_where_cap_nearobj_cert081" -> arm(
+          s"""where: {operator: Equal, path: ["isCapital"], valueBoolean: true}
+             |nearObject: {id: "$berlin" certainty: 0.81}""".stripMargin),
+        "a11_where_null_nearobj_null_cert09" -> arm(
+          s"""where: {operator: Like path: ["id"] valueText: "$nullIsland"}
+             |nearObject: {id: "$nullIsland" certainty: 0.9}""".stripMargin),
+        "a12_where_none_nearobj_cert01" -> arm(
+          s"""where: {operator: Like path: ["id"] valueText: "$missingId"}
+             |nearObject: {id: "$berlin" certainty: 0.1}""".stripMargin),
+        "a13_topocc_name" -> topOcc("name"),
+        "a14_topocc_museums" -> topOcc("museums")))
+    }),
+
+    // the aggregate matrix, City class, groupBy cityArea
+    // (local_aggregate_matrix_groupby_test.go:943-1070)
+    "q_fixture_agg_group" -> ((s, _) => {
+      val g = cg(s)
+      def arm(tag: String, filters: String): Seq[(String, String)] =
+        g.aggregate(GraphQL.aggregate(g,
+          s"""{ Aggregate { City($filters groupBy: ["cityArea"]) {
+             |  groupedBy { value }
+             |  meta { count }
+             |  population { sum }
+             |  museums { count }
+             |  name { count }
+             |} } }""".stripMargin))
+          .selectExpr("CAST(groupedBy_value AS DOUBLE)", "meta_count",
+            "CAST(population_sum AS DOUBLE)", "museums_count", "name_count")
+          .collect().toSeq.map { r =>
+            s"${tag}_${fmt(r.get(0))}" ->
+              s"meta=${fmt(r.get(1))};pop=${fmt(r.get(2))};museums=${fmt(r.get(3))};name=${fmt(r.get(4))}"
+          }
+      steps(s, arm("g01", "") ++
+        arm("g02", """where: {operator: Equal, path: ["isCapital"], valueBoolean: true}""") ++
+        arm("g03", s"""nearObject: {id: "${CitiesFixture.Berlin}" certainty: 0.81}"""))
+    }),
+
+    // localMeta with where + nearText/nearObject radii
+    // (local_aggregate_test.go:48-487, both distance and certainty forms)
+    "q_fixture_agg_near" -> ((s, _) => {
+      val g = cg(s)
+      def arm(filters: String): String = {
+        val row = g.aggregate(GraphQL.aggregate(g,
+          s"""{ Aggregate { City(
+             |  where: {valueBoolean: true, operator: Equal, path: ["isCapital"]}
+             |  $filters) {
+             |  meta { count }
+             |  isCapital { count totalFalse totalTrue percentageFalse percentageTrue }
+             |  population { count maximum minimum sum mean }
+             |  name { topOccurrences(limit: 5) { value occurs } }
+             |  inCountry { pointingTo }
+             |} } }""".stripMargin))
+          .selectExpr("meta_count",
+            "isCapital_count", "CAST(isCapital_totalFalse AS DOUBLE)",
+            "CAST(isCapital_totalTrue AS DOUBLE)",
+            "isCapital_percentageFalse", "isCapital_percentageTrue",
+            "population_count", "CAST(population_maximum AS DOUBLE)",
+            "CAST(population_minimum AS DOUBLE)", "CAST(population_sum AS DOUBLE)",
+            "population_mean",
+            "transform(name_topOccurrences, t -> concat(t.value, '=', CAST(t.occurs AS STRING)))",
+            "inCountry_pointingTo")
+          .collect().head
+        val tops = row.getSeq[String](11).sorted.mkString(",")
+        s"meta=${fmt(row.get(0))};cap=${(1 to 5).map(i => fmt(row.get(i))).mkString("/")};" +
+          s"pop=${(6 to 10).map(i => fmt(row.get(i))).mkString("/")};" +
+          s"top=$tops;pointing=${fmt(row.get(12))}"
+      }
+      val berlin = CitiesFixture.Berlin
+      steps(s, Seq(
+        "n01_neartext_ams_dist" -> arm("""nearText: {concepts: ["Amsterdam"] distance: 0.2}"""),
+        "n02_neartext_ams_cert" -> arm("""nearText: {concepts: ["Amsterdam"] certainty: 0.9}"""),
+        "n03_nearobj_ber_dist" -> arm(s"""nearObject: {id: "$berlin" distance: 0.2}"""),
+        "n04_nearobj_ber_cert" -> arm(s"""nearObject: {id: "$berlin" certainty: 0.9}""")))
+    }))
+
+  private def cgGeo(g: Graft, lat: String, lon: String, meters: Int): String =
+    g.get(GraphQL.get(g,
+      s"""{ Get { City(where:{operator: WithinGeoRange path: ["location"]
+         |  valueGeoRange: { geoCoordinates: {latitude: $lat, longitude: $lon}
+         |                   distance: { max: $meters } }}) { name location } } }""".stripMargin))
+      .select(col("name"), col("location.lat"), col("location.lon")).collect()
+      .map(r => s"${r.getString(0)}@${r.getFloat(1)},${r.getFloat(2)}").mkString(";")
+
+  // ==========================================================================
+  // oracles — VALUES tables of the reference-authored expected outputs
+  // ==========================================================================
+
+  private def values(rows: Seq[(String, String)]): String =
+    rows.map { case (k, v) => s"  ('$k', '${v.replace("'", "''")}')" }
+      .mkString("SELECT * FROM (VALUES\n", ",\n", "\n) AS t(step, result) ORDER BY step")
+
+  // the reference's expected aggregate stat sets (matrix_no_groupby:200-248)
+  private val AggAll =
+    "meta=6;pop=5/3470000/0/600000/6470000/600000/1294000;" +
+    "area=4/891.96/217.22/217.22/2320.48/605.65/580.12;" +
+    "cap=5/3/2/0.6/0.4;name=5;museums=9;tz=8;history=4;rights=4;pointing=Country"
+  private val AggWithData =
+    "meta=2;pop=2/3470000/1800000/1800000/5270000/2635000/2635000;" +
+    "area=2/891.96/891.95/891.95/1783.91/891.955/891.955;" +
+    "cap=2/0/2/0/1;name=2;museums=3;tz=4;history=2;rights=2;pointing=Country"
+  private val AggWithoutData =
+    "meta=1;pop=0/∅/∅/∅/∅/∅/∅;area=0/∅/∅/∅/∅/∅/∅;" +
+    "cap=0/∅/∅/∅/∅;name=0;museums=0;tz=0;history=0;rights=0;pointing=Country"
+  private val AggNoResults =
+    "meta=0;pop=0/∅/∅/∅/∅/∅/∅;area=0/∅/∅/∅/∅/∅/∅;" +
+    "cap=0/∅/∅/∅/∅;name=0;museums=0;tz=0;history=0;rights=0;pointing=Country"
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q_fixture_get" -> values(Seq(
+      "01_all" -> "Rotterdam,Dusseldorf,Missing Island,∅,Amsterdam,Berlin",
+      "02_limit" -> "Rotterdam,Dusseldorf",
+      "03_offset_limit" -> "Missing Island,∅",
+      "04_offset" -> "Missing Island,∅,Amsterdam,Berlin",
+      "05_offset_limit_beyond" -> "Berlin",
+      "06_offset_beyond" -> "",
+      "07_relations" -> ("Rotterdam>[Netherlands],Dusseldorf>[Germany]," +
+        "Missing Island>∅,∅>∅,Amsterdam>[Netherlands],Berlin>[Germany]"))),
+
+    "q_fixture_sort" -> values(Seq(
+      "01_name_asc_full" -> "∅,Amsterdam,Berlin,Dusseldorf,Missing Island,Rotterdam",
+      "01_name_asc_lim4" -> "∅,Amsterdam,Berlin,Dusseldorf",
+      "02_name_desc_full" -> "Rotterdam,Missing Island,Dusseldorf,Berlin,Amsterdam,∅",
+      "02_name_desc_lim4" -> "Rotterdam,Missing Island,Dusseldorf,Berlin",
+      "03_pop_asc_full" -> "∅,Missing Island,Rotterdam,Dusseldorf,Amsterdam,Berlin",
+      "03_pop_asc_lim4" -> "∅,Missing Island,Rotterdam,Dusseldorf",
+      "04_pop_desc_full" -> "Berlin,Amsterdam,Rotterdam,Dusseldorf,Missing Island,∅",
+      "04_pop_desc_lim4" -> "Berlin,Amsterdam,Rotterdam,Dusseldorf",
+      "05_cap_asc_full" -> "∅,Rotterdam,Dusseldorf,Missing Island,Amsterdam,Berlin",
+      "05_cap_asc_lim4" -> "∅,Rotterdam,Dusseldorf,Missing Island",
+      "06_cap_desc_full" -> "Amsterdam,Berlin,Rotterdam,Dusseldorf,Missing Island,∅",
+      "06_cap_desc_lim4" -> "Amsterdam,Berlin,Rotterdam,Dusseldorf",
+      "07_area_asc_full" -> "Missing Island,∅,Dusseldorf,Rotterdam,Amsterdam,Berlin",
+      "07_area_asc_lim4" -> "Missing Island,∅,Dusseldorf,Rotterdam",
+      "08_area_desc_full" -> "Berlin,Amsterdam,Rotterdam,Dusseldorf,Missing Island,∅",
+      "08_area_desc_lim4" -> "Berlin,Amsterdam,Rotterdam,Dusseldorf",
+      "09_rights_asc_full" -> "Missing Island,∅,Dusseldorf,Rotterdam,Amsterdam,Berlin",
+      "09_rights_asc_lim4" -> "Missing Island,∅,Dusseldorf,Rotterdam",
+      "10_rights_desc_full" -> "Amsterdam,Berlin,Rotterdam,Dusseldorf,Missing Island,∅",
+      "10_rights_desc_lim4" -> "Amsterdam,Berlin,Rotterdam,Dusseldorf",
+      "11_tz_asc_full" -> "Missing Island,∅,Rotterdam,Dusseldorf,Amsterdam,Berlin",
+      "11_tz_asc_lim4" -> "Missing Island,∅,Rotterdam,Dusseldorf",
+      "12_tz_desc_full" -> "Rotterdam,Dusseldorf,Amsterdam,Berlin,Missing Island,∅",
+      "12_tz_desc_lim4" -> "Rotterdam,Dusseldorf,Amsterdam,Berlin",
+      "13_museums_asc_full" -> "Missing Island,∅,Berlin,Rotterdam,Dusseldorf,Amsterdam",
+      "13_museums_asc_lim4" -> "Missing Island,∅,Berlin,Rotterdam",
+      "14_museums_desc_full" -> "Amsterdam,Dusseldorf,Rotterdam,Berlin,Missing Island,∅",
+      "14_museums_desc_lim4" -> "Amsterdam,Dusseldorf,Rotterdam,Berlin",
+      "15_history_asc_full" -> "Missing Island,∅,Amsterdam,Rotterdam,Berlin,Dusseldorf",
+      "15_history_asc_lim4" -> "Missing Island,∅,Amsterdam,Rotterdam",
+      "16_history_desc_full" -> "Dusseldorf,Berlin,Rotterdam,Amsterdam,Missing Island,∅",
+      "16_history_desc_lim4" -> "Dusseldorf,Berlin,Rotterdam,Amsterdam",
+      "17_phone_asc_full" -> "Missing Island,∅,Rotterdam,Dusseldorf,Berlin,Amsterdam",
+      "17_phone_asc_lim4" -> "Missing Island,∅,Rotterdam,Dusseldorf",
+      "18_phone_desc_full" -> "Amsterdam,Berlin,Dusseldorf,Rotterdam,Missing Island,∅",
+      "18_phone_desc_lim4" -> "Amsterdam,Berlin,Dusseldorf,Rotterdam",
+      "19_loc_asc_full" -> "Rotterdam,∅,Berlin,Missing Island,Amsterdam,Dusseldorf",
+      "19_loc_asc_lim4" -> "Rotterdam,∅,Berlin,Missing Island",
+      "20_loc_desc_full" -> "Dusseldorf,Amsterdam,Missing Island,Rotterdam,∅,Berlin",
+      "20_loc_desc_lim4" -> "Dusseldorf,Amsterdam,Missing Island,Rotterdam",
+      "21_pop_name_asc_full" -> "∅,Missing Island,Dusseldorf,Rotterdam,Amsterdam,Berlin",
+      "21_pop_name_asc_lim4" -> "∅,Missing Island,Dusseldorf,Rotterdam",
+      "22_pop_asc_name_desc_full" -> "∅,Missing Island,Rotterdam,Dusseldorf,Amsterdam,Berlin",
+      "22_pop_asc_name_desc_lim4" -> "∅,Missing Island,Rotterdam,Dusseldorf",
+      "23_name_asc_pop_desc_full" -> "∅,Amsterdam,Berlin,Dusseldorf,Missing Island,Rotterdam",
+      "23_name_asc_pop_desc_lim4" -> "∅,Amsterdam,Berlin,Dusseldorf",
+      "24_pop_name_desc_full" -> "Berlin,Amsterdam,Rotterdam,Dusseldorf,Missing Island,∅",
+      "24_pop_name_desc_lim4" -> "Berlin,Amsterdam,Rotterdam,Dusseldorf",
+      "25_phone_pop_name_asc_full" -> "∅,Missing Island,Rotterdam,Dusseldorf,Berlin,Amsterdam",
+      "25_phone_pop_name_asc_lim4" -> "∅,Missing Island,Rotterdam,Dusseldorf",
+      "26_cap_asc_name_asc_full" -> "∅,Dusseldorf,Missing Island,Rotterdam,Amsterdam,Berlin",
+      "26_cap_asc_name_asc_lim4" -> "∅,Dusseldorf,Missing Island,Rotterdam",
+      "27_cap_asc_name_desc_full" -> "∅,Rotterdam,Missing Island,Dusseldorf,Berlin,Amsterdam",
+      "27_cap_asc_name_desc_lim4" -> "∅,Rotterdam,Missing Island,Dusseldorf",
+      "28_cap_desc_name_asc_full" -> "Amsterdam,Berlin,Dusseldorf,Missing Island,Rotterdam,∅",
+      "28_cap_desc_name_asc_lim4" -> "Amsterdam,Berlin,Dusseldorf,Missing Island",
+      "29_cap_desc_name_desc_full" -> "Berlin,Amsterdam,Rotterdam,Missing Island,Dusseldorf,∅",
+      "29_cap_desc_name_desc_lim4" -> "Berlin,Amsterdam,Rotterdam,Missing Island",
+      "30_cap_asc_pop_desc_name_asc_full" -> "∅,Dusseldorf,Rotterdam,Missing Island,Berlin,Amsterdam",
+      "30_cap_asc_pop_desc_name_asc_lim4" -> "∅,Dusseldorf,Rotterdam,Missing Island",
+      "31_cap_desc_pop_desc_name_desc_full" -> "Berlin,Amsterdam,Rotterdam,Dusseldorf,Missing Island,∅",
+      "31_cap_desc_pop_desc_name_desc_lim4" -> "Berlin,Amsterdam,Rotterdam,Dusseldorf",
+      "32_cap_tz_rights_name_asc_full" -> "∅,Missing Island,Dusseldorf,Rotterdam,Amsterdam,Berlin",
+      "32_cap_tz_rights_name_asc_lim4" -> "∅,Missing Island,Dusseldorf,Rotterdam",
+      "33_cap_desc_tz_rights_asc_name_desc_full" -> "Berlin,Amsterdam,Missing Island,Dusseldorf,Rotterdam,∅",
+      "33_cap_desc_tz_rights_asc_name_desc_lim4" -> "Berlin,Amsterdam,Missing Island,Dusseldorf",
+      "34_sort_where_loc_asc" -> "Missing Island,Dusseldorf",
+      "35_sort_where_loc_desc" -> "Dusseldorf,Missing Island",
+      "36_sort_where_nonexistent" -> "")),
+
+    "q_fixture_sort_near" -> values(Seq(
+      "01_dist_name_asc" -> "∅,Amsterdam,Berlin,Dusseldorf,Rotterdam",
+      "02_dist_name_desc" -> "Rotterdam,Dusseldorf,Berlin,Amsterdam,∅",
+      "03_dist_pop_asc" -> "∅,Dusseldorf,Rotterdam,Amsterdam,Berlin",
+      "04_dist_pop_desc" -> "Berlin,Amsterdam,Dusseldorf,Rotterdam,∅",
+      "05_cert_name_asc" -> "∅,Amsterdam,Berlin,Dusseldorf,Rotterdam",
+      "06_cert_name_desc" -> "Rotterdam,Dusseldorf,Berlin,Amsterdam,∅",
+      "07_cert_pop_asc" -> "∅,Dusseldorf,Rotterdam,Amsterdam,Berlin",
+      "08_cert_pop_desc" -> "Berlin,Amsterdam,Dusseldorf,Rotterdam,∅",
+      "09_dist_lim2_name_asc" -> "Amsterdam,Berlin",
+      "10_dist_lim2_name_desc" -> "Berlin,Amsterdam",
+      "11_dist_lim2_pop_asc" -> "Amsterdam,Berlin",
+      "12_cert_lim2_pop_desc" -> "Berlin,Amsterdam",
+      "13_where_dist_name_asc" -> "Amsterdam,Berlin",
+      "14_where_dist_name_desc" -> "Berlin,Amsterdam",
+      "15_where_cert_pop_asc" -> "Amsterdam,Berlin",
+      "16_where_cert_pop_desc" -> "Berlin,Amsterdam")),
+
+    "q_fixture_filter" -> values(Seq(
+      "01_control" -> "10000,30000,40000,20000",
+      "02_neartext_len" -> "Amsterdam,Berlin,Dusseldorf,Missing Island,Rotterdam",
+      "03_neartext_isnull" -> "∅",
+      "04_ref_2hop" -> "40000",
+      "05_phone_via_ref" -> "+31 1234567|31|1234567",
+      "06_uuid_ranges" -> "20000",
+      "07_filter_by_id" -> "+31 1234567|31|1234567",
+      "08_isnull_true" -> "Missing Island,∅",
+      "09_isnull_false" -> "Rotterdam,Dusseldorf,Amsterdam,Berlin",
+      "10_creation_ms_text" -> "4770bb19-20fd-406e-ac64-9dac54c27a0f",
+      "11_creation_date_gte" -> "4")),
+
+    "q_fixture_geo" -> values(Seq(
+      "01_100km_dusseldorf" -> "Dusseldorf@51.225555,6.782778",
+      "02_200km_dusseldorf" -> "Dusseldorf@51.225555,6.782778;Amsterdam@52.36667,4.9",
+      "03_null_island" -> "Missing Island@0.0,0.0")),
+
+    "q_fixture_errors" -> values(Seq(
+      "01_empty_path" -> ("invalid 'sort' parameter: sort parameter at position 0: " +
+        "path parameter cannot be empty"),
+      "02_empty_prop" -> ("invalid 'sort' parameter: sort parameter at position 0: " +
+        "no such prop with name '' found in class 'City' in the schema. " +
+        "Check your schema files for which properties in this class are available"),
+      "03_ref_path" -> ("invalid 'sort' parameter: sort parameter at position 0: " +
+        "sorting by reference not supported, path must have exactly one argument"),
+      "04_unknown_class" -> """Cannot query field "NonExistentClass" on type "GetObjectsObj".""",
+      "05_unknown_prop" -> ("invalid 'sort' parameter: sort parameter at position 0: " +
+        "no such prop with name 'nonexistentproperty' found in class 'City' in the schema. " +
+        "Check your schema files for which properties in this class are available"),
+      "06_ref_prop" -> ("invalid 'sort' parameter: sort parameter at position 0: " +
+        "sorting by reference not supported, " +
+        "property \"inCountry\" is a ref prop to the class \"Country\""),
+      "07_agg_near_unbounded" -> "must provide certainty or objectLimit with vector search",
+      "08_agg_objectlimit_no_near" -> "objectLimit can only be used with a near<Media> or hybrid filter")),
+
+    "q_fixture_agg" -> values(Seq(
+      "a01_without_filters" -> AggAll,
+      "a02_where_like_all" -> AggAll,
+      "a03_where_iscapital" -> AggWithData,
+      "a04_where_like_nullisland" -> AggWithoutData,
+      "a05_where_like_nonexistent" -> AggNoResults,
+      "a06_nearobj_cert01" -> AggAll,
+      "a07_nearobj_cert081" -> AggWithData,
+      "a08_nearobj_null_cert09" -> AggWithoutData,
+      "a09_where_all_nearobj_cert01" -> AggAll,
+      "a10_where_cap_nearobj_cert081" -> AggWithData,
+      "a11_where_null_nearobj_null_cert09" -> AggWithoutData,
+      "a12_where_none_nearobj_cert01" -> AggNoResults,
+      "a13_topocc_name" -> ("Amsterdam=1,Berlin=1,Dusseldorf=1,Missing Island=1,Rotterdam=1"),
+      "a14_topocc_museums" -> ("German Historical Museum=1,Museum Boijmans Van Beuningen=1," +
+        "Onomato=1,Rijksmuseum=1,Schiffahrt Museum=1"))),
+
+    "q_fixture_agg_group" -> values(Seq(
+      "g01_217.22" -> "meta=1;pop=600000;museums=3;name=1",
+      "g01_319.35" -> "meta=1;pop=600000;museums=3;name=1",
+      "g01_891.95" -> "meta=1;pop=1800000;museums=2;name=1",
+      "g01_891.96" -> "meta=1;pop=3470000;museums=1;name=1",
+      "g02_891.95" -> "meta=1;pop=1800000;museums=2;name=1",
+      "g02_891.96" -> "meta=1;pop=3470000;museums=1;name=1",
+      "g03_891.95" -> "meta=1;pop=1800000;museums=2;name=1",
+      "g03_891.96" -> "meta=1;pop=3470000;museums=1;name=1")),
+
+    "q_fixture_agg_near" -> values(Seq(
+      "n01_neartext_ams_dist" -> ("meta=1;cap=1/0/1/0/1;" +
+        "pop=1/1800000/1800000/1800000/1800000;top=Amsterdam=1;pointing=Country"),
+      "n02_neartext_ams_cert" -> ("meta=1;cap=1/0/1/0/1;" +
+        "pop=1/1800000/1800000/1800000/1800000;top=Amsterdam=1;pointing=Country"),
+      "n03_nearobj_ber_dist" -> ("meta=1;cap=1/0/1/0/1;" +
+        "pop=1/3470000/3470000/3470000/3470000;top=Berlin=1;pointing=Country"),
+      "n04_nearobj_ber_cert" -> ("meta=1;cap=1/0/1/0/1;" +
+        "pop=1/3470000/3470000/3470000/3470000;top=Berlin=1;pointing=Country"))))
+}

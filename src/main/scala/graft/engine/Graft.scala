@@ -1465,8 +1465,10 @@ final class Graft(val spark: SparkSession) {
       .orElse(params.nearText.map(nt => resolveNearText(c, nt)))
       .orElse(params.nearMedia.map(resolveNearMedia))
     nearResolved.foreach { nv =>
-      require(params.objectLimit.isDefined || nv.distance.orElse(nv.certainty).isDefined,
-        "must provide certainty or objectLimit with vector search" /* traverser_aggregate.go:74 */)
+      // verbatim reference text, no require() prefix (traverser_aggregate.go:74)
+      if (!(params.objectLimit.isDefined || nv.distance.orElse(nv.certainty).isDefined))
+        throw new IllegalArgumentException(
+          "must provide certainty or objectLimit with vector search")
     }
     // hybrid gets the same gate: without objectLimit the aggregation would
     // silently run unscoped over the whole filtered collection (reference:

@@ -70,12 +70,14 @@ object Aggregations {
         case Aggregator.Type =>
           val t = c.schema.property(prop).map(_.dataType.name).getOrElse(
             throw new IllegalArgumentException(s"unknown property $prop"))
-          first(lit(t)).as(s"${prop}_type")
+          // schema lookups answer even over an EMPTY result set (the
+          // reference's matrix asserts pointingTo/type on no-result arms)
+          coalesce(first(lit(t)), lit(t)).as(s"${prop}_type")
         case Aggregator.PointingTo =>
           val target = c.schema.property(prop).flatMap(_.refTarget).getOrElse(
             throw new IllegalArgumentException(
               s"pointingTo requires a cref property, $prop is not one"))
-          first(lit(target)).as(s"${prop}_pointingTo")
+          coalesce(first(lit(target)), lit(target)).as(s"${prop}_pointingTo")
         case a => aggColumn(col(prop), a, s"${prop}_${a.name}", isArr)
       }
     }
@@ -91,7 +93,8 @@ object Aggregations {
    * over the flattened element multiset). Median/mode over arrays are not
    * expressible as a single agg column — unsupported, loudly. */
   private def aggColumnArray(c: Column, a: Aggregator): Column = a match {
-    case Aggregator.Count => sum(coalesce(size(c), lit(0)))
+    // element count is 0 over an empty/all-null set, like the scalar count
+    case Aggregator.Count => coalesce(sum(coalesce(size(c), lit(0))), lit(0L))
     case Aggregator.Sum   => sum(aggregate(c, lit(0.0), (acc, x) => acc + x.cast("double")))
     case Aggregator.Mean  =>
       sum(aggregate(c, lit(0.0), (acc, x) => acc + x.cast("double"))) /

@@ -116,6 +116,22 @@ class CitiesFixtureSpec extends SparkSpecBase {
       """{ Get { City(nearText: {concepts: ["Berlin"] certainty: 0.7}
         |  sort: [{path: ["population"] order: desc}]) { name } } }""".stripMargin) ==
       Seq("Berlin", "Amsterdam", "Dusseldorf", "Rotterdam", "∅"))
+    // limit 2 bounds the SEARCH page (top-2 by distance: Berlin, Amsterdam)
+    // BEFORE the sort reorders it — sort_test.go:830-976 pins this pipeline
+    assert(names(
+      """{ Get { City(nearText: {concepts: ["Berlin"] distance: 0.6}
+        |  sort: [{path: ["name"] order: asc}] limit: 2) { name } } }""".stripMargin) ==
+      Seq("Amsterdam", "Berlin"))
+    assert(names(
+      """{ Get { City(nearText: {concepts: ["Berlin"] certainty: 0.7}
+        |  sort: [{path: ["population"] order: asc}] limit: 2) { name } } }""".stripMargin) ==
+      Seq("Amsterdam", "Berlin"))
+    // population ties among the radius page break by SEARCH RANK
+    // (Dusseldorf nearer "Berlin" than Rotterdam), sort_test.go:708-719
+    assert(names(
+      """{ Get { City(nearText: {concepts: ["Berlin"] distance: 0.6}
+        |  sort: [{path: ["population"] order: asc}]) { name } } }""".stripMargin) ==
+      Seq("∅", "Dusseldorf", "Rotterdam", "Amsterdam", "Berlin"))
     // where isCapital + "Amsterdam" within 0.6, limit 2
     assert(names(
       """{ Get { City(where: {valueBoolean: true, operator: Equal, path: ["isCapital"]}
