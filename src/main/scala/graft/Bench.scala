@@ -109,6 +109,22 @@ object Bench {
     }
     val p1 = p1t.map { case (k, (v, _)) => k -> v }
     val p2 = p2t.map { case (k, (v, _)) => k -> v }
+    // ISOLATED re-run of the top-10 slowest: in-suite timings inflate
+    // individual queries up to ~3.8x through accumulated GC/storage pressure
+    // (the round-12 adjudication: q_compose_search 0.71 s solo vs 2.69 s
+    // in-suite on identical code) — movers are judged on these solo numbers.
+    // Each query runs twice after a GC breather, min kept.
+    val top10 = results.sortBy(-_._2).take(10).map(_._1)
+    val isolated: Seq[(String, Double)] = top10.map { name =>
+      val fn = SparkEntry.queries(name)
+      System.gc()
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> math.min(once(), once())
+    }
     // 3-decimal rounding keeps the artifact line short; per-pass variance is
     // carried as per-pass TOTALS on the headline line, with the full per-pass
     // per-query maps on their OWN lines — the r7 lesson: the capture layer
@@ -163,7 +179,9 @@ object Bench {
         .mkString(""","errors":{""", ",", "}")
     def r4(x: Double): Double = math.rint(x * 10000) / 10000
     val boxJson = s""","box_cal_p1":${r4(cal1)},"box_cal_p2":${r4(cal2)},"box_factor":${r4(math.min(cal1, cal2) / boxRef)}"""
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","total_p1":${tot(p1)},"total_p2":${tot(p2)}$boxJson$errJson,"queries":$qs,"queries_p1":${obj(p1)},"queries_p2":${obj(p2)}}"""
+    val isoJson = isolated
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","total_p1":${tot(p1)},"total_p2":${tot(p2)}$boxJson$errJson,"isolated":$isoJson,"queries":$qs,"queries_p1":${obj(p1)},"queries_p2":${obj(p2)}}"""
     // a SPARK_GRAFT_ONLY subset run must not clobber the last FULL-run
     // record — "BENCH_SELF.json exists" has to keep meaning "all queries"
     val selfFile =
@@ -172,6 +190,7 @@ object Bench {
       java.nio.file.Paths.get(selfFile),
       (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
+    println(s"""{"isolated_top10":$isoJson}""")
     println(mapLine)
     println(s"""{"metric":"total","value":$total,"unit":"sec","total_p1":${tot(p1)},"total_p2":${tot(p2)}$boxJson,"n":${results.size},"n_errors":${passErrors.size}$errJson,"keys":"$keyDesc","full":"$selfFile"}""")
     spark.stop()

@@ -200,8 +200,28 @@ object ScaleProfile {
       return
     }
 
+    // reply-encoder arm: the driver-side searchReply encode is bounded by
+    // the PAGE (never the collection) — page size grows with the corpus here
+    // (n/3 rows), so a linear fit proves O(page) wall time, and the encode
+    // runs under the default QueryMaximumResults cap that bounds the collect
+    def wireEncode(docs: DataFrame): Long = {
+      import graft.model._
+      val gg = new graft.engine.Graft(spark)
+      gg.register(CollectionSchema("ScaleWire", "doc_id", Seq(
+        Property("lang", PropType.Text, Tokenization.Field))),
+        docs.select(col("doc_id"), col("lang")))
+      // n/30 keeps BOTH page sizes under the default QueryMaximumResults
+      // cap at sf0.1 (the cap itself is what bounds the collect)
+      val page = math.max(1, (docs.count() / 30).toInt)
+      val params = GetParams("ScaleWire", properties = Seq("lang"),
+        additional = Set("id"),
+        pagination = Some(Pagination(limit = page)))
+      graft.engine.WireEncoder.searchReply(gg.get(params), params, took = 0.0).length.toLong
+    }
+
     val pipelines: Seq[(String, (DataFrame, String) => Long)] = Seq(
       "edit_join" -> ((d, _) => edit(d)), "minhash" -> ((d, _) => minhash(d)),
+      "wire_encode" -> ((d, _) => wireEncode(d)),
       "bloom_membership" -> ((d, _) => bloom(d)),
       "curate_chain" -> ((d, _) => curate(d)),
       "tfidf" -> ((d, _) => tfidf(d)),

@@ -16,10 +16,13 @@ import graft.model._
  * The document parser is a small hand-rolled lexer + recursive descent over
  * the GraphQL-spec query-document subset the reference's API surface uses:
  * one operation, fields with argument literals (Int/Float/String/Boolean/
- * Enum/List/InputObject), selection sets, and inline fragments
- * (`... on Class`) for cross-reference properties. Variables, directives,
- * aliases and fragment definitions are rejected loudly — the reference's
- * clients inline argument literals.
+ * Enum/List/InputObject), selection sets, inline fragments
+ * (`... on Class`) for cross-reference properties, operation VARIABLES
+ * (`query ($x: Float!) { ... }` + a variables JSON object, typed per the
+ * declaration with graphql-go's enum coercion and missing-variable error
+ * text), and field ALIASES (`alias: field`, surfaced as output renames —
+ * see [[applyAliases]]). Directives and named fragment definitions are
+ * rejected loudly — the reference's clients do not send them.
  *
  * Argument semantics and error texts follow the reference's extraction
  * layer verbatim:
@@ -58,8 +61,11 @@ object GraphQL {
   }
 
   sealed trait GSel
-  final case class GField(name: String, args: List[(String, GVal)], sel: List[GSel]) extends GSel {
+  final case class GField(name: String, args: List[(String, GVal)], sel: List[GSel],
+      alias: Option[String] = None) extends GSel {
     def arg(name: String): Option[GVal] = args.collectFirst { case (`name`, v) => v }
+    /** The reply key: the alias when given, else the field name (spec §2.7). */
+    def outputName: String = alias.getOrElse(name)
   }
   final case class GInlineFrag(onType: String, sel: List[GSel]) extends GSel
 
@@ -81,8 +87,11 @@ object GraphQL {
   // Lexer + recursive-descent parser
   // ==========================================================================
 
-  private final class Parser(src: String) {
+  private final class Parser(src: String, varValues: Map[String, GVal] = Map.empty) {
     private var i = 0
+    // $name → value, populated from the operation's variable definitions
+    // (declared type + provided value/default); reads happen in value()
+    private var resolvedVars = Map.empty[String, GVal]
 
     private def ws(): Unit = {
       while (i < src.length) {
@@ -183,7 +192,10 @@ object GraphQL {
         }
         expect('}')
         GObj(fields.result())
-      case '$' => fail("graphql parse: variables are not supported - inline the value")
+      case '$' =>
+        expect('$')
+        val vn = name()
+        resolvedVars.getOrElse(vn, fail(s"""Variable "$$$vn" is not defined."""))
       case c if c == '-' || c.isDigit => ws(); number()
       case c if isNameStart(c) =>
         name() match {
@@ -217,10 +229,12 @@ object GraphQL {
         GInlineFrag(tpe, selectionSet())
       } else {
         val n = name()
-        if (peek() == ':') fail(s"graphql parse: field aliases are not supported ('$n:')")
+        // `alias: field` (GraphQL spec §2.7) — the alias becomes the reply key
+        val (alias, fieldName) =
+          if (peek() == ':') { i += 1; (Some(n), name()) } else (None, n)
         val args = arguments()
         val sel = if (peek() == '{') selectionSet() else Nil
-        GField(n, args, sel)
+        GField(fieldName, args, sel, alias)
       }
     }
 
@@ -230,6 +244,56 @@ object GraphQL {
       while (peek() != '}') sels += selection()
       expect('}')
       sels.result()
+    }
+
+    /** `($x: Type = default, ...)` — the operation's variable definitions.
+     * Each declared variable resolves, in spec order, to: the provided
+     * value (string values coerce to enum names when the declared base
+     * type is not a built-in scalar, like graphql-go's variable coercion),
+     * else the declared default, else null — unless the type is non-null,
+     * which is the reference's missing-variable error. */
+    private def variableDefinitions(): Unit = {
+      expect('(')
+      while (peek() != ')') {
+        expect('$')
+        val vn = name()
+        expect(':')
+        val tStart = { ws(); i }
+        val (baseType, nonNull) = typeRef()
+        val typeText = src.substring(tStart, i)
+        val default = if (peek() == '=') { i += 1; Some(value()) } else None
+        val scalarBases = Set("Int", "Float", "String", "Boolean", "ID")
+        def coerce(v: GVal): GVal = v match {
+          case GStr(sv) if !scalarBases.contains(baseType) => GEnum(sv)
+          case GList(xs) => GList(xs.map(coerce))
+          case other => other
+        }
+        val resolved = varValues.get(vn).map(coerce).orElse(default).getOrElse {
+          if (nonNull)
+            fail(s"""Variable "$$$vn" of required type "$typeText" was not provided.""")
+          GNull
+        }
+        resolvedVars += vn -> resolved
+      }
+      expect(')')
+    }
+
+    /** Type reference `Name | [Type] | Type!` → (base name, top non-null). */
+    private def typeRef(): (String, Boolean) = {
+      ws()
+      if (peek() == '[') {
+        expect('[')
+        val (base, _) = typeRef()
+        expect(']')
+        val nn = peek() == '!'
+        if (nn) i += 1
+        (base, nn)
+      } else {
+        val n = name()
+        val nn = peek() == '!'
+        if (nn) i += 1
+        (n, nn)
+      }
     }
 
     /** Parse a query document: optional `query [Name]` header + one
@@ -242,7 +306,7 @@ object GraphQL {
           fail(s"graphql parse: unsupported operation type '$kw' (only queries)")
         ws()
         if (i < src.length && isNameStart(src.charAt(i))) name() // operation name
-        if (peek() == '(') fail("graphql parse: variables are not supported - inline the value")
+        if (peek() == '(') variableDefinitions()
       }
       val sels = selectionSet()
       ws()
@@ -640,7 +704,8 @@ object GraphQL {
       generate: Option[GenerateParams],
       summary: Option[SummaryParams],
       ner: Option[NerParams],
-      featureProjection: Option[FeatureProjectionParams])
+      featureProjection: Option[FeatureProjectionParams],
+      aliases: Seq[(String, String)] = Nil)
 
   private def decodeGetSelection(sel: List[GSel]): SelectionDecode = {
     var props = Vector.empty[String]
@@ -651,6 +716,9 @@ object GraphQL {
     var summary: Option[SummaryParams] = None
     var ner: Option[NerParams] = None
     var fp: Option[FeatureProjectionParams] = None
+    // alias → the served column it re-keys (spec §2.7; reply keys use the
+    // alias). Refs resolve into `<prop>_resolved`, so that is the source.
+    var aliases = Vector.empty[(String, String)]
 
     sel.foreach {
       case GInlineFrag(_, _) =>
@@ -705,18 +773,26 @@ object GraphQL {
         }
       case f: GField if f.name == "__typename" => ()
       case f: GField =>
-        if (f.sel.isEmpty) props :+= f.name
-        else {
+        if (f.sel.isEmpty) {
+          props :+= f.name
+          f.alias.foreach(a => aliases :+= a -> f.name)
+        } else {
           // object prop (geo/phone sub-fields) vs cross-reference (inline frags)
           val isObject = f.sel.exists {
             case sub: GField => isObjectSubField(sub.name)
             case _ => false
           }
-          if (isObject) props :+= f.name
-          else { refs :+= f.name; props :+= f.name }
+          if (isObject) {
+            props :+= f.name
+            f.alias.foreach(a => aliases :+= a -> f.name)
+          } else {
+            refs :+= f.name; props :+= f.name
+            f.alias.foreach(a => aliases :+= a -> s"${f.name}_resolved")
+          }
         }
     }
-    SelectionDecode(props, refs, additional, rerank, generate, summary, ner, fp)
+    SelectionDecode(props, refs, additional, rerank, generate, summary, ner, fp,
+      aliases)
   }
 
   // ==========================================================================
@@ -728,28 +804,65 @@ object GraphQL {
    * the result page, so it travels NEXT TO GetParams. */
   final case class GqlGroup(strategy: String, force: Double)
 
-  final case class GqlGet(params: GetParams, group: Option[GqlGroup])
+  final case class GqlGet(params: GetParams, group: Option[GqlGroup],
+      aliases: Seq[(String, String)] = Nil)
 
   /** Decode a Get document into GetParams. The legacy `group` argument maps
    * onto the page-level MergeGrouper operator, which GetParams cannot carry
    * — use [[getFull]] for documents that set it; silently serving the
    * ungrouped page would diverge from the reference. */
-  def get(g: Graft, doc: String): GetParams = {
-    val full = getFull(g, doc)
+  def get(g: Graft, doc: String): GetParams = get(g, doc, "")
+
+  /** `variables` is the request's variables member as a JSON object string
+   * (the reference hands it to execution as VariableValues,
+   * adapters/handlers/graphql/schema.go:81); "" = none. */
+  def get(g: Graft, doc: String, variables: String): GetParams = {
+    val full = getFull(g, doc, variables)
     if (full.group.isDefined)
       fail("graphql: the legacy 'group' argument needs GraphQL.getFull - " +
         "the grouping runs over the served page (operators/MergeGrouper)")
     full.params
   }
 
-  def getFull(g: Graft, doc: String): GqlGet = {
-    val (name, classField) = rootField(doc)
+  def getFull(g: Graft, doc: String): GqlGet = getFull(g, doc, "")
+
+  def getFull(g: Graft, doc: String, variables: String): GqlGet = {
+    val (name, classField) = rootField(doc, variables)
     if (name != "Get") fail(s"graphql: expected a Get query, got '$name'")
     decodeGetClass(g, classField)
   }
 
-  private def rootField(doc: String): (String, GField) = {
-    val root = new Parser(doc).document()
+  /** The variables JSON object → name-keyed GraphQL values. */
+  private def parseVariables(variables: String): Map[String, GVal] =
+    if (variables == null || variables.trim.isEmpty) Map.empty
+    else org.json4s.jackson.JsonMethods.parse(variables) match {
+      case JObject(fields) => fields.map { case (k, v) => k -> jsonToGVal(v) }.toMap
+      case other => fail(s"graphql: variables must be a JSON object, got $other")
+    }
+
+  private def jsonToGVal(j: JValue): GVal = j match {
+    case JInt(x) => GInt(x.toLong)
+    case JLong(x) => GInt(x)
+    case JDouble(x) => GFloat(x)
+    case JDecimal(x) => GFloat(x.toDouble)
+    case JString(x) => GStr(x)
+    case JBool(x) => GBool(x)
+    case JNull | JNothing => GNull
+    case JArray(xs) => GList(xs.map(jsonToGVal))
+    case o: JObject => GObj(o.obj.map { case (k, v) => k -> jsonToGVal(v) })
+    case other => fail(s"graphql: unsupported variable value $other")
+  }
+
+  /** Re-key alias'd selections on a served page: each alias column aliases
+   * its field's output (duplicates fine — two aliases can select the same
+   * property, which a plain rename could not express). */
+  def applyAliases(df: org.apache.spark.sql.DataFrame,
+                   aliases: Seq[(String, String)]): org.apache.spark.sql.DataFrame =
+    aliases.foldLeft(df) { case (d, (a, src)) =>
+      d.withColumn(a, org.apache.spark.sql.functions.col(src)) }
+
+  private def rootField(doc: String, variables: String = ""): (String, GField) = {
+    val root = new Parser(doc, parseVariables(variables)).document()
     root match {
       case List(top: GField) =>
         top.sel match {
@@ -889,7 +1002,7 @@ object GraphQL {
       ask = ask,
       ner = sd.ner,
       featureProjection = sd.featureProjection)
-    GqlGet(params, group)
+    GqlGet(params, group, sd.aliases)
   }
 
   // ==========================================================================
@@ -943,13 +1056,23 @@ object GraphQL {
   // Aggregate
   // ==========================================================================
 
-  def aggregate(g: Graft, doc: String): AggregateParams = {
-    val (name, classField) = rootField(doc)
+  def aggregate(g: Graft, doc: String): AggregateParams = aggregate(g, doc, "")
+
+  def aggregate(g: Graft, doc: String, variables: String): AggregateParams =
+    aggregateFull(g, doc, variables).params
+
+  /** Aggregate params plus the alias → output-column renames of alias'd
+   * prop selections (expanded per aggregator: `alias_count` ← `prop_count`),
+   * applied to the served frame with [[applyAliases]]. */
+  final case class GqlAggregate(params: AggregateParams, aliases: Seq[(String, String)])
+
+  def aggregateFull(g: Graft, doc: String, variables: String = ""): GqlAggregate = {
+    val (name, classField) = rootField(doc, variables)
     if (name != "Aggregate") fail(s"graphql: expected an Aggregate query, got '$name'")
     decodeAggregateClass(g, classField)
   }
 
-  private def decodeAggregateClass(g: Graft, cls: GField): AggregateParams = {
+  private def decodeAggregateClass(g: Graft, cls: GField): GqlAggregate = {
     val collection = cls.name
     g.collection(collection)
 
@@ -1003,6 +1126,7 @@ object GraphQL {
     // selection set → aggregators (resolver.go:196-262)
     var includeMeta = false
     var props = Map.empty[String, Seq[Aggregator]]
+    var aliases = Vector.empty[(String, String)]
     cls.sel.foreach {
       case f: GField if f.name == "groupedBy" || f.name == "__typename" => ()
       case f: GField if f.name == "meta" => includeMeta = true
@@ -1014,11 +1138,15 @@ object GraphQL {
           catch { case e: WireError =>
             fail(s"could not extract properties for class '$collection': ${e.getMessage}") }
         }
-        props += prop -> aggs
+        // an alias'd prop selection MERGES aggregators with the plain one
+        // (the served columns stay prop-keyed) and re-keys its own per-agg
+        // output columns under the alias
+        f.alias.foreach(a => aliases ++= aggs.map(ag => s"${a}_${ag.name}" -> s"${prop}_${ag.name}"))
+        props += prop -> (props.getOrElse(prop, Nil) ++ aggs).distinct
       case _ => fail("graphql: Aggregate selections must be fields")
     }
 
-    AggregateParams(
+    GqlAggregate(AggregateParams(
       collection = collection,
       groupBy = groupBy,
       properties = props,
@@ -1030,7 +1158,7 @@ object GraphQL {
       hybrid = hybrid,
       objectLimit = objectLimit,
       limit = limit,
-      tenant = tenant)
+      tenant = tenant), aliases)
   }
 
   /** entities/aggregation/params.go ParseAggregatorProp; topOccurrences

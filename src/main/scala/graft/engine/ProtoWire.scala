@@ -1,0 +1,421 @@
+package graft.engine
+
+import org.json4s._
+
+import graft.model.GetParams
+
+/**
+ * Binary protobuf transport for the gRPC `SearchRequest` — the byte shape a
+ * real weaviate gRPC client puts on the wire (grpc/proto/v1/search_get.proto
+ * + base.proto + base_search.proto). The engine's [[WireDecoder.decodeSearch]]
+ * consumes the protojson rendition; this module closes the remaining gap by
+ * reading proto wire format (varint / fixed64 / length-delimited / fixed32,
+ * packed repeated scalars, nested messages, maps, oneofs-as-fields) against
+ * hand-authored descriptors of the reference's message subset and emitting
+ * exactly that protojson JValue — one decode path, two transports.
+ *
+ * The container has no protobuf-java (offline resolver), so the wire codec
+ * is hand-rolled from the public protobuf encoding spec; a symmetric writer
+ * (same descriptors) authors byte-exact fixtures for the gates/specs.
+ */
+object ProtoWire {
+
+  import WireDecoder.WireError
+  private def fail(msg: String): Nothing = throw new WireError(msg)
+
+  // ==========================================================================
+  // Descriptors
+  // ==========================================================================
+
+  sealed trait FType
+  case object TString extends FType
+  case object TBytes extends FType            // → base64 string (protojson)
+  case object TBool extends FType
+  case object TInt32 extends FType            // int32/uint32/sint-less varint
+  case object TInt64 extends FType            // int64/uint64 varint
+  case object TDouble extends FType           // fixed64
+  case object TFloat extends FType            // fixed32
+  final case class TEnum(values: Map[Int, String]) extends FType
+  final case class TMsg(name: String) extends FType
+  /** map<string, bytes>-style entry (key field 1, value field 2). */
+  final case class TMap(value: FType) extends FType
+
+  final case class FieldSpec(name: String, tpe: FType, repeated: Boolean = false)
+  type Msg = Map[Int, FieldSpec]
+
+  private def f(n: Int, name: String, t: FType, rep: Boolean = false): (Int, FieldSpec) =
+    n -> FieldSpec(name, t, rep)
+
+  private val filtersOperator = TEnum(Map(
+    0 -> "OPERATOR_UNSPECIFIED", 1 -> "OPERATOR_EQUAL", 2 -> "OPERATOR_NOT_EQUAL",
+    3 -> "OPERATOR_GREATER_THAN", 4 -> "OPERATOR_GREATER_THAN_EQUAL",
+    5 -> "OPERATOR_LESS_THAN", 6 -> "OPERATOR_LESS_THAN_EQUAL",
+    7 -> "OPERATOR_AND", 8 -> "OPERATOR_OR", 9 -> "OPERATOR_WITHIN_GEO_RANGE",
+    10 -> "OPERATOR_LIKE", 11 -> "OPERATOR_IS_NULL", 12 -> "OPERATOR_CONTAINS_ANY",
+    13 -> "OPERATOR_CONTAINS_ALL", 14 -> "OPERATOR_CONTAINS_NONE", 15 -> "OPERATOR_NOT"))
+
+  private val fusionType = TEnum(Map(
+    0 -> "FUSION_TYPE_UNSPECIFIED", 1 -> "FUSION_TYPE_RANKED", 2 -> "FUSION_TYPE_RELATIVE_SCORE"))
+
+  private val combinationMethod = TEnum(Map(
+    0 -> "COMBINATION_METHOD_UNSPECIFIED", 1 -> "COMBINATION_METHOD_TYPE_SUM",
+    2 -> "COMBINATION_METHOD_TYPE_MIN", 3 -> "COMBINATION_METHOD_TYPE_AVERAGE",
+    4 -> "COMBINATION_METHOD_TYPE_RELATIVE_SCORE", 5 -> "COMBINATION_METHOD_TYPE_MANUAL"))
+
+  private val searchOperator = TEnum(Map(
+    0 -> "OPERATOR_UNSPECIFIED", 1 -> "OPERATOR_OR", 2 -> "OPERATOR_AND"))
+
+  private val vectorType = TEnum(Map(
+    0 -> "VECTOR_TYPE_UNSPECIFIED", 1 -> "VECTOR_TYPE_SINGLE_FP32", 2 -> "VECTOR_TYPE_MULTI_FP32"))
+
+  /** The reference's message subset, field numbers verbatim from the protos. */
+  val messages: Map[String, Msg] = Map(
+    "SearchRequest" -> Map(
+      f(1, "collection", TString), f(10, "tenant", TString),
+      f(20, "properties", TMsg("PropertiesRequest")),
+      f(21, "metadata", TMsg("MetadataRequest")),
+      f(22, "group_by", TMsg("GroupBy")),
+      f(30, "limit", TInt32), f(31, "offset", TInt32), f(32, "autocut", TInt32),
+      f(33, "after", TString),
+      f(34, "sort_by", TMsg("SortBy"), rep = true),
+      f(40, "filters", TMsg("Filters")),
+      f(41, "hybrid_search", TMsg("Hybrid")),
+      f(42, "bm25_search", TMsg("BM25")),
+      f(43, "near_vector", TMsg("NearVector")),
+      f(44, "near_object", TMsg("NearObject")),
+      f(45, "near_text", TMsg("NearTextSearch")),
+      f(100, "uses_123_api", TBool), f(101, "uses_125_api", TBool),
+      f(102, "uses_127_api", TBool)),
+    "PropertiesRequest" -> Map(
+      f(1, "non_ref_properties", TString, rep = true),
+      f(2, "ref_properties", TMsg("RefPropertiesRequest"), rep = true),
+      f(3, "object_properties", TMsg("ObjectPropertiesRequest"), rep = true),
+      f(11, "return_all_nonref_properties", TBool)),
+    "RefPropertiesRequest" -> Map(
+      f(1, "reference_property", TString),
+      f(2, "properties", TMsg("PropertiesRequest")),
+      f(3, "metadata", TMsg("MetadataRequest")),
+      f(4, "target_collection", TString)),
+    "ObjectPropertiesRequest" -> Map(
+      f(1, "prop_name", TString),
+      f(2, "primitive_properties", TString, rep = true),
+      f(3, "object_properties", TMsg("ObjectPropertiesRequest"), rep = true)),
+    "MetadataRequest" -> Map(
+      f(1, "uuid", TBool), f(2, "vector", TBool), f(3, "creation_time_unix", TBool),
+      f(4, "last_update_time_unix", TBool), f(5, "distance", TBool),
+      f(6, "certainty", TBool), f(7, "score", TBool), f(8, "explain_score", TBool),
+      f(9, "is_consistent", TBool), f(10, "vectors", TString, rep = true)),
+    "GroupBy" -> Map(
+      f(1, "path", TString, rep = true),
+      f(2, "number_of_groups", TInt32), f(3, "objects_per_group", TInt32)),
+    "SortBy" -> Map(
+      f(1, "ascending", TBool), f(2, "path", TString, rep = true)),
+    "Filters" -> Map(
+      f(1, "operator", filtersOperator),
+      f(2, "on", TString, rep = true),
+      f(3, "filters", TMsg("Filters"), rep = true),
+      f(4, "value_text", TString), f(5, "value_int", TInt64),
+      f(6, "value_boolean", TBool), f(7, "value_number", TDouble),
+      f(9, "value_text_array", TMsg("TextArray")),
+      f(10, "value_int_array", TMsg("IntArray")),
+      f(11, "value_boolean_array", TMsg("BooleanArray")),
+      f(12, "value_number_array", TMsg("NumberArray")),
+      f(13, "value_geo", TMsg("GeoCoordinatesFilter")),
+      f(20, "target", TMsg("FilterTarget"))),
+    "FilterTarget" -> Map(
+      f(1, "property", TString),
+      f(2, "single_target", TMsg("FilterReferenceSingleTarget")),
+      f(3, "multi_target", TMsg("FilterReferenceMultiTarget")),
+      f(4, "count", TMsg("FilterReferenceCount"))),
+    "FilterReferenceSingleTarget" -> Map(
+      f(1, "on", TString), f(2, "target", TMsg("FilterTarget"))),
+    "FilterReferenceMultiTarget" -> Map(
+      f(1, "on", TString), f(2, "target", TMsg("FilterTarget")),
+      f(3, "target_collection", TString)),
+    "FilterReferenceCount" -> Map(f(1, "on", TString)),
+    "GeoCoordinatesFilter" -> Map(
+      f(1, "latitude", TFloat), f(2, "longitude", TFloat), f(3, "distance", TFloat)),
+    "TextArray" -> Map(f(1, "values", TString, rep = true)),
+    "IntArray" -> Map(f(1, "values", TInt64, rep = true)),
+    "NumberArray" -> Map(f(1, "values", TDouble, rep = true)),
+    "BooleanArray" -> Map(f(1, "values", TBool, rep = true)),
+    "Targets" -> Map(
+      f(1, "target_vectors", TString, rep = true),
+      f(2, "combination", combinationMethod),
+      f(4, "weights_for_targets", TMsg("WeightsForTarget"), rep = true)),
+    "WeightsForTarget" -> Map(f(1, "target", TString), f(2, "weight", TFloat)),
+    "VectorForTarget" -> Map(
+      f(1, "name", TString), f(2, "vector_bytes", TBytes),
+      f(3, "vectors", TMsg("Vectors"), rep = true)),
+    "Vectors" -> Map(
+      f(1, "name", TString), f(2, "index", TInt64), f(3, "vector_bytes", TBytes),
+      f(4, "type", vectorType)),
+    "SearchOperatorOptions" -> Map(
+      f(1, "operator", searchOperator), f(2, "minimum_or_tokens_match", TInt32)),
+    "BM25" -> Map(
+      f(1, "query", TString), f(2, "properties", TString, rep = true),
+      f(3, "search_operator", TMsg("SearchOperatorOptions"))),
+    "Hybrid" -> Map(
+      f(1, "query", TString), f(2, "properties", TString, rep = true),
+      f(3, "vector", TFloat, rep = true), f(4, "alpha", TFloat),
+      f(5, "fusion_type", fusionType), f(6, "vector_bytes", TBytes),
+      f(7, "target_vectors", TString, rep = true),
+      f(8, "near_text", TMsg("NearTextSearch")),
+      f(9, "near_vector", TMsg("NearVector")),
+      f(10, "targets", TMsg("Targets")),
+      f(11, "bm25_search_operator", TMsg("SearchOperatorOptions")),
+      f(12, "alpha_param", TFloat), f(13, "use_alpha_param", TBool),
+      f(20, "vector_distance", TDouble),
+      f(21, "vectors", TMsg("Vectors"), rep = true)),
+    "NearVector" -> Map(
+      f(1, "vector", TFloat, rep = true), f(2, "certainty", TDouble),
+      f(3, "distance", TDouble), f(4, "vector_bytes", TBytes),
+      f(5, "target_vectors", TString, rep = true), f(6, "targets", TMsg("Targets")),
+      f(7, "vector_per_target", TMap(TBytes)),
+      f(8, "vector_for_targets", TMsg("VectorForTarget"), rep = true),
+      f(9, "vectors", TMsg("Vectors"), rep = true)),
+    "NearObject" -> Map(
+      f(1, "id", TString), f(2, "certainty", TDouble), f(3, "distance", TDouble),
+      f(4, "target_vectors", TString, rep = true), f(5, "targets", TMsg("Targets"))),
+    "NearTextSearch" -> Map(
+      f(1, "query", TString, rep = true), f(2, "certainty", TDouble),
+      f(3, "distance", TDouble), f(4, "move_to", TMsg("Move")),
+      f(5, "move_away", TMsg("Move")),
+      f(6, "target_vectors", TString, rep = true), f(7, "targets", TMsg("Targets"))),
+    "Move" -> Map(
+      f(1, "force", TFloat), f(2, "concepts", TString, rep = true),
+      f(3, "uuids", TString, rep = true)))
+
+  // ==========================================================================
+  // Wire reader → protojson JValue
+  // ==========================================================================
+
+  private final class Reader(buf: Array[Byte], var pos: Int, val end: Int) {
+    def hasMore: Boolean = pos < end
+    def varint(): Long = {
+      var shift = 0; var out = 0L
+      while (true) {
+        if (pos >= end) fail("proto: truncated varint")
+        val b = buf(pos); pos += 1
+        out |= (b & 0x7fL) << shift
+        if ((b & 0x80) == 0) return out
+        shift += 7
+        if (shift > 63) fail("proto: varint too long")
+      }
+      out
+    }
+    def fixed32(): Int = {
+      if (pos + 4 > end) fail("proto: truncated fixed32")
+      val v = (buf(pos) & 0xff) | ((buf(pos + 1) & 0xff) << 8) |
+        ((buf(pos + 2) & 0xff) << 16) | ((buf(pos + 3) & 0xff) << 24)
+      pos += 4; v
+    }
+    def fixed64(): Long = {
+      var v = 0L
+      if (pos + 8 > end) fail("proto: truncated fixed64")
+      var i = 0
+      while (i < 8) { v |= (buf(pos + i) & 0xffL) << (8 * i); i += 1 }
+      pos += 8; v
+    }
+    def bytes(n: Int): Array[Byte] = {
+      if (pos + n > end) fail("proto: truncated length-delimited field")
+      val out = java.util.Arrays.copyOfRange(buf, pos, pos + n)
+      pos += n; out
+    }
+  }
+
+  /** Decode `bytes` as the named message → protojson-shaped JValue
+   * (snake_case field names — [[WireDecoder]]'s field access normalizes
+   * case; enums as their NAME strings; bytes base64; int64 as JLong). */
+  def read(bytes: Array[Byte], message: String): JValue =
+    readMsg(new Reader(bytes, 0, bytes.length), message)
+
+  private def scalarOf(tpe: FType, r: Reader, wireType: Int): JValue = tpe match {
+    case TString => JString(new String(r.bytes(r.varint().toInt), "UTF-8"))
+    case TBytes => JString(java.util.Base64.getEncoder.encodeToString(r.bytes(r.varint().toInt)))
+    case TBool => JBool(r.varint() != 0L)
+    case TInt32 | TInt64 => JLong(r.varint())
+    case TDouble => JDouble(java.lang.Double.longBitsToDouble(r.fixed64()))
+    case TFloat => JDouble(java.lang.Float.intBitsToFloat(r.fixed32()).toDouble)
+    case TEnum(values) =>
+      val n = r.varint().toInt
+      JString(values.getOrElse(n, n.toString))
+    case other => fail(s"proto: $other is not a scalar")
+  }
+
+  /** Wire type a scalar field uses when NOT packed. */
+  private def wireTypeOf(tpe: FType): Int = tpe match {
+    case TString | TBytes | TMsg(_) | TMap(_) => 2
+    case TDouble => 1
+    case TFloat => 5
+    case _ => 0 // varint family
+  }
+
+  private def readMsg(r: Reader, message: String): JValue = {
+    val spec = messages.getOrElse(message, fail(s"proto: unknown message $message"))
+    val acc = scala.collection.mutable.LinkedHashMap.empty[String, JValue]
+    while (r.hasMore) {
+      val tag = r.varint()
+      val fieldNo = (tag >> 3).toInt
+      val wt = (tag & 0x7).toInt
+      spec.get(fieldNo) match {
+        case None =>
+          // unknown fields skip per wire type (forward compatibility)
+          wt match {
+            case 0 => r.varint()
+            case 1 => r.fixed64()
+            case 2 => r.bytes(r.varint().toInt)
+            case 5 => r.fixed32()
+            case other => fail(s"proto: unsupported wire type $other for unknown field $fieldNo")
+          }
+        case Some(fs) =>
+          def append(v: JValue): Unit =
+            if (fs.repeated) acc(fs.name) = acc.get(fs.name) match {
+              case Some(JArray(xs)) => JArray(xs :+ v)
+              case _ => JArray(List(v))
+            } else acc(fs.name) = v
+          fs.tpe match {
+            case TMsg(child) =>
+              if (wt != 2) fail(s"proto: message field ${fs.name} needs wire type 2, got $wt")
+              val body = r.bytes(r.varint().toInt)
+              append(readMsg(new Reader(body, 0, body.length), child))
+            case TMap(valueType) =>
+              if (wt != 2) fail(s"proto: map field ${fs.name} needs wire type 2, got $wt")
+              val body = r.bytes(r.varint().toInt)
+              val er = new Reader(body, 0, body.length)
+              var key = ""; var value: JValue = JNull
+              while (er.hasMore) {
+                val etag = er.varint()
+                (etag >> 3).toInt match {
+                  case 1 => key = new String(er.bytes(er.varint().toInt), "UTF-8")
+                  case 2 => value = scalarOf(valueType, er, (etag & 7).toInt)
+                  case _ => fail("proto: bad map entry")
+                }
+              }
+              acc(fs.name) = acc.get(fs.name) match {
+                case Some(JObject(kvs)) => JObject(kvs :+ (key -> value))
+                case _ => JObject(List(key -> value))
+              }
+            case scalar if fs.repeated && wt == 2 && wireTypeOf(scalar) != 2 =>
+              // packed repeated scalars (proto3 default)
+              val body = r.bytes(r.varint().toInt)
+              val pr = new Reader(body, 0, body.length)
+              while (pr.hasMore) append(scalarOf(scalar, pr, wireTypeOf(scalar)))
+            case scalar =>
+              append(scalarOf(scalar, r, wt))
+          }
+      }
+    }
+    JObject(acc.toList)
+  }
+
+  // ==========================================================================
+  // Wire writer (fixture author + round-trip proof) — same descriptors
+  // ==========================================================================
+
+  def write(jv: JValue, message: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    writeMsg(out, jv, message)
+    out.toByteArray
+  }
+
+  private def putVarint(out: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+    out.write(v.toInt)
+  }
+  private def putTag(out: java.io.ByteArrayOutputStream, fieldNo: Int, wt: Int): Unit =
+    putVarint(out, (fieldNo.toLong << 3) | wt)
+
+  private def scalarBytes(tpe: FType, v: JValue): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    tpe match {
+      case TBool => putVarint(out, if (v == JBool(true)) 1 else 0)
+      case TInt32 | TInt64 => putVarint(out, v match {
+        case JInt(i) => i.toLong; case JLong(l) => l
+        case JDouble(d) => d.toLong
+        case o => fail(s"proto write: expected int, got $o")
+      })
+      case TDouble =>
+        val bits = java.lang.Double.doubleToLongBits(v match {
+          case JDouble(d) => d; case JInt(i) => i.toDouble; case JLong(l) => l.toDouble
+          case o => fail(s"proto write: expected double, got $o")
+        })
+        var i = 0; while (i < 8) { out.write(((bits >> (8 * i)) & 0xff).toInt); i += 1 }
+      case TFloat =>
+        val bits = java.lang.Float.floatToIntBits((v match {
+          case JDouble(d) => d; case JInt(i) => i.toDouble; case JLong(l) => l.toDouble
+          case o => fail(s"proto write: expected float, got $o")
+        }).toFloat)
+        var i = 0; while (i < 4) { out.write((bits >> (8 * i)) & 0xff); i += 1 }
+      case TEnum(values) =>
+        val JString(name) = v: @unchecked
+        val n = values.collectFirst { case (k, `name`) => k }.getOrElse(
+          fail(s"proto write: unknown enum value $name"))
+        putVarint(out, n.toLong)
+      case other => fail(s"proto write: $other is not a varint/fixed scalar")
+    }
+    out.toByteArray
+  }
+
+  private def writeMsg(out: java.io.ByteArrayOutputStream, jv: JValue, message: String): Unit = {
+    val spec = messages.getOrElse(message, fail(s"proto write: unknown message $message"))
+    val byName = spec.map { case (n, fs) => fs.name -> ((n, fs)) }
+    val JObject(fields) = jv: @unchecked
+    fields.foreach { case (name, value) =>
+      if (value != JNull) {
+        val (no, fs) = byName.getOrElse(name, fail(s"proto write: unknown field $name in $message"))
+        def one(v: JValue): Unit = fs.tpe match {
+          case TMsg(child) =>
+            val body = new java.io.ByteArrayOutputStream()
+            writeMsg(body, v, child)
+            putTag(out, no, 2); putVarint(out, body.size().toLong); body.writeTo(out)
+          case TString =>
+            val JString(s) = v: @unchecked
+            val b = s.getBytes("UTF-8")
+            putTag(out, no, 2); putVarint(out, b.length.toLong); out.write(b)
+          case TBytes =>
+            val JString(s) = v: @unchecked
+            val b = java.util.Base64.getDecoder.decode(s)
+            putTag(out, no, 2); putVarint(out, b.length.toLong); out.write(b)
+          case TMap(valueType) => fail("proto write: use an object for map fields")
+          case scalar =>
+            putTag(out, no, wireTypeOf(scalar)); out.write(scalarBytes(scalar, v))
+        }
+        (fs.tpe, value) match {
+          case (TMap(valueType), JObject(kvs)) =>
+            kvs.foreach { case (k, v) =>
+              val body = new java.io.ByteArrayOutputStream()
+              putTag(body, 1, 2)
+              val kb = k.getBytes("UTF-8")
+              putVarint(body, kb.length.toLong); body.write(kb)
+              valueType match {
+                case TBytes =>
+                  val JString(s) = v: @unchecked
+                  val b = java.util.Base64.getDecoder.decode(s)
+                  putTag(body, 2, 2); putVarint(body, b.length.toLong); body.write(b)
+                case other =>
+                  putTag(body, 2, wireTypeOf(other)); body.write(scalarBytes(other, v))
+              }
+              putTag(out, no, 2); putVarint(out, body.size().toLong); body.writeTo(out)
+            }
+          case (_, JArray(xs)) if fs.repeated =>
+            fs.tpe match {
+              case TString | TBytes | TMsg(_) => xs.foreach(one)
+              case scalar =>
+                // packed (proto3 default for repeated numeric scalars)
+                val body = new java.io.ByteArrayOutputStream()
+                xs.foreach(v => body.write(scalarBytes(scalar, v)))
+                putTag(out, no, 2); putVarint(out, body.size().toLong); body.writeTo(out)
+            }
+          case _ => one(value)
+        }
+      }
+    }
+  }
+
+  /** Decode a binary `SearchRequest` into GetParams — the byte-transport
+   * twin of [[WireDecoder.search]]. */
+  def searchRequest(g: Graft, bytes: Array[Byte]): GetParams =
+    WireDecoder.decodeSearch(g, read(bytes, "SearchRequest"))
+}

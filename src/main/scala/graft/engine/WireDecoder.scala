@@ -1415,4 +1415,156 @@ object WireDecoder {
       flags(o, "type" -> Type, "pointingTo" -> PointingTo)
     }).getOrElse(Nil)
   }
+
+  // ==========================================================================
+  // Single-object REST CRUD — the models.Object wire shape
+  // (POST /v1/objects, PUT/PATCH /v1/objects/{class}/{id};
+  // usecases/objects/{add,update,merge}.go + validation/
+  // properties_validation.go). Unlike the gRPC batch shape, properties
+  // arrive as ONE flat JSON map typed by the class schema.
+  // ==========================================================================
+
+  /** A decoded models.Object. `id` is LOWERCASED when provided (the
+   * reference normalizes on write, gh-2647 — checkIDOrAssignNew,
+   * add.go:145-162); `rawId` keeps the submitted casing because the
+   * duplicate-id error quotes it verbatim. */
+  final case class RestObject(
+      collection: String,
+      id: Option[String],
+      rawId: Option[String],
+      tenant: Option[String],
+      properties: Map[String, JValue],
+      vectors: Map[String, Array[Float]])
+
+  def decodeRestObject(json: String): RestObject = {
+    val jv = JsonMethods.parse(json)
+    val coll = str(jv, "class").getOrElse("")
+    val rawId = str(jv, "id").filter(_.nonEmpty)
+    rawId.foreach(validateUuid)
+    val props: Map[String, JValue] = field(jv, "properties") match {
+      case Some(JObject(kvs)) => kvs.toMap
+      case None | Some(JNull) => Map.empty
+      case Some(o) => fail(s"properties: expected an object, got ${JsonMethods.compact(JsonMethods.render(o))}")
+    }
+    val legacy: Map[String, Array[Float]] = arr(jv, "vector") match {
+      case Some(xs) if xs.nonEmpty => Map("" -> floatArr("vector", xs))
+      case _ => Map.empty
+    }
+    val named: Map[String, Array[Float]] = field(jv, "vectors") match {
+      case Some(JObject(kvs)) => kvs.map {
+        case (n, JArray(xs)) => n -> floatArr(s"vectors.$n", xs)
+        case (n, o) => fail(s"vectors.$n: expected a float list, got ${JsonMethods.compact(JsonMethods.render(o))}")
+      }.toMap
+      case _ => Map.empty
+    }
+    RestObject(coll, rawId.map(_.toLowerCase), rawId,
+      str(jv, "tenant").filter(_.nonEmpty), props, legacy ++ named)
+  }
+
+  /** Type the flat properties map against the class schema with the
+   * reference's validation texts (validateObjectAndNormalizeNames wraps
+   * every violation as "invalid object: ...", add.go:117-119; inner texts
+   * properties_validation.go:176-318,394-445,419,430). Returns engine
+   * column values: scalars, text[], phone structs as [[graft.model.Phone.Parsed]],
+   * geo as (lat, lon), cref beacon lists as target-id seqs. */
+  def restObjectValues(schema: graft.model.CollectionSchema,
+                       o: RestObject): Map[String, Any] = {
+    import graft.model._
+    def inv(msg: String): Nothing = fail(s"invalid object: $msg")
+    // the REST object handler decodes with json.Decoder.UseNumber(), so
+    // Go's %T renders numerics as json.Number on this path (unlike the
+    // GraphQL layer's plain float64)
+    def goT(j: JValue): String = j match {
+      case JInt(_) | JLong(_) | JDouble(_) | JDecimal(_) => "json.Number"
+      case other => goJsonType(other)
+    }
+    o.properties.map { case (name0, v) =>
+      // LowercaseAllPropertyNames normalization, like the schema wire
+      val name = if (name0.isEmpty) name0 else name0.head.toLower + name0.tail
+      val p = schema.property(name).getOrElse(inv(s"unknown property '$name'"))
+      def wrap(kind: String, inner: String): Nothing =
+        inv(s"invalid $kind property '$name' on class '${schema.name}': $inner")
+      def dateOf(s0: String, kind: String): java.sql.Timestamp =
+        try java.sql.Timestamp.from(java.time.OffsetDateTime.parse(s0).toInstant)
+        catch { case _: Exception =>
+          wrap(kind, s"requires a string with a RFC3339 formatted date, but the given value is '$s0'") }
+      val value: Any = (p.dataType, v) match {
+        case (PropType.Text, JString(x)) => x
+        case (PropType.Text, other) => wrap("text", s"not a string, but ${goT(other)}")
+        case (PropType.Int, JInt(x)) => x.toLong
+        case (PropType.Int, JLong(x)) => x
+        case (PropType.Int, JDouble(x)) =>
+          if (x == math.floor(x) && !x.isInfinite) x.toLong
+          else wrap("integer", s"the JSON number '${goFloat(x)}' could not be converted to an int")
+        case (PropType.Int, other) =>
+          wrap("integer", s"requires an integer, the given value is '${JsonMethods.compact(JsonMethods.render(other))}'")
+        case (PropType.Number, JDouble(x)) => x
+        case (PropType.Number, JInt(x)) => x.toDouble
+        case (PropType.Number, JLong(x)) => x.toDouble
+        case (PropType.Number, other) =>
+          wrap("number", s"requires a float, the given value is '${JsonMethods.compact(JsonMethods.render(other))}'")
+        case (PropType.Bool, JBool(x)) => x
+        case (PropType.Bool, other) => wrap("boolean", s"not a bool, but ${goT(other)}")
+        case (PropType.Date, JString(x)) => dateOf(x, "date")
+        case (PropType.Date, other) =>
+          wrap("date", s"requires a string with a RFC3339 formatted date, but the given value is '${JsonMethods.compact(JsonMethods.render(other))}'")
+        case (PropType.Uuid, JString(x)) =>
+          try { validateUuid(x); x.toLowerCase }
+          catch { case _: Exception =>
+            wrap("uuid", s"requires a string of UUID format, but the given value is '$x'") }
+        case (PropType.Uuid, other) =>
+          wrap("uuid", s"requires a string of UUID format, but the given value is '${JsonMethods.compact(JsonMethods.render(other))}'")
+        case (PropType.Geo, g: JObject) =>
+          val lat = num(g, "latitude").getOrElse(
+            wrap("geoCoordinates", "latitude must be set"))
+          val lon = num(g, "longitude").getOrElse(
+            wrap("geoCoordinates", "longitude must be set"))
+          (lat, lon)
+        case (PropType.Phone, ph: JObject) =>
+          val input = str(ph, "input").getOrElse(
+            wrap("phoneNumber", "phoneNumber is a map, but 'input' is missing"))
+          Phone.parse(input, str(ph, "defaultCountry").getOrElse(""))
+        case (PropType.Ref, JArray(beacons)) =>
+          beacons.map { b =>
+            val beacon = str(b, "beacon").getOrElse(inv(
+              s"invalid cref: only direct references supported at the moment, " +
+              s"concept references not supported yet: class '${schema.name}' with property '$name'" +
+              " requires exactly 1 arguments: 'beacon'. Check your input schema"))
+            val seg = beacon.split('/').filter(_.nonEmpty)
+            if (seg.isEmpty) inv(s"invalid cref: invalid beacon '$beacon'")
+            seg.last
+          }
+        case (PropType.Arr(PropType.Text), JArray(xs)) =>
+          xs.map {
+            case JString(x) => x
+            case other => wrap("text array", s"not a text array, but ${goT(other)}")
+          }
+        case (PropType.Arr(PropType.Int), JArray(xs)) =>
+          xs.map {
+            case JInt(x) => x.toLong
+            case JLong(x) => x
+            case JDouble(x) if x == math.floor(x) => x.toLong
+            case other => wrap("integer array", s"not an integer array, but ${goT(other)}")
+          }
+        case (PropType.Arr(PropType.Number), JArray(xs)) =>
+          xs.map {
+            case JDouble(x) => x
+            case JInt(x) => x.toDouble
+            case JLong(x) => x.toDouble
+            case other => wrap("number array", s"not a number array, but ${goT(other)}")
+          }
+        case (_: PropType.Arr, other) =>
+          wrap(p.dataType.name.dropRight(2) + " array", s"not a ${p.dataType.name.dropRight(2)} array, but ${goT(other)}")
+        case (dt, other) =>
+          wrap(dt.name, s"unsupported value ${JsonMethods.compact(JsonMethods.render(other))}")
+      }
+      name -> value
+    }
+  }
+
+  /** PATCH input sanity (merge.go:207-218 validateInputs). */
+  def validatePatchInputs(cls: String, id: String): Unit = {
+    if (cls.isEmpty) fail("empty class")
+    if (id.isEmpty) fail("empty uuid")
+  }
 }

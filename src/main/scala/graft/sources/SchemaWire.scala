@@ -233,6 +233,94 @@ object SchemaWire {
       vectorMetrics = metrics)
   }
 
+  /** PUT /v1/schema/{className} — decode an update body and validate it
+   * against the registered class with the reference's mutable-field rules
+   * (usecases/schema/class.go:459-632 UpdateClass →
+   * parser.go:275-343 ParseClassUpdate + class.go:1798-1878
+   * validateImmutableFields): the class name, the three inverted-index
+   * flags, multi-tenancy, the vector distance, and every property field
+   * other than description are immutable; stopwords and the other
+   * invertedIndexConfig knobs apply. Returns the updated schema with the
+   * current class's engine-side bindings carried over. */
+  def decodeClassUpdate(current: CollectionSchema, className: String, json: String,
+                        knownClasses: Set[String] = Set.empty): CollectionSchema = {
+    val jv = JsonMethods.parse(json)
+    val bodyName = upperFirst(str(jv, "class").getOrElse(""))
+    if (bodyName != className)
+      fail(s"""class name is immutable: attempted change from "$className" to "$bodyName"""")
+
+    // MT toggle (class.go:1782-1796 validateUpdatingMT)
+    val mtEnabled = obj(jv, "multiTenancyConfig")
+      .exists(c => boolOpt(c, "enabled").getOrElse(false))
+    val curMt = current.tenantColumn.isDefined
+    if (mtEnabled != curMt)
+      fail(if (curMt) "disabling multi-tenancy for an existing class is not supported"
+           else "enabling multi-tenancy for an existing class is not supported")
+
+    val updated = decodeClass(json, current.idColumn, current.tenantColumn,
+      current.vectors, knownClasses)
+
+    // the three indexing flags (class.go:1859-1878; the reference's first
+    // name is the SINGULAR "indexTimestamp")
+    def flagCheck(name: String, cur: Boolean, upd: Boolean): Unit =
+      if (cur != upd)
+        fail(s""""$name" setting is immutable. Value changed from "$cur" to "$upd"""")
+    flagCheck("indexTimestamp",
+      current.invertedIndex.indexTimestamps, updated.invertedIndex.indexTimestamps)
+    flagCheck("indexNullState",
+      current.invertedIndex.indexNullState, updated.invertedIndex.indexNullState)
+    flagCheck("indexPropertyLength",
+      current.invertedIndex.indexPropertyLength, updated.invertedIndex.indexPropertyLength)
+
+    // per-vector distance (hnsw/config_update.go:54 via the parser's
+    // "validate vector index config" wrap, parser.go:320-327)
+    updated.vectors.keys.foreach { k =>
+      if (current.vectors.contains(k)) {
+        val cur = current.vectorMetrics.getOrElse(k, Metric.Cosine)
+        val upd = updated.vectorMetrics.getOrElse(k, Metric.Cosine)
+        if (cur != upd)
+          fail("validate vector index config: distance is immutable: " +
+            s"""attempted change from "${cur.name}" to "${upd.name}"""")
+      }
+    }
+
+    // properties: identical modulo description (parser.go:33-36,346-375 —
+    // count mismatch and any non-description field diff share one text;
+    // descriptions are not carried by CollectionSchema, so a
+    // description-only update is inherently allowed)
+    val errProps = "property fields other than description cannot be updated " +
+      "through updating the class. Use the add property feature " +
+      "(e.g. \"POST /v1/schema/{className}/properties\") to add additional properties"
+    val curSorted = current.properties.sortBy(_.name)
+    val updSorted = updated.properties.sortBy(_.name)
+    if (curSorted.size != updSorted.size) fail(errProps)
+    curSorted.zip(updSorted).foreach { case (a, b) => if (a != b) fail(errProps) }
+
+    updated.copy(
+      creationTimeColumn = current.creationTimeColumn,
+      updateTimeColumn = current.updateTimeColumn,
+      timestampUnit = current.timestampUnit)
+  }
+
+  /** POST /v1/schema/{className}/properties — decode one property document
+   * through the SAME validation/normalization path a class create runs
+   * (usecases/schema/class.go AddClassProperty routes into
+   * validateProperty), plus the duplicate-name conflict check against the
+   * registered class. */
+  def decodeAddProperty(current: CollectionSchema, json: String,
+                        knownClasses: Set[String] = Set.empty): Property = {
+    // re-enter decodeClass with a minimal synthetic class wrapper so the
+    // property gets the exact create-path normalization and error texts
+    val wrapped = s"""{"class": "${current.name}", "properties": [${json.trim}]}"""
+    val decoded = decodeClass(wrapped, current.idColumn, current.tenantColumn,
+      knownClasses = knownClasses)
+    val prop = decoded.properties.head
+    if (current.properties.exists(_.name.equalsIgnoreCase(prop.name)))
+      fail(s"""class "${current.name}": conflict for property "${prop.name}": """ +
+        "already in use or provided multiple times")
+    prop
+  }
+
   /** FindPropertyDataTypeWithRefsAndAuth (data_types.go:243-300) with the
    * validateProperty wrap (class.go:1024-1028). */
   private def resolveDataType(propName: String, dataType: Seq[String],

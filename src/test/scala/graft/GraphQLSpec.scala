@@ -60,10 +60,10 @@ class GraphQLSpec extends SparkSpecBase {
       == "could not extract groupBy path: path segment must be a string, got 5")
   }
 
-  test("parser: rejects variables, aliases, mutations, trailing content") {
-    assert(getErr("query Q($v: Int) { Get { Lineitem(limit: $v) { l_orderkey } } }")
-      .contains("variables are not supported"))
-    assert(getErr("{ Get { Lineitem { x: l_orderkey } } }").contains("aliases are not supported"))
+  test("parser: rejects mutations and trailing content") {
+    // (variables and aliases are SUPPORTED since round 13 — see the
+    // dedicated tests below; a nullable declared variable with no value
+    // resolves to null, so a limit stays default rather than erroring)
     assert(getErr("mutation { Get { Lineitem { l_orderkey } } }")
       .contains("unsupported operation type 'mutation'"))
     assert(getErr("{ Get { Lineitem { l_orderkey } } } {}").contains("unexpected content"))
@@ -361,5 +361,50 @@ class GraphQLSpec extends SparkSpecBase {
       == "objectLimit can only be used with a near<Media> or hybrid filter")
     assert(aggErr("""{ Aggregate { Document(groupBy: ["links", "Document"]) { meta { count } } } }""")
       == "could not extract groupBy path: missing an argument after 'Document'")
+  }
+
+  test("variables: typed substitution, defaults, enum coercion, error texts") {
+    // variable-driven document decodes to the same params as the inline twin
+    val viaVars = GraphQL.get(g,
+      """query Q($flag: String!, $qty: Float!, $lim: Int = 100000) {
+        |  Get { Lineitem(
+        |    where: {operator: And, operands: [
+        |      {operator: Equal, path: ["l_returnflag"], valueText: $flag},
+        |      {operator: GreaterThan, path: ["l_quantity"], valueNumber: $qty}]},
+        |    limit: $lim) { l_orderkey } } }""".stripMargin,
+      """{"flag": "R", "qty": 30.0}""")
+    val inline = GraphQL.get(g,
+      """{ Get { Lineitem(
+        |    where: {operator: And, operands: [
+        |      {operator: Equal, path: ["l_returnflag"], valueText: "R"},
+        |      {operator: GreaterThan, path: ["l_quantity"], valueNumber: 30.0}]},
+        |    limit: 100000) { l_orderkey } } }""".stripMargin)
+    assert(viaVars == inline)
+    // string variable coerces to an enum when the declared type is not scalar
+    val sorted = GraphQL.get(g,
+      """query S($o: SortOrder!) {
+        |  Get { Part(sort: [{path: ["p_size"], order: $o}], limit: 1) { p_partkey } } }""".stripMargin,
+      """{"o": "desc"}""")
+    assert(sorted.sort.head.desc)
+    // graphql-go error texts
+    val missing = intercept[Exception](GraphQL.get(g,
+      """query R($lim: Int!) { Get { Region(limit: $lim) { r_name } } }""", "{}"))
+    assert(missing.getMessage == """Variable "$lim" of required type "Int!" was not provided.""")
+    val undeclared = intercept[Exception](GraphQL.get(g,
+      """{ Get { Region(limit: $lim) { r_name } } }""", """{"lim": 1}"""))
+    assert(undeclared.getMessage == """Variable "$lim" is not defined.""")
+  }
+
+  test("aliases: reply-key renames for props, refs and aggregate selections") {
+    val full = GraphQL.getFull(g,
+      """{ Get { Lineitem(limit: 1) { k: l_orderkey l_linenumber q: l_quantity } } }""")
+    assert(full.params.properties == Seq("l_orderkey", "l_linenumber", "l_quantity"))
+    assert(full.aliases == Seq("k" -> "l_orderkey", "q" -> "l_quantity"))
+    val fa = GraphQL.aggregateFull(g,
+      """{ Aggregate { Document { n: n_chars { count maximum } } } }""")
+    assert(fa.params.properties("n_chars").toSet ==
+      Set(Aggregator.Count, Aggregator.Maximum))
+    assert(fa.aliases.toSet ==
+      Set("n_count" -> "n_chars_count", "n_maximum" -> "n_chars_maximum"))
   }
 }
