@@ -76,6 +76,23 @@ object CitiesFixture {
   val Airport3      = "55a4dbbb-e2af-4b2a-901d-98146d1eeca7"
   val Airport4      = "62d15920-b546-4844-bc87-3ae33268fab5"
 
+  // Person bed (setup_test.go:515-560) and Company bed (setup_test.go:464-503),
+  // uuids verbatim — the ref-count / field-tokenization filter journeys and
+  // the grouping suites run on these
+  val Alice = "5d0fa6ee-21c4-4b46-a735-f0208717837d"
+  val Bob   = "8615585a-2960-482d-b19d-8bee98ade52c"
+  val John  = "3ef44474-b5e5-455d-91dc-d917b5b76165"
+  val Petra = "15d222c9-8c36-464b-bedb-113faa1c1e4c"
+  val Microsoft1 = "cfa3b21e-ca4f-4db7-a432-7fc6a23c534d"
+  val Microsoft2 = "8f75ed97-39dd-4294-bff7-ecabd7923062"
+  val Microsoft3 = "f343f51d-7e05-4084-bd66-d504db3b6bec"
+  val Apple1     = "477fec91-1292-4928-8f53-f0ff49c76900"
+  val Apple2     = "bb2cfdba-d4ba-4cf8-abda-e719ef35ac33"
+  val Apple3     = "b71d2b4c-3da1-4684-9c5e-aabd2a4f2998"
+  val Google1    = "8c2e21fc-46fe-4999-b41c-a800595129af"
+  val Google2    = "62b969c6-f184-4be0-8c40-7470af417cfc"
+  val Google3    = "c7829929-2037-4420-acbc-a433269feb93"
+
   // history texts verbatim (cities.go:50-53); long — stored once here and
   // reused by the oracle builders
   val HistoryAmsterdam: String = "Due to its geographical location in what used to be wet peatland, the founding of Amsterdam is of a younger age than the founding of other urban centers in the Low Countries. However, in and around the area of what later became Amsterdam, local farmers settled as early as three millennia ago. They lived along the prehistoric IJ river and upstream of its tributary Amstel. The prehistoric IJ was a shallow and quiet stream in peatland behind beach ridges. This secluded area could grow there into an important local settlement center, especially in the late Bronze Age, the Iron Age and the Roman Age. Neolithic and Roman artefacts have also been found downstream of this area, in the prehistoric Amstel bedding under Amsterdam's Damrak and Rokin, such as shards of Bell Beaker culture pottery (2200-2000 BC) and a granite grinding stone (2700-2750 BC).[27][28] But the location of these artefacts around the river banks of the Amstel probably point to a presence of a modest semi-permanent or seasonal settlement of the previous mentioned local farmers. A permanent settlement would not have been possible, since the river mouth and the banks of the Amstel in this period in time were too wet for permanent habitation"
@@ -84,6 +101,12 @@ object CitiesFixture {
   val HistoryDusseldorf: String = "The first written mention of Düsseldorf (then called Dusseldorp in the local Low Rhenish dialect) dates back to 1135. Under Emperor Friedrich Barbarossa the small town of Kaiserswerth to the north of Düsseldorf became a well-fortified outpost, where soldiers kept a watchful eye on every movement on the Rhine. Kaiserswerth eventually became a suburb of Düsseldorf in 1929. In 1186, Düsseldorf came under the rule of the Counts of Berg. 14 August 1288 is one of the most important dates in the history of Düsseldorf. On this day the sovereign Count Adolf VIII of Berg granted the village on the banks of the Düssel town privileges. Before this, a bloody struggle for power had taken place between the Archbishop of Cologne and the count of Berg, culminating in the Battle of Worringen"
   val Histories = Map(Amsterdam -> HistoryAmsterdam, Rotterdam -> HistoryRotterdam,
     Berlin -> HistoryBerlin, Dusseldorf -> HistoryDusseldorf)
+
+  /** uuid → city name (oracle/presentation helper). */
+  val CityNames: Map[String, String] = Map(
+    Amsterdam -> "Amsterdam", Rotterdam -> "Rotterdam", Berlin -> "Berlin",
+    Dusseldorf -> "Dusseldorf", MissingIsland -> "Missing Island")
+  def cityName(uuid: String): String = CityNames.getOrElse(uuid, uuid)
 
   private def unit(deg: Double): Array[Float] = {
     val r = math.toRadians(deg)
@@ -256,6 +279,59 @@ object CitiesFixture {
       timestampUnit = "ms",
       // cities.go:201-207 — stopword preset en, IndexTimestamps
       invertedIndex = InvertedIndexConfig(indexTimestamps = true)), airports)
+
+    // ----- Person ----------------------------------------------------------
+    // vector ranks around the Bob anchor drive the people-by-city groupBy
+    // order (John < Alice < Petra in distance to Bob — the acceptance group
+    // order [Amsterdam, Berlin, "", Dusseldorf] needs exactly that)
+    val personSchema = StructType(Seq(
+      StructField("uuid", StringType), StructField("name", StringType),
+      StructField("profession", StringType),
+      StructField("about", ArrayType(StringType)),
+      StructField("livesIn", ArrayType(StringType)),
+      StructField("vector", ArrayType(FloatType))))
+    val persons = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(Alice, "Alice", "Quality Control Analyst",
+        Seq("loves travelling very much"), Seq.empty[String], unit(37.0).toSeq),
+      Row(Bob, "Bob", "Mechanical Engineer",
+        Seq("loves travelling", "hates cooking"), Seq(Amsterdam), unit(0.0).toSeq),
+      Row(John, "John", "Senior Mechanical Engineer",
+        Seq("hates swimming", "likes cooking", "loves travelling"),
+        Seq(Amsterdam, Berlin), unit(26.0).toSeq),
+      Row(Petra, "Petra", "Quality Assurance Manager",
+        Seq("likes swimming", "likes cooking for family"),
+        Seq(Amsterdam, Berlin, Dusseldorf), unit(46.0).toSeq)), 1), personSchema)
+    g.register(CollectionSchema("Person", "uuid", Seq(
+      Property("name", Text, Tokenization.Whitespace),
+      Property("profession", Text, Tokenization.Field),
+      Property("about", Arr(Text), Tokenization.Field),
+      Property("livesIn", Ref, refTarget = Some("City"))),
+      vectors = Map("default" -> "vector"), defaultVector = Some("default")), persons)
+
+    // ----- Company ---------------------------------------------------------
+    // three name-brand vector clusters (the contextionary groups
+    // Microsoft*/Apple*/Google* names tightly) so legacy group{merge|closest}
+    // force thresholds behave like the acceptance run
+    val companySchema = StructType(Seq(
+      StructField("uuid", StringType), StructField("name", StringType),
+      StructField("inCity", ArrayType(StringType)),
+      StructField("vector", ArrayType(FloatType))))
+    def company(uuid: String, name: String, cities: Seq[String], deg: Double): Row =
+      Row(uuid, name, cities, unit(deg).toSeq)
+    val companies = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      company(Microsoft1, "Microsoft Inc.", Seq(Dusseldorf), 0.0),
+      company(Microsoft2, "Microsoft Incorporated", Seq(Dusseldorf, Amsterdam), 2.0),
+      company(Microsoft3, "Microsoft", Seq(Berlin), 4.0),
+      company(Apple1, "Apple Inc.", Nil, 60.0),
+      company(Apple2, "Apple Incorporated", Nil, 62.0),
+      company(Apple3, "Apple", Nil, 64.0),
+      company(Google1, "Google Inc.", Nil, 120.0),
+      company(Google2, "Google Incorporated", Nil, 122.0),
+      company(Google3, "Google", Nil, 124.0)), 1), companySchema)
+    g.register(CollectionSchema("Company", "uuid", Seq(
+      Property("name", Text, Tokenization.Whitespace),
+      Property("inCity", Ref, refTarget = Some("City"))),
+      vectors = Map("default" -> "vector"), defaultVector = Some("default")), companies)
 
     g
   }

@@ -376,6 +376,189 @@ object SparkEntryFixtures {
         arm("g03", s"""nearObject: {id: "${CitiesFixture.Berlin}" certainty: 0.81}"""))
     }),
 
+    // the Person-bed filter journeys (local_get_with_filter_test.go:258-436):
+    // ref-count filters on livesIn (gh-1101) and FIELD-tokenization Equal on
+    // scalar + array text props (gh-1821)
+    "q_fixture_persons" -> ((s, _) => {
+      val g = cg(s)
+      def names(where: String): String =
+        g.get(GraphQL.get(g, s"{ Get { Person(where: $where) { name } } }"))
+          .select(col("name")).collect().map(_.getString(0)).sorted.mkString(",")
+      steps(s, Seq(
+        "01_refcount_eq0" -> names("""{valueInt: 0 operator: Equal, path: ["livesIn"]}"""),
+        "02_refcount_eq1" -> names("""{valueInt: 1 operator: Equal, path: ["livesIn"]}"""),
+        "03_refcount_gte2" -> names("""{valueInt: 2 operator: GreaterThanEqual, path: ["livesIn"]}"""),
+        "04_prof_partial" -> names("""{valueText: "Quality" operator: Equal, path: ["profession"]}"""),
+        "05_prof_bob" -> names("""{valueText: "Mechanical Engineer" operator: Equal, path: ["profession"]}"""),
+        "06_prof_john" -> names("""{valueText: "Senior Mechanical Engineer" operator: Equal, path: ["profession"]}"""),
+        "07_prof_petra" -> names("""{valueText: "Quality Assurance Manager" operator: Equal, path: ["profession"]}"""),
+        "08_about_partial" -> names("""{valueText: "swimming" operator: Equal, path: ["about"]}"""),
+        "09_about_john" -> names("""{valueText: "hates swimming" operator: Equal, path: ["about"]}"""),
+        "10_about_two" -> names("""{valueText: "loves travelling" operator: Equal, path: ["about"]}"""),
+        "11_about_petra" -> names("""{valueText: "likes cooking for family" operator: Equal, path: ["about"]}""")))
+    }),
+
+    // the legacy group{merge|closest} journeys over the Company bed
+    // (local_get_with_grouping_test.go). Merged-name member ORDER follows
+    // this engine's stable uuid page order — the reference itself documents
+    // its member order as internal-docID-dependent (gh-1958 note in the
+    // test), asserting set equality only.
+    "q_fixture_group_legacy" -> ((s, _) => {
+      val g = cg(s)
+      import graft.operators.MergeGrouper
+      def grouped(doc: String, force: Double, strategy: MergeGrouper.Strategy) = {
+        val full = GraphQL.getFull(g, doc)
+        val pool = g.get(full.params.copy(
+          additional = full.params.additional + "vector",
+          resolveRefs = Nil, properties = Seq("name", "inCity")))
+        MergeGrouper.group(pool, "_vector", force, strategy)
+      }
+      val out = Seq.newBuilder[(String, String)]
+      out += "01_control" -> cg(s).get(GraphQL.get(g, "{ Get { Company { name } } }"))
+        .select(col("name")).collect().map(_.getString(0)).sorted.mkString(",")
+      val merged = grouped(
+        "{ Get { Company(group: {type: merge, force: 1.0}) { name inCity { ... on City {name} } } } }",
+        1.0, MergeGrouper.Merge).collect()
+      out += "02_merge_force1_rows" -> merged.length.toString
+      out += "03_merge_force1_name" -> merged.head.getString(merged.head.fieldIndex("name"))
+      out += "04_merge_force1_cities" -> {
+        val cities = merged.head.getSeq[String](merged.head.fieldIndex("inCity"))
+        cities.map(cid => CitiesFixture.cityName(cid)).sorted.mkString(",")
+      }
+      val unmerged = grouped(
+        "{ Get { Company(group: {type: merge, force: 0.0}) { name inCity { ... on City {name} } } } }",
+        0.0, MergeGrouper.Merge).collect()
+      out += "05_merge_force0_rows" -> unmerged.length.toString
+      out += "06_merge_force0_ms_cities" -> unmerged
+        .filter(r => r.getString(r.fieldIndex("name")).startsWith("Microsoft"))
+        .map(r => s"${r.getString(r.fieldIndex("name"))}=" +
+          Option(r.getSeq[String](r.fieldIndex("inCity"))).map(_.size).getOrElse(0))
+        .sorted.mkString(",")
+      out += "07_closest_force01_rows" -> grouped(
+        "{ Get { Company(group: {type: closest, force: 0.1}) { name } } }",
+        0.1, MergeGrouper.Closest).count().toString
+      // nearText Apple + closest force 1.0 → exactly one representative
+      out += "08_closest_neartext_rows" -> {
+        val full = GraphQL.getFull(g,
+          """{ Get { Company(nearText: {concepts: "Apple"}, group: {type: closest, force: 1.0}) { name } } }""")
+        val pool = g.get(full.params.copy(additional = full.params.additional + "vector"))
+        MergeGrouper.group(pool, "_vector", 1.0, MergeGrouper.Closest).count().toString
+      }
+      // gh-1958: an all-matching where filter yields the SAME merged set
+      out += "09_merge_where_name" -> {
+        val full = GraphQL.getFull(g,
+          """{ Get { Company(group: {type: merge force: 1.0}
+            |  where: {path: ["id"] operator: Like valueText: "*"}) { name } } }""".stripMargin)
+        val pool = g.get(full.params.copy(additional = full.params.additional + "vector"))
+        val m = MergeGrouper.group(pool, "_vector", 1.0, MergeGrouper.Merge).collect()
+        m.head.getString(m.head.fieldIndex("name"))
+      }
+      steps(s, out.result())
+    }),
+
+    // modern groupBy: people by livesIn beacon (local_get_with_group_by_
+    // test.go:25-120) — group order by search rank around the Bob anchor,
+    // the empty-ref person in the nil ("") group, beacon-rendered values
+    "q_fixture_group_by" -> ((s, _) => {
+      val g = cg(s)
+      val page = g.get(GraphQL.get(g,
+        s"""{ Get { Person(
+           |    nearObject: {id: "${CitiesFixture.Bob}"}
+           |    groupBy: {path: ["livesIn"] groups: 4 objectsPerGroup: 10})
+           |  { _additional { id group { groupedBy { value } count hits { _additional { id } } } } } } }""".stripMargin))
+      val rows = page.select(col("group_index").cast("long"),
+        col("group_value"), col("_id")).collect()
+      val byGroup = rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+      steps(s, byGroup.map { case (idx, hits) =>
+        val beacon = Option(hits.head.getString(1))
+          .map(v => s"weaviate://localhost/City/$v").getOrElse("")
+        val ids = hits.map(_.getString(2)).sorted.mkString("|")
+        s"0${idx}_group" -> s"$beacon;count=${hits.length};hits=$ids"
+      })
+    }),
+
+    // aggregatesOnDateFields (local_aggregate_test.go:1441-1627): the
+    // HasDateField bed VERBATIM — ten RFC3339 NANOSECOND timestamps
+    // (setup_test.go:921-944); min/max/median/mode must render the
+    // reference's trim-trailing-zeros RFC3339Nano strings, incl. the
+    // half-interval even-count median "…06.1449075Z". Dates aggregate as
+    // ns integers like the reference (aggregator/date.go parses to int64
+    // ns); the bed stores ns OFFSETS from a base instant so the even-count
+    // median mean stays exactly representable through the double-typed
+    // median, and the render adds the base back.
+    "q_fixture_agg_dates" -> ((s, _) => {
+      import org.apache.spark.sql.types._
+      import org.apache.spark.sql.Row
+      import graft.model._
+      val timestamps = Seq(
+        "2022-06-16T22:18:59.640162Z", "2022-06-16T22:19:01.495967Z",
+        "2022-06-16T22:19:03.495596Z", "2022-06-16T22:19:04.3828349Z",
+        "2022-06-16T22:19:05.894857Z", "2022-06-16T22:19:06.394958Z",
+        "2022-06-16T22:19:07.589828Z", "2022-06-16T22:19:08.112395Z",
+        "2022-06-16T22:19:10.339493Z", "2022-06-16T22:19:11.837473Z")
+      val base = java.time.Instant.parse("2022-06-16T22:18:00Z")
+      val baseNs = base.getEpochSecond * 1000000000L
+      def offsetNs(ts: String): Long = {
+        val i = java.time.Instant.parse(ts)
+        (i.getEpochSecond * 1000000000L + i.getNano) - baseNs
+      }
+      // Go time.RFC3339Nano: fraction with trailing zeros removed
+      def render(offset: Double): String = {
+        val ns = baseNs + math.round(offset)
+        val i = java.time.Instant.ofEpochSecond(ns / 1000000000L, ns % 1000000000L)
+        val whole = java.time.format.DateTimeFormatter.ISO_INSTANT
+          .withZone(java.time.ZoneOffset.UTC)
+          .format(i.truncatedTo(java.time.temporal.ChronoUnit.SECONDS))
+          .stripSuffix("Z")
+        val frac = (ns % 1000000000L).toString.reverse.padTo(9, '0').reverse
+          .reverse.dropWhile(_ == '0').reverse
+        if (frac.isEmpty) s"${whole}Z" else s"$whole.${frac}Z"
+      }
+      val gg = new Graft(s)
+      val rows = timestamps.zipWithIndex.map { case (ts, i) =>
+        Row((i + 1).toLong, s"#${i + 1}", "hello!", offsetNs(ts))
+      }
+      gg.register(graft.model.CollectionSchema("HasDateField", "id", Seq(
+        Property("unique", PropType.Text, Tokenization.Field),
+        Property("identical", PropType.Text, Tokenization.Field),
+        Property("timestamp", PropType.Date))),
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
+          StructField("id", LongType), StructField("unique", StringType),
+          StructField("identical", StringType), StructField("timestamp", LongType)))))
+      def stats(filters: String, withMode: Boolean): Seq[(String, Row)] = {
+        val sel = if (withMode) "count minimum maximum median mode"
+                  else "count minimum maximum median"
+        val df = gg.aggregate(GraphQL.aggregate(gg,
+          s"""{ Aggregate { HasDateField $filters { timestamp { $sel } } } }"""))
+        val keyed = if (df.columns.contains("groupedBy_value"))
+          df.select(col("groupedBy_value").cast("string") +:
+            df.columns.filter(_ != "groupedBy_value").map(col): _*)
+        else df.select(lit("") +: df.columns.map(col): _*)
+        keyed.collect().toSeq.map(r => (r.getString(0), r))
+      }
+      def fmt(r: Row, grouped: Boolean, withMode: Boolean): String = {
+        val off = if (grouped) 1 else 1 // stats start after the key column
+        val metaOff = if (grouped) 1 else 0 // grouped rows carry meta_count first
+        val c = r.getLong(off + metaOff)
+        val minV = render(r.get(off + metaOff + 1).toString.toDouble)
+        val maxV = render(r.get(off + metaOff + 2).toString.toDouble)
+        val med = render(r.getDouble(off + metaOff + 3))
+        val m = if (withMode) ";mode=" + render(r.get(off + metaOff + 4).toString.toDouble) else ""
+        s"count=$c;min=$minV;max=$maxV;median=$med$m"
+      }
+      val out = Seq.newBuilder[(String, String)]
+      stats("", withMode = false).foreach { case (_, r) =>
+        out += "01_no_group" -> fmt(r, grouped = false, withMode = false)
+      }
+      stats("""(groupBy: "unique")""", withMode = true).foreach { case (k, r) =>
+        out += s"02_$k" -> fmt(r, grouped = true, withMode = true)
+      }
+      stats("""(groupBy: "identical")""", withMode = false).foreach { case (k, r) =>
+        out += s"03_$k" -> fmt(r, grouped = true, withMode = false)
+      }
+      steps(s, out.result())
+    }),
+
     // localMeta with where + nearText/nearObject radii
     // (local_aggregate_test.go:48-487, both distance and certainty forms)
     "q_fixture_agg_near" -> ((s, _) => {
@@ -609,6 +792,66 @@ object SparkEntryFixtures {
       "g02_891.96" -> "meta=1;pop=3470000;museums=1;name=1",
       "g03_891.95" -> "meta=1;pop=1800000;museums=2;name=1",
       "g03_891.96" -> "meta=1;pop=3470000;museums=1;name=1")),
+
+
+
+    // Person-bed filter journeys: reference-asserted member sets
+    "q_fixture_persons" ->
+      """SELECT * FROM (VALUES
+        |  ('01_refcount_eq0', 'Alice'),
+        |  ('02_refcount_eq1', 'Bob'),
+        |  ('03_refcount_gte2', 'John,Petra'),
+        |  ('04_prof_partial', ''),
+        |  ('05_prof_bob', 'Bob'),
+        |  ('06_prof_john', 'John'),
+        |  ('07_prof_petra', 'Petra'),
+        |  ('08_about_partial', ''),
+        |  ('09_about_john', 'John'),
+        |  ('10_about_two', 'Bob,John'),
+        |  ('11_about_petra', 'Petra')
+        |) AS t(step, result) ORDER BY step""".stripMargin,
+
+    // legacy grouping over the Company bed; member order = the engine's
+    // stable uuid page order (the reference documents its own order as
+    // internal-docID-dependent, gh-1958 test note)
+    "q_fixture_group_legacy" ->
+      """SELECT * FROM (VALUES
+        |  ('01_control', 'Apple,Apple Inc.,Apple Incorporated,Google,Google Inc.,Google Incorporated,Microsoft,Microsoft Inc.,Microsoft Incorporated'),
+        |  ('02_merge_force1_rows', '1'),
+        |  ('03_merge_force1_name', 'Apple Inc. (Google Incorporated, Google Inc., Microsoft Incorporated, Apple, Apple Incorporated, Google, Microsoft Inc., Microsoft)'),
+        |  ('04_merge_force1_cities', 'Amsterdam,Berlin,Dusseldorf'),
+        |  ('05_merge_force0_rows', '9'),
+        |  ('06_merge_force0_ms_cities', 'Microsoft Inc.=1,Microsoft Incorporated=2,Microsoft=1'),
+        |  ('07_closest_force01_rows', '3'),
+        |  ('08_closest_neartext_rows', '1'),
+        |  ('09_merge_where_name', 'Apple Inc. (Google Incorporated, Google Inc., Microsoft Incorporated, Apple, Apple Incorporated, Google, Microsoft Inc., Microsoft)')
+        |) AS t(step, result) ORDER BY step""".stripMargin,
+
+    // people-by-city groupBy: the acceptance group order/beacons/hit sets
+    "q_fixture_group_by" ->
+      """SELECT * FROM (VALUES
+        |  ('01_group', 'weaviate://localhost/City/8f5f8e44-d348-459c-88b1-c1a44bb8f8be;count=3;hits=15d222c9-8c36-464b-bedb-113faa1c1e4c|3ef44474-b5e5-455d-91dc-d917b5b76165|8615585a-2960-482d-b19d-8bee98ade52c'),
+        |  ('02_group', 'weaviate://localhost/City/9b9cbea5-e87e-4cd0-89af-e2f424fd52d6;count=2;hits=15d222c9-8c36-464b-bedb-113faa1c1e4c|3ef44474-b5e5-455d-91dc-d917b5b76165'),
+        |  ('03_group', ';count=1;hits=5d0fa6ee-21c4-4b46-a735-f0208717837d'),
+        |  ('04_group', 'weaviate://localhost/City/6ffb03f8-a853-4ec5-a5d8-302e45aaaf13;count=1;hits=15d222c9-8c36-464b-bedb-113faa1c1e4c')
+        |) AS t(step, result) ORDER BY step""".stripMargin,
+
+    // aggregatesOnDateFields: the reference's expected RFC3339Nano strings
+    "q_fixture_agg_dates" ->
+      """SELECT * FROM (VALUES
+        |  ('01_no_group', 'count=10;min=2022-06-16T22:18:59.640162Z;max=2022-06-16T22:19:11.837473Z;median=2022-06-16T22:19:06.1449075Z'),
+        |  ('02_#1', 'count=1;min=2022-06-16T22:18:59.640162Z;max=2022-06-16T22:18:59.640162Z;median=2022-06-16T22:18:59.640162Z;mode=2022-06-16T22:18:59.640162Z'),
+        |  ('02_#10', 'count=1;min=2022-06-16T22:19:11.837473Z;max=2022-06-16T22:19:11.837473Z;median=2022-06-16T22:19:11.837473Z;mode=2022-06-16T22:19:11.837473Z'),
+        |  ('02_#2', 'count=1;min=2022-06-16T22:19:01.495967Z;max=2022-06-16T22:19:01.495967Z;median=2022-06-16T22:19:01.495967Z;mode=2022-06-16T22:19:01.495967Z'),
+        |  ('02_#3', 'count=1;min=2022-06-16T22:19:03.495596Z;max=2022-06-16T22:19:03.495596Z;median=2022-06-16T22:19:03.495596Z;mode=2022-06-16T22:19:03.495596Z'),
+        |  ('02_#4', 'count=1;min=2022-06-16T22:19:04.3828349Z;max=2022-06-16T22:19:04.3828349Z;median=2022-06-16T22:19:04.3828349Z;mode=2022-06-16T22:19:04.3828349Z'),
+        |  ('02_#5', 'count=1;min=2022-06-16T22:19:05.894857Z;max=2022-06-16T22:19:05.894857Z;median=2022-06-16T22:19:05.894857Z;mode=2022-06-16T22:19:05.894857Z'),
+        |  ('02_#6', 'count=1;min=2022-06-16T22:19:06.394958Z;max=2022-06-16T22:19:06.394958Z;median=2022-06-16T22:19:06.394958Z;mode=2022-06-16T22:19:06.394958Z'),
+        |  ('02_#7', 'count=1;min=2022-06-16T22:19:07.589828Z;max=2022-06-16T22:19:07.589828Z;median=2022-06-16T22:19:07.589828Z;mode=2022-06-16T22:19:07.589828Z'),
+        |  ('02_#8', 'count=1;min=2022-06-16T22:19:08.112395Z;max=2022-06-16T22:19:08.112395Z;median=2022-06-16T22:19:08.112395Z;mode=2022-06-16T22:19:08.112395Z'),
+        |  ('02_#9', 'count=1;min=2022-06-16T22:19:10.339493Z;max=2022-06-16T22:19:10.339493Z;median=2022-06-16T22:19:10.339493Z;mode=2022-06-16T22:19:10.339493Z'),
+        |  ('03_hello!', 'count=10;min=2022-06-16T22:18:59.640162Z;max=2022-06-16T22:19:11.837473Z;median=2022-06-16T22:19:06.1449075Z')
+        |) AS t(step, result) ORDER BY step""".stripMargin,
 
     "q_fixture_agg_near" -> values(Seq(
       "n01_neartext_ams_dist" -> ("meta=1;cap=1/0/1/0/1;" +

@@ -1111,7 +1111,12 @@ final class Graft(val spark: SparkSession) {
         val ranked = pooled.withColumn(rankCol,
             row_number().over(graft.operators.BoundedWindow.ordered(rankOrder: _*)))
           .drop(HybridSearch.SecondaryCol) // rank key only, never projected
-        val isArr = c.schema.property(g.property).exists(_.dataType.isInstanceOf[PropType.Arr])
+        // explode per element for ANY array-shaped column — text[] props and
+        // beacon-list crefs alike (the reference groups ref values per
+        // beacon: people-by-city makes one group per city,
+        // local_get_with_group_by_test.go:25-120)
+        val isArr = pooled.schema(g.property).dataType
+          .isInstanceOf[org.apache.spark.sql.types.ArrayType]
         ResultGroupBy(ranked, rankCol, g.property, g.groups, g.objectsPerGroup, isArr)
           .orderBy(col("group_index").asc, col("group_hit_rank").asc)
       case None => sorted

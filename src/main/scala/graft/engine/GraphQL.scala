@@ -565,9 +565,13 @@ object GraphQL {
   }
 
   private def extractNearText(src: GObj, inHybrid: Boolean): NearText = {
-    val concepts = strList(
-      src.get("concepts").getOrElse(fail("nearText: concepts is a required field")),
-      "nearText.concepts")
+    // a bare string coerces to the single-element list (GraphQL list-input
+    // coercion — the acceptance grouping test sends `concepts: "Apple"`)
+    val concepts = src.get("concepts").getOrElse(
+      fail("nearText: concepts is a required field")) match {
+      case GStr(one) => Seq(one)
+      case other => strList(other, "nearText.concepts")
+    }
     val autocorrect = src.get("autocorrect").exists(asBool(_, "nearText.autocorrect"))
     if (inHybrid && autocorrect) fail("autocorrect is not supported for hybrid nearText")
     val (dist, cert) = distCert(src, "nearText")
@@ -1079,8 +1083,13 @@ object GraphQL {
     val tenant = cls.arg("tenant").map(asStr(_, "tenant"))
     val where = cls.arg("where").map(decodeWhere(g, collection, _))
 
-    // groupBy: a filters.ParsePath list (resolver.go:265-279, path.go:78-150)
+    // groupBy: a filters.ParsePath list (resolver.go:265-279, path.go:78-150);
+    // a bare string coerces to the single-element list (GraphQL list-input
+    // coercion — the acceptance date aggregations send `groupBy: "unique"`)
     val groupBy = cls.arg("groupBy").map {
+      case s: GStr => GList(List(s))
+      case other => other
+    }.map {
       case GList(items) =>
         // the not-a-list text only fires for a NON-list argument; a list
         // with non-string elements keeps its own element error

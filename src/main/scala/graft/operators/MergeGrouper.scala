@@ -75,6 +75,12 @@ object MergeGrouper {
                 val bs = vals.collect { case b: java.lang.Boolean => b.booleanValue() }
                 if (bs.isEmpty) null
                 else { val t = bs.count(identity); t >= bs.size - t } // ties → true
+              // array props (beacon lists): union in first-appearance order
+              // (the reference's merged group carries every member's refs —
+              // the acceptance merge case unions the three cities)
+              case _: ArrayType =>
+                val vs = vals.collect { case xs: scala.collection.Seq[_] => xs }
+                if (vs.isEmpty) null else vs.flatten.distinct
               case _ => vals.head
             }
           }

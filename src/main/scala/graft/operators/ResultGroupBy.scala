@@ -29,8 +29,11 @@ object ResultGroupBy {
     // them the same dense_rank (the `groups` cap then overshoots and
     // group_index duplicates) — the reference walks a hit's values in ELEMENT
     // order (shard_group_by.go), so the element position is the tie-break
+    // OUTER explode: a hit with an empty/null ref list joins the nil-value
+    // group (the reference's "" group — the acceptance people-by-city case
+    // pins the empty-livesIn person in groupedBy "")
     val base = if (explodeArrays)
-                 ranked.select(col("*"), posexplode(col(property)).as(Seq("__gpos", "__gval")))
+                 ranked.select(col("*"), posexplode_outer(col(property)).as(Seq("__gpos", "__gval")))
                else ranked.withColumn("__gval", col(property)).withColumn("__gpos", lit(0))
     val wInGroup = Window.partitionBy(col("__gval")).orderBy(col(rankCol).asc)
     val wGroups = BoundedWindow.ordered(col("__gmin").asc) // input is a ≤pool-row rank frame

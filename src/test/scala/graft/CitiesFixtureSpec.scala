@@ -307,4 +307,64 @@ class CitiesFixtureSpec extends SparkSpecBase {
       ("891.96", 1L, 3470000.0, 1L), ("891.95", 1L, 1800000.0, 2L),
       ("217.22", 1L, 600000.0, 3L), ("319.35", 1L, 600000.0, 3L)))
   }
+
+  test("person filter journeys (filter_test.go:258-436)") {
+    def persons(where: String): Seq[String] =
+      g.get(GraphQL.get(g, s"{ Get { Person(where: $where) { name } } }"))
+        .select(col("name")).collect().map(_.getString(0)).sorted.toSeq
+    assert(persons("""{valueInt: 0 operator: Equal, path: ["livesIn"]}""") == Seq("Alice"))
+    assert(persons("""{valueInt: 1 operator: Equal, path: ["livesIn"]}""") == Seq("Bob"))
+    assert(persons("""{valueInt: 2 operator: GreaterThanEqual, path: ["livesIn"]}""") ==
+      Seq("John", "Petra"))
+    assert(persons("""{valueText: "Quality" operator: Equal, path: ["profession"]}""").isEmpty)
+    assert(persons("""{valueText: "Mechanical Engineer" operator: Equal, path: ["profession"]}""") == Seq("Bob"))
+    assert(persons("""{valueText: "loves travelling" operator: Equal, path: ["about"]}""") ==
+      Seq("Bob", "John"))
+    assert(persons("""{valueText: "likes cooking for family" operator: Equal, path: ["about"]}""") == Seq("Petra"))
+  }
+
+  test("people-by-city groupBy replay (group_by_test.go:25-120)") {
+    val page = g.get(GraphQL.get(g,
+      s"""{ Get { Person(
+         |    nearObject: {id: "${CitiesFixture.Bob}"}
+         |    groupBy: {path: ["livesIn"] groups: 4 objectsPerGroup: 10})
+         |  { _additional { id group { groupedBy { value } } } } } }""".stripMargin))
+    val groups = page.select(col("group_index").cast("long"), col("group_value"), col("_id"))
+      .collect().groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+      .map { case (_, hits) =>
+        (Option(hits.head.getString(1)).getOrElse(""), hits.map(_.getString(2)).toSet)
+      }
+    assert(groups.map(_._1) == Seq(CitiesFixture.Amsterdam, CitiesFixture.Berlin,
+      "", CitiesFixture.Dusseldorf))
+    assert(groups(0)._2 == Set(CitiesFixture.Bob, CitiesFixture.John, CitiesFixture.Petra))
+    assert(groups(1)._2 == Set(CitiesFixture.John, CitiesFixture.Petra))
+    assert(groups(2)._2 == Set(CitiesFixture.Alice))
+    assert(groups(3)._2 == Set(CitiesFixture.Petra))
+  }
+
+  test("company legacy grouping (grouping_test.go): force 1.0 merges all, 0.0 none") {
+    import graft.operators.MergeGrouper
+    val full = GraphQL.getFull(g,
+      "{ Get { Company(group: {type: merge, force: 1.0}) { name inCity { ... on City {name} } } } }")
+    val pool = g.get(full.params.copy(additional = full.params.additional + "vector",
+      resolveRefs = Nil, properties = Seq("name", "inCity")))
+    val merged = MergeGrouper.group(pool, "_vector", 1.0, MergeGrouper.Merge).collect()
+    assert(merged.length == 1)
+    val name = merged.head.getString(merged.head.fieldIndex("name"))
+    Seq("Apple", "Google", "Microsoft").foreach(n => assert(name.contains(n)))
+    assert(name.matches(".*\\(.*\\)"))  // "first (rest, …)" shape
+    val cities = merged.head.getSeq[String](merged.head.fieldIndex("inCity"))
+      .map(CitiesFixture.cityName).sorted
+    assert(cities == Seq("Amsterdam", "Berlin", "Dusseldorf"))
+    val unmerged = MergeGrouper.group(pool, "_vector", 0.0, MergeGrouper.Merge)
+    assert(unmerged.count() == 9)
+  }
+
+  test("date aggregations carry ns precision through median (aggregate_test.go:1441)") {
+    // served through the q_fixture_agg_dates gate end-to-end; here pin the
+    // groupBy-string coercion the document uses
+    val p = GraphQL.aggregate(g,
+      """{ Aggregate { City(groupBy: "isCapital") { meta { count } } } }""")
+    assert(p.groupBy.contains(Seq("isCapital")))
+  }
 }
