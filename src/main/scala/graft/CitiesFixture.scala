@@ -333,6 +333,97 @@ object CitiesFixture {
       Property("inCity", Ref, refTarget = Some("City"))),
       vectors = Map("default" -> "vector"), defaultVector = Some("default")), companies)
 
+    // ----- ArrayClass / DuplicatesClass / ClassWithoutProperties ------------
+    // the aggregate-matrix beds (local_aggregate_matrix_setup_test.go:24-330,
+    // 484-530) — array-prop aggregation across data/no-data/empty shapes.
+    // Vector plan: 4el 0°, 3el 10° (inside the anchor's 0.97-certainty band,
+    // Δ ≤ 19.9°), 2el 25°, 1el 30° (outside it), and the three no-data
+    // objects at an IDENTICAL 40° (the certainty-1 "results without data"
+    // probe from the 0el anchor matches exactly the shared vector)
+    def nsOf(ts: String): Long = {
+      val i = java.time.Instant.parse(ts)
+      i.getEpochSecond * 1000000000L + i.getNano
+    }
+    val arraySchema = StructType(Seq(
+      StructField("uuid", StringType),
+      StructField("texts", ArrayType(StringType)),
+      StructField("numbers", ArrayType(DoubleType)),
+      StructField("ints", ArrayType(LongType)),
+      StructField("booleans", ArrayType(BooleanType)),
+      StructField("dates", ArrayType(LongType)),
+      StructField("vector", ArrayType(FloatType))))
+    def dateEls(n: Int): Seq[Long] = Seq(
+      "2021-06-01T22:18:59.640162Z", "2022-06-02T22:18:59.640162Z",
+      "2023-06-03T22:18:59.640162Z", "2024-06-04T22:18:59.640162Z")
+      .take(n).map(nsOf)
+    def arrRow(uuid: String, n: Int, deg: Double): Row = Row(uuid,
+      Seq("Alpha", "Bravo", "Charlie", "Delta").take(n),
+      (1 to n).map(_.toDouble), (1 to n).map(i => 100L + i),
+      Seq(true, true, true, false).takeRight(n), dateEls(n),
+      unit(deg).toSeq)
+    val arrayRows = Seq(
+      arrRow("cfa3b21e-ca5f-4db7-a412-5fc6a23c534a", 4, 0.0),
+      arrRow("cfa3b21e-ca5f-4db7-a412-5fc6a23c534b", 3, 10.0),
+      arrRow("cfa3b21e-ca5f-4db7-a412-5fc6a23c535a", 2, 25.0),
+      arrRow("cfa3b21e-ca5f-4db7-a412-5fc6a23c535b", 1, 30.0),
+      Row("cfa3b21e-ca5f-4db7-a412-5fc6a23c536a", Seq.empty[String],
+        Seq.empty[Double], Seq.empty[Long], Seq.empty[Boolean], Seq.empty[Long],
+        unit(40.0).toSeq),
+      Row("cfa3b21e-ca5f-4db7-a412-5fc6a23c536b", null, null, null, null, null,
+        unit(40.0).toSeq),
+      Row("cfa3b21e-ca5f-4db7-a412-5fc6a23c536c", null, null, null, null, null,
+        unit(40.0).toSeq))
+    def arrayProps: Seq[Property] = Seq(
+      Property("texts", Arr(Text), Tokenization.Whitespace),
+      Property("numbers", Arr(Number)),
+      Property("ints", Arr(Int)),
+      Property("booleans", Arr(Bool)),
+      Property("dates", Arr(Date)))
+    g.register(CollectionSchema("ArrayClass", "uuid", arrayProps,
+      vectors = Map("default" -> "vector"), defaultVector = Some("default")),
+      spark.createDataFrame(spark.sparkContext.parallelize(arrayRows, 1), arraySchema))
+
+    def dupRow(uuid: String, n: Int, deg: Double): Row = {
+      // n+1 elements: n-1 copies of the first value + one second value
+      Row(uuid,
+        Seq.fill(n)("Alpha") :+ "Bravo",
+        Seq.fill(n)(1.0) :+ 2.0, Seq.fill(n)(101L) :+ 102L,
+        Seq.fill(n)(true) :+ false,
+        (Seq.fill(n)(nsOf("2021-06-01T22:18:59.640162Z")) :+
+          nsOf("2022-06-02T22:18:59.640162Z")),
+        unit(deg).toSeq)
+    }
+    val dupRows = Seq(
+      dupRow("a8076f34-ec16-4333-a963-00c89c5ba001", 3, 80.0),
+      dupRow("a8076f34-ec16-4333-a963-00c89c5ba002", 2, 82.0),
+      dupRow("a8076f34-ec16-4333-a963-00c89c5ba003", 1, 84.0))
+    g.register(CollectionSchema("DuplicatesClass", "uuid", arrayProps,
+      vectors = Map("default" -> "vector"), defaultVector = Some("default")),
+      spark.createDataFrame(spark.sparkContext.parallelize(dupRows, 1), arraySchema))
+
+    // ----- CursorClass (setup_test.go:870-919) ------------------------------
+    val cursorNames = Seq(
+      "Mount Everest", "Amsterdam is a cool city",
+      "Football is a game where people run after ball",
+      "Berlin is Germany's capital city", "London is a cool city",
+      "Wroclaw is a really cool city", "Brisbane is a city in Australia")
+    val cursorRows = cursorNames.zipWithIndex.map { case (n, i) =>
+      Row(f"00000000-0000-0000-0000-${i + 1}%012d", n)
+    }
+    g.register(CollectionSchema("CursorClass", "uuid", Seq(
+      Property("name", Text, Tokenization.Whitespace))),
+      spark.createDataFrame(spark.sparkContext.parallelize(cursorRows, 1),
+        StructType(Seq(StructField("uuid", StringType), StructField("name", StringType)))))
+
+    val noPropsSchema = StructType(Seq(
+      StructField("uuid", StringType), StructField("vector", ArrayType(FloatType))))
+    g.register(CollectionSchema("ClassWithoutProperties", "uuid", Nil,
+      vectors = Map("default" -> "vector"), defaultVector = Some("default")),
+      spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        Row("dfa3b21e-ca5f-4db7-a412-5fc6a23c5301", unit(100.0).toSeq),
+        Row("dfa3b21e-ca5f-4db7-a412-5fc6a23c5311", unit(103.0).toSeq)), 1),
+        noPropsSchema))
+
     g
   }
 }

@@ -376,6 +376,145 @@ object SparkEntryFixtures {
         arm("g03", s"""nearObject: {id: "${CitiesFixture.Berlin}" certainty: 0.81}"""))
     }),
 
+    // the cursor api journey (local_get_cursor_test.go): full keyset walks
+    // page by page plus every "cursor api: invalid 'after' parameter"
+    // error text verbatim
+    "q_fixture_cursor" -> ((s, _) => {
+      val g = cg(s)
+      def walk(afterStart: String, limit: scala.Int): String = {
+        val ids = Seq.newBuilder[String]
+        var after = afterStart
+        var done = false
+        while (!done) {
+          val page = g.get(GraphQL.get(g,
+            s"""{ Get { CursorClass(after: "$after", limit: $limit)
+               |  { _additional { id } } } }""".stripMargin))
+            .select(col("_id")).collect().map(_.getString(0))
+          if (page.isEmpty) done = true
+          else { ids ++= page; after = page.last }
+        }
+        ids.result().map(_.takeRight(3)).mkString(",")
+      }
+      def err(args: String): String = okOr(g.get(GraphQL.get(g,
+        s"""{ Get { CursorClass($args) { name } } }""")))
+      val id1 = "00000000-0000-0000-0000-000000000001"
+      steps(s, Seq(
+        "01_walk_from_start" -> walk("", 2),
+        "02_walk_after_id4" -> walk("00000000-0000-0000-0000-000000000004", 1),
+        "03_offset" -> err("""limit: 1 after: "" offset: 1"""),
+        "04_nearobject" -> err(s"""limit: 1 after: "" nearObject: {id: "$id1"}"""),
+        "05_nearvector" -> err("""limit: 1 after: "" nearVector: {vector: [0.1, 0.2]}"""),
+        "06_hybrid" -> err("""limit: 1 after: "" hybrid: {query: "cursor api"}"""),
+        "07_bm25" -> err("""limit: 1 after: "" bm25: {query: "cursor api"}"""),
+        "08_sort" -> err("""limit: 1 after: "" sort: {path: "name"}"""),
+        "09_where" -> err("""limit: 1 after: "" where: {path: "id" operator: Like valueText: "*"}"""),
+        "10_multi" -> err("""limit: 1 after: "" bm25: {query: "cursor api"} hybrid: {query: "cursor api"} offset: 1"""),
+        "11_no_limit" -> err("""after: "00000000-0000-0000-0000-000000000000"""")))
+    }),
+
+    // the ArrayClass aggregate matrix (matrix_no_groupby_test.go:21-90 x
+    // setup:626-790): array-prop count/min/max/mode/sum/median/mean,
+    // boolean-array tallies and text-array topOccurrences across the four
+    // data shapes (all / with-data / without-data / none), scoped by id-Like
+    // wildcards and nearObject certainty bands
+    "q_fixture_agg_arrays" -> ((s, _) => {
+      val g = cg(s)
+      def arm(cls: String, filters: String): String = {
+        val row = g.aggregate(GraphQL.aggregate(g,
+          s"""{ Aggregate { $cls($filters) {
+             |  meta { count }
+             |  booleans { count totalFalse totalTrue percentageFalse percentageTrue }
+             |  texts { count topOccurrences { value occurs } }
+             |  numbers { count maximum minimum mode sum median mean }
+             |  ints { count maximum minimum mode sum median mean }
+             |  dates { count }
+             |} } }""".stripMargin))
+          .selectExpr("meta_count",
+            "booleans_count", "CAST(booleans_totalFalse AS DOUBLE)",
+            "CAST(booleans_totalTrue AS DOUBLE)",
+            "booleans_percentageFalse", "booleans_percentageTrue",
+            "texts_count",
+            "transform(texts_topOccurrences, t -> concat(t.value, '=', CAST(t.occurs AS STRING)))",
+            "numbers_count", "numbers_maximum", "numbers_minimum",
+            "CAST(numbers_mode AS DOUBLE)", "numbers_sum", "numbers_median", "numbers_mean",
+            "ints_count", "CAST(ints_maximum AS DOUBLE)", "CAST(ints_minimum AS DOUBLE)",
+            "CAST(ints_mode AS DOUBLE)", "CAST(ints_sum AS DOUBLE)",
+            "ints_median", "ints_mean",
+            "dates_count")
+          .collect().head
+        def f(i: scala.Int): String = fmt(row.get(i))
+        val top = if (row.isNullAt(7)) ""
+          else row.getSeq[String](7).mkString(",")
+        s"meta=${f(0)};bool=${(1 to 5).map(f).mkString("/")};texts=${f(6)};top=$top;" +
+          s"nums=${(8 to 14).map(f).mkString("/")};ints=${(15 to 21).map(f).mkString("/")};" +
+          s"dates=${f(22)}"
+      }
+      val id1 = "cfa3b21e-ca5f-4db7-a412-5fc6a23c534a"
+      val id5 = "cfa3b21e-ca5f-4db7-a412-5fc6a23c536a"
+      val none = "cfa3b21e-ca5f-4db7-a412-ffffffffffff"
+      def a(filters: String) = arm("ArrayClass", filters)
+      steps(s, Seq(
+        "a01_without" -> a(""),
+        "a02_where_all" -> a("""where: {operator: Like path: ["id"] valueText: "*"}"""),
+        "a03_where_withdata" -> a(
+          s"""where: {operator: Like path: ["id"] valueText: "${id1.dropRight(1)}?"}"""),
+        "a04_where_withoutdata" -> a(
+          s"""where: {operator: Like path: ["id"] valueText: "${id5.dropRight(1)}?"}"""),
+        "a05_where_none" -> a(s"""where: {operator: Like path: ["id"] valueText: "$none"}"""),
+        "a06_near_all" -> a(s"""nearObject: {id: "$id1" certainty: 0.7}"""),
+        "a07_near_withdata" -> a(s"""nearObject: {id: "$id1" certainty: 0.97}"""),
+        "a08_near_withoutdata" -> a(s"""nearObject: {id: "$id5" certainty: 1}"""),
+        "a09_where_near_all" -> a(
+          s"""where: {operator: Like path: ["id"] valueText: "*"}
+             |nearObject: {id: "$id1" certainty: 0.7}""".stripMargin),
+        "a10_where_near_withdata" -> a(
+          s"""where: {operator: Like path: ["id"] valueText: "${id1.dropRight(1)}?"}
+             |nearObject: {id: "$id1" certainty: 0.97}""".stripMargin),
+        "a11_where_near_withoutdata" -> a(
+          s"""where: {operator: Like path: ["id"] valueText: "${id5.dropRight(1)}?"}
+             |nearObject: {id: "$id5" certainty: 1}""".stripMargin),
+        "a12_where_near_none" -> a(
+          s"""where: {operator: Like path: ["id"] valueText: "$none"}
+             |nearObject: {id: "$id1" certainty: 0.8}""".stripMargin),
+        // DuplicatesClass (matrix_no_groupby_test.go:92-130): the
+        // duplicate-heavy element multisets
+        "d01_without" -> arm("DuplicatesClass", ""),
+        "d02_where_all" -> arm("DuplicatesClass",
+          """where: {operator: Like path: ["id"] valueText: "*"}"""),
+        "d03_where_some" -> arm("DuplicatesClass",
+          """where: {operator: Like path: ["id"] valueText: "a8076f34-ec16-4333-a963-00c89c5ba001"}"""),
+        "d04_where_none" -> arm("DuplicatesClass",
+          s"""where: {operator: Like path: ["id"] valueText: "$none"}""")))
+    }),
+
+    // ClassWithoutProperties matrix (matrix_no_groupby_test.go:132-193):
+    // meta-only aggregation over a property-less class
+    "q_fixture_agg_noprops" -> ((s, _) => {
+      val g = cg(s)
+      def arm(filters: String): String =
+        g.aggregate(GraphQL.aggregate(g,
+          s"""{ Aggregate { ClassWithoutProperties($filters) { meta { count } } } }"""))
+          .collect().head.getLong(0).toString
+      val id1 = "dfa3b21e-ca5f-4db7-a412-5fc6a23c5301"
+      val none = "cfa3b21e-ca5f-4db7-a412-ffffffffffff"
+      steps(s, Seq(
+        "n01_without" -> arm(""),
+        "n02_where_all" -> arm("""where: {operator: Like path: ["id"] valueText: "*"}"""),
+        "n03_where_some" -> arm(
+          s"""where: {operator: Like path: ["id"] valueText: "${id1.dropRight(1)}?"}"""),
+        "n04_where_none" -> arm(s"""where: {operator: Like path: ["id"] valueText: "$none"}"""),
+        "n05_near_all" -> arm(s"""nearObject: {id: "$id1" certainty: 0.1}"""),
+        "n06_where_near_all" -> arm(
+          s"""where: {operator: Like path: ["id"] valueText: "*"}
+             |nearObject: {id: "$id1" certainty: 0.1}""".stripMargin),
+        "n07_where_near_some" -> arm(
+          s"""where: {operator: Like path: ["id"] valueText: "${id1.dropRight(1)}?"}
+             |nearObject: {id: "$id1" certainty: 1}""".stripMargin),
+        "n08_where_near_none" -> arm(
+          s"""where: {operator: Like path: ["id"] valueText: "$none"}
+             |nearObject: {id: "$id1" certainty: 0.1}""".stripMargin)))
+    }),
+
     // the Person-bed filter journeys (local_get_with_filter_test.go:258-436):
     // ref-count filters on livesIn (gh-1101) and FIELD-tokenization Equal on
     // scalar + array text props (gh-1821)
@@ -794,6 +933,60 @@ object SparkEntryFixtures {
       "g03_891.96" -> "meta=1;pop=3470000;museums=1;name=1")),
 
 
+
+
+
+    // cursor api: the walks' id pages + verbatim validation texts
+    "q_fixture_cursor" ->
+      """SELECT * FROM (VALUES
+        |  ('01_walk_from_start', '001,002,003,004,005,006,007'),
+        |  ('02_walk_after_id4', '005,006,007'),
+        |  ('03_offset', 'cursor api: invalid ''after'' parameter: offset cannot be set with after and limit parameters'),
+        |  ('04_nearobject', 'cursor api: invalid ''after'' parameter: other params cannot be set with after and limit parameters'),
+        |  ('05_nearvector', 'cursor api: invalid ''after'' parameter: other params cannot be set with after and limit parameters'),
+        |  ('06_hybrid', 'cursor api: invalid ''after'' parameter: other params cannot be set with after and limit parameters'),
+        |  ('07_bm25', 'cursor api: invalid ''after'' parameter: other params cannot be set with after and limit parameters'),
+        |  ('08_sort', 'cursor api: invalid ''after'' parameter: sort cannot be set with after and limit parameters'),
+        |  ('09_where', 'cursor api: invalid ''after'' parameter: where cannot be set with after and limit parameters'),
+        |  ('10_multi', 'cursor api: invalid ''after'' parameter: other params cannot be set with after and limit parameters'),
+        |  ('11_no_limit', 'cursor api: invalid ''after'' parameter: limit parameter must be set')
+        |) AS t(step, result) ORDER BY step""".stripMargin,
+
+    // ArrayClass/DuplicatesClass matrix: the reference-asserted stat sets
+    // (booleanArray/textArray/numberArray/intArray/dateArray expectations,
+    // matrix_no_groupby_test.go:26-130), floats at the repo's round-4
+    "q_fixture_agg_arrays" ->
+      """SELECT * FROM (VALUES
+        |  ('a01_without', 'meta=7;bool=10/4/6/0.4/0.6;texts=10;top=Alpha=4,Bravo=3,Charlie=2,Delta=1;nums=10/4/1/1/20/2/2;ints=10/104/101/101/1020/102/102;dates=10'),
+        |  ('a02_where_all', 'meta=7;bool=10/4/6/0.4/0.6;texts=10;top=Alpha=4,Bravo=3,Charlie=2,Delta=1;nums=10/4/1/1/20/2/2;ints=10/104/101/101/1020/102/102;dates=10'),
+        |  ('a03_where_withdata', 'meta=2;bool=7/2/5/0.2857/0.7143;texts=7;top=Alpha=2,Bravo=2,Charlie=2,Delta=1;nums=7/4/1/1/16/2/2.2857;ints=7/104/101/101/716/102/102.2857;dates=7'),
+        |  ('a04_where_withoutdata', 'meta=3;bool=0/∅/∅/∅/∅;texts=0;top=;nums=0/∅/∅/∅/∅/∅/∅;ints=0/∅/∅/∅/∅/∅/∅;dates=0'),
+        |  ('a05_where_none', 'meta=0;bool=0/∅/∅/∅/∅;texts=0;top=;nums=0/∅/∅/∅/∅/∅/∅;ints=0/∅/∅/∅/∅/∅/∅;dates=0'),
+        |  ('a06_near_all', 'meta=7;bool=10/4/6/0.4/0.6;texts=10;top=Alpha=4,Bravo=3,Charlie=2,Delta=1;nums=10/4/1/1/20/2/2;ints=10/104/101/101/1020/102/102;dates=10'),
+        |  ('a07_near_withdata', 'meta=2;bool=7/2/5/0.2857/0.7143;texts=7;top=Alpha=2,Bravo=2,Charlie=2,Delta=1;nums=7/4/1/1/16/2/2.2857;ints=7/104/101/101/716/102/102.2857;dates=7'),
+        |  ('a08_near_withoutdata', 'meta=3;bool=0/∅/∅/∅/∅;texts=0;top=;nums=0/∅/∅/∅/∅/∅/∅;ints=0/∅/∅/∅/∅/∅/∅;dates=0'),
+        |  ('a09_where_near_all', 'meta=7;bool=10/4/6/0.4/0.6;texts=10;top=Alpha=4,Bravo=3,Charlie=2,Delta=1;nums=10/4/1/1/20/2/2;ints=10/104/101/101/1020/102/102;dates=10'),
+        |  ('a10_where_near_withdata', 'meta=2;bool=7/2/5/0.2857/0.7143;texts=7;top=Alpha=2,Bravo=2,Charlie=2,Delta=1;nums=7/4/1/1/16/2/2.2857;ints=7/104/101/101/716/102/102.2857;dates=7'),
+        |  ('a11_where_near_withoutdata', 'meta=3;bool=0/∅/∅/∅/∅;texts=0;top=;nums=0/∅/∅/∅/∅/∅/∅;ints=0/∅/∅/∅/∅/∅/∅;dates=0'),
+        |  ('a12_where_near_none', 'meta=0;bool=0/∅/∅/∅/∅;texts=0;top=;nums=0/∅/∅/∅/∅/∅/∅;ints=0/∅/∅/∅/∅/∅/∅;dates=0'),
+        |  ('d01_without', 'meta=3;bool=9/3/6/0.3333/0.6667;texts=9;top=Alpha=6,Bravo=3;nums=9/2/1/1/12/1/1.3333;ints=9/102/101/101/912/101/101.3333;dates=9'),
+        |  ('d02_where_all', 'meta=3;bool=9/3/6/0.3333/0.6667;texts=9;top=Alpha=6,Bravo=3;nums=9/2/1/1/12/1/1.3333;ints=9/102/101/101/912/101/101.3333;dates=9'),
+        |  ('d03_where_some', 'meta=1;bool=4/1/3/0.25/0.75;texts=4;top=Alpha=3,Bravo=1;nums=4/2/1/1/5/1/1.25;ints=4/102/101/101/405/101/101.25;dates=4'),
+        |  ('d04_where_none', 'meta=0;bool=0/∅/∅/∅/∅;texts=0;top=;nums=0/∅/∅/∅/∅/∅/∅;ints=0/∅/∅/∅/∅/∅/∅;dates=0')
+        |) AS t(step, result) ORDER BY step""".stripMargin,
+
+    // ClassWithoutProperties matrix: meta-only counts
+    "q_fixture_agg_noprops" ->
+      """SELECT * FROM (VALUES
+        |  ('n01_without', '2'),
+        |  ('n02_where_all', '2'),
+        |  ('n03_where_some', '1'),
+        |  ('n04_where_none', '0'),
+        |  ('n05_near_all', '2'),
+        |  ('n06_where_near_all', '2'),
+        |  ('n07_where_near_some', '1'),
+        |  ('n08_where_near_none', '0')
+        |) AS t(step, result) ORDER BY step""".stripMargin,
 
     // Person-bed filter journeys: reference-asserted member sets
     "q_fixture_persons" ->

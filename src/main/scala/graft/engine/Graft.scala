@@ -881,6 +881,34 @@ final class Graft(val spark: SparkSession) {
     authorizeRbac(principal, Rbac.ReadData,
       Seq(Rbac.objects(rbacName(params0.collection), params0.tenant.getOrElse(""))))
     val c = collection(params0.collection)
+
+    // after-cursor compatibility FIRST, before metric/vector resolution —
+    // reference texts and check ORDER verbatim
+    // (usecases/traverser/explorer_validate_scroll.go:22-33 — search legs
+    // first as "other params"; then entities/filters/cursor_validator.go's
+    // comma-joined offset/where/sort; then the limit flag; all wrapped
+    // "cursor api: invalid 'after' parameter" by explorer.go:151). Keyset
+    // pagination walks the id order, so any of these would silently break
+    // the walk — rejected loudly instead.
+    params0.cursor.foreach { cur =>
+      def cfail(msg: String): Nothing = throw new IllegalArgumentException(
+        s"cursor api: invalid 'after' parameter: $msg")
+      val searchLegs = Seq(
+        params0.nearVector.isDefined, params0.nearObject.isDefined,
+        params0.nearText.isDefined, params0.nearMedia.isDefined,
+        params0.nearMultiVector.isDefined, params0.bm25.isDefined,
+        params0.hybrid.isDefined, params0.groupBy.isDefined)
+      if (searchLegs.exists(identity))
+        cfail("other params cannot be set with after and limit parameters")
+      val offending = Seq(
+        if (params0.pagination.exists(_.offset > 0)) Some("offset") else None,
+        if (params0.where.isDefined) Some("where") else None,
+        if (params0.sort.nonEmpty) Some("sort") else None).flatten
+      if (offending.nonEmpty)
+        cfail(s"${offending.mkString(",")} cannot be set with after and limit parameters")
+      if (cur.limit < 0) cfail("limit parameter must be set")
+    }
+
     val params = resolveMetrics(c, params0)
     val id = c.schema.idColumn
 
@@ -901,29 +929,6 @@ final class Graft(val spark: SparkSession) {
       }
     }
 
-    // after-cursor compatibility (reference: entities/filters/
-    // cursor_validator.go:23-49 — keyset pagination composes only with the
-    // id order it walks; offset/where/sort would silently break the walk)
-    params.cursor.foreach { cur =>
-      val offending = Seq(
-        if (params.pagination.exists(_.offset > 0)) Some("offset") else None,
-        if (params.where.isDefined) Some("where") else None,
-        if (params.sort.nonEmpty) Some("sort") else None).flatten
-      require(offending.isEmpty,
-        s"${offending.mkString(",")} cannot be set with after and limit parameters")
-      require(cur.limit >= 0, "limit parameter must be set")
-      // keyset pagination walks the id order; a search leg ranks by
-      // score/distance, where `after` has no position — the cursor would be
-      // SILENTLY ignored (every page identical). Reject loudly instead.
-      val searchLegs = Seq(
-        params.nearVector.isDefined, params.nearObject.isDefined,
-        params.nearText.isDefined, params.nearMedia.isDefined,
-        params.nearMultiVector.isDefined, params.bm25.isDefined,
-        params.hybrid.isDefined)
-      require(!searchLegs.exists(identity),
-        "search parameters cannot be set with after and limit parameters " +
-        "(keyset pagination walks the uuid order, not a ranking)")
-    }
 
     // tenant routing = partition pruning (reference: index.go:2233);
     // lifecycle gate first (tenant not found / not active)

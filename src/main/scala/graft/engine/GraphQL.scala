@@ -891,11 +891,20 @@ object GraphQL {
     val tenant = cls.arg("tenant").map(asStr(_, "tenant"))
     val where = cls.arg("where").map(decodeWhere(g, collection, _))
 
-    val sort = cls.arg("sort").map(asList(_, "sort")).getOrElse(Nil).map { s =>
+    // bare-object sort and bare-string paths coerce per GraphQL list-input
+    // coercion (the acceptance cursor test sends `sort: {path: "name"}`)
+    val sort = cls.arg("sort").map {
+      case o: GObj => List(o: GVal)
+      case other => asList(other, "sort")
+    }.getOrElse(Nil).map { s =>
       val o = asObj(s, "sort")
       SortBy(
-        path = o.get("path").map(strList(_, "sort.path")).getOrElse(Nil),
-        desc = o.get("order").exists { case GEnum("desc") => true; case _ => false })
+        path = o.get("path") match {
+          case Some(GStr(p)) => Seq(p)
+          case Some(other) => strList(other, "sort.path")
+          case None => Nil
+        },
+        desc = o.get("order").exists { case GEnum("desc") | GStr("desc") => true; case _ => false })
     }
 
     val nearVectorLeg = cls.arg("nearVector").map { nv =>
@@ -976,8 +985,13 @@ object GraphQL {
     val offset = cls.arg("offset").map(asInt(_, "offset")).getOrElse(0)
     val limit = cls.arg("limit").map(asInt(_, "limit")).filter(_ > 0).getOrElse(10)
     val autocut = cls.arg("autocut").map(asInt(_, "autocut")).filter(_ > 0)
-    val after = cls.arg("after").map(asStr(_, "after")).filter(_.nonEmpty)
-      .map(a => Cursor(Some(idValue(a)), limit))
+    // `after` opens the cursor api even when EMPTY (the from-the-start walk,
+    // local_get_cursor_test.go); a cursor without an explicit limit carries
+    // the unset flag (-1) so the engine raises the reference's
+    // "limit parameter must be set"
+    val after = cls.arg("after").map(asStr(_, "after")).map(a =>
+      Cursor(Some(idValue(a)).filter(_ != ""),
+        cls.arg("limit").map(asInt(_, "limit")).getOrElse(-1)))
 
     val sd = decodeGetSelection(cls.sel)
 

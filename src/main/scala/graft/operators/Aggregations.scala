@@ -24,14 +24,50 @@ object Aggregations {
   def run(c: Collection, params: AggregateParams, filtered: Option[DataFrame]): DataFrame = {
     val base = filtered.getOrElse(c.df)
 
+    // exact median/mode over ARRAY props are not single agg expressions —
+    // they run as an element-explode side aggregation joined back (the
+    // reference's *Array analyzers feed the flattened element multiset
+    // through the same numerical path — aggregator/numerical.go)
+    def isArr(prop: String): Boolean =
+      c.schema.property(prop).exists(_.dataType.isInstanceOf[PropType.Arr])
+    val heavy: Seq[(String, Aggregator)] =
+      params.properties.toSeq.sortBy(_._1).flatMap { case (prop, aggs) =>
+        if (!isArr(prop)) Nil
+        else aggs.collect {
+          case a @ (Aggregator.Median | Aggregator.Mode) => prop -> a
+        }
+      }
+    val lightParams =
+      if (heavy.isEmpty) params
+      else params.copy(properties = params.properties.map { case (prop, aggs) =>
+        prop -> (if (isArr(prop))
+          aggs.filterNot(a => a == Aggregator.Median || a == Aggregator.Mode)
+        else aggs)
+      })
+    def heavyAggsFor(df: DataFrame, groupKey: Option[String]): Seq[DataFrame] =
+      heavy.groupBy(_._1).toSeq.sortBy(_._1).map { case (prop, pairs) =>
+        val exploded = df.select(
+          (groupKey.map(col).toSeq :+ explode(col(prop)).as("__el")): _*)
+        val aggCols = pairs.map(_._2).distinct.map {
+          case Aggregator.Median => median(col("__el")).as(s"${prop}_median")
+          case a => deterministicMode(col("__el")).as(s"${prop}_mode")
+        }
+        groupKey match {
+          case Some(k) => exploded.groupBy(col(k)).agg(aggCols.head, aggCols.tail: _*)
+          case None => exploded.agg(aggCols.head, aggCols.tail: _*)
+        }
+      }
+
     params.groupBy match {
       case None =>
-        val aggs = buildAggs(c, params)
-        if (aggs.isEmpty) base.agg(count(lit(1)).as("meta_count"))
-        else base.agg(aggs.head, aggs.tail: _*)
+        val aggs = buildAggs(c, lightParams)
+        val out = if (aggs.isEmpty) base.agg(count(lit(1)).as("meta_count"))
+          else base.agg(aggs.head, aggs.tail: _*)
+        // single-row frames: the joins below are driver-trivial
+        heavyAggsFor(base, None).foldLeft(out)(_.crossJoin(_))
       case Some(path) =>
         val prop = path.head
-        val isArray = c.schema.property(prop).exists(_.dataType.isInstanceOf[PropType.Arr])
+        val isArray = isArr(prop)
         // arrays explode into one group per element (reference: grouped.go:21-50);
         // null values have no inverted-index entries, so they form NO group —
         // explode drops array nulls already, scalar nulls filter out here
@@ -39,9 +75,12 @@ object Aggregations {
         // objects, local_aggregate_matrix_groupby_test.go:943-1070)
         val grouped = if (isArray) base.withColumn("__g", explode(col(prop)))
           else base.withColumn("__g", col(prop)).filter(col("__g").isNotNull)
-        val aggs = buildAggs(c, params)
-        val out = grouped.groupBy(col("__g").as("groupedBy_value"))
+        val aggs = buildAggs(c, lightParams)
+        val out0 = grouped.groupBy(col("__g").as("groupedBy_value"))
           .agg(aggs.headOption.getOrElse(count(lit(1)).as("meta_count")), aggs.drop(1): _*)
+        val out = heavyAggsFor(grouped.withColumnRenamed("__g", "groupedBy_value"),
+            Some("groupedBy_value"))
+          .foldLeft(out0)((acc, h) => acc.join(h, Seq("groupedBy_value"), "left"))
         val sorted = out.orderBy(col("meta_count").desc, col("groupedBy_value").asc)
         params.limit.map(sorted.limit).getOrElse(sorted)
     }
@@ -92,18 +131,31 @@ object Aggregations {
    * count counts elements, topOccurrences ranks elements, numeric aggs run
    * over the flattened element multiset). Median/mode over arrays are not
    * expressible as a single agg column — unsupported, loudly. */
-  private def aggColumnArray(c: Column, a: Aggregator): Column = a match {
-    // element count is 0 over an empty/all-null set, like the scalar count
-    case Aggregator.Count => coalesce(sum(coalesce(size(c), lit(0))), lit(0L))
-    case Aggregator.Sum   => sum(aggregate(c, lit(0.0), (acc, x) => acc + x.cast("double")))
-    case Aggregator.Mean  =>
-      sum(aggregate(c, lit(0.0), (acc, x) => acc + x.cast("double"))) /
-        sum(coalesce(size(c), lit(0)))
-    case Aggregator.Minimum => min(array_min(c))
-    case Aggregator.Maximum => max(array_max(c))
-    case Aggregator.TopOccurrences(n) => topOccurrencesAgg(c, n, flat = true)
-    case other => throw new IllegalArgumentException(
-      s"aggregator ${other.name} is not supported on array properties")
+  private def aggColumnArray(c: Column, a: Aggregator): Column = {
+    // element count across the set; every other array aggregator is NULL
+    // when no elements exist (the reference's *Array0 matrix assertions:
+    // count 0, everything else nil)
+    val nElems = sum(coalesce(size(c), lit(0)))
+    def guarded(v: Column): Column = when(nElems > lit(0), v)
+    def trues = sum(coalesce(size(filter(c, x => x.cast("boolean"))), lit(0)))
+    a match {
+      case Aggregator.Count => coalesce(nElems, lit(0L))
+      case Aggregator.Sum   =>
+        guarded(sum(aggregate(c, lit(0.0), (acc, x) => acc + x.cast("double"))))
+      case Aggregator.Mean  =>
+        guarded(sum(aggregate(c, lit(0.0), (acc, x) => acc + x.cast("double"))) / nElems)
+      case Aggregator.Minimum => min(array_min(c))
+      case Aggregator.Maximum => max(array_max(c))
+      // boolean-array tallies: element-wise, like the scalar forms
+      case Aggregator.TotalTrue  => guarded(trues)
+      case Aggregator.TotalFalse => guarded(nElems - trues)
+      case Aggregator.PercentageTrue  => guarded(trues.cast("double") / nElems)
+      case Aggregator.PercentageFalse => guarded((nElems - trues).cast("double") / nElems)
+      case Aggregator.TopOccurrences(n) => topOccurrencesAgg(c, n, flat = true)
+      // Median/Mode run as the element-explode side aggregation in run()
+      case other => throw new IllegalArgumentException(
+        s"aggregator ${other.name} is not supported on array properties")
+    }
   }
 
   private def aggColumnScalar(c: Column, a: Aggregator): Column = (a match {

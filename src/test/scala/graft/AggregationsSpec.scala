@@ -93,7 +93,7 @@ class AggregationsSpec extends SparkSpecBase {
     assert(top.map(r => (r.getString(1), r.getInt(0))) == Seq(("tech", 3), ("food", 2)))
   }
 
-  test("array properties aggregate element-wise; unsupported aggregators error") {
+  test("array properties aggregate element-wise, incl. exact median/mode") {
     val gg = new Graft(spark)
     gg.register(CollectionSchema("Tagged", "id", Seq(
       Property("tags", PropType.Arr(PropType.Text), Tokenization.Field),
@@ -117,11 +117,13 @@ class AggregationsSpec extends SparkSpecBase {
     val top = row.getSeq[org.apache.spark.sql.Row](
       row.fieldIndex("tags_topOccurrences"))
     assert(top.map(t => (t.getInt(0), t.getString(1))) == Seq((2, "a"), (1, "b")))
-    val e = intercept[IllegalArgumentException] {
-      gg.aggregate(AggregateParams("Tagged",
-        properties = Map("vals" -> Seq(Aggregator.Median))))
-    }
-    assert(e.getMessage.contains("not supported on array properties"))
+    // median/mode run over the flattened element multiset via the
+    // explode side-aggregation (round 13 — the reference's *Array
+    // analyzers feed elements through the same numerical path)
+    val mm = gg.aggregate(AggregateParams("Tagged",
+      properties = Map("vals" -> Seq(Aggregator.Median, Aggregator.Mode)))).head()
+    assert(mm.getAs[Double]("vals_median") == 2.0)
+    assert(mm.getAs[Double]("vals_mode") == 1.0) // all counts 1 → smallest
   }
 
   test("meta count only") {
