@@ -401,6 +401,36 @@ object CitiesFixture {
       vectors = Map("default" -> "vector"), defaultVector = Some("default")),
       spark.createDataFrame(spark.sparkContext.parallelize(dupRows, 1), arraySchema))
 
+    // ----- NearObjectSearch + shadow (setup_test.go addTestDataNearObjectSearch)
+    // the SAME uuids in two classes; shadow vectors sit 10 deg from their
+    // counterparts (inside the 0.98-certainty band, d <= 0.04) while
+    // same-class neighbours sit 30 deg apart (outside it) — the shadow
+    // suite's pins: Get/Aggregate nearObject anchor from the QUERIED class
+    // returns only itself; Explore returns both shadows of the anchor id
+    val shadowIds = (1 to 5).map(i => f"aa44bbee-ca5f-4db7-a412-5fc6a23${i}%05d")
+    val shadowNames = Seq("Mount Everest", "Amsterdam is a cool city",
+      "Football is a game where people run after ball",
+      "Berlin is Germany's capital city", "London is a cool city")
+    val sameId = "aa44bbee-ca5f-4db7-a412-5fc6a2300011"
+    val nosSchema = StructType(Seq(
+      StructField("uuid", StringType), StructField("name", StringType),
+      StructField("vector", ArrayType(FloatType))))
+    def nosRows(shadow: Boolean): Seq[Row] =
+      shadowIds.zipWithIndex.map { case (id, i) =>
+        Row(id,
+          if (shadow) s"altered contents of: ${shadowNames(i)}" else shadowNames(i),
+          unit(i * 30.0 + (if (shadow) 10.0 else 0.0)).toSeq)
+      } :+ Row(sameId, "the same content goes here just for explore tests",
+        unit(150.0).toSeq)
+    g.register(CollectionSchema("NearObjectSearch", "uuid", Seq(
+      Property("name", Text, Tokenization.Whitespace)),
+      vectors = Map("default" -> "vector"), defaultVector = Some("default")),
+      spark.createDataFrame(spark.sparkContext.parallelize(nosRows(false), 1), nosSchema))
+    g.register(CollectionSchema("NearObjectSearchShadow", "uuid", Seq(
+      Property("name", Text, Tokenization.Whitespace)),
+      vectors = Map("default" -> "vector"), defaultVector = Some("default")),
+      spark.createDataFrame(spark.sparkContext.parallelize(nosRows(true), 1), nosSchema))
+
     // ----- CursorClass (setup_test.go:870-919) ------------------------------
     val cursorNames = Seq(
       "Mount Everest", "Amsterdam is a cool city",

@@ -376,6 +376,74 @@ object SparkEntryFixtures {
         arm("g03", s"""nearObject: {id: "${CitiesFixture.Berlin}" certainty: 0.81}"""))
     }),
 
+    // the shadowed-uuid suite (local_get_shadow_test.go + setup
+    // addTestDataNearObjectSearch): the same uuids live in two classes —
+    // Get/Aggregate nearObject resolve the anchor from the QUERIED class
+    // (certainty 0.98 returns only itself), while Explore fans across both
+    // classes and returns both shadows of the anchor id
+    "q_fixture_shadow" -> ((s, _) => {
+      val g = cg(s)
+      val anchor1 = "aa44bbee-ca5f-4db7-a412-5fc6a2300001"
+      val same = "aa44bbee-ca5f-4db7-a412-5fc6a2300011"
+      val out = Seq.newBuilder[(String, String)]
+      out += "01_get" -> g.get(GraphQL.get(g,
+        s"""{ Get { NearObjectSearch(nearObject: {id: "$anchor1" certainty: 0.98})
+           |  { name } } }""".stripMargin))
+        .select(col("name")).collect().map(_.getString(0)).mkString(",")
+      out += "02_aggregate" -> g.aggregate(GraphQL.aggregate(g,
+        s"""{ Aggregate { NearObjectSearch(nearObject: {id: "$anchor1" certainty: 0.98})
+           |  { meta { count } } } }""".stripMargin))
+        .collect().head.getLong(0).toString
+      def explore(id: String): String = {
+        val e = GraphQL.explore(
+          s"""{ Explore(nearObject: {id: "$id" certainty: 0.98}) { beacon } }""")
+        g.exploreObject(Seq("NearObjectSearch", "NearObjectSearchShadow"),
+          e.nearObject.get, limit = e.limit, offset = e.offset)
+          .select(col("class_name"), col("beacon_id")).collect()
+          .map(r => s"weaviate://localhost/${r.getString(0)}/${r.getString(1)}")
+          .sorted.mkString(",")
+      }
+      out += "03_explore_same" -> explore(same)
+      out += "04_explore_diff" -> explore(anchor1)
+      steps(s, out.result())
+    }),
+
+    // Test_UnindexedProperty (unindexed_property_test.go): a class created
+    // THROUGH THE SCHEMA WIRE with indexFilterable/indexSearchable false on
+    // one prop — filtering the indexed prop serves, filtering the hidden
+    // prop is impossible (the reference's query errors)
+    "q_fixture_unindexed" -> ((s, _) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      import graft.sources.SchemaWire
+      val gg = new Graft(s)
+      val schema = SchemaWire.decodeClass(
+        """{"class": "NoIndexTestClass", "properties": [
+          |  {"name": "name", "dataType": ["text"], "tokenization": "whitespace",
+          |   "indexFilterable": true, "indexSearchable": true},
+          |  {"name": "hiddenName", "dataType": ["text"], "tokenization": "whitespace",
+          |   "indexFilterable": false, "indexSearchable": false}]}""".stripMargin,
+        idColumn = "uuid")
+      gg.register(schema, s.createDataFrame(s.sparkContext.parallelize(Seq(
+        Row("f5ffb60f-4c13-4d07-a395-829b2396c7b9", "elephant", "zebra")), 1),
+        StructType(Seq(StructField("uuid", StringType),
+          StructField("name", StringType), StructField("hiddenName", StringType)))))
+      def q(prop: String, v: String): String = okOr {
+        gg.get(GraphQL.get(gg,
+          s"""{ Get { NoIndexTestClass(where: {operator: Equal, valueText: "$v",
+             |  path: ["$prop"]}) { name hiddenName } } }""".stripMargin))
+          .collect().map(r => s"${r.getString(0)}/${r.getString(1)}").mkString(",")
+      }
+      def live(prop: String, v: String): String =
+        gg.get(GraphQL.get(gg,
+          s"""{ Get { NoIndexTestClass(where: {operator: Equal, valueText: "$v",
+             |  path: ["$prop"]}) { name hiddenName } } }""".stripMargin))
+          .collect().map(r => s"${r.getString(0)}/${r.getString(1)}").mkString(",")
+      steps(s, Seq(
+        "01_indexed_filter" -> live("name", "elephant"),
+        "02_hidden_filter_rejected" -> q("hiddenName", "zebra")))
+    }),
+
     // the cursor api journey (local_get_cursor_test.go): full keyset walks
     // page by page plus every "cursor api: invalid 'after' parameter"
     // error text verbatim
@@ -935,6 +1003,24 @@ object SparkEntryFixtures {
 
 
 
+
+
+
+    // shadow suite: the reference-asserted pages/beacons
+    "q_fixture_shadow" ->
+      """SELECT * FROM (VALUES
+        |  ('01_get', 'Mount Everest'),
+        |  ('02_aggregate', '1'),
+        |  ('03_explore_same', 'weaviate://localhost/NearObjectSearch/aa44bbee-ca5f-4db7-a412-5fc6a2300011,weaviate://localhost/NearObjectSearchShadow/aa44bbee-ca5f-4db7-a412-5fc6a2300011'),
+        |  ('04_explore_diff', 'weaviate://localhost/NearObjectSearch/aa44bbee-ca5f-4db7-a412-5fc6a2300001,weaviate://localhost/NearObjectSearchShadow/aa44bbee-ca5f-4db7-a412-5fc6a2300001')
+        |) AS t(step, result) ORDER BY step""".stripMargin,
+
+    // unindexed-property journey: indexed filter serves, hidden prop errors
+    "q_fixture_unindexed" ->
+      """SELECT * FROM (VALUES
+        |  ('01_indexed_filter', 'elephant/zebra'),
+        |  ('02_hidden_filter_rejected', 'Filtering by property ''hiddenName'' requires inverted index. Is `indexFilterable` option of property ''hiddenName'' enabled? Set it to `true` or leave empty')
+        |) AS t(step, result) ORDER BY step""".stripMargin,
 
     // cursor api: the walks' id pages + verbatim validation texts
     "q_fixture_cursor" ->

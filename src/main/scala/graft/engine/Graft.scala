@@ -186,6 +186,29 @@ final class Graft(val spark: SparkSession) {
       limit, offset, nearText.certainty, nearText.distance)
   }
 
+  /** Explore anchored on a STORED OBJECT's vector (the acceptance shadow
+   * suite's `Explore(nearObject: ...)` form). With shadowed uuids — the
+   * same id living in several classes — the anchor resolves from the FIRST
+   * listed collection carrying it (the reference walks its class list the
+   * same way and the shadow tests pin that both shadows then land inside
+   * the radius). */
+  def exploreObject(collections: Seq[String], nearObject: NearObject,
+                    limit: Int = 0, offset: Int = 0): DataFrame = {
+    authorizeRbac(rbacPrincipal, Rbac.ReadData,
+      collections.map(n => Rbac.objects(rbacName(n))))
+    val owner = collections.view.map(collection)
+      .find(c => c.df.filter(col(c.schema.idColumn) === lit(nearObject.id)).limit(1).count() > 0)
+      .getOrElse(throw new IllegalArgumentException(
+        s"nearObject: no object with id ${nearObject.id} in ${collections.mkString(", ")}"))
+    val nv = graft.operators.VectorSearch.resolveNearObject(owner, nearObject)
+    val metric =
+      if (nearObject.metric == Metric.Default)
+        owner.schema.metricFor(nearObject.targetVectors.headOption)
+      else nearObject.metric
+    graft.operators.Explore(this, collections, nv.vector, metric,
+      limit, offset, nearObject.certainty, nearObject.distance)
+  }
+
   def register(c: Collection): Graft = {
     authorizeRbac(rbacPrincipal, Rbac.CreateCollections,
       Seq(Rbac.collectionsMetadata(c.schema.name)))
