@@ -401,6 +401,26 @@ object CitiesFixture {
       vectors = Map("default" -> "vector"), defaultVector = Some("default")),
       spark.createDataFrame(spark.sparkContext.parallelize(dupRows, 1), arraySchema))
 
+    // ----- CompanyGroup (setup_test.go:577-630) ------------------------------
+    // the TestGroupBy bed: word-tokenized names, a field-tokenized city key
+    val cgRows = Seq(
+      ("1fa3b21e-ca4f-4db7-a432-7fc6a23c534d", "Microsoft Inc.", "dusseldorf"),
+      ("1f75ed97-39dd-4294-bff7-ecabd7923062", "Microsoft Incorporated", "amsterdam"),
+      ("1343f51d-7e05-4084-bd66-d504db3b6bec", "Microsoft", "berlin"),
+      ("177fec91-1292-4928-8f53-f0ff49c76900", "Apple Inc.", "berlin"),
+      ("1b2cfdba-d4ba-4cf8-abda-e719ef35ac33", "Apple Incorporated", "dusseldorf"),
+      ("171d2b4c-3da1-4684-9c5e-aabd2a4f2998", "Apple", "amsterdam"),
+      ("1c2e21fc-46fe-4999-b41c-a800595129af", "Google Inc.", "amsterdam"),
+      ("12b969c6-f184-4be0-8c40-7470af417cfc", "Google Incorporated", "berlin"),
+      ("17829929-2037-4420-acbc-a433269feb93", "Google", "dusseldorf"))
+      .map { case (id, n, c) => Row(id, n, c) }
+    g.register(CollectionSchema("CompanyGroup", "uuid", Seq(
+      Property("name", Text, Tokenization.Word),
+      Property("city", Text, Tokenization.Field))),
+      spark.createDataFrame(spark.sparkContext.parallelize(cgRows, 1),
+        StructType(Seq(StructField("uuid", StringType),
+          StructField("name", StringType), StructField("city", StringType)))))
+
     // ----- NearObjectSearch + shadow (setup_test.go addTestDataNearObjectSearch)
     // the SAME uuids in two classes; shadow vectors sit 10 deg from their
     // counterparts (inside the 0.98-certainty band, d <= 0.04) while

@@ -376,6 +376,26 @@ object SparkEntryFixtures {
         arm("g03", s"""nearObject: {id: "${CitiesFixture.Berlin}" certainty: 0.81}"""))
     }),
 
+    // groupBy + bm25 over the CompanyGroup bed
+    // (local_get_with_group_by_test.go groupByBm25): group order by best
+    // BM25 rank, in-group hits in rank order, pinned ids verbatim —
+    // zero-score objects form no hit, so the google-only city set still
+    // yields exactly three groups
+    "q_fixture_group_bm25" -> ((s, _) => {
+      val g = cg(s)
+      val page = g.get(GraphQL.get(g,
+        """{ Get { CompanyGroup(
+          |    bm25: {query: "Inc Apple Microsoft"}
+          |    groupBy: {path: ["city"] groups: 4 objectsPerGroup: 10})
+          |  { name city _additional { id group { groupedBy { value } count } } } } }""".stripMargin))
+      val rows = page.select(col("group_index").cast("long"),
+        col("group_hit_rank").cast("long"), col("group_value"), col("_id")).collect()
+      steps(s, rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (idx, hits) =>
+        val ordered = hits.sortBy(_.getLong(1)).map(_.getString(3)).mkString("|")
+        s"0${idx}_group" -> s"${hits.head.getString(2)};hits=$ordered"
+      })
+    }),
+
     // the shadowed-uuid suite (local_get_shadow_test.go + setup
     // addTestDataNearObjectSearch): the same uuids live in two classes —
     // Get/Aggregate nearObject resolve the anchor from the QUERIED class
@@ -1005,6 +1025,15 @@ object SparkEntryFixtures {
 
 
 
+
+
+    // groupBy+bm25: the acceptance-pinned group order and hit ids
+    "q_fixture_group_bm25" ->
+      """SELECT * FROM (VALUES
+        |  ('01_group', 'berlin;hits=177fec91-1292-4928-8f53-f0ff49c76900|1343f51d-7e05-4084-bd66-d504db3b6bec'),
+        |  ('02_group', 'dusseldorf;hits=1fa3b21e-ca4f-4db7-a432-7fc6a23c534d|1b2cfdba-d4ba-4cf8-abda-e719ef35ac33'),
+        |  ('03_group', 'amsterdam;hits=171d2b4c-3da1-4684-9c5e-aabd2a4f2998|1c2e21fc-46fe-4999-b41c-a800595129af|1f75ed97-39dd-4294-bff7-ecabd7923062')
+        |) AS t(step, result) ORDER BY step""".stripMargin,
 
     // shadow suite: the reference-asserted pages/beacons
     "q_fixture_shadow" ->
