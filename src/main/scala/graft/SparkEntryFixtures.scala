@@ -428,6 +428,93 @@ object SparkEntryFixtures {
       steps(s, out.result())
     }),
 
+    // TestMultipleRefTypeIssues (multi_reftype_bug_test.go — the regression
+    // suite for weaviate issue #1410): ONE cref property whose dataType
+    // lists TWO target classes. Schema decoded THROUGH THE SCHEMA WIRE
+    // (multi-entry dataType), data stores the test's SHORT beacons verbatim
+    // (`weaviate://localhost/<uuid>` — no class segment, so resolution is
+    // the cross-class uuid lookup). Target uuids are the test's own
+    // (multi_reftype_bug_test.go:37-38); source uuids are engine-assigned
+    // (the test auto-generates them) and rows render SORTED BY NAME because
+    // the Go test asserts with ElementsMatch (order-insensitive).
+    "q_fixture_multiref" -> ((s, _) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      import graft.sources.SchemaWire
+      val targetOneId = "155c5914-6594-4cde-b3ab-f8570b561965"
+      val targetTwoId = "ebf85a07-6b34-4e3b-b7c5-077f904fc955"
+      def beacon(id: String) = s"weaviate://localhost/$id"
+      val known = Set("MultiRefTypeBugTargetOne", "MultiRefTypeBugTargetTwo",
+        "MultiRefTypeBugSource")
+      val gg = new Graft(s)
+      val targetType = StructType(Seq(StructField("uuid", StringType),
+        StructField("name", StringType)))
+      def target(cls: String, id: String, name: String): Unit =
+        gg.register(SchemaWire.decodeClass(
+          s"""{"class": "$cls", "properties": [
+             |  {"name": "name", "dataType": ["text"]}]}""".stripMargin,
+          idColumn = "uuid", knownClasses = known),
+          s.createDataFrame(s.sparkContext.parallelize(Seq(Row(id, name)), 1), targetType))
+      target("MultiRefTypeBugTargetOne", targetOneId, "target a")
+      target("MultiRefTypeBugTargetTwo", targetTwoId, "target b")
+      val sourceType = StructType(Seq(StructField("uuid", StringType),
+        StructField("name", StringType),
+        StructField("toTargets", ArrayType(StringType))))
+      gg.register(SchemaWire.decodeClass(
+        """{"class": "MultiRefTypeBugSource", "properties": [
+          |  {"name": "name", "dataType": ["text"]},
+          |  {"name": "toTargets", "dataType": ["MultiRefTypeBugTargetOne",
+          |   "MultiRefTypeBugTargetTwo"]}]}""".stripMargin,
+        idColumn = "uuid", knownClasses = known),
+        s.createDataFrame(s.sparkContext.parallelize(Seq(
+          Row("00000000-0000-0000-0000-00000000b001", "source without refs", null),
+          Row("00000000-0000-0000-0000-00000000b002", "source with ref to One",
+            Seq(beacon(targetOneId))),
+          Row("00000000-0000-0000-0000-00000000b003", "source with ref to Two",
+            Seq(beacon(targetTwoId))),
+          Row("00000000-0000-0000-0000-00000000b004", "source with ref to both",
+            Seq(beacon(targetOneId), beacon(targetTwoId)))), 1), sourceType))
+      // name>[resolved|…] rows sorted by name; withIds appends @id per hit
+      def run(doc: String, withIds: Boolean): String =
+        gg.get(GraphQL.get(gg, doc)).orderBy(col("name"))
+          .select(col("name"), col("toTargets_resolved")).collect().map { r =>
+            val hits =
+              if (r.isNullAt(1)) "∅"
+              else r.getSeq[Row](1).map { h =>
+                val n = h.getAs[String]("name")
+                if (withIds) s"$n@${h.getAs[String]("_refid")}" else n
+              }.mkString("[", "|", "]")
+            s"${r.getString(0)}>$hits"
+          }.mkString(",")
+      val out = Seq.newBuilder[(String, String)]
+      out += "01_norefs" -> gg.get(GraphQL.get(gg,
+        "{ Get { MultiRefTypeBugSource { name } } }"))
+        .orderBy(col("name")).collect().map(_.getString(0)).mkString(",")
+      def frag(cls: String, id: Boolean) =
+        s"... on $cls { name${if (id) " _additional { id }" else ""} }"
+      out += "02_one" -> run(
+        s"""{ Get { MultiRefTypeBugSource { name toTargets {
+           |  ${frag("MultiRefTypeBugTargetOne", false)} } } } }""".stripMargin, false)
+      out += "03_one_id" -> run(
+        s"""{ Get { MultiRefTypeBugSource { name toTargets {
+           |  ${frag("MultiRefTypeBugTargetOne", true)} } } } }""".stripMargin, true)
+      out += "04_two" -> run(
+        s"""{ Get { MultiRefTypeBugSource { name toTargets {
+           |  ${frag("MultiRefTypeBugTargetTwo", false)} } } } }""".stripMargin, false)
+      out += "05_two_id" -> run(
+        s"""{ Get { MultiRefTypeBugSource { name toTargets {
+           |  ${frag("MultiRefTypeBugTargetTwo", true)} } } } }""".stripMargin, true)
+      out += "06_both" -> run(
+        s"""{ Get { MultiRefTypeBugSource { name toTargets {
+           |  ${frag("MultiRefTypeBugTargetOne", false)}
+           |  ${frag("MultiRefTypeBugTargetTwo", false)} } } } }""".stripMargin, false)
+      out += "07_both_id" -> run(
+        s"""{ Get { MultiRefTypeBugSource { name toTargets {
+           |  ${frag("MultiRefTypeBugTargetOne", true)}
+           |  ${frag("MultiRefTypeBugTargetTwo", true)} } } } }""".stripMargin, true)
+      steps(s, out.result())
+    }),
+
     // Test_UnindexedProperty (unindexed_property_test.go): a class created
     // THROUGH THE SCHEMA WIRE with indexFilterable/indexSearchable false on
     // one prop — filtering the indexed prop serves, filtering the hidden
@@ -1042,6 +1129,20 @@ object SparkEntryFixtures {
         |  ('02_aggregate', '1'),
         |  ('03_explore_same', 'weaviate://localhost/NearObjectSearch/aa44bbee-ca5f-4db7-a412-5fc6a2300011,weaviate://localhost/NearObjectSearchShadow/aa44bbee-ca5f-4db7-a412-5fc6a2300011'),
         |  ('04_explore_diff', 'weaviate://localhost/NearObjectSearch/aa44bbee-ca5f-4db7-a412-5fc6a2300001,weaviate://localhost/NearObjectSearchShadow/aa44bbee-ca5f-4db7-a412-5fc6a2300001')
+        |) AS t(step, result) ORDER BY step""".stripMargin,
+
+    // multi-class cref regression (issue #1410): the reference-asserted
+    // pages of multi_reftype_bug_test.go:150-501, rows sorted by name
+    // (the Go test compares with ElementsMatch)
+    "q_fixture_multiref" ->
+      """SELECT * FROM (VALUES
+        |  ('01_norefs', 'source with ref to One,source with ref to Two,source with ref to both,source without refs'),
+        |  ('02_one', 'source with ref to One>[target a],source with ref to Two>∅,source with ref to both>[target a],source without refs>∅'),
+        |  ('03_one_id', 'source with ref to One>[target a@155c5914-6594-4cde-b3ab-f8570b561965],source with ref to Two>∅,source with ref to both>[target a@155c5914-6594-4cde-b3ab-f8570b561965],source without refs>∅'),
+        |  ('04_two', 'source with ref to One>∅,source with ref to Two>[target b],source with ref to both>[target b],source without refs>∅'),
+        |  ('05_two_id', 'source with ref to One>∅,source with ref to Two>[target b@ebf85a07-6b34-4e3b-b7c5-077f904fc955],source with ref to both>[target b@ebf85a07-6b34-4e3b-b7c5-077f904fc955],source without refs>∅'),
+        |  ('06_both', 'source with ref to One>[target a],source with ref to Two>[target b],source with ref to both>[target a|target b],source without refs>∅'),
+        |  ('07_both_id', 'source with ref to One>[target a@155c5914-6594-4cde-b3ab-f8570b561965],source with ref to Two>[target b@ebf85a07-6b34-4e3b-b7c5-077f904fc955],source with ref to both>[target a@155c5914-6594-4cde-b3ab-f8570b561965|target b@ebf85a07-6b34-4e3b-b7c5-077f904fc955],source without refs>∅')
         |) AS t(step, result) ORDER BY step""".stripMargin,
 
     // unindexed-property journey: indexed filter serves, hidden prop errors

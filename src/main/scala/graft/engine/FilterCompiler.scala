@@ -196,7 +196,7 @@ final class FilterCompiler(resolve: String => Collection) {
       // cross-reference descent: validate the tail against the target class
       // (validateClause recursion over the ref path)
       case PropType.Ref if w.path.length >= 2 =>
-        val target = resolve(prop.refTarget.getOrElse(w.path(1)))
+        val target = resolve(refPathTarget(prop, w))
         validate(target.schema, w.copy(path = w.path.drop(2)))
       // directly on a ref prop only valueInt counts edges (filters_validator.go:150-161);
       // the count serves from the prop's meta-count bucket → inverted-index gate
@@ -343,10 +343,23 @@ final class FilterCompiler(resolve: String => Collection) {
    * Ref-count filter (valueInt on the ref prop itself, path length 1) is
    * handled in `leaf` via refCount.
    */
+  /** The target class of one ref-path hop: single-class refs take their
+   * declared target (the path's class segment is informational); multi-class
+   * refs dispatch on the path's class segment, which must be one of the
+   * declared targets (MultipleRef — multi_reftype_bug_test.go's model). */
+  private def refPathTarget(prop: Property, w: Where): String =
+    prop.refTarget.getOrElse {
+      val t = w.path(1)
+      if (prop.refTargets.nonEmpty && !prop.refTargets.contains(t))
+        fail(s"class '$t' is not a linked class of property '${w.path.head}' " +
+          s"(linked: ${prop.refTargets.mkString(", ")})")
+      t
+    }
+
   private def compileRefLeaf(df: DataFrame, schema: CollectionSchema, w: Where, depth: Int): (DataFrame, Column) = {
     require(depth < 3, "nested-ref depth limit (reference: QueryNestedRefLimit)")
     val refProp = schema.property(w.path.head).get
-    val target = resolve(refProp.refTarget.getOrElse(w.path(1)))
+    val target = resolve(refPathTarget(refProp, w))
     val tail = w.copy(path = w.path.drop(2))
     val (tPrepared, tCol) = compile(target.df, target.schema, tail, depth + 1)
     val matchingIds = tPrepared.filter(tCol)
@@ -365,9 +378,20 @@ final class FilterCompiler(resolve: String => Collection) {
     } else {
       // multi-valued cref (beacon list): explode edges, equi-join on target
       // id, fold back to a per-object any-match flag (one shuffle on the id —
-      // never a non-equi array_contains join)
+      // never a non-equi array_contains join). Multi-class edges store
+      // beacons: parse the uuid out, and a class-qualified beacon only
+      // counts when it names THIS hop's target class.
       val id = schema.idColumn
-      val hits = df.select(col(id), explode_outer(col(refProp.name)).as("__fk"))
+      val exploded = df.select(col(id), explode_outer(col(refProp.name)).as("__fk"))
+      val edges = if (refProp.isMultiRef) {
+        val stripped = regexp_replace(col("__fk"), "^[a-z][a-z0-9+.-]*://[^/]*/", "")
+        exploded
+          .filter(col("__fk").isNull ||
+            instr(stripped, "/") === 0 ||
+            split(stripped, "/").getItem(0) === lit(target.schema.name))
+          .withColumn("__fk", lower(element_at(split(stripped, "/"), -1)))
+      } else exploded
+      val hits = edges
         .join(matchingIds.withColumn("__hit", lit(true)),
           col("__fk") === col("__target_id"), "left")
         .groupBy(col(id))

@@ -1428,6 +1428,12 @@ final class Graft(val spark: SparkSession) {
       val refProp = c.schema.property(refName).getOrElse(
         throw new IllegalArgumentException(s"unknown ref property $refName"))
       require(refProp.dataType == PropType.Ref, s"$refName is not a cref property")
+      if (refProp.isMultiRef) resolveMultiRef(c, params, d, refName, refProp)
+      else resolveSingleRef(c, d, refName, refProp)
+    }
+
+  private def resolveSingleRef(c: Collection, d: DataFrame,
+                               refName: String, refProp: Property): DataFrame = {
       val target = collection(refProp.refTarget.get)
       val targetCols = struct(target.schema.properties.map(p => col(p.name)): _*)
       val lookup = target.df.select(
@@ -1458,6 +1464,82 @@ final class Graft(val spark: SparkSession) {
             .drop("__ref_target_id")
       }
     }
+
+  /**
+   * Multi-class cref resolution (reference: entities/models MultipleRef —
+   * one beacon list mixing target classes; regression
+   * test/acceptance/graphql_resolvers/multi_reftype_bug_test.go). Beacons
+   * may be short (`weaviate://localhost/<uuid>`) or class-qualified
+   * (`weaviate://localhost/<Class>/<uuid>`); bare-uuid and `Class/uuid`
+   * edge encodings are tolerated too. Resolution scope = the classes named
+   * by the query's inline fragments (params.refTargetClasses), defaulting to
+   * every declared target. One lookup frame per requested class, UNIONed
+   * column-aligned, then the same explode → hash-join → edge-order
+   * re-collect as single-class refs (the equi-key is the uuid; the
+   * class-match predicate rides as a join filter). A class-qualified beacon
+   * matches only its own class; a short beacon matches whichever requested
+   * class holds the uuid — the reference's cross-class uuid lookup. Rows
+   * with no matching edge stay NULL (the acceptance `toTargets: nil` shape).
+   *
+   * Resolved struct = `_refclass`/`_refid` + the UNION of the requested
+   * classes' properties (absent props null, the first-declaring class fixes
+   * a shared name's Spark type) — so fragment selections and
+   * `_additional { id }` serve from one struct without a second join.
+   */
+  private def resolveMultiRef(c: Collection, params: GetParams, d: DataFrame,
+                              refName: String, refProp: Property): DataFrame = {
+    val declared = refProp.allRefTargets
+    val requested0 = params.refTargetClasses.getOrElse(refName, Nil)
+    val requested = if (requested0.isEmpty) declared else requested0
+    requested.find(!declared.contains(_)).foreach { t =>
+      throw new IllegalArgumentException(
+        s"class '$t' is not a linked class of property '$refName' " +
+        s"(linked: ${declared.mkString(", ")})")
+    }
+    val targets = requested.map(collection)
+    val fieldOrder = targets.flatMap(_.schema.properties.map(_.name)).distinct
+    val fieldType: Map[String, org.apache.spark.sql.types.DataType] =
+      targets.reverse.flatMap(t => t.schema.properties.map(p =>
+        p.name -> t.df.schema(p.name).dataType)).toMap // reverse → first declaring class wins
+    val resolvedName = s"${refName}_resolved"
+    val lookup = targets.map { t =>
+      val fields = Seq(
+        lit(t.schema.name).as("_refclass"),
+        col(t.schema.idColumn).cast("string").as("_refid")) ++
+        fieldOrder.map { f =>
+          if (t.schema.property(f).isDefined) col(f).cast(fieldType(f)).as(f)
+          else lit(null).cast(fieldType(f)).as(f)
+        }
+      t.df.select(
+        col(t.schema.idColumn).cast("string").as("__ref_target_id"),
+        lit(t.schema.name).as("__ref_target_cls"),
+        struct(fields: _*).as(resolvedName))
+    }.reduce(_ unionByName _)
+    val fits = lookup.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      BigInt(64L * 1024 * 1024)
+    val hinted = if (fits) broadcast(lookup) else lookup
+    val idc = c.schema.idColumn
+    // beacon → (class?, uuid): strip any scheme://host/ prefix, then the last
+    // segment is the uuid and a preceding segment is the class condition
+    val stripped = regexp_replace(col("__rr_beacon"), "^[a-z][a-z0-9+.-]*://[^/]*/", "")
+    val edges = d
+      .select(col(idc).as("__rr_src"),
+        posexplode(col(refName)).as(Seq("__rr_pos", "__rr_beacon")))
+      .withColumn("__rr_cls",
+        when(instr(stripped, "/") > 0, split(stripped, "/").getItem(0)))
+      .withColumn("__rr_id", lower(element_at(split(stripped, "/"), -1)))
+    val resolved = edges
+      .join(hinted,
+        col("__rr_id") === col("__ref_target_id") &&
+          (col("__rr_cls").isNull || col("__rr_cls") === col("__ref_target_cls")),
+        "inner")
+      .groupBy(col("__rr_src"))
+      .agg(transform(array_sort(collect_list(struct(
+          col("__rr_pos").as("p"), col(resolvedName).as("v")))),
+        e => e.getField("v")).as(resolvedName))
+      .withColumnRenamed("__rr_src", idc)
+    d.join(resolved, Seq(idc), "left")
+  }
 
   def aggregate(params0: AggregateParams): DataFrame =
     aggregateAs(rbacPrincipal, params0)
@@ -1611,7 +1693,7 @@ final class Graft(val spark: SparkSession) {
       case Some(prop) => prop.dataType match {
         case PropType.Ref =>
           sortFail("sorting by reference not supported, " +
-            s"""property "$other" is a ref prop to the class "${prop.refTarget.getOrElse("")}"""")
+            s"""property "$other" is a ref prop to the class "${prop.allRefTargets.mkString(", ")}"""")
         // geo sorts as the float pair [longitude, latitude]
         // (sorter/comparable_value_extractor.go:203-213); the key stays NULL
         // for null rows so asc_nulls_first/desc_nulls_last see one null, not

@@ -709,7 +709,10 @@ object GraphQL {
       summary: Option[SummaryParams],
       ner: Option[NerParams],
       featureProjection: Option[FeatureProjectionParams],
-      aliases: Seq[(String, String)] = Nil)
+      aliases: Seq[(String, String)] = Nil,
+      // ref prop → the target classes its inline fragments name (doc order,
+      // deduped) — drives multi-class cref resolution scope
+      refOnTypes: Map[String, Seq[String]] = Map.empty)
 
   private def decodeGetSelection(sel: List[GSel]): SelectionDecode = {
     var props = Vector.empty[String]
@@ -723,6 +726,7 @@ object GraphQL {
     // alias → the served column it re-keys (spec §2.7; reply keys use the
     // alias). Refs resolve into `<prop>_resolved`, so that is the source.
     var aliases = Vector.empty[(String, String)]
+    var refOnTypes = Map.empty[String, Seq[String]]
 
     sel.foreach {
       case GInlineFrag(_, _) =>
@@ -792,11 +796,15 @@ object GraphQL {
           } else {
             refs :+= f.name; props :+= f.name
             f.alias.foreach(a => aliases :+= a -> s"${f.name}_resolved")
+            // the fragment type conditions scope which target classes a
+            // multi-class cref resolves (multi_reftype_bug_test.go)
+            val onTypes = f.sel.collect { case GInlineFrag(t, _) => t }.distinct
+            if (onTypes.nonEmpty) refOnTypes += f.name -> onTypes
           }
         }
     }
     SelectionDecode(props, refs, additional, rerank, generate, summary, ner, fp,
-      aliases)
+      aliases, refOnTypes)
   }
 
   // ==========================================================================
@@ -1012,6 +1020,7 @@ object GraphQL {
       properties = sd.properties,
       additional = sd.additional,
       resolveRefs = sd.refs,
+      refTargetClasses = sd.refOnTypes,
       tenant = tenant,
       autocut = autocut,
       rerank = sd.rerank,

@@ -1532,7 +1532,12 @@ object WireDecoder {
               " requires exactly 1 arguments: 'beacon'. Check your input schema"))
             val seg = beacon.split('/').filter(_.nonEmpty)
             if (seg.isEmpty) inv(s"invalid cref: invalid beacon '$beacon'")
-            seg.last
+            // multi-class cref edges must keep the class segment (when the
+            // beacon carries one) — resolution dispatches per class; single-
+            // class columns store the bare target id as before
+            if (p.isMultiRef && seg.length >= 2 && seg(seg.length - 2).headOption.exists(_.isUpper))
+              seg(seg.length - 2) + "/" + seg.last
+            else seg.last
           }
         case (PropType.Arr(PropType.Text), JArray(xs)) =>
           xs.map {

@@ -281,6 +281,11 @@ final case class GetParams(
     properties: Seq[String] = Nil,            // empty = all declared props
     additional: Set[String] = Set.empty,      // "id","distance","certainty","score","vector",...
     resolveRefs: Seq[String] = Nil,           // cref props to expand into structs
+    // per resolved ref prop: which target classes the query's inline
+    // fragments (`... on Class`) named — multi-class refs resolve ONLY the
+    // edges landing in a requested class (multi_reftype_bug_test.go); empty
+    // seq / absent key = all declared targets. Single-class refs ignore it.
+    refTargetClasses: Map[String, Seq[String]] = Map.empty,
     tenant: Option[String] = None,
     autocut: Option[Int] = None,
     rerank: Option[RerankParams] = None,

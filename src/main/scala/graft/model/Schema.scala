@@ -55,6 +55,13 @@ final case class Property(
     tokenization: Tokenization = Tokenization.Word,
     // which collection a cref points at (reference: beacon URIs, refcache/resolver.go:51)
     refTarget: Option[String] = None,
+    // multi-class cref: ONE beacon list whose edges may target any of these
+    // classes (reference: entities/models MultipleRef, multi-entry dataType
+    // in entities/schema/data_types.go; regression test
+    // test/acceptance/graphql_resolvers/multi_reftype_bug_test.go). Mutually
+    // exclusive with refTarget; edges store beacons (optionally
+    // class-qualified) instead of bare target ids.
+    refTargets: Seq[String] = Nil,
     indexFilterable: Boolean = true,
     indexSearchable: Boolean = true,
     // accent folding applied to indexed text AND query/filter terms
@@ -64,6 +71,15 @@ final case class Property(
     // rangeable index flag — int/number/date only, default OFF
     // (reference: adapters/repos/db/inverted/objects.go HasRangeableIndex)
     indexRangeFilters: Boolean = false) {
+
+  /** Every class a cref may target — one for classic single-class refs,
+   * several for multi-class refs (MultipleRef). */
+  def allRefTargets: Seq[String] =
+    if (refTargets.nonEmpty) refTargets else refTarget.toSeq
+
+  /** True when the cref's beacon list may mix target classes; such columns
+   * store beacons (class-qualified or short) rather than bare ids. */
+  def isMultiRef: Boolean = refTargets.size > 1
 
   /** Searchable index exists only on text/text[] (objects.go:575-585). */
   def hasSearchableIndex: Boolean = indexSearchable &&

@@ -93,7 +93,9 @@ object Aggregations {
     val spark = c.df.sparkSession
     import spark.implicits._
     c.schema.properties.map { p =>
-      (p.name, p.dataType.name, p.refTarget.getOrElse(""))
+      // pointingTo is a LIST in the reference (multi-class refs) — rendered
+      // comma-joined; single-class refs stay the bare name
+      (p.name, p.dataType.name, p.allRefTargets.mkString(","))
     }.toDF("property", "type", "pointingTo")
   }
 
@@ -113,7 +115,8 @@ object Aggregations {
           // reference's matrix asserts pointingTo/type on no-result arms)
           coalesce(first(lit(t)), lit(t)).as(s"${prop}_type")
         case Aggregator.PointingTo =>
-          val target = c.schema.property(prop).flatMap(_.refTarget).getOrElse(
+          val target = c.schema.property(prop).map(_.allRefTargets).filter(_.nonEmpty)
+            .map(_.mkString(",")).getOrElse(
             throw new IllegalArgumentException(
               s"pointingTo requires a cref property, $prop is not one"))
           coalesce(first(lit(target)), lit(target)).as(s"${prop}_pointingTo")

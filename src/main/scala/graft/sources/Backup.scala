@@ -34,7 +34,8 @@ object Backup {
   private case class PropManifest(
       name: String, dataType: String, tokenization: String,
       refTarget: Option[String], indexFilterable: Boolean, indexSearchable: Boolean,
-      asciiFold: Option[Boolean] = None, indexRangeFilters: Option[Boolean] = None)
+      asciiFold: Option[Boolean] = None, indexRangeFilters: Option[Boolean] = None,
+      refTargets: Option[Seq[String]] = None)
   private case class SchemaManifest(
       name: String, idColumn: String, properties: Seq[PropManifest],
       vectors: Map[String, String], defaultVector: Option[String],
@@ -96,7 +97,8 @@ object Backup {
       c.schema.properties.map(p => PropManifest(
         p.name, p.dataType.name, p.tokenization.name, p.refTarget,
         p.indexFilterable, p.indexSearchable,
-        Some(p.asciiFold), Some(p.indexRangeFilters))),
+        Some(p.asciiFold), Some(p.indexRangeFilters),
+        Some(p.refTargets).filter(_.nonEmpty))),
       c.schema.vectors, c.schema.defaultVector, c.schema.tenantColumn,
       c.schema.creationTimeColumn, c.schema.updateTimeColumn,
       Some(c.schema.stopwords.preset),
@@ -118,9 +120,12 @@ object Backup {
     val schema = CollectionSchema(
       m.name, m.idColumn,
       m.properties.map(p => Property(p.name, parsePropType(p.dataType),
-        parseTokenization(p.tokenization), p.refTarget, p.indexFilterable,
-        p.indexSearchable, p.asciiFold.getOrElse(false),
-        p.indexRangeFilters.getOrElse(false))),
+        parseTokenization(p.tokenization), p.refTarget,
+        refTargets = p.refTargets.getOrElse(Nil),
+        indexFilterable = p.indexFilterable,
+        indexSearchable = p.indexSearchable,
+        asciiFold = p.asciiFold.getOrElse(false),
+        indexRangeFilters = p.indexRangeFilters.getOrElse(false))),
       m.vectors, m.defaultVector, m.tenantColumn, m.creationTimeColumn,
       m.updateTimeColumn,
       timestampUnit = m.timestampUnit.getOrElse("ns"),

@@ -167,13 +167,14 @@ object SchemaWire {
         fail(s"""class "$className": conflict for property "$name": already in use or provided multiple times""")
 
       val dataTypeRaw = strArr(pj, "dataType")
-      val (dt0, refTarget) = resolveDataType(name, dataTypeRaw, className, knownClasses)
+      val (dt0, refTargetsAll) = resolveDataType(name, dataTypeRaw, className, knownClasses)
+      val refTarget = refTargetsAll.headOption.filter(_ => refTargetsAll.size == 1)
 
       // string/string[] → text/text[] + word→whitespace migration
       // (migratePropertyDataTypeAndTokenization — bug-compatible)
       val isDeprecatedString = dataTypeRaw.headOption.exists(d => d == "string" || d == "string[]")
       val tokRaw = str(pj, "tokenization").getOrElse("")
-      validateTokenization(tokRaw, dataTypeRaw.headOption.getOrElse(""), dt0, refTarget.isDefined)
+      validateTokenization(tokRaw, dataTypeRaw.headOption.getOrElse(""), dt0, refTargetsAll.nonEmpty)
       val tok0 =
         if (tokRaw.isEmpty) Tokenization.Word
         else Tokenizations.getOrElse(tokRaw,
@@ -194,6 +195,7 @@ object SchemaWire {
       Property(name, dt0,
         tokenization = tok,
         refTarget = refTarget,
+        refTargets = if (refTargetsAll.size > 1) refTargetsAll else Nil,
         indexFilterable = boolOpt(pj, "indexFilterable").getOrElse(true),
         indexSearchable = indexSearchable.getOrElse(isTextLike),
         asciiFold = asciiFold,
@@ -325,15 +327,15 @@ object SchemaWire {
    * validateProperty wrap (class.go:1024-1028). */
   private def resolveDataType(propName: String, dataType: Seq[String],
                               owningClass: String, knownClasses: Set[String])
-      : (PropType, Option[String]) = {
+      : (PropType, Seq[String]) = {
     def wrap(inner: String): Nothing =
       fail(s"property '$propName': invalid dataType: ${dataType.mkString("[", " ", "]")}: $inner")
     if (dataType.isEmpty) wrap("dataType must have at least one element")
     if (dataType.size == 1) {
       val d = dataType.head
-      Primitives.get(d).foreach(pt => return (pt, None))
-      if (d == "string") return (PropType.Text, None)
-      if (d == "string[]") return (PropType.Arr(PropType.Text), None)
+      Primitives.get(d).foreach(pt => return (pt, Nil))
+      if (d == "string") return (PropType.Text, Nil)
+      if (d == "string[]") return (PropType.Arr(PropType.Text), Nil)
       if (d.isEmpty) wrap("dataType cannot be an empty string")
       // a single NON-capitalized unknown name is not a ref (IsRefDataType
       // checks the leading uppercase letter)
@@ -341,11 +343,18 @@ object SchemaWire {
       // self-reference is allowed without existence (data_types.go:286)
       if (d != owningClass && knownClasses.nonEmpty && !knownClasses.contains(d))
         wrap("reference property to nonexistent class")
-      (PropType.Ref, Some(d))
+      (PropType.Ref, Seq(d))
     } else {
-      // multi-class refs exist in the reference; this engine's cref columns
-      // carry ONE target collection — loud, not silently first-class
-      wrap(s"cref to multiple classes (${dataType.mkString(", ")}) is not supported by this engine")
+      // multi-class cref (MultipleRef): every entry must be a class name —
+      // a primitive mixed into the list fails like the reference
+      // (data_types.go:243-300 walks each entry through the ref branch)
+      dataType.foreach { d =>
+        if (d.isEmpty) wrap("dataType cannot be an empty string")
+        if (!d.head.isUpper) wrap(s"unknown primitive data type '$d'")
+        if (d != owningClass && knownClasses.nonEmpty && !knownClasses.contains(d))
+          wrap("reference property to nonexistent class")
+      }
+      (PropType.Ref, dataType)
     }
   }
 

@@ -39,27 +39,27 @@ class ReferenceFixtureSpec extends SparkSpecBase {
     }
   }
 
-  test("every fixture class decodes (multi-class ref rejected loudly)") {
+  test("every fixture class decodes (incl. multi-class refs)") {
     val things = classes(fixture("things_schema.json"))
     val actions = classes(fixture("actions_schema.json"))
     val all = things ++ actions
     assert(all.size >= 7)
     val known = all.map(_._1).toSet
-    var multiRef = Set.empty[String]
-    val decoded = all.flatMap { case (name, json) =>
-      try Some(SchemaWire.decodeClass(json, idColumn = "id", knownClasses = known))
-      catch {
-        case e: IllegalArgumentException =>
-          // the one documented divergence: multi-class refs (Airline.basedIn
-          // → [City, Country], BuyAction.salesPerson → [Airline, Person]);
-          // this engine's cref columns carry one target collection
-          assert(e.getMessage.contains("cref to multiple classes"), s"$name: ${e.getMessage}")
-          multiRef += name
-          None
-      }
+    val decoded = all.map { case (_, json) =>
+      SchemaWire.decodeClass(json, idColumn = "id", knownClasses = known)
     }
-    assert(multiRef == Set("Airline", "BuyAction"))
-    assert(decoded.size == all.size - 2)
+    assert(decoded.size == all.size)
+
+    // multi-class refs (MultipleRef) decode with every target kept:
+    // Airline.basedIn and BuyAction.salesPerson were this engine's last
+    // data-model divergence — closed in r14
+    val airline = decoded.find(_.name == "Airline").get
+    val basedIn = airline.property("basedIn").get
+    assert(basedIn.dataType == PropType.Ref)
+    assert(basedIn.refTarget.isEmpty && basedIn.isMultiRef)
+    val buyAction = decoded.find(_.name == "BuyAction").get
+    val sales = buyAction.property("salesPerson").get
+    assert(sales.dataType == PropType.Ref && sales.isMultiRef)
 
     // spot-check the decoded City against the fixture's declared types,
     // including the v1.19 string→text(whitespace) migration
