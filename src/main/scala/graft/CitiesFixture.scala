@@ -126,11 +126,21 @@ object CitiesFixture {
     if (uuid == NullIsland) nullIslandVec else unit(cityAngle(uuid))
 
   /** Concept → vector table (the stand-in vectorizer). Unknown concepts land
-   * at the corpus center so radius-less nearText still ranks every object. */
+   * at the corpus center so radius-less nearText still ranks every object.
+   * "Apple" sits just off the Apple-Inc. anchor (60°) so the hybrid
+   * acceptance arms rank Apple Inc. > Apple Incorporated > Apple on the
+   * vector leg — the contextionary's v("Apple") relation the replayed
+   * local_get_hybrid_search_test.go top-2 assertions depend on. */
   val embedder: String => Array[Float] = {
-    val concepts = Map("Berlin" -> 15.0, "Amsterdam" -> 50.0, "hi" -> 70.0)
+    val concepts = Map(
+      "Berlin" -> 15.0, "Amsterdam" -> 50.0, "hi" -> 70.0, "Apple" -> 60.4)
     t => unit(concepts.getOrElse(t, 70.0))
   }
+
+  /** The bed's stand-in for the acceptance suite's `appleVec` (the
+   * contextionary representation of "Apple Inc." —
+   * local_get_hybrid_search_test.go:26): the Apple-Inc. object vector. */
+  def appleVec: Array[Float] = unit(60.0)
 
   /** mustParseYear (cities.go:444-451): `<year>-01-01T00:00:00+02:00`. */
   def year(y: Int): java.sql.Timestamp =

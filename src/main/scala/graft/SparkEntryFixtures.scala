@@ -515,6 +515,162 @@ object SparkEntryFixtures {
       steps(s, out.result())
     }),
 
+    // getWithHybridSearch (local_get_hybrid_search_test.go): the hybrid
+    // acceptance arms over the Airport/Company beds. The suite's appleVec
+    // (contextionary v("Apple Inc.")) is replayed as the bed's Apple-Inc.
+    // stand-in vector (CitiesFixture.appleVec); membership assertions
+    // (assert.Contains) render as name-sorted pages. The _additional.vector
+    // arm asserts non-empty vectors per row (the stand-in space is 3-dim
+    // where contextionary is 300 — the count contract is what replays).
+    "q_fixture_hybrid" -> ((s, _) => {
+      val g = cg(s)
+      val vecLit = CitiesFixture.appleVec.mkString("[", ", ", "]")
+      def names(doc: String): Array[String] =
+        g.get(GraphQL.get(g, doc)).select(col("name")).collect().map(_.getString(0))
+      val out = Seq.newBuilder[(String, String)]
+      out += "01_alpha0_bm25" -> g.get(GraphQL.get(g,
+        """{ Get { Airport(hybrid: {alpha: 0 query: "10000"}) { code } } }"""))
+        .select(col("code")).collect().map(_.getString(0)).mkString(",")
+      out += "02_limit_vector" -> names(
+        s"""{ Get { Company(limit: 2 hybrid: {query: "Apple" alpha: 0.5
+           |  vector: $vecLit}) { name } } }""".stripMargin).sorted.mkString(",")
+      out += "03_limit_novector" -> names(
+        """{ Get { Company(limit: 2 hybrid: {query: "Apple" alpha: 0.5}) { name } } }""")
+        .sorted.mkString(",")
+      out += "04_all_vector" -> names(
+        s"""{ Get { Company(hybrid: {query: "Apple" alpha: 0.5
+           |  vector: $vecLit}) { name } } }""".stripMargin).length.toString
+      out += "05_all_novector" -> names(
+        """{ Get { Company(hybrid: {query: "Apple" alpha: 0.5}) { name } } }""").length.toString
+      out += "06_additional_vector" -> {
+        val rows = g.get(GraphQL.get(g,
+          """{ Get { Company(hybrid: {query: "Apple" alpha: 0.5}) { _additional { vector } } } }"""))
+          .select(col("_vector")).collect()
+        s"rows=${rows.length};vecs=${rows.count(r => !r.isNullAt(0) && r.getSeq[Float](0).nonEmpty)}"
+      }
+      out += "07_refs" -> g.get(GraphQL.get(g,
+        """{ Get { Airport(hybrid: {alpha: 0.5 query: "1000"})
+          |  { code inCity { ... on City { name } } } } }""".stripMargin))
+        .select(col("code"), expr("transform(inCity_resolved, x -> x.name)"))
+        .collect().map(r => s"${r.getString(0)}>${r.getSeq[String](1).mkString("[", "|", "]")}")
+        .sorted.mkString(",")
+      steps(s, out.result())
+    }),
+
+    // hybridSearchGroupByArrayTests (hybrid_group_by_array_test.go): hybrid
+    // + groupBy over text[] properties, the suite's own 4-document bed with
+    // its verbatim uuids/tags/categories. Stand-in vectors unit(i*10) — the
+    // replayed assertions (group membership + counts after objectsPerGroup)
+    // are rank-independent, rendered value-sorted.
+    "q_fixture_hybrid_group" -> ((s, _) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      import graft.sources.SchemaWire
+      val gg = new Graft(s).withEmbedder(CitiesFixture.embedder)
+      val schemaType = StructType(Seq(StructField("uuid", StringType),
+        StructField("title", StringType), StructField("tags", ArrayType(StringType)),
+        StructField("categories", ArrayType(StringType)),
+        StructField("content", StringType), StructField("vector", ArrayType(FloatType))))
+      def unit(deg: Double): Seq[Float] = {
+        val r = math.toRadians(deg)
+        Seq(math.cos(r).toFloat, math.sin(r).toFloat, 0.0f)
+      }
+      gg.register(SchemaWire.decodeClass(
+        """{"class": "HybridGroupByArrayTest", "properties": [
+          |  {"name": "title", "dataType": ["text"]},
+          |  {"name": "tags", "dataType": ["text[]"]},
+          |  {"name": "categories", "dataType": ["text[]"]},
+          |  {"name": "content", "dataType": ["text"]}]}""".stripMargin,
+        idColumn = "uuid").copy(
+          vectors = Map("default" -> "vector"), defaultVector = Some("default")),
+        s.createDataFrame(s.sparkContext.parallelize(Seq(
+          Row("00000000-0000-0000-0000-000000000001", "Red Sports Car",
+            Seq("red", "vehicle", "sports"), Seq("automotive", "luxury"),
+            "A beautiful red sports car with excellent performance.", unit(0.0)),
+          Row("00000000-0000-0000-0000-000000000002", "Blue Ocean Boat",
+            Seq("blue", "vehicle", "water"), Seq("nautical", "recreation"),
+            "A sleek blue boat designed for ocean adventures.", unit(10.0)),
+          Row("00000000-0000-0000-0000-000000000003", "Red Fire Truck",
+            Seq("red", "vehicle", "emergency"), Seq("automotive", "emergency"),
+            "A red emergency vehicle used by firefighters.", unit(20.0)),
+          Row("00000000-0000-0000-0000-000000000004", "Green Garden Tool",
+            Seq("green", "tool", "garden"), Seq("tools", "garden"),
+            "A green tool perfect for gardening activities.", unit(30.0))), 1), schemaType))
+      def groups(doc: String): String = {
+        val rows = gg.get(GraphQL.get(gg, doc))
+          .select(col("group_value"), col("group_hit_rank")).collect()
+        rows.groupBy(_.getString(0)).toSeq
+          .map { case (v, hits) => s"$v=${hits.length}" }.sorted.mkString(",")
+      }
+      val out = Seq.newBuilder[(String, String)]
+      out += "01_tags_vehicle" -> groups(
+        """{ Get { HybridGroupByArrayTest(
+          |    hybrid: {query: "vehicle" alpha: 0.5}
+          |    groupBy: {path: ["tags"] groups: 10 objectsPerGroup: 5})
+          |  { title _additional { group { groupedBy { value } count hits { _additional { id } } } } } } }""".stripMargin)
+      out += "02_categories_automotive" -> groups(
+        """{ Get { HybridGroupByArrayTest(
+          |    hybrid: {query: "automotive" alpha: 0.7}
+          |    groupBy: {path: ["categories"] groups: 10 objectsPerGroup: 5})
+          |  { title _additional { group { groupedBy { value } count hits { _additional { id } } } } } } }""".stripMargin)
+      out += "03_objects_per_group_1" -> groups(
+        """{ Get { HybridGroupByArrayTest(
+          |    hybrid: {query: "red" alpha: 0.5}
+          |    groupBy: {path: ["tags"] groups: 10 objectsPerGroup: 1})
+          |  { _additional { group { groupedBy { value } count hits { _additional { id } } } } } } }""".stripMargin)
+      steps(s, out.result())
+    }),
+
+    // aggregationWithHybridSearch (local_aggregate_hybrid_search_test.go):
+    // hybrid-scoped aggregation over the Company bed — topOccurrences under
+    // objectLimit, groupBy with a sparse-only leg, nearText subsearches
+    // (plain / with moves), and the nearText+nearVector conflict error.
+    "q_fixture_hybrid_agg" -> ((s, _) => {
+      val g = cg(s)
+      val out = Seq.newBuilder[(String, String)]
+      out += "01_topoccurrences" -> {
+        val r = g.aggregate(GraphQL.aggregate(g,
+          """{ Aggregate { Company(objectLimit: 30 hybrid: {alpha: 0.5 query: "Apple"})
+            |  { name { topOccurrences { value } } } } }""".stripMargin)).collect()
+        r.head.getSeq[org.apache.spark.sql.Row](r.head.fieldIndex("name_topOccurrences"))
+          .map(_.getAs[String]("value")).mkString("|")
+      }
+      def groupedNames(doc: String): Seq[String] = {
+        val df = g.aggregate(GraphQL.aggregate(g, doc))
+        df.collect().map { r =>
+          r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("name_topOccurrences"))
+            .map(_.getAs[String]("value")).mkString("/")
+        }.toSeq
+      }
+      out += "02_group_sparse" -> groupedNames(
+        """{ Aggregate { Company(objectLimit: 30 groupBy: "name"
+          |    hybrid: {alpha: 0 query: "Google"})
+          |  { name { topOccurrences { value } } } } }""".stripMargin)
+        .sorted.mkString(",")
+      out += "03_group_neartext" -> groupedNames(
+        """{ Aggregate { Company(objectLimit: 30 groupBy: "name"
+          |    hybrid: {alpha: 0.5 query: "" searches: {nearText: {concepts: ["Google"]}}})
+          |  { name { topOccurrences { value } } } } }""".stripMargin)
+        .length.toString
+      out += "04_group_moves" -> groupedNames(
+        """{ Aggregate { Company(objectLimit: 30 groupBy: "name"
+          |    hybrid: {alpha: 0.5 query: "" searches: {nearText: {
+          |      concepts: ["Google"] certainty: 0.4
+          |      moveTo: {concepts: ["positive"] force: 0.5}
+          |      moveAwayFrom: {concepts: ["epic"] force: 0.25}}}})
+          |  { name { topOccurrences { value } } } } }""".stripMargin)
+        .length.toString
+      out += "05_conflict" -> okOr(groupedNames(
+        """{ Aggregate { Company(objectLimit: 30 groupBy: "name"
+          |    hybrid: {alpha: 0.5 query: "" searches: {
+          |      nearText: {concepts: ["Google"] certainty: 0.4
+          |        moveTo: {concepts: ["positive"] force: 0.5}
+          |        moveAwayFrom: {concepts: ["epic"] force: 0.25}}
+          |      nearVector: {vector: [0.1, 0.2, 0.3]}}})
+          |  { name { topOccurrences { value } } } } }""".stripMargin))
+      steps(s, out.result())
+    }),
+
     // Test_UnindexedProperty (unindexed_property_test.go): a class created
     // THROUGH THE SCHEMA WIRE with indexFilterable/indexSearchable false on
     // one prop — filtering the indexed prop serves, filtering the hidden
@@ -1143,6 +1299,44 @@ object SparkEntryFixtures {
         |  ('05_two_id', 'source with ref to One>∅,source with ref to Two>[target b@ebf85a07-6b34-4e3b-b7c5-077f904fc955],source with ref to both>[target b@ebf85a07-6b34-4e3b-b7c5-077f904fc955],source without refs>∅'),
         |  ('06_both', 'source with ref to One>[target a],source with ref to Two>[target b],source with ref to both>[target a|target b],source without refs>∅'),
         |  ('07_both_id', 'source with ref to One>[target a@155c5914-6594-4cde-b3ab-f8570b561965],source with ref to Two>[target b@ebf85a07-6b34-4e3b-b7c5-077f904fc955],source with ref to both>[target a@155c5914-6594-4cde-b3ab-f8570b561965|target b@ebf85a07-6b34-4e3b-b7c5-077f904fc955],source without refs>∅')
+        |) AS t(step, result) ORDER BY step""".stripMargin,
+
+    // hybrid acceptance arms (local_get_hybrid_search_test.go): the
+    // reference-asserted pages/counts — top-2 membership for the Apple arms,
+    // full-corpus counts for the unbounded ones, all four airports with
+    // their cities for the with-references arm
+    "q_fixture_hybrid" ->
+      """SELECT * FROM (VALUES
+        |  ('01_alpha0_bm25', '10000'),
+        |  ('02_limit_vector', 'Apple,Apple Inc.'),
+        |  ('03_limit_novector', 'Apple,Apple Inc.'),
+        |  ('04_all_vector', '9'),
+        |  ('05_all_novector', '9'),
+        |  ('06_additional_vector', 'rows=9;vecs=9'),
+        |  ('07_refs', '10000>[Amsterdam],20000>[Rotterdam],30000>[Dusseldorf],40000>[Berlin]')
+        |) AS t(step, result) ORDER BY step""".stripMargin,
+
+    // hybrid groupBy over text[] (hybrid_group_by_array_test.go): every tag
+    // forms a group (objects join EVERY element's group), red=2, vehicle=3,
+    // and objectsPerGroup: 1 caps the red group at one hit
+    "q_fixture_hybrid_group" ->
+      """SELECT * FROM (VALUES
+        |  ('01_tags_vehicle', 'blue=1,emergency=1,garden=1,green=1,red=2,sports=1,tool=1,vehicle=3,water=1'),
+        |  ('02_categories_automotive', 'automotive=2,emergency=1,garden=1,luxury=1,nautical=1,recreation=1,tools=1'),
+        |  ('03_objects_per_group_1', 'blue=1,emergency=1,garden=1,green=1,red=1,sports=1,tool=1,vehicle=1,water=1')
+        |) AS t(step, result) ORDER BY step""".stripMargin,
+
+    // hybrid aggregation (local_aggregate_hybrid_search_test.go): the 5
+    // topOccurrences values (count ties broken value-asc), the 3 sparse-only
+    // Google groups, 9 groups under each nearText subsearch, and the
+    // nearText+nearVector conflict rejection
+    "q_fixture_hybrid_agg" ->
+      """SELECT * FROM (VALUES
+        |  ('01_topoccurrences', 'Apple|Apple Inc.|Apple Incorporated|Google|Google Inc.'),
+        |  ('02_group_sparse', 'Google,Google Inc.,Google Incorporated'),
+        |  ('03_group_neartext', '9'),
+        |  ('04_group_moves', '9'),
+        |  ('05_conflict', 'failed to extract hybrid params: hybrid search cannot have both nearText and nearVector parameters')
         |) AS t(step, result) ORDER BY step""".stripMargin,
 
     // unindexed-property journey: indexed filter serves, hidden prop errors

@@ -155,7 +155,16 @@ final class Graft(val spark: SparkSession) {
       h.copy(nearText = None, vector = Some(nv.vector),
         maxVectorDistance = h.maxVectorDistance.orElse(nt.distance).orElse(certaintyCut),
         targetVectors = targets)
-    case None => h
+    case None =>
+      // no explicit vector and no subsearches: the reference vectorizes the
+      // QUERY TEXT through the class's vectorizer module for the dense leg
+      // (explorer_hybrid.go — hybrid.Vector == nil → modules vectorize
+      // hybrid.Query; local_get_hybrid_search_test.go's "no vector" arms
+      // return the full fused page). Without a registered vectorizer the
+      // leg stays sparse-only, as for vectorizer-less classes.
+      if (h.vector.isEmpty && h.subSearches.isEmpty && h.query.nonEmpty && h.alpha > 0)
+        embedder.map(e => h.copy(vector = Some(e(h.query)))).getOrElse(h)
+      else h
   }
 
   /**
@@ -1160,6 +1169,15 @@ final class Graft(val spark: SparkSession) {
       .flatten.exists(identity) && params.pagination.isEmpty && params.cursor.isEmpty
 
     val paged = params.pagination match {
+      // groupBy pages GROUPS, not hits: the reference's grouped reply returns
+      // one top-level object per group (shard_group_by.go), so limit/offset
+      // bound the group_index — hybrid_group_by_array_test.go's 4-hit bed
+      // yields 9 full groups under the default limit, never a truncated group
+      case Some(p) if params.groupBy.isDefined =>
+        require(p.offset.toLong + p.limit.toLong <= queryMaximumResults,
+          "query maximum results exceeded" /* search.go getTotalLimit */)
+        groupedOrSorted.filter(col("group_index") > p.offset &&
+          col("group_index") <= p.offset.toLong + p.limit)
       case Some(p) =>
         require(p.offset.toLong + p.limit.toLong <= queryMaximumResults,
           "query maximum results exceeded" /* search.go getTotalLimit */)

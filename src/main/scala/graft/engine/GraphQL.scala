@@ -612,7 +612,11 @@ object GraphQL {
     var nearTxt: Option[NearText] = None
     var nearVec: Option[NearVector] = None
     src.get("searches").foreach { s =>
-      asList(s, "hybrid.searches").headOption.foreach { first =>
+      // GraphQL list-input coercion: a single object value coerces to a
+      // one-element list (spec §5.6.1 — graphql-go does this for the
+      // acceptance suite's `searches: { nearText: ... }` shorthand)
+      val coerced = s match { case o: GObj => GList(List(o)); case other => other }
+      asList(coerced, "hybrid.searches").headOption.foreach { first =>
         val named = asObj(first, "hybrid.searches")
         named.get("nearText").foreach { nt =>
           nearTxt = Some(extractNearText(asObj(nt, "hybrid.searches.nearText"), inHybrid = true))
