@@ -6,6 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.engine.Graft
 import graft.model._
+import graft.operators.Contextionary
 
 /**
  * The reference's own acceptance bed, rebuilt object-for-object: the
@@ -173,9 +174,18 @@ object CitiesFixture {
   def graft(spark: SparkSession): Graft =
     cache.synchronized(cache.getOrElseUpdate(spark, build(spark)))
 
+  /** Stand-in contextionary vocabulary for `_additional { nearestNeighbors }`
+   * (the acceptance arm asserts each hit gets ≥1 non-empty-concept
+   * neighbors — validateNeighbors in local_get_with_additional_test.go).
+   * Words sit at the same angles as the beds they describe. */
+  val conceptVocab: Contextionary.Vocab = Seq(
+    ("microsoft", unit(2.0)), ("apple", unit(62.0)), ("google", unit(122.0)),
+    ("berlin", unit(15.0)), ("amsterdam", unit(50.0)), ("city", unit(40.0)),
+    ("$internal", unit(0.0))) // '$'-marker: dropped from every surface
+
   private def build(spark: SparkSession): Graft = {
     import PropType._
-    val g = new Graft(spark).withEmbedder(embedder)
+    val g = new Graft(spark).withEmbedder(embedder).withConcepts(conceptVocab)
 
     // ----- Country ---------------------------------------------------------
     val countrySchema = StructType(Seq(
@@ -341,7 +351,10 @@ object CitiesFixture {
     g.register(CollectionSchema("Company", "uuid", Seq(
       Property("name", Text, Tokenization.Whitespace),
       Property("inCity", Ref, refTarget = Some("City"))),
-      vectors = Map("default" -> "vector"), defaultVector = Some("default")), companies)
+      vectors = Map("default" -> "vector"), defaultVector = Some("default"),
+      // setup_test.go:222-231 — moduleConfig vectorizeClassName: false (the
+      // interpretation arm's expected concepts carry no "company" token)
+      vectorizeClassName = false), companies)
 
     // ----- ArrayClass / DuplicatesClass / ClassWithoutProperties ------------
     // the aggregate-matrix beds (local_aggregate_matrix_setup_test.go:24-330,

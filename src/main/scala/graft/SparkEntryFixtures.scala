@@ -671,6 +671,163 @@ object SparkEntryFixtures {
       steps(s, out.result())
     }),
 
+    // gettingObjectsWithAdditionalProps (local_get_with_additional_test.go):
+    // the `_additional` resolver matrix over Company/City — vector validity,
+    // the EXACT interpretation concepts (vectorizeClassName: false, word-
+    // tokenized corpus), nearestNeighbors non-emptiness, featureProjection
+    // dimensions, and vector/timestamps on RESOLVED REFERENCES.
+    "q_fixture_additional" -> ((s, _) => {
+      val g = cg(s)
+      val out = Seq.newBuilder[(String, String)]
+      out += "01_vector" -> {
+        val rows = g.get(GraphQL.get(g,
+          "{ Get { Company { _additional { vector } name } } }"))
+          .select(col("_vector")).collect()
+        val ok = rows.count { r =>
+          !r.isNullAt(0) && r.getSeq[Float](0).nonEmpty &&
+            math.abs(r.getSeq[Float](0).head) <= 1.0f
+        }
+        s"rows=${rows.length};ok=$ok"
+      }
+      out += "02_interpretation" -> g.get(GraphQL.get(g,
+        "{ Get { Company { _additional { interpretation { source { concept } } } name } } }"))
+        .select(col("name"), expr("transform(_interpretation, x -> x.concept)"))
+        .collect().map(r => s"${r.getString(0)}>${r.getSeq[String](1).mkString("|")}")
+        .sorted.mkString(",")
+      out += "03_neighbors" -> {
+        val rows = g.get(GraphQL.get(g,
+          """{ Get { Company(nearText: {concepts: ["Apple"]})
+            |  { _additional { nearestNeighbors { neighbors { concept distance } } } name } } }""".stripMargin))
+          .select(expr("transform(_nearestNeighbors, x -> x.concept)")).collect()
+        val ok = rows.count(r => !r.isNullAt(0) &&
+          r.getSeq[String](0).nonEmpty && r.getSeq[String](0).forall(_.nonEmpty))
+        s"rows=${rows.length};ok=$ok"
+      }
+      out += "04_feature_projection" -> {
+        val rows = g.get(GraphQL.get(g,
+          "{ Get { Company { _additional { featureProjection(dimensions: 3) { vector } } name } } }"))
+          .select(col("_featureProjection")).collect()
+        val ok = rows.count(r => !r.isNullAt(0) && r.getSeq[Float](0).length == 3)
+        s"rows=${rows.length};dims3=$ok"
+      }
+      def refArm(doc: String, fields: Seq[String]): String =
+        g.get(GraphQL.get(g, doc))
+          .select(col("name"), col("inCountry_resolved")).collect().map { r =>
+            val v =
+              if (r.isNullAt(1)) "∅"
+              else r.getSeq[org.apache.spark.sql.Row](1).map { h =>
+                fields.map(f => if (h.isNullAt(h.fieldIndex(f))) "∅" else "ok").mkString("/")
+              }.mkString("|")
+            s"${if (r.isNullAt(0)) "∅" else r.getString(0)}>$v"
+          }.sorted.mkString(",")
+      out += "05_ref_vector" -> refArm(
+        """{ Get { City { name _additional { vector }
+          |  inCountry { ... on Country { _additional { vector } } } } } }""".stripMargin,
+        Seq("_refvector"))
+      out += "06_ref_times" -> refArm(
+        """{ Get { City { name inCountry { ... on Country
+          |  { _additional { creationTimeUnix lastUpdateTimeUnix } } } } } }""".stripMargin,
+        Seq("_refcreated", "_refupdated"))
+      steps(s, out.result())
+    }),
+
+    // getsWithExpectedFailures + aggregatesWithExpectedFailures +
+    // exploreWithExpectedFailures: the reference's NEGATIVE expectations —
+    // exact error texts for certainty on non-cosine classes, unscoped
+    // vector-leg aggregations (checked BEFORE the object lookup), bare
+    // objectLimit, and Explore across mixed distance metrics.
+    "q_fixture_failures" -> ((s, _) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      import graft.model.{Property, PropType, Tokenization}
+      val g = cg(s)
+      val out = Seq.newBuilder[(String, String)]
+      // fresh graft per distance class: register() mutates, the shared bed
+      // must stay untouched
+      def distGraft(metric: String): Graft = {
+        val gg = new Graft(s).withEmbedder(CitiesFixture.embedder)
+        val m = metric match {
+          case "l2-squared" => graft.model.Metric.L2Squared
+          case "dot" => graft.model.Metric.Dot
+        }
+        val cls = if (metric == "dot") "DotDistanceClass" else "L2DistanceClass"
+        gg.register(graft.model.CollectionSchema(cls, "uuid", Seq(
+          Property("name", PropType.Text, Tokenization.Whitespace)),
+          vectors = Map("default" -> "vector"), defaultVector = Some("default"),
+          vectorMetrics = Map("default" -> m)),
+          s.createDataFrame(s.sparkContext.parallelize(Seq(
+            Row("00000000-0000-0000-0000-0000000000f1", "thing",
+              Seq(1.0f, 0.0f, 0.0f))), 1),
+            StructType(Seq(StructField("uuid", StringType),
+              StructField("name", StringType),
+              StructField("vector", ArrayType(FloatType))))))
+        gg
+      }
+      out += "01_get_certainty_l2" -> okOr {
+        val gg = distGraft("l2-squared")
+        gg.get(GraphQL.get(gg,
+          """{ Get { L2DistanceClass(nearVector: {vector: [1, 1, 1], certainty: 0.8}) { name } } }"""))
+          .collect()
+      }
+      out += "02_get_certainty_dot" -> okOr {
+        val gg = distGraft("dot")
+        gg.get(GraphQL.get(gg,
+          """{ Get { DotDistanceClass(nearVector: {vector: [1, 1, 1], certainty: 0.8}) { name } } }"""))
+          .collect()
+      }
+      def agg(doc: String): String = okOr(g.aggregate(GraphQL.aggregate(g, doc)).collect())
+      out += "03_agg_nearvector" -> agg(
+        """{ Aggregate { Company(nearVector: {vector: [1, 0, 0]})
+          |  { meta { count } name { topOccurrences { occurs value } type count } } } }""".stripMargin)
+      // the uuid exists NOWHERE — the scope check must fire before lookup
+      out += "04_agg_nearobject" -> agg(
+        """{ Aggregate { City(nearObject: {id: "9b9cbea5-e87e-4cd0-89af-e2f424fd52d6"})
+          |  { meta { count } name { topOccurrences { occurs value } type count } } } }""".stripMargin)
+      out += "05_agg_neartext" -> agg(
+        """{ Aggregate { City(nearText: {concepts: ["Amsterdam"]})
+          |  { meta { count } name { topOccurrences { occurs value } type count } } } }""".stripMargin)
+      out += "06_agg_nearvector_where" -> agg(
+        """{ Aggregate { Company(
+          |    where: {valueText: "Mercedes", operator: Equal, path: ["name"]}
+          |    nearVector: {vector: [1, 0, 0]})
+          |  { meta { count } name { topOccurrences { occurs value } type count } } } }""".stripMargin)
+      out += "07_agg_nearobject_where" -> agg(
+        """{ Aggregate { City(
+          |    where: {valueBoolean: true, operator: Equal, path: ["isCapital"]}
+          |    nearObject: {id: "9b9cbea5-e87e-4cd0-89af-e2f424fd52d6"})
+          |  { meta { count } isCapital { count percentageFalse percentageTrue totalFalse totalTrue type }
+          |    population { mean count maximum minimum sum type }
+          |    inCountry { pointingTo type }
+          |    name { topOccurrences { occurs value } type count } } } }""".stripMargin)
+      out += "08_agg_neartext_where" -> agg(
+        """{ Aggregate { City(
+          |    where: {valueBoolean: true, operator: Equal, path: ["isCapital"]}
+          |    nearText: {concepts: ["Amsterdam"]})
+          |  { meta { count } isCapital { count percentageFalse percentageTrue totalFalse totalTrue type }
+          |    population { mean count maximum minimum sum type }
+          |    inCountry { pointingTo type }
+          |    name { topOccurrences { occurs value } type count } } } }""".stripMargin)
+      out += "09_agg_objectlimit_bare" -> agg(
+        """{ Aggregate { Company(objectLimit: 1)
+          |  { meta { count } name { topOccurrences { occurs value } type count } } } }""".stripMargin)
+      // Explore across one l2-squared + two cosine classes: the verbatim
+      // mixed-metric rejection, classes in probe order
+      out += "10_explore_mixed_metrics" -> okOr {
+        val gg = distGraft("l2-squared")
+        gg.register(graft.model.CollectionSchema("CosineClassA", "uuid", Seq(
+          Property("name", PropType.Text)),
+          vectors = Map("default" -> "vector"), defaultVector = Some("default")),
+          s.createDataFrame(s.sparkContext.parallelize(Seq(
+            Row("00000000-0000-0000-0000-0000000000f2", "a", Seq(0.0f, 1.0f, 0.0f))), 1),
+            StructType(Seq(StructField("uuid", StringType),
+              StructField("name", StringType),
+              StructField("vector", ArrayType(FloatType))))))
+        graft.operators.Explore(gg, Seq("L2DistanceClass", "CosineClassA"),
+          Array(1.0f, 1.0f, 1.0f), graft.model.Metric.Cosine).collect()
+      }
+      steps(s, out.result())
+    }),
+
     // Test_UnindexedProperty (unindexed_property_test.go): a class created
     // THROUGH THE SCHEMA WIRE with indexFilterable/indexSearchable false on
     // one prop — filtering the indexed prop serves, filtering the hidden
@@ -1337,6 +1494,37 @@ object SparkEntryFixtures {
         |  ('03_group_neartext', '9'),
         |  ('04_group_moves', '9'),
         |  ('05_conflict', 'failed to extract hybrid params: hybrid search cannot have both nearText and nearVector parameters')
+        |) AS t(step, result) ORDER BY step""".stripMargin,
+
+    // _additional resolver matrix (local_get_with_additional_test.go): the
+    // interpretation concepts verbatim (ElementsMatch → name-sorted), the
+    // validity counts of the vector/neighbors/featureProjection arms, and
+    // non-null metadata on resolved references
+    "q_fixture_additional" ->
+      """SELECT * FROM (VALUES
+        |  ('01_vector', 'rows=9;ok=9'),
+        |  ('02_interpretation', 'Apple Inc.>apple|inc,Apple Incorporated>apple|incorporated,Apple>apple,Google Inc.>google|inc,Google Incorporated>google|incorporated,Google>google,Microsoft Inc.>microsoft|inc,Microsoft Incorporated>microsoft|incorporated,Microsoft>microsoft'),
+        |  ('03_neighbors', 'rows=9;ok=9'),
+        |  ('04_feature_projection', 'rows=9;dims3=9'),
+        |  ('05_ref_vector', 'Amsterdam>ok,Berlin>ok,Dusseldorf>ok,Missing Island>∅,Rotterdam>ok,∅>∅'),
+        |  ('06_ref_times', 'Amsterdam>ok/ok,Berlin>ok/ok,Dusseldorf>ok/ok,Missing Island>∅,Rotterdam>ok/ok,∅>∅')
+        |) AS t(step, result) ORDER BY step""".stripMargin,
+
+    // expected-failure suites (local_get_with_expected_failures.go,
+    // local_aggregate_with_expected_failures.go incl. explore): the
+    // reference's exact negative texts
+    "q_fixture_failures" ->
+      """SELECT * FROM (VALUES
+        |  ('01_get_certainty_l2', 'can''t compute and return certainty when vector index is configured with l2-squared distance'),
+        |  ('02_get_certainty_dot', 'can''t compute and return certainty when vector index is configured with dot distance'),
+        |  ('03_agg_nearvector', 'must provide certainty or objectLimit with vector search'),
+        |  ('04_agg_nearobject', 'must provide certainty or objectLimit with vector search'),
+        |  ('05_agg_neartext', 'must provide certainty or objectLimit with vector search'),
+        |  ('06_agg_nearvector_where', 'must provide certainty or objectLimit with vector search'),
+        |  ('07_agg_nearobject_where', 'must provide certainty or objectLimit with vector search'),
+        |  ('08_agg_neartext_where', 'must provide certainty or objectLimit with vector search'),
+        |  ('09_agg_objectlimit_bare', 'objectLimit can only be used with a near<Media> or hybrid filter'),
+        |  ('10_explore_mixed_metrics', 'vector search across classes not possible: found different distance metrics: class ''L2DistanceClass'' uses distance metric ''l2-squared'', class ''CosineClassA'' uses distance metric ''cosine''')
         |) AS t(step, result) ORDER BY step""".stripMargin,
 
     // unindexed-property journey: indexed filter serves, hidden prop errors

@@ -954,10 +954,13 @@ final class Graft(val spark: SparkSession) {
         params.nearText.map(nt => (nt.certainty, nt.metric)),
         params.nearMedia.map(nm => (nm.certainty, nm.metric))).flatten
       legs.foreach { case (ct, m) =>
-        require((ct.isEmpty && !params.additional.contains("certainty")) ||
-            m == Metric.Cosine,
-          "can't compute and return certainty when vector index is " +
-          s"configured with ${m.name} distance")
+        // verbatim reference text, no require() prefix
+        // (local_get_with_expected_failures.go asserts it exactly)
+        if (!((ct.isEmpty && !params.additional.contains("certainty")) ||
+            m == Metric.Cosine))
+          throw new IllegalArgumentException(
+            "can't compute and return certainty when vector index is " +
+            s"configured with ${m.name} distance")
       }
     }
 
@@ -1351,7 +1354,9 @@ final class Graft(val spark: SparkSession) {
         }
         val corpus = graft.sources.VectorizerCorpus.column(c.name,
           textProps.map(t => (t._1, t._2)),
-          textArrays = textProps.filter(_._3).map(_._1).toSet)
+          textArrays = textProps.filter(_._3).map(_._1).toSet,
+          cfg = graft.sources.VectorizerCorpus.Config(
+            vectorizeClassName = c.schema.vectorizeClassName))
         Contextionary.attachInterpretation(projected, corpus)
       }
 
@@ -1447,13 +1452,36 @@ final class Graft(val spark: SparkSession) {
         throw new IllegalArgumentException(s"unknown ref property $refName"))
       require(refProp.dataType == PropType.Ref, s"$refName is not a cref property")
       if (refProp.isMultiRef) resolveMultiRef(c, params, d, refName, refProp)
-      else resolveSingleRef(c, d, refName, refProp)
+      else resolveSingleRef(c, params, d, refName, refProp)
     }
 
-  private def resolveSingleRef(c: Collection, d: DataFrame,
+  /** `_additional` metadata fields of a resolved ref TARGET, on request only
+   * (local_get_with_additional_test.go's "in reference" arms) — requesting
+   * them lazily keeps unrequested resolutions from dragging wide vector
+   * columns through the ref join. */
+  private def refMetaFields(target: Collection,
+                            want: Set[String]): Seq[(String, Column)] =
+    Seq(
+      if (want("id")) Some("_refid" -> col(target.schema.idColumn).cast("string")) else None,
+      if (want("vector"))
+        scala.util.Try(target.schema.vectorColumn(None)).toOption
+          .map(v => "_refvector" -> col(v))
+      else None,
+      if (want("creationTimeUnix"))
+        target.schema.creationTimeColumn.map(t => "_refcreated" -> col(t))
+      else None,
+      if (want("lastUpdateTimeUnix"))
+        target.schema.updateTimeColumn.map(t => "_refupdated" -> col(t))
+      else None).flatten
+
+  private def resolveSingleRef(c: Collection, params: GetParams, d: DataFrame,
                                refName: String, refProp: Property): DataFrame = {
       val target = collection(refProp.refTarget.get)
-      val targetCols = struct(target.schema.properties.map(p => col(p.name)): _*)
+      val meta = refMetaFields(target,
+        params.refAdditional.getOrElse(refName, Set.empty))
+        .map { case (n, mc) => mc.as(n) }
+      val targetCols = struct(
+        meta ++ target.schema.properties.map(p => col(p.name)): _*)
       val lookup = target.df.select(
         col(target.schema.idColumn).as("__ref_target_id"),
         targetCols.as(s"${refName}_resolved"))
@@ -1520,10 +1548,21 @@ final class Graft(val spark: SparkSession) {
       targets.reverse.flatMap(t => t.schema.properties.map(p =>
         p.name -> t.df.schema(p.name).dataType)).toMap // reverse → first declaring class wins
     val resolvedName = s"${refName}_resolved"
+    // "id" excluded: _refid is a standing field of multi-ref structs
+    val want = params.refAdditional.getOrElse(refName, Set.empty) - "id"
+    // requested target metadata, union-aligned: the first target class
+    // carrying a column fixes its Spark type; classes without it go null
+    val metaType: Map[String, org.apache.spark.sql.types.DataType] =
+      targets.reverse.flatMap(t => refMetaFields(t, want).map { case (n, mc) =>
+        n -> t.df.select(mc).schema.head.dataType
+      }).toMap
     val lookup = targets.map { t =>
+      val present = refMetaFields(t, want).toMap
+      val meta = metaType.keys.toSeq.sorted.map(n =>
+        present.get(n).map(_.as(n)).getOrElse(lit(null).cast(metaType(n)).as(n)))
       val fields = Seq(
         lit(t.schema.name).as("_refclass"),
-        col(t.schema.idColumn).cast("string").as("_refid")) ++
+        col(t.schema.idColumn).cast("string").as("_refid")) ++ meta ++
         fieldOrder.map { f =>
           if (t.schema.property(f).isDefined) col(f).cast(fieldType(f)).as(f)
           else lit(null).cast(fieldType(f)).as(f)
@@ -1593,16 +1632,25 @@ final class Graft(val spark: SparkSession) {
     // nearObject/nearText resolve to a vector exactly like Get's legs
     // (reference: traverser_aggregate.go:60-105 resolves every nearX family
     // before handing one vector to the aggregator).
+    // scope validation runs BEFORE leg resolution (the reference's
+    // traverser_aggregate.go:74 check precedes the module/object lookups —
+    // local_aggregate_with_expected_failures.go's nearObject arm uses an id
+    // that exists nowhere and still gets THIS error, not object-not-found)
+    val nearThreshold: Option[Option[Double]] =
+      params.nearVector.map(nv => nv.distance.orElse(nv.certainty))
+        .orElse(params.nearObject.map(no => no.distance.orElse(no.certainty)))
+        .orElse(params.nearText.map(nt => nt.distance.orElse(nt.certainty)))
+        .orElse(params.nearMedia.map(nm => nm.distance.orElse(nm.certainty)))
+    nearThreshold.foreach { t =>
+      // verbatim reference text, no require() prefix (traverser_aggregate.go:74)
+      if (!(params.objectLimit.isDefined || t.isDefined))
+        throw new IllegalArgumentException(
+          "must provide certainty or objectLimit with vector search")
+    }
     val nearResolved: Option[NearVector] = params.nearVector
       .orElse(params.nearObject.map(no => VectorSearch.resolveNearObject(c, no)))
       .orElse(params.nearText.map(nt => resolveNearText(c, nt)))
       .orElse(params.nearMedia.map(resolveNearMedia))
-    nearResolved.foreach { nv =>
-      // verbatim reference text, no require() prefix (traverser_aggregate.go:74)
-      if (!(params.objectLimit.isDefined || nv.distance.orElse(nv.certainty).isDefined))
-        throw new IllegalArgumentException(
-          "must provide certainty or objectLimit with vector search")
-    }
     // hybrid gets the same gate: without objectLimit the aggregation would
     // silently run unscoped over the whole filtered collection (reference:
     // the hybrid aggregator always carries a bounded result list,

@@ -716,7 +716,9 @@ object GraphQL {
       aliases: Seq[(String, String)] = Nil,
       // ref prop → the target classes its inline fragments name (doc order,
       // deduped) — drives multi-class cref resolution scope
-      refOnTypes: Map[String, Seq[String]] = Map.empty)
+      refOnTypes: Map[String, Seq[String]] = Map.empty,
+      // ref prop → `_additional` metadata requested inside its fragments
+      refAdditional: Map[String, Set[String]] = Map.empty)
 
   private def decodeGetSelection(sel: List[GSel]): SelectionDecode = {
     var props = Vector.empty[String]
@@ -731,6 +733,7 @@ object GraphQL {
     // alias). Refs resolve into `<prop>_resolved`, so that is the source.
     var aliases = Vector.empty[(String, String)]
     var refOnTypes = Map.empty[String, Seq[String]]
+    var refAdditional = Map.empty[String, Set[String]]
 
     sel.foreach {
       case GInlineFrag(_, _) =>
@@ -804,11 +807,25 @@ object GraphQL {
             // multi-class cref resolves (multi_reftype_bug_test.go)
             val onTypes = f.sel.collect { case GInlineFrag(t, _) => t }.distinct
             if (onTypes.nonEmpty) refOnTypes += f.name -> onTypes
+            // `_additional` metadata on the TARGET objects (the "in
+            // reference" arms of local_get_with_additional_test.go) — the
+            // supported subset; other fragment fields are the target's
+            // regular properties, already resolved wholesale
+            val refAdd = f.sel.flatMap {
+              case GInlineFrag(_, fsel) => fsel.collect {
+                case a: GField if a.name == "_additional" => a.sel.collect {
+                  case s: GField if Set("id", "vector", "creationTimeUnix",
+                    "lastUpdateTimeUnix").contains(s.name) => s.name
+                }
+              }.flatten
+              case _ => Nil
+            }.toSet
+            if (refAdd.nonEmpty) refAdditional += f.name -> refAdd
           }
         }
     }
     SelectionDecode(props, refs, additional, rerank, generate, summary, ner, fp,
-      aliases, refOnTypes)
+      aliases, refOnTypes, refAdditional)
   }
 
   // ==========================================================================
@@ -1025,6 +1042,7 @@ object GraphQL {
       additional = sd.additional,
       resolveRefs = sd.refs,
       refTargetClasses = sd.refOnTypes,
+      refAdditional = sd.refAdditional,
       tenant = tenant,
       autocut = autocut,
       rerank = sd.rerank,

@@ -286,6 +286,12 @@ final case class GetParams(
     // edges landing in a requested class (multi_reftype_bug_test.go); empty
     // seq / absent key = all declared targets. Single-class refs ignore it.
     refTargetClasses: Map[String, Seq[String]] = Map.empty,
+    // per resolved ref prop: `_additional` metadata fields the fragments
+    // requested on the TARGET objects (id/vector/creationTimeUnix/
+    // lastUpdateTimeUnix — local_get_with_additional_test.go's "in
+    // reference" arms); resolved structs carry them as _refid/_refvector/
+    // _refcreated/_refupdated. Absent = plain property resolution.
+    refAdditional: Map[String, Set[String]] = Map.empty,
     tenant: Option[String] = None,
     autocut: Option[Int] = None,
     rerank: Option[RerankParams] = None,

@@ -202,7 +202,12 @@ final case class CollectionSchema(
     // per-named-vector distance config (reference: the metric is CLASS
     // config — entities/vectorindex/common `distance`, default cosine —
     // never a query argument); Metric.Default query legs resolve here
-    vectorMetrics: Map[String, Metric] = Map.empty) {
+    vectorMetrics: Map[String, Metric] = Map.empty,
+    // text2vec moduleConfig vectorizeClassName (reference: object_texts.go —
+    // whether the camelCase-split class name prefixes the vectorizer corpus;
+    // the acceptance Company class sets it false, and the interpretation
+    // resolver explains the SAME corpus)
+    vectorizeClassName: Boolean = true) {
 
   private val byName: Map[String, Property] = properties.map(p => p.name -> p).toMap
   def property(name: String): Option[Property] = byName.get(name)

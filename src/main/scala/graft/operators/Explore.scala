@@ -24,9 +24,26 @@ object Explore {
             metric: Metric, limit: Int = 0, offset: Int = 0,
             certainty: Option[Double] = None,
             distance: Option[Double] = None): DataFrame = {
-    require(certainty.isEmpty || metric == Metric.Cosine,
-      s"can't compute and return certainty when vector index is configured " +
-      s"with ${metric} distance")
+    // cross-class distance compatibility (traverser_validate_distance_
+    // metrics.go:40-88): every probed class must be CONFIGURED with the
+    // same metric — Explore merges one distance-ranked list, and mixed
+    // metrics would rank incomparable numbers. Error text verbatim
+    // (crossClassDistCompatError:130-138), classes in registry order.
+    val configured: Seq[(String, Metric)] = collections.map { name =>
+      val s = g.collection(name).schema
+      val key = s.defaultVector.orElse(s.vectors.keys.toSeq.sorted.headOption)
+      name -> key.flatMap(s.vectorMetrics.get).getOrElse(Metric.Cosine)
+    }
+    if (configured.map(_._2).distinct.size > 1)
+      throw new IllegalArgumentException(
+        "vector search across classes not possible: found different distance metrics:" +
+          configured.map { case (n, m) => s" class '$n' uses distance metric '${m.name}'" }
+            .mkString(","))
+    val sharedMetric = configured.headOption.map(_._2).getOrElse(Metric.Cosine)
+    if (!(certainty.isEmpty || sharedMetric == Metric.Cosine))
+      throw new IllegalArgumentException(
+        s"can't compute and return certainty when vector index is configured " +
+        s"with ${sharedMetric.name} distance")
     val lim = if (limit == 0) 20 else limit
     // each leg fetches offset+lim so the merged page is reachable after the
     // cross-class re-rank (the reference's searcher applies pagination to the

@@ -232,7 +232,18 @@ object SchemaWire {
       tenantColumn = if (mtEnabled) tenantColumn else None,
       stopwords = stopwords,
       invertedIndex = inverted,
-      vectorMetrics = metrics)
+      vectorMetrics = metrics,
+      // moduleConfig.<text2vec-*>.vectorizeClassName (class-level; any
+      // text2vec module key carries it — the corpus rule is shared)
+      vectorizeClassName = obj(jv, "moduleConfig").flatMap { mc =>
+        mc match {
+          case JObject(fields) => fields.collectFirst {
+            case (k, v) if k.startsWith("text2vec") =>
+              boolOpt(v, "vectorizeClassName").getOrElse(true)
+          }
+          case _ => None
+        }
+      }.getOrElse(true))
   }
 
   /** PUT /v1/schema/{className} — decode an update body and validate it
