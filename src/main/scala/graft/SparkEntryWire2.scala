@@ -162,6 +162,137 @@ object SparkEntryWire2 {
         .orderBy(col("dist"), col("vec_id"))
     }),
 
+    // Binary AggregateRequest (grpc/proto/v1/aggregate.proto): the grouped
+    // number matrix authored as PROTO BYTES through the same descriptors,
+    // decoded into the identical AggregateParams as its protojson twin
+    // (asserted), then executed — the oracle is real SQL over the parquet
+    "q_wire_proto_agg" -> ((s, dir) => {
+      import graft.engine.{ProtoWire, WireDecoder}
+      import org.json4s.jackson.JsonMethods
+      val gg = g(s, dir)
+      val json =
+        """{"collection": "Order", "objectsCount": true,
+          |  "groupBy": {"collection": "Order", "property": "o_orderstatus"},
+          |  "aggregations": [{"property": "o_totalprice", "number": {
+          |    "count": true, "sum": true, "mean": true, "minimum": true, "maximum": true}}]}""".stripMargin
+      val bytes = ProtoWire.write(JsonMethods.parse(json), "AggregateRequest")
+      val params = ProtoWire.aggregateRequest(gg, bytes)
+      // the byte transport must land on the SAME params as protojson
+      require(params == WireDecoder.aggregate(gg, json),
+        "binary AggregateRequest decoded differently from its protojson twin")
+      gg.aggregate(params)
+        .select(
+          col("groupedBy_value").as("o_orderstatus"),
+          col("meta_count"),
+          col("o_totalprice_count").as("cnt"),
+          round(col("o_totalprice_sum"), 4).as("sum_price"),
+          round(col("o_totalprice_mean"), 4).as("mean_price"),
+          round(col("o_totalprice_minimum"), 4).as("min_price"),
+          round(col("o_totalprice_maximum"), 4).as("max_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // Full binary gRPC round-trip: SearchRequest BYTES → engine →
+    // SearchReply BYTES → parsed back and canonically compared against the
+    // protojson reply (fp32 reply floats compare at 4 decimals). Plus a
+    // binary BatchObjectsRequest decode with the google.protobuf.Struct
+    // property payload and the per-index error contract.
+    "q_wire_proto_roundtrip" -> ((s, dir) => {
+      import graft.engine.{ProtoWire, WireEncoder}
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val gg = g(s, dir)
+      def canonNum(d: Double): JValue = JString(
+        BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .underlying.stripTrailingZeros.toPlainString)
+      def canon(jv: JValue): JValue = jv match {
+        // empty repeated fields are absent on the wire (proto3) — drop them
+        // from the protojson side too before comparing
+        case JObject(fs) => JObject(fs
+          .filter { case (_, v) => v != JNull && v != JArray(Nil) }
+          .map { case (k, v) => k.toLowerCase.replace("_", "") -> canon(v) }
+          .sortBy(_._1))
+        case JArray(xs) => JArray(xs.map(canon))
+        case JInt(i) => JString(i.toString)
+        case JLong(l) => JString(l.toString)
+        case JDecimal(d) => canonNum(d.toDouble)
+        case JDouble(d) => canonNum(d)
+        case JBool(b) => JString(b.toString)
+        case other => other
+      }
+      def roundTrip(doc: JValue): (String, String) = {
+        val params = ProtoWire.searchRequest(gg, ProtoWire.write(doc, "SearchRequest"))
+        val replyJson = WireEncoder.searchReply(gg.get(params), params, took = 0.0)
+        val bytes = ProtoWire.searchReplyBytes(replyJson)
+        val back = ProtoWire.read(bytes, "SearchReply")
+        val same = canon(back) == canon(JsonMethods.parse(replyJson))
+        (s"bytes=${bytes.length > 0};match=$same",
+          JsonMethods.compact(JsonMethods.render(canon(back) \ "results")))
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      // flat page: filter + sort + uuid metadata + typed property values
+      val (flatOk, flatBody) = roundTrip(JObject(List(
+        "collection" -> JString("Customer"),
+        "limit" -> JLong(3),
+        "filters" -> JObject(List(
+          "operator" -> JString("OPERATOR_GREATER_THAN"),
+          "on" -> JArray(List(JString("c_acctbal"))),
+          "value_number" -> JDouble(9000.0))),
+        "sort_by" -> JArray(List(JObject(List(
+          "ascending" -> JBool(true), "path" -> JArray(List(JString("c_name"))))))),
+        "metadata" -> JObject(List("uuid" -> JBool(true))),
+        "properties" -> JObject(List("non_ref_properties" -> JArray(List(
+          JString("c_name"), JString("c_acctbal"), JString("c_nationkey"))))))))
+      out += "01_flat" -> flatOk
+      out += "02_flat_first" -> (JsonMethods.parse(flatBody) match {
+        case JArray(results) => results.headOption.map(r =>
+          JsonMethods.compact(JsonMethods.render(r \ "properties" \ "nonrefproperties" \ "cname")))
+          .getOrElse("none")
+        case _ => "none"
+      })
+      // grouped page: bm25 leg + group_by → GroupByResult encode path
+      val (grpOk, _) = roundTrip(JObject(List(
+        "collection" -> JString("Document"),
+        "limit" -> JLong(10),
+        "bm25_search" -> JObject(List("query" -> JString("spark"))),
+        "group_by" -> JObject(List(
+          "path" -> JArray(List(JString("lang"))),
+          "number_of_groups" -> JLong(3), "objects_per_group" -> JLong(2))),
+        "metadata" -> JObject(List("score" -> JBool(true))),
+        "properties" -> JObject(List("non_ref_properties" -> JArray(List(
+          JString("doc_id"), JString("lang"))))))))
+      out += "03_grouped" -> grpOk
+      // binary BatchObjectsRequest: Struct payload + per-index errors
+      val batchDoc = JObject(List("objects" -> JArray(List(
+        JObject(List(
+          "collection" -> JString("BinBatch"),
+          "uuid" -> JString("00000000-0000-0000-0000-0000000000b1"),
+          "properties" -> JObject(List(
+            "non_ref_properties" -> JObject(List(
+              "name" -> JString("alpha"), "n" -> JLong(7),
+              "score" -> JDouble(0.25), "flag" -> JBool(true))),
+            "text_array_properties" -> JArray(List(JObject(List(
+              "prop_name" -> JString("tags"),
+              "values" -> JArray(List(JString("a"), JString("b"))))))),
+            "int_array_properties" -> JArray(List(JObject(List(
+              "prop_name" -> JString("ranks"),
+              "values" -> JArray(List(JLong(3), JLong(1))))))))))),
+        JObject(List(
+          "collection" -> JString("BinBatch"),
+          "uuid" -> JString("not-a-uuid"))))))) // per-index error contract
+      val (ok, errs) = ProtoWire.batchObjectsRequest(
+        ProtoWire.write(batchDoc, "BatchObjectsRequest"))
+      out += "04_batch_decoded" -> ok.map { case (i, o) =>
+        val props = o.properties.toSeq.sortBy(_._1).map { case (k, v) =>
+          s"$k=${v match { case xs: Seq[_] => xs.mkString("[", "|", "]"); case x => x }}"
+        }.mkString(";")
+        s"$i:${o.collection}/${o.uuid}{$props}"
+      }.mkString(",")
+      out += "05_batch_errors" -> errs.toSeq.sorted
+        .map { case (i, e) => s"$i:$e" }.mkString(",")
+      steps(s, out.toSeq)
+    }),
+
     // PUT /v1/schema/{class} + POST /v1/schema/{class}/properties wire:
     // the update path's immutable-field rules verbatim
     // (usecases/schema/class.go:459-632, parser.go:275-375) and live arms —
@@ -443,6 +574,28 @@ object SparkEntryWire2 {
         |         CAST(round(max(o_totalprice), 2) AS VARCHAR) FROM orders)
         |UNION ALL SELECT '08_where_var', CAST(
         |  (SELECT count(*) FROM orders WHERE o_totalprice > 25000.0) AS VARCHAR)
+        |ORDER BY step""".stripMargin,
+
+    // binary AggregateRequest: same grouped matrix as q_agg_group_numeric —
+    // the oracle recomputes it from the parquet
+    "q_wire_proto_agg" ->
+      """SELECT o_orderstatus, count(*) AS meta_count, count(o_totalprice) AS cnt,
+        |  round(sum(o_totalprice), 4) AS sum_price, round(avg(o_totalprice), 4) AS mean_price,
+        |  round(min(o_totalprice), 4) AS min_price, round(max(o_totalprice), 4) AS max_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // binary round-trip: reply bytes parse back byte-faithfully (canonical
+    // compare), the flat page's first row recomputed from the parquet, the
+    // Struct-typed batch decode with its per-index uuid error
+    "q_wire_proto_roundtrip" ->
+      """SELECT '01_flat' AS step, 'bytes=true;match=true' AS result
+        |UNION ALL SELECT '02_flat_first', (
+        |  SELECT '"' || c_name || '"' FROM customer
+        |  WHERE c_acctbal > 9000.0 ORDER BY c_name LIMIT 1)
+        |UNION ALL SELECT '03_grouped', 'bytes=true;match=true'
+        |UNION ALL SELECT '04_batch_decoded',
+        |  '0:BinBatch/00000000-0000-0000-0000-0000000000b1{flag=true;n=7.0;name=alpha;ranks=[3|1];score=0.25;tags=[a|b]}'
+        |UNION ALL SELECT '05_batch_errors', '1:invalid UUID length: 10'
         |ORDER BY step""".stripMargin,
 
     // binary proto twin of the gRPC-JSON filter query — identical SQL

@@ -39,6 +39,14 @@ object ProtoWire {
   final case class TMsg(name: String) extends FType
   /** map<string, bytes>-style entry (key field 1, value field 2). */
   final case class TMap(value: FType) extends FType
+  /** google.protobuf.Struct — protojson renders it as the plain JSON object
+   * itself (batch.proto BatchObject.Properties.non_ref_properties). */
+  case object TStruct extends FType
+  /** weaviate's typed Properties map (grpc/proto/v1/properties.proto —
+   * map<string, Value> with the engine-typed Value oneof); protojson side
+   * is a plain JSON object like TStruct, but the byte side carries the
+   * reference's typed kinds (int_value/text_value/number_values-as-bytes…). */
+  case object TProps extends FType
 
   final case class FieldSpec(name: String, tpe: FType, repeated: Boolean = false)
   type Msg = Map[Int, FieldSpec]
@@ -184,7 +192,119 @@ object ProtoWire {
       f(6, "target_vectors", TString, rep = true), f(7, "targets", TMsg("Targets"))),
     "Move" -> Map(
       f(1, "force", TFloat), f(2, "concepts", TString, rep = true),
-      f(3, "uuids", TString, rep = true)))
+      f(3, "uuids", TString, rep = true)),
+
+    // ----- AggregateRequest (grpc/proto/v1/aggregate.proto) ---------------
+    "AggregateRequest" -> Map(
+      f(1, "collection", TString), f(10, "tenant", TString),
+      f(20, "objects_count", TBool),
+      f(21, "aggregations", TMsg("Aggregation"), rep = true),
+      f(30, "object_limit", TInt32),
+      f(31, "group_by", TMsg("AggregateGroupBy")),
+      f(32, "limit", TInt32),
+      f(40, "filters", TMsg("Filters")),
+      f(41, "hybrid", TMsg("Hybrid")),
+      f(42, "near_vector", TMsg("NearVector")),
+      f(43, "near_object", TMsg("NearObject")),
+      f(44, "near_text", TMsg("NearTextSearch"))),
+    "AggregateGroupBy" -> Map(
+      f(1, "collection", TString), f(2, "property", TString)),
+    "Aggregation" -> Map(
+      f(1, "property", TString),
+      f(2, "int", TMsg("AggregationInt")),
+      f(3, "number", TMsg("AggregationInt")), // same flag set as Integer
+      f(4, "text", TMsg("AggregationText")),
+      f(5, "boolean", TMsg("AggregationBoolean")),
+      f(6, "date", TMsg("AggregationDate")),
+      f(7, "reference", TMsg("AggregationReference"))),
+    "AggregationInt" -> Map(
+      f(1, "count", TBool), f(2, "type", TBool), f(3, "sum", TBool),
+      f(4, "mean", TBool), f(5, "mode", TBool), f(6, "median", TBool),
+      f(7, "maximum", TBool), f(8, "minimum", TBool)),
+    "AggregationText" -> Map(
+      f(1, "count", TBool), f(2, "type", TBool),
+      f(3, "top_occurences", TBool),           // proto's misspelling, verbatim
+      f(4, "top_occurences_limit", TInt32)),
+    "AggregationBoolean" -> Map(
+      f(1, "count", TBool), f(2, "type", TBool), f(3, "total_true", TBool),
+      f(4, "total_false", TBool), f(5, "percentage_true", TBool),
+      f(6, "percentage_false", TBool)),
+    "AggregationDate" -> Map(
+      f(1, "count", TBool), f(2, "type", TBool), f(3, "median", TBool),
+      f(4, "mode", TBool), f(5, "maximum", TBool), f(6, "minimum", TBool)),
+    "AggregationReference" -> Map(
+      f(1, "type", TBool), f(2, "pointing_to", TBool)),
+
+    // ----- BatchObjectsRequest (grpc/proto/v1/batch.proto + base.proto) ---
+    "BatchObjectsRequest" -> Map(
+      f(1, "objects", TMsg("BatchObject"), rep = true)),
+    "BatchObject" -> Map(
+      f(1, "uuid", TString), f(2, "vector", TFloat, rep = true),
+      f(3, "properties", TMsg("BatchObjectProperties")),
+      f(4, "collection", TString), f(5, "tenant", TString),
+      f(6, "vector_bytes", TBytes),
+      f(23, "vectors", TMsg("Vectors"), rep = true)),
+    "BatchObjectProperties" -> Map(
+      f(1, "non_ref_properties", TStruct),
+      f(2, "single_target_ref_props", TMsg("SingleTargetRefProps"), rep = true),
+      f(3, "multi_target_ref_props", TMsg("MultiTargetRefProps"), rep = true),
+      f(4, "number_array_properties", TMsg("NumberArrayProperties"), rep = true),
+      f(5, "int_array_properties", TMsg("IntArrayProperties"), rep = true),
+      f(6, "text_array_properties", TMsg("TextArrayProperties"), rep = true),
+      f(7, "boolean_array_properties", TMsg("BooleanArrayProperties"), rep = true),
+      f(10, "empty_list_props", TString, rep = true)),
+    "SingleTargetRefProps" -> Map(
+      f(1, "uuids", TString, rep = true), f(2, "prop_name", TString)),
+    "MultiTargetRefProps" -> Map(
+      f(1, "uuids", TString, rep = true), f(2, "prop_name", TString),
+      f(3, "target_collection", TString)),
+    "NumberArrayProperties" -> Map(
+      f(1, "values", TDouble, rep = true), f(2, "prop_name", TString),
+      f(3, "values_bytes", TBytes)),
+    "IntArrayProperties" -> Map(
+      f(1, "values", TInt64, rep = true), f(2, "prop_name", TString)),
+    "TextArrayProperties" -> Map(
+      f(1, "values", TString, rep = true), f(2, "prop_name", TString)),
+    "BooleanArrayProperties" -> Map(
+      f(1, "values", TBool, rep = true), f(2, "prop_name", TString)),
+
+    // ----- SearchReply (grpc/proto/v1/search_get.proto, reply side) -------
+    "SearchReply" -> Map(
+      f(1, "took", TFloat),
+      f(2, "results", TMsg("SearchResult"), rep = true),
+      f(4, "group_by_results", TMsg("GroupByResult"), rep = true)),
+    "GroupByResult" -> Map(
+      f(1, "name", TString), f(2, "min_distance", TFloat),
+      f(3, "max_distance", TFloat), f(4, "number_of_objects", TInt64),
+      f(5, "objects", TMsg("SearchResult"), rep = true)),
+    "SearchResult" -> Map(
+      f(1, "properties", TMsg("PropertiesResult")),
+      f(2, "metadata", TMsg("MetadataResult"))),
+    "PropertiesResult" -> Map(
+      f(2, "ref_props", TMsg("RefPropertiesResult"), rep = true),
+      f(3, "target_collection", TString),
+      f(11, "non_ref_properties", TProps), // proto name non_ref_props; the
+      // engine's protojson key (nonRefProperties) normalizes to this entry
+      f(12, "ref_props_requested", TBool)),
+    "RefPropertiesResult" -> Map(
+      f(1, "properties", TMsg("PropertiesResult"), rep = true),
+      f(2, "prop_name", TString)),
+    // PhoneNumber (properties.proto:88-96) — surfaces inside typed Values
+    "PhoneNumberMsg" -> Map(
+      f(1, "country_code", TInt64), f(2, "default_country", TString),
+      f(3, "input", TString), f(4, "international_formatted", TString),
+      f(5, "national", TInt64), f(6, "national_formatted", TString),
+      f(7, "valid", TBool)),
+    "MetadataResult" -> Map(
+      f(1, "id", TString),
+      f(3, "creation_time_unix", TInt64), f(4, "creation_time_unix_present", TBool),
+      f(5, "last_update_time_unix", TInt64), f(6, "last_update_time_unix_present", TBool),
+      f(7, "distance", TFloat), f(8, "distance_present", TBool),
+      f(9, "certainty", TFloat), f(10, "certainty_present", TBool),
+      f(11, "score", TFloat), f(12, "score_present", TBool),
+      f(13, "explain_score", TString), f(14, "explain_score_present", TBool),
+      f(19, "vector_bytes", TBytes), f(20, "id_as_bytes", TBytes),
+      f(23, "vectors", TMsg("Vectors"), rep = true)))
 
   // ==========================================================================
   // Wire reader → protojson JValue
@@ -245,7 +365,7 @@ object ProtoWire {
 
   /** Wire type a scalar field uses when NOT packed. */
   private def wireTypeOf(tpe: FType): Int = tpe match {
-    case TString | TBytes | TMsg(_) | TMap(_) => 2
+    case TString | TBytes | TMsg(_) | TMap(_) | TStruct | TProps => 2
     case TDouble => 1
     case TFloat => 5
     case _ => 0 // varint family
@@ -279,6 +399,12 @@ object ProtoWire {
               if (wt != 2) fail(s"proto: message field ${fs.name} needs wire type 2, got $wt")
               val body = r.bytes(r.varint().toInt)
               append(readMsg(new Reader(body, 0, body.length), child))
+            case TStruct =>
+              if (wt != 2) fail(s"proto: struct field ${fs.name} needs wire type 2, got $wt")
+              append(readStruct(r.bytes(r.varint().toInt)))
+            case TProps =>
+              if (wt != 2) fail(s"proto: props field ${fs.name} needs wire type 2, got $wt")
+              append(readProps(r.bytes(r.varint().toInt)))
             case TMap(valueType) =>
               if (wt != 2) fail(s"proto: map field ${fs.name} needs wire type 2, got $wt")
               val body = r.bytes(r.varint().toInt)
@@ -310,6 +436,202 @@ object ProtoWire {
   }
 
   // ==========================================================================
+  // google.protobuf.Struct — protojson = the plain JSON value
+  // (Struct {1: map<string, Value>}; Value oneof: 1 null_value, 2
+  // number_value, 3 string_value, 4 bool_value, 5 struct_value, 6 list_value;
+  // ListValue {1: repeated Value})
+  // ==========================================================================
+
+  private def readStruct(body: Array[Byte]): JValue = {
+    val r = new Reader(body, 0, body.length)
+    val acc = scala.collection.mutable.ListBuffer.empty[(String, JValue)]
+    while (r.hasMore) {
+      val tag = r.varint()
+      if ((tag >> 3).toInt != 1 || (tag & 7) != 2) fail("proto: bad Struct field")
+      val entry = r.bytes(r.varint().toInt)
+      val er = new Reader(entry, 0, entry.length)
+      var key = ""; var value: JValue = JNull
+      while (er.hasMore) {
+        val etag = er.varint()
+        (etag >> 3).toInt match {
+          case 1 => key = new String(er.bytes(er.varint().toInt), "UTF-8")
+          case 2 => value = readStructValue(er.bytes(er.varint().toInt))
+          case _ => fail("proto: bad Struct entry")
+        }
+      }
+      acc += key -> value
+    }
+    JObject(acc.toList)
+  }
+
+  private def readStructValue(body: Array[Byte]): JValue = {
+    val r = new Reader(body, 0, body.length)
+    var out: JValue = JNull
+    while (r.hasMore) {
+      val tag = r.varint()
+      ((tag >> 3).toInt: @unchecked) match {
+        case 1 => r.varint(); out = JNull
+        case 2 => out = JDouble(java.lang.Double.longBitsToDouble(r.fixed64()))
+        case 3 => out = JString(new String(r.bytes(r.varint().toInt), "UTF-8"))
+        case 4 => out = JBool(r.varint() != 0L)
+        case 5 => out = readStruct(r.bytes(r.varint().toInt))
+        case 6 =>
+          val lb = r.bytes(r.varint().toInt)
+          val rr = new Reader(lb, 0, lb.length)
+          val items = scala.collection.mutable.ListBuffer.empty[JValue]
+          while (rr.hasMore) {
+            val ltag = rr.varint()
+            if ((ltag >> 3).toInt != 1 || (ltag & 7) != 2) fail("proto: bad ListValue")
+            items += readStructValue(rr.bytes(rr.varint().toInt))
+          }
+          out = JArray(items.toList)
+      }
+    }
+    out
+  }
+
+  // ==========================================================================
+  // weaviate Properties (grpc/proto/v1/properties.proto) — the engine-typed
+  // Value oneof. protojson side = plain JSON; the byte side types each kind:
+  // 1 number_value f64, 3 bool_value, 4 object_value(Properties),
+  // 5 list_value(ListValue oneof: 2 number_values BYTES-f64LE, 3 bool_values,
+  // 4 object_values, 5 date_values, 6 uuid_values, 7 int_values BYTES-i64LE,
+  // 8 text_values), 6 date_value, 7 uuid_value, 8 int_value varint,
+  // 9 geo_value, 10 blob_value, 11 phone_value, 12 null_value, 13 text_value.
+  // JSON string kinds (text/date/uuid/blob) all surface as JString — the
+  // writer types from the runtime JSON shape (strings → text_value), which
+  // round-trips through this reader byte-stably.
+  // ==========================================================================
+
+  private def readProps(body: Array[Byte]): JValue = {
+    val r = new Reader(body, 0, body.length)
+    val acc = scala.collection.mutable.ListBuffer.empty[(String, JValue)]
+    while (r.hasMore) {
+      val tag = r.varint()
+      if ((tag >> 3).toInt != 1 || (tag & 7) != 2) fail("proto: bad Properties field")
+      val entry = r.bytes(r.varint().toInt)
+      val er = new Reader(entry, 0, entry.length)
+      var key = ""; var value: JValue = JNull
+      while (er.hasMore) {
+        val etag = er.varint()
+        (etag >> 3).toInt match {
+          case 1 => key = new String(er.bytes(er.varint().toInt), "UTF-8")
+          case 2 => value = readPropValue(er.bytes(er.varint().toInt))
+          case _ => fail("proto: bad Properties entry")
+        }
+      }
+      acc += key -> value
+    }
+    JObject(acc.toList)
+  }
+
+  private def longsLE(b: Array[Byte]): Seq[Long] = {
+    require(b.length % 8 == 0, "proto: 8-byte-aligned values expected")
+    (0 until b.length / 8).map { i =>
+      var v = 0L; var j = 0
+      while (j < 8) { v |= (b(i * 8 + j) & 0xffL) << (8 * j); j += 1 }
+      v
+    }
+  }
+
+  private def readPropValue(body: Array[Byte]): JValue = {
+    val r = new Reader(body, 0, body.length)
+    var out: JValue = JNull
+    while (r.hasMore) {
+      val tag = r.varint()
+      ((tag >> 3).toInt: @unchecked) match {
+        case 1 => out = JDouble(java.lang.Double.longBitsToDouble(r.fixed64()))
+        case 3 => out = JBool(r.varint() != 0L)
+        case 4 => out = readProps(r.bytes(r.varint().toInt))
+        case 5 =>
+          val lb = r.bytes(r.varint().toInt)
+          val lr = new Reader(lb, 0, lb.length)
+          var arr: JValue = JArray(Nil)
+          while (lr.hasMore) {
+            val ltag = lr.varint()
+            val lbody = lr.bytes(lr.varint().toInt)
+            ((ltag >> 3).toInt: @unchecked) match {
+              case 2 => // number_values: f64 LE bytes
+                val vb = readSingleBytes(lbody, "NumberValues")
+                arr = JArray(longsLE(vb).map(l =>
+                  JDouble(java.lang.Double.longBitsToDouble(l))).toList)
+              case 3 => arr = JArray(readRepeatedVarints(lbody).map(v => JBool(v != 0L)).toList)
+              case 4 => // object_values {1: repeated Properties}
+                val vr = new Reader(lbody, 0, lbody.length)
+                val items = scala.collection.mutable.ListBuffer.empty[JValue]
+                while (vr.hasMore) {
+                  val vtag = vr.varint()
+                  if ((vtag >> 3).toInt != 1) fail("proto: bad ObjectValues")
+                  items += readProps(vr.bytes(vr.varint().toInt))
+                }
+                arr = JArray(items.toList)
+              case 5 | 6 | 8 => // date/uuid/text_values {1: repeated string}
+                arr = JArray(readRepeatedStrings(lbody).map(JString(_)).toList)
+              case 7 => // int_values: i64 LE bytes
+                val vb = readSingleBytes(lbody, "IntValues")
+                arr = JArray(longsLE(vb).map(JLong(_)).toList)
+            }
+          }
+          out = arr
+        case 6 | 7 | 10 | 13 =>
+          out = JString(new String(r.bytes(r.varint().toInt), "UTF-8"))
+        case 8 => out = JLong(r.varint())
+        case 9 =>
+          val gb = r.bytes(r.varint().toInt)
+          val gr = new Reader(gb, 0, gb.length)
+          var lon = 0.0; var lat = 0.0
+          while (gr.hasMore) {
+            val gtag = gr.varint()
+            ((gtag >> 3).toInt: @unchecked) match {
+              case 1 => lon = java.lang.Float.intBitsToFloat(gr.fixed32()).toDouble
+              case 2 => lat = java.lang.Float.intBitsToFloat(gr.fixed32()).toDouble
+            }
+          }
+          out = JObject(List("latitude" -> JDouble(lat), "longitude" -> JDouble(lon)))
+        case 11 =>
+          val pb = r.bytes(r.varint().toInt)
+          out = readMsg(new Reader(pb, 0, pb.length), "PhoneNumberMsg")
+        case 12 => r.varint(); out = JNull
+      }
+    }
+    out
+  }
+
+  private def readSingleBytes(body: Array[Byte], what: String): Array[Byte] = {
+    val r = new Reader(body, 0, body.length)
+    var out = Array.empty[Byte]
+    while (r.hasMore) {
+      val tag = r.varint()
+      if ((tag >> 3).toInt != 1) fail(s"proto: bad $what")
+      out = r.bytes(r.varint().toInt)
+    }
+    out
+  }
+  private def readRepeatedStrings(body: Array[Byte]): Seq[String] = {
+    val r = new Reader(body, 0, body.length)
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    while (r.hasMore) {
+      val tag = r.varint()
+      if ((tag >> 3).toInt != 1) fail("proto: bad string list")
+      out += new String(r.bytes(r.varint().toInt), "UTF-8")
+    }
+    out.toSeq
+  }
+  private def readRepeatedVarints(body: Array[Byte]): Seq[Long] = {
+    val r = new Reader(body, 0, body.length)
+    val out = scala.collection.mutable.ListBuffer.empty[Long]
+    while (r.hasMore) {
+      val tag = r.varint()
+      if ((tag & 7) == 2) { // packed
+        val pb = r.bytes(r.varint().toInt)
+        val pr = new Reader(pb, 0, pb.length)
+        while (pr.hasMore) out += pr.varint()
+      } else out += r.varint()
+    }
+    out.toSeq
+  }
+
+  // ==========================================================================
   // Wire writer (fixture author + round-trip proof) — same descriptors
   // ==========================================================================
 
@@ -334,6 +656,7 @@ object ProtoWire {
       case TInt32 | TInt64 => putVarint(out, v match {
         case JInt(i) => i.toLong; case JLong(l) => l
         case JDouble(d) => d.toLong
+        case JString(s) => s.toLong // protojson renders int64 as a string
         case o => fail(s"proto write: expected int, got $o")
       })
       case TDouble =>
@@ -358,9 +681,19 @@ object ProtoWire {
     out.toByteArray
   }
 
+  /** protojson camelCase form of a snake_case proto field name. */
+  private def camelName(s: String): String = {
+    val parts = s.split('_')
+    parts.head + parts.tail.map(p =>
+      if (p.isEmpty) p else p.head.toUpper + p.tail).mkString
+  }
+
   private def writeMsg(out: java.io.ByteArrayOutputStream, jv: JValue, message: String): Unit = {
     val spec = messages.getOrElse(message, fail(s"proto write: unknown message $message"))
-    val byName = spec.map { case (n, fs) => fs.name -> ((n, fs)) }
+    // accept both the proto name and its protojson camelCase rendition —
+    // the engine's reply JSON keys are camelCase (WireEncoder)
+    val byName = spec.flatMap { case (n, fs) =>
+      Seq(fs.name -> ((n, fs)), camelName(fs.name) -> ((n, fs))) }
     val JObject(fields) = jv: @unchecked
     fields.foreach { case (name, value) =>
       if (value != JNull) {
@@ -378,6 +711,12 @@ object ProtoWire {
             val JString(s) = v: @unchecked
             val b = java.util.Base64.getDecoder.decode(s)
             putTag(out, no, 2); putVarint(out, b.length.toLong); out.write(b)
+          case TStruct =>
+            val body = writeStruct(v)
+            putTag(out, no, 2); putVarint(out, body.length.toLong); out.write(body)
+          case TProps =>
+            val body = writeProps(v)
+            putTag(out, no, 2); putVarint(out, body.length.toLong); out.write(body)
           case TMap(valueType) => fail("proto write: use an object for map fields")
           case scalar =>
             putTag(out, no, wireTypeOf(scalar)); out.write(scalarBytes(scalar, v))
@@ -414,8 +753,163 @@ object ProtoWire {
     }
   }
 
+  // ==========================================================================
+  // Struct / Properties writers (inverse of readStruct/readProps)
+  // ==========================================================================
+
+  private def lenDelim(out: java.io.ByteArrayOutputStream, no: Int,
+                       body: Array[Byte]): Unit = {
+    putTag(out, no, 2); putVarint(out, body.length.toLong); out.write(body)
+  }
+
+  private def writeStruct(jv: JValue): Array[Byte] = {
+    val JObject(fields) = jv: @unchecked
+    val out = new java.io.ByteArrayOutputStream()
+    fields.foreach { case (k, v) =>
+      val entry = new java.io.ByteArrayOutputStream()
+      val kb = k.getBytes("UTF-8")
+      putTag(entry, 1, 2); putVarint(entry, kb.length.toLong); entry.write(kb)
+      lenDelim(entry, 2, writeStructValue(v))
+      lenDelim(out, 1, entry.toByteArray)
+    }
+    out.toByteArray
+  }
+
+  private def writeStructValue(v: JValue): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    v match {
+      case JNull => putTag(out, 1, 0); putVarint(out, 0)
+      case JDouble(d) =>
+        putTag(out, 2, 1)
+        val bits = java.lang.Double.doubleToLongBits(d)
+        var i = 0; while (i < 8) { out.write(((bits >> (8 * i)) & 0xff).toInt); i += 1 }
+      case JInt(i) => return writeStructValue(JDouble(i.toDouble))
+      case JLong(l) => return writeStructValue(JDouble(l.toDouble))
+      case JDecimal(d) => return writeStructValue(JDouble(d.toDouble))
+      case JString(s) => lenDelim(out, 3, s.getBytes("UTF-8"))
+      case JBool(b) => putTag(out, 4, 0); putVarint(out, if (b) 1 else 0)
+      case o: JObject => lenDelim(out, 5, writeStruct(o))
+      case JArray(xs) =>
+        val lv = new java.io.ByteArrayOutputStream()
+        xs.foreach(x => lenDelim(lv, 1, writeStructValue(x)))
+        lenDelim(out, 6, lv.toByteArray)
+      case o => fail(s"proto write: Struct cannot carry $o")
+    }
+    out.toByteArray
+  }
+
+  private def bytesLE(ls: Seq[Long]): Array[Byte] = {
+    val b = new Array[Byte](ls.length * 8)
+    ls.zipWithIndex.foreach { case (l, i) =>
+      var j = 0; while (j < 8) { b(i * 8 + j) = ((l >> (8 * j)) & 0xff).toByte; j += 1 }
+    }
+    b
+  }
+
+  private def writeProps(jv: JValue): Array[Byte] = {
+    val JObject(fields) = jv: @unchecked
+    val out = new java.io.ByteArrayOutputStream()
+    fields.foreach { case (k, v) =>
+      val entry = new java.io.ByteArrayOutputStream()
+      val kb = k.getBytes("UTF-8")
+      putTag(entry, 1, 2); putVarint(entry, kb.length.toLong); entry.write(kb)
+      lenDelim(entry, 2, writePropValue(v))
+      lenDelim(out, 1, entry.toByteArray)
+    }
+    out.toByteArray
+  }
+
+  /** Types a runtime JSON value into the weaviate Value oneof. JSON strings
+   * carry no date/uuid tag, so every string emits text_value — byte-stable
+   * through [[readProps]] (all string kinds read back as JString). */
+  private def writePropValue(v: JValue): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def f64(no: Int, d: Double): Unit = {
+      putTag(out, no, 1)
+      val bits = java.lang.Double.doubleToLongBits(d)
+      var i = 0; while (i < 8) { out.write(((bits >> (8 * i)) & 0xff).toInt); i += 1 }
+    }
+    v match {
+      case JNull => putTag(out, 12, 0); putVarint(out, 0)
+      case JDouble(d) => f64(1, d)
+      case JDecimal(d) => f64(1, d.toDouble)
+      case JInt(i) => putTag(out, 8, 0); putVarint(out, i.toLong)
+      case JLong(l) => putTag(out, 8, 0); putVarint(out, l)
+      case JBool(b) => putTag(out, 3, 0); putVarint(out, if (b) 1 else 0)
+      case JString(s) => lenDelim(out, 13, s.getBytes("UTF-8"))
+      case o: JObject => lenDelim(out, 4, writeProps(o))
+      case JArray(xs) =>
+        val lv = new java.io.ByteArrayOutputStream()
+        xs match {
+          case items if items.nonEmpty && items.forall(_.isInstanceOf[JString]) =>
+            val tv = new java.io.ByteArrayOutputStream()
+            items.foreach { case JString(s) => lenDelim(tv, 1, s.getBytes("UTF-8")); case _ => () }
+            lenDelim(lv, 8, tv.toByteArray)
+          case items if items.nonEmpty && items.forall(_.isInstanceOf[JBool]) =>
+            val bv = new java.io.ByteArrayOutputStream()
+            val packed = new java.io.ByteArrayOutputStream()
+            items.foreach { case JBool(b) => putVarint(packed, if (b) 1 else 0); case _ => () }
+            lenDelim(bv, 1, packed.toByteArray)
+            lenDelim(lv, 3, bv.toByteArray)
+          case items if items.nonEmpty && items.forall(x =>
+              x.isInstanceOf[JInt] || x.isInstanceOf[JLong]) =>
+            val iv = new java.io.ByteArrayOutputStream()
+            lenDelim(iv, 1, bytesLE(items.map {
+              case JInt(i) => i.toLong; case JLong(l) => l; case _ => 0L }))
+            lenDelim(lv, 7, iv.toByteArray)
+          case items if items.nonEmpty && items.forall(_.isInstanceOf[JObject]) =>
+            val ov = new java.io.ByteArrayOutputStream()
+            items.foreach(o => lenDelim(ov, 1, writeProps(o)))
+            lenDelim(lv, 4, ov.toByteArray)
+          case items => // numeric (possibly mixed) and EMPTY lists → number_values
+            val nv = new java.io.ByteArrayOutputStream()
+            lenDelim(nv, 1, bytesLE(items.map {
+              case JDouble(d) => java.lang.Double.doubleToLongBits(d)
+              case JDecimal(d) => java.lang.Double.doubleToLongBits(d.toDouble)
+              case JInt(i) => java.lang.Double.doubleToLongBits(i.toDouble)
+              case JLong(l) => java.lang.Double.doubleToLongBits(l.toDouble)
+              case o => fail(s"proto write: list value cannot carry $o")
+            }))
+            lenDelim(lv, 2, nv.toByteArray)
+        }
+        lenDelim(out, 5, lv.toByteArray)
+      case o => fail(s"proto write: Properties cannot carry $o")
+    }
+    out.toByteArray
+  }
+
+  // ==========================================================================
+  // Entry points — byte-transport twins of the protojson decoders/encoders
+  // ==========================================================================
+
   /** Decode a binary `SearchRequest` into GetParams — the byte-transport
    * twin of [[WireDecoder.search]]. */
   def searchRequest(g: Graft, bytes: Array[Byte]): GetParams =
     WireDecoder.decodeSearch(g, read(bytes, "SearchRequest"))
+
+  /** Decode a binary `AggregateRequest` — twin of [[WireDecoder.aggregate]]
+   * (grpc/proto/v1/aggregate.proto; the Aggregation oneof arms, the group_by
+   * message and the search oneof reuse the SAME protojson decode path). */
+  def aggregateRequest(g: Graft, bytes: Array[Byte]): graft.model.AggregateParams =
+    WireDecoder.decodeAggregate(g, read(bytes, "AggregateRequest"))
+
+  /** Decode a binary `BatchObjectsRequest` — twin of
+   * [[WireDecoder.decodeBatchObjects]]: same per-index partial-batch error
+   * contract; the google.protobuf.Struct non_ref_properties payload routes
+   * through the generic Struct reader. */
+  def batchObjectsRequest(bytes: Array[Byte])
+      : (Seq[(Int, WireDecoder.BatchObject)], Map[Int, String]) = {
+    import org.json4s.jackson.JsonMethods
+    WireDecoder.decodeBatchObjects(
+      JsonMethods.compact(JsonMethods.render(read(bytes, "BatchObjectsRequest"))))
+  }
+
+  /** Encode the engine's protojson `SearchReply` (WireEncoder.searchReply
+   * output) as proto bytes — the reply direction of the gRPC round-trip.
+   * Property values type from their runtime JSON shape (properties.proto
+   * Value oneof; strings → text_value). */
+  def searchReplyBytes(replyJson: String): Array[Byte] = {
+    import org.json4s.jackson.JsonMethods
+    write(JsonMethods.parse(replyJson), "SearchReply")
+  }
 }

@@ -109,4 +109,100 @@ class ProtoWireSpec extends SparkSpecBase {
     val round = ProtoWire.read(ProtoWire.write(doc, "NearVector"), "NearVector")
     assert(round == doc)
   }
+
+  test("AggregateRequest bytes decode (hand-authored fixture + twin equivalence)") {
+    // AggregateRequest{collection: "Order"(field 1), objects_count: true
+    // (field 20 → tag 20<<3|0 = 160 → A0 01), aggregations[0] (field 21 →
+    // tag 21<<3|2 = 170 → AA 01): Aggregation{property: "o_totalprice"
+    // (0A 0C ...), number (field 3, tag 1A): {count(08 01) mean(20 01)}}
+    val bytes = Array[Int](
+      0x0A, 0x05, 'O', 'r', 'd', 'e', 'r',
+      0xA0, 0x01, 0x01,
+      0xAA, 0x01, 0x14,
+      0x0A, 0x0C) .map(_.toByte) ++
+      "o_totalprice".getBytes("UTF-8") ++
+      Array[Int](0x1A, 0x04, 0x08, 0x01, 0x20, 0x01).map(_.toByte)
+    assert(ProtoWire.read(bytes, "AggregateRequest") == JObject(List(
+      "collection" -> JString("Order"),
+      "objects_count" -> JBool(true),
+      "aggregations" -> JArray(List(JObject(List(
+        "property" -> JString("o_totalprice"),
+        "number" -> JObject(List("count" -> JBool(true), "mean" -> JBool(true))))))))))
+    // byte transport lands on the same AggregateParams as protojson
+    val json =
+      """{"collection": "Order", "objectsCount": true,
+        |  "aggregations": [{"property": "o_totalprice",
+        |    "number": {"count": true, "mean": true}}]}""".stripMargin
+    assert(ProtoWire.aggregateRequest(g, bytes) == WireDecoder.aggregate(g, json))
+  }
+
+  test("google.protobuf.Struct payload in BatchObject round-trips") {
+    // Struct{"a": number 1.5, "s": string "x", "b": bool true,
+    //        "l": list[2.0, "y"], "o": {"k": null}}
+    val doc = JObject(List("objects" -> JArray(List(JObject(List(
+      "collection" -> JString("C"),
+      "uuid" -> JString("00000000-0000-0000-0000-000000000001"),
+      "properties" -> JObject(List(
+        "non_ref_properties" -> JObject(List(
+          "a" -> JDouble(1.5), "s" -> JString("x"), "b" -> JBool(true),
+          "l" -> JArray(List(JDouble(2.0), JString("y"))),
+          "o" -> JObject(List("k" -> JNull))))))))))))
+    val round = ProtoWire.read(
+      ProtoWire.write(doc, "BatchObjectsRequest"), "BatchObjectsRequest")
+    assert(round == doc)
+    // through the decoder: the Struct is scalars-only there (arrays travel
+    // in the typed *ArrayProperties messages — batch.proto) → per-index error
+    val (_, errs) = ProtoWire.batchObjectsRequest(
+      ProtoWire.write(doc, "BatchObjectsRequest"))
+    assert(errs(0).contains("nonRefProperties.l"))
+    // scalars-only Struct decodes clean
+    val scalarDoc = JObject(List("objects" -> JArray(List(JObject(List(
+      "collection" -> JString("C"),
+      "uuid" -> JString("00000000-0000-0000-0000-000000000001"),
+      "properties" -> JObject(List(
+        "non_ref_properties" -> JObject(List(
+          "a" -> JDouble(1.5), "s" -> JString("x"), "b" -> JBool(true)))))))))))
+    val (ok2, errs2) = ProtoWire.batchObjectsRequest(
+      ProtoWire.write(scalarDoc, "BatchObjectsRequest"))
+    assert(errs2.isEmpty && ok2.size == 1)
+    assert(ok2.head._2.properties("a") == 1.5)
+    assert(ok2.head._2.properties("s") == "x")
+  }
+
+  test("SearchReply bytes: typed Properties values round-trip every kind") {
+    // one result carrying a text/int/double/bool/text[]/int[]/number[]/
+    // bool[]/nested-object payload — every Value oneof arm the engine emits
+    val nonRef = JObject(List(
+      "t" -> JString("hello"), "i" -> JLong(42), "d" -> JDouble(2.25),
+      "b" -> JBool(false),
+      "ts" -> JArray(List(JString("a"), JString("b"))),
+      "is" -> JArray(List(JLong(1), JLong(-2))),
+      "ds" -> JArray(List(JDouble(0.5), JDouble(1.5))),
+      "bs" -> JArray(List(JBool(true), JBool(false))),
+      "obj" -> JObject(List("inner" -> JString("v")))))
+    val result = JObject(List(
+      "properties" -> JObject(List("nonRefProperties" -> nonRef)),
+      "metadata" -> JObject(List(
+        "id" -> JString("00000000-0000-0000-0000-000000000002"),
+        "distance" -> JDouble(0.25), "distancePresent" -> JBool(true)))))
+    val reply = JObject(List(
+      "took" -> JDouble(0.5),
+      "results" -> JArray(List(result))))
+    val bytes = ProtoWire.write(reply, "SearchReply")
+    val back = ProtoWire.read(bytes, "SearchReply")
+    val props = back \\ "non_ref_properties"
+    assert((props \ "t") == JString("hello"))
+    assert((props \ "i") == JLong(42))
+    assert((props \ "d") == JDouble(2.25))
+    assert((props \ "b") == JBool(false))
+    assert((props \ "ts") == JArray(List(JString("a"), JString("b"))))
+    assert((props \ "is") == JArray(List(JLong(1), JLong(-2))))
+    assert((props \ "ds") == JArray(List(JDouble(0.5), JDouble(1.5))))
+    assert((props \ "bs") == JArray(List(JBool(true), JBool(false))))
+    assert((props \ "obj") == JObject(List("inner" -> JString("v"))))
+    val md = back \\ "metadata"
+    assert((md \ "id") == JString("00000000-0000-0000-0000-000000000002"))
+    assert((md \ "distance_present") == JBool(true))
+    assert((back \ "took") == JDouble(0.5))
+  }
 }
