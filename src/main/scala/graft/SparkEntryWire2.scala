@@ -162,6 +162,67 @@ object SparkEntryWire2 {
         .orderBy(col("dist"), col("vec_id"))
     }),
 
+    // Named fragment definitions + @skip/@include (GraphQL spec §2.8/§3.13 —
+    // the Apollo-codegen document shape): an existing green page re-served
+    // through a fragment-factored, directive-gated document, plus the parser's
+    // negative contracts (unknown fragment, cycle, unknown directive)
+    "q_wire_gql_fragments" -> ((s, dir) => {
+      val gg = g(s, dir)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      val doc =
+        """query Q($withBal: Boolean!, $skipSeg: Boolean!) {
+          |  Get {
+          |    Customer(
+          |        where: {path: ["c_acctbal"], operator: GreaterThan, valueNumber: 9000.0}
+          |        sort: [{path: ["c_name"], order: asc}]
+          |        limit: 4) {
+          |      ...CustBase
+          |      c_acctbal @include(if: $withBal)
+          |      c_mktsegment @skip(if: $skipSeg)
+          |    }
+          |  }
+          |}
+          |fragment CustBase on Customer {
+          |  c_name
+          |  ...CustRef
+          |}
+          |fragment CustRef on Customer {
+          |  c_nationkey { ... on Nation { n_name } }
+          |}""".stripMargin
+      def serve(withBal: Boolean, skipSeg: Boolean): String = {
+        val page = gg.get(GraphQL.get(gg, doc,
+          s"""{"withBal": $withBal, "skipSeg": $skipSeg}"""))
+        page.collect().map { r =>
+          def v(c: String): Option[String] =
+            if (!page.columns.contains(c)) None
+            else Some(String.valueOf(r.get(r.fieldIndex(c))))
+          val nation = if (page.columns.contains("c_nationkey_resolved"))
+            Some(r.getStruct(r.fieldIndex("c_nationkey_resolved")).getAs[String]("n_name"))
+          else None
+          (Seq(v("c_name")).flatten ++ v("c_acctbal").map(a =>
+            f"${a.toDouble}%.2f") ++ v("c_mktsegment") ++ nation).mkString("/")
+        }.mkString(",")
+      }
+      out += "01_frag_include" -> serve(withBal = true, skipSeg = true)
+      out += "02_frag_all" -> serve(withBal = true, skipSeg = false)
+      out += "03_frag_skipped" -> serve(withBal = false, skipSeg = true)
+      out += "04_unknown_fragment" -> okOr(GraphQL.get(gg,
+        "{ Get { Region { ...Nope } } }"))
+      out += "05_cycle" -> okOr(GraphQL.get(gg,
+        """{ Get { Region { ...A } } }
+          |fragment A on Region { ...B }
+          |fragment B on Region { ...A }""".stripMargin))
+      out += "06_unknown_directive" -> okOr(GraphQL.get(gg,
+        """{ Get { Region { r_name @deprecated(reason: "x") } } }"""))
+      out += "07_skip_static" -> {
+        val page = gg.get(GraphQL.get(gg,
+          """{ Get { Region(sort: [{path: ["r_name"], order: asc}], limit: 2)
+            |  { r_name @include(if: true) r_comment @skip(if: true) } } }""".stripMargin))
+        s"cols=${page.columns.sorted.mkString("|")};rows=${page.count()}"
+      }
+      steps(s, out.toSeq)
+    }),
+
     // Binary AggregateRequest (grpc/proto/v1/aggregate.proto): the grouped
     // number matrix authored as PROTO BYTES through the same descriptors,
     // decoded into the identical AggregateParams as its protojson twin
@@ -574,6 +635,28 @@ object SparkEntryWire2 {
         |         CAST(round(max(o_totalprice), 2) AS VARCHAR) FROM orders)
         |UNION ALL SELECT '08_where_var', CAST(
         |  (SELECT count(*) FROM orders WHERE o_totalprice > 25000.0) AS VARCHAR)
+        |ORDER BY step""".stripMargin,
+
+    // fragment-factored document: pages recomputed from the parquet, parser
+    // negatives pinned verbatim
+    "q_wire_gql_fragments" ->
+      """WITH top AS (
+        |  SELECT c_name, c_acctbal, c_mktsegment, c_nationkey FROM customer
+        |  WHERE c_acctbal > 9000.0 ORDER BY c_name LIMIT 4),
+        |joined AS (
+        |  SELECT t.*, n.n_name FROM top t JOIN nation n ON n.n_nationkey = t.c_nationkey)
+        |SELECT '01_frag_include' AS step, (
+        |  SELECT string_agg(c_name || '/' || printf('%.2f', c_acctbal) || '/' || n_name, ',' ORDER BY c_name)
+        |  FROM joined) AS result
+        |UNION ALL SELECT '02_frag_all', (
+        |  SELECT string_agg(c_name || '/' || printf('%.2f', c_acctbal) || '/' || c_mktsegment || '/' || n_name, ',' ORDER BY c_name)
+        |  FROM joined)
+        |UNION ALL SELECT '03_frag_skipped', (
+        |  SELECT string_agg(c_name || '/' || n_name, ',' ORDER BY c_name) FROM joined)
+        |UNION ALL SELECT '04_unknown_fragment', 'Unknown fragment "Nope".'
+        |UNION ALL SELECT '05_cycle', 'graphql parse: fragment cycle through "A"'
+        |UNION ALL SELECT '06_unknown_directive', 'graphql parse: unknown directive "@deprecated"'
+        |UNION ALL SELECT '07_skip_static', 'cols=r_name;rows=2'
         |ORDER BY step""".stripMargin,
 
     // binary AggregateRequest: same grouped matrix as q_agg_group_numeric —

@@ -20,9 +20,12 @@ import graft.model._
  * (`... on Class`) for cross-reference properties, operation VARIABLES
  * (`query ($x: Float!) { ... }` + a variables JSON object, typed per the
  * declaration with graphql-go's enum coercion and missing-variable error
- * text), and field ALIASES (`alias: field`, surfaced as output renames —
- * see [[applyAliases]]). Directives and named fragment definitions are
- * rejected loudly — the reference's clients do not send them.
+ * text), field ALIASES (`alias: field`, surfaced as output renames —
+ * see [[applyAliases]]), NAMED FRAGMENT definitions + spreads (spec §2.8 —
+ * the Apollo-codegen document shape; spreads substitute as type-conditioned
+ * inline fragments, class-typed fragments flatten into the class selection),
+ * and the two spec directives `@skip(if:)` / `@include(if:)` (§3.13,
+ * evaluated against resolved variables). Other directives reject loudly.
  *
  * Argument semantics and error texts follow the reference's extraction
  * layer verbatim:
@@ -68,6 +71,9 @@ object GraphQL {
     def outputName: String = alias.getOrElse(name)
   }
   final case class GInlineFrag(onType: String, sel: List[GSel]) extends GSel
+  /** Named-fragment spread (`...Name`) — substituted away by the parser's
+   * fragment-resolution pass; never reaches the decoders. */
+  private final case class GSpread(name: String) extends GSel
 
   /** Go fmt `%v` rendering of a decoded GraphQL value (maps print sorted by
    * key, like Go's fmt since 1.12) — used in replayed reference error texts. */
@@ -219,29 +225,70 @@ object GraphQL {
         args.result()
       }
 
-    private def selection(): GSel = {
+    /** `@skip(if:)` / `@include(if:)` (spec §3.13) — evaluated eagerly
+     * (variables are already resolved), returning whether the selection is
+     * KEPT: all includes true AND all skips false. Unknown directives reject
+     * loudly. */
+    private def directivesKeep(): Boolean = {
+      var keep = true
+      while (peek() == '@') {
+        expect('@')
+        val dn = name()
+        val args = arguments()
+        dn match {
+          case "skip" | "include" =>
+            val cond = args.collectFirst { case ("if", v) => v }.getOrElse(
+              fail(s"""graphql parse: directive "@$dn" requires an "if" argument"""))
+            val b = cond match {
+              case GBool(x) => x
+              case other => fail(s"""graphql parse: "@$dn(if:)" must be a Boolean, got ${goV(other)}""")
+            }
+            if (dn == "skip" && b) keep = false
+            if (dn == "include" && !b) keep = false
+          case other =>
+            fail(s"""graphql parse: unknown directive "@$other"""")
+        }
+        ws()
+      }
+      keep
+    }
+
+    private def selection(): List[GSel] = {
       ws()
       if (src.startsWith("...", i)) {
         i += 3
+        ws()
         val kw = name()
-        if (kw != "on") fail("graphql parse: fragment spreads are not supported - use inline fragments ('... on Class')")
-        val tpe = name()
-        GInlineFrag(tpe, selectionSet())
+        if (kw == "on") {
+          val tpe = name()
+          ws()
+          val keep = directivesKeep()
+          val sel = selectionSet()
+          if (keep) List(GInlineFrag(tpe, sel)) else Nil
+        } else {
+          // named-fragment spread — resolved after the whole document parses
+          // (definitions may follow their uses, spec §2.8)
+          ws()
+          val keep = directivesKeep()
+          if (keep) List(GSpread(kw)) else Nil
+        }
       } else {
         val n = name()
         // `alias: field` (GraphQL spec §2.7) — the alias becomes the reply key
         val (alias, fieldName) =
           if (peek() == ':') { i += 1; (Some(n), name()) } else (None, n)
         val args = arguments()
+        ws()
+        val keep = directivesKeep()
         val sel = if (peek() == '{') selectionSet() else Nil
-        GField(fieldName, args, sel, alias)
+        if (keep) List(GField(fieldName, args, sel, alias)) else Nil
       }
     }
 
     private def selectionSet(): List[GSel] = {
       expect('{')
       val sels = List.newBuilder[GSel]
-      while (peek() != '}') sels += selection()
+      while (peek() != '}') sels ++= selection()
       expect('}')
       sels.result()
     }
@@ -296,24 +343,69 @@ object GraphQL {
       }
     }
 
-    /** Parse a query document: optional `query [Name]` header + one
-     * selection set; trailing content is an error. */
+    /** Parse a query document: one operation (optional `query [Name]` header
+     * + selection set) plus any number of named FRAGMENT DEFINITIONS
+     * (`fragment Name on Type { ... }` — spec §2.8, before or after the
+     * operation, the Apollo-codegen document shape). Spreads substitute as
+     * type-conditioned inline fragments after the whole document parses;
+     * an unused-at-cycle spread rejects loudly. */
     def document(): List[GSel] = {
+      var op: Option[List[GSel]] = None
+      val fragments = scala.collection.mutable.Map.empty[String, (String, List[GSel])]
       ws()
-      if (i < src.length && isNameStart(src.charAt(i))) {
-        val kw = name()
-        if (kw != "query")
-          fail(s"graphql parse: unsupported operation type '$kw' (only queries)")
+      while (i < src.length) {
+        if (isNameStart(src.charAt(i))) {
+          val kw = name()
+          kw match {
+            case "query" =>
+              ws()
+              if (i < src.length && isNameStart(src.charAt(i))) name() // operation name
+              if (peek() == '(') variableDefinitions()
+              if (op.isDefined)
+                fail(s"graphql parse: unexpected content after document at offset $i")
+              op = Some(selectionSet())
+            case "fragment" =>
+              val fn = name()
+              if (fn == "on") fail("graphql parse: fragment name cannot be 'on'")
+              if (name() != "on") fail(s"graphql parse: expected 'on' in fragment '$fn'")
+              val tpe = name()
+              if (fragments.contains(fn))
+                fail(s"""graphql parse: duplicate fragment definition "$fn"""")
+              fragments += fn -> (tpe, selectionSet())
+            case other =>
+              fail(s"graphql parse: unsupported operation type '$other' (only queries)")
+          }
+        } else if (peek() == '{') {
+          if (op.isDefined)
+            fail(s"graphql parse: unexpected content after document at offset $i")
+          op = Some(selectionSet())
+        } else fail(s"graphql parse: unexpected content after document at offset $i")
         ws()
-        if (i < src.length && isNameStart(src.charAt(i))) name() // operation name
-        if (peek() == '(') variableDefinitions()
       }
-      val sels = selectionSet()
-      ws()
-      if (i < src.length) fail(s"graphql parse: unexpected content after document at offset $i")
-      sels
+      val sels = op.getOrElse(fail("graphql parse: document has no operation"))
+      def resolve(ss: List[GSel], seen: Set[String]): List[GSel] = ss.map {
+        case GSpread(n) =>
+          val (onType, fsel) = fragments.getOrElse(n,
+            fail(s"""Unknown fragment "$n"."""))
+          if (seen(n)) fail(s"""graphql parse: fragment cycle through "$n"""")
+          GInlineFrag(onType, resolve(fsel, seen + n))
+        case GInlineFrag(t, s) => GInlineFrag(t, resolve(s, seen))
+        case f: GField => f.copy(sel = resolve(f.sel, seen))
+      }
+      resolve(sels, Set.empty)
     }
   }
+
+  /** Flatten inline fragments whose type condition IS the enclosing class
+   * (`{ Get { City { ...CityFields } } }` with `fragment CityFields on
+   * City` — the fragment's selections belong to the class itself, not to a
+   * reference target). Applied at the class level of Get/Aggregate decode;
+   * fragments on OTHER types stay put for the ref-resolution scope rules. */
+  private def flattenSelfFrags(className: String, sel: List[GSel]): List[GSel] =
+    sel.flatMap {
+      case GInlineFrag(t, s) if t == className => flattenSelfFrags(className, s)
+      case other => List(other)
+    }
 
   // ==========================================================================
   // Shared argument helpers
@@ -1022,7 +1114,7 @@ object GraphQL {
       Cursor(Some(idValue(a)).filter(_ != ""),
         cls.arg("limit").map(asInt(_, "limit")).getOrElse(-1)))
 
-    val sd = decodeGetSelection(cls.sel)
+    val sd = decodeGetSelection(flattenSelfFrags(collection, cls.sel))
 
     val params = GetParams(
       collection = collection,
@@ -1181,7 +1273,7 @@ object GraphQL {
     var includeMeta = false
     var props = Map.empty[String, Seq[Aggregator]]
     var aliases = Vector.empty[(String, String)]
-    cls.sel.foreach {
+    flattenSelfFrags(collection, cls.sel).foreach {
       case f: GField if f.name == "groupedBy" || f.name == "__typename" => ()
       case f: GField if f.name == "meta" => includeMeta = true
       case f: GField =>
