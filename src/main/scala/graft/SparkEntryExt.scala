@@ -5505,8 +5505,8 @@ object SparkEntryExt {
         |  ('07_joined_violations', 'invalid activity status ''X'' for tenant "a", invalid activity status '''' for tenant "b"'),
         |  ('08_created_statuses', 'de=INACTIVE,en=ACTIVE,fr=ACTIVE'),
         |  ('09_updated_statuses', 'de=INACTIVE,en=ACTIVE,fr=OFFLOADED'),
-        |  ('10_inactive_rejected', 'requirement failed: tenant not active: de'),
-        |  ('11_offloaded_rejected', 'requirement failed: tenant not active: fr'),
+        |  ('10_inactive_rejected', 'tenant not active: de'),
+        |  ('11_offloaded_rejected', 'tenant not active: fr'),
         |  ('12_unknown_rejected', 'tenant not found: nl')
         |) AS t(step, result)
         |UNION ALL SELECT '13_live_active_page', CAST(

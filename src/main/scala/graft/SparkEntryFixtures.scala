@@ -828,6 +828,102 @@ object SparkEntryFixtures {
       steps(s, out.result())
     }),
 
+    // TestGQLGetTenantObjects (+ _MissingTenant) from
+    // test/acceptance/multi_tenancy/gql_get_tenant_objects_test.go, plus the
+    // create/duplicate/idempotent lifecycle arms of
+    // create_delete_update_tenants_test.go: tenant-scoped Get across every
+    // search leg, the shared-uuid-across-tenants bed VERBATIM (uuids from
+    // the Go test), and the missing-tenant explorer error text.
+    "q_fixture_tenants" -> ((s, _) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      import graft.model.{CollectionSchema, Property, PropType, Tenant, TenantStatus}
+      val gg = new Graft(s).withEmbedder(CitiesFixture.embedder)
+      def unit(deg: Double): Seq[Float] = {
+        val r = math.toRadians(deg)
+        Seq(math.cos(r).toFloat, math.sin(r).toFloat, 0.0f)
+      }
+      val id1 = "0927a1e0-398e-4e76-91fb-04a7a8f0405c"
+      val id2 = "831ae1d0-f441-44b1-bb2a-46548048e26f"
+      val id3 = "6f3363e0-c0a0-4618-bf1f-b6cad9cdff59"
+      val mtType = StructType(Seq(StructField("uuid", StringType),
+        StructField("name", StringType), StructField("text", StringType),
+        StructField("tenant", StringType), StructField("vector", ArrayType(FloatType))))
+      gg.register(CollectionSchema("MultiTenantClass", "uuid", Seq(
+        Property("name", PropType.Text), Property("text", PropType.Text)),
+        vectors = Map("default" -> "vector"), defaultVector = Some("default"),
+        tenantColumn = Some("tenant")),
+        s.createDataFrame(s.sparkContext.parallelize(Seq(
+          Row(id1, "Tenant1", "meat", "Tenant1", unit(0.0)),
+          Row(id2, "Tenant1", "bananas", "Tenant1", unit(20.0)),
+          Row(id3, "Tenant1", "kiwi", "Tenant1", unit(40.0)),
+          Row(id3, "Tenant1", "kiwi", "otherTenant", unit(40.0))), 1), mtType))
+      gg.addTenants("MultiTenantClass",
+        Seq(Tenant("Tenant1"), Tenant("otherTenant")))
+      val out = Seq.newBuilder[(String, String)]
+      out += "01_objects" -> Seq(
+        (id1, "Tenant1"), (id2, "Tenant1"), (id3, "Tenant1"), (id3, "otherTenant"))
+        .map { case (id, t) =>
+          val r = gg.get(GraphQL.get(gg,
+            s"""{ Get { MultiTenantClass(tenant: "$t"
+               |  where: {path: ["id"] operator: Equal valueText: "$id"})
+               |  { name text } } }""".stripMargin)).collect().head
+          s"$id@$t>${r.getString(0)}/${r.getString(1)}"
+        }.mkString(",")
+      def ids(doc: String): Seq[String] =
+        gg.get(GraphQL.get(gg, doc)).select(col("_id")).collect().map(_.getString(0)).toSeq
+      out += "02_get" -> ids(
+        """{ Get { MultiTenantClass(tenant: "Tenant1") { _additional { id } } } }""")
+        .sorted.mkString(",")
+      out += "03_nearobject" -> ids(
+        s"""{ Get { MultiTenantClass(nearObject: {id: "$id1"} tenant: "Tenant1")
+           |  { _additional { id } } } }""".stripMargin).length.toString
+      out += "04_neartext" -> ids(
+        s"""{ Get { MultiTenantClass(nearText: {concepts: "apple",
+           |    moveTo: {concepts: ["fruit"], force: 0.1},
+           |    moveAwayFrom: {objects: [{id: "$id1"}], force: 0.1}}
+           |  tenant: "Tenant1") { _additional { id } } } }""".stripMargin).length.toString
+      out += "05_bm25" -> {
+        val r = ids(
+          """{ Get { MultiTenantClass(bm25: {query: "kiwi"} tenant: "Tenant1")
+            |  { _additional { id } } } }""".stripMargin)
+        s"n=${r.length};${r.mkString(",")}"
+      }
+      out += "06_hybrid" -> {
+        val page = gg.get(GraphQL.get(gg,
+          """{ Get { MultiTenantClass(hybrid: {query: "kiwi", alpha: 0.1}
+            |  tenant: "Tenant1" autocut: 1) { text _additional { id } } } }""".stripMargin))
+          .select(col("text")).collect().map(_.getString(0))
+        s"n=${page.length};${page.mkString(",")}"
+      }
+      out += "07_missing_tenant" -> okOr(gg.get(GraphQL.get(gg,
+        "{ Get { MultiTenantClass { _additional { id } } } }")).collect())
+      // lifecycle arms (create_delete_update_tenants_test.go) on a fresh class
+      val lcType = StructType(Seq(StructField("uuid", StringType),
+        StructField("name", StringType), StructField("tenant", StringType)))
+      gg.register(CollectionSchema("TenantLifecycle", "uuid", Seq(
+        Property("name", PropType.Text)), tenantColumn = Some("tenant")),
+        s.createDataFrame(s.sparkContext.parallelize(Seq(
+          Row("00000000-0000-0000-0000-0000000000c1", "x", "Tenant1")), 1), lcType))
+      gg.addTenants("TenantLifecycle",
+        Seq(Tenant("Tenant1"), Tenant("Tenant2"), Tenant("Tenant3")))
+      out += "08_list" -> gg.tenants("TenantLifecycle")
+        .map(t => s"${t.name}=${t.activityStatus}").mkString(",")
+      out += "09_duplicate_in_batch" -> okOr(gg.addTenants("TenantLifecycle",
+        Seq(Tenant("DoubleTenant"), Tenant("DoubleTenant"))))
+      out += "10_recreate_idempotent" -> okOr(gg.addTenants("TenantLifecycle",
+        Seq(Tenant("Tenant1"))))
+      out += "11_frozen_on_create" -> okOr(gg.addTenants("TenantLifecycle",
+        Seq(Tenant("tenant", TenantStatus.Offloaded))))
+      def scoped(): String = okOr(gg.get(GraphQL.get(gg,
+        """{ Get { TenantLifecycle(tenant: "Tenant1") { name } } }""")).collect())
+      gg.updateTenant("TenantLifecycle", "Tenant1", TenantStatus.Inactive)
+      out += "12_deactivated" -> scoped()
+      gg.updateTenant("TenantLifecycle", "Tenant1", TenantStatus.Active)
+      out += "13_reactivated" -> scoped()
+      steps(s, out.result())
+    }),
+
     // Test_UnindexedProperty (unindexed_property_test.go): a class created
     // THROUGH THE SCHEMA WIRE with indexFilterable/indexSearchable false on
     // one prop — filtering the indexed prop serves, filtering the hidden
@@ -1525,6 +1621,25 @@ object SparkEntryFixtures {
         |  ('08_agg_neartext_where', 'must provide certainty or objectLimit with vector search'),
         |  ('09_agg_objectlimit_bare', 'objectLimit can only be used with a near<Media> or hybrid filter'),
         |  ('10_explore_mixed_metrics', 'vector search across classes not possible: found different distance metrics: class ''L2DistanceClass'' uses distance metric ''l2-squared'', class ''CosineClassA'' uses distance metric ''cosine''')
+        |) AS t(step, result) ORDER BY step""".stripMargin,
+
+    // multi-tenancy journey: tenant-scoped pages/counts + the reference's
+    // missing-tenant explorer text and lifecycle error texts verbatim
+    "q_fixture_tenants" ->
+      """SELECT * FROM (VALUES
+        |  ('01_objects', '0927a1e0-398e-4e76-91fb-04a7a8f0405c@Tenant1>Tenant1/meat,831ae1d0-f441-44b1-bb2a-46548048e26f@Tenant1>Tenant1/bananas,6f3363e0-c0a0-4618-bf1f-b6cad9cdff59@Tenant1>Tenant1/kiwi,6f3363e0-c0a0-4618-bf1f-b6cad9cdff59@otherTenant>Tenant1/kiwi'),
+        |  ('02_get', '0927a1e0-398e-4e76-91fb-04a7a8f0405c,6f3363e0-c0a0-4618-bf1f-b6cad9cdff59,831ae1d0-f441-44b1-bb2a-46548048e26f'),
+        |  ('03_nearobject', '3'),
+        |  ('04_neartext', '3'),
+        |  ('05_bm25', 'n=1;6f3363e0-c0a0-4618-bf1f-b6cad9cdff59'),
+        |  ('06_hybrid', 'n=1;kiwi'),
+        |  ('07_missing_tenant', 'explorer: list class: search: object search at index multitenantclass: class MultiTenantClass has multi-tenancy enabled, but request was without tenant'),
+        |  ('08_list', 'Tenant1=Active,Tenant2=Active,Tenant3=Active'),
+        |  ('09_duplicate_in_batch', 'tenant name DoubleTenant existed multiple times'),
+        |  ('10_recreate_idempotent', 'ok'),
+        |  ('11_frozen_on_create', 'invalid activity status ''FROZEN'' for tenant "tenant"'),
+        |  ('12_deactivated', 'tenant not active: Tenant1'),
+        |  ('13_reactivated', 'ok')
         |) AS t(step, result) ORDER BY step""".stripMargin,
 
     // unindexed-property journey: indexed filter serves, hidden prop errors

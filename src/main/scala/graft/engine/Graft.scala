@@ -404,9 +404,13 @@ final class Graft(val spark: SparkSession) {
    */
   private var tenantRegistry: Map[String, Map[String, TenantStatus]] = Map.empty
 
-  /** Create tenants; on create only ACTIVE or INACTIVE are allowed and the
-   * default is ACTIVE (tenant.go:34 usage rules). Existing same-name tenants
-   * are rejected like the reference's duplicate-tenant error. */
+  /** Create tenants; on create only ACTIVE or INACTIVE are allowed
+   * (validateActivityStatuses with allowFrozen=false — tenant.go:63,150-178).
+   * Within-request duplicates reject (validateTenants), but RE-ASSERTING an
+   * existing tenant is IDEMPOTENT (raft AddTenants skips existing names —
+   * create_delete_update_tenants_test.go "Create same tenant multiple
+   * times"), and only truly-new tenants count toward the cap
+   * (tenant.go:72-95). */
   def addTenants(collectionName: String, ts: Seq[Tenant]): Graft = {
     // registry keys are CANONICAL names — an alias-keyed entry would bypass
     // checkTenant (which looks up by c.name) and serve inactive tenants
@@ -416,12 +420,16 @@ final class Graft(val spark: SparkSession) {
     val cur = tenantRegistry.getOrElse(cn, Map.empty)
     ts.foreach { t =>
       validateTenantName(t.name)
-      require(t.activityStatus != TenantStatus.Offloaded,
-        s"tenant ${t.name}: on create only ACTIVE and INACTIVE are allowed")
-      require(!cur.contains(t.name), s"tenant ${t.name} already exists")
+      if (t.activityStatus == TenantStatus.Offloaded)
+        throw new IllegalArgumentException(
+          s"""invalid activity status 'FROZEN' for tenant "${t.name}"""")
     }
-    checkTenantCap(ts.size)
-    tenantRegistry += cn -> (cur ++ ts.map(t => t.name -> t.activityStatus))
+    ts.groupBy(_.name).collectFirst { case (n, xs) if xs.size > 1 => n }
+      .foreach(n => throw new IllegalArgumentException(
+        s"tenant name $n existed multiple times"))
+    val newOnes = ts.filterNot(t => cur.contains(t.name))
+    checkTenantCap(newOnes.size)
+    tenantRegistry += cn -> (cur ++ newOnes.map(t => t.name -> t.activityStatus))
     this
   }
 
@@ -504,6 +512,11 @@ final class Graft(val spark: SparkSession) {
     tenantRegistry.getOrElse(resolveName(collectionName), Map.empty)
       .toSeq.sortBy(_._1).map { case (n, s) => Tenant(n, s) }
 
+  /** Whether the class has MANAGED tenants (a non-empty tenant registry) —
+   * the engine's "multi-tenancy enabled" signal for query addressing. */
+  private def tenantRegistryHas(collectionName: String): Boolean =
+    tenantRegistry.get(collectionName).exists(_.nonEmpty)
+
   /** Registry gate for a query-addressed tenant (with autoTenantActivation:
    * an INACTIVE tenant flips ACTIVE instead of erroring). */
   private def checkTenant(collectionName: String, tenant: Option[String]): Unit =
@@ -516,8 +529,8 @@ final class Graft(val spark: SparkSession) {
       if (status == TenantStatus.Inactive &&
           autoTenantConfig.get(collectionName).exists(_._2)) {
         tenantRegistry += collectionName -> (reg + (t -> TenantStatus.Active))
-      } else
-        require(status == TenantStatus.Active, s"tenant not active: $t")
+      } else if (status != TenantStatus.Active)
+        throw new IllegalArgumentException(s"tenant not active: $t")
     }
 
   /** flatSearchCutoff analogue (reference: entities/vectorindex/hnsw/
@@ -966,7 +979,15 @@ final class Graft(val spark: SparkSession) {
 
 
     // tenant routing = partition pruning (reference: index.go:2233);
-    // lifecycle gate first (tenant not found / not active)
+    // lifecycle gate first (tenant not found / not active). A class with
+    // MANAGED tenants requires tenant addressing — the reference's
+    // multi-tenancy-enabled rejection verbatim (gql_get_tenant_objects_
+    // test.go TestGQLGetTenantObjects_MissingTenant); tenantColumn-only
+    // frames without a registry stay engine partition-pruning sugar.
+    if (params.tenant.isEmpty && tenantRegistryHas(c.name))
+      throw new IllegalArgumentException(
+        s"explorer: list class: search: object search at index ${c.name.toLowerCase}: " +
+        s"class ${c.name} has multi-tenancy enabled, but request was without tenant")
     checkTenant(c.name, params.tenant)
     val tenanted = (params.tenant, c.schema.tenantColumn) match {
       case (Some(t), Some(tc)) => c.df.filter(col(tc) === lit(t))
@@ -1616,6 +1637,9 @@ final class Graft(val spark: SparkSession) {
       nearText = params0.nearText.map(nt => nt.copy(metric = rm(nt.metric, nt.targetVectors))),
       nearMedia = params0.nearMedia.map(nm => nm.copy(metric = rm(nm.metric, nm.targetVectors))),
       hybrid = params0.hybrid.map(h => h.copy(metric = rm(h.metric, h.targetVectors))))
+    if (params.tenant.isEmpty && tenantRegistryHas(c.name))
+      throw new IllegalArgumentException(
+        s"class ${c.name} has multi-tenancy enabled, but request was without tenant")
     checkTenant(c.name, params.tenant)
     val tenanted = (params.tenant, c.schema.tenantColumn) match {
       case (Some(t), Some(tc)) => c.df.filter(col(tc) === lit(t))

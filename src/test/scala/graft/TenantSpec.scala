@@ -34,12 +34,22 @@ class TenantSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](TenantStatus.parse("LUKEWARM"))
   }
 
-  test("create defaults ACTIVE; OFFLOADED on create is rejected; dup rejected") {
+  test("create defaults ACTIVE; OFFLOADED on create is rejected; re-create idempotent") {
     val g = engine.addTenants("MT", Seq(Tenant("t0")))
     assert(g.tenants("MT") == Seq(Tenant("t0", TenantStatus.Active)))
     intercept[IllegalArgumentException](
       g.addTenants("MT", Seq(Tenant("t2", TenantStatus.Offloaded))))
-    intercept[IllegalArgumentException](g.addTenants("MT", Seq(Tenant("t0"))))
+    // re-asserting an existing tenant is idempotent (raft AddTenants skips
+    // existing — create_delete_update_tenants_test.go), and it must not
+    // clobber a non-default status
+    g.updateTenant("MT", "t0", TenantStatus.Inactive)
+    g.addTenants("MT", Seq(Tenant("t0")))
+    assert(g.tenants("MT") == Seq(Tenant("t0", TenantStatus.Inactive)))
+    // within-request duplicates reject atomically (validateTenants)
+    val e = intercept[IllegalArgumentException](
+      g.addTenants("MT", Seq(Tenant("t9"), Tenant("t9"))))
+    assert(e.getMessage == "tenant name t9 existed multiple times")
+    assert(!g.tenants("MT").exists(_.name == "t9"))
   }
 
   test("tenant names validate against the reference shard-name contract") {
