@@ -924,6 +924,133 @@ object SparkEntryFixtures {
       steps(s, out.result())
     }),
 
+    // Test_Batch (test/acceptance/batch_request_endpoints/): the batch
+    // journey (batch objects → batch crefs long-from/short-to → GraphQL
+    // verify) and the batch-delete journey (dry-run by ref-path and by prop
+    // with the Matches/Successful/Failed tallies, then the real deletes) —
+    // all through the wire decoders against real stores. Object uuids are
+    // engine-chosen (the Go suite random-generates them).
+    "q_fixture_batch" -> ((s, _) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      import org.json4s.jackson.JsonMethods
+      import graft.model.{CollectionSchema, Property, PropType, Tokenization}
+      val W = graft.engine.WireDecoder
+      val E = graft.engine.WireEncoder
+      def su(i: Int) = f"10000000-0000-4000-8000-${i}%012d"   // journey sources
+      def tu(i: Int) = f"20000000-0000-4000-8000-${i}%012d"   // journey targets
+      def du(i: Int) = f"30000000-0000-4000-8000-${i}%012d"   // delete-bed sources
+      def dt(i: Int) = f"40000000-0000-4000-8000-${i}%012d"   // delete-bed targets
+      def store(schema: CollectionSchema, frame: StructType) = {
+        val st = new graft.sources.CollectionStore(s,
+          java.nio.file.Files.createTempDirectory(s"graft-bulk-${schema.name}").toString, schema)
+        st.init(s.createDataFrame(s.sparkContext.emptyRDD[Row], frame))
+        st
+      }
+      val bulkSt = store(CollectionSchema("BulkTest", "uuid", Seq(
+        Property("name", PropType.Text, Tokenization.Whitespace))),
+        StructType(Seq(StructField("uuid", StringType), StructField("name", StringType))))
+      val srcSt = store(CollectionSchema("BulkTestSource", "uuid", Seq(
+        Property("name", PropType.Text, Tokenization.Whitespace),
+        Property("ref", PropType.Ref, refTarget = Some("BulkTest")))),
+        StructType(Seq(StructField("uuid", StringType), StructField("name", StringType),
+          StructField("ref", ArrayType(StringType)))))
+      val tgtSt = store(CollectionSchema("BulkTestTarget", "uuid", Seq(
+        Property("intProp", PropType.Int),
+        Property("fromSource", PropType.Ref, refTarget = Some("BulkTestSource")))),
+        StructType(Seq(StructField("uuid", StringType), StructField("intProp", LongType),
+          StructField("fromSource", ArrayType(StringType)))))
+      val stores = Map("BulkTest" -> bulkSt, "BulkTestSource" -> srcSt,
+        "BulkTestTarget" -> tgtSt)
+      def applyBatch(json: String): Map[Int, String] = {
+        val (objs, errs) = W.decodeBatchObjects(json)
+        objs.map(_._2).groupBy(_.collection).foreach { case (cls, os) =>
+          val st = stores(cls)
+          st.upsert(W.batchObjectsFrame(s, st.read().schema, "uuid", Map.empty, os))
+        }
+        errs
+      }
+      def obj(cls: String, id: String, props: String) =
+        s"""{"collection": "$cls", "uuid": "$id", "properties": {"nonRefProperties": {$props}}}"""
+      val out = Seq.newBuilder[(String, String)]
+      // ---- batch journey (batch_journey_test.go) ----
+      val errs1 = applyBatch((
+        (0 until 10).map(i => obj("BulkTestSource", su(i), s""""name": "source$i"""")) ++
+        (0 until 3).map(i => obj("BulkTest", tu(i), s""""name": "target$i""""))
+      ).mkString("""{"objects": [""", ",", "]}"))
+      out += "01_batch_create" -> (s"errors=${errs1.size};" +
+        s"sources=${srcSt.read().count()};targets=${bulkSt.read().count()}")
+      val refsJson = (for { i <- 0 until 10; j <- 0 until 3 } yield
+        s"""{"from": "weaviate://localhost/BulkTestSource/${su(i)}/ref",
+           |"to": "weaviate://localhost/${tu(j)}"}""".stripMargin).mkString("[", ",", "]")
+      val (edges, refErrs) = W.decodeBatchReferences(refsJson)
+      val (applied, dropped) = srcSt.addReferences("ref",
+        s.createDataFrame(s.sparkContext.parallelize(
+          edges.map { case (_, e) => Row(e.fromId, e.toId) }, 1),
+          StructType(Seq(StructField("uuid", StringType), StructField("target", StringType)))))
+      out += "02_batch_refs" -> s"errors=${refErrs.size};applied=$applied;dropped=$dropped"
+      def engine(): Graft = {
+        val eng = new Graft(s)
+        stores.foreach { case (_, st) => eng.register(st.schema, st.read()) }
+        eng
+      }
+      out += "03_gql_verify" -> {
+        val page = engine().get(GraphQL.get(engine(),
+          "{ Get { BulkTestSource { ref { ... on BulkTest { name } } } } }"))
+        val rows = page.select(col("ref_resolved")).collect()
+        s"items=${rows.length};with3refs=${rows.count(r => !r.isNullAt(0) && r.getSeq[Row](0).size == 3)}"
+      }
+      // ---- batch delete journey (batch_delete_test.go) ----
+      applyBatch((
+        (0 until 20).map(i => obj("BulkTestSource", du(i), """"name": "equal-this-name"""")) ++
+        (0 until 20).map(i => obj("BulkTestTarget", dt(i), s""""intProp": $i"""))
+      ).mkString("""{"objects": [""", ",", "]}"))
+      val (delEdges, _) = W.decodeBatchReferences(
+        (0 until 20).map(i =>
+          s"""{"from": "weaviate://localhost/BulkTestTarget/${dt(i)}/fromSource",
+             |"to": "weaviate://localhost/BulkTestSource/${du(i)}"}""".stripMargin)
+          .mkString("[", ",", "]"))
+      tgtSt.addReferences("fromSource",
+        s.createDataFrame(s.sparkContext.parallelize(
+          delEdges.map { case (_, e) => Row(e.fromId, e.toId) }, 1),
+          StructType(Seq(StructField("uuid", StringType), StructField("target", StringType)))))
+      def batchDelete(cls: String, filters: String, dryRun: Boolean): String = {
+        val eng = engine()
+        val st = stores(cls)
+        val p = W.decodeBatchDelete(eng,
+          s"""{"collection": "$cls", "dryRun": $dryRun, "verbose": true, "filters": $filters}""")
+        val matchedIds = new graft.engine.FilterCompiler(eng.collection)(
+          st.read(), st.schema, p.where)
+          .select(col("uuid")).collect().map(_.getString(0)).sorted.toSeq
+        val n = st.deleteWhere(p.where, resolve = eng.collection, dryRun = p.dryRun)
+        val reply = JsonMethods.parse(E.batchDeleteReply(n, matchedIds, p.verbose, p.dryRun))
+        val objs = (reply \ "objects").asInstanceOf[org.json4s.JArray].arr
+        s"matches=${(reply \ "matches").values};successful=${(reply \ "successful").values};" +
+          s"failed=${(reply \ "failed").values};objects=${objs.size}"
+      }
+      val refFilter =
+        """{"operator": "OPERATOR_EQUAL", "on": ["fromSource", "BulkTestSource", "name"],
+          |"valueText": "equal-this-name"}""".stripMargin
+      val propFilter =
+        """{"operator": "OPERATOR_EQUAL", "on": ["name"], "valueText": "equal-this-name"}"""
+      def countByRef(): Long = engine().get(GraphQL.get(engine(),
+        """{ Get { BulkTestTarget(where: {operator: Equal
+          |  path: ["fromSource", "BulkTestSource", "name"]
+          |  valueText: "equal-this-name"}) { intProp } } }""".stripMargin)).count()
+      def countByProp(): Long = engine().get(GraphQL.get(engine(),
+        """{ Get { BulkTestSource(where: {operator: Equal path: ["name"]
+          |  valueText: "equal-this-name"}) { name } } }""".stripMargin)).count()
+      out += "04_dryrun_by_ref" -> batchDelete("BulkTestTarget", refFilter, dryRun = true)
+      out += "05_dryrun_untouched" -> s"targets=${countByRef()}"
+      out += "06_dryrun_by_prop" -> batchDelete("BulkTestSource", propFilter, dryRun = true)
+      out += "07_dryrun_prop_untouched" -> s"sources=${countByProp()}"
+      out += "08_delete_by_ref" -> batchDelete("BulkTestTarget", refFilter, dryRun = false)
+      out += "09_ref_deleted" -> s"targets=${countByRef()}"
+      out += "10_delete_by_prop" -> batchDelete("BulkTestSource", propFilter, dryRun = false)
+      out += "11_prop_deleted" -> s"sources=${countByProp()};journey_sources=${srcSt.read().count()}"
+      steps(s, out.result())
+    }),
+
     // Test_UnindexedProperty (unindexed_property_test.go): a class created
     // THROUGH THE SCHEMA WIRE with indexFilterable/indexSearchable false on
     // one prop — filtering the indexed prop serves, filtering the hidden
@@ -1640,6 +1767,24 @@ object SparkEntryFixtures {
         |  ('11_frozen_on_create', 'invalid activity status ''FROZEN'' for tenant "tenant"'),
         |  ('12_deactivated', 'tenant not active: Tenant1'),
         |  ('13_reactivated', 'ok')
+        |) AS t(step, result) ORDER BY step""".stripMargin,
+
+    // batch endpoints journeys: the reference-asserted tallies — error-free
+    // imports, 3 refs per source, Matches/Successful/Failed under dry-run
+    // vs real deletes, and untouched-data verifications between them
+    "q_fixture_batch" ->
+      """SELECT * FROM (VALUES
+        |  ('01_batch_create', 'errors=0;sources=10;targets=3'),
+        |  ('02_batch_refs', 'errors=0;applied=30;dropped=0'),
+        |  ('03_gql_verify', 'items=10;with3refs=10'),
+        |  ('04_dryrun_by_ref', 'matches=20;successful=0;failed=0;objects=20'),
+        |  ('05_dryrun_untouched', 'targets=20'),
+        |  ('06_dryrun_by_prop', 'matches=20;successful=0;failed=0;objects=20'),
+        |  ('07_dryrun_prop_untouched', 'sources=20'),
+        |  ('08_delete_by_ref', 'matches=20;successful=20;failed=0;objects=20'),
+        |  ('09_ref_deleted', 'targets=0'),
+        |  ('10_delete_by_prop', 'matches=20;successful=20;failed=0;objects=20'),
+        |  ('11_prop_deleted', 'sources=0;journey_sources=10')
         |) AS t(step, result) ORDER BY step""".stripMargin,
 
     // unindexed-property journey: indexed filter serves, hidden prop errors

@@ -1102,9 +1102,12 @@ object GraphQL {
     }
 
     // pagination (entities/filters/pagination.go: absent limit = flag-not-set;
-    // the engine's wire default mirrors WireDecoder.decodeSearch's limit=10)
+    // the GraphQL default is QueryDefaults.LimitGraphQL = 100
+    // (config_handler.go:888 DefaultQueryDefaultsLimitGraphQL) — the
+    // batch-endpoints acceptance verify reads 20 rows with no limit; the
+    // REST/gRPC transports keep their own default 10 (WireDecoder.decodeSearch)
     val offset = cls.arg("offset").map(asInt(_, "offset")).getOrElse(0)
-    val limit = cls.arg("limit").map(asInt(_, "limit")).filter(_ > 0).getOrElse(10)
+    val limit = cls.arg("limit").map(asInt(_, "limit")).filter(_ > 0).getOrElse(100)
     val autocut = cls.arg("autocut").map(asInt(_, "autocut")).filter(_ > 0)
     // `after` opens the cursor api even when EMPTY (the from-the-start walk,
     // local_get_cursor_test.go); a cursor without an explicit limit carries

@@ -230,10 +230,12 @@ object WireEncoder {
    * divergence. The engine's filter-delete is all-or-nothing, so failed=0
    * and every listed object is successful. */
   def batchDeleteReply(matches: Long, deletedIds: Seq[String],
-                       verbose: Boolean): String = {
+                       verbose: Boolean, dryRun: Boolean = false): String = {
     // the tally comes from `matches`, NOT deletedIds.size — a non-verbose
     // caller has no reason to collect ids (the list only feeds the verbose
-    // objects array) and must still report the true success count
+    // objects array) and must still report the true success count. A DRY RUN
+    // reports matches with ZERO successful/failed (batch_delete_test.go's
+    // dry-run arms: Matches=N, Successful=0, Failed=0, objects error-free).
     val objs = if (!verbose) "" else {
       val items = deletedIds.map { id =>
         val uuidJson =
@@ -243,11 +245,12 @@ object WireEncoder {
             bb.putLong(u.getMostSignificantBits).putLong(u.getLeastSignificantBits)
             esc(java.util.Base64.getEncoder.encodeToString(bb.array()))
           } else esc(id)
-        s"""{"uuid":$uuidJson,"successful":true,"error":""}"""
+        s"""{"uuid":$uuidJson,"successful":${!dryRun},"error":""}"""
       }
       s""","objects":${items.mkString("[", ",", "]")}"""
     }
-    s"""{"matches":"$matches","successful":"$matches","failed":"0"$objs}"""
+    val ok = if (dryRun) 0L else matches
+    s"""{"matches":"$matches","successful":"$ok","failed":"0"$objs}"""
   }
 
   /** Encode a served page. Group pages (rows carrying the engine's group_*
