@@ -1051,6 +1051,147 @@ object SparkEntryFixtures {
       steps(s, out.result())
     }),
 
+    // gettingObjectsWithNearFields (+ MultiShard arms) from
+    // local_get_with_unlimited_vector_search_test.go: the
+    // LimitFlagSearchByDist contract — a nearX threshold with NO (or a
+    // negative) limit searches UNLIMITED (the radius bounds the page, not
+    // the default limit), an explicit limit bounds it, a tight radius
+    // returns fewer than the default. The reference bed is 500 random
+    // notes; the stand-in pins 500 DETERMINISTIC vectors (60 clustered
+    // within 6° of the anchor, 440 spread 40°–180°) so every count contract
+    // (>100 / <100 / ==limit) resolves to an exact pinned number. The
+    // anchor uuid is the suite's own (ransomNoteAnchorID).
+    "q_fixture_unlimited" -> ((s, _) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      import graft.model.{CollectionSchema, Property, PropType}
+      def unit(deg: Double): Seq[Float] = {
+        val r = math.toRadians(deg)
+        Seq(math.cos(r).toFloat, math.sin(r).toFloat, 0.0f)
+      }
+      val gg = new Graft(s).withEmbedder {
+        val m = Map("abcd" -> 0.0, "multi shard" -> 90.0)
+        t => unit(m.getOrElse(t, 70.0)).toArray
+      }
+      val anchorId = "11111111-1111-4111-8111-111111111111"
+      def angleOf(i: Int): Double =
+        if (i < 60) i * 0.1 else 40.0 + (i - 60) * 140.0 / 439.0
+      val noteType = StructType(Seq(StructField("uuid", StringType),
+        StructField("contents", StringType), StructField("vector", ArrayType(FloatType))))
+      gg.register(CollectionSchema("RansomNote", "uuid", Seq(
+        Property("contents", PropType.Text)),
+        vectors = Map("default" -> "vector"), defaultVector = Some("default")),
+        s.createDataFrame(s.sparkContext.parallelize((0 until 500).map { i =>
+          val id = if (i == 0) anchorId else f"22222222-0000-4000-8000-$i%012d"
+          Row(id, s"note-$i", unit(angleOf(i)))
+        }, 4), noteType))
+      gg.register(CollectionSchema("MultiShard", "uuid", Seq(
+        Property("name", PropType.Text)),
+        vectors = Map("default" -> "vector"), defaultVector = Some("default")),
+        s.createDataFrame(s.sparkContext.parallelize((0 until 3).map { i =>
+          Row(f"33333333-0000-4000-8000-$i%012d", s"shard-$i", unit(88.0 + i * 2))
+        }, 1), noteType.copy(fields = noteType.fields.updated(1,
+          StructField("name", StringType)))))
+      val anchorVec = unit(0.0).mkString("[", ", ", "]")
+      def n(doc: String): String =
+        gg.get(GraphQL.get(gg, doc)).count().toString
+      def arm(cls: String, leg: String, limit: Option[Int]): String =
+        n(s"""{ Get { $cls(${limit.map(l => s"limit: $l ").getOrElse("")}$leg)
+             |  { _additional { vector } } } }""".stripMargin)
+      val out = Seq.newBuilder[(String, String)]
+      // nearVector
+      out += "01_nv_nolimit_dist" -> arm("RansomNote",
+        s"nearVector: {distance: 1.8 vector: $anchorVec}", None)
+      out += "02_nv_nolimit_cert" -> arm("RansomNote",
+        s"nearVector: {certainty: 0.1 vector: $anchorVec}", None)
+      out += "03_nv_neglimit_dist" -> arm("RansomNote",
+        s"nearVector: {distance: 0.9 vector: $anchorVec}", Some(-1))
+      out += "04_nv_neglimit_cert" -> arm("RansomNote",
+        s"nearVector: {certainty: 0.1 vector: $anchorVec}", Some(-1))
+      out += "05_nv_limit10_dist" -> arm("RansomNote",
+        s"nearVector: {distance: 0.9 vector: $anchorVec}", Some(10))
+      out += "06_nv_limit10_cert" -> arm("RansomNote",
+        s"nearVector: {certainty: 0.1 vector: $anchorVec}", Some(10))
+      out += "07_nv_tight_dist" -> arm("RansomNote",
+        s"nearVector: {distance: 0.01 vector: $anchorVec}", None)
+      out += "08_nv_tight_cert" -> arm("RansomNote",
+        s"nearVector: {certainty: 0.99 vector: $anchorVec}", None)
+      // nearObject (anchored on the pinned note)
+      out += "09_no_nolimit_dist" -> arm("RansomNote",
+        s"""nearObject: {distance: 1.8 id: "$anchorId"}""", None)
+      out += "10_no_nolimit_cert" -> arm("RansomNote",
+        s"""nearObject: {certainty: 0.1 id: "$anchorId"}""", None)
+      out += "11_no_neglimit_dist" -> arm("RansomNote",
+        s"""nearObject: {distance: 0.9 id: "$anchorId"}""", Some(-1))
+      out += "12_no_neglimit_cert" -> arm("RansomNote",
+        s"""nearObject: {certainty: 0.1 id: "$anchorId"}""", Some(-1))
+      out += "13_no_limit13_dist" -> arm("RansomNote",
+        s"""nearObject: {distance: 0.9 id: "$anchorId"}""", Some(13))
+      out += "14_no_limit13_cert" -> arm("RansomNote",
+        s"""nearObject: {certainty: 0.1 id: "$anchorId"}""", Some(13))
+      out += "15_no_tight_dist" -> arm("RansomNote",
+        s"""nearObject: {distance: 0.01 id: "$anchorId"}""", None)
+      out += "16_no_tight_cert" -> arm("RansomNote",
+        s"""nearObject: {certainty: 0.99 id: "$anchorId"}""", None)
+      // nearText
+      out += "17_nt_nolimit_dist" -> arm("RansomNote",
+        """nearText: {distance: 1.8 concepts: ["abcd"]}""", None)
+      out += "18_nt_nolimit_cert" -> arm("RansomNote",
+        """nearText: {certainty: 0.1 concepts: ["abcd"]}""", None)
+      out += "19_nt_neglimit_dist" -> arm("RansomNote",
+        """nearText: {distance: 1.8 concepts: ["abcd"]}""", Some(-1))
+      out += "20_nt_neglimit_cert" -> arm("RansomNote",
+        """nearText: {certainty: 0.1 concepts: ["abcd"]}""", Some(-1))
+      out += "21_nt_limit5_dist" -> arm("RansomNote",
+        """nearText: {distance: 0.9 concepts: ["abcd"]}""", Some(5))
+      out += "22_nt_limit5_cert" -> arm("RansomNote",
+        """nearText: {certainty: 0.1 concepts: ["abcd"]}""", Some(5))
+      out += "23_nt_tight_dist" -> arm("RansomNote",
+        """nearText: {distance: 0.2 concepts: ["abcd"]}""", None)
+      out += "24_nt_tight_cert" -> arm("RansomNote",
+        """nearText: {certainty: 0.9 concepts: ["abcd"]}""", None)
+      // multi-shard twins (3 objects, all inside the radius)
+      out += "25_ms_dist" -> arm("MultiShard",
+        """nearText: {distance: 0.9 concepts: ["multi shard"]}""", None)
+      out += "26_ms_cert" -> arm("MultiShard",
+        """nearText: {certainty: 0.1 concepts: ["multi shard"]}""", None)
+      steps(s, out.result())
+    }),
+
+    // gettingObjectsWithCustomVectors + exploreObjectsWithCustomVectors
+    // (local_get_with_custom_vectors_test.go): client-supplied vectors,
+    // uuids and vectors VERBATIM from setup_test.go:443-445/665-697 — the
+    // exact id order through Get and the exact beacons through Explore
+    // (the reference runs these after deleting every other class, so the
+    // bed has only CustomVectorClass)
+    "q_fixture_cvc" -> ((s, _) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      import graft.model.{CollectionSchema, Property, PropType, Metric}
+      val gg = new Graft(s)
+      gg.register(CollectionSchema("CustomVectorClass", "uuid", Seq(
+        Property("name", PropType.Text)),
+        vectors = Map("default" -> "vector"), defaultVector = Some("default")),
+        s.createDataFrame(s.sparkContext.parallelize(Seq(
+          Row("1ffeb3e1-1258-4c2a-afc3-55543f6c44b8", "Ford", Seq(1.1f, 1.1f, 1.1f)),
+          Row("df22e5c4-5d17-49f9-a71d-f392a82bc086", "Tesla", Seq(1.1f, 1.1f, 0.1f)),
+          Row("c28a039a-d509-4c2e-940a-8b109e5bebf4", "Mercedes", Seq(1.1f, 0f, 0f))), 1),
+          StructType(Seq(StructField("uuid", StringType),
+            StructField("name", StringType), StructField("vector", ArrayType(FloatType))))))
+      val out = Seq.newBuilder[(String, String)]
+      out += "01_get" -> gg.get(GraphQL.get(gg,
+        "{ Get { CustomVectorClass(nearVector: {vector: [1, 1, 1]}) { _additional { id } } } }"))
+        .select(col("_id")).collect().map(_.getString(0)).mkString(",")
+      out += "02_explore" -> {
+        val e = GraphQL.explore("{ Explore(nearVector: {vector: [1, 1, 1]}) { beacon } }")
+        graft.operators.Explore(gg, Seq("CustomVectorClass"),
+          e.nearVector.get.vector, Metric.Cosine, e.limit, e.offset)
+          .collect().map(r =>
+            s"weaviate://localhost/${r.getString(0)}/${r.getString(1)}").mkString(",")
+      }
+      steps(s, out.result())
+    }),
+
     // Test_UnindexedProperty (unindexed_property_test.go): a class created
     // THROUGH THE SCHEMA WIRE with indexFilterable/indexSearchable false on
     // one prop — filtering the indexed prop serves, filtering the hidden
@@ -1785,6 +1926,35 @@ object SparkEntryFixtures {
         |  ('09_ref_deleted', 'targets=0'),
         |  ('10_delete_by_prop', 'matches=20;successful=20;failed=0;objects=20'),
         |  ('11_prop_deleted', 'sources=0;journey_sources=10')
+        |) AS t(step, result) ORDER BY step""".stripMargin,
+
+    // unlimited-vector-search contracts: thresholds without a positive
+    // limit run unlimited (384/199 > the 100 default the suite pins),
+    // explicit limits bound (10/13/5), tight radii stay under it (60),
+    // multi-shard twins return all 3
+    "q_fixture_unlimited" ->
+      """SELECT * FROM (VALUES
+        |  ('01_nv_nolimit_dist', '384'), ('02_nv_nolimit_cert', '384'),
+        |  ('03_nv_neglimit_dist', '199'), ('04_nv_neglimit_cert', '384'),
+        |  ('05_nv_limit10_dist', '10'), ('06_nv_limit10_cert', '10'),
+        |  ('07_nv_tight_dist', '60'), ('08_nv_tight_cert', '60'),
+        |  ('09_no_nolimit_dist', '384'), ('10_no_nolimit_cert', '384'),
+        |  ('11_no_neglimit_dist', '199'), ('12_no_neglimit_cert', '384'),
+        |  ('13_no_limit13_dist', '13'), ('14_no_limit13_cert', '13'),
+        |  ('15_no_tight_dist', '60'), ('16_no_tight_cert', '60'),
+        |  ('17_nt_nolimit_dist', '384'), ('18_nt_nolimit_cert', '384'),
+        |  ('19_nt_neglimit_dist', '384'), ('20_nt_neglimit_cert', '384'),
+        |  ('21_nt_limit5_dist', '5'), ('22_nt_limit5_cert', '5'),
+        |  ('23_nt_tight_dist', '60'), ('24_nt_tight_cert', '60'),
+        |  ('25_ms_dist', '3'), ('26_ms_cert', '3')
+        |) AS t(step, result) ORDER BY step""".stripMargin,
+
+    // custom vectors: the reference-asserted EXACT orders
+    // (local_get_with_custom_vectors_test.go expected lists)
+    "q_fixture_cvc" ->
+      """SELECT * FROM (VALUES
+        |  ('01_get', '1ffeb3e1-1258-4c2a-afc3-55543f6c44b8,df22e5c4-5d17-49f9-a71d-f392a82bc086,c28a039a-d509-4c2e-940a-8b109e5bebf4'),
+        |  ('02_explore', 'weaviate://localhost/CustomVectorClass/1ffeb3e1-1258-4c2a-afc3-55543f6c44b8,weaviate://localhost/CustomVectorClass/df22e5c4-5d17-49f9-a71d-f392a82bc086,weaviate://localhost/CustomVectorClass/c28a039a-d509-4c2e-940a-8b109e5bebf4')
         |) AS t(step, result) ORDER BY step""".stripMargin,
 
     // unindexed-property journey: indexed filter serves, hidden prop errors

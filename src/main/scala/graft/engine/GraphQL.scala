@@ -1107,7 +1107,17 @@ object GraphQL {
     // batch-endpoints acceptance verify reads 20 rows with no limit; the
     // REST/gRPC transports keep their own default 10 (WireDecoder.decodeSearch)
     val offset = cls.arg("offset").map(asInt(_, "offset")).getOrElse(0)
-    val limit = cls.arg("limit").map(asInt(_, "limit")).filter(_ > 0).getOrElse(100)
+    val limitArg = cls.arg("limit").map(asInt(_, "limit")).filter(_ > 0)
+    // LimitFlagSearchByDist (entities/filters/pagination.go + db/search.go:
+    // 57-59): a nearX leg with a distance/certainty threshold and NO
+    // positive limit runs UNLIMITED — the radius bounds the page, not the
+    // default limit (local_get_with_unlimited_vector_search_test.go reads
+    // >100 notes with no limit and with limit: -1)
+    val nearThreshold =
+      nearVectorLeg.flatMap(_.left.toOption).exists(nv => nv.distance.orElse(nv.certainty).isDefined) ||
+      nearObject.exists(no => no.distance.orElse(no.certainty).isDefined) ||
+      nearText.exists(nt => nt.distance.orElse(nt.certainty).isDefined)
+    val limit = limitArg.getOrElse(100)
     val autocut = cls.arg("autocut").map(asInt(_, "autocut")).filter(_ > 0)
     // `after` opens the cursor api even when EMPTY (the from-the-start walk,
     // local_get_cursor_test.go); a cursor without an explicit limit carries
@@ -1130,7 +1140,9 @@ object GraphQL {
       bm25 = bm25,
       hybrid = hybrid,
       sort = sort,
-      pagination = Some(Pagination(offset = offset, limit = limit)),
+      pagination =
+        if (limitArg.isEmpty && offset == 0 && nearThreshold && after.isEmpty) None
+        else Some(Pagination(offset = offset, limit = limit)),
       cursor = after,
       groupBy = groupBy,
       properties = sd.properties,
