@@ -130,6 +130,20 @@ class MultiRefSpec extends SparkSpecBase {
     assert(row.getString(2) == "RefA,RefB")
   }
 
+  test("multi-ref resolution plans as an equi-keyed hash join, never BNLJ") {
+    // the class-match predicate must ride the uuid hash join as a filter —
+    // if Catalyst fails to extract the equi key, the union lookup degrades
+    // to a nested-loop join that goes O(N*M) at 100 TB
+    val g = bed()
+    val plan = g.get(GraphQL.get(g,
+      """{ Get { RefSrc { name links { ... on RefA { name } ... on RefB { name } } } } }"""))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"scale-hostile multi-ref plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"))
+  }
+
   test("schema wire round-trips multi-class refs through backup manifests") {
     val g = bed()
     val dir = java.nio.file.Files.createTempDirectory("multiref-backup").toString
