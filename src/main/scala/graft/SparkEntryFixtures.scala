@@ -1192,6 +1192,171 @@ object SparkEntryFixtures {
       steps(s, out.result())
     }),
 
+    // gqlResultsOrder + gqlMalformedRequest
+    // (batch_request_endpoints/graphql_test.go): POST /v1/graphql/batch —
+    // per-query replies IN ORDER with graphql-go's location-annotated
+    // Syntax Error text verbatim, the 422 non-map-variables rejection, and
+    // an engine-honest happy-path batch the Go TODO never added
+    "q_fixture_gql_batch" -> ((s, _) => {
+      val g = cg(s)
+      val out = Seq.newBuilder[(String, String)]
+      def errs(json: String): Seq[String] =
+        GraphQL.batchWire(g, json).map {
+          case Left(e) => e
+          case Right(df) => s"rows=${df.count()}"
+        }
+      val order = errs(
+        """[{"operationName": "testQuery", "query": "testQuery"},
+          |  {"operationName": "testQuery2", "query": "testQuery2"}]""".stripMargin)
+      out += "01_order_first" -> order.head
+      out += "02_order_second" -> order(1)
+      val malformed = errs(
+        """[{"operationName": "testQuery", "query": "testQuery", "variables": [1, 2, 3]},
+          |  {"operationName": "testQuery2", "query": "testQuery2", "variables": [1, 2, 3]}]""".stripMargin)
+      out += "03_malformed_first" -> malformed.head
+      out += "04_malformed_second" -> malformed(1)
+      out += "05_happy_batch" -> errs(
+        """[{"query": "{ Get { City(limit: 3) { name } } }"},
+          |  {"query": "{ Aggregate { Country { meta { count } } } }"}]""".stripMargin)
+        .mkString(",")
+      steps(s, out.result())
+    }),
+
+    // test/acceptance/vector_distances (Test_GraphQL): every distance
+    // metric's acceptance arms with the suite's VERBATIM beds and expected
+    // distances — cosine (Get + Explore twins, certainty bands), dot
+    // (negative distances, zero vector, the nothing-matches cut), l2 /
+    // manhattan / hamming (certainty-on-non-cosine rejections, radius
+    // cuts), and the two-class L2 Explore with its exact (class, distance)
+    // merge order. The suite compares with InDelta 0.01; the replay pins
+    // the engine's exact 4-dp renders.
+    "q_fixture_distances" -> ((s, _) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      import graft.model.{CollectionSchema, Property, PropType, Metric}
+      def mkGraft(classes: (String, Metric, Seq[Seq[Float]])*): Graft = {
+        val gg = new Graft(s)
+        classes.foreach { case (name, m, vecs) =>
+          gg.register(CollectionSchema(name, "uuid", Seq(
+            Property("name", PropType.Text, graft.model.Tokenization.Whitespace)),
+            vectors = Map("default" -> "vector"), defaultVector = Some("default"),
+            vectorMetrics = Map("default" -> m)),
+            s.createDataFrame(s.sparkContext.parallelize(vecs.zipWithIndex.map {
+              case (v, i) => Row(f"55000000-0000-4000-8000-$i%012d", s"object_${i + 1}", v)
+            }, 1), StructType(Seq(StructField("uuid", StringType),
+              StructField("name", StringType), StructField("vector", ArrayType(FloatType))))))
+        }
+        gg
+      }
+      val gAll = mkGraft(
+        ("Cosine_Class", Metric.Cosine,
+          Seq(Seq(0.7f, 0.3f), Seq(1.4f, 0.6f), Seq(-0.7f, -0.3f), Seq(1f, 1f))),
+        ("Dot_Class", Metric.Dot,
+          Seq(Seq(3f, 4f, 5f), Seq(1f, 1f, 1f), Seq(0f, 0f, 0f), Seq(-3f, -4f, -5f))),
+        ("L2Squared_Class", Metric.L2Squared,
+          Seq(Seq(10f, 11f, 12f), Seq(13f, 15f, 17f), Seq(0f, 0f, 0f))),
+        ("Manhattan_Class", Metric.Manhattan,
+          Seq(Seq(10f, 11f, 12f), Seq(13f, 15f, 17f), Seq(0f, 0f, 0f))),
+        ("Hamming_Class", Metric.Hamming,
+          Seq(Seq(10f, 10f, 10f), Seq(10f, 10f, 12f), Seq(10f, 11f, 12f))))
+      def dists(doc: String): String = okOr2 {
+        gAll.get(GraphQL.get(gAll, doc))
+          .select(col("_distance")).collect().map(r => fmt(r.get(0))).mkString("|")
+      }
+      def okOr2(body: => String): String =
+        try body catch { case e: Throwable => e.getMessage }
+      def distCert(doc: String): String = okOr2 {
+        gAll.get(GraphQL.get(gAll, doc))
+          .select(col("_distance"), col("_certainty")).collect()
+          .map(r => s"${fmt(r.get(0))}/${fmt(r.get(1))}").mkString("|")
+      }
+      val out = Seq.newBuilder[(String, String)]
+      // ---- cosine (Get; the Explore twins run on a cosine-only graft) ----
+      def cosGet(args: String, withCert: Boolean = false): String =
+        (if (withCert) distCert _ else dists _)(
+          s"""{ Get { Cosine_Class(nearVector: {$args vector: [0.7, 0.3]})
+             |  { name _additional { distance${if (withCert) " certainty" else ""} } } } }""".stripMargin)
+      out += "c01_plain" -> cosGet("")
+      out += "c02_cert0" -> cosGet("certainty: 0", withCert = true)
+      out += "c03_cert095" -> cosGet("certainty: 0.95", withCert = true)
+      out += "c04_cert097" -> cosGet("certainty: 0.97", withCert = true)
+      out += "c05_cert1" -> cosGet("certainty: 1", withCert = true)
+      out += "c06_dist2" -> cosGet("distance: 2,")
+      out += "c07_dist199" -> cosGet("distance: 1.99,")
+      out += "c08_dist008" -> cosGet("distance: 0.08,")
+      out += "c09_dist001" -> cosGet("distance: 0.01,")
+      val gCos = mkGraft(("Cosine_Class", Metric.Cosine,
+        Seq(Seq(0.7f, 0.3f), Seq(1.4f, 0.6f), Seq(-0.7f, -0.3f), Seq(1f, 1f))))
+      def cosExplore(certainty: Option[Double], distance: Option[Double]): String = okOr2 {
+        graft.operators.Explore(gCos, Seq("Cosine_Class"), Array(0.7f, 0.3f),
+          Metric.Cosine, limit = 20, certainty = certainty, distance = distance)
+          .select(col("distance")).collect().map(r => fmt(r.get(0))).mkString("|")
+      }
+      out += "c10_explore_cert0" -> cosExplore(Some(0.0), None)
+      out += "c11_explore_cert095" -> cosExplore(Some(0.95), None)
+      out += "c12_explore_dist199" -> cosExplore(None, Some(1.99))
+      out += "c13_explore_dist001" -> cosExplore(None, Some(0.01))
+      // ---- dot ----
+      def dotGet(args: String): String = dists(
+        s"""{ Get { Dot_Class(nearVector: {$args vector: [3, 4, 5]})
+           |  { name _additional { distance } } } }""".stripMargin)
+      out += "d01_plain" -> dotGet("")
+      out += "d02_cert_rejected" -> dotGet("certainty: 0.7,")
+      out += "d03_dist50" -> dotGet("distance: 50,")
+      out += "d04_dist30" -> dotGet("distance: 30,")
+      out += "d05_dist0" -> dotGet("distance: 0,")
+      out += "d06_dist_neg40" -> dotGet("distance: -40,")
+      out += "d07_dist_neg60_empty" -> dotGet("distance: -60,")
+      // ---- l2-squared ----
+      def l2Get(args: String, cls: String = "L2Squared_Class"): String = dists(
+        s"""{ Get { $cls(nearVector: {$args vector: [10, 11, 12]})
+           |  { name _additional { distance } } } }""".stripMargin)
+      out += "l01_plain" -> l2Get("")
+      out += "l02_cert_rejected" -> l2Get("certainty: 0.3,")
+      out += "l03_cert_prop_rejected" -> okOr2(dists(
+        """{ Get { L2Squared_Class(nearVector: {distance: 0.3, vector: [10, 11, 12]})
+          |  { name _additional { certainty } } } }""".stripMargin))
+      out += "l04_dist365" -> l2Get("distance: 365,")
+      out += "l05_dist364" -> l2Get("distance: 364,")
+      out += "l06_dist49" -> l2Get("distance: 49,")
+      out += "l07_dist0" -> l2Get("distance: 0,")
+      // ---- manhattan ----
+      out += "m01_plain" -> l2Get("", cls = "Manhattan_Class")
+      out += "m02_cert_rejected" -> l2Get("certainty: 0.3,", cls = "Manhattan_Class")
+      out += "m03_dist365" -> l2Get("distance: 365,", cls = "Manhattan_Class")
+      out += "m04_dist30" -> l2Get("distance: 30,", cls = "Manhattan_Class")
+      out += "m05_dist10" -> l2Get("distance: 10,", cls = "Manhattan_Class")
+      out += "m06_dist0" -> l2Get("distance: 0,", cls = "Manhattan_Class")
+      // ---- hamming ----
+      def hamGet(args: String): String = dists(
+        s"""{ Get { Hamming_Class(nearVector: {$args vector: [10, 10, 10]})
+           |  { name _additional { distance } } } }""".stripMargin)
+      out += "h01_plain" -> hamGet("")
+      out += "h02_cert_rejected" -> hamGet("certainty: 0.3,")
+      out += "h03_dist365" -> hamGet("distance: 365,")
+      out += "h04_dist15" -> hamGet("distance: 1.5,")
+      out += "h05_dist05" -> hamGet("distance: 0.5,")
+      out += "h06_dist0" -> hamGet("distance: 0,")
+      // ---- two-class L2 Explore (explore_test.go) ----
+      val gL2 = mkGraft(
+        ("L2Squared_Class", Metric.L2Squared,
+          Seq(Seq(10f, 11f, 12f), Seq(13f, 15f, 17f), Seq(0f, 0f, 0f))),
+        ("L2Squared_Class_2", Metric.L2Squared,
+          Seq(Seq(6f, 7f, 8f), Seq(1f, 2f, 3f))))
+      out += "x01_explore_l2" -> okOr2 {
+        graft.operators.Explore(gL2, Seq("L2Squared_Class", "L2Squared_Class_2"),
+          Array(3f, 4f, 5f), Metric.L2Squared, limit = 20, distance = Some(365))
+          .select(col("class_name"), col("distance")).collect()
+          .map(r => s"${r.getString(0)}/${fmt(r.get(1))}").mkString("|")
+      }
+      out += "x02_explore_cert_rejected" -> okOr2 {
+        graft.operators.Explore(gL2, Seq("L2Squared_Class", "L2Squared_Class_2"),
+          Array(3f, 4f, 5f), Metric.L2Squared, limit = 20, certainty = Some(0.4))
+          .count().toString
+      }
+      steps(s, out.result())
+    }),
+
     // Test_UnindexedProperty (unindexed_property_test.go): a class created
     // THROUGH THE SCHEMA WIRE with indexFilterable/indexSearchable false on
     // one prop — filtering the indexed prop serves, filtering the hidden
@@ -1955,6 +2120,65 @@ object SparkEntryFixtures {
       """SELECT * FROM (VALUES
         |  ('01_get', '1ffeb3e1-1258-4c2a-afc3-55543f6c44b8,df22e5c4-5d17-49f9-a71d-f392a82bc086,c28a039a-d509-4c2e-940a-8b109e5bebf4'),
         |  ('02_explore', 'weaviate://localhost/CustomVectorClass/1ffeb3e1-1258-4c2a-afc3-55543f6c44b8,weaviate://localhost/CustomVectorClass/df22e5c4-5d17-49f9-a71d-f392a82bc086,weaviate://localhost/CustomVectorClass/c28a039a-d509-4c2e-940a-8b109e5bebf4')
+        |) AS t(step, result) ORDER BY step""".stripMargin,
+
+    // graphql batch endpoint: graphql-go's syntax texts (DuckDB e''
+    // literals carry the embedded newlines), the 422 rejection, a happy path
+    "q_fixture_gql_batch" ->
+      """SELECT * FROM (VALUES
+        |  ('01_order_first', e'Syntax Error GraphQL request (1:1) Unexpected Name "testQuery"\n\n1: testQuery\n   ^\n'),
+        |  ('02_order_second', e'Syntax Error GraphQL request (1:1) Unexpected Name "testQuery2"\n\n1: testQuery2\n   ^\n'),
+        |  ('03_malformed_first', '422: expected map[string]interface{}, received [1 2 3]'),
+        |  ('04_malformed_second', '422: expected map[string]interface{}, received [1 2 3]'),
+        |  ('05_happy_batch', 'rows=3,rows=1')
+        |) AS t(step, result) ORDER BY step""".stripMargin,
+
+    // vector-distances acceptance: the per-metric expected distances
+    // verbatim (the suite asserts InDelta 0.01; these are the engine's
+    // exact 4-dp renders of the same values)
+    "q_fixture_distances" ->
+      """SELECT * FROM (VALUES
+        |  ('c01_plain', '0|0|0.0715|2'),
+        |  ('c02_cert0', '0/1|0/1|0.0715/0.9642|2/0'),
+        |  ('c03_cert095', '0/1|0/1|0.0715/0.9642'),
+        |  ('c04_cert097', '0/1|0/1'),
+        |  ('c05_cert1', '0/1|0/1'),
+        |  ('c06_dist2', '0|0|0.0715|2'),
+        |  ('c07_dist199', '0|0|0.0715'),
+        |  ('c08_dist008', '0|0|0.0715'),
+        |  ('c09_dist001', '0|0'),
+        |  ('c10_explore_cert0', '0|0|0.0715|2'),
+        |  ('c11_explore_cert095', '0|0|0.0715'),
+        |  ('c12_explore_dist199', '0|0|0.0715'),
+        |  ('c13_explore_dist001', '0|0'),
+        |  ('d01_plain', '-50|-12|0|50'),
+        |  ('d02_cert_rejected', 'can''t compute and return certainty when vector index is configured with dot distance'),
+        |  ('d03_dist50', '-50|-12|0|50'),
+        |  ('d04_dist30', '-50|-12|0'),
+        |  ('d05_dist0', '-50|-12|0'),
+        |  ('d06_dist_neg40', '-50'),
+        |  ('d07_dist_neg60_empty', ''),
+        |  ('h01_plain', '0|1|2'),
+        |  ('h02_cert_rejected', 'can''t compute and return certainty when vector index is configured with hamming distance'),
+        |  ('h03_dist365', '0|1|2'),
+        |  ('h04_dist15', '0|1'),
+        |  ('h05_dist05', '0'),
+        |  ('h06_dist0', '0'),
+        |  ('l01_plain', '0|50|365'),
+        |  ('l02_cert_rejected', 'can''t compute and return certainty when vector index is configured with l2-squared distance'),
+        |  ('l03_cert_prop_rejected', 'can''t compute and return certainty when vector index is configured with l2-squared distance'),
+        |  ('l04_dist365', '0|50|365'),
+        |  ('l05_dist364', '0|50'),
+        |  ('l06_dist49', '0'),
+        |  ('l07_dist0', '0'),
+        |  ('m01_plain', '0|12|33'),
+        |  ('m02_cert_rejected', 'can''t compute and return certainty when vector index is configured with manhattan distance'),
+        |  ('m03_dist365', '0|12|33'),
+        |  ('m04_dist30', '0|12'),
+        |  ('m05_dist10', '0'),
+        |  ('m06_dist0', '0'),
+        |  ('x01_explore_l2', 'L2Squared_Class_2/12|L2Squared_Class_2/27|L2Squared_Class/50|L2Squared_Class/147|L2Squared_Class/365'),
+        |  ('x02_explore_cert_rejected', 'can''t compute and return certainty when vector index is configured with l2-squared distance')
         |) AS t(step, result) ORDER BY step""".stripMargin,
 
     // unindexed-property journey: indexed filter serves, hidden prop errors

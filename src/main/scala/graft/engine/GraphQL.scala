@@ -225,6 +225,22 @@ object GraphQL {
         args.result()
       }
 
+    /** graphql-go's location-annotated syntax error (gqlerrors/syntax.go —
+     * `Syntax Error GraphQL request (L:C) Unexpected Name "x"` plus the
+     * offending source line with a caret): the text weaviate's GraphQL
+     * endpoint returns for a document that does not start with an operation
+     * (batch_request_endpoints/graphql_test.go pins it verbatim). */
+    private def syntaxError(offset: Int, unexpected: String): Nothing = {
+      val before = src.substring(0, offset)
+      val line = before.count(_ == '\n') + 1
+      val col = offset - before.lastIndexOf('\n')
+      val lineText = src.split("\n", -1)(line - 1)
+      val prefix = s"$line: "
+      val caret = " " * (prefix.length + col - 1) + "^"
+      fail(s"""Syntax Error GraphQL request ($line:$col) Unexpected Name "$unexpected"""" +
+        "\n\n" + prefix + lineText + "\n" + caret + "\n")
+    }
+
     /** `@skip(if:)` / `@include(if:)` (spec §3.13) — evaluated eagerly
      * (variables are already resolved), returning whether the selection is
      * KEPT: all includes true AND all skips false. Unknown directives reject
@@ -355,6 +371,7 @@ object GraphQL {
       ws()
       while (i < src.length) {
         if (isNameStart(src.charAt(i))) {
+          val off = i
           val kw = name()
           kw match {
             case "query" =>
@@ -372,8 +389,13 @@ object GraphQL {
               if (fragments.contains(fn))
                 fail(s"""graphql parse: duplicate fragment definition "$fn"""")
               fragments += fn -> (tpe, selectionSet())
+            case "mutation" | "subscription" =>
+              fail(s"graphql parse: unsupported operation type '$kw' (only queries)")
             case other =>
-              fail(s"graphql parse: unsupported operation type '$other' (only queries)")
+              // any OTHER leading name is a lexer-level surprise — graphql-go
+              // renders its location-annotated Syntax Error (the batch
+              // endpoint acceptance pins the text verbatim)
+              syntaxError(off, other)
           }
         } else if (peek() == '{') {
           if (op.isDefined)
@@ -955,6 +977,57 @@ object GraphQL {
     val (name, classField) = rootField(doc, variables)
     if (name != "Get") fail(s"graphql: expected a Get query, got '$name'")
     decodeGetClass(g, classField)
+  }
+
+  /** POST /v1/graphql/batch (models.GraphQLQueries — a JSON array of
+   * {operationName, query, variables}) answered PER QUERY IN ORDER
+   * (batch_request_endpoints/graphql_test.go pins the ordering by matching
+   * each slot's error to its own query text). A non-object `variables`
+   * payload is the handler's 422 with Go's %v rendering of the received
+   * value; per-query failures carry their error text, successes the served
+   * page (Get and Aggregate documents dispatch on the top-level field). */
+  def batchWire(g: Graft, json: String): Seq[Either[String, org.apache.spark.sql.DataFrame]] = {
+    import org.json4s.jackson.JsonMethods
+    def goJson(v: JValue): String = v match {
+      case JArray(xs) => xs.map(goJson).mkString("[", " ", "]")
+      case JObject(fs) => fs.sortBy(_._1).map { case (k, x) => s"$k:${goJson(x)}" }
+        .mkString("map[", " ", "]")
+      case JInt(i) => i.toString
+      case JLong(l) => l.toString
+      case JDouble(d) => WireDecoder.goFloat(d)
+      case JString(s) => s
+      case JBool(b) => b.toString
+      case JNull | JNothing => "<nil>"
+      case other => other.toString
+    }
+    val items = JsonMethods.parse(json) match {
+      case JArray(xs) => xs
+      case o => fail(s"graphql batch: expected a list, got ${JsonMethods.compact(JsonMethods.render(o))}")
+    }
+    items.map { q =>
+      try {
+        val varsJv = q \ "variables"
+        varsJv match {
+          case JNothing | JNull | _: JObject => ()
+          case other =>
+            // handlers reject non-map variables BEFORE parsing the document
+            fail(s"422: expected map[string]interface{}, received ${goJson(other)}")
+        }
+        val doc = (q \ "query") match {
+          case JString(s) => s
+          case _ => fail("graphql batch: query is required")
+        }
+        val vars = varsJv match {
+          case o: JObject => JsonMethods.compact(JsonMethods.render(o))
+          case _ => ""
+        }
+        rootField(doc, vars)._1 match {
+          case "Get" => Right(g.get(get(g, doc, vars)))
+          case "Aggregate" => Right(g.aggregate(aggregate(g, doc, vars)))
+          case other => fail(s"graphql batch: unsupported top-level field '$other'")
+        }
+      } catch { case e: Throwable => Left(e.getMessage) }
+    }
   }
 
   /** The variables JSON object → name-keyed GraphQL values. */
