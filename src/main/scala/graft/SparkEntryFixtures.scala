@@ -1357,6 +1357,66 @@ object SparkEntryFixtures {
       steps(s, out.result())
     }),
 
+    // TestHybridDiversitySelection (test/acceptance/hybrid_diversity/):
+    // hybrid MMR as a POST-FUSION pass, driven through the BINARY gRPC
+    // SearchRequest (Hybrid.selection field 14 + alpha_param/use_alpha_param
+    // + fp32 vector_bytes — the suite's exact wire shape): balance=1 must
+    // match the plain baseline, balance=0 must reorder for diversity while
+    // keeping the most-relevant seed. The suite's clustered vectors
+    // verbatim; ids render as the doc texts (the Go bed random-generates
+    // uuids).
+    "q_fixture_hybrid_mmr" -> ((s, _) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      import org.json4s._
+      import graft.engine.ProtoWire
+      import graft.model.{CollectionSchema, Property, PropType}
+      val gg = new Graft(s)
+      val clusters = Seq(
+        "a1" -> Seq(1.0f, 0.0f, 0.0f), "a2" -> Seq(0.99f, 0.01f, 0.0f),
+        "a3" -> Seq(0.98f, 0.02f, 0.0f), "b1" -> Seq(0.0f, 1.0f, 0.0f),
+        "b2" -> Seq(0.0f, 0.99f, 0.01f), "c1" -> Seq(0.0f, 0.0f, 1.0f))
+      gg.register(CollectionSchema("DiversityDoc", "uuid", Seq(
+        Property("text", PropType.Text)),
+        vectors = Map("default" -> "vector"), defaultVector = Some("default")),
+        s.createDataFrame(s.sparkContext.parallelize(clusters.zipWithIndex.map {
+          case ((n, v), i) => Row(f"66000000-0000-4000-8000-$i%012d", s"doc $n", v)
+        }, 1), StructType(Seq(StructField("uuid", StringType),
+          StructField("text", StringType), StructField("vector", ArrayType(FloatType))))))
+      val qbytes = {
+        val bb = java.nio.ByteBuffer.allocate(12).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        Seq(1.0f, 0.0f, 0.0f).foreach(bb.putFloat)
+        java.util.Base64.getEncoder.encodeToString(bb.array())
+      }
+      def req(sel: Option[(Int, Double)]): JValue = JObject(List(
+        "collection" -> JString("DiversityDoc"),
+        "limit" -> JLong(3),
+        "metadata" -> JObject(List("uuid" -> JBool(true), "score" -> JBool(true))),
+        "hybrid_search" -> JObject(List(
+          "query" -> JString("doc"),
+          "properties" -> JArray(List(JString("text"))),
+          "alpha_param" -> JDouble(1.0),
+          "use_alpha_param" -> JBool(true),
+          "near_vector" -> JObject(List("vector_bytes" -> JString(qbytes)))) ++
+          sel.map { case (lim, bal) => "selection" -> JObject(List(
+            "mmr" -> JObject(List("limit" -> JLong(lim), "balance" -> JDouble(bal))))) }),
+        "uses_127_api" -> JBool(true)))
+      def serve(sel: Option[(Int, Double)]): Seq[String] = {
+        val params = ProtoWire.searchRequest(gg,
+          ProtoWire.write(req(sel), "SearchRequest"))
+        gg.get(params).select(col("text")).collect().map(_.getString(0)).toSeq
+      }
+      val baseline = serve(None)
+      val balance1 = serve(Some((3, 1.0)))
+      val balance0 = serve(Some((3, 0.0)))
+      val out = Seq.newBuilder[(String, String)]
+      out += "01_baseline" -> baseline.mkString(",")
+      out += "02_balance1_matches" -> s"${balance1.mkString(",")};same=${balance1 == baseline}"
+      out += "03_balance0_diverse" -> (s"${balance0.mkString(",")};" +
+        s"differs=${balance0 != balance1};keeps_seed=${balance0.contains(baseline.head)}")
+      steps(s, out.result())
+    }),
+
     // Test_UnindexedProperty (unindexed_property_test.go): a class created
     // THROUGH THE SCHEMA WIRE with indexFilterable/indexSearchable false on
     // one prop — filtering the indexed prop serves, filtering the hidden
@@ -2179,6 +2239,17 @@ object SparkEntryFixtures {
         |  ('m06_dist0', '0'),
         |  ('x01_explore_l2', 'L2Squared_Class_2/12|L2Squared_Class_2/27|L2Squared_Class/50|L2Squared_Class/147|L2Squared_Class/365'),
         |  ('x02_explore_cert_rejected', 'can''t compute and return certainty when vector index is configured with l2-squared distance')
+        |) AS t(step, result) ORDER BY step""".stripMargin,
+
+    // hybrid MMR diversity via binary gRPC: balance=1 = baseline, balance=0
+    // reorders within the relevance window keeping the seed (the window =
+    // the request limit, explorer.go:280-330 — picking a1 then the
+    // farther-from-a1 a3 is the reference's own selection math)
+    "q_fixture_hybrid_mmr" ->
+      """SELECT * FROM (VALUES
+        |  ('01_baseline', 'doc a1,doc a2,doc a3'),
+        |  ('02_balance1_matches', 'doc a1,doc a2,doc a3;same=true'),
+        |  ('03_balance0_diverse', 'doc a1,doc a3,doc a2;differs=true;keeps_seed=true')
         |) AS t(step, result) ORDER BY step""".stripMargin,
 
     // unindexed-property journey: indexed filter serves, hidden prop errors

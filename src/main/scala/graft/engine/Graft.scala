@@ -1224,8 +1224,24 @@ final class Graft(val spark: SparkSession) {
       case Some(sm) =>
         require(params.pagination.isDefined || params.cursor.isDefined,
           "selection.mmr requires a bounded page (set pagination or cursor)")
-        require(paged.columns.contains(VectorSearch.DistanceCol),
+        require(paged.columns.contains(VectorSearch.DistanceCol) ||
+            paged.columns.contains(HybridSearch.ScoreCol),
           "selection.mmr requires a vector search leg (query distances)")
+        // hybrid pages carry a fused SCORE, not a query distance — the
+        // reference's post-fusion MMR converts it to pseudo-distances
+        // d = 1 − (score−min)/(max−min), 0 on a flat range
+        // (selection_hybrid.go:173-196 normalizedScoreDistances); the
+        // min/max window is over the bounded page only
+        val pagedD =
+          if (paged.columns.contains(VectorSearch.DistanceCol)) paged
+          else {
+            val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+            val sc = col(HybridSearch.ScoreCol).cast("float")
+            val mn = min(sc).over(w)
+            val mx = max(sc).over(w)
+            paged.withColumn(VectorSearch.DistanceCol,
+              when(mx > mn, lit(1.0f) - (sc - mn) / (mx - mn)).otherwise(lit(0.0f)))
+          }
         // the active leg's targetVectors pick BOTH the diversity vector
         // column and the metric — a leg over a named non-default vector
         // must not be diversified against the default vector's column
@@ -1239,8 +1255,10 @@ final class Graft(val spark: SparkSession) {
           .orElse(params.nearText.map(_.metric))
           .orElse(params.nearMedia.map(_.metric))
           .getOrElse(c.schema.metricFor(legTargets.headOption))
-        Mmr.diversify(paged, id, c.schema.vectorColumn(legTargets.headOption),
+        Mmr.diversify(pagedD, id, c.schema.vectorColumn(legTargets.headOption),
           VectorSearch.DistanceCol, sm.balance, sm.limit, legMetric)
+          .drop(if (paged.columns.contains(VectorSearch.DistanceCol)) "__none"
+                else VectorSearch.DistanceCol) // pseudo-distances never project
       case None => paged
     }
 

@@ -173,8 +173,12 @@ object ProtoWire {
       f(10, "targets", TMsg("Targets")),
       f(11, "bm25_search_operator", TMsg("SearchOperatorOptions")),
       f(12, "alpha_param", TFloat), f(13, "use_alpha_param", TBool),
+      f(14, "selection", TMsg("Selection")),
       f(20, "vector_distance", TDouble),
       f(21, "vectors", TMsg("Vectors"), rep = true)),
+    // post-fusion result selection (base_search.proto:38-46) — MMR today
+    "Selection" -> Map(f(1, "mmr", TMsg("SelectionMMR"))),
+    "SelectionMMR" -> Map(f(1, "limit", TInt32), f(2, "balance", TFloat)),
     "NearVector" -> Map(
       f(1, "vector", TFloat, rep = true), f(2, "certainty", TDouble),
       f(3, "distance", TDouble), f(4, "vector_bytes", TBytes),

@@ -1151,7 +1151,12 @@ object WireDecoder {
     val (tvs, _) = decodeTargets(jv)
     val (vec, multi) = extractVectorArg(jv, "hybrid")
     if (multi.isDefined) fail("hybrid: multi vectors are not supported in the dense leg")
-    val alpha = num(jv, "alpha").getOrElse(0.75) // DefaultAlpha (common_filters/hybrid.go:23)
+    // alpha resolution (parse_search_request.go:308-314): use_alpha_param
+    // switches to the optional alpha_param (absent → DefaultAlpha 0.75);
+    // legacy clients keep the deprecated `alpha` field, proto3-defaulted
+    val alpha =
+      if (bool(jv, "useAlphaParam")) num(jv, "alphaParam").getOrElse(0.75)
+      else num(jv, "alpha").getOrElse(0.75) // DefaultAlpha (common_filters/hybrid.go:23)
     val vectorDistance = num(jv, "vectorDistance")
 
     // sub-searches: selection only at the top level (parse_search_request.go:295-300)
