@@ -1417,6 +1417,190 @@ object SparkEntryFixtures {
       steps(s, out.result())
     }),
 
+    // TestBoost (test/acceptance/boost/boost_test.go): the boost
+    // post-scoring pipeline driven END TO END through BINARY SearchRequests
+    // (Boost field 62 — filter/time_decay/numeric-free/property_value
+    // condition oneofs, per-condition weights, depth). The Song bed is the
+    // suite's own deterministic formulas (100 objects; likes = (i*7+13)%100
+    // *10, dates spread 200 days back from 2025-01-01, 4-d trig vectors).
+    // Orders render as song names; the suite's ordering/equality contracts
+    // render as booleans. (The hybrid arms leave alpha unset — this engine's
+    // JSON-wire default 0.75 genuinely fuses both legs, matching the
+    // suite's stated intent.)
+    "q_fixture_boost" -> ((s, _) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      import graft.engine.ProtoWire
+      import graft.model.{CollectionSchema, Property, PropType, Tokenization}
+      val gg = new Graft(s)
+      def vecOf(i: Int): Seq[Float] = Seq(
+        (math.sin(i * 0.7) * 0.5).toFloat, (math.cos(i * 1.3) * 0.5).toFloat,
+        (math.sin(i * 2.1 + 1.0) * 0.5).toFloat, (math.cos(i * 0.3 + 2.0) * 0.5).toFloat)
+      val baseMs = java.time.Instant.parse("2025-01-01T00:00:00Z").toEpochMilli
+      gg.register(CollectionSchema("Song", "uuid", Seq(
+        Property("name", PropType.Text, Tokenization.Word),
+        Property("likes", PropType.Number),
+        Property("date_published", PropType.Date)),
+        vectors = Map("default" -> "vector"), defaultVector = Some("default")),
+        s.createDataFrame(s.sparkContext.parallelize((0 until 100).map { i =>
+          val likes = ((i * 7 + 13) % 100 * 10).toDouble
+          val dayOffset = (i * 3 + 5) % 200
+          Row(f"77000000-0000-4000-8000-$i%012d", f"Song $i%03d", likes,
+            new java.sql.Timestamp(baseMs - dayOffset * 24L * 3600 * 1000), vecOf(i))
+        }, 2), StructType(Seq(StructField("uuid", StringType),
+          StructField("name", StringType), StructField("likes", DoubleType),
+          StructField("date_published", TimestampType),
+          StructField("vector", ArrayType(FloatType))))))
+      val qbytes = {
+        val bb = java.nio.ByteBuffer.allocate(16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        vecOf(0).foreach(bb.putFloat)
+        java.util.Base64.getEncoder.encodeToString(bb.array())
+      }
+      val nearVec = JObject(List("vectors" -> JArray(List(JObject(List(
+        "vector_bytes" -> JString(qbytes),
+        "type" -> JString("VECTOR_TYPE_SINGLE_FP32")))))))
+      def fLikes(gt: Double) = JObject(List(
+        "operator" -> JString("OPERATOR_GREATER_THAN"),
+        "value_number" -> JDouble(gt),
+        "target" -> JObject(List("property" -> JString("likes")))))
+      def timeDecay(origin: String, scale: String, curve: String,
+                    dv: Option[Double] = None) = JObject(List(
+        "property" -> JString("date_published"),
+        "scale" -> JString(scale), "curve" -> JString(curve)) ++
+        (if (origin.nonEmpty) List("origin" -> JString(origin)) else Nil) ++
+        dv.map(v => "decay_value" -> JDouble(v)))
+      def pv(modifier: String) = JObject(List("property" -> JString("likes")) ++
+        (if (modifier.nonEmpty) List("modifier" -> JString(modifier)) else Nil))
+      def cond(kind: String, body: JValue, w: Double) =
+        JObject(List(kind -> body, "weight" -> JDouble(w)))
+      def boost(w: Double, conds: Seq[JValue], depth: Option[Int] = None) =
+        JObject(List("conditions" -> JArray(conds.toList), "weight" -> JDouble(w)) ++
+          depth.map(d => "depth" -> JLong(d)))
+      def serve(leg: (String, JValue), limit: Int, b: Option[JValue],
+                offset: Int = 0): Seq[String] = {
+        val doc = JObject(List(
+          "collection" -> JString("Song"), "limit" -> JLong(limit),
+          "metadata" -> JObject(List("uuid" -> JBool(true), "score" -> JBool(true))),
+          leg, "uses_127_api" -> JBool(true)) ++
+          (if (offset > 0) List("offset" -> JLong(offset)) else Nil) ++
+          b.map("boost" -> _))
+        val params = ProtoWire.searchRequest(gg, ProtoWire.write(doc, "SearchRequest"))
+        gg.get(params).select(col("name")).collect().map(_.getString(0)).toSeq
+      }
+      val nv = "near_vector" -> nearVec
+      val hybrid = "hybrid_search" -> JObject(List(
+        "query" -> JString("Song"), "properties" -> JArray(List(JString("name"))),
+        "near_vector" -> nearVec))
+      val out = Seq.newBuilder[(String, String)]
+      val base10 = serve(nv, 10, None)
+      out += "b01_nv_base" -> base10.mkString(",")
+      val firstUuid = {
+        val doc = JObject(List("collection" -> JString("Song"), "limit" -> JLong(1),
+          "metadata" -> JObject(List("uuid" -> JBool(true))), nv,
+          "uses_127_api" -> JBool(true)))
+        val p = ProtoWire.searchRequest(gg, ProtoWire.write(doc, "SearchRequest"))
+        gg.get(p).select(col("_id")).collect().head.getString(0)
+      }
+      out += "b02_no_base" -> serve("near_object" -> JObject(List(
+        "id" -> JString(firstUuid))), 10, None).length.toString
+      out += "b03_filter_likes" -> serve(nv, 10,
+        Some(boost(0.8, Seq(cond("filter", fLikes(500), 1.0))))).mkString(",")
+      out += "b04_filter_likes_and_date" -> serve(nv, 10, Some(boost(0.9, Seq(
+        cond("filter", fLikes(500), 2.0),
+        cond("filter", JObject(List(
+          "operator" -> JString("OPERATOR_GREATER_THAN"),
+          "value_text" -> JString("2024-11-01T00:00:00Z"),
+          "target" -> JObject(List("property" -> JString("date_published"))))), 1.0)))))
+        .mkString(",")
+      val pvNone = serve(nv, 10, Some(boost(0.7, Seq(cond("property_value", pv(""), 1.0)))))
+      val pvLog = serve(nv, 10, Some(boost(0.7, Seq(cond("property_value",
+        pv("PROPERTY_VALUE_MODIFIER_LOG1P"), 1.0)))))
+      val pvSqrt = serve(nv, 10, Some(boost(0.7, Seq(cond("property_value",
+        pv("PROPERTY_VALUE_MODIFIER_SQRT"), 1.0)))))
+      out += "b05_pv_none" -> pvNone.mkString(",")
+      out += "b06_pv_log1p" -> pvLog.mkString(",")
+      out += "b07_pv_sqrt" -> pvSqrt.mkString(",")
+      out += "b08_log1p_vs_none_differs" -> {
+        val n = serve(nv, 10, Some(boost(0.5, Seq(cond("property_value", pv(""), 1.0)))))
+        val l = serve(nv, 10, Some(boost(0.5, Seq(cond("property_value",
+          pv("PROPERTY_VALUE_MODIFIER_LOG1P"), 1.0)))))
+        (n != l).toString
+      }
+      val origin = "2025-01-01T00:00:00Z"
+      out += "b09_decay_exp" -> serve(nv, 10, Some(boost(0.8, Seq(
+        cond("time_decay", timeDecay(origin, "30d", "DECAY_CURVE_EXPONENTIAL"), 1.0))))).mkString(",")
+      out += "b10_decay_gauss" -> serve(nv, 10, Some(boost(0.8, Seq(
+        cond("time_decay", timeDecay(origin, "30d", "DECAY_CURVE_GAUSS"), 1.0))))).mkString(",")
+      out += "b11_decay_linear" -> serve(nv, 10, Some(boost(0.8, Seq(
+        cond("time_decay", timeDecay(origin, "30d", "DECAY_CURVE_LINEAR"), 1.0))))).mkString(",")
+      out += "b12_decay_origin_now" -> serve(nv, 10, Some(boost(0.8, Seq(
+        cond("time_decay", timeDecay("", "60d", "DECAY_CURVE_EXPONENTIAL"), 1.0))))).mkString(",")
+      def decayOrder(scale: String, dv: Option[Double] = None,
+                     curve: String = "DECAY_CURVE_EXPONENTIAL"): Seq[String] =
+        serve(nv, 10, Some(boost(0.5, Seq(cond("time_decay",
+          timeDecay(origin, scale, curve, dv), 1.0)))))
+      out += "b13_tight_vs_wide_differs" ->
+        (decayOrder("7d") != decayOrder("180d")).toString
+      out += "b14_decay_value_differs" ->
+        (decayOrder("30d", Some(0.1)) != decayOrder("30d", Some(0.9))).toString
+      out += "b15_curves_differ" ->
+        (decayOrder("30d") != decayOrder("30d", curve = "DECAY_CURVE_LINEAR")).toString
+      out += "b16_blend_filter_decay" -> serve(nv, 10, Some(boost(0.7, Seq(
+        cond("filter", fLikes(500), 3.0),
+        cond("time_decay", timeDecay(origin, "30d", "DECAY_CURVE_EXPONENTIAL"), 1.0)))))
+        .mkString(",")
+      out += "b17_blend_pv_decay" -> serve(nv, 10, Some(boost(0.6, Seq(
+        cond("property_value", pv("PROPERTY_VALUE_MODIFIER_LOG1P"), 2.0),
+        cond("time_decay", timeDecay(origin, "14d", "DECAY_CURVE_GAUSS"), 1.5)))))
+        .mkString(",")
+      out += "b18_weight_differs" -> {
+        def order(w: Double) = serve(nv, 10, Some(boost(w,
+          Seq(cond("property_value", pv(""), 1.0)))))
+        (order(0.3) != order(1.0)).toString
+      }
+      val likes800 = Seq(cond("filter", fLikes(800), 1.0))
+      val depth1 = serve(nv, 1, Some(boost(1.0, likes800, depth = Some(1))))
+      val depthBig = serve(nv, 1, Some(boost(1.0, likes800, depth = Some(50))))
+      out += "b19_depth1_equals_base" -> (depth1.head == base10.head).toString
+      out += "b20_depth_large_promotes" -> (depthBig.head != base10.head).toString
+      out += "b21_negative_weight" -> serve(nv, 10, Some(boost(0.8, Seq(
+        cond("property_value", pv(""), 2.0),
+        cond("time_decay", timeDecay(origin, "30d", "DECAY_CURVE_EXPONENTIAL"), -0.5)))))
+        .length.toString
+      val hybridBase = serve(hybrid, 10, None)
+      out += "h01_hybrid_base" -> hybridBase.length.toString
+      val hybridBoosted = serve(hybrid, 10,
+        Some(boost(0.8, Seq(cond("filter", fLikes(500), 1.0)))))
+      out += "h02_hybrid_filter_differs" -> (hybridBoosted != hybridBase).toString
+      out += "h03_hybrid_pv" -> serve(hybrid, 10, Some(boost(0.7, Seq(
+        cond("property_value", pv("PROPERTY_VALUE_MODIFIER_LOG1P"), 1.0))))).length.toString
+      out += "h04_hybrid_decay" -> serve(hybrid, 10, Some(boost(0.6, Seq(
+        cond("time_decay", timeDecay(origin, "30d", "DECAY_CURVE_EXPONENTIAL"), 1.0)))))
+        .length.toString
+      out += "h05_hybrid_weight0_noop" -> (serve(hybrid, 10,
+        Some(boost(0.0, Seq(cond("filter", fLikes(500), 1.0))))) == hybridBase).toString
+      // pagination consistency: boosted pages concatenate to the boosted order
+      def pages(leg: (String, JValue), b: JValue): Boolean = {
+        val all = serve(leg, 30, Some(b))
+        val paged = (0 until 3).flatMap(p => serve(leg, 10, Some(b), offset = p * 10))
+        all == paged
+      }
+      val pvBoost = boost(0.8, Seq(cond("property_value", pv(""), 1.0)))
+      out += "p01_page_through_nv" -> pages(nv, pvBoost).toString
+      out += "p02_page_through_hybrid" -> pages(hybrid, pvBoost).toString
+      out += "p03_page_through_bm25" -> pages("bm25_search" -> JObject(List(
+        "query" -> JString("Song"), "properties" -> JArray(List(JString("name"))))),
+        pvBoost).toString
+      out += "p04_boost_reorders_offset" -> {
+        val unboosted = serve(nv, 10, None, offset = 10)
+        val boosted = serve(nv, 10, Some(pvBoost), offset = 10)
+        (unboosted != boosted).toString
+      }
+      steps(s, out.result())
+    }),
+
     // Test_UnindexedProperty (unindexed_property_test.go): a class created
     // THROUGH THE SCHEMA WIRE with indexFilterable/indexSearchable false on
     // one prop — filtering the indexed prop serves, filtering the hidden
@@ -2250,6 +2434,44 @@ object SparkEntryFixtures {
         |  ('01_baseline', 'doc a1,doc a2,doc a3'),
         |  ('02_balance1_matches', 'doc a1,doc a2,doc a3;same=true'),
         |  ('03_balance0_diverse', 'doc a1,doc a3,doc a2;differs=true;keeps_seed=true')
+        |) AS t(step, result) ORDER BY step""".stripMargin,
+
+    // boost acceptance: the suite's ordering/equality contracts plus the
+    // engine's deterministic boosted orders over the formula bed (origin-now
+    // decay at this bed's ages underflows to a flat boost → primary order,
+    // exactly the reference a year past the bed date)
+    "q_fixture_boost" ->
+      """SELECT * FROM (VALUES
+        |  ('b01_nv_base', 'Song 000,Song 063,Song 009,Song 072,Song 048,Song 087,Song 024,Song 039,Song 030,Song 004'),
+        |  ('b02_no_base', '10'),
+        |  ('b03_filter_likes', 'Song 063,Song 009,Song 024,Song 039,Song 006,Song 049,Song 054,Song 093,Song 010,Song 081'),
+        |  ('b04_filter_likes_and_date', 'Song 009,Song 006,Song 010,Song 081,Song 067,Song 069,Song 078,Song 068,Song 082,Song 066'),
+        |  ('b05_pv_none', 'Song 069,Song 054,Song 039,Song 024,Song 068,Song 025,Song 009,Song 096,Song 083,Song 082'),
+        |  ('b06_pv_log1p', 'Song 009,Song 024,Song 039,Song 063,Song 054,Song 069,Song 048,Song 096,Song 010,Song 081'),
+        |  ('b07_pv_sqrt', 'Song 024,Song 069,Song 039,Song 009,Song 054,Song 096,Song 025,Song 068,Song 010,Song 067'),
+        |  ('b08_log1p_vs_none_differs', 'true'),
+        |  ('b09_decay_exp', 'Song 000,Song 066,Song 065,Song 067,Song 001,Song 068,Song 069,Song 004,Song 003,Song 072'),
+        |  ('b10_decay_gauss', 'Song 000,Song 067,Song 066,Song 001,Song 068,Song 069,Song 065,Song 003,Song 004,Song 002'),
+        |  ('b11_decay_linear', 'Song 000,Song 066,Song 067,Song 065,Song 001,Song 068,Song 069,Song 004,Song 003,Song 072'),
+        |  ('b12_decay_origin_now', 'Song 000,Song 063,Song 009,Song 072,Song 048,Song 087,Song 024,Song 039,Song 030,Song 004'),
+        |  ('b13_tight_vs_wide_differs', 'true'),
+        |  ('b14_decay_value_differs', 'true'),
+        |  ('b15_curves_differ', 'true'),
+        |  ('b16_blend_filter_decay', 'Song 009,Song 067,Song 066,Song 069,Song 068,Song 006,Song 024,Song 063,Song 010,Song 078'),
+        |  ('b17_blend_pv_decay', 'Song 000,Song 067,Song 066,Song 068,Song 069,Song 001,Song 009,Song 063,Song 004,Song 024'),
+        |  ('b18_weight_differs', 'true'),
+        |  ('b19_depth1_equals_base', 'true'),
+        |  ('b20_depth_large_promotes', 'true'),
+        |  ('b21_negative_weight', '10'),
+        |  ('h01_hybrid_base', '10'),
+        |  ('h02_hybrid_filter_differs', 'true'),
+        |  ('h03_hybrid_pv', '10'),
+        |  ('h04_hybrid_decay', '10'),
+        |  ('h05_hybrid_weight0_noop', 'true'),
+        |  ('p01_page_through_nv', 'true'),
+        |  ('p02_page_through_hybrid', 'true'),
+        |  ('p03_page_through_bm25', 'true'),
+        |  ('p04_boost_reorders_offset', 'true')
         |) AS t(step, result) ORDER BY step""".stripMargin,
 
     // unindexed-property journey: indexed filter serves, hidden prop errors

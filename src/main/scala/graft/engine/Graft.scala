@@ -1003,10 +1003,22 @@ final class Graft(val spark: SparkSession) {
 
     // overfetch when grouping needs a deeper candidate pool
     // (reference: explorer groupBy pool = groups * objectsPerGroup)
-    val fetchLimit = (params.groupBy, limit) match {
+    val fetchLimit0 = (params.groupBy, limit) match {
       case (Some(g), Some(l)) => Some(math.max(l, g.groups * g.objectsPerGroup))
       case (_, l)             => l
     }
+    // boost overfetch (explorer.go:156-175): fetch Boost.Depth deep
+    // (default QueryBoostDefaultDepth = 100, capped at QueryMaximumResults,
+    // floored at offset+limit) so the rescoring pool is deeper than the page
+    val boostActive = params.boost.exists(b => b.weight > 0 && b.conditions.nonEmpty)
+    val fetchLimit =
+      if (!boostActive) fetchLimit0
+      else {
+        val depth0 = params.boost.flatMap(_.depth).filter(_ > 0)
+          .getOrElse(100) // DefaultQueryBoostDepth (environment.go:1898)
+        val depth = math.min(depth0.toLong, queryMaximumResults).toInt
+        Some(math.max(depth, fetchLimit0.getOrElse(0)))
+      }
 
     val legCount = Seq(params.nearVector, params.nearObject, params.nearText,
       params.nearMedia, params.nearMultiVector, params.bm25, params.hybrid).count(_.isDefined)
@@ -1088,18 +1100,47 @@ final class Graft(val spark: SparkSession) {
 
     val isSearch = legCount > 0
 
+    // boost post-scoring (boost_scorer.go boostScoreAndSort via
+    // explorer.go:161-175/applyBoostIfNeeded): over the depth-bounded pool,
+    // per-condition scores combine weight-normalized, blend with the
+    // min-max-normalized primary (vector pages first convert distance to
+    // score = −dist, distToScore), the combined scores re-normalize for
+    // display and the pool re-sorts. Runs BEFORE pagination — the page is
+    // the prefix of the boosted order. Score metadata serves the boosted
+    // value (the raw distance stays).
+    val searchedB =
+      if (!(boostActive && isSearch)) searched
+      else {
+        val primary: Column =
+          if (searched.columns.contains(graft.operators.Bm25Search.ScoreCol))
+            col(graft.operators.Bm25Search.ScoreCol)
+          else if (searched.columns.contains(HybridSearch.ScoreCol))
+            col(HybridSearch.ScoreCol)
+          else -col(VectorSearch.DistanceCol) // distToScore
+        val b = params.boost.get
+        val conds = b.conditions.map(bc => (boostConditionScore(c, bc), bc.weight))
+        val out = graft.operators.Boost.applyBoost(
+          searched, id, primary, conds, b.weight, HybridSearch.ScoreCol)
+        // the boosted score IS the page score; a bm25 pool's raw score
+        // column would otherwise win the `_score` resolution
+        if (out.columns.contains(graft.operators.Bm25Search.ScoreCol))
+          out.withColumn(graft.operators.Bm25Search.ScoreCol, col(HybridSearch.ScoreCol))
+        else out
+      }
+
     // autocut on the search score/distance curve (reference: index.go:2309-2313)
     val afterAutocut = (params.autocut, isSearch) match {
       case (Some(n), true) =>
         val scoreCol =
-          if (params.nearVector.isDefined || params.nearObject.isDefined ||
+          if (boostActive) col(HybridSearch.ScoreCol) // boosted order owns the curve
+          else if (params.nearVector.isDefined || params.nearObject.isDefined ||
               params.nearText.isDefined || params.nearMedia.isDefined ||
               params.nearMultiVector.isDefined)
             -col(VectorSearch.DistanceCol)
           else if (params.bm25.isDefined) col(Bm25Search.ScoreCol)
           else col(HybridSearch.ScoreCol)
-        HybridSearch.autocut(searched, scoreCol, col(id), n)
-      case _ => searched
+        HybridSearch.autocut(searchedB, scoreCol, col(id), n)
+      case _ => searchedB
     }
 
     // explicit sort overrides search order (reference: sorter/, index.go:2293-2307)
@@ -1231,15 +1272,19 @@ final class Graft(val spark: SparkSession) {
         // reference's post-fusion MMR converts it to pseudo-distances
         // d = 1 − (score−min)/(max−min), 0 on a flat range
         // (selection_hybrid.go:173-196 normalizedScoreDistances); the
-        // min/max window is over the bounded page only
+        // min/max window is over the bounded page only. Boosted pages take
+        // the SAME score path even when a raw distance exists
+        // (relevanceFromDist = boost==nil — explorer.go:322).
+        val relFromDist = paged.columns.contains(VectorSearch.DistanceCol) && !boostActive
+        val relCol = if (relFromDist) VectorSearch.DistanceCol else "__mmr_rel"
         val pagedD =
-          if (paged.columns.contains(VectorSearch.DistanceCol)) paged
+          if (relFromDist) paged
           else {
             val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
             val sc = col(HybridSearch.ScoreCol).cast("float")
             val mn = min(sc).over(w)
             val mx = max(sc).over(w)
-            paged.withColumn(VectorSearch.DistanceCol,
+            paged.withColumn(relCol,
               when(mx > mn, lit(1.0f) - (sc - mn) / (mx - mn)).otherwise(lit(0.0f)))
           }
         // the active leg's targetVectors pick BOTH the diversity vector
@@ -1256,9 +1301,8 @@ final class Graft(val spark: SparkSession) {
           .orElse(params.nearMedia.map(_.metric))
           .getOrElse(c.schema.metricFor(legTargets.headOption))
         Mmr.diversify(pagedD, id, c.schema.vectorColumn(legTargets.headOption),
-          VectorSearch.DistanceCol, sm.balance, sm.limit, legMetric)
-          .drop(if (paged.columns.contains(VectorSearch.DistanceCol)) "__none"
-                else VectorSearch.DistanceCol) // pseudo-distances never project
+          relCol, sm.balance, sm.limit, legMetric)
+          .drop("__mmr_rel") // pseudo-distances never project
       case None => paged
     }
 
@@ -1635,6 +1679,49 @@ final class Graft(val spark: SparkSession) {
         e => e.getField("v")).as(resolvedName))
       .withColumnRenamed("__rr_src", idc)
     d.join(resolved, Seq(idc), "left")
+  }
+
+  /** One boost condition → its [0,1] score column (boost_scorer.go
+   * scoreResult arms). Filters evaluate IN MEMORY over the pool's own
+   * columns (matchesClause — never an index probe); time decays measure
+   * |prop − origin| in NANOSECONDS against Go-duration scale/offset
+   * strings; numeric decays in raw units; propertyValue min-max normalizes
+   * over the pool after its modifier. A NULL property scores 0 in every
+   * arm. */
+  private def boostConditionScore(c: Collection, bc: BoostCondition): Column = {
+    import graft.operators.Boost
+    def predicate(w: Where): Column = w.op match {
+      case WhereOp.And => w.operands.map(predicate).reduceOption(_ && _).getOrElse(lit(true))
+      case WhereOp.Or  => w.operands.map(predicate).reduceOption(_ || _).getOrElse(lit(false))
+      case WhereOp.Not => !w.operands.map(predicate).reduceOption(_ || _).getOrElse(lit(false))
+      case _           => filterCompiler.leaf(c.schema, w)
+    }
+    // parseOriginAsTime's layouts (boost_scorer.go:37-41, 606-616)
+    def originNs(origin: String): Double = origin match {
+      case "" | "now" => System.currentTimeMillis() * 1e6
+      case o =>
+        val inst =
+          try java.time.OffsetDateTime.parse(o).toInstant
+          catch { case _: Exception =>
+            try java.time.LocalDateTime.parse(o).atOffset(java.time.ZoneOffset.UTC).toInstant
+            catch { case _: Exception =>
+              java.time.LocalDate.parse(o).atStartOfDay(java.time.ZoneOffset.UTC).toInstant } }
+        inst.getEpochSecond * 1e9 + inst.getNano
+    }
+    bc.filter.map(w => when(predicate(w), lit(1.0)).otherwise(lit(0.0)))
+      .orElse(bc.timeDecay.map { td =>
+        val dist = abs(col(td.property).cast("double") * 1e9 - originNs(td.origin))
+        Boost.decayScore(dist, Boost.parseNumericOrDuration(td.offset),
+          Boost.parseNumericOrDuration(td.scale), td.curve, td.decayValue)
+      })
+      .orElse(bc.numericDecay.map { nd =>
+        val dist = abs(col(nd.property).cast("double") - nd.origin)
+        Boost.decayScore(dist, nd.offset, nd.scale, nd.curve, nd.decayValue)
+      })
+      .orElse(bc.propertyValue.map(pv =>
+        Boost.propertyValueScore(col(pv.property), pv.modifier)))
+      .getOrElse(throw new IllegalArgumentException(
+        "boost condition must set exactly one of filter | timeDecay | numericDecay | propertyValue"))
   }
 
   def aggregate(params0: AggregateParams): DataFrame =

@@ -76,6 +76,10 @@ object ProtoWire {
   private val vectorType = TEnum(Map(
     0 -> "VECTOR_TYPE_UNSPECIFIED", 1 -> "VECTOR_TYPE_SINGLE_FP32", 2 -> "VECTOR_TYPE_MULTI_FP32"))
 
+  private val decayCurve = TEnum(Map(
+    0 -> "DECAY_CURVE_UNSPECIFIED", 1 -> "DECAY_CURVE_GAUSS",
+    2 -> "DECAY_CURVE_LINEAR", 3 -> "DECAY_CURVE_EXPONENTIAL"))
+
   /** The reference's message subset, field numbers verbatim from the protos. */
   val messages: Map[String, Msg] = Map(
     "SearchRequest" -> Map(
@@ -92,8 +96,30 @@ object ProtoWire {
       f(43, "near_vector", TMsg("NearVector")),
       f(44, "near_object", TMsg("NearObject")),
       f(45, "near_text", TMsg("NearTextSearch")),
+      f(62, "boost", TMsg("Boost")),
       f(100, "uses_123_api", TBool), f(101, "uses_125_api", TBool),
       f(102, "uses_127_api", TBool)),
+    // Boost post-scoring (search_get.proto:218-263)
+    "Boost" -> Map(
+      f(1, "conditions", TMsg("BoostCondition"), rep = true),
+      f(2, "weight", TFloat), f(3, "depth", TInt32)),
+    "BoostCondition" -> Map(
+      f(1, "filter", TMsg("Filters")),
+      f(2, "time_decay", TMsg("TimeDecayFunction")),
+      f(3, "property_value", TMsg("PropertyValueFunction")),
+      f(4, "numeric_decay", TMsg("NumericDecayFunction")),
+      f(5, "weight", TFloat)),
+    "TimeDecayFunction" -> Map(
+      f(1, "property", TString), f(2, "origin", TString), f(3, "scale", TString),
+      f(4, "offset", TString), f(5, "curve", decayCurve), f(6, "decay_value", TFloat)),
+    "NumericDecayFunction" -> Map(
+      f(1, "property", TString), f(2, "origin", TDouble), f(3, "scale", TDouble),
+      f(4, "offset", TDouble), f(5, "curve", decayCurve), f(6, "decay_value", TFloat)),
+    "PropertyValueFunction" -> Map(
+      f(1, "property", TString), f(2, "modifier", TEnum(Map(
+        0 -> "PROPERTY_VALUE_MODIFIER_UNSPECIFIED",
+        1 -> "PROPERTY_VALUE_MODIFIER_LOG1P",
+        2 -> "PROPERTY_VALUE_MODIFIER_SQRT")))),
     "PropertiesRequest" -> Map(
       f(1, "non_ref_properties", TString, rep = true),
       f(2, "ref_properties", TMsg("RefPropertiesRequest"), rep = true),

@@ -1304,6 +1304,49 @@ object WireDecoder {
         query = str(r, "query").getOrElse(""))
     }
 
+    // Boost (search_get.proto:218-263 — SearchRequest.boost field 62):
+    // condition oneofs with per-condition weights; enum curves/modifiers
+    // decode to their short names
+    val boost = field(jv, "boost").map { b =>
+      def curveOf(o: JValue): String = str(o, "curve").map {
+        case "DECAY_CURVE_GAUSS" => "gauss"
+        case "DECAY_CURVE_LINEAR" => "linear"
+        case "DECAY_CURVE_EXPONENTIAL" => "exp"
+        case "DECAY_CURVE_UNSPECIFIED" => ""
+        case other => other
+      }.getOrElse("")
+      val conds = arr(b, "conditions").getOrElse(Nil).map { cd =>
+        val weight = num(cd, "weight").getOrElse(1.0)
+        field(cd, "filter")
+          .map(f => BoostCondition(
+            filter = Some(decodeFilters(g, collection, f)), weight = weight))
+          .orElse(field(cd, "timeDecay").map(td => BoostCondition(
+            timeDecay = Some(TimeDecayParams(
+              str(td, "property").getOrElse(fail("time_decay: property is required")),
+              str(td, "origin").getOrElse(""), str(td, "scale").getOrElse(""),
+              str(td, "offset").getOrElse(""), curveOf(td),
+              num(td, "decayValue").getOrElse(0))), weight = weight)))
+          .orElse(field(cd, "numericDecay").map(nd => BoostCondition(
+            numericDecay = Some(NumericDecayParams(
+              str(nd, "property").getOrElse(fail("numeric_decay: property is required")),
+              num(nd, "origin").getOrElse(0), num(nd, "scale").getOrElse(0),
+              num(nd, "offset").getOrElse(0), curveOf(nd),
+              num(nd, "decayValue").getOrElse(0))), weight = weight)))
+          .orElse(field(cd, "propertyValue").map(pv => BoostCondition(
+            propertyValue = Some(PropertyValueParams(
+              str(pv, "property").getOrElse(fail("property_value: property is required")),
+              str(pv, "modifier").map {
+                case "PROPERTY_VALUE_MODIFIER_LOG1P" => "log1p"
+                case "PROPERTY_VALUE_MODIFIER_SQRT" => "sqrt"
+                case "PROPERTY_VALUE_MODIFIER_UNSPECIFIED" => ""
+                case other => other
+              }.getOrElse(""))), weight = weight)))
+          .getOrElse(fail(
+            "boost condition must set one of filter | time_decay | property_value | numeric_decay"))
+      }
+      BoostParams(conds, num(b, "weight").getOrElse(0.0), intF(b, "depth").map(_.toInt))
+    }
+
     // GenerativeSearch (generative.proto): single{prompt} grouped{task, properties}
     val generate = field(jv, "generative").map { gen =>
       val single = field(gen, "single").flatMap(s => str(s, "prompt"))
@@ -1335,6 +1378,7 @@ object WireDecoder {
       tenant = tenant,
       autocut = autocut,
       rerank = rerank,
+      boost = boost,
       generate = generate,
       selectionMmr = selection)
   }

@@ -216,6 +216,38 @@ final case class SelectionMmrParams(limit: Int, balance: Double) {
  * for semantics). */
 final case class RerankParams(property: String, query: String)
 
+// --- Boost post-scoring (reference: entities/filters/boost.go,
+// usecases/traverser/boost_scorer.go; wire search_get.proto:218-263) ---
+
+/** One boost condition — exactly one of the four kinds set; weight 0 is
+ * treated as 1.0 by the scorer (scoreResult), negatives demote. */
+final case class BoostCondition(
+    filter: Option[Where] = None,
+    timeDecay: Option[TimeDecayParams] = None,
+    numericDecay: Option[NumericDecayParams] = None,
+    propertyValue: Option[PropertyValueParams] = None,
+    weight: Double = 1.0)
+
+/** origin "" or "now" = query time; scale/offset accept `<n>(d|h|m|s|ms)`
+ * durations or plain numbers (parseNumericOrDuration — numbers are
+ * NANOSECONDS like Go durations). */
+final case class TimeDecayParams(property: String, origin: String = "",
+    scale: String = "", offset: String = "", curve: String = "",
+    decayValue: Double = 0)
+
+final case class NumericDecayParams(property: String, origin: Double,
+    scale: Double, offset: Double = 0, curve: String = "",
+    decayValue: Double = 0)
+
+/** modifier: "" | "log1p" | "sqrt" (applied before min-max normalization). */
+final case class PropertyValueParams(property: String, modifier: String = "")
+
+/** weight blends normalized-primary vs boost score; depth bounds the
+ * rescored candidate pool (default QueryBoostDefaultDepth = 100,
+ * environment.go:1898). */
+final case class BoostParams(conditions: Seq[BoostCondition],
+    weight: Double, depth: Option[Int] = None)
+
 /** `_additional { generate }` — generative search / RAG (reference:
  * usecases/modulecomponents/additional/generate/generate_params.go:15-18:
  * `singleResult { prompt }` per result, `groupedResult { task properties }`
@@ -295,6 +327,7 @@ final case class GetParams(
     tenant: Option[String] = None,
     autocut: Option[Int] = None,
     rerank: Option[RerankParams] = None,
+    boost: Option[BoostParams] = None,
     generate: Option[GenerateParams] = None,
     summary: Option[SummaryParams] = None,
     ask: Option[AskParams] = None,

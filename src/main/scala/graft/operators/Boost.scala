@@ -53,4 +53,100 @@ object Boost {
     pool.withColumn("_boosted_score",
       minMax(primaryScore) * (1.0 - boostWeight) + boostVal * boostWeight)
   }
+
+  /**
+   * The reference's EXACT post-scoring pass (boost_scorer.go
+   * boostScoreAndSort, the pipeline form behind SearchRequest.boost):
+   * per-result boost = Σ wᵢ·sᵢ / Σ|wᵢ| (a 0 weight reads as 1.0, negatives
+   * demote — scoreResult:172-211); the primary score min-max normalizes
+   * over the pool (a flat range normalizes to 1.0 so boost is the
+   * tie-breaker); combined = (1−W)·primary + W·boost, then the COMBINED
+   * scores re-normalize min-max to [0,1] for display (flat → 1.0); the pool
+   * re-sorts by combined desc with id asc ties. `conds` are the
+   * pre-compiled per-condition score columns with their weights.
+   *
+   * Returns the pool re-ordered with `scoreOut` carrying the final
+   * normalized score. Window math over the depth-bounded pool only.
+   */
+  def applyBoost(pool: DataFrame, idCol: String, primaryScore: Column,
+                 conds: Seq[(Column, Double)], weight: Double,
+                 scoreOut: String): DataFrame = {
+    val all = BoundedWindow.all()
+    def minMaxOr1(c: Column): Column = {
+      val mn = min(c).over(all); val mx = max(c).over(all)
+      when(mx > mn, (c - mn) / (mx - mn)).otherwise(lit(1.0))
+    }
+    val weightSum = conds.map { case (_, w0) =>
+      math.abs(if (w0 == 0) 1.0 else w0) }.sum
+    val boostVal =
+      if (weightSum == 0) lit(0.0)
+      else conds.map { case (s, w0) =>
+        val w = if (w0 == 0) 1.0 else w0
+        s * w
+      }.reduce(_ + _) / weightSum
+    pool
+      .withColumn("__boost_combined",
+        minMaxOr1(primaryScore.cast("double")) * (1.0 - weight) + boostVal * weight)
+      .withColumn(scoreOut, minMaxOr1(col("__boost_combined")))
+      .drop("__boost_combined")
+      .orderBy(col(scoreOut).desc, col(idCol).asc)
+  }
+
+  /** computeDecayFunction (boost_scorer.go:567-588) as a column: distance
+   * `dist` (same unit as scale/offset), effectiveDist = max(0, dist−offset),
+   * 0 → 1.0; exp: dv^(d/s); gauss: e^(ln(dv)·(d/s)²); linear:
+   * max(0, 1−(1−dv)·d/s). Defaults: curve exp, decayValue 0.5
+   * (parseDecayParams). NULL property → 0 (a result without the property
+   * cannot decay-match). */
+  def decayScore(dist: Column, offset: Double, scale0: Double,
+                 curve0: String, decayValue0: Double): Column = {
+    val scale = if (scale0 <= 0) 1.0 else scale0
+    val dv = if (decayValue0 == 0) 0.5 else decayValue0
+    val curve = if (curve0.isEmpty) "exp" else curve0
+    val d = greatest(dist - offset, lit(0.0))
+    val ratio = d / scale
+    val s = curve match {
+      case "gauss"  => exp(lit(math.log(dv)) * ratio * ratio)
+      case "linear" => greatest(lit(1.0) - ratio * (1.0 - dv), lit(0.0))
+      case _        => pow(lit(dv), ratio)
+    }
+    when(dist.isNull, lit(0.0)).when(d === 0.0, lit(1.0)).otherwise(s)
+  }
+
+  /** propertyValue condition score (precomputePropertyValueScores:
+   * boost_scorer.go:225-290): modifier first (log1p/sqrt over max(0,v)),
+   * min-max over PRESENT values only, missing → 0, flat range → 1.0. */
+  def propertyValueScore(prop: Column, modifier: String): Column = {
+    val all = BoundedWindow.all()
+    val v = modifier match {
+      case "log1p" => log1p(greatest(prop.cast("double"), lit(0.0)))
+      case "sqrt"  => sqrt(greatest(prop.cast("double"), lit(0.0)))
+      case _       => prop.cast("double")
+    }
+    val mn = min(v).over(all) // nulls excluded by min/max
+    val mx = max(v).over(all)
+    when(v.isNull, lit(0.0))
+      .when(mx > mn, (v - mn) / (mx - mn))
+      .otherwise(lit(1.0))
+  }
+
+  /** parseNumericOrDuration (boost_scorer.go:620-650): `<n>(d|h|m|s|ms)`
+   * durations or plain numbers — everything in NANOSECONDS (Go duration
+   * floats). */
+  def parseNumericOrDuration(s: String): Double = {
+    if (s.isEmpty) return 0.0
+    val Dur = """^(\d+(?:\.\d+)?)(d|h|m|s|ms)$""".r
+    s match {
+      case Dur(n, u) =>
+        val x = n.toDouble
+        u match {
+          case "d"  => x * 24 * 3600e9
+          case "h"  => x * 3600e9
+          case "m"  => x * 60e9
+          case "s"  => x * 1e9
+          case "ms" => x * 1e6
+        }
+      case other => other.toDouble
+    }
+  }
 }
