@@ -1601,6 +1601,196 @@ object SparkEntryFixtures {
       steps(s, out.result())
     }),
 
+    // TestRESTSearchNearText (test/acceptance/rest_search/near_text_test.go):
+    // the experimental POST /v1/search/{collection}/near-text wire — the
+    // envelope contract (id on the envelope, camelCase metadata keys,
+    // metadata omitted when unpopulated, a user property named "metadata"
+    // under properties, references as arrays, nested object maps) and the
+    // full error-status matrix (404/422/400) with the suite's verbatim
+    // uuids. Stand-in vectors angle the two movies so "spaceship galaxy"
+    // ranks movie1 first.
+    "q_fixture_rest_search" -> ((s, _) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      import graft.engine.RestSearch
+      import graft.model.{CollectionSchema, Property, PropType, Metric, Tenant}
+      def unit(deg: Double): Seq[Float] = {
+        val r = math.toRadians(deg)
+        Seq(math.cos(r).toFloat, math.sin(r).toFloat, 0.0f)
+      }
+      val gg = new Graft(s).withEmbedder {
+        val m = Map("spaceship galaxy" -> 0.0, "spaceship" -> 0.0,
+          "travel" -> 90.0, "sunflowers" -> 45.0, "anything" -> 20.0)
+        t => unit(m.getOrElse(t, 70.0)).toArray
+      }
+      val authorId = "aa44bbee-ca5f-4db7-a412-5fc6a2300001"
+      val movie1 = "aa44bbee-ca5f-4db7-a412-5fc6a2300002"
+      val movie2 = "aa44bbee-ca5f-4db7-a412-5fc6a2300003"
+      gg.register(CollectionSchema("Author", "uuid", Seq(
+        Property("name", PropType.Text)),
+        vectors = Map("default" -> "vector"), defaultVector = Some("default")),
+        s.createDataFrame(s.sparkContext.parallelize(Seq(
+          Row(authorId, "famous writer", unit(30.0))), 1),
+          StructType(Seq(StructField("uuid", StringType),
+            StructField("name", StringType), StructField("vector", ArrayType(FloatType))))))
+      val detailsType = StructType(Seq(
+        StructField("duration", LongType), StructField("summary", StringType)))
+      gg.register(CollectionSchema("Movie", "uuid", Seq(
+        Property("title", PropType.Text),
+        Property("year", PropType.Int),
+        Property("rating", PropType.Int, indexFilterable = false, indexSearchable = false),
+        Property("metadata", PropType.Text),
+        Property("details", PropType.Obj),
+        Property("hasAuthor", PropType.Ref, refTarget = Some("Author"))),
+        vectors = Map("default" -> "vector"), defaultVector = Some("default"),
+        creationTimeColumn = Some("created"), updateTimeColumn = Some("created"),
+        timestampUnit = "ms"),
+        s.createDataFrame(s.sparkContext.parallelize(Seq(
+          Row(movie1, "spaceship galaxy adventure", 2021L, 5L, "user data",
+            Row(120L, "a journey through space"), Seq(authorId), unit(5.0), 1700000001000L),
+          Row(movie2, "cooking dinner recipes", 1999L, 3L, "more user data",
+            null, null, unit(60.0), 1700000002000L)), 1),
+          StructType(Seq(StructField("uuid", StringType),
+            StructField("title", StringType), StructField("year", LongType),
+            StructField("rating", LongType), StructField("metadata", StringType),
+            StructField("details", detailsType),
+            StructField("hasAuthor", ArrayType(StringType)),
+            StructField("vector", ArrayType(FloatType)),
+            StructField("created", LongType)))))
+      // vectorizer "none" — no vector column at all
+      gg.register(CollectionSchema("Notes", "uuid", Seq(
+        Property("title", PropType.Text))),
+        s.createDataFrame(s.sparkContext.parallelize(Seq(
+          Row("aa44bbee-ca5f-4db7-a412-5fc6a2300009", "x")), 1),
+          StructType(Seq(StructField("uuid", StringType), StructField("title", StringType)))))
+      gg.register(CollectionSchema("Painting", "uuid", Seq(
+        Property("title", PropType.Text)),
+        vectors = Map("default" -> "vector"), defaultVector = Some("default"),
+        vectorMetrics = Map("default" -> Metric.L2Squared)),
+        s.createDataFrame(s.sparkContext.parallelize(Seq(
+          Row("aa44bbee-ca5f-4db7-a412-5fc6a2300005", "sunflowers", unit(45.0))), 1),
+          StructType(Seq(StructField("uuid", StringType),
+            StructField("title", StringType), StructField("vector", ArrayType(FloatType))))))
+      gg.register(CollectionSchema("Journal", "uuid", Seq(
+        Property("title", PropType.Text)),
+        vectors = Map("default" -> "vector"), defaultVector = Some("default"),
+        tenantColumn = Some("tenant")),
+        s.createDataFrame(s.sparkContext.parallelize(Seq(
+          Row("aa44bbee-ca5f-4db7-a412-5fc6a2300004", "travel diary", "tenantA", unit(88.0))), 1),
+          StructType(Seq(StructField("uuid", StringType),
+            StructField("title", StringType), StructField("tenant", StringType),
+            StructField("vector", ArrayType(FloatType))))))
+      gg.addTenants("Journal", Seq(Tenant("tenantA")))
+      def post(cls: String, body: String): (Int, JValue) = {
+        val (status, out) = RestSearch.nearText(gg, cls, body)
+        (status, JsonMethods.parse(out))
+      }
+      def errMsg(out: JValue): String =
+        (out \ "error") (0) \ "message" match { case JString(m) => m; case o => o.toString }
+      val out = Seq.newBuilder[(String, String)]
+      // happy path
+      val (s1, o1) = post("Movie",
+        """{"query": ["spaceship galaxy"], "returnProperties": ["title"],
+          |"returnMetadata": ["distance"]}""".stripMargin)
+      val hits1 = (o1 \ "results").asInstanceOf[JArray].arr
+      out += "01_happy" -> {
+        val first = hits1.head
+        val props = (first \ "properties").asInstanceOf[JObject].obj.map(_._1).sorted
+        val dists = hits1.map(h => (h \ "metadata" \ "distance") match {
+          case JDouble(d) => d; case JInt(i) => i.toDouble; case _ => -1.0 })
+        s"status=$s1;n=${hits1.size};first_id=${(first \ "id").values};" +
+          s"first_title=${(first \ "properties" \ "title").values};" +
+          s"props=${props.mkString("|")};asc=${dists == dists.sorted};" +
+          s"took=${(o1 \ "tookMs") != JNothing}"
+      }
+      out += "02_metadata_keys" -> {
+        val (st, o) = post("Movie",
+          """{"query": ["spaceship galaxy"], "returnMetadata":
+            |["distance", "certainty", "score", "explainScore", "creationTime", "lastUpdateTime"]}""".stripMargin)
+        val md = ((o \ "results") (0) \ "metadata").asInstanceOf[JObject].obj.map(_._1).sorted
+        s"status=$st;keys=${md.mkString("|")}"
+      }
+      out += "03_id_always" -> {
+        val (st, o) = post("Movie",
+          """{"query": ["spaceship galaxy"], "returnProperties": ["title"]}""")
+        val first = (o \ "results") (0)
+        s"status=$st;id=${(first \ "id").values};no_metadata=${(first \ "metadata") == JNothing}"
+      }
+      out += "04_id_not_metadata" -> {
+        val (st, o) = post("Movie",
+          """{"query": ["spaceship galaxy"], "returnMetadata": ["id"]}""")
+        s"status=$st;msg_has_key=${errMsg(o).contains("returnMetadata")};shaped=${(o \ "error") != JNothing}"
+      }
+      out += "05_metadata_prop" -> {
+        val (st, o) = post("Movie",
+          """{"query": ["spaceship galaxy"], "returnMetadata": ["distance"]}""")
+        val first = (o \ "results") (0)
+        s"status=$st;prop=${(first \ "properties" \ "metadata").values};" +
+          s"dist=${(first \ "metadata" \ "distance") != JNothing};id=${(first \ "id").values}"
+      }
+      out += "06_where" -> {
+        val (st, o) = post("Movie",
+          """{"query": ["spaceship galaxy"], "returnProperties": ["title"],
+            |"where": {"path": ["year"], "operator": "LessThan", "valueInt": 2000}}""".stripMargin)
+        val hits = (o \ "results").asInstanceOf[JArray].arr
+        s"status=$st;n=${hits.size};title=${(hits.head \ "properties" \ "title").values}"
+      }
+      out += "07_no_index_422" -> {
+        val (st, o) = post("Movie",
+          """{"query": ["spaceship galaxy"],
+            |"where": {"path": ["rating"], "operator": "GreaterThan", "valueInt": 3}}""".stripMargin)
+        s"status=$st;has_flag=${errMsg(o).contains("indexFilterable")}"
+      }
+      out += "08_references" -> {
+        val (st, o) = post("Movie",
+          """{"query": ["spaceship galaxy"], "returnProperties": ["title", "hasAuthor.name"]}""")
+        val first = (o \ "results") (0)
+        val refName = ((first \ "references" \ "hasAuthor") (0) \ "name").values
+        s"status=$st;not_in_props=${(first \ "properties" \ "hasAuthor") == JNothing};" +
+          s"ref_name=$refName" + (if (st != 200) s";err=${errMsg(o)}" else "")
+      }
+      out += "09_refs_omitted" -> {
+        val (st, o) = post("Movie",
+          """{"query": ["spaceship galaxy"], "returnProperties": ["title"]}""")
+        s"status=$st;no_refs=${((o \ "results") (0) \ "references") == JNothing}"
+      }
+      out += "10_nested_object" -> {
+        val (st, o) = post("Movie",
+          """{"query": ["spaceship galaxy"], "returnProperties": ["details"]}""")
+        val d = (o \ "results") (0) \ "properties" \ "details"
+        s"status=$st;summary=${(d \ "summary").values};duration=${(d \ "duration").values}"
+      }
+      out += "11_no_vectorizer_422" -> {
+        val (st, o) = post("Notes", """{"query": ["anything"]}""")
+        s"status=$st;has_word=${errMsg(o).contains("vectorizer")}"
+      }
+      out += "12_unknown_404" -> post("Ghosts", """{"query": ["anything"]}""")._1.toString
+      out += "13_mt_statuses" -> {
+        val ok = post("Journal", """{"query": ["travel"], "tenant": "tenantA"}""")
+        val ghost = post("Journal", """{"query": ["travel"], "tenant": "ghostTenant"}""")._1
+        val missing = post("Journal", """{"query": ["travel"]}""")._1
+        val nonMt = post("Movie", """{"query": ["spaceship"], "tenant": "tenantA"}""")._1
+        s"ok=${ok._1}/${(ok._2 \ "results").asInstanceOf[JArray].arr.size};" +
+          s"ghost=$ghost;missing=$missing;non_mt=$nonMt"
+      }
+      out += "14_certainty_non_cosine" -> {
+        val (st, o) = post("Painting", """{"query": ["sunflowers"], "certainty": 0.7}""")
+        s"status=$st;has_word=${errMsg(o).contains("certainty")}"
+      }
+      out += "15_unknown_prop_400" -> {
+        val (st, o) = post("Movie",
+          """{"query": ["spaceship"], "returnProperties": ["nonexistent"]}""")
+        s"status=$st;has_text=${errMsg(o).contains("no such prop")}"
+      }
+      out += "16_absent_query_422" -> {
+        val (st, o) = post("Movie", """{"limit": 1}""")
+        s"status=$st;has_word=${errMsg(o).contains("query")};shaped=${(o \ "error") != JNothing}"
+      }
+      steps(s, out.result())
+    }),
+
     // Test_UnindexedProperty (unindexed_property_test.go): a class created
     // THROUGH THE SCHEMA WIRE with indexFilterable/indexSearchable false on
     // one prop — filtering the indexed prop serves, filtering the hidden
@@ -2472,6 +2662,27 @@ object SparkEntryFixtures {
         |  ('p02_page_through_hybrid', 'true'),
         |  ('p03_page_through_bm25', 'true'),
         |  ('p04_boost_reorders_offset', 'true')
+        |) AS t(step, result) ORDER BY step""".stripMargin,
+
+    // REST search endpoint: the envelope/status contracts verbatim
+    "q_fixture_rest_search" ->
+      """SELECT * FROM (VALUES
+        |  ('01_happy', 'status=200;n=2;first_id=aa44bbee-ca5f-4db7-a412-5fc6a2300002;first_title=spaceship galaxy adventure;props=title;asc=true;took=true'),
+        |  ('02_metadata_keys', 'status=200;keys=certainty|creationTime|distance|lastUpdateTime'),
+        |  ('03_id_always', 'status=200;id=aa44bbee-ca5f-4db7-a412-5fc6a2300002;no_metadata=true'),
+        |  ('04_id_not_metadata', 'status=422;msg_has_key=true;shaped=true'),
+        |  ('05_metadata_prop', 'status=200;prop=user data;dist=true;id=aa44bbee-ca5f-4db7-a412-5fc6a2300002'),
+        |  ('06_where', 'status=200;n=1;title=cooking dinner recipes'),
+        |  ('07_no_index_422', 'status=422;has_flag=true'),
+        |  ('08_references', 'status=200;not_in_props=true;ref_name=famous writer'),
+        |  ('09_refs_omitted', 'status=200;no_refs=true'),
+        |  ('10_nested_object', 'status=200;summary=a journey through space;duration=120'),
+        |  ('11_no_vectorizer_422', 'status=422;has_word=true'),
+        |  ('12_unknown_404', '404'),
+        |  ('13_mt_statuses', 'ok=200/1;ghost=404;missing=422;non_mt=422'),
+        |  ('14_certainty_non_cosine', 'status=422;has_word=true'),
+        |  ('15_unknown_prop_400', 'status=400;has_text=true'),
+        |  ('16_absent_query_422', 'status=422;has_word=true;shaped=true')
         |) AS t(step, result) ORDER BY step""".stripMargin,
 
     // unindexed-property journey: indexed filter serves, hidden prop errors
