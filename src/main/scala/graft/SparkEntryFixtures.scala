@@ -1791,6 +1791,137 @@ object SparkEntryFixtures {
       steps(s, out.result())
     }),
 
+    // testAliasesAPI (test/acceptance/aliases/aliases_api_test.go): the full
+    // alias lifecycle journey over the suite's Books/Document/Passage beds
+    // (book uuids verbatim) — create ×8 with the first-letter-uppercase
+    // transform, case-insensitive get/replace/delete, the clashing-name
+    // rejections with their exact texts, alias-resolved object reads and
+    // GraphQL Get/Aggregate, tenant MUTATIONS failing via alias while reads
+    // resolve, and schema update via alias failing.
+    "q_fixture_aliases" -> ((s, _) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      import graft.model.{CollectionSchema, Property, PropType, Tenant}
+      val gg = new Graft(s).withEmbedder(CitiesFixture.embedder)
+      def unit(deg: Double): Seq[Float] = {
+        val r = math.toRadians(deg)
+        Seq(math.cos(r).toFloat, math.sin(r).toFloat, 0.0f)
+      }
+      val Dune = "67b79643-cf8b-4b22-b206-6e63dbb4e000"
+      val Hail = "67b79643-cf8b-4b22-b206-6e63dbb4e001"
+      val Ice = "67b79643-cf8b-4b22-b206-6e63dbb4e002"
+      gg.register(CollectionSchema("Books", "uuid", Seq(
+        Property("title", PropType.Text),
+        Property("description", PropType.Text),
+        Property("tags", PropType.Arr(PropType.Text))),
+        vectors = Map("default" -> "vector"), defaultVector = Some("default")),
+        s.createDataFrame(s.sparkContext.parallelize(Seq(
+          Row(Dune, "Dune",
+            "Dune is a 1965 epic science fiction novel by American author Frank Herbert.",
+            null, unit(0.0)),
+          Row(Hail, "Project Hail Mary",
+            "Project Hail Mary is a 2021 science fiction novel by American novelist Andy Weir.",
+            null, unit(30.0)),
+          Row(Ice, "The Lord of the Ice Garden",
+            "The Lord of the Ice Garden (Polish: Pan Lodowego Ogrodu) is a four-volume science fiction and fantasy novel by Polish writer Jaroslaw Grzedowicz.",
+            Seq("three", "three", "three"), unit(60.0))), 1),
+          StructType(Seq(StructField("uuid", StringType),
+            StructField("title", StringType), StructField("description", StringType),
+            StructField("tags", ArrayType(StringType)),
+            StructField("vector", ArrayType(FloatType))))))
+      val simpleType = StructType(Seq(StructField("uuid", StringType),
+        StructField("text", StringType)))
+      Seq("Document", "Passage").zipWithIndex.foreach { case (n, i) =>
+        gg.register(CollectionSchema(n, "uuid", Seq(Property("text", PropType.Text))),
+          s.createDataFrame(s.sparkContext.parallelize(Seq(
+            Row(f"88000000-0000-4000-8000-$i%012d", s"$n body")), 1), simpleType))
+      }
+      val out = Seq.newBuilder[(String, String)]
+      Seq("RestBookAlias" -> "Books", "RestDocumentAlias" -> "Document",
+        "RestPassageAlias" -> "Document", "RestPassageAlias1" -> "Passage",
+        "RestPassageAlias2" -> "Passage", "RestPassageAlias3" -> "Passage",
+        "RestAliasThatWillBeReplaced" -> "Passage",
+        "restAliasThatCreated" -> "Passage") // case-transforms on create
+        .foreach { case (a, c) => gg.createAlias(a, c) }
+      def countRest(): Int =
+        gg.listAliases(None).count(_._1.startsWith("Rest"))
+      out += "01_created" -> countRest().toString
+      out += "02_get" -> gg.listAliases(None).filter(_._1 == "RestBookAlias")
+        .map { case (a, c) => s"$a>$c" }.mkString
+      // case-insensitive GET: the handler canonicalizes the lookup name
+      // (UppercaseClassName), the registry stores canonical names
+      out += "03_get_case" -> gg.listAliases(None)
+        .filter(_._1 == "restBookAlias".capitalize).map(_._1).mkString
+      out += "04_get_missing" ->
+        gg.listAliases(None).count(_._1 == "AliasThatDoesntExist").toString
+      def target(a: String): String =
+        gg.listAliases(None).collectFirst { case (`a`, c) => c }.getOrElse("∅")
+      gg.updateAlias("RestAliasThatWillBeReplaced", "Document")
+      out += "05_replace" -> target("RestAliasThatWillBeReplaced")
+      gg.updateAlias("restAliasThatWillBeReplaced", "Passage") // lower first
+      out += "06_replace_case" -> target("RestAliasThatWillBeReplaced")
+      out += "07_replace_missing" -> okOr(gg.updateAlias("AliasThatDoesntExist", "Document"))
+      out += "08_replace_bad_target" -> okOr(
+        gg.updateAlias("RestAliasThatWillBeReplaced", "ErrorCollection"))
+      out += "09_update_with_class_name" -> okOr(gg.updateAlias("Document", "Passage"))
+      gg.deleteAlias("RestAliasThatWillBeReplaced")
+      out += "10_delete" -> countRest().toString
+      gg.deleteAlias("restAliasThatCreated") // lower first letter
+      out += "11_delete_case" -> gg.listAliases(None)
+        .count(_._1 == "RestAliasThatCreated").toString
+      out += "12_delete_missing" -> okOr(gg.deleteAlias("RestAliasThatWillBeReplaced"))
+      out += "13_clash_class_name" -> okOr(gg.createAlias("Books", "Passage"))
+      out += "14_clash_alias_name" -> okOr(gg.createAlias("RestBookAlias", "Passage"))
+      out += "15_class_shadows_alias" -> okOr(gg.register(
+        CollectionSchema("RestBookAlias", "uuid", Seq(Property("title", PropType.Text))),
+        s.createDataFrame(s.sparkContext.emptyRDD[Row],
+          StructType(Seq(StructField("uuid", StringType), StructField("title", StringType))))))
+      out += "16_create_bad_target" -> okOr(
+        gg.createAlias("NonExistingAlias", "NonExistingCollection"))
+      out += "17_object_via_alias" -> {
+        val byAlias = gg.get(GraphQL.get(gg,
+          s"""{ Get { RestBookAlias(where: {path: ["id"] operator: Equal
+             |  valueText: "$Dune"}) { title } } }""".stripMargin)).collect()
+        s"n=${byAlias.length};title=${byAlias.head.getString(0)}"
+      }
+      out += "18_gql_get_via_alias" -> {
+        val rows = gg.get(GraphQL.get(gg,
+          """{ Get { RestBookAlias { title description _additional { id } } } }"""))
+          .collect()
+        s"n=${rows.length};all_filled=${rows.forall(r => !r.isNullAt(0) && !r.isNullAt(1))}"
+      }
+      out += "19_gql_neartext_via_alias" -> gg.get(GraphQL.get(gg,
+        """{ Get { RestBookAlias(nearText: {concepts: "Dune"}) { title } } }"""))
+        .count().toString
+      out += "20_gql_aggregate_via_alias" -> gg.aggregate(GraphQL.aggregate(gg,
+        """{ Aggregate { RestBookAlias { meta { count } } } }"""))
+        .collect().head.getLong(0).toString
+      // tenant ops via alias (reference: mutations fail, reads resolve)
+      gg.register(CollectionSchema("MultiTenantClass", "uuid", Seq(
+        Property("name", PropType.Text)), tenantColumn = Some("tenant")),
+        s.createDataFrame(s.sparkContext.parallelize(Seq(
+          Row("88000000-0000-4000-8000-0000000000ff", "x", "Tenant2")), 1),
+          StructType(Seq(StructField("uuid", StringType),
+            StructField("name", StringType), StructField("tenant", StringType)))))
+      gg.createAlias("MultiTenantAlias", "MultiTenantClass")
+      out += "21_tenant_create_via_alias" -> okOr(
+        gg.addTenants("MultiTenantAlias", Seq(Tenant("Tenant1"))))
+      gg.addTenants("MultiTenantClass", Seq(Tenant("Tenant2")))
+      out += "22_tenant_update_via_alias" -> okOr(
+        gg.updateTenant("MultiTenantAlias", "Tenant2", graft.model.TenantStatus.Inactive))
+      out += "23_tenant_delete_via_alias" -> okOr(
+        gg.deleteTenants("MultiTenantAlias", Seq("Tenant2")))
+      out += "24_tenant_read_via_alias" -> gg.tenants("MultiTenantAlias")
+        .map(_.name).mkString(",")
+      out += "25_schema_update_via_alias" -> okOr {
+        graft.sources.SchemaWire.decodeClassUpdate(
+          gg.collection("RestBookAlias").schema, "RestBookAlias",
+          """{"class": "RestBookAlias", "properties": [
+            |  {"name": "newProperty", "dataType": ["int"]}]}""".stripMargin)
+      }
+      steps(s, out.result())
+    }),
+
     // Test_UnindexedProperty (unindexed_property_test.go): a class created
     // THROUGH THE SCHEMA WIRE with indexFilterable/indexSearchable false on
     // one prop — filtering the indexed prop serves, filtering the hidden
@@ -2683,6 +2814,37 @@ object SparkEntryFixtures {
         |  ('14_certainty_non_cosine', 'status=422;has_word=true'),
         |  ('15_unknown_prop_400', 'status=400;has_text=true'),
         |  ('16_absent_query_422', 'status=422;has_word=true;shaped=true')
+        |) AS t(step, result) ORDER BY step""".stripMargin,
+
+    // alias lifecycle journey: counts, case-canonical lookups, the clash
+    // texts verbatim, alias-resolved reads, alias-rejected mutations
+    "q_fixture_aliases" ->
+      """SELECT * FROM (VALUES
+        |  ('01_created', '8'),
+        |  ('02_get', 'RestBookAlias>Books'),
+        |  ('03_get_case', 'RestBookAlias'),
+        |  ('04_get_missing', '0'),
+        |  ('05_replace', 'Document'),
+        |  ('06_replace_case', 'Passage'),
+        |  ('07_replace_missing', 'replace alias: alias AliasThatDoesntExist does not exist'),
+        |  ('08_replace_bad_target', 'replace alias: class ErrorCollection does not exist'),
+        |  ('09_update_with_class_name', 'replace alias: alias Document does not exist'),
+        |  ('10_delete', '7'),
+        |  ('11_delete_case', '0'),
+        |  ('12_delete_missing', 'alias RestAliasThatWillBeReplaced not found'),
+        |  ('13_clash_class_name', 'create alias: class Books already exists'),
+        |  ('14_clash_alias_name', 'create alias: RestBookAlias, alias already exists'),
+        |  ('15_class_shadows_alias', 'alias name RestBookAlias already exists'),
+        |  ('16_create_bad_target', 'create alias: NonExistingAlias, class not found, NonExistingCollection'),
+        |  ('17_object_via_alias', 'n=1;title=Dune'),
+        |  ('18_gql_get_via_alias', 'n=3;all_filled=true'),
+        |  ('19_gql_neartext_via_alias', '3'),
+        |  ('20_gql_aggregate_via_alias', '3'),
+        |  ('21_tenant_create_via_alias', 'class MultiTenantAlias not found'),
+        |  ('22_tenant_update_via_alias', 'class MultiTenantAlias not found'),
+        |  ('23_tenant_delete_via_alias', 'class MultiTenantAlias not found'),
+        |  ('24_tenant_read_via_alias', 'Tenant2'),
+        |  ('25_schema_update_via_alias', 'property fields other than description cannot be updated through updating the class. Use the add property feature (e.g. "POST /v1/schema/{className}/properties") to add additional properties')
         |) AS t(step, result) ORDER BY step""".stripMargin,
 
     // unindexed-property journey: indexed filter serves, hidden prop errors

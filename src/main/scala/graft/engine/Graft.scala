@@ -224,6 +224,12 @@ final class Graft(val spark: SparkSession) {
     // creation-path name validation (reference applies it on schema create,
     // not on startup loads — re-registration of the same names re-passes)
     SchemaValidation.validate(c.schema)
+    // a class may not shadow an existing alias (the reference's schema
+    // create rejects it — "alias name %s already exists",
+    // aliases_api_test.go clashing-names arms); silent shadowing would
+    // corrupt every alias resolution
+    if (aliases.contains(c.name))
+      throw new IllegalArgumentException(s"alias name ${c.name} already exists")
     // collections cap counts only NEW names (a re-registration replaces)
     if (!collections.contains(c.name))
       UsageLimits.check(maxCollections, collections.size, 1,
@@ -411,7 +417,18 @@ final class Graft(val spark: SparkSession) {
    * create_delete_update_tenants_test.go "Create same tenant multiple
    * times"), and only truly-new tenants count toward the cap
    * (tenant.go:72-95). */
+  /** Schema-level tenant MUTATIONS never resolve aliases: the reference's
+   * TenantsCreate/Update/Delete addressed by an alias fail with the raw-name
+   * class lookup (aliases_api_test.go "add_update_delete tenants with alias
+   * - should fail"), while tenant READS and data queries resolve. */
+  private def rejectAliasTenantOp(name: String): Unit = {
+    val n = canonicalAlias(Namespaces.stripQualification(name))
+    if (aliases.contains(n))
+      throw new IllegalArgumentException(s"class $n not found")
+  }
+
   def addTenants(collectionName: String, ts: Seq[Tenant]): Graft = {
+    rejectAliasTenantOp(collectionName)
     // registry keys are CANONICAL names — an alias-keyed entry would bypass
     // checkTenant (which looks up by c.name) and serve inactive tenants
     val cn = resolveName(collectionName)
@@ -443,6 +460,7 @@ final class Graft(val spark: SparkSession) {
   /** Update activity status; the tenant must exist (tenant.go on-update rules —
    * all three statuses allowed). */
   def updateTenant(collectionName: String, name: String, status: TenantStatus): Graft = {
+    rejectAliasTenantOp(collectionName)
     val cn = resolveName(collectionName)
     val cur = tenantRegistry.getOrElse(cn, Map.empty)
     require(cur.contains(name), s"tenant not found: $name")
@@ -451,6 +469,7 @@ final class Graft(val spark: SparkSession) {
   }
 
   def deleteTenants(collectionName: String, names: Seq[String]): Graft = {
+    rejectAliasTenantOp(collectionName)
     val cn = resolveName(collectionName)
     // an unknown class must error, not insert a bogus registry entry
     require(collections.contains(cn), s"unknown collection $cn")

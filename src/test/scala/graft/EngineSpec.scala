@@ -370,18 +370,26 @@ class EngineSpec extends SparkSpecBase {
         tenantColumn = Some("t")),
       Seq((1L, 10L, "t1"), (2L, 20L, "t2")).toDF("id", "v", "t"))
     gg.createAlias("TAlias", "TenantC")
-    // tenants added via the ALIAS must gate queries addressed either way
-    gg.addTenants("TAlias", Seq(graft.model.Tenant("t1",
+    // tenant MUTATIONS never resolve aliases (aliases_api_test.go
+    // "add_update_delete tenants with alias - should fail"); tenant READS
+    // and data queries do
+    val add = intercept[IllegalArgumentException](
+      gg.addTenants("TAlias", Seq(graft.model.Tenant("t1"))))
+    assert(add.getMessage == "class TAlias not found")
+    gg.addTenants("TenantC", Seq(graft.model.Tenant("t1",
       graft.model.TenantStatus.Inactive)))
-    assert(gg.tenants("TenantC").map(_.name) == Seq("t1"))
+    assert(gg.tenants("TAlias").map(_.name) == Seq("t1")) // read resolves
     val e = intercept[IllegalArgumentException] {
       gg.get(GetParams("TenantC", tenant = Some("t1"), properties = Seq("id")))
         .count()
     }
     assert(e.getMessage.toLowerCase.contains("not active"), e.getMessage)
-    gg.updateTenant("TAlias", "t1", graft.model.TenantStatus.Active)
+    intercept[IllegalArgumentException](
+      gg.updateTenant("TAlias", "t1", graft.model.TenantStatus.Active))
+    gg.updateTenant("TenantC", "t1", graft.model.TenantStatus.Active)
     assert(gg.get(GetParams("TAlias", tenant = Some("t1"),
       properties = Seq("id"))).count() == 1)
+    intercept[IllegalArgumentException](gg.deleteTenants("TAlias", Seq("t1")))
   }
 
   test("cursor + search leg is rejected loudly (keyset walks the id order)") {
