@@ -1922,6 +1922,121 @@ object SparkEntryFixtures {
       steps(s, out.result())
     }),
 
+    // TestGRPC_ListValueReturn (test/acceptance/grpc/list_value_return_
+    // test.go): every typed LIST kind over the FULL binary round-trip —
+    // a binary BatchObjectsRequest carrying text/uuid/date arrays as
+    // TextArrayProperties, f64LE number bytes, int/bool arrays and a nested
+    // ObjectArrayProperties payload is decoded, stored, searched back with
+    // a binary SearchRequest (ObjectPropertiesRequest selection), and the
+    // binary SearchReply's RAW Value oneof kinds are verified byte-level:
+    // uuid[]→uuid_values, date[]→date_values, int[]→int_values(i64LE),
+    // number[]→number_values(f64LE), object[]→object_values.
+    "q_fixture_grpc_lists" -> ((s, _) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      import graft.engine.{ProtoWire, WireDecoder, WireEncoder}
+      import graft.model.{CollectionSchema, Property, PropType}
+      val uuid1 = "99000000-0000-4000-8000-000000000001"
+      val uuid2 = "99000000-0000-4000-8000-000000000002"
+      val objId = "99000000-0000-4000-8000-0000000000aa"
+      val schema = CollectionSchema("ListValueReturn", "uuid", Seq(
+        Property("texts", PropType.Arr(PropType.Text)),
+        Property("ints", PropType.Arr(PropType.Int)),
+        Property("bools", PropType.Arr(PropType.Bool)),
+        Property("numbers", PropType.Arr(PropType.Number)),
+        Property("uuids", PropType.Arr(PropType.Uuid)),
+        Property("dates", PropType.Arr(PropType.Date)),
+        Property("objects", PropType.Arr(PropType.Obj))))
+      val frame = StructType(Seq(
+        StructField("uuid", StringType),
+        StructField("texts", ArrayType(StringType)),
+        StructField("ints", ArrayType(LongType)),
+        StructField("bools", ArrayType(BooleanType)),
+        StructField("numbers", ArrayType(DoubleType)),
+        StructField("uuids", ArrayType(StringType)),
+        StructField("dates", ArrayType(TimestampType)),
+        StructField("objects", ArrayType(StructType(Seq(
+          StructField("texts", ArrayType(StringType))))))))
+      val st = new graft.sources.CollectionStore(s,
+        java.nio.file.Files.createTempDirectory("graft-lvr").toString, schema)
+      st.init(s.createDataFrame(s.sparkContext.emptyRDD[Row], frame))
+      val numBytes = {
+        val bb = java.nio.ByteBuffer.allocate(16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        Seq(1.1, 2.2).foreach(bb.putDouble)
+        java.util.Base64.getEncoder.encodeToString(bb.array())
+      }
+      def tap(name: String, vals: Seq[String]) = JObject(List(
+        "prop_name" -> JString(name),
+        "values" -> JArray(vals.toList.map(JString(_)))))
+      val batchDoc = JObject(List("objects" -> JArray(List(JObject(List(
+        "collection" -> JString("ListValueReturn"),
+        "uuid" -> JString(objId),
+        "properties" -> JObject(List(
+          "text_array_properties" -> JArray(List(
+            tap("texts", Seq("text1", "text2")),
+            tap("uuids", Seq(uuid1, uuid2)),
+            tap("dates", Seq("2020-01-01T00:00:00Z")))),
+          "int_array_properties" -> JArray(List(JObject(List(
+            "prop_name" -> JString("ints"),
+            "values" -> JArray(List(JLong(1), JLong(2))))))),
+          "boolean_array_properties" -> JArray(List(JObject(List(
+            "prop_name" -> JString("bools"),
+            "values" -> JArray(List(JBool(true), JBool(false))))))),
+          "number_array_properties" -> JArray(List(JObject(List(
+            "prop_name" -> JString("numbers"),
+            "values_bytes" -> JString(numBytes))))),
+          "object_array_properties" -> JArray(List(JObject(List(
+            "prop_name" -> JString("objects"),
+            "values" -> JArray(List(JObject(List(
+              "text_array_properties" -> JArray(List(
+                tap("texts", Seq("text1", "text2"))))))))))))))))))))
+      val (objs, errs) = ProtoWire.batchObjectsRequest(
+        ProtoWire.write(batchDoc, "BatchObjectsRequest"))
+      st.upsert(WireDecoder.batchObjectsFrame(s, st.read().schema, "uuid",
+        Map.empty, objs.map(_._2)))
+      val gg = new Graft(s)
+      gg.register(schema, st.read())
+      val out = Seq.newBuilder[(String, String)]
+      out += "01_batch" -> s"errors=${errs.size};stored=${st.read().count()}"
+      val searchDoc = JObject(List(
+        "collection" -> JString("ListValueReturn"),
+        "properties" -> JObject(List(
+          "non_ref_properties" -> JArray(List("texts", "ints", "bools",
+            "numbers", "uuids", "dates").map(JString(_))),
+          "object_properties" -> JArray(List(JObject(List(
+            "prop_name" -> JString("objects"),
+            "primitive_properties" -> JArray(List(JString("texts"))))))))),
+        "uses_123_api" -> JBool(true), "uses_125_api" -> JBool(true)))
+      val params = ProtoWire.searchRequest(gg,
+        ProtoWire.write(searchDoc, "SearchRequest"))
+      val replyJson = WireEncoder.searchReply(gg.get(params), params, took = 0.0)
+      val hints = schema.properties.map(p => p.name -> p.dataType).toMap
+      val replyBytes = ProtoWire.searchReplyBytes(replyJson, hints)
+      val kinds = ProtoWire.propertyKinds(replyBytes)
+      out += "02_kinds" -> Seq("texts", "ints", "bools", "numbers", "uuids",
+        "dates", "objects").map(k => s"$k=${kinds.getOrElse(k, "?")}").mkString(",")
+      // parse the bytes back and verify the VALUES round-trip
+      val back = ProtoWire.read(replyBytes, "SearchReply")
+      val props = (back \ "results") (0) \ "properties" \ "non_ref_properties"
+      def arrOf(name: String): String = (props \ name) match {
+        case JArray(xs) => xs.map(_.values).mkString("|")
+        case o => o.toString
+      }
+      out += "03_texts" -> arrOf("texts")
+      out += "04_ints" -> arrOf("ints")
+      out += "05_bools" -> arrOf("bools")
+      out += "06_numbers" -> arrOf("numbers")
+      out += "07_uuids" -> arrOf("uuids")
+      out += "08_dates" -> arrOf("dates")
+      out += "09_objects" -> ((props \ "objects") (0) \ "texts" match {
+        case JArray(xs) => xs.map(_.values).mkString("|")
+        case o => o.toString
+      })
+      steps(s, out.result())
+    }),
+
     // Test_UnindexedProperty (unindexed_property_test.go): a class created
     // THROUGH THE SCHEMA WIRE with indexFilterable/indexSearchable false on
     // one prop — filtering the indexed prop serves, filtering the hidden
@@ -2845,6 +2960,22 @@ object SparkEntryFixtures {
         |  ('23_tenant_delete_via_alias', 'class MultiTenantAlias not found'),
         |  ('24_tenant_read_via_alias', 'Tenant2'),
         |  ('25_schema_update_via_alias', 'property fields other than description cannot be updated through updating the class. Use the add property feature (e.g. "POST /v1/schema/{className}/properties") to add additional properties')
+        |) AS t(step, result) ORDER BY step""".stripMargin,
+
+    // typed gRPC list kinds: the raw Value oneof tags per property plus the
+    // round-tripped values (the suite's GetTextValues/GetIntValues/...
+    // accessors ARE these kind tags)
+    "q_fixture_grpc_lists" ->
+      """SELECT * FROM (VALUES
+        |  ('01_batch', 'errors=0;stored=1'),
+        |  ('02_kinds', 'texts=list:text_values,ints=list:int_values,bools=list:bool_values,numbers=list:number_values,uuids=list:uuid_values,dates=list:date_values,objects=list:object_values'),
+        |  ('03_texts', 'text1|text2'),
+        |  ('04_ints', '1|2'),
+        |  ('05_bools', 'true|false'),
+        |  ('06_numbers', '1.1|2.2'),
+        |  ('07_uuids', '99000000-0000-4000-8000-000000000001|99000000-0000-4000-8000-000000000002'),
+        |  ('08_dates', '2020-01-01T00:00:00Z'),
+        |  ('09_objects', 'text1|text2')
         |) AS t(step, result) ORDER BY step""".stripMargin,
 
     // unindexed-property journey: indexed filter serves, hidden prop errors

@@ -282,6 +282,23 @@ object ProtoWire {
       f(5, "int_array_properties", TMsg("IntArrayProperties"), rep = true),
       f(6, "text_array_properties", TMsg("TextArrayProperties"), rep = true),
       f(7, "boolean_array_properties", TMsg("BooleanArrayProperties"), rep = true),
+      f(8, "object_properties", TMsg("ObjectProps"), rep = true),
+      f(9, "object_array_properties", TMsg("ObjectArrayProps"), rep = true),
+      f(10, "empty_list_props", TString, rep = true)),
+    // nested object payloads (base.proto:40-59)
+    "ObjectProps" -> Map(
+      f(1, "value", TMsg("ObjectPropertiesValue")), f(2, "prop_name", TString)),
+    "ObjectArrayProps" -> Map(
+      f(1, "values", TMsg("ObjectPropertiesValue"), rep = true),
+      f(2, "prop_name", TString)),
+    "ObjectPropertiesValue" -> Map(
+      f(1, "non_ref_properties", TStruct),
+      f(2, "number_array_properties", TMsg("NumberArrayProperties"), rep = true),
+      f(3, "int_array_properties", TMsg("IntArrayProperties"), rep = true),
+      f(4, "text_array_properties", TMsg("TextArrayProperties"), rep = true),
+      f(5, "boolean_array_properties", TMsg("BooleanArrayProperties"), rep = true),
+      f(6, "object_properties", TMsg("ObjectProps"), rep = true),
+      f(7, "object_array_properties", TMsg("ObjectArrayProps"), rep = true),
       f(10, "empty_list_props", TString, rep = true)),
     "SingleTargetRefProps" -> Map(
       f(1, "uuids", TString, rep = true), f(2, "prop_name", TString)),
@@ -836,14 +853,24 @@ object ProtoWire {
     b
   }
 
+  /** Schema hints for the typed Properties writer: property name → its
+   * declared PropType, so uuid/date values emit their OWN Value kinds
+   * (uuid_value/date_value and the uuid_values/date_values list kinds) the
+   * way the reference's reply does (grpc list_value_return_test.go) —
+   * without a hint a JSON string can only be text_value. */
+  private val propHints = new ThreadLocal[Map[String, graft.model.PropType]] {
+    override def initialValue(): Map[String, graft.model.PropType] = Map.empty
+  }
+
   private def writeProps(jv: JValue): Array[Byte] = {
     val JObject(fields) = jv: @unchecked
+    val hints = propHints.get()
     val out = new java.io.ByteArrayOutputStream()
     fields.foreach { case (k, v) =>
       val entry = new java.io.ByteArrayOutputStream()
       val kb = k.getBytes("UTF-8")
       putTag(entry, 1, 2); putVarint(entry, kb.length.toLong); entry.write(kb)
-      lenDelim(entry, 2, writePropValue(v))
+      lenDelim(entry, 2, writePropValue(v, hints.get(k)))
       lenDelim(out, 1, entry.toByteArray)
     }
     out.toByteArray
@@ -851,8 +878,10 @@ object ProtoWire {
 
   /** Types a runtime JSON value into the weaviate Value oneof. JSON strings
    * carry no date/uuid tag, so every string emits text_value — byte-stable
-   * through [[readProps]] (all string kinds read back as JString). */
-  private def writePropValue(v: JValue): Array[Byte] = {
+   * through [[readProps]] (all string kinds read back as JString) — UNLESS
+   * a schema hint types the property (see [[propHints]]). */
+  private def writePropValue(v: JValue,
+                             hint: Option[graft.model.PropType] = None): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def f64(no: Int, d: Double): Unit = {
       putTag(out, no, 1)
@@ -866,32 +895,47 @@ object ProtoWire {
       case JInt(i) => putTag(out, 8, 0); putVarint(out, i.toLong)
       case JLong(l) => putTag(out, 8, 0); putVarint(out, l)
       case JBool(b) => putTag(out, 3, 0); putVarint(out, if (b) 1 else 0)
-      case JString(s) => lenDelim(out, 13, s.getBytes("UTF-8"))
+      // schema-typed string kinds (properties.proto 6 date_value /
+      // 7 uuid_value); untyped strings stay text_value (13)
+      case JString(s) =>
+        val kind = hint match {
+          case Some(graft.model.PropType.Date) => 6
+          case Some(graft.model.PropType.Uuid) => 7
+          case _ => 13
+        }
+        lenDelim(out, kind, s.getBytes("UTF-8"))
       case o: JObject => lenDelim(out, 4, writeProps(o))
       case JArray(xs) =>
         val lv = new java.io.ByteArrayOutputStream()
-        xs match {
-          case items if items.nonEmpty && items.forall(_.isInstanceOf[JString]) =>
+        (xs, hint) match {
+          // schema-typed string lists: 5 date_values / 6 uuid_values
+          case (items, Some(graft.model.PropType.Arr(el)))
+              if (el == graft.model.PropType.Date || el == graft.model.PropType.Uuid) &&
+                items.forall(_.isInstanceOf[JString]) =>
+            val sv = new java.io.ByteArrayOutputStream()
+            items.foreach { case JString(s) => lenDelim(sv, 1, s.getBytes("UTF-8")); case _ => () }
+            lenDelim(lv, if (el == graft.model.PropType.Date) 5 else 6, sv.toByteArray)
+          case (items, _) if items.nonEmpty && items.forall(_.isInstanceOf[JString]) =>
             val tv = new java.io.ByteArrayOutputStream()
             items.foreach { case JString(s) => lenDelim(tv, 1, s.getBytes("UTF-8")); case _ => () }
             lenDelim(lv, 8, tv.toByteArray)
-          case items if items.nonEmpty && items.forall(_.isInstanceOf[JBool]) =>
+          case (items, _) if items.nonEmpty && items.forall(_.isInstanceOf[JBool]) =>
             val bv = new java.io.ByteArrayOutputStream()
             val packed = new java.io.ByteArrayOutputStream()
             items.foreach { case JBool(b) => putVarint(packed, if (b) 1 else 0); case _ => () }
             lenDelim(bv, 1, packed.toByteArray)
             lenDelim(lv, 3, bv.toByteArray)
-          case items if items.nonEmpty && items.forall(x =>
+          case (items, _) if items.nonEmpty && items.forall(x =>
               x.isInstanceOf[JInt] || x.isInstanceOf[JLong]) =>
             val iv = new java.io.ByteArrayOutputStream()
             lenDelim(iv, 1, bytesLE(items.map {
               case JInt(i) => i.toLong; case JLong(l) => l; case _ => 0L }))
             lenDelim(lv, 7, iv.toByteArray)
-          case items if items.nonEmpty && items.forall(_.isInstanceOf[JObject]) =>
+          case (items, _) if items.nonEmpty && items.forall(_.isInstanceOf[JObject]) =>
             val ov = new java.io.ByteArrayOutputStream()
             items.foreach(o => lenDelim(ov, 1, writeProps(o)))
             lenDelim(lv, 4, ov.toByteArray)
-          case items => // numeric (possibly mixed) and EMPTY lists → number_values
+          case (items, _) => // numeric (possibly mixed) and EMPTY lists → number_values
             val nv = new java.io.ByteArrayOutputStream()
             lenDelim(nv, 1, bytesLE(items.map {
               case JDouble(d) => java.lang.Double.doubleToLongBits(d)
@@ -941,5 +985,94 @@ object ProtoWire {
   def searchReplyBytes(replyJson: String): Array[Byte] = {
     import org.json4s.jackson.JsonMethods
     write(JsonMethods.parse(replyJson), "SearchReply")
+  }
+
+  /** [[searchReplyBytes]] with SCHEMA HINTS: per-property declared types
+   * drive the Value oneof kinds — uuid/date strings (and their lists) emit
+   * uuid_value/date_value/uuid_values/date_values instead of text kinds,
+   * exactly what a typed gRPC client decodes
+   * (grpc list_value_return_test.go). */
+  def searchReplyBytes(replyJson: String,
+                       propTypes: Map[String, graft.model.PropType]): Array[Byte] = {
+    import org.json4s.jackson.JsonMethods
+    propHints.set(propTypes)
+    try write(JsonMethods.parse(replyJson), "SearchReply")
+    finally propHints.remove()
+  }
+
+  private val ValueKindNames = Map(
+    1 -> "number_value", 3 -> "bool_value", 4 -> "object_value",
+    5 -> "list_value", 6 -> "date_value", 7 -> "uuid_value", 8 -> "int_value",
+    9 -> "geo_value", 10 -> "blob_value", 11 -> "phone_value",
+    12 -> "null_value", 13 -> "text_value")
+  private val ListKindNames = Map(
+    2 -> "number_values", 3 -> "bool_values", 4 -> "object_values",
+    5 -> "date_values", 6 -> "uuid_values", 7 -> "int_values", 8 -> "text_values")
+
+  /** Wire-contract verifier: walk a SearchReply's FIRST result's
+   * non_ref_props BYTES (never the collapsing json view) and report each
+   * property's RAW Value oneof kind — list values as "list:<kind>". The
+   * grpc acceptance suite's typed-list assertions are exactly these tags. */
+  def propertyKinds(replyBytes: Array[Byte]): Map[String, String] = {
+    def sub(r: Reader, wantField: Int): Option[Array[Byte]] = {
+      while (r.hasMore) {
+        val tag = r.varint()
+        val no = (tag >> 3).toInt
+        (tag & 7) match {
+          case 0 => r.varint()
+          case 1 => r.fixed64()
+          case 5 => r.fixed32()
+          case 2 =>
+            val b = r.bytes(r.varint().toInt)
+            if (no == wantField) return Some(b)
+          case other => fail(s"proto: unsupported wire type $other")
+        }
+      }
+      None
+    }
+    def rd(b: Array[Byte]) = new Reader(b, 0, b.length)
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    for {
+      result <- sub(rd(replyBytes), 2)          // SearchReply.results[0]
+      props <- sub(rd(result), 1)               // SearchResult.properties
+      nonRef <- sub(rd(props), 11)              // PropertiesResult.non_ref_props
+    } {
+      val pr = rd(nonRef)
+      while (pr.hasMore) {
+        val tag = pr.varint()
+        if ((tag >> 3).toInt != 1 || (tag & 7) != 2) fail("proto: bad Properties field")
+        val entry = pr.bytes(pr.varint().toInt)
+        val er = rd(entry)
+        var key = ""; var kind = "?"
+        while (er.hasMore) {
+          val etag = er.varint()
+          (etag >> 3).toInt match {
+            case 1 => key = new String(er.bytes(er.varint().toInt), "UTF-8")
+            case 2 =>
+              val vb = er.bytes(er.varint().toInt)
+              val vr = rd(vb)
+              if (vr.hasMore) {
+                val vtag = vr.varint()
+                val vno = (vtag >> 3).toInt
+                kind = ValueKindNames.getOrElse(vno, vno.toString)
+                if (vno == 5) { // list_value: name the inner list kind
+                  val lb = vr.bytes(vr.varint().toInt)
+                  val lr = rd(lb)
+                  if (lr.hasMore) {
+                    val lno = (lr.varint() >> 3).toInt
+                    kind = s"list:${ListKindNames.getOrElse(lno, lno.toString)}"
+                  }
+                } else (vtag & 7) match {
+                  case 0 => vr.varint(); case 1 => vr.fixed64()
+                  case 5 => vr.fixed32(); case _ => ()
+                }
+              }
+            case _ => fail("proto: bad Properties entry")
+          }
+        }
+        out += key -> kind
+      }
+    }
+    out.toMap
   }
 }

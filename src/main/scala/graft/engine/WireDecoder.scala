@@ -424,6 +424,35 @@ object WireDecoder {
         k -> arr(e, "values").getOrElse(Nil).map(v =>
           f.applyOrElse(v, (o: JValue) => fail(s"$name.$k: unsupported value $o")))
       }.toMap
+    // number arrays may arrive as f64LE BYTES instead of a values list
+    // (base.proto:17-23 values_bytes — go clients ≥5.x send bytes)
+    val numberBytes: Map[String, Any] =
+      arr(p, "numberArrayProperties").getOrElse(Nil).flatMap { e =>
+        str(e, "valuesBytes").filter(_.nonEmpty).map { b64 =>
+          val raw = Base64.getDecoder.decode(b64)
+          val n = str(e, "propName").getOrElse(fail("numberArrayProperties: propName is required"))
+          val vals = (0 until raw.length / 8).map { i =>
+            var bits = 0L; var j = 0
+            while (j < 8) { bits |= (raw(i * 8 + j) & 0xffL) << (8 * j); j += 1 }
+            java.lang.Double.longBitsToDouble(bits)
+          }
+          n -> (vals: Any)
+        }
+      }.toMap
+    // nested object / object[] payloads (base.proto ObjectPropertiesValue —
+    // a Struct plus nested typed array messages), recursively decoded into
+    // maps so the frame builder can coerce them onto the declared StructType
+    def objectValue(v: JValue): Map[String, Any] = decodeObjectProps(v)
+    val objectProps: Map[String, Any] =
+      arr(p, "objectProperties").getOrElse(Nil).map { e =>
+        val n = str(e, "propName").getOrElse(fail("objectProperties: propName is required"))
+        n -> (field(e, "value").map(objectValue).getOrElse(Map.empty[String, Any]): Any)
+      }.toMap
+    val objectArrayProps: Map[String, Any] =
+      arr(p, "objectArrayProperties").getOrElse(Nil).map { e =>
+        val n = str(e, "propName").getOrElse(fail("objectArrayProperties: propName is required"))
+        n -> (arr(e, "values").getOrElse(Nil).map(objectValue): Any)
+      }.toMap
     nonRef ++
       arrProps("textArrayProperties") { case JString(s) => s } ++
       arrProps("intArrayProperties") {
@@ -432,7 +461,9 @@ object WireDecoder {
       arrProps("numberArrayProperties") {
         case JDouble(d) => d; case JInt(i) => i.toDouble
         case JLong(l) => l.toDouble; case JDecimal(d) => d.toDouble } ++
-      arrProps("booleanArrayProperties") { case JBool(b) => b }
+      numberBytes ++
+      arrProps("booleanArrayProperties") { case JBool(b) => b } ++
+      objectProps ++ objectArrayProps
   }
 
   /**
@@ -460,6 +491,11 @@ object WireDecoder {
       case (x: Long, DoubleType) => x.toDouble
       case (x: Double, FloatType) => x.toFloat
       case (s: String, TimestampType) => Where.utcTs(s)
+      // decoded object / object[] payloads → the declared nested StructType
+      case (m: Map[_, _], st: StructType) =>
+        val mm = m.asInstanceOf[Map[String, Any]]
+        org.apache.spark.sql.Row.fromSeq(
+          st.fields.toSeq.map(f => coerce(mm.getOrElse(f.name, null), f.dataType)))
       case (xs: Seq[_], ArrayType(et, _)) => xs.map(coerce(_, et))
       case (xs: Array[Float], ArrayType(FloatType, _)) => xs.toSeq
       case (xs: Array[Float], ArrayType(DoubleType, _)) => xs.map(_.toDouble).toSeq
@@ -1240,9 +1276,13 @@ object WireDecoder {
       case None => (Nil: Seq[String], Nil: Seq[String])
       case Some(p) =>
         val nonRef = if (bool(p, "returnAllNonrefProperties")) Nil else strArr(p, "nonRefProperties")
+        // nested-object selections (ObjectPropertiesRequest) select the
+        // whole declared struct; sub-field pruning is reply-side
+        val objProps = arr(p, "objectProperties").getOrElse(Nil)
+          .map(op => str(op, "propName").getOrElse(fail("objectProperties: propName is required")))
         val refProps = arr(p, "refProperties").getOrElse(Nil)
           .map(rp => str(rp, "referenceProperty").getOrElse(fail("refProperties: referenceProperty is required")))
-        (nonRef, refProps)
+        (nonRef ++ objProps, refProps)
     }
 
     val offset = intF(jv, "offset").map(_.toInt).getOrElse(0)
