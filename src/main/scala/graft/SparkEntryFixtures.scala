@@ -2037,6 +2037,47 @@ object SparkEntryFixtures {
       steps(s, out.result())
     }),
 
+    // TestGRPCTenantsGet (test/acceptance/grpc/tenants_test.go): the binary
+    // TenantsGet round-trip — all tenants (HOT statuses), selection by
+    // names IN ORDER, the set-but-empty names error, and the unknown-name
+    // empty reply.
+    "q_fixture_grpc_tenants" -> ((s, _) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      import org.json4s._
+      import graft.engine.ProtoWire
+      import graft.model.{CollectionSchema, Property, PropType, Tenant}
+      val gg = new Graft(s)
+      gg.register(CollectionSchema("GRPCTenantsGet", "uuid", Seq(
+        Property("name", PropType.Text)), tenantColumn = Some("tenant")),
+        s.createDataFrame(s.sparkContext.parallelize(Seq(
+          Row("aa000000-0000-4000-8000-000000000001", "x", "Tenant1")), 1),
+          StructType(Seq(StructField("uuid", StringType),
+            StructField("name", StringType), StructField("tenant", StringType)))))
+      gg.addTenants("GRPCTenantsGet",
+        Seq(Tenant("Tenant1"), Tenant("Tenant2"), Tenant("Tenant3")))
+      def req(names: Option[List[String]]): JValue = JObject(List(
+        "collection" -> JString("GRPCTenantsGet")) ++
+        names.map(ns => "names" -> JObject(
+          if (ns.isEmpty) Nil else List("values" -> JArray(ns.map(JString(_)))))))
+      def call(names: Option[List[String]]): String =
+        try {
+          val reply = ProtoWire.read(ProtoWire.tenantsGet(gg,
+            ProtoWire.write(req(names), "TenantsGetRequest")), "TenantsGetReply")
+          (reply \ "tenants") match {
+            case JArray(ts) => ts.map(t =>
+              s"${(t \ "name").values}=${(t \ "activity_status").values}").mkString(",")
+            case _ => "" // empty reply
+          }
+        } catch { case e: Throwable => s"error: ${e.getMessage}" }
+      val out = Seq.newBuilder[(String, String)]
+      out += "01_all" -> call(None)
+      out += "02_by_names" -> call(Some(List("Tenant1", "Tenant3")))
+      out += "03_names_empty_error" -> call(Some(Nil))
+      out += "04_unknown_empty" -> call(Some(List("NonExistentTenant")))
+      steps(s, out.result())
+    }),
+
     // Test_UnindexedProperty (unindexed_property_test.go): a class created
     // THROUGH THE SCHEMA WIRE with indexFilterable/indexSearchable false on
     // one prop — filtering the indexed prop serves, filtering the hidden
@@ -2976,6 +3017,15 @@ object SparkEntryFixtures {
         |  ('07_uuids', '99000000-0000-4000-8000-000000000001|99000000-0000-4000-8000-000000000002'),
         |  ('08_dates', '2020-01-01T00:00:00Z'),
         |  ('09_objects', 'text1|text2')
+        |) AS t(step, result) ORDER BY step""".stripMargin,
+
+    // binary TenantsGet: all/by-names/empty-error/unknown-empty contracts
+    "q_fixture_grpc_tenants" ->
+      """SELECT * FROM (VALUES
+        |  ('01_all', 'Tenant1=TENANT_ACTIVITY_STATUS_HOT,Tenant2=TENANT_ACTIVITY_STATUS_HOT,Tenant3=TENANT_ACTIVITY_STATUS_HOT'),
+        |  ('02_by_names', 'Tenant1=TENANT_ACTIVITY_STATUS_HOT,Tenant3=TENANT_ACTIVITY_STATUS_HOT'),
+        |  ('03_names_empty_error', 'error: tenant names must not be empty when the names parameter is set'),
+        |  ('04_unknown_empty', '')
         |) AS t(step, result) ORDER BY step""".stripMargin,
 
     // unindexed-property journey: indexed filter serves, hidden prop errors

@@ -336,6 +336,24 @@ object ProtoWire {
     "RefPropertiesResult" -> Map(
       f(1, "properties", TMsg("PropertiesResult"), rep = true),
       f(2, "prop_name", TString)),
+    // ----- Tenants wire (grpc/proto/v1/tenants.proto) ----------------------
+    "TenantsGetRequest" -> Map(
+      f(1, "collection", TString), f(2, "names", TMsg("TenantNames"))),
+    "TenantNames" -> Map(f(1, "values", TString, rep = true)),
+    "TenantsGetReply" -> Map(
+      f(1, "took", TFloat), f(2, "tenants", TMsg("TenantMsg"), rep = true)),
+    "TenantMsg" -> Map(
+      f(1, "name", TString), f(2, "activity_status", TEnum(Map(
+        0 -> "TENANT_ACTIVITY_STATUS_UNSPECIFIED",
+        1 -> "TENANT_ACTIVITY_STATUS_HOT", 2 -> "TENANT_ACTIVITY_STATUS_COLD",
+        4 -> "TENANT_ACTIVITY_STATUS_FROZEN",
+        5 -> "TENANT_ACTIVITY_STATUS_UNFREEZING",
+        6 -> "TENANT_ACTIVITY_STATUS_FREEZING",
+        7 -> "TENANT_ACTIVITY_STATUS_ACTIVE",
+        8 -> "TENANT_ACTIVITY_STATUS_INACTIVE",
+        9 -> "TENANT_ACTIVITY_STATUS_OFFLOADED",
+        10 -> "TENANT_ACTIVITY_STATUS_OFFLOADING",
+        11 -> "TENANT_ACTIVITY_STATUS_ONLOADING")))),
     // PhoneNumber (properties.proto:88-96) — surfaces inside typed Values
     "PhoneNumberMsg" -> Map(
       f(1, "country_code", TInt64), f(2, "default_country", TString),
@@ -998,6 +1016,42 @@ object ProtoWire {
     propHints.set(propTypes)
     try write(JsonMethods.parse(replyJson), "SearchReply")
     finally propHints.remove()
+  }
+
+  /** Binary TenantsGet (grpc tenants_test.go): decode the request, answer
+   * from the tenant registry, encode the TenantsGetReply bytes. The names
+   * oneof set but EMPTY is the suite's error contract; unknown names
+   * return an empty list. HOT/COLD render for Active/Inactive (tenant.proto
+   * keeps both spellings; the reference replies the legacy pair). */
+  def tenantsGet(g: Graft, bytes: Array[Byte]): Array[Byte] = {
+    val jv = read(bytes, "TenantsGetRequest")
+    val collection = (jv \ "collection") match {
+      case JString(c) => c; case _ => fail("tenants get: collection is required")
+    }
+    val names: Option[Seq[String]] = (jv \ "names") match {
+      case JNothing | JNull => None
+      case n => Some((n \ "values") match {
+        case JArray(xs) => xs.map { case JString(s) => s; case o => fail(s"bad name $o") }
+        case _ => Nil
+      })
+    }
+    names.filter(_.isEmpty).foreach(_ =>
+      fail("tenant names must not be empty when the names parameter is set"))
+    val all = g.tenants(collection)
+    val selected = names match {
+      case Some(ns) => ns.flatMap(n => all.find(_.name == n))
+      case None => all
+    }
+    val statusName: graft.model.TenantStatus => String = {
+      case graft.model.TenantStatus.Active => "TENANT_ACTIVITY_STATUS_HOT"
+      case graft.model.TenantStatus.Inactive => "TENANT_ACTIVITY_STATUS_COLD"
+      case graft.model.TenantStatus.Offloaded => "TENANT_ACTIVITY_STATUS_FROZEN"
+    }
+    write(JObject(List(
+      "tenants" -> JArray(selected.toList.map(t => JObject(List(
+        "name" -> JString(t.name),
+        "activity_status" -> JString(statusName(t.activityStatus)))))))),
+      "TenantsGetReply")
   }
 
   private val ValueKindNames = Map(
