@@ -1730,8 +1730,14 @@ final class Graft(val spark: SparkSession) {
     bc.filter.map(w => when(predicate(w), lit(1.0)).otherwise(lit(0.0)))
       .orElse(bc.timeDecay.map { td =>
         val dist = abs(col(td.property).cast("double") * 1e9 - originNs(td.origin))
-        Boost.decayScore(dist, Boost.parseNumericOrDuration(td.offset),
+        // an unparseable offset silently reads 0; an unparseable scale
+        // invalidates the condition → uniform 0 (boost_scorer.go:479-487)
+        val offset =
+          try Boost.parseNumericOrDuration(td.offset)
+          catch { case _: NumberFormatException => 0.0 }
+        try Boost.decayScore(dist, offset,
           Boost.parseNumericOrDuration(td.scale), td.curve, td.decayValue)
+        catch { case _: NumberFormatException => lit(0.0) }
       })
       .orElse(bc.numericDecay.map { nd =>
         val dist = abs(col(nd.property).cast("double") - nd.origin)

@@ -1191,8 +1191,8 @@ object WireDecoder {
     // switches to the optional alpha_param (absent → DefaultAlpha 0.75);
     // legacy clients keep the deprecated `alpha` field, proto3-defaulted
     val alpha =
-      if (bool(jv, "useAlphaParam")) num(jv, "alphaParam").getOrElse(0.75)
-      else num(jv, "alpha").getOrElse(0.75) // DefaultAlpha (common_filters/hybrid.go:23)
+      if (bool(jv, "useAlphaParam")) num(jv, "alphaParam").getOrElse(0.75) // DefaultAlpha (common_filters/hybrid.go:23)
+      else num(jv, "alpha").getOrElse(0.0) // raw proto3-defaulted hs.Alpha (parse_search_request.go:308-310)
     val vectorDistance = num(jv, "vectorDistance")
 
     // sub-searches: selection only at the top level (parse_search_request.go:295-300)
@@ -1275,14 +1275,20 @@ object WireDecoder {
     val (props, refs) = field(jv, "properties") match {
       case None => (Nil: Seq[String], Nil: Seq[String])
       case Some(p) =>
-        val nonRef = if (bool(p, "returnAllNonrefProperties")) Nil else strArr(p, "nonRefProperties")
         // nested-object selections (ObjectPropertiesRequest) select the
         // whole declared struct; sub-field pruning is reply-side
         val objProps = arr(p, "objectProperties").getOrElse(Nil)
           .map(op => str(op, "propName").getOrElse(fail("objectProperties: propName is required")))
+        // returnAllNonrefProperties already covers object props (the
+        // reference appends them to an all-inclusive list,
+        // parse_search_request.go:987-996,1096); here Nil = "all", so the
+        // selection must stay empty rather than narrow to objProps only
+        val nonRef =
+          if (bool(p, "returnAllNonrefProperties")) Nil
+          else strArr(p, "nonRefProperties") ++ objProps
         val refProps = arr(p, "refProperties").getOrElse(Nil)
           .map(rp => str(rp, "referenceProperty").getOrElse(fail("refProperties: referenceProperty is required")))
-        (nonRef ++ objProps, refProps)
+        (nonRef, refProps)
     }
 
     val offset = intF(jv, "offset").map(_.toInt).getOrElse(0)

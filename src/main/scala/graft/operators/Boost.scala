@@ -100,7 +100,12 @@ object Boost {
    * cannot decay-match). */
   def decayScore(dist: Column, offset: Double, scale0: Double,
                  curve0: String, decayValue0: Double): Column = {
-    val scale = if (scale0 <= 0) 1.0 else scale0
+    // scale <= 0 marks the whole condition invalid: every result scores 0
+    // while the condition's |weight| still counts in the denominator
+    // (parseDecayParams returns parsedDecay{} → computeDecayForResult 0,
+    // boost_scorer.go:485-487,529-531)
+    if (scale0 <= 0) return lit(0.0)
+    val scale = scale0
     val dv = if (decayValue0 == 0) 0.5 else decayValue0
     val curve = if (curve0.isEmpty) "exp" else curve0
     val d = greatest(dist - offset, lit(0.0))
@@ -131,8 +136,10 @@ object Boost {
   }
 
   /** parseNumericOrDuration (boost_scorer.go:620-650): `<n>(d|h|m|s|ms)`
-   * durations or plain numbers — everything in NANOSECONDS (Go duration
-   * floats). */
+   * durations, then Go time.ParseDuration compounds ("1h30m", "100ns"),
+   * then plain numbers — everything in NANOSECONDS (Go duration floats).
+   * Throws NumberFormatException when nothing parses (the reference
+   * returns err; callers decide invalid-vs-zero). */
   def parseNumericOrDuration(s: String): Double = {
     if (s.isEmpty) return 0.0
     val Dur = """^(\d+(?:\.\d+)?)(d|h|m|s|ms)$""".r
@@ -146,7 +153,25 @@ object Boost {
           case "s"  => x * 1e9
           case "ms" => x * 1e6
         }
-      case other => other.toDouble
+      case other => parseGoDuration(other).getOrElse(other.toDouble)
     }
+  }
+
+  /** Go time.ParseDuration subset (boost_scorer.go:646-648 fallback):
+   * optional sign, one or more `<num><unit>` segments with units
+   * ns/us/µs/μs/ms/s/m/h; nanoseconds out. None when the shape doesn't
+   * match (so plain-float fallback can run). */
+  private def parseGoDuration(s: String): Option[Double] = {
+    val (sign, body) =
+      if (s.startsWith("-")) (-1.0, s.drop(1))
+      else if (s.startsWith("+")) (1.0, s.drop(1))
+      else (1.0, s)
+    if (body.isEmpty) return None
+    val Seg = """(\d+(?:\.\d+)?)(ns|us|µs|μs|ms|s|m|h)""".r
+    val segs = Seg.findAllMatchIn(body).toList
+    if (segs.isEmpty || segs.map(_.matched).mkString != body) return None
+    val unitNs = Map("ns" -> 1.0, "us" -> 1e3, "µs" -> 1e3, "μs" -> 1e3,
+      "ms" -> 1e6, "s" -> 1e9, "m" -> 60e9, "h" -> 3600e9)
+    Some(sign * segs.map(m => m.group(1).toDouble * unitNs(m.group(2))).sum)
   }
 }

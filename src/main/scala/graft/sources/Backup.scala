@@ -31,12 +31,12 @@ object Backup {
    * the restored class. */
   // the post-v1 fields are Options so manifests written BEFORE they existed
   // (or by other tools) restore with defaults instead of a deserializer crash
-  private case class PropManifest(
+  case class PropManifest(
       name: String, dataType: String, tokenization: String,
       refTarget: Option[String], indexFilterable: Boolean, indexSearchable: Boolean,
       asciiFold: Option[Boolean] = None, indexRangeFilters: Option[Boolean] = None,
       refTargets: Option[Seq[String]] = None)
-  private case class SchemaManifest(
+  case class SchemaManifest(
       name: String, idColumn: String, properties: Seq[PropManifest],
       vectors: Map[String, String], defaultVector: Option[String],
       tenantColumn: Option[String], creationTimeColumn: Option[String],
@@ -48,7 +48,8 @@ object Backup {
       indexNullState: Option[Boolean] = None,
       indexPropertyLength: Option[Boolean] = None,
       vectorMetrics: Option[Map[String, String]] = None,
-      timestampUnit: Option[String] = None)
+      timestampUnit: Option[String] = None,
+      vectorizeClassName: Option[Boolean] = None)
 
   private def parsePropType(s: String): PropType = s match {
     case arr if arr.endsWith("[]") => PropType.Arr(parsePropType(arr.dropRight(2)))
@@ -107,7 +108,8 @@ object Backup {
       Some(c.schema.invertedIndex.indexNullState),
       Some(c.schema.invertedIndex.indexPropertyLength),
       Some(c.schema.vectorMetrics.map { case (k, v) => k -> v.name }),
-      Some(c.schema.timestampUnit))
+      Some(c.schema.timestampUnit),
+      Some(c.schema.vectorizeClassName))
     Seq(manifest).toDS().coalesce(1).write.mode(SaveMode.Overwrite).json(s"$path/schema")
     val writer = c.df.write.mode(SaveMode.Overwrite)
     c.schema.tenantColumn.fold(writer)(tc => writer.partitionBy(tc)).parquet(s"$path/data")
@@ -134,7 +136,8 @@ object Backup {
       invertedIndex = InvertedIndexConfig(m.indexTimestamps.getOrElse(false),
         m.indexNullState.getOrElse(false), m.indexPropertyLength.getOrElse(false)),
       vectorMetrics = m.vectorMetrics.getOrElse(Map.empty)
-        .map { case (k, v) => k -> parseMetric(v) })
+        .map { case (k, v) => k -> parseMetric(v) },
+      vectorizeClassName = m.vectorizeClassName.getOrElse(true))
     // same string-partition contract as CollectionStore.read — a restored
     // multi-tenant class must not re-type numeric-looking tenant directories
     Collection(schema,

@@ -76,6 +76,20 @@ class BackupSpec extends SparkSpecBase {
       InvertedIndexConfig(indexTimestamps = true, indexNullState = true, indexPropertyLength = true))
   }
 
+  test("round-trip preserves vectorizeClassName=false (vectorizer corpus config)") {
+    // a restore that silently reset this to true would change the stand-in
+    // vectorizer's corpus and every _additional{interpretation} on the class
+    val g = new Graft(spark)
+    val schema = CollectionSchema("NoCls", "id", Seq(
+      Property("txt", PropType.Text, Tokenization.Word)),
+      vectorizeClassName = false)
+    g.register(schema, Seq((1L, "hello")).toDF("id", "txt"))
+    val root = Files.createTempDirectory("graft-backup-vcn").toString
+    Backup.backup(g, Seq("NoCls"), root)
+    val s2 = Backup.restoreCollection(spark, s"$root/NoCls").schema
+    assert(!s2.vectorizeClassName)
+  }
+
   test("export snapshot: cancel frees the slot; commit pins the prepare-time version") {
     import graft.sources.{CollectionStore, ExportSnapshot}
     val docs = (0L until 50L).map(i => (i, i * 2)).toDF("id", "v")

@@ -228,10 +228,12 @@ class WireDecoderSpec extends SparkSpecBase {
     assert(hy.alpha == 0.7 && hy.fusionType == FusionType.Ranked)
     assert(hy.vector.get.toSeq == Seq(0.5f, 0.5f))
 
-    // defaults: alpha 0.75, relativeScore fusion
+    // defaults: legacy alpha is the raw proto3 zero (parse_search_request
+    // .go:308-310 — DefaultAlpha only applies on the use_alpha_param path),
+    // relativeScore fusion
     val hd = WireDecoder.search(g,
       """{"collection": "DocVec", "limit": 15, "hybridSearch": {"query": "spark"}}""")
-    assert(hd.hybrid.get.alpha == 0.75 && hd.hybrid.get.fusionType == FusionType.RelativeScore)
+    assert(hd.hybrid.get.alpha == 0.0 && hd.hybrid.get.fusionType == FusionType.RelativeScore)
 
     assert(err(
       """{"collection": "DocVec", "limit": 15,
@@ -333,6 +335,38 @@ class WireDecoderSpec extends SparkSpecBase {
     val e = intercept[IllegalArgumentException](
       WireDecoder.search(g, """{"collection": "Ghost", "limit": 5}"""))
     assert(e.getMessage.contains("unknown collection"))
+  }
+
+  test("hybrid alpha: legacy clients without use_alpha_param get the raw proto3 default 0") {
+    // parse_search_request.go:308-314 — !UseAlphaParam reads hs.Alpha
+    // verbatim; proto3 omits zero scalars, so a pure-BM25 request (alpha=0)
+    // arrives with the field absent and must decode as 0, NOT DefaultAlpha
+    val legacy = WireDecoder.search(g,
+      """{"collection": "DocVec", "limit": 5, "hybridSearch": {"query": "spark"}}""")
+    assert(legacy.hybrid.map(_.alpha).contains(0.0))
+    val legacyExplicit = WireDecoder.search(g,
+      """{"collection": "DocVec", "limit": 5, "hybridSearch": {"query": "spark", "alpha": 0.3}}""")
+    assert(legacyExplicit.hybrid.map(_.alpha).contains(0.3))
+    // the new path: use_alpha_param with alpha_param absent → DefaultAlpha
+    val modern = WireDecoder.search(g,
+      """{"collection": "DocVec", "limit": 5, "hybridSearch": {"query": "spark", "useAlphaParam": true}}""")
+    assert(modern.hybrid.map(_.alpha).contains(0.75))
+  }
+
+  test("returnAllNonrefProperties keeps the selection open even with objectProperties present") {
+    // parse_search_request.go:987-996,1096 — ReturnAll already includes the
+    // object props; here Nil = "all", so objProps must not narrow it
+    val all = WireDecoder.search(g,
+      """{"collection": "Document", "limit": 5,
+        |  "properties": {"returnAllNonrefProperties": true,
+        |    "objectProperties": [{"propName": "title"}]}}""".stripMargin)
+    assert(all.properties.isEmpty)
+    // without returnAll, objectProperties join the explicit selection
+    val some = WireDecoder.search(g,
+      """{"collection": "Document", "limit": 5,
+        |  "properties": {"nonRefProperties": ["lang"],
+        |    "objectProperties": [{"propName": "title"}]}}""".stripMargin)
+    assert(some.properties == Seq("lang", "title"))
   }
 
   test("tenants wire: alias fold, create/update FROZEN split, empty-on-create default") {
