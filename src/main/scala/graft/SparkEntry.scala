@@ -361,7 +361,7 @@ object SparkEntry {
       gg.get(GetParams("Embedding",
         nearVector = Some(NearVector(Fixtures.anchorVector(gg, 11L), metric = Metric.L2Squared,
           targetVectors = Seq("default", "rev"), combination = TargetCombination.Sum,
-          vectors = Seq(Fixtures.anchorVector(gg, 11L), Fixtures.anchorVector(gg, 23L)))),
+          vectors = TargetQuery.singles(Seq(Fixtures.anchorVector(gg, 11L), Fixtures.anchorVector(gg, 23L))))),
         pagination = Some(Pagination(limit = 10)),
         properties = Seq("vec_id"),
         additional = Set("distance")))
@@ -376,7 +376,7 @@ object SparkEntry {
       gg.get(GetParams("Embedding",
         nearVector = Some(NearVector(Fixtures.anchorVector(gg, 11L), metric = Metric.L2Squared,
           targetVectors = Seq("default", "rev"),
-          combination = TargetCombination.RelativeScore(Map("default" -> 0.7, "rev" -> 0.3)))),
+          combination = TargetCombination.RelativeScore(Seq(0.7, 0.3)))),
         pagination = Some(Pagination(limit = 10)),
         properties = Seq("vec_id"),
         additional = Set("distance")))

@@ -484,8 +484,10 @@ object IvfIndex {
           c.vectorIndexes.get(t).filter(ix => c.schema.vectors.get(t).contains(ix.vecCol)))
         if (resolved.forall(_.isDefined)) Some(resolved.map(_.get)) else None
       } else None
-    val indexable = servesTarget && !hasThreshold && limit.isDefined
-    val multiIndexable = multiIdx.isDefined && !hasThreshold && limit.isDefined
+    // MaxSim (multi-vector) query positions can't probe a single-vector IVF
+    // layout — those searches take the exact scan
+    val indexable = servesTarget && !hasThreshold && limit.isDefined && !params.hasMultiQuery
+    val multiIndexable = multiIdx.isDefined && !hasThreshold && limit.isDefined && !params.hasMultiQuery
     (filtered, filteredCountHint) match {
       case (None, _) if indexable =>
         index.get.search(params.queryFor(0), limit.get, params.metric,

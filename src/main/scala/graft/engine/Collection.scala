@@ -32,6 +32,24 @@ final case class Collection(
     vectorIndexes: Map[String, graft.ann.IvfIndex] = Map.empty,
     version: Long = Collection.nextVersion()) {
   def name: String = schema.name
+
+  /** Whether the named vector space is a multi-vector (ColBERT) index — its
+   * physical column is array<array<float>> (reference:
+   * isTargetVectorMultiVector, parse_search_request.go:1609-1630; "" resolves
+   * the class's default space, an unknown name reads false). */
+  def isMultiVector(target: String): Boolean = {
+    val key =
+      if (target.nonEmpty) Some(target)
+      else schema.defaultVector.orElse(
+        if (schema.vectors.size == 1) schema.vectors.keys.headOption else None)
+    key.flatMap(schema.vectors.get).exists { colName =>
+      df.schema.find(_.name == colName).exists(_.dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.ArrayType(_, _), _) => true
+        case _ => false
+      })
+    }
+  }
 }
 
 object Collection {

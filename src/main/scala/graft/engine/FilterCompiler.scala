@@ -539,19 +539,30 @@ final class FilterCompiler(resolve: String => Collection) {
    * keeps them — searcher.go:899-906); a value reduced to NOTHING by that
    * removal is the reference's ErrOnlyStopwords (searcher.go:943). */
   private def textTokenMatch(c: Column, prop: Option[Property], v: String,
-                             stop: Set[String]): Column = {
+                             stop: Set[String]): Column =
+    textTokenTerms(c, prop, v, stop).map(_.reduce(_ && _)).getOrElse(lit(false))
+
+  /** Per-term presence columns for a tokenized text value, or None when the
+   * value has no usable terms. The multi-token split happens BEFORE the
+   * operator applies (searcher.go:923-941: one propValuePair per term, each
+   * keeping the ORIGINAL operator, joined by And) — so Equal reduces the
+   * presence columns with AND, while NotEqual must negate EACH term and then
+   * AND: NOT(t1) AND NOT(t2), not NOT(t1 AND t2)
+   * (filtered_search_test.go's 625-row NotEqual contract). */
+  private def textTokenTerms(c: Column, prop: Option[Property], v: String,
+                             stop: Set[String]): Option[Seq[Column]] = {
     val mode = prop.map(_.tokenization).getOrElse(Tokenization.Word)
     val fold = prop.exists(_.asciiFold)
     val raw = Tokenize.queryTokens(mode, v, fold)
     val qToks = if (mode == Tokenization.Word) raw.filterNot(stop) else raw
     if (qToks.isEmpty && raw.nonEmpty) Tokenize.onlyStopwordsError()
-    if (qToks.isEmpty) lit(false)
+    if (qToks.isEmpty) None
     else {
       // text[] props match against the MERGED per-element token multiset —
       // the searchable index for a text array holds every element's tokens
       // (analyzer.go:174-195), so a filter term hits any element
       val toks = Tokenize.propTokens(mode, fold, isTextArray(prop))(c)
-      qToks.map(t => array_contains(toks, t)).reduce(_ && _)
+      Some(qToks.map(t => array_contains(toks, t)))
     }
   }
 
@@ -588,7 +599,11 @@ final class FilterCompiler(resolve: String => Collection) {
         }
       case WhereOp.NotEqual =>
         v match {
-          case TextV(s) if isTokenizedText(prop) => !textTokenMatch(c, prop, s, stop)
+          case TextV(s) if isTokenizedText(prop) =>
+            // per-term NotEqual children joined by And (searcher.go:938):
+            // a doc matches only when it carries NONE of the value's terms
+            textTokenTerms(c, prop, s, stop)
+              .map(_.map(t => !t).reduce(_ && _)).getOrElse(lit(false))
           case _ if isArrayProp => !array_contains(c, value)
           case _ => c =!= value
         }

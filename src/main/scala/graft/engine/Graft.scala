@@ -162,7 +162,7 @@ final class Graft(val spark: SparkSession) {
       // hybrid.Query; local_get_hybrid_search_test.go's "no vector" arms
       // return the full fused page). Without a registered vectorizer the
       // leg stays sparse-only, as for vectorizer-less classes.
-      if (h.vector.isEmpty && h.subSearches.isEmpty && h.query.nonEmpty && h.alpha > 0)
+      if (h.vector.isEmpty && h.denseParams.isEmpty && h.subSearches.isEmpty && h.query.nonEmpty && h.alpha > 0)
         embedder.map(e => h.copy(vector = Some(e(h.query)))).getOrElse(h)
       else h
   }
@@ -1834,7 +1834,8 @@ final class Graft(val spark: SparkSession) {
 
   /** Projection + _additional decoration (reference: search_get.proto:77-110). */
   private def project(c: Collection, params: GetParams, df: DataFrame): DataFrame = {
-    if (params.properties.isEmpty && params.additional.isEmpty) df
+    if (params.properties.isEmpty && params.additional.isEmpty &&
+        params.additionalVectors.isEmpty) df
     else {
       val id = c.schema.idColumn
       val props = if (params.properties.nonEmpty) params.properties
@@ -1852,10 +1853,20 @@ final class Graft(val spark: SparkSession) {
           Some((lit(1.0) - col(VectorSearch.DistanceCol) / 2.0).as(VectorSearch.CertaintyCol))
         case "score" if df.columns.contains(Bm25Search.ScoreCol) => Some(col(Bm25Search.ScoreCol))
         case "score" if df.columns.contains(HybridSearch.ScoreCol) => Some(col(HybridSearch.ScoreCol).as("_score"))
-        // the DEFAULT vector, resolved like every search leg (headOption
-        // over a map returned an arbitrary column on multi-vector classes)
-        case "vector" if c.schema.vectors.nonEmpty =>
-          Some(col(c.schema.vectorColumn(None)).as("_vector"))
+        // vector=true returns EVERY space (additional_properties vector):
+        // the default space keeps the legacy `_vector` column; on a
+        // multi-space class the remaining named spaces ride as
+        // `_vectors_<name>` (reference MetadataResult.vectors — a
+        // named-vectors-only class, defaultVector=None, serves ALL spaces
+        // named and no legacy vector, grpc_named_vectors_test.go)
+        case "vector" if c.schema.vectors.nonEmpty => {
+          val default = c.schema.defaultVector.orElse(
+            if (c.schema.vectors.size == 1) c.schema.vectors.keys.headOption else None)
+          val legacy = default.map(d => col(c.schema.vectors(d)).as("_vector"))
+          val named = c.schema.vectors.keys.toSeq.sorted.filterNot(default.contains)
+            .map(n => col(c.schema.vectors(n)).as(s"_vectors_$n"))
+          legacy.toSeq ++ named
+        }
         // metadata timestamps (reference: _additional { creationTimeUnix
         // lastUpdateTimeUnix }, additional_properties.go) — only for
         // collections that declare the columns, like the reference's
@@ -1884,13 +1895,24 @@ final class Graft(val spark: SparkSession) {
           c.schema.updateTimeColumn.map(t => col(t).as("_lastUpdateTimeUnix"))
         case _ => None
       }
+      // explicitly requested named spaces (MetadataRequest.vectors) — each
+      // becomes a name-tagged `_vectors_<name>` column, independent of the
+      // vector=true matrix above
+      val namedReq: Seq[Column] = params.additionalVectors.distinct
+        .filterNot(n => params.additional.contains("vector") &&
+          !c.schema.defaultVector.contains(n) && c.schema.vectors.size > 1)
+        .map { n =>
+          val vc = c.schema.vectors.getOrElse(n, throw new IllegalArgumentException(
+            s"unknown named vector $n on collection ${c.name}"))
+          col(vc).as(s"_vectors_$n")
+        }
       val groupCols = (Seq("group_value", "group_index", "group_hit_rank",
           "group_min_distance", "group_max_distance", "_mmr_rank")
         ++ Seq(Generate.SingleCol, Generate.GroupedCol))
         .filter(df.columns.contains).map(col)
       val resolvedCols = params.resolveRefs.map(r => s"${r}_resolved")
         .filter(df.columns.contains).map(col)
-      df.select((props.map(col) ++ additional ++ resolvedCols ++ groupCols): _*)
+      df.select((props.map(col) ++ additional ++ namedReq ++ resolvedCols ++ groupCols): _*)
     }
   }
 

@@ -571,8 +571,11 @@ object GraphQL {
           case Some(o: GObj) => o.fields.toMap
           case _ => Map.empty
         }
-        def weights(): Map[String, Double] =
-          tvs.distinct.map { t =>
+        // GraphQL weights arrive as a name→float map; the engine's
+        // combination weights are POSITIONAL (aligned with targetVectors),
+        // so resolve each position's name against the map here
+        def weights(): Seq[Double] = {
+          val byName = tvs.distinct.map { t =>
             val w = weightsIn.getOrElse(t, fail(s"weight for target $t is not provided"))
             t -> (w match {
               case GFloat(d) => d
@@ -581,6 +584,8 @@ object GraphQL {
               case o => fail(s"weight for target $t is not a float or list of floats, got ${goV(o)}")
             })
           }.toMap
+          tvs.map(byName)
+        }
         val combo = method match {
           case None | Some("minimum") => TargetCombination.Minimum
           case Some("average") => TargetCombination.Average
@@ -646,11 +651,24 @@ object GraphQL {
         }
         if (entries.isEmpty)
           fail("vectorPerTarget must contain at least one target vector")
+        // the key-driven expansion may repeat target names; positional
+        // weights expand alongside (each expanded entry inherits its
+        // target's weight)
+        val keys = if (tvs.nonEmpty) tvs else perTarget.fields.map(_._1)
+        def expand(ws: Seq[Double]): Seq[Double] = {
+          val byName = keys.zip(ws).toMap
+          entries.map(e => byName.getOrElse(e._1, 1.0))
+        }
+        val combo2 = combo.map {
+          case TargetCombination.ManualWeights(ws) => TargetCombination.ManualWeights(expand(ws))
+          case TargetCombination.RelativeScore(ws) => TargetCombination.RelativeScore(expand(ws))
+          case other => other
+        }
         Left(NearVector(entries.head._2, metric = Metric.Default,
           distance = dist, certainty = cert,
           targetVectors = entries.map(_._1),
-          combination = combo.getOrElse(TargetCombination.Minimum),
-          vectors = entries.map(_._2)))
+          combination = combo2.getOrElse(TargetCombination.Minimum),
+          vectors = TargetQuery.singles(entries.map(_._2))))
     }
   }
 

@@ -1032,17 +1032,19 @@ object WireDecoder {
       case Some(t) =>
         val tvs = strArr(t, "targetVectors")
         val weightsList = arr(t, "weightsForTargets").getOrElse(Nil)
-        def manualWeights(): Map[String, Double] = {
+        def manualWeights(): Seq[Double] = {
           if (weightsList.size != tvs.size)
             fail(s"number of weights (${weightsList.size}) does not match number of targets (${tvs.size})")
           weightsList.zipWithIndex.map { case (w, i) =>
             val target = str(w, "target").getOrElse(fail("weightsForTargets: target is required"))
             // POSITIONAL match is the reference's own rule (extractWeights,
             // parse_search_request.go:645-648: v.Target != in.TargetVectors[i]
-            // rejects out-of-order entries despite the membership-sounding text)
+            // rejects out-of-order entries despite the membership-sounding
+            // text) — which is also what lets the SAME target name appear
+            // twice with different weights (grpc_search_test.go)
             if (target != tvs(i)) fail(s"target vector $target not found in target vectors")
-            target -> num(w, "weight").getOrElse(fail("weightsForTargets: weight is required"))
-          }.toMap
+            num(w, "weight").getOrElse(fail("weightsForTargets: weight is required"))
+          }
         }
         val combo = str(t, "combination") match {
           case None => TargetCombination.Minimum // UNSPECIFIED → default (dto.go:41)
@@ -1076,54 +1078,167 @@ object WireDecoder {
     (dist, cert)
   }
 
-  /** nearVector (parse_search_request.go:126-149 + parseNearVec 1338-1507). */
-  private def decodeNearVector(jv: JValue): Either[NearVector, NearMultiVector] = {
-    val (tvs, combo) = decodeTargets(jv)
+  /** Per-target-position raw payload before unrolling — the reference's
+   * `models.Vector` union plus the several-multi-vecs case extractVectors
+   * can produce ([]float32 | [][]float32 | [][][]float32). The [][]float32
+   * shape is AMBIGUOUS until paired with its target: one multi-vector query
+   * for a ColBERT target, or a list of independent single queries for a
+   * regular target (parse_search_request.go:1448-1476). */
+  private sealed trait RawVec
+  private final case class Raw1(v: Array[Float]) extends RawVec
+  private final case class Raw2(vs: Array[Array[Float]]) extends RawVec
+  private final case class Raw3(vs: Seq[Array[Array[Float]]]) extends RawVec
+
+  /** extractVectors (parse_search_request.go:1568-1589): each entry is a
+   * single or multi payload; if ANY multi entries exist the result is the
+   * multi list (singles silently dropped, like the reference). */
+  private def extractVectorsList(vs: Seq[JValue], ctx: String): RawVec = {
+    val singles = Seq.newBuilder[Array[Float]]
+    val multis = Seq.newBuilder[Array[Array[Float]]]
+    vs.foreach { v =>
+      val isMulti = str(v, "type").exists(t => enumIs(t, "VECTOR_TYPE_", "multi_fp32"))
+      if (isMulti) {
+        field(v, "vector").orElse(field(v, "vectorBytes")) match {
+          case Some(JArray(rows)) =>
+            multis += rows.map { case JArray(r) => floatArr(ctx, r)
+                                 case other => fail(s"$ctx: expected nested float arrays, got $other") }.toArray
+          case Some(JString(b64)) => multis += fp32SlicesFromBytes(Base64.getDecoder.decode(b64))
+          case _ => fail(s"$ctx: multi vector requires nested float arrays")
+        }
+      } else {
+        singles += (field(v, "vectorBytes") match {
+          case Some(JString(b64)) => fp32FromBytes(Base64.getDecoder.decode(b64))
+          case _ => arr(v, "vector").map(floatArr(ctx, _)).getOrElse(
+            fail(s"$ctx: vectors entry carries no vector payload"))
+        })
+      }
+    }
+    val m = multis.result()
+    if (m.nonEmpty) { if (m.size == 1) Raw2(m.head) else Raw3(m) }
+    else {
+      val s = singles.result()
+      if (s.size == 1) Raw1(s.head) else Raw2(s.toArray)
+    }
+  }
+
+  /** nearVector (parse_search_request.go:126-149 + parseNearVec 1338-1507).
+   * `isMulti` answers isTargetVectorMultiVector for the class; `targetsIn`
+   * is the hybrid path, whose Targets live on the Hybrid message. Faithful
+   * to the reference's three payload shapes and its UNROLLING: a MULTI_FP32
+   * payload against a regular target becomes one Single query per row,
+   * against a multi-vector target one MaxSim query; target names repeat per
+   * unrolled position. */
+  private def decodeNearVector(jv: JValue, isMulti: String => Boolean = _ => false,
+      targetsIn: Option[(Seq[String], Option[TargetCombination])] = None)
+      : Either[NearVector, NearMultiVector] = {
+    val (tvs, combo) = targetsIn.getOrElse(decodeTargets(jv))
     val (single, multi) = extractVectorArg(jv, "near_vector")
     val (dist, cert) = checkDistCert(jv, "near_vector")
-    multi match {
-      case Some(m) => Right(NearMultiVector(m, targetVectors = tvs))
-      case None =>
-        val perTarget: Seq[Array[Float]] = if (single.isDefined) Nil else {
-          field(jv, "vectorForTargets") match {
-            case Some(JArray(vfts)) =>
-              val names = vfts.map(v => str(v, "name").getOrElse(fail("vectorForTargets: name is required")))
-              val effTargets = if (tvs.nonEmpty) tvs.distinct else Seq("")
-              if (vfts.size != effTargets.size)
-                fail("near_vector: vector for target must have the same lengths as target vectors")
-              effTargets.zipWithIndex.map { case (t, i) =>
-                if (names(i) != t)
-                  fail(s"near_vector: vector for target $t is required. All target vectors: ${goStrSlice(effTargets)} all vectors for targets ${goStrSlice(names)}")
-                extractVectorArg(vfts(i), "near_vector")._1.getOrElse(fail("near_vector: vector is required"))
-              }
-            case _ =>
-              field(jv, "vectorPerTarget") match {
-                case Some(JObject(kvs)) =>
-                  val m = kvs.toMap
-                  val effTargets = if (tvs.nonEmpty) tvs else Seq("")
-                  if (m.size != effTargets.size)
-                    fail("near_vector: vector per target must be provided for all targets")
-                  effTargets.map { t =>
-                    m.get(t) match {
-                      case Some(JArray(xs)) => floatArr("vectorPerTarget", xs)
-                      case Some(JString(b64)) => fp32FromBytes(Base64.getDecoder.decode(b64))
-                      case _ =>
-                        fail(s"near_vector: vector for target $t is required. All target vectors: ${goStrSlice(effTargets)} all vectors for targets ${goStrSlice(m.keys.toSeq)}")
-                    }
-                  }
-                case _ => fail("near_vector: vector is required")
-              }
+    if ((single.isDefined || multi.isDefined) && field(jv, "vectorPerTarget").isDefined)
+      fail("near_vector: either vector or VectorPerTarget must be provided, not both")
+
+    // no explicit targets: the legacy single-space paths (parseNearVec's
+    // len(targetVectors) == 0 passthrough)
+    if (tvs.isEmpty) {
+      multi match {
+        case Some(m) => return Right(NearMultiVector(m, targetVectors = Nil))
+        case None =>
+          single match {
+            case Some(v) =>
+              return Left(NearVector(v, metric = Metric.Default,
+                distance = dist, certainty = cert))
+            case None =>
+              if (field(jv, "vectorForTargets").isEmpty && field(jv, "vectorPerTarget").isEmpty)
+                fail("near_vector: vector is required")
+          }
+      }
+    }
+    val targetsTmp0 = if (tvs.isEmpty) Seq("") else tvs
+
+    // resolve each position's raw payload (pre-unroll)
+    val (targetsTmp, raw): (Seq[String], Seq[RawVec]) =
+      if (single.isDefined || multi.isDefined) {
+        // one top-level vector broadcast to every target, type-checked per
+        // target (parse_search_request.go:1372-1385)
+        val payload: RawVec = multi.map(Raw2(_): RawVec).getOrElse(Raw1(single.get))
+        targetsTmp0.foreach { t =>
+          (multi.isDefined, isMulti(t)) match {
+            case (true, false) => fail("near_vector: provided vector is a multi vector but vector index supports regular vectors")
+            case (false, true) => fail("near_vector: provided vector is a regular vector but vector index supports multi vectors")
+            case _ => ()
           }
         }
-        if (single.isDefined && field(jv, "vectorPerTarget").isDefined)
-          fail("near_vector: either vector or VectorPerTarget must be provided, not both")
-        Left(NearVector(
-          vector = single.getOrElse(if (perTarget.nonEmpty) perTarget.head else fail("near_vector: vector is required")),
-          metric = Metric.Default,
-          distance = dist, certainty = cert,
-          targetVectors = if (perTarget.nonEmpty) tvs.distinct else tvs,
-          combination = combo.getOrElse(TargetCombination.Minimum),
-          vectors = if (perTarget.nonEmpty) perTarget else Nil))
+        (targetsTmp0, targetsTmp0.map(_ => payload))
+      } else field(jv, "vectorForTargets") match {
+        case Some(JArray(vfts)) =>
+          // new shape (per-VFT Vectors lists) dedupes the target list; the
+          // legacy vector_bytes shape stays positional — repeated names
+          // allowed (parse_search_request.go:1386-1404)
+          val newShape = vfts.nonEmpty && arr(vfts.head, "vectors").exists(_.nonEmpty)
+          val eff = if (newShape) targetsTmp0.distinct else targetsTmp0
+          if (vfts.size != eff.size)
+            fail("near_vector: vector for target must have the same lengths as target vectors")
+          val names = vfts.map(v => str(v, "name").getOrElse(fail("vectorForTargets: name is required")))
+          val payloads = eff.zipWithIndex.map { case (t, i) =>
+            if (names(i) != t)
+              fail(s"near_vector: vector for target $t is required. All target vectors: ${goStrSlice(eff)} all vectors for targets ${goStrSlice(names)}")
+            arr(vfts(i), "vectors") match {
+              case Some(vs) if vs.nonEmpty => extractVectorsList(vs, "near_vector")
+              case _ => Raw1(str(vfts(i), "vectorBytes")
+                .map(b64 => fp32FromBytes(Base64.getDecoder.decode(b64)))
+                .orElse(arr(vfts(i), "vector").map(floatArr("vectorForTargets", _)))
+                .getOrElse(fail("near_vector: vector is required")))
+            }
+          }
+          (eff, payloads)
+        case _ =>
+          field(jv, "vectorPerTarget") match {
+            case Some(JObject(kvs)) =>
+              val m = kvs.toMap
+              if (m.size != targetsTmp0.size)
+                fail("near_vector: vector per target must be provided for all targets")
+              (targetsTmp0, targetsTmp0.map { t =>
+                m.get(t) match {
+                  case Some(JArray(xs)) => Raw1(floatArr("vectorPerTarget", xs))
+                  case Some(JString(b64)) => Raw1(fp32FromBytes(Base64.getDecoder.decode(b64)))
+                  case _ =>
+                    fail(s"near_vector: vector for target $t is required. All target vectors: ${goStrSlice(targetsTmp0)} all vectors for targets ${goStrSlice(m.keys.toSeq)}")
+                }
+              })
+            case _ => fail("near_vector: vector is required")
+          }
+      }
+
+    // unroll into per-position queries (parse_search_request.go:1448-1476):
+    // a multi payload against a regular target explodes into one Single per
+    // row; against a multi-vector target it is one MaxSim query
+    val detected: Seq[(String, TargetQuery)] = targetsTmp.zip(raw).flatMap {
+      case (t, Raw3(multis)) =>
+        multis.flatMap { mv =>
+          if (isMulti(t)) Seq(t -> TargetQuery.Multi(mv))
+          else mv.map(row => t -> (TargetQuery.Single(row): TargetQuery)).toSeq
+        }
+      case (t, Raw2(m)) =>
+        if (isMulti(t)) Seq(t -> TargetQuery.Multi(m))
+        else m.map(row => t -> (TargetQuery.Single(row): TargetQuery)).toSeq
+      case (t, Raw1(v)) => Seq(t -> TargetQuery.Single(v))
+    }
+
+    if (detected.size == 1 && detected.head._2.isMulti)
+      // a single multi-vector query stays on the dedicated MaxSim leg
+      Right(NearMultiVector(detected.head._2.asInstanceOf[TargetQuery.Multi].vs,
+        targetVectors = Seq(detected.head._1)))
+    else {
+      val anchor = detected.collectFirst { case (_, TargetQuery.Single(v)) => v }
+        .getOrElse(detected.head._2.asInstanceOf[TargetQuery.Multi].vs.head)
+      Left(NearVector(
+        vector = anchor,
+        metric = Metric.Default,
+        distance = dist, certainty = cert,
+        targetVectors = detected.map(_._1),
+        combination = combo.getOrElse(TargetCombination.Minimum),
+        vectors = if (detected.size > 1 || detected.exists(_._2.isMulti))
+          detected.map(_._2) else Nil))
     }
   }
 
@@ -1178,13 +1293,13 @@ object WireDecoder {
       properties = strArr(jv, "properties"),
       searchOperator = decodeSearchOperator(jv, "searchOperator").getOrElse(SearchOperator.Or(1)))
 
-  private def decodeHybrid(jv: JValue): Hybrid = {
+  private def decodeHybrid(jv: JValue, isMulti: String => Boolean = _ => false): Hybrid = {
     val fusion = str(jv, "fusionType") match {
       case Some(f) if enumIs(f, "FUSION_TYPE_", "ranked") => FusionType.Ranked
       case Some(f) if enumIs(f, "FUSION_TYPE_", "relative_score") => FusionType.RelativeScore
       case _ => FusionType.RelativeScore // HybridFusionDefault (common_filters/hybrid.go:28)
     }
-    val (tvs, _) = decodeTargets(jv)
+    val (tvs, combo) = decodeTargets(jv)
     val (vec, multi) = extractVectorArg(jv, "hybrid")
     if (multi.isDefined) fail("hybrid: multi vectors are not supported in the dense leg")
     // alpha resolution (parse_search_request.go:308-314): use_alpha_param
@@ -1205,8 +1320,12 @@ object WireDecoder {
         fail("hybrid: selection must be set on the top-level hybrid search, not on the near_vector sub-search")
     }
     val nearTxt = field(jv, "nearText").map(decodeNearText)
-    val nearVec = field(jv, "nearVector").map(decodeNearVector(_).left.getOrElse(
-      fail("hybrid: multi vectors are not supported in the near_vector sub-search")))
+    // the hybrid's OWN Targets drive the near_vector parse (the reference
+    // routes hs.NearVector through parseNearVec with hs.Targets,
+    // parse_search_request.go:301-330)
+    val nearVec = field(jv, "nearVector").map(nv =>
+      decodeNearVector(nv, isMulti, Some((tvs, combo))).left.getOrElse(
+        fail("hybrid: multi vectors are not supported in the near_vector sub-search")))
 
     if (nearTxt.isDefined && nearVec.isDefined)
       fail("cannot combine nearText and nearVector in hybrid search")
@@ -1217,11 +1336,13 @@ object WireDecoder {
 
     // the nearVector sub-search IS the dense leg: its vector becomes the
     // hybrid vector, its distance/certainty the dense-leg cutoff
-    // (explorer_hybrid.go routes NearVectorParams into the dense search)
-    val denseVec = vec.orElse(nearVec.map(_.vector))
+    // (explorer_hybrid.go routes NearVectorParams into the dense search).
+    // A multi-target/unrolled leg rides whole as denseParams.
+    val multiDense = nearVec.filter(nv => nv.targetVectors.size > 1 || nv.vectors.nonEmpty)
     val denseCutoff = vectorDistance
       .orElse(nearVec.flatMap(_.distance))
       .orElse(nearVec.flatMap(_.certainty).map(c => 2.0 * (1.0 - c)))
+    val denseVec = if (multiDense.isDefined) None else vec.orElse(nearVec.map(_.vector))
 
     Hybrid(
       query = str(jv, "query").getOrElse(""),
@@ -1233,7 +1354,8 @@ object WireDecoder {
       maxVectorDistance = denseCutoff,
       targetVectors = if (tvs.nonEmpty) tvs else nearVec.map(_.targetVectors).getOrElse(Nil),
       searchOperator = decodeSearchOperator(jv, "bm25SearchOperator").getOrElse(SearchOperator.Or(1)),
-      nearText = nearTxt)
+      nearText = nearTxt,
+      denseParams = multiDense.map(nv => nv.copy(distance = denseCutoff.orElse(nv.distance))))
   }
 
   private def decodeSelectionMmr(jv: JValue): Option[SelectionMmrParams] =
@@ -1268,6 +1390,10 @@ object WireDecoder {
         "creationTimeUnix" -> "creationTimeUnix", "lastUpdateTimeUnix" -> "lastUpdateTimeUnix"
       ).collect { case (f, key) if bool(m, f) => key }.toSet
     }.getOrElse(Set.empty)
+    // named-vector metadata selection (MetadataRequest.vectors,
+    // search_get.proto:87) — return only these spaces, name-tagged
+    val additionalVectors: Seq[String] =
+      field(jv, "metadata").map(m => strArr(m, "vectors")).getOrElse(Nil)
 
     // properties request (extractPropertiesRequest): absent → all non-ref
     // props (the engine's properties=Nil); nonRefProperties → exactly those;
@@ -1298,10 +1424,11 @@ object WireDecoder {
     val pagination = Pagination(offset = offset, limit = limit)
 
     val bm25 = field(jv, "bm25Search").map(decodeBm25)
-    val nearVecLeg = field(jv, "nearVector").map(decodeNearVector)
+    val isMulti: String => Boolean = g.collection(collection).isMultiVector
+    val nearVecLeg = field(jv, "nearVector").map(decodeNearVector(_, isMulti))
     val nearObject = field(jv, "nearObject").map(decodeNearObject)
     val nearText = field(jv, "nearText").map(decodeNearText)
-    val hybrid = field(jv, "hybridSearch").map(decodeHybrid)
+    val hybrid = field(jv, "hybridSearch").map(decodeHybrid(_, isMulti))
     val nearMedia =
       field(jv, "nearImage").map(decodeNearMedia(MediaKind.Image, "image", _))
         .orElse(field(jv, "nearAudio").map(decodeNearMedia(MediaKind.Audio, "audio", _)))
@@ -1420,6 +1547,7 @@ object WireDecoder {
       groupBy = groupBy,
       properties = props,
       additional = additional,
+      additionalVectors = additionalVectors,
       resolveRefs = refs,
       tenant = tenant,
       autocut = autocut,
@@ -1456,14 +1584,15 @@ object WireDecoder {
       val (tvs, _) = decodeTargets(legJv)
       if (tvs.size > 1) fail("found more than one target vector for aggregation")
     }
-    val nearVec = field(jv, "nearVector").map { nv => checkSingleTarget(nv); decodeNearVector(nv) }
+    val isMulti: String => Boolean = g.collection(collection).isMultiVector
+    val nearVec = field(jv, "nearVector").map { nv => checkSingleTarget(nv); decodeNearVector(nv, isMulti) }
     // AggregateParams has no multi-vector leg: a MULTI_FP32 payload must
     // error loudly, not silently aggregate the whole collection unrestricted
     nearVec.foreach(v => if (v.isRight)
       fail("near_vector: multi vector is not supported for aggregation"))
     val nearObject = field(jv, "nearObject").map { no => checkSingleTarget(no); decodeNearObject(no) }
     val nearText = field(jv, "nearText").map { nt => checkSingleTarget(nt); decodeNearText(nt) }
-    val hybrid = field(jv, "hybrid").map { h => checkSingleTarget(h); decodeHybrid(h) }
+    val hybrid = field(jv, "hybrid").map { h => checkSingleTarget(h); decodeHybrid(h, isMulti) }
     val nearMedia = field(jv, "nearImage").map(decodeNearMedia(MediaKind.Image, "image", _))
 
     AggregateParams(

@@ -66,6 +66,25 @@ object WireEncoder {
 
   private def UuidShaped = WireDecoder.UuidRe
 
+  /** LE fp32 packing (byteops.Fp32SliceToBytes), base64 for the wire. */
+  private def b64Fp32(vs: Seq[Any]): String = {
+    val bb = java.nio.ByteBuffer.allocate(vs.size * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    vs.foreach(v => bb.putFloat(v.asInstanceOf[Number].floatValue))
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+
+  /** Multi-vector packing (byteops.Fp32SliceOfSlicesToBytes): a uint16 LE
+   * per-row dimension header, then the rows as LE fp32. */
+  private def b64Multi(rows: Seq[scala.collection.Seq[Any]]): String = {
+    val dim = rows.headOption.map(_.size).getOrElse(0)
+    val bb = java.nio.ByteBuffer.allocate(2 + rows.size * dim * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putShort(dim.toShort)
+    rows.foreach(_.foreach(v => bb.putFloat(v.asInstanceOf[Number].floatValue)))
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+
   /** One result's `{properties, metadata}` object. */
   private def encodeResult(row: Row, cols: Map[String, Int],
                            params: GetParams): String = {
@@ -105,6 +124,31 @@ object WireEncoder {
           .map(i => s"${c.stripPrefix("_exp_")}:${num(row.get(i))}"))
       md += s""""explainScore":${esc(exp.mkString(", "))}"""
       md += s""""explainScorePresent":${exp.nonEmpty}"""
+    }
+    // vector metadata (prepare_reply extractAdditionalProps): the legacy/
+    // default space rides vectorBytes; named spaces ride MetadataResult
+    // .vectors entries tagged with their names and payload types
+    if (params.additional.contains("vector")) cols.get("_vector")
+      .filter(i => !row.isNullAt(i)).foreach { i =>
+        md += s""""vectorBytes":${esc(b64Fp32(row.getSeq[Any](i)))}"""
+      }
+    if (params.additional.contains("vector") || params.additionalVectors.nonEmpty) {
+      val entries = cols.keys.filter(_.startsWith("_vectors_")).toSeq.sorted.flatMap { cn =>
+        cols.get(cn).filter(i => !row.isNullAt(i)).map { i =>
+          val name = cn.stripPrefix("_vectors_")
+          row.get(i) match {
+            case rows: scala.collection.Seq[_]
+                if rows.nonEmpty && rows.head.isInstanceOf[scala.collection.Seq[_]] =>
+              s"""{"name":${esc(name)},"vectorBytes":${esc(b64Multi(
+                rows.map(_.asInstanceOf[scala.collection.Seq[Any]]).toSeq))},"type":"VECTOR_TYPE_MULTI_FP32"}"""
+            case vs: scala.collection.Seq[_] =>
+              s"""{"name":${esc(name)},"vectorBytes":${esc(b64Fp32(vs.toSeq))},"type":"VECTOR_TYPE_SINGLE_FP32"}"""
+            case other =>
+              s"""{"name":${esc(name)},"vectorBytes":${esc(String.valueOf(other))}}"""
+          }
+        }
+      }
+      if (entries.nonEmpty) md += s""""vectors":${entries.mkString("[", ",", "]")}"""
     }
     s"""{"properties":{"nonRefProperties":$props},"metadata":{${md.result().mkString(",")}}}"""
   }

@@ -25,13 +25,28 @@ object Metric {
   case object Default   extends Metric("default")
 }
 
+/** One multi-target query position: a single embedding, or a ColBERT-style
+ * token bag scored by MaxSim against a multi-vector target. The reference's
+ * `models.Vector` is exactly this union ([]float32 | [][]float32), and its
+ * gRPC parse may UNROLL one payload into several positions — a MULTI_FP32
+ * payload against a regular target becomes one Single per row, against a
+ * multi-vector target one Multi (parse_search_request.go:1448-1476). */
+sealed trait TargetQuery { def isMulti: Boolean }
+object TargetQuery {
+  final case class Single(v: Array[Float]) extends TargetQuery { def isMulti = false }
+  final case class Multi(vs: Array[Array[Float]]) extends TargetQuery { def isMulti = true }
+  def singles(vs: Seq[Array[Float]]): Seq[TargetQuery] = vs.map(Single(_))
+}
+
 /** nearVector (reference: entities/searchparams/retrieval.go:33-39).
- * `vectors`, when non-empty, carries ONE query vector PER target — the
+ * `vectors`, when non-empty, carries ONE query PER target position — the
  * reference's `Vectors []models.Vector` aligned by index with
  * `TargetVectors` (shard_read.go searches `searchVectors[i]` against target
- * i's index), e.g. a query embedded separately per vector space; dimensions
- * may differ per target. Empty `vectors` searches the single `vector`
- * against every target. */
+ * i's index). Target NAMES may repeat (the same space queried with several
+ * vectors, each position separately weighted — grpc_search_test.go's
+ * ["regular","regular"] arms) and positions may mix Single and Multi
+ * queries. Empty `vectors` searches the single `vector` against every
+ * target. */
 final case class NearVector(
     vector: Array[Float],
     metric: Metric = Metric.Cosine,
@@ -39,11 +54,21 @@ final case class NearVector(
     certainty: Option[Double] = None,  // cosine only: certainty = 1 - d/2
     targetVectors: Seq[String] = Nil,
     combination: TargetCombination = TargetCombination.Minimum,
-    vectors: Seq[Array[Float]] = Nil) {
+    vectors: Seq[TargetQuery] = Nil) {
   require(vectors.isEmpty || vectors.size == targetVectors.size,
     s"nearVector: ${vectors.size} query vectors for ${targetVectors.size} targets")
-  /** The query vector searched against the i-th requested target. */
-  def queryFor(i: Int): Array[Float] = if (vectors.nonEmpty) vectors(i) else vector
+  /** The query at the i-th target position. */
+  def targetQuery(i: Int): TargetQuery =
+    if (vectors.nonEmpty) vectors(i) else TargetQuery.Single(vector)
+  /** The single query vector at position i — index-probe paths only ever see
+   * Single positions (the planner routes Multi positions to the exact scan). */
+  def queryFor(i: Int): Array[Float] = targetQuery(i) match {
+    case TargetQuery.Single(v) => v
+    case TargetQuery.Multi(_) => throw new IllegalStateException(
+      s"nearVector: position $i is a multi-vector query; index probing requires Single")
+  }
+  /** Any position carrying a multi-vector (MaxSim) query. */
+  def hasMultiQuery: Boolean = vectors.exists(_.isMulti)
 }
 
 /** Multi-vector (ColBERT-style) nearVector: the query is a bag of token
@@ -109,14 +134,18 @@ final case class NearMedia(
     certainty: Option[Double] = None,
     targetVectors: Seq[String] = Nil)
 
-/** Multi-target combination modes (reference: entities/dto/dto.go:30-48). */
+/** Multi-target combination modes (reference: entities/dto/dto.go:30-48).
+ * Weights are POSITIONAL, aligned with `targetVectors` — the reference's
+ * `Weights []float32` (extractWeights matches weightsForTargets[i].target
+ * against targetVectors[i], so the same target name may appear twice with
+ * different weights). An empty seq reads as weight 1.0 per position. */
 sealed trait TargetCombination
 object TargetCombination {
   case object Minimum extends TargetCombination
   case object Sum     extends TargetCombination
   case object Average extends TargetCombination
-  final case class ManualWeights(weights: Map[String, Double]) extends TargetCombination
-  final case class RelativeScore(weights: Map[String, Double]) extends TargetCombination
+  final case class ManualWeights(weights: Seq[Double]) extends TargetCombination
+  final case class RelativeScore(weights: Seq[Double]) extends TargetCombination
 }
 
 /** BM25 searchOperator (reference: retrieval.go:41-48). */
@@ -181,7 +210,13 @@ final case class Hybrid(
     // retrieval.go:124 HybridSearch.NearTextParams; explorer_hybrid.go:138+
     // nearTextSubSearch resolves it through the module incl. moves). The
     // engine resolves it to `vector` before the legs run.
-    nearText: Option[NearText] = None) {
+    nearText: Option[NearText] = None,
+    // full multi-target dense leg (reference: retrieval.go:123
+    // HybridSearch.NearVectorParams + TargetVectors/combination — the gRPC
+    // parse routes hs.NearVector through parseNearVec with hs.Targets, and
+    // explorer_hybrid.go feeds the resulting params to the dense search).
+    // When set it REPLACES the plain `vector` leg.
+    denseParams: Option[NearVector] = None) {
   require(vector.isEmpty || nearText.isEmpty,
     "hybrid: set either vector or nearText, not both")
 }
@@ -312,6 +347,11 @@ final case class GetParams(
     groupBy: Option[GroupByParams] = None,
     properties: Seq[String] = Nil,            // empty = all declared props
     additional: Set[String] = Set.empty,      // "id","distance","certainty","score","vector",...
+    // named-vector metadata request (reference: MetadataRequest.vectors,
+    // search_get.proto:87 — return ONLY these named vector spaces, each
+    // tagged with its name in MetadataResult.vectors). Distinct from
+    // additional("vector"), which returns every space.
+    additionalVectors: Seq[String] = Nil,
     resolveRefs: Seq[String] = Nil,           // cref props to expand into structs
     // per resolved ref prop: which target classes the query's inline
     // fragments (`... on Class`) named — multi-class refs resolve ONLY the

@@ -93,10 +93,14 @@ object HybridSearch {
             Some((bm25Leg(graft.model.Bm25(params.query, params.properties,
               params.searchOperator)), 1.0 - params.alpha))
           else None
-        val dense = params.vector.filter(_ => params.alpha > 0.0).map { v =>
-          (denseLeg(NearVector(v, metric, distance = params.maxVectorDistance,
-            targetVectors = params.targetVectors)), params.alpha)
-        }
+        // a full multi-target dense leg (denseParams) takes precedence over
+        // the plain vector (retrieval.go:123 NearVectorParams)
+        val dense = params.denseParams.filter(_ => params.alpha > 0.0)
+          .map(nv => (denseLeg(nv), params.alpha))
+          .orElse(params.vector.filter(_ => params.alpha > 0.0).map { v =>
+            (denseLeg(NearVector(v, metric, distance = params.maxVectorDistance,
+              targetVectors = params.targetVectors)), params.alpha)
+          })
         Seq(sparse, dense).flatten
       }
     require(legs.nonEmpty, "hybrid: neither query nor vector leg")

@@ -37,6 +37,23 @@ object VectorSearch {
     df.withColumn(outCol, VectorFunctions.distance(metric)(col(vectorCol), qLit))
   }
 
+  /** Distance column for one target-position query: Single → the metric
+   * kernel, Multi → MaxSim late interaction against the position's
+   * multi-vector column (a mixed-position multi-target search scores each
+   * position with its own kernel, exactly like the reference's per-target
+   * index searches — shard_read.go:655-698). */
+  def withDistanceQ(
+      df: DataFrame,
+      vectorCol: String,
+      query: TargetQuery,
+      metric: Metric,
+      outCol: String = DistanceCol): DataFrame = query match {
+    case TargetQuery.Single(v) => withDistance(df, vectorCol, v, metric, outCol)
+    case TargetQuery.Multi(vs) =>
+      val qLit = typedLit(vs.map(_.toSeq).toSeq)
+      df.withColumn(outCol, VectorFunctions.maxSim(qLit, col(vectorCol)))
+  }
+
   /**
    * Full nearVector over a collection: multi-target combination, threshold,
    * deterministic top-k (ties broken by id — matches the reference's uuid
@@ -63,7 +80,7 @@ object VectorSearch {
 
     val scored =
       if (targets.size == 1) {
-        withDistance(base, c.schema.vectors(targets.head), params.queryFor(0), metric)
+        withDistanceQ(base, c.schema.vectors(targets.head), params.targetQuery(0), metric)
       } else {
         // multi-target: one distance column per target, then combine
         // (reference: shard_read.go:655-752, CombineMultiTargetResults).
@@ -89,7 +106,7 @@ object VectorSearch {
   private def foldDistances(base: DataFrame, c: Collection, targets: Seq[String],
       params: NearVector, metric: Metric): DataFrame =
     targets.zipWithIndex.foldLeft(base) { case (d, (t, i)) =>
-      withDistance(d, c.schema.vectors(t), params.queryFor(i), metric, s"__d$i")
+      withDistanceQ(d, c.schema.vectors(t), params.targetQuery(i), metric, s"__d$i")
     }
 
   /** Combined-distance column over `__d{i}` for the non-pool combinations
@@ -102,7 +119,7 @@ object VectorSearch {
       case TargetCombination.Sum     => dcols.reduce(_ + _)
       case TargetCombination.Average => dcols.reduce(_ + _) / dcols.size
       case TargetCombination.ManualWeights(ws) =>
-        targets.zipWithIndex.map { case (t, i) => col(s"__d$i") * lit(ws.getOrElse(t, 1.0)) }.reduce(_ + _)
+        targets.indices.map(i => col(s"__d$i") * lit(ws.lift(i).getOrElse(1.0))).reduce(_ + _)
       case TargetCombination.RelativeScore(_) =>
         throw new IllegalStateException(
           "unreachable: multi-target RelativeScore fuses over a candidate pool")
@@ -158,7 +175,7 @@ object VectorSearch {
    * naive min().over() formulation this replaces.
    */
   private def relativeScoreSearch(
-      c: Collection, base: DataFrame, targets: Seq[String], ws: Map[String, Double],
+      c: Collection, base: DataFrame, targets: Seq[String], ws: Seq[Double],
       params: NearVector, metric: Metric, limit: Option[Int]): DataFrame = {
     val id = c.schema.idColumn
     val scoredAll = foldDistances(base, c, targets, params, metric)
@@ -180,14 +197,14 @@ object VectorSearch {
    * full-scan pool (relativeScoreSearch) and the index-probe pool
    * (combineOverPool). */
   private def fuseRelative(c: Collection, pool: DataFrame, targets: Seq[String],
-      ws: Map[String, Double], params: NearVector, limit: Option[Int]): DataFrame = {
+      ws: Seq[Double], params: NearVector, limit: Option[Int]): DataFrame = {
     val id = c.schema.idColumn
     val aggs = targets.indices.flatMap(i =>
       Seq(min(col(s"__d$i")).as(s"__mn$i"), max(col(s"__d$i")).as(s"__mx$i")))
     val stats = pool.agg(aggs.head, aggs.tail: _*)
-    val combined = targets.zipWithIndex.map { case (t, i) =>
+    val combined = targets.indices.map { i =>
       val d = col(s"__d$i"); val mn = col(s"__mn$i"); val mx = col(s"__mx$i")
-      val w = lit(ws.getOrElse(t, 1.0))
+      val w = lit(ws.lift(i).getOrElse(1.0))
       when(mx === mn, w).otherwise((d - mn) / (mx - mn) * w)
     }.reduce(_ + _)
     val fused = pool.crossJoin(broadcast(stats))

@@ -349,7 +349,7 @@ class AnnSpec extends SparkSpecBase {
     val rel = eng.get(GetParams("M",
       nearVector = Some(NearVector(rows(100)._2.toArray, Metric.L2Squared,
         targetVectors = Seq("a", "b"),
-        combination = TargetCombination.RelativeScore(Map("a" -> 0.7, "b" -> 0.3)))),
+        combination = TargetCombination.RelativeScore(Seq(0.7, 0.3)))),
       pagination = Some(Pagination(limit = 10)),
       properties = Seq("vec_id"), additional = Set("distance")))
     val relPlan = rel.queryExecution.executedPlan.toString

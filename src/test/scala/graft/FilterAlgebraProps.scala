@@ -79,8 +79,10 @@ object FilterAlgebraProps extends Properties("FilterAlgebra") {
         val TextV(v) = w.value.get: @unchecked
         Some(tokens(v).forall(t => tokens(p.name).contains(t)) && tokens(v).nonEmpty)
       case ("name", WhereOp.NotEqual) =>
+        // per-term NotEqual children joined by And (searcher.go:938):
+        // NONE of the value's terms may appear
         val TextV(v) = w.value.get: @unchecked
-        Some(!(tokens(v).forall(t => tokens(p.name).contains(t)) && tokens(v).nonEmpty))
+        Some(tokens(v).nonEmpty && tokens(v).forall(t => !tokens(p.name).contains(t)))
       case ("name", WhereOp.Like) =>
         val TextV(pat) = w.value.get: @unchecked
         val regex = "^" + java.util.regex.Pattern.quote(pat)

@@ -185,7 +185,7 @@ class GraphQLSpec extends SparkSpecBase {
     val nv = p.nearVector.get
     assert(nv.vector.toSeq == Seq(0.1f, 0.2f, 0.3f))
     assert(nv.targetVectors == Seq("default", "rev"))
-    assert(nv.combination == TargetCombination.ManualWeights(Map("default" -> 0.7, "rev" -> 0.3)))
+    assert(nv.combination == TargetCombination.ManualWeights(Seq(0.7, 0.3)))
 
     assert(getErr("""{ Get { Embedding(nearVector: {certainty: 0.9}) { vec_id } } }""")
       == "failed to extract nearVector params: vector or vectorPerTarget is required field")

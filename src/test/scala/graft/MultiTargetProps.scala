@@ -39,9 +39,9 @@ object MultiTargetProps extends Properties("MultiTarget") {
     Gen.const(TargetCombination.Sum),
     Gen.const(TargetCombination.Average),
     for { w1 <- Gen.choose(0.0, 3.0); w2 <- Gen.choose(0.0, 3.0) }
-      yield TargetCombination.ManualWeights(Map("a" -> w1, "b" -> w2)),
+      yield TargetCombination.ManualWeights(Seq(w1, w2)),
     for { w1 <- Gen.choose(0.1, 3.0); w2 <- Gen.choose(0.1, 3.0) }
-      yield TargetCombination.RelativeScore(Map("a" -> w1, "b" -> w2)))
+      yield TargetCombination.RelativeScore(Seq(w1, w2)))
 
   private val caseGen: Gen[TCase] = for {
     dim  <- Gen.choose(2, 4)
@@ -72,14 +72,14 @@ object MultiTargetProps extends Properties("MultiTarget") {
       case TargetCombination.Sum     => pool.map(id => id -> (d0(id) + d1(id))).toMap
       case TargetCombination.Average => pool.map(id => id -> (d0(id) + d1(id)) / 2).toMap
       case TargetCombination.ManualWeights(ws) =>
-        pool.map(id => id -> (d0(id) * ws("a") + d1(id) * ws("b"))).toMap
+        pool.map(id => id -> (d0(id) * ws(0) + d1(id) * ws(1))).toMap
       case TargetCombination.RelativeScore(ws) =>
         val (mn0, mx0) = (pool.map(d0).min, pool.map(d0).max)
         val (mn1, mx1) = (pool.map(d1).min, pool.map(d1).max)
         def norm(d: Double, mn: Double, mx: Double, w: Double): Double =
           if (mx == mn) w else (d - mn) / (mx - mn) * w
         pool.map(id => id ->
-          (norm(d0(id), mn0, mx0, ws("a")) + norm(d1(id), mn1, mx1, ws("b")))).toMap
+          (norm(d0(id), mn0, mx0, ws(0)) + norm(d1(id), mn1, mx1, ws(1)))).toMap
     }
     pool.sortBy(id => (combined(id), id)).take(tc.k)
   }
@@ -101,7 +101,7 @@ object MultiTargetProps extends Properties("MultiTarget") {
     val c = Collection(schema, df)
     val params = NearVector(tc.query, Metric.L2Squared,
       targetVectors = Seq("a", "b"), combination = tc.comb,
-      vectors = tc.queryB.map(qb => Seq(tc.query, qb)).getOrElse(Nil))
+      vectors = tc.queryB.map(qb => TargetQuery.singles(Seq(tc.query, qb))).getOrElse(Nil))
     val got = IvfIndex.multiTargetSearch(c, Seq("a", "b"),
       Seq(trivialIndex(df, "va", tc.query.length), trivialIndex(df, "vb", tc.query.length)),
       params, tc.k, None)

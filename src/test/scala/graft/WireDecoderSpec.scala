@@ -169,8 +169,9 @@ class WireDecoderSpec extends SparkSpecBase {
         |        {"target": "default", "weight": 2.0}, {"target": "rev", "weight": 1.0}]}}}""".stripMargin)
     val nv = j.nearVector.get
     assert(nv.targetVectors == Seq("default", "rev"))
-    assert(nv.combination == TargetCombination.ManualWeights(Map("default" -> 2.0, "rev" -> 1.0)))
-    assert(nv.vectors.map(_.toSeq) == Seq(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)))
+    assert(nv.combination == TargetCombination.ManualWeights(Seq(2.0, 1.0)))
+    assert(nv.vectors.map { case TargetQuery.Single(v) => v.toSeq; case q => q } ==
+      Seq(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)))
 
     assert(err(
       """{"collection": "Embedding", "limit": 10,
