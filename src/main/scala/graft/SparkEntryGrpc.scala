@@ -1,0 +1,758 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.json4s._
+
+import graft.engine.{Graft, ProtoWire, WireDecoder, WireEncoder}
+import graft.model.{CollectionSchema, Property, PropType, Tokenization, StopwordConfig}
+
+/**
+ * q_fixture_grpc_* gates: the core gRPC acceptance suites
+ * (test/acceptance/grpc/grpc_search_test.go, grpc_named_vectors_test.go,
+ * grpc_mixed_vectors_test.go, filtered_search_test.go) replayed end-to-end
+ * through the BINARY transport — every request is hand-assembled protojson,
+ * encoded to protobuf bytes by [[ProtoWire.write]], decoded back by the
+ * engine's wire layer, served, and (where the suite reads reply fields)
+ * re-encoded to SearchReply bytes and parsed back.
+ *
+ * Documented divergences, mirrored on both sides of each gate:
+ *  - contextionary embeddings use the deterministic [[Fixtures.hashEmbedder]]
+ *    stand-in (64-dim) over the SAME VectorizerCorpus rule the reference's
+ *    object_texts.go defines; dimensionality differs from the real module
+ *    (300), so the gates assert vector COUNT/names/byte-equality, which the
+ *    suites themselves pin, never raw values.
+ *  - filtered_search_test.go's three NotEqual sub-arms share one mutable
+ *    request under t.Parallel(), so the reference effectively runs all three
+ *    with the LAST value ("AAA A"); the gate replays that effective contract
+ *    (625 rows) AND the per-form semantics the searcher actually implements
+ *    (single term → 650).
+ */
+object SparkEntryGrpc {
+
+  private def steps(s: SparkSession, rows: Seq[(String, String)]): DataFrame = {
+    import s.implicits._
+    rows.toDF("step", "result").orderBy(col("step"))
+  }
+
+  /** LE fp32 → base64 (byteops.Fp32SliceToBytes). */
+  private def b64Fp32(vs: Seq[Float]): String = {
+    val bb = java.nio.ByteBuffer.allocate(vs.size * 4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    vs.foreach(bb.putFloat)
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+
+  /** uint16 dim header + LE fp32 rows (byteops.Fp32SliceOfSlicesToBytes). */
+  private def b64Multi(rows: Seq[Seq[Float]]): String = {
+    val dim = rows.head.size
+    val bb = java.nio.ByteBuffer.allocate(2 + rows.size * dim * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putShort(dim.toShort)
+    rows.foreach(_.foreach(bb.putFloat))
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+
+  private def jStr(s: String) = JString(s)
+  private def vectorsEntry(tpe: String, b64: String): JValue =
+    JObject(List("type" -> JString(tpe), "vector_bytes" -> JString(b64)))
+  private def singleEntry(vs: Seq[Float], tpe: String = "VECTOR_TYPE_SINGLE_FP32"): JValue =
+    vectorsEntry(tpe, b64Fp32(vs))
+  private def multiEntry(rows: Seq[Seq[Float]]): JValue =
+    vectorsEntry("VECTOR_TYPE_MULTI_FP32", b64Multi(rows))
+  private def vft(name: String, entries: Seq[JValue]): JValue =
+    JObject(List("name" -> JString(name), "vectors" -> JArray(entries.toList)))
+  private def vftBytes(name: String, vs: Seq[Float]): JValue =
+    JObject(List("name" -> JString(name), "vector_bytes" -> JString(b64Fp32(vs))))
+  private def targets(tvs: Seq[String], combination: Option[String] = None,
+                      weights: Seq[(String, Double)] = Nil): JValue =
+    JObject(List("target_vectors" -> JArray(tvs.toList.map(jStr))) ++
+      combination.map(c => "combination" -> JString(c)) ++
+      (if (weights.isEmpty) Nil
+       else List("weights_for_targets" -> JArray(weights.toList.map { case (t, w) =>
+         JObject(List("target" -> JString(t), "weight" -> JDouble(w))) }))))
+
+  // ==========================================================================
+  // TestGRPCSearch (grpc_search_test.go) — PlanetsMultiVectorSearch
+  // ==========================================================================
+
+  /** The planets sample bed (test/helper/sample-schema/planets/planets.go):
+   * 2 objects, 3 named vector spaces — colbert (multi-vector), regular
+   * (3-dim), description (vectorized from the description property with
+   * vectorizeClassName=false). */
+  private def planetsGraft(s: SparkSession): Graft = {
+    val earthDesc = "The Earth's surface is predominantly covered by oceans, accounting " +
+      "for about 71% of its total area, while continents provide the stage for bustling " +
+      "cities, towering mountains, and sprawling forests. Its atmosphere, composed mostly " +
+      "of nitrogen and oxygen, protects life from harmful solar radiation and regulates " +
+      "the planet's climate, creating the conditions necessary for life to flourish. " +
+      "Humans, as the dominant species, have left an indelible mark on Earth, shaping its " +
+      "landscapes and ecosystems in profound ways. However, with this influence comes the " +
+      "responsibility to steward and preserve our planet for future generations."
+    val marsDesc = "Mars, often called the \"Red Planet\" due to its rusty reddish hue, " +
+      "is the fourth planet from the Sun in our solar system. It's a world of stark " +
+      "contrasts and mysterious allure, captivating the imaginations of scientists, " +
+      "explorers, and dreamers alike. With its barren, rocky terrain and thin atmosphere " +
+      "primarily composed of carbon dioxide, Mars presents a harsh environment vastly " +
+      "different from Earth. Yet, beneath its desolate surface lie tantalizing clues " +
+      "about its past, including evidence of ancient rivers, lakes, and even the " +
+      "possibility of microbial life."
+    val embed = Fixtures.hashEmbedder(64)
+    val rows = Seq(
+      Row("00000000-0000-0000-0000-000000000001", "Earth", earthDesc,
+        Seq(Seq(0.11f, 0.12f), Seq(0.13f, 0.14f), Seq(0.15f, 0.16f)),
+        Seq(0.11f, 0.12f, 0.13f), embed(earthDesc.toLowerCase).toSeq),
+      Row("00000000-0000-0000-0000-000000000002", "Mars", marsDesc,
+        Seq(Seq(0.21f, 0.22f), Seq(0.23f, 0.24f), Seq(0.25f, 0.26f)),
+        Seq(0.14f, 0.15f, 0.16f), embed(marsDesc.toLowerCase).toSeq))
+    val frame = StructType(Seq(
+      StructField("uuid", StringType), StructField("name", StringType),
+      StructField("description", StringType),
+      StructField("colbert_vec", ArrayType(ArrayType(FloatType))),
+      StructField("regular_vec", ArrayType(FloatType)),
+      StructField("description_vec", ArrayType(FloatType))))
+    val gg = new Graft(s)
+    gg.register(CollectionSchema("PlanetsMultiVectorSearch", "uuid", Seq(
+      Property("name", PropType.Text), Property("description", PropType.Text)),
+      vectors = Map("colbert" -> "colbert_vec", "regular" -> "regular_vec",
+        "description" -> "description_vec")),
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), frame))
+    gg
+  }
+
+  private val planetRegular = Seq(Seq(0.11f, 0.12f, 0.13f), Seq(0.14f, 0.15f, 0.16f))
+  private val planetColbert = Seq(
+    Seq(Seq(0.11f, 0.12f), Seq(0.13f, 0.14f), Seq(0.15f, 0.16f)),
+    Seq(Seq(0.21f, 0.22f), Seq(0.23f, 0.24f), Seq(0.25f, 0.26f)))
+
+  private def grpcSearchGate(s: SparkSession): DataFrame = {
+    val gg = planetsGraft(s)
+    val descVecs: Seq[Seq[Float]] = gg.collection("PlanetsMultiVectorSearch").df
+      .orderBy(col("uuid")).select(col("description_vec")).collect()
+      .map(_.getSeq[Float](0).toSeq).toSeq
+
+    def serve(fields: List[(String, JValue)]): String = {
+      val doc = JObject(List(
+        "collection" -> JString("PlanetsMultiVectorSearch"),
+        "properties" -> JObject(List("non_ref_properties" -> JArray(List(JString("name"))))),
+        "metadata" -> JObject(List("uuid" -> JBool(true))),
+        "uses_123_api" -> JBool(true), "uses_125_api" -> JBool(true),
+        "uses_127_api" -> JBool(true)) ++ fields)
+      val out = try {
+        val params = ProtoWire.searchRequest(gg, ProtoWire.write(doc, "SearchRequest"))
+        val names = gg.get(params).select(col("name")).collect().map(_.getString(0))
+        s"n=${names.length};names=${names.mkString("|")}"
+      } catch { case e: Exception => s"error=${e.getMessage}" }
+      out
+    }
+    def nv(fields: List[(String, JValue)]): List[(String, JValue)] =
+      List("near_vector" -> JObject(fields))
+
+    val combos = Seq(
+      "avg" -> "COMBINATION_METHOD_TYPE_AVERAGE", "sum" -> "COMBINATION_METHOD_TYPE_SUM",
+      "min" -> "COMBINATION_METHOD_TYPE_MIN", "man" -> "COMBINATION_METHOD_TYPE_MANUAL",
+      "rel" -> "COMBINATION_METHOD_TYPE_RELATIVE_SCORE")
+
+    val out = Seq.newBuilder[(String, String)]
+    // -- vector search -------------------------------------------------------
+    out += "v01_legacy_vector" -> serve(nv(List(
+      "vector" -> JArray(planetRegular.head.toList.map(f => JDouble(f))),
+      "targets" -> targets(Seq("regular")))))
+    out += "v02_legacy_bytes" -> serve(nv(List(
+      "vector_bytes" -> JString(b64Fp32(planetRegular.head)),
+      "targets" -> targets(Seq("regular")))))
+    out += "v03_colbert_multi" -> serve(nv(List(
+      "vectors" -> JArray(List(multiEntry(planetColbert.head))),
+      "targets" -> targets(Seq("colbert")))))
+    out += "v04_regular_typed" -> serve(nv(List(
+      "vectors" -> JArray(List(singleEntry(planetRegular.head))),
+      "targets" -> targets(Seq("regular")))))
+    out += "v05_regular_unspecified" -> serve(nv(List(
+      "vectors" -> JArray(List(singleEntry(planetRegular.head, "VECTOR_TYPE_UNSPECIFIED"))),
+      "targets" -> targets(Seq("regular")))))
+
+    // -- multi vector search -------------------------------------------------
+    out += "m01_two_unspecified" -> serve(nv(List(
+      "vector_for_targets" -> JArray(List(vft("regular", Seq(
+        singleEntry(planetRegular.head, "VECTOR_TYPE_UNSPECIFIED"),
+        singleEntry(planetRegular(1), "VECTOR_TYPE_UNSPECIFIED"))))),
+      "targets" -> targets(Seq("regular")))))
+    out += "m02_only1_regular" -> serve(nv(List(
+      "vector_for_targets" -> JArray(List(vft("regular", Seq(singleEntry(planetRegular.head))))),
+      "targets" -> targets(Seq("regular")))))
+    out += "m03_only1_colbert" -> serve(nv(List(
+      "vector_for_targets" -> JArray(List(vft("colbert", Seq(multiEntry(planetColbert.head))))),
+      "targets" -> targets(Seq("colbert")))))
+    out += "m04_regular_as_multi" -> serve(nv(List(
+      "vector_for_targets" -> JArray(List(vft("regular", Seq(multiEntry(planetRegular))))),
+      "targets" -> targets(Seq("regular")))))
+    out += "m05_colbert_two_multis" -> serve(nv(List(
+      "vector_for_targets" -> JArray(List(vft("colbert", Seq(
+        multiEntry(planetColbert.head), multiEntry(planetColbert(1)))))),
+      "targets" -> targets(Seq("colbert")))))
+    out += "m06_regular_and_colbert" -> serve(nv(List(
+      "vector_for_targets" -> JArray(List(
+        vft("regular", Seq(multiEntry(planetRegular))),
+        vft("colbert", Seq(multiEntry(planetColbert.head), multiEntry(planetColbert(1)))))),
+      "targets" -> targets(Seq("regular", "colbert")))))
+    out += "m07_reg_colbert_desc" -> serve(nv(List(
+      "vector_for_targets" -> JArray(List(
+        vft("regular", Seq(multiEntry(planetRegular))),
+        vft("colbert", Seq(multiEntry(planetColbert.head), multiEntry(planetColbert(1)))),
+        vft("description", Seq(multiEntry(descVecs))))),
+      "targets" -> targets(Seq("regular", "colbert", "description")))))
+
+    // -- multi vector search with weights ------------------------------------
+    combos.foreach { case (key, c) =>
+      val ws = if (key == "man" || key == "rel")
+        Seq("regular" -> 0.2, "regular" -> 0.8) else Nil
+      out += s"w01_legacy_${key}" -> serve(nv(List(
+        "vector_for_targets" -> JArray(List(
+          vftBytes("regular", planetRegular.head), vftBytes("regular", planetRegular(1)))),
+        "targets" -> targets(Seq("regular", "regular"), Some(c), ws))))
+    }
+    combos.foreach { case (key, c) =>
+      val (tvs, ws) = if (key == "man" || key == "rel")
+        (Seq("regular", "regular"), Seq("regular" -> 0.2, "regular" -> 0.8))
+      else (Seq("regular"), Nil)
+      out += s"w02_newshape_${key}" -> serve(nv(List(
+        "vector_for_targets" -> JArray(List(vft("regular", Seq(multiEntry(planetRegular))))),
+        "targets" -> targets(tvs, Some(c), ws))))
+    }
+    out += "w03_reg_colbert_manual" -> serve(nv(List(
+      "vector_for_targets" -> JArray(List(
+        vft("regular", Seq(multiEntry(planetRegular))),
+        vft("colbert", Seq(multiEntry(planetColbert.head), multiEntry(planetColbert(1)))))),
+      "targets" -> targets(Seq("regular", "regular", "colbert", "colbert"),
+        Some("COMBINATION_METHOD_TYPE_MANUAL"),
+        Seq("regular" -> 0.2, "regular" -> 0.4, "colbert" -> 0.2, "colbert" -> 0.2)))))
+    combos.foreach { case (key, c) =>
+      val (tvs, ws) = if (key == "man" || key == "rel")
+        (Seq("regular", "regular", "colbert", "description", "description"),
+         Seq("regular" -> 0.2, "regular" -> 0.4, "colbert" -> 0.2,
+             "description" -> 0.1, "description" -> 0.1))
+      else (Seq("regular", "colbert", "description"), Nil)
+      out += s"w04_three_${key}" -> serve(nv(List(
+        "vector_for_targets" -> JArray(List(
+          vft("regular", Seq(multiEntry(planetRegular))),
+          vft("colbert", Seq(multiEntry(planetColbert.head))),
+          vft("description", Seq(multiEntry(descVecs))))),
+        "targets" -> targets(tvs, Some(c), ws))))
+    }
+    combos.foreach { case (key, c) =>
+      val ws = if (key == "man" || key == "rel")
+        Seq("regular" -> 0.2, "description" -> 0.8) else Nil
+      out += s"w05_reg_desc_${key}" -> serve(nv(List(
+        "vector_for_targets" -> JArray(List(
+          vft("regular", Seq(multiEntry(Seq(planetRegular.head)))),
+          vft("description", Seq(multiEntry(Seq(descVecs(1))))))),
+        "targets" -> targets(Seq("regular", "description"), Some(c), ws))))
+    }
+
+    // -- hybrid (no alpha on the wire → raw proto3 0 → pure keyword; the
+    // dense leg still parses and validates: "Earth" matches both planets'
+    // text, "Mars" only Mars's — the suite's 2-vs-1 count contract) --------
+    combos.foreach { case (key, c) =>
+      val ws = if (key == "man" || key == "rel")
+        Seq("regular" -> 0.2, "regular" -> 0.8) else Nil
+      out += s"h01_earth_legacy_${key}" -> serve(List(
+        "hybrid_search" -> JObject(List(
+          "query" -> JString("Earth"),
+          "near_vector" -> JObject(List("vector_for_targets" -> JArray(List(
+            vftBytes("regular", planetRegular.head), vftBytes("regular", planetRegular(1)))))),
+          "targets" -> targets(Seq("regular", "regular"), Some(c), ws)))))
+    }
+    combos.foreach { case (key, c) =>
+      val (tvs, ws) = if (key == "man" || key == "rel")
+        (Seq("regular", "regular"), Seq("regular" -> 0.2, "regular" -> 0.8))
+      else (Seq("regular"), Nil)
+      out += s"h02_mars_newshape_${key}" -> serve(List(
+        "hybrid_search" -> JObject(List(
+          "query" -> JString("Mars"),
+          "near_vector" -> JObject(List("vector_for_targets" -> JArray(List(
+            vft("regular", Seq(multiEntry(planetRegular))))))),
+          "targets" -> targets(tvs, Some(c), ws)))))
+    }
+    combos.foreach { case (key, c) =>
+      val (tvs, ws) = if (key == "man" || key == "rel")
+        (Seq("regular", "regular", "colbert", "description", "description"),
+         Seq("regular" -> 0.2, "regular" -> 0.4, "colbert" -> 0.2,
+             "description" -> 0.1, "description" -> 0.1))
+      else (Seq("regular", "colbert", "description"), Nil)
+      out += s"h03_mars_three_${key}" -> serve(List(
+        "hybrid_search" -> JObject(List(
+          "query" -> JString("Mars"),
+          "near_vector" -> JObject(List("vector_for_targets" -> JArray(List(
+            vft("regular", Seq(multiEntry(planetRegular))),
+            vft("colbert", Seq(multiEntry(planetColbert.head))),
+            vft("description", Seq(multiEntry(descVecs))))))),
+          "targets" -> targets(tvs, Some(c), ws)))))
+    }
+    steps(s, out.result())
+  }
+
+  // ==========================================================================
+  // TestGRPC_NamedVectors / TestGRPC_MixedVectors — Books beds
+  // ==========================================================================
+
+  private val bookUuids = Seq(
+    "67b79643-cf8b-4b22-b206-6e63dbb4e000", // Dune
+    "67b79643-cf8b-4b22-b206-6e63dbb4e001", // Project Hail Mary
+    "67b79643-cf8b-4b22-b206-6e63dbb4e002") // The Lord of the Ice Garden
+
+  /** books.BatchObjects() (books.go:306-…): 3 objects with nested meta
+   * object and reviews object[] — imported over the BINARY
+   * BatchObjectsRequest wire exactly like the suites do. */
+  private def booksBatchDoc: JValue = {
+    def meta(isbn: String): JValue = JObject(List(
+      "prop_name" -> JString("meta"),
+      "value" -> JObject(List(
+        "non_ref_properties" -> JObject(List("isbn" -> JString(isbn))),
+        "object_properties" -> JArray(List(JObject(List(
+          "prop_name" -> JString("obj"),
+          "value" -> JObject(List("non_ref_properties" ->
+            JObject(List("text" -> JString("some text"))))))))),
+        "object_array_properties" -> JArray(List(JObject(List(
+          "prop_name" -> JString("objs"),
+          "values" -> JArray(List(JObject(List("non_ref_properties" ->
+            JObject(List("text" -> JString("some text")))))))))))))))
+    def reviews(tags: Seq[String]): JValue = JObject(List(
+      "prop_name" -> JString("reviews"),
+      "values" -> JArray(List(JObject(List(
+        "text_array_properties" -> JArray(List(JObject(List(
+          "prop_name" -> JString("tags"),
+          "values" -> JArray(tags.toList.map(jStr))))))))))))
+    def obj(uuid: String, title: String, desc: String, isbn: String,
+            tags: Seq[String]): JValue =
+      JObject(List(
+        "collection" -> JString("Books"), "uuid" -> JString(uuid),
+        "properties" -> JObject(List(
+          "non_ref_properties" -> JObject(List(
+            "title" -> JString(title), "description" -> JString(desc))),
+          "object_properties" -> JArray(List(meta(isbn))),
+          "object_array_properties" -> JArray(List(reviews(tags)))))))
+    JObject(List("objects" -> JArray(List(
+      obj(bookUuids(0), "Dune",
+        "Dune is a 1965 epic science fiction novel by American author Frank Herbert.",
+        "978-0593099322", Seq("sci-fi", "epic")),
+      obj(bookUuids(1), "Project Hail Mary",
+        "Project Hail Mary is a 2021 science fiction novel by American novelist Andy Weir.",
+        "978-0593135204", Seq("sci-fi")),
+      obj(bookUuids(2), "The Lord of the Ice Garden",
+        "The Lord of the Ice Garden (Polish: Pan Lodowego Ogrodu) is a four-volume science fiction and fantasy novel by Polish writer Jaroslaw Grzedowicz.",
+        "978-8374812962", Seq("sci-fi", "fantasy"))))))
+  }
+
+  /** Build a Books graft with the given named-vector layout. `spaces` maps
+   * space name → (vectorizeClassName, Some(props) | None=all text props).
+   * Ingest goes through the binary BatchObjectsRequest wire. */
+  private def booksGraft(s: SparkSession,
+      spaces: Seq[(String, (Boolean, Option[Seq[String]]))],
+      defaultVector: Option[String]): (Graft, Int) = {
+    val schema = CollectionSchema("Books", "uuid", Seq(
+      Property("title", PropType.Text),
+      Property("description", PropType.Text),
+      Property("tags", PropType.Arr(PropType.Text)),
+      Property("meta", PropType.Obj),
+      Property("reviews", PropType.Arr(PropType.Obj))),
+      vectors = spaces.map { case (n, _) => n -> s"vec_$n" }.toMap,
+      defaultVector = defaultVector)
+    val frame = StructType(Seq(
+      StructField("uuid", StringType),
+      StructField("title", StringType),
+      StructField("description", StringType),
+      StructField("tags", ArrayType(StringType)),
+      StructField("meta", StructType(Seq(
+        StructField("isbn", StringType),
+        StructField("obj", StructType(Seq(StructField("text", StringType)))),
+        StructField("objs", ArrayType(StructType(Seq(StructField("text", StringType)))))))),
+      StructField("reviews", ArrayType(StructType(Seq(
+        StructField("tags", ArrayType(StringType))))))))
+    val st = new graft.sources.CollectionStore(s,
+      java.nio.file.Files.createTempDirectory("graft-books").toString, schema)
+    st.init(s.createDataFrame(s.sparkContext.emptyRDD[Row], frame))
+    val (objs, errs) = ProtoWire.batchObjectsRequest(
+      ProtoWire.write(booksBatchDoc, "BatchObjectsRequest"))
+    st.upsert(WireDecoder.batchObjectsFrame(s, st.read().schema, "uuid",
+      Map.empty, objs.map(_._2)))
+    // the stand-in vectorizer: hash-embed the SAME VectorizerCorpus each
+    // text2vec space is configured with (object_texts.go)
+    val embedUdf = udf(Fixtures.hashEmbedder(64))
+    val allText = Seq("description" -> col("description"),
+      "tags" -> col("tags"), "title" -> col("title"))
+    val withVecs = spaces.foldLeft(st.read()) { case (d, (n, (vcn, props))) =>
+      val pcols = props match {
+        case Some(ps) => allText.filter { case (pn, _) => ps.contains(pn) }
+        case None => allText
+      }
+      val corpus = graft.sources.VectorizerCorpus.column("Books", pcols,
+        textArrays = Set("tags"),
+        cfg = graft.sources.VectorizerCorpus.Config(vectorizeClassName = vcn))
+      d.withColumn(s"vec_$n", embedUdf(corpus))
+    }
+    val gg = new Graft(s).withEmbedder(Fixtures.hashEmbedder(64))
+    gg.register(schema, withVecs)
+    (gg, errs.size)
+  }
+
+  /** One search through the FULL binary loop: request bytes → engine →
+   * SearchReply JSON → reply bytes → parsed back; returns (title of first
+   * hit, named-vector (name,bytes) entries of the first hit, legacy
+   * vector_bytes of the first hit, result/group count). */
+  private def binarySearch(gg: Graft, doc: JValue)
+      : (String, Seq[(String, String)], String, Int) = {
+    val params = ProtoWire.searchRequest(gg, ProtoWire.write(doc, "SearchRequest"))
+    val replyJson = WireEncoder.searchReply(gg.get(params), params, took = 0.0)
+    val schema = gg.collection((doc \ "collection").values.toString).schema
+    val hints = schema.properties.map(p => p.name -> p.dataType).toMap
+    val back = ProtoWire.read(ProtoWire.searchReplyBytes(replyJson, hints), "SearchReply")
+    val (first, count) = (back \ "group_by_results") match {
+      case JArray(gs) if gs.nonEmpty =>
+        (((gs.head \ "objects"): JValue) match {
+          case JArray(os) => os.head
+          case _ => JNothing
+        }, gs.size)
+      case _ => (back \ "results") match {
+        case JArray(rs) if rs.nonEmpty => (rs.head, rs.size)
+        case _ => (JNothing, 0)
+      }
+    }
+    val title = (first \ "properties" \ "non_ref_properties" \ "title") match {
+      case JString(t) => t
+      case _ => "∅"
+    }
+    val vecs = (first \ "metadata" \ "vectors") match {
+      case JArray(vs) => vs.map(v =>
+        ((v \ "name").values.toString, (v \ "vector_bytes").values.toString))
+      case JObject(_) => Seq((((first \ "metadata" \ "vectors") \ "name").values.toString,
+        ((first \ "metadata" \ "vectors") \ "vector_bytes").values.toString))
+      case _ => Nil
+    }
+    val legacy = (first \ "metadata" \ "vector_bytes") match {
+      case JString(b) => b
+      case _ => "∅"
+    }
+    (title, vecs, legacy, count)
+  }
+
+  private def grpcNamedVectorsGate(s: SparkSession): DataFrame = {
+    val (gg, errs) = booksGraft(s,
+      Seq("all" -> (false, None), "title" -> (false, Some(Seq("title"))),
+          "description" -> (false, Some(Seq("description")))),
+      defaultVector = None)
+    val out = Seq.newBuilder[(String, String)]
+    out += "00_batch" -> s"errors=$errs;stored=${gg.collection("Books").df.count()}"
+
+    val metaVariants = Seq(
+      "all3" -> JObject(List("vector" -> JBool(true))),
+      "one" -> JObject(List("vectors" -> JArray(List(JString("all"))))))
+    def base(meta: JValue, fields: List[(String, JValue)]): JValue =
+      JObject(List("collection" -> JString("Books"), "metadata" -> meta,
+        "uses_123_api" -> JBool(true), "uses_125_api" -> JBool(true)) ++ fields)
+    val groupBy = "group_by" -> JObject(List(
+      "path" -> JArray(List(JString("title"))),
+      "number_of_groups" -> JLong(1), "objects_per_group" -> JLong(1)))
+
+    metaVariants.foreach { case (key, meta) =>
+      def render(t: (String, Seq[(String, String)], String, Int)): String =
+        s"title=${t._1};nvecs=${t._2.size};names=${t._2.map(_._1).sorted.mkString("|")};n=${t._4}"
+      out += s"${key}_01_hybrid" -> render(binarySearch(gg, base(meta, List(
+        "hybrid_search" -> JObject(List("query" -> JString("Dune"),
+          "target_vectors" -> JArray(List(JString("all")))))))))
+      out += s"${key}_02_hybrid_group" -> render(binarySearch(gg, base(meta, List(
+        groupBy,
+        "hybrid_search" -> JObject(List("query" -> JString("Dune"),
+          "target_vectors" -> JArray(List(JString("all")))))))))
+      out += s"${key}_03_hybrid_neartext_group" -> render(binarySearch(gg, base(meta, List(
+        groupBy,
+        "hybrid_search" -> JObject(List(
+          "alpha" -> JDouble(0.5),
+          "near_text" -> JObject(List("query" -> JArray(List(JString("Dune"))))),
+          "target_vectors" -> JArray(List(JString("all")))))))))
+      out += s"${key}_04_neartext" -> render(binarySearch(gg, base(meta, List(
+        "near_text" -> JObject(List("query" -> JArray(List(JString("Dune"))),
+          "target_vectors" -> JArray(List(JString("all")))))))))
+      out += s"${key}_05_neartext_group" -> render(binarySearch(gg, base(meta, List(
+        groupBy,
+        "near_text" -> JObject(List("query" -> JArray(List(JString("Dune"))),
+          "target_vectors" -> JArray(List(JString("all")))))))))
+    }
+    steps(s, out.result())
+  }
+
+  private def grpcMixedVectorsGate(s: SparkSession): DataFrame = {
+    // ClassMixedContextionaryVectorizer (books.go:100-122): a class-level
+    // legacy space (vectorizeClassName default true over all props) plus two
+    // named spaces; contextionary_all shares the legacy corpus exactly, which
+    // the suite pins via byte equality
+    val (gg, _) = booksGraft(s,
+      Seq("default" -> (true, None), "contextionary_all" -> (true, None),
+          "title" -> (false, Some(Seq("title")))),
+      defaultVector = Some("default"))
+    val out = Seq.newBuilder[(String, String)]
+
+    def base(fields: List[(String, JValue)]): JValue =
+      JObject(List("collection" -> JString("Books"),
+        "metadata" -> JObject(List("uuid" -> JBool(true), "vector" -> JBool(true))),
+        "uses_127_api" -> JBool(true)) ++ fields)
+
+    // search all: every result carries the legacy vector and 2 named spaces;
+    // legacy == contextionary_all byte-for-byte (grpc_mixed_vectors_test.go:79-93)
+    val (t0, vecs0, legacy0, n0) = binarySearch(gg, base(Nil))
+    out += "01_search_all" -> (s"n=$n0;nvecs=${vecs0.size};names=${vecs0.map(_._1).sorted.mkString("|")};" +
+      s"legacy_eq_ctx=${vecs0.toMap.get("contextionary_all").contains(legacy0)}")
+
+    Seq("" -> "notgt", "contextionary_all" -> "ctx").foreach { case (tv, key) =>
+      def hybridFields(extra: List[(String, JValue)]): List[(String, JValue)] =
+        List("hybrid_search" -> JObject(List("query" -> JString("Dune")) ++
+          (if (tv.isEmpty) Nil
+           else List("targets" -> JObject(List("target_vectors" -> JArray(List(JString(tv))))))) ++
+          extra))
+      val groupBy = "group_by" -> JObject(List(
+        "path" -> JArray(List(JString("title"))),
+        "number_of_groups" -> JLong(1), "objects_per_group" -> JLong(1)))
+
+      val (t1, _, _, n1) = binarySearch(gg, base(hybridFields(Nil)))
+      out += s"${key}_02_hybrid" -> s"n=$n1;title=$t1"
+      val (_, _, _, n2) = binarySearch(gg, base(groupBy :: hybridFields(Nil)))
+      out += s"${key}_03_hybrid_group" -> s"groups=$n2"
+      val (_, _, _, n3) = binarySearch(gg, base(groupBy :: List(
+        "hybrid_search" -> JObject(List(
+          "alpha" -> JDouble(0.5),
+          "near_text" -> JObject(List("query" -> JArray(List(JString("Dune")))))) ++
+          (if (tv.isEmpty) Nil
+           else List("targets" -> JObject(List("target_vectors" -> JArray(List(JString(tv)))))))))))
+      out += s"${key}_04_hybrid_neartext_group" -> s"groups=$n3"
+      val (t4, _, _, _) = binarySearch(gg, base(List(
+        "near_text" -> JObject(List("query" -> JArray(List(JString("Dune")))) ++
+          (if (tv.isEmpty) Nil
+           else List("targets" -> JObject(List("target_vectors" -> JArray(List(JString(tv)))))))))))
+      out += s"${key}_05_neartext" -> s"title=$t4"
+
+      // aggregations through the binary AggregateRequest wire
+      def agg(search: List[(String, JValue)], top: Boolean = false): String = {
+        // the suite requests Text{Count}; the "Dune" topOccurrences pin runs
+        // as its own arm with an explicit limit (topOccurences WITHOUT a
+        // limit is the reference's TotalTrue quirk, parse_aggregate_request
+        // .go:418-425 — wrong aggregator for text)
+        val tf: List[(String, JValue)] =
+          if (top) List("top_occurences" -> JBool(true), "top_occurences_limit" -> JLong(1))
+          else List("count" -> JBool(true))
+        val doc = JObject(List(
+          "collection" -> JString("Books"), "objects_count" -> JBool(true),
+          "aggregations" -> JArray(List(JObject(List(
+            "property" -> JString("title"),
+            "text" -> JObject(tf)))))) ++ search)
+        val params = ProtoWire.aggregateRequest(gg, ProtoWire.write(doc, "AggregateRequest"))
+        val df = gg.aggregate(params)
+        val row = df.collect().head
+        val cols = df.columns.zipWithIndex.toMap
+        if (top)
+          cols.get("title_topOccurrences").filter(i => !row.isNullAt(i))
+            .map(i => "top=" + row.getSeq[Row](i).headOption
+              .map(_.getAs[String]("value")).getOrElse("∅")).getOrElse("top=∅")
+        else
+          "count=" + cols.get("title_count").map(i => row.get(i).toString).getOrElse("?")
+      }
+      def hybridAgg: List[(String, JValue)] = List(
+        "hybrid" -> JObject(List(
+          "alpha" -> JDouble(0.5),
+          "near_text" -> JObject(List(
+            "query" -> JArray(List(JString("dune"))),
+            "certainty" -> JDouble(0.7)))) ++
+          (if (tv.isEmpty) Nil
+           else List("targets" -> JObject(List("target_vectors" -> JArray(List(JString(tv)))))))))
+      out += s"${key}_06_agg_simple" -> agg(Nil)
+      out += s"${key}_07_agg_hybrid" -> agg(hybridAgg)
+      out += s"${key}_08_agg_hybrid_top" -> agg(hybridAgg, top = true)
+    }
+    steps(s, out.result())
+  }
+
+  // ==========================================================================
+  // TestGRPC_FilteredSearch (filtered_search_test.go) — Alphabetic bed
+  // ==========================================================================
+
+  private def grpcFilteredGate(s: SparkSession): DataFrame = {
+    val alpha = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    val schema = CollectionSchema("Alphabetic", "uuid",
+      Seq(Property("contents", PropType.Text, Tokenization.Word)),
+      stopwords = StopwordConfig("none"))
+    val frame = StructType(Seq(
+      StructField("uuid", StringType), StructField("contents", StringType)))
+    val st = new graft.sources.CollectionStore(s,
+      java.nio.file.Files.createTempDirectory("graft-alpha").toString, schema)
+    st.init(s.createDataFrame(s.sparkContext.emptyRDD[Row], frame))
+    // 26×26 objects "III J", imported over the binary batch wire like the suite
+    val objs = for { i <- 0 until 26; j <- 0 until 26 } yield JObject(List(
+      "collection" -> JString("Alphabetic"),
+      "uuid" -> JString(f"ab000000-0000-4000-8000-${i * 26 + j}%012d"),
+      "properties" -> JObject(List("non_ref_properties" -> JObject(List(
+        "contents" -> JString(s"${alpha(i).toString * 3} ${alpha(j)}")))))))
+    val (decoded, errs) = ProtoWire.batchObjectsRequest(ProtoWire.write(
+      JObject(List("objects" -> JArray(objs.toList))), "BatchObjectsRequest"))
+    st.upsert(WireDecoder.batchObjectsFrame(s, st.read().schema, "uuid",
+      Map.empty, decoded.map(_._2)))
+    val gg = new Graft(s)
+    gg.register(schema, st.read())
+    val out = Seq.newBuilder[(String, String)]
+    out += "01_batch" -> s"errors=${errs.size};stored=${gg.collection("Alphabetic").df.count()}"
+
+    def search(value: String, limit: Int, sort: Option[Boolean]): Seq[String] = {
+      val doc = JObject(List(
+        "collection" -> JString("Alphabetic"),
+        "properties" -> JObject(List("non_ref_properties" -> JArray(List(JString("contents"))))),
+        "limit" -> JLong(limit),
+        "filters" -> JObject(List(
+          "operator" -> JString("OPERATOR_NOT_EQUAL"),
+          "value_text" -> JString(value),
+          "target" -> JObject(List("property" -> JString("contents"))))),
+        "uses_123_api" -> JBool(true), "uses_125_api" -> JBool(true)) ++
+        sort.map(asc => "sort_by" -> JArray(List(JObject(List(
+          "ascending" -> JBool(asc), "path" -> JArray(List(JString("contents")))))))))
+      val params = ProtoWire.searchRequest(gg, ProtoWire.write(doc, "SearchRequest"))
+      gg.get(params).select(col("contents")).collect().map(_.getString(0)).toSeq
+    }
+
+    // the suite's effective NotEqual contract (all three racing sub-arms run
+    // the combined "AAA A" value): 26² − 2·26 + 1 rows, none containing
+    // either token — replayed for three sample letters
+    Seq(0, 12, 25).foreach { i =>
+      val c = alpha(i).toString
+      val combined = search(s"${c * 3} $c", 676, None)
+      out += s"02_${c}_combined" -> (s"n=${combined.size};" +
+        s"clean=${combined.forall(v => !v.contains(c * 3) && !v.split(' ').contains(c))}")
+      // per-form semantics (searcher.go:869-941): a single term denylists
+      // exactly the docs carrying it
+      out += s"03_${c}_single" -> s"n=${search(c, 676, None).size}"
+      out += s"04_${c}_repeated" -> s"n=${search(c * 3, 676, None).size}"
+    }
+    // sort + limit arms (ascending / descending 10)
+    val asc = search("MMM", 10, Some(true))
+    out += "05_sort_asc" -> (s"n=${asc.size};first=${asc.head};last=${asc.last};" +
+      s"ordered=${asc == asc.sorted}")
+    val desc = search("MMM", 10, Some(false))
+    out += "06_sort_desc" -> (s"n=${desc.size};first=${desc.head};last=${desc.last};" +
+      s"ordered=${desc == desc.sorted.reverse}")
+    steps(s, out.result())
+  }
+
+  // ==========================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fixture_grpc_search" -> ((s, _) => grpcSearchGate(s)),
+    "q_fixture_grpc_vectors" -> ((s, _) => grpcNamedVectorsGate(s)),
+    "q_fixture_grpc_mixed" -> ((s, _) => grpcMixedVectorsGate(s)),
+    "q_fixture_grpc_filtered" -> ((s, _) => grpcFilteredGate(s)))
+
+  def oracleSql: Map[String, String] = Map(
+    // TestGRPCSearch: the suite pins result COUNTS per arm (2 planets; the
+    // "Mars" hybrids 1); the engine's deterministic orders are pinned too.
+    // Colbert/dot arms rank Mars first (larger-magnitude rows win raw
+    // MaxSim dot) — the suite never asserts order.
+    "q_fixture_grpc_search" ->
+      """SELECT * FROM (VALUES
+        |  ('h01_earth_legacy_avg', 'n=2;names=Earth|Mars'),
+        |  ('h01_earth_legacy_man', 'n=2;names=Earth|Mars'),
+        |  ('h01_earth_legacy_min', 'n=2;names=Earth|Mars'),
+        |  ('h01_earth_legacy_rel', 'n=2;names=Earth|Mars'),
+        |  ('h01_earth_legacy_sum', 'n=2;names=Earth|Mars'),
+        |  ('h02_mars_newshape_avg', 'n=1;names=Mars'),
+        |  ('h02_mars_newshape_man', 'n=1;names=Mars'),
+        |  ('h02_mars_newshape_min', 'n=1;names=Mars'),
+        |  ('h02_mars_newshape_rel', 'n=1;names=Mars'),
+        |  ('h02_mars_newshape_sum', 'n=1;names=Mars'),
+        |  ('h03_mars_three_avg', 'n=1;names=Mars'),
+        |  ('h03_mars_three_man', 'n=1;names=Mars'),
+        |  ('h03_mars_three_min', 'n=1;names=Mars'),
+        |  ('h03_mars_three_rel', 'n=1;names=Mars'),
+        |  ('h03_mars_three_sum', 'n=1;names=Mars'),
+        |  ('m01_two_unspecified', 'n=2;names=Earth|Mars'),
+        |  ('m02_only1_regular', 'n=2;names=Earth|Mars'),
+        |  ('m03_only1_colbert', 'n=2;names=Mars|Earth'),
+        |  ('m04_regular_as_multi', 'n=2;names=Earth|Mars'),
+        |  ('m05_colbert_two_multis', 'n=2;names=Mars|Earth'),
+        |  ('m06_regular_and_colbert', 'n=2;names=Mars|Earth'),
+        |  ('m07_reg_colbert_desc', 'n=2;names=Mars|Earth'),
+        |  ('v01_legacy_vector', 'n=2;names=Earth|Mars'),
+        |  ('v02_legacy_bytes', 'n=2;names=Earth|Mars'),
+        |  ('v03_colbert_multi', 'n=2;names=Mars|Earth'),
+        |  ('v04_regular_typed', 'n=2;names=Earth|Mars'),
+        |  ('v05_regular_unspecified', 'n=2;names=Earth|Mars'),
+        |  ('w01_legacy_avg', 'n=2;names=Earth|Mars'),
+        |  ('w01_legacy_man', 'n=2;names=Mars|Earth'),
+        |  ('w01_legacy_min', 'n=2;names=Earth|Mars'),
+        |  ('w01_legacy_rel', 'n=2;names=Mars|Earth'),
+        |  ('w01_legacy_sum', 'n=2;names=Earth|Mars'),
+        |  ('w02_newshape_avg', 'n=2;names=Earth|Mars'),
+        |  ('w02_newshape_man', 'n=2;names=Mars|Earth'),
+        |  ('w02_newshape_min', 'n=2;names=Earth|Mars'),
+        |  ('w02_newshape_rel', 'n=2;names=Mars|Earth'),
+        |  ('w02_newshape_sum', 'n=2;names=Earth|Mars'),
+        |  ('w03_reg_colbert_manual', 'n=2;names=Mars|Earth'),
+        |  ('w04_three_avg', 'n=2;names=Mars|Earth'),
+        |  ('w04_three_man', 'n=2;names=Mars|Earth'),
+        |  ('w04_three_min', 'n=2;names=Mars|Earth'),
+        |  ('w04_three_rel', 'n=2;names=Mars|Earth'),
+        |  ('w04_three_sum', 'n=2;names=Mars|Earth'),
+        |  ('w05_reg_desc_avg', 'n=2;names=Mars|Earth'),
+        |  ('w05_reg_desc_man', 'n=2;names=Mars|Earth'),
+        |  ('w05_reg_desc_min', 'n=2;names=Earth|Mars'),
+        |  ('w05_reg_desc_rel', 'n=2;names=Mars|Earth'),
+        |  ('w05_reg_desc_sum', 'n=2;names=Mars|Earth')
+        |) AS t(step, result) ORDER BY step""".stripMargin,
+    // TestGRPC_NamedVectors: title=Dune first hit; vector=true serves all 3
+    // named spaces, vectors=["all"] exactly one, on plain and grouped pages
+    "q_fixture_grpc_vectors" ->
+      """SELECT * FROM (VALUES
+        |  ('00_batch', 'errors=0;stored=3'),
+        |  ('all3_01_hybrid', 'title=Dune;nvecs=3;names=all|description|title;n=1'),
+        |  ('all3_02_hybrid_group', 'title=Dune;nvecs=3;names=all|description|title;n=1'),
+        |  ('all3_03_hybrid_neartext_group', 'title=Dune;nvecs=3;names=all|description|title;n=1'),
+        |  ('all3_04_neartext', 'title=Dune;nvecs=3;names=all|description|title;n=3'),
+        |  ('all3_05_neartext_group', 'title=Dune;nvecs=3;names=all|description|title;n=1'),
+        |  ('one_01_hybrid', 'title=Dune;nvecs=1;names=all;n=1'),
+        |  ('one_02_hybrid_group', 'title=Dune;nvecs=1;names=all;n=1'),
+        |  ('one_03_hybrid_neartext_group', 'title=Dune;nvecs=1;names=all;n=1'),
+        |  ('one_04_neartext', 'title=Dune;nvecs=1;names=all;n=3'),
+        |  ('one_05_neartext_group', 'title=Dune;nvecs=1;names=all;n=1')
+        |) AS t(step, result) ORDER BY step""".stripMargin,
+    // TestGRPC_MixedVectors: legacy vector byte-equal to contextionary_all;
+    // 2 named spaces; hybrid/nearText/aggregate contracts incl. count 3 / 1
+    "q_fixture_grpc_mixed" ->
+      """SELECT * FROM (VALUES
+        |  ('01_search_all', 'n=3;nvecs=2;names=contextionary_all|title;legacy_eq_ctx=true'),
+        |  ('ctx_02_hybrid', 'n=1;title=Dune'),
+        |  ('ctx_03_hybrid_group', 'groups=1'),
+        |  ('ctx_04_hybrid_neartext_group', 'groups=1'),
+        |  ('ctx_05_neartext', 'title=Dune'),
+        |  ('ctx_06_agg_simple', 'count=3'),
+        |  ('ctx_07_agg_hybrid', 'count=1'),
+        |  ('ctx_08_agg_hybrid_top', 'top=Dune'),
+        |  ('notgt_02_hybrid', 'n=1;title=Dune'),
+        |  ('notgt_03_hybrid_group', 'groups=1'),
+        |  ('notgt_04_hybrid_neartext_group', 'groups=1'),
+        |  ('notgt_05_neartext', 'title=Dune'),
+        |  ('notgt_06_agg_simple', 'count=3'),
+        |  ('notgt_07_agg_hybrid', 'count=1'),
+        |  ('notgt_08_agg_hybrid_top', 'top=Dune')
+        |) AS t(step, result) ORDER BY step""".stripMargin,
+    // TestGRPC_FilteredSearch: the effective NotEqual contract (625 = 26²
+    // − 2·26 + 1 for the combined two-token value), single-term denylists
+    // (650), and the sort+limit windows
+    "q_fixture_grpc_filtered" ->
+      """SELECT * FROM (VALUES
+        |  ('01_batch', 'errors=0;stored=676'),
+        |  ('02_A_combined', 'n=625;clean=true'),
+        |  ('02_M_combined', 'n=625;clean=true'),
+        |  ('02_Z_combined', 'n=625;clean=true'),
+        |  ('03_A_single', 'n=650'),
+        |  ('03_M_single', 'n=650'),
+        |  ('03_Z_single', 'n=650'),
+        |  ('04_A_repeated', 'n=650'),
+        |  ('04_M_repeated', 'n=650'),
+        |  ('04_Z_repeated', 'n=650'),
+        |  ('05_sort_asc', 'n=10;first=AAA A;last=AAA J;ordered=true'),
+        |  ('06_sort_desc', 'n=10;first=ZZZ Z;last=ZZZ Q;ordered=true')
+        |) AS t(step, result) ORDER BY step""".stripMargin)
+}

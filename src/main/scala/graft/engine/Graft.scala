@@ -1805,15 +1805,16 @@ final class Graft(val spark: SparkSession) {
       .orElse(params.nearObject.map(no => VectorSearch.resolveNearObject(c, no)))
       .orElse(params.nearText.map(nt => resolveNearText(c, nt)))
       .orElse(params.nearMedia.map(resolveNearMedia))
-    // hybrid gets the same gate: without objectLimit the aggregation would
-    // silently run unscoped over the whole filtered collection (reference:
-    // the hybrid aggregator always carries a bounded result list,
-    // aggregator/hybrid.go:27-67)
-    require(params.hybrid.isEmpty || params.objectLimit.isDefined,
-      "must provide objectLimit with hybrid search")
-    val scoped: Option[DataFrame] = (nearResolved, params.hybrid, params.objectLimit) match {
-      case (Some(nv), _, lim) =>
-        Some(denseServe(c, nv, lim, filtered))
+    // hybrid without objectLimit defaults to the bounded
+    // QueryHybridMaximumResults pool of 100 (aggregator/filtered.go:61-64
+    // defaultLimit, environment.go DefaultQueryHybridMaximumResults) — the
+    // hybrid aggregator always carries a bounded result list
+    val hybridLimit: Option[Int] =
+      if (params.hybrid.isEmpty) None
+      else params.objectLimit.orElse(Some(100))
+    val scoped: Option[DataFrame] = (nearResolved, params.hybrid, hybridLimit) match {
+      case (Some(nv), _, _) =>
+        Some(denseServe(c, nv, params.objectLimit, filtered))
       case (_, Some(h00), Some(lim)) =>
         val h0 = resolveHybridNearText(c, h00)
         // the AGGREGATE keyword leg silently drops unsearchable props

@@ -88,7 +88,15 @@ object WireEncoder {
   /** One result's `{properties, metadata}` object. */
   private def encodeResult(row: Row, cols: Map[String, Int],
                            params: GetParams): String = {
-    val props = params.properties.flatMap { p =>
+    // an absent properties request returns ALL declared props
+    // (extractPropertiesRequest → getAllNonRefNonBlobProperties): the page
+    // was projected to exactly those, so take every non-internal column
+    val groupColNames = Set("group_value", "group_index",
+      "group_hit_rank", "group_min_distance", "group_max_distance")
+    val propNames =
+      if (params.properties.nonEmpty) params.properties
+      else cols.keys.filterNot(c => c.startsWith("_") || groupColNames(c)).toSeq.sorted
+    val props = propNames.flatMap { p =>
       cols.get(p).map(i => s"${esc(p)}:${jsonValue(row.get(i))}")
     }.mkString("{", ",", "}")
 
