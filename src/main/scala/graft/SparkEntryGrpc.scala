@@ -638,14 +638,228 @@ object SparkEntryGrpc {
   }
 
   // ==========================================================================
+  // TestGRPC_Batching (batching_test.go) — the BatchStream frame protocol
+  // over the Article/Paragraph bed
+  // ==========================================================================
+
+  private def articleStores(s: SparkSession)
+      : (Graft, Map[String, graft.sources.CollectionStore]) = {
+    import graft.engine.BatchStreamSession
+    val aSchema = CollectionSchema("Article", "uuid", Seq(
+      Property("title", PropType.Text, Tokenization.Whitespace),
+      Property("hasParagraphs", PropType.Ref, refTarget = Some("Paragraph"))))
+    val pSchema = CollectionSchema("Paragraph", "uuid", Seq(
+      Property("contents", PropType.Text),
+      Property("title", PropType.Text, Tokenization.Whitespace)))
+    val aFrame = StructType(Seq(
+      StructField("uuid", StringType), StructField("title", StringType),
+      StructField("hasParagraphs", ArrayType(StringType))))
+    val pFrame = StructType(Seq(
+      StructField("uuid", StringType), StructField("contents", StringType),
+      StructField("title", StringType)))
+    val aStore = new graft.sources.CollectionStore(s,
+      java.nio.file.Files.createTempDirectory("graft-article").toString, aSchema)
+    aStore.init(s.createDataFrame(s.sparkContext.emptyRDD[Row], aFrame))
+    val pStore = new graft.sources.CollectionStore(s,
+      java.nio.file.Files.createTempDirectory("graft-para").toString, pSchema)
+    pStore.init(s.createDataFrame(s.sparkContext.emptyRDD[Row], pFrame))
+    val gg = new Graft(s)
+    gg.register(aSchema, aStore.read())
+    gg.register(pSchema, pStore.read())
+    (gg, Map("Article" -> aStore, "Paragraph" -> pStore))
+  }
+
+  private def batchObj(cls: String, uuid: String, tenant: Option[String] = None,
+                       vector: Option[Seq[Float]] = None): JValue =
+    JObject(List("collection" -> JString(cls), "uuid" -> JString(uuid)) ++
+      tenant.map(t => "tenant" -> JString(t)) ++
+      vector.map(v => "vectors" -> JArray(List(JObject(List(
+        "name" -> JString("default"), "vector_bytes" -> JString(b64Fp32(v))))))))
+
+  private def batchRef(name: String, fromCls: String, fromUuid: String,
+                       toUuid: String): JValue =
+    JObject(List("name" -> JString(name), "from_collection" -> JString(fromCls),
+      "from_uuid" -> JString(fromUuid), "to_uuid" -> JString(toUuid)))
+
+  private def streamFrame(body: (String, JValue)): Array[Byte] =
+    ProtoWire.write(JObject(List(body)), "BatchStreamRequest")
+
+  private def dataFrame(objs: Seq[JValue], refs: Seq[JValue]): Array[Byte] =
+    streamFrame("data" -> JObject(
+      (if (objs.isEmpty) Nil
+       else List("objects" -> JObject(List("values" -> JArray(objs.toList))))) ++
+      (if (refs.isEmpty) Nil
+       else List("references" -> JObject(List("values" -> JArray(refs.toList)))))))
+
+  /** Render one reply frame compactly: kind plus the detail lists. */
+  private def renderReply(bytes: Array[Byte]): String = {
+    val jv = ProtoWire.read(bytes, "BatchStreamReply")
+    def list(v: JValue): Seq[String] = v match {
+      case JArray(xs) => xs.map(_.values.toString)
+      case JNothing => Nil
+      case o => Seq(o.values.toString)
+    }
+    Seq("started", "shutting_down", "backoff", "acks", "out_of_memory", "results")
+      .collectFirst {
+        case k if (jv \ k) != JNothing =>
+          val body = jv \ k
+          k match {
+            case "acks" => s"acks[u=${list(body \ "uuids").size},b=${list(body \ "beacons").size}]"
+            case "out_of_memory" => s"oom[u=${list(body \ "uuids").size}]"
+            case "backoff" => s"backoff[${(body \ "batch_size").values}]"
+            case "results" =>
+              def det(e: JValue): String =
+                (e \ "uuid") match { case JString(u) => s"u:$u"; case _ => s"b:${(e \ "beacon").values}" }
+              val errs = (body \ "errors") match {
+                case JArray(xs) => xs.map(e => s"${det(e)}=${(e \ "error").values}")
+                case _ => Nil
+              }
+              val oks = (body \ "successes") match {
+                case JArray(xs) => xs.map(det)
+                case _ => Nil
+              }
+              s"results[ok=${oks.mkString("|")};err=${errs.mkString("|")}]"
+            case other => other
+          }
+      }.getOrElse("?")
+  }
+
+  private def grpcBatchGate(s: SparkSession): DataFrame = {
+    import graft.engine.BatchStreamSession
+    val out = Seq.newBuilder[(String, String)]
+    def uuidOf(prefix: Int, i: Int): String = f"ac00000$prefix-0000-4000-8000-$i%012d"
+
+    // -- arm 1: objects + references without errors -------------------------
+    {
+      val (gg, stores) = articleStores(s)
+      val sess = new BatchStreamSession(gg, stores)
+      val (u0, u1, u2) = (uuidOf(1, 0), uuidOf(1, 1), uuidOf(1, 2))
+      val r1 = sess.feed(streamFrame("start" -> JObject(Nil))).map(renderReply)
+      val r2 = sess.feed(dataFrame(
+        Seq(batchObj("Article", u0), batchObj("Paragraph", u1), batchObj("Paragraph", u2)),
+        Seq(batchRef("hasParagraphs", "Article", u0, u1),
+            batchRef("hasParagraphs", "Article", u0, u2)))).map(renderReply)
+      val r3 = sess.feed(streamFrame("stop" -> JObject(Nil))).map(renderReply)
+      out += "a1_01_frames" -> (r1 ++ r2.map(_.replace(u0, "U0").replace(u1, "U1")
+        .replace(u2, "U2")) ++ r3).mkString(";")
+      val arts = stores("Article").read()
+      out += "a1_02_article_refs" -> (s"articles=${arts.count()};" +
+        s"paras=${stores("Paragraph").read().count()};" +
+        s"has=${arts.select(size(col("hasParagraphs"))).collect().head.getInt(0)}")
+    }
+    // -- arm 2: per-object tenant error --------------------------------------
+    {
+      val (gg, stores) = articleStores(s)
+      val sess = new BatchStreamSession(gg, stores)
+      val us = (0 to 2).map(uuidOf(2, _))
+      sess.feed(streamFrame("start" -> JObject(Nil)))
+      val rs = sess.feed(dataFrame(Seq(
+        batchObj("Article", us(0)),
+        batchObj("Article", us(1), tenant = Some("tenant")),
+        batchObj("Article", us(2))), Nil)).map(renderReply)
+      out += "a2_01_frames" -> rs.map(r => us.zipWithIndex.foldLeft(r) {
+        case (acc, (u, i)) => acc.replace(u, s"U$i") }).mkString(";")
+      out += "a2_02_stored" -> s"articles=${stores("Article").read().count()}"
+    }
+    // -- arm 3: per-reference error -------------------------------------------
+    {
+      val (gg, stores) = articleStores(s)
+      val sess = new BatchStreamSession(gg, stores)
+      val (u0, u1) = (uuidOf(3, 0), uuidOf(3, 1))
+      sess.feed(streamFrame("start" -> JObject(Nil)))
+      val rs = sess.feed(dataFrame(
+        Seq(batchObj("Article", u0), batchObj("Paragraph", u1)),
+        Seq(batchRef("hasParagraphs", "Article", u0, u0),
+            batchRef("hasParagraphss", "Article", u0, u1)))).map(renderReply)
+      out += "a3_01_frames" -> rs.map(_.replace(u0, "U0").replace(u1, "U1")).mkString(";")
+      out += "a3_02_refs" -> ("has=" + stores("Article").read()
+        .filter(col("uuid") === u0).select(size(col("hasParagraphs")))
+        .collect().head.getInt(0))
+    }
+    // -- arm 4: scaled frames, then binary aggregate + ref-requested search --
+    {
+      val (gg, stores) = articleStores(s)
+      val sess = new BatchStreamSession(gg, stores)
+      sess.feed(streamFrame("start" -> JObject(Nil)))
+      val numArticles = 200; val parasPer = 10
+      var acks = 0
+      (0 until numArticles).grouped(100).foreach { chunk =>
+        val objs = Seq.newBuilder[JValue]; val refs = Seq.newBuilder[JValue]
+        chunk.foreach { i =>
+          val aU = uuidOf(4, i)
+          objs += batchObj("Article", aU)
+          (0 until parasPer).foreach { j =>
+            val pU = uuidOf(5, i * parasPer + j)
+            objs += batchObj("Paragraph", pU)
+            refs += batchRef("hasParagraphs", "Article", aU, pU)
+          }
+        }
+        val rs = sess.feed(dataFrame(objs.result(), refs.result())).map(renderReply)
+        acks += rs.count(_.startsWith("acks"))
+      }
+      sess.feed(streamFrame("stop" -> JObject(Nil)))
+      def aggCount(cls: String): String = {
+        val doc = JObject(List("collection" -> JString(cls), "objects_count" -> JBool(true)))
+        val df = gg.aggregate(ProtoWire.aggregateRequest(gg, ProtoWire.write(doc, "AggregateRequest")))
+        df.collect().head.get(df.columns.indexOf("meta_count")).toString
+      }
+      out += "a4_01_counts" -> (s"acks=$acks;articles=${aggCount("Article")};" +
+        s"paras=${aggCount("Paragraph")}")
+      val searchDoc = JObject(List(
+        "collection" -> JString("Article"), "limit" -> JLong(numArticles.toLong),
+        "properties" -> JObject(List("ref_properties" -> JArray(List(JObject(List(
+          "reference_property" -> JString("hasParagraphs"))))))),
+        "uses_127_api" -> JBool(true)))
+      val params = ProtoWire.searchRequest(gg, ProtoWire.write(searchDoc, "SearchRequest"))
+      val page = gg.get(params)
+      val sizes = page.select(size(col("hasParagraphs_resolved")).as("n"))
+        .groupBy(col("n")).count().collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+      out += "a4_02_search_refs" -> (s"rows=${page.count()};" +
+        s"all10=${sizes == Map(parasPer -> numArticles.toLong)}")
+    }
+    // -- arm 5: out-of-memory reply sequence ---------------------------------
+    {
+      val (gg, stores) = articleStores(s)
+      val sess = new BatchStreamSession(gg, stores, memLimitBytes = 64 * 1024)
+      sess.feed(streamFrame("start" -> JObject(Nil)))
+      val objs = (0 until 100).map(i =>
+        batchObj("Article", uuidOf(6, i), vector = Some(Seq.fill(512)(0.5f))))
+      val rs = sess.feed(dataFrame(objs, Nil)).map(renderReply)
+      out += "a5_01_frames" -> rs.mkString(";")
+      out += "a5_02_unapplied" -> s"articles=${stores("Article").read().count()}"
+    }
+    steps(s, out.result())
+  }
+
+  // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fixture_grpc_batch" -> ((s, _) => grpcBatchGate(s)),
     "q_fixture_grpc_search" -> ((s, _) => grpcSearchGate(s)),
     "q_fixture_grpc_vectors" -> ((s, _) => grpcNamedVectorsGate(s)),
     "q_fixture_grpc_mixed" -> ((s, _) => grpcMixedVectorsGate(s)),
     "q_fixture_grpc_filtered" -> ((s, _) => grpcFilteredGate(s)))
 
   def oracleSql: Map[String, String] = Map(
+    // TestGRPC_Batching + TestGRPC_OutOfMemoryBatching: the BatchStream
+    // frame protocol — Started/Acks/Results sequencing, objects-then-refs
+    // success order with uuid/beacon details, the suite's verbatim
+    // multi-tenancy and unknown-ref-prop error texts, count preservation at
+    // scale through binary Aggregate/Search, and the no-ack
+    // Backoff+OutOfMemory sequence on an over-budget frame
+    "q_fixture_grpc_batch" ->
+      """SELECT * FROM (VALUES
+        |  ('a1_01_frames', 'started;acks[u=3,b=2];results[ok=u:U0|u:U1|u:U2|b:weaviate://localhost/Article/U0/hasParagraphs|b:weaviate://localhost/Article/U0/hasParagraphs;err=];shutting_down'),
+        |  ('a1_02_article_refs', 'articles=1;paras=2;has=2'),
+        |  ('a2_01_frames', 'acks[u=3,b=0];results[ok=u:U0|u:U2;err=u:U1=class Article has multi-tenancy disabled, but request was with tenant]'),
+        |  ('a2_02_stored', 'articles=2'),
+        |  ('a3_01_frames', 'acks[u=2,b=2];results[ok=u:U0|u:U1|b:weaviate://localhost/Article/U0/hasParagraphs;err=b:weaviate://localhost/Article/U0/hasParagraphss=property hasParagraphss does not exist for class Article]'),
+        |  ('a3_02_refs', 'has=1'),
+        |  ('a4_01_counts', 'acks=2;articles=200;paras=2000'),
+        |  ('a4_02_search_refs', 'rows=200;all10=true'),
+        |  ('a5_01_frames', 'backoff[500];oom[u=100]'),
+        |  ('a5_02_unapplied', 'articles=0')
+        |) AS t(step, result) ORDER BY step""".stripMargin,
     // TestGRPCSearch: the suite pins result COUNTS per arm (2 planets; the
     // "Mars" hybrids 1); the engine's deterministic orders are pinned too.
     // Colbert/dot arms rank Mars first (larger-magnitude rows win raw

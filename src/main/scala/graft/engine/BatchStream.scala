@@ -1,0 +1,165 @@
+package graft.engine
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.sources.CollectionStore
+
+/**
+ * Bidirectional BatchStream protocol (grpc/proto/v1/batch.proto:22-90 —
+ * BatchStreamRequest Start/Data/Stop frames in, BatchStreamReply
+ * Started/Acks/Results/Backoff/OutOfMemory frames out), mapped onto the
+ * engine's store write path (test contracts: test/acceptance/grpc/
+ * batching_test.go).
+ *
+ * Per data frame the session replies Acks (the frame's object uuids and
+ * reference beacons) followed by Results carrying the per-item partial-batch
+ * outcome — successes and errors in objects-then-references order, uuids for
+ * objects, `weaviate://localhost/<fromClass>/<fromUuid>/<prop>` beacons for
+ * references — exactly the shapes the suite's recv loop asserts.
+ *
+ * Backpressure stand-in, documented: the reference sizes its dynamic batches
+ * against live runtime memory (GOMEMLIMIT watermarks); this engine has no
+ * server process, so the session takes an explicit `memLimitBytes` budget
+ * and answers any data frame whose WIRE SIZE exceeds it with Backoff (a
+ * halved batch size hint) + OutOfMemory listing the frame's uuids — the
+ * reply sequence TestGRPC_OutOfMemoryBatching pins — without acking or
+ * applying the frame.
+ */
+final class BatchStreamSession(
+    g: Graft,
+    stores: Map[String, CollectionStore],
+    memLimitBytes: Long = Long.MaxValue,
+    backoffBatchSize: Int = 1000) {
+
+  private var started = false
+  private var stoppedV = false
+  def stopped: Boolean = stoppedV
+
+  private def beacon(fromCollection: String, fromUuid: String, name: String): String =
+    s"weaviate://localhost/$fromCollection/$fromUuid/$name"
+
+  /** Feed one BatchStreamRequest frame; returns the reply frames it
+   * produces, in order. */
+  def feed(frame: Array[Byte]): Seq[Array[Byte]] = {
+    val jv = ProtoWire.read(frame, "BatchStreamRequest")
+    def reply(field: String, body: JValue): Array[Byte] =
+      ProtoWire.write(JObject(List(field -> body)), "BatchStreamReply")
+
+    (jv \ "start", jv \ "data", jv \ "stop") match {
+      case (s, _, _) if s != JNothing =>
+        require(!started, "batch stream already started")
+        started = true
+        Seq(reply("started", JObject(Nil)))
+      case (_, _, st) if st != JNothing =>
+        stoppedV = true
+        Seq(reply("shutting_down", JObject(Nil)))
+      case (_, data, _) if data != JNothing =>
+        require(started && !stoppedV, "batch stream data before start (or after stop)")
+        val objVals = (data \ "objects" \ "values") match {
+          case JArray(xs) => xs
+          case o if o != JNothing => List(o)
+          case _ => Nil
+        }
+        val refVals = (data \ "references" \ "values") match {
+          case JArray(xs) => xs
+          case o if o != JNothing => List(o)
+          case _ => Nil
+        }
+        val objUuids = objVals.map(o => (o \ "uuid").values.toString)
+        val refBeacons = refVals.map { r =>
+          beacon((r \ "from_collection").values.toString,
+            (r \ "from_uuid").values.toString, (r \ "name").values.toString)
+        }
+        if (frame.length > memLimitBytes)
+          return Seq(
+            reply("backoff", JObject(List("batch_size" ->
+              JLong(math.max(1, backoffBatchSize / 2).toLong)))),
+            reply("out_of_memory", JObject(List(
+              "uuids" -> JArray(objUuids.map(JString(_))),
+              "beacons" -> JArray(refBeacons.map(JString(_)))))))
+
+        val errors = Seq.newBuilder[(String, String, Boolean)]   // (detail, error, isBeacon)
+        val successes = Seq.newBuilder[(String, Boolean)]        // (detail, isBeacon)
+
+        // -- objects: decode with the partial-batch contract, then the
+        //    per-object tenant gate (usecases/objects/validation — the
+        //    suite pins the multi-tenancy-disabled text) ------------------
+        val (decoded, decodeErrs) = ProtoWire.batchObjectsRequest(ProtoWire.write(
+          JObject(List("objects" -> JArray(objVals))), "BatchObjectsRequest"))
+        val byIdx = decoded.toMap
+        val accepted = Seq.newBuilder[(Int, WireDecoder.BatchObject)]
+        objVals.indices.foreach { i =>
+          decodeErrs.get(i) match {
+            case Some(e) => errors += ((objUuids(i), e, false))
+            case None =>
+              val o = byIdx(i)
+              stores.get(o.collection) match {
+                case None =>
+                  errors += ((o.uuid, s"collection ${o.collection} does not exist", false))
+                case Some(st) if o.tenant.exists(_.nonEmpty) && st.schema.tenantColumn.isEmpty =>
+                  errors += ((o.uuid, s"class ${o.collection} has multi-tenancy " +
+                    "disabled, but request was with tenant", false))
+                case Some(st) if o.tenant.forall(_.isEmpty) && st.schema.tenantColumn.nonEmpty =>
+                  errors += ((o.uuid, s"class ${o.collection} has multi-tenancy " +
+                    "enabled, but request was without tenant", false))
+                case Some(_) =>
+                  accepted += ((i, o))
+                  successes += ((o.uuid, false))
+              }
+          }
+        }
+        accepted.result().groupBy(_._2.collection).toSeq.sortBy(_._1).foreach {
+          case (coll, objs) =>
+            val st = stores(coll)
+            st.upsert(WireDecoder.batchObjectsFrame(g.spark, st.read().schema,
+              st.schema.idColumn, Map.empty, objs.map(_._2)))
+        }
+
+        // -- references: prop-existence validation, then set-wise edge
+        //    application grouped per (class, prop) -------------------------
+        val goodRefs = Seq.newBuilder[(String, String, String, String)] // cls, prop, from, to
+        refVals.zipWithIndex.foreach { case (r, i) =>
+          val cls = (r \ "from_collection").values.toString
+          val prop = (r \ "name").values.toString
+          stores.get(cls) match {
+            case None =>
+              errors += ((refBeacons(i), s"collection $cls does not exist", true))
+            case Some(st) if !st.schema.property(prop).exists(_.dataType == graft.model.PropType.Ref) =>
+              errors += ((refBeacons(i),
+                s"property $prop does not exist for class $cls", true))
+            case Some(_) =>
+              goodRefs += ((cls, prop, (r \ "from_uuid").values.toString,
+                (r \ "to_uuid").values.toString))
+              successes += ((refBeacons(i), true))
+          }
+        }
+        goodRefs.result().groupBy(e => (e._1, e._2)).toSeq.sortBy(_._1).foreach {
+          case ((cls, prop), edges) =>
+            val st = stores(cls)
+            import g.spark.implicits._
+            val df = edges.map(e => (e._3, e._4))
+              .toDF(st.schema.idColumn, "target")
+            st.addReferences(prop, df)
+        }
+
+        // refresh the engine registry so subsequent searches see the writes
+        stores.foreach { case (name, st) => g.register(st.schema, st.read()) }
+
+        def detail(d: String, isBeacon: Boolean): (String, JValue) =
+          if (isBeacon) "beacon" -> JString(d) else "uuid" -> JString(d)
+        val resultsBody = JObject(List(
+          "errors" -> JArray(errors.result().toList.map { case (d, e, b) =>
+            JObject(List("error" -> JString(e), detail(d, b))) }),
+          "successes" -> JArray(successes.result().toList.map { case (d, b) =>
+            JObject(List(detail(d, b))) })))
+        Seq(
+          reply("acks", JObject(List(
+            "uuids" -> JArray(objUuids.map(JString(_))),
+            "beacons" -> JArray(refBeacons.map(JString(_)))))),
+          reply("results", resultsBody))
+      case _ =>
+        throw new IllegalArgumentException("batch stream frame carries no message")
+    }
+  }
+}

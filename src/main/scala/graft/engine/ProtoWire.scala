@@ -268,6 +268,46 @@ object ProtoWire {
     // ----- BatchObjectsRequest (grpc/proto/v1/batch.proto + base.proto) ---
     "BatchObjectsRequest" -> Map(
       f(1, "objects", TMsg("BatchObject"), rep = true)),
+    // ----- BatchStream (grpc/proto/v1/batch.proto:22-90) ------------------
+    "BatchStreamRequest" -> Map(
+      f(1, "start", TMsg("BatchStreamStart")),
+      f(2, "data", TMsg("BatchStreamData")),
+      f(3, "stop", TMsg("BatchStreamStop"))),
+    "BatchStreamStart" -> Map(f(1, "consistency_level", TInt32)),
+    "BatchStreamStop" -> Map.empty,
+    "BatchStreamData" -> Map(
+      f(1, "objects", TMsg("BatchStreamDataObjects")),
+      f(2, "references", TMsg("BatchStreamDataReferences"))),
+    "BatchStreamDataObjects" -> Map(
+      f(1, "values", TMsg("BatchObject"), rep = true)),
+    "BatchStreamDataReferences" -> Map(
+      f(1, "values", TMsg("BatchReference"), rep = true)),
+    "BatchReference" -> Map(
+      f(1, "name", TString), f(2, "from_collection", TString),
+      f(3, "from_uuid", TString), f(4, "to_collection", TString),
+      f(5, "to_uuid", TString), f(6, "tenant", TString)),
+    "BatchStreamReply" -> Map(
+      f(1, "results", TMsg("BatchStreamResults")),
+      f(2, "shutting_down", TMsg("BatchStreamShuttingDown")),
+      f(4, "started", TMsg("BatchStreamStarted")),
+      f(5, "backoff", TMsg("BatchStreamBackoff")),
+      f(6, "acks", TMsg("BatchStreamAcks")),
+      f(7, "out_of_memory", TMsg("BatchStreamOutOfMemory"))),
+    "BatchStreamStarted" -> Map.empty,
+    "BatchStreamShuttingDown" -> Map.empty,
+    "BatchStreamBackoff" -> Map(f(1, "batch_size", TInt32)),
+    "BatchStreamAcks" -> Map(
+      f(1, "uuids", TString, rep = true), f(2, "beacons", TString, rep = true)),
+    "BatchStreamOutOfMemory" -> Map(
+      f(1, "uuids", TString, rep = true), f(2, "beacons", TString, rep = true),
+      f(3, "wait_time", TInt32)),
+    "BatchStreamResults" -> Map(
+      f(1, "errors", TMsg("BatchStreamResultError"), rep = true),
+      f(2, "successes", TMsg("BatchStreamResultSuccess"), rep = true)),
+    "BatchStreamResultError" -> Map(
+      f(1, "error", TString), f(2, "uuid", TString), f(3, "beacon", TString)),
+    "BatchStreamResultSuccess" -> Map(
+      f(2, "uuid", TString), f(3, "beacon", TString)),
     "BatchObject" -> Map(
       f(1, "uuid", TString), f(2, "vector", TFloat, rep = true),
       f(3, "properties", TMsg("BatchObjectProperties")),
