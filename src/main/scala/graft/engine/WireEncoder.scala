@@ -85,6 +85,23 @@ object WireEncoder {
     java.util.Base64.getEncoder.encodeToString(bb.array())
   }
 
+  /** REST object ref-prop rendering with to-class detection (rest handlers
+   * render MultipleRef as beacon+href pairs; a SHORT stored edge on a
+   * SINGLE-target property reads back qualified with the declared target
+   * class, while multi-target properties render the stored form verbatim —
+   * objects/crefs_test.go TestRefsWithoutToClass / TestRefsMultiTarget).
+   * Stored edges are `uuid` or `Class/uuid`; returns (beacon, href) pairs. */
+  def refBeacons(prop: graft.model.Property, edges: Seq[String]): Seq[(String, String)] =
+    edges.map { e =>
+      val path =
+        if (e.contains('/')) e
+        else prop.refTarget match {
+          case Some(cls) if prop.refTargets.isEmpty => s"$cls/$e"
+          case _ => e // multi-target: no detection, verbatim
+        }
+      (s"weaviate://localhost/$path", s"/v1/objects/$path")
+    }
+
   /** One result's `{properties, metadata}` object. */
   private def encodeResult(row: Row, cols: Map[String, Int],
                            params: GetParams): String = {

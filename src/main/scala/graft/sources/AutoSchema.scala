@@ -132,4 +132,90 @@ object AutoSchema {
     CollectionSchema(name, idColumn, props.toSeq, vectors,
       defaultVector = vectors.keys.headOption)
   }
+
+  // ==========================================================================
+  // JSON-payload inference (the REST ObjectsCreate auto-schema path)
+  // ==========================================================================
+
+  /** `determineType` (auto_schema.go:232-340) for ONE decoded JSON value:
+   * strings gate through the RFC3339/uuid shape checks before falling back
+   * to text; json numbers take the `AUTOSCHEMA_DEFAULT_NUMBER` default
+   * (number); maps are geo when they carry latitude+longitude, phone when
+   * they carry input, nested object otherwise (geo/phone never nest);
+   * arrays type from their elements with the text∪{uuid,date}→text merge
+   * rule; beacon arrays become cross-references whose TARGET CLASSES are
+   * the classes of the pointed objects (`classOfId`). Returns either the
+   * PropType or the ref target class list. */
+  def jsonPropType(v: org.json4s.JValue, classOfId: String => Option[String],
+                   nested: Boolean = false): Either[Seq[String], PropType] = {
+    import org.json4s._
+    def strType(x: String): PropType =
+      if (x.matches(Rfc3339Pattern)) PropType.Date
+      else if (x.matches(UuidPattern)) PropType.Uuid
+      else PropType.Text
+    v match {
+      case JString(x) => Right(strType(x))
+      case JInt(_) | JLong(_) | JDouble(_) | JDecimal(_) => Right(PropType.Number)
+      case JBool(_) => Right(PropType.Bool)
+      case o: JObject =>
+        val keys = o.obj.map(_._1).toSet
+        if (!nested && keys.contains("latitude") && keys.contains("longitude"))
+          Right(PropType.Geo)
+        else if (!nested && keys.contains("input")) Right(PropType.Phone)
+        else Right(PropType.Obj)
+      case JArray(Nil) => Right(PropType.Arr(PropType.Text))
+      case JArray(elems) =>
+        val beacons = elems.collect { case e: JObject =>
+          e.obj.collectFirst { case ("beacon", JString(b)) => b } }.flatten
+        if (beacons.size == elems.size) {
+          // cross-ref: each beacon's target object names a target class
+          val targets = beacons.flatMap { b =>
+            val id = b.split('/').last
+            classOfId(id)
+          }.distinct
+          Left(targets)
+        } else {
+          val elemTypes = elems.map(e =>
+            jsonPropType(e, classOfId, nested).getOrElse(PropType.Text))
+          // merge rule (auto_schema.go:295-305): text absorbs uuid/date
+          val merged = elemTypes.reduce[PropType] {
+            case (a, b) if a == b => a
+            case (PropType.Text, PropType.Uuid | PropType.Date) => PropType.Text
+            case (PropType.Uuid | PropType.Date, PropType.Text) => PropType.Text
+            case (PropType.Uuid, PropType.Date) | (PropType.Date, PropType.Uuid) => PropType.Text
+            case (a, b) => throw new IllegalArgumentException(
+              s"mismatched data type - '${a.name}' expected, got '${b.name}'")
+          }
+          Right(PropType.Arr(merged))
+        }
+      case JNull | JNothing => Right(PropType.Text) // nil fallback
+      case other => throw new IllegalArgumentException(
+        s"cannot auto-infer a property type from $other")
+    }
+  }
+
+  /** The ObjectsCreate auto-schema step (auto_schema.go:82-191): an unseen
+   * class is created from the payload's inferred properties, an existing
+   * class gains the payload's UNSEEN properties (never mutating seen ones);
+   * property names normalize with a lowercased first letter like the schema
+   * wire. Returns the (possibly new) schema. */
+  def mergeRestObject(existing: Option[CollectionSchema], className: String,
+                      idColumn: String, props: Map[String, org.json4s.JValue],
+                      classOfId: String => Option[String]): CollectionSchema = {
+    val base = existing.getOrElse(CollectionSchema(className, idColumn, Nil))
+    val inferred = props.toSeq.sortBy(_._1).flatMap { case (name0, v) =>
+      val name = if (name0.isEmpty) name0 else name0.head.toLower + name0.tail
+      if (base.property(name).isDefined) None
+      else Some(jsonPropType(v, classOfId) match {
+        case Right(pt) => Property(name, pt, Tokenization.Word)
+        case Left(targets) =>
+          // single-target refs keep the scalar refTarget channel; several
+          // distinct classes ride refTargets (multi-class cref)
+          if (targets.size <= 1)
+            Property(name, PropType.Ref, refTarget = targets.headOption)
+          else Property(name, PropType.Ref, refTargets = targets)
+      })
+    }
+    base.copy(properties = base.properties ++ inferred)
+  }
 }
