@@ -221,9 +221,101 @@ object SparkEntryObjects {
     steps(s, out.result())
   }
 
+  /** The schema lifecycle journeys (test/acceptance/schema/
+   * default_vector_index_test.go, default_quantization_test.go,
+   * auto_tenant_activation_test.go, update_shard_status_cold_tenant_test
+   * .go): defaults resolution for the vector index type and the
+   * DEFAULT_QUANTIZATION matrix, auto tenant activation through the binary
+   * Aggregate/Search wire, and the cold-tenant shard-status update. */
+  private def schemaDefaultsGate(s: SparkSession): DataFrame = {
+    import graft.sources.SchemaWire
+    import graft.engine.ProtoWire
+    val out = Seq.newBuilder[(String, String)]
+
+    // -- default vector index type (default_vector_index_test.go) ----------
+    out += "d1_legacy_absent" -> SchemaWire.resolveVectorIndexType(None)
+    out += "d1_legacy_empty" -> SchemaWire.resolveVectorIndexType(Some(""))
+    out += "d1_named_absent" -> SchemaWire.resolveVectorIndexType(None)
+    out += "d1_env_hfresh" ->
+      SchemaWire.resolveVectorIndexType(None, defaultVectorIndex = "hfresh")
+
+    // -- DEFAULT_QUANTIZATION matrix (default_quantization_test.go) --------
+    def q(idx: String, dq: String, skip: Boolean = false,
+          explicit: Option[String] = None): String = {
+      val (it, sections) = SchemaWire.resolveIndexDefaults(
+        Some(idx).filter(_ != "hnsw"), dq,
+        explicitQuantizer = explicit, skipDefaultQuantization = skip)
+      s"$it{${sections.toSeq.sortBy(_._1).map { case (k, v) => s"$k:${v.render}" }.mkString(";")}}"
+    }
+    Seq("rq-8", "rq-1").foreach { dq =>
+      Seq("hnsw", "flat", "dynamic").foreach { idx =>
+        out += s"d2_${dq.replace("-", "")}_$idx" -> q(idx, dq)
+      }
+    }
+    Seq("hnsw", "flat", "dynamic").foreach { idx =>
+      out += s"d3_skip_$idx" -> q(idx, "rq-8", skip = true)
+      out += s"d4_override_$idx" -> q(idx, "rq-8", explicit = Some("bq"))
+    }
+
+    // -- auto tenant activation (auto_tenant_activation_test.go): reads on
+    //    a deactivated tenant succeed and flip it ACTIVE ------------------
+    {
+      val schema = CollectionSchema("Paragraph", "uuid", Seq(
+        Property("contents", PropType.Text),
+        Property("title", PropType.Text, Tokenization.Whitespace)),
+        tenantColumn = Some("tenant"))
+      val gg = new Graft(s)
+      gg.register(schema, s.createDataFrame(s.sparkContext.parallelize(Seq(
+        Row("0d3a0000-0000-4000-8000-000000000001", "paragraph#0", null, "tenant")), 1),
+        StructType(Seq(StructField("uuid", StringType),
+          StructField("contents", StringType), StructField("title", StringType),
+          StructField("tenant", StringType)))))
+      gg.addTenants("Paragraph", Seq(Tenant("tenant")))
+      gg.withAutoTenant("Paragraph", creation = true, activation = true)
+      def status: String = gg.tenants("Paragraph").head.activityStatus.name
+      gg.updateTenant("Paragraph", "tenant", TenantStatus.Inactive)
+      val aggDoc = JObject(List("collection" -> JString("Paragraph"),
+        "objects_count" -> JBool(true), "tenant" -> JString("tenant")))
+      val aggDf = gg.aggregate(ProtoWire.aggregateRequest(gg,
+        ProtoWire.write(aggDoc, "AggregateRequest")))
+      val cnt = aggDf.collect().head.get(aggDf.columns.indexOf("meta_count"))
+      out += "t1_agg_cold" -> s"count=$cnt;after=$status"
+      gg.updateTenant("Paragraph", "tenant", TenantStatus.Inactive)
+      val searchDoc = JObject(List("collection" -> JString("Paragraph"),
+        "tenant" -> JString("tenant"), "uses_127_api" -> JBool(true)))
+      val n = gg.get(ProtoWire.searchRequest(gg,
+        ProtoWire.write(searchDoc, "SearchRequest"))).count()
+      out += "t2_search_cold" -> s"n=$n;after=$status"
+    }
+
+    // -- cold-tenant shard status update (update_shard_status_cold_tenant
+    //    _test.go): setting READONLY on a COLD tenant's class returns
+    //    without error and the write gate holds -----------------------------
+    {
+      val schema = CollectionSchema("DeadlockProbe", "uuid", Nil,
+        tenantColumn = Some("tenant"))
+      val st = new graft.sources.CollectionStore(s,
+        java.nio.file.Files.createTempDirectory("graft-coldshard").toString, schema)
+      // a multi-tenant store partitions by the tenant column; an empty init
+      // would write no partition files, so seed the tenant's one row
+      st.init(s.createDataFrame(s.sparkContext.parallelize(Seq(
+        Row("0d4a0000-0000-4000-8000-000000000001", "t1")), 1), StructType(Seq(
+        StructField("uuid", StringType), StructField("tenant", StringType)))))
+      val gg = new Graft(s)
+      gg.register(schema, st.read())
+      gg.addTenants("DeadlockProbe", Seq(Tenant("t1", TenantStatus.Active)))
+      gg.updateTenant("DeadlockProbe", "t1", TenantStatus.Inactive)
+      val res = try { st.setReadOnly(Some("requested")); "ok" }
+                catch { case e: Exception => e.getMessage }
+      out += "t3_cold_readonly" -> s"update=$res;status=${st.status}"
+    }
+    steps(s, out.result())
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fixture_objects" -> ((s, _) => grpcObjectsGate(s)),
-    "q_fixture_objects_crefs" -> ((s, _) => crefsGate(s)))
+    "q_fixture_objects_crefs" -> ((s, _) => crefsGate(s)),
+    "q_fixture_schema_defaults" -> ((s, _) => schemaDefaultsGate(s)))
 
   def oracleSql: Map[String, String] = Map(
     // TestAutoSchemaWithDifferentProperties + autoSchemaObjects +
@@ -256,5 +348,33 @@ object SparkEntryObjects {
         |  ('c4_m1', 'weaviate://localhost/0c1f0000-0000-4000-8000-000000000001|/v1/objects/0c1f0000-0000-4000-8000-000000000001'),
         |  ('c4_m2', 'weaviate://localhost/ReferenceTo/0c1f0000-0000-4000-8000-000000000001|/v1/objects/ReferenceTo/0c1f0000-0000-4000-8000-000000000001'),
         |  ('c4_m3', 'weaviate://localhost/ReferenceFrom/0c1f0000-0000-4000-8000-000000000002|/v1/objects/ReferenceFrom/0c1f0000-0000-4000-8000-000000000002')
+        |) AS t(step, result) ORDER BY step""".stripMargin,
+    // default_vector_index/default_quantization/auto_tenant_activation/
+    // update_shard_status_cold_tenant: hnsw default (env override flows
+    // through), the RQ-8/RQ-1 matrix with per-index rescore defaults (hnsw
+    // 20/512, flat -1) incl. the dynamic index's dual sections, skip and
+    // explicit-quantizer overrides (track=false), reads on a deactivated
+    // tenant succeeding and flipping ACTIVE, and READONLY on a cold tenant
+    "q_fixture_schema_defaults" ->
+      """SELECT * FROM (VALUES
+        |  ('d1_env_hfresh', 'hfresh'),
+        |  ('d1_legacy_absent', 'hnsw'),
+        |  ('d1_legacy_empty', 'hnsw'),
+        |  ('d1_named_absent', 'hnsw'),
+        |  ('d2_rq1_dynamic', 'dynamic{flat:rq;bits=1;rescoreLimit=-1;skip=false;track=true;hnsw:rq;bits=1;rescoreLimit=512;skip=false;track=true}'),
+        |  ('d2_rq1_flat', 'flat{flat:rq;bits=1;rescoreLimit=-1;skip=false;track=true}'),
+        |  ('d2_rq1_hnsw', 'hnsw{hnsw:rq;bits=1;rescoreLimit=512;skip=false;track=true}'),
+        |  ('d2_rq8_dynamic', 'dynamic{flat:rq;bits=8;rescoreLimit=-1;skip=false;track=true;hnsw:rq;bits=8;rescoreLimit=20;skip=false;track=true}'),
+        |  ('d2_rq8_flat', 'flat{flat:rq;bits=8;rescoreLimit=-1;skip=false;track=true}'),
+        |  ('d2_rq8_hnsw', 'hnsw{hnsw:rq;bits=8;rescoreLimit=20;skip=false;track=true}'),
+        |  ('d3_skip_dynamic', 'dynamic{flat:none;skip=true;track=false;hnsw:none;skip=true;track=false}'),
+        |  ('d3_skip_flat', 'flat{flat:none;skip=true;track=false}'),
+        |  ('d3_skip_hnsw', 'hnsw{hnsw:none;skip=true;track=false}'),
+        |  ('d4_override_dynamic', 'dynamic{flat:bq;bits=0;rescoreLimit=0;skip=false;track=false;hnsw:bq;bits=0;rescoreLimit=0;skip=false;track=false}'),
+        |  ('d4_override_flat', 'flat{flat:bq;bits=0;rescoreLimit=0;skip=false;track=false}'),
+        |  ('d4_override_hnsw', 'hnsw{hnsw:bq;bits=0;rescoreLimit=0;skip=false;track=false}'),
+        |  ('t1_agg_cold', 'count=1;after=ACTIVE'),
+        |  ('t2_search_cold', 'n=1;after=ACTIVE'),
+        |  ('t3_cold_readonly', 'update=ok;status=READONLY')
         |) AS t(step, result) ORDER BY step""".stripMargin)
 }

@@ -409,4 +409,92 @@ object SchemaWire {
         fail(s"tokenization is not allowed for data type '$other'")
     }
   }
+
+  // ==========================================================================
+  // Vector-index / quantization defaults resolution
+  // ==========================================================================
+
+  /** One quantizer section of a resolved vector-index config, flattened to
+   * the fields the acceptance suite reads (default_quantization_test.go). */
+  final case class ResolvedQuantization(
+      quantizer: String,            // "rq" | "bq" | "pq" | "sq" | "" (none)
+      bits: Int,                    // rq only
+      rescoreLimit: Long,           // rq/bq
+      skipDefaultQuantization: Boolean,
+      trackDefaultQuantization: Boolean) {
+    def render: String =
+      if (quantizer.isEmpty) s"none;skip=$skipDefaultQuantization;track=$trackDefaultQuantization"
+      else s"$quantizer;bits=$bits;rescoreLimit=$rescoreLimit;" +
+        s"skip=$skipDefaultQuantization;track=$trackDefaultQuantization"
+  }
+
+  /** An absent/empty vectorIndexType resolves to DEFAULT_VECTOR_INDEX
+   * (vectorindex.DefaultVectorIndexType = hnsw; usecases/schema/class.go:
+   * setDefaultQuantization's len==0 arm and the create-path default —
+   * default_vector_index_test.go pins hnsw for both class-level and named
+   * vectors, and an env override flows through verbatim). */
+  def resolveVectorIndexType(vectorIndexType: Option[String],
+                             defaultVectorIndex: String = "hnsw"): String =
+    vectorIndexType.filter(_.nonEmpty).getOrElse(defaultVectorIndex)
+
+  /** DEFAULT_QUANTIZATION resolution for ONE index's config
+   * (hnsw.ParseDefaultQuantization, config.go:340-375 /
+   * flat.ParseDefaultQuantization, config.go:269-300): an explicit
+   * quantizer or skipDefaultQuantization=true leaves the config alone
+   * (track=false); otherwise rq-1/rq-4/rq-8/bq/pq/sq apply with the
+   * per-index rescore defaults — hnsw rq-8/rq-4 → DefaultRQRescoreLimit 20,
+   * rq-1 → DefaultBRQRescoreLimit 512; flat always
+   * DefaultCompressionRescore −1 — and track=true. pq/sq are hnsw-only. */
+  def resolveQuantization(indexType: String, defaultQuantization: String,
+                          explicitQuantizer: Option[String] = None,
+                          skipDefaultQuantization: Boolean = false): ResolvedQuantization = {
+    def untouched(q: String) = ResolvedQuantization(q, 0, 0,
+      skipDefaultQuantization, trackDefaultQuantization = false)
+    explicitQuantizer match {
+      case Some(q) => untouched(q)
+      case None if skipDefaultQuantization => untouched("")
+      case None => defaultQuantization match {
+        case "" | "none" => untouched("")
+        case "rq-8" | "rq-4" | "rq-1" =>
+          val bits = defaultQuantization.stripPrefix("rq-").toInt
+          val rescore =
+            if (indexType == "flat") -1L            // flat.DefaultCompressionRescore
+            else if (bits == 1) 512L                // hnsw.DefaultBRQRescoreLimit
+            else 20L                                // hnsw.DefaultRQRescoreLimit
+          ResolvedQuantization("rq", bits, rescore, skipDefaultQuantization = false,
+            trackDefaultQuantization = true)
+        case "bq" =>
+          ResolvedQuantization("bq", 0,
+            if (indexType == "flat") -1L else 0L, skipDefaultQuantization = false,
+            trackDefaultQuantization = true)
+        case "pq" | "sq" if indexType != "flat" =>
+          ResolvedQuantization(defaultQuantization, 0, 0,
+            skipDefaultQuantization = false, trackDefaultQuantization = true)
+        case other => fail(s"invalid default quantization for $indexType index: $other")
+      }
+    }
+  }
+
+  /** The full per-class resolution: a dynamic index resolves BOTH its
+   * sub-configs (hnsw + flat, each with its own rescore default —
+   * default_quantization_test.go's dynamic arms). Returns
+   * (resolvedIndexType, section → resolved). */
+  def resolveIndexDefaults(vectorIndexType: Option[String],
+                           defaultQuantization: String,
+                           explicitQuantizer: Option[String] = None,
+                           skipDefaultQuantization: Boolean = false,
+                           defaultVectorIndex: String = "hnsw")
+      : (String, Map[String, ResolvedQuantization]) = {
+    val it = resolveVectorIndexType(vectorIndexType, defaultVectorIndex)
+    val sections =
+      if (it == "dynamic")
+        Map(
+          "hnsw" -> resolveQuantization("hnsw", defaultQuantization,
+            explicitQuantizer, skipDefaultQuantization),
+          "flat" -> resolveQuantization("flat", defaultQuantization,
+            explicitQuantizer, skipDefaultQuantization))
+      else Map(it -> resolveQuantization(it, defaultQuantization,
+        explicitQuantizer, skipDefaultQuantization))
+    (it, sections)
+  }
 }
