@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 import org.json4s._
 
 import graft.engine.{Graft, ProtoWire, WireDecoder, WireEncoder}
-import graft.model.{CollectionSchema, Property, PropType, Tokenization, StopwordConfig}
+import graft.model.{CollectionSchema, Property, PropType, Tokenization, StopwordConfig, Tenant}
 
 /**
  * q_fixture_grpc_* gates: the core gRPC acceptance suites
@@ -832,8 +832,128 @@ object SparkEntryGrpc {
   }
 
   // ==========================================================================
+  // TestQueryHybrid* (test/acceptance/mcp/query_hybrid_test.go) — the MCP
+  // weaviate-query-hybrid tool over the TestArticle bed
+  // ==========================================================================
+
+  private def mcpHybridGate(s: SparkSession): DataFrame = {
+    import graft.engine.McpSearch
+    val schema = CollectionSchema("TestArticle", "uuid", Seq(
+      Property("title", PropType.Text),
+      Property("contents", PropType.Text),
+      Property("author", PropType.Text),
+      Property("year", PropType.Int),
+      Property("status", PropType.Text),
+      Property("publishDate", PropType.Date)),
+      creationTimeColumn = Some("created"), updateTimeColumn = Some("updated"),
+      timestampUnit = "ms")
+    def ts(v: String) = java.sql.Timestamp.from(java.time.OffsetDateTime.parse(v).toInstant)
+    val bed = Seq(
+      ("Machine Learning Basics", "An introduction to machine learning concepts and algorithms", "John Doe", 2020L, "published", "2020-01-15T10:00:00Z"),
+      ("Deep Learning Advanced", "Advanced deep learning techniques for neural networks", "Jane Smith", 2022L, "published", "2022-06-20T14:30:00Z"),
+      ("Python Programming", "Learn Python programming from scratch", "Bob Johnson", 2019L, "draft", "2019-03-10T08:00:00Z"),
+      ("Data Science Guide", "A comprehensive guide to data science and analytics", "Alice Brown", 2023L, "published", "2023-09-05T12:00:00Z"),
+      ("Neural Networks Explained", "Understanding neural networks and their applications", "John Doe", 2021L, "published", "2021-11-30T16:45:00Z"),
+      ("Reinforcement Learning Guide", "Complete guide to reinforcement learning algorithms and applications", "Jane Smith", 2021L, "published", "2021-03-15T09:00:00Z"))
+    val rows = bed.zipWithIndex.map { case ((t, c, a, y, st, d), i) =>
+      Row(f"3c9a0000-0000-4000-8000-$i%012d", t, c, a, y, st, ts(d),
+        1700000000000L + i, 1700000000000L + i)
+    }
+    val gg = new Graft(s)
+    gg.register(schema, s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
+      StructField("uuid", StringType), StructField("title", StringType),
+      StructField("contents", StringType), StructField("author", StringType),
+      StructField("year", LongType), StructField("status", StringType),
+      StructField("publishDate", TimestampType),
+      StructField("created", LongType), StructField("updated", LongType)))))
+
+    val out = Seq.newBuilder[(String, String)]
+    def run(json: String): DataFrame = McpSearch.queryHybrid(gg, json)
+    def titles(json: String): Seq[String] =
+      run(json).select(col("title")).collect().map(_.getString(0)).toSeq
+
+    val t1 = titles("""{"collection_name": "TestArticle", "query": "machine learning", "alpha": 0.0}""")
+    out += "m01_pure_bm25" -> s"n=${t1.size};first=${t1.head}"
+    out += "m02_limit" -> (s"n2=${titles("""{"collection_name": "TestArticle", "query": "learning", "alpha": 0.0, "limit": 2}""").size};" +
+      s"n0=${run("""{"collection_name": "TestArticle", "query": "learning", "alpha": 0.0, "limit": 0}""").count()}")
+    val specific = run("""{"collection_name": "TestArticle", "query": "learning", "alpha": 0.0,
+      "return_properties": ["title", "author"]}""")
+    out += "m03_specific_props" -> s"n=${specific.count()};cols=${specific.columns.sorted.mkString("|")}"
+    val allProps = run("""{"collection_name": "TestArticle", "query": "learning", "alpha": 0.0}""")
+    out += "m04_all_props" -> s"cols=${allProps.columns.sorted.mkString("|")}"
+    val meta = run("""{"collection_name": "TestArticle", "query": "learning", "alpha": 0.0,
+      "return_metadata": ["id", "score", "creationTimeUnix"]}""")
+    out += "m05_metadata" -> ("has=" + Seq("_id", "_score", "_creationTimeUnix")
+      .filter(meta.columns.contains).mkString("|"))
+    val meta2 = run("""{"collection_name": "TestArticle", "query": "learning", "alpha": 0.0,
+      "return_metadata": ["explainScore", "lastUpdateTimeUnix"]}""")
+    out += "m06_metadata2" -> ("has_update=" + meta2.columns.contains("_lastUpdateTimeUnix") +
+      ";has_explain=" + meta2.columns.exists(_.startsWith("_exp_")))
+    val t6 = titles("""{"collection_name": "TestArticle", "query": "Python", "alpha": 0.0,
+      "target_properties": ["title"]}""")
+    out += "m07_target_title" -> s"n=${t6.size};title=${t6.head}"
+    def filtered(f: String): DataFrame =
+      run(s"""{"collection_name": "TestArticle", "query": "learning", "alpha": 0.0, "filters": $f}""")
+    val f1 = filtered("""{"path": ["status"], "operator": "Equal", "valueText": "published"}""")
+    out += "m08_filter_status" -> (s"n=${f1.count()};" +
+      s"all_published=${f1.select(col("status")).collect().forall(_.getString(0) == "published")}")
+    out += "m09_filter_year" -> ("n=" + filtered(
+      """{"path": ["year"], "operator": "GreaterThanEqual", "valueInt": 2020}""").count())
+    out += "m10_filter_date" -> ("n=" + filtered(
+      """{"path": ["publishDate"], "operator": "GreaterThanEqual", "valueDate": "2021-01-01T00:00:00Z"}""").count())
+    out += "m11_filter_and" -> ("n=" + filtered(
+      """{"operator": "And", "operands": [
+        {"path": ["status"], "operator": "Equal", "valueText": "published"},
+        {"path": ["year"], "operator": "GreaterThanEqual", "valueInt": 2020}]}""").count())
+    val orDf = filtered("""{"operator": "Or", "operands": [
+      {"path": ["author"], "operator": "Equal", "valueText": "John Doe"},
+      {"path": ["author"], "operator": "Equal", "valueText": "Jane Smith"}]}""")
+    out += "m12_filter_or" -> (s"n=${orDf.count()};authors_ok=${orDf.select(col("author"))
+      .collect().forall(r => Set("John Doe", "Jane Smith")(r.getString(0)))}")
+
+    // multi-tenant arm (TestQueryHybridWithTenant)
+    {
+      val mtSchema = CollectionSchema("TestArticleMT", "uuid", Seq(
+        Property("title", PropType.Text), Property("contents", PropType.Text)),
+        tenantColumn = Some("tenant"))
+      val mtRows = Seq(
+        ("Tenant A Article 1", "Machine learning for tenant A", "tenant-a"),
+        ("Tenant A Article 2", "Deep learning algorithms", "tenant-a"),
+        ("Tenant B Article 1", "Data science basics", "tenant-b")).zipWithIndex.map {
+        case ((t, c, tn), i) => Row(f"3c9b0000-0000-4000-8000-$i%012d", t, c, tn)
+      }
+      gg.register(mtSchema, s.createDataFrame(s.sparkContext.parallelize(mtRows, 1),
+        StructType(Seq(StructField("uuid", StringType), StructField("title", StringType),
+          StructField("contents", StringType), StructField("tenant", StringType)))))
+      gg.addTenants("TestArticleMT", Seq(Tenant("tenant-a"), Tenant("tenant-b")))
+      val ta = McpSearch.queryHybrid(gg, """{"collection_name": "TestArticleMT",
+        "query": "learning", "alpha": 0.0, "tenant_name": "tenant-a"}""")
+        .select(col("title")).collect().map(_.getString(0))
+      out += "m13_tenant" -> s"n=${ta.length};all_a=${ta.forall(_.contains("Tenant A"))}"
+    }
+
+    out += "m14_empty_query" -> ("n=" +
+      run("""{"collection_name": "TestArticle", "query": "", "alpha": 0.0}""").count())
+    out += "m15_no_results" -> ("n=" +
+      run("""{"collection_name": "TestArticle", "query": "xyznonexistentquery12345", "alpha": 0.0}""").count())
+    out += "m16_unknown_collection" -> (try {
+      run("""{"collection_name": "NonExistentCollection123", "query": "test", "alpha": 0.0}""")
+      "ok"
+    } catch { case e: Exception => s"error=${e.getMessage.take(40)}" })
+    // absent alpha → DefaultAlpha 0.75; without a vectorizer the dense leg
+    // stays sparse-only and BM25 still returns results (the test's success
+    // branch)
+    out += "m17_default_alpha" -> ("n=" +
+      run("""{"collection_name": "TestArticle", "query": "learning"}""").count())
+    out += "m18_tools_list" -> McpSearch.toolDescriptor.toSeq.sorted
+      .map { case (k, v) => s"$k=$v" }.mkString(";")
+    steps(s, out.result())
+  }
+
+  // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fixture_mcp_hybrid" -> ((s, _) => mcpHybridGate(s)),
     "q_fixture_grpc_batch" -> ((s, _) => grpcBatchGate(s)),
     "q_fixture_grpc_search" -> ((s, _) => grpcSearchGate(s)),
     "q_fixture_grpc_vectors" -> ((s, _) => grpcNamedVectorsGate(s)),
@@ -841,6 +961,35 @@ object SparkEntryGrpc {
     "q_fixture_grpc_filtered" -> ((s, _) => grpcFilteredGate(s)))
 
   def oracleSql: Map[String, String] = Map(
+    // mcp/query_hybrid_test.go: the tool's full contract — pure-BM25
+    // counts, limit incl. 0, property selection (absent = all), metadata
+    // mapping, target properties, the REST-style filter tree (text/int/
+    // date/And/Or), tenancy, the empty-query/no-results/unknown-collection
+    // arms, DefaultAlpha 0.75 falling back to the sparse leg without a
+    // vectorizer, and the tools_list descriptor. m06 has_explain=false:
+    // the engine's explainScore payload is BM25-scoped (documented in
+    // WireEncoder).
+    "q_fixture_mcp_hybrid" ->
+      """SELECT * FROM (VALUES
+        |  ('m01_pure_bm25', 'n=3;first=Machine Learning Basics'),
+        |  ('m02_limit', 'n2=2;n0=0'),
+        |  ('m03_specific_props', 'n=3;cols=author|title'),
+        |  ('m04_all_props', 'cols=_hybrid_score|author|contents|created|publishDate|status|title|updated|uuid|year'),
+        |  ('m05_metadata', 'has=_id|_score|_creationTimeUnix'),
+        |  ('m06_metadata2', 'has_update=true;has_explain=false'),
+        |  ('m07_target_title', 'n=1;title=Python Programming'),
+        |  ('m08_filter_status', 'n=3;all_published=true'),
+        |  ('m09_filter_year', 'n=3'),
+        |  ('m10_filter_date', 'n=2'),
+        |  ('m11_filter_and', 'n=3'),
+        |  ('m12_filter_or', 'n=3;authors_ok=true'),
+        |  ('m13_tenant', 'n=2;all_a=true'),
+        |  ('m14_empty_query', 'n=0'),
+        |  ('m15_no_results', 'n=0'),
+        |  ('m16_unknown_collection', 'error=unknown collection NonExistentCollection'),
+        |  ('m17_default_alpha', 'n=3'),
+        |  ('m18_tools_list', 'description=Performs hybrid search (vector + keyword) for data in a collection.;destructiveHint=false;idempotentHint=true;name=weaviate-query-hybrid;readOnlyHint=true')
+        |) AS t(step, result) ORDER BY step""".stripMargin,
     // TestGRPC_Batching + TestGRPC_OutOfMemoryBatching: the BatchStream
     // frame protocol — Started/Acks/Results sequencing, objects-then-refs
     // success order with uuid/beacon details, the suite's verbatim

@@ -103,7 +103,16 @@ object HybridSearch {
           })
         Seq(sparse, dense).flatten
       }
-    require(legs.nonEmpty, "hybrid: neither query nor vector leg")
+    // no legs at all (empty query at alpha 0, or alpha 1 with no vector)
+    // is a VALID degenerate search in the reference — hybrid/searcher.go
+    // Search simply fuses nothing and returns empty, it never errors
+    // (mcp query_hybrid_test.go TestQueryHybridEmptyQuery)
+    if (legs.isEmpty) {
+      val base = filtered.getOrElse(c.df)
+      val empty = base.filter(lit(false))
+        .withColumn(ScoreCol, lit(0.0)).withColumn(SecondaryCol, lit(0.0))
+      return if (keepSecondary) empty else empty.drop(SecondaryCol)
+    }
 
     val fused: DataFrame = legs match {
       case Seq((df, w)) => // pure-leg degenerate case: weighted raw score
