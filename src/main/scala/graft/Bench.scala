@@ -38,6 +38,8 @@ object Bench {
     // in warm-up so q_fixture_* timings measure replay cost, not the
     // one-time bed registration
     warm("citiesFixture")(CitiesFixture.graft(spark))
+    warm("songFixture")(SparkEntryFixtures.songGraft(spark))
+    warm("grpcFixtures")(SparkEntryGrpc.warmBeds(spark))
     Seq("q_pq_search", "q_bm25_postings", "q_near_ivf").foreach { q =>
       warm(s"warmq:$q")(SparkEntry.queries(q)(spark, sfDir).count())
     }

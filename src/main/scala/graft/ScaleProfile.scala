@@ -219,9 +219,42 @@ object ScaleProfile {
       graft.engine.WireEncoder.searchReply(gg.get(params), params, took = 0.0).length.toLong
     }
 
+    // multi-ref resolution arm (Graft.resolveMultiRef — the union-of-target-
+    // classes uuid hash join, the one r14 join shape without a measured
+    // exponent): 3 target classes partition the corpus, every source row
+    // carries 4 class-qualified edges, and a corpus-proportional page
+    // resolves them. Linear t₁₀/t₁ proves the per-target lookup frames and
+    // the size-gated broadcast don't cliff as edges and targets grow 10×.
+    def multiRef(docs: DataFrame): Long = {
+      import graft.model._
+      val gg = new graft.engine.Graft(spark)
+      val n = docs.count()
+      val ids = docs.select(col("doc_id"),
+        format_string("%024d", col("doc_id")).as("uuid"), col("lang"))
+      (1 to 3).foreach { t =>
+        gg.register(CollectionSchema(s"ScaleT$t", "uuid", Seq(
+          Property("lang", PropType.Text, Tokenization.Field))),
+          ids.filter(col("doc_id") % 3 === (t - 1)).select(col("uuid"), col("lang")))
+      }
+      val edges = (0 until 4).map { k =>
+        val tid = (col("doc_id") + lit(k * 37L)) % n
+        concat(lit("ScaleT"), (tid % 3 + 1).cast("string"), lit("/"),
+          format_string("%024d", tid))
+      }
+      gg.register(CollectionSchema("ScaleSrc", "uuid", Seq(
+        Property("refs", PropType.Ref,
+          refTargets = Seq("ScaleT1", "ScaleT2", "ScaleT3")))),
+        ids.select(col("uuid"), array(edges: _*).as("refs")))
+      val page = math.max(1, (n / 30).toInt)
+      val resolved = gg.get(GetParams("ScaleSrc", properties = Seq("refs"),
+        resolveRefs = Seq("refs"), pagination = Some(Pagination(limit = page))))
+      resolved.select(explode(col("refs_resolved"))).count()
+    }
+
     val pipelines: Seq[(String, (DataFrame, String) => Long)] = Seq(
       "edit_join" -> ((d, _) => edit(d)), "minhash" -> ((d, _) => minhash(d)),
       "wire_encode" -> ((d, _) => wireEncode(d)),
+      "multi_ref" -> ((d, _) => multiRef(d)),
       "bloom_membership" -> ((d, _) => bloom(d)),
       "curate_chain" -> ((d, _) => curate(d)),
       "tfidf" -> ((d, _) => tfidf(d)),

@@ -55,6 +55,38 @@ object SparkEntryFixtures {
     rows.toDF("step", "result").orderBy(col("step"))
   }
 
+  /** The boost suite's Song bed (boost_test.go): 100 songs with formulaic
+   * likes/dates/4-d trig vectors. Read-only after registration →
+   * session-cached (same pattern as CitiesFixture). */
+  private def songVecOf(i: Int): Seq[Float] = Seq(
+    (math.sin(i * 0.7) * 0.5).toFloat, (math.cos(i * 1.3) * 0.5).toFloat,
+    (math.sin(i * 2.1 + 1.0) * 0.5).toFloat, (math.cos(i * 0.3 + 2.0) * 0.5).toFloat)
+  private val songCache = scala.collection.mutable.Map.empty[SparkSession, Graft]
+  private[graft] def songGraft(s: SparkSession): Graft =
+    songCache.synchronized(songCache.getOrElseUpdate(s, {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      import graft.model.{CollectionSchema, Property, PropType, Tokenization}
+      val gg = new Graft(s)
+      val baseMs = java.time.Instant.parse("2025-01-01T00:00:00Z").toEpochMilli
+      gg.register(CollectionSchema("Song", "uuid", Seq(
+        Property("name", PropType.Text, Tokenization.Word),
+        Property("likes", PropType.Number),
+        Property("date_published", PropType.Date)),
+        vectors = Map("default" -> "vector"), defaultVector = Some("default")),
+        s.createDataFrame(s.sparkContext.parallelize((0 until 100).map { i =>
+          val likes = ((i * 7 + 13) % 100 * 10).toDouble
+          val dayOffset = (i * 3 + 5) % 200
+          Row(f"77000000-0000-4000-8000-$i%012d", f"Song $i%03d", likes,
+            new java.sql.Timestamp(baseMs - dayOffset * 24L * 3600 * 1000),
+            songVecOf(i))
+        }, 2), StructType(Seq(StructField("uuid", StringType),
+          StructField("name", StringType), StructField("likes", DoubleType),
+          StructField("date_published", TimestampType),
+          StructField("vector", ArrayType(FloatType))))).cache())
+      gg
+    }))
+
   // ==========================================================================
   // queries
   // ==========================================================================
@@ -1424,35 +1456,18 @@ object SparkEntryFixtures {
     // suite's own deterministic formulas (100 objects; likes = (i*7+13)%100
     // *10, dates spread 200 days back from 2025-01-01, 4-d trig vectors).
     // Orders render as song names; the suite's ordering/equality contracts
-    // render as booleans. (The hybrid arms leave alpha unset — this engine's
-    // JSON-wire default 0.75 genuinely fuses both legs, matching the
-    // suite's stated intent.)
+    // render as booleans. (The hybrid arms leave alpha unset — the binary
+    // legacy path's raw proto3 default 0, pure keyword, exactly like the
+    // reference runs them; the pinned counts/differs contracts hold either
+    // way.) The Song bed is read-only after registration, so it is
+    // session-cached like the other acceptance beds — in-suite passes time
+    // the 30 replay arms, not a fresh store build.
     "q_fixture_boost" -> ((s, _) => {
-      import org.apache.spark.sql.Row
-      import org.apache.spark.sql.types._
       import org.json4s._
       import org.json4s.jackson.JsonMethods
       import graft.engine.ProtoWire
-      import graft.model.{CollectionSchema, Property, PropType, Tokenization}
-      val gg = new Graft(s)
-      def vecOf(i: Int): Seq[Float] = Seq(
-        (math.sin(i * 0.7) * 0.5).toFloat, (math.cos(i * 1.3) * 0.5).toFloat,
-        (math.sin(i * 2.1 + 1.0) * 0.5).toFloat, (math.cos(i * 0.3 + 2.0) * 0.5).toFloat)
-      val baseMs = java.time.Instant.parse("2025-01-01T00:00:00Z").toEpochMilli
-      gg.register(CollectionSchema("Song", "uuid", Seq(
-        Property("name", PropType.Text, Tokenization.Word),
-        Property("likes", PropType.Number),
-        Property("date_published", PropType.Date)),
-        vectors = Map("default" -> "vector"), defaultVector = Some("default")),
-        s.createDataFrame(s.sparkContext.parallelize((0 until 100).map { i =>
-          val likes = ((i * 7 + 13) % 100 * 10).toDouble
-          val dayOffset = (i * 3 + 5) % 200
-          Row(f"77000000-0000-4000-8000-$i%012d", f"Song $i%03d", likes,
-            new java.sql.Timestamp(baseMs - dayOffset * 24L * 3600 * 1000), vecOf(i))
-        }, 2), StructType(Seq(StructField("uuid", StringType),
-          StructField("name", StringType), StructField("likes", DoubleType),
-          StructField("date_published", TimestampType),
-          StructField("vector", ArrayType(FloatType))))))
+      val gg = songGraft(s)
+      def vecOf(i: Int): Seq[Float] = songVecOf(i)
       val qbytes = {
         val bb = java.nio.ByteBuffer.allocate(16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
         vecOf(0).foreach(bb.putFloat)
