@@ -109,10 +109,19 @@ object CitiesFixture {
     Dusseldorf -> "Dusseldorf", MissingIsland -> "Missing Island")
   def cityName(uuid: String): String = CityNames.getOrElse(uuid, uuid)
 
-  private def unit(deg: Double): Array[Float] = {
+  /** THE shared angular embedding plan for every acceptance bed: a 3-d
+   * unit vector at `deg` in the xy-plane. All stand-in embedding spaces
+   * (cities/companies, hybrid's appleVec, the diversity/boost suites'
+   * angled anchors) derive from this one function so an anchor move shows
+   * up in CitiesFixtureSpec's angle assertions instead of drifting
+   * per-suite. */
+  def unit(deg: Double): Array[Float] = {
     val r = math.toRadians(deg)
     Array(math.cos(r).toFloat, math.sin(r).toFloat, 0.0f)
   }
+
+  /** [[unit]] as a Seq — the shape createDataFrame rows carry. */
+  def unitSeq(deg: Double): Seq[Float] = unit(deg).toSeq
 
   private val nullIslandVec: Array[Float] = {
     val r = math.toRadians(40.0)

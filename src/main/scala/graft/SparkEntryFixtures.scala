@@ -603,10 +603,7 @@ object SparkEntryFixtures {
         StructField("title", StringType), StructField("tags", ArrayType(StringType)),
         StructField("categories", ArrayType(StringType)),
         StructField("content", StringType), StructField("vector", ArrayType(FloatType))))
-      def unit(deg: Double): Seq[Float] = {
-        val r = math.toRadians(deg)
-        Seq(math.cos(r).toFloat, math.sin(r).toFloat, 0.0f)
-      }
+      def unit(deg: Double): Seq[Float] = CitiesFixture.unitSeq(deg)
       gg.register(SchemaWire.decodeClass(
         """{"class": "HybridGroupByArrayTest", "properties": [
           |  {"name": "title", "dataType": ["text"]},
@@ -871,10 +868,7 @@ object SparkEntryFixtures {
       import org.apache.spark.sql.types._
       import graft.model.{CollectionSchema, Property, PropType, Tenant, TenantStatus}
       val gg = new Graft(s).withEmbedder(CitiesFixture.embedder)
-      def unit(deg: Double): Seq[Float] = {
-        val r = math.toRadians(deg)
-        Seq(math.cos(r).toFloat, math.sin(r).toFloat, 0.0f)
-      }
+      def unit(deg: Double): Seq[Float] = CitiesFixture.unitSeq(deg)
       val id1 = "0927a1e0-398e-4e76-91fb-04a7a8f0405c"
       val id2 = "831ae1d0-f441-44b1-bb2a-46548048e26f"
       val id3 = "6f3363e0-c0a0-4618-bf1f-b6cad9cdff59"
@@ -1097,10 +1091,7 @@ object SparkEntryFixtures {
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types._
       import graft.model.{CollectionSchema, Property, PropType}
-      def unit(deg: Double): Seq[Float] = {
-        val r = math.toRadians(deg)
-        Seq(math.cos(r).toFloat, math.sin(r).toFloat, 0.0f)
-      }
+      def unit(deg: Double): Seq[Float] = CitiesFixture.unitSeq(deg)
       val gg = new Graft(s).withEmbedder {
         val m = Map("abcd" -> 0.0, "multi shard" -> 90.0)
         t => unit(m.getOrElse(t, 70.0)).toArray
@@ -1631,10 +1622,7 @@ object SparkEntryFixtures {
       import org.json4s.jackson.JsonMethods
       import graft.engine.RestSearch
       import graft.model.{CollectionSchema, Property, PropType, Metric, Tenant}
-      def unit(deg: Double): Seq[Float] = {
-        val r = math.toRadians(deg)
-        Seq(math.cos(r).toFloat, math.sin(r).toFloat, 0.0f)
-      }
+      def unit(deg: Double): Seq[Float] = CitiesFixture.unitSeq(deg)
       val gg = new Graft(s).withEmbedder {
         val m = Map("spaceship galaxy" -> 0.0, "spaceship" -> 0.0,
           "travel" -> 90.0, "sunflowers" -> 45.0, "anything" -> 20.0)
@@ -1818,10 +1806,7 @@ object SparkEntryFixtures {
       import org.apache.spark.sql.types._
       import graft.model.{CollectionSchema, Property, PropType, Tenant}
       val gg = new Graft(s).withEmbedder(CitiesFixture.embedder)
-      def unit(deg: Double): Seq[Float] = {
-        val r = math.toRadians(deg)
-        Seq(math.cos(r).toFloat, math.sin(r).toFloat, 0.0f)
-      }
+      def unit(deg: Double): Seq[Float] = CitiesFixture.unitSeq(deg)
       val Dune = "67b79643-cf8b-4b22-b206-6e63dbb4e000"
       val Hail = "67b79643-cf8b-4b22-b206-6e63dbb4e001"
       val Ice = "67b79643-cf8b-4b22-b206-6e63dbb4e002"

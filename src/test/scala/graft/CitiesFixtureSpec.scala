@@ -367,4 +367,27 @@ class CitiesFixtureSpec extends SparkSpecBase {
       """{ Aggregate { City(groupBy: "isCapital") { meta { count } } } }""")
     assert(p.groupBy.contains(Seq("isCapital")))
   }
+
+  test("the shared angular embedding plan: every anchor's angle is pinned once") {
+    // the single source of truth for every stand-in embedding space — a
+    // future suite that moves an anchor must move it HERE, not re-derive
+    // per-suite (round-15 consolidation)
+    def angleOf(v: Array[Float]): Double =
+      math.toDegrees(math.atan2(v(1).toDouble, v(0).toDouble))
+    assert(math.abs(angleOf(CitiesFixture.unit(60.0)) - 60.0) < 1e-4) // float32 anchors
+    assert(CitiesFixture.unit(0.0).toSeq == Seq(1.0f, 0.0f, 0.0f))
+    assert(CitiesFixture.unitSeq(90.0)(1) == 1.0f)
+    // appleVec IS the Apple-Inc. object anchor at 60° (hybrid suite);
+    // the query-side "Apple" concept sits 0.4° off it so the vector leg
+    // ranks Apple Inc. > Apple Incorporated > Apple
+    assert(math.abs(angleOf(CitiesFixture.appleVec) - 60.0) < 1e-4) // float32 anchors
+    assert(math.abs(angleOf(CitiesFixture.embedder("Apple")) - 60.4) < 1e-4) // float32 anchors
+    // embedder concept anchors (the contextionary stand-in)
+    assert(math.abs(angleOf(CitiesFixture.embedder("Berlin")) - 15.0) < 1e-4) // float32 anchors
+    assert(math.abs(angleOf(CitiesFixture.embedder("Amsterdam")) - 50.0) < 1e-4) // float32 anchors
+    assert(math.abs(angleOf(CitiesFixture.embedder("hi")) - 70.0) < 1e-4) // float32 anchors
+    // unknown concepts land at the corpus center (70°)
+    assert(angleOf(CitiesFixture.embedder("zzz-unknown")) ==
+      angleOf(CitiesFixture.embedder("hi")))
+  }
 }
