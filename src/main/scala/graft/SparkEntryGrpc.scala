@@ -984,6 +984,215 @@ object SparkEntryGrpc {
 
   // ==========================================================================
 
+  // ==========================================================================
+  // TestGRPC_Aggregate (grpc_aggregate_test.go) — binary AggregateRequests
+  // over the cities sample bed
+  // ==========================================================================
+
+  /** Go RFC3339Nano over an int64 NANOSECOND value — including the
+   * reference's pre-1677 wraparound: dates below int64-ns range overflow,
+   * so cityRights 1135/1283/1400 render as 1719/1867/1984 with the
+   * .709551616 artifact (the suite pins these verbatim,
+   * grpc_aggregate_test.go:199-202). */
+  private def renderNs(ns: Long): String = {
+    val whole = Math.floorDiv(ns, 1000000000L)
+    val frac = Math.floorMod(ns, 1000000000L)
+    val base = java.time.format.DateTimeFormatter.ISO_INSTANT
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochSecond(whole)).stripSuffix("Z")
+    val f = frac.toString.reverse.padTo(9, '0').reverse.reverse.dropWhile(_ == '0').reverse
+    if (f.isEmpty) s"${base}Z" else s"$base.${f}Z"
+  }
+
+  /** City twin whose cityRights column is the reference's PHYSICAL form —
+   * int64 nanoseconds, wrapping exactly like Go for pre-1677 dates. */
+  private def cityNsGraft(s: SparkSession): Graft = cached(s, "cityns") {
+    val city = CitiesFixture.graft(s).collection("City").df
+    val rows = city.select(col("uuid"), col("name"), col("cityRights"),
+      col("timezones")).collect().map { r =>
+      val ns: java.lang.Long =
+        if (r.isNullAt(2)) null
+        else java.lang.Long.valueOf(r.getTimestamp(2).getTime * 1000000L) // wraps like Go int64
+      Row(r.getString(0), r.getString(1), ns, r.getSeq[String](3))
+    }.toSeq
+    val gg = new Graft(s)
+    gg.register(CollectionSchema("CityNs", "uuid", Seq(
+      Property("name", PropType.Text),
+      Property("cityRights", PropType.Date),
+      Property("timezones", PropType.Arr(PropType.Text), Tokenization.Whitespace)),
+      timestampUnit = "ns"),
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
+        StructField("uuid", StringType), StructField("name", StringType),
+        StructField("cityRights", LongType),
+        StructField("timezones", ArrayType(StringType))))).cache())
+    gg
+  }
+
+  private def grpcAggGate(s: SparkSession): DataFrame = {
+    val gg = CitiesFixture.graft(s)
+    val out = Seq.newBuilder[(String, String)]
+    def agg(doc: JValue, g: Graft = gg): DataFrame =
+      g.aggregate(ProtoWire.aggregateRequest(g, ProtoWire.write(doc, "AggregateRequest")))
+    def cell(df: DataFrame, row: Row, name: String): String = {
+      val i = df.columns.indexOf(name)
+      if (i < 0 || row.isNullAt(i)) "∅" else row.get(i) match {
+        case d: Double =>
+          if (d == math.floor(d) && math.abs(d) < 1e15) d.toLong.toString else d.toString
+        case xs: scala.collection.Seq[_] => xs.map {
+          case r: Row => s"${r.getAs[String]("value")}x${r.getAs[Any]("occurs")}"
+          case o => o.toString
+        }.mkString("|")
+        case o => o.toString
+      }
+    }
+
+    // -- meta counts ---------------------------------------------------------
+    Seq("Country" -> 0, "City" -> 1, "Airport" -> 2).foreach { case (cls, i) =>
+      val df = agg(JObject(List("collection" -> JString(cls), "objects_count" -> JBool(true))))
+      out += s"g0${i + 1}_count_$cls" -> s"count=${cell(df, df.collect().head, "meta_count")}"
+    }
+
+    // -- per-type aggregations over City -------------------------------------
+    def aggregation(prop: String, kind: String, flags: Seq[String]): JValue =
+      JObject(List("collection" -> JString("City"),
+        "aggregations" -> JArray(List(JObject(List(
+          "property" -> JString(prop),
+          kind -> JObject(flags.toList.map(_ -> JBool(true)))))))))
+    val num = agg(aggregation("population", "int",
+      Seq("count", "type", "mean", "maximum", "minimum", "sum")))
+    val nr = num.collect().head
+    out += "g04_int" -> Seq("count", "type", "mean", "maximum", "minimum", "sum")
+      .map(k => s"$k=${cell(num, nr, s"population_$k")}").mkString(";")
+    val txt = agg(aggregation("name", "text", Seq("type", "top_occurences")))
+    val tr = txt.collect().head
+    out += "g05_text" -> (s"type=${cell(txt, tr, "name_type")};" +
+      s"top=${cell(txt, tr, "name_topOccurrences")}")
+    val bool = agg(aggregation("isCapital", "boolean",
+      Seq("count", "type", "total_true", "total_false", "percentage_true", "percentage_false")))
+    val br = bool.collect().head
+    out += "g06_boolean" -> Seq("count", "type", "totalTrue", "totalFalse",
+      "percentageTrue", "percentageFalse")
+      .map(k => s"$k=${cell(bool, br, s"isCapital_$k")}").mkString(";")
+    // the date arms run on the ns twin — the int64 wraparound is the
+    // reference's own physical behavior for pre-1677 dates
+    val dg = cityNsGraft(s)
+    val date = agg(JObject(List("collection" -> JString("CityNs"),
+      "aggregations" -> JArray(List(JObject(List(
+        "property" -> JString("cityRights"),
+        "date" -> JObject(List("count" -> JBool(true), "type" -> JBool(true),
+          "maximum" -> JBool(true), "median" -> JBool(true),
+          "minimum" -> JBool(true), "mode" -> JBool(true))))))))), dg)
+    val dr = date.collect().head
+    def dcell(name: String): String = {
+      val i = date.columns.indexOf(name)
+      if (i < 0 || dr.isNullAt(i)) "∅"
+      else renderNs(dr.get(i) match {
+        case l: Long => l
+        case d: Double => math.round(d)
+        case o => o.toString.toDouble.round
+      })
+    }
+    out += "g07_date" -> (s"count=${cell(date, dr, "cityRights_count")};" +
+      s"max=${dcell("cityRights_maximum")};median=${dcell("cityRights_median")};" +
+      s"min=${dcell("cityRights_minimum")};mode=${dcell("cityRights_mode")}")
+    val ref = agg(aggregation("inCountry", "reference", Seq("type", "pointing_to")))
+    val rr = ref.collect().head
+    out += "g08_reference" -> (s"type=${cell(ref, rr, "inCountry_type")};" +
+      s"pointingTo=${cell(ref, rr, "inCountry_pointingTo")}")
+
+    // -- filtered multi-aggregation (is not capital) --------------------------
+    val filteredDoc = JObject(List("collection" -> JString("City"),
+      "objects_count" -> JBool(true),
+      "filters" -> JObject(List("operator" -> JString("OPERATOR_EQUAL"),
+        "value_boolean" -> JBool(false), "on" -> JArray(List(JString("isCapital"))))),
+      "aggregations" -> JArray(List(
+        JObject(List("property" -> JString("inCountry"),
+          "reference" -> JObject(List("type" -> JBool(true), "pointing_to" -> JBool(true))))),
+        JObject(List("property" -> JString("name"),
+          "text" -> JObject(List("count" -> JBool(true), "type" -> JBool(true),
+            "top_occurences" -> JBool(true))))),
+        JObject(List("property" -> JString("population"),
+          "int" -> JObject(List("mean" -> JBool(true), "count" -> JBool(true),
+            "maximum" -> JBool(true), "minimum" -> JBool(true), "sum" -> JBool(true),
+            "type" -> JBool(true), "mode" -> JBool(true)))))))))
+    val fd = agg(filteredDoc)
+    val fr = fd.collect().head
+    out += "g09_filtered" -> (Seq(
+      s"refType=${cell(fd, fr, "inCountry_type")}",
+      s"pointingTo=${cell(fd, fr, "inCountry_pointingTo")}",
+      s"nameTop=${cell(fd, fr, "name_topOccurrences")}",
+      s"popCount=${cell(fd, fr, "population_count")}",
+      s"popMax=${cell(fd, fr, "population_maximum")}",
+      s"popMean=${cell(fd, fr, "population_mean")}",
+      s"popMin=${cell(fd, fr, "population_minimum")}",
+      s"popMode=${cell(fd, fr, "population_mode")}",
+      s"popSum=${cell(fd, fr, "population_sum")}").mkString(";"))
+
+    // -- groupBy cityRights on the ns twin ------------------------------------
+    val gby = agg(JObject(List("collection" -> JString("CityNs"),
+      "group_by" -> JObject(List("collection" -> JString("CityNs"),
+        "property" -> JString("cityRights"))),
+      "aggregations" -> JArray(List(
+        JObject(List("property" -> JString("cityRights"),
+          "date" -> JObject(List("count" -> JBool(true), "median" -> JBool(true))))),
+        JObject(List("property" -> JString("timezones"),
+          "text" -> JObject(List("count" -> JBool(true), "type" -> JBool(true),
+            "top_occurences" -> JBool(true))))),
+        JObject(List("property" -> JString("name"),
+          "text" -> JObject(List("count" -> JBool(true))))))))), dg)
+    val gcols = gby.columns
+    gby.collect().filter(r => !r.isNullAt(gcols.indexOf("groupedBy_value"))).sortBy(r =>
+      r.get(gcols.indexOf("groupedBy_value")).toString).zipWithIndex.foreach { case (r, i) =>
+      def c(n: String) = { val j = gcols.indexOf(n)
+        if (j < 0 || r.isNullAt(j)) "∅" else r.get(j) match {
+          case xs: scala.collection.Seq[_] => xs.map {
+            case row: Row => s"${row.getAs[String]("value")}x${row.getAs[Any]("occurs")}"
+            case o => o.toString }.mkString("|")
+          case o => o.toString } }
+      val keyNs = r.get(gcols.indexOf("groupedBy_value")).toString.toLong
+      val medNs = { val j = gcols.indexOf("cityRights_median")
+        r.get(j) match { case d: Double => math.round(d); case l: Long => l } }
+      out += f"g10_group$i%02d" -> (s"key=${renderNs(keyNs)};" +
+        s"n=${c("cityRights_count")};median=${renderNs(medNs)};" +
+        s"names=${c("name_count")};tzType=${c("timezones_type")};" +
+        s"tzCount=${c("timezones_count")};tzTop=${c("timezones_topOccurrences")}")
+    }
+
+    // -- nearText / nearObject / nearVector scoped aggregation ----------------
+    val amsVec = gg.collection("City").df
+      .filter(col("name") === "Amsterdam").select(col("vector"))
+      .collect().head.getSeq[Float](0)
+    def searchArm(key: String, leg: (String, JValue)): Unit = {
+      val doc = JObject(List("collection" -> JString("City"),
+        "objects_count" -> JBool(true),
+        "filters" -> JObject(List("operator" -> JString("OPERATOR_EQUAL"),
+          "value_boolean" -> JBool(true), "on" -> JArray(List(JString("isCapital"))))),
+        leg,
+        "aggregations" -> JArray(List(
+          JObject(List("property" -> JString("population"),
+            "int" -> JObject(List("count" -> JBool(true), "type" -> JBool(true),
+              "mean" -> JBool(true), "maximum" -> JBool(true), "minimum" -> JBool(true),
+              "sum" -> JBool(true), "mode" -> JBool(true))))),
+          JObject(List("property" -> JString("name"),
+            "text" -> JObject(List("count" -> JBool(true), "type" -> JBool(true),
+              "top_occurences" -> JBool(true)))))))))
+      val df = agg(doc)
+      val r = df.collect().head
+      out += key -> (s"popCount=${cell(df, r, "population_count")};" +
+        s"popSum=${cell(df, r, "population_sum")};nameTop=${cell(df, r, "name_topOccurrences")}")
+    }
+    searchArm("g11_neartext", "near_text" -> JObject(List(
+      "query" -> JArray(List(JString("Amsterdam"))), "distance" -> JDouble(0.2))))
+    val amsId = gg.collection("City").df.filter(col("name") === "Amsterdam")
+      .select(col("uuid")).collect().head.getString(0)
+    searchArm("g12_nearobject", "near_object" -> JObject(List(
+      "id" -> JString(amsId), "distance" -> JDouble(0.2))))
+    searchArm("g13_nearvector", "near_vector" -> JObject(List(
+      "vector" -> JArray(amsVec.toList.map(v => JDouble(v.toDouble))),
+      "distance" -> JDouble(0.2))))
+    steps(s, out.result())
+  }
+
   /** Bench warm-up hook: build every session-cached read-only bed once so
    * timed passes measure the replay arms, not bed registration/ingest. */
   def warmBeds(s: SparkSession): Unit = {
@@ -994,10 +1203,12 @@ object SparkEntryGrpc {
       "title" -> (false, Some(Seq("title")))), defaultVector = Some("default"))
     alphabeticGraft(s)
     mcpGraft(s)
+    cityNsGraft(s)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fixture_mcp_hybrid" -> ((s, _) => mcpHybridGate(s)),
+    "q_fixture_grpc_agg" -> ((s, _) => grpcAggGate(s)),
     "q_fixture_grpc_batch" -> ((s, _) => grpcBatchGate(s)),
     "q_fixture_grpc_search" -> ((s, _) => grpcSearchGate(s)),
     "q_fixture_grpc_vectors" -> ((s, _) => grpcNamedVectorsGate(s)),
@@ -1005,6 +1216,35 @@ object SparkEntryGrpc {
     "q_fixture_grpc_filtered" -> ((s, _) => grpcFilteredGate(s)))
 
   def oracleSql: Map[String, String] = Map(
+    // TestGRPC_Aggregate: every expected value verbatim — meta counts,
+    // the int/text/boolean matrices, the DATE aggregation's int64-ns
+    // wraparound renders (1135/1283/1400 → 1719/1867/1984 with the
+    // .709551616 artifact — the reference's own physical behavior for
+    // pre-1677 dates, reproduced by storing the same wrapped int64 ns),
+    // cref pointingTo, the filtered multi-aggregation, per-group date/
+    // text[] contracts (group KEYS render the wrapped instant where the
+    // reference echoes the raw +02:00 input string — documented
+    // divergence; counts/medians/topOccurrences are verbatim), and the
+    // nearText/nearObject/nearVector scoped arms (only Amsterdam passes
+    // the 0.2 radius + isCapital filter)
+    "q_fixture_grpc_agg" ->
+      """SELECT * FROM (VALUES
+        |  ('g01_count_Country', 'count=2'),
+        |  ('g02_count_City', 'count=6'),
+        |  ('g03_count_Airport', 'count=4'),
+        |  ('g04_int', 'count=5;type=int;mean=1294000;maximum=3470000;minimum=0;sum=6470000'),
+        |  ('g05_text', 'type=text;top=Amsterdamx1|Berlinx1|Dusseldorfx1|Missing Islandx1|Rotterdamx1'),
+        |  ('g06_boolean', 'count=5;type=boolean;totalTrue=2;totalFalse=3;percentageTrue=0.4;percentageFalse=0.6'),
+        |  ('g07_date', 'count=4;max=1984-07-21T21:34:33.709551616Z;median=1926-01-21T09:34:33.709551616Z;min=1719-07-21T21:34:33.709551616Z;mode=1984-07-21T21:34:33.709551616Z'),
+        |  ('g08_reference', 'type=cref;pointingTo=Country'),
+        |  ('g09_filtered', 'refType=cref;pointingTo=Country;nameTop=Dusseldorfx1|Missing Islandx1|Rotterdamx1;popCount=3;popMax=600000;popMean=400000;popMin=0;popMode=600000;popSum=1200000'),
+        |  ('g10_group00', 'key=1867-07-22T21:34:33.709551616Z;n=1;median=1867-07-22T21:34:33.709551616Z;names=1;tzType=text[];tzCount=2;tzTop=CESTx1|CETx1'),
+        |  ('g10_group01', 'key=1719-07-21T21:34:33.709551616Z;n=1;median=1719-07-21T21:34:33.709551616Z;names=1;tzType=text[];tzCount=2;tzTop=CESTx1|CETx1'),
+        |  ('g10_group02', 'key=1984-07-21T21:34:33.709551616Z;n=2;median=1984-07-21T21:34:33.709551616Z;names=2;tzType=text[];tzCount=4;tzTop=CESTx2|CETx2'),
+        |  ('g11_neartext', 'popCount=1;popSum=1800000;nameTop=Amsterdamx1'),
+        |  ('g12_nearobject', 'popCount=1;popSum=1800000;nameTop=Amsterdamx1'),
+        |  ('g13_nearvector', 'popCount=1;popSum=1800000;nameTop=Amsterdamx1')
+        |) AS t(step, result) ORDER BY step""".stripMargin,
     // mcp/query_hybrid_test.go: the tool's full contract — pure-BM25
     // counts, limit incl. 0, property selection (absent = all), metadata
     // mapping, target properties, the REST-style filter tree (text/int/

@@ -1622,10 +1622,15 @@ object WireDecoder {
         "mode" -> Mode, "maximum" -> Maximum, "minimum" -> Minimum, "sum" -> Sum)
     }.orElse(field(agg, "text").map { o =>
       val base = flags(o, "count" -> Count, "type" -> Type)
-      // reference quirk (parse_aggregate_request.go:418-425): topOccurences
-      // WITHOUT a limit maps to TotalTrueAggregator — replicated bug-for-bug
+      // parse quirk (parse_aggregate_request.go:418-425): topOccurences
+      // WITHOUT a limit parses as TotalTrueAggregator — but the TEXT
+      // execution path never reads that member; it always runs
+      // topOccurrences with the list's limit or the default 5
+      // (aggregator/text.go:24-33 extractLimitFromTopOccs). The OBSERVABLE
+      // contract — what grpc_mixed_vectors_test.go and
+      // grpc_aggregate_test.go read back — is TopOccurrences(5).
       val top = if (bool(o, "topOccurences"))
-        intF(o, "topOccurencesLimit").map(l => TopOccurrences(l.toInt)).orElse(Some(TotalTrue)).toSeq
+        Seq(TopOccurrences(intF(o, "topOccurencesLimit").map(_.toInt).getOrElse(5)))
       else Nil
       base ++ top
     }).orElse(field(agg, "boolean").map { o =>
