@@ -837,6 +837,42 @@ object SparkEntryGrpc {
       out += "a4_02_search_refs" -> (s"rows=${page.count()};" +
         s"all10=${sizes == Map(parasPer -> numArticles.toLong)}")
     }
+    // -- arm 4b: the unary BatchReferencesRequest RPC (batch_references_test
+    //    .go): with/without to_collection plus a duplicate edge — no errors,
+    //    the duplicate dedupes to 2 resolved references ----------------------
+    {
+      val (gg, stores) = articleStores(s)
+      import s.implicits._
+      val (u0, u1, u2) = ("00000000-0000-0000-0000-000000000001",
+        "00000000-0000-0000-0000-000000000002", "00000000-0000-0000-0000-000000000003")
+      stores("Article").upsert(Seq((u0, null: Seq[String], "Article 1"))
+        .toDF("uuid", "hasParagraphs", "title"))
+      stores("Paragraph").upsert(Seq((u1, "Paragraph 1", null: String),
+        (u2, "Paragraph 2", null: String)).toDF("uuid", "contents", "title"))
+      val doc = JObject(List("references" -> JArray(List(
+        JObject(List("name" -> JString("hasParagraphs"),
+          "from_collection" -> JString("Article"), "to_collection" -> JString("Paragraph"),
+          "from_uuid" -> JString(u0), "to_uuid" -> JString(u1))),
+        batchRef("hasParagraphs", "Article", u0, u2),
+        JObject(List("name" -> JString("hasParagraphs"),
+          "from_collection" -> JString("Article"), "to_collection" -> JString("Paragraph"),
+          "from_uuid" -> JString(u0), "to_uuid" -> JString(u1)))))))
+      val back = ProtoWire.read(ProtoWire.write(doc, "BatchReferencesRequest"),
+        "BatchReferencesRequest")
+      val refs = (back \ "references") match { case JArray(xs) => xs; case o => List(o) }
+      var errs = 0
+      refs.foreach { r =>
+        val cls = (r \ "from_collection").values.toString
+        val prop = (r \ "name").values.toString
+        if (!stores(cls).schema.property(prop).exists(_.dataType == graft.model.PropType.Ref)) errs += 1
+        else stores(cls).addReferences(prop,
+          Seq(((r \ "from_uuid").values.toString, (r \ "to_uuid").values.toString))
+            .toDF("uuid", "target"))
+      }
+      val n = stores("Article").read().filter(col("uuid") === u0)
+        .select(size(col("hasParagraphs"))).collect().head.getInt(0)
+      out += "a4b_unary_refs" -> s"errors=$errs;has=$n"
+    }
     // -- arm 5: out-of-memory reply sequence ---------------------------------
     {
       val (gg, stores) = articleStores(s)
@@ -1290,6 +1326,7 @@ object SparkEntryGrpc {
         |  ('a3_02_refs', 'has=1'),
         |  ('a4_01_counts', 'acks=2;articles=200;paras=2000'),
         |  ('a4_02_search_refs', 'rows=200;all10=true'),
+        |  ('a4b_unary_refs', 'errors=0;has=2'),
         |  ('a5_01_frames', 'backoff[500];oom[u=100]'),
         |  ('a5_02_unapplied', 'articles=0')
         |) AS t(step, result) ORDER BY step""".stripMargin,

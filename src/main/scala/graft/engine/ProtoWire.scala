@@ -268,6 +268,8 @@ object ProtoWire {
     // ----- BatchObjectsRequest (grpc/proto/v1/batch.proto + base.proto) ---
     "BatchObjectsRequest" -> Map(
       f(1, "objects", TMsg("BatchObject"), rep = true)),
+    "BatchReferencesRequest" -> Map(
+      f(1, "references", TMsg("BatchReference"), rep = true)),
     // ----- BatchStream (grpc/proto/v1/batch.proto:22-90) ------------------
     "BatchStreamRequest" -> Map(
       f(1, "start", TMsg("BatchStreamStart")),
