@@ -969,7 +969,7 @@ object SparkEntryGrpc {
     val meta2 = run("""{"collection_name": "TestArticle", "query": "learning", "alpha": 0.0,
       "return_metadata": ["explainScore", "lastUpdateTimeUnix"]}""")
     out += "m06_metadata2" -> ("has_update=" + meta2.columns.contains("_lastUpdateTimeUnix") +
-      ";has_explain=" + meta2.columns.exists(_.startsWith("_exp_")))
+      ";has_explain=" + meta2.columns.contains(graft.operators.HybridSearch.ExplainCol))
     val t6 = titles("""{"collection_name": "TestArticle", "query": "Python", "alpha": 0.0,
       "target_properties": ["title"]}""")
     out += "m07_target_title" -> s"n=${t6.size};title=${t6.head}"
@@ -1286,17 +1286,16 @@ object SparkEntryGrpc {
     // mapping, target properties, the REST-style filter tree (text/int/
     // date/And/Or), tenancy, the empty-query/no-results/unknown-collection
     // arms, DefaultAlpha 0.75 falling back to the sparse leg without a
-    // vectorizer, and the tools_list descriptor. m06 has_explain=false:
-    // the engine's explainScore payload is BM25-scoped (documented in
-    // WireEncoder).
+    // vectorizer, and the tools_list descriptor. m06: hybrid pages
+    // carry the fusion's own ExplainScore string.
     "q_fixture_mcp_hybrid" ->
       """SELECT * FROM (VALUES
         |  ('m01_pure_bm25', 'n=3;first=Machine Learning Basics'),
         |  ('m02_limit', 'n2=2;n0=0'),
         |  ('m03_specific_props', 'n=3;cols=author|title'),
-        |  ('m04_all_props', 'cols=_hybrid_score|author|contents|created|publishDate|status|title|updated|uuid|year'),
+        |  ('m04_all_props', 'cols=_explainScore|_hybrid_score|author|contents|created|publishDate|status|title|updated|uuid|year'),
         |  ('m05_metadata', 'has=_id|_score|_creationTimeUnix'),
-        |  ('m06_metadata2', 'has_update=true;has_explain=false'),
+        |  ('m06_metadata2', 'has_update=true;has_explain=true'),
         |  ('m07_target_title', 'n=1;title=Python Programming'),
         |  ('m08_filter_status', 'n=3;all_published=true'),
         |  ('m09_filter_year', 'n=3'),

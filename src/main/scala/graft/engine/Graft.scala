@@ -1846,8 +1846,11 @@ final class Graft(val spark: SparkSession) {
         // explainScore, index.go:2266-2291); names are _exp_<term>
         case "explainScore" =>
           // df(name), not col(name): a query term containing '.' (e.g.
-          // "v1.2" under Field tokenization) would parse as struct access
-          df.columns.filter(_.startsWith("_exp_")).sorted.map(df(_)).toSeq
+          // "v1.2" under Field tokenization) would parse as struct access.
+          // Hybrid pages carry the fusion's own ready-made explanation
+          // string (hybrid_fusion.go builds ExplainScore inline)
+          df.columns.filter(c => c.startsWith("_exp_") ||
+            c == graft.operators.HybridSearch.ExplainCol).sorted.map(df(_)).toSeq
         case "id" => Some(col(id).as("_id"))
         case "distance" if df.columns.contains(VectorSearch.DistanceCol) => Some(col(VectorSearch.DistanceCol))
         case "certainty" if df.columns.contains(VectorSearch.DistanceCol) =>

@@ -144,10 +144,16 @@ object WireEncoder {
     presencePair(params.additional.contains("lastUpdateTimeUnix"),
       "_lastUpdateTimeUnix", "lastUpdateTimeUnix")
     if (params.additional.contains("explainScore")) {
-      val exp = cols.keys.filter(_.startsWith("_exp_")).toSeq.sorted
-        .flatMap(c => cols.get(c).filter(i => !row.isNullAt(i))
-          .map(i => s"${c.stripPrefix("_exp_")}:${num(row.get(i))}"))
-      md += s""""explainScore":${esc(exp.mkString(", "))}"""
+      // hybrid pages carry the fusion's ready-made explanation string;
+      // BM25 pages fold their per-term `_exp_*` contribution columns
+      val hybridExp = cols.get(graft.operators.HybridSearch.ExplainCol)
+        .filter(i => !row.isNullAt(i)).map(i => String.valueOf(row.get(i)))
+      val exp = hybridExp.getOrElse(
+        cols.keys.filter(_.startsWith("_exp_")).toSeq.sorted
+          .flatMap(c => cols.get(c).filter(i => !row.isNullAt(i))
+            .map(i => s"${c.stripPrefix("_exp_")}:${num(row.get(i))}"))
+          .mkString(", "))
+      md += s""""explainScore":${esc(exp)}"""
       md += s""""explainScorePresent":${exp.nonEmpty}"""
     }
     // vector metadata (prepare_reply extractAdditionalProps): the legacy/

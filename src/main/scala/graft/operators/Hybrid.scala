@@ -38,6 +38,17 @@ object HybridSearch {
     col(SecondaryCol).cast("float").desc_nulls_last, col(id).asc)
   private val RrfK = 60.0 // reference: hybrid_fusion.go rankedFusion constant
 
+  /** Per-result fusion explanation (search.Result.ExplainScore — built by
+   * the fusion itself, hybrid_fusion.go:40-48/140-144): one fragment per
+   * contributing leg. */
+  val ExplainCol = "_explainScore"
+
+  /** Go %v-ish float render for explain fragments: whole floats drop the
+   * ".0" (Go prints float32 2 as "2"). */
+  private def goNum(c: Column): Column =
+    when(c.cast("double") === c.cast("long").cast("double"),
+      c.cast("long").cast("string")).otherwise(c.cast("float").cast("string"))
+
   def search(
       c: Collection,
       params: HybridParams,
@@ -78,28 +89,28 @@ object HybridSearch {
     // explicit weighted sub-searches replace the alpha legs (reference:
     // retrieval.go:105-109 + common_filters/hybrid.go:72-111; nearText
     // subsearches are resolved to nearVector by the engine facade)
-    val legs: Seq[(DataFrame, Double)] =
+    val legs: Seq[(DataFrame, Double, String)] =
       if (params.subSearches.nonEmpty)
         params.subSearches.map { ss =>
           val df = ss.bm25.map(bm25Leg)
             .orElse(ss.nearVector.map(denseLeg))
             .getOrElse(throw new IllegalArgumentException(
               "hybrid subsearch: nearText must be resolved to nearVector before search"))
-          (df, ss.weight)
+          (df, ss.weight, if (ss.bm25.isDefined) "keyword" else "vector")
         }
       else {
         val sparse =
           if (params.query.nonEmpty && params.alpha < 1.0)
             Some((bm25Leg(graft.model.Bm25(params.query, params.properties,
-              params.searchOperator)), 1.0 - params.alpha))
+              params.searchOperator)), 1.0 - params.alpha, "keyword"))
           else None
         // a full multi-target dense leg (denseParams) takes precedence over
         // the plain vector (retrieval.go:123 NearVectorParams)
         val dense = params.denseParams.filter(_ => params.alpha > 0.0)
-          .map(nv => (denseLeg(nv), params.alpha))
+          .map(nv => (denseLeg(nv), params.alpha, "vector"))
           .orElse(params.vector.filter(_ => params.alpha > 0.0).map { v =>
             (denseLeg(NearVector(v, metric, distance = params.maxVectorDistance,
-              targetVectors = params.targetVectors)), params.alpha)
+              targetVectors = params.targetVectors)), params.alpha, "vector")
           })
         Seq(sparse, dense).flatten
       }
@@ -115,8 +126,18 @@ object HybridSearch {
     }
 
     val fused: DataFrame = legs match {
-      case Seq((df, w)) => // pure-leg degenerate case: weighted raw score
-        df.withColumn(ScoreCol, col("__s") * w)
+      case Seq((df, w, name)) =>
+        // pure-leg degenerate case: weighted raw score; the explain fragment
+        // still renders the fusion's normalized contribution
+        // (FusionRelativeScore runs even over one set)
+        val wnd = BoundedWindow.all()
+        val mn = min(col("__s")).over(wnd); val mx = max(col("__s")).over(wnd)
+        val norm = when(mx === mn, lit(w)).otherwise((col("__s") - mn) / (mx - mn) * w)
+        df.withColumn(ExplainCol, concat(lit("\n"),
+            format_string(s"Hybrid (Result Set $name) Document %s: " +
+              "original score %s, normalized score: %s",
+              col(id).cast("string"), goNum(col("__s")), goNum(norm))))
+          .withColumn(ScoreCol, col("__s") * w)
           .withColumn(SecondaryCol, col("__s")).drop("__s")
       case many => fuseMany(many, id, params.fusionType)
     }
@@ -138,8 +159,8 @@ object HybridSearch {
       sparse: DataFrame, dense: DataFrame, id: String,
       fusion: FusionType, wSparse: Double, wDense: Double): DataFrame =
     fuseMany(Seq(
-      (sparse.withColumnRenamed("__s_sparse", "__s"), wSparse),
-      (dense.withColumnRenamed("__s_dense", "__s"), wDense)), id, fusion)
+      (sparse.withColumnRenamed("__s_sparse", "__s"), wSparse, "keyword"),
+      (dense.withColumnRenamed("__s_dense", "__s"), wDense, "vector")), id, fusion)
 
   /**
    * Fuse N weighted legs on the id column — each leg df is (id, __s) with a
@@ -151,9 +172,9 @@ object HybridSearch {
    * SecondaryCol carries the first non-null raw leg score in leg order for
    * tie-breaking (hybrid_fusion.go:68-79 SecondarySortValue).
    */
-  def fuseMany(legs: Seq[(DataFrame, Double)], id: String, fusion: FusionType): DataFrame = {
+  def fuseMany(legs: Seq[(DataFrame, Double, String)], id: String, fusion: FusionType): DataFrame = {
     require(legs.size >= 2, "fuseMany needs at least two legs")
-    val prepped: Seq[DataFrame] = legs.zipWithIndex.map { case ((df, _), i) =>
+    val prepped: Seq[DataFrame] = legs.zipWithIndex.map { case ((df, _, _), i) =>
       fusion match {
         case FusionType.Ranked =>
           df.withColumn(s"__r_$i",
@@ -180,8 +201,32 @@ object HybridSearch {
       case FusionType.Ranked        => legs.indices.map(i => s"__r_$i")
       case FusionType.RelativeScore => legs.indices.map(i => s"__n_$i")
     }
+    // per-result explain fragments, exactly the fusion's own wording:
+    // ranked — "... contributed <w/(60+rank)> to the score", fragments in
+    // LEG order each behind a newline (hybrid_fusion.go:40-48);
+    // relativeScore — "... original score <raw>, normalized score:
+    // <weighted-normalized>", fragments in REVERSE leg order joined by
+    // " - " with each behind a newline (hybrid_fusion.go:136-144)
+    val explain: Column = fusion match {
+      case FusionType.Ranked =>
+        concat(legs.indices.map { i =>
+          val frag = format_string(
+            s"Hybrid (Result Set ${legs(i)._3}) Document %s contributed %s to the score",
+            col(id).cast("string"), goNum(lit(legs(i)._2) / (lit(RrfK) + col(s"__r_$i"))))
+          coalesce(when(col(s"__r_$i").isNotNull, concat(lit("\n"), frag)), lit(""))
+        }: _*)
+      case FusionType.RelativeScore =>
+        concat_ws(" - ", legs.indices.reverse.map { i =>
+          when(col(s"__s_$i").isNotNull, concat(lit("\n"), format_string(
+            s"Hybrid (Result Set ${legs(i)._3}) Document %s: " +
+              "original score %s, normalized score: %s",
+            col(id).cast("string"), goNum(col(s"__s_$i")),
+            goNum(col(s"__n_$i") * legs(i)._2))))
+        }: _*)
+    }
     joined.withColumn(ScoreCol, score)
       .withColumn(SecondaryCol, coalesce(legs.indices.map(i => col(s"__s_$i")): _*))
+      .withColumn(ExplainCol, explain)
       .drop((rankCols ++ legs.indices.map(i => s"__s_$i")): _*)
   }
 

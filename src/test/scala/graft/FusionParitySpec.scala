@@ -79,4 +79,26 @@ class FusionParitySpec extends SparkSpecBase {
       }
     }
   }
+
+  test("explain fragments match fusion_test.go's wording") {
+    // fusion_test.go:85-86 pins "(Result Set keyword) Document 1: original
+    // score 0.5, normalized score: 0.5" / "(Result Set vector) ... original
+    // score 2, normalized score: 0.5" over keyword [1, 0.5] vector [4, 2]
+    // at weights 0.5/0.5
+    val fused = HybridSearch.fuse(leg(Seq(1, 0.5), "__s_sparse"),
+        leg(Seq(4, 2), "__s_dense"), "id", FusionType.RelativeScore, 0.5, 0.5)
+      .orderBy(col("id").asc).collect()
+    val doc1 = fused.find(_.getLong(0) == 1L).get
+      .getAs[String](HybridSearch.ExplainCol)
+    assert(doc1.contains("(Result Set keyword) Document 1: original score 0.5, normalized score: 0"))
+    assert(doc1.contains("(Result Set vector) Document 1: original score 2, normalized score: 0"))
+    // ranked fusion renders the contributed-RRF wording
+    val ranked = HybridSearch.fuse(leg(Seq(1, 0.5), "__s_sparse"),
+        leg(Seq(4, 2), "__s_dense"), "id", FusionType.Ranked, 0.5, 0.5)
+      .orderBy(col("id").asc).collect()
+    val r0 = ranked.find(_.getLong(0) == 0L).get
+      .getAs[String](HybridSearch.ExplainCol)
+    assert(r0.contains("(Result Set keyword) Document 0 contributed"))
+    assert(r0.contains("to the score"))
+  }
 }
