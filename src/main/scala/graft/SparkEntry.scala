@@ -160,7 +160,7 @@ object SparkEntry {
 
   // --- the query inventory --------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = base ++ SparkEntryExt.queries ++ SparkEntryExt2.queries ++ SparkEntryFixtures.queries ++ SparkEntryWire2.queries ++ SparkEntryGrpc.queries ++ SparkEntryObjects.queries
+  def queries: Map[String, (SparkSession, String) => DataFrame] = base ++ SparkEntryExt.queries ++ SparkEntryExt2.queries ++ SparkEntryFixtures.queries ++ SparkEntryWire2.queries ++ SparkEntryGrpc.queries ++ SparkEntryObjects.queries ++ SparkEntryActions.queries
 
   private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -478,7 +478,7 @@ object SparkEntry {
 
   // --- DuckDB oracle SQL ----------------------------------------------------
 
-  def oracleSql: Map[String, String] = baseOracle ++ SparkEntryExt.oracleSql ++ SparkEntryExt2.oracleSql ++ SparkEntryFixtures.oracleSql ++ SparkEntryWire2.oracleSql ++ SparkEntryGrpc.oracleSql ++ SparkEntryObjects.oracleSql
+  def oracleSql: Map[String, String] = baseOracle ++ SparkEntryExt.oracleSql ++ SparkEntryExt2.oracleSql ++ SparkEntryFixtures.oracleSql ++ SparkEntryWire2.oracleSql ++ SparkEntryGrpc.oracleSql ++ SparkEntryObjects.oracleSql ++ SparkEntryActions.oracleSql
 
   private def baseOracle: Map[String, String] = Map(
     "q_filter_and_range" ->

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.json4s._
+import org.json4s.jackson.JsonMethods
 
 import graft.engine.{Graft, ProtoWire, WireDecoder, WireEncoder}
 import graft.model.{CollectionSchema, Property, PropType, Tokenization, StopwordConfig, Tenant}
@@ -1229,6 +1230,339 @@ object SparkEntryGrpc {
     steps(s, out.result())
   }
 
+  // ==========================================================================
+  // MCP objects_upsert + get_config (test/acceptance/mcp/
+  // objects_upsert_test.go 1,056 lines + get_config_test.go)
+  // ==========================================================================
+
+  /** The `weaviate-objects-upsert` tool driven through McpCreate onto real
+   * CollectionStores (MUTATING — fresh temp roots per run, never
+   * session-cached), plus the read tools get-config/tenants-list. Function-
+   * level vs per-item error split, tenant gates, property validation texts,
+   * the named-vector config check, and the dimension contract. */
+  private def mcpUpsertGate(s: SparkSession): DataFrame = {
+    import graft.engine.{McpCreate, McpRead}
+    val out = Seq.newBuilder[(String, String)]
+    var ctr = 0
+    def nextId(): String = { ctr += 1; f"0dc00000-0000-4000-8000-$ctr%012d" }
+    val gg = new Graft(s)
+    val stores = scala.collection.mutable.Map.empty[String, graft.sources.CollectionStore]
+    def mkClass(schema: CollectionSchema, extraCols: Seq[StructField],
+                seed: Seq[Row] = Nil): Unit = {
+      val struct = StructType(StructField("uuid", StringType) +:
+        (schema.properties.map(p => StructField(p.name, p.dataType match {
+          case PropType.Text => StringType
+          case PropType.Int => LongType
+          case PropType.Number => DoubleType
+          case PropType.Bool => BooleanType
+          case PropType.Date => TimestampType
+          case PropType.Arr(PropType.Text) => ArrayType(StringType)
+          case PropType.Arr(PropType.Int) => ArrayType(LongType)
+          case other => throw new IllegalArgumentException(s"$other")
+        })) ++ extraCols))
+      val st = new graft.sources.CollectionStore(s,
+        java.nio.file.Files.createTempDirectory(s"graft-mcpup-${schema.name}").toString,
+        schema)
+      st.init(s.createDataFrame(s.sparkContext.parallelize(seed, 1), struct))
+      stores(schema.name) = st
+      gg.register(schema, st.read())
+    }
+    mkClass(CollectionSchema("Paragraph", "uuid", Seq(
+      Property("contents", PropType.Text), Property("title", PropType.Text)),
+      vectors = Map("default" -> "vec"), defaultVector = Some("default")),
+      Seq(StructField("vec", ArrayType(FloatType))))
+    // a tenant-partitioned store writes no partition files on an EMPTY init
+    // (the schemaDefaultsGate precedent), so the MT class seeds one
+    // tenant2 row the arms never address
+    mkClass(CollectionSchema("ParagraphMT", "uuid", Seq(
+      Property("contents", PropType.Text), Property("title", PropType.Text)),
+      tenantColumn = Some("tenant")), Seq(StructField("tenant", StringType)),
+      seed = Seq(Row("0dc0ffff-0000-4000-8000-000000000000", "seed", "seed", "tenant2")))
+    gg.addTenants("ParagraphMT", Seq(Tenant("tenant1"), Tenant("tenant2")))
+    mkClass(CollectionSchema("ComplexObject", "uuid", Seq(
+      Property("textProp", PropType.Text), Property("intProp", PropType.Int),
+      Property("numberProp", PropType.Number), Property("boolProp", PropType.Bool),
+      Property("dateProp", PropType.Date),
+      Property("textArrayProp", PropType.Arr(PropType.Text)),
+      Property("intArrayProp", PropType.Arr(PropType.Int)))), Nil)
+
+    def upsert(json: String): String =
+      try McpCreate.upsertObjects(gg, json, stores.get, () => nextId())
+        .map(r => if (r.error.nonEmpty) s"err(${r.error})" else r.id)
+        .mkString(",")
+      catch { case e: Exception => s"throw(${e.getMessage})" }
+    def propOf(cls: String, id: String, prop: String,
+               tenant: Option[String] = None): String = {
+      val df0 = stores(cls).read().filter(col("uuid") === id)
+      val df = tenant.map(t => df0.filter(col("tenant") === t)).getOrElse(df0)
+      df.select(col(prop)).collect().headOption
+        .map(r => if (r.isNullAt(0)) "null" else r.get(0) match {
+          case xs: scala.collection.Seq[_] => xs.mkString("[", "+", "]")
+          case v => v.toString
+        }).getOrElse("absent")
+    }
+    def o(props: String, extra: String = ""): String = s"""{"properties": {$props}$extra}"""
+    def call(cls: String, objects: String*): String =
+      s"""{"collection_name": "$cls", "objects": [${objects.mkString(",")}]}"""
+
+    // insert one / multiple (ids 1..4), then verify through the store
+    out += "u01_insert_one" -> upsert(call("Paragraph",
+      o(""""contents": "Test Article Content", "title": "Test Article"""")))
+    out += "u01_verify" -> (propOf("Paragraph", "0dc00000-0000-4000-8000-000000000001", "contents") +
+      "|" + propOf("Paragraph", "0dc00000-0000-4000-8000-000000000001", "title"))
+    out += "u02_insert_multi" -> upsert(call("Paragraph",
+      o(""""contents": "First Article Content", "title": "First Article""""),
+      o(""""contents": "Second Article Content", "title": "Second Article""""),
+      o(""""contents": "Third Article Content", "title": "Third Article"""")))
+    out += "u02_verify" -> propOf("Paragraph", "0dc00000-0000-4000-8000-000000000003", "contents")
+    // update via the same uuid (same id comes back, props replaced)
+    val exist = "0dc00000-0000-4000-8000-000000000001"
+    out += "u03_update" -> upsert(call("Paragraph",
+      o(""""contents": "Updated Content", "title": "Updated Title"""", s""", "uuid": "$exist"""")))
+    out += "u03_verify" -> propOf("Paragraph", exist, "contents")
+    // mixed update + inserts: first keeps the uuid, the rest get fresh ones
+    out += "u04_mixed" -> upsert(call("Paragraph",
+      o(""""contents": "Updated Existing Content"""", s""", "uuid": "$exist""""),
+      o(""""contents": "New Content 1", "title": "New Title 1""""),
+      o(""""contents": "New Content 2", "title": "New Title 2"""")))
+    // custom vector on the default space
+    out += "u05_vector" -> upsert(call("Paragraph",
+      o(""""contents": "Article with custom vector", "title": "Vector Test"""",
+        """, "vectors": {"default": [0.1, 0.2, 0.3, 0.4, 0.5]}""")))
+    out += "u05_verify" -> ("dim=" + {
+      val r = stores("Paragraph").read()
+        .filter(col("uuid") === "0dc00000-0000-4000-8000-000000000007")
+        .select(size(col("vec"))).collect().head.getInt(0)
+      r.toString
+    })
+    // function-level errors: empty batch, malformed uuid
+    out += "u06_empty" -> upsert(call("Paragraph"))
+    out += "u07_unknown_class" -> upsert(call("NonExistentCollection9999",
+      o(""""contents": "Test Content"""")))
+    out += "u11_invalid_uuid" -> upsert(call("Paragraph",
+      o(""""contents": "Test Content"""", """, "uuid": "not-a-valid-uuid"""")))
+    // tenant gates
+    out += "u08_tenant" -> upsert(
+      s"""{"collection_name": "ParagraphMT", "tenant_name": "tenant1",
+          "objects": [${o(""""contents": "Tenant 1 Content", "title": "Tenant 1 Title"""")}]}""")
+    out += "u08_verify" -> (
+      propOf("ParagraphMT", "0dc00000-0000-4000-8000-000000000008", "contents", Some("tenant1")) +
+      "|t2=" + propOf("ParagraphMT", "0dc00000-0000-4000-8000-000000000008", "contents", Some("tenant2")))
+    out += "u09_invalid_tenant" -> upsert(
+      s"""{"collection_name": "ParagraphMT", "tenant_name": "nonexistent",
+          "objects": [${o(""""contents": "Test Content"""")}]}""")
+    out += "u10_missing_tenant" -> upsert(call("ParagraphMT", o(""""contents": "Test Content"""")))
+    // validation: partial props fine, bad int type per-item, RFC3339 dates
+    out += "u12_partial_props" -> upsert(call("Paragraph", o(""""title": "Test Title"""")))
+    out += "u13_bad_int" -> upsert(call("ComplexObject",
+      o(""""textProp": "Valid Text", "intProp": "not-an-integer"""")))
+    out += "u14_dates" -> (upsert(call("ComplexObject",
+      o(""""textProp": "Test", "dateProp": "2023-01-15T10:30:00Z""""))) + ";" +
+      upsert(call("ComplexObject", o(""""textProp": "Test", "dateProp": "2023-01-15""""))))
+    // vector config + dimension contracts
+    out += "u15_unconfigured_vectors" -> upsert(call("Paragraph",
+      o(""""contents": "Test Content"""",
+        """, "vectors": {"text": [0.1, 0.2], "image": [0.3, 0.4]}""")))
+    out += "u16_dim_mismatch" -> upsert(call("Paragraph",
+      o(""""contents": "Second Object", "title": "Second"""",
+        """, "vectors": {"default": [0.1, 0.2, 0.3]}""")))
+    // partial batch: valid + bad-type + valid → 2 ok, 1 per-item error
+    val p17 = McpCreate.upsertObjects(gg, call("ComplexObject",
+      o(""""textProp": "Valid Text 1", "intProp": 42"""),
+      o(""""textProp": "Valid Text 2", "intProp": "not-an-integer""""),
+      o(""""textProp": "Valid Text 3", "intProp": 100""")), stores.get, () => nextId())
+    out += "u17_partial" -> (s"ok=${p17.count(_.error.isEmpty)};" +
+      s"fail=${p17.count(_.error.nonEmpty)};fail_idx=${p17.indexWhere(_.error.nonEmpty)}")
+    // large batch
+    val p18 = McpCreate.upsertObjects(gg, call("Paragraph",
+      (0 until 100).map(i => o(s""""contents": "Content $i", "title": "Title $i"""")): _*),
+      stores.get, () => nextId())
+    out += "u18_large" -> s"n=${p18.size};ok=${p18.count(_.error.isEmpty)}"
+    // edge cases: no-op update, arrays, unicode, nulls
+    out += "u19_noop" -> upsert(call("Paragraph",
+      o(""""contents": "Updated Existing Content"""", s""", "uuid": "$exist"""")))
+    out += "u20_arrays" -> upsert(call("ComplexObject",
+      o(""""textProp": "Test", "textArrayProp": ["value1", "value2", "value3"], "intArrayProp": [1, 2, 3, 4, 5]""")))
+    out += "u20_verify" -> {
+      val last = f"0dc00000-0000-4000-8000-$ctr%012d"
+      propOf("ComplexObject", last, "textArrayProp") + "|" +
+        propOf("ComplexObject", last, "intArrayProp")
+    }
+    out += "u21_unicode" -> upsert(call("Paragraph",
+      o(""""contents": "海賊王に、俺はなる！", "title": "私の夢 🚀"""")))
+    out += "u21_verify" -> propOf("Paragraph", f"0dc00000-0000-4000-8000-$ctr%012d", "contents")
+    out += "u22_nulls" -> upsert(call("ComplexObject",
+      o(""""textProp": "Valid Text", "intProp": null""")))
+    out += "u22_verify" -> {
+      val last = f"0dc00000-0000-4000-8000-$ctr%012d"
+      propOf("ComplexObject", last, "textProp") + "|int=" +
+        propOf("ComplexObject", last, "intProp")
+    }
+    // the read tools: get-config (all + one) and tenants-list
+    out += "g01_config_all" -> McpRead.getConfig(gg, None).mkString(",")
+    out += "g02_config_one" -> McpRead.getConfig(gg, Some("Paragraph")).mkString(",")
+    out += "g03_tenants" -> McpRead.listTenants(gg, "ParagraphMT")
+      .sortBy(_._1).map { case (n, st) => s"$n:$st" }.mkString(",")
+    steps(s, out.result())
+  }
+
+  // ==========================================================================
+  // TestGRPC (grpc_test.go) — the suite's base search/CRUD walk
+  // ==========================================================================
+
+  /** grpc_test.go (346 lines): Books in its legacy contextionary layout
+   * imported over the binary batch wire; the props matrix (nested
+   * ObjectPropertiesRequest selections), hybrid/nearText ± groupBy, the
+   * implicit nested-object render under uses_127, the Aggregate
+   * objects_count, the binary BatchDelete dry-run (gRPC reply semantics:
+   * successful counts matched objects even on a dry run,
+   * adapters/handlers/grpc/v1/batch_delete.go:70-107 — unlike the REST
+   * reply's dry-run zero), and the empty-request rejection. The health
+   * check/list arms are server transport, by design out of engine scope. */
+  private def grpcBaseGate(s: SparkSession): DataFrame = {
+    val (gg, errs) = booksGraft(s, Seq("default" -> (true, None)),
+      defaultVector = Some("default"))
+    val out = Seq.newBuilder[(String, String)]
+    out += "b01_batch" -> s"errors=$errs;stored=${gg.collection("Books").df.count()}"
+
+    val apis = List("uses_123_api" -> JBool(true), "uses_125_api" -> JBool(true))
+    def reply(fields: List[(String, JValue)]): JValue = {
+      val doc = JObject(List("collection" -> JString("Books")) ++ fields)
+      val params = ProtoWire.searchRequest(gg, ProtoWire.write(doc, "SearchRequest"))
+      JsonMethods.parse(WireEncoder.searchReply(gg.get(params), params, took = 0.0))
+    }
+    def strAt(j: JValue): String = j match { case JString(x) => x; case _ => "∅" }
+    // the suite's per-book assertion set: title, meta.isbn, meta.obj.text,
+    // meta.objs[0].text, reviews[0].tags
+    def renderBook(r: JValue): String = {
+      val props = r \ "properties" \ "nonRefProperties"
+      val tags = (props \ "reviews") match {
+        case JArray(rv) => rv.headOption.map { rev =>
+          (rev \ "tags") match {
+            case JArray(ts) => ts.map(strAt).mkString("+")
+            case _ => "∅"
+          }
+        }.getOrElse("absent")
+        case _ => "absent"
+      }
+      val objs0 = (props \ "meta" \ "objs") match {
+        case JArray(os) => os.headOption.map(o => strAt(o \ "text")).getOrElse("∅")
+        case _ => "∅"
+      }
+      Seq(strAt(props \ "title"), strAt(props \ "meta" \ "isbn"),
+        strAt(props \ "meta" \ "obj" \ "text"), objs0, tags).mkString("|")
+    }
+    val propsReq = "properties" -> JObject(List(
+      "non_ref_properties" -> JArray(List(JString("title"))),
+      "object_properties" -> JArray(List(
+        JObject(List("prop_name" -> JString("meta"),
+          "primitive_properties" -> JArray(List(JString("isbn"))),
+          "object_properties" -> JArray(List(
+            JObject(List("prop_name" -> JString("obj"),
+              "primitive_properties" -> JArray(List(JString("text"))))),
+            JObject(List("prop_name" -> JString("objs"),
+              "primitive_properties" -> JArray(List(JString("text"))))))))),
+        JObject(List("prop_name" -> JString("reviews"),
+          "primitive_properties" -> JArray(List(JString("tags")))))))))
+    val metaUuid = "metadata" -> JObject(List("uuid" -> JBool(true)))
+    Seq("b02_search_props" -> (List(propsReq, metaUuid) ++ apis),
+        "b03_search_noprops" -> (List(metaUuid) ++ apis)).foreach { case (k, fields) =>
+      val rs = (reply(fields) \ "results") match { case JArray(x) => x; case _ => Nil }
+      out += k -> (s"n=${rs.size};" + rs.map(renderBook).sorted.mkString(";"))
+    }
+
+    def base(fields: List[(String, JValue)]): JValue =
+      JObject(List("collection" -> JString("Books"), metaUuid) ++ apis ++ fields)
+    val groupBy = "group_by" -> JObject(List(
+      "path" -> JArray(List(JString("title"))),
+      "number_of_groups" -> JLong(1), "objects_per_group" -> JLong(1)))
+    val (t4, _, _, n4) = binarySearch(gg, base(List(
+      "hybrid_search" -> JObject(List("query" -> JString("Dune"))))))
+    out += "b04_hybrid" -> s"first=$t4;n=$n4"
+    val (_, _, _, g5) = binarySearch(gg, base(List(groupBy,
+      "hybrid_search" -> JObject(List("query" -> JString("Dune"))))))
+    out += "b05_hybrid_group" -> s"groups=$g5"
+    val (t6, _, _, _) = binarySearch(gg, base(List(
+      "near_text" -> JObject(List("query" -> JArray(List(JString("Dune"))))))))
+    out += "b06_neartext" -> s"first=$t6"
+    val (_, _, _, g7) = binarySearch(gg, base(List(groupBy,
+      "near_text" -> JObject(List("query" -> JArray(List(JString("Dune"))))))))
+    out += "b07_neartext_group" -> s"groups=$g7"
+
+    // implicit nested objects: non_ref ["title","meta"] under uses_127 —
+    // meta renders whole, the unselected reviews prop stays absent
+    val r8 = reply(List(
+      "properties" -> JObject(List("non_ref_properties" ->
+        JArray(List(JString("title"), JString("meta"))))),
+      "near_text" -> JObject(List("query" -> JArray(List(JString("Dune"))))),
+      "limit" -> JLong(1), "uses_123_api" -> JBool(true),
+      "uses_125_api" -> JBool(true), "uses_127_api" -> JBool(true)))
+    val p8 = ((r8 \ "results") match {
+      case JArray(x :: _) => x
+      case _ => JNothing
+    }) \ "properties" \ "nonRefProperties"
+    val objs8 = (p8 \ "meta" \ "objs") match {
+      case JArray(os) => os.headOption.map(o => strAt(o \ "text")).getOrElse("∅")
+      case _ => "∅"
+    }
+    out += "b08_implicit_nested" -> (s"title=${strAt(p8 \ "title")};" +
+      s"isbn=${strAt(p8 \ "meta" \ "isbn")};obj=${strAt(p8 \ "meta" \ "obj" \ "text")};" +
+      s"objs0=$objs8;reviews_absent=${(p8 \ "reviews") == JNothing}")
+
+    // Aggregate over the binary wire: objects_count == 3
+    val aggDf = gg.aggregate(ProtoWire.aggregateRequest(gg, ProtoWire.write(
+      JObject(List("collection" -> JString("Books"), "objects_count" -> JBool(true))),
+      "AggregateRequest")))
+    val aggRow = aggDf.collect().head
+    out += "b09_aggregate" ->
+      s"objects_count=${aggRow.get(aggDf.columns.indexOf("meta_count"))}"
+
+    // binary BatchDelete: dryRun+verbose title=Dune — gRPC reply semantics
+    // (successful counts the matched objects, uuid as the 16 MarshalBinary
+    // bytes); full bytes→engine→bytes loop
+    val delReqJson = ProtoWire.read(ProtoWire.write(JObject(List(
+      "collection" -> JString("Books"), "dry_run" -> JBool(true),
+      "verbose" -> JBool(true),
+      "filters" -> JObject(List(
+        "operator" -> JString("OPERATOR_EQUAL"),
+        "value_text" -> JString("Dune"),
+        "target" -> JObject(List("property" -> JString("title"))))))),
+      "BatchDeleteRequest"), "BatchDeleteRequest")
+    val delParams = WireDecoder.decodeBatchDelete(gg,
+      JsonMethods.compact(JsonMethods.render(delReqJson)))
+    val booksC = gg.collection("Books")
+    val matched = new graft.engine.FilterCompiler(gg.collection)(
+      booksC.df, booksC.schema, delParams.where)
+      .select(col("uuid")).collect().map(_.getString(0)).sorted.toSeq
+    def uuidB64(id: String): String = {
+      val u = java.util.UUID.fromString(id)
+      val bb = java.nio.ByteBuffer.allocate(16)
+      bb.putLong(u.getMostSignificantBits).putLong(u.getLeastSignificantBits)
+      java.util.Base64.getEncoder.encodeToString(bb.array())
+    }
+    val delReplyDoc = JObject(List(
+      "matches" -> JLong(matched.size.toLong),
+      "successful" -> JLong(matched.size.toLong), "failed" -> JLong(0L),
+      "objects" -> JArray(matched.toList.map(id => JObject(List(
+        "uuid" -> JString(uuidB64(id)), "successful" -> JBool(true)))))))
+    val delBack = ProtoWire.read(ProtoWire.write(delReplyDoc, "BatchDeleteReply"),
+      "BatchDeleteReply")
+    val delObjs = (delBack \ "objects") match { case JArray(o) => o; case _ => Nil }
+    val duneUuidOk = delObjs.headOption.exists(o =>
+      strAt(o \ "uuid") == uuidB64(bookUuids(0)))
+    out += "b10_batch_delete" -> (s"matches=${(delBack \ "matches").values};" +
+      s"successful=${(delBack \ "successful").values};" +
+      s"failed=${delObjs.count(o => (o \ "successful") == JBool(false))};" +
+      s"uuid_is_dune=$duneUuidOk")
+
+    // an empty SearchRequest (no collection) must be rejected
+    out += "b11_empty_rejected" -> (try {
+      gg.get(ProtoWire.searchRequest(gg, ProtoWire.write(JObject(Nil), "SearchRequest")))
+      "accepted"
+    } catch { case _: Exception => "rejected" })
+    steps(s, out.result())
+  }
+
   /** Bench warm-up hook: build every session-cached read-only bed once so
    * timed passes measure the replay arms, not bed registration/ingest. */
   def warmBeds(s: SparkSession): Unit = {
@@ -1237,6 +1571,7 @@ object SparkEntryGrpc {
       "description" -> (false, Some(Seq("description")))), defaultVector = None)
     booksGraft(s, Seq("default" -> (true, None), "contextionary_all" -> (true, None),
       "title" -> (false, Some(Seq("title")))), defaultVector = Some("default"))
+    booksGraft(s, Seq("default" -> (true, None)), defaultVector = Some("default"))
     alphabeticGraft(s)
     mcpGraft(s)
     cityNsGraft(s)
@@ -1247,11 +1582,79 @@ object SparkEntryGrpc {
     "q_fixture_grpc_agg" -> ((s, _) => grpcAggGate(s)),
     "q_fixture_grpc_batch" -> ((s, _) => grpcBatchGate(s)),
     "q_fixture_grpc_search" -> ((s, _) => grpcSearchGate(s)),
+    "q_fixture_grpc_base" -> ((s, _) => grpcBaseGate(s)),
+    "q_fixture_mcp_upsert" -> ((s, _) => mcpUpsertGate(s)),
     "q_fixture_grpc_vectors" -> ((s, _) => grpcNamedVectorsGate(s)),
     "q_fixture_grpc_mixed" -> ((s, _) => grpcMixedVectorsGate(s)),
     "q_fixture_grpc_filtered" -> ((s, _) => grpcFilteredGate(s)))
 
   def oracleSql: Map[String, String] = Map(
+    // grpc_test.go: the 3-book batch import over the binary wire, the
+    // nested-props matrix (title/meta.isbn/meta.obj.text/meta.objs[0].text/
+    // reviews[0].tags per book — identical with and without an explicit
+    // PropertiesRequest), hybrid/nearText first-hit Dune ± 1-group groupBy,
+    // the implicit nested-object render (reviews absent when unselected),
+    // Aggregate objects_count=3, the binary BatchDelete dry-run with gRPC
+    // reply semantics (successful=matches on dry run, the 16-byte uuid),
+    // and the empty-request rejection
+    "q_fixture_grpc_base" ->
+      """SELECT * FROM (VALUES
+        |  ('b01_batch', 'errors=0;stored=3'),
+        |  ('b02_search_props', 'n=3;Dune|978-0593099322|some text|some text|sci-fi+epic;Project Hail Mary|978-0593135204|some text|some text|sci-fi;The Lord of the Ice Garden|978-8374812962|some text|some text|sci-fi+fantasy'),
+        |  ('b03_search_noprops', 'n=3;Dune|978-0593099322|some text|some text|sci-fi+epic;Project Hail Mary|978-0593135204|some text|some text|sci-fi;The Lord of the Ice Garden|978-8374812962|some text|some text|sci-fi+fantasy'),
+        |  ('b04_hybrid', 'first=Dune;n=1'),
+        |  ('b05_hybrid_group', 'groups=1'),
+        |  ('b06_neartext', 'first=Dune'),
+        |  ('b07_neartext_group', 'groups=1'),
+        |  ('b08_implicit_nested', 'title=Dune;isbn=978-0593099322;obj=some text;objs0=some text;reviews_absent=true'),
+        |  ('b09_aggregate', 'objects_count=3'),
+        |  ('b10_batch_delete', 'matches=1;successful=1;failed=0;uuid_is_dune=true'),
+        |  ('b11_empty_rejected', 'rejected')
+        |) AS t(step, result) ORDER BY step""".stripMargin,
+    // mcp/objects_upsert_test.go + get_config_test.go: insert/update/mixed
+    // batches with deterministic ids, the function-level throws (empty
+    // batch, malformed uuid — objects_upsert.go:58,84) vs per-item errors
+    // (unknown class batch_add.go:227, tenant gates, property validation
+    // texts, the named-vector config check vector_validation.go:60, the
+    // dimension contract), partial-batch accounting, the 100-object batch,
+    // arrays/unicode/null props, and the read tools (config all/one,
+    // tenants-list)
+    "q_fixture_mcp_upsert" ->
+      """SELECT * FROM (VALUES
+        |  ('g01_config_all', 'ComplexObject,Paragraph,ParagraphMT'),
+        |  ('g02_config_one', 'Paragraph'),
+        |  ('g03_tenants', 'tenant1:ACTIVE,tenant2:ACTIVE'),
+        |  ('u01_insert_one', '0dc00000-0000-4000-8000-000000000001'),
+        |  ('u01_verify', 'Test Article Content|Test Article'),
+        |  ('u02_insert_multi', '0dc00000-0000-4000-8000-000000000002,0dc00000-0000-4000-8000-000000000003,0dc00000-0000-4000-8000-000000000004'),
+        |  ('u02_verify', 'Second Article Content'),
+        |  ('u03_update', '0dc00000-0000-4000-8000-000000000001'),
+        |  ('u03_verify', 'Updated Content'),
+        |  ('u04_mixed', '0dc00000-0000-4000-8000-000000000001,0dc00000-0000-4000-8000-000000000005,0dc00000-0000-4000-8000-000000000006'),
+        |  ('u05_vector', '0dc00000-0000-4000-8000-000000000007'),
+        |  ('u05_verify', 'dim=5'),
+        |  ('u06_empty', 'throw(at least one object is required)'),
+        |  ('u07_unknown_class', 'err(class ''NonExistentCollection9999'' not present in schema)'),
+        |  ('u08_tenant', '0dc00000-0000-4000-8000-000000000008'),
+        |  ('u08_verify', 'Tenant 1 Content|t2=absent'),
+        |  ('u09_invalid_tenant', 'err(tenant not found: nonexistent)'),
+        |  ('u10_missing_tenant', 'err(class ParagraphMT has multi-tenancy enabled, but request was without tenant)'),
+        |  ('u11_invalid_uuid', 'throw(invalid UUID for object)'),
+        |  ('u12_partial_props', '0dc00000-0000-4000-8000-000000000009'),
+        |  ('u13_bad_int', 'err(invalid object: invalid integer property ''intProp'' on class ''ComplexObject'': requires an integer, the given value is ''"not-an-integer"'')'),
+        |  ('u14_dates', '0dc00000-0000-4000-8000-000000000010;err(invalid object: invalid date property ''dateProp'' on class ''ComplexObject'': requires a string with a RFC3339 formatted date, but the given value is ''2023-01-15'')'),
+        |  ('u15_unconfigured_vectors', 'err(collection Paragraph does not have configuration for vector text)'),
+        |  ('u16_dim_mismatch', 'err(vector lengths don''t match for vector "default": 5 vs 3)'),
+        |  ('u17_partial', 'ok=2;fail=1;fail_idx=1'),
+        |  ('u18_large', 'n=100;ok=100'),
+        |  ('u19_noop', '0dc00000-0000-4000-8000-000000000001'),
+        |  ('u20_arrays', '0dc00000-0000-4000-8000-000000000113'),
+        |  ('u20_verify', '[value1+value2+value3]|[1+2+3+4+5]'),
+        |  ('u21_unicode', '0dc00000-0000-4000-8000-000000000114'),
+        |  ('u21_verify', '海賊王に、俺はなる！'),
+        |  ('u22_nulls', '0dc00000-0000-4000-8000-000000000115'),
+        |  ('u22_verify', 'Valid Text|int=null')
+        |) AS t(step, result) ORDER BY step""".stripMargin,
     // TestGRPC_Aggregate: every expected value verbatim — meta counts,
     // the int/text/boolean matrices, the DATE aggregation's int64-ns
     // wraparound renders (1135/1283/1400 → 1719/1867/1984 with the

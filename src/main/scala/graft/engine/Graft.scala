@@ -465,6 +465,9 @@ final class Graft(val spark: SparkSession) {
     val cur = tenantRegistry.getOrElse(cn, Map.empty)
     require(cur.contains(name), s"tenant not found: $name")
     tenantRegistry += cn -> (cur + (name -> status))
+    // a reactivated tenant is reconciliation's cue to strip its shard for
+    // any pending drop-vector cleanup (cold-tenant deferred finalize)
+    if (status == TenantStatus.Active) reconcileVectorDrops(cn, name)
     this
   }
 
@@ -722,6 +725,114 @@ final class Graft(val spark: SparkSession) {
         this
     }
   }
+
+  // --- drop-vector-index lifecycle (reference: schema vectors DELETE +
+  // adapters/repos/db/drop_vector_index*.go; acceptance test/acceptance/
+  // drop_vector_index/{lifecycle,multivector,cold_tenant}_test.go).
+  // Dropping a named vector space (1) releases its ANN side tables (the
+  // IVF/dynamic registry entry, the muvera encoded table), (2) strips the
+  // stored vectors of every ACTIVE tenant's objects (non-MT: all rows), and
+  // (3) removes the VectorConfig entry — immediately when every shard was
+  // cleaned, else the entry stays as a `vectorIndexType: "none"` MARKER
+  // until the owed (cold) tenants reactivate and reconciliation strips
+  // them (cold_tenant_test.go's deferred finalize). A manual schema update
+  // may not remove the marker while shards are owed — the reference's
+  // VectorConfigRemovalGate rejection (drop_vector_index_conflict.go:147).
+  private var pendingVectorDrops = Map.empty[(String, String), Set[String]]
+
+  def dropVectorIndex(collectionName: String, vectorName: String): Graft = synchronized {
+    val c = collection(collectionName)
+    val cn = c.name
+    val vecCol = c.schema.vectors.getOrElse(vectorName,
+      throw new IllegalArgumentException(
+        s"collection $cn has no vector named $vectorName"))
+    // (1) ANN side tables — same release discipline as registerMuvera's
+    // replace path; the IVF entry drops from the per-collection registry
+    muveraIndexes.synchronized {
+      muveraIndexes.remove((cn, vecCol)).foreach(_._2.unpersist())
+    }
+    collections += cn -> collection(cn).copy(
+      vectorIndexes = collection(cn).vectorIndexes - vectorName)
+    // (2) COLD/OFFLOADED tenants' shards are not loaded — they stay owed
+    // and defer the finalize (the reference's cold-tenant deferral)
+    val owed: Set[String] = c.schema.tenantColumn match {
+      case Some(_) => tenantRegistry.getOrElse(cn, Map.empty)
+        .collect { case (t, st) if st != TenantStatus.Active => t }.toSet
+      case None => Set.empty
+    }
+    stripVectorRows(cn, vecCol, keepTenants = owed)
+    // (3) finalize, or leave the marker for reconciliation
+    if (owed.isEmpty) finalizeVectorDrop(cn, vectorName)
+    else pendingVectorDrops += (cn, vectorName) -> owed
+    this
+  }
+
+  /** The schema's view of a pending drop: the VectorConfig entry stays with
+   * `vectorIndexType: "none"` until cleanup covers every shard. */
+  def vectorDropMarker(collectionName: String, vectorName: String): Option[String] =
+    if (pendingVectorDrops.contains((collection(collectionName).name, vectorName)))
+      Some("none") else None
+
+  /** Schema update removing a vector entry. While shards are still owed the
+   * marker may not leave — only the completing cleanup removes it. */
+  def removeVectorConfig(collectionName: String, vectorName: String): Graft = synchronized {
+    val c = collection(collectionName)
+    pendingVectorDrops.get((c.name, vectorName)).foreach { owed =>
+      throw new IllegalArgumentException(
+        s"""cannot remove dropped vector "$vectorName" on ${c.name}: """ +
+        s"${owed.size} shards are not covered by the completing cleanup task; " +
+        "cleanup re-runs automatically and the entry is removed once every shard is covered")
+    }
+    if (c.schema.vectors.contains(vectorName)) finalizeVectorDrop(c.name, vectorName)
+    this
+  }
+
+  private def stripVectorRows(cn: String, vecCol: String,
+                              keepTenants: Set[String]): Unit = {
+    val c = collection(cn)
+    if (!c.df.columns.contains(vecCol)) return
+    val t = c.df.schema(vecCol).dataType
+    val stripped = c.schema.tenantColumn match {
+      case Some(tc) if keepTenants.nonEmpty =>
+        c.df.withColumn(vecCol,
+          when(col(tc).isin(keepTenants.toSeq: _*), col(vecCol))
+            .otherwise(lit(null).cast(t)))
+      case _ => c.df.withColumn(vecCol, lit(null).cast(t))
+    }
+    collections += cn -> c.copy(df = stripped, version = Collection.nextVersion())
+  }
+
+  private def finalizeVectorDrop(cn: String, vectorName: String): Unit = {
+    val c = collection(cn)
+    val vecCol = c.schema.vectors.get(vectorName)
+    val newSchema = c.schema.copy(
+      vectors = c.schema.vectors - vectorName,
+      vectorMetrics = c.schema.vectorMetrics - vectorName,
+      defaultVector = c.schema.defaultVector.filterNot(_ == vectorName))
+    // drop the physical column too: a re-created same-name space must be
+    // FRESH (lifecycle_test re-creates at a new dimensionality — resurrecting
+    // pre-drop values through a shared column would leak them)
+    val newDf = vecCol.filter(c.df.columns.contains) match {
+      case Some(vc) if !newSchema.vectors.valuesIterator.contains(vc) => c.df.drop(vc)
+      case _ => c.df
+    }
+    collections += cn -> c.copy(schema = newSchema, df = newDf,
+      version = Collection.nextVersion())
+    pendingVectorDrops -= ((cn, vectorName))
+  }
+
+  /** Tenant reactivation hook: a pending drop owed this tenant strips its
+   * rows now; the last covered tenant finalizes the drop. */
+  private def reconcileVectorDrops(cn: String, tenant: String): Unit =
+    pendingVectorDrops.collect {
+      case ((c0, vec), owed) if c0 == cn && owed.contains(tenant) => (vec, owed)
+    }.foreach { case (vec, owed) =>
+      collection(cn).schema.vectors.get(vec)
+        .foreach(vc => stripVectorRows(cn, vc, keepTenants = owed - tenant))
+      val rest = owed - tenant
+      if (rest.isEmpty) finalizeVectorDrop(cn, vec)
+      else pendingVectorDrops += (cn, vec) -> rest
+    }
 
   /**
    * Postings (inverted-index) registry for keyword search (reference: BM25 is

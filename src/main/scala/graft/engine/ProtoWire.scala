@@ -99,6 +99,15 @@ object ProtoWire {
       f(62, "boost", TMsg("Boost")),
       f(100, "uses_123_api", TBool), f(101, "uses_125_api", TBool),
       f(102, "uses_127_api", TBool)),
+    // batch_delete.proto:11-32 — grpc_test.go's binary BatchDelete arm
+    "BatchDeleteRequest" -> Map(
+      f(1, "collection", TString), f(2, "filters", TMsg("Filters")),
+      f(3, "verbose", TBool), f(4, "dry_run", TBool), f(6, "tenant", TString)),
+    "BatchDeleteReply" -> Map(
+      f(1, "took", TFloat), f(2, "failed", TInt64), f(3, "matches", TInt64),
+      f(4, "successful", TInt64), f(5, "objects", TMsg("BatchDeleteObject"), rep = true)),
+    "BatchDeleteObject" -> Map(
+      f(1, "uuid", TBytes), f(2, "successful", TBool), f(3, "error", TString)),
     // Boost post-scoring (search_get.proto:218-263)
     "Boost" -> Map(
       f(1, "conditions", TMsg("BoostCondition"), rep = true),

@@ -80,7 +80,10 @@ object VectorSearch {
 
     val scored =
       if (targets.size == 1) {
-        withDistanceQ(base, c.schema.vectors(targets.head), params.targetQuery(0), metric)
+        // vectorColumn (not a raw Map apply): an unknown/dropped target must
+        // raise the engine's "has no vector named" error, not a key miss
+        withDistanceQ(base, c.schema.vectorColumn(Some(targets.head)),
+          params.targetQuery(0), metric)
       } else {
         // multi-target: one distance column per target, then combine
         // (reference: shard_read.go:655-752, CombineMultiTargetResults).
@@ -106,7 +109,8 @@ object VectorSearch {
   private def foldDistances(base: DataFrame, c: Collection, targets: Seq[String],
       params: NearVector, metric: Metric): DataFrame =
     targets.zipWithIndex.foldLeft(base) { case (d, (t, i)) =>
-      withDistanceQ(d, c.schema.vectors(t), params.targetQuery(i), metric, s"__d$i")
+      withDistanceQ(d, c.schema.vectorColumn(Some(t)), params.targetQuery(i),
+        metric, s"__d$i")
     }
 
   /** Combined-distance column over `__d{i}` for the non-pool combinations
