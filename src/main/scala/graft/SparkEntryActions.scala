@@ -571,6 +571,150 @@ object SparkEntryActions {
       out += "m3_near_sibling" -> near(g, cls, "sibling", randVec(16, 7), 3)
     }
 
+    // ---- writes_test.go: the write matrix across the marker phases.
+    //      Adaptation note: the suite's non-MT marker window is the async
+    //      cleanup's minutes-long run; this engine's only deferred state is
+    //      the cold-tenant marker, so the matrix runs against a class whose
+    //      marker a cold tenant holds — the phase CONTRACT (during: the
+    //      dropped-writes text, vector_validation.go:68; after finalize:
+    //      the no-configuration text) is identical. ----
+    {
+      val g = new Graft(s)
+      val cls = "DropVectorIndexWrites"
+      val struct = StructType(Seq(StructField("uuid", StringType),
+        StructField("name", StringType), vecField("vv"), vecField("vs"),
+        StructField("tenant", StringType)))
+      val rows = (0 until 10).map(i => Row(
+        f"00000000-0000-0000-0000-0000000003$i%02d", s"object-$i",
+        randVec(32, i.toFloat), randVec(64, i.toFloat), "hot")) :+
+        Row("00000000-0000-0000-0000-000000000399", "cold-row",
+          randVec(32, 99f), randVec(64, 99f), "cold")
+      g.register(CollectionSchema(cls, "uuid",
+        Seq(Property("name", PropType.Text)), tenantColumn = Some("tenant"),
+        vectors = Map("vec" -> "vv", "sibling" -> "vs")),
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), struct))
+      g.addTenants(cls, Seq(Tenant("hot"), Tenant("cold")))
+      g.updateTenant(cls, "cold", TenantStatus.Inactive)
+      g.dropVectorIndex(cls, "vec")
+      def tryWrite(names: Seq[String]): String =
+        try { g.validateVectorWrite(cls, names); "ok" }
+        catch { case e: Exception => e.getMessage }
+      out += "w1_during_carrying" -> tryWrite(Seq("vec"))
+      out += "w2_during_sibling" -> tryWrite(Seq("sibling"))
+      // batch mixing a carrying and a clean object splits per object
+      out += "w3_during_batch_split" ->
+        Seq(Seq("vec"), Seq("sibling")).map(ns =>
+          tryWrite(ns) match { case "ok" => "ok"; case e => s"err(${e.takeWhile(_ != ';')})" })
+          .mkString("|")
+      // a property PATCH on an object that carried the vector succeeds and
+      // keeps the sibling (the strip already nulled vv for hot rows)
+      val patched = g.collection(cls).df
+        .withColumn("name", when(col("uuid") === "00000000-0000-0000-0000-000000000300",
+          lit("patched")).otherwise(col("name")))
+      g.register(g.collection(cls).schema, patched)
+      val p0 = g.collection(cls).df
+        .filter(col("uuid") === "00000000-0000-0000-0000-000000000300")
+        .select(col("name"), col("vs").isNotNull).collect().head
+      out += "w4_patch_ok" -> s"name=${p0.getString(0)};sibling=${p0.getBoolean(1)}"
+      g.updateTenant(cls, "cold", TenantStatus.Active) // finalize
+      out += "w5_after_carrying" -> tryWrite(Seq("vec"))
+      out += "w6_after_sibling" -> tryWrite(Seq("sibling"))
+      out += "w7_no_survivor_carries" ->
+        s"vv_col=${g.collection(cls).df.columns.contains("vv")}"
+    }
+
+    // ---- last_vector_test.go: dropping the ONLY named vector flips the
+    //      collection genuinely vector-less; objects/properties survive ----
+    {
+      val g = new Graft(s)
+      val cls = "DropVectorIndexLastVector"
+      val struct = StructType(Seq(StructField("uuid", StringType),
+        StructField("name", StringType), vecField("vo")))
+      val rows = (0 until 20).map(i => Row(
+        f"00000000-0000-0000-0000-0000005$i%05d", s"object-$i",
+        randVec(32, i.toFloat)))
+      g.register(CollectionSchema(cls, "uuid",
+        Seq(Property("name", PropType.Text)),
+        vectors = Map("onlyvec" -> "vo"), defaultVector = Some("onlyvec")),
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), struct))
+      out += "v1_pre_near" -> near(g, cls, "onlyvec", randVec(32, 7), 3)
+      g.dropVectorIndex(cls, "onlyvec")
+      val sc3 = g.collection(cls).schema
+      out += "v2_vectorless" -> (s"vectors_empty=${sc3.vectors.isEmpty};" +
+        s"default_empty=${sc3.defaultVector.isEmpty}")
+      val survived = g.collection(cls).df
+        .agg(count(lit(1)), count(col("name"))).head()
+      out += "v3_objects_survive" -> (s"n=${survived.getLong(0)};" +
+        s"named=${survived.getLong(1)};vo_col=${g.collection(cls).df.columns.contains("vo")}")
+      // a new vector-less write works (nothing synthetic started vectorizing)
+      g.register(sc3, g.collection(cls).df.unionByName(
+        s.createDataFrame(s.sparkContext.parallelize(Seq(Row(
+          "00000000-0000-0000-0000-000000599999", "post-flip")), 1),
+          StructType(Seq(StructField("uuid", StringType),
+            StructField("name", StringType))))))
+      out += "v4_postflip_write" -> s"n=${g.collection(cls).df.count()}"
+    }
+
+    // ---- redrop_test.go: drop → re-create the name → drop AGAIN — the
+    //      second drop strips the NEW values and finalizes (no stale state
+    //      from the first drop interferes) ----
+    {
+      val g = new Graft(s)
+      val cls = "DropVectorIndexRedrop"
+      val struct = StructType(Seq(StructField("uuid", StringType),
+        StructField("name", StringType), vecField("v1"), vecField("vs")))
+      val rows = (0 until 10).map(i => Row(
+        f"00000000-0000-0000-0000-0000000007$i%02d", s"object-$i",
+        randVec(16, i.toFloat), randVec(16, (i + 50).toFloat)))
+      g.register(CollectionSchema(cls, "uuid",
+        Seq(Property("name", PropType.Text)),
+        vectors = Map("vec" -> "v1", "sibling" -> "vs")),
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), struct))
+      g.dropVectorIndex(cls, "vec")
+      val afterFirst = g.collection(cls)
+      // re-create at the same name with fresh values
+      g.register(afterFirst.schema.copy(
+        vectors = afterFirst.schema.vectors + ("vec" -> "v1")),
+        afterFirst.df.withColumn("v1",
+          array((0 until 16).map(j => lit(7f + j * 0.001f)): _*)))
+      out += "x1_recreated" -> s"with=${vecStats(g, cls, "v1")}"
+      g.dropVectorIndex(cls, "vec")
+      val sc4 = g.collection(cls).schema
+      out += "x2_redropped" -> (s"entry=${sc4.vectors.contains("vec")};" +
+        s"v1=${vecStats(g, cls, "v1")};sibling={${vecStats(g, cls, "vs")}}")
+      out += "x3_sibling_near" -> near(g, cls, "sibling", randVec(16, 52f), 3)
+    }
+
+    // ---- deleted_tenant_reclean_test.go: deleting the owed cold tenant
+    //      finalizes on the coverage already recorded — the marker leaves,
+    //      the survivors stay stripped and intact, no re-clean round ----
+    {
+      val g = new Graft(s)
+      val cls = "DropVectorIndexDeletedColdTenant"
+      val tenants = Seq("tenant-1", "tenant-2", "tenant-3")
+      val struct = StructType(Seq(StructField("uuid", StringType),
+        StructField("name", StringType), vecField("vv"), vecField("vs"),
+        StructField("tenant", StringType)))
+      val rows = for {
+        (t, ti) <- tenants.zipWithIndex; i <- 0 until 10
+      } yield Row(f"00000000-0000-0000-00$ti%02d-0000000029$i%02d",
+        s"object-$i", randVec(32, i.toFloat), randVec(32, (i + 100).toFloat), t)
+      g.register(CollectionSchema(cls, "uuid",
+        Seq(Property("name", PropType.Text)), tenantColumn = Some("tenant"),
+        vectors = Map("vec" -> "vv", "sibling" -> "vs")),
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), struct))
+      g.addTenants(cls, tenants.map(Tenant(_)))
+      g.updateTenant(cls, "tenant-3", TenantStatus.Inactive)
+      g.dropVectorIndex(cls, "vec")
+      g.deleteTenants(cls, Seq("tenant-3"))
+      out += "d1_deleted_finalizes" ->
+        (s"entry=${g.collection(cls).schema.vectors.contains("vec")};" +
+         s"marker=${g.vectorDropMarker(cls, "vec").getOrElse("∅")}")
+      out += "d2_survivors_intact" -> (tenants.take(2).map(t =>
+        s"$t={${vecStats(g, cls, "vs", Some(t))}}").mkString(";") +
+        s";near=${near(g, cls, "sibling", randVec(32, 7), 3, Some("tenant-1"))}")
+    }
+
     // ---- cold_tenant_test.go: deferred finalize behind the marker ----
     {
       val g = new Graft(s)
@@ -686,6 +830,8 @@ object SparkEntryActions {
         |  ('c4_marker_survives', 'none'),
         |  ('c5_finalized', 'entry=false;vv=absent;tenant-1={n=10;with=10;dim=32};tenant-2={n=10;with=10;dim=32};tenant-3={n=10;with=10;dim=32}'),
         |  ('c6_near_tenants', 'tenant-1=3;tenant-2=3;tenant-3=3'),
+        |  ('d1_deleted_finalizes', 'entry=false;marker=∅'),
+        |  ('d2_survivors_intact', 'tenant-1={n=10;with=10;dim=32};tenant-2={n=10;with=10;dim=32};near=3'),
         |  ('l1_pre_near', 'rq8=3;rq1=3'),
         |  ('l2_pre_vectors', 'rq8={n=50;with=50;dim=512};rq1={n=50;with=50;dim=768}'),
         |  ('l3_drop_schema', 'dropped=false;sibling=true'),
@@ -696,6 +842,20 @@ object SparkEntryActions {
         |  ('l8_near_recreated', '5'),
         |  ('m1_pre', 'colbert_carried=20;sibling={n=20;with=20;dim=16}'),
         |  ('m2_dropped', 'entry=false;colbert=absent;sibling={n=20;with=20;dim=16}'),
-        |  ('m3_near_sibling', '3')
+        |  ('m3_near_sibling', '3'),
+        |  ('v1_pre_near', '3'),
+        |  ('v2_vectorless', 'vectors_empty=true;default_empty=true'),
+        |  ('v3_objects_survive', 'n=20;named=20;vo_col=false'),
+        |  ('v4_postflip_write', 'n=21'),
+        |  ('w1_during_carrying', 'vector index for vec was dropped; writes targeting it are rejected'),
+        |  ('w2_during_sibling', 'ok'),
+        |  ('w3_during_batch_split', 'err(vector index for vec was dropped)|ok'),
+        |  ('w4_patch_ok', 'name=patched;sibling=true'),
+        |  ('w5_after_carrying', 'collection DropVectorIndexWrites does not have configuration for vector vec'),
+        |  ('w6_after_sibling', 'ok'),
+        |  ('w7_no_survivor_carries', 'vv_col=false'),
+        |  ('x1_recreated', 'with=n=10;with=10;dim=16'),
+        |  ('x2_redropped', 'entry=false;v1=absent;sibling={n=10;with=10;dim=16}'),
+        |  ('x3_sibling_near', '3')
         |) AS t(step, result) ORDER BY step""".stripMargin)
 }

@@ -478,6 +478,17 @@ final class Graft(val spark: SparkSession) {
     require(collections.contains(cn), s"unknown collection $cn")
     val cur = tenantRegistry.getOrElse(cn, Map.empty)
     tenantRegistry += cn -> (cur -- names)
+    // a deleted tenant's shard no longer exists to clean: any pending
+    // drop-vector marker it was holding open finalizes on the coverage
+    // already recorded — WITHOUT re-cleaning the surviving tenants
+    // (deleted_tenant_reclean_test.go's no-fresh-round contract)
+    pendingVectorDrops.collect {
+      case ((c0, vec), owed) if c0 == cn && names.exists(owed.contains) =>
+        (vec, owed -- names)
+    }.foreach { case (vec, rest) =>
+      if (rest.isEmpty) finalizeVectorDrop(cn, vec)
+      else pendingVectorDrops += (cn, vec) -> rest
+    }
     this
   }
 
@@ -772,6 +783,24 @@ final class Graft(val spark: SparkSession) {
   def vectorDropMarker(collectionName: String, vectorName: String): Option[String] =
     if (pendingVectorDrops.contains((collection(collectionName).name, vectorName)))
       Some("none") else None
+
+  /** Write-path guard for named-vector payloads (usecases/objects/
+   * validation/vector_validation.go:58-70): an unknown space rejects with
+   * the no-configuration text; a "none"-marked (still-dropping) space with
+   * the dropped-writes text — without it a write slips into the finalize
+   * window and persists vector bytes no cleanup will ever remove. */
+  def validateVectorWrite(collectionName: String,
+                          vectorNames: Iterable[String]): Unit = {
+    val c = collection(collectionName)
+    vectorNames.foreach { n =>
+      if (!c.schema.vectors.contains(n))
+        throw new IllegalArgumentException(
+          s"collection ${c.name} does not have configuration for vector $n")
+      if (pendingVectorDrops.contains((c.name, n)))
+        throw new IllegalArgumentException(
+          s"vector index for $n was dropped; writes targeting it are rejected")
+    }
+  }
 
   /** Schema update removing a vector entry. While shards are still owed the
    * marker may not leave — only the completing cleanup removes it. */

@@ -192,10 +192,8 @@ object McpCreate {
             }.toMap
             case _ => Map.empty
           }
-          vecs.keys.foreach { n =>
-            if (!schema.vectors.contains(n)) throw new IllegalArgumentException(
-              s"collection ${schema.name} does not have configuration for vector $n")
-          }
+          // shared write-path guard: no-configuration + dropped-marker texts
+          g.validateVectorWrite(collection, vecs.keys)
           vecs.foreach { case (n, v) =>
             storedDim(schema.vectors(n))
               .filter(d => v.nonEmpty && d != v.length)
