@@ -239,6 +239,16 @@ object SparkEntryObjects {
     out += "d1_env_hfresh" ->
       SchemaWire.resolveVectorIndexType(None, defaultVectorIndex = "hfresh")
 
+    // -- the "none" dropped-index sentinel is never creatable
+    //    (alter_schema/drop_vector_index_reject_test.go; texts
+    //    usecases/schema/parser.go:250-254 + class.go:1108-1113) ----------
+    out += "d5_reject_none_legacy" ->
+      (try SchemaWire.resolveVectorIndexType(Some("none"))
+       catch { case e: Exception => e.getMessage })
+    out += "d5_reject_none_named" ->
+      (try { SchemaWire.rejectDroppedSentinel("v1", "none"); "accepted" }
+       catch { case e: Exception => e.getMessage })
+
     // -- DEFAULT_QUANTIZATION matrix (default_quantization_test.go) --------
     def q(idx: String, dq: String, skip: Boolean = false,
           explicit: Option[String] = None): String = {
@@ -367,6 +377,8 @@ object SparkEntryObjects {
         |  ('d2_rq8_dynamic', 'dynamic{flat:rq;bits=8;rescoreLimit=-1;skip=false;track=true;hnsw:rq;bits=8;rescoreLimit=20;skip=false;track=true}'),
         |  ('d2_rq8_flat', 'flat{flat:rq;bits=8;rescoreLimit=-1;skip=false;track=true}'),
         |  ('d2_rq8_hnsw', 'hnsw{hnsw:rq;bits=8;rescoreLimit=20;skip=false;track=true}'),
+        |  ('d5_reject_none_legacy', 'parse vector index config: "none" is not a valid vector index type; it is an internal sentinel for dropped indexes'),
+        |  ('d5_reject_none_named', 'vector "v1": cannot create a new class with vectorIndexType "none"; this is an internal sentinel for dropped indexes'),
         |  ('d3_skip_dynamic', 'dynamic{flat:none;skip=true;track=false;hnsw:none;skip=true;track=false}'),
         |  ('d3_skip_flat', 'flat{flat:none;skip=true;track=false}'),
         |  ('d3_skip_hnsw', 'hnsw{hnsw:none;skip=true;track=false}'),

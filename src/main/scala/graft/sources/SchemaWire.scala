@@ -434,8 +434,25 @@ object SchemaWire {
    * default_vector_index_test.go pins hnsw for both class-level and named
    * vectors, and an env override flows through verbatim). */
   def resolveVectorIndexType(vectorIndexType: Option[String],
-                             defaultVectorIndex: String = "hnsw"): String =
+                             defaultVectorIndex: String = "hnsw"): String = {
+    // "none" is the dropped-index sentinel, never a creatable type
+    // (usecases/schema/parser.go:250-254 — alter_schema's
+    // drop_vector_index_reject_test.go pins the text)
+    if (vectorIndexType.contains("none"))
+      throw new IllegalArgumentException(
+        "parse vector index config: \"none\" is not a valid vector index type; " +
+        "it is an internal sentinel for dropped indexes")
     vectorIndexType.filter(_.nonEmpty).getOrElse(defaultVectorIndex)
+  }
+
+  /** Class-level guard for NAMED vector entries on a brand-new class
+   * (usecases/schema/class.go:1108-1113): a "none"-typed VectorConfig
+   * entry may only appear through DeleteClassVectorIndex's marker. */
+  def rejectDroppedSentinel(vectorName: String, indexType: String): Unit =
+    if (indexType == "none")
+      throw new IllegalArgumentException(
+        s"""vector "$vectorName": cannot create a new class with vectorIndexType "none"; """ +
+        "this is an internal sentinel for dropped indexes")
 
   /** DEFAULT_QUANTIZATION resolution for ONE index's config
    * (hnsw.ParseDefaultQuantization, config.go:340-375 /
