@@ -754,12 +754,94 @@ object SparkEntryActions {
     steps(s, out.result())
   }
 
+  /** alter_schema/delete_property_index_test.go: deleting a property's
+   * searchable/filterable/rangeFilters index flips the flag; filters on a
+   * property with NO remaining inverted index error with the reference's
+   * missingFilterable text (a surviving searchable/rangeable index still
+   * serves filters — the suite deletes BOTH for `title` before asserting
+   * failure), bm25 on a de-searchabled property errors WEAVIATE-471-style,
+   * and an unknown property rejects with the handler's text. */
+  private def deletePropIndexGate(s: SparkSession): DataFrame = {
+    import graft.engine.Graft
+    val out = Seq.newBuilder[(String, String)]
+    val g = new Graft(s)
+    val struct = StructType(Seq(StructField("uuid", StringType),
+      StructField("title", StringType), StructField("author", StringType),
+      StructField("title_only_filterable", StringType),
+      StructField("year", LongType)))
+    val rows = Seq(
+      Row("00000000-0000-4000-8000-000000000001", "Dune", "Frank Herbert", "Dune", 1965L),
+      Row("00000000-0000-4000-8000-000000000002", "Project Hail Mary", "Andy Weir", "Project Hail Mary", 2021L),
+      Row("00000000-0000-4000-8000-000000000003", "The Lord of the Ice Garden", "Jaroslaw Grzedowicz", "The Lord of the Ice Garden", 1960L))
+    g.register(CollectionSchema("Book", "uuid", Seq(
+      // the suite's Book class declares no tokenization → the default
+      // lowercasing "word" (bm25 "herbert" must match "Frank Herbert")
+      Property("title", PropType.Text),
+      Property("author", PropType.Text),
+      Property("title_only_filterable", PropType.Text,
+        indexSearchable = false),
+      Property("year", PropType.Int, indexRangeFilters = true))),
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), struct))
+    def filterText(propName: String): String =
+      try g.get(GetParams("Book", where = Some(Where.eqText(propName, "Dune"))))
+        .count().toString
+      catch { case e: Exception => e.getMessage }
+    def filterYear(): String =
+      try g.get(GetParams("Book",
+        where = Some(Where.leInt("year", 1960L)))).count().toString
+      catch { case e: Exception => e.getMessage }
+    def searchAuthor(): String =
+      try g.get(GetParams("Book",
+        bm25 = Some(Bm25("herbert", properties = Seq("author"))))).count().toString
+      catch { case e: Exception =>
+        e.getMessage.replace("requirement failed: ", "") }
+
+    out += "p1_pre" -> (s"title=${filterText("title")};" +
+      s"only_filterable=${filterText("title_only_filterable")};" +
+      s"author=${searchAuthor()};year=${filterYear()}")
+    g.deletePropertyIndex("Book", "title_only_filterable", "filterable")
+    g.deletePropertyIndex("Book", "author", "searchable")
+    g.deletePropertyIndex("Book", "author", "filterable")
+    g.deletePropertyIndex("Book", "title", "filterable")
+    // the searchable index still serves filters until it leaves too
+    out += "p2_title_fallback" -> filterText("title")
+    g.deletePropertyIndex("Book", "title", "searchable")
+    g.deletePropertyIndex("Book", "year", "filterable")
+    g.deletePropertyIndex("Book", "year", "rangeFilters")
+    out += "p3_unknown_prop" ->
+      (try { g.deletePropertyIndex("Book", "doesntexist", "rangeFilters"); "accepted" }
+       catch { case e: Exception => e.getMessage })
+    out += "p4_title_off" -> filterText("title")
+    out += "p5_only_filterable_off" -> filterText("title_only_filterable")
+    out += "p6_author_off" -> searchAuthor()
+    out += "p7_year_off" -> filterYear()
+    steps(s, out.result())
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fixture_actions" -> ((s, _) => actionsGate(s)),
     "q_fixture_actions_crud" -> ((s, _) => crudGate(s)),
+    "q_fixture_delete_prop_index" -> ((s, _) => deletePropIndexGate(s)),
     "q_fixture_drop_index" -> ((s, _) => dropIndexGate(s)))
 
   def oracleSql: Map[String, String] = Map(
+    // alter_schema/delete_property_index_test.go: pre-deletion searches all
+    // serve; a filterable deletion with a SURVIVING searchable index still
+    // serves filters (the suite deletes both for `title` before asserting
+    // failure); once no inverted index remains, filters error with the
+    // missingFilterable text, bm25 with the missing-searchable text
+    // (WEAVIATE-471), and an unknown property rejects with the handler's
+    // "property name X: not found"
+    "q_fixture_delete_prop_index" ->
+      """SELECT * FROM (VALUES
+        |  ('p1_pre', 'title=1;only_filterable=1;author=1;year=1'),
+        |  ('p2_title_fallback', '1'),
+        |  ('p3_unknown_prop', 'property name doesntexist: not found'),
+        |  ('p4_title_off', 'Filtering by property ''title'' requires inverted index. Is `indexFilterable` option of property ''title'' enabled? Set it to `true` or leave empty'),
+        |  ('p5_only_filterable_off', 'Filtering by property ''title_only_filterable'' requires inverted index. Is `indexFilterable` option of property ''title_only_filterable'' enabled? Set it to `true` or leave empty'),
+        |  ('p6_author_off', 'Searching by property ''author'' requires inverted index. Is `indexSearchable` option of property ''author'' enabled? Set it to `true` or leave empty'),
+        |  ('p7_year_off', 'Filtering by property ''year'' requires inverted index. Is `indexFilterable` option of property ''year'' enabled? Set it to `true` or leave empty')
+        |) AS t(step, result) ORDER BY step""".stripMargin,
     // Test_Objects (setup/add/delete/update/individual_refs): the typed
     // create echo (int as json.Number "1", the +01:00 date offset intact —
     // the stored-document echo), short-beacon class detection on

@@ -248,6 +248,9 @@ object SparkEntryObjects {
     out += "d5_reject_none_named" ->
       (try { SchemaWire.rejectDroppedSentinel("v1", "none"); "accepted" }
        catch { case e: Exception => e.getMessage })
+    out += "d5_reject_unsupported" ->
+      (try SchemaWire.resolveVectorIndexType(Some("skiplist"))
+       catch { case e: Exception => e.getMessage })
 
     // -- DEFAULT_QUANTIZATION matrix (default_quantization_test.go) --------
     def q(idx: String, dq: String, skip: Boolean = false,
@@ -379,6 +382,7 @@ object SparkEntryObjects {
         |  ('d2_rq8_hnsw', 'hnsw{hnsw:rq;bits=8;rescoreLimit=20;skip=false;track=true}'),
         |  ('d5_reject_none_legacy', 'parse vector index config: "none" is not a valid vector index type; it is an internal sentinel for dropped indexes'),
         |  ('d5_reject_none_named', 'vector "v1": cannot create a new class with vectorIndexType "none"; this is an internal sentinel for dropped indexes'),
+        |  ('d5_reject_unsupported', 'parse vector index config: unsupported vector index type: "skiplist"'),
         |  ('d3_skip_dynamic', 'dynamic{flat:none;skip=true;track=false;hnsw:none;skip=true;track=false}'),
         |  ('d3_skip_flat', 'flat{flat:none;skip=true;track=false}'),
         |  ('d3_skip_hnsw', 'hnsw{hnsw:none;skip=true;track=false}'),

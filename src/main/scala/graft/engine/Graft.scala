@@ -850,6 +850,38 @@ final class Graft(val spark: SparkSession) {
     pendingVectorDrops -= ((cn, vectorName))
   }
 
+  /** DELETE /v1/schema/{class}/properties/{prop}/{index} (alter_schema's
+   * delete_property_index suite): flips the property's index flag OFF —
+   * subsequent filters/bm25 on the property hit the engine's existing
+   * inverted-index gates (FilterCompiler missingFilterableFormat, Bm25's
+   * missing-searchable error) exactly like the reference after the LSM
+   * bucket drop. Deleting the searchable index releases the class's
+   * keyword postings (the physical analogue). An unknown property rejects
+   * with the handler's text. indexName ∈ searchable|filterable|rangeFilters. */
+  def deletePropertyIndex(collectionName: String, propName: String,
+                          indexName: String): Graft = synchronized {
+    val c = collection(collectionName)
+    val p = c.schema.property(propName).getOrElse(
+      throw new IllegalArgumentException(s"property name $propName: not found"))
+    val np = indexName match {
+      case "searchable"   => p.copy(indexSearchable = false)
+      case "filterable"   => p.copy(indexFilterable = false)
+      case "rangeFilters" => p.copy(indexRangeFilters = false)
+      case other => throw new IllegalArgumentException(
+        s"index name $other: not found")
+    }
+    val ns = c.schema.copy(properties =
+      c.schema.properties.map(x => if (x.name == propName) np else x))
+    collections += c.name -> c.copy(schema = ns, version = Collection.nextVersion())
+    if (indexName == "searchable") {
+      graft.operators.Bm25Search.invalidateStats(c.name)
+      postingsIndexes.synchronized {
+        postingsIndexes.remove(c.name).foreach(releasePostings)
+      }
+    }
+    this
+  }
+
   /** Tenant reactivation hook: a pending drop owed this tenant strips its
    * rows now; the last covered tenant finalizes the drop. */
   private def reconcileVectorDrops(cn: String, tenant: String): Unit =

@@ -442,7 +442,14 @@ object SchemaWire {
       throw new IllegalArgumentException(
         "parse vector index config: \"none\" is not a valid vector index type; " +
         "it is an internal sentinel for dropped indexes")
-    vectorIndexType.filter(_.nonEmpty).getOrElse(defaultVectorIndex)
+    val it = vectorIndexType.filter(_.nonEmpty).getOrElse(defaultVectorIndex)
+    // parser.go:256-259: only the four real types parse (this engine's IVF
+    // is the hnsw analogue SERVED under these declared types, never a wire
+    // type of its own)
+    if (!Set("hnsw", "flat", "dynamic", "hfresh").contains(it))
+      throw new IllegalArgumentException(
+        s"""parse vector index config: unsupported vector index type: "$it"""")
+    it
   }
 
   /** Class-level guard for NAMED vector entries on a brand-new class
