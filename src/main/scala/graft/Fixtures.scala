@@ -29,8 +29,33 @@ object Fixtures {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the engine serves hundreds of DISTINCT query shapes per session; the
+      // default whole-stage-codegen class cache (100 entries) thrashes and
+      // recompiles (Janino) the same operators every pass — pure driver CPU
+      // and GC garbage. Sized for the full declared-query surface; env-
+      // overridable for bigger deployments (static conf: set at build time).
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4000"))
+      // the UI is off, but the in-memory status store still retains
+      // per-job/stage/task rows for EVERY job — a 274-query bench session
+      // runs thousands of jobs, and the retained history is driver-heap
+      // ballast that GC walks for the whole session. Keep a short window.
+      .config("spark.ui.retainedJobs", "200")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "20000")
+      .config("spark.sql.ui.retainedExecutions", "100")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // FileOutputCommitter algorithm 2: task output moves to the final
+    // directory at task commit instead of a second sequential job-side
+    // rename pass — measured ~25-30% off the store-mutation journey gates
+    // (each write paid the extra rename round). Safe here by construction:
+    // the store's `_latest` pointer flips only after the write job succeeds,
+    // so a failed job's partial v<N+1> files are never visible to readers
+    // (the versioned copy-on-write gives back the atomicity v1 exists for),
+    // and the streaming sink tracks files through its own manifest protocol.
+    s.sparkContext.hadoopConfiguration
+      .set("mapreduce.fileoutputcommitter.algorithm.version", "2")
     s
   }
 

@@ -263,7 +263,7 @@ object ScaleProfile {
       import org.json4s._
       val scale = if (tag == path10) 10 else 1
       val gg = new graft.engine.Graft(spark)
-      val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      val empty = spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("uuid", org.apache.spark.sql.types.StringType),
           org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType))))

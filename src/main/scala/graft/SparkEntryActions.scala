@@ -72,7 +72,7 @@ object SparkEntryActions {
       val st = new CollectionStore(s,
         java.nio.file.Files.createTempDirectory(s"graft-actions-${schema.name}").toString,
         schema)
-      st.init(s.createDataFrame(s.sparkContext.emptyRDD[Row],
+      st.init(s.createDataFrame(java.util.Collections.emptyList[Row](),
         structOf(schema, schema.properties)))
       classes(schema.name) = (schema, st)
     }
@@ -107,7 +107,8 @@ object SparkEntryActions {
       val id = o.id.getOrElse(nextId())
       val values = WireDecoder.restObjectValues(schema, o)
       val row = Row.fromSeq(id +: schema.properties.map(p => values.get(p.name).orNull))
-      st.upsert(s.createDataFrame(s.sparkContext.parallelize(Seq(row), 1),
+      // LocalRelation: exact size estimate for the adaptive write width
+      st.upsert(s.createDataFrame(java.util.Arrays.asList(row),
         structOf(schema, schema.properties)))
       journalDates(schema, id, o, replace = true)
       id
@@ -123,7 +124,8 @@ object SparkEntryActions {
       val values = WireDecoder.restObjectValues(schema, o)
       val present = schema.properties.filter(p => values.contains(p.name))
       val row = Row.fromSeq(id +: present.map(p => values(p.name)))
-      st.merge(s.createDataFrame(s.sparkContext.parallelize(Seq(row), 1),
+      // LocalRelation: exact size estimate for the adaptive write width
+      st.merge(s.createDataFrame(java.util.Arrays.asList(row),
         structOf(schema, present)))
       journalDates(schema, id, o, replace = false)
       "200"

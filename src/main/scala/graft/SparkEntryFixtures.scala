@@ -970,7 +970,7 @@ object SparkEntryFixtures {
       def store(schema: CollectionSchema, frame: StructType) = {
         val st = new graft.sources.CollectionStore(s,
           java.nio.file.Files.createTempDirectory(s"graft-bulk-${schema.name}").toString, schema)
-        st.init(s.createDataFrame(s.sparkContext.emptyRDD[Row], frame))
+        st.init(s.createDataFrame(java.util.Collections.emptyList[Row](), frame))
         st
       }
       val bulkSt = store(CollectionSchema("BulkTest", "uuid", Seq(
@@ -1874,7 +1874,7 @@ object SparkEntryFixtures {
       out += "14_clash_alias_name" -> okOr(gg.createAlias("RestBookAlias", "Passage"))
       out += "15_class_shadows_alias" -> okOr(gg.register(
         CollectionSchema("RestBookAlias", "uuid", Seq(Property("title", PropType.Text))),
-        s.createDataFrame(s.sparkContext.emptyRDD[Row],
+        s.createDataFrame(java.util.Collections.emptyList[Row](),
           StructType(Seq(StructField("uuid", StringType), StructField("title", StringType))))))
       out += "16_create_bad_target" -> okOr(
         gg.createAlias("NonExistingAlias", "NonExistingCollection"))
@@ -1961,7 +1961,7 @@ object SparkEntryFixtures {
           StructField("texts", ArrayType(StringType))))))))
       val st = new graft.sources.CollectionStore(s,
         java.nio.file.Files.createTempDirectory("graft-lvr").toString, schema)
-      st.init(s.createDataFrame(s.sparkContext.emptyRDD[Row], frame))
+      st.init(s.createDataFrame(java.util.Collections.emptyList[Row](), frame))
       val numBytes = {
         val bb = java.nio.ByteBuffer.allocate(16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
         Seq(1.1, 2.2).foreach(bb.putDouble)

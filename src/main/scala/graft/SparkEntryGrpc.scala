@@ -376,7 +376,7 @@ object SparkEntryGrpc {
         StructField("tags", ArrayType(StringType))))))))
     val st = new graft.sources.CollectionStore(s,
       java.nio.file.Files.createTempDirectory("graft-books").toString, schema)
-    st.init(s.createDataFrame(s.sparkContext.emptyRDD[Row], frame))
+    st.init(s.createDataFrame(java.util.Collections.emptyList[Row](), frame))
     val (objs, errs) = ProtoWire.batchObjectsRequest(
       ProtoWire.write(booksBatchDoc, "BatchObjectsRequest"))
     st.upsert(WireDecoder.batchObjectsFrame(s, st.read().schema, "uuid",
@@ -616,7 +616,7 @@ object SparkEntryGrpc {
       StructField("uuid", StringType), StructField("contents", StringType)))
     val st = new graft.sources.CollectionStore(s,
       java.nio.file.Files.createTempDirectory("graft-alpha").toString, schema)
-    st.init(s.createDataFrame(s.sparkContext.emptyRDD[Row], frame))
+    st.init(s.createDataFrame(java.util.Collections.emptyList[Row](), frame))
     // 26×26 objects "III J", imported over the binary batch wire like the suite
     val objs = for { i <- 0 until 26; j <- 0 until 26 } yield JObject(List(
       "collection" -> JString("Alphabetic"),
@@ -680,10 +680,10 @@ object SparkEntryGrpc {
       StructField("title", StringType)))
     val aStore = new graft.sources.CollectionStore(s,
       java.nio.file.Files.createTempDirectory("graft-article").toString, aSchema)
-    aStore.init(s.createDataFrame(s.sparkContext.emptyRDD[Row], aFrame))
+    aStore.init(s.createDataFrame(java.util.Collections.emptyList[Row](), aFrame))
     val pStore = new graft.sources.CollectionStore(s,
       java.nio.file.Files.createTempDirectory("graft-para").toString, pSchema)
-    pStore.init(s.createDataFrame(s.sparkContext.emptyRDD[Row], pFrame))
+    pStore.init(s.createDataFrame(java.util.Collections.emptyList[Row](), pFrame))
     val gg = new Graft(s)
     gg.register(aSchema, aStore.read())
     gg.register(pSchema, pStore.read())
@@ -1263,7 +1263,7 @@ object SparkEntryGrpc {
       val st = new graft.sources.CollectionStore(s,
         java.nio.file.Files.createTempDirectory(s"graft-mcpup-${schema.name}").toString,
         schema)
-      st.init(s.createDataFrame(s.sparkContext.parallelize(seed, 1), struct))
+      st.init(s.createDataFrame(java.util.Arrays.asList(seed: _*), struct))
       stores(schema.name) = st
       gg.register(schema, st.read())
     }

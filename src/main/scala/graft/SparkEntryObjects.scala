@@ -132,16 +132,16 @@ object SparkEntryObjects {
       Property("name", PropType.Text, Tokenization.Whitespace)))
     val srcStore = new graft.sources.CollectionStore(s,
       java.nio.file.Files.createTempDirectory("graft-seq-src").toString, srcSchema)
-    srcStore.init(s.createDataFrame(s.sparkContext.parallelize(Seq(
-      Row(sourceId, null, "Source Object")), 1),
+    srcStore.init(s.createDataFrame(java.util.Arrays.asList(
+      Row(sourceId, null, "Source Object")),
       StructType(Seq(StructField("uuid", StringType),
         StructField("toTarget", ArrayType(StringType)),
         StructField("name", StringType)))))
     val tgtStore = new graft.sources.CollectionStore(s,
       java.nio.file.Files.createTempDirectory("graft-seq-tgt").toString, tgtSchema)
     tgtStore.init(s.createDataFrame(
-      s.sparkContext.parallelize(targetIds.zipWithIndex.map { case (id, i) =>
-        Row(id, s"target object $i") }, 1),
+      java.util.Arrays.asList(targetIds.zipWithIndex.map { case (id, i) =>
+        Row(id, s"target object $i") }: _*),
       StructType(Seq(StructField("uuid", StringType), StructField("name", StringType)))))
     import s.implicits._
     targetIds.foreach { tid =>
@@ -172,7 +172,7 @@ object SparkEntryObjects {
       val sc = CollectionSchema(name, "uuid", Seq(refProp))
       val st = new graft.sources.CollectionStore(s,
         java.nio.file.Files.createTempDirectory(s"graft-cref-$name").toString, sc)
-      st.init(s.createDataFrame(s.sparkContext.emptyRDD[Row], StructType(Seq(
+      st.init(s.createDataFrame(java.util.Collections.emptyList[Row](), StructType(Seq(
         StructField("uuid", StringType),
         StructField("ref", ArrayType(StringType))))))
       st
@@ -311,8 +311,8 @@ object SparkEntryObjects {
         java.nio.file.Files.createTempDirectory("graft-coldshard").toString, schema)
       // a multi-tenant store partitions by the tenant column; an empty init
       // would write no partition files, so seed the tenant's one row
-      st.init(s.createDataFrame(s.sparkContext.parallelize(Seq(
-        Row("0d4a0000-0000-4000-8000-000000000001", "t1")), 1), StructType(Seq(
+      st.init(s.createDataFrame(java.util.Arrays.asList(
+        Row("0d4a0000-0000-4000-8000-000000000001", "t1")), StructType(Seq(
         StructField("uuid", StringType), StructField("tenant", StringType)))))
       val gg = new Graft(s)
       gg.register(schema, st.read())

@@ -222,8 +222,9 @@ object McpCreate {
         })
       }
       val sess = st.read().sparkSession
+      // LocalRelation: exact size estimate for the adaptive write width
       st.upsert(sess.createDataFrame(
-        sess.sparkContext.parallelize(rows, 1), storeSchema))
+        java.util.Arrays.asList(rows: _*), storeSchema))
       g.register(schema, st.read())
     }
     decoded.map {

@@ -512,7 +512,10 @@ object WireDecoder {
         coerce(raw, f.dataType)
       })
     }
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), target)
+    // LocalRelation (not parallelize → LogicalRDD): the optimizer then knows
+    // the frame's exact size, so the store's scale-adaptive write width sees
+    // a small batch as small instead of the LogicalRDD unknown-size poison
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), target)
   }
 
   // ==========================================================================

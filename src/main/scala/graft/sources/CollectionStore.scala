@@ -66,9 +66,25 @@ final class CollectionStore(val spark: SparkSession, val root: String,
   def version: Int =
     if (Files.exists(latestPath)) new String(Files.readAllBytes(latestPath)).trim.toInt else -1
 
+  // version-keyed read memo: `spark.read.parquet` eagerly lists files and
+  // reads footers on EVERY call, and the acceptance journeys interleave many
+  // point reads (exists/get/list) between writes — re-listing an immutable
+  // version dir per read is pure driver overhead (guide §6: file listing is
+  // driver-side, single-process work). A version dir never changes once
+  // `_latest` points at it — EXCEPT tenant offload/onload, which move a
+  // partition directory in place and explicitly invalidate below.
+  @volatile private var cachedRead: Option[(Int, DataFrame)] = None
+
   def read(): DataFrame = {
-    require(version >= 0, s"collection store $root is empty")
-    CollectionStore.readKeepingStringPartitions(spark, s"$root/v$version")
+    val v = version
+    require(v >= 0, s"collection store $root is empty")
+    cachedRead match {
+      case Some((cv, df)) if cv == v => df
+      case _ =>
+        val df = CollectionStore.readKeepingStringPartitions(spark, s"$root/v$v")
+        cachedRead = Some((v, df))
+        df
+    }
   }
 
   /** Read a PINNED version — the point-in-time anchor exports scan from
@@ -160,6 +176,17 @@ final class CollectionStore(val spark: SparkSession, val root: String,
 
   /** Upsert whole objects by id (reference: crud.go:35 PutObject / batch.go:35
    * BatchPutObjects — last write wins on id collision). */
+  /** A frame whose whole plan is driver-local literal rows: deterministic
+   * and free to recompute, so the persist-before-multi-scan discipline below
+   * is pure overhead for it (single-object REST/gRPC writes are all local). */
+  private def isLocalFrame(df: DataFrame): Boolean =
+    // optimized (not raw logical): toDF/select over literal rows collapses
+    // back to a LocalRelation, and the pass is cached on the frame's own
+    // QueryExecution so nothing is computed twice
+    try df.queryExecution.optimizedPlan.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
+    catch { case _: Throwable => false }
+
   def upsert(updates: DataFrame): Unit = mutate {
     val id = schema.idColumn
     // the id is the primary key: a batch carrying the same id twice collapses
@@ -169,9 +196,13 @@ final class CollectionStore(val spark: SparkSession, val root: String,
     // persist the collapsed batch: it feeds the cap count, the anti-join AND
     // the union — a non-deterministic source would otherwise be counted as
     // one set of rows and written as another (and even deterministic callers
-    // would pay three scans)
-    val unique = updates.dropDuplicates(id)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // would pay three scans). A LocalRelation batch needs no persist (it is
+    // deterministic literal rows; re-evaluating it costs nothing).
+    val collapsed = updates.dropDuplicates(id)
+    val local = isLocalFrame(updates)
+    val unique =
+      if (local) collapsed
+      else collapsed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // reference CheckObjects passes len(batch) — conservatively counting
       // replacements too (Shard.PutObjectBatch has no replace-aware count)
@@ -179,7 +210,7 @@ final class CollectionStore(val spark: SparkSession, val root: String,
       val current = read()
       val remaining = current.join(unique.select(col(id)), Seq(id), "left_anti")
       writeVersion(remaining.unionByName(vectorize(unique), allowMissingColumns = true))
-    } finally unique.unpersist()
+    } finally if (!local) { unique.unpersist(); () }
   }
 
   /** Partial update (PATCH) — only the columns present in `patch` (besides the
@@ -281,7 +312,10 @@ final class CollectionStore(val spark: SparkSession, val root: String,
     val current = read()
     require(current.schema(refProp).dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType],
       s"$refProp is a scalar FK — reference batches need a multi-edge (array) cref")
-    val cached = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val local = isLocalFrame(edges)
+    val cached =
+      if (local) edges
+      else edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val marked = cached.join(
         current.select(col(id), lit(1).as("__exists")), Seq(id), "left")
@@ -295,7 +329,7 @@ final class CollectionStore(val spark: SparkSession, val root: String,
         .drop("__batch_refs")
       writeVersion(merged)
       (applied, total - applied)
-    } finally cached.unpersist()
+    } finally if (!local) { cached.unpersist(); () }
   }
 
   /** Delete by filter; dryRun returns the would-be-deleted count without
@@ -385,6 +419,7 @@ final class CollectionStore(val spark: SparkSession, val root: String,
     val dst = Paths.get(offloadRoot, s"v$version-${src.getFileName}")
     Files.createDirectories(Paths.get(offloadRoot))
     Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+    cachedRead = None // the version dir changed IN PLACE — drop the read memo
   }
 
   /** Move an offloaded tenant's partition directory back into the current
@@ -394,6 +429,7 @@ final class CollectionStore(val spark: SparkSession, val root: String,
     val src = Paths.get(offloadRoot, s"v$version-${dst.getFileName}")
     require(Files.exists(src), s"tenant $tenant is not offloaded at $offloadRoot for v$version")
     Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+    cachedRead = None // the version dir changed IN PLACE — drop the read memo
   }
 
   private def tenantDir(tenant: String): java.nio.file.Path = {
@@ -468,6 +504,39 @@ final class CollectionStore(val spark: SparkSession, val root: String,
         graft.engine.UsageLimits.LimitObjects, usageTemplate)
     }
 
+  /**
+   * Scale-adaptive write width (guide §2.2/§6): the clustering shuffle used
+   * to run at the session's `spark.sql.shuffle.partitions` regardless of the
+   * frame's size, so a 5-row acceptance-journey mutation paid a range-bounds
+   * SAMPLING job plus a 32-task shuffle and wrote 32 near-empty files per
+   * version. The partition count now derives from the optimizer's size
+   * estimate against a target file size (`spark.graft.targetFileBytes`,
+   * default 128 MB — guide §6's output-file band), clamped to today's upper
+   * bound (the session shuffle width) so large writes behave exactly as
+   * before. An UNKNOWN estimate (LogicalRDD-backed inputs report
+   * defaultSizeInBytes = Long.MaxValue, and join estimates multiply it
+   * through) falls back to the status-quo width rather than guessing small.
+   * numPartitions == 1 additionally skips the RangePartitioner sampling pass
+   * (its bounds array is empty for a single partition) — one job per write
+   * instead of two.
+   */
+  private def writePartitions(df: DataFrame): Option[Int] = {
+    val maxParts = spark.sessionState.conf.numShufflePartitions
+    val target = spark.conf.getOption("spark.graft.targetFileBytes")
+      .map(_.toLong).getOrElse(128L << 20)
+    val est = try df.queryExecution.optimizedPlan.stats.sizeInBytes
+      catch { case _: Throwable => BigInt(-1) }
+    // anything ≥ 2^50 is the unknown-size poison (defaultSizeInBytes or a
+    // join-product over it), not a real 1-PB frame on this engine; None =
+    // keep the session-width call WITHOUT a pinned count, so AQE remains
+    // free to coalesce it exactly as before this optimization
+    if (est < 0 || est >= (BigInt(1) << 50)) None
+    else {
+      val n = ((est + target - 1) / target).max(1).min(maxParts).toInt
+      if (n >= maxParts) None else Some(n)
+    }
+  }
+
   private def writeVersion(df: DataFrame): Unit = {
     readOnly.foreach {
       case Some(reason) => throw new IllegalStateException(s"store is read-only due to: $reason")
@@ -478,13 +547,32 @@ final class CollectionStore(val spark: SparkSession, val root: String,
     val laidOut = (clustered, schema.tenantColumn) match {
       case (true, Some(t)) =>
         // one shuffle partition per tenant hash → one file per tenant
-        // directory; rows id-sorted within it for row-group pruning
-        df.repartition(col(t)).sortWithinPartitions(col(t), col(id))
+        // directory; rows id-sorted within it for row-group pruning.
+        // Single-partition case: coalesce is a NARROW dependency — no
+        // exchange at all, one stage, one task (the dynamic-partition writer
+        // still splits the output by tenant directory)
+        writePartitions(df) match {
+          case Some(1) => df.coalesce(1).sortWithinPartitions(col(t), col(id))
+          case Some(n) => df.repartition(n, col(t)).sortWithinPartitions(col(t), col(id))
+          case None    => df.repartition(col(t)).sortWithinPartitions(col(t), col(id))
+        }
       case (true, None) =>
-        // disjoint id ranges per file → min/max stats prune point lookups
-        df.repartitionByRange(col(id)).sortWithinPartitions(col(id))
+        // disjoint id ranges per file → min/max stats prune point lookups;
+        // single-partition case as above (every row is in "one range")
+        writePartitions(df) match {
+          case Some(1) => df.coalesce(1).sortWithinPartitions(col(id))
+          case Some(n) => df.repartitionByRange(n, col(id)).sortWithinPartitions(col(id))
+          case None    => df.repartitionByRange(col(id)).sortWithinPartitions(col(id))
+        }
       case _ => df
     }
+    // plan-audit hook (off unless the conf is set): captures the physical
+    // plan of the layout+write for the r16 optimization evidence files —
+    // `spark.graft.targetFileBytes=1` forces every estimate over the
+    // threshold, i.e. exactly the pre-r16 session-width write plan
+    if (spark.conf.getOption("spark.graft.explainWrites").exists(_.toBoolean))
+      CollectionStore.lastWritePlan = Some(laidOut.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
     val writer = laidOut.write.mode("overwrite")
     (if (clustered) schema.tenantColumn.fold(writer)(writer.partitionBy(_)) else writer)
       .parquet(s"$root/v$next")
@@ -500,6 +588,9 @@ final class CollectionStore(val spark: SparkSession, val root: String,
 }
 
 object CollectionStore {
+
+  /** Last captured write plan (plan-audit hook above; test/audit use only). */
+  @volatile var lastWritePlan: Option[String] = None
 
   /** One write lock per canonical store root (see the instance scaladoc):
    * every CollectionStore opened on the same directory serializes through

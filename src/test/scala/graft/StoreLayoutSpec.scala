@@ -98,13 +98,19 @@ class StoreLayoutSpec extends SparkSpecBase {
     val dir = Files.createTempDirectory("graft-layout").toString
     val schema = CollectionSchema("Clustered", "id", Seq(Property("v", PropType.Int)))
     val st = new CollectionStore(spark, dir, schema)
-    // AQE would coalesce this toy shuffle into one ~64MB-target partition
-    // (desired at scale: partition count follows data volume); pin it off so
-    // the write produces several files and the disjointness is observable
+    // AQE would coalesce this toy shuffle into one ~64MB-target partition,
+    // and (since r16) the adaptive write width itself collapses a KB-sized
+    // frame to a single file — both desired at scale (partition count follows
+    // data volume). Pin both off so the write produces several files and the
+    // range disjointness is observable.
     val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
     spark.conf.set(coalesceKey, "false")
+    spark.conf.set("spark.graft.targetFileBytes", "1")
     try st.init(spark.range(1000).select($"id", ($"id" * 2).as("v")))
-    finally spark.conf.set(coalesceKey, "true")
+    finally {
+      spark.conf.set(coalesceKey, "true")
+      spark.conf.unset("spark.graft.targetFileBytes")
+    }
     val ranges = st.read()
       .withColumn("__f", input_file_name())
       .groupBy($"__f").agg(min($"id").as("lo"), max($"id").as("hi"))
@@ -130,6 +136,36 @@ class StoreLayoutSpec extends SparkSpecBase {
     val scanned = scan.metrics("numOutputRows").value
     assert(scanned < 1000,
       s"row-group stats skipped nothing: scan emitted $scanned of 1000 rows")
+  }
+
+  test("write width follows data volume: small frames collapse to one file (r16)") {
+    // guide §2.2/§6: a KB-sized mutation must not pay a session-width range
+    // shuffle (plus its sampling pass) nor scatter 32 near-empty files
+    val dir = Files.createTempDirectory("graft-layout").toString
+    val schema = CollectionSchema("AdaptiveW", "id", Seq(Property("v", PropType.Int)))
+    val st = new CollectionStore(spark, dir, schema)
+    st.init(spark.range(200).select($"id", ($"id" * 2).as("v")))
+    def files(v: Int) = new java.io.File(st.root, s"v$v").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files(0).length == 1, s"small init should write ONE file, got ${files(0).length}")
+    // rows stay id-sorted inside the single file (the row-group stats payoff)
+    val ids = st.read().select($"id").collect().map(_.getLong(0))
+    assert(ids.toSeq == ids.sorted.toSeq, "single file must be id-sorted")
+    // a tiny target spreads the SAME rows over several range-disjoint files —
+    // the adaptive width is the conf-driven knob, not a local-mode constant
+    // (AQE coalescing pinned off like the clustering test above, so the
+    // over-threshold fallback width stays observable too)
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    spark.conf.set(coalesceKey, "false")
+    spark.conf.set("spark.graft.targetFileBytes", "256")
+    try st.upsert(Seq((1000L, 7L)).toDF("id", "v"))
+    finally {
+      spark.conf.set(coalesceKey, "true")
+      spark.conf.unset("spark.graft.targetFileBytes")
+    }
+    assert(files(1).length > 1,
+      s"256B target should spread 201 rows over several files, got ${files(1).length}")
+    assert(st.read().count() == 201)
   }
 
   test("vacuum drops superseded versions, keeps the current") {
