@@ -6,6 +6,17 @@ package graft
  * reflect query execution, not session/fixture initialization. */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val t0main = System.nanoTime()
+    def wallSec: Double = (System.nanoTime() - t0main) / 1e9
+    // wall-clock budget for the whole bench main (r16 lesson: the driver's
+    // 32-core run hit its outer timeout — rc=124 — because warm-up + two
+    // passes + the end-of-session ISOLATED re-run phase outgrew the window
+    // at 274 gates). The warm-up and the two timed passes ALWAYS run — they
+    // are the headline; the isolated re-run phase is diagnostics and is
+    // skipped (wholly or partially, reported on the headline) once the
+    // budget is spent. Env-overridable; never set by the driver.
+    val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET")
+      .flatMap(v => scala.util.Try(v.toDouble).toOption).getOrElse(1500.0)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // one session recipe for every graded entry point (round-9 lesson:
     // harness config drift between mains zeroed a round)
@@ -75,7 +86,18 @@ object Bench {
       val infos = spark.sparkContext.getRDDStorageInfo
       (infos.length, infos.map(_.memSize).sum >> 20, infos.map(_.diskSize).sum >> 20)
     }
+    // cumulative JVM GC time (ms) — per-query deltas land in the diag
+    // trajectory so end-of-session inflation (r16: isolated re-runs measured
+    // 2-4x their in-suite time with flat storage) can be attributed to GC
+    // pressure rather than guessed at
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
     val diag = scala.collection.mutable.ListBuffer.empty[String]
+    var lastGc = gcMs()
+    def gcDelta(): Long = { val g = gcMs(); val d = g - lastGc; lastGc = g; d }
     def pass(tag: Int): Map[String, (Double, Boolean)] = names.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
@@ -86,7 +108,7 @@ object Bench {
       }
       val el = (System.nanoTime() - t0) / 1e9
       val (n, mem, dsk) = storage()
-      diag += s"""{"p":$tag,"q":"$name","s":${math.rint(el * 1000) / 1000},"rdds":$n,"memMB":$mem,"diskMB":$dsk}"""
+      diag += s"""{"p":$tag,"q":"$name","s":${math.rint(el * 1000) / 1000},"rdds":$n,"memMB":$mem,"diskMB":$dsk,"gcMs":${gcDelta()}}"""
       name -> (el, ok)
     }.toMap
     // fixed-work CPU calibration: same-code bench totals swing with ambient
@@ -122,11 +144,13 @@ object Bench {
     val census = spark.sparkContext.getRDDStorageInfo.sortBy(-_.memSize).take(25)
       .map(i => s"""{"id":${i.id},"name":${Fixtures.jsonString(
         Option(i.name).getOrElse("?").take(120))},"parts":${i.numCachedPartitions},"memMB":${i.memSize >> 20},"diskMB":${i.diskSize >> 20}}""")
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_DIAG.json"),
-      (s"""{"trajectory":[${diag.mkString(",")}],"census":[${census.mkString(",")}]}""" + "\n")
-        .getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    def writeDiag(): Unit =
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_DIAG.json"),
+        (s"""{"trajectory":[${diag.mkString(",")}],"census":[${census.mkString(",")}]}""" + "\n")
+          .getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+    writeDiag() // passes are safe on disk even if the isolated phase dies
     // min over SUCCESSFUL passes only — a fast-fail elapsed must never
     // become the benchmark number (it reads as a speedup); if both passes
     // failed, carry the slower elapsed so the total isn't deflated either,
@@ -174,21 +198,28 @@ object Bench {
       } }
       .filter(_._2 > 1.2).sortBy(-_._2).take(10).map(_._1)
     val isolateSet = (top10 ++ movers).distinct
-    val isolated: Seq[(String, Double)] = isolateSet.map { name =>
-      val fn = SparkEntry.queries(name)
-      System.gc()
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+    // diagnostics phase, budget-gated: stop launching isolated re-runs once
+    // the main's wall clock crosses the budget (headline min-of-passes is
+    // already locked in by this point); skipped queries are counted on the
+    // headline so a shortened phase is visible, not silent
+    var isolatedSkipped = 0
+    val isolated: Seq[(String, Double)] = isolateSet.flatMap { name =>
+      if (wallSec >= budgetSec) { isolatedSkipped += 1; None }
+      else {
+        val fn = SparkEntry.queries(name)
+        System.gc()
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).count() catch { case _: Throwable => () }
+          (System.nanoTime() - t0) / 1e9
+        }
+        val v = math.min(once(), once())
+        diag += s"""{"p":3,"q":"$name","s":${math.rint(v * 1000) / 1000},"gcMs":${gcDelta()}}"""
+        Some(name -> v)
       }
-      name -> math.min(once(), once())
     }
-    // 3-decimal rounding keeps the artifact line short; per-pass variance is
-    // carried as per-pass TOTALS on the headline line, with the full per-pass
-    // per-query maps on their OWN lines — the r7 lesson: the capture layer
-    // head-truncates long lines, so the headline line must stay small and the
-    // min map (the real signal) sits at its END where truncation can't eat it
+    writeDiag() // final rewrite with the isolated-phase GC rows included
+    // 3-decimal rounding keeps the artifact lines short
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
     def obj(m: Map[String, Double]): String =
       names.map { case (n, _) => "\"" + n + "\":" + r3(m(n)) }.mkString("{", ",", "}")
@@ -200,37 +231,17 @@ object Bench {
     // "metric" so a capture grepping for the headline can't pick these up
     println(s"""{"bench_pass":1,"queries_p1":${obj(p1)}}""")
     println(s"""{"bench_pass":2,"queries_p2":${obj(p2)}}""")
-    // The capture layer keeps only the LAST ~2000 chars of output. At 99
-    // queries, full-name integer-millisecond entries are ~2030 chars — over
-    // budget — so the surviving min map uses integer CENTISECONDS (10 ms
-    // precision, every value here is 30 ms-3 s) with the "q_" key prefix
-    // stripped (~1850 chars), leaving room for a short totals-only line LAST
-    // that truncation can never eat. The full-fidelity artifact (seconds,
-    // full names, both passes) is written to BENCH_SELF.json alongside.
+    // compact fallback tier: the full min map in integer centiseconds with
+    // the "q_" prefix stripped, on its own non-contract line. If a capture
+    // layer keeps only a tail of the output, this densest rendering is the
+    // most likely per-query record to survive near the end; the CONTRACT
+    // line (named seconds, "metric"+"queries") prints LAST regardless of
+    // length — the r15/r16 adjudications proved the driver parses the named
+    // map or nothing, so never again degrade THAT line to fit a budget.
     def unitMap(perSec: Long): String = results
       .map { case (k, v) => "\"" + k.stripPrefix("q_") + "\":" + math.max(0L, math.round(v * perSec)) }
       .mkString("{", ",", "}")
-    val csMap = unitMap(100)
-    val dsMap = unitMap(10)
-    // values-only third tier: centisecond values in SORTED-query-name order
-    // (names recoverable by sorting SparkEntry.queries keys; full named map
-    // always in BENCH_SELF.json) — ~4 chars/query instead of ~18
-    def unitArr(perSec: Long): String = results
-      .map { case (_, v) => math.max(0L, math.round(v * perSec)).toString }
-      .mkString("[", ",", "]")
-    // adaptive guard: the capture tail keeps only the LAST ~2000 chars, and
-    // the totals line (~170) must survive whole after the map line — pick
-    // the densest representation that keeps BOTH fully inside the window
-    val (mapLine, keyDesc) =
-      if (csMap.length <= 1800)
-        (s"""{"min_cs":$csMap}""", "min_cs = integer centiseconds, q_ stripped")
-      else if (dsMap.length <= 1800)
-        (s"""{"min_ds":$dsMap}""", "min_ds = integer deciseconds, q_ stripped")
-      else
-        (s"""{"min_cs_sorted":${unitArr(100)}}""",
-          "min_cs_sorted = integer centiseconds in sorted-query-name order; named map in BENCH_SELF.json")
-    // bounded on the headline (the capture tail is ~2000 chars); the full
-    // map is always in BENCH_SELF.json
+    val mapLine = s"""{"min_cs":${unitMap(100)}}"""
     val errJson =
       if (passErrors.isEmpty) ""
       else passErrors.toSeq.sortBy(_._1).take(5)
@@ -258,7 +269,11 @@ object Bench {
     val moverJson = movers
       .map(n => "\"" + n + "\":" + r3(resultMap(n) / prevQueries(n)))
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","total_p1":${tot(p1)},"total_p2":${tot(p2)}$healthJson$boxJson$errJson,"isolated":$isoJson,"movers_insuite_ratio":$moverJson,"queries":$qs,"queries_p1":${obj(p1)},"queries_p2":${obj(p2)}}"""
+    val skipJson =
+      if (isolatedSkipped == 0) ""
+      else s""","isolated_skipped":$isolatedSkipped,"budget_sec":$budgetSec"""
+    val wallJson = s""","wall_sec":${r3(wallSec)}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","total_p1":${tot(p1)},"total_p2":${tot(p2)}$healthJson$boxJson$errJson$skipJson$wallJson,"isolated":$isoJson,"movers_insuite_ratio":$moverJson,"queries":$qs,"queries_p1":${obj(p1)},"queries_p2":${obj(p2)}}"""
     // a SPARK_GRAFT_ONLY subset run must not clobber the last FULL-run
     // record — "BENCH_SELF.json exists" has to keep meaning "all queries"
     val selfFile =
@@ -269,7 +284,10 @@ object Bench {
     catch { case _: Throwable => () }
     println(s"""{"isolated_top10":$isoJson}""")
     println(mapLine)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_p1":${tot(p1)},"total_p2":${tot(p2)}$healthJson$boxJson,"n":${results.size},"n_errors":${passErrors.size}$errJson,"keys":"$keyDesc","full":"$selfFile"}""")
+    // the ONE contract line, printed LAST: named per-query seconds under
+    // "queries" — exactly what the driver parses (Bench.scala:4). Never
+    // truncated or re-encoded, whatever the query count.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","total_p1":${tot(p1)},"total_p2":${tot(p2)}$healthJson$boxJson,"n":${results.size},"n_errors":${passErrors.size}$errJson$skipJson$wallJson,"full":"$selfFile","queries":$qs}""")
     spark.stop()
   }
 }

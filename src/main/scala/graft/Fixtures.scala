@@ -44,8 +44,20 @@ object Fixtures {
       .config("spark.ui.retainedStages", "200")
       .config("spark.ui.retainedTasks", "20000")
       .config("spark.sql.ui.retainedExecutions", "100")
+      // committer v2 (below) is only task-commit-safe without re-attempted
+      // tasks; speculation is off by default — pinned so a deployment can't
+      // flip it without revisiting the committer choice
+      .config("spark.speculation", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // the engine's global-window fusions are DOCUMENTED bounded (top-k pools,
+    // BoundedWindow.scala proof) — WindowExec's per-execution "No Partition
+    // Defined" warning is noise at our scale and flooded the r16 driver log
+    // (the rc=124 tail was 100% this line). Scoped to that one logger.
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () }
     // FileOutputCommitter algorithm 2: task output moves to the final
     // directory at task commit instead of a second sequential job-side
     // rename pass — measured ~25-30% off the store-mutation journey gates
@@ -54,6 +66,12 @@ object Fixtures {
     // so a failed job's partial v<N+1> files are never visible to readers
     // (the versioned copy-on-write gives back the atomicity v1 exists for),
     // and the streaming sink tracks files through its own manifest protocol.
+    // CLUSTER CAVEAT: the job-level argument does not cover non-atomic TASK
+    // commit — with task retries or speculation a re-attempted task can leave
+    // duplicate part files in v<N+1> while the job still succeeds (why v2 is
+    // deprecated in Hadoop 3.x). Local mode has maxFailures=1 and speculation
+    // pinned off below; a cluster deployment must either keep speculation off
+    // and accept the retry risk, or revert to v1 (one conf, no code change).
     s.sparkContext.hadoopConfiguration
       .set("mapreduce.fileoutputcommitter.algorithm.version", "2")
     s

@@ -91,7 +91,13 @@ object PlanDumpR16 {
           val joins = Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
             "BroadcastNestedLoopJoin", "CartesianProduct")
             .map(j => s"$j=${n(j)}").filter(!_.endsWith("=0")).mkString(",")
-          s"$name\texchanges=${n("Exchange")}\tcodegen=${n("WholeStageCodegen")}\t" +
+          // FormattedMode renders whole-stage-codegen membership as
+          // "[codegen id : N]" markers, not "WholeStageCodegen" nodes —
+          // count DISTINCT codegen ids (the r16 census grepped the wrong
+          // token and reported 0 everywhere, VERDICT item 5)
+          val codegenSpans = "\\[codegen id : (\\d+)\\]".r
+            .findAllMatchIn(plan).map(_.group(1)).toSet.size
+          s"$name\texchanges=${n("Exchange")}\tcodegen=$codegenSpans\t" +
             s"pushed=${n("PushedFilters: \\[[^]]")}\tjoins=[$joins]"
         } catch { case e: Throwable => s"$name\tERROR\t${e.getClass.getSimpleName}" }
         line

@@ -5,8 +5,11 @@ object ProbeActions {
     val spark = Fixtures.spark()
     val q = args.headOption.getOrElse("q_fixture_actions_crud")
     sys.env.get("PROBE_AQE").foreach(v => spark.conf.set("spark.sql.adaptive.enabled", v))
+    // PROBE_COMMIT_V2=1 restores the v1 baseline committer for A/B probing
+    // (Fixtures.spark() sets v2 by default; the r16 probe ignored the value
+    // and silently measured v2-vs-v2)
     sys.env.get("PROBE_COMMIT_V2").foreach(v => spark.sparkContext.hadoopConfiguration
-      .set("mapreduce.fileoutputcommitter.algorithm.version", "2"))
+      .set("mapreduce.fileoutputcommitter.algorithm.version", v))
     var jobs = 0; var tasks = 0L; var taskTime = 0L
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobEnd(e: SparkListenerJobEnd): Unit = jobs += 1

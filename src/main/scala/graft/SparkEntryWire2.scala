@@ -596,11 +596,13 @@ object SparkEntryWire2 {
       // shuffle width — every micro-batch pays one state-store task per
       // partition (see StreamTuning)
       val q2 = graft.streaming.StreamTuning.withStatePartitions(s, 4) {
-        Ingest.dedupIngest(s, inDir, s"$base/out2", schema,
+        val started = Ingest.dedupIngest(s, inDir, s"$base/out2", schema,
           s"$base/ckpt2", keyCols = Seq("key"), tsCol = "ts",
           watermark = "10 minutes", maxFilesPerTrigger = 2)
+        // drain INSIDE the block, per the helper's contract (start AND drain)
+        started.awaitTermination()
+        started
       }
-      q2.awaitTermination()
       val p2 = q2.recentProgress
       val maxState = p2.flatMap(_.stateOperators.map(_.numRowsTotal))
         .foldLeft(0L)(math.max)

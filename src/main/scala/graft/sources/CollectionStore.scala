@@ -72,17 +72,23 @@ final class CollectionStore(val spark: SparkSession, val root: String,
   // version dir per read is pure driver overhead (guide §6: file listing is
   // driver-side, single-process work). A version dir never changes once
   // `_latest` points at it — EXCEPT tenant offload/onload, which move a
-  // partition directory in place and explicitly invalidate below.
-  @volatile private var cachedRead: Option[(Int, DataFrame)] = None
+  // partition directory in place and bump the ROOT-keyed epoch below. The
+  // epoch lives in the companion registry (like the write lock) because
+  // stores on one root are explicitly multi-instance (addProperty/re-open):
+  // a per-instance flag would leave a sibling instance serving a frame whose
+  // frozen file index still includes the moved tenant directory.
+  private val readEpoch = CollectionStore.readEpochFor(root)
+  @volatile private var cachedRead: Option[(Int, Long, DataFrame)] = None
 
   def read(): DataFrame = {
     val v = version
     require(v >= 0, s"collection store $root is empty")
+    val e = readEpoch.get()
     cachedRead match {
-      case Some((cv, df)) if cv == v => df
+      case Some((cv, ce, df)) if cv == v && ce == e => df
       case _ =>
         val df = CollectionStore.readKeepingStringPartitions(spark, s"$root/v$v")
-        cachedRead = Some((v, df))
+        cachedRead = Some((v, e, df))
         df
     }
   }
@@ -419,7 +425,9 @@ final class CollectionStore(val spark: SparkSession, val root: String,
     val dst = Paths.get(offloadRoot, s"v$version-${src.getFileName}")
     Files.createDirectories(Paths.get(offloadRoot))
     Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
-    cachedRead = None // the version dir changed IN PLACE — drop the read memo
+    // the version dir changed IN PLACE: bump the ROOT-keyed epoch so EVERY
+    // instance on this root (not just this one) drops its read memo
+    readEpoch.incrementAndGet()
   }
 
   /** Move an offloaded tenant's partition directory back into the current
@@ -429,7 +437,7 @@ final class CollectionStore(val spark: SparkSession, val root: String,
     val src = Paths.get(offloadRoot, s"v$version-${dst.getFileName}")
     require(Files.exists(src), s"tenant $tenant is not offloaded at $offloadRoot for v$version")
     Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
-    cachedRead = None // the version dir changed IN PLACE — drop the read memo
+    readEpoch.incrementAndGet() // see offloadTenant — root-wide invalidation
   }
 
   private def tenantDir(tenant: String): java.nio.file.Path = {
@@ -522,8 +530,11 @@ final class CollectionStore(val spark: SparkSession, val root: String,
    */
   private def writePartitions(df: DataFrame): Option[Int] = {
     val maxParts = spark.sessionState.conf.numShufflePartitions
+    // malformed knob values degrade to the default target, like every other
+    // estimation failure in this path — a typo'd conf must not fail writes
     val target = spark.conf.getOption("spark.graft.targetFileBytes")
-      .map(_.toLong).getOrElse(128L << 20)
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption).filter(_ > 0)
+      .getOrElse(128L << 20)
     val est = try df.queryExecution.optimizedPlan.stats.sizeInBytes
       catch { case _: Throwable => BigInt(-1) }
     // anything ≥ 2^50 is the unknown-size poison (defaultSizeInBytes or a
@@ -597,9 +608,19 @@ object CollectionStore {
    * the same monitor. Entries are tiny and bounded by the JVM's lifetime. */
   private val writeLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private[sources] def lockFor(root: String): Object =
-    writeLocks.computeIfAbsent(
-      java.nio.file.Paths.get(root).toAbsolutePath.normalize.toString,
-      _ => new Object)
+    writeLocks.computeIfAbsent(canonical(root), _ => new Object)
+
+  private def canonical(root: String): String =
+    java.nio.file.Paths.get(root).toAbsolutePath.normalize.toString
+
+  /** Root-keyed read-memo epoch, bumped by in-place version-dir mutations
+   * (tenant offload/onload) so every instance open on the root re-reads —
+   * the invalidation mirror of the root-keyed write lock above. */
+  private val readEpochs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private[sources] def readEpochFor(root: String): java.util.concurrent.atomic.AtomicLong =
+    readEpochs.computeIfAbsent(canonical(root),
+      _ => new java.util.concurrent.atomic.AtomicLong(0L))
 
   /**
    * Read a (possibly tenant-partitioned) layout with partition-column TYPE

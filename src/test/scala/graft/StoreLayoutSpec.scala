@@ -85,6 +85,28 @@ class StoreLayoutSpec extends SparkSpecBase {
     assert(st.read().filter($"tenant" === "acme:eu").count() == 1)
   }
 
+  test("offload on one instance invalidates a sibling instance's read memo") {
+    val dir = Files.createTempDirectory("graft-layout").toString
+    val off = Files.createTempDirectory("graft-layout-off").toString
+    val schema = CollectionSchema("TenantSib", "id", Seq(
+      Property("name", PropType.Text, Tokenization.Field),
+      Property("tenant", PropType.Text, Tokenization.Field)),
+      tenantColumn = Some("tenant"))
+    val a = new CollectionStore(spark, dir, schema)
+    a.init(Seq((1L, "a", "t0"), (2L, "b", "t1")).toDF("id", "name", "tenant"))
+    // second instance on the SAME root (the addProperty/re-open pattern the
+    // root-keyed write lock exists for); prime its read memo at this version
+    val b = new CollectionStore(spark, dir, schema)
+    assert(b.read().count() == 2)
+    // offload via instance A moves a partition dir IN PLACE (same version
+    // number) — instance B must re-list, not serve its frozen file index
+    // (which would throw FileNotFound or resurrect the moved tenant)
+    a.offloadTenant("t1", off)
+    assert(b.read().select($"tenant").distinct().as[String].collect().toSeq == Seq("t0"))
+    a.onloadTenant("t1", off)
+    assert(b.read().count() == 2)
+  }
+
   test("tenant store round-trips CRUD (partition column moves last on read)") {
     val st = tenantStore()
     st.upsert(Seq((2L, "b2", "t1"), (5L, "e", "t3")).toDF("id", "name", "tenant"))
