@@ -201,9 +201,9 @@ object CitiesFixture {
       StructField("uuid", StringType), StructField("name", StringType),
       StructField("vector", ArrayType(FloatType)), StructField("created", LongType)))
     val countries = spark.createDataFrame(
-      spark.sparkContext.parallelize(Seq(
+      java.util.Arrays.asList(Seq(
         Row(Netherlands, "Netherlands", unit(30.0).toSeq, createdMs(Netherlands)),
-        Row(Germany, "Germany", unit(35.0).toSeq, createdMs(Germany))), 1),
+        Row(Germany, "Germany", unit(35.0).toSeq, createdMs(Germany))): _*),
       countrySchema)
     g.register(CollectionSchema("Country", "uuid", Seq(
       Property("name", Text, Tokenization.Whitespace)),
@@ -238,7 +238,7 @@ object CitiesFixture {
     // geo stored as float32 pairs — the reference's GeoCoordinates are
     // float32, and the acceptance suite asserts the float32-rounded render
     // ("51.225555", local_get_with_geo_range_filter_test.go:49)
-    val cities = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+    val cities = spark.createDataFrame(java.util.Arrays.asList(Seq(
       city(Amsterdam, "Amsterdam", 1800000L, Row(52.366667f, 4.9f), true,
         891.95, year(1400), Seq("CET", "CEST"),
         Seq("Stedelijk Museum", "Rijksmuseum"), HistoryAmsterdam,
@@ -259,7 +259,7 @@ object CitiesFixture {
       city(MissingIsland, "Missing Island", 0L, Row(0.0f, 0.0f), false,
         null, null, null, null, null, null, null),
       city(NullIsland, null, null, null, null,
-        null, null, null, null, null, null, null)), 1), citySchema)
+        null, null, null, null, null, null, null)): _*), citySchema)
     g.register(CollectionSchema("City", "uuid", Seq(
       Property("name", Text, Tokenization.Whitespace),
       Property("inCountry", Ref, refTarget = Some("Country")),
@@ -289,7 +289,7 @@ object CitiesFixture {
     def airport(uuid: String, code: String, phone: Row, airportId: String,
                 city: String, deg: Double): Row =
       Row(uuid, code, phone, airportId, Seq(city), unit(deg).toSeq, createdMs(uuid))
-    val airports = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+    val airports = spark.createDataFrame(java.util.Arrays.asList(Seq(
       airport(Airport1, "10000", phoneRow("+311234567"),
         "00000000-0000-0000-0000-000000010000", Amsterdam, 40.0),
       airport(Airport2, "20000", null,
@@ -297,7 +297,7 @@ object CitiesFixture {
       airport(Airport3, "30000", null,
         "00000000-0000-0000-0000-000000030000", Dusseldorf, 60.0),
       airport(Airport4, "40000", null,
-        "00000000-0000-0000-0000-000000040000", Berlin, 10.0)), 1), airportSchema)
+        "00000000-0000-0000-0000-000000040000", Berlin, 10.0)): _*), airportSchema)
     g.register(CollectionSchema("Airport", "uuid", Seq(
       Property("code", Text, Tokenization.Whitespace),
       Property("phone", Phone),
@@ -319,7 +319,7 @@ object CitiesFixture {
       StructField("about", ArrayType(StringType)),
       StructField("livesIn", ArrayType(StringType)),
       StructField("vector", ArrayType(FloatType))))
-    val persons = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+    val persons = spark.createDataFrame(java.util.Arrays.asList(Seq(
       Row(Alice, "Alice", "Quality Control Analyst",
         Seq("loves travelling very much"), Seq.empty[String], unit(37.0).toSeq),
       Row(Bob, "Bob", "Mechanical Engineer",
@@ -329,7 +329,7 @@ object CitiesFixture {
         Seq(Amsterdam, Berlin), unit(26.0).toSeq),
       Row(Petra, "Petra", "Quality Assurance Manager",
         Seq("likes swimming", "likes cooking for family"),
-        Seq(Amsterdam, Berlin, Dusseldorf), unit(46.0).toSeq)), 1), personSchema)
+        Seq(Amsterdam, Berlin, Dusseldorf), unit(46.0).toSeq)): _*), personSchema)
     g.register(CollectionSchema("Person", "uuid", Seq(
       Property("name", Text, Tokenization.Whitespace),
       Property("profession", Text, Tokenization.Field),
@@ -347,7 +347,7 @@ object CitiesFixture {
       StructField("vector", ArrayType(FloatType))))
     def company(uuid: String, name: String, cities: Seq[String], deg: Double): Row =
       Row(uuid, name, cities, unit(deg).toSeq)
-    val companies = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+    val companies = spark.createDataFrame(java.util.Arrays.asList(Seq(
       company(Microsoft1, "Microsoft Inc.", Seq(Dusseldorf), 0.0),
       company(Microsoft2, "Microsoft Incorporated", Seq(Dusseldorf, Amsterdam), 2.0),
       company(Microsoft3, "Microsoft", Seq(Berlin), 4.0),
@@ -356,7 +356,7 @@ object CitiesFixture {
       company(Apple3, "Apple", Nil, 64.0),
       company(Google1, "Google Inc.", Nil, 120.0),
       company(Google2, "Google Incorporated", Nil, 122.0),
-      company(Google3, "Google", Nil, 124.0)), 1), companySchema)
+      company(Google3, "Google", Nil, 124.0)): _*), companySchema)
     g.register(CollectionSchema("Company", "uuid", Seq(
       Property("name", Text, Tokenization.Whitespace),
       Property("inCity", Ref, refTarget = Some("City"))),
@@ -413,7 +413,7 @@ object CitiesFixture {
       Property("dates", Arr(Date)))
     g.register(CollectionSchema("ArrayClass", "uuid", arrayProps,
       vectors = Map("default" -> "vector"), defaultVector = Some("default")),
-      spark.createDataFrame(spark.sparkContext.parallelize(arrayRows, 1), arraySchema))
+      spark.createDataFrame(java.util.Arrays.asList(arrayRows: _*), arraySchema))
 
     def dupRow(uuid: String, n: Int, deg: Double): Row = {
       // n+1 elements: n-1 copies of the first value + one second value
@@ -431,7 +431,7 @@ object CitiesFixture {
       dupRow("a8076f34-ec16-4333-a963-00c89c5ba003", 1, 84.0))
     g.register(CollectionSchema("DuplicatesClass", "uuid", arrayProps,
       vectors = Map("default" -> "vector"), defaultVector = Some("default")),
-      spark.createDataFrame(spark.sparkContext.parallelize(dupRows, 1), arraySchema))
+      spark.createDataFrame(java.util.Arrays.asList(dupRows: _*), arraySchema))
 
     // ----- CompanyGroup (setup_test.go:577-630) ------------------------------
     // the TestGroupBy bed: word-tokenized names, a field-tokenized city key
@@ -449,7 +449,7 @@ object CitiesFixture {
     g.register(CollectionSchema("CompanyGroup", "uuid", Seq(
       Property("name", Text, Tokenization.Word),
       Property("city", Text, Tokenization.Field))),
-      spark.createDataFrame(spark.sparkContext.parallelize(cgRows, 1),
+      spark.createDataFrame(java.util.Arrays.asList(cgRows: _*),
         StructType(Seq(StructField("uuid", StringType),
           StructField("name", StringType), StructField("city", StringType)))))
 
@@ -477,11 +477,11 @@ object CitiesFixture {
     g.register(CollectionSchema("NearObjectSearch", "uuid", Seq(
       Property("name", Text, Tokenization.Whitespace)),
       vectors = Map("default" -> "vector"), defaultVector = Some("default")),
-      spark.createDataFrame(spark.sparkContext.parallelize(nosRows(false), 1), nosSchema))
+      spark.createDataFrame(java.util.Arrays.asList(nosRows(false): _*), nosSchema))
     g.register(CollectionSchema("NearObjectSearchShadow", "uuid", Seq(
       Property("name", Text, Tokenization.Whitespace)),
       vectors = Map("default" -> "vector"), defaultVector = Some("default")),
-      spark.createDataFrame(spark.sparkContext.parallelize(nosRows(true), 1), nosSchema))
+      spark.createDataFrame(java.util.Arrays.asList(nosRows(true): _*), nosSchema))
 
     // ----- CursorClass (setup_test.go:870-919) ------------------------------
     val cursorNames = Seq(
@@ -494,16 +494,16 @@ object CitiesFixture {
     }
     g.register(CollectionSchema("CursorClass", "uuid", Seq(
       Property("name", Text, Tokenization.Whitespace))),
-      spark.createDataFrame(spark.sparkContext.parallelize(cursorRows, 1),
+      spark.createDataFrame(java.util.Arrays.asList(cursorRows: _*),
         StructType(Seq(StructField("uuid", StringType), StructField("name", StringType)))))
 
     val noPropsSchema = StructType(Seq(
       StructField("uuid", StringType), StructField("vector", ArrayType(FloatType))))
     g.register(CollectionSchema("ClassWithoutProperties", "uuid", Nil,
       vectors = Map("default" -> "vector"), defaultVector = Some("default")),
-      spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      spark.createDataFrame(java.util.Arrays.asList(Seq(
         Row("dfa3b21e-ca5f-4db7-a412-5fc6a23c5301", unit(100.0).toSeq),
-        Row("dfa3b21e-ca5f-4db7-a412-5fc6a23c5311", unit(103.0).toSeq)), 1),
+        Row("dfa3b21e-ca5f-4db7-a412-5fc6a23c5311", unit(103.0).toSeq)): _*),
         noPropsSchema))
 
     g

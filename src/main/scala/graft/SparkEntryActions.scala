@@ -86,7 +86,7 @@ object SparkEntryActions {
 
     def exists(name: String, id: String): Boolean =
       classes.get(name).exists { case (schema, st) =>
-        st.read().filter(col(schema.idColumn) === id).limit(1).count() > 0
+        !st.read().filter(col(schema.idColumn) === id).isEmpty
       }
     private def classOf(id: String): Option[String] =
       classes.keys.find(exists(_, id))
@@ -208,12 +208,12 @@ object SparkEntryActions {
         case None => "404"
         case Some((schema, st)) =>
           val df = st.read()
-          val n = df.count()
           sumProp match {
             case Some(sp) =>
-              val total = df.agg(coalesce(sum(col(sp)), lit(0L))).head().getLong(0)
-              s"n=$n;sum=$total"
-            case None => s"n=$n"
+              // one agg job for count+sum instead of two separate actions
+              val r = df.agg(count(lit(1)), coalesce(sum(col(sp)), lit(0L))).head()
+              s"n=${r.getLong(0)};sum=${r.getLong(1)}"
+            case None => s"n=${df.count()}"
           }
       }
   }
@@ -517,7 +517,7 @@ object SparkEntryActions {
       g.register(CollectionSchema(cls, "uuid",
         Seq(Property("name", PropType.Text)),
         vectors = Map("vec_rq8" -> "v8", "vec_rq1" -> "v1")),
-        s.createDataFrame(s.sparkContext.parallelize(rows, 2), struct))
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), struct))
       out += "l1_pre_near" -> (s"rq8=${near(g, cls, "vec_rq8", randVec(512, 7), 3)};" +
         s"rq1=${near(g, cls, "vec_rq1", randVec(768, 7), 3)}")
       out += "l2_pre_vectors" ->
@@ -539,7 +539,7 @@ object SparkEntryActions {
         f"00000000-0000-0000-0000-0000000002$i%02d", s"new-object-$i",
         randVec(256, i.toFloat), null))
       val extended = withCol.select(col("uuid"), col("name"), col("v8"), col("v1"))
-        .unionByName(s.createDataFrame(s.sparkContext.parallelize(newRows, 1),
+        .unionByName(s.createDataFrame(java.util.Arrays.asList(newRows: _*),
           StructType(Seq(StructField("uuid", StringType),
             StructField("name", StringType), vecField("v8"), vecField("v1")))))
       g.register(c.schema.copy(vectors = c.schema.vectors + ("vec_rq8" -> "v8")),
@@ -563,7 +563,7 @@ object SparkEntryActions {
       g.register(CollectionSchema(cls, "uuid",
         Seq(Property("name", PropType.Text)),
         vectors = Map("colbert" -> "vcb", "sibling" -> "vs")),
-        s.createDataFrame(s.sparkContext.parallelize(rows, 1), struct))
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), struct))
       out += "m1_pre" -> (s"colbert_carried=${g.collection(cls).df
         .filter(col("vcb").isNotNull).count()};sibling={${vecStats(g, cls, "vs")}}")
       g.dropVectorIndex(cls, "colbert")
@@ -594,7 +594,7 @@ object SparkEntryActions {
       g.register(CollectionSchema(cls, "uuid",
         Seq(Property("name", PropType.Text)), tenantColumn = Some("tenant"),
         vectors = Map("vec" -> "vv", "sibling" -> "vs")),
-        s.createDataFrame(s.sparkContext.parallelize(rows, 1), struct))
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), struct))
       g.addTenants(cls, Seq(Tenant("hot"), Tenant("cold")))
       g.updateTenant(cls, "cold", TenantStatus.Inactive)
       g.dropVectorIndex(cls, "vec")
@@ -638,7 +638,7 @@ object SparkEntryActions {
       g.register(CollectionSchema(cls, "uuid",
         Seq(Property("name", PropType.Text)),
         vectors = Map("onlyvec" -> "vo"), defaultVector = Some("onlyvec")),
-        s.createDataFrame(s.sparkContext.parallelize(rows, 1), struct))
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), struct))
       out += "v1_pre_near" -> near(g, cls, "onlyvec", randVec(32, 7), 3)
       g.dropVectorIndex(cls, "onlyvec")
       val sc3 = g.collection(cls).schema
@@ -650,8 +650,8 @@ object SparkEntryActions {
         s"named=${survived.getLong(1)};vo_col=${g.collection(cls).df.columns.contains("vo")}")
       // a new vector-less write works (nothing synthetic started vectorizing)
       g.register(sc3, g.collection(cls).df.unionByName(
-        s.createDataFrame(s.sparkContext.parallelize(Seq(Row(
-          "00000000-0000-0000-0000-000000599999", "post-flip")), 1),
+        s.createDataFrame(java.util.Arrays.asList(Seq(Row(
+          "00000000-0000-0000-0000-000000599999", "post-flip")): _*),
           StructType(Seq(StructField("uuid", StringType),
             StructField("name", StringType))))))
       out += "v4_postflip_write" -> s"n=${g.collection(cls).df.count()}"
@@ -671,7 +671,7 @@ object SparkEntryActions {
       g.register(CollectionSchema(cls, "uuid",
         Seq(Property("name", PropType.Text)),
         vectors = Map("vec" -> "v1", "sibling" -> "vs")),
-        s.createDataFrame(s.sparkContext.parallelize(rows, 1), struct))
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), struct))
       g.dropVectorIndex(cls, "vec")
       val afterFirst = g.collection(cls)
       // re-create at the same name with fresh values
@@ -704,7 +704,7 @@ object SparkEntryActions {
       g.register(CollectionSchema(cls, "uuid",
         Seq(Property("name", PropType.Text)), tenantColumn = Some("tenant"),
         vectors = Map("vec" -> "vv", "sibling" -> "vs")),
-        s.createDataFrame(s.sparkContext.parallelize(rows, 1), struct))
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), struct))
       g.addTenants(cls, tenants.map(Tenant(_)))
       g.updateTenant(cls, "tenant-3", TenantStatus.Inactive)
       g.dropVectorIndex(cls, "vec")
@@ -732,7 +732,7 @@ object SparkEntryActions {
       g.register(CollectionSchema(cls, "uuid",
         Seq(Property("name", PropType.Text)), tenantColumn = Some("tenant"),
         vectors = Map("vec" -> "vv", "sibling" -> "vs")),
-        s.createDataFrame(s.sparkContext.parallelize(rows, 1), struct))
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), struct))
       g.addTenants(cls, tenants.map(Tenant(_)))
       g.updateTenant(cls, "tenant-3", TenantStatus.Inactive)
       g.dropVectorIndex(cls, "vec")
@@ -783,7 +783,7 @@ object SparkEntryActions {
       Property("title_only_filterable", PropType.Text,
         indexSearchable = false),
       Property("year", PropType.Int, indexRangeFilters = true))),
-      s.createDataFrame(s.sparkContext.parallelize(rows, 1), struct))
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), struct))
     def filterText(propName: String): String =
       try g.get(GetParams("Book", where = Some(Where.eqText(propName, "Dune"))))
         .count().toString

@@ -2809,7 +2809,7 @@ object SparkEntryExt {
       st.onloadTenant("click", off)
       val back = st.read().groupBy(col("event_type"))
         .agg(count(lit(1)).as("n")).withColumn("phase", lit("onloaded"))
-      s.createDataFrame(s.sparkContext.parallelize(snapshot, 1), back.schema)
+      s.createDataFrame(java.util.Arrays.asList(snapshot: _*), back.schema)
         .unionByName(back)
         .orderBy(col("phase"), col("event_type"))
     }),

@@ -74,13 +74,13 @@ object SparkEntryFixtures {
         Property("likes", PropType.Number),
         Property("date_published", PropType.Date)),
         vectors = Map("default" -> "vector"), defaultVector = Some("default")),
-        s.createDataFrame(s.sparkContext.parallelize((0 until 100).map { i =>
+        s.createDataFrame(java.util.Arrays.asList((0 until 100).map { i =>
           val likes = ((i * 7 + 13) % 100 * 10).toDouble
           val dayOffset = (i * 3 + 5) % 200
           Row(f"77000000-0000-4000-8000-$i%012d", f"Song $i%03d", likes,
             new java.sql.Timestamp(baseMs - dayOffset * 24L * 3600 * 1000),
             songVecOf(i))
-        }, 2), StructType(Seq(StructField("uuid", StringType),
+        }: _*), StructType(Seq(StructField("uuid", StringType),
           StructField("name", StringType), StructField("likes", DoubleType),
           StructField("date_published", TimestampType),
           StructField("vector", ArrayType(FloatType))))).cache())
@@ -486,7 +486,7 @@ object SparkEntryFixtures {
           s"""{"class": "$cls", "properties": [
              |  {"name": "name", "dataType": ["text"]}]}""".stripMargin,
           idColumn = "uuid", knownClasses = known),
-          s.createDataFrame(s.sparkContext.parallelize(Seq(Row(id, name)), 1), targetType))
+          s.createDataFrame(java.util.Arrays.asList(Seq(Row(id, name)): _*), targetType))
       target("MultiRefTypeBugTargetOne", targetOneId, "target a")
       target("MultiRefTypeBugTargetTwo", targetTwoId, "target b")
       val sourceType = StructType(Seq(StructField("uuid", StringType),
@@ -498,14 +498,14 @@ object SparkEntryFixtures {
           |  {"name": "toTargets", "dataType": ["MultiRefTypeBugTargetOne",
           |   "MultiRefTypeBugTargetTwo"]}]}""".stripMargin,
         idColumn = "uuid", knownClasses = known),
-        s.createDataFrame(s.sparkContext.parallelize(Seq(
+        s.createDataFrame(java.util.Arrays.asList(Seq(
           Row("00000000-0000-0000-0000-00000000b001", "source without refs", null),
           Row("00000000-0000-0000-0000-00000000b002", "source with ref to One",
             Seq(beacon(targetOneId))),
           Row("00000000-0000-0000-0000-00000000b003", "source with ref to Two",
             Seq(beacon(targetTwoId))),
           Row("00000000-0000-0000-0000-00000000b004", "source with ref to both",
-            Seq(beacon(targetOneId), beacon(targetTwoId)))), 1), sourceType))
+            Seq(beacon(targetOneId), beacon(targetTwoId)))): _*), sourceType))
       // name>[resolved|…] rows sorted by name; withIds appends @id per hit
       def run(doc: String, withIds: Boolean): String =
         gg.get(GraphQL.get(gg, doc)).orderBy(col("name"))
@@ -612,7 +612,7 @@ object SparkEntryFixtures {
           |  {"name": "content", "dataType": ["text"]}]}""".stripMargin,
         idColumn = "uuid").copy(
           vectors = Map("default" -> "vector"), defaultVector = Some("default")),
-        s.createDataFrame(s.sparkContext.parallelize(Seq(
+        s.createDataFrame(java.util.Arrays.asList(Seq(
           Row("00000000-0000-0000-0000-000000000001", "Red Sports Car",
             Seq("red", "vehicle", "sports"), Seq("automotive", "luxury"),
             "A beautiful red sports car with excellent performance.", unit(0.0)),
@@ -624,7 +624,7 @@ object SparkEntryFixtures {
             "A red emergency vehicle used by firefighters.", unit(20.0)),
           Row("00000000-0000-0000-0000-000000000004", "Green Garden Tool",
             Seq("green", "tool", "garden"), Seq("tools", "garden"),
-            "A green tool perfect for gardening activities.", unit(30.0))), 1), schemaType))
+            "A green tool perfect for gardening activities.", unit(30.0))): _*), schemaType))
       def groups(doc: String): String = {
         val rows = gg.get(GraphQL.get(gg, doc))
           .select(col("group_value"), col("group_hit_rank")).collect()
@@ -784,9 +784,9 @@ object SparkEntryFixtures {
           Property("name", PropType.Text, Tokenization.Whitespace)),
           vectors = Map("default" -> "vector"), defaultVector = Some("default"),
           vectorMetrics = Map("default" -> m)),
-          s.createDataFrame(s.sparkContext.parallelize(Seq(
+          s.createDataFrame(java.util.Arrays.asList(Seq(
             Row("00000000-0000-0000-0000-0000000000f1", "thing",
-              Seq(1.0f, 0.0f, 0.0f))), 1),
+              Seq(1.0f, 0.0f, 0.0f))): _*),
             StructType(Seq(StructField("uuid", StringType),
               StructField("name", StringType),
               StructField("vector", ArrayType(FloatType))))))
@@ -846,8 +846,8 @@ object SparkEntryFixtures {
         gg.register(graft.model.CollectionSchema("CosineClassA", "uuid", Seq(
           Property("name", PropType.Text)),
           vectors = Map("default" -> "vector"), defaultVector = Some("default")),
-          s.createDataFrame(s.sparkContext.parallelize(Seq(
-            Row("00000000-0000-0000-0000-0000000000f2", "a", Seq(0.0f, 1.0f, 0.0f))), 1),
+          s.createDataFrame(java.util.Arrays.asList(Seq(
+            Row("00000000-0000-0000-0000-0000000000f2", "a", Seq(0.0f, 1.0f, 0.0f))): _*),
             StructType(Seq(StructField("uuid", StringType),
               StructField("name", StringType),
               StructField("vector", ArrayType(FloatType))))))
@@ -879,11 +879,11 @@ object SparkEntryFixtures {
         Property("name", PropType.Text), Property("text", PropType.Text)),
         vectors = Map("default" -> "vector"), defaultVector = Some("default"),
         tenantColumn = Some("tenant")),
-        s.createDataFrame(s.sparkContext.parallelize(Seq(
+        s.createDataFrame(java.util.Arrays.asList(Seq(
           Row(id1, "Tenant1", "meat", "Tenant1", unit(0.0)),
           Row(id2, "Tenant1", "bananas", "Tenant1", unit(20.0)),
           Row(id3, "Tenant1", "kiwi", "Tenant1", unit(40.0)),
-          Row(id3, "Tenant1", "kiwi", "otherTenant", unit(40.0))), 1), mtType))
+          Row(id3, "Tenant1", "kiwi", "otherTenant", unit(40.0))): _*), mtType))
       gg.addTenants("MultiTenantClass",
         Seq(Tenant("Tenant1"), Tenant("otherTenant")))
       val out = Seq.newBuilder[(String, String)]
@@ -929,8 +929,8 @@ object SparkEntryFixtures {
         StructField("name", StringType), StructField("tenant", StringType)))
       gg.register(CollectionSchema("TenantLifecycle", "uuid", Seq(
         Property("name", PropType.Text)), tenantColumn = Some("tenant")),
-        s.createDataFrame(s.sparkContext.parallelize(Seq(
-          Row("00000000-0000-0000-0000-0000000000c1", "x", "Tenant1")), 1), lcType))
+        s.createDataFrame(java.util.Arrays.asList(Seq(
+          Row("00000000-0000-0000-0000-0000000000c1", "x", "Tenant1")): _*), lcType))
       gg.addTenants("TenantLifecycle",
         Seq(Tenant("Tenant1"), Tenant("Tenant2"), Tenant("Tenant3")))
       out += "08_list" -> gg.tenants("TenantLifecycle")
@@ -1011,8 +1011,8 @@ object SparkEntryFixtures {
            |"to": "weaviate://localhost/${tu(j)}"}""".stripMargin).mkString("[", ",", "]")
       val (edges, refErrs) = W.decodeBatchReferences(refsJson)
       val (applied, dropped) = srcSt.addReferences("ref",
-        s.createDataFrame(s.sparkContext.parallelize(
-          edges.map { case (_, e) => Row(e.fromId, e.toId) }, 1),
+        s.createDataFrame(java.util.Arrays.asList(
+          edges.map { case (_, e) => Row(e.fromId, e.toId) }: _*),
           StructType(Seq(StructField("uuid", StringType), StructField("target", StringType)))))
       out += "02_batch_refs" -> s"errors=${refErrs.size};applied=$applied;dropped=$dropped"
       def engine(): Graft = {
@@ -1037,8 +1037,8 @@ object SparkEntryFixtures {
              |"to": "weaviate://localhost/BulkTestSource/${du(i)}"}""".stripMargin)
           .mkString("[", ",", "]"))
       tgtSt.addReferences("fromSource",
-        s.createDataFrame(s.sparkContext.parallelize(
-          delEdges.map { case (_, e) => Row(e.fromId, e.toId) }, 1),
+        s.createDataFrame(java.util.Arrays.asList(
+          delEdges.map { case (_, e) => Row(e.fromId, e.toId) }: _*),
           StructType(Seq(StructField("uuid", StringType), StructField("target", StringType)))))
       def batchDelete(cls: String, filters: String, dryRun: Boolean): String = {
         val eng = engine()
@@ -1104,16 +1104,16 @@ object SparkEntryFixtures {
       gg.register(CollectionSchema("RansomNote", "uuid", Seq(
         Property("contents", PropType.Text)),
         vectors = Map("default" -> "vector"), defaultVector = Some("default")),
-        s.createDataFrame(s.sparkContext.parallelize((0 until 500).map { i =>
+        s.createDataFrame(java.util.Arrays.asList((0 until 500).map { i =>
           val id = if (i == 0) anchorId else f"22222222-0000-4000-8000-$i%012d"
           Row(id, s"note-$i", unit(angleOf(i)))
-        }, 4), noteType))
+        }: _*), noteType))
       gg.register(CollectionSchema("MultiShard", "uuid", Seq(
         Property("name", PropType.Text)),
         vectors = Map("default" -> "vector"), defaultVector = Some("default")),
-        s.createDataFrame(s.sparkContext.parallelize((0 until 3).map { i =>
+        s.createDataFrame(java.util.Arrays.asList((0 until 3).map { i =>
           Row(f"33333333-0000-4000-8000-$i%012d", s"shard-$i", unit(88.0 + i * 2))
-        }, 1), noteType.copy(fields = noteType.fields.updated(1,
+        }: _*), noteType.copy(fields = noteType.fields.updated(1,
           StructField("name", StringType)))))
       val anchorVec = unit(0.0).mkString("[", ", ", "]")
       def n(doc: String): String =
@@ -1195,10 +1195,10 @@ object SparkEntryFixtures {
       gg.register(CollectionSchema("CustomVectorClass", "uuid", Seq(
         Property("name", PropType.Text)),
         vectors = Map("default" -> "vector"), defaultVector = Some("default")),
-        s.createDataFrame(s.sparkContext.parallelize(Seq(
+        s.createDataFrame(java.util.Arrays.asList(Seq(
           Row("1ffeb3e1-1258-4c2a-afc3-55543f6c44b8", "Ford", Seq(1.1f, 1.1f, 1.1f)),
           Row("df22e5c4-5d17-49f9-a71d-f392a82bc086", "Tesla", Seq(1.1f, 1.1f, 0.1f)),
-          Row("c28a039a-d509-4c2e-940a-8b109e5bebf4", "Mercedes", Seq(1.1f, 0f, 0f))), 1),
+          Row("c28a039a-d509-4c2e-940a-8b109e5bebf4", "Mercedes", Seq(1.1f, 0f, 0f))): _*),
           StructType(Seq(StructField("uuid", StringType),
             StructField("name", StringType), StructField("vector", ArrayType(FloatType))))))
       val out = Seq.newBuilder[(String, String)]
@@ -1264,9 +1264,9 @@ object SparkEntryFixtures {
             Property("name", PropType.Text, graft.model.Tokenization.Whitespace)),
             vectors = Map("default" -> "vector"), defaultVector = Some("default"),
             vectorMetrics = Map("default" -> m)),
-            s.createDataFrame(s.sparkContext.parallelize(vecs.zipWithIndex.map {
+            s.createDataFrame(java.util.Arrays.asList(vecs.zipWithIndex.map {
               case (v, i) => Row(f"55000000-0000-4000-8000-$i%012d", s"object_${i + 1}", v)
-            }, 1), StructType(Seq(StructField("uuid", StringType),
+            }: _*), StructType(Seq(StructField("uuid", StringType),
               StructField("name", StringType), StructField("vector", ArrayType(FloatType))))))
         }
         gg
@@ -1402,9 +1402,9 @@ object SparkEntryFixtures {
       gg.register(CollectionSchema("DiversityDoc", "uuid", Seq(
         Property("text", PropType.Text)),
         vectors = Map("default" -> "vector"), defaultVector = Some("default")),
-        s.createDataFrame(s.sparkContext.parallelize(clusters.zipWithIndex.map {
+        s.createDataFrame(java.util.Arrays.asList(clusters.zipWithIndex.map {
           case ((n, v), i) => Row(f"66000000-0000-4000-8000-$i%012d", s"doc $n", v)
-        }, 1), StructType(Seq(StructField("uuid", StringType),
+        }: _*), StructType(Seq(StructField("uuid", StringType),
           StructField("text", StringType), StructField("vector", ArrayType(FloatType))))))
       val qbytes = {
         val bb = java.nio.ByteBuffer.allocate(12).order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -1634,8 +1634,8 @@ object SparkEntryFixtures {
       gg.register(CollectionSchema("Author", "uuid", Seq(
         Property("name", PropType.Text)),
         vectors = Map("default" -> "vector"), defaultVector = Some("default")),
-        s.createDataFrame(s.sparkContext.parallelize(Seq(
-          Row(authorId, "famous writer", unit(30.0))), 1),
+        s.createDataFrame(java.util.Arrays.asList(Seq(
+          Row(authorId, "famous writer", unit(30.0))): _*),
           StructType(Seq(StructField("uuid", StringType),
             StructField("name", StringType), StructField("vector", ArrayType(FloatType))))))
       val detailsType = StructType(Seq(
@@ -1650,11 +1650,11 @@ object SparkEntryFixtures {
         vectors = Map("default" -> "vector"), defaultVector = Some("default"),
         creationTimeColumn = Some("created"), updateTimeColumn = Some("created"),
         timestampUnit = "ms"),
-        s.createDataFrame(s.sparkContext.parallelize(Seq(
+        s.createDataFrame(java.util.Arrays.asList(Seq(
           Row(movie1, "spaceship galaxy adventure", 2021L, 5L, "user data",
             Row(120L, "a journey through space"), Seq(authorId), unit(5.0), 1700000001000L),
           Row(movie2, "cooking dinner recipes", 1999L, 3L, "more user data",
-            null, null, unit(60.0), 1700000002000L)), 1),
+            null, null, unit(60.0), 1700000002000L)): _*),
           StructType(Seq(StructField("uuid", StringType),
             StructField("title", StringType), StructField("year", LongType),
             StructField("rating", LongType), StructField("metadata", StringType),
@@ -1665,23 +1665,23 @@ object SparkEntryFixtures {
       // vectorizer "none" — no vector column at all
       gg.register(CollectionSchema("Notes", "uuid", Seq(
         Property("title", PropType.Text))),
-        s.createDataFrame(s.sparkContext.parallelize(Seq(
-          Row("aa44bbee-ca5f-4db7-a412-5fc6a2300009", "x")), 1),
+        s.createDataFrame(java.util.Arrays.asList(Seq(
+          Row("aa44bbee-ca5f-4db7-a412-5fc6a2300009", "x")): _*),
           StructType(Seq(StructField("uuid", StringType), StructField("title", StringType)))))
       gg.register(CollectionSchema("Painting", "uuid", Seq(
         Property("title", PropType.Text)),
         vectors = Map("default" -> "vector"), defaultVector = Some("default"),
         vectorMetrics = Map("default" -> Metric.L2Squared)),
-        s.createDataFrame(s.sparkContext.parallelize(Seq(
-          Row("aa44bbee-ca5f-4db7-a412-5fc6a2300005", "sunflowers", unit(45.0))), 1),
+        s.createDataFrame(java.util.Arrays.asList(Seq(
+          Row("aa44bbee-ca5f-4db7-a412-5fc6a2300005", "sunflowers", unit(45.0))): _*),
           StructType(Seq(StructField("uuid", StringType),
             StructField("title", StringType), StructField("vector", ArrayType(FloatType))))))
       gg.register(CollectionSchema("Journal", "uuid", Seq(
         Property("title", PropType.Text)),
         vectors = Map("default" -> "vector"), defaultVector = Some("default"),
         tenantColumn = Some("tenant")),
-        s.createDataFrame(s.sparkContext.parallelize(Seq(
-          Row("aa44bbee-ca5f-4db7-a412-5fc6a2300004", "travel diary", "tenantA", unit(88.0))), 1),
+        s.createDataFrame(java.util.Arrays.asList(Seq(
+          Row("aa44bbee-ca5f-4db7-a412-5fc6a2300004", "travel diary", "tenantA", unit(88.0))): _*),
           StructType(Seq(StructField("uuid", StringType),
             StructField("title", StringType), StructField("tenant", StringType),
             StructField("vector", ArrayType(FloatType))))))
@@ -1815,7 +1815,7 @@ object SparkEntryFixtures {
         Property("description", PropType.Text),
         Property("tags", PropType.Arr(PropType.Text))),
         vectors = Map("default" -> "vector"), defaultVector = Some("default")),
-        s.createDataFrame(s.sparkContext.parallelize(Seq(
+        s.createDataFrame(java.util.Arrays.asList(Seq(
           Row(Dune, "Dune",
             "Dune is a 1965 epic science fiction novel by American author Frank Herbert.",
             null, unit(0.0)),
@@ -1824,7 +1824,7 @@ object SparkEntryFixtures {
             null, unit(30.0)),
           Row(Ice, "The Lord of the Ice Garden",
             "The Lord of the Ice Garden (Polish: Pan Lodowego Ogrodu) is a four-volume science fiction and fantasy novel by Polish writer Jaroslaw Grzedowicz.",
-            Seq("three", "three", "three"), unit(60.0))), 1),
+            Seq("three", "three", "three"), unit(60.0))): _*),
           StructType(Seq(StructField("uuid", StringType),
             StructField("title", StringType), StructField("description", StringType),
             StructField("tags", ArrayType(StringType)),
@@ -1833,8 +1833,8 @@ object SparkEntryFixtures {
         StructField("text", StringType)))
       Seq("Document", "Passage").zipWithIndex.foreach { case (n, i) =>
         gg.register(CollectionSchema(n, "uuid", Seq(Property("text", PropType.Text))),
-          s.createDataFrame(s.sparkContext.parallelize(Seq(
-            Row(f"88000000-0000-4000-8000-$i%012d", s"$n body")), 1), simpleType))
+          s.createDataFrame(java.util.Arrays.asList(Seq(
+            Row(f"88000000-0000-4000-8000-$i%012d", s"$n body")): _*), simpleType))
       }
       val out = Seq.newBuilder[(String, String)]
       Seq("RestBookAlias" -> "Books", "RestDocumentAlias" -> "Document",
@@ -1899,8 +1899,8 @@ object SparkEntryFixtures {
       // tenant ops via alias (reference: mutations fail, reads resolve)
       gg.register(CollectionSchema("MultiTenantClass", "uuid", Seq(
         Property("name", PropType.Text)), tenantColumn = Some("tenant")),
-        s.createDataFrame(s.sparkContext.parallelize(Seq(
-          Row("88000000-0000-4000-8000-0000000000ff", "x", "Tenant2")), 1),
+        s.createDataFrame(java.util.Arrays.asList(Seq(
+          Row("88000000-0000-4000-8000-0000000000ff", "x", "Tenant2")): _*),
           StructType(Seq(StructField("uuid", StringType),
             StructField("name", StringType), StructField("tenant", StringType)))))
       gg.createAlias("MultiTenantAlias", "MultiTenantClass")
@@ -2050,8 +2050,8 @@ object SparkEntryFixtures {
       val gg = new Graft(s)
       gg.register(CollectionSchema("GRPCTenantsGet", "uuid", Seq(
         Property("name", PropType.Text)), tenantColumn = Some("tenant")),
-        s.createDataFrame(s.sparkContext.parallelize(Seq(
-          Row("aa000000-0000-4000-8000-000000000001", "x", "Tenant1")), 1),
+        s.createDataFrame(java.util.Arrays.asList(Seq(
+          Row("aa000000-0000-4000-8000-000000000001", "x", "Tenant1")): _*),
           StructType(Seq(StructField("uuid", StringType),
             StructField("name", StringType), StructField("tenant", StringType)))))
       gg.addTenants("GRPCTenantsGet",
@@ -2094,8 +2094,8 @@ object SparkEntryFixtures {
           |  {"name": "hiddenName", "dataType": ["text"], "tokenization": "whitespace",
           |   "indexFilterable": false, "indexSearchable": false}]}""".stripMargin,
         idColumn = "uuid")
-      gg.register(schema, s.createDataFrame(s.sparkContext.parallelize(Seq(
-        Row("f5ffb60f-4c13-4d07-a395-829b2396c7b9", "elephant", "zebra")), 1),
+      gg.register(schema, s.createDataFrame(java.util.Arrays.asList(Seq(
+        Row("f5ffb60f-4c13-4d07-a395-829b2396c7b9", "elephant", "zebra")): _*),
         StructType(Seq(StructField("uuid", StringType),
           StructField("name", StringType), StructField("hiddenName", StringType)))))
       def q(prop: String, v: String): String = okOr {
@@ -2399,7 +2399,7 @@ object SparkEntryFixtures {
         Property("unique", PropType.Text, Tokenization.Field),
         Property("identical", PropType.Text, Tokenization.Field),
         Property("timestamp", PropType.Date))),
-        s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), StructType(Seq(
           StructField("id", LongType), StructField("unique", StringType),
           StructField("identical", StringType), StructField("timestamp", LongType)))))
       def stats(filters: String, withMode: Boolean): Seq[(String, Row)] = {

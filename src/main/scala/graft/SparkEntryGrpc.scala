@@ -121,7 +121,7 @@ object SparkEntryGrpc {
       Property("name", PropType.Text), Property("description", PropType.Text)),
       vectors = Map("colbert" -> "colbert_vec", "regular" -> "regular_vec",
         "description" -> "description_vec")),
-      s.createDataFrame(s.sparkContext.parallelize(rows, 1), frame))
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), frame))
     gg
   }
 
@@ -924,7 +924,7 @@ object SparkEntryGrpc {
         1700000000000L + i, 1700000000000L + i)
     }
     val gg = new Graft(s)
-    gg.register(schema, s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
+    gg.register(schema, s.createDataFrame(java.util.Arrays.asList(rows: _*), StructType(Seq(
       StructField("uuid", StringType), StructField("title", StringType),
       StructField("contents", StringType), StructField("author", StringType),
       StructField("year", LongType), StructField("status", StringType),
@@ -940,7 +940,7 @@ object SparkEntryGrpc {
       ("Tenant B Article 1", "Data science basics", "tenant-b")).zipWithIndex.map {
       case ((t, c, tn), i) => Row(f"3c9b0000-0000-4000-8000-$i%012d", t, c, tn)
     }
-    gg.register(mtSchema, s.createDataFrame(s.sparkContext.parallelize(mtRows, 1),
+    gg.register(mtSchema, s.createDataFrame(java.util.Arrays.asList(mtRows: _*),
       StructType(Seq(StructField("uuid", StringType), StructField("title", StringType),
         StructField("contents", StringType), StructField("tenant", StringType)))))
     gg.addTenants("TestArticleMT", Seq(Tenant("tenant-a"), Tenant("tenant-b")))
@@ -1058,7 +1058,7 @@ object SparkEntryGrpc {
       Property("cityRights", PropType.Date),
       Property("timezones", PropType.Arr(PropType.Text), Tokenization.Whitespace)),
       timestampUnit = "ns"),
-      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), StructType(Seq(
         StructField("uuid", StringType), StructField("name", StringType),
         StructField("cityRights", LongType),
         StructField("timezones", ArrayType(StringType))))).cache())

@@ -278,8 +278,8 @@ object SparkEntryObjects {
         Property("title", PropType.Text, Tokenization.Whitespace)),
         tenantColumn = Some("tenant"))
       val gg = new Graft(s)
-      gg.register(schema, s.createDataFrame(s.sparkContext.parallelize(Seq(
-        Row("0d3a0000-0000-4000-8000-000000000001", "paragraph#0", null, "tenant")), 1),
+      gg.register(schema, s.createDataFrame(java.util.Arrays.asList(Seq(
+        Row("0d3a0000-0000-4000-8000-000000000001", "paragraph#0", null, "tenant")): _*),
         StructType(Seq(StructField("uuid", StringType),
           StructField("contents", StringType), StructField("title", StringType),
           StructField("tenant", StringType)))))

@@ -468,7 +468,7 @@ object SparkEntryWire2 {
         s.createDataFrame(java.util.Arrays.asList(row), StructType(cols))
       }
       def exists(id: String): Boolean =
-        st.read().filter(col("id") === id).limit(1).count() > 0
+        !st.read().filter(col("id") === id).isEmpty
       def post(json: String): String = okOr {
         val o = W.decodeRestObject(json)
         // checkIDOrAssignNew (add.go:145-176): quoted id keeps the POSTED case

@@ -206,7 +206,7 @@ final class Graft(val spark: SparkSession) {
     authorizeRbac(rbacPrincipal, Rbac.ReadData,
       collections.map(n => Rbac.objects(rbacName(n))))
     val owner = collections.view.map(collection)
-      .find(c => c.df.filter(col(c.schema.idColumn) === lit(nearObject.id)).limit(1).count() > 0)
+      .find(c => !c.df.filter(col(c.schema.idColumn) === lit(nearObject.id)).isEmpty)
       .getOrElse(throw new IllegalArgumentException(
         s"nearObject: no object with id ${nearObject.id} in ${collections.mkString(", ")}"))
     val nv = graft.operators.VectorSearch.resolveNearObject(owner, nearObject)
@@ -1000,8 +1000,15 @@ final class Graft(val spark: SparkSession) {
    * at scale that join broadcasts the k hits and reads only the projected
    * columns of the corpus — never tokenizes or scores it.
    */
+  /** hitsOnly: return the postings-served (id, _score) top-N frame WITHOUT
+   * the decorate join + global sort — for callers that immediately reduce to
+   * (id, score), i.e. the hybrid sparse leg. The row SET is identical: hits
+   * ids are a subset of `filtered`'s (the allowlist semi-join runs BEFORE
+   * scoring), so the skipped inner join could never drop or add a row, and
+   * fusion re-ranks so the skipped sort was dead ordering. The scan path is
+   * unchanged (it has no decoration join to skip). */
   private def bm25Serve(c: Collection, kw: Bm25, fetchN: Int, filtered: DataFrame,
-                        explain: Boolean = false): DataFrame = {
+                        explain: Boolean = false, hitsOnly: Boolean = false): DataFrame = {
     val id = c.schema.idColumn
     // explainScore needs the per-term breakdown columns — the scan path is
     // the explain plan (reference explains from the same scoring pass,
@@ -1034,7 +1041,8 @@ final class Graft(val spark: SparkSession) {
           else Postings.searchPruned(idx, kw.query, fetchN, kw.searchOperator,
             kw.k1, kw.b, allowlist = allow, boosts = boosts,
             props = Some(specs.map(_.name)))
-        hits.join(filtered, Seq(id), "inner")
+        if (hitsOnly) hits
+        else hits.join(filtered, Seq(id), "inner")
           .orderBy(col(Bm25Search.ScoreCol).desc, col(id).asc)
       case None => Bm25Search.search(c, kw, fetchN, Some(filtered))
     }
@@ -1283,7 +1291,7 @@ final class Graft(val spark: SparkSession) {
         HybridSearch.search(c, resolved, resolved.metric, fetchLimit.getOrElse(defaultLimit),
           filtered = Some(filtered),
           denseSearch = Some((nv, n) => vectorLeg(nv, limitOverride = Some(n))),
-          sparseSearch = Some((kw, n) => bm25Serve(c, kw, n, filtered)),
+          sparseSearch = Some((kw, n) => bm25Serve(c, kw, n, filtered, hitsOnly = true)),
           // the groupBy pool re-ranks below — keep the secondary so float32
           // ties break the reference way, not by id
           keepSecondary = params.groupBy.isDefined)
@@ -1999,7 +2007,8 @@ final class Graft(val spark: SparkSession) {
         // the sparse leg, registered ANN index + selectivity for the dense)
         Some(HybridSearch.search(c, h, h.metric, lim, filtered = filtered,
           denseSearch = Some((nv, n) => denseServe(c, nv, Some(n), filtered)),
-          sparseSearch = Some((kw, n) => bm25Serve(c, kw, n, filtered.getOrElse(c.df)))))
+          sparseSearch = Some((kw, n) =>
+            bm25Serve(c, kw, n, filtered.getOrElse(c.df), hitsOnly = true))))
       case _ => filtered
     }
     Aggregations.run(c, params, scoped)

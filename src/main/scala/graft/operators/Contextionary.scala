@@ -207,7 +207,7 @@ object Contextionary {
         e.distanceToPrevious.orNull, e.distanceToQuery, e.distanceToResult)))
     }
     val pathDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(data, 1), schema)
+      java.util.Arrays.asList(data: _*), schema)
     // bounded-page broadcast join back onto the page
     page.join(broadcast(pathDf), col(idCol) === col("__sp_id"), "left")
       .drop("__sp_id")

@@ -53,7 +53,7 @@ object FeatureProjection {
       org.apache.spark.sql.Row(r.get(0), proj(i).toSeq)
     }
     val lookup = spark.createDataFrame(
-      spark.sparkContext.parallelize(data, 1), schema)
+      java.util.Arrays.asList(data: _*), schema)
     results.join(broadcast(lookup), results(idCol) === col("__fp_id"), "left")
       .drop("__fp_id")
   }

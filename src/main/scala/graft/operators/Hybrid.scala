@@ -174,21 +174,36 @@ object HybridSearch {
    */
   def fuseMany(legs: Seq[(DataFrame, Double, String)], id: String, fusion: FusionType): DataFrame = {
     require(legs.size >= 2, "fuseMany needs at least two legs")
-    val prepped: Seq[DataFrame] = legs.zipWithIndex.map { case ((df, _, _), i) =>
-      fusion match {
-        case FusionType.Ranked =>
-          df.withColumn(s"__r_$i",
-              row_number().over(BoundedWindow.ordered(col("__s").desc, col(id).asc)))
-            .select(col(id), col("__s").as(s"__s_$i"), col(s"__r_$i"))
-        case FusionType.RelativeScore =>
-          val w = BoundedWindow.all() // bounded leg frame — cheap by design
-          val mn = min(col("__s")).over(w); val mx = max(col("__s")).over(w)
-          df.withColumn(s"__n_$i",
-              when(mx === mn, lit(1.0)).otherwise((col("__s") - mn) / (mx - mn)))
-            .select(col(id), col("__s").as(s"__s_$i"), col(s"__n_$i"))
-      }
+    // ONE plan for all legs (guide §2.4 — remove shuffles outright): tag each
+    // (already top-N-bounded) leg with its index, union, rank/normalize with
+    // a single window PARTITIONED BY the leg tag, then pivot back to per-leg
+    // columns with one id-keyed hash aggregate. The previous shape — one
+    // single-partition window exchange PER LEG feeding a chain of full-outer
+    // SortMergeJoins (2 exchanges + 2 sorts each; full-outer cannot
+    // broadcast) — paid ~3N-1 exchanges for frames of ≤fetchN rows. This
+    // shape pays 2 (window hash + aggregate hash) for any leg count.
+    // Per-id equivalence: every leg carries unique ids (each is a top-N over
+    // an id-unique collection frame), so max(when(__leg = i, x)) recovers
+    // exactly the full-outer join's per-leg cell — the value when leg i
+    // returned the id, null otherwise. Ranks/normals are computed per leg
+    // partition, identical to the per-leg windows they replace.
+    val tagged = legs.zipWithIndex.map { case ((df, _, _), i) =>
+      df.select(col(id), col("__s"), lit(i).as("__leg"))
+    }.reduce(_.unionByName(_))
+    val wLeg = Window.partitionBy(col("__leg"))
+    val (metric, mName) = fusion match {
+      case FusionType.Ranked =>
+        (tagged.withColumn("__m",
+          row_number().over(wLeg.orderBy(col("__s").desc, col(id).asc))), "__r")
+      case FusionType.RelativeScore =>
+        val mn = min(col("__s")).over(wLeg); val mx = max(col("__s")).over(wLeg)
+        (tagged.withColumn("__m",
+          when(mx === mn, lit(1.0)).otherwise((col("__s") - mn) / (mx - mn))), "__n")
     }
-    val joined = prepped.reduce((a, b) => a.join(b, Seq(id), "full_outer"))
+    val aggs: Seq[Column] =
+      legs.indices.map(i => max(when(col("__leg") === i, col("__s"))).as(s"__s_$i")) ++
+      legs.indices.map(i => max(when(col("__leg") === i, col("__m"))).as(s"${mName}_$i"))
+    val joined = metric.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
     val score: Column = fusion match {
       case FusionType.Ranked =>
         legs.indices.map(i =>

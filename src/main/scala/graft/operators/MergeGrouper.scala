@@ -96,6 +96,6 @@ object MergeGrouper {
       else f
     } :+ StructField("group_size", LongType))
     pool.sparkSession.createDataFrame(
-      pool.sparkSession.sparkContext.parallelize(outRows, 1), outSchema)
+      java.util.Arrays.asList(outRows: _*), outSchema)
   }
 }

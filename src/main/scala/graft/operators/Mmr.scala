@@ -54,7 +54,7 @@ object Mmr {
     }
     val idField = pool.schema(idCol)
     spark.createDataFrame(
-      spark.sparkContext.parallelize(out.toSeq, 1),
+      java.util.Arrays.asList(out.toSeq: _*),
       StructType(Seq(idField.copy(name = "id"),
         StructField("mmr_rank", IntegerType), StructField("mmr_score", DoubleType))))
   }
@@ -141,8 +141,8 @@ object Mmr {
     val spark = page.sparkSession
     val idField = page.schema(idCol)
     val rankDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        full.zipWithIndex.map { case (idx, rank) => Row(rows(idx)._1, rank + 1) }, 1),
+      java.util.Arrays.asList(
+        full.zipWithIndex.map { case (idx, rank) => Row(rows(idx)._1, rank + 1) }: _*),
       StructType(Seq(idField.copy(name = "__mmr_id"),
         StructField("_mmr_rank", IntegerType))))
     page.join(broadcast(rankDf), col(idCol) === col("__mmr_id"))

@@ -867,7 +867,7 @@ object Dedup {
           least(col("cluster_id"), coalesce(col("__nbr_min"), col("cluster_id"))).as("cluster_id"),
           (col("__nbr_min") < col("cluster_id")).as("__changed"))
         .localCheckpoint(true)
-      converged = next.filter(col("__changed")).limit(1).count() == 0L
+      converged = next.filter(col("__changed")).isEmpty
       labels = next.drop("__changed")
       it += 1
     }

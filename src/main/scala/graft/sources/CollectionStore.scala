@@ -61,7 +61,34 @@ final class CollectionStore(val spark: SparkSession, val root: String,
    * would race each other straight back into the lost-update hole.
    */
   private val writeLock = CollectionStore.lockFor(root)
-  private def mutate[T](body: => T): T = writeLock.synchronized(body)
+  private def mutate[T](body: => T): T = writeLock.synchronized(withMutationAqe(body))
+
+  /**
+   * Store mutations run with AQE disabled (restored after). The mutation
+   * plan shape is fixed at ANY scale: a broadcast (anti/left) join of the
+   * batch against the current version — the batch side is small by
+   * protocol — feeding a write whose partitioning is already EXPLICIT
+   * (adaptive width / coalesce(1) below), so AQE has nothing left to
+   * re-optimize; what it does add is one scheduler round-trip per query
+   * stage, measured at ~40% of a mutation-heavy journey's wall clock
+   * (PROBE_AQE A/B on q_fixture_actions_crud: 29.4 s on, 17.8 s off, 216 vs
+   * 170 jobs). r16 rejected AQE-off when small writes still shuffled at the
+   * session width and needed AQE's coalescing — the adaptive write width
+   * made that objection obsolete. Scoped HERE, not globally: scan/join/agg
+   * queries keep AQE's skew and coalescing at scale. Set
+   * `spark.graft.mutationAqe=true` to keep AQE inside mutations too.
+   * The conf set/restore is session-visible for the mutation's duration; a
+   * concurrently-planned reader would merely plan without AQE once —
+   * a perf nuance, never a correctness one (AQE is purely physical).
+   */
+  private def withMutationAqe[T](body: => T): T =
+    if (spark.conf.getOption("spark.graft.mutationAqe").exists(_.toBoolean)) body
+    else {
+      val key = "spark.sql.adaptive.enabled"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, "false")
+      try body finally spark.conf.set(key, prev)
+    }
 
   def version: Int =
     if (Files.exists(latestPath)) new String(Files.readAllBytes(latestPath)).trim.toInt else -1
