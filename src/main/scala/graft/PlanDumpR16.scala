@@ -85,18 +85,24 @@ object PlanDumpR16 {
     if (args.length > 1 && args(1) == "census") {
       val rows = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val line = try {
-          val plan = fn(spark, dir).queryExecution.explainString(
+          val df = fn(spark, dir)
+          // structural counts (exchanges/joins/pushdown) come from the
+          // PRE-execution plan — comparable with the r16 census; codegen
+          // spans come from the FINAL plan after executing THIS
+          // QueryExecution, because under AQE CollapseCodegenStages runs per
+          // stage at runtime and a pre-execution dump reports codegen=0 for
+          // every adaptive query (the r16 census's dead column, twice over)
+          val plan = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          try df.collect() catch { case _: Throwable => () }
+          val finalPlan = df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode)
           def n(pat: String) = pat.r.findAllIn(plan).size
           val joins = Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
             "BroadcastNestedLoopJoin", "CartesianProduct")
             .map(j => s"$j=${n(j)}").filter(!_.endsWith("=0")).mkString(",")
-          // FormattedMode renders whole-stage-codegen membership as
-          // "[codegen id : N]" markers, not "WholeStageCodegen" nodes —
-          // count DISTINCT codegen ids (the r16 census grepped the wrong
-          // token and reported 0 everywhere, VERDICT item 5)
           val codegenSpans = "\\[codegen id : (\\d+)\\]".r
-            .findAllMatchIn(plan).map(_.group(1)).toSet.size
+            .findAllMatchIn(finalPlan).map(_.group(1)).toSet.size
           s"$name\texchanges=${n("Exchange")}\tcodegen=$codegenSpans\t" +
             s"pushed=${n("PushedFilters: \\[[^]]")}\tjoins=[$joins]"
         } catch { case e: Throwable => s"$name\tERROR\t${e.getClass.getSimpleName}" }

@@ -212,13 +212,24 @@ final class CollectionStore(val spark: SparkSession, val root: String,
   /** A frame whose whole plan is driver-local literal rows: deterministic
    * and free to recompute, so the persist-before-multi-scan discipline below
    * is pure overhead for it (single-object REST/gRPC writes are all local). */
-  private def isLocalFrame(df: DataFrame): Boolean =
+  private def isLocalFrame(df: DataFrame): Boolean = {
     // optimized (not raw logical): toDF/select over literal rows collapses
     // back to a LocalRelation, and the pass is cached on the frame's own
-    // QueryExecution so nothing is computed twice
-    try df.queryExecution.optimizedPlan.isInstanceOf[
-      org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
+    // QueryExecution so nothing is computed twice. Range (spark.range) and
+    // deterministic projections/filters over either are equally free to
+    // recompute — same "deterministic literal rows" argument, so the
+    // multi-scan persist is pure block-manager churn for them too.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def cheap(p: LogicalPlan): Boolean = p match {
+      case _: LocalRelation => true
+      case _: Range         => true
+      case proj: Project if proj.projectList.forall(_.deterministic) => cheap(proj.child)
+      case f: Filter if f.condition.deterministic => cheap(f.child)
+      case _ => false
+    }
+    try cheap(df.queryExecution.optimizedPlan)
     catch { case _: Throwable => false }
+  }
 
   def upsert(updates: DataFrame): Unit = mutate {
     val id = schema.idColumn

@@ -49,7 +49,7 @@ class DedupSpec extends SparkSpecBase {
       "bed must produce at least one new<->new pair")
   }
 
-  test("minhash-LSH finds exactly the brute-force near-dup pairs (recall 1 here)") {
+  test("minhash-LSH finds exactly the brute-force near-dup pairs (recall 1 here)", SlowTests) {
     val got = Dedup.minhashDuplicates(docs, $"doc_id", $"text",
         shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.7)
       .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -58,7 +58,7 @@ class DedupSpec extends SparkSpecBase {
     assert(got == want) // verify step removes false positives; LSH recall is 1 at s≈0.9
   }
 
-  test("hot-band star cap: mega-cluster stays one connected component at Σ-bucket cost") {
+  test("hot-band star cap: mega-cluster stays one connected component at Σ-bucket cost", SlowTests) {
     // 40 near-identical docs (one appended unique token each) — every band
     // bucket is hot at cap 8, so candidates come from the star arm only
     val base = docs.filter($"doc_id" === 8).head().getString(1)

@@ -78,7 +78,7 @@ class GrouperAndPqSpec extends SparkSpecBase {
     assert(n == 4)
   }
 
-  test("PQ ADC + rescore: recall@10 >= 0.9 vs exact brute force") {
+  test("PQ ADC + rescore: recall@10 >= 0.9 vs exact brute force", SlowTests) {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val pq = ProductQuantizer.train(emb, "embedding", m = 8, k = 16)
     val encoded = emb.withColumn("code", pq.encode($"embedding")).cache()

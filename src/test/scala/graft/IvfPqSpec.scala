@@ -13,7 +13,7 @@ class IvfPqSpec extends SparkSpecBase {
 
   private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
 
-  test("residual ADC estimates are tighter than raw-vector ADC (the point of residual coding)") {
+  test("residual ADC estimates are tighter than raw-vector ADC (the point of residual coding)", SlowTests) {
     val idx = IvfPq.build(emb, "vec_id", "embedding", nlist = 8, m = 8, k = 16)
     val rawPq = ProductQuantizer.train(emb, "embedding", m = 8, k = 16)
     val rawEncoded = emb.withColumn("code", rawPq.encode($"embedding"))
@@ -35,7 +35,7 @@ class IvfPqSpec extends SparkSpecBase {
     assert(resErr < rawErr, s"residual err $resErr !< raw err $rawErr")
   }
 
-  test("low-nprobe recall vs the probed-exact ceiling >= 0.9 (PQ stage loses almost nothing)") {
+  test("low-nprobe recall vs the probed-exact ceiling >= 0.9 (PQ stage loses almost nothing)", SlowTests) {
     val idx = IvfPq.build(emb, "vec_id", "embedding", nlist = 8, m = 8, k = 16)
     val queries = emb.filter($"vec_id" % 50 === 0).select($"vec_id", $"embedding").collect()
     val recalls = queries.map { row =>
@@ -56,7 +56,7 @@ class IvfPqSpec extends SparkSpecBase {
     assert(mean >= 0.9, s"mean probe-relative recall $mean (${recalls.mkString(",")})")
   }
 
-  test("persisted layout: probe = PartitionFilters, first pass never reads vectors, semi-join rescore") {
+  test("persisted layout: probe = PartitionFilters, first pass never reads vectors, semi-join rescore", SlowTests) {
     val path = java.nio.file.Files.createTempDirectory("ivfpq-plan").toString
     val idx = IvfPq.build(emb, "vec_id", "embedding", nlist = 8, m = 8, k = 16,
       persistPath = Some(path))

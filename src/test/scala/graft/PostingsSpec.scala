@@ -161,7 +161,7 @@ class PostingsSpec extends SparkSpecBase {
 
   // --- incremental maintenance (delta — the async-indexing-queue analogue) --
 
-  test("delta(upsert+delete) == fresh rebuild (postings, stats, pruned search)") {
+  test("delta(upsert+delete) == fresh rebuild (postings, stats, pruned search)", SlowTests) {
     val g = Fixtures.graft(spark, sf)
     val c0 = g.collection("Document")
     val idx0 = Postings.build(c0, Seq("text"), buckets = 16)
@@ -249,7 +249,7 @@ class PostingsSpec extends SparkSpecBase {
     assert(stA2.collection.version != stB.collection.version)
   }
 
-  test("pruned bound survives k1=0 with a zero-boost prop (no NaN poisoning)") {
+  test("pruned bound survives k1=0 with a zero-boost prop (no NaN poisoning)", SlowTests) {
     // DocVec postings cover (text, lang, source); boost lang to 0 and set
     // k1 = 0: a bucket where a query term appears only in `lang` has a zero
     // frequency upper bound, and 0/0 would poison that bucket's summed bound
