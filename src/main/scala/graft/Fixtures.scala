@@ -48,6 +48,11 @@ object Fixtures {
       // tasks; speculation is off by default — pinned so a deployment can't
       // flip it without revisiting the committer choice
       .config("spark.speculation", "false")
+      // zstd for everything the engine writes (guide §6: smaller than snappy
+      // at similar read speed; at 100 TB the store/postings/index layouts are
+      // the dominant bytes). Env-overridable for A/B.
+      .config("spark.sql.parquet.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_PARQUET_CODEC", "zstd"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     // the engine's global-window fusions are DOCUMENTED bounded (top-k pools,
