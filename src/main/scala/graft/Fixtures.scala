@@ -79,6 +79,12 @@ object Fixtures {
     // and accept the retry risk, or revert to v1 (one conf, no code change).
     s.sparkContext.hadoopConfiguration
       .set("mapreduce.fileoutputcommitter.algorithm.version", "2")
+    // no _SUCCESS markers: nothing in the engine or its tooling reads them
+    // (store visibility is the `_latest` pointer flip; streaming sinks use
+    // their manifest log) — one less file create per version write, and
+    // journey gates write hundreds of versions per bench pass
+    s.sparkContext.hadoopConfiguration
+      .set("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
     s
   }
 
