@@ -83,12 +83,7 @@ final class CollectionStore(val spark: SparkSession, val root: String,
    */
   private def withMutationAqe[T](body: => T): T =
     if (spark.conf.getOption("spark.graft.mutationAqe").exists(_.toBoolean)) body
-    else {
-      val key = "spark.sql.adaptive.enabled"
-      val prev = spark.conf.get(key)
-      spark.conf.set(key, "false")
-      try body finally spark.conf.set(key, prev)
-    }
+    else CollectionStore.withAqeOff(spark)(body)
 
   def version: Int =
     if (Files.exists(latestPath)) new String(Files.readAllBytes(latestPath)).trim.toInt else -1
@@ -650,6 +645,28 @@ object CollectionStore {
 
   private def canonical(root: String): String =
     java.nio.file.Paths.get(root).toAbsolutePath.normalize.toString
+
+  /** Session-keyed depth-counted AQE flip: mutations on DIFFERENT roots can
+   * run concurrently (only same-root writes serialize through lockFor), and
+   * a naive per-call set/restore pair interleaved across threads could
+   * capture the other thread's "false" as its restore value and leave the
+   * session without AQE permanently. First-in records the true previous
+   * value; last-out restores it. */
+  private final class AqeGuard { var depth = 0; var prev: String = "true" }
+  private val aqeGuards =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, AqeGuard]()
+  private[sources] def withAqeOff[T](spark: SparkSession)(body: => T): T = {
+    val g = aqeGuards.computeIfAbsent(spark, _ => new AqeGuard)
+    val key = "spark.sql.adaptive.enabled"
+    g.synchronized {
+      if (g.depth == 0) { g.prev = spark.conf.get(key); spark.conf.set(key, "false") }
+      g.depth += 1
+    }
+    try body finally g.synchronized {
+      g.depth -= 1
+      if (g.depth == 0) spark.conf.set(key, g.prev)
+    }
+  }
 
   /** Root-keyed read-memo epoch, bumped by in-place version-dir mutations
    * (tenant offload/onload) so every instance open on the root re-reads —
